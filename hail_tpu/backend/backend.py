@@ -1,0 +1,52 @@
+"""Execution backends.
+
+The single distributed primitive is `map_collect(contexts)(partition_fn)` —
+the analogue of the reference's
+`DriverRuntimeContext.mapCollectPartitions(globals, contexts)(f)`
+(`is/hail/backend/Backend.scala:54-67`). The local backend maps partitions
+over a thread pool (numpy/jax release the GIL in kernels); the multihost
+backend (hail_tpu/backend/distributed.py) shards contexts across
+`jax.process_index()` and merges with collectives.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, List, Optional, Sequence
+
+
+class Backend:
+    def map_collect(self, contexts: Sequence[Any], fn: Callable[[Any], Any]) -> List[Any]:
+        raise NotImplementedError
+
+    def stop(self) -> None:
+        pass
+
+
+class LocalBackend(Backend):
+    """Thread-pool partition execution on one host
+    (reference `backend/local/LocalBackend.scala`)."""
+
+    def __init__(self, n_threads: Optional[int] = None):
+        if n_threads is None:
+            n_threads = min(os.cpu_count() or 4, 16)
+        self.n_threads = n_threads
+        self._pool: Optional[ThreadPoolExecutor] = None
+
+    @property
+    def pool(self) -> ThreadPoolExecutor:
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=self.n_threads)
+        return self._pool
+
+    def map_collect(self, contexts, fn):
+        contexts = list(contexts)
+        if len(contexts) <= 1:
+            return [fn(c) for c in contexts]
+        return list(self.pool.map(fn, contexts))
+
+    def stop(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None

@@ -1,0 +1,212 @@
+"""`hl.agg.*` aggregator API.
+
+Parity with reference `hail/python/hail/expr/aggregators/aggregators.py`;
+builds AggOp IR nodes evaluated by hail_tpu.ir.agg.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+
+from .. import types as ht
+from ..ir import agg as A
+from ..ir.nodes import AggOp, ApplyBinaryOp, IR
+from .expression import Expression, Indices, construct_expr, to_expr, unify_all
+from . import functions as F
+
+
+def _agg(aggregator: A.Aggregator, args, init_args=()) -> Expression:
+    exprs = [to_expr(a) for a in args]
+    rt = aggregator.result_type([e.dtype for e in exprs], init_args)
+    aggregator._result_t = rt
+    ind = unify_all(*exprs) if exprs else Indices()
+    node = AggOp(aggregator, [e._ir for e in exprs], rt, None, init_args)
+    return construct_expr(node, ind)
+
+
+def count() -> Expression:
+    return _agg(A.CountAgg(), [])
+
+
+def count_where(condition) -> Expression:
+    return _agg(A.CountWhereAgg(), [condition])
+
+
+def sum(expr) -> Expression:
+    e = to_expr(expr)
+    if isinstance(e.dtype, ht.tarray):
+        return array_sum(e)
+    return _agg(A.SumAgg(), [e])
+
+
+def array_sum(expr) -> Expression:
+    return _agg(A.ArraySumAgg(), [expr])
+
+
+def product(expr) -> Expression:
+    return _agg(A.ProductAgg(), [expr])
+
+
+def mean(expr) -> Expression:
+    return _agg(A.MeanAgg(), [expr])
+
+
+def avg(expr) -> Expression:
+    return mean(expr)
+
+
+def stats(expr) -> Expression:
+    return _agg(A.StatsAgg(), [expr])
+
+
+def min(expr) -> Expression:
+    return _agg(A.MinMaxAgg(True), [expr])
+
+
+def max(expr) -> Expression:
+    return _agg(A.MinMaxAgg(False), [expr])
+
+
+def any(condition) -> Expression:
+    return _agg(A.AnyAllAgg(True), [condition])
+
+
+def all(condition) -> Expression:
+    return _agg(A.AnyAllAgg(False), [condition])
+
+
+def fraction(condition) -> Expression:
+    return _agg(A.FractionAgg(), [condition])
+
+
+def counter(expr, *, weight=None) -> Expression:
+    return _agg(A.CollectAgg('counter'), [expr])
+
+
+def collect(expr) -> Expression:
+    return _agg(A.CollectAgg('collect'), [expr])
+
+
+def collect_as_set(expr) -> Expression:
+    return _agg(A.CollectAgg('collect_as_set'), [expr])
+
+
+def take(expr, n, ordering=None) -> Expression:
+    if ordering is not None:
+        e = to_expr(expr)
+        key = to_expr(ordering(e)) if callable(ordering) else to_expr(ordering)
+        return _agg(A.TakeByAgg(), [e, key], (n,))
+    return _agg(A.TakeAgg(), [expr], (n,))
+
+
+def _take_by(expr, key, n) -> Expression:
+    return _agg(A.TakeByAgg(), [expr, key], (n,))
+
+
+def call_stats(call, alleles) -> Expression:
+    c = to_expr(call)
+    a = to_expr(alleles)
+    if isinstance(a.dtype, ht.tarray):
+        n_alleles = a.length()
+    else:
+        n_alleles = a
+    return _agg(A.CallStatsAgg(), [c, n_alleles])
+
+
+def hardy_weinberg_test(call, one_sided: bool = False) -> Expression:
+    return _agg(A.HWEAgg(), [call])
+
+
+def inbreeding(call, prior) -> Expression:
+    return _agg(A.InbreedingAgg(), [call, prior])
+
+
+def hist(expr, start, end, bins) -> Expression:
+    return _agg(A.HistAgg(), [expr], (start, end, bins))
+
+
+def corr(x, y) -> Expression:
+    return _agg(A.CorrAgg(), [x, y])
+
+
+def linreg(y, x, nested_dim: int = 1, weight=None) -> Expression:
+    """Per-group linear regression aggregator (reference
+    `agg/LinearRegressionAggregator`). For the GWAS path use
+    hail_tpu.methods.linear_regression_rows (jit tier)."""
+    xs = x if isinstance(x, (list, tuple)) else [x]
+    ye = to_expr(y)
+    xes = [to_expr(xx) for xx in xs]
+    return _agg(A.LinRegAgg(), [ye] + xes, (len(xes), nested_dim))
+
+
+def info_score(gp) -> Expression:
+    return _agg(A.InfoScoreAgg(), [gp])
+
+
+def filter(condition, agg_expr) -> Expression:
+    """Restrict an aggregation to records where `condition` holds."""
+    cond = to_expr(condition)
+    e = to_expr(agg_expr)
+
+    def add_filter(ir: IR) -> IR:
+        if isinstance(ir, AggOp):
+            new_filter = cond._ir if ir.filter_ir is None else ApplyBinaryOp('&', ir.filter_ir, cond._ir)
+            node = AggOp(ir.aggregator, ir.args, ir.typ, new_filter, ir.init_args)
+            node.uid = ir.uid
+            return node
+        return ir.map_children(add_filter)
+
+    return construct_expr(add_filter(e._ir), unify_all(cond, e))
+
+
+def explode(f, array_agg_expr) -> Expression:
+    raise NotImplementedError('agg.explode: planned (round 2)')
+
+
+def group_by(group, agg_expr) -> Expression:
+    raise NotImplementedError('agg.group_by: planned (round 2)')
+
+
+def array_agg(f, array) -> Expression:
+    raise NotImplementedError('agg.array_agg: planned (round 2)')
+
+
+def fold(zero, seq_op, comb_op) -> Expression:
+    raise NotImplementedError('agg.fold: planned (round 2)')
+
+
+def approx_cdf(expr, k: int = 100) -> Expression:
+    return _agg(A.ApproxCDFAgg(), [expr], (k,))
+
+
+def approx_quantiles(expr, qs, k: int = 100) -> Expression:
+    cdf = approx_cdf(expr, k)
+    if isinstance(qs, (list, tuple)):
+        return F.array([_cdf_quantile(cdf, q) for q in qs])
+    return _cdf_quantile(cdf, qs)
+
+
+def approx_median(expr, k: int = 100) -> Expression:
+    return approx_quantiles(expr, 0.5, k)
+
+
+def _cdf_quantile(cdf_expr, q):
+    values = cdf_expr['values']
+    ranks = cdf_expr['ranks']
+    n = ranks[-1]
+    target = F.int64(F.floor(q * F.float64(n)))
+    def pick(vals, rks, t):
+        # first value whose rank exceeds target
+        return vals[F.max(0, F.argmax(rks.map(lambda r: F.if_else(r <= t, 1, 0))) - 0)]
+    # simple approach: index via fold
+    idx = ranks.fold(lambda acc, r: F.if_else(r <= target, acc + 1, acc), 0) - 1
+    return values[F.max(0, F.min(idx, values.length() - 1))]
+
+
+def downsample(x, y, label=None, n_divisions: int = 500) -> Expression:
+    args = [to_expr(x), to_expr(y)]
+    if label is not None:
+        args.append(to_expr(label))
+    return _agg(A.DownsampleAgg(), args, (n_divisions, label is not None))

@@ -1,0 +1,807 @@
+"""Lazy typed expressions over the value IR.
+
+Capability parity with the reference expression system
+(`hail/python/hail/expr/expressions/`): expressions carry a type, an IR, and
+dimensional indices (row/column/global) relative to a source Table or
+MatrixTable; operators and methods build IR; evaluation is columnar
+(hail_tpu.ir). Fresh implementation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, FrozenSet, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from .. import types as ht
+from ..genetics.call import Call
+from ..genetics.locus import Locus
+from ..utils.structs import Interval, Struct, frozendict
+from ..ir import nodes as irn
+from ..ir import arrays as ira
+from ..ir.nodes import (IR, Apply, ApplyBinaryOp, ApplyUnaryOp, ArrayRef, Cast,
+                        Coalesce, GetField, GetTupleElement, If, IsMissing,
+                        Literal, MakeArray, MakeStruct, MakeTuple, NA, Ref)
+
+
+class Indices:
+    __slots__ = ('source', 'axes')
+
+    def __init__(self, source=None, axes: FrozenSet[str] = frozenset()):
+        self.source = source
+        self.axes = frozenset(axes)
+
+    def __eq__(self, other):
+        return isinstance(other, Indices) and self.source is other.source and self.axes == other.axes
+
+    def __repr__(self):
+        return f'Indices(axes={set(self.axes)})'
+
+    @staticmethod
+    def unify(*indices: 'Indices') -> 'Indices':
+        src = None
+        axes = set()
+        for ind in indices:
+            if ind.source is not None:
+                if src is not None and src is not ind.source:
+                    raise ValueError(
+                        'cannot combine expressions from different source objects')
+                src = ind.source
+            axes |= ind.axes
+        return Indices(src, frozenset(axes))
+
+
+class Expression:
+    """Base expression: wraps an IR node, a type, and indices."""
+
+    def __init__(self, ir: IR, indices: Optional[Indices] = None):
+        self._ir = ir
+        self._indices = indices or Indices()
+
+    @property
+    def dtype(self) -> ht.HailType:
+        return self._ir.typ
+
+    def __repr__(self):
+        return f'<{type(self).__name__} of type {self.dtype}>'
+
+    # -- helpers -----------------------------------------------------------
+    def _bin_op(self, op: str, other, reverse=False) -> 'Expression':
+        o = to_expr(other)
+        l, r = (o, self) if reverse else (self, o)
+        ind = Indices.unify(l._indices, r._indices)
+        return construct_expr(ApplyBinaryOp(op, l._ir, r._ir), ind)
+
+    # -- comparison --------------------------------------------------------
+    def __eq__(self, other):
+        return self._bin_op('==', other)
+
+    def __ne__(self, other):
+        return self._bin_op('!=', other)
+
+    def __hash__(self):
+        return object.__hash__(self)
+
+    def __bool__(self):
+        raise TypeError(
+            'cannot convert a Hail expression to bool; use hl.if_else / & / | for conditionals')
+
+    # -- missingness -------------------------------------------------------
+    def is_missing(self) -> 'BooleanExpression':
+        return construct_expr(IsMissing(self._ir), self._indices)
+
+    def is_defined(self) -> 'BooleanExpression':
+        return construct_expr(ApplyUnaryOp('!', IsMissing(self._ir)), self._indices)
+
+    # -- execution ---------------------------------------------------------
+    def collect(self):
+        src = self._indices.source
+        if src is None:
+            raise ValueError('collect() requires an expression with a table source')
+        return src._collect_expr(self)
+
+    def take(self, n: int):
+        return self.collect()[:n]
+
+    def show(self, n: int = 10):
+        vals = self.take(n)
+        for v in vals:
+            print(v)
+
+    def _promote_numeric(self, typ):
+        if self.dtype == typ:
+            return self
+        return construct_expr(Cast(self._ir, typ), self._indices)
+
+
+class BooleanExpression(Expression):
+    def __and__(self, other):
+        return self._bin_op('&', other)
+
+    def __rand__(self, other):
+        return self._bin_op('&', other, reverse=True)
+
+    def __or__(self, other):
+        return self._bin_op('|', other)
+
+    def __ror__(self, other):
+        return self._bin_op('|', other, reverse=True)
+
+    def __invert__(self):
+        return construct_expr(ApplyUnaryOp('!', self._ir), self._indices)
+
+
+class NumericExpression(Expression):
+    def __add__(self, other):
+        return self._bin_op('+', other)
+
+    def __radd__(self, other):
+        return self._bin_op('+', other, reverse=True)
+
+    def __sub__(self, other):
+        return self._bin_op('-', other)
+
+    def __rsub__(self, other):
+        return self._bin_op('-', other, reverse=True)
+
+    def __mul__(self, other):
+        return self._bin_op('*', other)
+
+    def __rmul__(self, other):
+        return self._bin_op('*', other, reverse=True)
+
+    def __truediv__(self, other):
+        return self._bin_op('/', other)
+
+    def __rtruediv__(self, other):
+        return self._bin_op('/', other, reverse=True)
+
+    def __floordiv__(self, other):
+        return self._bin_op('//', other)
+
+    def __rfloordiv__(self, other):
+        return self._bin_op('//', other, reverse=True)
+
+    def __mod__(self, other):
+        return self._bin_op('%', other)
+
+    def __rmod__(self, other):
+        return self._bin_op('%', other, reverse=True)
+
+    def __pow__(self, other):
+        return self._bin_op('**', other)
+
+    def __rpow__(self, other):
+        return self._bin_op('**', other, reverse=True)
+
+    def __neg__(self):
+        return construct_expr(ApplyUnaryOp('-', self._ir), self._indices)
+
+    def __pos__(self):
+        return self
+
+    def __lt__(self, other):
+        return self._bin_op('<', other)
+
+    def __le__(self, other):
+        return self._bin_op('<=', other)
+
+    def __gt__(self, other):
+        return self._bin_op('>', other)
+
+    def __ge__(self, other):
+        return self._bin_op('>=', other)
+
+    def __abs__(self):
+        from . import functions as F
+        return F.abs(self)
+
+
+class Int32Expression(NumericExpression):
+    pass
+
+
+class Int64Expression(NumericExpression):
+    pass
+
+
+class Float32Expression(NumericExpression):
+    pass
+
+
+class Float64Expression(NumericExpression):
+    pass
+
+
+class StringExpression(Expression):
+    def __add__(self, other):
+        return self._bin_op('+', other)
+
+    def __radd__(self, other):
+        return self._bin_op('+', other, reverse=True)
+
+    def __lt__(self, other):
+        return self._bin_op('<', other)
+
+    def __le__(self, other):
+        return self._bin_op('<=', other)
+
+    def __gt__(self, other):
+        return self._bin_op('>', other)
+
+    def __ge__(self, other):
+        return self._bin_op('>=', other)
+
+    def _str_method(self, name, result_typ, *args):
+        from . import functions as F
+        return F._string_method(self, name, result_typ, *args)
+
+    def length(self):
+        return self._str_method('length', ht.tint32)
+
+    def lower(self):
+        return self._str_method('lower', ht.tstr)
+
+    def upper(self):
+        return self._str_method('upper', ht.tstr)
+
+    def strip(self):
+        return self._str_method('strip', ht.tstr)
+
+    def contains(self, sub):
+        return self._str_method('contains', ht.tbool, sub)
+
+    def startswith(self, prefix):
+        return self._str_method('startswith', ht.tbool, prefix)
+
+    def endswith(self, suffix):
+        return self._str_method('endswith', ht.tbool, suffix)
+
+    def matches(self, regex, full_match=False):
+        return self._str_method('matches', ht.tbool, regex, full_match)
+
+    def replace(self, pattern, replacement):
+        return self._str_method('replace', ht.tstr, pattern, replacement)
+
+    def split(self, delim, n=None):
+        return self._str_method('split', ht.tarray(ht.tstr), delim, n)
+
+    def first_match_in(self, regex):
+        return self._str_method('first_match_in', ht.tarray(ht.tstr), regex)
+
+    def join(self, array):
+        from . import functions as F
+        return F.delimit(array, self)
+
+    def __getitem__(self, item):
+        if isinstance(item, slice):
+            return self._str_method('slice', ht.tstr,
+                                    item.start, item.stop, item.step)
+        return self._str_method('index', ht.tstr, item)
+
+
+class CollectionExpression(Expression):
+    def length(self):
+        return construct_expr(ira.ArrayLen(ira.ToArray(self._ir)), self._indices)
+
+    def size(self):
+        return self.length()
+
+    def map(self, f) -> 'Expression':
+        et = self.dtype.element_type
+        var = _fresh_name('elem')
+        elem = construct_expr(Ref(var, et), self._indices)
+        body = to_expr(f(elem))
+        return construct_expr(ira.ArrayMap(self._ir, var, body._ir),
+                              Indices.unify(self._indices, body._indices))
+
+    def filter(self, f) -> 'Expression':
+        et = self.dtype.element_type
+        var = _fresh_name('elem')
+        elem = construct_expr(Ref(var, et), self._indices)
+        body = to_expr(f(elem))
+        return construct_expr(ira.ArrayFilter(self._ir, var, body._ir),
+                              Indices.unify(self._indices, body._indices))
+
+    def fold(self, f, zero) -> 'Expression':
+        et = self.dtype.element_type
+        zero = to_expr(zero)
+        av = _fresh_name('acc')
+        ev = _fresh_name('elem')
+        acc = construct_expr(Ref(av, zero.dtype), self._indices)
+        elem = construct_expr(Ref(ev, et), self._indices)
+        body = to_expr(f(acc, elem))
+        return construct_expr(ira.ArrayFold(ira.ToArray(self._ir), zero._ir, av, ev, body._ir),
+                              Indices.unify(self._indices, zero._indices, body._indices))
+
+    def exists(self, f):
+        from . import functions as F
+        return self.fold(lambda acc, x: acc | F.coalesce(f(x), False), False)
+
+    def all(self, f):
+        from . import functions as F
+        return self.fold(lambda acc, x: acc & F.coalesce(f(x), True), True)
+
+    def contains(self, item):
+        from . import functions as F
+        return F._collection_method(self, 'contains', ht.tbool, to_expr(item))
+
+
+class ArrayExpression(CollectionExpression):
+    def __getitem__(self, item):
+        if isinstance(item, slice):
+            s = None if item.start is None else to_expr(item.start)._ir
+            e = None if item.stop is None else to_expr(item.stop)._ir
+            st = None if item.step is None else to_expr(item.step)._ir
+            return construct_expr(ira.ArraySlice(self._ir, s, e, st), self._indices)
+        idx = to_expr(item)
+        return construct_expr(ArrayRef(self._ir, idx._ir),
+                              Indices.unify(self._indices, idx._indices))
+
+    def first(self):
+        return self[0]
+
+    def last(self):
+        return self[-1]
+
+    def append(self, item):
+        from . import functions as F
+        return F._collection_method(self, 'append', self.dtype, to_expr(item))
+
+    def extend(self, other):
+        from . import functions as F
+        return F._collection_method(self, 'extend', self.dtype, to_expr(other))
+
+    def index(self, x):
+        from . import functions as F
+        return F._collection_method(self, 'index_of', ht.tint32, to_expr(x))
+
+
+class SetExpression(CollectionExpression):
+    def add(self, item):
+        from . import functions as F
+        return F._collection_method(self, 'set_add', self.dtype, to_expr(item))
+
+    def remove(self, item):
+        from . import functions as F
+        return F._collection_method(self, 'set_remove', self.dtype, to_expr(item))
+
+    def union(self, other):
+        from . import functions as F
+        return F._collection_method(self, 'set_union', self.dtype, to_expr(other))
+
+    def intersection(self, other):
+        from . import functions as F
+        return F._collection_method(self, 'set_intersection', self.dtype, to_expr(other))
+
+    def difference(self, other):
+        from . import functions as F
+        return F._collection_method(self, 'set_difference', self.dtype, to_expr(other))
+
+    def is_subset(self, other):
+        from . import functions as F
+        return F._collection_method(self, 'set_is_subset', ht.tbool, to_expr(other))
+
+
+class DictExpression(Expression):
+    def __getitem__(self, key):
+        from . import functions as F
+        return F._collection_method(self, 'dict_get_strict', self.dtype.value_type, to_expr(key))
+
+    def get(self, key, default=None):
+        from . import functions as F
+        if default is None:
+            return F._collection_method(self, 'dict_get', self.dtype.value_type, to_expr(key))
+        return F.coalesce(self.get(key), default)
+
+    def contains(self, key):
+        from . import functions as F
+        return F._collection_method(self, 'dict_contains', ht.tbool, to_expr(key))
+
+    def keys(self):
+        from . import functions as F
+        return F._collection_method(self, 'dict_keys', ht.tarray(self.dtype.key_type))
+
+    def values(self):
+        from . import functions as F
+        return F._collection_method(self, 'dict_values', ht.tarray(self.dtype.value_type))
+
+    def items(self):
+        from . import functions as F
+        return F._collection_method(
+            self, 'dict_items',
+            ht.tarray(ht.ttuple(self.dtype.key_type, self.dtype.value_type)))
+
+    def size(self):
+        from . import functions as F
+        return F._collection_method(self, 'dict_size', ht.tint32)
+
+    def map_values(self, f):
+        from . import functions as F
+        return F._dict_map_values(self, f)
+
+
+class StructExpression(Expression):
+    def __getattr__(self, name: str):
+        if name.startswith('_'):
+            raise AttributeError(name)
+        if name in self.dtype.fields:
+            return self[name]
+        raise AttributeError(f'StructExpression has no field or method {name!r}; fields: {list(self.dtype.fields)}')
+
+    def __getitem__(self, name):
+        if isinstance(name, int):
+            name = list(self.dtype.fields)[name]
+        return construct_expr(GetField(self._ir, name), self._indices)
+
+    def __iter__(self):
+        return iter(self.dtype.fields)
+
+    def __len__(self):
+        return len(self.dtype.fields)
+
+    def __contains__(self, name):
+        return name in self.dtype.fields
+
+    def keys(self):
+        return list(self.dtype.fields)
+
+    def values(self):
+        return [self[k] for k in self.dtype.fields]
+
+    def items(self):
+        return [(k, self[k]) for k in self.dtype.fields]
+
+    def annotate(self, **named_exprs) -> 'StructExpression':
+        fields = {k: GetField(self._ir, k) for k in self.dtype.fields}
+        inds = [self._indices]
+        for k, v in named_exprs.items():
+            e = to_expr(v)
+            fields[k] = e._ir
+            inds.append(e._indices)
+        return construct_expr(MakeStruct(fields), Indices.unify(*inds))
+
+    def select(self, *names, **named_exprs) -> 'StructExpression':
+        fields = {k: GetField(self._ir, k) for k in names}
+        inds = [self._indices]
+        for k, v in named_exprs.items():
+            e = to_expr(v)
+            fields[k] = e._ir
+            inds.append(e._indices)
+        return construct_expr(MakeStruct(fields), Indices.unify(*inds))
+
+    def drop(self, *names) -> 'StructExpression':
+        fields = {k: GetField(self._ir, k) for k in self.dtype.fields if k not in names}
+        return construct_expr(MakeStruct(fields), self._indices)
+
+    def rename(self, mapping: Dict[str, str]) -> 'StructExpression':
+        fields = {mapping.get(k, k): GetField(self._ir, k) for k in self.dtype.fields}
+        return construct_expr(MakeStruct(fields), self._indices)
+
+    def flatten(self) -> 'StructExpression':
+        fields = {}
+        def rec(prefix, ir, typ):
+            for k, t in typ.fields.items():
+                name = f'{prefix}{k}'
+                if isinstance(t, ht.tstruct):
+                    rec(f'{name}.', GetField(ir, k), t)
+                else:
+                    fields[name] = GetField(ir, k)
+        rec('', self._ir, self.dtype)
+        return construct_expr(MakeStruct(fields), self._indices)
+
+
+class TupleExpression(Expression):
+    def __getitem__(self, i: int):
+        return construct_expr(GetTupleElement(self._ir, i), self._indices)
+
+    def __len__(self):
+        return len(self.dtype)
+
+
+class CallExpression(Expression):
+    def _call_method(self, name, result_typ, *args):
+        from . import functions as F
+        return F._call_method(self, name, result_typ, *args)
+
+    @property
+    def ploidy(self):
+        return self._call_method('ploidy', ht.tint32)
+
+    @property
+    def phased(self):
+        return self._call_method('phased', ht.tbool)
+
+    def __getitem__(self, i):
+        return self._call_method('allele_at', ht.tint32, to_expr(i))
+
+    def n_alt_alleles(self):
+        return self._call_method('n_alt_alleles', ht.tint32)
+
+    def is_het(self):
+        return self._call_method('is_het', ht.tbool)
+
+    def is_hom_ref(self):
+        return self._call_method('is_hom_ref', ht.tbool)
+
+    def is_hom_var(self):
+        return self._call_method('is_hom_var', ht.tbool)
+
+    def is_het_ref(self):
+        return self._call_method('is_het_ref', ht.tbool)
+
+    def is_het_non_ref(self):
+        return self._call_method('is_het_non_ref', ht.tbool)
+
+    def is_non_ref(self):
+        return self._call_method('is_non_ref', ht.tbool)
+
+    def is_haploid(self):
+        return self._call_method('is_haploid', ht.tbool)
+
+    def is_diploid(self):
+        return self._call_method('is_diploid', ht.tbool)
+
+    def unphased_diploid_gt_index(self):
+        return self._call_method('unphased_diploid_gt_index', ht.tint32)
+
+    def one_hot_alleles(self, n_alleles):
+        return self._call_method('one_hot_alleles', ht.tarray(ht.tint32), to_expr(n_alleles))
+
+
+class LocusExpression(Expression):
+    def _locus_method(self, name, result_typ, *args):
+        from . import functions as F
+        return F._locus_method(self, name, result_typ, *args)
+
+    @property
+    def contig(self):
+        return self._locus_method('contig', ht.tstr)
+
+    @property
+    def position(self):
+        return self._locus_method('position', ht.tint32)
+
+    def global_position(self):
+        return self._locus_method('global_position', ht.tint64)
+
+    def in_autosome(self):
+        return self._locus_method('in_autosome', ht.tbool)
+
+    def in_x_par(self):
+        return self._locus_method('in_x_par', ht.tbool)
+
+    def in_x_nonpar(self):
+        return self._locus_method('in_x_nonpar', ht.tbool)
+
+    def in_y_par(self):
+        return self._locus_method('in_y_par', ht.tbool)
+
+    def in_y_nonpar(self):
+        return self._locus_method('in_y_nonpar', ht.tbool)
+
+    def in_mito(self):
+        return self._locus_method('in_mito', ht.tbool)
+
+    def __lt__(self, other):
+        return self._bin_op('<', other)
+
+    def __le__(self, other):
+        return self._bin_op('<=', other)
+
+    def __gt__(self, other):
+        return self._bin_op('>', other)
+
+    def __ge__(self, other):
+        return self._bin_op('>=', other)
+
+
+class IntervalExpression(Expression):
+    def _interval_method(self, name, result_typ, *args):
+        from . import functions as F
+        return F._interval_method(self, name, result_typ, *args)
+
+    @property
+    def start(self):
+        return self._interval_method('start', self.dtype.point_type)
+
+    @property
+    def end(self):
+        return self._interval_method('end', self.dtype.point_type)
+
+    @property
+    def includes_start(self):
+        return self._interval_method('includes_start', ht.tbool)
+
+    @property
+    def includes_end(self):
+        return self._interval_method('includes_end', ht.tbool)
+
+    def contains(self, point):
+        return self._interval_method('interval_contains', ht.tbool, to_expr(point))
+
+    def overlaps(self, other):
+        return self._interval_method('interval_overlaps', ht.tbool, to_expr(other))
+
+
+class NDArrayExpression(Expression):
+    @property
+    def ndim(self):
+        return self.dtype.ndim
+
+    @property
+    def shape(self):
+        from . import functions as F
+        return F._ndarray_method(self, 'nd_shape', ht.ttuple(*([ht.tint64] * self.dtype.ndim)))
+
+    def _nd_method(self, name, result_typ, *args):
+        from . import functions as F
+        return F._ndarray_method(self, name, result_typ, *args)
+
+    def __matmul__(self, other):
+        other = to_expr(other)
+        nd = max(1, self.dtype.ndim + other.dtype.ndim - 2)
+        return self._nd_method('nd_matmul', ht.tndarray(ht.tfloat64, nd), other)
+
+    def __add__(self, other):
+        return self._nd_method('nd_add', self.dtype, to_expr(other))
+
+    def __sub__(self, other):
+        return self._nd_method('nd_sub', self.dtype, to_expr(other))
+
+    def __mul__(self, other):
+        return self._nd_method('nd_mul', self.dtype, to_expr(other))
+
+    def __truediv__(self, other):
+        return self._nd_method('nd_div', ht.tndarray(ht.tfloat64, self.dtype.ndim), to_expr(other))
+
+    @property
+    def T(self):
+        return self._nd_method('nd_transpose', self.dtype)
+
+    def transpose(self):
+        return self.T
+
+    def reshape(self, *shape):
+        shape_exprs = [to_expr(s) for s in shape]
+        return self._nd_method('nd_reshape', ht.tndarray(self.dtype.element_type, len(shape)), *shape_exprs)
+
+    def sum(self, axis=None):
+        from . import functions as F
+        return F._ndarray_sum(self, axis)
+
+    def to_numpy(self):
+        from . import functions as F
+        from ..context import Env
+        return F.eval_expr(self)
+
+
+_EXPR_CLASS = {
+    'bool': BooleanExpression,
+    'int32': Int32Expression,
+    'int64': Int64Expression,
+    'float32': Float32Expression,
+    'float64': Float64Expression,
+    'str': StringExpression,
+    'call': CallExpression,
+}
+
+
+def construct_expr(ir: IR, indices: Optional[Indices] = None) -> Expression:
+    t = ir.typ
+    cls = _EXPR_CLASS.get(str(t))
+    if cls is None:
+        if isinstance(t, ht.tarray):
+            cls = ArrayExpression
+        elif isinstance(t, ht.tset):
+            cls = SetExpression
+        elif isinstance(t, ht.tdict):
+            cls = DictExpression
+        elif isinstance(t, ht.tstruct):
+            cls = StructExpression
+        elif isinstance(t, ht.ttuple):
+            cls = TupleExpression
+        elif isinstance(t, ht.tlocus):
+            cls = LocusExpression
+        elif isinstance(t, ht.tinterval):
+            cls = IntervalExpression
+        elif isinstance(t, ht.tndarray):
+            cls = NDArrayExpression
+        else:
+            cls = Expression
+    return cls(ir, indices)
+
+
+_name_counter = [0]
+
+
+def _fresh_name(prefix: str) -> str:
+    _name_counter[0] += 1
+    return f'__{prefix}_{_name_counter[0]}'
+
+
+def impute_type(value: Any) -> ht.HailType:
+    if isinstance(value, Expression):
+        return value.dtype
+    if isinstance(value, bool) or isinstance(value, np.bool_):
+        return ht.tbool
+    if isinstance(value, (int, np.integer)):
+        if -(2**31) <= int(value) < 2**31:
+            return ht.tint32
+        return ht.tint64
+    if isinstance(value, np.float32):
+        return ht.tfloat32
+    if isinstance(value, (float, np.floating)):
+        return ht.tfloat64
+    if isinstance(value, str):
+        return ht.tstr
+    if isinstance(value, bytes):
+        return ht.tbinary
+    if isinstance(value, Call):
+        return ht.tcall
+    if isinstance(value, Locus):
+        return ht.tlocus(value.reference_genome)
+    if isinstance(value, Interval):
+        return ht.tinterval(impute_type(value.start))
+    if isinstance(value, Struct):
+        return ht.tstruct(**{k: impute_type(v) for k, v in value.items()})
+    if isinstance(value, list):
+        ets = [impute_type(v) for v in value if v is not None]
+        et = ht.unify_types(*ets) if ets else ht.tint32
+        if et is None:
+            raise TypeError(f'cannot impute array element type from {value!r}')
+        return ht.tarray(et)
+    if isinstance(value, tuple):
+        return ht.ttuple(*[impute_type(v) for v in value])
+    if isinstance(value, (set, frozenset)):
+        ets = [impute_type(v) for v in value if v is not None]
+        et = ht.unify_types(*ets) if ets else ht.tint32
+        return ht.tset(et)
+    if isinstance(value, (dict, frozendict)):
+        kts = [impute_type(k) for k in value.keys()]
+        vts = [impute_type(v) for v in value.values() if v is not None]
+        kt = ht.unify_types(*kts) if kts else ht.tstr
+        vt = ht.unify_types(*vts) if vts else ht.tint32
+        return ht.tdict(kt, vt)
+    if isinstance(value, np.ndarray):
+        et = {np.dtype(np.int32): ht.tint32, np.dtype(np.int64): ht.tint64,
+              np.dtype(np.float32): ht.tfloat32, np.dtype(np.float64): ht.tfloat64,
+              np.dtype(np.bool_): ht.tbool}.get(value.dtype, ht.tfloat64)
+        return ht.tndarray(et, value.ndim)
+    raise TypeError(f'cannot impute type of {value!r} ({type(value)})')
+
+
+def to_expr(value: Any, dtype: Optional[ht.HailType] = None) -> Expression:
+    if isinstance(value, Expression):
+        if dtype is not None and value.dtype != dtype:
+            return construct_expr(Cast(value._ir, dtype), value._indices)
+        return value
+    if value is None:
+        if dtype is None:
+            raise TypeError('cannot create an expression from None without a type (use hl.missing(t))')
+        return construct_expr(NA(dtype))
+    t = dtype or impute_type(value)
+    return construct_expr(Literal(value, t))
+
+
+def unify_all(*exprs: Expression) -> Indices:
+    return Indices.unify(*[e._indices for e in exprs])
+
+
+def eval_scalar(expr: Expression):
+    """Evaluate a source-free expression to a python value (hl.eval)."""
+    from ..ir.nodes import EvalEnv
+    from ..ir import agg as aggmod
+    src = expr._indices.source
+    if src is not None:
+        # global-indexed expression on a table: bind globals
+        if not expr._indices.axes:
+            return src._eval_global_expr(expr)
+        raise ValueError('cannot eval an expression with row/column indices; use collect()')
+    agg_nodes = aggmod.collect_agg_nodes(expr._ir)
+    if agg_nodes:
+        raise ValueError('cannot eval an aggregation outside of a table context')
+    env = EvalEnv({}, (1,))
+    col = expr._ir.evaluate(env)
+    vals = col.to_pylist()
+    return vals[0] if vals else None

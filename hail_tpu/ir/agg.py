@@ -1,0 +1,959 @@
+"""Vectorized aggregators: init/seq/comb/result split.
+
+TPU-native analogue of the reference's staged aggregators
+(`is/hail/expr/ir/agg/`, extracted by `agg/Extract.scala:26-146`): each
+aggregator computes a vectorized partial state per partition (a reduction
+along the given axes of the columnar batch), partials combine as a monoid
+across partitions (the reference's tree-reduce, `LowerTableIR.scala:835`),
+and `result` materializes the final column. Numeric states are numpy arrays,
+so an (R, C) entries block reduced along axis=1 yields an (R,) state with no
+python loops.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import types as ht
+from ..utils.structs import Struct, frozendict
+from . import columns as C
+from .columns import Column, DenseArrayColumn, ObjectColumn, PrimitiveColumn, StructColumn
+from .nodes import IR, AggOp, EvalEnv, find_nodes, substitute_aggs
+
+
+def _flatten_vals(col):
+    from .columns import _flatten
+    return _flatten(col.to_pylist(), len(col.shape))
+
+
+class Aggregator:
+    name: str = '?'
+
+    def result_type(self, arg_types: Sequence[ht.HailType], init_args: Sequence[Any]) -> ht.HailType:
+        raise NotImplementedError
+
+    def seq(self, arg_cols: Sequence[Column], include: Optional[np.ndarray],
+            axis: Tuple[int, ...], init_args: Sequence[Any]):
+        """Compute a partial state by reducing over `axis`. `include` is a bool
+        mask over the full shape (True = row passes agg filters)."""
+        raise NotImplementedError
+
+    def comb(self, a, b, init_args):
+        raise NotImplementedError
+
+    def result(self, state, init_args) -> Column:
+        raise NotImplementedError
+
+
+def _include_and_defined(col: Column, include: Optional[np.ndarray]) -> np.ndarray:
+    m = ~col.missing_mask()
+    if include is not None:
+        m = m & include
+    return np.broadcast_to(m, col.shape) if m.shape != col.shape else m
+
+
+def _full_shape(cols, include):
+    shapes = [c.shape for c in cols]
+    if include is not None:
+        shapes.append(include.shape)
+    return np.broadcast_shapes(*shapes) if shapes else (1,)
+
+
+class CountAgg(Aggregator):
+    name = 'count'
+
+    def result_type(self, arg_types, init_args):
+        return ht.tint64
+
+    def seq(self, arg_cols, include, axis, init_args, shape=None):
+        assert shape is not None
+        if include is None:
+            counts = np.full([s for i, s in enumerate(shape) if i not in axis],
+                             int(np.prod([shape[i] for i in axis])), dtype=np.int64)
+        else:
+            counts = np.sum(np.broadcast_to(include, shape), axis=axis, dtype=np.int64)
+        return counts
+
+    def comb(self, a, b, init_args):
+        return a + b
+
+    def result(self, state, init_args):
+        return PrimitiveColumn(ht.tint64, np.asarray(state), None)
+
+
+class CountWhereAgg(Aggregator):
+    name = 'count_where'
+
+    def result_type(self, arg_types, init_args):
+        return ht.tint64
+
+    def seq(self, arg_cols, include, axis, init_args):
+        (cond,) = arg_cols
+        ok = _include_and_defined(cond, include)
+        vals = np.asarray(cond.values, dtype=bool) if isinstance(cond, PrimitiveColumn) \
+            else np.asarray([v is True for v in C.to_object(cond).values.ravel()]).reshape(cond.shape)
+        return np.sum(ok & vals, axis=axis, dtype=np.int64)
+
+    def comb(self, a, b, init_args):
+        return a + b
+
+    def result(self, state, init_args):
+        return PrimitiveColumn(ht.tint64, np.asarray(state), None)
+
+
+def _numeric_values(col: Column) -> np.ndarray:
+    if isinstance(col, PrimitiveColumn):
+        return col.values
+    obj = C.to_object(col)
+    return np.asarray([0 if v is None else v for v in obj.values.ravel()], dtype=np.float64).reshape(col.shape)
+
+
+class SumAgg(Aggregator):
+    name = 'sum'
+
+    def result_type(self, arg_types, init_args):
+        t = arg_types[0]
+        if isinstance(t, ht.tarray):
+            return ht.tarray(ht.tint64 if t.element_type in (ht.tint32, ht.tint64) else ht.tfloat64)
+        return ht.tint64 if t in (ht.tint32, ht.tint64) else ht.tfloat64
+
+    def seq(self, arg_cols, include, axis, init_args):
+        (x,) = arg_cols
+        if isinstance(x, DenseArrayColumn):
+            ok = _include_and_defined(x, include)
+            ew = np.arange(x.width)[None] < x.lengths.reshape(-1, 1)
+            ew = ew.reshape(x.shape + (x.width,))
+            if x.elem_missing is not None:
+                ew = ew & ~x.elem_missing
+            w = (ok[..., None] & ew)
+            dt = np.int64 if x.typ.element_type in (ht.tint32, ht.tint64) else np.float64
+            vals = np.where(w, x.values, 0).astype(dt)
+            return np.sum(vals, axis=axis)
+        ok = _include_and_defined(x, include)
+        dt = np.int64 if x.typ in (ht.tint32, ht.tint64, ht.tbool) else np.float64
+        vals = np.where(ok, np.broadcast_to(x.values, ok.shape), 0).astype(dt)
+        return np.sum(vals, axis=axis)
+
+    def comb(self, a, b, init_args):
+        return a + b
+
+    def result(self, state, init_args):
+        state = np.asarray(state)
+        if state.dtype == np.int64:
+            return PrimitiveColumn(ht.tint64, state, None)
+        return PrimitiveColumn(ht.tfloat64, state, None)
+
+
+class ArraySumAgg(SumAgg):
+    name = 'array_sum'
+
+    def result(self, state, init_args):
+        state = np.asarray(state)
+        et = ht.tint64 if state.dtype == np.int64 else ht.tfloat64
+        lengths = np.full(state.shape[:-1], state.shape[-1], dtype=np.int32)
+        return DenseArrayColumn(ht.tarray(et), state, lengths)
+
+
+class ProductAgg(Aggregator):
+    name = 'product'
+
+    def result_type(self, arg_types, init_args):
+        t = arg_types[0]
+        return ht.tint64 if t in (ht.tint32, ht.tint64) else ht.tfloat64
+
+    def seq(self, arg_cols, include, axis, init_args):
+        (x,) = arg_cols
+        ok = _include_and_defined(x, include)
+        dt = np.int64 if x.typ in (ht.tint32, ht.tint64) else np.float64
+        vals = np.where(ok, np.broadcast_to(x.values, ok.shape), 1).astype(dt)
+        return np.prod(vals, axis=axis)
+
+    def comb(self, a, b, init_args):
+        return a * b
+
+    def result(self, state, init_args):
+        state = np.asarray(state)
+        t = ht.tint64 if state.dtype == np.int64 else ht.tfloat64
+        return PrimitiveColumn(t, state, None)
+
+
+class MinMaxAgg(Aggregator):
+    def __init__(self, is_min: bool):
+        self.is_min = is_min
+        self.name = 'min' if is_min else 'max'
+
+    def result_type(self, arg_types, init_args):
+        return arg_types[0]
+
+    def seq(self, arg_cols, include, axis, init_args):
+        (x,) = arg_cols
+        ok = _include_and_defined(x, include)
+        vals = np.broadcast_to(np.asarray(_numeric_values(x), dtype=np.float64), ok.shape)
+        fill = np.inf if self.is_min else -np.inf
+        vals = np.where(ok, vals, fill)
+        f = np.min if self.is_min else np.max
+        with np.errstate(all='ignore'):
+            red = f(vals, axis=axis) if vals.size else np.full([s for i, s in enumerate(ok.shape) if i not in axis], fill)
+        n = np.sum(ok, axis=axis)
+        return (red, n > 0, x.typ)
+
+    def comb(self, a, b, init_args):
+        f = np.minimum if self.is_min else np.maximum
+        return (f(a[0], b[0]), a[1] | b[1], a[2])
+
+    def result(self, state, init_args):
+        vals, defined, typ = state
+        vals = np.asarray(vals)
+        out = vals.astype(typ.numpy_dtype) if typ.numpy_dtype is not None else vals
+        miss = ~np.asarray(defined)
+        return PrimitiveColumn(typ, np.where(miss, 0, out).astype(typ.numpy_dtype), miss if miss.any() else None)
+
+
+class MeanAgg(Aggregator):
+    name = 'mean'
+
+    def result_type(self, arg_types, init_args):
+        return ht.tfloat64
+
+    def seq(self, arg_cols, include, axis, init_args):
+        (x,) = arg_cols
+        ok = _include_and_defined(x, include)
+        vals = np.where(ok, np.broadcast_to(x.values, ok.shape), 0).astype(np.float64)
+        return (np.sum(vals, axis=axis), np.sum(ok, axis=axis, dtype=np.int64))
+
+    def comb(self, a, b, init_args):
+        return (a[0] + b[0], a[1] + b[1])
+
+    def result(self, state, init_args):
+        s, n = state
+        with np.errstate(all='ignore'):
+            mean = np.asarray(s, dtype=np.float64) / n
+        miss = np.asarray(n) == 0
+        return PrimitiveColumn(ht.tfloat64, np.where(miss, 0.0, mean), miss if miss.any() else None)
+
+
+class StatsAgg(Aggregator):
+    name = 'stats'
+    _result_t = ht.tstruct(mean=ht.tfloat64, stdev=ht.tfloat64, min=ht.tfloat64,
+                           max=ht.tfloat64, n=ht.tint64, sum=ht.tfloat64)
+
+    def result_type(self, arg_types, init_args):
+        return self._result_t
+
+    def seq(self, arg_cols, include, axis, init_args):
+        (x,) = arg_cols
+        ok = _include_and_defined(x, include)
+        vals = np.where(ok, np.broadcast_to(x.values, ok.shape), 0).astype(np.float64)
+        s = np.sum(vals, axis=axis)
+        s2 = np.sum(vals * vals, axis=axis)
+        n = np.sum(ok, axis=axis, dtype=np.int64)
+        mn = np.min(np.where(ok, np.broadcast_to(x.values, ok.shape), np.inf), axis=axis) if vals.size else np.full_like(s, np.inf)
+        mx = np.max(np.where(ok, np.broadcast_to(x.values, ok.shape), -np.inf), axis=axis) if vals.size else np.full_like(s, -np.inf)
+        return (s, s2, n, mn, mx)
+
+    def comb(self, a, b, init_args):
+        return (a[0] + b[0], a[1] + b[1], a[2] + b[2], np.minimum(a[3], b[3]), np.maximum(a[4], b[4]))
+
+    def result(self, state, init_args):
+        s, s2, n, mn, mx = (np.asarray(v) for v in state)
+        miss = n == 0
+        with np.errstate(all='ignore'):
+            mean = s / n
+            var = s2 / n - mean * mean
+            stdev = np.sqrt(np.maximum(var, 0.0))
+        shape = s.shape
+        anymiss = miss if miss.any() else None
+        return StructColumn(self._result_t, {
+            'mean': PrimitiveColumn(ht.tfloat64, np.where(miss, 0.0, mean), anymiss),
+            'stdev': PrimitiveColumn(ht.tfloat64, np.where(miss, 0.0, stdev), anymiss),
+            'min': PrimitiveColumn(ht.tfloat64, np.where(miss, 0.0, mn), anymiss),
+            'max': PrimitiveColumn(ht.tfloat64, np.where(miss, 0.0, mx), anymiss),
+            'n': PrimitiveColumn(ht.tint64, n, None),
+            'sum': PrimitiveColumn(ht.tfloat64, s, None),
+        }, None, shape)
+
+
+class AnyAllAgg(Aggregator):
+    def __init__(self, is_any: bool):
+        self.is_any = is_any
+        self.name = 'any' if is_any else 'all'
+
+    def result_type(self, arg_types, init_args):
+        return ht.tbool
+
+    def seq(self, arg_cols, include, axis, init_args):
+        (x,) = arg_cols
+        ok = _include_and_defined(x, include)
+        vals = np.broadcast_to(np.asarray(x.values, dtype=bool), ok.shape)
+        if self.is_any:
+            return np.any(ok & vals, axis=axis)
+        return np.all(~ok | vals, axis=axis)
+
+    def comb(self, a, b, init_args):
+        return (a | b) if self.is_any else (a & b)
+
+    def result(self, state, init_args):
+        return PrimitiveColumn(ht.tbool, np.asarray(state), None)
+
+
+class FractionAgg(Aggregator):
+    name = 'fraction'
+
+    def result_type(self, arg_types, init_args):
+        return ht.tfloat64
+
+    def seq(self, arg_cols, include, axis, init_args):
+        (x,) = arg_cols
+        ok = _include_and_defined(x, include)
+        vals = np.broadcast_to(np.asarray(x.values, dtype=bool), ok.shape)
+        return (np.sum(ok & vals, axis=axis, dtype=np.int64), np.sum(ok, axis=axis, dtype=np.int64))
+
+    def comb(self, a, b, init_args):
+        return (a[0] + b[0], a[1] + b[1])
+
+    def result(self, state, init_args):
+        t, n = (np.asarray(v) for v in state)
+        miss = n == 0
+        with np.errstate(all='ignore'):
+            frac = t / n
+        return PrimitiveColumn(ht.tfloat64, np.where(miss, 0.0, frac), miss if miss.any() else None)
+
+
+class CollectAgg(Aggregator):
+    """collect / collect_as_set / counter — object-state aggregators.
+
+    States are per-output-position python lists; vectorized for the axis=all
+    (scalar) case, loop-based for partial axes.
+    """
+
+    def __init__(self, kind: str):
+        self.kind = kind
+        self.name = kind
+
+    def result_type(self, arg_types, init_args):
+        t = arg_types[0]
+        if self.kind == 'collect':
+            return ht.tarray(t)
+        if self.kind == 'collect_as_set':
+            return ht.tset(t)
+        return ht.tdict(t, ht.tint64)
+
+    def seq(self, arg_cols, include, axis, init_args):
+        (x,) = arg_cols
+        ok = _include_and_defined(x, include)
+        pyl = C.obj_array(_flatten_vals(x), x.shape)
+        pyl = np.broadcast_to(pyl, ok.shape)
+        ndim = len(ok.shape)
+        if len(axis) == ndim:
+            flat_ok = ok.ravel()
+            flat_v = pyl.ravel()
+            return [v for v, k in zip(flat_v, flat_ok) if k]
+        # partial reduce: iterate over the kept axis
+        keep_ax = [i for i in range(ndim) if i not in axis][0]
+        moved_ok = np.moveaxis(ok, keep_ax, 0)
+        moved_v = np.moveaxis(pyl, keep_ax, 0)
+        out = []
+        for i in range(moved_ok.shape[0]):
+            o = moved_ok[i].ravel()
+            v = moved_v[i].ravel()
+            out.append([x_ for x_, k in zip(v, o) if k])
+        return out
+
+    def comb(self, a, b, init_args):
+        if isinstance(a, list) and a and isinstance(a[0], list):
+            return [x + y for x, y in zip(a, b)]
+        return a + b
+
+    def result(self, state, init_args):
+        def fin(lst):
+            if self.kind == 'collect':
+                return list(lst)
+            if self.kind == 'collect_as_set':
+                return frozenset(lst)
+            d: Dict[Any, int] = {}
+            for v in lst:
+                d[v] = d.get(v, 0) + 1
+            return frozendict(d)
+        rt = getattr(self, '_result_t', None) or self.result_type([ht.tfloat64], init_args)
+        if state and isinstance(state[0], list) and self.kind != 'collect':
+            return C.from_pylist(rt, [fin(s) for s in state])
+        if state and isinstance(state[0], list) and self.kind == 'collect':
+            # nested lists only arise from partial-axis seq states
+            return C.from_pylist(rt, [fin(s) for s in state])
+        return C.from_pylist(rt, [fin(state)])
+
+
+class TakeAgg(Aggregator):
+    name = 'take'
+
+    def result_type(self, arg_types, init_args):
+        return ht.tarray(arg_types[0])
+
+    def seq(self, arg_cols, include, axis, init_args):
+        (x,) = arg_cols
+        (n,) = init_args
+        ok = _include_and_defined(x, include)
+        pyl = np.broadcast_to(C.obj_array(_flatten_vals(x), x.shape), ok.shape)
+        flat_ok = ok.ravel()
+        flat_v = pyl.ravel()
+        out = []
+        for v, k in zip(flat_v, flat_ok):
+            if k:
+                out.append(v)
+                if len(out) >= n:
+                    break
+        return out
+
+    def comb(self, a, b, init_args):
+        (n,) = init_args
+        return (a + b)[:n]
+
+    def result(self, state, init_args):
+        return C.from_pylist(self._result_t, [list(state)])
+
+
+class TakeByAgg(Aggregator):
+    name = 'takeby'
+
+    def result_type(self, arg_types, init_args):
+        return ht.tarray(arg_types[0])
+
+    def seq(self, arg_cols, include, axis, init_args):
+        x, key = arg_cols
+        (n,) = init_args
+        ok = _include_and_defined(key, include)
+        xv = np.broadcast_to(C.obj_array(_flatten_vals(x), x.shape), ok.shape).ravel()
+        kv = np.broadcast_to(C.obj_array(_flatten_vals(key), key.shape), ok.shape).ravel()
+        pairs = [(k, v) for v, k, o in zip(xv, kv, ok.ravel()) if o]
+        pairs.sort(key=lambda p: p[0])
+        return pairs[:n]
+
+    def comb(self, a, b, init_args):
+        (n,) = init_args
+        merged = sorted(a + b, key=lambda p: p[0])
+        return merged[:n]
+
+    def result(self, state, init_args):
+        return C.from_pylist(self._result_t, [[v for _, v in state]])
+
+
+class CallStatsAgg(Aggregator):
+    """call_stats(GT, alleles): AC/AF/AN/homozygote_count per allele.
+
+    Reference: `is/hail/expr/ir/agg/CallStatsAggregator` — reimplemented as a
+    one-hot bincount over packed call columns (vectorizes to a segment-sum;
+    on the jit tier this is an int8 matmul).
+    """
+
+    name = 'call_stats'
+
+    @staticmethod
+    def _make_result_t():
+        return ht.tstruct(
+            AC=ht.tarray(ht.tint32), AF=ht.tarray(ht.tfloat64),
+            AN=ht.tint32, homozygote_count=ht.tarray(ht.tint32))
+
+    def result_type(self, arg_types, init_args):
+        return self._make_result_t()
+
+    def seq(self, arg_cols, include, axis, init_args):
+        from ..genetics.call import calls_allele_j, calls_allele_k, PLOIDY_MASK
+        gt = arg_cols[0]
+        n_alleles_col = arg_cols[1] if len(arg_cols) > 1 else None
+        ok = _include_and_defined(gt, include)
+        packed = np.broadcast_to(gt.values, ok.shape).astype(np.int64)
+        ploidy = packed & PLOIDY_MASK
+        j = calls_allele_j(packed)
+        k = calls_allele_k(packed)
+        if n_alleles_col is not None:
+            max_alleles = int(np.max(n_alleles_col.values)) if n_alleles_col.values.size else 2
+        else:
+            max_alleles = int(max(np.max(j[ok], initial=0), np.max(k[ok], initial=0)) + 1) if ok.any() else 2
+        max_alleles = max(max_alleles, 2)
+        ndim = len(ok.shape)
+        red_all = len(axis) == ndim
+        # one-hot counts via bincount over (kept_pos * n_alleles + allele)
+        if red_all:
+            ac = np.bincount(j[ok & (ploidy >= 1)], minlength=max_alleles).astype(np.int64)
+            ac = ac + np.bincount(k[ok & (ploidy == 2)], minlength=max_alleles)[:max_alleles]
+            hom = np.bincount(j[ok & (ploidy == 2) & (j == k)], minlength=max_alleles).astype(np.int64)
+            an = int(np.sum(np.where(ok, ploidy, 0)))
+            return (ac[:max_alleles], hom[:max_alleles], np.asarray(an, dtype=np.int64))
+        keep_ax = [i for i in range(ndim) if i not in axis][0]
+        n_keep = ok.shape[keep_ax]
+        pos = np.moveaxis(
+            np.broadcast_to(
+                np.arange(n_keep).reshape([-1 if i == 0 else 1 for i in range(ndim)]),
+                np.moveaxis(ok, keep_ax, 0).shape),
+            0, keep_ax)
+        def bc(allele_arr, mask):
+            idx = (pos * max_alleles + allele_arr)[mask]
+            return np.bincount(idx, minlength=n_keep * max_alleles).reshape(n_keep, max_alleles).astype(np.int64)
+        ac = bc(j, ok & (ploidy >= 1)) + bc(k, ok & (ploidy == 2))
+        hom = bc(j, ok & (ploidy == 2) & (j == k))
+        an = np.sum(np.where(ok, ploidy, 0), axis=axis, dtype=np.int64)
+        return (ac, hom, an)
+
+    def comb(self, a, b, init_args):
+        ac1, hom1, an1 = a
+        ac2, hom2, an2 = b
+        w = max(ac1.shape[-1], ac2.shape[-1])
+        def pad(x):
+            if x.shape[-1] < w:
+                padw = [(0, 0)] * (x.ndim - 1) + [(0, w - x.shape[-1])]
+                return np.pad(x, padw)
+            return x
+        return (pad(ac1) + pad(ac2), pad(hom1) + pad(hom2), an1 + an2)
+
+    def result(self, state, init_args):
+        ac, hom, an = state
+        ac = np.asarray(ac)
+        hom = np.asarray(hom)
+        an = np.asarray(an)
+        scalar = ac.ndim == 1
+        if scalar:
+            ac = ac[None]
+            hom = hom[None]
+            an = np.asarray([an])
+        n, w = ac.shape
+        with np.errstate(all='ignore'):
+            af = ac / an[..., None]
+        lengths = np.full(n, w, dtype=np.int32)
+        t = CallStatsAgg._make_result_t()
+        shape = (n,)
+        out = StructColumn(t, {
+            'AC': DenseArrayColumn(ht.tarray(ht.tint32), ac.astype(np.int32), lengths),
+            'AF': DenseArrayColumn(ht.tarray(ht.tfloat64), np.where(an[..., None] == 0, 0.0, af), lengths,
+                                   np.broadcast_to((an == 0)[..., None], ac.shape).copy() if (an == 0).any() else None),
+            'AN': PrimitiveColumn(ht.tint32, an.astype(np.int32)),
+            'homozygote_count': DenseArrayColumn(ht.tarray(ht.tint32), hom.astype(np.int32), lengths),
+        }, None, shape)
+        return out
+
+
+class HWEAgg(Aggregator):
+    """hardy_weinberg_test(GT): het_freq_hwe + p_value (Levene-Haldane exact
+    test; reference `is/hail/stats/LeveneHaldane.scala`)."""
+
+    name = 'hardy_weinberg_test'
+    _result_t = ht.tstruct(het_freq_hwe=ht.tfloat64, p_value=ht.tfloat64)
+
+    def result_type(self, arg_types, init_args):
+        return self._result_t
+
+    def seq(self, arg_cols, include, axis, init_args):
+        from ..genetics.call import calls_is_het, calls_is_hom_ref, calls_is_hom_var, PLOIDY_MASK
+        (gt,) = arg_cols
+        ok = _include_and_defined(gt, include)
+        packed = np.broadcast_to(gt.values, ok.shape)
+        diploid = (packed & PLOIDY_MASK) == 2
+        n_hom_ref = np.sum(ok & diploid & calls_is_hom_ref(packed), axis=axis, dtype=np.int64)
+        n_het = np.sum(ok & diploid & calls_is_het(packed), axis=axis, dtype=np.int64)
+        n_hom_var = np.sum(ok & diploid & calls_is_hom_var(packed), axis=axis, dtype=np.int64)
+        return (n_hom_ref, n_het, n_hom_var)
+
+    def comb(self, a, b, init_args):
+        return tuple(x + y for x, y in zip(a, b))
+
+    def result(self, state, init_args):
+        from ..stats.hwe import hwe_test_vec
+        n_hom_ref, n_het, n_hom_var = (np.atleast_1d(np.asarray(v)) for v in state)
+        het_freq, p = hwe_test_vec(n_hom_ref, n_het, n_hom_var)
+        shape = n_hom_ref.shape
+        return StructColumn(self._result_t, {
+            'het_freq_hwe': PrimitiveColumn(ht.tfloat64, het_freq),
+            'p_value': PrimitiveColumn(ht.tfloat64, p),
+        }, None, shape)
+
+
+class InbreedingAgg(Aggregator):
+    """inbreeding(GT, prior_af) → f_stat struct (reference
+    `agg/InbreedingAggregator`)."""
+
+    name = 'inbreeding'
+    _result_t = ht.tstruct(f_stat=ht.tfloat64, n_called=ht.tint64,
+                           expected_homs=ht.tfloat64, observed_homs=ht.tint64)
+
+    def result_type(self, arg_types, init_args):
+        return self._result_t
+
+    def seq(self, arg_cols, include, axis, init_args):
+        from ..genetics.call import calls_is_het
+        gt, af = arg_cols
+        ok = _include_and_defined(gt, include) & ~af.missing_mask()
+        packed = np.broadcast_to(gt.values, ok.shape)
+        afv = np.broadcast_to(np.asarray(af.values, dtype=np.float64), ok.shape)
+        n_called = np.sum(ok, axis=axis, dtype=np.int64)
+        expected = np.sum(np.where(ok, 1.0 - 2.0 * afv * (1.0 - afv), 0.0), axis=axis)
+        observed = np.sum(ok & ~calls_is_het(packed), axis=axis, dtype=np.int64)
+        return (n_called, expected, observed)
+
+    def comb(self, a, b, init_args):
+        return tuple(x + y for x, y in zip(a, b))
+
+    def result(self, state, init_args):
+        n_called, expected, observed = (np.atleast_1d(np.asarray(v)) for v in state)
+        with np.errstate(all='ignore'):
+            f = (observed - expected) / (n_called - expected)
+        miss = n_called == 0
+        return StructColumn(self._result_t, {
+            'f_stat': PrimitiveColumn(ht.tfloat64, np.where(miss, 0.0, f), miss if miss.any() else None),
+            'n_called': PrimitiveColumn(ht.tint64, n_called),
+            'expected_homs': PrimitiveColumn(ht.tfloat64, expected),
+            'observed_homs': PrimitiveColumn(ht.tint64, observed),
+        }, None, n_called.shape)
+
+
+class HistAgg(Aggregator):
+    name = 'hist'
+
+    def result_type(self, arg_types, init_args):
+        return ht.tstruct(bin_edges=ht.tarray(ht.tfloat64), bin_freq=ht.tarray(ht.tint64),
+                          n_smaller=ht.tint64, n_larger=ht.tint64)
+
+    def seq(self, arg_cols, include, axis, init_args):
+        (x,) = arg_cols
+        start, end, bins = init_args
+        ok = _include_and_defined(x, include)
+        vals = np.broadcast_to(np.asarray(x.values, dtype=np.float64), ok.shape)
+        ndim = len(ok.shape)
+        assert len(axis) == ndim, 'hist supports full reduction only'
+        v = vals[ok]
+        n_smaller = int(np.sum(v < start))
+        n_larger = int(np.sum(v > end))
+        inb = v[(v >= start) & (v <= end)]
+        idx = np.minimum(((inb - start) / (end - start) * bins).astype(np.int64), bins - 1)
+        freq = np.bincount(idx, minlength=bins).astype(np.int64)
+        return (freq, np.int64(n_smaller), np.int64(n_larger))
+
+    def comb(self, a, b, init_args):
+        return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+    def result(self, state, init_args):
+        start, end, bins = init_args
+        freq, n_smaller, n_larger = state
+        edges = list(np.linspace(start, end, bins + 1))
+        return C.from_pylist(self.result_type([None], init_args), [Struct(
+            bin_edges=edges, bin_freq=list(freq), n_smaller=int(n_smaller), n_larger=int(n_larger))])
+
+
+class CorrAgg(Aggregator):
+    name = 'corr'
+
+    def result_type(self, arg_types, init_args):
+        return ht.tfloat64
+
+    def seq(self, arg_cols, include, axis, init_args):
+        x, y = arg_cols
+        ok = _include_and_defined(x, include) & ~y.missing_mask()
+        xv = np.where(ok, np.broadcast_to(x.values, ok.shape), 0).astype(np.float64)
+        yv = np.where(ok, np.broadcast_to(y.values, ok.shape), 0).astype(np.float64)
+        return (np.sum(xv, axis=axis), np.sum(yv, axis=axis), np.sum(xv * xv, axis=axis),
+                np.sum(yv * yv, axis=axis), np.sum(xv * yv, axis=axis),
+                np.sum(ok, axis=axis, dtype=np.int64))
+
+    def comb(self, a, b, init_args):
+        return tuple(x + y for x, y in zip(a, b))
+
+    def result(self, state, init_args):
+        sx, sy, sxx, syy, sxy, n = (np.asarray(v, dtype=np.float64) for v in state)
+        with np.errstate(all='ignore'):
+            cov = sxy - sx * sy / n
+            r = cov / np.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        miss = np.asarray(state[5]) < 2
+        return PrimitiveColumn(ht.tfloat64, np.where(miss, 0.0, r), miss if miss.any() else None)
+
+
+class LinRegAgg(Aggregator):
+    """linreg(y, x...): per-group OLS via accumulated X^T·X / X^T·y moments
+    (reference `agg/LinearRegressionAggregator`). Vectorized with einsum so an
+    (R, C) entries block reduced over axis=1 produces (R, k, k) normal
+    equations without python loops."""
+
+    name = 'linreg'
+
+    def result_type(self, arg_types, init_args):
+        arr = ht.tarray(ht.tfloat64)
+        return ht.tstruct(beta=arr, standard_error=arr, t_stat=arr, p_value=arr,
+                          multiple_standard_error=ht.tfloat64,
+                          multiple_r_squared=ht.tfloat64,
+                          adjusted_r_squared=ht.tfloat64,
+                          f_stat=ht.tfloat64, multiple_p_value=ht.tfloat64,
+                          n=ht.tint64)
+
+    def seq(self, arg_cols, include, axis, init_args):
+        k, nested_dim = init_args
+        y = arg_cols[0]
+        xs = arg_cols[1:]
+        ok = _include_and_defined(y, include)
+        for x in xs:
+            ok = ok & ~x.missing_mask()
+        shape = ok.shape
+        yv = np.where(ok, np.broadcast_to(np.asarray(y.values, np.float64), shape), 0.0)
+        X = np.stack([np.where(ok, np.broadcast_to(np.asarray(x.values, np.float64), shape), 0.0) for x in xs],
+                     axis=-1)  # shape + (k,)
+        xtx = np.einsum('...i,...j->...ij', X, X)
+        xtx = np.sum(xtx, axis=axis)
+        xty = np.sum(X * yv[..., None], axis=axis)
+        yty = np.sum(yv * yv, axis=axis)
+        n = np.sum(ok, axis=axis, dtype=np.int64)
+        return (xtx, xty, yty, n, nested_dim)
+
+    def comb(self, a, b, init_args):
+        return (a[0] + b[0], a[1] + b[1], a[2] + b[2], a[3] + b[3], a[4])
+
+    def result(self, state, init_args):
+        import scipy.stats as st
+        xtx, xty, yty, n, nested_dim = state
+        xtx = np.asarray(xtx, np.float64)
+        scalar = xtx.ndim == 2
+        if scalar:
+            xtx = xtx[None]
+            xty = np.asarray(xty)[None]
+            yty = np.atleast_1d(np.asarray(yty))
+            n = np.atleast_1d(np.asarray(n))
+        R = xtx.shape[0]
+        k = xtx.shape[-1]
+        from ..utils.structs import Struct
+        rows = []
+        for i in range(R):
+            ni = int(n[i])
+            d = ni - k
+            if ni == 0 or d <= 0:
+                rows.append(None)
+                continue
+            try:
+                beta = np.linalg.solve(xtx[i], xty[i])
+                rss = float(yty[i] - xty[i] @ beta)
+                sigma2 = rss / d
+                cov = np.linalg.inv(xtx[i]) * sigma2
+                se = np.sqrt(np.diag(cov))
+                t = beta / se
+                p = 2 * st.t.sf(np.abs(t), d)
+                # nested model: first nested_dim columns dropped
+                if nested_dim > 0 and nested_dim < k:
+                    xtx0 = xtx[i][nested_dim:, nested_dim:]
+                    xty0 = xty[i][nested_dim:]
+                    beta0 = np.linalg.solve(xtx0, xty0)
+                    rss0 = float(yty[i] - xty0 @ beta0)
+                else:
+                    ybar2 = 0.0
+                    rss0 = float(yty[i])
+                q = nested_dim if nested_dim > 0 else k
+                f = ((rss0 - rss) / q) / (rss / d)
+                fp = float(st.f.sf(f, q, d))
+                r2 = 1 - rss / rss0 if rss0 > 0 else float('nan')
+                ar2 = 1 - (1 - r2) * (ni - (k - q)) / d if not math.isnan(r2) else r2
+                rows.append(Struct(
+                    beta=list(beta), standard_error=list(se), t_stat=list(t),
+                    p_value=list(p), multiple_standard_error=math.sqrt(sigma2),
+                    multiple_r_squared=r2, adjusted_r_squared=ar2,
+                    f_stat=float(f), multiple_p_value=fp, n=ni))
+            except np.linalg.LinAlgError:
+                rows.append(None)
+        return C.from_pylist(self.result_type([None], init_args), rows)
+
+
+class InfoScoreAgg(Aggregator):
+    """info_score(gp): IMPUTE-style imputation quality (reference
+    `agg/InfoScoreAggregator`)."""
+
+    name = 'info_score'
+    _result_t = ht.tstruct(score=ht.tfloat64, n_included=ht.tint32)
+
+    def result_type(self, arg_types, init_args):
+        return self._result_t
+
+    def seq(self, arg_cols, include, axis, init_args):
+        (gp,) = arg_cols
+        if isinstance(gp, DenseArrayColumn):
+            ok = _include_and_defined(gp, include)
+            v = gp.values.astype(np.float64)
+            e = v[..., 1] + 2 * v[..., 2]
+            f = v[..., 1] + 4 * v[..., 2]
+            e = np.where(ok, e, 0.0)
+            f = np.where(ok, f, 0.0)
+            return (np.sum(e, axis=axis), np.sum(f, axis=axis),
+                    np.sum(ok, axis=axis, dtype=np.int64))
+        obj = C.to_object(gp)
+        ok = _include_and_defined(gp, include)
+        flat = obj.values.ravel()
+        okf = ok.ravel()
+        se = sf = 0.0
+        cnt = 0
+        for v, o in zip(flat, okf):
+            if o and v is not None:
+                se += v[1] + 2 * v[2]
+                sf += v[1] + 4 * v[2]
+                cnt += 1
+        return (np.float64(se), np.float64(sf), np.int64(cnt))
+
+    def comb(self, a, b, init_args):
+        return tuple(x + y for x, y in zip(a, b))
+
+    def result(self, state, init_args):
+        e, f, n = (np.atleast_1d(np.asarray(v, np.float64)) for v in state)
+        with np.errstate(all='ignore'):
+            theta = e / (2 * n)
+            info = np.where(n > 1, 1 - (f - e * e / n).clip(min=0) / (2 * n * theta * (1 - theta)), 1.0)
+            info = np.where((theta <= 0) | (theta >= 1), 1.0, info)
+        miss = n == 0
+        return StructColumn(self._result_t, {
+            'score': PrimitiveColumn(ht.tfloat64, np.where(miss, 0.0, info), miss if miss.any() else None),
+            'n_included': PrimitiveColumn(ht.tint32, n.astype(np.int32)),
+        }, None, e.shape)
+
+
+class ApproxCDFAgg(Aggregator):
+    """approx_cdf(x, k): quantile sketch. Round-1 implementation keeps a
+    bounded uniform subsample (reference uses the compact KLL-style sketch in
+    `agg/ApproxCDFAggregator`; same API, lower fidelity at extreme scale)."""
+
+    name = 'approx_cdf'
+    MAX_KEEP = 8192
+
+    def result_type(self, arg_types, init_args):
+        return ht.tstruct(values=ht.tarray(ht.tfloat64), ranks=ht.tarray(ht.tint64),
+                          _compaction_counts=ht.tarray(ht.tint32))
+
+    def seq(self, arg_cols, include, axis, init_args):
+        (x,) = arg_cols
+        ok = _include_and_defined(x, include)
+        vals = np.broadcast_to(np.asarray(x.values, np.float64), ok.shape)[ok]
+        n = vals.size
+        if n > self.MAX_KEEP:
+            idx = np.linspace(0, n - 1, self.MAX_KEEP).astype(np.int64)
+            vals = np.sort(vals)[idx]
+            weight = n / self.MAX_KEEP
+        else:
+            vals = np.sort(vals)
+            weight = 1.0
+        return (vals, np.full(vals.shape, weight), np.int64(n))
+
+    def comb(self, a, b, init_args):
+        vals = np.concatenate([a[0], b[0]])
+        w = np.concatenate([a[1], b[1]])
+        order = np.argsort(vals, kind='stable')
+        vals, w = vals[order], w[order]
+        n = a[2] + b[2]
+        if vals.size > self.MAX_KEEP:
+            idx = np.linspace(0, vals.size - 1, self.MAX_KEEP).astype(np.int64)
+            scale = w.sum() / w[idx].sum() if w[idx].sum() > 0 else 1.0
+            vals, w = vals[idx], w[idx] * scale
+        return (vals, w, n)
+
+    def result(self, state, init_args):
+        from ..utils.structs import Struct
+        vals, w, n = state
+        ranks = np.concatenate([[0], np.cumsum(w)]).astype(np.int64)
+        if ranks.size > 1:
+            ranks[-1] = n
+        return C.from_pylist(self.result_type([None], init_args), [Struct(
+            values=list(vals), ranks=list(ranks), _compaction_counts=[])])
+
+
+class DownsampleAgg(Aggregator):
+    """downsample(x, y[, label], n_divisions): grid-based point thinning
+    (reference `agg/DownsampleAggregator`)."""
+
+    name = 'downsample'
+
+    def result_type(self, arg_types, init_args):
+        return ht.tarray(ht.ttuple(ht.tfloat64, ht.tfloat64, ht.tarray(ht.tstr)))
+
+    def seq(self, arg_cols, include, axis, init_args):
+        n_div, has_label = init_args
+        x, y = arg_cols[0], arg_cols[1]
+        lab = arg_cols[2] if has_label else None
+        ok = _include_and_defined(x, include) & ~y.missing_mask()
+        xv = np.broadcast_to(np.asarray(x.values, np.float64), ok.shape)[ok]
+        yv = np.broadcast_to(np.asarray(y.values, np.float64), ok.shape)[ok]
+        if lab is not None:
+            lv = np.broadcast_to(np.asarray(C.to_object(lab).to_pylist(), dtype=object).reshape(lab.shape)
+                                 if not isinstance(lab, ObjectColumn) else lab.values, ok.shape)[ok]
+        else:
+            lv = np.full(xv.shape, None, dtype=object)
+        return {'pts': list(zip(xv.tolist(), yv.tolist(), lv.tolist()))}
+
+    def comb(self, a, b, init_args):
+        return {'pts': a['pts'] + b['pts']}
+
+    def result(self, state, init_args):
+        n_div, has_label = init_args
+        pts = state['pts']
+        if not pts:
+            return C.from_pylist(self.result_type([None], init_args), [[]])
+        xs = np.asarray([p[0] for p in pts])
+        ys = np.asarray([p[1] for p in pts])
+        x0, x1 = xs.min(), xs.max()
+        y0, y1 = ys.min(), ys.max()
+        xspan = (x1 - x0) or 1.0
+        yspan = (y1 - y0) or 1.0
+        grid = {}
+        for (x, y, l) in pts:
+            key = (int((x - x0) / xspan * n_div), int((y - y0) / yspan * n_div))
+            if key not in grid:
+                grid[key] = (x, y, [] if l is None else [str(l)])
+        return C.from_pylist(self.result_type([None], init_args), [list(grid.values())])
+
+
+# ---------------------------------------------------------------------------
+# Aggregation driver
+# ---------------------------------------------------------------------------
+
+def collect_agg_nodes(ir: IR) -> List[AggOp]:
+    """All AggOp nodes in `ir` that are not nested inside another AggOp's args
+    (nested aggs are not supported, as in the reference)."""
+    out: List[AggOp] = []
+    def rec(node):
+        if isinstance(node, AggOp):
+            out.append(node)
+            return
+        for c in node.children:
+            rec(c)
+    rec(ir)
+    return out
+
+
+def partial_aggregate(agg_nodes: Sequence[AggOp], env: EvalEnv,
+                      axis: Tuple[int, ...]) -> Dict[str, Any]:
+    """Evaluate each aggregator's args in row context and produce partial
+    states (the per-partition seqOp of the reference's RunAgg)."""
+    states: Dict[str, Any] = {}
+    for node in agg_nodes:
+        arg_cols = [a.evaluate(env) for a in node.args]
+        include = None
+        if node.filter_ir is not None:
+            fc = node.filter_ir.evaluate(env)
+            fm = fc.missing_mask()
+            fv = np.asarray(fc.values, dtype=bool) if isinstance(fc, PrimitiveColumn) else \
+                np.asarray([v is True for v in C.to_object(fc).values.ravel()]).reshape(fc.shape)
+            include = np.broadcast_to(~fm & fv, _full_shape(arg_cols, np.broadcast_to(fv, fv.shape)))
+        if isinstance(node.aggregator, CountAgg):
+            states[node.uid] = node.aggregator.seq(arg_cols, include, axis, node.init_args, shape=env.shape)
+        else:
+            # broadcast arg columns to env shape so reductions see full extent
+            arg_cols = [c.broadcast_to(env.shape) if c.shape != env.shape else c for c in arg_cols]
+            if include is not None and include.shape != env.shape:
+                include = np.broadcast_to(include, env.shape)
+            states[node.uid] = node.aggregator.seq(arg_cols, include, axis, node.init_args)
+    return states
+
+
+def combine_states(agg_nodes: Sequence[AggOp], s1: Dict[str, Any], s2: Dict[str, Any]) -> Dict[str, Any]:
+    return {n.uid: n.aggregator.comb(s1[n.uid], s2[n.uid], n.init_args) for n in agg_nodes}
+
+
+def finalize_aggregate(ir: IR, agg_nodes: Sequence[AggOp], states: Dict[str, Any],
+                       post_env: EvalEnv) -> Column:
+    results = {}
+    for n in agg_nodes:
+        col = n.aggregator.result(states[n.uid], n.init_args)
+        if col.shape != post_env.shape and int(np.prod(col.shape)) == int(np.prod(post_env.shape)):
+            col = col.reshape(post_env.shape)
+        results[n.uid] = col
+    post_ir = substitute_aggs(ir, results)
+    return post_ir.evaluate(post_env)

@@ -1,0 +1,270 @@
+"""Array/collection IR nodes: lambda ops (map/filter/fold), len, indexing.
+
+Analogue of the reference's Stream* IR nodes + EmitStream
+(`is/hail/expr/ir/streams/EmitStream.scala`) — but instead of compiling
+streams to state machines, dense primitive arrays evaluate vectorized over a
+trailing width axis, and everything else falls back to per-element python
+evaluation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from .. import types as ht
+from . import columns as C
+from .columns import Column, DenseArrayColumn, ObjectColumn, PrimitiveColumn
+from .nodes import IR, Cast, EvalEnv
+
+
+def _elem_env(env: EvalEnv, arr_shape, width) -> EvalEnv:
+    """Environment for vectorized lambda evaluation: every outer binding gets a
+    trailing broadcast axis; the lambda var will have shape arr_shape+(width,)."""
+    new = {}
+    for k, c in env.bindings.items():
+        new[k] = c.reshape(c.shape + (1,))
+    return EvalEnv(new, tuple(arr_shape) + (width,))
+
+
+class ArrayLen(IR):
+    def __init__(self, arr: IR):
+        self.arr = arr
+        self.typ = ht.tint32
+
+    @property
+    def children(self):
+        return (self.arr,)
+
+    def map_children(self, f):
+        return ArrayLen(f(self.arr))
+
+    def evaluate(self, env):
+        col = self.arr.evaluate(env)
+        if isinstance(col, DenseArrayColumn):
+            return PrimitiveColumn(ht.tint32, col.lengths, col.missing)
+        obj = C.to_object(col)
+        vals = np.frompyfunc(lambda v: None if v is None else len(v), 1, 1)(obj.values)
+        return C.from_pylist(ht.tint32, list(vals.ravel())).reshape(obj.shape)
+
+
+class ArrayMap(IR):
+    def __init__(self, arr: IR, var: str, body: IR):
+        assert isinstance(arr.typ, (ht.tarray, ht.tset)), arr.typ
+        self.arr = arr
+        self.var = var
+        self.body = body
+        self.typ = ht.tset(body.typ) if isinstance(arr.typ, ht.tset) else ht.tarray(body.typ)
+
+    @property
+    def children(self):
+        return (self.arr, self.body)
+
+    def map_children(self, f):
+        return ArrayMap(f(self.arr), self.var, f(self.body))
+
+    def evaluate(self, env):
+        col = self.arr.evaluate(env)
+        bt = self.body.typ
+        if isinstance(col, DenseArrayColumn) and bt.numpy_dtype is not None:
+            inner_env = _elem_env(env, col.shape, col.width)
+            elem_col = PrimitiveColumn(col.typ.element_type, col.values, col.elem_missing)
+            inner_env = inner_env.bind(self.var, elem_col)
+            res = self.body.evaluate(inner_env)
+            if isinstance(res, PrimitiveColumn):
+                vals = np.broadcast_to(res.values, col.values.shape)
+                em = res.missing
+                if em is not None:
+                    em = np.broadcast_to(em, col.values.shape)
+                return DenseArrayColumn(ht.tarray(bt), vals, col.lengths, em, col.missing)
+        # object fallback: per-element scalar evaluation
+        return _object_lambda(self, col, env, mode='map')
+
+
+class ArrayFilter(IR):
+    def __init__(self, arr: IR, var: str, body: IR):
+        self.arr = arr
+        self.var = var
+        self.body = body
+        self.typ = arr.typ
+
+    @property
+    def children(self):
+        return (self.arr, self.body)
+
+    def map_children(self, f):
+        return ArrayFilter(f(self.arr), self.var, f(self.body))
+
+    def evaluate(self, env):
+        col = self.arr.evaluate(env)
+        return _object_lambda(self, col, env, mode='filter')
+
+
+class ArrayFold(IR):
+    def __init__(self, arr: IR, zero: IR, accum_var: str, elem_var: str, body: IR):
+        self.arr = arr
+        self.zero = zero
+        self.accum_var = accum_var
+        self.elem_var = elem_var
+        self.body = body
+        self.typ = body.typ
+
+    @property
+    def children(self):
+        return (self.arr, self.zero, self.body)
+
+    def map_children(self, f):
+        return ArrayFold(f(self.arr), f(self.zero), self.accum_var, self.elem_var, f(self.body))
+
+    def evaluate(self, env):
+        col = self.arr.evaluate(env)
+        zc = self.zero.evaluate(env)
+        obj = C.to_object(col)
+        zobj = C.to_object(zc).broadcast_to(obj.shape)
+        out = np.empty(obj.shape, dtype=object)
+        flat_arr = obj.values.ravel()
+        flat_z = zobj.values.ravel()
+        flat_out = out.ravel()
+        for i in range(flat_arr.size):
+            a = flat_arr[i]
+            if a is None:
+                flat_out[i] = None
+                continue
+            acc = flat_z[i]
+            for x in a:
+                acc = _eval_scalar_body(self.body, env,
+                                        {self.accum_var: (self.typ, acc), self.elem_var: (self.arr.typ.element_type, x)})
+            flat_out[i] = acc
+        return C.from_pylist(self.typ, list(flat_out)).reshape(obj.shape)
+
+
+class ArraySlice(IR):
+    def __init__(self, arr: IR, start: Optional[IR], stop: Optional[IR], step: Optional[IR] = None):
+        self.arr = arr
+        self.start = start
+        self.stop = stop
+        self.step = step
+        self.typ = arr.typ
+
+    @property
+    def children(self):
+        return tuple(x for x in (self.arr, self.start, self.stop, self.step) if x is not None)
+
+    def evaluate(self, env):
+        col = self.arr.evaluate(env)
+        obj = C.to_object(col)
+        sc = self.start.evaluate(env) if self.start is not None else None
+        ec = self.stop.evaluate(env) if self.stop is not None else None
+        stc = self.step.evaluate(env) if self.step is not None else None
+        def get(c, i):
+            if c is None:
+                return None
+            v = C.to_object(c).broadcast_to(obj.shape).values.ravel()[i]
+            return v
+        out = np.empty(obj.shape, dtype=object)
+        flat = obj.values.ravel()
+        fo = out.ravel()
+        for i in range(flat.size):
+            v = flat[i]
+            fo[i] = None if v is None else list(v)[slice(get(sc, i), get(ec, i), get(stc, i))]
+        return C.from_pylist(self.typ, list(fo)).reshape(obj.shape)
+
+
+class ToSet(IR):
+    def __init__(self, arr: IR):
+        self.arr = arr
+        et = arr.typ.element_type
+        self.typ = ht.tset(et)
+
+    @property
+    def children(self):
+        return (self.arr,)
+
+    def map_children(self, f):
+        return ToSet(f(self.arr))
+
+    def evaluate(self, env):
+        col = self.arr.evaluate(env)
+        obj = C.to_object(col)
+        vals = np.frompyfunc(lambda v: None if v is None else frozenset(v), 1, 1)(obj.values)
+        return ObjectColumn(self.typ, vals)
+
+
+class ToArray(IR):
+    def __init__(self, x: IR):
+        self.x = x
+        if isinstance(x.typ, ht.tset):
+            self.typ = ht.tarray(x.typ.element_type)
+        elif isinstance(x.typ, ht.tdict):
+            self.typ = ht.tarray(ht.tstruct(key=x.typ.key_type, value=x.typ.value_type))
+        else:
+            self.typ = x.typ
+
+    @property
+    def children(self):
+        return (self.x,)
+
+    def map_children(self, f):
+        return ToArray(f(self.x))
+
+    def evaluate(self, env):
+        col = self.x.evaluate(env)
+        obj = C.to_object(col)
+        from ..utils.structs import Struct
+        def conv(v):
+            if v is None:
+                return None
+            if isinstance(v, (frozenset, set)):
+                return sorted(v, key=lambda x: (x is None, x))
+            if hasattr(v, 'items'):
+                return [Struct(key=k, value=x) for k, x in v.items()]
+            return list(v)
+        return ObjectColumn(self.typ, np.frompyfunc(conv, 1, 1)(obj.values))
+
+
+def _object_lambda(node, col: Column, env: EvalEnv, mode: str) -> Column:
+    obj = C.to_object(col)
+    out = np.empty(obj.shape, dtype=object)
+    flat = obj.values.ravel()
+    fo = out.ravel()
+    et = node.arr.typ.element_type
+    for i in range(flat.size):
+        v = flat[i]
+        if v is None:
+            fo[i] = None
+            continue
+        elems = sorted(v, key=_sort_key) if isinstance(v, (set, frozenset)) else list(v)
+        res = []
+        for x in elems:
+            r = _eval_scalar_body(node.body, env, {node.var: (et, x)}, flat_index=i)
+            if mode == 'map':
+                res.append(r)
+            elif mode == 'filter':
+                if r is True:
+                    res.append(x)
+        fo[i] = frozenset(res) if isinstance(node.typ, ht.tset) else res
+    return C.from_pylist(node.typ, list(fo)).reshape(obj.shape)
+
+
+def _sort_key(x):
+    return (x is None, x)
+
+
+def _eval_scalar_body(body: IR, env: EvalEnv, extra: dict, flat_index: Optional[int] = None):
+    """Evaluate `body` for a single element: bindings become length-1 columns."""
+    bindings = {}
+    ones = (1,) * 1
+    for k, c in env.bindings.items():
+        if flat_index is not None:
+            flatc = c.reshape((int(np.prod(c.shape)),)) if int(np.prod(c.shape)) > 1 else c.reshape((c.length if c.shape else 1,))
+            idx = min(flat_index, flatc.length - 1)
+            bindings[k] = flatc.gather(np.asarray([idx]))
+        else:
+            bindings[k] = c.reshape((int(np.prod(c.shape)),)).gather(np.asarray([0]))
+    for k, (t, v) in extra.items():
+        bindings[k] = C.from_pylist(t, [v])
+    scalar_env = EvalEnv(bindings, (1,))
+    res = body.evaluate(scalar_env)
+    lst = res.to_pylist()
+    return lst[0] if lst else None

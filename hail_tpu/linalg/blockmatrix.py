@@ -1,0 +1,377 @@
+"""BlockMatrix: distributed dense f64 linear algebra on a sharded 2-D mesh.
+
+Capability parity with reference `hail/python/hail/linalg/blockmatrix.py:75` /
+`is/hail/linalg/BlockMatrix.scala` — but instead of a Spark RDD of
+4096² breeze blocks with a GridPartitioner, the matrix is ONE jax array
+sharded `P('x','y')` over the device mesh; `@` compiles to XLA's collective
+(SUMMA) matmul over ICI (SURVEY §2.4 row "2-D tiled model-parallel linear
+algebra"). Sparsify ops apply element masks (the reference zeroes whole
+blocks; results agree on exported entries for band/triangle/rectangle
+patterns up to block granularity — we use exact element patterns).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update('jax_enable_x64', True)
+
+from .. import types as ht
+from ..parallel.mesh import get_mesh, replicate, shard_2d
+
+DEFAULT_BLOCK_SIZE = 4096  # API parity: reference BlockMatrix.scala:107
+
+
+class BlockMatrix:
+    def __init__(self, data: jnp.ndarray, block_size: int = DEFAULT_BLOCK_SIZE):
+        self._data = data
+        self.block_size = block_size
+
+    # -- constructors ------------------------------------------------------
+    @classmethod
+    def from_numpy(cls, ndarray: np.ndarray, block_size: int = DEFAULT_BLOCK_SIZE) -> 'BlockMatrix':
+        arr = np.asarray(ndarray, dtype=np.float64)
+        if arr.ndim == 1:
+            arr = arr.reshape(1, -1)
+        return cls(jnp.asarray(arr), block_size)
+
+    @classmethod
+    def fill(cls, n_rows: int, n_cols: int, value: float,
+             block_size: int = DEFAULT_BLOCK_SIZE) -> 'BlockMatrix':
+        return cls(jnp.full((n_rows, n_cols), float(value)), block_size)
+
+    @classmethod
+    def random(cls, n_rows: int, n_cols: int, block_size: int = DEFAULT_BLOCK_SIZE,
+               seed: Optional[int] = None, gaussian: bool = True) -> 'BlockMatrix':
+        if seed is None:
+            from ..context import Env
+            seed = Env.next_seed()
+        key = jax.random.PRNGKey(seed)
+        if gaussian:
+            d = jax.random.normal(key, (n_rows, n_cols), dtype=jnp.float64)
+        else:
+            d = jax.random.uniform(key, (n_rows, n_cols), dtype=jnp.float64)
+        return cls(d, block_size)
+
+    @classmethod
+    def from_entry_expr(cls, entry_expr, mean_impute: bool = False, center: bool = False,
+                        normalize: bool = False, block_size: int = DEFAULT_BLOCK_SIZE) -> 'BlockMatrix':
+        """Build an (n_rows, n_cols) matrix from a MatrixTable entry expression
+        (reference `blockmatrix.py` from_entry_expr → `entries_to_bm`)."""
+        from ..methods.statgen import _entry_expr_to_blocks
+        G, missing = _entry_expr_to_blocks(entry_expr)
+        G = np.asarray(G, dtype=np.float64)
+        if mean_impute:
+            cnt = (~missing).sum(axis=1)
+            s = np.where(missing, 0, G).sum(axis=1)
+            mean = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
+            G = np.where(missing, mean[:, None], G)
+        elif missing.any():
+            raise ValueError('from_entry_expr: missing entries (use mean_impute=True)')
+        if center:
+            G = G - G.mean(axis=1, keepdims=True)
+        if normalize:
+            norms = np.sqrt((G * G).sum(axis=1, keepdims=True))
+            G = np.where(norms > 0, G / norms, 0.0)
+        return cls(jnp.asarray(G), block_size)
+
+    @classmethod
+    def read(cls, path: str) -> 'BlockMatrix':
+        with open(os.path.join(path, 'metadata.json')) as f:
+            meta = json.load(f)
+        arr = np.load(os.path.join(path, 'data.npy'))
+        return cls(jnp.asarray(arr), meta.get('block_size', DEFAULT_BLOCK_SIZE))
+
+    def write(self, path: str, overwrite: bool = False, force_row_major: bool = False,
+              stage_locally: bool = False) -> None:
+        if os.path.exists(path):
+            if not overwrite:
+                raise ValueError(f'path exists: {path}')
+            import shutil
+            shutil.rmtree(path)
+        os.makedirs(path)
+        np.save(os.path.join(path, 'data.npy'), np.asarray(self._data))
+        with open(os.path.join(path, 'metadata.json'), 'w') as f:
+            json.dump({'shape': list(self.shape), 'block_size': self.block_size}, f)
+
+    @staticmethod
+    def write_from_entry_expr(entry_expr, path: str, overwrite: bool = False,
+                              mean_impute: bool = False, center: bool = False,
+                              normalize: bool = False,
+                              block_size: int = DEFAULT_BLOCK_SIZE) -> None:
+        BlockMatrix.from_entry_expr(entry_expr, mean_impute, center, normalize,
+                                    block_size).write(path, overwrite)
+
+    # -- properties --------------------------------------------------------
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return tuple(self._data.shape)
+
+    @property
+    def n_rows(self) -> int:
+        return self._data.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self._data.shape[1]
+
+    @property
+    def is_sparse(self) -> bool:
+        return False
+
+    @property
+    def T(self) -> 'BlockMatrix':
+        return BlockMatrix(self._data.T, self.block_size)
+
+    def transpose(self) -> 'BlockMatrix':
+        return self.T
+
+    # -- element-wise ops --------------------------------------------------
+    def _coerce(self, other):
+        if isinstance(other, BlockMatrix):
+            return other._data
+        if isinstance(other, np.ndarray):
+            return jnp.asarray(other, dtype=jnp.float64)
+        return other
+
+    def __add__(self, other):
+        return BlockMatrix(self._data + self._coerce(other), self.block_size)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return BlockMatrix(self._data - self._coerce(other), self.block_size)
+
+    def __rsub__(self, other):
+        return BlockMatrix(self._coerce(other) - self._data, self.block_size)
+
+    def __mul__(self, other):
+        return BlockMatrix(self._data * self._coerce(other), self.block_size)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        return BlockMatrix(self._data / self._coerce(other), self.block_size)
+
+    def __rtruediv__(self, other):
+        return BlockMatrix(self._coerce(other) / self._data, self.block_size)
+
+    def __pow__(self, x):
+        return BlockMatrix(self._data ** x, self.block_size)
+
+    def __neg__(self):
+        return BlockMatrix(-self._data, self.block_size)
+
+    def abs(self):
+        return BlockMatrix(jnp.abs(self._data), self.block_size)
+
+    def sqrt(self):
+        return BlockMatrix(jnp.sqrt(self._data), self.block_size)
+
+    def log(self):
+        return BlockMatrix(jnp.log(self._data), self.block_size)
+
+    # -- matmul ------------------------------------------------------------
+    def __matmul__(self, other) -> 'BlockMatrix':
+        o = self._coerce(other)
+        return BlockMatrix(_sharded_matmul(self._data, o), self.block_size)
+
+    dot = __matmul__
+
+    def tree_matmul(self, other, splits: Optional[int] = None,
+                    path_prefix: Optional[str] = None) -> 'BlockMatrix':
+        """API parity with reference tree_matmul (inner-dimension splitting,
+        `blockmatrix.py` tree_matmul); XLA's collective matmul makes the
+        explicit tree unnecessary on a mesh."""
+        return self @ other
+
+    # -- reductions --------------------------------------------------------
+    def sum(self, axis: Optional[int] = None):
+        if axis is None:
+            return float(jnp.sum(self._data))
+        s = jnp.sum(self._data, axis=axis, keepdims=True)
+        return BlockMatrix(s, self.block_size)
+
+    def diagonal(self) -> 'BlockMatrix':
+        return BlockMatrix(jnp.diagonal(self._data).reshape(1, -1), self.block_size)
+
+    # -- indexing / slicing ------------------------------------------------
+    def __getitem__(self, idx) -> Union[float, 'BlockMatrix']:
+        if isinstance(idx, tuple) and len(idx) == 2:
+            r, c = idx
+            if isinstance(r, int) and isinstance(c, int):
+                return float(self._data[r, c])
+            out = self._data[r, c]
+            if out.ndim == 1:
+                out = out.reshape(1, -1) if isinstance(r, int) else out.reshape(-1, 1)
+            return BlockMatrix(out, self.block_size)
+        raise TypeError('BlockMatrix indexing requires a 2-tuple')
+
+    def filter_rows(self, rows: Sequence[int]) -> 'BlockMatrix':
+        return BlockMatrix(self._data[jnp.asarray(list(rows))], self.block_size)
+
+    def filter_cols(self, cols: Sequence[int]) -> 'BlockMatrix':
+        return BlockMatrix(self._data[:, jnp.asarray(list(cols))], self.block_size)
+
+    def filter(self, rows: Sequence[int], cols: Sequence[int]) -> 'BlockMatrix':
+        return self.filter_rows(rows).filter_cols(cols)
+
+    # -- sparsify (element masks; reference zeroes blocks) -----------------
+    def sparsify_band(self, lower: int = 0, upper: int = 0,
+                      blocks_only: bool = False) -> 'BlockMatrix':
+        n, m = self.shape
+        i = jnp.arange(n).reshape(-1, 1)
+        j = jnp.arange(m).reshape(1, -1)
+        if blocks_only:
+            bs = self.block_size
+            bi, bj = i // bs, j // bs
+            lo = (bj * bs) - (bi * bs + bs - 1)
+            hi = (bj * bs + bs - 1) - (bi * bs)
+            mask = (hi >= lower) & (lo <= upper)
+        else:
+            d = j - i
+            mask = (d >= lower) & (d <= upper)
+        return BlockMatrix(jnp.where(mask, self._data, 0.0), self.block_size)
+
+    def sparsify_triangle(self, lower: bool = False, blocks_only: bool = False) -> 'BlockMatrix':
+        n, m = self.shape
+        if lower:
+            return self.sparsify_band(lower=-(n + m), upper=0, blocks_only=blocks_only)
+        return self.sparsify_band(lower=0, upper=n + m, blocks_only=blocks_only)
+
+    def sparsify_row_intervals(self, starts: Sequence[int], stops: Sequence[int],
+                               blocks_only: bool = False) -> 'BlockMatrix':
+        n, m = self.shape
+        starts_a = jnp.asarray(list(starts)).reshape(-1, 1)
+        stops_a = jnp.asarray(list(stops)).reshape(-1, 1)
+        j = jnp.arange(m).reshape(1, -1)
+        mask = (j >= starts_a) & (j < stops_a)
+        return BlockMatrix(jnp.where(mask, self._data, 0.0), self.block_size)
+
+    def sparsify_rectangles(self, rectangles: Sequence[Sequence[int]]) -> 'BlockMatrix':
+        n, m = self.shape
+        mask = jnp.zeros((n, m), dtype=bool)
+        for (r0, r1, c0, c1) in rectangles:
+            i = jnp.arange(n).reshape(-1, 1)
+            j = jnp.arange(m).reshape(1, -1)
+            mask = mask | ((i >= r0) & (i < r1) & (j >= c0) & (j < c1))
+        return BlockMatrix(jnp.where(mask, self._data, 0.0), self.block_size)
+
+    densify = lambda self: self
+
+    # -- conversions -------------------------------------------------------
+    def to_numpy(self, _force_blocking: bool = False) -> np.ndarray:
+        return np.asarray(self._data)
+
+    def to_ndarray(self):
+        return self.to_numpy()
+
+    def cache(self) -> 'BlockMatrix':
+        self._data = jax.device_put(self._data)
+        return self
+
+    def persist(self, storage_level: str = 'MEMORY_AND_DISK') -> 'BlockMatrix':
+        return self.cache()
+
+    def unpersist(self) -> 'BlockMatrix':
+        return self
+
+    def checkpoint(self, path: str, overwrite: bool = False) -> 'BlockMatrix':
+        self.write(path, overwrite)
+        return BlockMatrix.read(path)
+
+    def entries(self, keyed: bool = True):
+        """Table (i, j, entry) of all entries (reference `entries()`)."""
+        from .. import types as httypes
+        from ..ir.columns import Batch, PrimitiveColumn
+        from ..table import Table, TableStage
+        n, m = self.shape
+        arr = np.asarray(self._data)
+        i = np.repeat(np.arange(n, dtype=np.int64), m)
+        j = np.tile(np.arange(m, dtype=np.int64), n)
+        b = Batch({
+            'i': PrimitiveColumn(httypes.tint64, i),
+            'j': PrimitiveColumn(httypes.tint64, j),
+            'entry': PrimitiveColumn(httypes.tfloat64, arr.ravel()),
+        }, n * m)
+        return Table(TableStage.from_batches(Batch({}, 1), ['i', 'j'],
+                                             b.row_type, [b]))
+
+    def to_table_row_major(self, n_partitions=None, maximum_cache_memory_in_bytes=None):
+        from .. import types as httypes
+        from ..ir.columns import Batch, DenseArrayColumn, PrimitiveColumn
+        from ..table import Table, TableStage
+        n, m = self.shape
+        arr = np.asarray(self._data)
+        b = Batch({
+            'row_idx': PrimitiveColumn(httypes.tint64, np.arange(n, dtype=np.int64)),
+            'entries': DenseArrayColumn(httypes.tarray(httypes.tfloat64), arr,
+                                        np.full(n, m, dtype=np.int32)),
+        }, n)
+        return Table(TableStage.from_batches(Batch({}, 1), ['row_idx'], b.row_type, [b]))
+
+    # -- linalg ------------------------------------------------------------
+    def svd(self, compute_uv: bool = True, complexity_bound: int = 8192):
+        if compute_uv:
+            u, s, vt = jnp.linalg.svd(self._data, full_matrices=False)
+            return np.asarray(u), np.asarray(s), np.asarray(vt)
+        s = jnp.linalg.svd(self._data, compute_uv=False)
+        return np.asarray(s)
+
+    # -- export ------------------------------------------------------------
+    def export(self, path: str, delimiter: str = '\t', header: Optional[str] = None,
+               add_index: bool = False, parallel: Optional[str] = None,
+               partition_size: Optional[int] = None, entries: str = 'full') -> None:
+        arr = np.asarray(self._data)
+        n, m = arr.shape
+        with open(path, 'w') as f:
+            if header:
+                f.write(header + '\n')
+            for i in range(n):
+                row = arr[i]
+                if entries == 'lower':
+                    row = row[:i]
+                elif entries == 'strict_lower':
+                    row = row[:i]
+                elif entries == 'upper':
+                    row = row[i:]
+                elif entries == 'strict_upper':
+                    row = row[i + 1:]
+                vals = delimiter.join(repr(float(v)) for v in row)
+                if add_index:
+                    f.write(f'{i}{delimiter}{vals}\n')
+                else:
+                    f.write(vals + '\n')
+
+    @staticmethod
+    def rectangles_to_numpy(path: str, binary: bool = False):
+        raise NotImplementedError('rectangles export: planned (round 2)')
+
+    def __repr__(self):
+        return f'<BlockMatrix {self.n_rows}x{self.n_cols}, block_size={self.block_size}>'
+
+
+def _sharded_matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Matmul; on a multi-device mesh shard operands so XLA emits the
+    collective (SUMMA) matmul over ICI."""
+    mesh = get_mesh()
+    if math.prod(mesh.devices.shape) > 1 and a.shape[0] >= 256 and b.shape[1] >= 256:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        a = jax.device_put(a, NamedSharding(mesh, P('x', None)))
+        b = jax.device_put(b, NamedSharding(mesh, P(None, 'y')))
+        out_sh = NamedSharding(mesh, P('x', 'y'))
+        f = jax.jit(lambda x, y: x @ y, out_shardings=out_sh)
+        return f(a, b)
+    return a @ b
+
+
+# module-level helpers mirroring hail.linalg utilities
+def _breeze_like_identity(n: int) -> BlockMatrix:
+    return BlockMatrix(jnp.eye(n))

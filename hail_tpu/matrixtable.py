@@ -1,0 +1,850 @@
+"""MatrixTable: rows × cols × entries structured matrix.
+
+Capability parity with reference `hail/python/hail/matrixtable.py:542` — but
+entries are dense 2-D `(n_rows, n_cols)` columnar blocks per partition
+(ARCHITECTURE.md decision 3), not per-row arrays as in the reference's
+`LowerMatrixIR` lowering. Row fields broadcast as (R,1) and col fields as
+(1,C) into entry context, so entry expressions and aggregations are pure
+vectorized reductions — the TPU-friendly layout (device tier consumes these
+same blocks).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import types as ht
+from .context import Env
+from .ir import agg as aggmod
+from .ir import columns as C
+from .ir.columns import Batch, Column, PrimitiveColumn, StructColumn
+from .ir.nodes import EvalEnv, GetField, Ref
+from .expr.expression import (Expression, Indices, StructExpression,
+                              construct_expr, to_expr)
+from .table import Table, TableStage, _expr_field_name, _sort_indices
+from .utils.structs import Struct
+
+
+class MatrixBatch:
+    """A materialized matrix partition: row fields (R,) + entry fields (R,C)."""
+
+    __slots__ = ('rows', 'entries')
+
+    def __init__(self, rows: Batch, entries: Dict[str, Column]):
+        self.rows = rows
+        self.entries = dict(entries)
+
+    @property
+    def n_rows(self) -> int:
+        return self.rows.length
+
+    @property
+    def n_cols(self) -> int:
+        if self.entries:
+            return next(iter(self.entries.values())).shape[1]
+        return 0
+
+    def filter_rows(self, keep: np.ndarray) -> 'MatrixBatch':
+        return MatrixBatch(self.rows.compress(keep),
+                           {k: c.compress(keep, axis=0) for k, c in self.entries.items()})
+
+    def gather_rows(self, idx: np.ndarray) -> 'MatrixBatch':
+        return MatrixBatch(self.rows.gather(idx),
+                           {k: c.gather(idx, axis=0) for k, c in self.entries.items()})
+
+    def filter_cols(self, keep: np.ndarray) -> 'MatrixBatch':
+        return MatrixBatch(self.rows, {k: c.compress(keep, axis=1) for k, c in self.entries.items()})
+
+    def gather_cols(self, idx: np.ndarray) -> 'MatrixBatch':
+        return MatrixBatch(self.rows, {k: c.gather(idx, axis=1) for k, c in self.entries.items()})
+
+
+class MatrixStage:
+    """Lazy matrix plan: cols/globals on the driver, row+entry partitions
+    distributed (mirrors TableStage with entries; reference keeps cols in
+    globals after LowerMatrixToTable)."""
+
+    def __init__(self, globals: Batch, cols: Batch, row_key: List[str], col_key: List[str],
+                 row_type: ht.tstruct, col_type: ht.tstruct, entry_type: ht.tstruct,
+                 contexts: List[Any], partition_fn: Callable[[Any], MatrixBatch]):
+        self.globals = globals
+        self.cols = cols
+        self.row_key = list(row_key)
+        self.col_key = list(col_key)
+        self.row_type = row_type
+        self.col_type = col_type
+        self.entry_type = entry_type
+        self.contexts = list(contexts)
+        self.partition_fn = partition_fn
+
+    @property
+    def n_cols(self) -> int:
+        return self.cols.length
+
+    @property
+    def globals_type(self) -> ht.tstruct:
+        return self.globals.row_type
+
+    def map_partitions(self, f: Callable[[MatrixBatch, int], MatrixBatch],
+                       new_row_type=None, new_entry_type=None) -> 'MatrixStage':
+        pf = self.partition_fn
+        def new_fn(ctx):
+            i, inner = ctx
+            return f(pf(inner), i)
+        ctxs = [(i, c) for i, c in enumerate(self.contexts)]
+        return MatrixStage(self.globals, self.cols, self.row_key, self.col_key,
+                           new_row_type or self.row_type, self.col_type,
+                           new_entry_type or self.entry_type, ctxs, new_fn)
+
+    def collect_batches(self) -> List[MatrixBatch]:
+        return Env.backend().map_collect(self.contexts, self.partition_fn)
+
+    @staticmethod
+    def from_batches(globals, cols, row_key, col_key, row_type, col_type, entry_type,
+                     batches: List[MatrixBatch]) -> 'MatrixStage':
+        return MatrixStage(globals, cols, row_key, col_key, row_type, col_type,
+                           entry_type, list(range(len(batches))), lambda i: batches[i])
+
+
+class MatrixTable:
+    def __init__(self, stage: MatrixStage):
+        self._stage = stage
+
+    # -- schema / field expressions ---------------------------------------
+    @property
+    def row(self) -> StructExpression:
+        return construct_expr(Ref('va', self._stage.row_type), Indices(self, frozenset({'row'})))
+
+    @property
+    def col(self) -> StructExpression:
+        return construct_expr(Ref('sa', self._stage.col_type), Indices(self, frozenset({'column'})))
+
+    @property
+    def entry(self) -> StructExpression:
+        return construct_expr(Ref('g', self._stage.entry_type),
+                              Indices(self, frozenset({'row', 'column'})))
+
+    @property
+    def globals(self) -> StructExpression:
+        return construct_expr(Ref('global', self._stage.globals_type), Indices(self, frozenset()))
+
+    @property
+    def row_key(self) -> StructExpression:
+        return self.row.select(*self._stage.row_key)
+
+    @property
+    def col_key(self) -> StructExpression:
+        return self.col.select(*self._stage.col_key)
+
+    @property
+    def row_value(self):
+        return self.row.drop(*self._stage.row_key)
+
+    @property
+    def col_value(self):
+        return self.col.drop(*self._stage.col_key)
+
+    def __getattr__(self, name):
+        if name.startswith('__') and name.endswith('__'):
+            raise AttributeError(name)
+        if name == '_stage':
+            raise AttributeError(name)
+        st = self._stage
+        if name in st.entry_type.fields:
+            return self.entry[name]
+        if name in st.row_type.fields:
+            return self.row[name]
+        if name in st.col_type.fields:
+            return self.col[name]
+        if name in st.globals_type.fields:
+            return self.globals[name]
+        raise AttributeError(f'MatrixTable has no field {name!r}')
+
+    __getitem__ = __getattr__
+
+
+    def _eval_global_expr(self, expr):
+        col = expr._ir.evaluate(self._globals_env())
+        vals = col.to_pylist()
+        return vals[0] if vals else None
+
+    def _collect_expr(self, expr) -> list:
+        axes = expr._indices.axes
+        if axes == {'column'}:
+            return self._eval_col_expr(expr).to_pylist()
+        out = []
+        for i, ctx in enumerate(self._stage.contexts):
+            mb = self._stage.partition_fn(ctx)
+            if axes == {'row'}:
+                col = self._eval_row_expr(expr, mb, i)
+            else:
+                env = self._entry_env(mb, i)
+                col = expr._ir.evaluate(env)
+                if col.shape != env.shape:
+                    col = col.broadcast_to(env.shape)
+            out.extend(col.to_pylist() if len(col.shape) == 1 else
+                       [v for row in col.to_pylist() for v in row])
+        return out
+
+    def _rebind(self, expr):
+        """Re-root an expression from a schema-compatible ancestor MatrixTable
+        onto this one (filters/annotates preserve the va/sa/g refs, so the IR
+        evaluates unchanged; analogue of the reference's IR re-binding when
+        methods pass field expressions through derived datasets)."""
+        from .expr.expression import construct_expr, Indices
+        return construct_expr(expr._ir, Indices(self, expr._indices.axes))
+
+    def describe(self):
+        st = self._stage
+        print('Global fields:')
+        for k, t in st.globals_type.items():
+            print(f"    '{k}': {t}")
+        print('Column fields:')
+        for k, t in st.col_type.items():
+            print(f"    '{k}': {t}")
+        print('Row fields:')
+        for k, t in st.row_type.items():
+            print(f"    '{k}': {t}")
+        print('Entry fields:')
+        for k, t in st.entry_type.items():
+            print(f"    '{k}': {t}")
+        print(f'Column key: {st.col_key}')
+        print(f'Row key: {st.row_key}')
+
+    def n_partitions(self) -> int:
+        return len(self._stage.contexts)
+
+    # -- envs --------------------------------------------------------------
+    def _global_col(self):
+        gt = self._stage.globals_type
+        return StructColumn(gt, dict(self._stage.globals.columns), None, (1,))
+
+    def _globals_env(self) -> EvalEnv:
+        return EvalEnv({'global': self._global_col()}, (1,))
+
+    def _row_env(self, mb: MatrixBatch, part_idx: int) -> EvalEnv:
+        n = mb.n_rows
+        va = StructColumn(mb.rows.row_type, dict(mb.rows.columns), None, (n,))
+        idx = (np.int64(part_idx) << np.int64(32)) + np.arange(n, dtype=np.int64)
+        return EvalEnv({'va': va, 'global': self._global_col(),
+                        '__row_idx__': PrimitiveColumn(ht.tint64, idx)}, (n,))
+
+    def _col_env(self) -> EvalEnv:
+        cb = self._stage.cols
+        n = cb.length
+        sa = StructColumn(cb.row_type, dict(cb.columns), None, (n,))
+        idx = np.arange(n, dtype=np.int64)
+        return EvalEnv({'sa': sa, 'global': self._global_col(),
+                        '__row_idx__': PrimitiveColumn(ht.tint64, idx)}, (n,))
+
+    def _entry_env(self, mb: MatrixBatch, part_idx: int) -> EvalEnv:
+        R, Cn = mb.n_rows, self._stage.n_cols
+        va = StructColumn(mb.rows.row_type, dict(mb.rows.columns), None, (R,)).reshape((R, 1))
+        cb = self._stage.cols
+        sa = StructColumn(cb.row_type, dict(cb.columns), None, (Cn,)).reshape((1, Cn))
+        g = StructColumn(self._stage.entry_type, dict(mb.entries), None, (R, Cn))
+        gl = self._global_col().reshape((1, 1))
+        idx = ((np.int64(part_idx) << np.int64(32)) + np.arange(R, dtype=np.int64)).reshape(R, 1)
+        return EvalEnv({'va': va, 'sa': sa, 'g': g, 'global': gl,
+                        '__row_idx__': PrimitiveColumn(ht.tint64, idx)}, (R, Cn))
+
+    def _check_source(self, *exprs):
+        for e in exprs:
+            src = e._indices.source
+            if src is not None and src is not self:
+                raise ValueError('expression from a different source; use [] joins')
+
+    # -- annotate ----------------------------------------------------------
+    def annotate_rows(self, **named_exprs) -> 'MatrixTable':
+        exprs = {k: to_expr(v) for k, v in named_exprs.items()}
+        self._check_source(*exprs.values())
+        new_t = self._stage.row_type
+        for k, e in exprs.items():
+            new_t = new_t._insert_field(k, e.dtype)
+        def f(mb: MatrixBatch, i: int) -> MatrixBatch:
+            cols = {}
+            for k, e in exprs.items():
+                cols[k] = self._eval_row_expr(e, mb, i)
+            return MatrixBatch(mb.rows.annotate(**cols), mb.entries)
+        return MatrixTable(self._stage.map_partitions(f, new_row_type=new_t))
+
+    def _eval_row_expr(self, e: Expression, mb: MatrixBatch, part_idx: int) -> Column:
+        R = mb.n_rows
+        agg_nodes = aggmod.collect_agg_nodes(e._ir)
+        if agg_nodes:
+            env = self._entry_env(mb, part_idx)
+            states = aggmod.partial_aggregate(agg_nodes, env, (1,))
+            col = aggmod.finalize_aggregate(e._ir, agg_nodes, states,
+                                            self._row_env(mb, part_idx))
+        else:
+            col = e._ir.evaluate(self._row_env(mb, part_idx))
+        if col.shape != (R,):
+            col = col.broadcast_to((R,)) if int(np.prod(col.shape)) in (1,) else col.reshape((R,))
+        return col
+
+    def annotate_cols(self, **named_exprs) -> 'MatrixTable':
+        exprs = {k: to_expr(v) for k, v in named_exprs.items()}
+        self._check_source(*exprs.values())
+        new_cols = dict(self._stage.cols.columns)
+        for k, e in exprs.items():
+            new_cols[k] = self._eval_col_expr(e)
+        cb = Batch(new_cols, self._stage.n_cols)
+        st = self._stage
+        return MatrixTable(MatrixStage(st.globals, cb, st.row_key, st.col_key,
+                                       st.row_type, cb.row_type, st.entry_type,
+                                       st.contexts, st.partition_fn))
+
+    def _eval_col_expr(self, e: Expression) -> Column:
+        Cn = self._stage.n_cols
+        agg_nodes = aggmod.collect_agg_nodes(e._ir)
+        if agg_nodes:
+            def part(ctx):
+                mb = self._stage.partition_fn(ctx)
+                env = self._entry_env(mb, 0)
+                return aggmod.partial_aggregate(agg_nodes, env, (0,))
+            partials = Env.backend().map_collect(self._stage.contexts, part)
+            if not partials:
+                raise ValueError('aggregation over an empty matrix')
+            state = partials[0]
+            for s in partials[1:]:
+                state = aggmod.combine_states(agg_nodes, state, s)
+            col = aggmod.finalize_aggregate(e._ir, agg_nodes, state, self._col_env())
+        else:
+            col = e._ir.evaluate(self._col_env())
+        if col.shape != (Cn,):
+            col = col.broadcast_to((Cn,)) if int(np.prod(col.shape)) == 1 else col.reshape((Cn,))
+        return col
+
+    def annotate_entries(self, **named_exprs) -> 'MatrixTable':
+        exprs = {k: to_expr(v) for k, v in named_exprs.items()}
+        self._check_source(*exprs.values())
+        new_t = self._stage.entry_type
+        for k, e in exprs.items():
+            new_t = new_t._insert_field(k, e.dtype)
+        def f(mb, i):
+            env = self._entry_env(mb, i)
+            ents = dict(mb.entries)
+            for k, e in exprs.items():
+                col = e._ir.evaluate(env)
+                if col.shape != env.shape:
+                    col = col.broadcast_to(env.shape)
+                ents[k] = col
+            return MatrixBatch(mb.rows, ents)
+        return MatrixTable(self._stage.map_partitions(f, new_entry_type=new_t))
+
+    def annotate_globals(self, **named_exprs) -> 'MatrixTable':
+        env = self._globals_env()
+        g = dict(self._stage.globals.columns)
+        for k, v in named_exprs.items():
+            col = to_expr(v)._ir.evaluate(env)
+            g[k] = col.reshape((1,)) if col.shape != (1,) else col
+        st = self._stage
+        return MatrixTable(MatrixStage(Batch(g, 1), st.cols, st.row_key, st.col_key,
+                                       st.row_type, st.col_type, st.entry_type,
+                                       st.contexts, st.partition_fn))
+
+    # -- select / drop -----------------------------------------------------
+    def select_rows(self, *fields, **named_exprs) -> 'MatrixTable':
+        exprs = {k: to_expr(v) for k, v in named_exprs.items()}
+        names = list(dict.fromkeys(self._stage.row_key + [f for f in fields] + list(exprs)))
+        new_t = ht.tstruct.from_fields(
+            [(n, exprs[n].dtype if n in exprs else self._stage.row_type[n]) for n in names])
+        def f(mb, i):
+            cols = {}
+            for n in names:
+                cols[n] = self._eval_row_expr(exprs[n], mb, i) if n in exprs else mb.rows.columns[n]
+            return MatrixBatch(Batch(cols, mb.n_rows), mb.entries)
+        return MatrixTable(self._stage.map_partitions(f, new_row_type=new_t))
+
+    def select_cols(self, *fields, **named_exprs) -> 'MatrixTable':
+        exprs = {k: to_expr(v) for k, v in named_exprs.items()}
+        names = list(dict.fromkeys(self._stage.col_key + [f for f in fields] + list(exprs)))
+        new_cols = {}
+        for n in names:
+            new_cols[n] = self._eval_col_expr(exprs[n]) if n in exprs else self._stage.cols.columns[n]
+        cb = Batch(new_cols, self._stage.n_cols)
+        st = self._stage
+        return MatrixTable(MatrixStage(st.globals, cb, st.row_key, st.col_key,
+                                       st.row_type, cb.row_type, st.entry_type,
+                                       st.contexts, st.partition_fn))
+
+    def select_entries(self, *fields, **named_exprs) -> 'MatrixTable':
+        exprs = {k: to_expr(v) for k, v in named_exprs.items()}
+        names = list(dict.fromkeys(list(fields) + list(exprs)))
+        new_t = ht.tstruct.from_fields(
+            [(n, exprs[n].dtype if n in exprs else self._stage.entry_type[n]) for n in names])
+        def f(mb, i):
+            env = self._entry_env(mb, i)
+            ents = {}
+            for n in names:
+                if n in exprs:
+                    col = exprs[n]._ir.evaluate(env)
+                    if col.shape != env.shape:
+                        col = col.broadcast_to(env.shape)
+                    ents[n] = col
+                else:
+                    ents[n] = mb.entries[n]
+            return MatrixBatch(mb.rows, ents)
+        return MatrixTable(self._stage.map_partitions(f, new_entry_type=new_t))
+
+    def select_globals(self, *fields, **named_exprs) -> 'MatrixTable':
+        env = self._globals_env()
+        g = {}
+        for f_ in fields:
+            g[f_] = self._stage.globals.columns[f_]
+        for k, v in named_exprs.items():
+            col = to_expr(v)._ir.evaluate(env)
+            g[k] = col.reshape((1,)) if col.shape != (1,) else col
+        st = self._stage
+        return MatrixTable(MatrixStage(Batch(g, 1), st.cols, st.row_key, st.col_key,
+                                       st.row_type, st.col_type, st.entry_type,
+                                       st.contexts, st.partition_fn))
+
+    def drop(self, *fields) -> 'MatrixTable':
+        names = {f if isinstance(f, str) else _expr_field_name(f) for f in fields}
+        st = self._stage
+        row_drops = {n for n in names if n in st.row_type.fields and n not in st.row_key}
+        col_drops = {n for n in names if n in st.col_type.fields and n not in st.col_key}
+        entry_drops = {n for n in names if n in st.entry_type.fields}
+        glob_drops = {n for n in names if n in st.globals_type.fields}
+        out = self
+        if row_drops or entry_drops:
+            new_rt = st.row_type._drop_fields(row_drops)
+            new_et = st.entry_type._drop_fields(entry_drops)
+            def f(mb, i):
+                return MatrixBatch(mb.rows.drop(*row_drops),
+                                   {k: v for k, v in mb.entries.items() if k not in entry_drops})
+            out = MatrixTable(out._stage.map_partitions(f, new_row_type=new_rt, new_entry_type=new_et))
+        if col_drops or glob_drops:
+            st2 = out._stage
+            cb = Batch({k: v for k, v in st2.cols.columns.items() if k not in col_drops},
+                       st2.n_cols)
+            g = Batch({k: v for k, v in st2.globals.columns.items() if k not in glob_drops}, 1)
+            out = MatrixTable(MatrixStage(g, cb, st2.row_key, st2.col_key, st2.row_type,
+                                          cb.row_type, st2.entry_type, st2.contexts,
+                                          st2.partition_fn))
+        return out
+
+    # -- filter ------------------------------------------------------------
+    def filter_rows(self, expr, keep: bool = True) -> 'MatrixTable':
+        e = to_expr(expr)
+        self._check_source(e)
+        agg_nodes = aggmod.collect_agg_nodes(e._ir)
+        def f(mb, i):
+            if agg_nodes:
+                col = self._eval_row_expr(e, mb, i)
+            else:
+                col = e._ir.evaluate(self._row_env(mb, i))
+                if col.shape != (mb.n_rows,):
+                    col = col.broadcast_to((mb.n_rows,))
+            mask = _bool_mask(col)
+            if not keep:
+                mask = ~mask & ~col.missing_mask()
+            return mb.filter_rows(mask)
+        return MatrixTable(self._stage.map_partitions(f))
+
+    def filter_cols(self, expr, keep: bool = True) -> 'MatrixTable':
+        e = to_expr(expr)
+        self._check_source(e)
+        col = self._eval_col_expr(e)
+        mask = _bool_mask(col)
+        if not keep:
+            mask = ~mask & ~col.missing_mask()
+        idx = np.where(mask)[0]
+        return self._subset_cols(idx)
+
+    def _subset_cols(self, idx: np.ndarray) -> 'MatrixTable':
+        st = self._stage
+        cb = st.cols.gather(idx)
+        def f(mb, i):
+            return mb.gather_cols(idx)
+        st2 = st.map_partitions(f)
+        return MatrixTable(MatrixStage(st2.globals, cb, st2.row_key, st2.col_key,
+                                       st2.row_type, st2.col_type, st2.entry_type,
+                                       st2.contexts, st2.partition_fn))
+
+    def choose_cols(self, indices: List[int]) -> 'MatrixTable':
+        return self._subset_cols(np.asarray(indices, dtype=np.int64))
+
+    def filter_entries(self, expr, keep: bool = True) -> 'MatrixTable':
+        e = to_expr(expr)
+        self._check_source(e)
+        def f(mb, i):
+            env = self._entry_env(mb, i)
+            col = e._ir.evaluate(env)
+            if col.shape != env.shape:
+                col = col.broadcast_to(env.shape)
+            mask = _bool_mask(col)
+            if not keep:
+                mask = ~mask & ~col.missing_mask()
+            drop = ~mask
+            ents = {k: c.with_missing(drop.copy()) for k, c in mb.entries.items()}
+            return MatrixBatch(mb.rows, ents)
+        return MatrixTable(self._stage.map_partitions(f))
+
+    def unfilter_entries(self) -> 'MatrixTable':
+        return self
+
+    # -- keys --------------------------------------------------------------
+    def key_rows_by(self, *keys, **named_exprs) -> 'MatrixTable':
+        mt = self.annotate_rows(**named_exprs) if named_exprs else self
+        names = [k if isinstance(k, str) else _expr_field_name(k) for k in keys] + list(named_exprs)
+        st = mt._stage
+        return MatrixTable(MatrixStage(st.globals, st.cols, names, st.col_key,
+                                       st.row_type, st.col_type, st.entry_type,
+                                       st.contexts, st.partition_fn))
+
+    def key_cols_by(self, *keys, **named_exprs) -> 'MatrixTable':
+        mt = self.annotate_cols(**named_exprs) if named_exprs else self
+        names = [k if isinstance(k, str) else _expr_field_name(k) for k in keys] + list(named_exprs)
+        st = mt._stage
+        return MatrixTable(MatrixStage(st.globals, st.cols, st.row_key, names,
+                                       st.row_type, st.col_type, st.entry_type,
+                                       st.contexts, st.partition_fn))
+
+    # -- aggregate ---------------------------------------------------------
+    def aggregate_rows(self, expr) -> Any:
+        e = to_expr(expr)
+        agg_nodes = aggmod.collect_agg_nodes(e._ir)
+        def part(ctx):
+            mb = self._stage.partition_fn(ctx)
+            return aggmod.partial_aggregate(agg_nodes, self._row_env(mb, 0), (0,))
+        partials = Env.backend().map_collect(self._stage.contexts, part)
+        state = partials[0]
+        for s in partials[1:]:
+            state = aggmod.combine_states(agg_nodes, state, s)
+        col = aggmod.finalize_aggregate(e._ir, agg_nodes, state, self._globals_env())
+        vals = col.to_pylist()
+        return vals[0] if vals else None
+
+    def aggregate_cols(self, expr) -> Any:
+        e = to_expr(expr)
+        agg_nodes = aggmod.collect_agg_nodes(e._ir)
+        states = aggmod.partial_aggregate(agg_nodes, self._col_env(), (0,))
+        col = aggmod.finalize_aggregate(e._ir, agg_nodes, states, self._globals_env())
+        vals = col.to_pylist()
+        return vals[0] if vals else None
+
+    def aggregate_entries(self, expr) -> Any:
+        e = to_expr(expr)
+        agg_nodes = aggmod.collect_agg_nodes(e._ir)
+        def part(ctx):
+            mb = self._stage.partition_fn(ctx)
+            return aggmod.partial_aggregate(agg_nodes, self._entry_env(mb, 0), (0, 1))
+        partials = Env.backend().map_collect(self._stage.contexts, part)
+        state = partials[0]
+        for s in partials[1:]:
+            state = aggmod.combine_states(agg_nodes, state, s)
+        col = aggmod.finalize_aggregate(e._ir, agg_nodes, state, self._globals_env())
+        vals = col.to_pylist()
+        return vals[0] if vals else None
+
+    # -- counts / shape ----------------------------------------------------
+    def count_rows(self) -> int:
+        ns = Env.backend().map_collect(self._stage.contexts,
+                                       lambda c: self._stage.partition_fn(c).n_rows)
+        return int(sum(ns))
+
+    def count_cols(self) -> int:
+        return self._stage.n_cols
+
+    def count(self) -> Tuple[int, int]:
+        return self.count_rows(), self.count_cols()
+
+    # -- conversions -------------------------------------------------------
+    def rows(self) -> Table:
+        st = self._stage
+        pf = st.partition_fn
+        def f(ctx):
+            return pf(ctx).rows
+        return Table(TableStage(st.globals, st.row_key, st.row_type, st.contexts, f))
+
+    def cols(self) -> Table:
+        st = self._stage
+        cb = st.cols
+        return Table(TableStage.from_batches(st.globals, st.col_key, st.col_type, [cb]))
+
+    def entries(self) -> Table:
+        st = self._stage
+        Cn = st.n_cols
+        row_t = st.row_type
+        col_t = st.col_type
+        ent_t = st.entry_type
+        # de-collide col/entry field names against row fields (suffix _1)
+        rename_col: Dict[str, str] = {}
+        used = set(row_t.fields)
+        for k in col_t.fields:
+            nk = k
+            while nk in used:
+                nk = nk + '_1'
+            rename_col[k] = nk
+            used.add(nk)
+        rename_ent: Dict[str, str] = {}
+        for k in ent_t.fields:
+            nk = k
+            while nk in used:
+                nk = nk + '_1'
+            rename_ent[k] = nk
+            used.add(nk)
+        fields = (list(row_t.items())
+                  + [(rename_col[k], t) for k, t in col_t.items()]
+                  + [(rename_ent[k], t) for k, t in ent_t.items()])
+        new_t = ht.tstruct.from_fields(fields)
+        cb = st.cols
+        pf = st.partition_fn
+        def f(ctx):
+            mb = pf(ctx)
+            R = mb.n_rows
+            cols: Dict[str, Column] = {}
+            ridx = np.repeat(np.arange(R), Cn)
+            cidx = np.tile(np.arange(Cn), R)
+            for k, c in mb.rows.columns.items():
+                cols[k] = c.gather(ridx)
+            for k, c in cb.columns.items():
+                cols[rename_col[k]] = c.gather(cidx)
+            for k, c in mb.entries.items():
+                cols[rename_ent[k]] = c.reshape((R * Cn,))
+            return Batch(cols, R * Cn)
+        key = st.row_key + [rename_col[k] for k in st.col_key]
+        return Table(TableStage(st.globals, key, new_t, st.contexts, f))
+
+    def localize_entries(self, entries_array_field_name=None,
+                         columns_array_field_name=None) -> Table:
+        st = self._stage
+        t = self.rows()
+        if entries_array_field_name is not None:
+            ent_struct_t = st.entry_type
+            arr_t = ht.tarray(ent_struct_t)
+            pf = st.partition_fn
+            Cn = st.n_cols
+            def f(ctx):
+                mb = pf(ctx)
+                R = mb.n_rows
+                ent_objs = {k: np.asarray(C.to_object(c).values) for k, c in mb.entries.items()}
+                vals = np.empty(R, dtype=object)
+                for i in range(R):
+                    vals[i] = [Struct(**{k: ent_objs[k][i, j] for k in ent_objs})
+                               for j in range(Cn)]
+                b = mb.rows.annotate(**{entries_array_field_name: C.ObjectColumn(arr_t, vals)})
+                return b
+            new_t = st.row_type._insert_field(entries_array_field_name, arr_t)
+            t = Table(TableStage(st.globals, st.row_key, new_t, st.contexts, f))
+        if columns_array_field_name is not None:
+            col_rows = st.cols.to_pylist()
+            t = t.annotate_globals(**{columns_array_field_name: to_expr(
+                col_rows, ht.tarray(st.col_type))})
+        return t
+
+    def head(self, n_rows: int, n_cols: Optional[int] = None) -> 'MatrixTable':
+        batches = self._stage.collect_batches()
+        out = []
+        remaining = n_rows
+        for mb in batches:
+            if remaining <= 0:
+                break
+            take = min(mb.n_rows, remaining)
+            idx = np.arange(take)
+            out.append(mb.gather_rows(idx))
+            remaining -= take
+        st = self._stage
+        mt = MatrixTable(MatrixStage.from_batches(st.globals, st.cols, st.row_key,
+                                                  st.col_key, st.row_type, st.col_type,
+                                                  st.entry_type, out))
+        if n_cols is not None:
+            mt = mt.choose_cols(list(range(n_cols)))
+        return mt
+
+    def sample_rows(self, p: float, seed=None) -> 'MatrixTable':
+        from .expr import functions as F
+        return self.filter_rows(F.rand_unif(0, 1, seed=seed) < p)
+
+    def sample_cols(self, p: float, seed=None) -> 'MatrixTable':
+        from .expr import functions as F
+        return self.filter_cols(F.rand_unif(0, 1, seed=seed) < p)
+
+    def repartition(self, n: int, shuffle: bool = True) -> 'MatrixTable':
+        batches = self._stage.collect_batches()
+        rows_total = sum(mb.n_rows for mb in batches)
+        if not batches:
+            return self
+        # concatenate then re-split
+        all_rows = Batch.concat([mb.rows for mb in batches])
+        ents = {k: C.concat_columns([mb.entries[k] for mb in batches], axis=0)
+                for k in self._stage.entry_type.fields}
+        n = max(1, min(n, max(rows_total, 1)))
+        bounds = np.linspace(0, rows_total, n + 1).astype(int)
+        out = []
+        for i in range(n):
+            s, e = int(bounds[i]), int(bounds[i + 1])
+            out.append(MatrixBatch(all_rows.slice(s, e),
+                                   {k: c.slice(s, e, axis=0) for k, c in ents.items()}))
+        st = self._stage
+        return MatrixTable(MatrixStage.from_batches(st.globals, st.cols, st.row_key,
+                                                    st.col_key, st.row_type, st.col_type,
+                                                    st.entry_type, out))
+
+    def persist(self, storage_level='MEMORY_AND_DISK') -> 'MatrixTable':
+        batches = self._stage.collect_batches()
+        st = self._stage
+        return MatrixTable(MatrixStage.from_batches(st.globals, st.cols, st.row_key,
+                                                    st.col_key, st.row_type, st.col_type,
+                                                    st.entry_type, batches))
+
+    cache = persist
+
+    def unpersist(self):
+        return self
+
+    def checkpoint(self, path: str, overwrite: bool = False) -> 'MatrixTable':
+        self.write(path, overwrite=overwrite)
+        return read_matrix_table(path)
+
+    def write(self, path: str, overwrite: bool = False):
+        from .io.native import write_matrix_table
+        write_matrix_table(self, path, overwrite)
+
+    # -- unions ------------------------------------------------------------
+    def union_rows(self, *others) -> 'MatrixTable':
+        st = self._stage
+        all_batches = list(self._stage.collect_batches())
+        for o in others:
+            if str(o._stage.entry_type) != str(st.entry_type):
+                raise ValueError('union_rows: entry types differ')
+            all_batches.extend(o._stage.collect_batches())
+        return MatrixTable(MatrixStage.from_batches(st.globals, st.cols, st.row_key,
+                                                    st.col_key, st.row_type, st.col_type,
+                                                    st.entry_type, all_batches))
+
+    def union_cols(self, other: 'MatrixTable', row_join_type: str = 'inner') -> 'MatrixTable':
+        st = self._stage
+        ot = other._stage
+        lb = self._stage.collect_batches()
+        lmb = _concat_matrix_batches(lb, st)
+        rmb = _concat_matrix_batches(other._stage.collect_batches(), ot)
+        from .table import _key_tuples
+        lkeys = _key_tuples(lmb.rows, st.row_key)
+        rkeys = {k: i for i, k in enumerate(_key_tuples(rmb.rows, ot.row_key))}
+        l_idx, r_idx = [], []
+        for i, k in enumerate(lkeys):
+            j = rkeys.get(k)
+            if j is not None:
+                l_idx.append(i)
+                r_idx.append(j)
+        l_idx = np.asarray(l_idx, dtype=np.int64)
+        r_idx = np.asarray(r_idx, dtype=np.int64)
+        lmb2 = lmb.gather_rows(l_idx)
+        rmb2 = rmb.gather_rows(r_idx)
+        ents = {k: C.concat_columns([lmb2.entries[k], rmb2.entries[k]], axis=1)
+                for k in st.entry_type.fields}
+        cols = Batch.concat([st.cols, ot.cols])
+        return MatrixTable(MatrixStage.from_batches(
+            st.globals, cols, st.row_key, st.col_key, st.row_type, st.col_type,
+            st.entry_type, [MatrixBatch(lmb2.rows, ents)]))
+
+    # -- misc --------------------------------------------------------------
+    def rename(self, mapping: Dict[str, str]) -> 'MatrixTable':
+        st = self._stage
+        new_rt = ht.tstruct.from_fields([(mapping.get(k, k), v) for k, v in st.row_type.items()])
+        new_et = ht.tstruct.from_fields([(mapping.get(k, k), v) for k, v in st.entry_type.items()])
+        def f(mb, i):
+            return MatrixBatch(
+                Batch({mapping.get(k, k): c for k, c in mb.rows.columns.items()}, mb.n_rows),
+                {mapping.get(k, k): c for k, c in mb.entries.items()})
+        st2 = st.map_partitions(f, new_row_type=new_rt, new_entry_type=new_et)
+        cb = Batch({mapping.get(k, k): c for k, c in st.cols.columns.items()}, st.n_cols)
+        return MatrixTable(MatrixStage(
+            st2.globals, cb, [mapping.get(k, k) for k in st.row_key],
+            [mapping.get(k, k) for k in st.col_key], new_rt, cb.row_type, new_et,
+            st2.contexts, st2.partition_fn))
+
+    def transmute_entries(self, **named_exprs):
+        exprs = {k: to_expr(v) for k, v in named_exprs.items()}
+        keep = [f for f in self._stage.entry_type.fields if f not in named_exprs]
+        return self.select_entries(*keep, **named_exprs)
+
+    def transmute_rows(self, **named_exprs):
+        keep = [f for f in self._stage.row_type.fields
+                if f not in named_exprs and f not in self._stage.row_key]
+        return self.select_rows(*keep, **named_exprs)
+
+    def transmute_cols(self, **named_exprs):
+        keep = [f for f in self._stage.col_type.fields
+                if f not in named_exprs and f not in self._stage.col_key]
+        return self.select_cols(*keep, **named_exprs)
+
+    def add_row_index(self, name: str = 'row_idx') -> 'MatrixTable':
+        batches = self._stage.collect_batches()
+        out = []
+        off = 0
+        for mb in batches:
+            col = PrimitiveColumn(ht.tint64, np.arange(off, off + mb.n_rows, dtype=np.int64))
+            out.append(MatrixBatch(mb.rows.annotate(**{name: col}), mb.entries))
+            off += mb.n_rows
+        st = self._stage
+        return MatrixTable(MatrixStage.from_batches(
+            st.globals, st.cols, st.row_key, st.col_key,
+            st.row_type._insert_field(name, ht.tint64), st.col_type, st.entry_type, out))
+
+    def add_col_index(self, name: str = 'col_idx') -> 'MatrixTable':
+        st = self._stage
+        col = PrimitiveColumn(ht.tint32, np.arange(st.n_cols, dtype=np.int32))
+        cb = st.cols.annotate(**{name: col})
+        return MatrixTable(MatrixStage(st.globals, cb, st.row_key, st.col_key,
+                                       st.row_type, cb.row_type, st.entry_type,
+                                       st.contexts, st.partition_fn))
+
+    def entries_block(self, field: str, part_idx: int = None):
+        """Internal: materialize an entry field as a dense numpy block list —
+        the on-ramp to the jit tier (methods/)."""
+        out = []
+        for ctx in self._stage.contexts:
+            mb = self._stage.partition_fn(ctx)
+            out.append(mb.entries[field])
+        return out
+
+
+def _bool_mask(col: Column) -> np.ndarray:
+    if isinstance(col, PrimitiveColumn):
+        vals = np.asarray(col.values, dtype=bool)
+    else:
+        vals = np.frompyfunc(lambda v: v is True, 1, 1)(C.to_object(col).values).astype(bool)
+    return vals & ~col.missing_mask()
+
+
+def _concat_matrix_batches(batches: List[MatrixBatch], st: MatrixStage) -> MatrixBatch:
+    if len(batches) == 1:
+        return batches[0]
+    rows = Batch.concat([mb.rows for mb in batches])
+    ents = {k: C.concat_columns([mb.entries[k] for mb in batches], axis=0)
+            for k in st.entry_type.fields}
+    return MatrixBatch(rows, ents)
+
+
+# ---------------------------------------------------------------------------
+# constructors
+# ---------------------------------------------------------------------------
+
+def range_matrix_table(n_rows: int, n_cols: int, n_partitions: Optional[int] = None) -> MatrixTable:
+    if n_partitions is None:
+        n_partitions = min(max(1, n_rows // 64000 + 1), 8)
+    n_partitions = max(1, min(n_partitions, max(n_rows, 1)))
+    bounds = np.linspace(0, n_rows, n_partitions + 1).astype(np.int64)
+    contexts = [(int(bounds[i]), int(bounds[i + 1])) for i in range(n_partitions)]
+    row_t = ht.tstruct(row_idx=ht.tint32)
+    col_t = ht.tstruct(col_idx=ht.tint32)
+    entry_t = ht.tstruct()
+    cols = Batch({'col_idx': PrimitiveColumn(ht.tint32, np.arange(n_cols, dtype=np.int32))}, n_cols)
+    def pf(ctx):
+        s, e = ctx
+        rows = Batch({'row_idx': PrimitiveColumn(ht.tint32, np.arange(s, e, dtype=np.int32))}, e - s)
+        return MatrixBatch(rows, {})
+    g = Batch({}, 1)
+    return MatrixTable(MatrixStage(g, cols, ['row_idx'], ['col_idx'],
+                                   row_t, col_t, entry_t, contexts, pf))
+
+
+def read_matrix_table(path: str) -> MatrixTable:
+    from .io.native import read_matrix_table as rmt
+    return rmt(path)

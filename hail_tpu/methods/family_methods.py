@@ -1,0 +1,340 @@
+"""Family-based methods: trio_matrix, mendel_errors, de_novo, TDT.
+
+Capability parity with reference `hail/python/hail/methods/family_methods.py`.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .. import types as ht
+from ..expr import aggregators as agg
+from ..expr import functions as F
+from ..expr.expression import to_expr
+from ..genetics.call import (calls_allele_j, calls_allele_k, calls_is_het,
+                             calls_is_hom_ref, calls_is_hom_var, calls_n_alt_alleles)
+from ..genetics.pedigree import Pedigree
+from ..ir import columns as C
+from ..ir.columns import Batch, ObjectColumn, PrimitiveColumn, StructColumn
+from ..matrixtable import MatrixBatch, MatrixStage, MatrixTable
+from ..table import Table, TableStage
+from ..utils.structs import Struct
+
+
+def trio_matrix(dataset: MatrixTable, pedigree: Pedigree,
+                complete_trios: bool = False) -> MatrixTable:
+    """MatrixTable with one column per trio, entries
+    {proband_entry, father_entry, mother_entry} (reference trio_matrix)."""
+    st = dataset._stage
+    skey = st.col_key[0]
+    samples = [r[skey] for r in st.cols.to_pylist()]
+    s_idx = {s: i for i, s in enumerate(samples)}
+    trios = pedigree.complete_trios() if complete_trios else pedigree.trios
+    trios = [t for t in trios if t.s in s_idx
+             and (t.pat_id is None or t.pat_id in s_idx)
+             and (t.mat_id is None or t.mat_id in s_idx)]
+    kid_idx = np.asarray([s_idx[t.s] for t in trios], dtype=np.int64)
+    dad_idx = np.asarray([s_idx[t.pat_id] if t.pat_id else 0 for t in trios], dtype=np.int64)
+    mom_idx = np.asarray([s_idx[t.mat_id] if t.mat_id else 0 for t in trios], dtype=np.int64)
+    dad_defined = np.asarray([t.pat_id is not None for t in trios], dtype=bool)
+    mom_defined = np.asarray([t.mat_id is not None for t in trios], dtype=bool)
+
+    n_trios = len(trios)
+    col_t = ht.tstruct(id=st.col_type[skey], proband=st.col_type,
+                       father=st.col_type, mother=st.col_type,
+                       is_female=ht.tbool, fam_id=ht.tstr)
+    col_rows = st.cols.to_pylist()
+    col_vals = []
+    for i, t in enumerate(trios):
+        col_vals.append(Struct(
+            id=t.s, proband=col_rows[s_idx[t.s]],
+            father=col_rows[s_idx[t.pat_id]] if t.pat_id else None,
+            mother=col_rows[s_idx[t.mat_id]] if t.mat_id else None,
+            is_female=t.is_female, fam_id=t.fam_id))
+    cols = Batch.from_pylist(col_t, col_vals)
+
+    entry_t = ht.tstruct(proband_entry=st.entry_type, father_entry=st.entry_type,
+                         mother_entry=st.entry_type)
+
+    def f(mb: MatrixBatch, i: int) -> MatrixBatch:
+        R = mb.n_rows
+        g = StructColumn(st.entry_type, dict(mb.entries), None,
+                         (R, st.n_cols))
+        ents = {
+            'proband_entry': g.gather(kid_idx, axis=1),
+            'father_entry': g.gather(dad_idx, axis=1).with_missing(
+                np.broadcast_to(~dad_defined, (R, n_trios)).copy() if (~dad_defined).any() else None),
+            'mother_entry': g.gather(mom_idx, axis=1).with_missing(
+                np.broadcast_to(~mom_defined, (R, n_trios)).copy() if (~mom_defined).any() else None),
+        }
+        return MatrixBatch(mb.rows, ents)
+
+    st2 = st.map_partitions(f, new_entry_type=entry_t)
+    return MatrixTable(MatrixStage(st2.globals, cols, st2.row_key, ['id'],
+                                   st2.row_type, col_t, entry_t,
+                                   st2.contexts, st2.partition_fn))
+
+
+# Mendel error codes follow PLINK/reference numbering (mendel_errors docs)
+def _mendel_codes(kid, dad, mom, in_x_nonpar, kid_is_female):
+    """Vectorized mendel error code per (variant, trio); 0 = no error.
+    Arrays: packed calls + missing masks."""
+    (kp, km), (dp, dm), (mp_, mm_) = kid, dad, mom
+    kid_na = calls_n_alt_alleles(kp)
+    dad_na = calls_n_alt_alleles(dp)
+    mom_na = calls_n_alt_alleles(mp_)
+    k_het = calls_is_het(kp)
+    k_hr = calls_is_hom_ref(kp)
+    k_hv = calls_is_hom_var(kp)
+    d_hr = calls_is_hom_ref(dp) & ~dm
+    d_hv = calls_is_hom_var(dp) & ~dm
+    m_hr = calls_is_hom_ref(mp_) & ~mm_
+    m_hv = calls_is_hom_var(mp_) & ~mm_
+    d_def = ~dm
+    m_def = ~mm_
+    code = np.zeros(kp.shape, dtype=np.int32)
+    auto = ~in_x_nonpar
+    # autosomal (and X for females)
+    consider = auto | (in_x_nonpar & kid_is_female)
+    # kid het, both parents hom ref -> 1 ; both hom var -> 2
+    code = np.where(consider & k_het & d_hr & m_hr, 1, code)
+    code = np.where(consider & k_het & d_hv & m_hv, 2, code)
+    # kid hom ref: dad hom var -> 3 (if mom not hom var) etc
+    code = np.where(consider & k_hr & d_hv & m_def & ~m_hv, 3, code)
+    code = np.where(consider & k_hr & m_hv & d_def & ~d_hv, 4, code)
+    code = np.where(consider & k_hr & d_hv & m_hv, 5, code)
+    code = np.where(consider & k_hv & d_hr & m_def & ~m_hr, 6, code)
+    code = np.where(consider & k_hv & m_hr & d_def & ~d_hr, 7, code)
+    code = np.where(consider & k_hv & d_hr & m_hr, 8, code)
+    # hemizygous X male
+    male_x = in_x_nonpar & ~kid_is_female
+    code = np.where(male_x & k_hv & m_hr, 10, code)
+    code = np.where(male_x & k_hr & m_hv, 9, code)
+    code = np.where(km | (dm & mm_), 0, code)
+    return code
+
+
+def mendel_errors(call, pedigree: Pedigree) -> Tuple[Table, Table, Table, Table]:
+    """Mendelian-violation counting (reference mendel_errors); returns
+    (all_errors, per_fam, per_sample, per_variant)."""
+    e = to_expr(call)
+    mt = e._indices.source
+    st = mt._stage
+    skey = st.col_key[0]
+    samples = [r[skey] for r in st.cols.to_pylist()]
+    s_idx = {s: i for i, s in enumerate(samples)}
+    trios = [t for t in pedigree.complete_trios()
+             if t.s in s_idx and t.pat_id in s_idx and t.mat_id in s_idx]
+    kid_idx = np.asarray([s_idx[t.s] for t in trios])
+    dad_idx = np.asarray([s_idx[t.pat_id] for t in trios])
+    mom_idx = np.asarray([s_idx[t.mat_id] for t in trios])
+    kid_female = np.asarray([bool(t.is_female) for t in trios])
+
+    all_rows: List[Struct] = []
+    per_variant_rows: List[Struct] = []
+    fam_counts = {}
+    indiv_counts = {s: 0 for s in samples}
+
+    for i, ctx in enumerate(st.contexts):
+        mb = st.partition_fn(ctx)
+        env = mt._entry_env(mb, i)
+        col = e._ir.evaluate(env)
+        packed = np.asarray(col.values)
+        miss = col.missing_mask()
+        loci = mb.rows.columns['locus']
+        rg = loci.rg
+        x_idx = [rg.contig_index(c) for c in rg.x_contigs]
+        in_x = np.isin(np.asarray(loci.contig_idx), x_idx)
+        in_par = np.zeros(mb.n_rows, dtype=bool)
+        for (c0, s0, c1, e0) in rg.par:
+            ci = rg.contig_index(c0)
+            in_par |= (np.asarray(loci.contig_idx) == ci) & \
+                      (np.asarray(loci.position) >= s0) & (np.asarray(loci.position) < e0)
+        in_x_nonpar = (in_x & ~in_par)[:, None]
+
+        codes = _mendel_codes(
+            (packed[:, kid_idx], miss[:, kid_idx]),
+            (packed[:, dad_idx], miss[:, dad_idx]),
+            (packed[:, mom_idx], miss[:, mom_idx]),
+            in_x_nonpar, kid_female[None, :])
+        locus_l = loci.to_pylist()
+        alleles_l = mb.rows.columns['alleles'].to_pylist()
+        err_r, err_t = np.where(codes > 0)
+        per_var = np.bincount(err_r, minlength=mb.n_rows)
+        for r in range(mb.n_rows):
+            per_variant_rows.append(Struct(locus=locus_l[r], alleles=alleles_l[r],
+                                           errors=int(per_var[r])))
+        for r, ti in zip(err_r, err_t):
+            t = trios[ti]
+            code = int(codes[r, ti])
+            all_rows.append(Struct(locus=locus_l[r], alleles=alleles_l[r],
+                                   s=t.s, fam_id=t.fam_id, mendel_code=code))
+            fam_key = (t.fam_id, t.pat_id, t.mat_id)
+            fam_counts[fam_key] = fam_counts.get(fam_key, 0) + 1
+            indiv_counts[t.s] = indiv_counts.get(t.s, 0) + 1
+            # parental involvement per plink rules (both for most codes)
+            if code not in (9, 10):
+                indiv_counts[t.pat_id] = indiv_counts.get(t.pat_id, 0) + (0 if code in (4, 7) else 1)
+                indiv_counts[t.mat_id] = indiv_counts.get(t.mat_id, 0) + (0 if code in (3, 6) else 1)
+            else:
+                indiv_counts[t.mat_id] = indiv_counts.get(t.mat_id, 0) + 1
+
+    lt = st.row_type['locus']
+    at = st.row_type['alleles']
+    t1_t = ht.tstruct(locus=lt, alleles=at, s=ht.tstr, fam_id=ht.tstr, mendel_code=ht.tint32)
+    t1 = Table(TableStage.from_batches(Batch({}, 1), ['locus', 'alleles', 's'], t1_t,
+                                       [Batch.from_pylist(t1_t, all_rows)]))
+    t2_t = ht.tstruct(pat_id=ht.tstr, mat_id=ht.tstr, fam_id=ht.tstr,
+                      children=ht.tint32, errors=ht.tint64, snp_errors=ht.tint64)
+    fam_children = {}
+    for t in trios:
+        key = (t.fam_id, t.pat_id, t.mat_id)
+        fam_children[key] = fam_children.get(key, 0) + 1
+    t2_rows = [Struct(pat_id=k[1], mat_id=k[2], fam_id=k[0],
+                      children=fam_children.get(k, 0), errors=v, snp_errors=v)
+               for k, v in fam_counts.items()]
+    t2 = Table(TableStage.from_batches(Batch({}, 1), ['pat_id', 'mat_id'], t2_t,
+                                       [Batch.from_pylist(t2_t, t2_rows)]))
+    t3_t = ht.tstruct(s=ht.tstr, fam_id=ht.tstr, errors=ht.tint64, snp_errors=ht.tint64)
+    trio_fam = {t.s: t.fam_id for t in trios}
+    t3_rows = [Struct(s=s, fam_id=trio_fam.get(s), errors=c, snp_errors=c)
+               for s, c in indiv_counts.items()]
+    t3 = Table(TableStage.from_batches(Batch({}, 1), ['s'], t3_t,
+                                       [Batch.from_pylist(t3_t, t3_rows)]))
+    t4_t = ht.tstruct(locus=lt, alleles=at, errors=ht.tint64)
+    t4_rows = [Struct(locus=r.locus, alleles=r.alleles, errors=r.errors)
+               for r in per_variant_rows]
+    t4 = Table(TableStage.from_batches(Batch({}, 1), ['locus', 'alleles'], t4_t,
+                                       [Batch.from_pylist(t4_t, t4_rows)]))
+    return t1, t2, t3, t4
+
+
+def transmission_disequilibrium_test(dataset: MatrixTable, pedigree: Pedigree) -> Table:
+    """TDT (reference transmission_disequilibrium_test): counts transmitted/
+    untransmitted alt alleles from het parents, chi² 1df."""
+    import scipy.stats as sstats
+    mt = dataset
+    st = mt._stage
+    skey = st.col_key[0]
+    samples = [r[skey] for r in st.cols.to_pylist()]
+    s_idx = {s: i for i, s in enumerate(samples)}
+    trios = [t for t in pedigree.complete_trios()
+             if t.s in s_idx and t.pat_id in s_idx and t.mat_id in s_idx]
+    kid_idx = np.asarray([s_idx[t.s] for t in trios])
+    dad_idx = np.asarray([s_idx[t.pat_id] for t in trios])
+    mom_idx = np.asarray([s_idx[t.mat_id] for t in trios])
+
+    rows_out: List[Struct] = []
+    for i, ctx in enumerate(st.contexts):
+        mb = st.partition_fn(ctx)
+        col = mb.entries['GT']
+        packed = np.asarray(col.values)
+        miss = col.missing_mask()
+        kna = calls_n_alt_alleles(packed[:, kid_idx])
+        dna = calls_n_alt_alleles(packed[:, dad_idx])
+        mna = calls_n_alt_alleles(packed[:, mom_idx])
+        ok = ~(miss[:, kid_idx] | miss[:, dad_idx] | miss[:, mom_idx])
+        d_het = calls_is_het(packed[:, dad_idx]) & ok
+        m_het = calls_is_het(packed[:, mom_idx]) & ok
+        # transmissions from het parents: kid alt count minus the forced-alt
+        # contribution of homozygous-alt parents
+        t_alt = kna - np.where(d_het, 0, (dna == 2).astype(np.int32)) \
+            - np.where(m_het, 0, (mna == 2).astype(np.int32))
+        n_het_parents = d_het.astype(np.int32) + m_het.astype(np.int32)
+        t_count = np.where(ok, np.clip(t_alt, 0, n_het_parents), 0)
+        u_count = np.where(ok, n_het_parents - t_count, 0)
+        t_sum = t_count.sum(axis=1)
+        u_sum = u_count.sum(axis=1)
+        with np.errstate(all='ignore'):
+            chi2 = (t_sum - u_sum) ** 2 / np.maximum(t_sum + u_sum, 1)
+        p = sstats.chi2.sf(chi2, 1)
+        locus_l = mb.rows.columns['locus'].to_pylist()
+        alleles_l = mb.rows.columns['alleles'].to_pylist()
+        for r in range(mb.n_rows):
+            rows_out.append(Struct(locus=locus_l[r], alleles=alleles_l[r],
+                                   t=int(t_sum[r]), u=int(u_sum[r]),
+                                   chi_sq=float(chi2[r]), p_value=float(p[r])))
+    row_t = ht.tstruct(locus=st.row_type['locus'], alleles=st.row_type['alleles'],
+                       t=ht.tint64, u=ht.tint64, chi_sq=ht.tfloat64, p_value=ht.tfloat64)
+    return Table(TableStage.from_batches(Batch({}, 1), ['locus', 'alleles'], row_t,
+                                         [Batch.from_pylist(row_t, rows_out)]))
+
+
+def de_novo(mt: MatrixTable, pedigree: Pedigree, pop_frequency_prior,
+            min_gq: int = 20, min_p: float = 0.05, max_parent_ab: float = 0.05,
+            min_child_ab: float = 0.20, min_dp_ratio: float = 0.10,
+            ignore_in_sample_allele_frequency: bool = False) -> Table:
+    """De novo mutation caller (reference de_novo, Samocha/Kaitlin caller).
+    Simplified PL-based implementation producing p_de_novo + confidence."""
+    tm = trio_matrix(mt.annotate_rows(__prior=to_expr(pop_frequency_prior)),
+                     pedigree, complete_trios=True)
+    st = tm._stage
+    rows_out: List[Struct] = []
+    MIN_POP_PRIOR = 100 / 3e7
+    for i, ctx in enumerate(st.contexts):
+        mb = st.partition_fn(ctx)
+        prior = np.asarray(mb.rows.columns['__prior'].values, dtype=np.float64)
+        prior = np.maximum(np.nan_to_num(prior), MIN_POP_PRIOR)
+
+        def get(role, field):
+            s = mb.entries[role]
+            return s.fields.get(field)
+
+        out = {}
+        for role in ('proband_entry', 'father_entry', 'mother_entry'):
+            ent = mb.entries[role]
+            pl = ent.fields.get('PL')
+            gt = ent.fields['GT']
+            out[role] = (gt, pl, ent.fields.get('AD'), ent.fields.get('DP'),
+                         ent.fields.get('GQ'), ent.missing_mask())
+        kid_gt, kid_pl, kid_ad, kid_dp, kid_gq, kid_m = out['proband_entry']
+        dad_gt, dad_pl, dad_ad, dad_dp, dad_gq, dad_m = out['father_entry']
+        mom_gt, mom_pl, mom_ad, mom_dp, mom_gq, mom_m = out['mother_entry']
+        if kid_pl is None or dad_pl is None or mom_pl is None:
+            continue
+        kp = np.asarray(kid_gt.values)
+        dp_ = np.asarray(dad_gt.values)
+        mp_ = np.asarray(mom_gt.values)
+        valid = (~kid_m) & (~dad_m) & (~mom_m) & \
+            calls_is_het(kp) & calls_is_hom_ref(dp_) & calls_is_hom_ref(mp_) & \
+            ~kid_gt.missing_mask() & ~dad_gt.missing_mask() & ~mom_gt.missing_mask()
+        if kid_gq is not None:
+            valid &= np.asarray(kid_gq.values) >= min_gq
+
+        # PL-based likelihoods: P(dn) via Samocha formula
+        def pl_prob(plcol, idx):
+            v = plcol.values[..., idx].astype(np.float64)
+            return np.power(10.0, -v / 10.0)
+
+        p_kid_het = pl_prob(kid_pl, 1)
+        p_dad_hr = pl_prob(dad_pl, 0)
+        p_mom_hr = pl_prob(mom_pl, 0)
+        p_dad_het = pl_prob(dad_pl, 1)
+        p_mom_het = pl_prob(mom_pl, 1)
+        prior_col = prior[:, None]
+        p_dn_num = p_dad_hr * p_mom_hr * p_kid_het
+        p_missed_het = (p_dad_het * p_mom_hr + p_mom_het * p_dad_hr) * prior_col * 4
+        with np.errstate(all='ignore'):
+            p_dn = p_dn_num / np.maximum(p_dn_num + p_missed_het, 1e-300)
+        # allele balance checks
+        if kid_ad is not None:
+            ad = kid_ad.values.astype(np.float64)
+            with np.errstate(all='ignore'):
+                ab = ad[..., 1] / np.maximum(ad[..., 0] + ad[..., 1], 1)
+            valid &= ab >= min_child_ab
+        ok = valid & (p_dn > min_p)
+        locus_l = mb.rows.columns['locus'].to_pylist()
+        alleles_l = mb.rows.columns['alleles'].to_pylist()
+        ids = [r.id for r in st.cols.to_pylist()]
+        rr, tt = np.where(ok)
+        for r, t_i in zip(rr, tt):
+            p = float(p_dn[r, t_i])
+            conf = 'HIGH' if p > 0.99 else ('MEDIUM' if p > 0.5 else 'LOW')
+            rows_out.append(Struct(locus=locus_l[r], alleles=alleles_l[r],
+                                   id=ids[t_i], p_de_novo=p, confidence=conf))
+    row_t = ht.tstruct(locus=st.row_type['locus'], alleles=st.row_type['alleles'],
+                       id=ht.tstr, p_de_novo=ht.tfloat64, confidence=ht.tstr)
+    return Table(TableStage.from_batches(Batch({}, 1), ['locus', 'alleles', 'id'],
+                                         row_t, [Batch.from_pylist(row_t, rows_out)]))

@@ -1,0 +1,663 @@
+"""Import/export: delimited tables, PLINK, GEN, BED, intervals, FAM, lines.
+
+Capability parity with reference `hail/python/hail/methods/impex.py` (VCF
+lives in hail_tpu/io/vcf.py; BGEN in hail_tpu/io/bgen.py).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import re
+import struct as _struct
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from .. import types as ht
+from ..expr import functions as F
+from ..expr.expression import to_expr
+from ..genetics.call import pack_diploid
+from ..genetics.reference_genome import ReferenceGenome, default_reference
+from ..ir import columns as C
+from ..ir.columns import (Batch, DenseArrayColumn, LocusColumn, ObjectColumn,
+                          PrimitiveColumn)
+from ..matrixtable import MatrixBatch, MatrixStage, MatrixTable
+from ..table import Table, TableStage
+from ..utils.structs import Struct
+
+# re-export the VCF entry points
+from ..io.vcf import export_vcf, get_vcf_metadata, import_vcf  # noqa: F401
+from ..io.bgen import export_bgen, import_bgen, index_bgen  # noqa: F401
+
+
+def _open(path: str):
+    if path.endswith('.gz') or path.endswith('.bgz'):
+        return gzip.open(path, 'rt')
+    return open(path, 'rt')
+
+
+def _resolve_rg(reference_genome):
+    if reference_genome is None:
+        return None
+    if reference_genome == 'default':
+        return default_reference()
+    if isinstance(reference_genome, str):
+        return ReferenceGenome.get(reference_genome)
+    return reference_genome
+
+
+# ---------------------------------------------------------------------------
+# text tables
+# ---------------------------------------------------------------------------
+
+def import_table(paths, key=None, min_partitions=None, impute: bool = False,
+                 no_header: bool = False, comment=(), delimiter: str = '\t',
+                 missing='NA', types: Optional[Dict[str, ht.HailType]] = None,
+                 quote: Optional[str] = None, skip_blank_lines: bool = False,
+                 force_bgz: bool = False, filter: Optional[str] = None,
+                 find_replace=None, force: bool = False,
+                 source_file_field: Optional[str] = None) -> Table:
+    """Import delimited text (reference impex.import_table)."""
+    paths = [paths] if isinstance(paths, str) else list(paths)
+    types = dict(types or {})
+    missing_vals = {missing} if isinstance(missing, str) else set(missing)
+    comment = [comment] if isinstance(comment, str) else list(comment)
+    filter_re = re.compile(filter) if filter else None
+
+    header: Optional[List[str]] = None
+    rows: List[List[Optional[str]]] = []
+    src_files: List[str] = []
+    delim_re = re.compile(delimiter) if len(delimiter) > 1 else None
+
+    def split_line(line: str) -> List[str]:
+        if quote:
+            out, cur, in_q = [], '', False
+            i = 0
+            while i < len(line):
+                chh = line[i]
+                if in_q:
+                    if chh == quote:
+                        in_q = False
+                    else:
+                        cur += chh
+                elif chh == quote:
+                    in_q = True
+                elif (delim_re and delim_re.match(line, i)) or (not delim_re and chh == delimiter):
+                    out.append(cur)
+                    cur = ''
+                else:
+                    cur += chh
+                i += 1
+            out.append(cur)
+            return out
+        if delim_re:
+            return delim_re.split(line)
+        return line.split(delimiter)
+
+    for p in paths:
+        with _open(p) as f:
+            first = True
+            for line in f:
+                line = line.rstrip('\n')
+                if any(line.startswith(c) for c in comment):
+                    continue
+                if skip_blank_lines and not line:
+                    continue
+                if filter_re and filter_re.search(line):
+                    continue
+                if find_replace:
+                    line = re.sub(find_replace[0], find_replace[1], line)
+                parts = split_line(line)
+                if first and not no_header:
+                    if header is None:
+                        header = parts
+                    first = False
+                    continue
+                first = False
+                rows.append([None if x in missing_vals or x == '' else x for x in parts])
+                src_files.append(p)
+
+    if header is None:
+        width = max((len(r) for r in rows), default=0)
+        header = [f'f{i}' for i in range(width)]
+
+    ncol = len(header)
+    col_strs: List[List[Optional[str]]] = [[] for _ in range(ncol)]
+    for r in rows:
+        for i in range(ncol):
+            col_strs[i].append(r[i] if i < len(r) else None)
+
+    def infer(vals: List[Optional[str]]) -> ht.HailType:
+        nonnull = [v for v in vals if v is not None]
+        if not nonnull:
+            return ht.tstr
+        def all_match(f):
+            for v in nonnull:
+                try:
+                    f(v)
+                except ValueError:
+                    return False
+            return True
+        if all(v.lower() in ('true', 'false') for v in nonnull):
+            return ht.tbool
+        if all_match(int):
+            mx = max(abs(int(v)) for v in nonnull)
+            return ht.tint32 if mx < 2**31 else ht.tint64
+        if all_match(float):
+            return ht.tfloat64
+        return ht.tstr
+
+    field_types = {}
+    for i, name in enumerate(header):
+        if name in types:
+            field_types[name] = ht.dtype(types[name])
+        elif impute:
+            field_types[name] = infer(col_strs[i])
+        else:
+            field_types[name] = ht.tstr
+
+    def convert(vals, t):
+        if t == ht.tstr:
+            return C.from_pylist(t, vals)
+        def cv(v):
+            if v is None:
+                return None
+            if t == ht.tbool:
+                return v.lower() == 'true'
+            if t in (ht.tint32, ht.tint64):
+                return int(v)
+            if t in (ht.tfloat32, ht.tfloat64):
+                return float(v)
+            return v
+        return C.from_pylist(t, [cv(v) for v in vals])
+
+    cols = {name: convert(col_strs[i], field_types[name]) for i, name in enumerate(header)}
+    if source_file_field:
+        cols[source_file_field] = C.from_pylist(ht.tstr, src_files)
+        field_types[source_file_field] = ht.tstr
+    row_t = ht.tstruct(**{k: field_types[k] for k in cols})
+    b = Batch(cols, len(rows))
+    t = Table(TableStage.from_batches(Batch({}, 1), [], row_t, [b]))
+    if key:
+        key = [key] if isinstance(key, str) else list(key)
+        t = t.key_by(*key)
+    return t
+
+
+def import_lines(paths, min_partitions=None, force_bgz: bool = False,
+                 force: bool = False, file_per_partition: bool = False) -> Table:
+    paths = [paths] if isinstance(paths, str) else list(paths)
+    texts, files = [], []
+    for p in paths:
+        with _open(p) as f:
+            for line in f:
+                texts.append(line.rstrip('\n'))
+                files.append(p)
+    row_t = ht.tstruct(file=ht.tstr, text=ht.tstr)
+    b = Batch({'file': C.from_pylist(ht.tstr, files),
+               'text': C.from_pylist(ht.tstr, texts)}, len(texts))
+    return Table(TableStage.from_batches(Batch({}, 1), [], row_t, [b]))
+
+
+def export_table(table: Table, output: str, types_file: Optional[str] = None,
+                 header: bool = True, parallel=None, delimiter: str = '\t') -> None:
+    """Table.export (reference table.py export)."""
+    batch = table._stage.collect_single()
+    fields = list(batch.row_type.fields)
+    opener = gzip.open if output.endswith('.gz') or output.endswith('.bgz') else open
+    lists = {k: batch.columns[k].to_pylist() for k in fields}
+    with opener(output, 'wt') as f:
+        if header:
+            f.write(delimiter.join(fields) + '\n')
+        for i in range(batch.length):
+            f.write(delimiter.join(_export_str(lists[k][i]) for k in fields) + '\n')
+    if types_file:
+        with open(types_file, 'w') as f:
+            f.write(str(batch.row_type))
+
+
+def _export_str(v) -> str:
+    import json as _json
+    if v is None:
+        return 'NA'
+    if isinstance(v, bool):
+        return 'true' if v else 'false'
+    if isinstance(v, float):
+        return f'{v:.5e}' if (abs(v) >= 1e6 or (abs(v) < 1e-4 and v != 0)) else repr(v)
+    if isinstance(v, (list, tuple, set, frozenset, dict, Struct)):
+        return _json.dumps(v, default=lambda o: list(o) if isinstance(o, (set, frozenset))
+                           else dict(o) if isinstance(o, Struct) else str(o))
+    return str(v)
+
+
+# ---------------------------------------------------------------------------
+# FAM / BED / intervals
+# ---------------------------------------------------------------------------
+
+def import_fam(path: str, quant_pheno: bool = False, delimiter: str = r'\\s+',
+               missing: str = 'NA') -> Table:
+    rows = []
+    with _open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            parts = re.split(delimiter.replace('\\\\', '\\'), line)
+            fam, kid, dad, mom, sex, pheno = parts[:6]
+            if quant_pheno:
+                ph = None if pheno in (missing, '-9') else float(pheno)
+            else:
+                ph = {'1': False, '2': True}.get(pheno)
+            rows.append(Struct(
+                id=kid, fam_id=None if fam == '0' else fam,
+                pat_id=None if dad == '0' else dad,
+                mat_id=None if mom == '0' else mom,
+                is_female={'1': False, '2': True}.get(sex),
+                **({'quant_pheno': ph} if quant_pheno else {'is_case': ph})))
+    row_t = ht.tstruct(id=ht.tstr, fam_id=ht.tstr, pat_id=ht.tstr, mat_id=ht.tstr,
+                       is_female=ht.tbool,
+                       **({'quant_pheno': ht.tfloat64} if quant_pheno else {'is_case': ht.tbool}))
+    return Table(TableStage.from_batches(Batch({}, 1), ['id'], row_t,
+                                         [Batch.from_pylist(row_t, rows)]))
+
+
+def import_locus_intervals(path: str, reference_genome='default',
+                           skip_invalid_intervals: bool = False) -> Table:
+    """UCSC interval_list / 'chr:start-end' lines (reference
+    import_locus_intervals)."""
+    rg = _resolve_rg(reference_genome)
+    rows = []
+    with _open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith('@'):
+                continue
+            parts = line.split('\t') if '\t' in line else line.split()
+            try:
+                if len(parts) >= 3:
+                    contig, s, e = parts[0], int(parts[1]), int(parts[2])
+                    target = parts[4] if len(parts) >= 5 else None
+                    from ..genetics.locus import Locus
+                    from ..utils.structs import Interval
+                    iv = Interval(Locus(contig, s, rg), Locus(contig, e, rg), True, True)
+                    rows.append(Struct(interval=iv, target=target))
+                else:
+                    iv = F.eval_expr(F.parse_locus_interval(parts[0], rg))
+                    rows.append(Struct(interval=iv, target=None))
+            except ValueError:
+                if not skip_invalid_intervals:
+                    raise
+    row_t = ht.tstruct(interval=ht.tinterval(ht.tlocus(rg)), target=ht.tstr)
+    return Table(TableStage.from_batches(Batch({}, 1), ['interval'], row_t,
+                                         [Batch.from_pylist(row_t, rows)]))
+
+
+def import_bed(path: str, reference_genome='default',
+               skip_invalid_intervals: bool = False) -> Table:
+    """UCSC BED file → interval table (reference import_bed). BED is 0-based
+    half-open; loci are 1-based."""
+    rg = _resolve_rg(reference_genome)
+    from ..genetics.locus import Locus
+    from ..utils.structs import Interval
+    rows = []
+    with _open(path) as f:
+        for line in f:
+            line = line.strip()
+            if (not line or line.startswith('track') or line.startswith('browser')
+                    or line.startswith('#')):
+                continue
+            parts = line.split('\t') if '\t' in line else line.split()
+            try:
+                contig, s, e = parts[0], int(parts[1]), int(parts[2])
+                iv = Interval(Locus(contig, s + 1, rg), Locus(contig, e + 1, rg), True, False)
+                if len(parts) >= 4:
+                    rows.append(Struct(interval=iv, target=parts[3]))
+                else:
+                    rows.append(Struct(interval=iv))
+            except ValueError:
+                if not skip_invalid_intervals:
+                    raise
+    has_target = rows and 'target' in rows[0]
+    row_t = ht.tstruct(interval=ht.tinterval(ht.tlocus(rg)),
+                       **({'target': ht.tstr} if has_target else {}))
+    return Table(TableStage.from_batches(Batch({}, 1), ['interval'], row_t,
+                                         [Batch.from_pylist(row_t, rows)]))
+
+
+# ---------------------------------------------------------------------------
+# PLINK
+# ---------------------------------------------------------------------------
+
+def import_plink(bed: str, bim: str, fam: str, min_partitions=None,
+                 delimiter: str = r'\\s+', missing: str = 'NA',
+                 quant_pheno: bool = False, a2_reference: bool = True,
+                 reference_genome='default', contig_recoding=None,
+                 skip_invalid_loci: bool = False,
+                 n_partitions: Optional[int] = None, block_size=None) -> MatrixTable:
+    """PLINK .bed/.bim/.fam import (reference `is/hail/io/plink/LoadPlink`):
+    2-bit genotype unpacking is a vectorized numpy bit op."""
+    rg = _resolve_rg(reference_genome)
+    contig_recoding = contig_recoding or {}
+    # fam
+    fam_t = import_fam(fam, quant_pheno=quant_pheno)
+    samples = fam_t.collect()
+    n = len(samples)
+    # bim
+    variants = []
+    with _open(bim) as f:
+        for line in f:
+            parts = re.split(r'\s+', line.strip())
+            contig, vid, cm, pos, a1, a2 = parts[:6]
+            contig = contig_recoding.get(contig, contig)
+            variants.append((contig, int(pos), vid, float(cm), a1, a2))
+    m = len(variants)
+    # bed: magic 0x6c 0x1b 0x01 then ceil(n/4) bytes per variant
+    with open(bed, 'rb') as f:
+        magic = f.read(3)
+        if magic[:2] != b'\x6c\x1b':
+            raise ValueError('bad PLINK .bed magic')
+        if magic[2] != 1:
+            raise ValueError('only SNP-major .bed supported')
+        data = np.frombuffer(f.read(), dtype=np.uint8)
+    bpv = (n + 3) // 4
+    data = data[:m * bpv].reshape(m, bpv)
+    # 2-bit codes per sample: 00 hom a1, 01 missing, 10 het, 11 hom a2
+    shifts = np.arange(4, dtype=np.uint8) * 2
+    codes = (data[:, :, None] >> shifts[None, None, :]) & 0b11
+    codes = codes.reshape(m, bpv * 4)[:, :n]
+    # with a2_reference (default): ref=a2 → hom a1 (00) = 2 alts
+    miss = codes == 1
+    n_alt = np.where(codes == 0, 2, np.where(codes == 2, 1, 0)).astype(np.int32)
+    if not a2_reference:
+        n_alt = np.where(miss, 0, 2 - n_alt)
+    j = (n_alt >= 1).astype(np.int32)
+    k = (n_alt == 2).astype(np.int32)
+    packed = pack_diploid(j, k)
+
+    keep = np.ones(m, dtype=bool)
+    cidx = np.zeros(m, dtype=np.int32)
+    positions = np.zeros(m, dtype=np.int32)
+    alleles_arr = np.empty(m, dtype=object)
+    rsids = np.empty(m, dtype=object)
+    cms = np.zeros(m, dtype=np.float64)
+    for i, (contig, pos, vid, cm, a1, a2) in enumerate(variants):
+        if rg is not None and not rg.has_contig(contig):
+            if skip_invalid_loci:
+                keep[i] = False
+                continue
+            raise ValueError(f'invalid contig {contig!r}')
+        cidx[i] = rg.contig_index(contig) if rg else 0
+        positions[i] = pos
+        alleles_arr[i] = [a2, a1] if a2_reference else [a1, a2]
+        rsids[i] = vid
+        cms[i] = cm
+    sel = np.where(keep)[0]
+    row_t = ht.tstruct(locus=ht.tlocus(rg), alleles=ht.tarray(ht.tstr),
+                       rsid=ht.tstr, cm_position=ht.tfloat64)
+    mk = len(sel)
+    rows = Batch({
+        'locus': LocusColumn(ht.tlocus(rg), cidx[sel], positions[sel]),
+        'alleles': ObjectColumn(ht.tarray(ht.tstr), alleles_arr[sel]),
+        'rsid': ObjectColumn(ht.tstr, rsids[sel]),
+        'cm_position': PrimitiveColumn(ht.tfloat64, cms[sel]),
+    }, mk)
+    gt_col = PrimitiveColumn(ht.tcall, packed[sel], miss[sel] if miss[sel].any() else None)
+    mb = MatrixBatch(rows, {'GT': gt_col})
+    # sort by locus
+    from ..table import _sort_indices
+    order = np.argsort(rows.columns['locus'].global_position(), kind='stable')
+    mb = mb.gather_rows(order)
+
+    ph_field = 'quant_pheno' if quant_pheno else 'is_case'
+    col_t = ht.tstruct(s=ht.tstr, fam_id=ht.tstr, pat_id=ht.tstr, mat_id=ht.tstr,
+                       is_female=ht.tbool,
+                       **({ph_field: ht.tfloat64 if quant_pheno else ht.tbool}))
+    col_rows = [Struct(s=r.id, fam_id=r.fam_id, pat_id=r.pat_id, mat_id=r.mat_id,
+                       is_female=r.is_female, **{ph_field: r[ph_field]}) for r in samples]
+    cols = Batch.from_pylist(col_t, col_rows)
+    return MatrixTable(MatrixStage.from_batches(
+        Batch({}, 1), cols, ['locus', 'alleles'], ['s'], row_t, col_t,
+        ht.tstruct(GT=ht.tcall), [mb]))
+
+
+def export_plink(dataset: MatrixTable, output: str, call=None, fam_id=None,
+                 ind_id=None, pat_id=None, mat_id=None, is_female=None,
+                 pheno=None, varid=None, cm_position=None) -> None:
+    """Export to PLINK .bed/.bim/.fam (reference export_plink)."""
+    st = dataset._stage
+    skey = st.col_key[0]
+    samples = [r[skey] for r in st.cols.to_pylist()]
+    n = len(samples)
+    with open(output + '.fam', 'w') as f:
+        for s in samples:
+            f.write(f'0\t{s}\t0\t0\t0\t-9\n')
+    bim_lines = []
+    bed_chunks = [b'\x6c\x1b\x01']
+    for i, ctx in enumerate(st.contexts):
+        mb = st.partition_fn(ctx)
+        gt = mb.entries['GT']
+        from ..genetics.call import calls_n_alt_alleles
+        packed = np.asarray(gt.values)
+        miss = gt.missing_mask()
+        na = calls_n_alt_alleles(packed)
+        # code: ref=a2 → 2 alt = 00, het = 10, 0 alt = 11, missing = 01
+        codes = np.where(miss, 1, np.where(na == 2, 0, np.where(na == 1, 2, 3))).astype(np.uint8)
+        pad = (-codes.shape[1]) % 4
+        if pad:
+            codes = np.concatenate([codes, np.zeros((codes.shape[0], pad), np.uint8)], axis=1)
+        codes = codes.reshape(codes.shape[0], -1, 4)
+        byts = (codes[:, :, 0] | (codes[:, :, 1] << 2) | (codes[:, :, 2] << 4)
+                | (codes[:, :, 3] << 6)).astype(np.uint8)
+        bed_chunks.append(byts.tobytes())
+        loci = mb.rows.columns['locus'].to_pylist()
+        alleles = mb.rows.columns['alleles'].to_pylist()
+        for r in range(mb.n_rows):
+            l = loci[r]
+            a = alleles[r]
+            vid = f'{l.contig}:{l.position}:{a[0]}:{a[1]}'
+            bim_lines.append(f'{l.contig}\t{vid}\t0\t{l.position}\t{a[1]}\t{a[0]}\n')
+    with open(output + '.bim', 'w') as f:
+        f.writelines(bim_lines)
+    with open(output + '.bed', 'wb') as f:
+        for chunk in bed_chunks:
+            f.write(chunk)
+
+
+# ---------------------------------------------------------------------------
+# GEN
+# ---------------------------------------------------------------------------
+
+def import_gen(path: str, sample_file: str, tolerance: float = 0.2,
+               min_partitions=None, chromosome: Optional[str] = None,
+               reference_genome='default', contig_recoding=None,
+               skip_invalid_loci: bool = False) -> MatrixTable:
+    """Oxford GEN import (reference import_gen / LoadGen)."""
+    rg = _resolve_rg(reference_genome)
+    contig_recoding = contig_recoding or {}
+    samples = []
+    with _open(sample_file) as f:
+        lines = [l.strip() for l in f if l.strip()]
+    for line in lines[2:]:
+        samples.append(line.split()[0])
+    n = len(samples)
+    rows_meta = []
+    gps = []
+    with _open(path) as f:
+        for line in f:
+            parts = line.split()
+            if chromosome is not None:
+                contig, vid, rsid_, pos, a1, a2 = chromosome, parts[0], parts[1], parts[2], parts[3], parts[4]
+                probs = parts[5:]
+            else:
+                contig, vid, rsid_, pos, a1, a2 = parts[:6]
+                probs = parts[6:]
+            contig = contig_recoding.get(contig, contig)
+            if rg is not None and not rg.has_contig(contig):
+                if skip_invalid_loci:
+                    continue
+                raise ValueError(f'invalid contig {contig!r}')
+            rows_meta.append((contig, int(pos), vid, rsid_, a1, a2))
+            gps.append([float(x) for x in probs])
+    m = len(rows_meta)
+    gp = np.asarray(gps, dtype=np.float64).reshape(m, n, 3)
+    tot = gp.sum(axis=2)
+    miss = np.abs(tot - 1.0) > tolerance
+    gpn = gp / np.maximum(tot[..., None], 1e-300)
+    best = np.argmax(gpn, axis=2)
+    j = (best >= 1).astype(np.int32)
+    k = (best == 2).astype(np.int32)
+    packed = pack_diploid(j, k)
+    row_t = ht.tstruct(locus=ht.tlocus(rg), alleles=ht.tarray(ht.tstr),
+                       varid=ht.tstr, rsid=ht.tstr)
+    alleles_arr = np.empty(m, dtype=object)
+    varids = np.empty(m, dtype=object)
+    rsids = np.empty(m, dtype=object)
+    cidx = np.zeros(m, np.int32)
+    positions = np.zeros(m, np.int32)
+    for i, (contig, pos, vid, rsid_, a1, a2) in enumerate(rows_meta):
+        cidx[i] = rg.contig_index(contig)
+        positions[i] = pos
+        alleles_arr[i] = [a1, a2]
+        varids[i] = vid
+        rsids[i] = rsid_
+    rows = Batch({
+        'locus': LocusColumn(ht.tlocus(rg), cidx, positions),
+        'alleles': ObjectColumn(ht.tarray(ht.tstr), alleles_arr),
+        'varid': ObjectColumn(ht.tstr, varids),
+        'rsid': ObjectColumn(ht.tstr, rsids),
+    }, m)
+    ents = {
+        'GT': PrimitiveColumn(ht.tcall, packed, miss if miss.any() else None),
+        'GP': DenseArrayColumn(ht.tarray(ht.tfloat64), gpn,
+                               np.full((m, n), 3, np.int32), None,
+                               miss if miss.any() else None),
+    }
+    cols = Batch({'s': C.from_pylist(ht.tstr, samples)}, n)
+    return MatrixTable(MatrixStage.from_batches(
+        Batch({}, 1), cols, ['locus', 'alleles'], ['s'], row_t,
+        ht.tstruct(s=ht.tstr), ht.tstruct(GT=ht.tcall, GP=ht.tarray(ht.tfloat64)),
+        [MatrixBatch(rows, ents)]))
+
+
+def export_gen(dataset: MatrixTable, output: str, precision: int = 4,
+               gp=None, id1=None, id2=None, missing=None, varid=None,
+               rsid=None) -> None:
+    st = dataset._stage
+    skey = st.col_key[0]
+    samples = [r[skey] for r in st.cols.to_pylist()]
+    with open(output + '.sample', 'w') as f:
+        f.write('ID_1 ID_2 missing\n0 0 0\n')
+        for s in samples:
+            f.write(f'{s} {s} 0\n')
+    with open(output + '.gen', 'w') as f:
+        for ictx, ctx in enumerate(st.contexts):
+            mb = st.partition_fn(ctx)
+            loci = mb.rows.columns['locus'].to_pylist()
+            alleles = mb.rows.columns['alleles'].to_pylist()
+            gp_col = mb.entries.get('GP')
+            for r in range(mb.n_rows):
+                l = loci[r]
+                a = alleles[r]
+                vid = f'{l.contig}:{l.position}:{a[0]}:{a[1]}'
+                parts = [l.contig, vid, vid, str(l.position), a[0], a[1]]
+                if gp_col is not None:
+                    vals = gp_col.values[r]
+                    mm = gp_col.missing_mask()[r]
+                    for jx in range(len(samples)):
+                        if mm[jx]:
+                            parts.extend(['0', '0', '0'])
+                        else:
+                            parts.extend(f'{vals[jx, t]:.{precision}f}' for t in range(3))
+                f.write(' '.join(parts) + '\n')
+
+
+# ---------------------------------------------------------------------------
+# matrix table from text
+# ---------------------------------------------------------------------------
+
+def import_matrix_table(paths, row_fields=None, row_key=(), entry_type=ht.tint32,
+                        missing: str = 'NA', min_partitions=None,
+                        no_header: bool = False, force_bgz: bool = False,
+                        sep: Optional[str] = None, delimiter: str = '\t') -> MatrixTable:
+    """Import a dense text matrix (reference import_matrix_table)."""
+    delimiter = sep or delimiter
+    paths = [paths] if isinstance(paths, str) else list(paths)
+    row_fields = dict(row_fields or {})
+    entry_type = ht.dtype(entry_type)
+    header = None
+    data_rows = []
+    for p in paths:
+        with _open(p) as f:
+            for line in f:
+                line = line.rstrip('\n')
+                if header is None and not no_header:
+                    header = line.split(delimiter)
+                    continue
+                data_rows.append(line.split(delimiter))
+    n_row_fields = len(row_fields)
+    if header is None:
+        width = len(data_rows[0]) if data_rows else 0
+        col_ids = [str(i) for i in range(width - n_row_fields)]
+        rf_names = list(row_fields.keys())
+    else:
+        rf_names = header[:n_row_fields]
+        col_ids = header[n_row_fields:]
+    n = len(col_ids)
+    m = len(data_rows)
+    rf_types = {k: ht.dtype(v) for k, v in row_fields.items()}
+    rf_cols = {}
+    for i, name in enumerate(rf_names):
+        t = rf_types.get(name, ht.tstr)
+        vals = [r[i] if r[i] != missing else None for r in data_rows]
+        def cv(v, t=t):
+            if v is None:
+                return None
+            if t in (ht.tint32, ht.tint64):
+                return int(v)
+            if t in (ht.tfloat32, ht.tfloat64):
+                return float(v)
+            return v
+        rf_cols[name] = C.from_pylist(t, [cv(v) for v in vals])
+    ent = np.zeros((m, n), dtype=entry_type.numpy_dtype or np.float64)
+    emiss = np.zeros((m, n), dtype=bool)
+    for r, row in enumerate(data_rows):
+        for c in range(n):
+            v = row[n_row_fields + c]
+            if v == missing:
+                emiss[r, c] = True
+            elif entry_type in (ht.tint32, ht.tint64):
+                ent[r, c] = int(v)
+            elif entry_type in (ht.tfloat32, ht.tfloat64):
+                ent[r, c] = float(v)
+    rf_cols['row_id'] = PrimitiveColumn(ht.tint64, np.arange(m, dtype=np.int64))
+    row_t = ht.tstruct(row_id=ht.tint64, **{k: rf_cols[k].typ for k in rf_names})
+    rows = Batch({'row_id': rf_cols['row_id'], **{k: rf_cols[k] for k in rf_names}}, m)
+    cols = Batch({'col_id': C.from_pylist(ht.tstr, col_ids)}, n)
+    return MatrixTable(MatrixStage.from_batches(
+        Batch({}, 1), cols, list(row_key) or ['row_id'], ['col_id'], row_t,
+        ht.tstruct(col_id=ht.tstr), ht.tstruct(x=entry_type),
+        [MatrixBatch(rows, {'x': PrimitiveColumn(entry_type, ent,
+                                                 emiss if emiss.any() else None)})]))
+
+
+def grep(regex: str, path, max_count: int = 100, *, show: bool = True):
+    paths = [path] if isinstance(path, str) else list(path)
+    pat = re.compile(regex)
+    out = {}
+    for p in paths:
+        matches = []
+        with _open(p) as f:
+            for line in f:
+                if pat.search(line):
+                    matches.append(line.rstrip('\n'))
+                    if len(matches) >= max_count:
+                        break
+        if matches:
+            out[p] = matches
+    if show:
+        for p, ms in out.items():
+            for m_ in ms:
+                print(f'{p}: {m_}')
+        return None
+    return out

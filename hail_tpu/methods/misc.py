@@ -1,0 +1,254 @@
+"""Misc methods: filter_intervals, rename_duplicates, concordance,
+compute_charr, segment_intervals.
+
+Parity with reference `hail/python/hail/methods/misc.py` + `qc.py`
+(concordance/compute_charr).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Union
+
+import numpy as np
+
+from .. import types as ht
+from ..expr import functions as F
+from ..expr.expression import to_expr
+from ..genetics.call import calls_unphased_diploid_gt_index
+from ..ir import columns as C
+from ..ir.columns import Batch, LocusColumn, ObjectColumn, PrimitiveColumn
+from ..matrixtable import MatrixBatch, MatrixStage, MatrixTable
+from ..table import Table, TableStage
+from ..utils.structs import Interval, Struct
+
+
+def filter_intervals(ds, intervals, keep: bool = True):
+    """Filter rows to (or excluding) a list of locus intervals — vectorized
+    via global positions (the reference's interval-pushdown partition pruning,
+    `ExtractIntervalFilters.scala`, becomes a mask here)."""
+    ivs = []
+    for iv in intervals:
+        if isinstance(iv, Interval):
+            ivs.append(iv)
+        else:
+            v = F.eval_expr(to_expr(iv))
+            ivs.append(v)
+
+    def row_mask(locus_col: LocusColumn) -> np.ndarray:
+        gp = locus_col.global_position()
+        rg = locus_col.rg
+        m = np.zeros(gp.shape, dtype=bool)
+        for iv in ivs:
+            s, e = iv.start, iv.end
+            if hasattr(s, 'global_position'):
+                gs, ge = s.global_position(), e.global_position()
+            else:
+                gs, ge = s, e
+            lo = gp > gs if not iv.includes_start else gp >= gs
+            hi = gp < ge if not iv.includes_end else gp <= ge
+            m |= lo & hi
+        return m if keep else ~m
+
+    if isinstance(ds, MatrixTable):
+        def f(mb, i):
+            mask = row_mask(mb.rows.columns['locus'])
+            return mb.filter_rows(mask)
+        return MatrixTable(ds._stage.map_partitions(f))
+    else:
+        def f(batch, i):
+            key0 = ds._stage.key[0]
+            mask = row_mask(batch.columns[key0])
+            return batch.compress(mask)
+        return Table(ds._stage.map_partitions(f, ds._stage.row_type))
+
+
+def rename_duplicates(dataset: MatrixTable, name: str = 'unique_id') -> MatrixTable:
+    st = dataset._stage
+    skey = st.col_key[0]
+    samples = [r[skey] for r in st.cols.to_pylist()]
+    seen = {}
+    uniq = []
+    for s in samples:
+        if s in seen:
+            seen[s] += 1
+            uniq.append(f'{s}_{seen[s]}')
+        else:
+            seen[s] = 0
+            uniq.append(s)
+    return _annotate_col_list(dataset, name, uniq)
+
+
+def _annotate_col_list(mt: MatrixTable, name: str, values: List) -> MatrixTable:
+    st = mt._stage
+    col = C.from_pylist(ht.tstr, values)
+    cb = st.cols.annotate(**{name: col})
+    return MatrixTable(MatrixStage(st.globals, cb, st.row_key, st.col_key,
+                                   st.row_type, cb.row_type, st.entry_type,
+                                   st.contexts, st.partition_fn))
+
+
+def segment_intervals(ht_table: Table, points) -> Table:
+    """Segment an interval-keyed table at the given points (reference
+    misc.segment_intervals)."""
+    key0 = ht_table._stage.key[0]
+    batch = ht_table._stage.collect_single()
+    ivs = batch.columns[key0].to_pylist()
+    others = {k: batch.columns[k].to_pylist() for k in batch.row_type.fields if k != key0}
+    pts = sorted(points, key=lambda p: getattr(p, 'global_position', lambda: p)()
+                 if hasattr(p, 'global_position') else p)
+    out_rows = []
+    for i, iv in enumerate(ivs):
+        cuts = [p for p in pts if iv.contains(p)]
+        bounds = [iv.start] + cuts + [iv.end]
+        for j in range(len(bounds) - 1):
+            seg = Interval(bounds[j], bounds[j + 1],
+                           iv.includes_start if j == 0 else True,
+                           iv.includes_end if j == len(bounds) - 2 else False)
+            out_rows.append(Struct(**{key0: seg, **{k: v[i] for k, v in others.items()}}))
+    row_t = batch.row_type
+    return Table(TableStage.from_batches(ht_table._stage.globals, [key0], row_t,
+                                         [Batch.from_pylist(row_t, out_rows)]))
+
+
+def compute_charr(ds: MatrixTable, min_af: float = 0.05, max_af: float = 0.95,
+                  min_dp: int = 10, max_dp: int = 100, min_gq: int = 20,
+                  ref_AF=None) -> Table:
+    """CHARR contamination estimate (reference qc.compute_charr): mean ref-read
+    fraction at high-quality hom-alt sites."""
+    from ..genetics.call import calls_is_hom_var
+    st = ds._stage
+    n = st.n_cols
+    num = np.zeros(n)
+    den = np.zeros(n, dtype=np.int64)
+    for i, ctx in enumerate(st.contexts):
+        mb = st.partition_fn(ctx)
+        gt = mb.entries['GT']
+        ad = mb.entries.get('AD')
+        dp = mb.entries.get('DP')
+        gq = mb.entries.get('GQ')
+        if ad is None:
+            raise ValueError('compute_charr requires AD entry field')
+        packed = np.asarray(gt.values)
+        ok = ~gt.missing_mask() & calls_is_hom_var(packed)
+        adv = ad.values.astype(np.float64)
+        tot = adv.sum(axis=-1)
+        if dp is not None:
+            dpv = np.asarray(dp.values, dtype=np.float64)
+            ok &= (dpv >= min_dp) & (dpv <= max_dp) & ~dp.missing_mask()
+        if gq is not None:
+            ok &= (np.asarray(gq.values) >= min_gq) & ~gq.missing_mask()
+        # site af filter
+        af = None
+        if ref_AF is not None:
+            env = ds._row_env(mb, i)
+            col = to_expr(ref_AF)._ir.evaluate(env)
+            af = np.asarray(col.values, dtype=np.float64)
+        else:
+            na = (ok * 0)
+            # estimate from data: alt freq over called
+            from ..genetics.call import calls_n_alt_alleles
+            called = ~gt.missing_mask()
+            with np.errstate(all='ignore'):
+                af = calls_n_alt_alleles(packed).astype(np.float64).sum(
+                    axis=1, where=called) / np.maximum(2 * called.sum(axis=1), 1)
+        site_ok = (af >= min_af) & (af <= max_af)
+        ok &= site_ok[:, None]
+        with np.errstate(all='ignore'):
+            ref_frac = adv[..., 0] / np.maximum(tot, 1)
+            charr_per = ref_frac / np.maximum(1 - af, 1e-6)[:, None]
+        num += np.where(ok, charr_per, 0.0).sum(axis=0)
+        den += ok.sum(axis=0)
+    with np.errstate(all='ignore'):
+        charr = num / np.maximum(den, 1)
+    skey = st.col_key[0]
+    samples = [r[skey] for r in st.cols.to_pylist()]
+    row_t = ht.tstruct(s=ht.tstr, charr=ht.tfloat64)
+    rows = [Struct(s=s, charr=float(charr[i])) for i, s in enumerate(samples)]
+    return Table(TableStage.from_batches(Batch({}, 1), ['s'], row_t,
+                                         [Batch.from_pylist(row_t, rows)]))
+
+
+def concordance(left: MatrixTable, right: MatrixTable,
+                *, _localize_global_statistics: bool = True):
+    """Genotype concordance between two datasets (reference qc.concordance):
+    returns (global 5x5 matrix, per-sample table, per-variant table).
+    Categories: [missing variant, missing GT, hom ref, het, hom var]."""
+    from ..table import _key_tuples
+    lst, rst = left._stage, right._stage
+    skey_l, skey_r = lst.col_key[0], rst.col_key[0]
+    ls = [r[skey_l] for r in lst.cols.to_pylist()]
+    rs = [r[skey_r] for r in rst.cols.to_pylist()]
+    common = [s for s in ls if s in set(rs)]
+    li = np.asarray([ls.index(s) for s in common])
+    ri = np.asarray([rs.index(s) for s in common])
+
+    from ..matrixtable import _concat_matrix_batches
+    lmb = _concat_matrix_batches(lst.collect_batches(), lst)
+    rmb = _concat_matrix_batches(rst.collect_batches(), rst)
+    lkeys = _key_tuples(lmb.rows, lst.row_key)
+    rkeys = _key_tuples(rmb.rows, rst.row_key)
+    rmap = {k: i for i, k in enumerate(rkeys)}
+
+    def gt_cat(packed, miss):
+        from ..genetics.call import calls_n_alt_alleles
+        cat = np.where(miss, 1, 2 + np.clip(calls_n_alt_alleles(packed), 0, 2))
+        return cat
+
+    n_common = len(common)
+    glob = np.zeros((5, 5), dtype=np.int64)
+    per_sample = np.zeros((n_common, 5, 5), dtype=np.int64)
+    pv_rows = []
+    lp = np.asarray(lmb.entries['GT'].values)[:, li]
+    lm = lmb.entries['GT'].missing_mask()[:, li]
+    rp = np.asarray(rmb.entries['GT'].values)[:, ri]
+    rm = rmb.entries['GT'].missing_mask()[:, ri]
+    lcat_all = gt_cat(lp, lm)
+    rcat_all = gt_cat(rp, rm)
+    locus_l = lmb.rows.columns['locus'].to_pylist()
+    alleles_l = lmb.rows.columns['alleles'].to_pylist()
+    for i, k in enumerate(lkeys):
+        j = rmap.get(k)
+        if j is None:
+            lcat = lcat_all[i]
+            mat = np.zeros((5, 5), dtype=np.int64)
+            for c in range(5):
+                mat[c, 0] = int((lcat == c).sum())
+        else:
+            lcat = lcat_all[i]
+            rcat = rcat_all[j]
+            mat = np.zeros((5, 5), dtype=np.int64)
+            np.add.at(mat, (lcat, rcat), 1)
+            per_sample += (np.arange(5)[None, :, None] == lcat[:, None, None]) * \
+                          (np.arange(5)[None, None, :] == rcat[:, None, None])
+        glob += mat
+        pv_rows.append(Struct(locus=locus_l[i], alleles=alleles_l[i],
+                              concordance=[[int(x) for x in row] for row in mat],
+                              n_discordant=int(_n_discordant(mat))))
+    # right-only variants
+    lset = set(lkeys)
+    for j, k in enumerate(rkeys):
+        if k not in lset:
+            rcat = rcat_all[j]
+            mat = np.zeros((5, 5), dtype=np.int64)
+            for c in range(5):
+                mat[0, c] = int((rcat == c).sum())
+            glob += mat
+
+    conc_t = ht.tarray(ht.tarray(ht.tint64))
+    cols_rows = [Struct(s=s, concordance=[[int(x) for x in row] for row in per_sample[i]],
+                        n_discordant=int(_n_discordant(per_sample[i])))
+                 for i, s in enumerate(common)]
+    cs_t = ht.tstruct(s=ht.tstr, concordance=conc_t, n_discordant=ht.tint64)
+    cols_table = Table(TableStage.from_batches(Batch({}, 1), ['s'], cs_t,
+                                               [Batch.from_pylist(cs_t, cols_rows)]))
+    pv_t = ht.tstruct(locus=lst.row_type['locus'], alleles=lst.row_type['alleles'],
+                      concordance=conc_t, n_discordant=ht.tint64)
+    rows_table = Table(TableStage.from_batches(Batch({}, 1), ['locus', 'alleles'], pv_t,
+                                               [Batch.from_pylist(pv_t, pv_rows)]))
+    return [[int(x) for x in row] for row in glob], cols_table, rows_table
+
+
+def _n_discordant(mat: np.ndarray) -> int:
+    # discordant = both called (cats 2..4) and different
+    sub = mat[2:, 2:]
+    return int(sub.sum() - np.trace(sub))

@@ -1,0 +1,935 @@
+"""Statistical genetics methods.
+
+Capability parity with reference `hail/python/hail/methods/statgen.py`:
+linear/logistic/poisson regression_rows (the `_linear_regression_rows_nd`
+blocked-GEMM blueprint, statgen.py:419-700, mapped to jitted jnp kernels in
+hail_tpu.ops.regression), balding_nichols_model, split_multi(_hts),
+impute_sex, GRM/RRM/row_correlation/ld_matrix/ld_prune over BlockMatrix, and
+SKAT with generalized-chi-squared p-values.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from .. import types as ht
+from ..context import Env
+from ..expr import aggregators as agg
+from ..expr import functions as F
+from ..expr.expression import Expression, to_expr
+from ..genetics.call import (PLOIDY_MASK, J_SHIFT, K_SHIFT, calls_allele_j,
+                             calls_allele_k, calls_is_het, calls_n_alt_alleles,
+                             pack_diploid)
+from ..ir import columns as C
+from ..ir.columns import (Batch, Column, DenseArrayColumn, LocusColumn,
+                          ObjectColumn, PrimitiveColumn, StructColumn)
+from ..matrixtable import MatrixBatch, MatrixStage, MatrixTable
+from ..table import Table, TableStage
+from ..utils.structs import Struct
+
+
+# ---------------------------------------------------------------------------
+# entry-expression → dense block helpers (the on-ramp to the jit tier)
+# ---------------------------------------------------------------------------
+
+def _eval_entry_f64(mt: MatrixTable, expr: Expression, mb: MatrixBatch,
+                    part_idx: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Evaluate an entry expression to ((R, C) float64, missing bool)."""
+    env = mt._entry_env(mb, part_idx)
+    col = expr._ir.evaluate(env)
+    if col.shape != env.shape:
+        col = col.broadcast_to(env.shape)
+    vals = np.asarray(col.values, dtype=np.float64) if isinstance(col, PrimitiveColumn) else \
+        np.asarray([[0.0 if v is None else float(v) for v in row]
+                    for row in C.to_object(col).values], dtype=np.float64)
+    return vals, col.missing_mask()
+
+
+def _entry_expr_to_blocks(entry_expr) -> Tuple[np.ndarray, np.ndarray]:
+    e = to_expr(entry_expr)
+    mt = e._indices.source
+    if mt is None or not isinstance(mt, MatrixTable):
+        raise ValueError('entry expression must come from a MatrixTable')
+    Gs, Ms = [], []
+    for i, ctx in enumerate(mt._stage.contexts):
+        mb = mt._stage.partition_fn(ctx)
+        G, M = _eval_entry_f64(mt, e, mb, i)
+        Gs.append(G)
+        Ms.append(M)
+    return np.concatenate(Gs, axis=0), np.concatenate(Ms, axis=0)
+
+
+def _eval_col_f64(mt: MatrixTable, expr: Expression) -> Tuple[np.ndarray, np.ndarray]:
+    col = mt._eval_col_expr(to_expr(expr))
+    vals = np.asarray(col.values, dtype=np.float64) if isinstance(col, PrimitiveColumn) else \
+        np.asarray([0.0 if v is None else float(v) for v in C.to_object(col).values],
+                   dtype=np.float64)
+    return vals, col.missing_mask()
+
+
+def _covariate_matrix(mt: MatrixTable, covariates) -> Tuple[np.ndarray, np.ndarray]:
+    covs = list(covariates)
+    if not covs:
+        raise ValueError('at least one covariate required (include an intercept, e.g. 1.0)')
+    cols, miss = [], []
+    for cexp in covs:
+        v, m = _eval_col_f64(mt, to_expr(cexp))
+        n = mt._stage.n_cols
+        if v.shape == () or v.shape == (1,):
+            v = np.full(n, float(v.ravel()[0]) if v.size else 0.0)
+            m = np.zeros(n, dtype=bool)
+        cols.append(v)
+        miss.append(m)
+    Cv = np.stack(cols, axis=1)
+    Mv = np.stack(miss, axis=1).any(axis=1)
+    return Cv, Mv
+
+
+def _result_table_from_rows(mt: MatrixTable, per_part_fn, out_fields: List[Tuple[str, ht.HailType]],
+                            pass_through=()) -> Table:
+    """Build a rows-keyed Table: row key fields + pass_through + computed
+    columns via per_part_fn(mb, i) → dict[str, Column]."""
+    st = mt._stage
+    key_fields = st.row_key
+    pt_names = [p if isinstance(p, str) else p._ir.name for p in pass_through]
+    row_t = ht.tstruct.from_fields(
+        [(k, st.row_type[k]) for k in key_fields]
+        + [(p, st.row_type[p]) for p in pt_names]
+        + out_fields)
+
+    pf = st.partition_fn
+    def part(ctx):
+        i, inner = ctx if isinstance(ctx, tuple) else (0, ctx)
+        mb = pf(inner) if isinstance(ctx, tuple) else pf(ctx)
+        computed = per_part_fn(mb, i)
+        cols = {k: mb.rows.columns[k] for k in key_fields}
+        for p in pt_names:
+            cols[p] = mb.rows.columns[p]
+        cols.update(computed)
+        return Batch(cols, mb.n_rows)
+    ctxs = [(i, c) for i, c in enumerate(st.contexts)]
+    return Table(TableStage(st.globals, key_fields, row_t, ctxs, part))
+
+
+# ---------------------------------------------------------------------------
+# linear regression
+# ---------------------------------------------------------------------------
+
+def linear_regression_rows(y, x, covariates, block_size: int = 16,
+                           pass_through=(), weights=None) -> Table:
+    """Per-variant OLS GWAS (reference `statgen.py:419`
+    `_linear_regression_rows_nd`): projection-trick batched GEMMs on the
+    device (ops/regression.py linreg_block)."""
+    if weights is not None:
+        raise NotImplementedError('weighted linear regression: planned (round 2)')
+    from ..ops.regression import linreg_stats
+
+    y_is_list = isinstance(y, (list, tuple))
+    ys = list(y) if y_is_list else [y]
+    xe = to_expr(x)
+    mt = xe._indices.source
+    if mt is None:
+        raise ValueError('x must be an entry expression')
+
+    Y_cols, Y_miss = [], []
+    for ye in ys:
+        v, m = _eval_col_f64(mt, to_expr(ye))
+        Y_cols.append(v)
+        Y_miss.append(m)
+    Y = np.stack(Y_cols, axis=1)                  # (C, P)
+    Cov, cov_miss = _covariate_matrix(mt, covariates)
+    keep = ~(np.stack(Y_miss, axis=1).any(axis=1) | cov_miss)
+    Yk = Y[keep]
+    Ck = Cov[keep]
+    n = int(keep.sum())
+    k = Ck.shape[1]
+    dof = n - k - 1
+    if dof < 1:
+        raise ValueError(f'n={n} samples with k={k} covariates: not enough degrees of freedom')
+
+    Q, _ = np.linalg.qr(Ck)                        # (n, k)
+    Y_r = Yk - Q @ (Q.T @ Yk)
+    yty_r = (Y_r * Y_r).sum(axis=0)
+
+    P = Y.shape[1]
+    arr_f = ht.tarray(ht.tfloat64)
+    if y_is_list:
+        out_fields = [('n', ht.tint32), ('sum_x', ht.tfloat64),
+                      ('y_transpose_x', arr_f), ('beta', arr_f),
+                      ('standard_error', arr_f), ('t_stat', arr_f),
+                      ('p_value', arr_f)]
+    else:
+        out_fields = [('n', ht.tint32), ('sum_x', ht.tfloat64),
+                      ('y_transpose_x', ht.tfloat64), ('beta', ht.tfloat64),
+                      ('standard_error', ht.tfloat64), ('t_stat', ht.tfloat64),
+                      ('p_value', ht.tfloat64)]
+
+    def per_part(mb, i):
+        G, M = _eval_entry_f64(mt, xe, mb, i)
+        Gk = G[:, keep]
+        Mk = M[:, keep]
+        res = linreg_stats(Gk, Mk, Q, Y_r, yty_r, dof)
+        bad = res['bad']
+        R = G.shape[0]
+        def arr_col(a):
+            a = np.where(bad[:, None], 0.0, a)
+            col = DenseArrayColumn(arr_f, a, np.full(R, P, np.int32),
+                                   None, bad if bad.any() else None)
+            return col
+        def scal_col(a, t=ht.tfloat64, maskable=True):
+            m = bad if (maskable and bad.any()) else None
+            return PrimitiveColumn(t, np.where(bad, 0, a) if maskable else a, m)
+        if y_is_list:
+            return {
+                'n': PrimitiveColumn(ht.tint32, res['n'].astype(np.int32)),
+                'sum_x': PrimitiveColumn(ht.tfloat64, res['sum_x']),
+                'y_transpose_x': arr_col(res['y_transpose_x']),
+                'beta': arr_col(res['beta']),
+                'standard_error': arr_col(res['standard_error']),
+                't_stat': arr_col(res['t_stat']),
+                'p_value': arr_col(res['p_value']),
+            }
+        return {
+            'n': PrimitiveColumn(ht.tint32, res['n'].astype(np.int32)),
+            'sum_x': PrimitiveColumn(ht.tfloat64, res['sum_x']),
+            'y_transpose_x': scal_col(res['y_transpose_x'][:, 0]),
+            'beta': scal_col(res['beta'][:, 0]),
+            'standard_error': scal_col(res['standard_error'][:, 0]),
+            't_stat': scal_col(res['t_stat'][:, 0]),
+            'p_value': scal_col(res['p_value'][:, 0]),
+        }
+
+    return _result_table_from_rows(mt, per_part, out_fields, pass_through)
+
+
+# ---------------------------------------------------------------------------
+# logistic / poisson regression
+# ---------------------------------------------------------------------------
+
+_LOGREG_TESTS = ('wald', 'lrt', 'score', 'firth')
+
+
+def logistic_regression_rows(test: str, y, x, covariates, pass_through=(),
+                             max_iterations: int = 25, tolerance: float = 1e-6) -> Table:
+    """Per-variant logistic GWAS, tests wald/lrt/score/firth (reference
+    `statgen.py:731` + `is/hail/methods/LogisticRegression.scala`), batched
+    Newton iterations on the device."""
+    if test not in _LOGREG_TESTS:
+        raise ValueError(f'test must be one of {_LOGREG_TESTS}')
+    import jax.numpy as jnp
+    import scipy.stats as sstats
+    from ..ops.regression import (firth_fit, firth_null_fit, glm_per_variant_fit,
+                                  glm_score_test, logreg_null_fit)
+
+    xe = to_expr(x)
+    mt = xe._indices.source
+    yv, ym = _eval_col_f64(mt, to_expr(y))
+    Cov, cov_miss = _covariate_matrix(mt, covariates)
+    keep = ~(ym | cov_miss)
+    yk = yv[keep]
+    Ck = Cov[keep]
+    if not np.all((yk == 0) | (yk == 1)):
+        raise ValueError('y must be boolean or 0/1 for logistic regression')
+
+    beta_null, mu_null, null_conv, ll_null, null_it = logreg_null_fit(
+        jnp.asarray(Ck), jnp.asarray(yk), max_iterations, tolerance)
+    beta_null = np.asarray(beta_null)
+    ll_null_v = float(ll_null)
+    k = Ck.shape[1]
+
+    if test == 'firth':
+        b0 = jnp.zeros(k).at[0].set(float(beta_null[0]))
+        fb_null, ll0_pen, f_null_conv = firth_null_fit(jnp.asarray(Ck), jnp.asarray(yk),
+                                                       jnp.asarray(beta_null), 100, tolerance)
+        ll_null_pen = float(ll0_pen)
+
+    fit_t = ht.tstruct(n_iterations=ht.tint32, converged=ht.tbool, exploded=ht.tbool)
+    if test == 'wald':
+        out_fields = [('beta', ht.tfloat64), ('standard_error', ht.tfloat64),
+                      ('z_stat', ht.tfloat64), ('p_value', ht.tfloat64), ('fit', fit_t)]
+    elif test == 'lrt':
+        out_fields = [('beta', ht.tfloat64), ('chi_sq_stat', ht.tfloat64),
+                      ('p_value', ht.tfloat64), ('fit', fit_t)]
+    elif test == 'score':
+        out_fields = [('chi_sq_stat', ht.tfloat64), ('p_value', ht.tfloat64)]
+    else:
+        out_fields = [('beta', ht.tfloat64), ('chi_sq_stat', ht.tfloat64),
+                      ('p_value', ht.tfloat64), ('fit', fit_t)]
+
+    def fit_struct(R, its, conv):
+        return StructColumn(fit_t, {
+            'n_iterations': PrimitiveColumn(ht.tint32, np.full(R, its, np.int32)),
+            'converged': PrimitiveColumn(ht.tbool, conv),
+            'exploded': PrimitiveColumn(ht.tbool, np.zeros(R, bool)),
+        }, None, (R,))
+
+    def per_part(mb, i):
+        G, M = _eval_entry_f64(mt, xe, mb, i)
+        Gk = jnp.asarray(G[:, keep])
+        Mk = jnp.asarray(M[:, keep])
+        R = G.shape[0]
+        if test == 'score':
+            chi2, cnt = glm_score_test(Gk, Mk, jnp.asarray(Ck), jnp.asarray(yk),
+                                       jnp.asarray(beta_null))
+            chi2 = np.asarray(chi2)
+            p = sstats.chi2.sf(chi2, 1)
+            return {'chi_sq_stat': PrimitiveColumn(ht.tfloat64, chi2),
+                    'p_value': PrimitiveColumn(ht.tfloat64, p)}
+        if test == 'firth':
+            b_start = jnp.concatenate([jnp.broadcast_to(jnp.asarray(beta_null), (R, k)),
+                                       jnp.zeros((R, 1))], axis=1)
+            b, ll_pen, conv, its, cnt = firth_fit(Gk, Mk, jnp.asarray(Ck),
+                                                  jnp.asarray(yk), b_start, 100, tolerance)
+            b = np.asarray(b)
+            chi2 = 2 * (np.asarray(ll_pen) - ll_null_pen)
+            p = sstats.chi2.sf(np.maximum(chi2, 0), 1)
+            conv = np.asarray(conv)
+            return {'beta': PrimitiveColumn(ht.tfloat64, b[:, k], ~conv if (~conv).any() else None),
+                    'chi_sq_stat': PrimitiveColumn(ht.tfloat64, chi2),
+                    'p_value': PrimitiveColumn(ht.tfloat64, p),
+                    'fit': fit_struct(R, int(its), conv)}
+        b, se_g, ll, conv, its, cnt = glm_per_variant_fit(
+            Gk, Mk, jnp.asarray(Ck), jnp.asarray(yk), jnp.asarray(beta_null),
+            max_iterations, tolerance, 'logistic')
+        b = np.asarray(b)
+        se_g = np.asarray(se_g)
+        conv = np.asarray(conv)
+        nm = ~conv
+        mm = nm if nm.any() else None
+        if test == 'wald':
+            z = b[:, k] / se_g
+            p = 2 * sstats.norm.sf(np.abs(z))
+            return {'beta': PrimitiveColumn(ht.tfloat64, b[:, k], mm),
+                    'standard_error': PrimitiveColumn(ht.tfloat64, se_g, mm),
+                    'z_stat': PrimitiveColumn(ht.tfloat64, z, mm),
+                    'p_value': PrimitiveColumn(ht.tfloat64, p, mm),
+                    'fit': fit_struct(R, int(its), conv)}
+        chi2 = 2 * (np.asarray(ll) - ll_null_v)
+        p = sstats.chi2.sf(np.maximum(chi2, 0), 1)
+        return {'beta': PrimitiveColumn(ht.tfloat64, b[:, k], mm),
+                'chi_sq_stat': PrimitiveColumn(ht.tfloat64, chi2, mm),
+                'p_value': PrimitiveColumn(ht.tfloat64, p, mm),
+                'fit': fit_struct(R, int(its), conv)}
+
+    return _result_table_from_rows(mt, per_part, out_fields, pass_through)
+
+
+def poisson_regression_rows(test: str, y, x, covariates, pass_through=(),
+                            max_iterations: int = 25, tolerance: float = 1e-6) -> Table:
+    """Per-variant Poisson regression (reference statgen
+    poisson_regression_rows)."""
+    if test not in ('wald', 'lrt', 'score'):
+        raise ValueError('poisson test must be wald/lrt/score')
+    import jax.numpy as jnp
+    import scipy.stats as sstats
+    from ..ops.regression import glm_per_variant_fit, glm_score_test
+
+    xe = to_expr(x)
+    mt = xe._indices.source
+    yv, ym = _eval_col_f64(mt, to_expr(y))
+    Cov, cov_miss = _covariate_matrix(mt, covariates)
+    keep = ~(ym | cov_miss)
+    yk = yv[keep]
+    Ck = Cov[keep]
+    # null fit: Newton for poisson
+    k = Ck.shape[1]
+    beta = np.zeros(k)
+    beta[0] = math.log(max(yk.mean(), 1e-12))
+    for _ in range(50):
+        mu = np.exp(Ck @ beta)
+        grad = Ck.T @ (yk - mu)
+        H = (Ck * mu[:, None]).T @ Ck
+        delta = np.linalg.solve(H + 1e-12 * np.eye(k), grad)
+        beta += delta
+        if np.max(np.abs(delta)) < tolerance:
+            break
+    mu0 = np.exp(Ck @ beta)
+    ll_null = float(np.sum(yk * np.log(mu0 + 1e-300) - mu0))
+
+    fit_t = ht.tstruct(n_iterations=ht.tint32, converged=ht.tbool, exploded=ht.tbool)
+    out_fields = {'wald': [('beta', ht.tfloat64), ('standard_error', ht.tfloat64),
+                           ('z_stat', ht.tfloat64), ('p_value', ht.tfloat64), ('fit', fit_t)],
+                  'lrt': [('beta', ht.tfloat64), ('chi_sq_stat', ht.tfloat64),
+                          ('p_value', ht.tfloat64), ('fit', fit_t)],
+                  'score': [('chi_sq_stat', ht.tfloat64), ('p_value', ht.tfloat64)]}[test]
+
+    def per_part(mb, i):
+        G, M = _eval_entry_f64(mt, xe, mb, i)
+        Gk = jnp.asarray(G[:, keep])
+        Mk = jnp.asarray(M[:, keep])
+        R = G.shape[0]
+        if test == 'score':
+            chi2, cnt = glm_score_test(Gk, Mk, jnp.asarray(Ck), jnp.asarray(yk),
+                                       jnp.asarray(beta), 'poisson')
+            chi2 = np.asarray(chi2)
+            return {'chi_sq_stat': PrimitiveColumn(ht.tfloat64, chi2),
+                    'p_value': PrimitiveColumn(ht.tfloat64, sstats.chi2.sf(chi2, 1))}
+        b, se_g, ll, conv, its, cnt = glm_per_variant_fit(
+            Gk, Mk, jnp.asarray(Ck), jnp.asarray(yk), jnp.asarray(beta),
+            max_iterations, tolerance, 'poisson')
+        b = np.asarray(b)
+        se_g = np.asarray(se_g)
+        conv = np.asarray(conv)
+        mm = (~conv) if (~conv).any() else None
+        fit = StructColumn(fit_t, {
+            'n_iterations': PrimitiveColumn(ht.tint32, np.full(R, int(its), np.int32)),
+            'converged': PrimitiveColumn(ht.tbool, conv),
+            'exploded': PrimitiveColumn(ht.tbool, np.zeros(R, bool)),
+        }, None, (R,))
+        if test == 'wald':
+            z = b[:, k] / se_g
+            return {'beta': PrimitiveColumn(ht.tfloat64, b[:, k], mm),
+                    'standard_error': PrimitiveColumn(ht.tfloat64, se_g, mm),
+                    'z_stat': PrimitiveColumn(ht.tfloat64, z, mm),
+                    'p_value': PrimitiveColumn(ht.tfloat64, 2 * sstats.norm.sf(np.abs(z)), mm),
+                    'fit': fit}
+        chi2 = 2 * (np.asarray(ll) - ll_null)
+        return {'beta': PrimitiveColumn(ht.tfloat64, b[:, k], mm),
+                'chi_sq_stat': PrimitiveColumn(ht.tfloat64, chi2, mm),
+                'p_value': PrimitiveColumn(ht.tfloat64, sstats.chi2.sf(np.maximum(chi2, 0), 1), mm),
+                'fit': fit}
+
+    return _result_table_from_rows(mt, per_part, out_fields, pass_through)
+
+
+# ---------------------------------------------------------------------------
+# dataset simulation
+# ---------------------------------------------------------------------------
+
+def balding_nichols_model(n_populations: int, n_samples: int, n_variants: int,
+                          n_partitions: Optional[int] = None,
+                          pop_dist: Optional[Sequence[float]] = None,
+                          fst: Optional[Sequence[float]] = None,
+                          af_dist=None, reference_genome='default',
+                          mixture: bool = False, phased: bool = False) -> MatrixTable:
+    """Simulate genotypes under the Balding-Nichols model (reference
+    `is/hail/stats/BaldingNicholsModel` / statgen.balding_nichols_model)."""
+    from ..genetics.reference_genome import ReferenceGenome, default_reference
+    rg = default_reference() if reference_genome == 'default' else (
+        ReferenceGenome.get(reference_genome) if isinstance(reference_genome, str) else reference_genome)
+    seed = Env.next_seed()
+    rng = np.random.default_rng(seed)
+    if pop_dist is None:
+        pop_dist = [1.0 / n_populations] * n_populations
+    pop_dist = np.asarray(pop_dist, dtype=np.float64)
+    pop_dist = pop_dist / pop_dist.sum()
+    if fst is None:
+        fst = [0.1] * n_populations
+    fst = np.asarray(fst, dtype=np.float64)
+
+    pops = rng.choice(n_populations, size=n_samples, p=pop_dist)
+    if af_dist is None:
+        p0 = rng.uniform(0.1, 0.9, size=n_variants)
+    else:
+        p0 = rng.uniform(0.1, 0.9, size=n_variants)
+    # per-population allele freqs
+    pk = np.empty((n_variants, n_populations))
+    for kpop in range(n_populations):
+        Fk = fst[kpop]
+        if Fk <= 0:
+            pk[:, kpop] = p0
+        else:
+            a = p0 * (1 - Fk) / Fk
+            b = (1 - p0) * (1 - Fk) / Fk
+            pk[:, kpop] = rng.beta(np.maximum(a, 1e-6), np.maximum(b, 1e-6))
+    P = pk[:, pops]                                   # (M, N)
+    n_alt = rng.binomial(2, P)                         # (M, N)
+    j = (n_alt >= 1).astype(np.int32)
+    kallele = (n_alt == 2).astype(np.int32)
+    packed = pack_diploid(j, kallele, phased=phased)
+
+    contig = rg.contigs[0]
+    max_pos = rg.contig_length(contig)
+    positions = np.arange(1, n_variants + 1, dtype=np.int32)
+    if n_variants > max_pos:
+        positions = (positions % max_pos) + 1
+
+    row_t = ht.tstruct(locus=ht.tlocus(rg), alleles=ht.tarray(ht.tstr),
+                       ancestral_af=ht.tfloat64, af=ht.tarray(ht.tfloat64))
+    col_t = ht.tstruct(sample_idx=ht.tint32, pop=ht.tint32)
+    entry_t = ht.tstruct(GT=ht.tcall)
+
+    if n_partitions is None:
+        n_partitions = max(1, min(8, n_variants // 4096 + 1))
+    n_partitions = min(n_partitions, max(n_variants, 1))
+    bounds = np.linspace(0, n_variants, n_partitions + 1).astype(int)
+
+    alleles_arr = np.empty(n_variants, dtype=object)
+    alleles_arr[:] = [['A', 'C']] * n_variants
+
+    def pf(ctx):
+        s, e = ctx
+        R = e - s
+        rows = Batch({
+            'locus': LocusColumn(ht.tlocus(rg),
+                                 np.zeros(R, np.int32), positions[s:e]),
+            'alleles': ObjectColumn(ht.tarray(ht.tstr), alleles_arr[s:e]),
+            'ancestral_af': PrimitiveColumn(ht.tfloat64, p0[s:e]),
+            'af': DenseArrayColumn(ht.tarray(ht.tfloat64), pk[s:e],
+                                   np.full(R, n_populations, np.int32)),
+        }, R)
+        return MatrixBatch(rows, {'GT': PrimitiveColumn(ht.tcall, packed[s:e])})
+
+    cols = Batch({'sample_idx': PrimitiveColumn(ht.tint32, np.arange(n_samples, dtype=np.int32)),
+                  'pop': PrimitiveColumn(ht.tint32, pops.astype(np.int32))}, n_samples)
+    bn_t = ht.tstruct(n_populations=ht.tint32, n_samples=ht.tint32,
+                      n_variants=ht.tint32, pop_dist=ht.tarray(ht.tfloat64),
+                      fst=ht.tarray(ht.tfloat64), mixture=ht.tbool)
+    g = Batch.from_pylist(ht.tstruct(bn=bn_t), [Struct(bn=Struct(
+        n_populations=n_populations, n_samples=n_samples, n_variants=n_variants,
+        pop_dist=list(pop_dist), fst=list(fst), mixture=mixture))])
+    contexts = [(int(bounds[i]), int(bounds[i + 1])) for i in range(n_partitions)]
+    return MatrixTable(MatrixStage(g, cols, ['locus', 'alleles'], ['sample_idx'],
+                                   row_t, col_t, entry_t, contexts, pf))
+
+
+# ---------------------------------------------------------------------------
+# split_multi
+# ---------------------------------------------------------------------------
+
+def split_multi(ds: MatrixTable, keep_star: bool = False, left_aligned: bool = False,
+                *, permit_shuffle: bool = False) -> MatrixTable:
+    """Split multiallelic variants; GT downcoded per alt (reference
+    methods/statgen.py split_multi). Adds was_split/a_index row fields."""
+    return _split_multi_impl(ds, keep_star, hts=False)
+
+
+def split_multi_hts(ds: MatrixTable, keep_star: bool = False, left_aligned: bool = False,
+                    vep_root: str = 'vep', *, permit_shuffle: bool = False) -> MatrixTable:
+    """split_multi with HTS entry-field recoding (AD/DP/GQ/PL)."""
+    return _split_multi_impl(ds, keep_star, hts=True)
+
+
+def _split_multi_impl(ds: MatrixTable, keep_star: bool, hts: bool) -> MatrixTable:
+    st = ds._stage
+    entry_fields = st.entry_type.fields
+    new_row_t = st.row_type._insert_field('was_split', ht.tbool)._insert_field('a_index', ht.tint32)
+
+    def f(mb: MatrixBatch, pi: int) -> MatrixBatch:
+        alleles_l = mb.rows.columns['alleles'].to_pylist()
+        # expansion: one output row per (row, alt)
+        out_row_idx = []
+        out_a_index = []
+        out_alleles = []
+        out_was_split = []
+        for i, als in enumerate(alleles_l):
+            n_alt = len(als) - 1 if als else 0
+            for a in range(1, n_alt + 1):
+                if als[a] == '*' and not keep_star:
+                    continue
+                out_row_idx.append(i)
+                out_a_index.append(a)
+                mr = F.eval_expr(F.min_rep(
+                    to_expr(mb.rows.columns['locus'].to_pylist()[i]),
+                    to_expr([als[0], als[a]], ht.tarray(ht.tstr))))
+                out_alleles.append(mr.alleles)
+                out_was_split.append(n_alt > 1)
+        idx = np.asarray(out_row_idx, dtype=np.int64)
+        aidx = np.asarray(out_a_index, dtype=np.int32)
+        Rn = len(idx)
+        rows_cols = {}
+        for kf, c in mb.rows.columns.items():
+            if kf == 'alleles':
+                arr = np.empty(Rn, dtype=object)
+                arr[:] = out_alleles
+                rows_cols[kf] = ObjectColumn(ht.tarray(ht.tstr), arr)
+            else:
+                rows_cols[kf] = c.gather(idx)
+        rows_cols['was_split'] = PrimitiveColumn(ht.tbool, np.asarray(out_was_split, dtype=bool))
+        rows_cols['a_index'] = PrimitiveColumn(ht.tint32, aidx)
+        rows = Batch(rows_cols, Rn)
+
+        ents = {}
+        aidx2 = aidx[:, None]
+        for kf, c in mb.entries.items():
+            if kf == 'GT' and st.entry_type[kf] == ht.tcall:
+                packed = np.asarray(c.values)[idx]
+                j = calls_allele_j(packed)
+                k2 = calls_allele_k(packed)
+                nj = (j == aidx2).astype(np.int32)
+                nk = (k2 == aidx2).astype(np.int32)
+                newp = ((packed & (PLOIDY_MASK | 0x4)) | (nj << J_SHIFT) | (nk << K_SHIFT)).astype(np.int32)
+                m = c.missing_mask()[idx] if c.missing is not None else None
+                ents[kf] = PrimitiveColumn(ht.tcall, newp, m)
+            elif hts and kf == 'AD' and isinstance(c, DenseArrayColumn):
+                vals = c.values[idx]
+                lengths = c.lengths[idx]
+                total = vals.sum(axis=-1)
+                asel = np.take_along_axis(vals, np.broadcast_to(aidx2[..., None], vals.shape[:-1] + (1,)),
+                                          axis=-1)[..., 0]
+                new_vals = np.stack([total - asel, asel], axis=-1).astype(vals.dtype)
+                ents[kf] = DenseArrayColumn(ht.tarray(ht.tint32), new_vals,
+                                            np.full(new_vals.shape[:-1], 2, np.int32),
+                                            None, c.missing_mask()[idx] if c.missing is not None else None)
+            elif hts and kf == 'PL' and isinstance(c, DenseArrayColumn):
+                vals = c.values[idx]
+                m = c.missing_mask()[idx] if c.missing is not None else None
+                Rn2, Cn, W = vals.shape
+                na = np.asarray([len(a) for a in alleles_l], dtype=np.int32)[idx]
+                new_vals = np.zeros((Rn2, Cn, 3), dtype=vals.dtype)
+                for r in range(Rn2):
+                    A = int(na[r])
+                    a = int(aidx[r])
+                    # gt index for pair (x, y): k*(k+1)/2+j for j<=k
+                    min_pl = [np.inf, np.inf, np.inf]
+                    for y in range(A):
+                        for x2 in range(y + 1):
+                            gi = y * (y + 1) // 2 + x2
+                            if gi >= W:
+                                continue
+                            downcoded = (1 if x2 == a else 0) + (1 if y == a else 0)
+                            col = vals[r, :, gi]
+                            min_pl[downcoded] = np.minimum(min_pl[downcoded], col)
+                    for d2 in range(3):
+                        new_vals[r, :, d2] = min_pl[d2]
+                ents[kf] = DenseArrayColumn(ht.tarray(ht.tint32), new_vals,
+                                            np.full((Rn2, Cn), 3, np.int32), None, m)
+            else:
+                ents[kf] = c.gather(idx, axis=0)
+        return MatrixBatch(rows, ents)
+
+    st2 = st.map_partitions(f, new_row_type=new_row_t)
+    return MatrixTable(st2)
+
+
+# ---------------------------------------------------------------------------
+# impute_sex
+# ---------------------------------------------------------------------------
+
+def impute_sex(call_expr, aaf_threshold: float = 0.0, include_par: bool = False,
+               female_threshold: float = 0.2, male_threshold: float = 0.8,
+               aaf: Optional[str] = None) -> Table:
+    """Impute sample sex from X-chromosome inbreeding (reference
+    methods/statgen.impute_sex)."""
+    e = to_expr(call_expr)
+    mt = e._indices.source
+    mt = mt.annotate_rows(__aaf=agg.call_stats(e, mt.alleles).AF[1])
+    locus = mt.locus
+    in_x = locus.in_x_nonpar() if not include_par else (locus.in_x_nonpar() | locus.in_x_par())
+    mtx = mt.filter_rows(in_x & (mt.__aaf > aaf_threshold))
+    ib = mtx.annotate_cols(__ib=agg.inbreeding(mtx._rebind(e), mtx.__aaf)).cols()
+    t = ib.select(
+        is_female=F.if_else(ib.__ib.f_stat < female_threshold, True,
+                            F.if_else(ib.__ib.f_stat > male_threshold, False,
+                                      F.missing(ht.tbool))),
+        f_stat=ib.__ib.f_stat,
+        n_called=ib.__ib.n_called,
+        expected_homs=ib.__ib.expected_homs,
+        observed_homs=ib.__ib.observed_homs,
+    )
+    return t
+
+
+# ---------------------------------------------------------------------------
+# kinship / LD (BlockMatrix tier)
+# ---------------------------------------------------------------------------
+
+def _normalized_genotype_matrix(call_expr) -> np.ndarray:
+    """(variants × samples) matrix standardized per hail's GRM normalization:
+    (g - 2p) / sqrt(2p(1-p)m), mean-imputed."""
+    e = to_expr(call_expr)
+    ne = e.n_alt_alleles() if e.dtype == ht.tcall else e
+    G, M = _entry_expr_to_blocks(ne)
+    cnt = (~M).sum(axis=1)
+    s = np.where(M, 0, G).sum(axis=1)
+    mean = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
+    G = np.where(M, mean[:, None], G)
+    p = mean / 2
+    denom = np.sqrt(2 * p * (1 - p))
+    ok = (denom > 0) & (cnt > 0)
+    Z = np.where(ok[:, None], (G - mean[:, None]) / np.where(ok, denom, 1)[:, None], 0.0)
+    m_used = int(ok.sum())
+    return Z, m_used
+
+
+def genetic_relatedness_matrix(call_expr) -> 'BlockMatrix':
+    """GRM: K = Z^T Z / m (reference methods/statgen
+    genetic_relatedness_matrix), computed as a sharded device matmul."""
+    from ..linalg import BlockMatrix
+    import jax.numpy as jnp
+    Z, m = _normalized_genotype_matrix(call_expr)
+    bm = BlockMatrix.from_numpy(Z)
+    return (bm.T @ bm) * (1.0 / max(m, 1))
+
+
+def realized_relationship_matrix(call_expr) -> 'BlockMatrix':
+    """RRM: rows standardized to zero mean/unit variance (reference
+    realized_relationship_matrix)."""
+    from ..linalg import BlockMatrix
+    e = to_expr(call_expr)
+    ne = e.n_alt_alleles() if e.dtype == ht.tcall else e
+    G, M = _entry_expr_to_blocks(ne)
+    cnt = (~M).sum(axis=1)
+    s = np.where(M, 0, G).sum(axis=1)
+    mean = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
+    G = np.where(M, mean[:, None], G)
+    centered = G - mean[:, None]
+    ss = (centered * centered).sum(axis=1)
+    ok = ss > 0
+    n = G.shape[1]
+    W = np.where(ok[:, None], centered / np.sqrt(np.where(ok, ss, 1))[:, None], 0.0) * math.sqrt(n)
+    m = int(ok.sum())
+    bm = BlockMatrix.from_numpy(W)
+    return (bm.T @ bm) * (1.0 / max(m, 1))
+
+
+def row_correlation(entry_expr, block_size: Optional[int] = None) -> 'BlockMatrix':
+    """Pearson correlation between all row pairs (reference row_correlation)."""
+    from ..linalg import BlockMatrix
+    G, M = _entry_expr_to_blocks(to_expr(entry_expr))
+    cnt = (~M).sum(axis=1)
+    s = np.where(M, 0, G).sum(axis=1)
+    mean = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
+    G = np.where(M, mean[:, None], G)
+    centered = G - G.mean(axis=1, keepdims=True)
+    ss = np.sqrt((centered * centered).sum(axis=1, keepdims=True))
+    Z = np.where(ss > 0, centered / np.where(ss > 0, ss, 1), 0.0)
+    bm = BlockMatrix.from_numpy(Z)
+    return bm @ bm.T
+
+
+def ld_matrix(entry_expr, locus_expr, radius: Union[int, float],
+              coord_expr=None, block_size: Optional[int] = None) -> 'BlockMatrix':
+    """Windowed LD (correlation) matrix (reference ld_matrix)."""
+    corr = row_correlation(entry_expr, block_size)
+    le = to_expr(locus_expr)
+    mt = le._indices.source
+    gpos = []
+    for i, ctx in enumerate(mt._stage.contexts):
+        mb = mt._stage.partition_fn(ctx)
+        env = mt._row_env(mb, i)
+        col = le._ir.evaluate(env)
+        gpos.append(np.asarray(col.global_position()))
+    gp = np.concatenate(gpos)
+    import jax.numpy as jnp
+    d = np.abs(gp[:, None] - gp[None, :])
+    mask = d <= radius
+    from ..linalg import BlockMatrix
+    return BlockMatrix(jnp.where(jnp.asarray(mask), corr._data, 0.0), corr.block_size)
+
+
+def ld_prune(call_expr, r2: float = 0.2, bp_window_size: int = 1000000,
+             memory_per_core: int = 256, keep_higher_maf: bool = True,
+             block_size: Optional[int] = None) -> Table:
+    """Greedy LD pruning (reference `statgen.py:4708` ld_prune +
+    `LocalLDPrune`): returns the kept variants as a Table."""
+    e = to_expr(call_expr)
+    mt = e._indices.source
+    ne = e.n_alt_alleles() if e.dtype == ht.tcall else e
+    G, M = _entry_expr_to_blocks(ne)
+    cnt = (~M).sum(axis=1)
+    s = np.where(M, 0, G).sum(axis=1)
+    mean = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
+    G = np.where(M, mean[:, None], G)
+    centered = G - mean[:, None]
+    ss = np.sqrt((centered * centered).sum(axis=1))
+    ok = ss > 0
+    Z = np.where(ok[:, None], centered / np.where(ok, ss, 1)[:, None], 0.0)
+
+    rows_t = mt.rows().select()
+    locus_col = []
+    for i, ctx in enumerate(mt._stage.contexts):
+        mb = mt._stage.partition_fn(ctx)
+        lc = mb.rows.columns['locus']
+        locus_col.append(np.asarray(lc.global_position()))
+    gp = np.concatenate(locus_col)
+
+    m = Z.shape[0]
+    keep = np.ones(m, dtype=bool)
+    kept_idx: List[int] = []
+    start = 0
+    for i in range(m):
+        if not ok[i]:
+            keep[i] = False
+            continue
+        # drop kept variants that left the window
+        while kept_idx and gp[kept_idx[0]] < gp[i] - bp_window_size:
+            kept_idx.pop(0)
+        if kept_idx:
+            corr = Z[kept_idx] @ Z[i]
+            if np.any(corr * corr > r2):
+                keep[i] = False
+                continue
+        kept_idx.append(i)
+    rows_table = mt.rows()
+    batch = rows_table._stage.collect_single().compress(keep)
+    key = rows_table._stage.key
+    kept = Batch({k: batch.columns[k] for k in key}, batch.length)
+    return Table(TableStage.from_batches(Batch({}, 1), key,
+                                         ht.tstruct(**{k: kept.columns[k].typ for k in key}),
+                                         [kept]))
+
+
+def simulate_random_mating(mt: MatrixTable, n_rounds: int = 1,
+                           generation_size_multiplier: float = 1.0,
+                           keep_founders: bool = True) -> MatrixTable:
+    """Simulate offspring by random mating (reference
+    statgen.simulate_random_mating)."""
+    rng = np.random.default_rng(Env.next_seed())
+    st = mt._stage
+    batches = st.collect_batches()
+    from ..matrixtable import _concat_matrix_batches
+    mb = _concat_matrix_batches(batches, st)
+    packed = np.asarray(mb.entries['GT'].values)
+    miss = mb.entries['GT'].missing_mask()
+    n = packed.shape[1]
+    gen = packed
+    all_gens = [packed]
+    cur_n = n
+    for r in range(n_rounds):
+        n_children = max(1, int(cur_n * generation_size_multiplier))
+        p1 = rng.integers(0, cur_n, n_children)
+        p2 = rng.integers(0, cur_n, n_children)
+        j1 = calls_allele_j(gen)
+        k1 = calls_allele_k(gen)
+        # transmit a random allele from each parent
+        pick1 = rng.integers(0, 2, (gen.shape[0], n_children))
+        pick2 = rng.integers(0, 2, (gen.shape[0], n_children))
+        a1 = np.where(pick1 == 0, j1[:, p1], k1[:, p1])
+        a2 = np.where(pick2 == 0, j1[:, p2], k1[:, p2])
+        gen = pack_diploid(a1, a2)
+        all_gens.append(gen)
+        cur_n = n_children
+    full = np.concatenate(all_gens if keep_founders else all_gens[1:], axis=1)
+    total_n = full.shape[1]
+    cols = Batch({'sample_idx': PrimitiveColumn(ht.tint32, np.arange(total_n, dtype=np.int32))},
+                 total_n)
+    ents = {'GT': PrimitiveColumn(ht.tcall, full)}
+    new_mb = MatrixBatch(mb.rows, ents)
+    return MatrixTable(MatrixStage.from_batches(
+        st.globals, cols, st.row_key, ['sample_idx'], st.row_type,
+        ht.tstruct(sample_idx=ht.tint32), ht.tstruct(GT=ht.tcall), [new_mb]))
+
+
+# ---------------------------------------------------------------------------
+# SKAT
+# ---------------------------------------------------------------------------
+
+def skat(key_expr, weight_expr, y, x, covariates, logistic: bool = False,
+         max_size: int = 46340, accuracy: float = 1e-6, iterations: int = 10000) -> Table:
+    """SKAT variance-component test per group (reference `statgen.py:2870`)."""
+    if logistic:
+        return _logistic_skat(key_expr, weight_expr, y, x, covariates,
+                              max_size=max_size)
+    return _linear_skat(key_expr, weight_expr, y, x, covariates, max_size=max_size)
+
+
+def _skat_setup(key_expr, weight_expr, y, x, covariates):
+    xe = to_expr(x)
+    mt = xe._indices.source
+    G, M = _entry_expr_to_blocks(xe)
+    cnt = (~M).sum(axis=1)
+    s = np.where(M, 0, G).sum(axis=1)
+    mean = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
+    G = np.where(M, mean[:, None], G)
+    yv, ym = _eval_col_f64(mt, to_expr(y))
+    Cov, cm = _covariate_matrix(mt, covariates)
+    keep = ~(ym | cm)
+    # group keys + weights per row
+    ke = to_expr(key_expr)
+    we = to_expr(weight_expr)
+    keys, weights = [], []
+    for i, ctx in enumerate(mt._stage.contexts):
+        mb = mt._stage.partition_fn(ctx)
+        env = mt._row_env(mb, i)
+        keys.extend(ke._ir.evaluate(env).to_pylist())
+        weights.extend(we._ir.evaluate(env).to_pylist())
+    return mt, G[:, keep], yv[keep], Cov[keep], keys, np.asarray(
+        [0.0 if w is None else w for w in weights]), ke.dtype
+
+
+def _skat_table(groups: Dict, key_t, rows: List[Struct]) -> Table:
+    t_row = ht.tstruct(id=key_t, size=ht.tint32, q_stat=ht.tfloat64,
+                       p_value=ht.tfloat64, fault=ht.tint32)
+    b = Batch.from_pylist(t_row, rows)
+    return Table(TableStage.from_batches(Batch({}, 1), ['id'], t_row, [b]))
+
+
+def _linear_skat(key_expr, weight_expr, y, x, covariates, max_size: int = 46340) -> Table:
+    from ..stats.genchisq import pgenchisq_py
+    mt, G, yv, Cov, keys, weights, key_t = _skat_setup(key_expr, weight_expr, y, x, covariates)
+    n, k = Cov.shape[0], Cov.shape[1]
+    beta, *_ = np.linalg.lstsq(Cov, yv, rcond=None)
+    resid = yv - Cov @ beta
+    sigma2 = resid @ resid / (n - k)
+    Q_cov, _ = np.linalg.qr(Cov)
+    groups: Dict = {}
+    for i, key in enumerate(keys):
+        if key is not None:
+            groups.setdefault(key, []).append(i)
+    rows = []
+    for key, idxs in groups.items():
+        if len(idxs) > max_size:
+            rows.append(Struct(id=key, size=len(idxs), q_stat=None, p_value=None, fault=1))
+            continue
+        Gi = G[idxs]                       # (m, n)
+        w = weights[idxs]
+        Gw = Gi * np.sqrt(np.maximum(w, 0))[:, None]
+        q = float((Gw @ resid) @ (Gw @ resid)) / (2 * sigma2)
+        # null dist: eigenvalues of (1/2) Gw P0 Gw^T, P0 = I - QQ^T
+        GP = Gw - (Gw @ Q_cov) @ Q_cov.T
+        A = GP @ GP.T / 2
+        lam = np.linalg.eigvalsh(A)
+        lam = lam[lam > 1e-10 * max(lam.max(initial=0), 1)]
+        if lam.size == 0:
+            rows.append(Struct(id=key, size=len(idxs), q_stat=q, p_value=1.0, fault=0))
+            continue
+        p, _, conv, fault = pgenchisq_py(q, lam, np.ones(lam.size), np.zeros(lam.size), 0.0, 0.0)
+        rows.append(Struct(id=key, size=len(idxs), q_stat=q,
+                           p_value=max(min(1 - p, 1.0), 0.0), fault=0 if conv else 1))
+    return _skat_table(groups, key_t, rows)
+
+
+def _logistic_skat(key_expr, weight_expr, y, x, covariates, max_size: int = 46340) -> Table:
+    from ..stats.genchisq import pgenchisq_py
+    import jax.numpy as jnp
+    from ..ops.regression import logreg_null_fit
+    mt, G, yv, Cov, keys, weights, key_t = _skat_setup(key_expr, weight_expr, y, x, covariates)
+    beta_null, mu, conv, ll, it = logreg_null_fit(jnp.asarray(Cov), jnp.asarray(yv))
+    mu = np.asarray(mu)
+    W = mu * (1 - mu)
+    resid = yv - mu
+    Xw = Cov * np.sqrt(W)[:, None]
+    Qw, _ = np.linalg.qr(Xw)
+    groups: Dict = {}
+    for i, key in enumerate(keys):
+        if key is not None:
+            groups.setdefault(key, []).append(i)
+    rows = []
+    for key, idxs in groups.items():
+        if len(idxs) > max_size:
+            rows.append(Struct(id=key, size=len(idxs), q_stat=None, p_value=None, fault=1))
+            continue
+        Gi = G[idxs]
+        w = weights[idxs]
+        Gw = Gi * np.sqrt(np.maximum(w, 0))[:, None]
+        q = float((Gw @ resid) @ (Gw @ resid)) / 2
+        GwW = Gw * np.sqrt(W)[None, :]
+        GP = GwW - (GwW @ Qw) @ Qw.T
+        A = GP @ GP.T / 2
+        lam = np.linalg.eigvalsh(A)
+        lam = lam[lam > 1e-10 * max(lam.max(initial=0), 1)]
+        if lam.size == 0:
+            rows.append(Struct(id=key, size=len(idxs), q_stat=q, p_value=1.0, fault=0))
+            continue
+        p, _, conv2, fault = pgenchisq_py(q, lam, np.ones(lam.size), np.zeros(lam.size), 0.0, 0.0)
+        rows.append(Struct(id=key, size=len(idxs), q_stat=q,
+                           p_value=max(min(1 - p, 1.0), 0.0), fault=0 if conv2 else 1))
+    return _skat_table(groups, key_t, rows)
+
+
+def lambda_gc(p_value, approximate: bool = True):
+    """Genomic-control lambda from a p-value row expression (reference
+    methods.lambda_gc)."""
+    import scipy.stats as st
+    e = to_expr(p_value)
+    src = e._indices.source
+    if isinstance(src, MatrixTable):
+        vals = [v for v in src.rows()._collect_expr(e) if v is not None]
+    else:
+        vals = [v for v in src._collect_expr(e) if v is not None]
+    chi2 = st.chi2.isf(np.asarray(vals), 1)
+    return float(np.median(chi2) / st.chi2.ppf(0.5, 1))

@@ -1,0 +1,150 @@
+"""`hl.nd` — ndarray constructors (reference hail/python/hail/nd/nd.py).
+
+NDArray expressions are object columns holding numpy arrays; device-tier
+linear algebra lives in hail_tpu.linalg / hail_tpu.ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import types as ht
+from ..expr import functions as F
+from ..expr.expression import construct_expr, to_expr
+from ..ir import columns as C
+from ..ir.columns import ObjectColumn
+from ..ir.nodes import Apply
+
+
+def _nd_apply(name, result_typ, f, *exprs):
+    return F._apply(name, result_typ, F._obj_impl(result_typ, f), *exprs)
+
+
+def array(input_array):
+    from ..ir.nodes import Literal
+    if isinstance(input_array, np.ndarray) or (
+            isinstance(input_array, (list, tuple)) and not any(
+                hasattr(v, '_ir') for v in np.asarray(input_array, dtype=object).ravel())):
+        arr = np.asarray(input_array)
+        et = {np.dtype(np.int32): ht.tint32, np.dtype(np.int64): ht.tint64,
+              np.dtype(np.float32): ht.tfloat32, np.dtype(np.float64): ht.tfloat64,
+              np.dtype(np.bool_): ht.tbool}.get(arr.dtype, ht.tfloat64)
+        if arr.dtype == object:
+            arr = arr.astype(np.float64)
+            et = ht.tfloat64
+        t = ht.tndarray(et, arr.ndim)
+        return construct_expr(Literal(arr, t))
+    e = to_expr(input_array)
+    t = ht.tndarray(ht.tfloat64, 1)
+    return _nd_apply('nd_array', t, lambda v: np.asarray(v, dtype=np.float64), e)
+
+
+def arange(start, stop=None, step=1):
+    if stop is None:
+        start, stop = 0, start
+    t = ht.tndarray(ht.tint32, 1)
+    return _nd_apply('nd_arange', t, lambda a, b, c: np.arange(a, b, c, dtype=np.int32),
+                     to_expr(start), to_expr(stop), to_expr(step))
+
+
+def full(shape, value, dtype=None):
+    t = ht.tndarray(ht.tfloat64, len(shape) if isinstance(shape, (list, tuple)) else 1)
+    shp = tuple(shape) if isinstance(shape, (list, tuple)) else (shape,)
+    return _nd_apply('nd_full', t, lambda v: np.full(shp, v), to_expr(value))
+
+
+def zeros(shape, dtype=None):
+    return full(shape, 0.0)
+
+
+def ones(shape, dtype=None):
+    return full(shape, 1.0)
+
+
+def eye(N, M=None, dtype=None):
+    t = ht.tndarray(ht.tfloat64, 2)
+    return _nd_apply('nd_eye', t, lambda n_, m_: np.eye(int(n_), int(m_) if m_ is not None else None),
+                     to_expr(N), to_expr(M if M is not None else N))
+
+
+def identity(N):
+    return eye(N)
+
+
+def diagonal(nd):
+    t = ht.tndarray(nd.dtype.element_type, 1)
+    return _nd_apply('nd_diagonal', t, lambda a: np.diagonal(np.asarray(a)).copy(), nd)
+
+
+def solve(a, b, no_crash: bool = False):
+    t = ht.tndarray(ht.tfloat64, to_expr(b).dtype.ndim)
+    return _nd_apply('nd_solve', t, lambda x, y: np.linalg.solve(np.asarray(x), np.asarray(y)),
+                     to_expr(a), to_expr(b))
+
+
+def solve_triangular(a, b, lower: bool = False, no_crash: bool = False):
+    import scipy.linalg
+    t = ht.tndarray(ht.tfloat64, to_expr(b).dtype.ndim)
+    return _nd_apply('nd_solve_triangular', t,
+                     lambda x, y: scipy.linalg.solve_triangular(np.asarray(x), np.asarray(y), lower=lower),
+                     to_expr(a), to_expr(b))
+
+
+def qr(nd, mode: str = 'reduced'):
+    e = to_expr(nd)
+    t = ht.ttuple(ht.tndarray(ht.tfloat64, 2), ht.tndarray(ht.tfloat64, 2))
+    return _nd_apply('nd_qr', t, lambda a: tuple(np.linalg.qr(np.asarray(a), mode=mode)), e)
+
+
+def svd(nd, full_matrices: bool = True, compute_uv: bool = True):
+    e = to_expr(nd)
+    if compute_uv:
+        t = ht.ttuple(ht.tndarray(ht.tfloat64, 2), ht.tndarray(ht.tfloat64, 1),
+                      ht.tndarray(ht.tfloat64, 2))
+        return _nd_apply('nd_svd', t,
+                         lambda a: tuple(np.linalg.svd(np.asarray(a), full_matrices=full_matrices)), e)
+    t = ht.tndarray(ht.tfloat64, 1)
+    return _nd_apply('nd_svd', t, lambda a: np.linalg.svd(np.asarray(a), compute_uv=False), e)
+
+
+def eigh(nd, eigvals_only: bool = False):
+    e = to_expr(nd)
+    if eigvals_only:
+        t = ht.tndarray(ht.tfloat64, 1)
+        return _nd_apply('nd_eigh', t, lambda a: np.linalg.eigvalsh(np.asarray(a)), e)
+    t = ht.ttuple(ht.tndarray(ht.tfloat64, 1), ht.tndarray(ht.tfloat64, 2))
+    return _nd_apply('nd_eigh', t, lambda a: tuple(np.linalg.eigh(np.asarray(a))), e)
+
+
+def inv(nd):
+    t = ht.tndarray(ht.tfloat64, 2)
+    return _nd_apply('nd_inv', t, lambda a: np.linalg.inv(np.asarray(a)), to_expr(nd))
+
+
+def concatenate(nds, axis: int = 0):
+    es = [to_expr(x) for x in nds]
+    t = es[0].dtype
+    from ..expr.functions import _apply, _obj_impl
+    def f(*arrs):
+        return np.concatenate([np.asarray(a) for a in arrs], axis=axis)
+    return _apply('nd_concatenate', t, _obj_impl(t, f), *es)
+
+
+def hstack(nds):
+    return concatenate(nds, axis=1)
+
+
+def vstack(nds):
+    return concatenate(nds, axis=0)
+
+
+def maximum(a, b):
+    t = to_expr(a).dtype
+    return _nd_apply('nd_maximum', t, lambda x, y: np.maximum(np.asarray(x), np.asarray(y)),
+                     to_expr(a), to_expr(b))
+
+
+def minimum(a, b):
+    t = to_expr(a).dtype
+    return _nd_apply('nd_minimum', t, lambda x, y: np.minimum(np.asarray(x), np.asarray(y)),
+                     to_expr(a), to_expr(b))

@@ -1,0 +1,297 @@
+"""Jitted regression kernels (the MXU tier).
+
+These are the hot GWAS loops: batched per-variant OLS via the projection
+trick and batched Newton iterations for logistic/poisson regression —
+replacing the reference's per-partition Breeze GEMMs
+(`is/hail/methods/LinearRegression.scala:18-198`,
+`LogisticRegression.scala`) with XLA-fused jnp over (block_rows, n_samples)
+dosage blocks. f64 on the solver path for numeric parity with the JVM
+(SURVEY §7 hard-parts: jax_enable_x64).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update('jax_enable_x64', True)
+
+
+def _impute_mean(G: jnp.ndarray, missing: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Mean-impute missing entries per variant row. G: (R, N); missing bool."""
+    cnt = jnp.sum(~missing, axis=1)
+    s = jnp.sum(jnp.where(missing, 0.0, G), axis=1)
+    mean = jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), 0.0)
+    Gi = jnp.where(missing, mean[:, None], G)
+    return Gi, cnt, s
+
+
+@partial(jax.jit, static_argnames=())
+def linreg_block(G: jnp.ndarray, missing: jnp.ndarray, Q: jnp.ndarray,
+                 y_r: jnp.ndarray, yty_r: jnp.ndarray, d: jnp.ndarray):
+    """Per-variant OLS with covariate projection.
+
+    G: (R, N) raw dosages; missing: (R, N) bool; Q: (N, k) orthonormal basis
+    of the covariate column space; y_r: (N, P) residualized phenotypes
+    (y - QQ^T y); yty_r: (P,) residual sums of squares; d: degrees of freedom
+    = n_called_majority... scalar n - k - 1.
+    Returns (n, sum_x, ytx, beta, se, t, G_imputed).
+    """
+    Gi, cnt, s = _impute_mean(G, missing)
+    GQ = Gi @ Q                              # (R, k)   [MXU]
+    Gy = Gi @ y_r                            # (R, P)   [MXU]
+    gg = jnp.sum(Gi * Gi, axis=1) - jnp.sum(GQ * GQ, axis=1)   # residual ||g_r||^2
+    gg = jnp.maximum(gg, 0.0)
+    beta = Gy / gg[:, None]
+    # se^2 = (yty_r / gg - beta^2) / d
+    se2 = (yty_r[None, :] / gg[:, None] - beta * beta) / d
+    se = jnp.sqrt(jnp.maximum(se2, 0.0))
+    t = beta / se
+    return cnt, s, Gy, beta, se, t, gg
+
+
+def linreg_stats(G: np.ndarray, missing: np.ndarray, Q: np.ndarray,
+                 y_r: np.ndarray, yty_r: np.ndarray, dof: int):
+    """Host wrapper: returns numpy arrays incl. p-values (t-dist via scipy)."""
+    import scipy.stats as st
+    cnt, s, ytx, beta, se, t, gg = (np.asarray(v) for v in linreg_block(
+        jnp.asarray(G), jnp.asarray(missing), jnp.asarray(Q), jnp.asarray(y_r),
+        jnp.asarray(yty_r), jnp.asarray(float(dof))))
+    with np.errstate(all='ignore'):
+        p = 2 * st.t.sf(np.abs(t), dof)
+    bad = (gg <= 0) | (cnt == 0)
+    return dict(n=cnt, sum_x=s, y_transpose_x=ytx, beta=beta,
+                standard_error=se, t_stat=t, p_value=p, bad=bad)
+
+
+# ---------------------------------------------------------------------------
+# logistic / poisson regression (batched Newton)
+# ---------------------------------------------------------------------------
+
+def _psd_solve(H, b):
+    """Batched SPD solve via Cholesky (TPU supports f64 Cholesky but not LU;
+    the Newton Hessians here are SPD)."""
+    L = jnp.linalg.cholesky(H)
+    y = jax.lax.linalg.triangular_solve(L, b[..., None], left_side=True, lower=True)
+    x = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
+                                        transpose_a=True)
+    return x[..., 0]
+
+
+def _psd_inv(H):
+    k = H.shape[-1]
+    L = jnp.linalg.cholesky(H)
+    eye = jnp.broadcast_to(jnp.eye(k, dtype=H.dtype), H.shape)
+    y = jax.lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+    return jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
+                                           transpose_a=True)
+
+
+def _psd_logdet(H):
+    L = jnp.linalg.cholesky(H)
+    d = jnp.diagonal(L, axis1=-2, axis2=-1)
+    return 2.0 * jnp.sum(jnp.log(jnp.maximum(d, 1e-300)), axis=-1)
+
+
+def _sigmoid(x):
+    return 0.5 * (jnp.tanh(x / 2) + 1)
+
+
+@partial(jax.jit, static_argnames=('max_iter',))
+def logreg_null_fit(X: jnp.ndarray, y: jnp.ndarray, max_iter: int = 25,
+                    tol: float = 1e-6):
+    """Fit logit(y) ~ X by Newton-Raphson. X: (N, k), y: (N,).
+    Returns (beta, mu, converged, ll)."""
+    N, k = X.shape
+
+    def step(state):
+        beta, _, it, _ = state
+        eta = X @ beta
+        mu = _sigmoid(eta)
+        W = mu * (1 - mu)
+        grad = X.T @ (y - mu)
+        H = (X * W[:, None]).T @ X
+        delta = _psd_solve(H + 1e-12 * jnp.eye(k), grad)
+        new_beta = beta + delta
+        return new_beta, jnp.max(jnp.abs(delta)), it + 1, H
+
+    def cond(state):
+        _, delta, it, _ = state
+        return (delta > tol) & (it < max_iter)
+
+    beta0 = jnp.zeros(k).at[0].set(jnp.log(jnp.mean(y) / (1 - jnp.mean(y) + 1e-12) + 1e-12))
+    state = (beta0, jnp.inf, 0, jnp.eye(k))
+    beta, delta, it, H = jax.lax.while_loop(cond, step, state)
+    mu = _sigmoid(X @ beta)
+    ll = jnp.sum(y * jnp.log(mu + 1e-300) + (1 - y) * jnp.log(1 - mu + 1e-300))
+    return beta, mu, (delta <= tol), ll, it
+
+
+@partial(jax.jit, static_argnames=('max_iter', 'link'))
+def glm_per_variant_fit(G, missing, Cov, y, beta_null, max_iter: int = 25,
+                        tol: float = 1e-6, link: str = 'logistic'):
+    """Batched per-variant GLM fit: logit/log(y) ~ Cov + g.
+
+    G: (R, N); Cov: (N, k); y: (N,); beta_null: (k,) warm start.
+    Returns (beta_full (R, k+1) [g coef last], se_g, chi2_lrt, converged, n_iter,
+             ll_full, score_chi2).
+    """
+    R, N = G.shape
+    k = Cov.shape[1]
+    Gi, cnt, _ = _impute_mean(G, missing)
+
+    def linkinv(eta):
+        return _sigmoid(eta) if link == 'logistic' else jnp.exp(eta)
+
+    def variance(mu):
+        return mu * (1 - mu) if link == 'logistic' else mu
+
+    b0 = jnp.concatenate([jnp.broadcast_to(beta_null, (R, k)), jnp.zeros((R, 1))], axis=1)
+
+    def newton_step(state):
+        b, _, it = state
+        eta = Cov @ b[:, :k].T            # (N, R)
+        eta = eta.T + Gi * b[:, k:k + 1]  # (R, N)
+        mu = linkinv(eta)
+        W = variance(mu)
+        r = y[None, :] - mu               # (R, N)
+        grad_c = r @ Cov                  # (R, k)
+        grad_g = jnp.sum(r * Gi, axis=1)  # (R,)
+        grad = jnp.concatenate([grad_c, grad_g[:, None]], axis=1)
+        Hcc = jnp.einsum('rn,nk,nl->rkl', W, Cov, Cov)
+        Hcg = jnp.einsum('rn,rn,nk->rk', W, Gi, Cov)
+        Hgg = jnp.sum(W * Gi * Gi, axis=1)
+        H = jnp.zeros((R, k + 1, k + 1))
+        H = H.at[:, :k, :k].set(Hcc)
+        H = H.at[:, :k, k].set(Hcg)
+        H = H.at[:, k, :k].set(Hcg)
+        H = H.at[:, k, k].set(Hgg)
+        delta = _psd_solve(H + 1e-12 * jnp.eye(k + 1)[None], grad)
+        nb = b + delta
+        return nb, jnp.max(jnp.abs(delta), axis=1), it + 1
+
+    def cond(state):
+        _, delta, it = state
+        return (jnp.max(delta) > tol) & (it < max_iter)
+
+    state = (b0, jnp.full(R, jnp.inf), 0)
+    b, delta, it = jax.lax.while_loop(cond, newton_step, state)
+
+    eta = (Cov @ b[:, :k].T).T + Gi * b[:, k:k + 1]
+    mu = linkinv(eta)
+    W = variance(mu)
+    Hcc = jnp.einsum('rn,nk,nl->rkl', W, Cov, Cov)
+    Hcg = jnp.einsum('rn,rn,nk->rk', W, Gi, Cov)
+    Hgg = jnp.sum(W * Gi * Gi, axis=1)
+    H = jnp.zeros((R, k + 1, k + 1))
+    H = H.at[:, :k, :k].set(Hcc)
+    H = H.at[:, :k, k].set(Hcg)
+    H = H.at[:, k, :k].set(Hcg)
+    H = H.at[:, k, k].set(Hgg)
+    cov = _psd_inv(H + 1e-12 * jnp.eye(k + 1)[None])
+    se_g = jnp.sqrt(jnp.maximum(cov[:, k, k], 0.0))
+    if link == 'logistic':
+        ll = jnp.sum(y[None] * jnp.log(mu + 1e-300) + (1 - y[None]) * jnp.log(1 - mu + 1e-300), axis=1)
+    else:
+        ll = jnp.sum(y[None] * eta - mu, axis=1)
+    converged = delta <= tol
+    return b, se_g, ll, converged, it, cnt
+
+
+@partial(jax.jit, static_argnames=('link',))
+def glm_score_test(G, missing, Cov, y, beta_null, link: str = 'logistic'):
+    """Score test at the null fit (reference LogisticRegression score path)."""
+    Gi, cnt, _ = _impute_mean(G, missing)
+    eta0 = Cov @ beta_null
+    mu0 = _sigmoid(eta0) if link == 'logistic' else jnp.exp(eta0)
+    W0 = mu0 * (1 - mu0) if link == 'logistic' else mu0
+    r0 = y - mu0
+    U_g = Gi @ r0                               # (R,)
+    Icc = (Cov * W0[:, None]).T @ Cov           # (k, k)
+    Icg = (Gi * W0[None, :]) @ Cov              # (R, k)
+    Igg = jnp.sum(W0[None, :] * Gi * Gi, axis=1)
+    sol = _psd_solve(jnp.broadcast_to(Icc[None], (Icg.shape[0],) + Icc.shape), Icg)  # (R, k)
+    var_g = Igg - jnp.sum(Icg * sol, axis=1)
+    chi2 = U_g * U_g / jnp.maximum(var_g, 1e-300)
+    return chi2, cnt
+
+
+@partial(jax.jit, static_argnames=('max_iter',))
+def firth_fit(G, missing, Cov, y, beta_start, max_iter: int = 100, tol: float = 1e-6):
+    """Batched Firth penalized-likelihood fit of logit(y) ~ Cov + g
+    (reference LogisticRegression.scala firth path). Returns penalized beta
+    and penalized log-likelihood for the full model."""
+    R, N = G.shape
+    k = Cov.shape[1]
+    Gi, cnt, _ = _impute_mean(G, missing)
+
+    def halfstep(state):
+        b, _, it = state
+        eta = (Cov @ b[:, :k].T).T + Gi * b[:, k:k + 1]
+        mu = _sigmoid(eta)
+        W = mu * (1 - mu)
+        X_full = jnp.concatenate([jnp.broadcast_to(Cov[None], (R, N, k)), Gi[..., None]], axis=2)
+        XW = X_full * W[..., None]
+        H = jnp.einsum('rnk,rnl->rkl', XW, X_full)
+        Hinv = _psd_inv(H + 1e-12 * jnp.eye(k + 1)[None])
+        # hat diagonal h_i = w_i * x_i^T Hinv x_i
+        h = W * jnp.einsum('rnk,rkl,rnl->rn', X_full, Hinv, X_full)
+        adj_r = y[None] - mu + h * (0.5 - mu)
+        grad = jnp.einsum('rn,rnk->rk', adj_r, X_full)
+        delta = jnp.einsum('rkl,rl->rk', Hinv, grad)
+        nb = b + delta
+        return nb, jnp.max(jnp.abs(delta), axis=1), it + 1
+
+    def cond(state):
+        _, delta, it = state
+        return (jnp.max(delta) > tol) & (it < max_iter)
+
+    state = (beta_start, jnp.full(R, jnp.inf), 0)
+    b, delta, it = jax.lax.while_loop(cond, halfstep, state)
+    eta = (Cov @ b[:, :k].T).T + Gi * b[:, k:k + 1]
+    mu = _sigmoid(eta)
+    W = mu * (1 - mu)
+    X_full = jnp.concatenate([jnp.broadcast_to(Cov[None], (R, N, k)), Gi[..., None]], axis=2)
+    XW = X_full * W[..., None]
+    H = jnp.einsum('rnk,rnl->rkl', XW, X_full)
+    logdet = _psd_logdet(H + 1e-12 * jnp.eye(k + 1)[None])
+    ll = jnp.sum(y[None] * jnp.log(mu + 1e-300) + (1 - y[None]) * jnp.log(1 - mu + 1e-300), axis=1)
+    ll_pen = ll + 0.5 * logdet
+    return b, ll_pen, delta <= tol, it, cnt
+
+
+@partial(jax.jit, static_argnames=('max_iter',))
+def firth_null_fit(Cov, y, beta_start, max_iter: int = 100, tol: float = 1e-6):
+    """Firth fit of the covariates-only model (for the firth LRT null)."""
+    N, k = Cov.shape
+
+    def halfstep(state):
+        b, _, it = state
+        eta = Cov @ b
+        mu = _sigmoid(eta)
+        W = mu * (1 - mu)
+        XW = Cov * W[:, None]
+        H = XW.T @ Cov
+        Hinv = _psd_inv(H + 1e-12 * jnp.eye(k))
+        h = W * jnp.einsum('nk,kl,nl->n', Cov, Hinv, Cov)
+        adj_r = y - mu + h * (0.5 - mu)
+        grad = adj_r @ Cov
+        delta = Hinv @ grad
+        return b + delta, jnp.max(jnp.abs(delta)), it + 1
+
+    def cond(state):
+        _, delta, it = state
+        return (delta > tol) & (it < max_iter)
+
+    b, delta, it = jax.lax.while_loop(cond, halfstep, (beta_start, jnp.inf, 0))
+    eta = Cov @ b
+    mu = _sigmoid(eta)
+    W = mu * (1 - mu)
+    H = (Cov * W[:, None]).T @ Cov
+    logdet = _psd_logdet(H + 1e-12 * jnp.eye(k))
+    ll = jnp.sum(y * jnp.log(mu + 1e-300) + (1 - y) * jnp.log(1 - mu + 1e-300))
+    return b, ll + 0.5 * logdet, delta <= tol

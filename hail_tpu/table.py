@@ -1,0 +1,885 @@
+"""Table: keyed, partitioned, lazily-evaluated columnar dataframe.
+
+Capability parity with reference `hail/python/hail/table.py` (Table) lowered
+through `LowerTableIR.scala` TableStage — here the TableStage IS the lazy
+plan: `(globals, contexts, partition_fn)` with combinators closing over
+predecessor stages (the CDA contract, `backend/Backend.scala:54-67`).
+Partitions materialize to columnar Batches; expressions evaluate vectorized
+(hail_tpu.ir); aggregations use the seq/comb/result split with partial states
+combined across partitions.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from . import types as ht
+from .context import Env
+from .ir import agg as aggmod
+from .ir import columns as C
+from .ir.columns import Batch, Column, PrimitiveColumn, StructColumn
+from .ir.nodes import (IR, EvalEnv, GetField, MakeStruct, Ref)
+from .expr.expression import (Expression, Indices, StructExpression,
+                              construct_expr, to_expr, unify_all)
+from .utils.structs import Interval, Struct
+
+
+class TableStage:
+    """Lazy distributed plan: list of contexts + a partition function.
+
+    Mirrors the reference TableStage (`lowering/LowerTableIR.scala:27-125`):
+    globals are a length-1 Batch; partition_fn(ctx) → Batch.
+    """
+
+    def __init__(self, globals: Batch, key: List[str], row_type: ht.tstruct,
+                 contexts: List[Any], partition_fn: Callable[[Any], Batch],
+                 partition_bounds: Optional[List[Interval]] = None):
+        self.globals = globals
+        self.key = list(key)
+        self.row_type = row_type
+        self.contexts = list(contexts)
+        self.partition_fn = partition_fn
+        self.partition_bounds = partition_bounds
+
+    @property
+    def n_partitions(self) -> int:
+        return len(self.contexts)
+
+    @property
+    def globals_type(self) -> ht.tstruct:
+        return self.globals.row_type
+
+    # -- combinators -------------------------------------------------------
+    def map_partitions(self, f: Callable[[Batch, int], Batch], new_row_type: ht.tstruct,
+                       preserves_bounds: bool = True) -> 'TableStage':
+        pf = self.partition_fn
+        def new_fn(ctx):
+            i, inner = ctx
+            return f(pf(inner), i)
+        ctxs = [(i, c) for i, c in enumerate(self.contexts)]
+        return TableStage(self.globals, self.key, new_row_type, ctxs, new_fn,
+                          self.partition_bounds if preserves_bounds else None)
+
+    def with_globals(self, new_globals: Batch) -> 'TableStage':
+        return TableStage(new_globals, self.key, self.row_type, self.contexts,
+                          self.partition_fn, self.partition_bounds)
+
+    def collect_batches(self) -> List[Batch]:
+        return Env.backend().map_collect(self.contexts, self.partition_fn)
+
+    def collect_single(self) -> Batch:
+        batches = self.collect_batches()
+        if not batches:
+            return Batch.empty(self.row_type)
+        return Batch.concat(batches)
+
+    @staticmethod
+    def from_batches(globals: Batch, key: List[str], row_type: ht.tstruct,
+                     batches: List[Batch],
+                     partition_bounds=None) -> 'TableStage':
+        return TableStage(globals, key, row_type, list(range(len(batches))),
+                          lambda i: batches[i], partition_bounds)
+
+
+class JoinLookup(IR):
+    """IR node for `other_table[key_expr]`: a broadcast hash-join lookup
+    (analogue of the reference's TableJoin-in-expression idiom used all over
+    methods; evaluated as a host-side dict lookup, `LowerTableIR` join)."""
+
+    def __init__(self, table: 'Table', key_irs: List[IR], typ: ht.tstruct):
+        self.table = table
+        self.key_irs = key_irs
+        self.typ = typ
+
+    @property
+    def children(self):
+        return tuple(self.key_irs)
+
+    def map_children(self, f):
+        return JoinLookup(self.table, [f(k) for k in self.key_irs], self.typ)
+
+    def evaluate(self, env):
+        lookup = self.table._lookup_dict()
+        key_cols = [k.evaluate(env) for k in self.key_irs]
+        objs = [C.to_object(c) for c in key_cols]
+        shape = np.broadcast_shapes(*[o.shape for o in objs])
+        flats = [np.broadcast_to(o.values, shape).ravel() for o in objs]
+        n = int(np.prod(shape))
+        out = []
+        for i in range(n):
+            k = tuple(f[i] for f in flats)
+            out.append(lookup.get(k))
+        return C.from_pylist(self.typ, out).reshape(shape)
+
+
+class Table:
+    """Keyed distributed table (reference `table.py:304`)."""
+
+    def __init__(self, stage: TableStage):
+        self._stage = stage
+        self._lookup_cache: Optional[dict] = None
+
+    # -- schema ------------------------------------------------------------
+    @property
+    def row(self) -> StructExpression:
+        return construct_expr(Ref('row', self._stage.row_type),
+                              Indices(self, frozenset({'row'})))
+
+    @property
+    def row_value(self) -> StructExpression:
+        return self.row.drop(*self._stage.key) if self._stage.key else self.row
+
+    @property
+    def key(self) -> StructExpression:
+        return self.row.select(*self._stage.key)
+
+    @property
+    def globals(self) -> StructExpression:
+        return construct_expr(Ref('global', self._stage.globals_type), Indices(self, frozenset()))
+
+    def __getattr__(self, name):
+        if name.startswith('__') and name.endswith('__'):
+            raise AttributeError(name)
+        if name in ('_stage', '_lookup_cache'):
+            raise AttributeError(name)
+        if name in self._stage.row_type.fields:
+            return self.row[name]
+        if name in self._stage.globals_type.fields:
+            return self.globals[name]
+        raise AttributeError(f'Table has no field {name!r}')
+
+    def __getitem__(self, item):
+        if isinstance(item, str):
+            return self.__getattr__(item)
+        # table[key_expr] → join lookup
+        if isinstance(item, tuple):
+            exprs = [to_expr(e) for e in item]
+        elif isinstance(item, StructExpression):
+            exprs = [item[k] for k in item.dtype.fields]
+        else:
+            exprs = [to_expr(item)]
+        if len(exprs) != len(self._stage.key):
+            raise ValueError(f'expected {len(self._stage.key)} key expressions, got {len(exprs)}')
+        value_t = self._stage.row_type._drop_fields(self._stage.key)
+        ind = unify_all(*exprs)
+        return construct_expr(JoinLookup(self, [e._ir for e in exprs], value_t), ind)
+
+    def n_partitions(self) -> int:
+        return self._stage.n_partitions
+
+    def describe(self):
+        print('Global fields:')
+        for k, t in self._stage.globals_type.items():
+            print(f"    '{k}': {t}")
+        print('Row fields:')
+        for k, t in self._stage.row_type.items():
+            print(f"    '{k}': {t}")
+        print(f"Key: {self._stage.key}")
+
+    # -- internal evaluation ----------------------------------------------
+    def _globals_env(self) -> EvalEnv:
+        g = StructColumn(self._stage.globals_type, dict(self._stage.globals.columns), None,
+                         (1,)) if self._stage.globals_type.fields else \
+            StructColumn(self._stage.globals_type, {}, None, (1,))
+        return EvalEnv({'global': g}, (1,))
+
+    def _row_env(self, batch: Batch, part_idx: int) -> EvalEnv:
+        n = batch.length
+        row = StructColumn(batch.row_type, dict(batch.columns), None, (n,))
+        gt = self._stage.globals_type
+        g = StructColumn(gt, dict(self._stage.globals.columns), None, (1,))
+        idx = (np.int64(part_idx) << np.int64(32)) + np.arange(n, dtype=np.int64)
+        return EvalEnv({
+            'row': row, 'global': g,
+            '__row_idx__': PrimitiveColumn(ht.tint64, idx),
+        }, (n,))
+
+    def _check_source(self, *exprs: Expression, axes={'row'}):
+        for e in exprs:
+            src = e._indices.source
+            if src is not None and src is not self:
+                raise ValueError('expression is from a different table; use tbl[key] joins')
+
+    def _eval_rows(self, expr: Expression, batch: Batch, part_idx: int) -> Column:
+        env = self._row_env(batch, part_idx)
+        col = expr._ir.evaluate(env)
+        if col.shape != (batch.length,):
+            col = col.broadcast_to((batch.length,))
+        return col
+
+    # -- basic ops ---------------------------------------------------------
+    def annotate(self, **named_exprs) -> 'Table':
+        exprs = {k: to_expr(v) for k, v in named_exprs.items()}
+        self._check_source(*exprs.values())
+        new_t = self._stage.row_type
+        for k, e in exprs.items():
+            if aggmod.collect_agg_nodes(e._ir):
+                raise ValueError('cannot use aggregators in annotate(); use aggregate()')
+            new_t = new_t._insert_field(k, e.dtype)
+        def f(batch, i):
+            cols = {k: self._eval_rows(e, batch, i) for k, e in exprs.items()}
+            return batch.annotate(**cols)
+        return Table(self._stage.map_partitions(f, new_t))
+
+    def select(self, *fields, **named_exprs) -> 'Table':
+        for f_ in fields:
+            if isinstance(f_, str) and f_ not in self._stage.row_type.fields:
+                raise ValueError(f'select: unknown field {f_!r}')
+        keep = [f_ if isinstance(f_, str) else None for f_ in fields]
+        exprs = {k: to_expr(v) for k, v in named_exprs.items()}
+        self._check_source(*exprs.values())
+        key = self._stage.key
+        names = list(dict.fromkeys(key + [f_ for f_ in keep if f_] + list(exprs)))
+        new_t = ht.tstruct.from_fields(
+            [(n, exprs[n].dtype if n in exprs else self._stage.row_type[n]) for n in names])
+        def f(batch, i):
+            cols = {}
+            for n in names:
+                if n in exprs:
+                    cols[n] = self._eval_rows(exprs[n], batch, i)
+                else:
+                    cols[n] = batch.columns[n]
+            return Batch(cols, batch.length)
+        return Table(self._stage.map_partitions(f, new_t))
+
+    def drop(self, *fields) -> 'Table':
+        names = set()
+        for f_ in fields:
+            names.add(f_ if isinstance(f_, str) else f_._ir.name)
+        glob_drops = {n for n in names if n in self._stage.globals_type.fields}
+        row_drops = names - glob_drops
+        new_t = self._stage.row_type._drop_fields(row_drops)
+        def f(batch, i):
+            return batch.drop(*row_drops)
+        st = self._stage.map_partitions(f, new_t)
+        if glob_drops:
+            g = Batch({k: v for k, v in self._stage.globals.columns.items() if k not in glob_drops}, 1)
+            st = st.with_globals(g)
+        new_key = [k for k in st.key if k not in row_drops]
+        st.key = new_key
+        return Table(st)
+
+    def transmute(self, **named_exprs) -> 'Table':
+        exprs = {k: to_expr(v) for k, v in named_exprs.items()}
+        refs = set()
+        for e in exprs.values():
+            refs |= _field_refs(e._ir)
+        keep = [f for f in self._stage.row_type.fields
+                if f not in refs or f in self._stage.key]
+        return self.select(*keep, **named_exprs)
+
+    def filter(self, expr, keep: bool = True) -> 'Table':
+        e = to_expr(expr)
+        self._check_source(e)
+        def f(batch, i):
+            col = self._eval_rows(e, batch, i)
+            vals = np.asarray(col.values, dtype=bool) if isinstance(col, PrimitiveColumn) else \
+                np.asarray([v is True for v in C.to_object(col).values.ravel()]).reshape(col.shape)
+            m = col.missing_mask()
+            mask = vals & ~m
+            if not keep:
+                mask = ~mask & ~m
+            return batch.compress(mask)
+        return Table(self._stage.map_partitions(f, self._stage.row_type))
+
+    def key_by(self, *keys, **named_exprs) -> 'Table':
+        t = self
+        if named_exprs:
+            t = t.annotate(**named_exprs)
+        names = [k if isinstance(k, str) else _expr_field_name(k) for k in keys]
+        names += list(named_exprs.keys())
+        for n in names:
+            if n not in t._stage.row_type.fields:
+                raise ValueError(f'key_by: unknown field {n!r}')
+        st = TableStage(t._stage.globals, names, t._stage.row_type, t._stage.contexts,
+                        t._stage.partition_fn, None)
+        return Table(st)
+
+    def rename(self, mapping: Dict[str, str]) -> 'Table':
+        new_t = ht.tstruct.from_fields(
+            [(mapping.get(k, k), v) for k, v in self._stage.row_type.items()])
+        def f(batch, i):
+            return Batch({mapping.get(k, k): c for k, c in batch.columns.items()}, batch.length)
+        st = self._stage.map_partitions(f, new_t)
+        st.key = [mapping.get(k, k) for k in self._stage.key]
+        return Table(st)
+
+    def annotate_globals(self, **named_exprs) -> 'Table':
+        exprs = {k: to_expr(v) for k, v in named_exprs.items()}
+        env = self._globals_env()
+        g = dict(self._stage.globals.columns)
+        for k, e in exprs.items():
+            col = e._ir.evaluate(env)
+            g[k] = col.reshape((1,)) if col.shape != (1,) else col
+        return Table(self._stage.with_globals(Batch(g, 1)))
+
+    def select_globals(self, *fields, **named_exprs) -> 'Table':
+        env = self._globals_env()
+        g = {}
+        for f_ in fields:
+            name = f_ if isinstance(f_, str) else _expr_field_name(f_)
+            g[name] = self._stage.globals.columns[name]
+        for k, e in named_exprs.items():
+            col = to_expr(e)._ir.evaluate(env)
+            g[k] = col.reshape((1,)) if col.shape != (1,) else col
+        return Table(self._stage.with_globals(Batch(g, 1)))
+
+    def transmute_globals(self, **named_exprs) -> 'Table':
+        return self.select_globals(*[], **{**{k: self.globals[k] for k in self._stage.globals_type.fields
+                                              if k not in named_exprs}, **named_exprs})
+
+    # -- consumers ---------------------------------------------------------
+    def count(self) -> int:
+        lengths = Env.backend().map_collect(self._stage.contexts,
+                                            lambda c: self._stage.partition_fn(c).length)
+        return int(sum(lengths))
+
+    def collect(self) -> List[Struct]:
+        return self._stage.collect_single().to_pylist()
+
+    def take(self, n: int) -> List[Struct]:
+        out: List[Struct] = []
+        for ctx in self._stage.contexts:
+            b = self._stage.partition_fn(ctx)
+            out.extend(b.slice(0, n - len(out)).to_pylist())
+            if len(out) >= n:
+                break
+        return out
+
+    def head(self, n: int) -> 'Table':
+        def f(batch, i):
+            return batch
+        # materialize counts lazily: cap each partition cumulatively
+        batches = self._stage.collect_batches()
+        out = []
+        remaining = n
+        for b in batches:
+            if remaining <= 0:
+                break
+            out.append(b.slice(0, remaining))
+            remaining -= out[-1].length
+        if not out:
+            out = [Batch.empty(self._stage.row_type)]
+        return Table(TableStage.from_batches(self._stage.globals, self._stage.key,
+                                             self._stage.row_type, out))
+
+    def tail(self, n: int) -> 'Table':
+        batches = self._stage.collect_batches()
+        out = []
+        remaining = n
+        for b in reversed(batches):
+            if remaining <= 0:
+                break
+            out.append(b.slice(max(0, b.length - remaining), b.length))
+            remaining -= out[-1].length
+        out.reverse()
+        if not out:
+            out = [Batch.empty(self._stage.row_type)]
+        return Table(TableStage.from_batches(self._stage.globals, self._stage.key,
+                                             self._stage.row_type, out))
+
+    def sample(self, p: float, seed=None) -> 'Table':
+        from .expr import functions as F
+        return self.filter(F.rand_unif(0, 1, seed=seed) < p)
+
+    def show(self, n: int = 10, width: int = 90, truncate=None, types: bool = True):
+        rows = self.take(n)
+        fields = list(self._stage.row_type.fields)
+        print(' | '.join(fields))
+        for r in rows:
+            print(' | '.join(_show_value(r[f]) for f in fields))
+
+    def aggregate(self, expr) -> Any:
+        e = to_expr(expr)
+        self._check_source(e)
+        agg_nodes = aggmod.collect_agg_nodes(e._ir)
+        if not agg_nodes:
+            raise ValueError('aggregate() requires aggregators in the expression')
+        def part(ctx):
+            batch = self._stage.partition_fn(ctx)
+            env = self._row_env(batch, 0)
+            return aggmod.partial_aggregate(agg_nodes, env, (0,))
+        partials = Env.backend().map_collect(self._stage.contexts, part)
+        if not partials:
+            empty = Batch.empty(self._stage.row_type)
+            partials = [aggmod.partial_aggregate(agg_nodes, self._row_env(empty, 0), (0,))]
+        state = partials[0]
+        for s in partials[1:]:
+            state = aggmod.combine_states(agg_nodes, state, s)
+        col = aggmod.finalize_aggregate(e._ir, agg_nodes, state, self._globals_env())
+        vals = col.to_pylist()
+        return vals[0] if vals else None
+
+    # -- group by ----------------------------------------------------------
+    def group_by(self, *key, **named_exprs) -> 'GroupedTable':
+        t = self
+        names = []
+        if named_exprs:
+            t = t.annotate(**named_exprs)
+            names += list(named_exprs)
+        names = [k if isinstance(k, str) else _expr_field_name(k) for k in key] + names
+        return GroupedTable(t, names)
+
+    # -- ordering / distribution ------------------------------------------
+    def order_by(self, *fields) -> 'Table':
+        batch = self._stage.collect_single()
+        specs = []
+        for f_ in fields:
+            if isinstance(f_, str):
+                specs.append((f_, True))
+            elif isinstance(f_, tuple):
+                specs.append(f_)
+            elif isinstance(f_, _DescOrder):
+                specs.append((f_.name, False))
+            else:
+                specs.append((_expr_field_name(f_), True))
+        idx = _sort_indices(batch, specs)
+        sorted_batch = batch.gather(idx)
+        return Table(TableStage.from_batches(self._stage.globals, [],
+                                             self._stage.row_type, [sorted_batch]))
+
+    def repartition(self, n: int, shuffle: bool = True) -> 'Table':
+        batch = self._stage.collect_single()
+        n = max(1, min(n, max(batch.length, 1)))
+        bounds = np.linspace(0, batch.length, n + 1).astype(int)
+        parts = [batch.slice(int(bounds[i]), int(bounds[i + 1])) for i in range(n)]
+        return Table(TableStage.from_batches(self._stage.globals, self._stage.key,
+                                             self._stage.row_type, parts))
+
+    def naive_coalesce(self, n: int) -> 'Table':
+        return self.repartition(n)
+
+    def persist(self, storage_level: str = 'MEMORY_AND_DISK') -> 'Table':
+        batches = self._stage.collect_batches()
+        return Table(TableStage.from_batches(self._stage.globals, self._stage.key,
+                                             self._stage.row_type, batches,
+                                             self._stage.partition_bounds))
+
+    cache = persist
+
+    def unpersist(self) -> 'Table':
+        return self
+
+    def checkpoint(self, path: str, overwrite: bool = False) -> 'Table':
+        self.write(path, overwrite=overwrite)
+        return read_table(path)
+
+    def write(self, path: str, overwrite: bool = False, stage_locally: bool = False):
+        from .io.native import write_table
+        write_table(self, path, overwrite)
+
+    # -- set ops -----------------------------------------------------------
+    def union(self, *others) -> 'Table':
+        tables = [self] + list(others)
+        row_t = self._stage.row_type
+        for t in others:
+            if str(t._stage.row_type) != str(row_t):
+                raise ValueError('union: row types differ')
+        all_batches = []
+        for t in tables:
+            all_batches.extend(t._stage.collect_batches())
+        return Table(TableStage.from_batches(self._stage.globals, self._stage.key,
+                                             row_t, all_batches))
+
+    def distinct(self) -> 'Table':
+        batch = self._stage.collect_single()
+        keys = _key_tuples(batch, self._stage.key)
+        seen = {}
+        keep = np.zeros(batch.length, dtype=bool)
+        for i, k in enumerate(keys):
+            if k not in seen:
+                seen[k] = i
+                keep[i] = True
+        return Table(TableStage.from_batches(self._stage.globals, self._stage.key,
+                                             self._stage.row_type, [batch.compress(keep)]))
+
+    def add_index(self, name: str = 'idx') -> 'Table':
+        batches = self._stage.collect_batches()
+        out = []
+        off = 0
+        for b in batches:
+            col = PrimitiveColumn(ht.tint64, np.arange(off, off + b.length, dtype=np.int64))
+            out.append(b.annotate(**{name: col}))
+            off += b.length
+        return Table(TableStage.from_batches(
+            self._stage.globals, self._stage.key,
+            self._stage.row_type._insert_field(name, ht.tint64), out,
+            self._stage.partition_bounds))
+
+    def explode(self, field) -> 'Table':
+        name = field if isinstance(field, str) else _expr_field_name(field)
+        et = self._stage.row_type[name]
+        if not isinstance(et, (ht.tarray, ht.tset)):
+            raise ValueError(f'explode: field {name!r} is not an array/set')
+        elem_t = et.element_type
+        new_t = ht.tstruct.from_fields(
+            [(k, elem_t if k == name else v) for k, v in self._stage.row_type.items()])
+        def f(batch, i):
+            arr = C.to_object(batch.columns[name])
+            lens = np.asarray([0 if v is None else len(v) for v in arr.values], dtype=np.int64)
+            idx = np.repeat(np.arange(batch.length), lens)
+            flat_vals = []
+            for v in arr.values:
+                if v is not None:
+                    flat_vals.extend(sorted(v, key=lambda x: (x is None, x)) if isinstance(v, (set, frozenset)) else list(v))
+            cols = {}
+            for k, c in batch.columns.items():
+                if k == name:
+                    cols[k] = C.from_pylist(elem_t, flat_vals)
+                else:
+                    cols[k] = c.gather(idx)
+            return Batch(cols, int(lens.sum()))
+        return Table(self._stage.map_partitions(f, new_t))
+
+    # -- joins -------------------------------------------------------------
+    def join(self, right: 'Table', how: str = 'inner', _mangle=None) -> 'Table':
+        lkey = self._stage.key
+        rkey = right._stage.key
+        if len(lkey) != len(rkey):
+            raise ValueError('join: key lengths differ')
+        lb = self._stage.collect_single()
+        rb = right._stage.collect_single()
+        lkeys = _key_tuples(lb, lkey)
+        rkeys = _key_tuples(rb, rkey)
+        rindex: Dict[tuple, List[int]] = {}
+        for i, k in enumerate(rkeys):
+            rindex.setdefault(k, []).append(i)
+        l_idx: List[int] = []
+        r_idx: List[int] = []
+        matched_r = set()
+        for i, k in enumerate(lkeys):
+            js = rindex.get(k)
+            if js:
+                for j in js:
+                    l_idx.append(i)
+                    r_idx.append(j)
+                matched_r.add(k)
+            elif how in ('left', 'outer'):
+                l_idx.append(i)
+                r_idx.append(-1)
+        if how in ('right', 'outer'):
+            for k, js in rindex.items():
+                if k not in matched_r:
+                    for j in js:
+                        l_idx.append(-1)
+                        r_idx.append(j)
+        l_idx_a = np.asarray(l_idx, dtype=np.int64)
+        r_idx_a = np.asarray(r_idx, dtype=np.int64)
+        # build joined columns
+        rename = {}
+        rvalue_fields = [f for f in rb.row_type.fields if f not in rkey]
+        for f in rvalue_fields:
+            nf = f
+            while nf in lb.row_type.fields:
+                nf = nf + '_1'
+            rename[f] = nf
+        cols: Dict[str, Column] = {}
+        lmiss = l_idx_a < 0
+        rmiss = r_idx_a < 0
+        for f, c in lb.columns.items():
+            g = c.gather(np.maximum(l_idx_a, 0))
+            if f in lkey:
+                # key comes from whichever side is present
+                rj = rb.columns[rkey[lkey.index(f)]].gather(np.maximum(r_idx_a, 0))
+                cols[f] = _choose(lmiss, rj, g)
+            else:
+                cols[f] = g.with_missing(lmiss if lmiss.any() else None)
+        for f in rvalue_fields:
+            g = rb.columns[f].gather(np.maximum(r_idx_a, 0))
+            cols[rename[f]] = g.with_missing(rmiss if rmiss.any() else None)
+        new_t = ht.tstruct(**{k: c.typ for k, c in cols.items()})
+        g_cols = dict(self._stage.globals.columns)
+        for k, v in right._stage.globals.columns.items():
+            if k not in g_cols:
+                g_cols[k] = v
+        joined = Batch(cols, len(l_idx_a))
+        specs = [(k, True) for k in lkey]
+        joined = joined.gather(_sort_indices(joined, specs))
+        return Table(TableStage.from_batches(Batch(g_cols, 1), lkey, new_t, [joined]))
+
+    def anti_join(self, right: 'Table') -> 'Table':
+        rb = right._stage.collect_single()
+        rkeys = set(_key_tuples(rb, right._stage.key))
+        def f(batch, i):
+            keys = _key_tuples(batch, self._stage.key)
+            keep = np.asarray([k not in rkeys for k in keys], dtype=bool)
+            return batch.compress(keep)
+        return Table(self._stage.map_partitions(f, self._stage.row_type))
+
+    def semi_join(self, right: 'Table') -> 'Table':
+        rb = right._stage.collect_single()
+        rkeys = set(_key_tuples(rb, right._stage.key))
+        def f(batch, i):
+            keys = _key_tuples(batch, self._stage.key)
+            keep = np.asarray([k in rkeys for k in keys], dtype=bool)
+            return batch.compress(keep)
+        return Table(self._stage.map_partitions(f, self._stage.row_type))
+
+    # -- conversions -------------------------------------------------------
+    def to_pandas(self, flatten: bool = True):
+        import pandas as pd
+        batch = self._stage.collect_single()
+        data = {}
+        def add(prefix, col):
+            if isinstance(col, StructColumn) and flatten:
+                for k, c in col.fields.items():
+                    add(f'{prefix}.{k}', c)
+                return
+            data[prefix] = col.to_pylist()
+        for k, col in batch.columns.items():
+            add(k, col)
+        return pd.DataFrame(data)
+
+    def _collect_expr(self, expr: Expression) -> list:
+        e = to_expr(expr)
+        out = []
+        for i, ctx in enumerate(self._stage.contexts):
+            b = self._stage.partition_fn(ctx)
+            col = self._eval_rows(e, b, i)
+            out.extend(col.to_pylist())
+        return out
+
+    def _eval_global_expr(self, expr: Expression):
+        col = expr._ir.evaluate(self._globals_env())
+        vals = col.to_pylist()
+        return vals[0] if vals else None
+
+    def _lookup_dict(self) -> dict:
+        if self._lookup_cache is None:
+            batch = self._stage.collect_single()
+            keys = _key_tuples(batch, self._stage.key)
+            value_fields = [f for f in batch.row_type.fields if f not in self._stage.key]
+            vals = Batch({f: batch.columns[f] for f in value_fields}, batch.length).to_pylist() \
+                if value_fields else [Struct() for _ in range(batch.length)]
+            self._lookup_cache = dict(zip(keys, vals))
+        return self._lookup_cache
+
+    def index(self, *exprs, all_matches=False):
+        if len(exprs) == 1 and isinstance(exprs[0], StructExpression):
+            return self[exprs[0]]
+        return self[tuple(exprs)]
+
+    def index_globals(self) -> StructExpression:
+        gb = self._stage.globals
+        gt = self._stage.globals_type
+        vals = Struct(**{k: (gb.columns[k].to_pylist()[0]) for k in gt.fields})
+        return to_expr(vals, gt)
+
+
+class _DescOrder:
+    def __init__(self, name):
+        self.name = name
+
+
+def desc(f) -> _DescOrder:
+    return _DescOrder(f if isinstance(f, str) else _expr_field_name(f))
+
+
+def asc(f):
+    return f if isinstance(f, str) else _expr_field_name(f)
+
+
+class GroupedTable:
+    """Result of Table.group_by; aggregate() runs a grouped aggregation
+    (reference `LowerTableKeyByAndAggregate`)."""
+
+    def __init__(self, table: Table, key_fields: List[str]):
+        self._table = table
+        self._key_fields = key_fields
+
+    def aggregate(self, **named_exprs) -> Table:
+        exprs = {k: to_expr(v) for k, v in named_exprs.items()}
+        t = self._table
+        batch = t._stage.collect_single()
+        specs = [(k, True) for k in self._key_fields]
+        idx = _sort_indices(batch, specs)
+        batch = batch.gather(idx)
+        keys = _key_tuples(batch, self._key_fields)
+        # group boundaries
+        bounds = [0]
+        for i in range(1, len(keys)):
+            if keys[i] != keys[i - 1]:
+                bounds.append(i)
+        bounds.append(len(keys))
+        n_groups = max(0, len(bounds) - 1)
+        all_nodes = {k: aggmod.collect_agg_nodes(e._ir) for k, e in exprs.items()}
+        out_rows = []
+        group_first = []
+        for gi in range(n_groups):
+            s, e_ = bounds[gi], bounds[gi + 1]
+            group_first.append(s)
+            sub = batch.slice(s, e_)
+            env = t._row_env(sub, 0)
+            row = {}
+            for k, expr in exprs.items():
+                nodes = all_nodes[k]
+                states = aggmod.partial_aggregate(nodes, env, (0,))
+                col = aggmod.finalize_aggregate(expr._ir, nodes, states, t._globals_env())
+                vals = col.to_pylist()
+                row[k] = vals[0] if vals else None
+            out_rows.append(row)
+        key_cols = {f: batch.columns[f].gather(np.asarray(group_first, dtype=np.int64))
+                    for f in self._key_fields}
+        agg_cols = {k: C.from_pylist(exprs[k].dtype, [r[k] for r in out_rows]) for k in exprs}
+        new_t = ht.tstruct(**{**{f: batch.row_type[f] for f in self._key_fields},
+                              **{k: e.dtype for k, e in exprs.items()}})
+        nb = Batch({**key_cols, **agg_cols}, n_groups)
+        return Table(TableStage.from_batches(t._stage.globals, self._key_fields, new_t, [nb]))
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _field_refs(ir: IR) -> set:
+    out = set()
+    def rec(node):
+        if isinstance(node, GetField) and isinstance(node.struct, Ref) and node.struct.name == 'row':
+            out.add(node.name)
+        for c in node.children:
+            rec(c)
+    rec(ir)
+    return out
+
+
+def _expr_field_name(e: Expression) -> str:
+    ir = e._ir
+    if isinstance(ir, GetField):
+        return ir.name
+    raise ValueError('expected a field reference')
+
+
+def _key_tuples(batch: Batch, key: List[str]) -> List[tuple]:
+    if not key:
+        return [(i,) for i in range(batch.length)]
+    cols = [batch.columns[k].to_pylist() for k in key]
+    return [tuple(c[i] for c in cols) for i in range(batch.length)]
+
+
+def _sort_col_key(col: Column) -> Optional[np.ndarray]:
+    """A numpy sort key for a column, or None for object fallback."""
+    from .ir.columns import LocusColumn, PrimitiveColumn
+    if isinstance(col, LocusColumn):
+        return col.global_position()
+    if isinstance(col, PrimitiveColumn):
+        v = col.values.astype(np.float64) if col.values.dtype != np.float64 else col.values
+        if col.missing is not None:
+            v = np.where(col.missing, np.inf, v)
+        return v
+    return None
+
+
+def _sort_indices(batch: Batch, specs: List[Tuple[str, bool]]) -> np.ndarray:
+    keys = []
+    vectorized = True
+    for name, asc_ in specs:
+        k = _sort_col_key(batch.columns[name])
+        if k is None:
+            vectorized = False
+            break
+        keys.append(-k if not asc_ else k)
+    if vectorized and keys:
+        return np.lexsort(list(reversed(keys))).astype(np.int64)
+    # object fallback
+    cols = [(batch.columns[name].to_pylist(), asc_) for name, asc_ in specs]
+    def keyfn(i):
+        out = []
+        for vals, asc_ in cols:
+            v = vals[i]
+            out.append((v is None, _Rev(v) if not asc_ else v))
+        return tuple(out)
+    return np.asarray(sorted(range(batch.length), key=keyfn), dtype=np.int64)
+
+
+class _Rev:
+    __slots__ = ('v',)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        if self.v is None:
+            return False
+        if other.v is None:
+            return True
+        return other.v < self.v
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+
+def _choose(use_b_mask: np.ndarray, b: Column, a: Column) -> Column:
+    """where mask → b else a (same type)."""
+    if not use_b_mask.any():
+        return a
+    from .ir.columns import concat_columns
+    idx_a = np.where(~use_b_mask)[0]
+    # object-level merge for simplicity
+    av = C.to_object(a).values
+    bv = C.to_object(b).values
+    out = np.where(use_b_mask, bv, av)
+    return C.from_pylist(a.typ, list(out.ravel())).reshape(a.shape)
+
+
+def _show_value(v) -> str:
+    if v is None:
+        return 'NA'
+    return str(v)
+
+
+# ---------------------------------------------------------------------------
+# constructors
+# ---------------------------------------------------------------------------
+
+def range_table(n: int, n_partitions: Optional[int] = None) -> Table:
+    """reference `hail/python/hail/utils/misc.py` range_table."""
+    if n_partitions is None:
+        n_partitions = min(max(1, n // 64000 + 1), 8) if n > 0 else 1
+    n_partitions = max(1, min(n_partitions, max(n, 1)))
+    bounds = np.linspace(0, n, n_partitions + 1).astype(np.int64)
+    contexts = [(int(bounds[i]), int(bounds[i + 1])) for i in range(n_partitions)]
+    row_t = ht.tstruct(idx=ht.tint32)
+    def pf(ctx):
+        s, e = ctx
+        return Batch({'idx': PrimitiveColumn(ht.tint32, np.arange(s, e, dtype=np.int32))}, e - s)
+    g = Batch({}, 1)
+    return Table(TableStage(g, ['idx'], row_t, contexts, pf))
+
+
+def parallelize(rows, schema: Optional[ht.tstruct] = None, key=None,
+                n_partitions: Optional[int] = None,
+                globals: Optional[Struct] = None) -> Table:
+    """hl.Table.parallelize equivalent."""
+    from .expr.expression import impute_type
+    rows = list(rows)
+    if schema is None:
+        if not rows:
+            raise ValueError('parallelize: empty rows require a schema')
+        ts = [impute_type(r) for r in rows]
+        schema = ts[0]
+        for t in ts[1:]:
+            if str(t) != str(schema):
+                u = ht.unify_types(t, schema)
+                if u is None:
+                    raise ValueError(f'parallelize: inconsistent row types {schema} vs {t}')
+                schema = u
+    batch = Batch.from_pylist(schema, rows)
+    g = Batch({}, 1) if globals is None else Batch.from_pylist(impute_type(globals), [globals])
+    key = [key] if isinstance(key, str) else list(key or [])
+    t = Table(TableStage.from_batches(g, [], schema, [batch]))
+    if key:
+        t = t.key_by(*key)
+        t = t.order_by(*key)
+        t._stage.key = key
+    if n_partitions:
+        t = t.repartition(n_partitions)
+        t._stage.key = key
+    return t
+
+
+def read_table(path: str) -> Table:
+    from .io.native import read_table as rt
+    return rt(path)

@@ -1,0 +1,513 @@
+"""Hail-style virtual type system.
+
+Capability parity with reference hail/python/hail/expr/types.py (virtual
+types) — a fresh implementation. Types classify expressions and columns;
+physical layout is handled by hail_tpu.ir.columns (columnar, not off-heap
+rows as in the reference's PTypes).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .utils.structs import Interval, Struct, frozendict
+
+__all__ = [
+    'HailType', 'tint32', 'tint64', 'tfloat32', 'tfloat64', 'tbool', 'tstr',
+    'tcall', 'tvoid', 'tbinary', 'tlocus', 'tarray', 'tset', 'tdict',
+    'tstruct', 'ttuple', 'tinterval', 'tndarray', 'trngstate', 'dtype',
+    'is_numeric', 'is_primitive', 'unify_types', 'hts_entry_schema',
+]
+
+
+class HailType:
+    """Base class for hail types."""
+
+    def __repr__(self) -> str:
+        return str(self)
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, HailType) and str(self) == str(other)
+
+    def __hash__(self) -> int:
+        return hash(str(self))
+
+    @property
+    def numpy_dtype(self):
+        """The numpy dtype used for a vectorized column of this type, or None
+        if the type is represented as an object column."""
+        return None
+
+    def _typecheck(self, value: Any) -> bool:
+        raise NotImplementedError
+
+    def typecheck(self, value: Any) -> None:
+        if value is not None and not self._typecheck(value):
+            raise TypeError(f'type {self}: invalid value {value!r}')
+
+    def coerce(self, value: Any) -> Any:
+        """Convert a python value into this type's canonical python form."""
+        return value
+
+
+class _tint32(HailType):
+    def __str__(self):
+        return 'int32'
+
+    @property
+    def numpy_dtype(self):
+        return np.dtype(np.int32)
+
+    def _typecheck(self, v):
+        return isinstance(v, (int, np.integer)) and not isinstance(v, bool)
+
+    def coerce(self, v):
+        return None if v is None else int(v)
+
+
+class _tint64(HailType):
+    def __str__(self):
+        return 'int64'
+
+    @property
+    def numpy_dtype(self):
+        return np.dtype(np.int64)
+
+    def _typecheck(self, v):
+        return isinstance(v, (int, np.integer)) and not isinstance(v, bool)
+
+    def coerce(self, v):
+        return None if v is None else int(v)
+
+
+class _tfloat32(HailType):
+    def __str__(self):
+        return 'float32'
+
+    @property
+    def numpy_dtype(self):
+        return np.dtype(np.float32)
+
+    def _typecheck(self, v):
+        return isinstance(v, (int, float, np.integer, np.floating)) and not isinstance(v, bool)
+
+    def coerce(self, v):
+        return None if v is None else float(v)
+
+
+class _tfloat64(HailType):
+    def __str__(self):
+        return 'float64'
+
+    @property
+    def numpy_dtype(self):
+        return np.dtype(np.float64)
+
+    def _typecheck(self, v):
+        return isinstance(v, (int, float, np.integer, np.floating)) and not isinstance(v, bool)
+
+    def coerce(self, v):
+        return None if v is None else float(v)
+
+
+class _tbool(HailType):
+    def __str__(self):
+        return 'bool'
+
+    @property
+    def numpy_dtype(self):
+        return np.dtype(np.bool_)
+
+    def _typecheck(self, v):
+        return isinstance(v, (bool, np.bool_))
+
+    def coerce(self, v):
+        return None if v is None else bool(v)
+
+
+class _tstr(HailType):
+    def __str__(self):
+        return 'str'
+
+    def _typecheck(self, v):
+        return isinstance(v, str)
+
+
+class _tvoid(HailType):
+    def __str__(self):
+        return 'void'
+
+    def _typecheck(self, v):
+        return False
+
+
+class _tbinary(HailType):
+    def __str__(self):
+        return 'binary'
+
+    def _typecheck(self, v):
+        return isinstance(v, bytes)
+
+
+class _tcall(HailType):
+    """Genotype call; represented as a packed int32 column
+    (see hail_tpu.genetics.call; reference variant/Call.scala:14-77)."""
+
+    def __str__(self):
+        return 'call'
+
+    @property
+    def numpy_dtype(self):
+        return np.dtype(np.int32)
+
+    def _typecheck(self, v):
+        from .genetics.call import Call
+        return isinstance(v, Call)
+
+
+class _trngstate(HailType):
+    def __str__(self):
+        return 'rng_state'
+
+    def _typecheck(self, v):
+        return False
+
+
+tint32 = _tint32()
+tint64 = _tint64()
+tfloat32 = _tfloat32()
+tfloat64 = _tfloat64()
+tbool = _tbool()
+tstr = _tstr()
+tvoid = _tvoid()
+tbinary = _tbinary()
+tcall = _tcall()
+trngstate = _trngstate()
+
+
+class tlocus(HailType):
+    """Genomic locus (contig, position) on a reference genome."""
+
+    def __init__(self, reference_genome: Any = 'default'):
+        from .genetics.reference_genome import ReferenceGenome, default_reference
+        if reference_genome == 'default':
+            reference_genome = default_reference()
+        elif isinstance(reference_genome, str):
+            reference_genome = ReferenceGenome.get(reference_genome)
+        self.reference_genome = reference_genome
+
+    def __str__(self):
+        return f'locus<{self.reference_genome.name}>'
+
+    def _typecheck(self, v):
+        from .genetics.locus import Locus
+        return isinstance(v, Locus)
+
+
+class tarray(HailType):
+    def __init__(self, element_type: HailType):
+        self.element_type = element_type
+
+    def __str__(self):
+        return f'array<{self.element_type}>'
+
+    def _typecheck(self, v):
+        return isinstance(v, (list, tuple, np.ndarray))
+
+    def coerce(self, v):
+        if v is None:
+            return None
+        return [self.element_type.coerce(x) if x is not None else None for x in v]
+
+
+class tset(HailType):
+    def __init__(self, element_type: HailType):
+        self.element_type = element_type
+
+    def __str__(self):
+        return f'set<{self.element_type}>'
+
+    def _typecheck(self, v):
+        return isinstance(v, (set, frozenset))
+
+    def coerce(self, v):
+        if v is None:
+            return None
+        return frozenset(self.element_type.coerce(x) for x in v)
+
+
+class tdict(HailType):
+    def __init__(self, key_type: HailType, value_type: HailType):
+        self.key_type = key_type
+        self.value_type = value_type
+
+    def __str__(self):
+        return f'dict<{self.key_type}, {self.value_type}>'
+
+    def _typecheck(self, v):
+        return isinstance(v, (dict, frozendict))
+
+    def coerce(self, v):
+        if v is None:
+            return None
+        return frozendict({self.key_type.coerce(k): self.value_type.coerce(x) for k, x in v.items()})
+
+
+class tstruct(HailType):
+    def __init__(self, **fields: HailType):
+        self.fields: Dict[str, HailType] = dict(fields)
+
+    @staticmethod
+    def from_fields(fields: Sequence[Tuple[str, HailType]]) -> 'tstruct':
+        t = tstruct()
+        t.fields = dict(fields)
+        return t
+
+    def __str__(self):
+        inner = ', '.join(f'{_escape_field(k)}: {v}' for k, v in self.fields.items())
+        return f'struct{{{inner}}}'
+
+    def __getitem__(self, name: str) -> HailType:
+        return self.fields[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.fields
+
+    def __iter__(self):
+        return iter(self.fields)
+
+    def keys(self):
+        return self.fields.keys()
+
+    def items(self):
+        return self.fields.items()
+
+    def values(self):
+        return self.fields.values()
+
+    def __len__(self):
+        return len(self.fields)
+
+    def _typecheck(self, v):
+        return isinstance(v, (Struct, dict))
+
+    def coerce(self, v):
+        if v is None:
+            return None
+        return Struct(**{k: t.coerce(v.get(k)) for k, t in self.fields.items()})
+
+    def _insert_field(self, name: str, typ: HailType) -> 'tstruct':
+        d = dict(self.fields)
+        d[name] = typ
+        return tstruct(**d)
+
+    def _drop_fields(self, names) -> 'tstruct':
+        names = set(names)
+        return tstruct.from_fields([(k, v) for k, v in self.fields.items() if k not in names])
+
+    def _select_fields(self, names) -> 'tstruct':
+        return tstruct.from_fields([(k, self.fields[k]) for k in names])
+
+
+class ttuple(HailType):
+    def __init__(self, *types: HailType):
+        self.types = tuple(types)
+
+    def __str__(self):
+        return f'tuple({", ".join(str(t) for t in self.types)})'
+
+    def __getitem__(self, i: int) -> HailType:
+        return self.types[i]
+
+    def __len__(self):
+        return len(self.types)
+
+    def _typecheck(self, v):
+        return isinstance(v, tuple) and len(v) == len(self.types)
+
+
+class tinterval(HailType):
+    def __init__(self, point_type: HailType):
+        self.point_type = point_type
+
+    def __str__(self):
+        return f'interval<{self.point_type}>'
+
+    def _typecheck(self, v):
+        return isinstance(v, Interval)
+
+
+class tndarray(HailType):
+    def __init__(self, element_type: HailType, ndim: int):
+        self.element_type = element_type
+        self.ndim = ndim
+
+    def __str__(self):
+        return f'ndarray<{self.element_type}, {self.ndim}>'
+
+    def _typecheck(self, v):
+        return isinstance(v, np.ndarray) or hasattr(v, '__array__')
+
+
+def is_numeric(t: HailType) -> bool:
+    return t in (tint32, tint64, tfloat32, tfloat64)
+
+
+def is_primitive(t: HailType) -> bool:
+    return t in (tint32, tint64, tfloat32, tfloat64, tbool, tstr, tcall)
+
+
+_NUMERIC_RANK = {str(tbool): 0, str(tint32): 1, str(tint64): 2, str(tfloat32): 3, str(tfloat64): 4}
+_RANK_TYPE = [tbool, tint32, tint64, tfloat32, tfloat64]
+
+
+def unify_types(*ts: HailType) -> Optional[HailType]:
+    """Least upper bound of numeric types; identical types unify to themselves."""
+    ts = [t for t in ts if t is not None]
+    if not ts:
+        return None
+    if all(t == ts[0] for t in ts):
+        return ts[0]
+    if all(str(t) in _NUMERIC_RANK for t in ts):
+        return _RANK_TYPE[max(_NUMERIC_RANK[str(t)] for t in ts)]
+    if all(isinstance(t, tarray) for t in ts):
+        elem = unify_types(*[t.element_type for t in ts])
+        return tarray(elem) if elem is not None else None
+    return None
+
+
+def _escape_field(name: str) -> str:
+    if re.fullmatch(r'[A-Za-z_][A-Za-z0-9_]*', name):
+        return name
+    return f'`{name}`'
+
+
+# ---------------------------------------------------------------------------
+# dtype(): parse a type string ('array<int32>' etc.)
+# ---------------------------------------------------------------------------
+
+_SIMPLE = {
+    'int': tint32, 'int32': tint32, 'int64': tint64,
+    'float': tfloat64, 'float32': tfloat32, 'float64': tfloat64,
+    'bool': tbool, 'str': tstr, 'call': tcall, 'void': tvoid, 'binary': tbinary,
+}
+
+_TOKEN = re.compile(r'\s*([A-Za-z_][A-Za-z0-9_]*|`[^`]*`|[<>{}(),:]|\d+)')
+
+
+class _TypeParser:
+    def __init__(self, s: str):
+        self.tokens = []
+        pos = 0
+        while pos < len(s):
+            m = _TOKEN.match(s, pos)
+            if not m:
+                if s[pos:].strip() == '':
+                    break
+                raise ValueError(f'could not parse type string at {s[pos:]!r}')
+            self.tokens.append(m.group(1))
+            pos = m.end()
+        self.i = 0
+
+    def peek(self):
+        return self.tokens[self.i] if self.i < len(self.tokens) else None
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, tok):
+        t = self.next()
+        if t != tok:
+            raise ValueError(f'expected {tok!r}, got {t!r}')
+
+    def parse(self) -> HailType:
+        tok = self.next()
+        if tok in _SIMPLE:
+            return _SIMPLE[tok]
+        if tok == 'array':
+            self.expect('<')
+            t = self.parse()
+            self.expect('>')
+            return tarray(t)
+        if tok == 'set':
+            self.expect('<')
+            t = self.parse()
+            self.expect('>')
+            return tset(t)
+        if tok == 'dict':
+            self.expect('<')
+            k = self.parse()
+            self.expect(',')
+            v = self.parse()
+            self.expect('>')
+            return tdict(k, v)
+        if tok == 'interval':
+            self.expect('<')
+            t = self.parse()
+            self.expect('>')
+            return tinterval(t)
+        if tok == 'ndarray':
+            self.expect('<')
+            t = self.parse()
+            self.expect(',')
+            ndim = int(self.next())
+            self.expect('>')
+            return tndarray(t, ndim)
+        if tok == 'locus':
+            self.expect('<')
+            rg = self.next()
+            self.expect('>')
+            return tlocus(rg)
+        if tok == 'struct':
+            self.expect('{')
+            fields = []
+            if self.peek() != '}':
+                while True:
+                    name = self.next()
+                    if name.startswith('`'):
+                        name = name[1:-1]
+                    self.expect(':')
+                    fields.append((name, self.parse()))
+                    if self.peek() == ',':
+                        self.next()
+                    else:
+                        break
+            self.expect('}')
+            return tstruct.from_fields(fields)
+        if tok == 'tuple':
+            self.expect('(')
+            types = []
+            if self.peek() != ')':
+                while True:
+                    types.append(self.parse())
+                    if self.peek() == ',':
+                        self.next()
+                    else:
+                        break
+            self.expect(')')
+            return ttuple(*types)
+        raise ValueError(f'unknown type token {tok!r}')
+
+
+def dtype(s) -> HailType:
+    """Parse a type from its string representation."""
+    if isinstance(s, HailType):
+        return s
+    return _TypeParser(str(s)).parse()
+
+
+def hts_entry_schema() -> tstruct:
+    """The standard high-throughput-sequencing entry schema (GT/AD/DP/GQ/PL),
+    as produced by import_vcf of a standard VCF (reference: LoadVCF.scala)."""
+    return tstruct(
+        GT=tcall,
+        AD=tarray(tint32),
+        DP=tint32,
+        GQ=tint32,
+        PL=tarray(tint32),
+    )

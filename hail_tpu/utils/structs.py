@@ -1,0 +1,181 @@
+"""Core value containers: Struct, frozendict, Interval.
+
+Capability parity with reference hail/python/hail/utils/struct.py,
+frozendict.py, interval.py — fresh implementations.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Mapping
+
+
+class Struct(Mapping):
+    """An immutable record with named fields, accessible as attributes.
+
+    >>> s = Struct(a=1, b='x')
+    >>> s.a
+    1
+    >>> s['b']
+    'x'
+    """
+
+    __slots__ = ('_fields',)
+
+    def __init__(self, **kwargs: Any) -> None:
+        object.__setattr__(self, '_fields', dict(kwargs))
+
+    def __getattr__(self, name: str) -> Any:
+        if name.startswith('_'):
+            raise AttributeError(name)
+        try:
+            return self._fields[name]
+        except KeyError:
+            raise AttributeError(f'Struct has no field {name!r}') from None
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        raise TypeError('Struct is immutable')
+
+    def __getitem__(self, name: str) -> Any:
+        return self._fields[name]
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(self._fields)
+
+    def __len__(self) -> int:
+        return len(self._fields)
+
+    def __contains__(self, name: object) -> bool:
+        return name in self._fields
+
+    def keys(self):
+        return self._fields.keys()
+
+    def values(self):
+        return self._fields.values()
+
+    def items(self):
+        return self._fields.items()
+
+    def __eq__(self, other: object) -> bool:
+        if isinstance(other, Struct):
+            return self._fields == other._fields
+        if isinstance(other, dict):
+            return self._fields == other
+        return NotImplemented
+
+    def __hash__(self) -> int:
+        return hash(tuple(sorted((k, _try_hash(v)) for k, v in self._fields.items())))
+
+    def __repr__(self) -> str:
+        inner = ', '.join(f'{k}={v!r}' for k, v in self._fields.items())
+        return f'Struct({inner})'
+
+    def annotate(self, **kwargs: Any) -> 'Struct':
+        d = dict(self._fields)
+        d.update(kwargs)
+        return Struct(**d)
+
+    def select(self, *names: str, **kwargs: Any) -> 'Struct':
+        d = {n: self._fields[n] for n in names}
+        d.update(kwargs)
+        return Struct(**d)
+
+    def drop(self, *names: str) -> 'Struct':
+        return Struct(**{k: v for k, v in self._fields.items() if k not in names})
+
+
+def _try_hash(v: Any) -> int:
+    try:
+        return hash(v)
+    except TypeError:
+        if isinstance(v, (list, tuple)):
+            return hash(tuple(_try_hash(x) for x in v))
+        if isinstance(v, dict):
+            return hash(tuple(sorted((k, _try_hash(x)) for k, x in v.items())))
+        if isinstance(v, set):
+            return hash(frozenset(v))
+        return 0
+
+
+class frozendict(Mapping):
+    """An immutable, hashable dict (value type for tdict)."""
+
+    __slots__ = ('_d', '_hash')
+
+    def __init__(self, d: Mapping = (), **kwargs: Any) -> None:
+        object.__setattr__(self, '_d', dict(d, **kwargs))
+        object.__setattr__(self, '_hash', None)
+
+    def __getitem__(self, k: Any) -> Any:
+        return self._d[k]
+
+    def __iter__(self) -> Iterator:
+        return iter(self._d)
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+    def __hash__(self) -> int:
+        if self._hash is None:
+            object.__setattr__(
+                self, '_hash', hash(frozenset((k, _try_hash(v)) for k, v in self._d.items()))
+            )
+        return self._hash
+
+    def __eq__(self, other: object) -> bool:
+        if isinstance(other, frozendict):
+            return self._d == other._d
+        if isinstance(other, dict):
+            return self._d == other
+        return NotImplemented
+
+    def __repr__(self) -> str:
+        return f'frozendict({self._d!r})'
+
+
+class Interval:
+    """A typed interval with inclusive/exclusive endpoints.
+
+    Mirrors the semantics of the reference's Interval
+    (hail/python/hail/utils/interval.py); used for locus intervals and
+    partitioner range bounds (rvd/RVDPartitioner.scala:18-23).
+    """
+
+    __slots__ = ('start', 'end', 'includes_start', 'includes_end')
+
+    def __init__(self, start, end, includes_start: bool = True, includes_end: bool = False):
+        self.start = start
+        self.end = end
+        self.includes_start = includes_start
+        self.includes_end = includes_end
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, Interval):
+            return NotImplemented
+        return (
+            self.start == other.start
+            and self.end == other.end
+            and self.includes_start == other.includes_start
+            and self.includes_end == other.includes_end
+        )
+
+    def __hash__(self) -> int:
+        return hash((_try_hash(self.start), _try_hash(self.end), self.includes_start, self.includes_end))
+
+    def __repr__(self) -> str:
+        lb = '[' if self.includes_start else '('
+        rb = ']' if self.includes_end else ')'
+        return f'Interval({lb}{self.start!r}-{self.end!r}{rb})'
+
+    def contains(self, point, cmp=None) -> bool:
+        """Whether `point` lies in the interval under ordering `cmp` (default: python <)."""
+        if cmp is None:
+            def cmp(a, b):
+                return -1 if a < b else (0 if a == b else 1)
+        c0 = cmp(point, self.start)
+        if c0 < 0 or (c0 == 0 and not self.includes_start):
+            return False
+        c1 = cmp(point, self.end)
+        if c1 > 0 or (c1 == 0 and not self.includes_end):
+            return False
+        return True

@@ -1,0 +1,129 @@
+import numpy as np
+import pytest
+
+import hail_tpu as hl
+from hail_tpu import types as ht
+
+
+def test_range_matrix_table():
+    mt = hl.range_matrix_table(20, 10, 2)
+    assert mt.count() == (20, 10)
+    assert mt.count_rows() == 20
+    assert mt.count_cols() == 10
+
+
+def test_annotate_entries_rows_cols():
+    mt = hl.range_matrix_table(6, 4)
+    mt = mt.annotate_entries(x=mt.row_idx * 10 + mt.col_idx)
+    mt = mt.annotate_rows(rsum=hl.agg.sum(mt.x))
+    mt = mt.annotate_cols(csum=hl.agg.sum(mt.x))
+    rows = mt.rows().collect()
+    assert rows[0].rsum == 0 + 1 + 2 + 3
+    assert rows[2].rsum == 20 * 4 + 6
+    cols = mt.cols().collect()
+    assert cols[0].csum == sum(r * 10 for r in range(6))
+    mt = mt.annotate_globals(g=5)
+    mt = mt.annotate_entries(y=mt.x + mt.g)
+    assert mt.aggregate_entries(hl.agg.min(mt.y)) == 5
+
+
+def test_filter_rows_cols_entries():
+    mt = hl.range_matrix_table(10, 8)
+    mt = mt.annotate_entries(x=mt.row_idx + mt.col_idx)
+    mt2 = mt.filter_rows(mt.row_idx % 2 == 0)
+    assert mt2.count_rows() == 5
+    mt3 = mt.filter_cols(mt.col_idx < 3)
+    assert mt3.count_cols() == 3
+    mt4 = mt.filter_entries(mt.x % 2 == 0)
+    n_def = mt4.aggregate_entries(hl.agg.count_where(hl.is_defined(mt4.x)))
+    assert n_def == 40  # half of 80
+
+
+def test_aggregate_contexts():
+    mt = hl.range_matrix_table(5, 4)
+    mt = mt.annotate_entries(x=1)
+    assert mt.aggregate_entries(hl.agg.sum(mt.x)) == 20
+    assert mt.aggregate_rows(hl.agg.count()) == 5
+    assert mt.aggregate_cols(hl.agg.count()) == 4
+    mt = mt.annotate_rows(rv=mt.row_idx * 2)
+    assert mt.aggregate_rows(hl.agg.max(mt.rv)) == 8
+
+
+def test_entries_table():
+    mt = hl.range_matrix_table(3, 2)
+    mt = mt.annotate_entries(v=mt.row_idx * 10 + mt.col_idx)
+    et = mt.entries()
+    assert et.count() == 6
+    rows = et.collect()
+    assert rows[0].v == 0 and rows[1].v == 1 and rows[2].v == 10
+
+
+def test_select_transmute_drop():
+    mt = hl.range_matrix_table(4, 3)
+    mt = mt.annotate_rows(a=1, b=2)
+    mt = mt.select_rows('a')
+    assert list(mt._stage.row_type.fields) == ['row_idx', 'a']
+    mt = mt.annotate_entries(x=1, y=2)
+    mt = mt.select_entries('y')
+    assert list(mt._stage.entry_type.fields) == ['y']
+    mt = mt.annotate_cols(c1=5)
+    mt2 = mt.drop('c1')
+    assert 'c1' not in mt2._stage.col_type.fields
+
+
+def test_key_by():
+    mt = hl.range_matrix_table(4, 3)
+    mt = mt.annotate_rows(k2=mt.row_idx % 2)
+    mt2 = mt.key_rows_by('k2')
+    assert mt2._stage.row_key == ['k2']
+
+
+def test_choose_cols_head_union():
+    mt = hl.range_matrix_table(10, 6)
+    mt = mt.annotate_entries(e=mt.row_idx)
+    mt2 = mt.choose_cols([0, 2, 4])
+    assert mt2.count_cols() == 3
+    mt3 = mt.head(4)
+    assert mt3.count_rows() == 4
+    u = mt3.union_rows(mt.head(2))
+    assert u.count_rows() == 6
+
+
+def test_localize_entries():
+    mt = hl.range_matrix_table(3, 2)
+    mt = mt.annotate_entries(x=mt.row_idx + mt.col_idx)
+    t = mt.localize_entries('ent', 'cols')
+    rows = t.collect()
+    assert len(rows[0].ent) == 2
+    assert rows[1].ent[1].x == 2
+
+
+def test_write_read(tmp_path, sample_mt):
+    p = str(tmp_path / 'test.mt')
+    sample_mt.write(p)
+    mt2 = hl.read_matrix_table(p)
+    assert mt2.count() == sample_mt.count()
+    r1 = sample_mt.rows().take(5)
+    r2 = mt2.rows().take(5)
+    assert r1 == r2
+    e1 = sample_mt.entries().take(3)
+    e2 = mt2.entries().take(3)
+    assert e1 == e2
+
+
+def test_add_indices_rename():
+    mt = hl.range_matrix_table(4, 3)
+    mt = mt.add_row_index('ri').add_col_index('ci')
+    assert [r.ri for r in mt.rows().collect()] == [0, 1, 2, 3]
+    mt2 = mt.rename({'ri': 'row_index2'})
+    assert 'row_index2' in mt2._stage.row_type.fields
+
+
+def test_sample_and_repartition():
+    mt = hl.range_matrix_table(50, 4, 3)
+    mt = mt.annotate_entries(x=1)
+    mt2 = mt.repartition(5)
+    assert mt2.n_partitions() == 5
+    assert mt2.count_rows() == 50
+    mt3 = mt.sample_rows(0.5, seed=3)
+    assert 5 < mt3.count_rows() < 45
