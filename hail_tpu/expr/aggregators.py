@@ -153,7 +153,7 @@ def filter(condition, agg_expr) -> Expression:
     def add_filter(ir: IR) -> IR:
         if isinstance(ir, AggOp):
             new_filter = cond._ir if ir.filter_ir is None else ApplyBinaryOp('&', ir.filter_ir, cond._ir)
-            node = AggOp(ir.aggregator, ir.args, ir.typ, new_filter, ir.init_args)
+            node = type(ir)(ir.aggregator, ir.args, ir.typ, new_filter, ir.init_args)
             node.uid = ir.uid
             return node
         return ir.map_children(add_filter)
@@ -162,19 +162,64 @@ def filter(condition, agg_expr) -> Expression:
 
 
 def explode(f, array_agg_expr) -> Expression:
-    raise NotImplementedError('agg.explode: planned (round 2)')
+    """Aggregate over the elements of an array/set expression (reference
+    agg.explode / AggExplode)."""
+    from ..ir import agg as aggmod
+    from .expression import _fresh_name, construct_expr, Indices
+    from ..ir.nodes import Ref
+    arr = to_expr(array_agg_expr)
+    var = _fresh_name('exp_elem')
+    elem = construct_expr(Ref(var, arr.dtype.element_type), arr._indices)
+    inner = to_expr(f(elem))
+    inner_nodes = aggmod.collect_agg_nodes(inner._ir)
+    agg_ = A.ExplodedAgg(arr._ir, var, inner._ir, inner_nodes, inner.dtype)
+    node = AggOp(agg_, [], inner.dtype)
+    return construct_expr(node, unify_all(arr, inner))
 
 
 def group_by(group, agg_expr) -> Expression:
-    raise NotImplementedError('agg.group_by: planned (round 2)')
+    """Group records by a key expression and aggregate within groups
+    (reference agg.group_by / GroupedAggregator)."""
+    from ..ir import agg as aggmod
+    key = to_expr(group)
+    e = to_expr(agg_expr)
+    inner_nodes = aggmod.collect_agg_nodes(e._ir)
+    agg_ = A.GroupedAgg(key._ir, e._ir, inner_nodes, key.dtype, e.dtype)
+    node = AggOp(agg_, [], ht.tdict(key.dtype, e.dtype))
+    return construct_expr(node, unify_all(key, e))
 
 
 def array_agg(f, array) -> Expression:
-    raise NotImplementedError('agg.array_agg: planned (round 2)')
+    """Aggregate positionally across same-length arrays (reference
+    agg.array_agg / AggArrayPerElement)."""
+    from ..ir import agg as aggmod
+    from .expression import _fresh_name, construct_expr
+    from ..ir.nodes import Ref
+    arr = to_expr(array)
+    var = _fresh_name('aa_elem')
+    elem = construct_expr(Ref(var, arr.dtype.element_type), arr._indices)
+    inner = to_expr(f(elem))
+    inner_nodes = aggmod.collect_agg_nodes(inner._ir)
+    agg_ = A.ArrayAggAgg(arr._ir, var, inner._ir, inner_nodes, inner.dtype)
+    node = AggOp(agg_, [], ht.tarray(inner.dtype))
+    return construct_expr(node, unify_all(arr, inner))
 
 
 def fold(zero, seq_op, comb_op) -> Expression:
-    raise NotImplementedError('agg.fold: planned (round 2)')
+    """Generic fold aggregator (reference agg.fold / AggFold)."""
+    from .expression import _fresh_name, construct_expr
+    from ..ir.nodes import Ref
+    z = to_expr(zero)
+    accum_name = _fresh_name('fold_acc')
+    accum = construct_expr(Ref(accum_name, z.dtype))
+    seq = to_expr(seq_op(accum))
+    a1, a2 = _fresh_name('fold_a'), _fresh_name('fold_b')
+    c1 = construct_expr(Ref(a1, z.dtype))
+    c2 = construct_expr(Ref(a2, z.dtype))
+    comb = to_expr(comb_op(c1, c2))
+    agg_ = A.FoldAgg(z._ir, accum_name, seq._ir, a1, a2, comb._ir, z.dtype)
+    node = AggOp(agg_, [], z.dtype)
+    return construct_expr(node, unify_all(z, seq))
 
 
 def approx_cdf(expr, k: int = 100) -> Expression:

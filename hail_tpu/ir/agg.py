@@ -919,19 +919,24 @@ def collect_agg_nodes(ir: IR) -> List[AggOp]:
 
 
 def partial_aggregate(agg_nodes: Sequence[AggOp], env: EvalEnv,
-                      axis: Tuple[int, ...]) -> Dict[str, Any]:
+                      axis: Tuple[int, ...],
+                      extra_include: Optional[np.ndarray] = None) -> Dict[str, Any]:
     """Evaluate each aggregator's args in row context and produce partial
     states (the per-partition seqOp of the reference's RunAgg)."""
     states: Dict[str, Any] = {}
     for node in agg_nodes:
-        arg_cols = [a.evaluate(env) for a in node.args]
-        include = None
+        include = extra_include
         if node.filter_ir is not None:
             fc = node.filter_ir.evaluate(env)
             fm = fc.missing_mask()
             fv = np.asarray(fc.values, dtype=bool) if isinstance(fc, PrimitiveColumn) else \
                 np.asarray([v is True for v in C.to_object(fc).values.ravel()]).reshape(fc.shape)
-            include = np.broadcast_to(~fm & fv, _full_shape(arg_cols, np.broadcast_to(fv, fv.shape)))
+            filt = np.broadcast_to(~fm & fv, env.shape)
+            include = filt if include is None else (np.broadcast_to(include, env.shape) & filt)
+        if hasattr(node.aggregator, 'seq_env'):
+            states[node.uid] = node.aggregator.seq_env(node, env, axis, include)
+            continue
+        arg_cols = [a.evaluate(env) for a in node.args]
         if isinstance(node.aggregator, CountAgg):
             states[node.uid] = node.aggregator.seq(arg_cols, include, axis, node.init_args, shape=env.shape)
         else:
@@ -951,9 +956,347 @@ def finalize_aggregate(ir: IR, agg_nodes: Sequence[AggOp], states: Dict[str, Any
                        post_env: EvalEnv) -> Column:
     results = {}
     for n in agg_nodes:
-        col = n.aggregator.result(states[n.uid], n.init_args)
+        if hasattr(n.aggregator, 'result_env'):
+            col = n.aggregator.result_env(states[n.uid], post_env)
+        else:
+            col = n.aggregator.result(states[n.uid], n.init_args)
         if col.shape != post_env.shape and int(np.prod(col.shape)) == int(np.prod(post_env.shape)):
             col = col.reshape(post_env.shape)
         results[n.uid] = col
     post_ir = substitute_aggs(ir, results)
     return post_ir.evaluate(post_env)
+
+
+# ---------------------------------------------------------------------------
+# Scans (streaming exclusive prefix) — two-phase like the reference
+# (`LowerTableIR.scala:1607-1660`): per-partition totals, exclusive prefix of
+# carries across partitions, then a vectorized within-partition prefix.
+# ---------------------------------------------------------------------------
+
+def scan_partition(node: AggOp, env: EvalEnv, carry) -> Tuple[Column, Any]:
+    """Evaluate a scan within one partition: per-row EXCLUSIVE prefix results
+    given `carry` (the combined state of all prior partitions, or None).
+    Returns (result column of shape env.shape, carry_out)."""
+    agg_ = node.aggregator
+    arg_cols = [a.evaluate(env) for a in node.args]
+    arg_cols = [c.broadcast_to(env.shape) if c.shape != env.shape else c for c in arg_cols]
+    include = None
+    if node.filter_ir is not None:
+        fc = node.filter_ir.evaluate(env)
+        fv = np.asarray(fc.values, dtype=bool) if isinstance(fc, PrimitiveColumn) else \
+            np.asarray([v is True for v in C.to_object(fc).values.ravel()]).reshape(fc.shape)
+        include = np.broadcast_to(~fc.missing_mask() & fv, env.shape)
+    n = env.shape[0]
+
+    def excl(a, zero=0):
+        out = np.roll(a, 1, axis=0)
+        if out.shape[0]:
+            out[0] = zero
+        return out
+
+    if isinstance(agg_, CountAgg):
+        inc = (include if include is not None else np.ones(n, dtype=bool)).astype(np.int64)
+        cum = excl(np.cumsum(inc))
+        base = carry if carry is not None else 0
+        col = PrimitiveColumn(ht.tint64, base + cum)
+        return col, (base + int(inc.sum()))
+    if isinstance(agg_, CountWhereAgg):
+        (cond,) = arg_cols
+        ok = _include_and_defined(cond, include)
+        vals = ok & np.asarray(cond.values, dtype=bool)
+        cum = excl(np.cumsum(vals.astype(np.int64)))
+        base = carry if carry is not None else 0
+        return PrimitiveColumn(ht.tint64, base + cum), base + int(vals.sum())
+    if isinstance(agg_, MeanAgg):
+        (x,) = arg_cols
+        ok = _include_and_defined(x, include)
+        vals = np.where(ok, np.asarray(x.values), 0).astype(np.float64)
+        cum_s = excl(np.cumsum(vals), 0.0)
+        cum_n = excl(np.cumsum(ok.astype(np.int64)))
+        cs, cn = carry if carry is not None else (0.0, 0)
+        tot = (cs + vals.sum(), cn + int(ok.sum()))
+        with np.errstate(all='ignore'):
+            m = (cs + cum_s) / (cn + cum_n)
+        miss = (cn + cum_n) == 0
+        return PrimitiveColumn(ht.tfloat64, np.where(miss, 0.0, m),
+                               miss if miss.any() else None), tot
+    if isinstance(agg_, SumAgg) and not isinstance(agg_, ArraySumAgg):
+        (x,) = arg_cols
+        ok = _include_and_defined(x, include)
+        dt = np.int64 if x.typ in (ht.tint32, ht.tint64, ht.tbool) else np.float64
+        vals = np.where(ok, np.asarray(x.values), 0).astype(dt)
+        cum_s = excl(np.cumsum(vals), dt(0))
+        cs = carry if carry is not None else dt(0)
+        tot = cs + vals.sum()
+        t = ht.tint64 if dt == np.int64 else ht.tfloat64
+        return PrimitiveColumn(t, cs + cum_s), tot
+    if isinstance(agg_, MinMaxAgg):
+        (x,) = arg_cols
+        ok = _include_and_defined(x, include)
+        fill = np.inf if agg_.is_min else -np.inf
+        vals = np.where(ok, np.asarray(x.values, dtype=np.float64), fill)
+        acc = np.minimum.accumulate(vals) if agg_.is_min else np.maximum.accumulate(vals)
+        acc = excl(acc, fill)
+        seen = excl(np.cumsum(ok.astype(np.int64))) > 0
+        if carry is not None:
+            cv, cseen, _ctyp = carry
+            acc = np.minimum(acc, cv) if agg_.is_min else np.maximum(acc, cv)
+            seen = seen | bool(cseen)
+        part_v = float(np.min(vals, initial=fill)) if agg_.is_min else float(np.max(vals, initial=-np.inf if not agg_.is_min else fill))
+        if carry is not None:
+            part_v = min(part_v, float(carry[0])) if agg_.is_min else max(part_v, float(carry[0]))
+        tot = (np.asarray(part_v), np.asarray(bool(ok.any()) or bool(carry[1] if carry is not None else False)), x.typ)
+        t = x.typ
+        out = acc.astype(t.numpy_dtype) if t.numpy_dtype is not None else acc
+        miss = ~seen
+        return PrimitiveColumn(t, np.where(miss, 0, out).astype(t.numpy_dtype),
+                               miss if miss.any() else None), tot
+    if isinstance(agg_, CollectAgg) and agg_.kind == 'collect':
+        (x,) = arg_cols
+        ok = _include_and_defined(x, include)
+        pyl = C.obj_array(_flatten_vals(x), x.shape)
+        prefix = list(carry) if carry is not None else []
+        out = np.empty(n, dtype=object)
+        for i in range(n):
+            out[i] = list(prefix)
+            if ok[i]:
+                prefix.append(pyl[i])
+        return ObjectColumn(node.typ, out), prefix
+    # generic fallback: sequential seq/comb per row (correct, slow)
+    states = []
+    carry_state = carry
+    ones = (1,)
+    for i in range(n):
+        states.append(carry_state)
+        row_cols = [c.gather(np.asarray([i])) for c in arg_cols]
+        inc = include[i:i + 1] if include is not None else None
+        s = agg_.seq(row_cols, inc, (0,), node.init_args)
+        carry_state = s if carry_state is None else agg_.comb(carry_state, s, node.init_args)
+    results = []
+    for st_ in states:
+        if st_ is None:
+            empty_cols = [c.gather(np.asarray([], dtype=np.int64)) for c in arg_cols]
+            st_ = agg_.seq(empty_cols, None, (0,), node.init_args)
+        col = agg_.result(st_, node.init_args)
+        results.append(col.to_pylist()[0])
+    return C.from_pylist(node.typ, results), carry_state
+
+
+def combine_optional(agg_nodes, a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return combine_states(agg_nodes, a, b)
+
+
+# ---------------------------------------------------------------------------
+# Combinator aggregators (env-aware): group_by / explode / array_agg / fold
+# (reference `agg/GroupedAggregator`, `AggExplode`, `AggArrayPerElement`,
+# `AggFold` — `is/hail/expr/ir/agg/`).
+# ---------------------------------------------------------------------------
+
+class GroupedAgg(Aggregator):
+    name = 'group_by'
+
+    def __init__(self, key_ir, inner_ir, inner_nodes, key_t, value_t):
+        self.key_ir = key_ir
+        self.inner_ir = inner_ir
+        self.inner_nodes = inner_nodes
+        self.key_t = key_t
+        self.value_t = value_t
+
+    def result_type(self, arg_types, init_args):
+        return ht.tdict(self.key_t, self.value_t)
+
+    def seq_env(self, node, env, axis, include):
+        if len(axis) != len(env.shape):
+            raise NotImplementedError('agg.group_by requires a full reduction context')
+        key_col = self.key_ir.evaluate(env)
+        if key_col.shape != env.shape:
+            key_col = key_col.broadcast_to(env.shape)
+        keys = C.obj_array(_flatten_vals(key_col)).reshape(env.shape)
+        base_ok = ~key_col.missing_mask()
+        if include is not None:
+            base_ok = base_ok & np.broadcast_to(include, env.shape)
+        out = {}
+        flat_keys = keys.ravel()
+        flat_ok = base_ok.ravel()
+        uniq = {}
+        for i, k in enumerate(flat_keys):
+            if flat_ok[i]:
+                uniq.setdefault(k, []).append(i)
+        for k, idxs in uniq.items():
+            mask = np.zeros(env.shape, dtype=bool)
+            mask.ravel()[idxs] = True
+            out[k] = partial_aggregate(self.inner_nodes, env, axis, extra_include=mask)
+        return out
+
+    def comb(self, a, b, init_args):
+        out = dict(a)
+        for k, st_ in b.items():
+            out[k] = combine_states(self.inner_nodes, out[k], st_) if k in out else st_
+        return out
+
+    def result_env(self, state, post_env):
+        d = {}
+        for k, st_ in state.items():
+            col = finalize_aggregate(self.inner_ir, self.inner_nodes, st_,
+                                     EvalEnv(dict(post_env.bindings), (1,)))
+            vals = col.to_pylist()
+            d[k] = vals[0] if vals else None
+        return C.from_pylist(ht.tdict(self.key_t, self.value_t), [frozendict(d)])
+
+
+class ExplodedAgg(Aggregator):
+    name = 'explode'
+
+    def __init__(self, arr_ir, var, inner_ir, inner_nodes, value_t):
+        self.arr_ir = arr_ir
+        self.var = var
+        self.inner_ir = inner_ir
+        self.inner_nodes = inner_nodes
+        self.value_t = value_t
+
+    def result_type(self, arg_types, init_args):
+        return self.value_t
+
+    def seq_env(self, node, env, axis, include):
+        if len(axis) != len(env.shape):
+            raise NotImplementedError('agg.explode requires a full reduction context')
+        arr_col = self.arr_ir.evaluate(env)
+        if arr_col.shape != env.shape:
+            arr_col = arr_col.broadcast_to(env.shape)
+        obj = C.to_object(arr_col)
+        flat = obj.values.ravel()
+        ok = np.ones(flat.size, dtype=bool) if include is None else \
+            np.broadcast_to(include, env.shape).ravel()
+        rep_idx = []
+        elems = []
+        for i, v in enumerate(flat):
+            if v is None or not ok[i]:
+                continue
+            seq = sorted(v, key=lambda x: (x is None, x)) if isinstance(v, (set, frozenset)) else list(v)
+            for x in seq:
+                rep_idx.append(i)
+                elems.append(x)
+        n = len(elems)
+        et = self.arr_ir.typ.element_type
+        idx = np.asarray(rep_idx, dtype=np.int64)
+        new_bindings = {}
+        for k2, c in env.bindings.items():
+            fc = c.reshape((int(np.prod(c.shape)),)) if int(np.prod(c.shape)) == int(np.prod(env.shape)) \
+                else c.broadcast_to(env.shape).reshape((int(np.prod(env.shape)),))
+            new_bindings[k2] = fc.gather(idx)
+        new_bindings[self.var] = C.from_pylist(et, elems)
+        inner_env = EvalEnv(new_bindings, (n,))
+        return partial_aggregate(self.inner_nodes, inner_env, (0,))
+
+    def comb(self, a, b, init_args):
+        return combine_states(self.inner_nodes, a, b)
+
+    def result_env(self, state, post_env):
+        return finalize_aggregate(self.inner_ir, self.inner_nodes, state,
+                                  EvalEnv(dict(post_env.bindings), (1,)))
+
+
+class ArrayAggAgg(Aggregator):
+    name = 'array_agg'
+
+    def __init__(self, arr_ir, var, inner_ir, inner_nodes, value_t):
+        self.arr_ir = arr_ir
+        self.var = var
+        self.inner_ir = inner_ir
+        self.inner_nodes = inner_nodes
+        self.value_t = value_t
+
+    def result_type(self, arg_types, init_args):
+        return ht.tarray(self.value_t)
+
+    def seq_env(self, node, env, axis, include):
+        if len(axis) != len(env.shape):
+            raise NotImplementedError('agg.array_agg requires a full reduction context')
+        arr_col = self.arr_ir.evaluate(env)
+        if arr_col.shape != env.shape:
+            arr_col = arr_col.broadcast_to(env.shape)
+        et = self.arr_ir.typ.element_type
+        obj = C.to_object(arr_col)
+        lengths = [len(v) for v in obj.values.ravel() if v is not None]
+        if lengths and len(set(lengths)) > 1:
+            raise ValueError('array_agg: arrays must have identical lengths')
+        width = lengths[0] if lengths else 0
+        states = []
+        for j in range(width):
+            flat = obj.values.ravel()
+            elems = [None if v is None else v[j] for v in flat]
+            new_bindings = {k2: c.broadcast_to(env.shape).reshape((len(flat),))
+                            for k2, c in env.bindings.items()}
+            new_bindings[self.var] = C.from_pylist(et, elems)
+            inner_env = EvalEnv(new_bindings, (len(flat),))
+            inc = None if include is None else np.broadcast_to(include, env.shape).ravel()
+            states.append(partial_aggregate(self.inner_nodes, inner_env, (0,), extra_include=inc))
+        return states
+
+    def comb(self, a, b, init_args):
+        if len(a) < len(b):
+            a, b = b, a
+        return [combine_states(self.inner_nodes, x, y) for x, y in zip(a, b)] + list(a[len(b):])
+
+    def result_env(self, state, post_env):
+        vals = []
+        for st_ in state:
+            col = finalize_aggregate(self.inner_ir, self.inner_nodes, st_,
+                                     EvalEnv(dict(post_env.bindings), (1,)))
+            v = col.to_pylist()
+            vals.append(v[0] if v else None)
+        return C.from_pylist(ht.tarray(self.value_t), [vals])
+
+
+class FoldAgg(Aggregator):
+    name = 'fold'
+
+    def __init__(self, zero_ir, accum_name, seq_ir, comb_name1, comb_name2, comb_ir, value_t):
+        self.zero_ir = zero_ir
+        self.accum_name = accum_name
+        self.seq_ir = seq_ir
+        self.comb_name1 = comb_name1
+        self.comb_name2 = comb_name2
+        self.comb_ir = comb_ir
+        self.value_t = value_t
+
+    def result_type(self, arg_types, init_args):
+        return self.value_t
+
+    def _zero(self, env):
+        col = self.zero_ir.evaluate(EvalEnv({k: v for k, v in env.bindings.items()
+                                             if k == 'global'}, (1,)))
+        v = col.to_pylist()
+        return v[0] if v else None
+
+    def seq_env(self, node, env, axis, include):
+        if len(axis) != len(env.shape):
+            raise NotImplementedError('agg.fold requires a full reduction context')
+        n = int(np.prod(env.shape))
+        flat_env_bindings = {k: c.broadcast_to(env.shape).reshape((n,))
+                             for k, c in env.bindings.items()}
+        inc = None if include is None else np.broadcast_to(include, env.shape).ravel()
+        acc = self._zero(env)
+        for i in range(n):
+            if inc is not None and not inc[i]:
+                continue
+            bindings = {k: c.gather(np.asarray([i])) for k, c in flat_env_bindings.items()}
+            bindings[self.accum_name] = C.from_pylist(self.value_t, [acc])
+            res = self.seq_ir.evaluate(EvalEnv(bindings, (1,)))
+            v = res.to_pylist()
+            acc = v[0] if v else None
+        return acc
+
+    def comb(self, a, b, init_args):
+        bindings = {self.comb_name1: C.from_pylist(self.value_t, [a]),
+                    self.comb_name2: C.from_pylist(self.value_t, [b])}
+        res = self.comb_ir.evaluate(EvalEnv(bindings, (1,)))
+        v = res.to_pylist()
+        return v[0] if v else None
+
+    def result(self, state, init_args):
+        return C.from_pylist(self.value_t, [state])

@@ -504,6 +504,17 @@ class MatrixTable:
                                        st.row_type, st.col_type, st.entry_type,
                                        st.contexts, st.partition_fn))
 
+
+    def group_rows_by(self, *keys, **named_exprs) -> 'GroupedMatrixTable':
+        mt = self.annotate_rows(**named_exprs) if named_exprs else self
+        names = [k if isinstance(k, str) else _expr_field_name(k) for k in keys] + list(named_exprs)
+        return GroupedMatrixTable(mt, row_keys=names)
+
+    def group_cols_by(self, *keys, **named_exprs) -> 'GroupedMatrixTable':
+        mt = self.annotate_cols(**named_exprs) if named_exprs else self
+        names = [k if isinstance(k, str) else _expr_field_name(k) for k in keys] + list(named_exprs)
+        return GroupedMatrixTable(mt, col_keys=names)
+
     # -- aggregate ---------------------------------------------------------
     def aggregate_rows(self, expr) -> Any:
         e = to_expr(expr)
@@ -803,6 +814,115 @@ class MatrixTable:
             mb = self._stage.partition_fn(ctx)
             out.append(mb.entries[field])
         return out
+
+
+class GroupedMatrixTable:
+    """Result of group_rows_by/group_cols_by (reference
+    `hail/python/hail/matrixtable.py` GroupedMatrixTable →
+    MatrixAggregateRowsByKey/MatrixAggregateColsByKey)."""
+
+    def __init__(self, mt: 'MatrixTable', row_keys=None, col_keys=None):
+        self._mt = mt
+        self._row_keys = row_keys
+        self._col_keys = col_keys
+
+    def partition_hint(self, n: int) -> 'GroupedMatrixTable':
+        return self
+
+    def aggregate(self, **entry_exprs) -> 'MatrixTable':
+        mt = self._mt
+        st = mt._stage
+        exprs = {k: to_expr(v) for k, v in entry_exprs.items()}
+        new_entry_t = ht.tstruct(**{k: e.dtype for k, e in exprs.items()})
+        all_nodes = {k: aggmod.collect_agg_nodes(e._ir) for k, e in exprs.items()}
+
+        if self._row_keys is not None:
+            key_names = list(self._row_keys)
+            # phase 1: per-partition, per-group (C,) partial states
+            def part(ctx):
+                mb = st.partition_fn(ctx)
+                renv = mt._row_env(mb, 0)
+                key_cols = {kn: renv.bindings['va'].fields[kn] for kn in key_names}
+                keys = list(zip(*[C.obj_array(
+                    C._flatten(kc.to_pylist(), 1)) for kc in key_cols.values()])) \
+                    if key_names else [() for _ in range(mb.n_rows)]
+                env = mt._entry_env(mb, 0)
+                groups = {}
+                for i, kt in enumerate(keys):
+                    groups.setdefault(kt, []).append(i)
+                out = {}
+                for kt, idxs in groups.items():
+                    mask = np.zeros((mb.n_rows, 1), dtype=bool)
+                    mask[idxs, 0] = True
+                    out[kt] = {name: aggmod.partial_aggregate(nodes, env, (0,),
+                                                              extra_include=np.broadcast_to(mask, env.shape))
+                               for name, nodes in all_nodes.items()}
+                return out
+            partials = Env.backend().map_collect(st.contexts, part)
+            merged: Dict = {}
+            for p in partials:
+                for kt, states in p.items():
+                    if kt in merged:
+                        merged[kt] = {name: aggmod.combine_states(all_nodes[name], merged[kt][name], states[name])
+                                      for name in states}
+                    else:
+                        merged[kt] = states
+            group_keys = sorted(merged.keys(), key=lambda t: tuple((x is None, x) for x in t))
+            Cn = st.n_cols
+            ents = {}
+            cenv = mt._col_env()
+            for name, e in exprs.items():
+                cols_per_group = []
+                for kt in group_keys:
+                    col = aggmod.finalize_aggregate(e._ir, all_nodes[name], merged[kt][name], cenv)
+                    if col.shape != (Cn,):
+                        col = col.broadcast_to((Cn,)) if int(np.prod(col.shape)) == 1 else col.reshape((Cn,))
+                    cols_per_group.append(col.reshape((1, Cn)))
+                ents[name] = C.concat_columns(cols_per_group, axis=0) if cols_per_group else \
+                    C.null_column(e.dtype, (0, Cn))
+            key_types = {kn: st.row_type[kn] for kn in key_names}
+            rows = Batch({kn: C.from_pylist(key_types[kn], [kt[i] for kt in group_keys])
+                          for i, kn in enumerate(key_names)}, len(group_keys))
+            return MatrixTable(MatrixStage.from_batches(
+                st.globals, st.cols, key_names, st.col_key,
+                ht.tstruct(**key_types), st.col_type, new_entry_t,
+                [MatrixBatch(rows, ents)]))
+
+        # group_cols_by
+        key_names = list(self._col_keys)
+        cenv = mt._col_env()
+        key_cols = {kn: cenv.bindings['sa'].fields[kn] for kn in key_names}
+        keys = list(zip(*[C._flatten(kc.to_pylist(), 1) for kc in key_cols.values()]))
+        groups: Dict = {}
+        for j, kt in enumerate(keys):
+            groups.setdefault(kt, []).append(j)
+        group_keys = sorted(groups.keys(), key=lambda t: tuple((x is None, x) for x in t))
+        batches = []
+        for ctx in st.contexts:
+            mb = st.partition_fn(ctx)
+            env = mt._entry_env(mb, 0)
+            renv = mt._row_env(mb, 0)
+            ents = {}
+            for name, e in exprs.items():
+                per_group = []
+                for kt in group_keys:
+                    mask = np.zeros((1, st.n_cols), dtype=bool)
+                    mask[0, groups[kt]] = True
+                    states = aggmod.partial_aggregate(all_nodes[name], env, (1,),
+                                                      extra_include=np.broadcast_to(mask, env.shape))
+                    col = aggmod.finalize_aggregate(e._ir, all_nodes[name], states, renv)
+                    if col.shape != (mb.n_rows,):
+                        col = col.reshape((mb.n_rows,))
+                    per_group.append(col.reshape((mb.n_rows, 1)))
+                ents[name] = C.concat_columns(per_group, axis=1) if per_group else \
+                    C.null_column(e.dtype, (mb.n_rows, 0))
+            batches.append(MatrixBatch(mb.rows, ents))
+        key_types = {kn: st.col_type[kn] for kn in key_names}
+        cols = Batch({kn: C.from_pylist(key_types[kn], [kt[i] for kt in group_keys])
+                      for i, kn in enumerate(key_names)}, len(group_keys))
+        return MatrixTable(MatrixStage.from_batches(
+            st.globals, cols, st.row_key, key_names, st.row_type,
+            ht.tstruct(**key_types), new_entry_t, batches))
 
 
 def _bool_mask(col: Column) -> np.ndarray:

@@ -214,15 +214,65 @@ class Table:
     def annotate(self, **named_exprs) -> 'Table':
         exprs = {k: to_expr(v) for k, v in named_exprs.items()}
         self._check_source(*exprs.values())
+        from .expr.scans import ScanOp
         new_t = self._stage.row_type
+        has_scan = False
         for k, e in exprs.items():
-            if aggmod.collect_agg_nodes(e._ir):
+            nodes = aggmod.collect_agg_nodes(e._ir)
+            if any(isinstance(n_, ScanOp) for n_ in nodes):
+                has_scan = True
+            elif nodes:
                 raise ValueError('cannot use aggregators in annotate(); use aggregate()')
             new_t = new_t._insert_field(k, e.dtype)
+        if has_scan:
+            return self._annotate_with_scans(exprs, new_t)
         def f(batch, i):
             cols = {k: self._eval_rows(e, batch, i) for k, e in exprs.items()}
             return batch.annotate(**cols)
         return Table(self._stage.map_partitions(f, new_t))
+
+    def _annotate_with_scans(self, exprs, new_t) -> 'Table':
+        """Two-phase streaming prefix (reference
+        `LowerTableIR.scala:1607-1660`): per-partition totals in parallel,
+        exclusive carry prefix on the driver, then per-partition scan."""
+        from .ir.nodes import substitute_aggs
+        scan_nodes = []
+        for e in exprs.values():
+            scan_nodes.extend(aggmod.collect_agg_nodes(e._ir))
+        # phase 1: per-partition totals
+        def totals(ctx):
+            batch = self._stage.partition_fn(ctx)
+            env = self._row_env(batch, 0)
+            return aggmod.partial_aggregate(scan_nodes, env, (0,))
+        partials = Env.backend().map_collect(self._stage.contexts, totals)
+        carries: List[Optional[dict]] = [None]
+        acc = None
+        for p in partials[:-1]:
+            acc = aggmod.combine_optional(scan_nodes, acc, p)
+            carries.append(acc)
+        node_by_uid = {n.uid: n for n in scan_nodes}
+        # phase 2: per-partition scan with known carries
+        batches = []
+        for i, ctx in enumerate(self._stage.contexts):
+            batch = self._stage.partition_fn(ctx)
+            env = self._row_env(batch, i)
+            results = {}
+            for n_ in scan_nodes:
+                carry = carries[i][n_.uid] if carries[i] is not None else None
+                col, _ = aggmod.scan_partition(n_, env, carry)
+                if col.shape != env.shape:
+                    col = col.reshape(env.shape)
+                results[n_.uid] = col
+            cols = {}
+            for k, e in exprs.items():
+                post = substitute_aggs(e._ir, results)
+                col = post.evaluate(env)
+                if col.shape != (batch.length,):
+                    col = col.broadcast_to((batch.length,))
+                cols[k] = col
+            batches.append(batch.annotate(**cols))
+        return Table(TableStage.from_batches(self._stage.globals, self._stage.key,
+                                             new_t, batches, self._stage.partition_bounds))
 
     def select(self, *fields, **named_exprs) -> 'Table':
         for f_ in fields:
