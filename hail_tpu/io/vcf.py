@@ -3,8 +3,10 @@
 Capability parity with reference `is/hail/io/vcf/LoadVCF.scala` (header/type
 parsing, HTS genotype schema, partitioned parse) — a fresh host-side parser
 producing dense columnar MatrixBatches (int32 packed calls, (R,C,w) dense
-arrays for AD/PL) ready for device transfer. Round-1 is a pure-python parser;
-the C++ bgzip/parse fast path (SURVEY §7 hard-parts) lands in a later round.
+arrays for AD/PL) ready for device transfer. Two tiers: a pure-python parser
+for the full HTS schema, and a native fast path (hail_tpu/native: parallel
+BGZF + C++ GT tokenizer, SURVEY §7 "host I/O throughput") selected with
+entry_fields=['GT'].
 """
 
 from __future__ import annotations
@@ -151,10 +153,23 @@ def import_vcf(path, force_bgz: bool = False, force: bool = False,
                reference_genome='default', contig_recoding: Optional[Dict[str, str]] = None,
                array_elements_required: bool = True, skip_invalid_loci: bool = False,
                filter=None, find_replace=None, n_partitions: Optional[int] = None,
-               block_size: Optional[int] = None, _partitions=None):
+               block_size: Optional[int] = None, _partitions=None,
+               entry_fields: Optional[Sequence[str]] = None):
     """Import VCF file(s) as a MatrixTable (reference `methods/impex.py`
-    import_vcf → `LoadVCF.scala:1751`)."""
+    import_vcf → `LoadVCF.scala:1751`).
+
+    `entry_fields=['GT']` selects the native fast path: parallel BGZF
+    decompression + the C++ line parser (hail_tpu/native), producing dense
+    packed-call blocks directly — the host-IO fast path of SURVEY §7."""
     from ..matrixtable import MatrixBatch, MatrixStage, MatrixTable
+    if (entry_fields is not None and list(entry_fields) == ['GT']
+            and filter is None and find_replace is None):
+        try:
+            return _import_vcf_fast_gt(path, force_bgz, header_file,
+                                       reference_genome, contig_recoding,
+                                       skip_invalid_loci, n_partitions)
+        except _FastPathUnavailable:
+            pass
 
     paths = [path] if isinstance(path, str) else list(path)
     paths = [os.path.expanduser(p) for p in paths]
@@ -516,3 +531,130 @@ def export_vcf(dataset, output: str, append_to_header: Optional[str] = None,
                                 parts.append(_fmt_value(v, entry_t[k]))
                         out.append(':'.join(parts))
                 f.write('\t'.join(out) + '\n')
+
+
+# ---------------------------------------------------------------------------
+# native fast path: GT-only import via hail_tpu.native
+# ---------------------------------------------------------------------------
+
+class _FastPathUnavailable(Exception):
+    pass
+
+
+def _read_vcf_bytes(path: str, force_bgz: bool) -> bytes:
+    from .. import native as native_mod
+    raw = open(path, 'rb').read()
+    if path.endswith('.bgz') or path.endswith('.gz') or force_bgz:
+        out = native_mod.bgzf_decompress(raw)
+        if out is None:
+            import gzip as _gz
+            out = _gz.decompress(raw)
+        return out
+    return raw
+
+
+def _import_vcf_fast_gt(path, force_bgz, header_file, reference_genome,
+                        contig_recoding, skip_invalid_loci, n_partitions):
+    from .. import native as native_mod
+    from ..matrixtable import MatrixBatch, MatrixStage, MatrixTable
+    if native_mod.get_lib() is None:
+        raise _FastPathUnavailable(native_mod.build_error())
+    paths = [path] if isinstance(path, str) else list(path)
+    rg = default_reference() if reference_genome == 'default' else (
+        ReferenceGenome.get(reference_genome) if isinstance(reference_genome, str) else reference_genome)
+    contig_recoding = contig_recoding or {}
+    header = parse_vcf_header(header_file or paths[0], force_bgz)
+    samples = header.samples
+    n_samples = len(samples)
+
+    all_contigs: List[str] = []
+    all_pos: List[np.ndarray] = []
+    all_gt: List[np.ndarray] = []
+    all_miss: List[np.ndarray] = []
+    all_meta: List[tuple] = []
+    for p in paths:
+        text = _read_vcf_bytes(p, force_bgz)
+        res = native_mod.vcf_parse_gt(text, n_samples, text.count(b'\n') + 1)
+        if res is None:
+            raise _FastPathUnavailable('parse failed')
+        contigs, pos, gt, miss = res
+        all_contigs.extend(contigs)
+        all_pos.append(pos)
+        all_gt.append(gt)
+        all_miss.append(miss)
+        # row metadata (ID/REF/ALT/QUAL/FILTER) from the first 8 columns only
+        body_at = 0
+        for line in text.split(b'\n'):
+            if line.startswith(b'#') or not line:
+                continue
+            parts = line.split(b'\t', 8)
+            rsid = None if parts[2] == b'.' else parts[2].decode()
+            ref_a = parts[3].decode()
+            alts = parts[4].decode().split(',') if parts[4] != b'.' else []
+            qual = None if parts[5] == b'.' else float(parts[5])
+            if parts[6] == b'.':
+                filt = None
+            elif parts[6] == b'PASS':
+                filt = frozenset()
+            else:
+                filt = frozenset(parts[6].decode().split(';'))
+            all_meta.append((rsid, [ref_a] + [a for a in alts if a != '.'], qual, filt))
+
+    pos = np.concatenate(all_pos) if all_pos else np.zeros(0, np.int32)
+    gt = np.concatenate(all_gt) if all_gt else np.zeros((0, n_samples), np.int32)
+    miss = np.concatenate(all_miss) if all_miss else np.zeros((0, n_samples), bool)
+    m = len(all_contigs)
+    cidx = np.zeros(m, dtype=np.int32)
+    keep = np.ones(m, dtype=bool)
+    for i, c in enumerate(all_contigs):
+        c2 = contig_recoding.get(c, c)
+        if not rg.has_contig(c2):
+            if skip_invalid_loci:
+                keep[i] = False
+                continue
+            raise ValueError(f'invalid contig {c2!r} for {rg.name}')
+        cidx[i] = rg.contig_index(c2)
+    sel = np.where(keep)[0]
+    m2 = len(sel)
+    alleles_arr = np.empty(m2, dtype=object)
+    rsid_arr = np.empty(m2, dtype=object)
+    qual = np.zeros(m2, dtype=np.float64)
+    qual_miss = np.zeros(m2, dtype=bool)
+    filt_arr = np.empty(m2, dtype=object)
+    for j, i in enumerate(sel):
+        rsid_arr[j], alleles_arr[j], q, filt_arr[j] = all_meta[i]
+        if q is None:
+            qual_miss[j] = True
+        else:
+            qual[j] = q
+    row_t = ht.tstruct(locus=ht.tlocus(rg), alleles=ht.tarray(ht.tstr),
+                       rsid=ht.tstr, qual=ht.tfloat64, filters=ht.tset(ht.tstr))
+    n_partitions = n_partitions or max(1, min(8, m2 // 65536 + 1))
+    n_partitions = max(1, min(n_partitions, max(m2, 1)))
+    bounds = np.linspace(0, m2, n_partitions + 1).astype(int)
+    cidx2 = cidx[sel]
+    pos2 = pos[sel]
+    gt2 = gt[sel]
+    miss2 = miss[sel]
+
+    def pf(ctx):
+        s_, e_ = ctx
+        R = e_ - s_
+        rows = Batch({
+            'locus': LocusColumn(ht.tlocus(rg), cidx2[s_:e_], pos2[s_:e_]),
+            'alleles': ObjectColumn(ht.tarray(ht.tstr), alleles_arr[s_:e_]),
+            'rsid': ObjectColumn(ht.tstr, rsid_arr[s_:e_]),
+            'qual': PrimitiveColumn(ht.tfloat64, qual[s_:e_],
+                                    qual_miss[s_:e_] if qual_miss[s_:e_].any() else None),
+            'filters': ObjectColumn(ht.tset(ht.tstr), filt_arr[s_:e_]),
+        }, R)
+        mm = miss2[s_:e_]
+        return MatrixBatch(rows, {'GT': PrimitiveColumn(
+            ht.tcall, gt2[s_:e_], mm if mm.any() else None)})
+
+    contexts = [(int(bounds[i]), int(bounds[i + 1])) for i in range(n_partitions)]
+    cols = Batch({'s': C.from_pylist(ht.tstr, samples)}, n_samples)
+    g = Batch({}, 1)
+    return MatrixTable(MatrixStage(g, cols, ['locus', 'alleles'], ['s'], row_t,
+                                   ht.tstruct(s=ht.tstr), ht.tstruct(GT=ht.tcall),
+                                   contexts, pf))
