@@ -1,0 +1,255 @@
+"""Batch backends (reference `hailtop/batch/backend.py:54,130,411`).
+
+LocalBackend executes the DAG with a thread pool in dependency order —
+the reference's LocalBackend runs each job in docker/sh; here jobs run as
+subprocesses with resource files materialized in a scratch directory
+(containerless: this build has no docker). ServiceBackend submits to a batch
+service — gated (no cluster in the zero-egress build) with the same
+signature, mirroring how QoB gates on a Batch deployment.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import os
+import pickle
+import re
+import shutil
+import subprocess
+import tempfile
+import time
+from typing import Dict, List, Optional
+
+from .job import BashJob, Job, PythonJob
+from .resource import (InputResourceFile, JobResourceFile, PythonResult,
+                       Resource, ResourceFile, ResourceGroup)
+
+
+class BatchRun:
+    """Result handle (the reference returns a bc.Batch handle; this mirrors
+    its status surface)."""
+
+    def __init__(self, batch, job_states: Dict[str, str],
+                 errors: Dict[str, str], scratch: Optional[str]):
+        self._batch = batch
+        self._job_states = job_states
+        self._errors = errors
+        self._scratch = scratch
+
+    def status(self) -> dict:
+        n_failed = sum(1 for s in self._job_states.values() if s == 'Failed')
+        state = 'failure' if n_failed else 'success'
+        return {'state': state, 'n_jobs': len(self._job_states),
+                'n_failed': n_failed}
+
+    def job_status(self) -> Dict[str, str]:
+        return dict(self._job_states)
+
+    def errors(self) -> Dict[str, str]:
+        return dict(self._errors)
+
+
+class Backend:
+    def _run(self, batch, **kwargs) -> BatchRun:
+        raise NotImplementedError
+
+    def close(self):
+        pass
+
+
+class LocalBackend(Backend):
+    def __init__(self, tmp_dir: Optional[str] = None, gsa_key_file=None,
+                 extra_docker_run_flags=None):
+        self._tmp_dir = tmp_dir
+
+    def _run(self, batch, dry_run=False, verbose=False,
+             delete_scratch_on_exit=True, wait=True, max_parallel_jobs: int = 8,
+             **kwargs) -> BatchRun:
+        scratch = tempfile.mkdtemp(prefix='hail_tpu_batch_',
+                                   dir=self._tmp_dir)
+        resource_paths: Dict[str, str] = {}
+
+        def resource_path(r: Resource) -> str:
+            if r._uid in resource_paths:
+                return resource_paths[r._uid]
+            if isinstance(r, InputResourceFile):
+                p = r._input_path
+            elif isinstance(r, ResourceGroup):
+                p = os.path.join(scratch, r._uid.strip('_'))
+            else:
+                p = os.path.join(scratch, r._uid.strip('_'))
+                ext = getattr(r, '_extension', None)
+                if ext:
+                    p += ext
+            resource_paths[r._uid] = p
+            return p
+
+        # resource-group member files resolve against the group root template
+        def materialize_paths():
+            for r in batch._all_resources():
+                resource_path(r)
+                if isinstance(r, ResourceGroup):
+                    root = resource_paths[r._uid]
+                    for name, f in r._files.items():
+                        if isinstance(f, InputResourceFile):
+                            resource_paths[f._uid] = f._input_path
+                        else:
+                            template = r._templates.get(name, '{root}.' + name)
+                            resource_paths[f._uid] = template.format(root=root)
+
+        materialize_paths()
+
+        def substitute(text: str) -> str:
+            def repl(m):
+                uid = m.group(1)
+                return resource_paths.get(uid, m.group(0))
+            return re.sub(r'\$\{(__[A-Z_]+_\d+__)\}', repl, text)
+
+        if dry_run:
+            for j in batch._jobs:
+                if isinstance(j, BashJob):
+                    print(f'# Job: {j.name or j._uid}')
+                    for cmd in j._commands:
+                        print(substitute(cmd))
+            return BatchRun(batch, {j._uid: 'DryRun' for j in batch._jobs}, {}, None)
+
+        # topological schedule with a thread pool
+        jobs = list(batch._jobs)
+        deps = {j._uid: {d._uid for d in j._all_dependencies()} for j in jobs}
+        states: Dict[str, str] = {j._uid: 'Pending' for j in jobs}
+        errors: Dict[str, str] = {}
+        py_results: Dict[str, object] = {}
+
+        def run_job(j: Job):
+            try:
+                if isinstance(j, BashJob):
+                    script = '\n'.join(['set -e'] + [substitute(c) for c in j._commands])
+                    env = dict(os.environ)
+                    env.update(j._env)
+                    r = subprocess.run([j._shell, '-c', script], capture_output=True,
+                                       text=True, env=env, cwd=scratch)
+                    if verbose and r.stdout:
+                        print(r.stdout, end='')
+                    if r.returncode != 0:
+                        raise RuntimeError(
+                            f'job {j.name or j._uid} failed (exit {r.returncode}):\n{r.stderr[-2000:]}')
+                elif isinstance(j, PythonJob):
+                    for fn, args, kw, result in j._calls:
+                        def resolve(a):
+                            if isinstance(a, PythonResult):
+                                return py_results[a._uid]
+                            if isinstance(a, ResourceFile):
+                                return resource_paths[a._uid]
+                            return a
+                        value = fn(*[resolve(a) for a in args],
+                                   **{k: resolve(v) for k, v in kw.items()})
+                        py_results[result._uid] = value
+                        import json as _json
+                        for f, kind in [(result._json_file, 'json'),
+                                        (result._str_file, 'str'),
+                                        (result._repr_file, 'repr')]:
+                            if f is not None:
+                                p = resource_paths[f._uid]
+                                with open(p, 'w') as fh:
+                                    if kind == 'json':
+                                        fh.write(_json.dumps(value))
+                                    elif kind == 'str':
+                                        fh.write(str(value))
+                                    else:
+                                        fh.write(repr(value))
+                return None
+            except Exception as e:
+                return str(e)
+
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=max_parallel_jobs)
+        futures: Dict[str, concurrent.futures.Future] = {}
+        try:
+            remaining = {j._uid: j for j in jobs}
+            failed_any = False
+            while remaining or futures:
+                # launch ready jobs
+                ready = [uid for uid, j in list(remaining.items())
+                         if all(states.get(d) == 'Success' for d in deps[uid])
+                         and uid not in futures]
+                blocked_failed = [uid for uid, j in list(remaining.items())
+                                  if any(states.get(d) == 'Failed' for d in deps[uid])]
+                for uid in blocked_failed:
+                    j = remaining.pop(uid)
+                    if j._always_run:
+                        futures[uid] = pool.submit(run_job, j)
+                    else:
+                        states[uid] = 'Cancelled'
+                for uid in ready:
+                    j = remaining.pop(uid)
+                    if failed_any and batch._cancel_after_n_failures == 1 and not j._always_run:
+                        states[uid] = 'Cancelled'
+                        continue
+                    states[uid] = 'Running'
+                    futures[uid] = pool.submit(run_job, j)
+                if not futures:
+                    if remaining:
+                        # deadlock (cycle?) — cancel the rest
+                        for uid in list(remaining):
+                            states[uid] = 'Cancelled'
+                            remaining.pop(uid)
+                    break
+                done, _ = concurrent.futures.wait(
+                    list(futures.values()),
+                    return_when=concurrent.futures.FIRST_COMPLETED)
+                for uid, fut in list(futures.items()):
+                    if fut in done:
+                        err = fut.result()
+                        if err is None:
+                            states[uid] = 'Success'
+                        else:
+                            states[uid] = 'Failed'
+                            errors[uid] = err
+                            failed_any = True
+                        futures.pop(uid)
+        finally:
+            pool.shutdown(wait=True)
+
+        # write requested outputs
+        for resource, dest in batch._outputs:
+            if isinstance(resource, ResourceGroup):
+                for name, f in resource._files.items():
+                    src = resource_paths[f._uid]
+                    if os.path.exists(src):
+                        _copy_out(src, dest + os.path.splitext(src)[1] if '{root}' not in dest else dest)
+            else:
+                src = resource_paths[resource._uid]
+                if os.path.exists(src):
+                    _copy_out(src, dest)
+
+        run = BatchRun(batch, states, errors, scratch)
+        if delete_scratch_on_exit:
+            shutil.rmtree(scratch, ignore_errors=True)
+            run._scratch = None
+        if errors and verbose:
+            for uid, e in errors.items():
+                print(f'FAILED {uid}: {e}')
+        return run
+
+    def close(self):
+        pass
+
+
+def _copy_out(src: str, dest: str) -> None:
+    from .. import fs as hfs
+    hfs.copy(src, dest)
+
+
+class ServiceBackend(Backend):
+    """Cloud batch service backend — gated in this build (reference
+    `backend.py:411` submits to the deployed Batch service)."""
+
+    def __init__(self, billing_project: Optional[str] = None,
+                 remote_tmpdir: Optional[str] = None, **kwargs):
+        self.billing_project = billing_project
+        self.remote_tmpdir = remote_tmpdir
+
+    def _run(self, batch, **kwargs):
+        raise NotImplementedError(
+            'ServiceBackend requires a deployed batch service; this build has '
+            'no cluster egress. Use LocalBackend, or hail_tpu.backend '
+            'multihost for distributed query execution.')

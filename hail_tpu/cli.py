@@ -1,0 +1,128 @@
+"""`hailctl`-equivalent CLI (reference `hailtop/hailctl/`):
+
+    python -m hail_tpu config set/get/unset/list
+    python -m hail_tpu describe <path>          # native table / matrixtable
+    python -m hail_tpu batch submit <script>
+    python -m hail_tpu version
+    python -m hail_tpu devices
+
+The dataproc/hdinsight cluster-management subcommands of the reference manage
+Spark clusters and have no TPU analogue; `devices` reports the jax platform.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _cmd_config(args) -> int:
+    from . import config as cfg
+    if args.action == 'set':
+        cfg.set_config_option(args.key, args.value)
+    elif args.action == 'get':
+        v = cfg.get_config_option(args.key)
+        if v is not None:
+            print(v)
+    elif args.action == 'unset':
+        cfg.unset_config_option(args.key)
+    elif args.action == 'list':
+        for section, opts in cfg.list_config().items():
+            for k, v in opts.items():
+                print(f'{section}/{k}={v}')
+    elif args.action == 'config-location':
+        print(cfg.config_path())
+    return 0
+
+
+def _cmd_describe(args) -> int:
+    path = args.path
+    meta_path = os.path.join(path, 'metadata.json')
+    if not os.path.exists(meta_path):
+        print(f'error: no metadata.json under {path}', file=sys.stderr)
+        return 1
+    with open(meta_path) as f:
+        meta = json.load(f)
+    kind = meta.get('kind', 'unknown')
+    print(f'kind: {kind}')
+    if kind == 'table':
+        print(f'rows: {sum(p["length"] for p in meta["partitions"])}')
+        print(f'partitions: {meta["n_partitions"]}')
+        print(f'key: {meta["key"]}')
+        print(f'row type: {meta["row_type"]}')
+        print(f'globals type: {meta["globals_type"]}')
+    elif kind == 'matrix_table':
+        print(f'rows: {sum(p["n_rows"] for p in meta["partitions"])}')
+        print(f'cols: {meta["n_cols"]}')
+        print(f'partitions: {meta["n_partitions"]}')
+        print(f'row key: {meta["row_key"]}  col key: {meta["col_key"]}')
+        print(f'row type: {meta["row_type"]}')
+        print(f'col type: {meta["col_type"]}')
+        print(f'entry type: {meta["entry_type"]}')
+    elif kind == 'block_matrix' or 'shape' in meta:
+        print(f'shape: {meta.get("shape")}')
+        print(f'block size: {meta.get("block_size")}')
+    return 0
+
+
+def _cmd_batch(args) -> int:
+    if args.action == 'submit':
+        script = args.script
+        g = {'__name__': '__main__'}
+        sys.argv = [script] + (args.script_args or [])
+        with open(script) as f:
+            code = f.read()
+        exec(compile(code, script, 'exec'), g)
+        return 0
+    print(f'unknown batch action {args.action}', file=sys.stderr)
+    return 1
+
+
+def _cmd_version(args) -> int:
+    from . import __version__
+    print(__version__)
+    return 0
+
+
+def _cmd_devices(args) -> int:
+    import jax
+    print(f'backend: {jax.default_backend()}')
+    for d in jax.devices():
+        print(f'  {d}')
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog='hailctl-tpu', description=__doc__)
+    sub = p.add_subparsers(dest='cmd', required=True)
+
+    pc = sub.add_parser('config')
+    pc.add_argument('action', choices=['set', 'get', 'unset', 'list', 'config-location'])
+    pc.add_argument('key', nargs='?')
+    pc.add_argument('value', nargs='?')
+    pc.set_defaults(fn=_cmd_config)
+
+    pd = sub.add_parser('describe')
+    pd.add_argument('path')
+    pd.set_defaults(fn=_cmd_describe)
+
+    pb = sub.add_parser('batch')
+    pb.add_argument('action', choices=['submit'])
+    pb.add_argument('script')
+    pb.add_argument('script_args', nargs='*')
+    pb.set_defaults(fn=_cmd_batch)
+
+    pv = sub.add_parser('version')
+    pv.set_defaults(fn=_cmd_version)
+
+    pdev = sub.add_parser('devices')
+    pdev.set_defaults(fn=_cmd_devices)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())

@@ -1,0 +1,102 @@
+"""User configuration (reference `hailtop/config/`: user config file +
+DeployConfig). `hailctl config set/get` persists to
+~/.config/hail_tpu/config.ini with the same section/option addressing
+(`section/option` paths)."""
+
+from __future__ import annotations
+
+import configparser
+import os
+from typing import Optional, Tuple
+
+_config = None
+
+
+def config_path() -> str:
+    xdg = os.environ.get('XDG_CONFIG_HOME', os.path.expanduser('~/.config'))
+    return os.path.join(xdg, 'hail_tpu', 'config.ini')
+
+
+def get_user_config() -> configparser.ConfigParser:
+    global _config
+    if _config is None:
+        _config = configparser.ConfigParser()
+        p = config_path()
+        if os.path.exists(p):
+            _config.read(p)
+    return _config
+
+
+def _split(key: str) -> Tuple[str, str]:
+    if '/' in key:
+        section, option = key.rsplit('/', 1)
+    else:
+        section, option = 'global', key
+    return section, option
+
+
+def get_config_option(key: str, default: Optional[str] = None) -> Optional[str]:
+    cfg = get_user_config()
+    section, option = _split(key)
+    if cfg.has_option(section, option):
+        return cfg.get(section, option)
+    return default
+
+
+def set_config_option(key: str, value: str) -> None:
+    cfg = get_user_config()
+    section, option = _split(key)
+    if not cfg.has_section(section) and section != 'DEFAULT':
+        cfg.add_section(section)
+    cfg.set(section, option, value)
+    p = config_path()
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, 'w') as f:
+        cfg.write(f)
+
+
+def unset_config_option(key: str) -> None:
+    cfg = get_user_config()
+    section, option = _split(key)
+    if cfg.has_option(section, option):
+        cfg.remove_option(section, option)
+        with open(config_path(), 'w') as f:
+            cfg.write(f)
+
+
+def list_config() -> dict:
+    cfg = get_user_config()
+    return {s: dict(cfg.items(s)) for s in cfg.sections()}
+
+
+class DeployConfig:
+    """Service URL resolution (reference `hailtop/config/deploy_config.py`).
+    In this build all services are local/gated; the API is preserved."""
+
+    def __init__(self, location: str = 'external', default_namespace: str = 'default',
+                 domain: str = 'localhost'):
+        self._location = location
+        self._default_namespace = default_namespace
+        self._domain = domain
+
+    @staticmethod
+    def from_config() -> 'DeployConfig':
+        return DeployConfig(
+            get_config_option('deploy/location', 'external'),
+            get_config_option('deploy/default_namespace', 'default'),
+            get_config_option('deploy/domain', 'localhost'))
+
+    def location(self) -> str:
+        return self._location
+
+    def default_namespace(self) -> str:
+        return self._default_namespace
+
+    def domain(self) -> str:
+        return self._domain
+
+    def base_url(self, service: str) -> str:
+        return f'http://{service}.{self._domain}'
+
+    def url(self, service: str, path: str) -> str:
+        return self.base_url(service) + path

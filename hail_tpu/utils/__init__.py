@@ -1,3 +1,4 @@
 from .structs import Struct, frozendict, Interval
+from .timer import ExecutionTimer, timed
 
-__all__ = ['Struct', 'frozendict', 'Interval']
+__all__ = ['Struct', 'frozendict', 'Interval', 'ExecutionTimer', 'timed']
