@@ -54,9 +54,79 @@ def read_vds(path: str) -> VariantDataset:
 
 
 def to_dense_mt(vds: VariantDataset) -> MatrixTable:
-    """Densify: fill variant-site entries from overlapping reference blocks
-    (reference `vds/methods.py` to_dense_mt). Round-1 host implementation."""
-    return vds.variant_data
+    """Densify: fill variant-site entries from the covering reference blocks
+    (reference `vds/methods.py` to_dense_mt): per sample, a variant position
+    with no variant call but inside a defined reference block [start, END]
+    becomes hom-ref with the block's GQ/DP."""
+    from ..genetics.call import pack_diploid
+    from ..ir.columns import Batch, PrimitiveColumn
+    from ..matrixtable import MatrixBatch, MatrixStage, _concat_matrix_batches
+    ref_mt, var_mt = vds.reference_data, vds.variant_data
+    rst, vst = ref_mt._stage, var_mt._stage
+    if rst.n_cols == 0 or not rst.contexts:
+        return var_mt
+    rmb = _concat_matrix_batches(rst.collect_batches(), rst)
+    vmb = _concat_matrix_batches(vst.collect_batches(), vst)
+    if rmb.n_rows == 0 or vmb.n_rows == 0:
+        return var_mt
+    n = vst.n_cols
+    ref_locus = rmb.rows.columns['locus']
+    ref_gpos = np.asarray(ref_locus.global_position())
+    end_field = '__END' if '__END' in rmb.rows.columns else None
+    if end_field is None:
+        return var_mt
+    ends = np.asarray(rmb.rows.columns[end_field].values, dtype=np.int64)
+    end_miss = rmb.rows.columns[end_field].missing_mask()
+    # END is a position on the same contig: global end = gpos + (END - pos)
+    ref_pos = np.asarray(ref_locus.position, dtype=np.int64)
+    end_gpos = ref_gpos + np.where(end_miss, 0, ends - ref_pos)
+    var_gpos = np.asarray(vmb.rows.columns['locus'].global_position())
+
+    gt_col = vmb.entries.get('GT')
+    if gt_col is None:
+        return var_mt
+    gt = np.array(gt_col.values, dtype=np.int32, copy=True)
+    gt_miss = np.array(gt_col.missing_mask(), copy=True)
+    ref_gt_defined = ~rmb.entries['GT'].missing_mask() if 'GT' in rmb.entries else \
+        np.ones((rmb.n_rows, n), dtype=bool)
+    fill_fields = {}
+    for f in ('DP', 'GQ', 'MIN_DP'):
+        if f in rmb.entries and f in vmb.entries:
+            fill_fields[f] = (np.asarray(rmb.entries[f].values),
+                              rmb.entries[f].missing_mask())
+    out_extra = {f: (np.array(vmb.entries[f].values, copy=True),
+                     np.array(vmb.entries[f].missing_mask(), copy=True))
+                 for f in fill_fields}
+    hom_ref = np.int32(2 | (0 << 3) | (0 << 17))
+    for s_i in range(n):
+        defined = ref_gt_defined[:, s_i]
+        if not defined.any():
+            continue
+        starts = ref_gpos[defined]
+        ends_s = end_gpos[defined]
+        block_rows = np.where(defined)[0]
+        idx = np.searchsorted(starts, var_gpos, side='right') - 1
+        valid = (idx >= 0)
+        idxc = np.clip(idx, 0, len(starts) - 1)
+        covered = valid & (ends_s[idxc] >= var_gpos)
+        need = gt_miss[:, s_i] & covered
+        if not need.any():
+            continue
+        gt[need, s_i] = hom_ref
+        gt_miss[need, s_i] = False
+        src_rows = block_rows[idxc[need]]
+        for f, (vals, miss) in fill_fields.items():
+            ov, om = out_extra[f]
+            ov[need, s_i] = vals[src_rows, s_i]
+            om[need, s_i] = miss[src_rows, s_i]
+    ents = dict(vmb.entries)
+    ents['GT'] = PrimitiveColumn(ht.tcall, gt, gt_miss if gt_miss.any() else None)
+    for f, (ov, om) in out_extra.items():
+        ents[f] = type(vmb.entries[f])(vmb.entries[f].typ, ov, om if om.any() else None) \
+            if isinstance(vmb.entries[f], PrimitiveColumn) else vmb.entries[f]
+    return MatrixTable(MatrixStage.from_batches(
+        vst.globals, vst.cols, vst.row_key, vst.col_key, vst.row_type,
+        vst.col_type, vst.entry_type, [MatrixBatch(vmb.rows, ents)]))
 
 
 def to_merged_sparse_mt(vds: VariantDataset) -> MatrixTable:
@@ -135,8 +205,10 @@ def truncate_reference_blocks(vds, *, max_ref_block_base_pairs=None,
 
 
 def new_combiner(**kwargs):
-    raise NotImplementedError('VDS combiner: planned (round 2)')
+    from .combiner import new_combiner as nc
+    return nc(**kwargs)
 
 
 def load_combiner(path: str):
-    raise NotImplementedError('VDS combiner: planned (round 2)')
+    from .combiner import load_combiner as lc
+    return lc(path)

@@ -1,0 +1,125 @@
+import os
+
+import numpy as np
+import pytest
+
+import hail_tpu as hl
+from hail_tpu import vds as hvds
+from hail_tpu import types as ht
+
+GVCF_HEADER = '''##fileformat=VCFv4.2
+##FORMAT=<ID=GT,Number=1,Type=String,Description="">
+##FORMAT=<ID=DP,Number=1,Type=Integer,Description="">
+##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="">
+##INFO=<ID=END,Number=1,Type=Integer,Description="">
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t{sample}
+'''
+
+
+def write_gvcf(path, sample, records):
+    with open(path, 'w') as f:
+        f.write(GVCF_HEADER.format(sample=sample))
+        for rec in records:
+            f.write(rec + '\n')
+
+
+@pytest.fixture
+def gvcfs(tmp_path):
+    p1 = str(tmp_path / 's1.g.vcf')
+    p2 = str(tmp_path / 's2.g.vcf')
+    # sample 1: ref block 20:100-199, variant at 20:150? No: variant sites are
+    # separate rows; block covers 100-200, variant at 300
+    write_gvcf(p1, 'S1', [
+        '20\t100\t.\tA\t<NON_REF>\t.\t.\tEND=200\tGT:DP:GQ\t0/0:30:99',
+        '20\t300\t.\tA\tT,<NON_REF>\t50\t.\t.\tGT:DP:GQ\t0/1:25:80',
+    ])
+    # sample 2: block covers 250-350 (so covers S1's variant at 300);
+    # variant at 150 (covered by S1's block)
+    write_gvcf(p2, 'S2', [
+        '20\t150\t.\tG\tC,<NON_REF>\t60\t.\t.\tGT:DP:GQ\t1/1:20:70',
+        '20\t250\t.\tA\t<NON_REF>\t.\t.\tEND=350\tGT:DP:GQ\t0/0:28:95',
+    ])
+    return p1, p2
+
+
+def test_transform_and_combine(gvcfs, tmp_path):
+    p1, p2 = gvcfs
+    from hail_tpu.vds.combiner import transform_gvcf, combine_variant_datasets
+    mt1 = hl.import_vcf(p1)
+    v1 = transform_gvcf(mt1)
+    assert v1.reference_data.count_rows() == 1
+    assert v1.variant_data.count_rows() == 1
+    # <NON_REF> dropped from variant alleles
+    assert v1.variant_data.rows().collect()[0].alleles == ['A', 'T']
+    mt2 = hl.import_vcf(p2)
+    v2 = transform_gvcf(mt2)
+    merged = combine_variant_datasets([v1, v2])
+    assert merged.variant_data.count_cols() == 2
+    assert merged.variant_data.count_rows() == 2
+    assert merged.reference_data.count_rows() == 2
+
+
+def test_combiner_run_and_dense(gvcfs, tmp_path):
+    p1, p2 = gvcfs
+    out = str(tmp_path / 'out.vds')
+    temp = str(tmp_path / 'tmp')
+    os.makedirs(temp)
+    c = hvds.new_combiner(output_path=out, temp_path=temp,
+                          gvcf_paths=[p1, p2], reference_genome='GRCh37')
+    c.run()
+    assert c.finished
+    final = hvds.read_vds(out)
+    assert final.n_samples() == 2
+    dense = hvds.to_dense_mt(final)
+    assert dense.count_rows() == 2
+    ents = {(str(e.locus), e.s): e for e in dense.entries().collect()}
+    # S1's variant at 300: S2 covered by block 250-350 → hom ref fill
+    e = ents[('20:300', 'S2')]
+    assert e.GT is not None and e.GT.is_hom_ref()
+    assert e.DP == 28 and e.GQ == 95
+    # S2's variant at 150: S1 covered by block 100-200 → hom ref fill
+    e2 = ents[('20:150', 'S1')]
+    assert e2.GT is not None and e2.GT.is_hom_ref()
+    assert e2.DP == 30
+    # the actual variant calls survive
+    assert ents[('20:300', 'S1')].GT.is_het()
+    assert ents[('20:150', 'S2')].GT.is_hom_var()
+
+
+def test_combiner_resumable(gvcfs, tmp_path):
+    p1, p2 = gvcfs
+    out = str(tmp_path / 'out2.vds')
+    temp = str(tmp_path / 'tmp2')
+    os.makedirs(temp)
+    c = hvds.new_combiner(output_path=out, temp_path=temp, gvcf_paths=[p1, p2])
+    c.save()
+    # reload the plan and run
+    c2 = hvds.load_combiner(c.save_path)
+    assert c2.gvcf_paths == [p1, p2]
+    c2.run()
+    assert hvds.read_vds(out).n_samples() == 2
+
+
+def test_vds_filters(gvcfs, tmp_path):
+    p1, p2 = gvcfs
+    from hail_tpu.vds.combiner import transform_gvcf, combine_variant_datasets
+    merged = combine_variant_datasets([transform_gvcf(hl.import_vcf(p)) for p in (p1, p2)])
+    f = hvds.filter_samples(merged, ['S1'])
+    assert f.variant_data.count_cols() == 1
+    iv = hl.eval(hl.parse_locus_interval('20:100-200'))
+    f2 = hvds.filter_intervals(merged, [iv])
+    assert f2.variant_data.count_rows() == 1
+    vds2 = hvds.split_multi(merged)
+    assert vds2.variant_data.count_rows() >= merged.variant_data.count_rows()
+
+
+def test_vds_write_read(gvcfs, tmp_path):
+    p1, _ = gvcfs
+    from hail_tpu.vds.combiner import transform_gvcf
+    v = transform_gvcf(hl.import_vcf(p1))
+    p = str(tmp_path / 'one.vds')
+    v.write(p)
+    v2 = hvds.read_vds(p)
+    assert v2.variant_data.count_rows() == 1
+    v3 = v.checkpoint(str(tmp_path / 'cp.vds'))
+    assert v3.n_samples() == 1
