@@ -14,6 +14,7 @@ from ..expr import aggregators as agg
 from ..expr.expression import to_expr
 from ..matrixtable import MatrixTable
 from ..table import Table
+from ..utils.structs import Struct
 
 
 def full_outer_join_mt(left: MatrixTable, right: MatrixTable) -> MatrixTable:
@@ -120,12 +121,111 @@ def import_gtf(path: str, reference_genome=None, skip_invalid_contigs: bool = Fa
                                          [Batch.from_pylist(row_t, out)]))
 
 
-def ld_score_regression(*args, **kwargs):
-    raise NotImplementedError('ld_score_regression: planned (round 2)')
+def ld_score(entry_expr, locus_expr, radius, coord_expr=None,
+             annotation_exprs=None, block_size=None) -> Table:
+    """Univariate LD scores: per variant, sum of r² with variants within
+    `radius` bp (reference experimental/ld_score.py)."""
+    from ..methods.statgen import _entry_expr_to_blocks
+    from ..expr.expression import to_expr
+    from ..ir.columns import Batch, PrimitiveColumn
+    from ..table import TableStage
+    e = to_expr(entry_expr)
+    mt = e._indices.source
+    G, M = _entry_expr_to_blocks(e)
+    cnt = (~M).sum(axis=1)
+    s_ = np.where(M, 0, G).sum(axis=1)
+    mean = np.where(cnt > 0, s_ / np.maximum(cnt, 1), 0.0)
+    G = np.where(M, mean[:, None], G)
+    centered = G - G.mean(axis=1, keepdims=True)
+    ss = np.sqrt((centered * centered).sum(axis=1, keepdims=True))
+    Z = np.where(ss > 0, centered / np.where(ss > 0, ss, 1), 0.0)
+    le = to_expr(locus_expr)
+    gpos = []
+    for i, ctx in enumerate(mt._stage.contexts):
+        mb = mt._stage.partition_fn(ctx)
+        env = mt._row_env(mb, i)
+        col = le._ir.evaluate(env)
+        gpos.append(np.asarray(col.global_position()))
+    gp = np.concatenate(gpos)
+    n = G.shape[1]
+    import jax.numpy as jnp
+    r = np.asarray(jnp.asarray(Z) @ jnp.asarray(Z).T)
+    r2 = r * r
+    # adjusted r2 (unbiased): r2_adj = r2 - (1 - r2)/(n - 2)
+    r2 = r2 - (1 - r2) / max(n - 2, 1)
+    mask = np.abs(gp[:, None] - gp[None, :]) <= radius
+    scores = (r2 * mask).sum(axis=1)
+    rows_b = mt.rows()._stage.collect_single()
+    key_fields = mt._stage.row_key
+    cols = {k: rows_b.columns[k] for k in key_fields}
+    cols['ld_score'] = PrimitiveColumn(ht.tfloat64, scores)
+    row_t = ht.tstruct(**{k: c.typ for k, c in cols.items()})
+    return Table(TableStage.from_batches(Batch({}, 1), key_fields, row_t,
+                                         [Batch(cols, rows_b.length)]))
 
 
-def ld_score(*args, **kwargs):
-    raise NotImplementedError('ld_score: planned (round 2)')
+def ld_score_regression(weight_expr, ld_score_expr, chi_sq_exprs,
+                        n_samples_exprs, n_blocks: int = 200,
+                        two_step_threshold: int = 30,
+                        n_reference_panel_variants=None) -> Table:
+    """LD score regression: h² and intercept from chi² ~ N·l/M (reference
+    experimental/ldscore_regression.py), with block-jackknife SEs."""
+    from ..expr.expression import to_expr
+    from ..ir.columns import Batch
+    from ..table import TableStage
+    we = to_expr(weight_expr)
+    src = we._indices.source
+    def collect_f(expr):
+        e2 = to_expr(expr)
+        vals = (src.rows()._collect_expr(src.rows()._rebind(e2))
+                if hasattr(src, 'rows') and not hasattr(src, '_collect_expr')
+                else src._collect_expr(e2))
+        return np.asarray([np.nan if v is None else float(v) for v in vals])
+    chis = chi_sq_exprs if isinstance(chi_sq_exprs, (list, tuple)) else [chi_sq_exprs]
+    ns = n_samples_exprs if isinstance(n_samples_exprs, (list, tuple)) else [n_samples_exprs]
+    w = collect_f(weight_expr)
+    l = collect_f(ld_score_expr)
+    out_rows = []
+    for pi, (ce, ne) in enumerate(zip(chis, ns)):
+        chi2 = collect_f(ce)
+        n_s = collect_f(ne)
+        ok = np.isfinite(chi2) & np.isfinite(l) & np.isfinite(w) & np.isfinite(n_s) & (w > 0)
+        chi2, lk, wk, nk = chi2[ok], l[ok], w[ok], n_s[ok]
+        M = len(lk)
+        if M < 3:
+            out_rows.append(Struct(phenotype=pi, mean_chi_sq=None,
+                                   intercept=Struct(estimate=None, standard_error=None),
+                                   snp_heritability=Struct(estimate=None, standard_error=None)))
+            continue
+        x = nk * lk / M
+        X = np.stack([np.ones(M), x], axis=1)
+        weights = 1.0 / np.maximum(wk, 1e-12)
+        XtWX = (X * weights[:, None]).T @ X
+        XtWy = (X * weights[:, None]).T @ chi2
+        beta = np.linalg.solve(XtWX, XtWy)
+        # block jackknife
+        nb = min(n_blocks, M)
+        idx_blocks = np.array_split(np.arange(M), nb)
+        est = []
+        for b in idx_blocks:
+            m2 = np.ones(M, dtype=bool)
+            m2[b] = False
+            Xb, yb, wb = X[m2], chi2[m2], weights[m2]
+            bb = np.linalg.solve((Xb * wb[:, None]).T @ Xb, (Xb * wb[:, None]).T @ yb)
+            est.append(bb)
+        est = np.asarray(est)
+        se = np.sqrt((nb - 1) / nb * ((est - est.mean(0)) ** 2).sum(0))
+        out_rows.append(Struct(
+            phenotype=pi, mean_chi_sq=float(chi2.mean()),
+            intercept=Struct(estimate=float(beta[0]), standard_error=float(se[0])),
+            snp_heritability=Struct(estimate=float(beta[1]), standard_error=float(se[1]))))
+    row_t = ht.tstruct(
+        phenotype=ht.tint32, mean_chi_sq=ht.tfloat64,
+        intercept=ht.tstruct(estimate=ht.tfloat64, standard_error=ht.tfloat64),
+        snp_heritability=ht.tstruct(estimate=ht.tfloat64, standard_error=ht.tfloat64))
+    from ..ir.columns import Batch as B2
+    return Table(__import__('hail_tpu.table', fromlist=['TableStage']).TableStage.from_batches(
+        B2({}, 1), ['phenotype'], row_t, [B2.from_pylist(row_t, out_rows)]))
 
 
 def phase_by_transmission(*args, **kwargs):

@@ -4,13 +4,15 @@ from .statgen import (linear_regression_rows, logistic_regression_rows,
                       split_multi, split_multi_hts, genetic_relatedness_matrix,
                       realized_relationship_matrix, row_correlation, impute_sex,
                       ld_matrix, ld_prune, simulate_random_mating, skat,
-                      _linear_skat, _logistic_skat, lambda_gc)
+                      _linear_skat, _logistic_skat, lambda_gc,
+                      linear_mixed_model, linear_mixed_regression_rows)
 from .pca import pca, hwe_normalized_pca, _blanczos_pca
 from .relatedness import identity_by_descent, king, pc_relate, maximal_independent_set
 from .family_methods import (trio_matrix, mendel_errors, de_novo,
                              transmission_disequilibrium_test)
 from .misc import (rename_duplicates, filter_intervals, segment_intervals,
                    compute_charr, concordance)
+from .annotators import vep, nirvana
 from .impex import (import_vcf, export_vcf, import_plink, export_plink,
                     import_bgen, export_bgen, index_bgen, import_gen, export_gen,
                     import_table, export_table, import_lines, import_fam,
@@ -24,11 +26,12 @@ __all__ = [
     'genetic_relatedness_matrix', 'realized_relationship_matrix',
     'row_correlation', 'impute_sex', 'ld_matrix', 'ld_prune',
     'simulate_random_mating', 'skat', 'lambda_gc',
+    'linear_mixed_model', 'linear_mixed_regression_rows',
     'pca', 'hwe_normalized_pca',
     'identity_by_descent', 'king', 'pc_relate', 'maximal_independent_set',
     'trio_matrix', 'mendel_errors', 'de_novo', 'transmission_disequilibrium_test',
     'rename_duplicates', 'filter_intervals', 'segment_intervals',
-    'compute_charr', 'concordance',
+    'compute_charr', 'concordance', 'vep', 'nirvana',
     'import_vcf', 'export_vcf', 'import_plink', 'export_plink', 'import_bgen',
     'export_bgen', 'index_bgen', 'import_gen', 'export_gen', 'import_table',
     'export_table', 'import_lines', 'import_fam', 'import_bed',

@@ -933,3 +933,87 @@ def lambda_gc(p_value, approximate: bool = True):
         vals = [v for v in src._collect_expr(e) if v is not None]
     chi2 = st.chi2.isf(np.asarray(vals), 1)
     return float(np.median(chi2) / st.chi2.ppf(0.5, 1))
+
+
+# ---------------------------------------------------------------------------
+# linear mixed model
+# ---------------------------------------------------------------------------
+
+def linear_mixed_model(y, x, z_t=None, k=None, p_path=None, overwrite=False,
+                       standardize: bool = True, mean_impute: bool = True):
+    """Build a LinearMixedModel from column phenotype/covariates and either a
+    kinship matrix or random-effect entries (reference
+    statgen.linear_mixed_model → stats/LinearMixedModel)."""
+    from ..stats.linear_mixed_model import LinearMixedModel
+    ye = to_expr(y)
+    mt = ye._indices.source
+    yv, ym = _eval_col_f64(mt, ye)
+    Cov, cm = _covariate_matrix(mt, x if isinstance(x, (list, tuple)) else [x])
+    keep = ~(ym | cm)
+    yk, Ck = yv[keep], Cov[keep]
+    if k is not None:
+        karr = k.to_numpy() if hasattr(k, 'to_numpy') else np.asarray(k)
+        karr = karr[np.ix_(keep.nonzero()[0], keep.nonzero()[0])] \
+            if karr.shape[0] != keep.sum() else karr
+        return LinearMixedModel.from_kinship(yk, Ck, karr), None
+    if z_t is None:
+        raise ValueError('provide z_t (random-effect entries) or k (kinship)')
+    zte = to_expr(z_t)
+    G, M = _entry_expr_to_blocks(zte)
+    G = G[:, keep]
+    Mk = M[:, keep]
+    if mean_impute:
+        cnt = (~Mk).sum(axis=1)
+        s_ = np.where(Mk, 0, G).sum(axis=1)
+        mean = np.where(cnt > 0, s_ / np.maximum(cnt, 1), 0.0)
+        G = np.where(Mk, mean[:, None], G)
+    if standardize:
+        mu = G.mean(axis=1, keepdims=True)
+        sd = G.std(axis=1, keepdims=True)
+        G = np.where(sd > 0, (G - mu) / np.where(sd > 0, sd, 1), 0.0)
+    Z = G.T  # samples x variants
+    model = LinearMixedModel.from_random_effects(yk, Ck, Z)
+    return model, Z
+
+
+def linear_mixed_regression_rows(entry_expr, model, pa_t_path=None,
+                                 a_t_path=None, mean_impute: bool = True) -> Table:
+    """Per-variant LMM association under a fitted model (reference
+    statgen.linear_mixed_regression_rows)."""
+    import scipy.stats as st
+    if not model.fitted:
+        model.fit()
+    e = to_expr(entry_expr)
+    mt = e._indices.source
+    G, M = _entry_expr_to_blocks(e)
+    if mean_impute:
+        cnt = (~M).sum(axis=1)
+        s_ = np.where(M, 0, G).sum(axis=1)
+        mean = np.where(cnt > 0, s_ / np.maximum(cnt, 1), 0.0)
+        G = np.where(M, mean[:, None], G)
+    n_model = model.py.shape[0]
+    if G.shape[1] != n_model:
+        raise ValueError(f'entry matrix has {G.shape[1]} samples; model has {n_model}')
+    # rotate genotypes: pa = U^T a — recover U^T action via least squares
+    # against stored rotations is not possible; require full-rank from_kinship
+    # usage where U spans R^n: pa = solve from py/y unavailable → recompute via
+    # eigenvectors is needed. We store U implicitly: caller should pass
+    # model built from this dataset. We approximate U^T a using the identity
+    # that rotations preserve the quadratic forms used; for correctness we
+    # keep U on the model when available.
+    if getattr(model, '_u', None) is not None:
+        pa = model._u.T @ G.T
+    else:
+        raise ValueError('model lacks rotation matrix; build with '
+                         'hl.linear_mixed_model (which retains it)')
+    res = model.fit_alternatives_numpy(pa)
+    key_fields = mt._stage.row_key
+    rows_b = mt.rows()._stage.collect_single()
+    out_cols = {kf: rows_b.columns[kf] for kf in key_fields}
+    out_cols['beta'] = PrimitiveColumn(ht.tfloat64, res['beta'])
+    out_cols['sigma_sq'] = PrimitiveColumn(ht.tfloat64, res['sigma_sq'])
+    out_cols['chi_sq'] = PrimitiveColumn(ht.tfloat64, res['chi_sq'])
+    out_cols['p_value'] = PrimitiveColumn(ht.tfloat64, res['p_value'])
+    row_t = ht.tstruct(**{k2: c.typ for k2, c in out_cols.items()})
+    return Table(TableStage.from_batches(Batch({}, 1), key_fields, row_t,
+                                         [Batch(out_cols, rows_b.length)]))

@@ -110,7 +110,7 @@ class JoinLookup(IR):
         n = int(np.prod(shape))
         out = []
         for i in range(n):
-            k = tuple(f[i] for f in flats)
+            k = _hashable_key(tuple(f[i] for f in flats))
             out.append(lookup.get(k))
         return C.from_pylist(self.typ, out).reshape(shape)
 
@@ -700,7 +700,7 @@ class Table:
     def _lookup_dict(self) -> dict:
         if self._lookup_cache is None:
             batch = self._stage.collect_single()
-            keys = _key_tuples(batch, self._stage.key)
+            keys = [_hashable_key(k) for k in _key_tuples(batch, self._stage.key)]
             value_fields = [f for f in batch.row_type.fields if f not in self._stage.key]
             vals = Batch({f: batch.columns[f] for f in value_fields}, batch.length).to_pylist() \
                 if value_fields else [Struct() for _ in range(batch.length)]
@@ -800,6 +800,10 @@ def _expr_field_name(e: Expression) -> str:
     if isinstance(ir, GetField):
         return ir.name
     raise ValueError('expected a field reference')
+
+
+def _hashable_key(kt: tuple) -> tuple:
+    return tuple(tuple(v) if isinstance(v, list) else v for v in kt)
 
 
 def _key_tuples(batch: Batch, key: List[str]) -> List[tuple]:

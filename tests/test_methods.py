@@ -215,3 +215,27 @@ def test_balding_nichols_globals():
     g = hl.eval(mt.globals.bn)
     assert g.n_populations == 3
     assert mt.aggregate_entries(hl.agg.count_where(hl.is_defined(mt.GT))) == 200
+
+
+def test_linear_mixed_model(bn):
+    model, Z = hl.linear_mixed_model(bn.pheno, [1.0], z_t=bn.GT.n_alt_alleles())
+    model.fit()
+    assert model.fitted
+    assert 0 <= model.h_sq <= 1
+    res = hl.linear_mixed_regression_rows(bn.GT.n_alt_alleles(), model)
+    rows = res.collect()
+    assert len(rows) == 80
+    assert all(0 <= r.p_value <= 1 for r in rows if not np.isnan(r.p_value))
+
+
+def test_ld_score(bn):
+    t = hl.experimental.ld_score(bn.GT.n_alt_alleles(), bn.locus, radius=50)
+    rows = t.collect()
+    assert len(rows) == 80
+    # a variant's LD score includes itself (adjusted r2 of 1 with itself)
+    assert all(r.ld_score > 0.5 for r in rows)
+
+
+def test_vep_gated(bn):
+    with pytest.raises(ValueError, match='requires a configuration'):
+        hl.vep(bn)
