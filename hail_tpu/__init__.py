@@ -13,7 +13,8 @@ from .utils.structs import Struct, frozendict, Interval
 from .genetics import (AlleleType, Call, Locus, Pedigree, Trio, ReferenceGenome)
 from .context import (init, stop, default_reference, get_reference,
                       set_global_seed, _set_flags, _get_flags, tmp_dir, Env)
-from .table import Table, GroupedTable, range_table, parallelize, read_table, asc, desc
+from .table import (Table, GroupedTable, range_table, parallelize, read_table,
+                    asc, desc, multi_way_zip_join)
 from .matrixtable import MatrixTable, range_matrix_table, read_matrix_table
 
 from .expr.expression import (Expression, ArrayExpression, BooleanExpression,
@@ -47,6 +48,9 @@ from .expr.functions import (
     contingency_table_test, hardy_weinberg_test, rand_unif, rand_bool,
     rand_norm, rand_int32, rand_int64, rand_pois, rand_beta, rand_gamma,
     rand_cat, rand_dirichlet, empty_array, empty_set, empty_dict,
+    find, binary_search, uniroot, approx_equal, bit_and, bit_or, bit_xor,
+    bit_lshift, bit_rshift, bit_not, bit_count, nanmin, nanmax, corr, shuffle,
+    triangle, liftover, get_sequence, mendel_error_code,
 )
 
 # names that clash with python builtins keep trailing-underscore impls but are

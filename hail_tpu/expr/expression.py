@@ -801,7 +801,10 @@ def eval_scalar(expr: Expression):
     agg_nodes = aggmod.collect_agg_nodes(expr._ir)
     if agg_nodes:
         raise ValueError('cannot eval an aggregation outside of a table context')
-    env = EvalEnv({}, (1,))
+    from ..ir import columns as _C
+    from .. import types as _ht
+    import numpy as _np
+    env = EvalEnv({'__row_idx__': _C.PrimitiveColumn(_ht.tint64, _np.zeros(1, _np.int64))}, (1,))
     col = expr._ir.evaluate(env)
     vals = col.to_pylist()
     return vals[0] if vals else None

@@ -1610,3 +1610,287 @@ def eval_expr(expr):
 
 
 eval = eval_expr
+
+
+# ---------------------------------------------------------------------------
+# additional builtins (breadth batch 2)
+# ---------------------------------------------------------------------------
+
+def find(f, collection):
+    """First element satisfying f, or missing (reference hl.find)."""
+    e = array(collection)
+    et = e.dtype.element_type
+    mapped = e.map(lambda x: struct(v=x, k=f(x)))
+    def impl(col):
+        obj = C.to_object(col)
+        def g(v):
+            if v is None:
+                return None
+            for p in v:
+                if p['k'] is True:
+                    return p['v']
+            return None
+        return C.from_pylist(et, [g(x) for x in obj.values.ravel()]).reshape(obj.shape)
+    return _apply('find', et, impl, mapped)
+
+
+def binary_search(array_expr, elem):
+    """Index of the first element >= elem (reference hl.binary_search)."""
+    import bisect
+    e = array(array_expr)
+    def f(v, x):
+        return bisect.bisect_left(v, x)
+    return _apply('binary_search', ht.tint32, _obj_impl(ht.tint32, f), e, to_expr(elem))
+
+
+def uniroot(f, min, max, *, max_iter: int = 1000, epsilon: float = 2.22e-16,
+            tolerance: float = 1.22e-4):
+    """Root of f on [min, max] via Brent's method (reference hl.uniroot)."""
+    lo = to_expr(min)
+    hi = to_expr(max)
+    var = _fresh_name('uniroot_x')
+    x = construct_expr(Ref(var, ht.tfloat64))
+    body = to_expr(f(x))
+    def impl(lo_c, hi_c):
+        from scipy.optimize import brentq
+        import numpy as _np
+        lov = _bi.float(_np.asarray(lo_c.values).ravel()[0])
+        hiv = _bi.float(_np.asarray(hi_c.values).ravel()[0])
+        def scalar_f(xv):
+            from ..ir.nodes import EvalEnv
+            env = EvalEnv({var: C.from_pylist(ht.tfloat64, [xv])}, (1,))
+            res = body._ir.evaluate(env).to_pylist()
+            return res[0]
+        try:
+            root = brentq(scalar_f, lov, hiv, maxiter=max_iter, xtol=tolerance)
+            return C.from_pylist(ht.tfloat64, [root])
+        except ValueError:
+            return C.from_pylist(ht.tfloat64, [None])
+    return _apply('uniroot', ht.tfloat64, impl, lo, hi)
+
+
+def approx_equal(x, y, tolerance=1e-6, absolute=False, nan_same=False):
+    def f(a, b, t):
+        if math.isnan(a) and math.isnan(b):
+            return nan_same
+        if absolute:
+            return _bi.abs(a - b) <= t
+        return _bi.abs(a - b) <= t * _bi.max(_bi.abs(a), _bi.abs(b))
+    return _apply('approx_equal', ht.tbool, _obj_impl(ht.tbool, f),
+                  to_expr(x), to_expr(y), to_expr(tolerance))
+
+
+def _bit_op(name, npf):
+    def f(a, b):
+        ea, eb = to_expr(a), to_expr(b)
+        t = ht.unify_types(ea.dtype, eb.dtype) or ht.tint32
+        return _apply(name, t, _prim_impl(t, npf), ea, eb)
+    f.__name__ = name
+    return f
+
+
+bit_and = _bit_op('bit_and', np.bitwise_and)
+bit_or = _bit_op('bit_or', np.bitwise_or)
+bit_xor = _bit_op('bit_xor', np.bitwise_xor)
+bit_lshift = _bit_op('bit_lshift', np.left_shift)
+bit_rshift = _bit_op('bit_rshift', np.right_shift)
+
+
+def bit_not(x):
+    e = to_expr(x)
+    return _apply('bit_not', e.dtype, _prim_impl(e.dtype, np.invert), e)
+
+
+def bit_count(x):
+    e = to_expr(x)
+    def impl(col):
+        v = np.asarray(col.values)
+        cnt = np.vectorize(lambda a: _bi.bin(_bi.int(a) & 0xFFFFFFFFFFFFFFFF).count('1'))(v.astype(np.int64))
+        return PrimitiveColumn(ht.tint32, cnt.astype(np.int32), col.missing)
+    return _apply('bit_count', ht.tint32, impl, e)
+
+
+def nanmin(*exprs, filter_missing: bool = True):
+    if _bi.len(exprs) == 1:
+        e = to_expr(exprs[0])
+        return _apply('nanmin', e.dtype.element_type,
+                      _obj_impl(e.dtype.element_type,
+                                lambda v: _bi.min((x for x in v if x is not None and not math.isnan(x)),
+                                                  default=None)), e)
+    vals = [to_expr(x) for x in exprs]
+    out = vals[0]
+    for v in vals[1:]:
+        out = if_else(is_nan(out) | (v < out), v, out, missing_false=True)
+    return out
+
+
+def nanmax(*exprs, filter_missing: bool = True):
+    if _bi.len(exprs) == 1:
+        e = to_expr(exprs[0])
+        return _apply('nanmax', e.dtype.element_type,
+                      _obj_impl(e.dtype.element_type,
+                                lambda v: _bi.max((x for x in v if x is not None and not math.isnan(x)),
+                                                  default=None)), e)
+    vals = [to_expr(x) for x in exprs]
+    out = vals[0]
+    for v in vals[1:]:
+        out = if_else(is_nan(out) | (v > out), v, out, missing_false=True)
+    return out
+
+
+def corr(x, y):
+    """Pearson correlation of two float arrays (reference hl.corr)."""
+    xe, ye = array(x), array(y)
+    def f(a, b):
+        import numpy as _np
+        pairs = [(p, q) for p, q in _bi.zip(a, b) if p is not None and q is not None]
+        if _bi.len(pairs) < 2:
+            return None
+        av = _np.asarray([p for p, _ in pairs], dtype=_np.float64)
+        bv = _np.asarray([q for _, q in pairs], dtype=_np.float64)
+        return _bi.float(_np.corrcoef(av, bv)[0, 1])
+    return _apply('corr', ht.tfloat64, _obj_impl(ht.tfloat64, f), xe, ye)
+
+
+def shuffle(a, seed=None):
+    """Randomly permute an array (reference hl.shuffle)."""
+    e = array(a)
+    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RowIndex()], _rand_uniform_impl(seed)))
+    def impl(acol, ucol):
+        import numpy as _np
+        obj = C.to_object(acol)
+        shape = np.broadcast_shapes(obj.shape, ucol.shape)
+        av = np.broadcast_to(obj.values, shape).ravel()
+        uv = np.broadcast_to(ucol.values, shape).ravel()
+        out = np.empty(_bi.len(av), dtype=object)
+        for i in _bi.range(_bi.len(av)):
+            if av[i] is None:
+                out[i] = None
+                continue
+            rng = _np.random.default_rng(_bi.int(uv[i] * (1 << 53)))
+            vals = _bi.list(av[i])
+            rng.shuffle(vals)
+            out[i] = vals
+        return C.from_pylist(e.dtype, _bi.list(out)).reshape(shape)
+    return _apply('shuffle', e.dtype, impl, e, u)
+
+
+def triangle(n):
+    e = to_expr(n)
+    return e * (e + 1) // 2
+
+
+def liftover(x, dest_reference_genome, min_match: float = 0.95,
+             include_strand: bool = False):
+    """Lift a locus (or locus interval) to another reference genome
+    (reference hl.liftover; requires rg.add_liftover with a chain file)."""
+    from ..genetics.reference_genome import ReferenceGenome
+    from ..genetics.locus import Locus
+    e = to_expr(x)
+    dest = ReferenceGenome.get(dest_reference_genome) if isinstance(dest_reference_genome, str) \
+        else dest_reference_genome
+    if isinstance(e.dtype, ht.tlocus):
+        src_rg = e.dtype.reference_genome
+        if not src_rg.has_liftover(dest.name):
+            raise ValueError(f'no liftover chain from {src_rg.name} to {dest.name}; '
+                             f'call rg.add_liftover(chain_file, dest) first')
+        lo = src_rg.liftover(dest.name)
+        if include_strand:
+            t = ht.tstruct(result=ht.tlocus(dest), is_negative_strand=ht.tbool)
+            def f(l):
+                r = lo.lift(l.contig, l.position)
+                if r is None or not dest.has_contig(r[0]):
+                    return None
+                return Struct(result=Locus(r[0], r[1], dest), is_negative_strand=r[2])
+            return _apply('liftover', t, _obj_impl(t, f), e)
+        t = ht.tlocus(dest)
+        def f2(l):
+            r = lo.lift(l.contig, l.position)
+            if r is None or not dest.has_contig(r[0]):
+                return None
+            return Locus(r[0], r[1], dest)
+        return _apply('liftover', t, _obj_impl(t, f2), e)
+    if isinstance(e.dtype, ht.tinterval):
+        pt = e.dtype.point_type
+        src_rg = pt.reference_genome
+        lo = src_rg.liftover(dest.name)
+        t = ht.tinterval(ht.tlocus(dest))
+        def f3(iv):
+            a = lo.lift(iv.start.contig, iv.start.position)
+            b = lo.lift(iv.end.contig, iv.end.position)
+            if a is None or b is None or a[0] != b[0]:
+                return None
+            lo_l = Locus(a[0], _bi.min(a[1], b[1]), dest)
+            hi_l = Locus(a[0], _bi.max(a[1], b[1]), dest)
+            return Interval(lo_l, hi_l, iv.includes_start, iv.includes_end)
+        return _apply('liftover', t, _obj_impl(t, f3), e)
+    raise TypeError(f'liftover: unsupported type {e.dtype}')
+
+
+def get_sequence(contig, position, before=0, after=0, reference_genome='default'):
+    """Reference base(s) at a locus (reference hl.get_sequence; requires
+    rg.add_sequence with a FASTA)."""
+    from ..genetics.reference_genome import ReferenceGenome, default_reference
+    rg = default_reference() if reference_genome == 'default' else (
+        ReferenceGenome.get(reference_genome) if isinstance(reference_genome, str) else reference_genome)
+    if not rg.has_sequence():
+        raise ValueError(f'reference genome {rg.name} has no sequence loaded; '
+                         'call rg.add_sequence(fasta) first')
+    be = to_expr(before)
+    ae = to_expr(after)
+    def f(c, p, b, a):
+        return rg.sequence(c, p, b, a)
+    return _apply('get_sequence', ht.tstr, _obj_impl(ht.tstr, f),
+                  to_expr(contig), to_expr(position), be, ae)
+
+
+def mendel_error_code(locus, is_female, father, mother, child):
+    """Mendel error code for a trio genotype configuration (reference
+    hl.mendel_error_code)."""
+    from ..genetics.locus import Locus as _Locus
+    t = ht.tint32
+    def f(l, fem, dad, mom, kid):
+        rg = l.reference_genome
+        def na(c2):
+            return c2.n_alt_alleles()
+        in_x = rg.is_x(l.contig) and not rg.in_par(l.contig, l.position)
+        in_y = rg.is_y(l.contig) and not rg.in_par(l.contig, l.position)
+        auto = not in_x and not in_y
+        d, m2, k = na(dad), na(mom), na(kid)
+        if auto or (in_x and fem):
+            if k == 1:
+                if d == 0 and m2 == 0:
+                    return 1
+                if d == 2 and m2 == 2:
+                    return 2
+            if k == 0:
+                if d == 2 and m2 != 2:
+                    return 3
+                if m2 == 2 and d != 2:
+                    return 4
+                if d == 2 and m2 == 2:
+                    return 5
+            if k == 2:
+                if d == 0 and m2 != 0:
+                    return 6
+                if m2 == 0 and d != 0:
+                    return 7
+                if d == 0 and m2 == 0:
+                    return 8
+            return None
+        if in_x and not fem:
+            if k == 2 and m2 == 0:
+                return 10
+            if k == 0 and m2 == 2:
+                return 9
+            return None
+        if in_y and not fem:
+            if k == 2 and d == 0:
+                return 12
+            if k == 0 and d == 2:
+                return 11
+        return None
+    return _apply('mendel_error_code', t, _obj_impl_lenient(
+        t, lambda l, fem, dad, mom, kid: None if l is None or dad is None or mom is None or kid is None
+        else f(l, fem if fem is not None else True, dad, mom, kid)),
+        to_expr(locus), to_expr(is_female), to_expr(father), to_expr(mother), to_expr(child))

@@ -109,6 +109,21 @@ def read_batch(path: str, desc: dict) -> Batch:
     return Batch(cols, desc['length'])
 
 
+def _partition_bounds(batch: Batch, key) -> Optional[list]:
+    """[min_gpos, max_gpos] for locus-first-keyed batches (interval pruning;
+    reference partitioner rangeBounds, rvd/RVDPartitioner.scala:18)."""
+    if not key:
+        return None
+    col = batch.columns.get(key[0])
+    if isinstance(col, LocusColumn) and batch.length:
+        gp = col.global_position()
+        return [int(gp.min()), int(gp.max())]
+    if isinstance(col, PrimitiveColumn) and batch.length and col.missing is None \
+        and col.values.dtype.kind in 'if':
+        return [float(col.values.min()), float(col.values.max())]
+    return None
+
+
 def _prepare_dir(path: str, overwrite: bool):
     if os.path.exists(path):
         if not overwrite:
@@ -124,6 +139,7 @@ def write_table(table, path: str, overwrite: bool = False) -> None:
     part_descs = []
     for i, b in enumerate(batches):
         d = write_batch(b, os.path.join(path, 'parts', f'part-{i:05d}.npz'))
+        d['bounds'] = _partition_bounds(b, st.key)
         part_descs.append(d)
     g_arrs: Dict[str, np.ndarray] = {}
     g_descs = {k: column_to_arrays(k, c, g_arrs) for k, c in st.globals.columns.items()}
@@ -154,7 +170,9 @@ def read_table(path: str):
     parts = meta['partitions']
     def pf(i):
         return read_batch(os.path.join(path, 'parts', f'part-{i:05d}.npz'), parts[i])
-    return Table(TableStage(g, meta['key'], row_t, list(range(len(parts))), pf))
+    bounds = [p.get('bounds') for p in parts]
+    return Table(TableStage(g, meta['key'], row_t, list(range(len(parts))), pf,
+                            bounds if any(b is not None for b in bounds) else None))
 
 
 # -- matrix table ----------------------------------------------------------
@@ -170,7 +188,8 @@ def write_matrix_table(mt, path: str, overwrite: bool = False) -> None:
         ent_descs = {k: column_to_arrays(f'e.{k}', c, arrs) for k, c in mb.entries.items()}
         np.savez_compressed(os.path.join(path, 'parts', f'part-{i:05d}.npz'), **arrs)
         part_descs.append({'rows': {'columns': row_descs, 'length': mb.n_rows},
-                           'entries': ent_descs, 'n_rows': mb.n_rows})
+                           'entries': ent_descs, 'n_rows': mb.n_rows,
+                           'bounds': _partition_bounds(mb.rows, st.row_key)})
     c_arrs: Dict[str, np.ndarray] = {}
     c_descs = {k: column_to_arrays(k, c, c_arrs) for k, c in st.cols.columns.items()}
     np.savez_compressed(os.path.join(path, 'cols.npz'), **c_arrs)
@@ -218,7 +237,9 @@ def read_matrix_table(path: str):
             entries = {k: column_from_arrays(f'e.{k}', ed, arrs)
                        for k, ed in d['entries'].items()}
         return MatrixBatch(rows, entries)
+    bounds = [p.get('bounds') for p in parts]
     stage = MatrixStage(g, cols, meta['row_key'], meta['col_key'],
                         row_t, ht.dtype(meta['col_type']), entry_t,
-                        list(range(len(parts))), pf)
+                        list(range(len(parts))), pf,
+                        bounds if any(b is not None for b in bounds) else None)
     return MatrixTable(stage)

@@ -68,7 +68,8 @@ class MatrixStage:
 
     def __init__(self, globals: Batch, cols: Batch, row_key: List[str], col_key: List[str],
                  row_type: ht.tstruct, col_type: ht.tstruct, entry_type: ht.tstruct,
-                 contexts: List[Any], partition_fn: Callable[[Any], MatrixBatch]):
+                 contexts: List[Any], partition_fn: Callable[[Any], MatrixBatch],
+                 partition_bounds: Optional[List] = None):
         self.globals = globals
         self.cols = cols
         self.row_key = list(row_key)
@@ -78,6 +79,7 @@ class MatrixStage:
         self.entry_type = entry_type
         self.contexts = list(contexts)
         self.partition_fn = partition_fn
+        self.partition_bounds = partition_bounds
 
     @property
     def n_cols(self) -> int:

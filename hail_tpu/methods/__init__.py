@@ -17,7 +17,7 @@ from .impex import (import_vcf, export_vcf, import_plink, export_plink,
                     import_bgen, export_bgen, index_bgen, import_gen, export_gen,
                     import_table, export_table, import_lines, import_fam,
                     import_bed, import_locus_intervals, import_matrix_table,
-                    get_vcf_metadata, grep)
+                    get_vcf_metadata, grep, import_avro)
 
 __all__ = [
     'sample_qc', 'variant_qc', 'linear_regression_rows',
@@ -36,4 +36,5 @@ __all__ = [
     'export_bgen', 'index_bgen', 'import_gen', 'export_gen', 'import_table',
     'export_table', 'import_lines', 'import_fam', 'import_bed',
     'import_locus_intervals', 'import_matrix_table', 'get_vcf_metadata', 'grep',
+    'import_avro',
 ]

@@ -29,6 +29,7 @@ from ..utils.structs import Struct
 # re-export the VCF entry points
 from ..io.vcf import export_vcf, get_vcf_metadata, import_vcf  # noqa: F401
 from ..io.bgen import export_bgen, import_bgen, index_bgen  # noqa: F401
+from ..io.avro import import_avro  # noqa: F401
 
 
 def _open(path: str):

@@ -49,12 +49,56 @@ def filter_intervals(ds, intervals, keep: bool = True):
             m |= lo & hi
         return m if keep else ~m
 
+    def gpos_ranges():
+        out = []
+        for iv in ivs:
+            s_, e_ = iv.start, iv.end
+            if hasattr(s_, 'global_position'):
+                out.append((s_.global_position(), e_.global_position()))
+        return out
+
+    def prune_contexts(stage):
+        """Skip partitions whose key bounds don't intersect any interval —
+        the reference's interval-pushdown partition pruning
+        (`ExtractIntervalFilters.scala` + partitioner rangeBounds)."""
+        bounds = getattr(stage, 'partition_bounds', None)
+        if not keep or bounds is None:
+            return None
+        ranges = gpos_ranges()
+        if len(ranges) != len(ivs):
+            return None
+        keep_idx = []
+        for i, b in enumerate(bounds):
+            if b is None:
+                keep_idx.append(i)
+                continue
+            lo, hi = b
+            if any(not (hi < s_ or lo > e_) for (s_, e_) in ranges):
+                keep_idx.append(i)
+        return keep_idx
+
     if isinstance(ds, MatrixTable):
+        st = ds._stage
+        keep_idx = prune_contexts(st)
+        if keep_idx is not None and len(keep_idx) < len(st.contexts):
+            st = MatrixStage(st.globals, st.cols, st.row_key, st.col_key,
+                             st.row_type, st.col_type, st.entry_type,
+                             [st.contexts[i] for i in keep_idx], st.partition_fn,
+                             [st.partition_bounds[i] for i in keep_idx])
+            ds = MatrixTable(st)
         def f(mb, i):
             mask = row_mask(mb.rows.columns['locus'])
             return mb.filter_rows(mask)
         return MatrixTable(ds._stage.map_partitions(f))
     else:
+        from ..table import TableStage
+        st = ds._stage
+        keep_idx = prune_contexts(st)
+        if keep_idx is not None and len(keep_idx) < len(st.contexts):
+            st = TableStage(st.globals, st.key, st.row_type,
+                            [st.contexts[i] for i in keep_idx], st.partition_fn,
+                            [st.partition_bounds[i] for i in keep_idx])
+            ds = Table(st)
         def f(batch, i):
             key0 = ds._stage.key[0]
             mask = row_mask(batch.columns[key0])

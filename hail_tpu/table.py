@@ -463,6 +463,18 @@ class Table:
         vals = col.to_pylist()
         return vals[0] if vals else None
 
+
+    def export(self, output: str, types_file: Optional[str] = None,
+               header: bool = True, parallel=None, delimiter: str = '\t') -> None:
+        from .methods.impex import export_table
+        export_table(self, output, types_file, header, parallel, delimiter)
+
+    def all(self, expr) -> bool:
+        return self.aggregate(_agg_all(expr))
+
+    def any(self, expr) -> bool:
+        return self.aggregate(_agg_any(expr))
+
     # -- group by ----------------------------------------------------------
     def group_by(self, *key, **named_exprs) -> 'GroupedTable':
         t = self
@@ -937,3 +949,48 @@ def parallelize(rows, schema: Optional[ht.tstruct] = None, key=None,
 def read_table(path: str) -> Table:
     from .io.native import read_table as rt
     return rt(path)
+
+
+def _agg_all(expr):
+    from .expr import aggregators as agg
+    return agg.all(expr)
+
+
+def _agg_any(expr):
+    from .expr import aggregators as agg
+    return agg.any(expr)
+
+
+def multi_way_zip_join(tables: List['Table'], data_field_name: str,
+                       global_field_name: str) -> 'Table':
+    """Outer-join N same-keyed tables into one with an array of row-value
+    structs (reference `table.py` multi_way_zip_join /
+    TableMultiWayZipJoin)."""
+    assert tables
+    key = tables[0]._stage.key
+    value_t = tables[0]._stage.row_type._drop_fields(key)
+    batches = [t._stage.collect_single() for t in tables]
+    key_rows = {}
+    for ti, (t, b) in enumerate(zip(tables, batches)):
+        vals = Batch({f: b.columns[f] for f in value_t.fields}, b.length).to_pylist() \
+            if value_t.fields else [Struct() for _ in range(b.length)]
+        for i, kt in enumerate(_key_tuples(b, key)):
+            key_rows.setdefault(_hashable_key(kt), [None] * len(tables))[ti] = vals[i]
+    union = sorted(key_rows.keys(), key=lambda kt: tuple((v is None, v) for v in kt))
+    key_cols_vals = {f: [] for f in key}
+    rows_data = []
+    for kt in union:
+        for f, v in zip(key, kt):
+            key_cols_vals[f].append(list(v) if isinstance(v, tuple) and
+                                    isinstance(tables[0]._stage.row_type[f], ht.tarray) else v)
+        rows_data.append(key_rows[kt])
+    n = len(union)
+    cols = {f: C.from_pylist(tables[0]._stage.row_type[f], key_cols_vals[f]) for f in key}
+    cols[data_field_name] = C.from_pylist(ht.tarray(value_t), rows_data)
+    row_t = ht.tstruct(**{f: tables[0]._stage.row_type[f] for f in key},
+                       **{data_field_name: ht.tarray(value_t)})
+    g_rows = [Struct(**{k2: (t._stage.globals.columns[k2].to_pylist()[0])
+                        for k2 in t._stage.globals_type.fields}) for t in tables]
+    g_t = ht.tstruct(**{global_field_name: ht.tarray(tables[0]._stage.globals_type)})
+    g = Batch.from_pylist(g_t, [Struct(**{global_field_name: g_rows})])
+    return Table(TableStage.from_batches(g, key, row_t, [Batch(cols, n)]))
