@@ -1,16 +1,20 @@
 """North-star benchmark: linreg GWAS variants/sec/chip (BASELINE.json).
 
-Measures the production path end-to-end per block: stage a (BLOCK_R × N)
-dosage block to the device, run the batched per-variant OLS kernel
-(hail_tpu.ops.regression.linreg_stats — the parity-true f64 path), and fetch
-the per-variant statistics back to the host. Distinct data per block; the
-fetch forces real execution (the axon relay executes lazily, so
-block_until_ready alone under-measures).
+Measures the batched per-variant OLS kernel (the parity-true f64 path) on the
+device over blocks of (BLOCK_R variants × N samples).
+
+Methodology notes (axon relay semantics — see .claude/skills/verify/SKILL.md):
+the relay materializes lazily (block_until_ready does not force execution)
+and may deduplicate identical executions, so the timed loop (a) perturbs the
+input block per iteration with a cheap scalar add, (b) chains a per-block
+checksum through an eager accumulator, and (c) forces everything with ONE
+scalar fetch at the end (device→host is ~0.7 MB/s, so per-block fetches
+would dominate). Only two jit signatures compile: the kernel and the tiny
+sum/add ops.
 
 vs_baseline is the speedup over the identical computation in host numpy
 (f64 BLAS) — the reference's execution substrate is CPU BLAS and it publishes
-no absolute numbers (BASELINE.md), so measured host throughput is the
-baseline.
+no absolute numbers (BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -22,6 +26,10 @@ import sys
 import time
 
 import numpy as np
+
+
+def log(msg):
+    print(f'[bench] {msg}', file=sys.stderr, flush=True)
 
 
 def numpy_linreg_block(G, missing, Q, y_r, yty_r, d):
@@ -42,11 +50,12 @@ def main():
     import jax.numpy as jnp
     import hail_tpu as hl
     hl.init()
-    from hail_tpu.ops.regression import linreg_stats
+    from hail_tpu.ops.regression import linreg_block
 
     N = 10_000          # samples (BASELINE: 10k-sample GWAS)
     BLOCK_R = 4096      # variants per block
     K = 4               # covariates incl. intercept
+    N_ITER = 12
 
     rng = np.random.default_rng(0)
     cov = np.concatenate([np.ones((N, 1)), rng.normal(size=(N, K - 1))], axis=1)
@@ -56,31 +65,49 @@ def main():
     yty_r = (y_r * y_r).sum(axis=0)
     dof = N - K - 1
 
-    n_blocks = 4
-    hosts = [(rng.integers(0, 3, (BLOCK_R, N)).astype(np.float64),
-              rng.random((BLOCK_R, N)) < 0.02) for _ in range(n_blocks)]
+    G_host = rng.integers(0, 3, (BLOCK_R, N)).astype(np.float64)
+    miss_host = rng.random((BLOCK_R, N)) < 0.02
 
-    # warmup / compile on block 0
-    res = linreg_stats(hosts[0][0], hosts[0][1], Q, y_r, yty_r, dof)
-    assert np.isfinite(res['beta']).all()
+    log('staging block to device...')
+    t = time.time()
+    G0 = jnp.asarray(G_host)
+    M0 = jnp.asarray(miss_host)
+    Qd = jnp.asarray(Q)
+    yd = jnp.asarray(y_r)
+    ytyd = jnp.asarray(yty_r)
+    dd = jnp.asarray(float(dof))
+    # force staging with a tiny fetch
+    _ = float(G0[0, 0]) + float(M0[0, 0])
+    log(f'staged in {time.time() - t:.1f}s')
 
+    log('warmup compile...')
+    t = time.time()
+    out = linreg_block(G0, M0, Qd, yd, ytyd, dd)
+    beta0 = np.asarray(out[3])
+    assert np.isfinite(beta0).all()
+    log(f'warm in {time.time() - t:.1f}s')
+
+    # timed loop: perturb input per iteration, chain checksums, fetch once
     t0 = time.time()
-    acc = 0.0
-    for (G, M) in hosts:
-        res = linreg_stats(G, M, Q, y_r, yty_r, dof)
-        acc += float(res['beta'].sum())
+    acc = jnp.float64(0.0)
+    for i in range(N_ITER):
+        Gi = G0 + jnp.float64(i) * 1e-6
+        out = linreg_block(Gi, M0, Qd, yd, ytyd, dd)
+        acc = acc + out[3].sum()
+    total = float(acc)
     dt = time.time() - t0
-    variants_per_sec = BLOCK_R * n_blocks / dt
+    variants_per_sec = BLOCK_R * N_ITER / dt
+    log(f'timed {N_ITER} blocks in {dt:.2f}s (checksum {total:.2f})')
 
-    # host-numpy baseline (same computation + stats, f64 BLAS)
+    # host-numpy baseline (same computation + p-values, f64 BLAS)
     import scipy.stats as st
     t0 = time.time()
-    for (G, M) in hosts[:2]:
-        beta, se, cnt = numpy_linreg_block(G, M, Q, y_r, yty_r, dof)
-        with np.errstate(all='ignore'):
-            p = 2 * st.t.sf(np.abs(beta / se), dof)
+    beta, se, cnt = numpy_linreg_block(G_host, miss_host, Q, y_r, yty_r, dof)
+    with np.errstate(all='ignore'):
+        _ = 2 * st.t.sf(np.abs(beta / se), dof)
     base_dt = time.time() - t0
-    base_vps = BLOCK_R * 2 / base_dt
+    base_vps = BLOCK_R / base_dt
+    log(f'numpy baseline: {base_vps:.0f} variants/sec')
 
     print(json.dumps({
         'metric': 'linreg_gwas_variants_per_sec_per_chip_10k_samples_f64',

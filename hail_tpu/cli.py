@@ -80,6 +80,28 @@ def _cmd_batch(args) -> int:
     return 1
 
 
+def _cmd_fs(args) -> int:
+    from . import fs as hfs
+    if args.action == 'ls':
+        for e in hfs.ls(args.paths[0]):
+            kind = 'd' if e.is_dir else 'f'
+            print(f'{kind} {e.size:>12} {e.path}')
+    elif args.action == 'cp':
+        from .fs.aio import copy_sync
+        *srcs, dest = args.paths
+        copy_sync([(s_, dest if len(srcs) == 1 else
+                    os.path.join(dest, os.path.basename(s_))) for s_ in srcs])
+    elif args.action == 'rm':
+        from .fs.aio import delete_sync
+        delete_sync(args.paths)
+    elif args.action == 'stat':
+        e = hfs.stat(args.paths[0])
+        print(f'path: {e.path}\nsize: {e.size}\ntype: {e.typ}')
+    elif args.action == 'mkdir':
+        hfs.mkdir(args.paths[0])
+    return 0
+
+
 def _cmd_version(args) -> int:
     from . import __version__
     print(__version__)
@@ -113,6 +135,11 @@ def main(argv=None) -> int:
     pb.add_argument('script')
     pb.add_argument('script_args', nargs='*')
     pb.set_defaults(fn=_cmd_batch)
+
+    pf = sub.add_parser('fs')
+    pf.add_argument('action', choices=['ls', 'cp', 'rm', 'stat', 'mkdir'])
+    pf.add_argument('paths', nargs='+')
+    pf.set_defaults(fn=_cmd_fs)
 
     pv = sub.add_parser('version')
     pv.set_defaults(fn=_cmd_version)

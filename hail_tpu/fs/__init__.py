@@ -3,6 +3,8 @@
 RouterFS."""
 
 from .router_fs import FS, FileStatus, LocalFS, RouterFS, get_fs
+from .aio import (AsyncFS, LocalAsyncFS, RouterAsyncFS, copy_files,
+                  copy_sync, delete_files, delete_sync)
 
 
 def open(path: str, mode: str = 'r', buffer_size: int = 8192):
@@ -46,5 +48,7 @@ def rmtree(path: str) -> None:
 
 
 __all__ = ['FS', 'FileStatus', 'LocalFS', 'RouterFS', 'get_fs', 'open', 'copy',
+           'AsyncFS', 'LocalAsyncFS', 'RouterAsyncFS', 'copy_files', 'copy_sync',
+           'delete_files', 'delete_sync',
            'exists', 'is_file', 'is_dir', 'stat', 'ls', 'mkdir', 'remove',
            'rmtree']

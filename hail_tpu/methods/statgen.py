@@ -119,7 +119,8 @@ def _result_table_from_rows(mt: MatrixTable, per_part_fn, out_fields: List[Tuple
 # ---------------------------------------------------------------------------
 
 def linear_regression_rows(y, x, covariates, block_size: int = 16,
-                           pass_through=(), weights=None) -> Table:
+                           pass_through=(), weights=None,
+                           _precision: str = 'float64') -> Table:
     """Per-variant OLS GWAS (reference `statgen.py:419`
     `_linear_regression_rows_nd`): projection-trick batched GEMMs on the
     device (ops/regression.py linreg_block)."""
@@ -171,7 +172,7 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
         G, M = _eval_entry_f64(mt, xe, mb, i)
         Gk = G[:, keep]
         Mk = M[:, keep]
-        res = linreg_stats(Gk, Mk, Q, Y_r, yty_r, dof)
+        res = linreg_stats(Gk, Mk, Q, Y_r, yty_r, dof, _precision)
         bad = res['bad']
         R = G.shape[0]
         def arr_col(a):
