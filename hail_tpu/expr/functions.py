@@ -1443,8 +1443,12 @@ def _rand_uniform_impl(seed):
     if seed is None:
         from ..context import Env
         seed = Env.next_seed()
-    _rand_counter[0] += 1
-    salt = _rand_counter[0]
+        _rand_counter[0] += 1
+        salt = _rand_counter[0]
+    else:
+        # explicit seed → fully deterministic (reference: ApplySeeded with a
+        # fixed seed produces identical values per row uid)
+        salt = 0
     def impl(idx_col):
         idx = np.asarray(idx_col.values, dtype=np.uint64)
         with np.errstate(over='ignore'):

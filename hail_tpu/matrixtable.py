@@ -262,15 +262,56 @@ class MatrixTable:
     def annotate_rows(self, **named_exprs) -> 'MatrixTable':
         exprs = {k: to_expr(v) for k, v in named_exprs.items()}
         self._check_source(*exprs.values())
+        from .expr.scans import ScanOp
         new_t = self._stage.row_type
+        has_scan = False
         for k, e in exprs.items():
+            if any(isinstance(n_, ScanOp) for n_ in aggmod.collect_agg_nodes(e._ir)):
+                has_scan = True
             new_t = new_t._insert_field(k, e.dtype)
+        if has_scan:
+            return self._annotate_rows_with_scans(exprs, new_t)
         def f(mb: MatrixBatch, i: int) -> MatrixBatch:
             cols = {}
             for k, e in exprs.items():
                 cols[k] = self._eval_row_expr(e, mb, i)
             return MatrixBatch(mb.rows.annotate(**cols), mb.entries)
         return MatrixTable(self._stage.map_partitions(f, new_row_type=new_t))
+
+    def _annotate_rows_with_scans(self, exprs, new_t) -> 'MatrixTable':
+        from .ir.nodes import substitute_aggs
+        scan_nodes = []
+        for e in exprs.values():
+            scan_nodes.extend(aggmod.collect_agg_nodes(e._ir))
+        def totals(ctx):
+            mb = self._stage.partition_fn(ctx)
+            return aggmod.partial_aggregate(scan_nodes, self._row_env(mb, 0), (0,))
+        partials = Env.backend().map_collect(self._stage.contexts, totals)
+        carries = [None]
+        acc = None
+        for p in partials[:-1]:
+            acc = aggmod.combine_optional(scan_nodes, acc, p)
+            carries.append(acc)
+        batches = []
+        for i, ctx in enumerate(self._stage.contexts):
+            mb = self._stage.partition_fn(ctx)
+            env = self._row_env(mb, i)
+            results = {}
+            for n_ in scan_nodes:
+                carry = carries[i][n_.uid] if carries[i] is not None else None
+                col, _ = aggmod.scan_partition(n_, env, carry)
+                results[n_.uid] = col.reshape(env.shape) if col.shape != env.shape else col
+            cols = {}
+            for k, e in exprs.items():
+                col = substitute_aggs(e._ir, results).evaluate(env)
+                if col.shape != (mb.n_rows,):
+                    col = col.broadcast_to((mb.n_rows,))
+                cols[k] = col
+            batches.append(MatrixBatch(mb.rows.annotate(**cols), mb.entries))
+        st = self._stage
+        return MatrixTable(MatrixStage.from_batches(
+            st.globals, st.cols, st.row_key, st.col_key, new_t, st.col_type,
+            st.entry_type, batches))
 
     def _eval_row_expr(self, e: Expression, mb: MatrixBatch, part_idx: int) -> Column:
         R = mb.n_rows

@@ -217,3 +217,11 @@ def test_rand_deterministic():
         assert 0 <= a.r < 1
     vals = [r.r for r in x1]
     assert len(set(vals)) > 90  # near-unique
+
+
+def test_rand_seed_deterministic():
+    t1 = hl.range_table(50, 4).annotate(r=hl.rand_unif(0, 1, seed=42)).collect()
+    t2 = hl.range_table(50, 4).annotate(r=hl.rand_unif(0, 1, seed=42)).collect()
+    assert all(a.r == b.r for a, b in zip(t1, t2))
+    t3 = hl.range_table(50, 4).annotate(r=hl.rand_unif(0, 1, seed=43)).collect()
+    assert any(a.r != b.r for a, b in zip(t1, t3))
