@@ -18,7 +18,87 @@ from ..utils.structs import Struct
 
 
 def full_outer_join_mt(left: MatrixTable, right: MatrixTable) -> MatrixTable:
-    raise NotImplementedError('full_outer_join_mt: planned (round 2)')
+    """Full outer join on both axes: rows = union of row keys, cols = union
+    of col keys, entries {left_entry, right_entry} (reference
+    experimental/full_outer_join_mt.py)."""
+    from ..ir import columns as C
+    from ..ir.columns import Batch, StructColumn
+    from ..matrixtable import MatrixBatch, MatrixStage, _concat_matrix_batches
+    from ..table import _hashable_key, _key_tuples
+    lst, rst = left._stage, right._stage
+    lmb = _concat_matrix_batches(lst.collect_batches(), lst)
+    rmb = _concat_matrix_batches(rst.collect_batches(), rst)
+    # row union
+    lkeys = [_hashable_key(k) for k in _key_tuples(lmb.rows, lst.row_key)]
+    rkeys = [_hashable_key(k) for k in _key_tuples(rmb.rows, rst.row_key)]
+    rmap = {k: i for i, k in enumerate(rkeys)}
+    lmap = {k: i for i, k in enumerate(lkeys)}
+    def skey(kt):
+        out = []
+        for v in kt:
+            if hasattr(v, 'global_position'):
+                out.append((0, v.global_position()))
+            elif isinstance(v, tuple):
+                out.append((1, tuple(str(x) for x in v)))
+            else:
+                out.append((2, str(v)))
+        return tuple(out)
+    union_rows = sorted(set(lkeys) | set(rkeys), key=skey)
+    # col union
+    lckeys = [_hashable_key(k) for k in _key_tuples(lst.cols, lst.col_key)]
+    rckeys = [_hashable_key(k) for k in _key_tuples(rst.cols, rst.col_key)]
+    lcmap = {k: i for i, k in enumerate(lckeys)}
+    rcmap = {k: i for i, k in enumerate(rckeys)}
+    union_cols = list(dict.fromkeys(lckeys + rckeys))
+    R, Cn = len(union_rows), len(union_cols)
+
+    def gather_entries(mb, st, rowmap, colmap):
+        ridx = np.asarray([rowmap.get(k2, 0) for k2 in union_rows], dtype=np.int64)
+        rmiss = np.asarray([k2 not in rowmap for k2 in union_rows])
+        cidx = np.asarray([colmap.get(k2, 0) for k2 in union_cols], dtype=np.int64)
+        cmiss = np.asarray([k2 not in colmap for k2 in union_cols])
+        ents = {}
+        for k2, c2 in mb.entries.items():
+            g = c2.gather(ridx, axis=0).gather(cidx, axis=1)
+            miss = rmiss[:, None] | cmiss[None, :]
+            ents[k2] = g.with_missing(miss.copy()) if miss.any() else g
+        return StructColumn(st.entry_type, ents, None, (R, Cn)) if ents else \
+            StructColumn(st.entry_type, {}, None, (R, Cn))
+    left_entry = gather_entries(lmb, lst, lmap, lcmap)
+    right_entry = gather_entries(rmb, rst, rmap, rcmap)
+    # row fields from whichever side has the key
+    row_vals = []
+    for kt in union_rows:
+        if kt in lmap:
+            i = lmap[kt]
+            row_vals.append(Struct(**{f: lmb.rows.columns[f].to_pylist()[i]
+                                      for f in lst.row_type.fields}))
+        else:
+            i = rmap[kt]
+            base = {f: None for f in lst.row_type.fields}
+            for f in lst.row_key:
+                if f in rst.row_type.fields:
+                    base[f] = rmb.rows.columns[f].to_pylist()[i]
+            row_vals.append(Struct(**base))
+    rows = Batch.from_pylist(lst.row_type, row_vals)
+    col_vals = []
+    for kt in union_cols:
+        if kt in lcmap:
+            i = lcmap[kt]
+            col_vals.append(Struct(**{f: lst.cols.columns[f].to_pylist()[i]
+                                      for f in lst.col_type.fields}))
+        else:
+            i = rcmap[kt]
+            base = {f: None for f in lst.col_type.fields}
+            for f in lst.col_key:
+                base[f] = rst.cols.columns[f].to_pylist()[i]
+            col_vals.append(Struct(**base))
+    cols = Batch.from_pylist(lst.col_type, col_vals)
+    entry_t = ht.tstruct(left_entry=lst.entry_type, right_entry=rst.entry_type)
+    mb = MatrixBatch(rows, {'left_entry': left_entry, 'right_entry': right_entry})
+    return MatrixTable(MatrixStage.from_batches(
+        lst.globals, cols, lst.row_key, lst.col_key, lst.row_type,
+        lst.col_type, entry_t, [mb]))
 
 
 def pc_project(call_expr, loadings_expr, af_expr):
@@ -228,8 +308,49 @@ def ld_score_regression(weight_expr, ld_score_expr, chi_sq_exprs,
         B2({}, 1), ['phenotype'], row_t, [B2.from_pylist(row_t, out_rows)]))
 
 
-def phase_by_transmission(*args, **kwargs):
-    raise NotImplementedError('phase_by_transmission: planned (round 2)')
+def phase_by_transmission(locus, alleles, c, tm=None):
+    """Phase trio genotypes by transmission (reference
+    experimental/phase_by_transmission.py): returns an array
+    [phased_mother, phased_father, phased_proband] where unambiguous."""
+    from ..genetics.call import Call
+    le = to_expr(locus)
+    ae = to_expr(alleles)
+    ce = to_expr(c)
+    t = ht.tarray(ht.tcall)
+
+    def phase(l, al, calls):
+        if calls is None:
+            return None
+        mother, father, child = calls
+        if mother is None or father is None or child is None:
+            return None
+        if not (mother.is_diploid() and father.is_diploid() and child.is_diploid()):
+            return None
+        ma, fa, ca = set(mother.alleles), set(father.alleles), child.alleles
+        # determine which child allele came from which parent
+        options = []
+        for a1, a2 in [(ca[0], ca[1]), (ca[1], ca[0])]:
+            if a1 in ma and a2 in fa:
+                options.append((a1, a2))
+        options = list(dict.fromkeys(options))
+        if len(options) != 1:
+            return None
+        from_m, from_f = options[0]
+        def phase_parent(p, transmitted):
+            als = p.alleles
+            if transmitted in als:
+                other = als[1] if als[0] == transmitted else als[0]
+                return Call([transmitted, other], phased=True)
+            return None
+        pm = phase_parent(mother, from_m)
+        pf = phase_parent(father, from_f)
+        pc = Call([from_m, from_f], phased=True)
+        if pm is None or pf is None:
+            return None
+        return [pm, pf, pc]
+
+    return F._apply('phase_by_transmission', t, F._obj_impl_lenient(
+        t, lambda l, a, calls: phase(l, a, calls)), le, ae, ce)
 
 
 def load_dataset(name, version, reference_genome, region='us-central1', cloud='gcp'):

@@ -123,3 +123,34 @@ def test_vds_write_read(gvcfs, tmp_path):
     assert v2.variant_data.count_rows() == 1
     v3 = v.checkpoint(str(tmp_path / 'cp.vds'))
     assert v3.n_samples() == 1
+
+
+def test_interval_coverage_and_ploidy(gvcfs, tmp_path):
+    p1, p2 = gvcfs
+    from hail_tpu.vds.combiner import transform_gvcf, combine_variant_datasets
+    merged = combine_variant_datasets([transform_gvcf(hl.import_vcf(p)) for p in (p1, p2)])
+    iv = hl.eval(hl.parse_locus_interval('20:100-300'))
+    cov = hvds.interval_coverage(merged, [iv])
+    assert cov.count() == (1, 2)
+    e = {x.s: x for x in cov.entries().collect()}
+    # S1's block covers 100-200 → 101 bases within [100, 300]
+    assert e['S1'].bases_covered == 101
+    assert abs(e['S1'].mean_dp - 30.0) < 1e-9
+    # S2's block covers 250-350 → clipped to 250-300 → 51 bases
+    assert e['S2'].bases_covered == 51
+    t = hvds.impute_sex_chromosome_ploidy(merged, None, '20')
+    rows = {r.s: r for r in t.collect()}
+    assert rows['S1'].autosomal_mean_dp == 30.0
+    assert rows['S1'].x_ploidy == 0.0  # no X blocks
+
+
+def test_truncate_reference_blocks(gvcfs):
+    p1, _ = gvcfs
+    from hail_tpu.vds.combiner import transform_gvcf
+    v = transform_gvcf(hl.import_vcf(p1))
+    t = hvds.truncate_reference_blocks(v, max_ref_block_base_pairs=30)
+    # block 100-200 (101bp) → ceil(101/30)=4 pieces
+    assert t.reference_data.count_rows() == 4
+    rows = t.reference_data.rows().collect()
+    assert rows[0].locus.position == 100 and rows[0]['__END'] == 129
+    assert rows[-1]['__END'] == 200
