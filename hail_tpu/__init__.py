@@ -10,9 +10,11 @@ from .types import (HailType, dtype, tint32, tint64, tfloat32, tfloat64, tbool,
                     tstr, tcall, tvoid, tbinary, tlocus, tarray, tset, tdict,
                     tstruct, ttuple, tinterval, tndarray)
 from .utils.structs import Struct, frozendict, Interval
+from . import genetics
 from .genetics import (AlleleType, Call, Locus, Pedigree, Trio, ReferenceGenome)
 from .context import (init, stop, default_reference, get_reference,
-                      set_global_seed, _set_flags, _get_flags, tmp_dir, Env)
+                      set_global_seed, _set_flags, _get_flags, tmp_dir, Env,
+                      current_backend)
 from .table import (Table, GroupedTable, range_table, parallelize, read_table,
                     asc, desc, multi_way_zip_join)
 from .matrixtable import MatrixTable, range_matrix_table, read_matrix_table
@@ -50,7 +52,8 @@ from .expr.functions import (
     rand_cat, rand_dirichlet, empty_array, empty_set, empty_dict,
     find, binary_search, uniroot, approx_equal, bit_and, bit_or, bit_xor,
     bit_lshift, bit_rshift, bit_not, bit_count, nanmin, nanmax, corr, shuffle,
-    triangle, liftover, get_sequence, mendel_error_code,
+    triangle, liftover, get_sequence, mendel_error_code, keyed_intersection,
+    keyed_union,
 )
 
 # names that clash with python builtins keep trailing-underscore impls but are
@@ -92,6 +95,18 @@ from . import nd
 from . import vds
 from . import utils
 from . import experimental
+from . import stats
+from . import fs
+from . import batch as _batch_mod
+from .io.native import query_table as query_table, \
+    query_matrix_table_rows as query_matrix_table_rows
+
+
+def reset_global_randomness():
+    Env.hc()._seed_counter = 0
+    from .expr.functions import _rand_counter
+    _rand_counter[0] = 0
+
 from . import plot
 from . import ggplot
 

@@ -355,3 +355,70 @@ def phase_by_transmission(locus, alleles, c, tm=None):
 
 def load_dataset(name, version, reference_genome, region='us-central1', cloud='gcp'):
     raise NotImplementedError('annotation datasets require cloud access (gated)')
+
+
+def simulate_phenotypes(mt, genotype, h2, pi=1.0, rg=None, annot=None,
+                        popstrat=None, popstrat_var=None, exact_h2=False):
+    """Simulate phenotypes with target heritability (reference
+    experimental/ldscsim.py simulate_phenotypes): beta ~ N(0, h2/M) on a
+    `pi` fraction of causal variants, environmental noise to 1-h2."""
+    from ..methods.statgen import _entry_expr_to_blocks
+    from ..context import Env
+    ge = to_expr(genotype)
+    src = ge._indices.source
+    G, M = _entry_expr_to_blocks(ge)
+    Mv, n = G.shape
+    rng = np.random.default_rng(Env.next_seed())
+    cnt = (~M).sum(axis=1)
+    s_ = np.where(M, 0, G).sum(axis=1)
+    mean = np.where(cnt > 0, s_ / np.maximum(cnt, 1), 0.0)
+    G = np.where(M, mean[:, None], G)
+    sd = G.std(axis=1)
+    ok = sd > 0
+    Z = np.where(ok[:, None], (G - mean[:, None]) / np.where(ok, sd, 1)[:, None], 0.0)
+    causal = rng.random(Mv) < pi
+    m_causal = max(int(causal.sum()), 1)
+    beta = np.where(causal, rng.normal(0, np.sqrt(h2 / m_causal), Mv), 0.0)
+    g_comp = Z.T @ beta
+    if exact_h2 and g_comp.std() > 0:
+        g_comp = g_comp * np.sqrt(h2) / g_comp.std()
+    e_comp = rng.normal(0, np.sqrt(max(1 - h2, 0)), n)
+    y = g_comp + e_comp
+    from ..ir.columns import PrimitiveColumn
+    from ..matrixtable import MatrixStage
+    st = src._stage
+    cb = st.cols.annotate(y=PrimitiveColumn(ht.tfloat64, y))
+    out = MatrixTable(MatrixStage(st.globals, cb, st.row_key, st.col_key,
+                                  st.row_type, cb.row_type, st.entry_type,
+                                  st.contexts, st.partition_fn))
+    # per-row betas as a row annotation
+    batches = []
+    off = 0
+    from ..matrixtable import MatrixBatch
+    for ctx in st.contexts:
+        mb = st.partition_fn(ctx)
+        col = PrimitiveColumn(ht.tfloat64, beta[off:off + mb.n_rows])
+        off += mb.n_rows
+        batches.append(MatrixBatch(mb.rows.annotate(beta=col), mb.entries))
+    return MatrixTable(MatrixStage.from_batches(
+        st.globals, cb, st.row_key, st.col_key,
+        st.row_type._insert_field('beta', ht.tfloat64), cb.row_type,
+        st.entry_type, batches))
+
+
+def cached(path: str, make, overwrite: bool = False):
+    """Compute-or-load: the explicit form of the reference's fast-restart
+    execution cache (`backend/ExecutionCache.scala`) — if `path` exists,
+    read it; otherwise call `make()`, write, and read back."""
+    import os
+    from .. import read_matrix_table, read_table
+    from ..matrixtable import MatrixTable as MT
+    from ..table import Table as T
+    if os.path.exists(path) and not overwrite:
+        with __import__('builtins').open(os.path.join(path, 'metadata.json')) as f:
+            import json as _json
+            kind = _json.load(f).get('kind')
+        return read_matrix_table(path) if kind == 'matrix_table' else read_table(path)
+    obj = make()
+    obj.write(path, overwrite=True)
+    return read_matrix_table(path) if isinstance(obj, MT) else read_table(path)

@@ -641,11 +641,54 @@ def starmap(f, collection):
 
 
 def keyed_intersection(*arrays, key):
-    raise NotImplementedError('keyed_intersection: planned (round 2)')
+    """Intersection of keyed struct arrays (reference hl.keyed_intersection)."""
+    key = [key] if isinstance(key, str) else list(key)
+    es = [array(a) for a in arrays]
+    t = es[0].dtype
+    def impl(*cols):
+        objs = [C.to_object(c) for c in cols]
+        shape = np.broadcast_shapes(*[o.shape for o in objs])
+        flats = [np.broadcast_to(o.values, shape).ravel() for o in objs]
+        out = np.empty(_bi.len(flats[0]), dtype=object)
+        for i in _bi.range(_bi.len(flats[0])):
+            rows_list = [f[i] for f in flats]
+            if any(r is None for r in rows_list):
+                out[i] = None
+                continue
+            keysets = [{tuple(x[k2] for k2 in key) for x in r} for r in rows_list[1:]]
+            out[i] = [x for x in rows_list[0]
+                      if _bi.all(tuple(x[k2] for k2 in key) in ks for ks in keysets)]
+        return C.from_pylist(t, _bi.list(out)).reshape(shape)
+    return _apply('keyed_intersection', t, impl, *es)
 
 
 def keyed_union(*arrays, key):
-    raise NotImplementedError('keyed_union: planned (round 2)')
+    """Union of keyed struct arrays, first occurrence wins (reference
+    hl.keyed_union)."""
+    key = [key] if isinstance(key, str) else list(key)
+    es = [array(a) for a in arrays]
+    t = es[0].dtype
+    def impl(*cols):
+        objs = [C.to_object(c) for c in cols]
+        shape = np.broadcast_shapes(*[o.shape for o in objs])
+        flats = [np.broadcast_to(o.values, shape).ravel() for o in objs]
+        out = np.empty(_bi.len(flats[0]), dtype=object)
+        for i in _bi.range(_bi.len(flats[0])):
+            seen = {}
+            rows_list = [f[i] for f in flats]
+            if _bi.all(r is None for r in rows_list):
+                out[i] = None
+                continue
+            for r in rows_list:
+                if r is None:
+                    continue
+                for x in r:
+                    kt = tuple(x[k2] for k2 in key)
+                    if kt not in seen:
+                        seen[kt] = x
+            out[i] = _bi.list(seen.values())
+        return C.from_pylist(t, _bi.list(out)).reshape(shape)
+    return _apply('keyed_union', t, impl, *es)
 
 
 # ---------------------------------------------------------------------------

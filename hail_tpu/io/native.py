@@ -243,3 +243,76 @@ def read_matrix_table(path: str):
                         list(range(len(parts))), pf,
                         bounds if any(b is not None for b in bounds) else None)
     return MatrixTable(stage)
+
+
+# ---------------------------------------------------------------------------
+# point/interval queries against on-disk formats without a full read
+# (reference hl.query_table / hl.query_matrix_table_rows, backed there by the
+# B-tree index — here by the partition key bounds)
+# ---------------------------------------------------------------------------
+
+def _interval_gpos(q):
+    from ..utils.structs import Interval
+    if isinstance(q, Interval):
+        s_, e_ = q.start, q.end
+        lo = s_.global_position() if hasattr(s_, 'global_position') else s_
+        hi = e_.global_position() if hasattr(e_, 'global_position') else e_
+        return lo, hi, q.includes_start, q.includes_end
+    p = q.global_position() if hasattr(q, 'global_position') else q
+    return p, p, True, True
+
+
+def query_table(path: str, query):
+    """Rows of a written Table whose key matches the point/interval `query`,
+    reading only the partitions whose bounds intersect it."""
+    from .. import table as table_mod
+    t = table_mod.read_table(path)
+    lo, hi, inc_s, inc_e = _interval_gpos(query)
+    st = t._stage
+    keep = list(range(st.n_partitions))
+    if st.partition_bounds is not None:
+        keep = [i for i, b in enumerate(st.partition_bounds)
+                if b is None or not (b[1] < lo or b[0] > hi)]
+    out = []
+    key0 = st.key[0]
+    for i in keep:
+        batch = st.partition_fn(st.contexts[i])
+        col = batch.columns[key0]
+        gp = col.global_position() if isinstance(col, LocusColumn) else \
+            np.asarray(col.values, dtype=np.float64)
+        mask = ((gp > lo) | ((gp == lo) & inc_s)) & ((gp < hi) | ((gp == hi) & inc_e))
+        out.extend(batch.compress(mask).to_pylist())
+    return out
+
+
+def query_matrix_table_rows(path: str, query, entries_name: str = 'entries'):
+    """Row structs (+ localized entries array) of a written MatrixTable
+    matching the point/interval query (reference hl.query_matrix_table_rows)."""
+    from ..matrixtable import read_matrix_table
+    from ..utils.structs import Struct
+    mt = read_matrix_table(path)
+    lo, hi, inc_s, inc_e = _interval_gpos(query)
+    st = mt._stage
+    keep = list(range(len(st.contexts)))
+    if st.partition_bounds is not None:
+        keep = [i for i, b in enumerate(st.partition_bounds)
+                if b is None or not (b[1] < lo or b[0] > hi)]
+    key0 = st.row_key[0]
+    out = []
+    for i in keep:
+        mb = st.partition_fn(st.contexts[i])
+        col = mb.rows.columns[key0]
+        gp = col.global_position() if isinstance(col, LocusColumn) else \
+            np.asarray(col.values, dtype=np.float64)
+        mask = ((gp > lo) | ((gp == lo) & inc_s)) & ((gp < hi) | ((gp == hi) & inc_e))
+        sel = np.where(mask)[0]
+        if not len(sel):
+            continue
+        sub = mb.gather_rows(sel)
+        rows_py = sub.rows.to_pylist()
+        ent_py = {k: C.to_object(c).values for k, c in sub.entries.items()}
+        for r_i, r in enumerate(rows_py):
+            ents = [Struct(**{k: ent_py[k][r_i, j] for k in ent_py})
+                    for j in range(st.n_cols)]
+            out.append(Struct(**dict(r), **{entries_name: ents}))
+    return out
