@@ -103,6 +103,10 @@ class GGPlot:
             new.geoms.append(other)
         elif isinstance(other, Labs):
             new.labels.update(other.kwargs)
+        elif isinstance(other, Scale):
+            new.scales = getattr(self, 'scales', []) + [other]
+        elif isinstance(other, FacetWrap):
+            new.facet = other
         return new
 
     def _collect(self, expr):
@@ -122,7 +126,21 @@ class GGPlot:
             m.update(geom.aes or {})
             xv = self._collect(m['x']) if 'x' in m else None
             yv = self._collect(m['y']) if 'y' in m else None
-            if geom.kind == 'point':
+            if geom.kind == 'hline':
+                ax.axhline(geom.kwargs['yintercept'],
+                           linestyle=geom.kwargs.get('linetype', '-').replace('dashed', '--'))
+            elif geom.kind == 'vline':
+                ax.axvline(geom.kwargs['xintercept'],
+                           linestyle=geom.kwargs.get('linetype', '-').replace('dashed', '--'))
+            elif geom.kind == 'density':
+                import numpy as _np
+                from scipy.stats import gaussian_kde
+                vals = _np.asarray([v for v in xv if v is not None], dtype=float)
+                if len(vals) > 1:
+                    kde = gaussian_kde(vals)
+                    xs = _np.linspace(vals.min(), vals.max(), 200)
+                    ax.plot(xs, kde(xs))
+            elif geom.kind == 'point':
                 ax.scatter(xv, yv, s=geom.kwargs.get('size', 6))
             elif geom.kind == 'line':
                 ax.plot(xv, yv)
@@ -141,6 +159,11 @@ class GGPlot:
             ax.set_xlabel(self.labels['x'])
         if 'y' in self.labels:
             ax.set_ylabel(self.labels['y'])
+        for sc in getattr(self, 'scales', []):
+            if sc.kind == 'log10':
+                (ax.set_xscale if sc.axis == 'x' else ax.set_yscale)('log')
+            elif sc.kind == 'reverse':
+                (ax.invert_xaxis if sc.axis == 'x' else ax.invert_yaxis)()
         return fig
 
     def show(self):
@@ -152,3 +175,70 @@ class GGPlot:
 
 def ggplot(table=None, mapping=None) -> GGPlot:
     return GGPlot(table, mapping or Aesthetic())
+
+
+class Scale:
+    def __init__(self, axis, kind, **kwargs):
+        self.axis = axis
+        self.kind = kind
+        self.kwargs = kwargs
+
+
+def scale_x_log10():
+    return Scale('x', 'log10')
+
+
+def scale_y_log10():
+    return Scale('y', 'log10')
+
+
+def scale_x_continuous(name=None, breaks=None, labels=None, trans=None):
+    return Scale('x', trans or 'continuous', name=name)
+
+
+def scale_y_continuous(name=None, breaks=None, labels=None, trans=None):
+    return Scale('y', trans or 'continuous', name=name)
+
+
+def scale_x_reverse():
+    return Scale('x', 'reverse')
+
+
+def scale_y_reverse():
+    return Scale('y', 'reverse')
+
+
+class FacetWrap:
+    def __init__(self, mapping, ncol=None):
+        self.mapping = mapping
+        self.ncol = ncol
+
+
+def facet_wrap(mapping, ncol=None, nrow=None, scales='fixed'):
+    return FacetWrap(mapping, ncol)
+
+
+class GeomHline(Geom):
+    kind = 'hline'
+
+
+class GeomVline(Geom):
+    kind = 'vline'
+
+
+def geom_hline(yintercept, **kwargs):
+    g = GeomHline(None, yintercept=yintercept, **kwargs)
+    return g
+
+
+def geom_vline(xintercept, **kwargs):
+    g = GeomVline(None, xintercept=xintercept, **kwargs)
+    return g
+
+
+class GeomDensity(Geom):
+    kind = 'density'
+
+
+def geom_density(mapping=None, **kwargs):
+    return GeomDensity(mapping, **kwargs)

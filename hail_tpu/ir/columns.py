@@ -367,6 +367,11 @@ class DenseArrayColumn(Column):
 
     def to_pylist(self):
         et = self.typ.element_type
+        if self.width == 0:
+            flat_m = self.missing.ravel() if self.missing is not None else None
+            out = [None if (flat_m is not None and flat_m[i]) else []
+                   for i in range(int(np.prod(self.shape)))]
+            return _nest(out, self.shape)
         flat_v = self.values.reshape(-1, self.width)
         flat_l = self.lengths.ravel()
         flat_em = self.elem_missing.reshape(-1, self.width) if self.elem_missing is not None else None

@@ -558,6 +558,18 @@ class MatrixTable:
         names = [k if isinstance(k, str) else _expr_field_name(k) for k in keys] + list(named_exprs)
         return GroupedMatrixTable(mt, col_keys=names)
 
+
+    def summarize(self, *, rows: bool = True, entries: bool = True,
+                  handler=print):
+        handler(f'{self.count_rows()} rows x {self.count_cols()} cols, '
+                f'{self.n_partitions()} partitions')
+        if rows:
+            handler('Rows:')
+            self.rows().summarize(handler=handler)
+        if entries:
+            handler('Entry fields: ' + ', '.join(
+                f'{k}: {t}' for k, t in self._stage.entry_type.items()))
+
     # -- aggregate ---------------------------------------------------------
     def aggregate_rows(self, expr) -> Any:
         e = to_expr(expr)

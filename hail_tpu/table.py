@@ -475,6 +475,25 @@ class Table:
     def any(self, expr) -> bool:
         return self.aggregate(_agg_any(expr))
 
+
+    def summarize(self, handler=print):
+        """Per-field summary: counts defined/missing + basic stats
+        (reference Table.summarize)."""
+        batch = self._stage.collect_single()
+        n = batch.length
+        handler(f'{n} rows, {len(batch.columns)} fields')
+        for k, col in batch.columns.items():
+            miss = int(col.missing_mask().sum())
+            line = f'  {k} ({col.typ}): {n - miss} defined, {miss} missing'
+            from .ir.columns import PrimitiveColumn as _PC
+            import numpy as _np
+            if isinstance(col, _PC) and col.typ in (ht.tint32, ht.tint64, ht.tfloat32, ht.tfloat64):
+                ok = ~col.missing_mask()
+                if ok.any():
+                    v = _np.asarray(col.values, dtype=_np.float64)[ok]
+                    line += f'; min {v.min():.6g}, max {v.max():.6g}, mean {v.mean():.6g}'
+            handler(line)
+
     # -- group by ----------------------------------------------------------
     def group_by(self, *key, **named_exprs) -> 'GroupedTable':
         t = self
