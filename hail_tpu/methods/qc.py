@@ -28,48 +28,102 @@ from ..matrixtable import MatrixBatch, MatrixStage, MatrixTable
 
 
 def variant_qc(mt: MatrixTable, name: str = 'variant_qc') -> MatrixTable:
-    """Compute per-variant QC metrics (reference `methods/qc.py` variant_qc)."""
+    """Compute per-variant QC metrics (reference `methods/qc.py` variant_qc).
+
+    Runs the fused device kernel (`ops/qc.py variant_qc_block`) per partition
+    — one XLA pass over the (R, C) call block computes every counter (the
+    reference's generated seqOp loops become a single fused jit)."""
+    from ..ops.qc import run_variant_qc_block
+    from ..stats.hwe import hwe_test_vec
+    from ..ir.columns import DenseArrayColumn
     if 'GT' not in mt._stage.entry_type.fields:
         raise ValueError('variant_qc requires a GT entry field')
-    gt = mt.GT
-    has_dp = 'DP' in mt._stage.entry_type.fields
-    has_gq = 'GQ' in mt._stage.entry_type.fields
-    n_cols = mt.count_cols()
+    st = mt._stage
+    n_cols = st.n_cols
+    has_dp = 'DP' in st.entry_type.fields
+    has_gq = 'GQ' in st.entry_type.fields
 
-    exprs = dict(
-        call_stats=agg.call_stats(gt, mt.alleles),
-        n_called=agg.count_where(F.is_defined(gt)),
-        n_het=agg.count_where(gt.is_het()),
-        n_non_ref=agg.count_where(gt.is_non_ref()),
-        hwe=agg.hardy_weinberg_test(gt),
-    )
+    stats_t = ht.tstruct(mean=ht.tfloat64, stdev=ht.tfloat64,
+                         min=ht.tfloat64, max=ht.tfloat64)
+    fields = []
     if has_dp:
-        exprs['dp_stats'] = agg.stats(mt.DP)
+        fields.append(('dp_stats', stats_t))
     if has_gq:
-        exprs['gq_stats'] = agg.stats(mt.GQ)
+        fields.append(('gq_stats', stats_t))
+    fields += [
+        ('AC', ht.tarray(ht.tint32)), ('AF', ht.tarray(ht.tfloat64)),
+        ('AN', ht.tint32), ('homozygote_count', ht.tarray(ht.tint32)),
+        ('call_rate', ht.tfloat64), ('n_called', ht.tint64),
+        ('n_not_called', ht.tint64), ('n_filtered', ht.tint64),
+        ('n_het', ht.tint64), ('n_non_ref', ht.tint64),
+        ('het_freq_hwe', ht.tfloat64), ('p_value_hwe', ht.tfloat64),
+    ]
+    qc_t = ht.tstruct.from_fields(fields)
 
-    mt = mt.annotate_rows(__qc_tmp=F.struct(**exprs))
-    t = mt.__qc_tmp
-    result = dict(
-        AC=t.call_stats.AC,
-        AF=t.call_stats.AF,
-        AN=t.call_stats.AN,
-        homozygote_count=t.call_stats.homozygote_count,
-        call_rate=F.float64(t.n_called) / n_cols,
-        n_called=t.n_called,
-        n_not_called=n_cols - t.n_called,
-        n_filtered=F.literal(0, ht.tint64),
-        n_het=t.n_het,
-        n_non_ref=t.n_non_ref,
-        het_freq_hwe=t.hwe.het_freq_hwe,
-        p_value_hwe=t.hwe.p_value,
-    )
-    if has_dp:
-        result['dp_stats'] = t.dp_stats
-    if has_gq:
-        result['gq_stats'] = t.gq_stats
-    mt = mt.annotate_rows(**{name: F.struct(**result)})
-    return mt.drop('__qc_tmp')
+    def f(mb: MatrixBatch, i: int) -> MatrixBatch:
+        R = mb.n_rows
+        gt = mb.entries['GT']
+        alleles_l = mb.rows.columns['alleles'].to_pylist()
+        n_alleles = np.asarray([len(a) if a else 2 for a in alleles_l], dtype=np.int32)
+        max_a = max(int(n_alleles.max()) if R else 2, 2)
+        dp = mb.entries.get('DP') if has_dp else None
+        gq = mb.entries.get('GQ') if has_gq else None
+        res = run_variant_qc_block(
+            np.asarray(gt.values), gt.missing_mask(),
+            None if dp is None else np.asarray(dp.values),
+            None if dp is None else dp.missing_mask(),
+            None if gq is None else np.asarray(gq.values),
+            None if gq is None else gq.missing_mask(),
+            max_alleles=max_a)
+        an = res['AN'].astype(np.int32)
+        ac = res['AC'].astype(np.int32)
+        hom = res['homozygote_count'].astype(np.int32)
+        with np.errstate(all='ignore'):
+            af = np.where(an[:, None] > 0, ac / np.maximum(an[:, None], 1), 0.0)
+        n_called = res['n_called'].astype(np.int64)
+        het_freq, p_hwe = hwe_test_vec(res['n_hom_ref_diploid'], res['n_het'],
+                                       res['n_hom_var_diploid'])
+        cols = {}
+        def stat_struct(prefix):
+            n = res[f'{prefix}_n']
+            with np.errstate(all='ignore'):
+                mean = res[f'{prefix}_sum'] / n
+                var = res[f'{prefix}_sumsq'] / n - mean * mean
+            miss = n == 0
+            m = miss if miss.any() else None
+            return StructColumn(stats_t, {
+                'mean': PrimitiveColumn(ht.tfloat64, np.where(miss, 0, mean), m),
+                'stdev': PrimitiveColumn(ht.tfloat64,
+                                         np.where(miss, 0, np.sqrt(np.maximum(var, 0))), m),
+                'min': PrimitiveColumn(ht.tfloat64, np.where(miss, 0, res[f'{prefix}_min']), m),
+                'max': PrimitiveColumn(ht.tfloat64, np.where(miss, 0, res[f'{prefix}_max']), m),
+            }, None, (R,))
+        if has_dp:
+            cols['dp_stats'] = stat_struct('dp')
+        if has_gq:
+            cols['gq_stats'] = stat_struct('gq')
+        an_zero = an == 0
+        cols.update({
+            'AC': DenseArrayColumn(ht.tarray(ht.tint32), ac, n_alleles),
+            'AF': DenseArrayColumn(ht.tarray(ht.tfloat64), af, n_alleles, None,
+                                   an_zero if an_zero.any() else None),
+            'AN': PrimitiveColumn(ht.tint32, an),
+            'homozygote_count': DenseArrayColumn(ht.tarray(ht.tint32), hom, n_alleles),
+            'call_rate': PrimitiveColumn(ht.tfloat64,
+                                         n_called / n_cols if n_cols else np.zeros(R)),
+            'n_called': PrimitiveColumn(ht.tint64, n_called),
+            'n_not_called': PrimitiveColumn(ht.tint64, n_cols - n_called),
+            'n_filtered': PrimitiveColumn(ht.tint64, np.zeros(R, np.int64)),
+            'n_het': PrimitiveColumn(ht.tint64, res['n_het'].astype(np.int64)),
+            'n_non_ref': PrimitiveColumn(ht.tint64, res['n_non_ref'].astype(np.int64)),
+            'het_freq_hwe': PrimitiveColumn(ht.tfloat64, het_freq),
+            'p_value_hwe': PrimitiveColumn(ht.tfloat64, p_hwe),
+        })
+        qc = StructColumn(qc_t, cols, None, (R,))
+        return MatrixBatch(mb.rows.annotate(**{name: qc}), mb.entries)
+
+    st2 = st.map_partitions(f, new_row_type=st.row_type._insert_field(name, qc_t))
+    return MatrixTable(st2)
 
 
 _SAMPLE_QC_T = ht.tstruct(

@@ -74,3 +74,32 @@ def test_filter_intervals(sample_mt):
     mt = hl.filter_intervals(sample_mt, [iv])
     n = mt.count_rows()
     assert 0 < n < 346
+
+
+def test_bgen_gen_plink_roundtrips(tmp_path):
+    mt = hl.balding_nichols_model(1, 8, 20)
+    out = str(tmp_path / 'x')
+    hl.export_bgen(mt, out)
+    mt2 = hl.import_bgen(out + '.bgen', entry_fields=['GT', 'GP', 'dosage'])
+    assert mt2.count() == (20, 8)
+    g1 = mt.entries().collect()
+    g2 = mt2.entries().collect()
+    assert all(a.GT == b.GT for a, b in zip(g1, g2))
+    hl.index_bgen(out + '.bgen')
+    assert os.path.exists(out + '.bgen.idx2')
+    hl.export_gen(mt2, str(tmp_path / 'g'))
+    mt3 = hl.import_gen(str(tmp_path / 'g.gen'), str(tmp_path / 'g.sample'))
+    assert mt3.count() == (20, 8)
+    hl.export_plink(mt, str(tmp_path / 'p'))
+    mt4 = hl.import_plink(str(tmp_path / 'p.bed'), str(tmp_path / 'p.bim'),
+                          str(tmp_path / 'p.fam'))
+    g4 = mt4.entries().collect()
+    assert all((a.GT is None) == (b.GT is None)
+               and (a.GT is None or a.GT.n_alt_alleles() == b.GT.n_alt_alleles())
+               for a, b in zip(g1, g4))
+
+
+def test_import_avro():
+    t = hl.import_avro('/root/reference/hail/hail/test/resources/avro/weather.avro')
+    assert t.count() == 5
+    assert str(t._stage.row_type) == 'struct{station: str, time: int64, temp: int32}'
