@@ -57,6 +57,7 @@ def variant_qc(mt: MatrixTable, name: str = 'variant_qc') -> MatrixTable:
         ('n_not_called', ht.tint64), ('n_filtered', ht.tint64),
         ('n_het', ht.tint64), ('n_non_ref', ht.tint64),
         ('het_freq_hwe', ht.tfloat64), ('p_value_hwe', ht.tfloat64),
+        ('p_value_excess_het', ht.tfloat64),
     ]
     qc_t = ht.tstruct.from_fields(fields)
 
@@ -81,8 +82,11 @@ def variant_qc(mt: MatrixTable, name: str = 'variant_qc') -> MatrixTable:
         with np.errstate(all='ignore'):
             af = np.where(an[:, None] > 0, ac / np.maximum(an[:, None], 1), 0.0)
         n_called = res['n_called'].astype(np.int64)
-        het_freq, p_hwe = hwe_test_vec(res['n_hom_ref_diploid'], res['n_het'],
-                                       res['n_hom_var_diploid'])
+        het_freq, p_hwe, p_xhet = hwe_test_vec(res['n_hom_ref_diploid'], res['n_het'],
+                                               res['n_hom_var_diploid'],
+                                               with_one_sided=True)
+        # reference semantics: HWE stats are missing for non-biallelic rows
+        multi = n_alleles != 2
         cols = {}
         def stat_struct(prefix):
             n = res[f'{prefix}_n']
@@ -116,8 +120,12 @@ def variant_qc(mt: MatrixTable, name: str = 'variant_qc') -> MatrixTable:
             'n_filtered': PrimitiveColumn(ht.tint64, np.zeros(R, np.int64)),
             'n_het': PrimitiveColumn(ht.tint64, res['n_het'].astype(np.int64)),
             'n_non_ref': PrimitiveColumn(ht.tint64, res['n_non_ref'].astype(np.int64)),
-            'het_freq_hwe': PrimitiveColumn(ht.tfloat64, het_freq),
-            'p_value_hwe': PrimitiveColumn(ht.tfloat64, p_hwe),
+            'het_freq_hwe': PrimitiveColumn(ht.tfloat64, np.where(multi, 0, het_freq),
+                                            multi if multi.any() else None),
+            'p_value_hwe': PrimitiveColumn(ht.tfloat64, np.where(multi, 0, p_hwe),
+                                           multi if multi.any() else None),
+            'p_value_excess_het': PrimitiveColumn(ht.tfloat64, np.where(multi, 0, p_xhet),
+                                                  multi if multi.any() else None),
         })
         qc = StructColumn(qc_t, cols, None, (R,))
         return MatrixBatch(mb.rows.annotate(**{name: qc}), mb.entries)

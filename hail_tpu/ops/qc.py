@@ -53,7 +53,8 @@ def variant_qc_block(packed, missing, dp, gq, max_alleles: int,
             & (diploid & (j == k))[..., None])
     out['homozygote_count'] = jnp.sum(homc, axis=1)
     if has_dp:
-        ok = called & (dp >= 0)
+        # DP/GQ stats are over defined values regardless of GT call status
+        ok = dp >= 0
         dpf = dp.astype(jnp.float64)
         out['dp_sum'] = jnp.sum(jnp.where(ok, dpf, 0.0), axis=1)
         out['dp_sumsq'] = jnp.sum(jnp.where(ok, dpf * dpf, 0.0), axis=1)
@@ -61,7 +62,7 @@ def variant_qc_block(packed, missing, dp, gq, max_alleles: int,
         out['dp_min'] = jnp.min(jnp.where(ok, dpf, jnp.inf), axis=1)
         out['dp_max'] = jnp.max(jnp.where(ok, dpf, -jnp.inf), axis=1)
     if has_gq:
-        ok = called & (gq >= 0)
+        ok = gq >= 0
         gqf = gq.astype(jnp.float64)
         out['gq_sum'] = jnp.sum(jnp.where(ok, gqf, 0.0), axis=1)
         out['gq_sumsq'] = jnp.sum(jnp.where(ok, gqf * gqf, 0.0), axis=1)

@@ -47,7 +47,8 @@ def _lh_distribution(n: int, nA: int) -> Tuple[np.ndarray, np.ndarray]:
     return hets, probs
 
 
-def hwe_test(n_hom_ref: int, n_het: int, n_hom_var: int) -> Tuple[float, float]:
+def hwe_test(n_hom_ref: int, n_het: int, n_hom_var: int,
+             one_sided: bool = False) -> Tuple[float, float]:
     n = n_hom_ref + n_het + n_hom_var
     if n == 0:
         return (float('nan'), float('nan'))
@@ -57,18 +58,35 @@ def hwe_test(n_hom_ref: int, n_het: int, n_hom_var: int) -> Tuple[float, float]:
     hets, pmf = _lh_distribution(n, nA)
     e_het = float(np.sum(hets * pmf))
     het_freq = e_het / n
-    p_obs = pmf[np.searchsorted(hets, n_het)] if n_het in hets else 0.0
-    # exact two-sided: sum of probabilities <= P(obs) (with tolerance)
-    p = float(np.sum(pmf[pmf <= p_obs * (1 + 1e-12)]))
+    idx = np.searchsorted(hets, n_het)
+    p_obs = pmf[idx] if idx < len(hets) and hets[idx] == n_het else 0.0
+    if one_sided:
+        # excess-het mid-p (reference LeveneHaldane.rightMidP):
+        # P(X > obs) + 0.5 * P(obs)
+        p = float(np.sum(pmf[hets > n_het]) + 0.5 * p_obs)
+        return het_freq, min(p, 1.0)
+    # two-sided exact mid-p (reference LeveneHaldane.exactMidP): outcomes of
+    # smaller probability fully, equal probability (incl. obs) at half weight
+    tol = 1e-12
+    less = pmf < p_obs * (1 - tol)
+    equal = np.abs(pmf - p_obs) <= p_obs * tol
+    p = float(np.sum(pmf[less]) + 0.5 * np.sum(pmf[equal]))
     return het_freq, min(p, 1.0)
 
 
-def hwe_test_vec(n_hom_ref: np.ndarray, n_het: np.ndarray, n_hom_var: np.ndarray):
+def hwe_test_vec(n_hom_ref: np.ndarray, n_het: np.ndarray, n_hom_var: np.ndarray,
+                 with_one_sided: bool = False):
     n_hom_ref = np.asarray(n_hom_ref).ravel()
     n_het = np.asarray(n_het).ravel()
     n_hom_var = np.asarray(n_hom_var).ravel()
     het_freq = np.empty(n_hom_ref.shape, dtype=np.float64)
     p = np.empty(n_hom_ref.shape, dtype=np.float64)
+    p1 = np.empty(n_hom_ref.shape, dtype=np.float64)
     for i in range(n_hom_ref.size):
         het_freq[i], p[i] = hwe_test(int(n_hom_ref[i]), int(n_het[i]), int(n_hom_var[i]))
+        if with_one_sided:
+            _, p1[i] = hwe_test(int(n_hom_ref[i]), int(n_het[i]), int(n_hom_var[i]),
+                                one_sided=True)
+    if with_one_sided:
+        return het_freq, p, p1
     return het_freq, p

@@ -494,6 +494,68 @@ class Table:
                     line += f'; min {v.min():.6g}, max {v.max():.6g}, mean {v.mean():.6g}'
             handler(line)
 
+
+    def to_matrix_table(self, row_key, col_key, row_fields=(), col_fields=(),
+                        n_partitions=None):
+        """Pivot a coordinate-form table into a MatrixTable (reference
+        Table.to_matrix_table / TableToMatrixTable)."""
+        from .matrixtable import MatrixBatch, MatrixStage, MatrixTable
+        row_key = list(row_key)
+        col_key = list(col_key)
+        row_fields = list(row_fields)
+        col_fields = list(col_fields)
+        batch = self._stage.collect_single()
+        rt = batch.row_type
+        entry_fields = [f for f in rt.fields
+                        if f not in row_key + col_key + row_fields + col_fields]
+        rkeys = [_hashable_key(k) for k in _key_tuples(batch, row_key)]
+        ckeys = [_hashable_key(k) for k in _key_tuples(batch, col_key)]
+        def skey(kt):
+            out = []
+            for v in kt:
+                if hasattr(v, 'global_position'):
+                    out.append((0, v.global_position()))
+                else:
+                    out.append((1, str(v)))
+            return tuple(out)
+        urows = sorted(set(rkeys), key=skey)
+        ucols = sorted(set(ckeys), key=skey)
+        ridx = {k: i for i, k in enumerate(urows)}
+        cidx = {k: i for i, k in enumerate(ucols)}
+        R, Cn = len(urows), len(ucols)
+        ri = np.asarray([ridx[k] for k in rkeys], dtype=np.int64)
+        ci = np.asarray([cidx[k] for k in ckeys], dtype=np.int64)
+        # row/col fields: first occurrence per key
+        first_row = {}
+        first_col = {}
+        for i in range(batch.length):
+            first_row.setdefault(rkeys[i], i)
+            first_col.setdefault(ckeys[i], i)
+        row_src = np.asarray([first_row[k] for k in urows], dtype=np.int64)
+        col_src = np.asarray([first_col[k] for k in ucols], dtype=np.int64)
+        rows = Batch({f: batch.columns[f].gather(row_src)
+                      for f in row_key + row_fields}, R)
+        cols = Batch({f: batch.columns[f].gather(col_src)
+                      for f in col_key + col_fields}, Cn)
+        ents = {}
+        for f in entry_fields:
+            lists = batch.columns[f].to_pylist()
+            grid = np.full((R, Cn), None, dtype=object)
+            for i in range(batch.length):
+                grid[ri[i], ci[i]] = lists[i]
+            flat = C.from_pylist(rt[f], list(grid.ravel()))
+            ents[f] = flat.reshape((R, Cn))
+        row_t = ht.tstruct(**{f: rt[f] for f in row_key + row_fields})
+        col_t = ht.tstruct(**{f: rt[f] for f in col_key + col_fields})
+        entry_t = ht.tstruct(**{f: rt[f] for f in entry_fields})
+        return MatrixTable(MatrixStage.from_batches(
+            self._stage.globals, cols, row_key, col_key, row_t, col_t, entry_t,
+            [MatrixBatch(rows, ents)]))
+
+    @staticmethod
+    def parallelize(rows, schema=None, key=None, n_partitions=None, globals=None):
+        return parallelize(rows, schema, key, n_partitions, globals)
+
     # -- group by ----------------------------------------------------------
     def group_by(self, *key, **named_exprs) -> 'GroupedTable':
         t = self

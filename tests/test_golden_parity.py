@@ -1,0 +1,107 @@
+"""Golden-value parity with the reference implementation.
+
+Expected values are the reference's own published test expectations
+(`hail/python/test/hail/methods/test_qc.py:41-140`) on tiny synthetic
+fixtures — exact agreement including the Levene-Haldane mid-p conventions.
+"""
+
+import pytest
+
+import hail_tpu as hl
+
+SCHEMA = 'struct{v: str, s: str, GT: call, GQ: int, DP: int}'
+
+
+def _mt(data):
+    ht_ = hl.Table.parallelize(data, hl.dtype(SCHEMA))
+    ht_ = ht_.transmute(**hl.parse_variant(ht_.v))
+    return ht_.to_matrix_table(['locus', 'alleles'], ['s'])
+
+
+def test_variant_qc_golden():
+    data = [
+        {'v': '1:1:A:T', 's': '1', 'GT': hl.Call([0, 0]), 'GQ': 10, 'DP': 0},
+        {'v': '1:1:A:T', 's': '2', 'GT': hl.Call([1, 1]), 'GQ': 10, 'DP': 5},
+        {'v': '1:1:A:T', 's': '3', 'GT': hl.Call([0, 1]), 'GQ': 11, 'DP': 100},
+        {'v': '1:1:A:T', 's': '4', 'GT': None, 'GQ': None, 'DP': 100},
+        {'v': '1:2:A:T,C', 's': '1', 'GT': hl.Call([1, 2]), 'GQ': 10, 'DP': 5},
+        {'v': '1:2:A:T,C', 's': '2', 'GT': hl.Call([2, 2]), 'GQ': 10, 'DP': 5},
+        {'v': '1:2:A:T,C', 's': '3', 'GT': hl.Call([0, 1]), 'GQ': 10, 'DP': 5},
+        {'v': '1:2:A:T,C', 's': '4', 'GT': hl.Call([1, 1]), 'GQ': 10, 'DP': 5},
+    ]
+    mt = hl.variant_qc(_mt(data), 'vqc')
+    r = mt.rows().collect()
+    q = r[0].vqc
+    assert q.AF == [0.5, 0.5]
+    assert q.AC == [3, 3]
+    assert q.AN == 6
+    assert q.homozygote_count == [1, 1]
+    assert q.n_called == 3
+    assert q.n_not_called == 1
+    assert q.call_rate == 0.75
+    assert q.n_het == 1
+    assert q.n_non_ref == 2
+    assert q.het_freq_hwe == pytest.approx(0.6)
+    assert q.p_value_hwe == pytest.approx(0.7)
+    assert q.p_value_excess_het == pytest.approx(0.7000000000000001)
+    assert q.dp_stats.min == 0 and q.dp_stats.max == 100
+    assert q.dp_stats.mean == 51.25
+    assert q.dp_stats.stdev == pytest.approx(48.782040752719645)
+    assert q.gq_stats.min == 10 and q.gq_stats.max == 11
+    assert q.gq_stats.mean == pytest.approx(10.333333333333334)
+    assert q.gq_stats.stdev == pytest.approx(0.47140452079103168)
+    q1 = r[1].vqc
+    assert q1.AF == [0.125, 0.5, 0.375]
+    assert q1.AC == [1, 4, 3]
+    assert q1.AN == 8
+    assert q1.homozygote_count == [0, 1, 1]
+    assert q1.n_called == 4 and q1.n_not_called == 0 and q1.call_rate == 1.0
+    assert q1.n_het == 2 and q1.n_non_ref == 4
+    assert q1.p_value_hwe is None
+    assert q1.het_freq_hwe is None
+    assert q1.p_value_excess_het is None
+    assert q1.dp_stats.mean == 5 and q1.dp_stats.stdev == 0.0
+    assert q1.gq_stats.mean == 10
+
+
+def test_sample_qc_golden():
+    data = [
+        {'v': '1:1:A:T', 's': '1', 'GT': hl.Call([0, 0]), 'GQ': 10, 'DP': 0},
+        {'v': '1:2:A:T,C', 's': '1', 'GT': hl.Call([1]), 'GQ': 15, 'DP': 5},
+        {'v': '1:3:A:G,C', 's': '1', 'GT': hl.Call([2, 2]), 'GQ': 10, 'DP': 4},
+        {'v': '1:4:G:A', 's': '1', 'GT': hl.Call([0, 1]), 'GQ': None, 'DP': 5},
+        {'v': '1:5:C:CG', 's': '1', 'GT': hl.Call([1, 1]), 'GQ': 20, 'DP': 3},
+        {'v': '1:6:C:A', 's': '1', 'GT': None, 'GQ': 0, 'DP': None},
+    ]
+    mt = hl.sample_qc(_mt(data), 'sqc')
+    r = mt.cols().collect()
+    sq = r[0].sqc
+    assert sq.gq_stats.mean == pytest.approx(11)
+    assert sq.gq_stats.stdev == pytest.approx(6.6332495807)
+    assert sq.gq_stats.min == 0 and sq.gq_stats.max == 20
+    assert sq.dp_stats.mean == pytest.approx(3.399999999)
+    assert sq.dp_stats.stdev == pytest.approx(1.8547236990)
+    assert sq.dp_stats.min == 0 and sq.dp_stats.max == 5
+    assert sq.call_rate == pytest.approx(0.8333333333)
+    assert sq.n_called == 5 and sq.n_not_called == 1
+    assert sq.n_hom_ref == 1 and sq.n_het == 1 and sq.n_hom_var == 3
+    assert sq.n_insertion == 2 and sq.n_deletion == 0
+    assert sq.n_singleton == 2
+    assert sq.n_transition == 1 and sq.n_transversion == 3 and sq.n_star == 0
+    assert sq.n_non_ref == 4
+    assert sq.r_ti_tv == pytest.approx(0.333333333)
+    assert sq.r_het_hom_var == pytest.approx(0.3333333333)
+    assert sq.r_insertion_deletion is None
+
+
+def test_hwe_agg_golden():
+    # hl.agg.hardy_weinberg_test through the aggregator tier matches too
+    mt = _mt([
+        {'v': '1:1:A:T', 's': '1', 'GT': hl.Call([0, 0]), 'GQ': 1, 'DP': 1},
+        {'v': '1:1:A:T', 's': '2', 'GT': hl.Call([0, 1]), 'GQ': 1, 'DP': 1},
+        {'v': '1:1:A:T', 's': '3', 'GT': hl.Call([1, 1]), 'GQ': 1, 'DP': 1},
+    ])
+    mt = mt.annotate_rows(hwe=hl.agg.hardy_weinberg_test(mt.GT))
+    r = mt.rows().collect()[0].hwe
+    assert r.het_freq_hwe == pytest.approx(0.6)
+    assert r.p_value == pytest.approx(0.7)
