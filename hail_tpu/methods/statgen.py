@@ -222,7 +222,7 @@ def logistic_regression_rows(test: str, y, x, covariates, pass_through=(),
         raise ValueError(f'test must be one of {_LOGREG_TESTS}')
     import jax.numpy as jnp
     import scipy.stats as sstats
-    from ..ops.regression import (firth_fit, firth_null_fit, glm_per_variant_fit,
+    from ..ops.regression import (firth_fit, glm_per_variant_fit,
                                   glm_score_test, logreg_null_fit)
 
     xe = to_expr(x)
@@ -241,11 +241,6 @@ def logistic_regression_rows(test: str, y, x, covariates, pass_through=(),
     ll_null_v = float(ll_null)
     k = Ck.shape[1]
 
-    if test == 'firth':
-        b0 = jnp.zeros(k).at[0].set(float(beta_null[0]))
-        fb_null, ll0_pen, f_null_conv = firth_null_fit(jnp.asarray(Ck), jnp.asarray(yk),
-                                                       jnp.asarray(beta_null), 100, tolerance)
-        ll_null_pen = float(ll0_pen)
 
     fit_t = ht.tstruct(n_iterations=ht.tint32, converged=ht.tbool, exploded=ht.tbool)
     if test == 'wald':
@@ -282,12 +277,18 @@ def logistic_regression_rows(test: str, y, x, covariates, pass_through=(),
         if test == 'firth':
             b_start = jnp.concatenate([jnp.broadcast_to(jnp.asarray(beta_null), (R, k)),
                                        jnp.zeros((R, 1))], axis=1)
-            b, ll_pen, conv, its, cnt = firth_fit(Gk, Mk, jnp.asarray(Ck),
-                                                  jnp.asarray(yk), b_start, 100, tolerance)
+            # restricted per-variant null (genotype frozen at 0, full-design
+            # penalty), then the full fit warm-started from it
+            b_null, ll_null_pen, conv0, _, _ = firth_fit(
+                Gk, Mk, jnp.asarray(Ck), jnp.asarray(yk), b_start, k,
+                max_iterations * 4, tolerance)
+            b, ll_pen, conv1, its, cnt = firth_fit(
+                Gk, Mk, jnp.asarray(Ck), jnp.asarray(yk), b_null, k + 1,
+                max_iterations * 4, tolerance)
             b = np.asarray(b)
-            chi2 = 2 * (np.asarray(ll_pen) - ll_null_pen)
+            chi2 = 2 * (np.asarray(ll_pen) - np.asarray(ll_null_pen))
             p = sstats.chi2.sf(np.maximum(chi2, 0), 1)
-            conv = np.asarray(conv)
+            conv = np.asarray(conv0) & np.asarray(conv1)
             return {'beta': PrimitiveColumn(ht.tfloat64, b[:, k], ~conv if (~conv).any() else None),
                     'chi_sq_stat': PrimitiveColumn(ht.tfloat64, chi2),
                     'p_value': PrimitiveColumn(ht.tfloat64, p),

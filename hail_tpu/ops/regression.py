@@ -241,31 +241,59 @@ def glm_score_test(G, missing, Cov, y, beta_null, link: str = 'logistic'):
     return chi2, cnt
 
 
-@partial(jax.jit, static_argnames=('max_iter',))
-def firth_fit(G, missing, Cov, y, beta_start, max_iter: int = 100, tol: float = 1e-6):
-    """Batched Firth penalized-likelihood fit of logit(y) ~ Cov + g
-    (reference LogisticRegression.scala firth path). Returns penalized beta
-    and penalized log-likelihood for the full model."""
+@partial(jax.jit, static_argnames=('max_iter', 'm0'))
+def firth_fit(G, missing, Cov, y, beta_start, m0: int, max_iter: int = 100,
+              tol: float = 1e-6):
+    """Batched Firth penalized fit of logit(y) ~ [Cov, g] updating only the
+    first m0 coefficients (reference `stats/LogisticRegressionModel.scala`
+    fitFirth: the hat diagonal and the penalty 0.5·logdet(XᵀWX) always use
+    the FULL design — the restricted null fit per variant freezes the
+    genotype coefficient at 0 but keeps its column in the penalty).
+    Returns (beta, penalized logLkhd, converged, n_iter)."""
     R, N = G.shape
     k = Cov.shape[1]
+    m = k + 1
     Gi, cnt, _ = _impute_mean(G, missing)
+
+    def design_apply(b):
+        # X @ b with X = [Cov, g]
+        return (Cov @ b[:, :k].T).T + Gi * b[:, k:k + 1]
+
+    def full_quadratics(W):
+        Hcc = jnp.einsum('rn,nk,nl->rkl', W, Cov, Cov)
+        Hcg = jnp.einsum('rn,rn,nk->rk', W, Gi, Cov)
+        Hgg = jnp.sum(W * Gi * Gi, axis=1)
+        H = jnp.zeros((R, m, m))
+        H = H.at[:, :k, :k].set(Hcc)
+        H = H.at[:, :k, k].set(Hcg)
+        H = H.at[:, k, :k].set(Hcg)
+        H = H.at[:, k, k].set(Hgg)
+        return H
 
     def halfstep(state):
         b, _, it = state
-        eta = (Cov @ b[:, :k].T).T + Gi * b[:, k:k + 1]
+        eta = design_apply(b)
         mu = _sigmoid(eta)
         W = mu * (1 - mu)
-        X_full = jnp.concatenate([jnp.broadcast_to(Cov[None], (R, N, k)), Gi[..., None]], axis=2)
-        XW = X_full * W[..., None]
-        H = jnp.einsum('rnk,rnl->rkl', XW, X_full)
-        Hinv = _psd_inv(H + 1e-12 * jnp.eye(k + 1)[None])
-        # hat diagonal h_i = w_i * x_i^T Hinv x_i
-        h = W * jnp.einsum('rnk,rkl,rnl->rn', X_full, Hinv, X_full)
+        H = full_quadratics(W) + 1e-12 * jnp.eye(m)[None]
+        Hinv = _psd_inv(H)
+        # hat diagonal h_i = w_i · x_iᵀ H⁻¹ x_i over the FULL design
+        # expand x_i = [cov_i, g_i]: quadratic form via blocks
+        A = Hinv[:, :k, :k]
+        bvec = Hinv[:, :k, k]
+        dgg = Hinv[:, k, k]
+        q_cc = jnp.einsum('nk,rkl,nl->rn', Cov, A, Cov)
+        q_cg = jnp.einsum('rn,rk,nk->rn', Gi, bvec, Cov)
+        h = W * (q_cc + 2 * q_cg + dgg[:, None] * Gi * Gi)
         adj_r = y[None] - mu + h * (0.5 - mu)
-        grad = jnp.einsum('rn,rnk->rk', adj_r, X_full)
-        delta = jnp.einsum('rkl,rl->rk', Hinv, grad)
-        nb = b + delta
-        return nb, jnp.max(jnp.abs(delta), axis=1), it + 1
+        grad_c = adj_r @ Cov
+        grad_g = jnp.sum(adj_r * Gi, axis=1)
+        grad = jnp.concatenate([grad_c, grad_g[:, None]], axis=1)
+        # restricted solve: only the first m0 coefficients move
+        H0 = H[:, :m0, :m0]
+        delta0 = _psd_solve(H0, grad[:, :m0])
+        delta = jnp.zeros((R, m)).at[:, :m0].set(delta0)
+        return b + delta, jnp.max(jnp.abs(delta), axis=1), it + 1
 
     def cond(state):
         _, delta, it = state
@@ -273,46 +301,11 @@ def firth_fit(G, missing, Cov, y, beta_start, max_iter: int = 100, tol: float = 
 
     state = (beta_start, jnp.full(R, jnp.inf), 0)
     b, delta, it = jax.lax.while_loop(cond, halfstep, state)
-    eta = (Cov @ b[:, :k].T).T + Gi * b[:, k:k + 1]
+    eta = design_apply(b)
     mu = _sigmoid(eta)
     W = mu * (1 - mu)
-    X_full = jnp.concatenate([jnp.broadcast_to(Cov[None], (R, N, k)), Gi[..., None]], axis=2)
-    XW = X_full * W[..., None]
-    H = jnp.einsum('rnk,rnl->rkl', XW, X_full)
-    logdet = _psd_logdet(H + 1e-12 * jnp.eye(k + 1)[None])
+    H = full_quadratics(W) + 1e-12 * jnp.eye(m)[None]
+    logdet = _psd_logdet(H)
     ll = jnp.sum(y[None] * jnp.log(mu + 1e-300) + (1 - y[None]) * jnp.log(1 - mu + 1e-300), axis=1)
     ll_pen = ll + 0.5 * logdet
     return b, ll_pen, delta <= tol, it, cnt
-
-
-@partial(jax.jit, static_argnames=('max_iter',))
-def firth_null_fit(Cov, y, beta_start, max_iter: int = 100, tol: float = 1e-6):
-    """Firth fit of the covariates-only model (for the firth LRT null)."""
-    N, k = Cov.shape
-
-    def halfstep(state):
-        b, _, it = state
-        eta = Cov @ b
-        mu = _sigmoid(eta)
-        W = mu * (1 - mu)
-        XW = Cov * W[:, None]
-        H = XW.T @ Cov
-        Hinv = _psd_inv(H + 1e-12 * jnp.eye(k))
-        h = W * jnp.einsum('nk,kl,nl->n', Cov, Hinv, Cov)
-        adj_r = y - mu + h * (0.5 - mu)
-        grad = adj_r @ Cov
-        delta = Hinv @ grad
-        return b + delta, jnp.max(jnp.abs(delta)), it + 1
-
-    def cond(state):
-        _, delta, it = state
-        return (delta > tol) & (it < max_iter)
-
-    b, delta, it = jax.lax.while_loop(cond, halfstep, (beta_start, jnp.inf, 0))
-    eta = Cov @ b
-    mu = _sigmoid(eta)
-    W = mu * (1 - mu)
-    H = (Cov * W[:, None]).T @ Cov
-    logdet = _psd_logdet(H + 1e-12 * jnp.eye(k))
-    ll = jnp.sum(y * jnp.log(mu + 1e-300) + (1 - y) * jnp.log(1 - mu + 1e-300))
-    return b, ll + 0.5 * logdet, delta <= tol

@@ -105,3 +105,78 @@ def test_hwe_agg_golden():
     r = mt.rows().collect()[0].hwe
     assert r.het_freq_hwe == pytest.approx(0.6)
     assert r.p_value == pytest.approx(0.7)
+
+
+RES = '/root/reference/hail/hail/test/resources/'
+
+
+def test_linreg_r_golden():
+    covariates = hl.import_table(RES + 'regressionLinear.cov', key='Sample',
+                                 types={'Cov1': hl.tfloat64, 'Cov2': hl.tfloat64})
+    pheno = hl.import_table(RES + 'regressionLinear.pheno', key='Sample',
+                            missing='0', types={'Pheno': hl.tfloat64})
+    mt = hl.import_vcf(RES + 'regressionLinear.vcf')
+    mt = mt.annotate_cols(pheno=pheno[mt.s].Pheno, c=covariates[mt.s])
+    ht = hl.linear_regression_rows(y=mt.pheno, x=mt.GT.n_alt_alleles(),
+                                   covariates=[1.0, mt.c.Cov1, mt.c.Cov2])
+    r = {x.locus.position: x for x in ht.collect()}
+    assert r[1].beta == pytest.approx(-0.28589421, abs=1e-6)
+    assert r[1].standard_error == pytest.approx(1.2739153, abs=1e-6)
+    assert r[1].t_stat == pytest.approx(-0.22442167, abs=1e-6)
+    assert r[1].p_value == pytest.approx(0.84327106, abs=1e-6)
+    assert r[2].beta == pytest.approx(-0.5417647, abs=1e-6)
+    assert r[2].p_value == pytest.approx(0.24728705, abs=1e-6)
+    assert r[3].beta == pytest.approx(1.07367185, abs=1e-6)
+    assert r[3].p_value == pytest.approx(0.2533675, abs=1e-6)
+
+
+def test_logreg_wald_r_golden():
+    covariates = hl.import_table(RES + 'regressionLogistic.cov', key='Sample',
+                                 types={'Cov1': hl.tfloat64, 'Cov2': hl.tfloat64})
+    pheno = hl.import_table(RES + 'regressionLogisticBoolean.pheno', key='Sample',
+                            missing='0', types={'isCase': hl.tbool})
+    mt = hl.import_vcf(RES + 'regressionLogistic.vcf')
+    mt = mt.annotate_cols(ph=pheno[mt.s].isCase, c=covariates[mt.s])
+    ht = hl.logistic_regression_rows('wald', y=mt.ph, x=mt.GT.n_alt_alleles(),
+                                     covariates=[1.0, mt.c.Cov1, mt.c.Cov2])
+    r = {x.locus.position: x for x in ht.collect()}
+    assert r[1].beta == pytest.approx(-0.81226793796, abs=1e-6)
+    assert r[1].standard_error == pytest.approx(2.1085483421, abs=1e-6)
+    assert r[1].z_stat == pytest.approx(-0.3852261396, abs=1e-6)
+    assert r[1].p_value == pytest.approx(0.7000698784, abs=1e-6)
+    assert r[2].beta == pytest.approx(-0.43659460858, abs=1e-6)
+    assert r[2].p_value == pytest.approx(0.6715616176, abs=1e-6)
+
+
+@pytest.fixture(scope='module')
+def epacts_mt():
+    covariates = hl.import_table(RES + 'regressionLogisticEpacts.cov', key='IND_ID',
+                                 types={'PC1': hl.tfloat64, 'PC2': hl.tfloat64})
+    fam = hl.import_fam(RES + 'regressionLogisticEpacts.fam')
+    mt = hl.import_vcf(RES + 'regressionLogisticEpacts.vcf')
+    mt = mt.annotate_cols(cv=covariates[mt.s], fm=fam[mt.s])
+    mt = mt.annotate_cols(is_case=mt.fm.is_case, is_female=mt.fm.is_female,
+                          PC1=mt.cv.PC1, PC2=mt.cv.PC2)
+    return mt.persist()
+
+
+def test_logreg_score_epacts_golden(epacts_mt):
+    mt = epacts_mt
+    sc = hl.logistic_regression_rows('score', y=mt.is_case, x=mt.GT.n_alt_alleles(),
+                                     covariates=[1.0, mt.is_female, mt.PC1, mt.PC2]).collect()
+    exp = [(1.242482, 0.2649933), (0.218038, 0.6405389), (3.850985, 0.04971679),
+           (1.175474, 0.2782793), (1.514245, 0.2184924)]
+    for r, (c2, p) in zip(sc, exp):
+        assert r.chi_sq_stat == pytest.approx(c2, rel=1e-5)
+        assert r.p_value == pytest.approx(p, rel=1e-5)
+
+
+def test_logreg_firth_epacts_golden(epacts_mt):
+    mt = epacts_mt
+    fi = hl.logistic_regression_rows('firth', y=mt.is_case, x=mt.GT.n_alt_alleles(),
+                                     covariates=[1.0, mt.is_female, mt.PC1, mt.PC2]).collect()
+    exp = [(-0.097079, 0.26593), (-0.052301, 0.64197), (-0.15567, 0.04991),
+           (-0.7524, 0.30731), (0.5258, 0.22562)]
+    for r, (b, p) in zip(fi, exp):
+        assert r.beta == pytest.approx(b, rel=1e-4)
+        assert r.p_value == pytest.approx(p, rel=1e-4)
