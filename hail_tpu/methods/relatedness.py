@@ -55,10 +55,13 @@ def _king_kernel(H, R, A, Cl):
     both_het = H.T @ H                      # N_Aa,Aa
     opp = R.T @ A
     opp = opp + opp.T                       # N_AA,aa
-    het_shared = H.T @ Cl                   # het_i over sites where j called
-    denom = het_shared + het_shared.T
-    # KING-robust: phi = (N_AaAa - 2*N_AAaa) / (N_Aa^i + N_Aa^j)
-    phi = (both_het - 2.0 * opp) / jnp.maximum(denom, 1e-300)
+    het_shared = H.T @ Cl                   # N_Aa^i over sites where j called
+    n_i = het_shared
+    n_j = het_shared.T
+    min_het = jnp.minimum(n_i, n_j)
+    # KING between-family estimator (Manichaikul eq. 11; reference king.py):
+    # phi = 1/2 + (2 N_AaAa - 4 N_AAaa - N_Aa^i - N_Aa^j) / (4 min(N_Aa^i, N_Aa^j))
+    phi = 0.5 + (2.0 * both_het - 4.0 * opp - n_i - n_j) / jnp.maximum(4.0 * min_het, 1e-300)
     return phi
 
 

@@ -180,3 +180,17 @@ def test_logreg_firth_epacts_golden(epacts_mt):
     for r, (b, p) in zip(fi, exp):
         assert r.beta == pytest.approx(b, rel=1e-4)
         assert r.p_value == pytest.approx(p, rel=1e-4)
+
+
+def test_king_c_golden():
+    # expected values produced by the original C KING implementation
+    # (reference fixture balding-nichols-...kin0)
+    p = RES + 'balding-nichols-1024-variants-4-samples-3-populations'
+    mt = hl.import_plink(bed=p + '.bed', bim=p + '.bim', fam=p + '.fam')
+    k = hl.king(mt.GT)
+    ents = {(e.s, e.s_1): e.phi for e in k.entries().collect()}
+    import csv
+    with open(p + '.kin0') as f:
+        for row in csv.DictReader(f, delimiter='\t'):
+            got = ents[(row['ID1'], row['ID2'])]
+            assert abs(got - float(row['Kinship'])) <= 0.00006
