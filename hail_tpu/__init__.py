@@ -90,6 +90,7 @@ from .expr import aggregators as agg
 from .expr import scans as scan
 from . import methods as _methods_mod
 from .methods import *  # noqa: F401,F403
+from .methods.statgen import _linear_skat, _logistic_skat
 from . import linalg
 from . import nd
 from . import vds

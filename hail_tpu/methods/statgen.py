@@ -837,8 +837,17 @@ def _skat_setup(key_expr, weight_expr, y, x, covariates):
     for i, ctx in enumerate(mt._stage.contexts):
         mb = mt._stage.partition_fn(ctx)
         env = mt._row_env(mb, i)
-        keys.extend(ke._ir.evaluate(env).to_pylist())
-        weights.extend(we._ir.evaluate(env).to_pylist())
+        n_rows = mb.n_rows
+
+        def _per_row(e):
+            v = e._ir.evaluate(env)
+            vals = v.to_pylist() if hasattr(v, 'to_pylist') else [v]
+            # scalar/global exprs broadcast across the partition's rows
+            return vals if len(vals) == n_rows else vals * n_rows if len(vals) == 1 \
+                else list(vals) + [vals[-1]] * (n_rows - len(vals))
+
+        keys.extend(_per_row(ke))
+        weights.extend(_per_row(we))
     return mt, G[:, keep], yv[keep], Cov[keep], keys, np.asarray(
         [0.0 if w is None else w for w in weights]), ke.dtype
 
@@ -851,7 +860,7 @@ def _skat_table(groups: Dict, key_t, rows: List[Struct]) -> Table:
 
 
 def _linear_skat(key_expr, weight_expr, y, x, covariates, max_size: int = 46340) -> Table:
-    from ..stats.genchisq import pgenchisq_py
+    from ..stats.genchisq import pgenchisq_sf_py
     mt, G, yv, Cov, keys, weights, key_t = _skat_setup(key_expr, weight_expr, y, x, covariates)
     n, k = Cov.shape[0], Cov.shape[1]
     beta, *_ = np.linalg.lstsq(Cov, yv, rcond=None)
@@ -879,14 +888,14 @@ def _linear_skat(key_expr, weight_expr, y, x, covariates, max_size: int = 46340)
         if lam.size == 0:
             rows.append(Struct(id=key, size=len(idxs), q_stat=q, p_value=1.0, fault=0))
             continue
-        p, _, conv, fault = pgenchisq_py(q, lam, np.ones(lam.size), np.zeros(lam.size), 0.0, 0.0)
+        p, conv = pgenchisq_sf_py(q, lam, np.ones(lam.size), np.zeros(lam.size), 0.0, 0.0)
         rows.append(Struct(id=key, size=len(idxs), q_stat=q,
-                           p_value=max(min(1 - p, 1.0), 0.0), fault=0 if conv else 1))
+                           p_value=p, fault=0 if conv else 1))
     return _skat_table(groups, key_t, rows)
 
 
 def _logistic_skat(key_expr, weight_expr, y, x, covariates, max_size: int = 46340) -> Table:
-    from ..stats.genchisq import pgenchisq_py
+    from ..stats.genchisq import pgenchisq_sf_py
     import jax.numpy as jnp
     from ..ops.regression import logreg_null_fit
     mt, G, yv, Cov, keys, weights, key_t = _skat_setup(key_expr, weight_expr, y, x, covariates)
@@ -917,9 +926,9 @@ def _logistic_skat(key_expr, weight_expr, y, x, covariates, max_size: int = 4634
         if lam.size == 0:
             rows.append(Struct(id=key, size=len(idxs), q_stat=q, p_value=1.0, fault=0))
             continue
-        p, _, conv2, fault = pgenchisq_py(q, lam, np.ones(lam.size), np.zeros(lam.size), 0.0, 0.0)
+        p, conv2 = pgenchisq_sf_py(q, lam, np.ones(lam.size), np.zeros(lam.size), 0.0, 0.0)
         rows.append(Struct(id=key, size=len(idxs), q_stat=q,
-                           p_value=max(min(1 - p, 1.0), 0.0), fault=0 if conv2 else 1))
+                           p_value=p, fault=0 if conv2 else 1))
     return _skat_table(groups, key_t, rows)
 
 

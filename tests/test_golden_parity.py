@@ -182,6 +182,93 @@ def test_logreg_firth_epacts_golden(epacts_mt):
         assert r.p_value == pytest.approx(p, rel=1e-4)
 
 
+def test_linear_skat_r_golden():
+    # reference `test/hail/methods/test_skat.py` test_linear_skat_no_weights_R_truth:
+    # expected values from R's SKAT package (method="davies")
+    genotypes = [[0, 1, 0, 0, 0], [1, 0, 0, 0, 0], [0, 1, 2, 0, 2], [1, 0, 0, 2, 1]]
+    covariates = [[1, 2], [3, 4], [0, 9], [6, 1], [1, 1]]
+    phenotypes = [3, 4, 6, 4, 1]
+    mt = hl.utils.range_matrix_table(4, 5)
+    mt = mt.annotate_entries(
+        GT=hl.unphased_diploid_gt_index_call(hl.literal(genotypes)[mt.row_idx][mt.col_idx]))
+    mt = mt.annotate_cols(
+        phenotype=hl.literal(phenotypes)[mt.col_idx],
+        cov1=hl.map(lambda r: r[0], hl.literal(covariates))[mt.col_idx],
+        cov2=hl.map(lambda r: r[1], hl.literal(covariates))[mt.col_idx])
+    mt = mt.annotate_rows(weight=1.0, group=0)
+    ht = hl._linear_skat(mt.group, mt.weight, hl.float64(mt.phenotype),
+                         mt.GT.n_alt_alleles(), [1.0, mt.cov1, mt.cov2])
+    r = ht.collect()[0]
+    assert r.size == 4
+    assert r.q_stat == pytest.approx(2.854975, abs=5e-7)
+    assert r.p_value == pytest.approx(0.2700286, abs=5e-7)
+    assert r.fault == 0
+
+
+LOGISTIC_SKAT_GENOS = [
+    [2, 1, 1, 1, 0, 1, 1, 2, 1, 1, 2, 1, 0, 0, 1],
+    [1, 0, 1, 1, 1, 2, 0, 2, 1, 1, 0, 1, 1, 0, 0],
+    [0, 2, 0, 0, 2, 1, 1, 2, 2, 1, 1, 1, 0, 1, 1],
+    [1, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 0],
+]
+LOGISTIC_SKAT_COV = [1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 0]
+LOGISTIC_SKAT_PHENO = [0, 0, 0, 1, 1, 1, 1, 1, 1, 0, 1, 0, 1, 0, 0]
+
+
+def _logistic_skat_mt():
+    mt = hl.utils.range_matrix_table(4, 15)
+    mt = mt.annotate_entries(GT=hl.unphased_diploid_gt_index_call(
+        hl.literal(LOGISTIC_SKAT_GENOS)[mt.row_idx][mt.col_idx]))
+    mt = mt.annotate_cols(phenotype=hl.literal(LOGISTIC_SKAT_PHENO)[mt.col_idx],
+                          cov1=hl.literal(LOGISTIC_SKAT_COV)[mt.col_idx])
+    return mt.annotate_rows(group=0)
+
+
+def test_logistic_skat_r_golden():
+    # reference test_logistic_skat_no_weights_R_truth
+    mt = _logistic_skat_mt().annotate_rows(weight=1.0)
+    r = hl._logistic_skat(mt.group, mt.weight, mt.phenotype,
+                          mt.GT.n_alt_alleles(), [1.0, mt.cov1]).collect()[0]
+    assert r.size == 4
+    assert r.q_stat == pytest.approx(1.869576, abs=5e-6)
+    assert r.p_value == pytest.approx(0.5819739, abs=5e-7)
+    assert r.fault == 0
+
+
+def test_logistic_skat_weighted_r_golden():
+    # reference test_logistic_skat_R_truth (weights 1,2,1,1)
+    mt = _logistic_skat_mt()
+    mt = mt.annotate_rows(weight=hl.literal([1, 2, 1, 1])[mt.row_idx])
+    r = hl._logistic_skat(mt.group, mt.weight, mt.phenotype,
+                          mt.GT.n_alt_alleles(), [1.0, mt.cov1]).collect()[0]
+    assert r.q_stat == pytest.approx(2.515238, abs=5e-6)
+    assert r.p_value == pytest.approx(0.5335765, abs=5e-7)
+    assert r.fault == 0
+
+
+def test_logistic_skat_big_matrix_tail():
+    # reference test_logistic_skat_on_big_matrix: R SKAT (davies) gives
+    # p = 2.697155e-24.  We check the Q statistic exactly and the far-tail
+    # p to order of magnitude — our Ruben survival series keeps full relative
+    # tail precision (the reference's `1 - cdf` cannot represent 1e-24 at all);
+    # the residual ~1% difference is eigenvalue-level f64 sensitivity amplified
+    # by the extreme tail.
+    import numpy as np
+    G = np.loadtxt(RES + 'skat_genotype_matrix_variants_are_rows.csv',
+                   delimiter=',', skiprows=1)[:, 1:]
+    ph = np.loadtxt(RES + 'skat_phenotypes.csv')
+    R, C = G.shape
+    mt = hl.utils.range_matrix_table(R, C)
+    mt = mt.annotate_entries(x=hl.literal(G.tolist())[mt.row_idx][mt.col_idx])
+    mt = mt.annotate_cols(pheno=hl.literal([bool(v > 2) for v in ph])[mt.col_idx])
+    mt = mt.annotate_rows(group=1)
+    r = hl._logistic_skat(mt.group, hl.float64(1.0), mt.pheno, mt.x, [1.0]).collect()[0]
+    assert r.size == 100
+    assert r.q_stat == pytest.approx(10046.37, rel=5e-7)
+    assert r.p_value == pytest.approx(2.697155e-24, rel=0.05)
+    assert r.fault == 0
+
+
 def test_king_c_golden():
     # expected values produced by the original C KING implementation
     # (reference fixture balding-nichols-...kin0)
