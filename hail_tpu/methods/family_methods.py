@@ -77,43 +77,44 @@ def trio_matrix(dataset: MatrixTable, pedigree: Pedigree,
                                    st2.contexts, st2.partition_fn))
 
 
-# Mendel error codes follow PLINK/reference numbering (mendel_errors docs)
-def _mendel_codes(kid, dad, mom, in_x_nonpar, kid_is_female):
+# Mendel error codes follow PLINK/reference numbering exactly
+# (reference `methods/family_methods.py` mendel_errors docstring table;
+# `is/hail/methods/MendelErrors.scala`). `~HomRef` etc. includes NoCall.
+def _mendel_codes(kid, dad, mom, in_x_nonpar, in_y_nonpar, kid_is_female):
     """Vectorized mendel error code per (variant, trio); 0 = no error.
     Arrays: packed calls + missing masks."""
     (kp, km), (dp, dm), (mp_, mm_) = kid, dad, mom
-    kid_na = calls_n_alt_alleles(kp)
-    dad_na = calls_n_alt_alleles(dp)
-    mom_na = calls_n_alt_alleles(mp_)
-    k_het = calls_is_het(kp)
-    k_hr = calls_is_hom_ref(kp)
-    k_hv = calls_is_hom_var(kp)
+    k_het = calls_is_het(kp) & ~km
+    k_hr = calls_is_hom_ref(kp) & ~km
+    k_hv = calls_is_hom_var(kp) & ~km
     d_hr = calls_is_hom_ref(dp) & ~dm
     d_hv = calls_is_hom_var(dp) & ~dm
     m_hr = calls_is_hom_ref(mp_) & ~mm_
     m_hv = calls_is_hom_var(mp_) & ~mm_
-    d_def = ~dm
-    m_def = ~mm_
     code = np.zeros(kp.shape, dtype=np.int32)
-    auto = ~in_x_nonpar
-    # autosomal (and X for females)
-    consider = auto | (in_x_nonpar & kid_is_female)
-    # kid het, both parents hom ref -> 1 ; both hom var -> 2
-    code = np.where(consider & k_het & d_hr & m_hr, 1, code)
-    code = np.where(consider & k_het & d_hv & m_hv, 2, code)
-    # kid hom ref: dad hom var -> 3 (if mom not hom var) etc
-    code = np.where(consider & k_hr & d_hv & m_def & ~m_hv, 3, code)
-    code = np.where(consider & k_hr & m_hv & d_def & ~d_hv, 4, code)
-    code = np.where(consider & k_hr & d_hv & m_hv, 5, code)
-    code = np.where(consider & k_hv & d_hr & m_def & ~m_hr, 6, code)
-    code = np.where(consider & k_hv & m_hr & d_def & ~d_hr, 7, code)
-    code = np.where(consider & k_hv & d_hr & m_hr, 8, code)
-    # hemizygous X male
-    male_x = in_x_nonpar & ~kid_is_female
-    code = np.where(male_x & k_hv & m_hr, 10, code)
-    code = np.where(male_x & k_hr & m_hv, 9, code)
-    code = np.where(km | (dm & mm_), 0, code)
+    # copy states: Auto = autosome/PAR or female child (anywhere);
+    # HemiX/HemiY = male child in the non-PAR of X/Y
+    auto = (~in_x_nonpar & ~in_y_nonpar) | kid_is_female
+    hemi_x = in_x_nonpar & ~kid_is_female
+    hemi_y = in_y_nonpar & ~kid_is_female
+    code = np.where(auto & k_het & d_hv & m_hv, 1, code)
+    code = np.where(auto & k_het & d_hr & m_hr, 2, code)
+    code = np.where(auto & k_hv & d_hr & ~m_hr, 3, code)
+    code = np.where(auto & k_hv & ~d_hr & m_hr, 4, code)
+    code = np.where(auto & k_hv & d_hr & m_hr, 5, code)
+    code = np.where(auto & k_hr & d_hv & ~m_hv, 6, code)
+    code = np.where(auto & k_hr & ~d_hv & m_hv, 7, code)
+    code = np.where(auto & k_hr & d_hv & m_hv, 8, code)
+    code = np.where(hemi_x & k_hr & m_hv, 9, code)
+    code = np.where(hemi_x & k_hv & m_hr, 10, code)
+    code = np.where(hemi_y & k_hr & d_hv, 11, code)
+    code = np.where(hemi_y & k_hv & d_hr, 12, code)
     return code
+
+
+# per-code implicated members (docstring table): (dad, mom)
+_MENDEL_IMPLICATES_DAD = {1, 2, 3, 6, 11, 12}
+_MENDEL_IMPLICATES_MOM = {1, 2, 4, 7, 9, 10}
 
 
 def mendel_errors(call, pedigree: Pedigree) -> Tuple[Table, Table, Table, Table]:
@@ -134,8 +135,21 @@ def mendel_errors(call, pedigree: Pedigree) -> Tuple[Table, Table, Table, Table]
 
     all_rows: List[Struct] = []
     per_variant_rows: List[Struct] = []
+    # every complete trio's family / member appears even with zero errors
     fam_counts = {}
-    indiv_counts = {s: 0 for s in samples}
+    fam_snp_counts = {}
+    for t in trios:
+        fam_counts.setdefault((t.fam_id, t.pat_id, t.mat_id), 0)
+        fam_snp_counts.setdefault((t.fam_id, t.pat_id, t.mat_id), 0)
+    trio_members = []
+    seen_members = set()
+    for t in trios:
+        for s in (t.s, t.pat_id, t.mat_id):
+            if s not in seen_members:
+                seen_members.add(s)
+                trio_members.append(s)
+    indiv_counts = {s: 0 for s in trio_members}
+    indiv_snp_counts = {s: 0 for s in trio_members}
 
     for i, ctx in enumerate(st.contexts):
         mb = st.partition_fn(ctx)
@@ -145,22 +159,28 @@ def mendel_errors(call, pedigree: Pedigree) -> Tuple[Table, Table, Table, Table]
         miss = col.missing_mask()
         loci = mb.rows.columns['locus']
         rg = loci.rg
+        contig = np.asarray(loci.contig_idx)
         x_idx = [rg.contig_index(c) for c in rg.x_contigs]
-        in_x = np.isin(np.asarray(loci.contig_idx), x_idx)
+        y_idx = [rg.contig_index(c) for c in rg.y_contigs]
+        in_x = np.isin(contig, x_idx)
+        in_y = np.isin(contig, y_idx)
         in_par = np.zeros(mb.n_rows, dtype=bool)
         for (c0, s0, c1, e0) in rg.par:
             ci = rg.contig_index(c0)
-            in_par |= (np.asarray(loci.contig_idx) == ci) & \
+            in_par |= (contig == ci) & \
                       (np.asarray(loci.position) >= s0) & (np.asarray(loci.position) < e0)
         in_x_nonpar = (in_x & ~in_par)[:, None]
+        in_y_nonpar = (in_y & ~in_par)[:, None]
 
         codes = _mendel_codes(
             (packed[:, kid_idx], miss[:, kid_idx]),
             (packed[:, dad_idx], miss[:, dad_idx]),
             (packed[:, mom_idx], miss[:, mom_idx]),
-            in_x_nonpar, kid_female[None, :])
+            in_x_nonpar, in_y_nonpar, kid_female[None, :])
         locus_l = loci.to_pylist()
         alleles_l = mb.rows.columns['alleles'].to_pylist()
+        is_snp_l = [len(a) == 2 and len(a[0]) == 1 and len(a[1]) == 1 and a[0] != a[1]
+                    for a in alleles_l]
         err_r, err_t = np.where(codes > 0)
         per_var = np.bincount(err_r, minlength=mb.n_rows)
         for r in range(mb.n_rows):
@@ -169,17 +189,21 @@ def mendel_errors(call, pedigree: Pedigree) -> Tuple[Table, Table, Table, Table]
         for r, ti in zip(err_r, err_t):
             t = trios[ti]
             code = int(codes[r, ti])
+            snp = is_snp_l[r]
             all_rows.append(Struct(locus=locus_l[r], alleles=alleles_l[r],
                                    s=t.s, fam_id=t.fam_id, mendel_code=code))
             fam_key = (t.fam_id, t.pat_id, t.mat_id)
-            fam_counts[fam_key] = fam_counts.get(fam_key, 0) + 1
-            indiv_counts[t.s] = indiv_counts.get(t.s, 0) + 1
-            # parental involvement per plink rules (both for most codes)
-            if code not in (9, 10):
-                indiv_counts[t.pat_id] = indiv_counts.get(t.pat_id, 0) + (0 if code in (4, 7) else 1)
-                indiv_counts[t.mat_id] = indiv_counts.get(t.mat_id, 0) + (0 if code in (3, 6) else 1)
-            else:
-                indiv_counts[t.mat_id] = indiv_counts.get(t.mat_id, 0) + 1
+            fam_counts[fam_key] += 1
+            fam_snp_counts[fam_key] += snp
+            # per-individual attribution follows the docs' Implicated column
+            indiv_counts[t.s] += 1
+            indiv_snp_counts[t.s] += snp
+            if code in _MENDEL_IMPLICATES_DAD:
+                indiv_counts[t.pat_id] += 1
+                indiv_snp_counts[t.pat_id] += snp
+            if code in _MENDEL_IMPLICATES_MOM:
+                indiv_counts[t.mat_id] += 1
+                indiv_snp_counts[t.mat_id] += snp
 
     lt = st.row_type['locus']
     at = st.row_type['alleles']
@@ -193,13 +217,18 @@ def mendel_errors(call, pedigree: Pedigree) -> Tuple[Table, Table, Table, Table]
         key = (t.fam_id, t.pat_id, t.mat_id)
         fam_children[key] = fam_children.get(key, 0) + 1
     t2_rows = [Struct(pat_id=k[1], mat_id=k[2], fam_id=k[0],
-                      children=fam_children.get(k, 0), errors=v, snp_errors=v)
+                      children=fam_children.get(k, 0), errors=v,
+                      snp_errors=fam_snp_counts[k])
                for k, v in fam_counts.items()]
     t2 = Table(TableStage.from_batches(Batch({}, 1), ['pat_id', 'mat_id'], t2_t,
                                        [Batch.from_pylist(t2_t, t2_rows)]))
     t3_t = ht.tstruct(s=ht.tstr, fam_id=ht.tstr, errors=ht.tint64, snp_errors=ht.tint64)
-    trio_fam = {t.s: t.fam_id for t in trios}
-    t3_rows = [Struct(s=s, fam_id=trio_fam.get(s), errors=c, snp_errors=c)
+    trio_fam = {}
+    for t in trios:
+        for s in (t.s, t.pat_id, t.mat_id):
+            trio_fam.setdefault(s, t.fam_id)
+    t3_rows = [Struct(s=s, fam_id=trio_fam.get(s), errors=c,
+                      snp_errors=indiv_snp_counts[s])
                for s, c in indiv_counts.items()]
     t3 = Table(TableStage.from_batches(Batch({}, 1), ['s'], t3_t,
                                        [Batch.from_pylist(t3_t, t3_rows)]))
@@ -226,6 +255,20 @@ def transmission_disequilibrium_test(dataset: MatrixTable, pedigree: Pedigree) -
     dad_idx = np.asarray([s_idx[t.pat_id] for t in trios])
     mom_idx = np.asarray([s_idx[t.mat_id] for t in trios])
 
+    kid_female = np.asarray([bool(t.is_female) for t in trios])
+
+    # valid (kid, dad, mom, copy_state) -> (t, u); anything else contributes
+    # nothing (reference family_methods.py transmission_disequilibrium_test
+    # config_counts; copy state 2 = Auto, 1 = Hemi)
+    _TDT_CONFIGS = [
+        (0, 1, 1, 2, 0, 2), (0, 0, 1, 2, 0, 1), (0, 1, 0, 2, 0, 1),
+        (1, 1, 1, 2, 1, 1), (1, 0, 1, 2, 1, 0), (1, 1, 0, 2, 1, 0),
+        (1, 2, 1, 2, 0, 1), (1, 1, 2, 2, 0, 1), (2, 1, 1, 2, 2, 0),
+        (2, 1, 2, 2, 1, 0), (2, 2, 1, 2, 1, 0),
+        (0, 0, 1, 1, 0, 1), (0, 2, 1, 1, 0, 1),
+        (2, 0, 1, 1, 1, 0), (2, 2, 1, 1, 1, 0),
+    ]
+
     rows_out: List[Struct] = []
     for i, ctx in enumerate(st.contexts):
         mb = st.partition_fn(ctx)
@@ -236,23 +279,51 @@ def transmission_disequilibrium_test(dataset: MatrixTable, pedigree: Pedigree) -
         dna = calls_n_alt_alleles(packed[:, dad_idx])
         mna = calls_n_alt_alleles(packed[:, mom_idx])
         ok = ~(miss[:, kid_idx] | miss[:, dad_idx] | miss[:, mom_idx])
-        d_het = calls_is_het(packed[:, dad_idx]) & ok
-        m_het = calls_is_het(packed[:, mom_idx]) & ok
-        # transmissions from het parents: kid alt count minus the forced-alt
-        # contribution of homozygous-alt parents
-        t_alt = kna - np.where(d_het, 0, (dna == 2).astype(np.int32)) \
-            - np.where(m_het, 0, (mna == 2).astype(np.int32))
-        n_het_parents = d_het.astype(np.int32) + m_het.astype(np.int32)
-        t_count = np.where(ok, np.clip(t_alt, 0, n_het_parents), 0)
-        u_count = np.where(ok, n_het_parents - t_count, 0)
+        d_het = calls_is_het(packed[:, dad_idx]) & ~miss[:, dad_idx]
+        m_het = calls_is_het(packed[:, mom_idx]) & ~miss[:, mom_idx]
+
+        loci = mb.rows.columns['locus']
+        rg = loci.rg
+        contig = np.asarray(loci.contig_idx)
+        sex_idx = [rg.contig_index(c) for c in
+                   list(rg.x_contigs) + list(rg.y_contigs) + list(rg.mt_contigs)]
+        x_idx = [rg.contig_index(c) for c in rg.x_contigs]
+        in_autosome = ~np.isin(contig, sex_idx)
+        in_x = np.isin(contig, x_idx)
+        in_x_par = np.zeros(mb.n_rows, dtype=bool)
+        for (c0, s0, c1, e0) in rg.par:
+            ci = rg.contig_index(c0)
+            if ci not in x_idx:
+                continue
+            in_x_par |= (contig == ci) & \
+                        (np.asarray(loci.position) >= s0) & (np.asarray(loci.position) < e0)
+        # only autosomes and X are considered (reference filters rows to
+        # in_autosome | in_x_par | in_x_nonpar)
+        row_keep = in_autosome | in_x
+        auto_or_par = (in_autosome | in_x_par)[:, None]
+
+        # het father on hemizygous X is a Mendel error -> trio excluded there
+        valid = ok & ((d_het & auto_or_par) | (m_het & ~d_het))
+        copy_state = np.where(auto_or_par | kid_female[None, :], 2, 1)
+
+        t_count = np.zeros(kna.shape, dtype=np.int64)
+        u_count = np.zeros(kna.shape, dtype=np.int64)
+        for (ck, cd, cm, cs, tt, uu) in _TDT_CONFIGS:
+            hit = valid & (kna == ck) & (dna == cd) & (mna == cm) & (copy_state == cs)
+            if tt:
+                t_count += hit * tt
+            if uu:
+                u_count += hit * uu
         t_sum = t_count.sum(axis=1)
         u_sum = u_count.sum(axis=1)
         with np.errstate(all='ignore'):
-            chi2 = (t_sum - u_sum) ** 2 / np.maximum(t_sum + u_sum, 1)
+            chi2 = (t_sum - u_sum) ** 2 / (t_sum + u_sum).astype(np.float64)
         p = sstats.chi2.sf(chi2, 1)
         locus_l = mb.rows.columns['locus'].to_pylist()
         alleles_l = mb.rows.columns['alleles'].to_pylist()
         for r in range(mb.n_rows):
+            if not row_keep[r]:
+                continue
             rows_out.append(Struct(locus=locus_l[r], alleles=alleles_l[r],
                                    t=int(t_sum[r]), u=int(u_sum[r]),
                                    chi_sq=float(chi2[r]), p_value=float(p[r])))

@@ -559,36 +559,104 @@ def _split_multi_impl(ds: MatrixTable, keep_star: bool, hts: bool) -> MatrixTabl
             elif hts and kf == 'AD' and isinstance(c, DenseArrayColumn):
                 vals = c.values[idx]
                 lengths = c.lengths[idx]
-                total = vals.sum(axis=-1)
-                asel = np.take_along_axis(vals, np.broadcast_to(aidx2[..., None], vals.shape[:-1] + (1,)),
-                                          axis=-1)[..., 0]
+                W_ad = vals.shape[-1]
+                inlen = np.arange(W_ad)[None, None, :] < lengths[..., None]
+                total = np.where(inlen, vals, 0).sum(axis=-1)
+                sel_ix = np.broadcast_to(np.minimum(aidx2, W_ad - 1)[..., None],
+                                         vals.shape[:-1] + (1,))
+                asel = np.take_along_axis(vals, sel_ix, axis=-1)[..., 0]
+                asel = np.where(aidx2 < lengths, asel, 0)
                 new_vals = np.stack([total - asel, asel], axis=-1).astype(vals.dtype)
                 ents[kf] = DenseArrayColumn(ht.tarray(ht.tint32), new_vals,
                                             np.full(new_vals.shape[:-1], 2, np.int32),
                                             None, c.missing_mask()[idx] if c.missing is not None else None)
             elif hts and kf == 'PL' and isinstance(c, DenseArrayColumn):
+                # ploidy-aware downcode, matching the reference expression
+                # (methods/statgen.py split_multi_hts): diploid entries get
+                # [min PL over pairs downcoding to i] for i in 0..2; haploid
+                # entries get length-2 [min PL over non-a alleles, PL[a]];
+                # entries with missing GT get missing PL (if_else on missing)
                 vals = c.values[idx]
-                m = c.missing_mask()[idx] if c.missing is not None else None
+                plen = c.lengths[idx]
+                m = c.missing_mask()[idx] if c.missing is not None else \
+                    np.zeros(vals.shape[:2], bool)
                 Rn2, Cn, W = vals.shape
                 na = np.asarray([len(a) for a in alleles_l], dtype=np.int32)[idx]
-                new_vals = np.zeros((Rn2, Cn, 3), dtype=vals.dtype)
+                if 'GT' in mb.entries:
+                    gt_p = np.asarray(mb.entries['GT'].values)[idx]
+                    gt_m = (mb.entries['GT'].missing_mask()[idx]
+                            if mb.entries['GT'].missing is not None
+                            else np.zeros(gt_p.shape, bool))
+                    diploid = ((gt_p & PLOIDY_MASK) == 2) & ~gt_m
+                    haploid = ((gt_p & PLOIDY_MASK) == 1) & ~gt_m
+                else:
+                    diploid = np.ones((Rn2, Cn), bool)
+                    haploid = np.zeros((Rn2, Cn), bool)
+                    gt_m = np.zeros((Rn2, Cn), bool)
+                INF = np.iinfo(np.int64).max
+                v64 = vals.astype(np.int64)
+                gi_ix = np.arange(W)[None, None, :]
+                valid = gi_ix < plen[..., None]
+                vmask = np.where(valid, v64, INF)
+                mins_d = np.full((3, Rn2, Cn), INF, dtype=np.int64)
+                mins_h = np.full((2, Rn2, Cn), INF, dtype=np.int64)
                 for r in range(Rn2):
                     A = int(na[r])
                     a = int(aidx[r])
-                    # gt index for pair (x, y): k*(k+1)/2+j for j<=k
-                    min_pl = [np.inf, np.inf, np.inf]
                     for y in range(A):
+                        # haploid: allele y downcodes to int(y == a)
+                        if y < W:
+                            hc = 1 if y == a else 0
+                            mins_h[hc, r] = np.minimum(mins_h[hc, r], vmask[r, :, y])
                         for x2 in range(y + 1):
                             gi = y * (y + 1) // 2 + x2
                             if gi >= W:
                                 continue
-                            downcoded = (1 if x2 == a else 0) + (1 if y == a else 0)
-                            col = vals[r, :, gi]
-                            min_pl[downcoded] = np.minimum(min_pl[downcoded], col)
-                    for d2 in range(3):
-                        new_vals[r, :, d2] = min_pl[d2]
+                            dc = (1 if x2 == a else 0) + (1 if y == a else 0)
+                            mins_d[dc, r] = np.minimum(mins_d[dc, r], vmask[r, :, gi])
+                new_vals = np.zeros((Rn2, Cn, 3), dtype=vals.dtype)
+                for d2 in range(3):
+                    sel = np.where(diploid, mins_d[d2],
+                                   mins_h[d2] if d2 < 2 else 0)
+                    new_vals[..., d2] = np.where(sel == INF, 0, sel).astype(vals.dtype)
+                new_len = np.where(diploid, 3, 2).astype(np.int32)
+                new_miss = m | gt_m
                 ents[kf] = DenseArrayColumn(ht.tarray(ht.tint32), new_vals,
-                                            np.full((Rn2, Cn), 3, np.int32), None, m)
+                                            new_len, None, new_miss)
+                if 'GQ' in mb.entries:
+                    # GQ := gq_from_pl(new PL) when PL defined, else old GQ
+                    # (reference Genotype.scala:60 gqFromPL: m=m2=99 init)
+                    w_ix = np.arange(3)[None, None, :]
+                    pl_valid = w_ix < new_len[..., None]
+                    pl64 = np.where(pl_valid, new_vals.astype(np.int64), INF)
+                    m1 = np.minimum(pl64.min(axis=-1), 99)
+                    second = np.where(pl64 == pl64.min(axis=-1, keepdims=True),
+                                      INF, pl64)
+                    # handle duplicates of the min: count occurrences
+                    min_cnt = (pl64 == pl64.min(axis=-1, keepdims=True)).sum(-1)
+                    m2v = np.where(min_cnt > 1, pl64.min(axis=-1),
+                                   second.min(axis=-1))
+                    m2v = np.minimum(m2v, 99)
+                    gq_new = (m2v - m1).astype(np.int32)
+                    gq_c = mb.entries['GQ']
+                    gq_old = np.asarray(gq_c.values)[idx]
+                    gq_old_m = (gq_c.missing_mask()[idx]
+                                if gq_c.missing is not None
+                                else np.zeros(gq_old.shape, bool))
+                    gq_vals = np.where(~new_miss, gq_new, gq_old).astype(np.int32)
+                    gq_miss = new_miss & gq_old_m
+                    ents['GQ'] = PrimitiveColumn(ht.tint32, gq_vals, gq_miss)
+            elif kf == 'GQ' and 'PL' in mb.entries and hts:
+                pass  # recomputed alongside PL above
+            elif hts and kf == 'PGT' and st.entry_type[kf] == ht.tcall:
+                packed = np.asarray(c.values)[idx]
+                j = calls_allele_j(packed)
+                k2 = calls_allele_k(packed)
+                nj = (j == aidx2).astype(np.int32)
+                nk = (k2 == aidx2).astype(np.int32)
+                newp = ((packed & (PLOIDY_MASK | 0x4)) | (nj << J_SHIFT) | (nk << K_SHIFT)).astype(np.int32)
+                m = c.missing_mask()[idx] if c.missing is not None else None
+                ents[kf] = PrimitiveColumn(ht.tcall, newp, m)
             else:
                 ents[kf] = c.gather(idx, axis=0)
         return MatrixBatch(rows, ents)

@@ -269,6 +269,53 @@ def test_logistic_skat_big_matrix_tail():
     assert r.fault == 0
 
 
+def test_mendel_errors_golden():
+    # reference test_family_methods.py test_mendel_errors_1..8 expectations
+    mt = hl.import_vcf(RES + 'mendel.vcf')
+    ped = hl.Pedigree.read(RES + 'mendel.fam')
+    men, fam, ind, var = hl.mendel_errors(mt['GT'], ped)
+    assert men.count() == 41
+    fams = {(r.pat_id, r.mat_id): (r.children, r.errors, r.snp_errors)
+            for r in fam.collect()}
+    assert fams == {('Dad1', 'Mom1'): (2, 41, 39), ('Dad2', 'Mom2'): (1, 0, 0)}
+    inds = {r.s: (r.errors, r.snp_errors) for r in ind.collect()}
+    assert inds == {'Son1': (23, 22), 'Dtr1': (18, 17), 'Dad1': (19, 18),
+                    'Mom1': (22, 21), 'Dad2': (0, 0), 'Mom2': (0, 0),
+                    'Son2': (0, 0)}
+    assert var.count() == mt.count_rows()
+    vexp = {('1', 1): 2, ('1', 2): 1, ('X', 1): 2, ('X', 3): 1,
+            ('Y', 1): 1, ('Y', 3): 1}
+    for r in var.collect():
+        key = (r.locus.contig, r.locus.position)
+        if key in vexp:
+            assert r.errors == vexp[key], (key, r.errors)
+
+
+def test_tdt_golden():
+    # reference test_tdt: full comparison against tdt_results.tsv (computed
+    # independently); requires exact t/u and chi-sq/p to 1e-3
+    import csv
+    import math
+    ped = hl.Pedigree.read(RES + 'tdt.fam')
+    mt = hl.split_multi_hts(hl.import_vcf(RES + 'tdt.vcf'))
+    tab = hl.transmission_disequilibrium_test(mt, ped)
+    truth = {}
+    with open(RES + 'tdt_results.tsv') as f:
+        for row in csv.DictReader(f, delimiter='\t'):
+            truth[(row['CHROM'], int(row['POSITION']), row['REF'], row['ALT'])] = (
+                int(row['T']), int(row['U']), float(row['Chi2']), float(row['Pval']))
+    got = {(r.locus.contig, r.locus.position, r.alleles[0], r.alleles[1]):
+           (r.t, r.u, r.chi_sq, r.p_value) for r in tab.collect()}
+    assert len(got) == len(truth)
+    for k, (T, U, c2, pv) in truth.items():
+        t, u, c, p = got[k]
+        if math.isnan(pv):
+            assert p is None or math.isnan(p), k
+            continue
+        assert t == T and u == U, k
+        assert abs(c - c2) < 0.001 and abs(p - pv) < 0.001, k
+
+
 def test_king_c_golden():
     # expected values produced by the original C KING implementation
     # (reference fixture balding-nichols-...kin0)
