@@ -54,6 +54,10 @@ from .expr.functions import (
     bit_lshift, bit_rshift, bit_not, bit_count, nanmin, nanmax, corr, shuffle,
     triangle, liftover, get_sequence, mendel_error_code, keyed_intersection,
     keyed_union,
+    fold, array_scan, cumulative_sum, gq_from_pl, numeric_allele_type,
+    parse_float32, parse_json, repeat, zeros, dchisq, dgamma, pgamma, qgamma,
+    phyper, cochran_mantel_haenszel_test, rand_hyper, rand_multi_hyper,
+    rand_norm2d,
 )
 
 # names that clash with python builtins keep trailing-underscore impls but are

@@ -314,6 +314,17 @@ class CollectionExpression(Expression):
         return construct_expr(ira.ArrayFold(ira.ToArray(self._ir), zero._ir, av, ev, body._ir),
                               Indices.unify(self._indices, zero._indices, body._indices))
 
+    def scan(self, f, zero) -> 'Expression':
+        et = self.dtype.element_type
+        zero = to_expr(zero)
+        av = _fresh_name('acc')
+        ev = _fresh_name('elem')
+        acc = construct_expr(Ref(av, zero.dtype), self._indices)
+        elem = construct_expr(Ref(ev, et), self._indices)
+        body = to_expr(f(acc, elem))
+        return construct_expr(ira.ArrayScan(ira.ToArray(self._ir), zero._ir, av, ev, body._ir),
+                              Indices.unify(self._indices, zero._indices, body._indices))
+
     def exists(self, f):
         from . import functions as F
         return self.fold(lambda acc, x: acc | F.coalesce(f(x), False), False)

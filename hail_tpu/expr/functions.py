@@ -1941,3 +1941,284 @@ def mendel_error_code(locus, is_female, father, mother, child):
         t, lambda l, fem, dad, mom, kid: None if l is None or dad is None or mom is None or kid is None
         else f(l, fem if fem is not None else True, dad, mom, kid)),
         to_expr(locus), to_expr(is_female), to_expr(father), to_expr(mother), to_expr(child))
+
+
+# ---------------------------------------------------------------------------
+# round-2 breadth: folds/scans, gamma/chisq/hypergeometric families, misc
+# (reference python/hail/expr/functions.py parity)
+# ---------------------------------------------------------------------------
+
+def fold(f, zero, collection):
+    """Reduce a collection with `f` starting from `zero`
+    (reference functions.py `fold`)."""
+    return array(collection).fold(f, zero)
+
+
+def array_scan(f, zero, a):
+    """Running fold over `a`: length ``len(a)+1`` array starting at `zero`
+    (reference functions.py `array_scan`)."""
+    return array(a).scan(f, zero)
+
+
+def cumulative_sum(a, filter_missing: bool = True):
+    """Array of running sums of `a` (reference functions.py
+    `cumulative_sum`)."""
+    e = array(a)
+    et = e.dtype.element_type
+    rt = ht.tfloat64 if et in (ht.tfloat32, ht.tfloat64) else ht.tint64
+
+    def impl(v):
+        out = []
+        acc = 0
+        for x in v:
+            if x is None:
+                if filter_missing:
+                    out.append(acc)
+                else:
+                    out.append(None)
+            else:
+                acc = acc + x
+                out.append(acc)
+        return out
+    return _apply('cumulative_sum', ht.tarray(rt), _obj_impl(ht.tarray(rt), impl), e)
+
+
+def gq_from_pl(pl):
+    """Genotype quality from Phred-scaled likelihoods: difference of the two
+    smallest PL values, each capped at 99 (reference
+    `is/hail/variant/Genotype.scala:60` gqFromPL)."""
+    def impl(v):
+        m, m2 = 99, 99
+        for x in v:
+            if x is None:
+                continue
+            if x < m:
+                m2 = m
+                m = x
+            elif x < m2:
+                m2 = x
+        return m2 - m
+    return _apply('gq_from_pl', ht.tint32, _obj_impl(ht.tint32, impl), array(pl))
+
+
+def numeric_allele_type(ref, alt):
+    """Allele polymorphism type as the AlleleType integer enum
+    (reference functions.py `numeric_allele_type`)."""
+    def impl(r, a):
+        return _bi.int(_at.allele_type(r, a).value)
+    return _apply('numeric_allele_type', ht.tint32, _obj_impl(ht.tint32, impl),
+                  to_expr(ref), to_expr(alt))
+
+
+def parse_float32(s):
+    return _apply('parse_float32', ht.tfloat32,
+                  _obj_impl_lenient(ht.tfloat32, _lenient_parser(_bi.float)), to_expr(s))
+
+
+def parse_json(x, dtype):
+    """Parse a JSON string into `dtype` (reference functions.py
+    `parse_json`)."""
+    t = ht.dtype(dtype) if isinstance(dtype, _bi.str) else dtype
+
+    def conv(v, typ):
+        if v is None:
+            return None
+        if isinstance(typ, ht.tstruct):
+            return Struct(**{k: conv(v.get(k), ft) for k, ft in typ.items()})
+        if isinstance(typ, ht.tarray):
+            return [conv(e, typ.element_type) for e in v]
+        if isinstance(typ, ht.tset):
+            return _bi.frozenset(conv(e, typ.element_type) for e in v)
+        if isinstance(typ, ht.tdict):
+            if isinstance(v, _bi.dict):
+                return {conv(k, typ.key_type): conv(val, typ.value_type) for k, val in v.items()}
+            return {conv(e[0], typ.key_type): conv(e[1], typ.value_type) for e in v}
+        if typ in (ht.tint32, ht.tint64):
+            return _bi.int(v)
+        if typ in (ht.tfloat32, ht.tfloat64):
+            return _bi.float(v)
+        return v
+    return _apply('parse_json', t,
+                  _obj_impl_lenient(t, lambda v: None if v is None else conv(_json.loads(v), t)),
+                  to_expr(x))
+
+
+def repeat(expr, n):
+    """Array of `n` copies of `expr` (reference functions.py `repeat`)."""
+    e = to_expr(expr() if _bi.callable(expr) else expr)
+    ne = to_expr(n)
+    t = ht.tarray(e.dtype)
+    return _apply('repeat', t,
+                  _obj_impl(t, lambda v, k: [v] * _bi.max(_bi.int(k), 0)), e, ne)
+
+
+def zeros(length):
+    """Array of `length` zeros (reference functions.py `zeros`)."""
+    ne = to_expr(length)
+    t = ht.tarray(ht.tint32)
+    return _apply('zeros', t,
+                  _obj_impl(t, lambda k: [0] * _bi.max(_bi.int(k), 0)), ne)
+
+
+def dchisq(x, df, ncp=None, log_p=False):
+    def f(v, d, nc):
+        st, sp = _scipy_stats()
+        dens = st.chi2.pdf(v, d) if nc is None else st.ncx2.pdf(v, d, nc)
+        return math.log(dens) if log_p else dens
+    nce = to_expr(0.0) if ncp is None else to_expr(ncp)
+    if ncp is None:
+        return _apply('dchisq', ht.tfloat64,
+                      _obj_impl(ht.tfloat64, lambda v, d: f(v, d, None)),
+                      to_expr(x), to_expr(df))
+    return _apply('dnchisq', ht.tfloat64, _obj_impl(ht.tfloat64, f),
+                  to_expr(x), to_expr(df), nce)
+
+
+def dgamma(x, shape, scale, log_p=False):
+    """Gamma density with `shape`/`scale` parameterization (reference
+    functions.py `dgamma`)."""
+    def f(v, a, s):
+        st, sp = _scipy_stats()
+        d = st.gamma.pdf(v, a, scale=s)
+        return math.log(d) if log_p else d
+    return _apply('dgamma', ht.tfloat64, _obj_impl(ht.tfloat64, f),
+                  to_expr(x), to_expr(shape), to_expr(scale))
+
+
+def pgamma(x, shape, scale, lower_tail=True, log_p=False):
+    def f(v, a, s):
+        st, sp = _scipy_stats()
+        p = st.gamma.cdf(v, a, scale=s) if lower_tail else st.gamma.sf(v, a, scale=s)
+        return math.log(p) if log_p else p
+    return _apply('pgamma', ht.tfloat64, _obj_impl(ht.tfloat64, f),
+                  to_expr(x), to_expr(shape), to_expr(scale))
+
+
+def qgamma(p, shape, scale, lower_tail=True, log_p=False):
+    def f(v, a, s):
+        st, sp = _scipy_stats()
+        if log_p:
+            v = math.exp(v)
+        return st.gamma.ppf(v, a, scale=s) if lower_tail else st.gamma.isf(v, a, scale=s)
+    return _apply('qgamma', ht.tfloat64, _obj_impl(ht.tfloat64, f),
+                  to_expr(p), to_expr(shape), to_expr(scale))
+
+
+def phyper(x, popsize, ngood, nsample, log_p=False):
+    """Hypergeometric CDF P(X <= x) (reference functions.py `phyper`)."""
+    def f(v, pop, good, samp):
+        st, sp = _scipy_stats()
+        p = st.hypergeom.cdf(v, _bi.int(pop), _bi.int(good), _bi.int(samp))
+        return math.log(p) if log_p else p
+    return _apply('phyper', ht.tfloat64, _obj_impl(ht.tfloat64, f),
+                  to_expr(x), to_expr(popsize), to_expr(ngood), to_expr(nsample))
+
+
+def cochran_mantel_haenszel_test(a, b, c, d):
+    """Cochran-Mantel-Haenszel test for association across strata; returns
+    struct(test_statistic, p_value) with the 0.5 continuity correction
+    (reference functions.py `cochran_mantel_haenszel_test`)."""
+    t = ht.tstruct(test_statistic=ht.tfloat64, p_value=ht.tfloat64)
+
+    def f(av, bv, cv, dv):
+        st, sp = _scipy_stats()
+        num = 0.0
+        den = 0.0
+        for ai, bi, ci, di in _bi.zip(av, bv, cv, dv):
+            n1 = ai + bi
+            n2 = ci + di
+            m1 = ai + ci
+            m2 = bi + di
+            tt = n1 + n2
+            num += ai - n1 * m1 / tt
+            den += n1 * n2 * m1 * m2 / (tt ** 3 - tt ** 2)
+        stat = (_bi.abs(num) - 0.5) ** 2 / den
+        return Struct(test_statistic=stat, p_value=_bi.float(st.chi2.sf(stat, 1)))
+    return _apply('cochran_mantel_haenszel_test', t, _obj_impl(t, f),
+                  array(a), array(b), array(c), array(d))
+
+
+def rand_hyper(popsize, ngood, nsample, seed=None):
+    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RowIndex()], _rand_uniform_impl(seed)))
+
+    def impl(ucol, pcol, gcol, ncol):
+        import scipy.stats as st
+        shape = np.broadcast_shapes(ucol.shape, pcol.shape, gcol.shape, ncol.shape)
+        uv = np.broadcast_to(ucol.values, shape)
+        pv = np.broadcast_to(np.asarray(pcol.values, np.int64), shape)
+        gv = np.broadcast_to(np.asarray(gcol.values, np.int64), shape)
+        nv = np.broadcast_to(np.asarray(ncol.values, np.int64), shape)
+        vals = st.hypergeom.ppf(uv, pv, gv, nv)
+        return PrimitiveColumn(ht.tfloat64, vals, None)
+    return _apply('rand_hyper', ht.tfloat64, impl, u,
+                  to_expr(popsize), to_expr(ngood), to_expr(nsample))
+
+
+def rand_multi_hyper(colors, nsample, seed=None):
+    """Multivariate hypergeometric sample: sequentially condition each color
+    on the remaining pool (reference `rand_multi_hyper`)."""
+    ce = array(colors)
+    ne = to_expr(nsample)
+    t = ht.tarray(ht.tint32)
+    base = 0 if seed is None else seed
+
+    def impl(ccol, ncol, idx_col):
+        import scipy.stats as st
+        n_rows = idx_col.shape[0] if idx_col.shape else 1
+        cobj = C.to_object(ccol).broadcast_to(idx_col.shape)
+        nvals = np.broadcast_to(np.asarray(ncol.values), idx_col.shape)
+        out = np.empty(idx_col.shape, dtype=object)
+        for i in range(out.size):
+            cols = cobj.values.ravel()[i]
+            remaining_total = _bi.sum(cols)
+            remaining_draw = _bi.int(nvals.ravel()[i])
+            rng = np.random.default_rng((base * 1_000_003 + i) & 0xFFFFFFFF)
+            draws = []
+            for j, cnt in enumerate(cols):
+                if remaining_total <= 0 or remaining_draw <= 0:
+                    draws.append(0)
+                    continue
+                dj = _bi.int(rng.hypergeometric(cnt, remaining_total - cnt, remaining_draw)) \
+                    if remaining_draw > 0 else 0
+                draws.append(dj)
+                remaining_total -= cnt
+                remaining_draw -= dj
+            out.ravel()[i] = draws
+        return C.from_pylist(t, list(out.ravel())).reshape(idx_col.shape)
+    idx = construct_expr(Apply('row_index', ht.tint64, [RowIndex()],
+                               lambda c: c))
+    return _apply('rand_multi_hyper', t, impl, ce, ne, idx)
+
+
+def rand_norm2d(mean=None, cov=None, seed=None):
+    """Bivariate normal sample as length-2 array (reference
+    `rand_norm2d`)."""
+    m = [0.0, 0.0] if mean is None else mean
+    cv = [[1.0, 0.0], [0.0, 1.0]] if cov is None else cov
+    me = array(m)
+    cve = to_expr(cv)
+    u1 = rand_norm(seed=seed)
+    u2 = rand_norm(seed=None if seed is None else seed + 1)
+    t = ht.tarray(ht.tfloat64)
+
+    def impl(mcol, ccol, z1col, z2col):
+        shape = np.broadcast_shapes(z1col.shape, z2col.shape)
+        mobj = C.to_object(mcol).broadcast_to(shape)
+        cobj = C.to_object(ccol).broadcast_to(shape)
+        z1 = np.broadcast_to(z1col.values, shape)
+        z2 = np.broadcast_to(z2col.values, shape)
+        out = np.empty(shape, dtype=object)
+        fo = out.ravel()
+        fm = mobj.values.ravel()
+        fc = cobj.values.ravel()
+        fz1 = z1.ravel()
+        fz2 = z2.ravel()
+        for i in range(fo.size):
+            mu = fm[i]
+            S = np.asarray(fc[i], dtype=np.float64)
+            L = np.linalg.cholesky(S)
+            z = np.asarray([fz1[i], fz2[i]])
+            v = np.asarray(mu, dtype=np.float64) + L @ z
+            fo[i] = [_bi.float(v[0]), _bi.float(v[1])]
+        return C.from_pylist(t, list(fo)).reshape(shape)
+    return _apply('rand_norm2d', t, impl, me, cve, u1, u2)

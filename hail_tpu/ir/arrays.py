@@ -139,6 +139,51 @@ class ArrayFold(IR):
         return C.from_pylist(self.typ, list(flat_out)).reshape(obj.shape)
 
 
+class ArrayScan(IR):
+    """Running fold: returns [zero, f(zero, a0), f(f(zero, a0), a1), ...]
+    (length n+1, reference `array_scan`)."""
+
+    def __init__(self, arr: IR, zero: IR, accum_var: str, elem_var: str, body: IR):
+        self.arr = arr
+        self.zero = zero
+        self.accum_var = accum_var
+        self.elem_var = elem_var
+        self.body = body
+        self.typ = ht.tarray(body.typ)
+
+    @property
+    def children(self):
+        return (self.arr, self.zero, self.body)
+
+    def map_children(self, f):
+        return ArrayScan(f(self.arr), f(self.zero), self.accum_var, self.elem_var, f(self.body))
+
+    def evaluate(self, env):
+        col = self.arr.evaluate(env)
+        zc = self.zero.evaluate(env)
+        obj = C.to_object(col)
+        zobj = C.to_object(zc).broadcast_to(obj.shape)
+        out = np.empty(obj.shape, dtype=object)
+        flat_arr = obj.values.ravel()
+        flat_z = zobj.values.ravel()
+        flat_out = out.ravel()
+        et = self.arr.typ.element_type
+        bt = self.body.typ
+        for i in range(flat_arr.size):
+            a = flat_arr[i]
+            if a is None:
+                flat_out[i] = None
+                continue
+            acc = flat_z[i]
+            accs = [acc]
+            for x in a:
+                acc = _eval_scalar_body(self.body, env,
+                                        {self.accum_var: (bt, acc), self.elem_var: (et, x)})
+                accs.append(acc)
+            flat_out[i] = accs
+        return C.from_pylist(self.typ, list(flat_out)).reshape(obj.shape)
+
+
 class ArraySlice(IR):
     def __init__(self, arr: IR, start: Optional[IR], stop: Optional[IR], step: Optional[IR] = None):
         self.arr = arr

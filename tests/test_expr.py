@@ -225,3 +225,35 @@ def test_rand_seed_deterministic():
     assert all(a.r == b.r for a, b in zip(t1, t2))
     t3 = hl.range_table(50, 4).annotate(r=hl.rand_unif(0, 1, seed=43)).collect()
     assert any(a.r != b.r for a, b in zip(t1, t3))
+
+
+def test_folds_scans_and_new_builtins():
+    ev = hl.eval
+    assert ev(hl.fold(lambda a, x: a + x, 0, [1, 2, 3])) == 6
+    assert ev(hl.array_scan(lambda a, x: a + x, 0, [1, 2, 3])) == [0, 1, 3, 6]
+    assert ev(hl.cumulative_sum([1, 2, 3, 4])) == [1, 3, 6, 10]
+    assert ev(hl.gq_from_pl([0, 69, 1035])) == 69
+    assert ev(hl.numeric_allele_type('A', 'T')) == 1
+    assert ev(hl.numeric_allele_type('A', 'AT')) == 3
+    assert ev(hl.parse_float32('bad')) is None
+    pj = ev(hl.parse_json('{"a": 1, "b": [1.5]}', 'struct{a: int32, b: array<float64>}'))
+    assert pj.a == 1 and pj.b == [1.5]
+    assert ev(hl.repeat('x', 3)) == ['x', 'x', 'x']
+    assert ev(hl.zeros(2)) == [0, 0]
+
+
+def test_stat_distribution_builtins():
+    import scipy.stats as st
+    ev = hl.eval
+    assert abs(ev(hl.dchisq(1.0, 2.0)) - st.chi2.pdf(1, 2)) < 1e-12
+    assert abs(ev(hl.pgamma(2.0, 3.0, 1.5)) - st.gamma.cdf(2, 3, scale=1.5)) < 1e-12
+    assert abs(ev(hl.qgamma(0.7, 3.0, 1.5)) - st.gamma.ppf(0.7, 3, scale=1.5)) < 1e-10
+    assert abs(ev(hl.phyper(2, 50, 5, 10)) - st.hypergeom.cdf(2, 50, 5, 10)) < 1e-12
+    # reference functions.py doctest values
+    cmh = ev(hl.cochran_mantel_haenszel_test(
+        [56, 61, 73, 71], [69, 257, 65, 48], [40, 57, 71, 55], [77, 301, 79, 48]))
+    assert abs(cmh.test_statistic - 5.0496881823306765) < 1e-10
+    assert abs(cmh.p_value - 0.024630370456863417) < 1e-10
+    assert len(ev(hl.rand_norm2d(seed=1))) == 2
+    mh = ev(hl.rand_multi_hyper([10, 20, 30], 12, seed=3))
+    assert sum(mh) == 12
