@@ -13,11 +13,15 @@ from .utils.structs import Struct, frozendict, Interval
 from . import genetics
 from .genetics import (AlleleType, Call, Locus, Pedigree, Trio, ReferenceGenome)
 from .context import (init, stop, default_reference, get_reference,
+                      init_local, init_batch, init_spark, spark_context,
+                      version, citation, cite_hail, cite_hail_bibtex,
+                      copy_log, debug_info, _with_flags, ANY_REGION,
                       set_global_seed, _set_flags, _get_flags, tmp_dir, Env,
                       current_backend)
 from .table import (Table, GroupedTable, range_table, parallelize, read_table,
                     asc, desc, multi_way_zip_join)
-from .matrixtable import MatrixTable, range_matrix_table, read_matrix_table
+from .matrixtable import (MatrixTable, GroupedMatrixTable, range_matrix_table,
+                          read_matrix_table)
 
 from .expr.expression import (Expression, ArrayExpression, BooleanExpression,
                               CallExpression, CollectionExpression,
@@ -94,11 +98,19 @@ from .expr import aggregators as agg
 from .expr import scans as scan
 from . import methods as _methods_mod
 from .methods import *  # noqa: F401,F403
-from .methods.statgen import _linear_skat, _logistic_skat
+from .methods.statgen import (_linear_skat, _logistic_skat,
+                              _linear_regression_rows_nd,
+                              _logistic_regression_rows_nd)
+from .methods.pca import (_blanczos_pca, _hwe_normalized_blanczos,
+                          _pca_and_moments, _spectral_moments)
 from . import linalg
 from . import nd
 from . import vds
 from . import utils
+from .utils.hadoop import (hadoop_open, hadoop_copy, hadoop_exists,
+                           hadoop_is_file, hadoop_is_dir, hadoop_stat,
+                           hadoop_ls, hadoop_scheme_supported,
+                           TemporaryDirectory, TemporaryFilename)
 from . import experimental
 from . import stats
 from . import fs
@@ -116,3 +128,5 @@ from . import plot
 from . import ggplot
 
 __version__ = '0.1.0'
+__pip_version__ = __version__
+__revision__ = 'tpu-native-r1'

@@ -155,3 +155,135 @@ def current_backend() -> Backend:
 
 def tmp_dir() -> str:
     return Env.hc().tmp_dir
+
+
+# ---------------------------------------------------------------------------
+# session variants, citation, diagnostics
+# (reference hail/context.py init_local/init_batch/init_spark, citation et al.)
+# ---------------------------------------------------------------------------
+
+#: Accepted anywhere a cloud region list is required (reference
+#: hailtop.batch_client ANY_REGION sentinel).
+ANY_REGION = ['any_region']
+
+
+def init_local(log=None, quiet=False, append=False, branching_factor=50,
+               tmpdir=None, default_reference='GRCh37', global_seed=None,
+               skip_logging_configuration=False, gcs_requester_pays_configuration=None,
+               **kwargs) -> None:
+    """Initialize with the local (single-host) backend."""
+    init(backend='local', log=log, quiet=quiet, append=append,
+         branching_factor=branching_factor, tmp_dir=tmpdir,
+         default_reference=default_reference, global_seed=global_seed)
+
+
+def init_batch(*args, **kwargs) -> None:
+    """Reference: initialize against the Batch service backend. This build has
+    no cloud service; the multihost mesh backend is the nearest analogue."""
+    kwargs.pop('billing_project', None)
+    kwargs.pop('remote_tmpdir', None)
+    init(backend='multihost',
+         default_reference=kwargs.pop('default_reference', 'GRCh37'),
+         global_seed=kwargs.pop('global_seed', None))
+
+
+def init_spark(sc=None, app_name=None, master=None, local='local[*]',
+               log=None, quiet=False, append=False, min_block_size=0,
+               branching_factor=50, tmp_dir=None, default_reference='GRCh37',
+               idempotent=False, global_seed=None, **kwargs) -> None:
+    """Reference: initialize the Spark backend. There is no JVM/Spark here —
+    the local TPU backend provides the same API surface."""
+    init(backend='local', log=log, quiet=quiet, append=append,
+         branching_factor=branching_factor, tmp_dir=tmp_dir,
+         default_reference=default_reference, idempotent=idempotent,
+         global_seed=global_seed)
+
+
+def spark_context():
+    """Reference returns the underlying pyspark SparkContext; this build has
+    none."""
+    raise NotImplementedError(
+        'hail_tpu has no Spark backend: computation runs on jax/XLA. '
+        'Use hl.current_backend() for the active backend object.')
+
+
+def version() -> str:
+    from . import __version__
+    return __version__
+
+
+def citation(*, bibtex=False) -> str:
+    v = version()
+    if bibtex:
+        return (
+            '@misc{Hail-TPU,'
+            '  author = {Hail-TPU Team},'
+            f'  title = {{Hail-TPU {v}}},'
+            f'  howpublished = {{\\url{{https://github.com/hail-is/hail}}}}'
+            '}'
+        )
+    return f'Hail-TPU Team. Hail-TPU {v}.'
+
+
+def cite_hail() -> str:
+    return citation(bibtex=False)
+
+
+def cite_hail_bibtex() -> str:
+    return citation(bibtex=True)
+
+
+def copy_log(path: str) -> None:
+    """Copy the current session log to `path` (reference utils.hadoop_copy of
+    Env.hc().log)."""
+    import shutil as _shutil
+    hc = Env.hc()
+    src = hc.log
+    if os.path.isdir(path):
+        path = os.path.join(path, os.path.basename(src))
+    if os.path.exists(src):
+        _shutil.copy(src, path)
+    else:
+        with open(path, 'w') as f:
+            f.write('')
+
+
+def debug_info() -> dict:
+    """Environment/debug summary (reference context.debug_info)."""
+    import sys
+    info = {
+        'version': version(),
+        'python_version': sys.version,
+        'backend': type(Env.backend()).__name__ if Env.is_initialized() else None,
+        'flags': dict(Env.hc().flags) if Env.is_initialized() else {},
+    }
+    try:
+        import jax
+        info['jax_version'] = jax.__version__
+        info['devices'] = [str(d) for d in jax.devices()]
+    except Exception as e:
+        info['jax_error'] = repr(e)
+    return info
+
+
+class _with_flags:
+    """Context manager temporarily setting session flags (reference
+    hl._with_flags)."""
+
+    def __init__(self, **flags):
+        self.flags = flags
+        self._saved = {}
+
+    def __enter__(self):
+        f = Env.hc().flags
+        self._saved = {k: f.get(k) for k in self.flags}
+        f.update(self.flags)
+        return self
+
+    def __exit__(self, *exc):
+        f = Env.hc().flags
+        for k, v in self._saved.items():
+            if v is None:
+                f.pop(k, None)
+            else:
+                f[k] = v

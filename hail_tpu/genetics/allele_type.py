@@ -26,7 +26,11 @@ class AlleleType(Enum):
 
     @property
     def pretty_name(self):
-        return self.name.lower()
+        # reference genetics/allele_type.py _ALLELE_STRS: acronyms stay
+        # uppercase ('SNP', 'MNP'), the rest are capitalized ('Insertion')
+        if self.name in ('SNP', 'MNP'):
+            return self.name
+        return self.name.capitalize()
 
 
 _TRANSITIONS = {('A', 'G'), ('G', 'A'), ('C', 'T'), ('T', 'C')}

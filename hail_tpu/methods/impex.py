@@ -662,3 +662,61 @@ def grep(regex: str, path, max_count: int = 100, *, show: bool = True):
                 print(f'{p}: {m_}')
         return None
     return out
+
+
+def import_csv(paths, *, key=None, min_partitions=None, impute: bool = False,
+               no_header: bool = False, comment=(), missing='NA', types=None,
+               quote='"', skip_blank_lines: bool = False,
+               force_bgz: bool = False, filter=None, find_replace=None,
+               force: bool = False, source_file_field=None) -> Table:
+    """Import a CSV file as a Table (reference impex.py:3392 import_csv —
+    import_table with comma delimiter and RFC-4180 quoting)."""
+    return import_table(paths, key=key, min_partitions=min_partitions,
+                        impute=impute, no_header=no_header, comment=comment,
+                        delimiter=',', missing=missing, types=types,
+                        quote=quote, skip_blank_lines=skip_blank_lines,
+                        force_bgz=force_bgz, filter=filter,
+                        find_replace=find_replace, force=force,
+                        source_file_field=source_file_field)
+
+
+def get_vcf_header_info(path, filter=None, find=None, replace=None):
+    """Parse a VCF header into a struct of infoFields/formatFields/
+    filterAttrs/infoFlagFields/sampleIDs (reference impex.py:3252
+    get_vcf_header_info / is/hail/io/vcf getVCFHeader)."""
+    from ..io.vcf import parse_vcf_header
+    from ..utils.structs import Struct
+    h = parse_vcf_header(path)
+    info_fields = [Struct(name=n, type=str(h.field_type('info', n)))
+                   for n in h.infos]
+    format_fields = [Struct(name=n, type=str(h.field_type('format', n)))
+                     for n in h.formats]
+    flag_fields = [n for n, (num, typ) in h.infos.items() if typ == 'Flag']
+    filters = {f: {} for f in h.filters}
+    return Struct(infoFields=info_fields,
+                  formatFields=format_fields,
+                  filtersAttrs=filters,
+                  infoFlagFields=flag_fields,
+                  sampleIDs=list(h.samples))
+
+
+def import_gvcf_interval(*args, **kwargs):
+    """Reference impex.import_gvcf_interval streams one interval of a GVCF
+    through the VCF parser. Single-sample GVCF import is available via
+    `hl.import_vcf` (reference-block END fields are preserved in info);
+    interval restriction composes with `hl.filter_intervals`."""
+    raise NotImplementedError(
+        'import_gvcf_interval: use hl.import_vcf(...) combined with '
+        'hl.filter_intervals for interval-restricted GVCF import; the '
+        'streaming interval reader is not yet implemented')
+
+
+def export_elasticsearch(t, host, port, index, index_type, block_size,
+                         config=None, verbose=True):
+    """Reference impex.export_elasticsearch ships rows to an Elasticsearch
+    cluster via the ES-Hadoop connector. No cluster or egress exists in this
+    build."""
+    raise NotImplementedError(
+        'export_elasticsearch requires a reachable Elasticsearch cluster; '
+        'this build has no network egress. Export with t.export(...) or '
+        'to_pandas().to_json(...) and bulk-load externally.')

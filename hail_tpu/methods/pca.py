@@ -179,3 +179,59 @@ def _spectral_moments(entry_expr, num_moments: int, block_size: int = 128):
     s = jnp.linalg.svd(A, compute_uv=False)
     moments = [float(jnp.sum(s ** (2 * i))) for i in range(1, num_moments + 1)]
     return moments
+
+
+def _hwe_normalized_blanczos(call_expr, k: int = 10,
+                             compute_loadings: bool = False,
+                             q_iterations: int = 10,
+                             oversampling_param: int = 10,
+                             block_size: int = 128):
+    """HWE-normalize the genotype matrix then run the randomized (Blanczos)
+    PCA (reference pca.py:687 _hwe_normalized_blanczos)."""
+    e = to_expr(call_expr)
+    mt = e._indices.source
+    ne = e.n_alt_alleles() if e.dtype == ht.tcall else e
+    G, M = _entry_expr_to_blocks(ne)
+    cnt = (~M).sum(axis=1)
+    s = np.where(M, 0, G).sum(axis=1)
+    mean = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
+    G = np.where(M, mean[:, None], G)
+    p = mean / 2
+    keep = (p > 0) & (p < 1) & (cnt > 0)
+    Gk = G[keep]
+    m = Gk.shape[0]
+    denom = np.sqrt(2 * p[keep] * (1 - p[keep]) * m)
+    Z = (Gk - mean[keep][:, None]) / denom[:, None]
+    U, sv, Vt = _randomized_svd(jnp.asarray(Z), k, q=q_iterations,
+                                oversample=oversampling_param,
+                                seed=Env.next_seed())
+    eigvals = list(np.asarray(sv * sv))
+    scores = np.asarray(Vt.T * np.asarray(sv)[None, :])
+    st = _scores_table(mt, scores)
+    lt = None
+    if compute_loadings:
+        st_rows = mt.rows()._stage.collect_single().compress(keep)
+        loadings = np.asarray(U)
+        kk = loadings.shape[1]
+        b = Batch({
+            **{kf: st_rows.columns[kf] for kf in mt._stage.row_key},
+            'loadings': DenseArrayColumn(ht.tarray(ht.tfloat64), loadings,
+                                         np.full(loadings.shape[0], kk, np.int32)),
+        }, st_rows.length)
+        lt = Table(TableStage.from_batches(Batch({}, 1), mt._stage.row_key,
+                                           b.row_type, [b]))
+    return eigvals, st, lt
+
+
+def _pca_and_moments(A, k=10, num_moments=5, compute_loadings=False,
+                     q_iterations=10, oversampling_param=10, block_size=128,
+                     moment_samples=100):
+    """Joint randomized PCA + spectral-moment estimates
+    (reference pca.py:458 _pca_and_moments)."""
+    eigvals, st, lt = _blanczos_pca(A, k=k, compute_loadings=compute_loadings,
+                                    q_iterations=q_iterations,
+                                    oversampling_param=oversampling_param,
+                                    block_size=block_size)
+    moments = _spectral_moments(A, num_moments, block_size=block_size)
+    stdevs = [0.0] * len(moments)
+    return eigvals, st, lt, moments, stdevs

@@ -322,3 +322,171 @@ def sample_qc(mt: MatrixTable, name: str = 'sample_qc') -> MatrixTable:
     return MatrixTable(MatrixStage(st.globals, cb, st.row_key, st.col_key,
                                    st.row_type, cb.row_type, st.entry_type,
                                    st.contexts, st.partition_fn))
+
+
+def summarize_variants(mt, show: bool = True, *, handler=None):
+    """Summarize variants: count, alleles-per-variant histogram, per-contig
+    counts, allele-type distribution, ti/tv (reference methods/qc.py:1725
+    summarize_variants)."""
+    from collections import Counter
+    import importlib
+    _at = importlib.import_module('hail_tpu.genetics.allele_type')
+    from ..matrixtable import MatrixTable as _MT
+    from ..utils.structs import Struct
+    ht_ = mt.rows() if isinstance(mt, _MT) else mt
+    n_variants = 0
+    contigs: Counter = Counter()
+    allele_counts: Counter = Counter()
+    allele_types: Counter = Counter()
+    nti = ntv = 0
+    for r in ht_.select().collect():
+        n_variants += 1
+        contigs[r.locus.contig] += 1
+        als = r.alleles
+        allele_counts[len(als)] += 1
+        for alt in als[1:]:
+            at = _at.allele_type(als[0], alt)
+            allele_types[at.pretty_name] += 1
+            if at == _at.AlleleType.SNP:
+                if _at.is_transition(als[0], alt):
+                    nti += 1
+                else:
+                    ntv += 1
+    r_ti_tv = nti / ntv if ntv else None
+    result = Struct(n_variants=n_variants,
+                    allele_types=dict(allele_types),
+                    contigs=dict(contigs),
+                    allele_counts=dict(allele_counts),
+                    r_ti_tv=r_ti_tv)
+    if not show:
+        return result
+    lines = ['=' * 30, f'Number of variants: {n_variants}', '=' * 30,
+             'Alleles per variant', '-' * 19]
+    for n, c in sorted(allele_counts.items()):
+        lines.append(f'  {n} alleles: {c} variants')
+    lines += ['=' * 30, 'Variants per contig', '-' * 19]
+    for ctg, c in contigs.items():
+        lines.append(f'  {ctg}: {c} variants')
+    lines += ['=' * 30, 'Allele type distribution', '-' * 24]
+    for t, c in allele_types.most_common():
+        lines.append(f'  {t:>12}: {c} alleles')
+    lines.append('=' * 30)
+    out = '\n'.join(lines)
+    (handler or print)(out)
+    return None
+
+
+# The VEP JSON output schema (reference methods/qc.py:546 vep_json_typ) — the
+# row annotation type produced by `hl.vep` when csq=False.
+def _vep_consequence_fields():
+    from .. import types as ht
+    return dict(
+        allele_num=ht.tint32, amino_acids=ht.tstr, appris=ht.tstr,
+        biotype=ht.tstr, canonical=ht.tint32, ccds=ht.tstr, cdna_start=ht.tint32,
+        cdna_end=ht.tint32, cds_end=ht.tint32, cds_start=ht.tint32,
+        codons=ht.tstr, consequence_terms=ht.tarray(ht.tstr), distance=ht.tint32,
+        domains=ht.tarray(ht.tstruct(db=ht.tstr, name=ht.tstr)),
+        exon=ht.tstr, gene_id=ht.tstr, gene_pheno=ht.tint32,
+        gene_symbol=ht.tstr, gene_symbol_source=ht.tstr, hgnc_id=ht.tstr,
+        hgvsc=ht.tstr, hgvsp=ht.tstr, hgvs_offset=ht.tint32,
+        impact=ht.tstr, intron=ht.tstr, lof=ht.tstr, lof_flags=ht.tstr,
+        lof_filter=ht.tstr, lof_info=ht.tstr,
+        polyphen_prediction=ht.tstr, polyphen_score=ht.tfloat64,
+        protein_end=ht.tint32, protein_start=ht.tint32, protein_id=ht.tstr,
+        sift_prediction=ht.tstr, sift_score=ht.tfloat64,
+        strand=ht.tint32, transcript_id=ht.tstr, tsl=ht.tint32,
+        uniparc=ht.tstr, variant_allele=ht.tstr,
+    )
+
+
+def _make_vep_json_typ():
+    from .. import types as ht
+    cons = _vep_consequence_fields()
+    return ht.tstruct(
+        assembly_name=ht.tstr,
+        allele_string=ht.tstr,
+        ancestral=ht.tstr,
+        colocated_variants=ht.tarray(ht.tstruct(
+            aa_allele=ht.tstr, aa_maf=ht.tfloat64, afr_allele=ht.tstr,
+            afr_maf=ht.tfloat64, allele_string=ht.tstr, amr_allele=ht.tstr,
+            amr_maf=ht.tfloat64, clin_sig=ht.tarray(ht.tstr), end=ht.tint32,
+            eas_allele=ht.tstr, eas_maf=ht.tfloat64, ea_allele=ht.tstr,
+            ea_maf=ht.tfloat64, eur_allele=ht.tstr, eur_maf=ht.tfloat64,
+            exac_adj_allele=ht.tstr, exac_adj_maf=ht.tfloat64,
+            exac_allele=ht.tstr, exac_afr_allele=ht.tstr,
+            exac_afr_maf=ht.tfloat64, exac_amr_allele=ht.tstr,
+            exac_amr_maf=ht.tfloat64, exac_eas_allele=ht.tstr,
+            exac_eas_maf=ht.tfloat64, exac_fin_allele=ht.tstr,
+            exac_fin_maf=ht.tfloat64, exac_maf=ht.tfloat64,
+            exac_nfe_allele=ht.tstr, exac_nfe_maf=ht.tfloat64,
+            exac_oth_allele=ht.tstr, exac_oth_maf=ht.tfloat64,
+            exac_sas_allele=ht.tstr, exac_sas_maf=ht.tfloat64,
+            id=ht.tstr, minor_allele=ht.tstr, minor_allele_freq=ht.tfloat64,
+            phenotype_or_disease=ht.tint32, pubmed=ht.tarray(ht.tint32),
+            sas_allele=ht.tstr, sas_maf=ht.tfloat64, somatic=ht.tint32,
+            start=ht.tint32, strand=ht.tint32)),
+        context=ht.tstr,
+        end=ht.tint32,
+        id=ht.tstr,
+        input=ht.tstr,
+        intergenic_consequences=ht.tarray(ht.tstruct(
+            allele_num=ht.tint32, consequence_terms=ht.tarray(ht.tstr),
+            impact=ht.tstr, variant_allele=ht.tstr)),
+        most_severe_consequence=ht.tstr,
+        motif_feature_consequences=ht.tarray(ht.tstruct(
+            allele_num=ht.tint32, consequence_terms=ht.tarray(ht.tstr),
+            high_inf_pos=ht.tstr, impact=ht.tstr, motif_feature_id=ht.tstr,
+            motif_name=ht.tstr, motif_pos=ht.tint32,
+            motif_score_change=ht.tfloat64, strand=ht.tint32,
+            variant_allele=ht.tstr)),
+        regulatory_feature_consequences=ht.tarray(ht.tstruct(
+            allele_num=ht.tint32, biotype=ht.tstr,
+            consequence_terms=ht.tarray(ht.tstr), impact=ht.tstr,
+            regulatory_feature_id=ht.tstr, variant_allele=ht.tstr)),
+        seq_region_name=ht.tstr,
+        start=ht.tint32,
+        strand=ht.tint32,
+        transcript_consequences=ht.tarray(ht.tstruct(**_vep_consequence_fields())),
+        variant_class=ht.tstr,
+    )
+
+
+vep_json_typ = _make_vep_json_typ()
+
+
+class VEPConfig:
+    """Base class for VEP configurations (reference methods/qc.py VEPConfig).
+    Subclass and pass to `hl.vep(..., config=...)`; the zero-egress build has
+    no VEP executable, so running requires a local installation."""
+
+    def __init__(self, *, data_bucket=None, data_mount=None, image=None,
+                 regions=None, cloud=None, batch_run_command=None,
+                 batch_run_csq_header_command=None, env=None,
+                 json_typ=None, **kwargs):
+        self.data_bucket = data_bucket
+        self.data_mount = data_mount
+        self.image = image
+        self.regions = regions
+        self.cloud = cloud
+        self.batch_run_command = batch_run_command
+        self.batch_run_csq_header_command = batch_run_csq_header_command
+        self.env = env or {}
+        self.json_typ = json_typ or vep_json_typ
+
+
+class VEPConfigGRCh37Version85(VEPConfig):
+    """VEP 85 / GRCh37 configuration shape (reference qc.py)."""
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.reference_genome = 'GRCh37'
+        self.vep_version = 85
+
+
+class VEPConfigGRCh38Version95(VEPConfig):
+    """VEP 95 / GRCh38 configuration shape (reference qc.py)."""
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.reference_genome = 'GRCh38'
+        self.vep_version = 95

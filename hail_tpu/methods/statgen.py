@@ -505,6 +505,215 @@ def split_multi_hts(ds: MatrixTable, keep_star: bool = False, left_aligned: bool
     return _split_multi_impl(ds, keep_star, hts=True)
 
 
+def filter_alleles(mt: MatrixTable, f) -> MatrixTable:
+    """Filter alternate alleles; rows whose alts are all removed are dropped.
+    Adds old_locus/old_alleles/old_to_new/new_to_old row fields; entries are
+    NOT updated (reference methods/statgen.py:4295 filter_alleles)."""
+    return _filter_alleles_impl(mt, f, mode=None)
+
+
+def filter_alleles_hts(mt: MatrixTable, f, subset: bool = False) -> MatrixTable:
+    """filter_alleles with GATK entry-field updates (GT/AD/DP/GQ/PL) using the
+    subset or downcode algorithm (reference methods/statgen.py:4395
+    filter_alleles_hts)."""
+    return _filter_alleles_impl(mt, f, mode='subset' if subset else 'downcode')
+
+
+def _filter_alleles_impl(mt: MatrixTable, f, mode: Optional[str]) -> MatrixTable:
+    # evaluate the per-allele predicate as a row expression (allele 0 kept)
+    alleles_e = mt.alleles
+    incl = F.range_(0, F.len_(alleles_e)).map(
+        lambda i: (i == 0) | F.coalesce(f(alleles_e[i], i), False))
+    mt = mt.annotate_rows(__allele_inclusion=incl)
+    st = mt._stage
+    lt = st.row_type['locus']
+    new_row_t = (st.row_type._drop_fields(['__allele_inclusion'])
+                 ._insert_field('old_locus', lt)
+                 ._insert_field('old_alleles', ht.tarray(ht.tstr))
+                 ._insert_field('old_to_new', ht.tarray(ht.tint32))
+                 ._insert_field('new_to_old', ht.tarray(ht.tint32)))
+
+    def pf(mb: MatrixBatch, pi: int) -> MatrixBatch:
+        alleles_l = mb.rows.columns['alleles'].to_pylist()
+        incl_l = mb.rows.columns['__allele_inclusion'].to_pylist()
+        loci_l = mb.rows.columns['locus'].to_pylist()
+        keep_rows = []
+        new_loci, new_alleles = [], []
+        n2o_l, o2n_l = [], []
+        for r, (als, inc) in enumerate(zip(alleles_l, incl_l)):
+            kept = [i for i, k in enumerate(inc) if k]
+            if len(kept) < 2:
+                continue
+            o2n = [None] * len(als)
+            for ni, oi in enumerate(kept):
+                o2n[oi] = ni
+            mr = F.eval_expr(F.min_rep(
+                to_expr(loci_l[r]),
+                to_expr([als[i] for i in kept], ht.tarray(ht.tstr))))
+            keep_rows.append(r)
+            new_loci.append(mr.locus)
+            new_alleles.append(mr.alleles)
+            n2o_l.append(kept)
+            o2n_l.append(o2n)
+        idx = np.asarray(keep_rows, dtype=np.int64)
+        Rn = len(idx)
+        rows_cols = {}
+        for kf, c in mb.rows.columns.items():
+            if kf == '__allele_inclusion':
+                continue
+            if kf == 'locus':
+                rows_cols[kf] = C.from_pylist(lt, new_loci)
+            elif kf == 'alleles':
+                rows_cols[kf] = C.from_pylist(ht.tarray(ht.tstr), new_alleles)
+            else:
+                rows_cols[kf] = c.gather(idx)
+        rows_cols['old_locus'] = mb.rows.columns['locus'].gather(idx)
+        rows_cols['old_alleles'] = mb.rows.columns['alleles'].gather(idx)
+        rows_cols['old_to_new'] = C.from_pylist(ht.tarray(ht.tint32), o2n_l)
+        rows_cols['new_to_old'] = C.from_pylist(ht.tarray(ht.tint32), n2o_l)
+        rows = Batch(rows_cols, Rn)
+
+        ents = {kf: c.gather(idx, axis=0) for kf, c in mb.entries.items()}
+        if mode is not None and 'GT' in ents and Rn > 0:
+            ents = _filter_alleles_update_entries(
+                ents, n2o_l, o2n_l,
+                [len(alleles_l[r]) for r in keep_rows], mode)
+        return MatrixBatch(rows, ents)
+
+    return MatrixTable(st.map_partitions(pf, new_row_type=new_row_t))
+
+
+def _filter_alleles_update_entries(ents, n2o_l, o2n_l, n_old_alleles, mode):
+    """Apply the subset/downcode GATK entry updates per row, matching the
+    reference expressions exactly (methods/statgen.py:4601-4667):
+
+    * subset: PL'[ni] = PL[old gt index via new_to_old], shifted so min is 0;
+      GT = argmin(PL') if unique else missing; GT/PL/GQ missing when PL is.
+    * downcode: PL'[ni] = min over old genotypes downcoding to ni (NO shift);
+      GT = index remap via old_to_new (missing alleles -> ref);
+      AD = sums over old alleles mapping to each new index.
+    * GQ = gq_from_pl(PL') (m/m2 start at 99); missing when PL missing.
+    """
+    gt_c = ents['GT']
+    packed = np.asarray(gt_c.values)
+    gt_m = gt_c.missing_mask() if gt_c.missing is not None else np.zeros(packed.shape, bool)
+    Rn, Cn = packed.shape
+    pl_c = ents.get('PL')
+    ad_c = ents.get('AD')
+    have_pl = isinstance(pl_c, DenseArrayColumn)
+    have_ad = isinstance(ad_c, DenseArrayColumn)
+    INF = np.iinfo(np.int64).max
+    new_gt = packed.copy()
+    new_gt_m = gt_m.copy()
+    if have_pl:
+        pl_v = pl_c.values
+        pl_len = pl_c.lengths
+        pl_m = pl_c.missing_mask() if pl_c.missing is not None else np.zeros((Rn, Cn), bool)
+        max_new_w = max(len(k) * (len(k) + 1) // 2 for k in n2o_l)
+        new_pl = np.zeros((Rn, Cn, max_new_w), dtype=pl_v.dtype)
+        new_pl_len = np.zeros((Rn, Cn), np.int32)
+        gq_new = np.zeros((Rn, Cn), np.int32)
+    if have_ad:
+        ad_v = ad_c.values
+        ad_m = ad_c.missing_mask() if ad_c.missing is not None else np.zeros((Rn, Cn), bool)
+        max_new_a = max(len(k) for k in n2o_l)
+        new_ad = np.zeros((Rn, Cn, max_new_a), dtype=ad_v.dtype)
+        new_ad_len = np.zeros((Rn, Cn), np.int32)
+    j_all = calls_allele_j(packed)
+    k_all = calls_allele_k(packed)
+    for r in range(Rn):
+        kept = n2o_l[r]
+        o2n = o2n_l[r]
+        A_old = n_old_alleles[r]
+        A_new = len(kept)
+        W_new = A_new * (A_new + 1) // 2
+        o2n_nona = np.asarray([o2n[i] if o2n[i] is not None else 0
+                               for i in range(A_old)], dtype=np.int64)
+        if have_ad:
+            new_ad_len[r] = A_new
+            if mode == 'subset':
+                for ni, oi in enumerate(kept):
+                    if oi < ad_v.shape[2]:
+                        new_ad[r, :, ni] = ad_v[r, :, oi]
+            else:
+                for oi in range(min(A_old, ad_v.shape[2])):
+                    new_ad[r, :, o2n_nona[oi]] += ad_v[r, :, oi]
+        if mode == 'downcode':
+            # GT := index remap via old_to_new (filtered alleles -> ref)
+            jr = np.clip(j_all[r], 0, A_old - 1)
+            kr = np.clip(k_all[r], 0, A_old - 1)
+            nj = o2n_nona[jr]
+            nk = o2n_nona[kr]
+            lo = np.minimum(nj, nk)
+            hi = np.maximum(nj, nk)
+            new_gt[r] = ((packed[r] & (PLOIDY_MASK | 0x4))
+                         | (lo << J_SHIFT) | (hi << K_SHIFT)).astype(np.int32)
+        if have_pl:
+            new_pl_len[r] = W_new
+            acc = np.full((W_new, Cn), INF, dtype=np.int64)
+            if mode == 'subset':
+                for ny in range(A_new):
+                    for nx in range(ny + 1):
+                        ox, oy = kept[nx], kept[ny]
+                        if ox > oy:
+                            ox, oy = oy, ox
+                        gi = oy * (oy + 1) // 2 + ox
+                        ngi = ny * (ny + 1) // 2 + nx
+                        if gi < pl_v.shape[2]:
+                            acc[ngi] = np.where(gi < pl_len[r],
+                                                pl_v[r, :, gi].astype(np.int64), INF)
+            else:
+                for y in range(A_old):
+                    for x in range(y + 1):
+                        gi = y * (y + 1) // 2 + x
+                        if gi >= pl_v.shape[2]:
+                            continue
+                        nx, ny = o2n_nona[x], o2n_nona[y]
+                        if nx > ny:
+                            nx, ny = ny, nx
+                        ngi = ny * (ny + 1) // 2 + nx
+                        col = np.where(gi < pl_len[r], pl_v[r, :, gi].astype(np.int64), INF)
+                        acc[ngi] = np.minimum(acc[ngi], col)
+            acc = np.where(acc == INF, 0, acc)
+            if mode == 'subset':
+                acc = acc - acc.min(axis=0)[None, :]
+                # GT := argmin of new PL, missing unless unique
+                amin = acc.min(axis=0)
+                is_min = acc == amin[None, :]
+                unique = is_min.sum(axis=0) == 1
+                best = np.argmin(acc, axis=0)
+                by = ((np.sqrt(8 * best.astype(np.float64) + 1) - 1) / 2).astype(np.int64)
+                # correct float rounding: ensure triangle(by) <= best
+                by = np.where(by * (by + 1) // 2 > best, by - 1, by)
+                by = np.where((by + 1) * (by + 2) // 2 <= best, by + 1, by)
+                bx = best - by * (by + 1) // 2
+                gp = (2 | (bx << J_SHIFT) | (by << K_SHIFT)).astype(np.int32)
+                pl_ok = ~pl_m[r]
+                new_gt[r] = np.where(pl_ok & unique, gp, new_gt[r])
+                new_gt_m[r] = np.where(~(pl_ok & unique), True, new_gt_m[r])
+            new_pl[r, :, :W_new] = acc.T.astype(pl_v.dtype)
+            # GQ := gq_from_pl(new PL) (Genotype.scala:60 — m, m2 start at 99)
+            a99 = acc
+            m1 = np.minimum(a99.min(axis=0), 99)
+            mask_min = a99 == a99.min(axis=0, keepdims=True)
+            cnt_min = mask_min.sum(axis=0)
+            second = np.where(mask_min, INF, a99).min(axis=0) if W_new > 1 \
+                else np.full(Cn, INF, np.int64)
+            m2v = np.minimum(np.where(cnt_min > 1, a99.min(axis=0), second), 99)
+            gq_new[r] = (m2v - m1).astype(np.int32)
+    ents['GT'] = PrimitiveColumn(ht.tcall, new_gt, new_gt_m)
+    if have_ad:
+        ents['AD'] = DenseArrayColumn(ht.tarray(ht.tint32), new_ad, new_ad_len,
+                                      None, ad_m)
+    if have_pl:
+        ents['PL'] = DenseArrayColumn(ht.tarray(ht.tint32), new_pl, new_pl_len,
+                                      None, pl_m)
+        if 'GQ' in ents:
+            gq_miss = pl_m.copy()
+            ents['GQ'] = PrimitiveColumn(ht.tint32, gq_new, gq_miss)
+    return ents
+
+
 def _split_multi_impl(ds: MatrixTable, keep_star: bool, hts: bool) -> MatrixTable:
     st = ds._stage
     entry_fields = st.entry_type.fields
@@ -1096,3 +1305,24 @@ def linear_mixed_regression_rows(entry_expr, model, pa_t_path=None,
     row_t = ht.tstruct(**{k2: c.typ for k2, c in out_cols.items()})
     return Table(TableStage.from_batches(Batch({}, 1), key_fields, row_t,
                                          [Batch(out_cols, rows_b.length)]))
+
+
+# ndarray-based regression variants are the same computation on this backend
+# (reference statgen.py _linear_regression_rows_nd / _logistic_regression_rows_nd
+# re-express the row regressions with ndarray primitives; our kernels already
+# run as batched jax ops)
+def _linear_regression_rows_nd(y, x, covariates, block_size=16, weights=None,
+                               pass_through=()):
+    return linear_regression_rows(y, x, covariates, block_size=block_size,
+                                  weights=weights, pass_through=pass_through)
+
+
+def _logistic_regression_rows_nd(test, y, x, covariates, pass_through=(),
+                                 max_iterations=None, tolerance=None):
+    kw = {}
+    if max_iterations is not None:
+        kw['max_iterations'] = max_iterations
+    if tolerance is not None:
+        kw['tolerance'] = tolerance
+    return logistic_regression_rows(test, y, x, covariates,
+                                    pass_through=pass_through, **kw)

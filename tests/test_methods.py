@@ -239,3 +239,50 @@ def test_ld_score(bn):
 def test_vep_gated(bn):
     with pytest.raises(ValueError, match='requires a configuration'):
         hl.vep(bn)
+
+
+def test_filter_alleles_hts_docs_example():
+    # reference statgen.py filter_alleles_hts documented downcode/subset
+    # behavior on the 3-allele example
+    mt = hl.utils.range_matrix_table(1, 1)
+    mt = mt.key_rows_by(locus=hl.locus('1', 100), alleles=hl.literal(['A', 'T', 'C']))
+    mt = mt.annotate_entries(GT=hl.call(1, 2), AD=hl.literal([0, 50, 35]),
+                             DP=85, GQ=10,
+                             PL=hl.literal([1000, 1000, 10, 1000, 0, 20]))
+    e = hl.filter_alleles_hts(mt, lambda a, i: i == 1).entries().collect()[0]
+    assert str(e.GT) == '0/1' and e.AD == [35, 50]
+    assert e.PL == [20, 0, 10] and e.GQ == 10 and e.DP == 85
+    e2 = hl.filter_alleles_hts(mt, lambda a, i: i == 2, subset=True).entries().collect()[0]
+    assert str(e2.GT) == '1/1' and e2.AD == [0, 35]
+    assert e2.PL == [980, 980, 0] and e2.GQ == 99
+    r = hl.filter_alleles(mt, lambda a, i: i == 1).rows().collect()[0]
+    assert r.old_alleles == ['A', 'T', 'C']
+    assert r.new_to_old == [0, 1] and r.old_to_new == [0, 1, None]
+    assert hl.filter_alleles(mt, lambda a, i: False).count_rows() == 0
+
+
+def test_summarize_variants_struct():
+    mt = hl.import_vcf('/root/reference/hail/hail/test/resources/mendel.vcf')
+    s = hl.summarize_variants(mt, show=False)
+    assert s.n_variants == mt.count_rows()
+    assert s.allele_counts.get(2, 0) == mt.count_rows()
+    assert 'SNP' in s.allele_types
+
+
+def test_namespace_parity_with_reference():
+    # every name in the reference's top-level __all__ resolves here
+    import re
+    src = open('/root/reference/hail/python/hail/__init__.py').read()
+    names = re.findall(r"'([^']+)'", re.search(r'__all__ = \[(.*?)\]', src, re.S).group(1))
+    missing = [n for n in names if not hasattr(hl, n)]
+    assert missing == [], missing
+    msrc = open('/root/reference/hail/python/hail/methods/__init__.py').read()
+    mnames = re.findall(r"'([^']+)'", re.search(r'__all__ = \[(.*?)\]', msrc, re.S).group(1))
+    mmissing = [n for n in mnames if not hasattr(hl, n)]
+    assert mmissing == [], mmissing
+    fsrc = open('/root/reference/hail/python/hail/expr/functions.py').read()
+    fnames = set(re.findall(r'^def ([a-z][a-z0-9_]*)\(', fsrc, re.M))
+    fmissing = [n for n in sorted(fnames)
+                if n not in ('ndarray_broadcasting',) and not hasattr(hl, n)
+                and not hasattr(hl.expr.functions, n) and not hasattr(hl.expr.functions, n + '_')]
+    assert fmissing == [], fmissing
