@@ -45,6 +45,12 @@ def array_sum(expr) -> Expression:
     return _agg(A.ArraySumAgg(), [expr])
 
 
+def ndarray_sum(expr) -> Expression:
+    """Elementwise sum of ndarray records of the same shape (reference
+    aggregators.py:961 ndarray_sum)."""
+    return _agg(A.NDArraySumAgg(), [expr])
+
+
 def product(expr) -> Expression:
     return _agg(A.ProductAgg(), [expr])
 

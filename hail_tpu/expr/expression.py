@@ -674,6 +674,8 @@ class NDArrayExpression(Expression):
         return self.T
 
     def reshape(self, *shape):
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
         shape_exprs = [to_expr(s) for s in shape]
         return self._nd_method('nd_reshape', ht.tndarray(self.dtype.element_type, len(shape)), *shape_exprs)
 

@@ -157,6 +157,69 @@ class ArraySumAgg(SumAgg):
         return DenseArrayColumn(ht.tarray(et), state, lengths)
 
 
+class NDArraySumAgg(Aggregator):
+    """Elementwise sum of same-shape ndarrays (reference aggregators.py:961
+    ndarray_sum / NDArraySum)."""
+
+    name = 'ndarray_sum'
+
+    def result_type(self, arg_types, init_args):
+        return arg_types[0]
+
+    def seq(self, arg_cols, include, axis, init_args):
+        (x,) = arg_cols
+        obj = C.to_object(x)
+        ok = _include_and_defined(x, include)
+        vals = np.broadcast_to(obj.values, ok.shape)
+        axis = tuple(axis) if isinstance(axis, (tuple, list)) else (axis,)
+        kept_dims = [d for d in range(ok.ndim) if d not in axis]
+        out_shape = tuple(ok.shape[d] for d in kept_dims)
+        out = np.empty(out_shape if out_shape else (), dtype=object)
+        for out_idx in np.ndindex(out_shape if out_shape else ()):
+            acc = None
+            red_shape = tuple(ok.shape[d] for d in axis)
+            for red_idx in np.ndindex(red_shape):
+                full = [None] * ok.ndim
+                for d, i in zip(kept_dims, out_idx):
+                    full[d] = i
+                for d, i in zip(axis, red_idx):
+                    full[d] = i
+                full = tuple(full)
+                if not ok[full]:
+                    continue
+                v = vals[full]
+                if v is None:
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                acc = a.copy() if acc is None else acc + a
+            if out_shape:
+                out[out_idx] = acc
+            else:
+                out = acc
+        return out
+
+    def comb(self, a, b, init_args):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        if isinstance(a, np.ndarray) and a.dtype == object:
+            out = np.empty(a.shape, dtype=object)
+            for i in np.ndindex(a.shape):
+                x, y = a[i], b[i]
+                out[i] = y if x is None else (x if y is None else x + y)
+            return out
+        return a + b
+
+    def result(self, state, init_args):
+        t = getattr(self, '_result_t', None) or ht.tndarray(ht.tfloat64, 2)
+        if isinstance(state, np.ndarray) and state.dtype == object:
+            return ObjectColumn(t, state)
+        out = np.empty(1, dtype=object)
+        out[0] = state
+        return ObjectColumn(t, out[:1]).reshape(())
+
+
 class ProductAgg(Aggregator):
     name = 'product'
 

@@ -375,3 +375,39 @@ def _sharded_matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 # module-level helpers mirroring hail.linalg utilities
 def _breeze_like_identity(n: int) -> BlockMatrix:
     return BlockMatrix(jnp.eye(n))
+
+
+def _jarray_from_ndarray(a):
+    """Reference ships the ndarray through a Java array; here the host array
+    itself is the exchange format."""
+    import numpy as _np
+    return _np.ascontiguousarray(a).ravel()
+
+
+def _breeze_from_ndarray(a):
+    """Reference converts to a Breeze DenseMatrix; the jax device array is the
+    native dense matrix here."""
+    import jax.numpy as _jnp
+    return _jnp.asarray(a)
+
+
+def _svd(a, full_matrices=True, compute_uv=True, overwrite_a=False,
+         check_finite=True):
+    """LAPACK-selecting SVD wrapper (reference blockmatrix.py:2658): gesdd,
+    falling back to the slower gesvd when the fast driver fails to converge."""
+    import scipy.linalg as sla
+    try:
+        return sla.svd(a, full_matrices=full_matrices, compute_uv=compute_uv,
+                       overwrite_a=overwrite_a, check_finite=check_finite,
+                       lapack_driver='gesdd')
+    except Exception:
+        return sla.svd(a, full_matrices=full_matrices, compute_uv=compute_uv,
+                       overwrite_a=False, check_finite=check_finite,
+                       lapack_driver='gesvd')
+
+
+def _eigh(a):
+    """Symmetric eigendecomposition, lower triangle (reference
+    blockmatrix.py:2688). Returns (eigenvalues, eigenvectors) ascending."""
+    import numpy as _np
+    return _np.linalg.eigh(a)

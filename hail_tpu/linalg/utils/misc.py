@@ -1,0 +1,67 @@
+"""Window helpers for banded BlockMatrix sparsification
+(reference hail/linalg/utils/misc.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def array_windows(a: np.ndarray, radius):
+    """For ascending `a`, per-index maximal [start, stop) ranges of values
+    within +/- radius (reference linalg/utils/misc.py:10).
+
+    >>> array_windows(np.array([1, 2, 4, 4, 6, 8]), 2)
+    (array([0, 0, 1, 1, 2, 4]), array([2, 4, 5, 5, 6, 6]))
+    """
+    if radius < 0:
+        raise ValueError(f'array_windows: radius must be non-negative, found {radius}')
+    if a.ndim != 1:
+        raise ValueError("array_windows: 'a' must be 1-dimensional")
+    if not (np.issubdtype(a.dtype, np.signedinteger) or np.issubdtype(a.dtype, np.floating)):
+        raise ValueError(f"array_windows: 'a' must be signed integer or float, found {a.dtype}")
+    size = a.size
+    if size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    if (not np.all(a[:-1] <= a[1:])) or np.isnan(a[0]):
+        raise ValueError("array_windows: 'a' must be ascending with no nan elements")
+    # vectorized: searchsorted on the sorted array gives the same maximal
+    # ranges as the reference's two-pointer sweep
+    starts = np.searchsorted(a, a - radius, side='left').astype(np.int64)
+    stops = np.searchsorted(a, a + radius, side='right').astype(np.int64)
+    return starts, stops
+
+
+def locus_windows(locus_expr, radius, coord_expr=None, _localize=True):
+    """Window ranges for loci within `radius` base pairs on the same contig
+    (reference linalg/utils/misc.py:82). Contig boundaries break windows."""
+    from ...expr.expression import to_expr
+    e = to_expr(locus_expr)
+    src = e._indices.source
+    rows = src.rows() if hasattr(src, 'rows') else src
+    recs = rows.select(__l=e, **({'__c': to_expr(coord_expr)} if coord_expr is not None else {})).collect()
+    contigs = np.asarray([r.__l.contig for r in recs])
+    if coord_expr is None:
+        coords = np.asarray([r.__l.position for r in recs], dtype=np.float64)
+    else:
+        coords = np.asarray([r.__c for r in recs], dtype=np.float64)
+    n = len(coords)
+    starts = np.zeros(n, np.int64)
+    stops = np.zeros(n, np.int64)
+    i = 0
+    while i < n:
+        j = i
+        while j < n and contigs[j] == contigs[i]:
+            j += 1
+        s, t = array_windows(coords[i:j], radius)
+        starts[i:j] = s + i
+        stops[i:j] = t + i
+        i = j
+    return starts, stops
+
+
+def _check_dims(a, name: str, ndim: int, min_size: int = 1):
+    if a.ndim != ndim:
+        raise ValueError(f'{name} must be {ndim}-dimensional, found {a.ndim}')
+    for i in range(ndim):
+        if a.shape[i] < min_size:
+            raise ValueError(f'{name} must have at least {min_size} elements in axis {i}')

@@ -148,3 +148,22 @@ def minimum(a, b):
     t = to_expr(a).dtype
     return _nd_apply('nd_minimum', t, lambda x, y: np.minimum(np.asarray(x), np.asarray(y)),
                      to_expr(a), to_expr(b))
+
+
+def from_column_major(a, shape):
+    """Interpret flat array `a` as a column-major (Fortran-order) matrix of
+    `shape` (reference nd/nd.py:66)."""
+    assert len(shape) == 2
+    return array(a).reshape(tuple(reversed(shape))).T
+
+
+def solve_helper(nd_coef, nd_dep, nd_dep_ndim_orig):
+    """Shape/dtype-normalizing wrapper used by the regression paths
+    (reference nd/nd.py:322)."""
+    assert nd_dep_ndim_orig in (1, 2)
+    if nd_dep_ndim_orig == 1:
+        nd_dep = nd_dep.reshape((-1, 1))
+    sol = solve(nd_coef, nd_dep)
+    if nd_dep_ndim_orig == 1:
+        sol = sol.reshape((-1,))
+    return sol

@@ -137,3 +137,131 @@ def output_notebook():
 
 def show(fig):
     fig.show()
+
+
+def cdf(data, k=350, legend=None, title=None, normalize=True, log=False):
+    """Plot an empirical CDF (reference plot/plots.py cdf). `data` may be a
+    numeric expression or an approx_cdf struct."""
+    import matplotlib.pyplot as plt
+    vals = np.sort(np.asarray(_collect_numeric(data), dtype=np.float64))
+    vals = vals[~np.isnan(vals)]
+    n = len(vals)
+    y = np.arange(1, n + 1) / n if normalize else np.arange(1, n + 1)
+    fig, ax = plt.subplots()
+    ax.step(vals, y, where='post')
+    if log:
+        ax.set_xscale('log')
+    ax.set_xlabel(legend or 'value')
+    ax.set_ylabel('cumulative probability' if normalize else 'rank')
+    if title:
+        ax.set_title(title)
+    return fig
+
+
+def pdf(data, k=1000, confidence=5, legend=None, title=None, log=False,
+        interactive=False):
+    """Histogram-based density estimate (reference plot/plots.py pdf)."""
+    import matplotlib.pyplot as plt
+    vals = np.asarray(_collect_numeric(data), dtype=np.float64)
+    vals = vals[~np.isnan(vals)]
+    fig, ax = plt.subplots()
+    ax.hist(vals, bins=min(k, max(10, int(np.sqrt(len(vals)) or 10))),
+            density=True)
+    if log:
+        ax.set_xscale('log')
+    ax.set_xlabel(legend or 'value')
+    ax.set_ylabel('density')
+    if title:
+        ax.set_title(title)
+    return fig
+
+
+def smoothed_pdf(data, k=350, smoothing=0.5, legend=None, title=None,
+                 log=False, interactive=False, figure=None):
+    """Gaussian-kernel smoothed density (reference plot/plots.py
+    smoothed_pdf)."""
+    import matplotlib.pyplot as plt
+    from scipy.stats import gaussian_kde
+    vals = np.asarray(_collect_numeric(data), dtype=np.float64)
+    vals = vals[~np.isnan(vals)]
+    kde = gaussian_kde(vals, bw_method=smoothing)
+    xs = np.linspace(vals.min(), vals.max(), 1000)
+    fig = figure
+    if fig is None:
+        fig, ax = plt.subplots()
+    else:
+        ax = fig.gca()
+    ax.plot(xs, kde(xs))
+    if log:
+        ax.set_xscale('log')
+    ax.set_xlabel(legend or 'value')
+    ax.set_ylabel('density')
+    if title:
+        ax.set_title(title)
+    return fig
+
+
+def joint_plot(x, y, label=None, title=None, xlabel=None, ylabel=None,
+               size=4, hover_fields=None, colors=None, width=600, height=600):
+    """Scatter plot with marginal histograms (reference plot/plots.py
+    joint_plot)."""
+    import matplotlib.pyplot as plt
+    xv = np.asarray(_collect_numeric(x), dtype=np.float64)
+    yv = np.asarray(_collect_numeric(y), dtype=np.float64)
+    fig = plt.figure(figsize=(width / 100, height / 100))
+    gs = fig.add_gridspec(2, 2, width_ratios=(4, 1), height_ratios=(1, 4),
+                          wspace=0.05, hspace=0.05)
+    ax = fig.add_subplot(gs[1, 0])
+    ax_hx = fig.add_subplot(gs[0, 0], sharex=ax)
+    ax_hy = fig.add_subplot(gs[1, 1], sharey=ax)
+    ax.scatter(xv, yv, s=size)
+    ax_hx.hist(xv[~np.isnan(xv)], bins=40)
+    ax_hy.hist(yv[~np.isnan(yv)], bins=40, orientation='horizontal')
+    ax_hx.tick_params(labelbottom=False)
+    ax_hy.tick_params(labelleft=False)
+    if xlabel:
+        ax.set_xlabel(xlabel)
+    if ylabel:
+        ax.set_ylabel(ylabel)
+    if title:
+        ax_hx.set_title(title)
+    return fig
+
+
+def set_font_size(p, font_size: str = '12pt'):
+    """Set all label/title font sizes on a figure (reference plot/plots.py
+    set_font_size)."""
+    size = float(str(font_size).replace('pt', ''))
+    for ax in p.get_axes():
+        ax.title.set_fontsize(size)
+        ax.xaxis.label.set_fontsize(size)
+        ax.yaxis.label.set_fontsize(size)
+        for tick in ax.get_xticklabels() + ax.get_yticklabels():
+            tick.set_fontsize(size)
+    return p
+
+
+def visualize_missingness(mt, row_field=None, column_field=None,
+                          window=6000000, plot_width=1800, plot_height=900):
+    """Heatmap of entry missingness across the dataset (reference
+    plot/plots.py visualize_missingness)."""
+    import matplotlib.pyplot as plt
+    st = mt._stage
+    entry_name = next(iter(st.entry_type.fields))
+    blocks = []
+    for i, ctx in enumerate(st.contexts):
+        mb = st.partition_fn(ctx)
+        c = mb.entries[entry_name]
+        blocks.append(c.missing_mask().astype(np.float64))
+    M = np.concatenate(blocks, axis=0) if blocks else np.zeros((0, 0))
+    # downsample rows into windows for display
+    n_bins = max(1, min(200, M.shape[0]))
+    idx = np.linspace(0, M.shape[0], n_bins + 1).astype(int)
+    binned = np.stack([M[a:b].mean(axis=0) if b > a else np.zeros(M.shape[1])
+                       for a, b in zip(idx[:-1], idx[1:])])
+    fig, ax = plt.subplots(figsize=(plot_width / 100, plot_height / 100))
+    im = ax.imshow(binned.T, aspect='auto', cmap='viridis', origin='lower')
+    fig.colorbar(im, ax=ax, label='fraction missing')
+    ax.set_xlabel('variant window')
+    ax.set_ylabel('sample')
+    return fig

@@ -1,5 +1,18 @@
 from .structs import Struct, frozendict, Interval
 from .timer import ExecutionTimer, timed
+from .misc import (HailUserError, FatalError, error, warning, info,
+                   default_handler, wrap_to_list, get_env_or_default, uri_path,
+                   local_path_uri, new_temp_file, new_local_temp_dir,
+                   new_local_temp_file, with_local_temp_file, run_command,
+                   timestamp_path, guess_cloud_spark_provider, chunk, maybe,
+                   no_service_backend, storage_level, deduplicate, LinkedList,
+                   JSONEncoder, _dumps_partitions, get_1kg, get_hgdp,
+                   get_movie_lens)
+from .hadoop import (hadoop_open, hadoop_copy, hadoop_exists, hadoop_is_file,
+                     hadoop_is_dir, hadoop_stat, hadoop_ls,
+                     hadoop_scheme_supported, TemporaryDirectory,
+                     TemporaryFilename)
+from ..context import ANY_REGION, copy_log
 
 
 def range_table(n, n_partitions=None):
@@ -23,4 +36,15 @@ def genomic_range_table(n, n_partitions=None, reference_genome='default'):
 
 
 __all__ = ['Struct', 'frozendict', 'Interval', 'ExecutionTimer', 'timed',
-           'range_table', 'range_matrix_table', 'genomic_range_table']
+           'range_table', 'range_matrix_table', 'genomic_range_table',
+           'HailUserError', 'FatalError', 'error', 'warning', 'info',
+           'default_handler', 'wrap_to_list', 'get_env_or_default', 'uri_path',
+           'local_path_uri', 'new_temp_file', 'new_local_temp_dir',
+           'new_local_temp_file', 'with_local_temp_file', 'run_command',
+           'timestamp_path', 'guess_cloud_spark_provider', 'chunk', 'maybe',
+           'no_service_backend', 'storage_level', 'deduplicate', 'LinkedList',
+           'JSONEncoder', '_dumps_partitions', 'get_1kg', 'get_hgdp',
+           'get_movie_lens', 'hadoop_open', 'hadoop_copy', 'hadoop_exists',
+           'hadoop_is_file', 'hadoop_is_dir', 'hadoop_stat', 'hadoop_ls',
+           'hadoop_scheme_supported', 'TemporaryDirectory',
+           'TemporaryFilename', 'ANY_REGION', 'copy_log']
