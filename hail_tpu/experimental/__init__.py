@@ -422,3 +422,15 @@ def cached(path: str, make, overwrite: bool = False):
     obj = make()
     obj.write(path, overwrite=True)
     return read_matrix_table(path) if isinstance(obj, MT) else read_table(path)
+
+
+from .extras import (gather, spread, separate, strftime, strptime,
+                     write_expression, read_expression, define_function, loop,
+                     filtering_allele_frequency, haplotype_freq_em,
+                     explode_trio_matrix, phase_trio_matrix_by_transmission,
+                     densify, sparse_split_multi, export_entries_by_col,
+                     mt_to_table_of_ndarray, block_matrices_tofiles,
+                     export_block_matrices, write_block_matrices,
+                     write_matrix_tables, plot_roc_curve, hail_metadata,
+                     get_gene_intervals, DB, Function)
+from ..context import init  # reference experimental re-exports init

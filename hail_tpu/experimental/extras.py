@@ -1,0 +1,699 @@
+"""Experimental-module parity batch (reference hail/python/hail/experimental):
+tidyr reshapes, time formatting, expression persistence, define_function/loop,
+filtering AF, haplotype EM, trio-matrix explode/phase, sparse-MT ops,
+per-column export, ndarray blocking, ROC/metadata plots, block-matrix export.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import pickle
+from typing import List, Optional
+
+import numpy as np
+
+from .. import types as ht
+from ..expr import functions as F
+from ..expr.expression import Expression, construct_expr, to_expr
+from ..ir import columns as C
+from ..ir.columns import Batch, DenseArrayColumn, ObjectColumn, PrimitiveColumn, StructColumn
+from ..matrixtable import MatrixBatch, MatrixStage, MatrixTable
+from ..table import Table, TableStage
+from ..utils.structs import Struct
+
+
+# ---------------------------------------------------------------------------
+# tidyr: gather / spread / separate (reference experimental/tidyr.py)
+# ---------------------------------------------------------------------------
+
+def gather(ht_, key: str, value: str, *fields) -> Table:
+    """Wide-to-long: collapse `fields` into (key, value) pairs, one output row
+    per input row per field (reference tidyr.py:8)."""
+    rows = ht_.collect()
+    other = [f for f in ht_.row if f not in fields]
+    out = []
+    for r in rows:
+        base = {f: r[f] for f in other}
+        for f in fields:
+            out.append(Struct(**base, **{key: f, value: r[f]}))
+    vt = ht_.row.dtype[fields[0]]
+    t_row = ht.tstruct(**{f: ht_.row.dtype[f] for f in other},
+                       **{key: ht.tstr, value: vt})
+    return Table(TableStage.from_batches(Batch({}, 1), [], t_row,
+                                         [Batch.from_pylist(t_row, out)]))
+
+
+def spread(ht_, field: str, value: str, key=None) -> Table:
+    """Long-to-wide pivot: distinct values of `field` become new fields filled
+    from `value` (reference tidyr.py:44)."""
+    rows = ht_.collect()
+    key_fields = list(key) if key is not None else \
+        [f for f in ht_.row if f not in (field, value)]
+    new_cols = sorted({r[field] for r in rows if r[field] is not None})
+    vt = ht_.row.dtype[value]
+    grouped = {}
+    order = []
+    for r in rows:
+        k = tuple(_hashable(r[f]) for f in key_fields)
+        if k not in grouped:
+            grouped[k] = {f: r[f] for f in key_fields}
+            order.append(k)
+        grouped[k][str(r[field])] = r[value]
+    out = [Struct(**{c: grouped[k].get(c) for c in
+                     key_fields + [str(c) for c in new_cols]})
+           for k in order]
+    t_row = ht.tstruct(**{f: ht_.row.dtype[f] for f in key_fields},
+                       **{str(c): vt for c in new_cols})
+    return Table(TableStage.from_batches(Batch({}, 1), [], t_row,
+                                         [Batch.from_pylist(t_row, out)]))
+
+
+def separate(ht_, field: str, into: List[str], delim: str) -> Table:
+    """Split a string field on `delim` into the `into` fields (reference
+    tidyr.py:102)."""
+    fe = ht_[field]
+    parts = fe.split(delim)
+    t2 = ht_.annotate(**{name: parts[i] for i, name in enumerate(into)})
+    return t2.drop(field) if field not in into else t2
+
+
+def _hashable(v):
+    return tuple(v) if isinstance(v, list) else v
+
+
+# ---------------------------------------------------------------------------
+# time (reference experimental/time.py — C-style format, IANA zone ids)
+# ---------------------------------------------------------------------------
+
+def strftime(format, time, zone_id):
+    """Format unix seconds as a string in the given IANA time zone
+    (reference time.py:8)."""
+    def impl(fmt, t, z):
+        import datetime
+        from zoneinfo import ZoneInfo
+        dt = datetime.datetime.fromtimestamp(t, tz=ZoneInfo(z))
+        return dt.strftime(fmt)
+    return F._apply('strftime', ht.tstr, F._obj_impl(ht.tstr, impl),
+                    to_expr(format), to_expr(time), to_expr(zone_id))
+
+
+def strptime(time, format, zone_id):
+    """Parse a time string with a C-style format in the given zone to unix
+    seconds (reference time.py:53)."""
+    def impl(t, fmt, z):
+        import datetime
+        from zoneinfo import ZoneInfo
+        dt = datetime.datetime.strptime(t, fmt)
+        dt = dt.replace(tzinfo=ZoneInfo(z))
+        return int(dt.timestamp())
+    return F._apply('strptime', ht.tint64, F._obj_impl(ht.tint64, impl),
+                    to_expr(time), to_expr(format), to_expr(zone_id))
+
+
+# ---------------------------------------------------------------------------
+# expression persistence + function definition (reference expressions.py,
+# function.py, loop.py)
+# ---------------------------------------------------------------------------
+
+def write_expression(expr, path: str, overwrite: bool = False):
+    """Persist an evaluated expression value + type (reference
+    expressions.py:9)."""
+    e = to_expr(expr)
+    if os.path.exists(path) and not overwrite:
+        raise FileExistsError(f'{path} exists; use overwrite=True')
+    val = F.eval_expr(e)
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    with open(path, 'wb') as f:
+        pickle.dump({'type': str(e.dtype), 'value': val}, f)
+
+
+def read_expression(path: str, _assert_type=None) -> Expression:
+    """Read an expression written by :func:`write_expression` (reference
+    expressions.py:50)."""
+    with open(path, 'rb') as f:
+        d = pickle.load(f)
+    t = ht.dtype(d['type'])
+    if _assert_type is not None and t != _assert_type:
+        raise TypeError(f'expected {_assert_type}, found {t}')
+    return F.literal(d['value'], t)
+
+
+class Function:
+    """A named reusable expression function (reference function.py:10)."""
+
+    def __init__(self, f, param_types, ret_type, name):
+        self._f = f
+        self._param_types = param_types
+        self._ret_type = ret_type
+        self._name = name
+
+    def __call__(self, *args):
+        return self._f(*(to_expr(a) for a in args))
+
+
+def define_function(f, *param_types, _name: Optional[str] = None) -> Function:
+    """Define a reusable expression function (reference function.py:30). In
+    the reference this compiles the body once server-side; here expressions
+    trace per call, so this is a typed wrapper."""
+    return Function(f, [ht.dtype(p) if isinstance(p, str) else p for p in param_types],
+                    None, _name or 'f')
+
+
+class _RecurSentinel:
+    __slots__ = ('args',)
+
+    def __init__(self, args):
+        self.args = args
+
+
+class _RecurIR:
+    """Marker IR for a tail-recursive continuation inside `loop` bodies."""
+
+    def __init__(self, arg_irs, typ):
+        self.arg_irs = arg_irs
+        self.typ = typ
+
+    @property
+    def children(self):
+        return tuple(self.arg_irs)
+
+    def map_children(self, f):
+        return _RecurIR([f(a) for a in self.arg_irs], self.typ)
+
+    def evaluate(self, env):
+        raise RuntimeError('recur escaped tail position in hl.experimental.loop')
+
+
+def loop(f, typ, *args):
+    """Tail-recursive loop (reference loop.py:11): `f(recur, *args)` where a
+    call to `recur` in tail position continues the loop. The body is traced
+    once; evaluation interprets If/Coalesce branches lazily so `recur` only
+    fires on the taken path."""
+    from ..ir.nodes import If, Coalesce, Ref
+    from ..ir.arrays import _eval_scalar_body
+    typ = ht.dtype(typ) if isinstance(typ, str) else typ
+    arg_exprs = [to_expr(a) for a in args]
+    names = [f'__loop_arg{i}' for i in range(len(arg_exprs))]
+    refs = [construct_expr(Ref(n, e.dtype), e._indices)
+            for n, e in zip(names, arg_exprs)]
+
+    class _RecurExpr(Expression):
+        pass
+
+    def recur(*new_args):
+        irs = [to_expr(a)._ir for a in new_args]
+        e = Expression.__new__(Expression)
+        e._ir = _RecurIR(irs, typ)
+        e._indices = arg_exprs[0]._indices if arg_exprs else refs[0]._indices
+        e._dtype = typ
+        return e
+
+    body = to_expr(f(recur, *refs))._ir
+
+    def run_one(env, cur_vals):
+        arg_ts = [e.dtype for e in arg_exprs]
+        max_iter = 10_000_000
+
+        def interp(ir, bind):
+            if isinstance(ir, _RecurIR):
+                new_vals = [_eval_scalar_body(a, env, bind) for a in ir.arg_irs]
+                return _RecurSentinel(new_vals)
+            if isinstance(ir, If):
+                c = _eval_scalar_body(ir.cond, env, bind)
+                if c is True:
+                    return interp(ir.cnsq, bind)
+                return interp(ir.altr, bind)
+            if isinstance(ir, Coalesce):
+                for child in ir.children:
+                    v = interp(child, bind)
+                    if isinstance(v, _RecurSentinel) or v is not None:
+                        return v
+                return None
+            return _eval_scalar_body(ir, env, bind)
+
+        while max_iter:
+            max_iter -= 1
+            bind = {n: (t, v) for n, t, v in zip(names, arg_ts, cur_vals)}
+            res = interp(body, bind)
+            if isinstance(res, _RecurSentinel):
+                cur_vals = res.args
+                continue
+            return res
+        raise RuntimeError('loop: exceeded max iterations')
+
+    def impl(*cols):
+        from ..ir.nodes import EvalEnv
+        objs = [C.to_object(c) for c in cols]
+        shape = np.broadcast_shapes(*[o.shape for o in objs]) if objs else ()
+        objs = [o.broadcast_to(shape) for o in objs]
+        env = EvalEnv({}, shape if shape else (1,))
+        out = np.empty(shape if shape else (1,), dtype=object)
+        flat = [o.values.ravel() for o in objs]
+        fo = out.ravel()
+        for i in range(fo.size):
+            cur = [fl[i] for fl in flat]
+            fo[i] = run_one(env, cur)
+        res = C.from_pylist(typ, list(fo))
+        return res.reshape(shape) if shape else res.reshape(())
+    return F._apply('loop', typ, impl, *arg_exprs)
+
+
+# ---------------------------------------------------------------------------
+# statistics builtins (reference is/hail/experimental/package.scala)
+# ---------------------------------------------------------------------------
+
+def filtering_allele_frequency(ac, an, ci):
+    """Whiffin et al. 2017 filtering allele frequency (reference
+    `is/hail/experimental/package.scala:22` calcFilterAlleleFreq)."""
+    def impl(ac_v, an_v, ci_v):
+        from scipy.stats import poisson
+        from scipy.optimize import brentq
+        ac_v = int(ac_v)
+        an_v = int(an_v)
+        if ac_v <= 1 or an_v == 0:
+            return 0.0
+        qpois = lambda q, lam: int(poisson.ppf(q, lam))
+
+        def g(af):
+            return float(ac_v) - 1 - qpois(ci_v, an_v * af)
+        lower, upper, tol, precision = 1e-10, 2.0, 1e-7, 1e-6
+        try:
+            root = brentq(g, lower, upper, xtol=tol)
+        except ValueError:
+            root = 0.0
+        rounder = 1.0 / (precision / 100.0)
+        max_af = round(root * rounder) / rounder
+
+        def find_max_ac(af):
+            return 0 if af == 0 else qpois(ci_v, an_v * af)
+        while find_max_ac(max_af) < ac_v:
+            max_af += precision
+        return max_af - precision
+    return F._apply('filtering_allele_frequency', ht.tfloat64,
+                    F._obj_impl(ht.tfloat64, impl),
+                    to_expr(ac), to_expr(an), to_expr(ci))
+
+
+def haplotype_freq_em(gt_counts):
+    """Excoffier-Slatkin EM haplotype counts for a pair of biallelic variants
+    (reference `is/hail/experimental/package.scala:47` haplotypeFreqEM).
+    Input [AABB, AABb, AAbb, AaBB, AaBb, Aabb, aaBB, aaBb, aabb]; output
+    [AB, aB, Ab, ab] estimated haplotype counts."""
+    def impl(v):
+        g = np.asarray(v, dtype=np.float64)
+        assert g.size == 9, 'haplotype_freq_em requires 9 genotype counts'
+        n = g.sum()
+        if g[0] >= n:
+            return [float(g[0]), 0.0, 0.0, 0.0]
+        n_hap = 2.0 * n
+        const = np.array([
+            2.0 * g[0] + g[1] + g[3],   # AB
+            2.0 * g[6] + g[3] + g[7],   # aB
+            2.0 * g[2] + g[1] + g[5],   # Ab
+            2.0 * g[8] + g[5] + g[7],   # ab
+        ])
+        p_next = (const + g[4] / 2.0) / n_hap
+        p_cur = p_next + 1.0
+        while np.max(np.abs(p_next - p_cur)) > 1e-7:
+            p_cur = p_next
+            cross = p_cur[0] * p_cur[3] + p_cur[1] * p_cur[2]
+            extra = np.array([p_cur[0] * p_cur[3], p_cur[1] * p_cur[2],
+                              p_cur[1] * p_cur[2], p_cur[0] * p_cur[3]])
+            p_next = (const + extra * (g[4] / cross)) / n_hap
+        return [float(x) for x in p_next * n_hap]
+    t = ht.tarray(ht.tfloat64)
+    return F._apply('haplotype_freq_em', t, F._obj_impl(t, impl),
+                    to_expr(gt_counts))
+
+
+# ---------------------------------------------------------------------------
+# trio-matrix utilities (reference experimental/phase_by_transmission.py)
+# ---------------------------------------------------------------------------
+
+def explode_trio_matrix(tm: MatrixTable, col_keys: List[str] = ['s'],
+                        keep_trio_cols: bool = True,
+                        keep_trio_entries: bool = False) -> MatrixTable:
+    """Split a trio MatrixTable back into a per-sample MatrixTable: each trio
+    column becomes three sample columns (reference
+    phase_by_transmission.py:275)."""
+    select = {'proband': 'proband_entry', 'father': 'father_entry',
+              'mother': 'mother_entry'}
+    st = tm._stage
+    cols = st.cols
+    n_trios = cols.length
+    roles = ['proband', 'father', 'mother']
+    col_t_inner = st.col_type['proband']
+    ent_t_inner = st.entry_type['proband_entry']
+    new_cols_rows = []
+    cols_py = cols.to_pylist()
+    for trio in cols_py:
+        for role in roles:
+            rec = dict(trio[role]) if trio[role] is not None else {}
+            if keep_trio_cols:
+                rec['source_trio'] = trio
+            new_cols_rows.append(Struct(**rec))
+    col_t = col_t_inner
+    if keep_trio_cols:
+        col_t = col_t._insert_field('source_trio', st.col_type)
+    new_cols = Batch.from_pylist(col_t, new_cols_rows)
+
+    ent_t = ent_t_inner
+    if keep_trio_entries:
+        ent_t = ent_t._insert_field('source_trio_entry', st.entry_type)
+
+    def pf(mb: MatrixBatch, pi: int) -> MatrixBatch:
+        R = mb.n_rows
+        out_flat = []
+        role_cols = [mb.entries[select[role]] for role in roles]
+        role_py = [rc.to_pylist() for rc in role_cols]
+        for r in range(R):
+            for t_i in range(n_trios):
+                for role_i in range(3):
+                    out_flat.append(role_py[role_i][r][t_i])
+        ec = C.from_pylist(ent_t_inner, out_flat).reshape((R, 3 * n_trios))
+        if isinstance(ec, StructColumn):
+            ents = dict(ec.fields)
+            if ec.missing is not None:
+                ents = {k: v.with_missing(v.missing_mask() | ec.missing)
+                        for k, v in ents.items()}
+        else:
+            ents = {}
+        return MatrixBatch(mb.rows, ents)
+
+    st3 = st.map_partitions(pf, new_entry_type=ent_t_inner)
+    return MatrixTable(MatrixStage(st3.globals, new_cols, st3.row_key, col_keys,
+                                   st3.row_type, col_t, ent_t_inner,
+                                   st3.contexts, st3.partition_fn))
+
+
+def phase_trio_matrix_by_transmission(tm: MatrixTable, call_field: str = 'GT',
+                                      phased_call_field: str = 'PBT_GT') -> MatrixTable:
+    """Annotate each trio entry with transmission-phased calls (reference
+    phase_by_transmission.py:209). Proband: father|mother allele; parents:
+    transmitted|untransmitted."""
+    from . import phase_by_transmission as _pbt
+    pe = tm.proband_entry[call_field]
+    fe = tm.father_entry[call_field]
+    me = tm.mother_entry[call_field]
+    calls = F.array([me, fe, pe])
+    phased = _pbt(tm.locus, tm.alleles, calls)
+    return tm.annotate_entries(
+        proband_entry=tm.proband_entry.annotate(**{phased_call_field: phased[2]}),
+        father_entry=tm.father_entry.annotate(**{phased_call_field: phased[1]}),
+        mother_entry=tm.mother_entry.annotate(**{phased_call_field: phased[0]}),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sparse matrix-table ops (reference experimental/sparse_mt/)
+# ---------------------------------------------------------------------------
+
+def densify(sparse_mt: MatrixTable) -> MatrixTable:
+    """Expand reference blocks (END fields) into dense per-position entries
+    (reference sparse_mt/densify.py). Sequential forward-fill of the last
+    reference-block entry per sample within each contig."""
+    st = sparse_mt._stage
+    if 'END' not in st.entry_type.fields:
+        raise ValueError("densify requires an 'END' entry field of type int32")
+    ent_names = [f for f in st.entry_type.fields]
+    out_ent_t = st.entry_type._drop_fields(['END'])
+
+    batches = []
+    carry = None       # per-sample Struct-like dict of last ref-block entry
+    carry_end = None   # per-sample END position
+    carry_contig = None
+    for i, ctx in enumerate(st.contexts):
+        mb = st.partition_fn(ctx)
+        R = mb.n_rows
+        Cn = mb.n_cols
+        if carry is None:
+            carry = [None] * Cn
+            carry_end = np.full(Cn, -1, dtype=np.int64)
+            carry_contig = np.full(Cn, -1, dtype=np.int64)
+        loci = mb.rows.columns['locus']
+        contig = np.asarray(loci.contig_idx)
+        pos = np.asarray(loci.position)
+        g = StructColumn(st.entry_type, dict(mb.entries), None, (R, Cn))
+        rows_py = g.to_pylist()  # list of R lists of C structs/None
+        end_c = mb.entries['END']
+        end_vals = np.asarray(end_c.values)
+        end_miss = end_c.missing_mask()
+        # an entry is missing when every field is missing (filter_entries
+        # marks per-field masks, not a struct-level mask)
+        g_miss = np.logical_and.reduce([c.missing_mask() for c in mb.entries.values()])
+        out_rows = []
+        for r in range(R):
+            row_out = []
+            for s in range(Cn):
+                if not g_miss[r, s]:
+                    e = rows_py[r][s]
+                    if not end_miss[r, s]:
+                        carry[s] = e
+                        carry_end[s] = end_vals[r, s]
+                        carry_contig[s] = contig[r]
+                    row_out.append(e)
+                elif (carry[s] is not None and carry_contig[s] == contig[r]
+                        and carry_end[s] >= pos[r]):
+                    row_out.append(carry[s])
+                else:
+                    row_out.append(None)
+            out_rows.append(row_out)
+        # rebuild entries struct column without END
+        flat = [e if e is None else Struct(**{k: v for k, v in e.items() if k != 'END'})
+                for row in out_rows for e in row]
+        ec = C.from_pylist(out_ent_t, flat).reshape((R, Cn))
+        ents = dict(ec.fields) if isinstance(ec, StructColumn) else {}
+        new_ents = {k: v for k, v in ents.items()}
+        if isinstance(ec, StructColumn) and ec.missing is not None:
+            new_ents = {k: v.with_missing((v.missing_mask() | ec.missing))
+                        for k, v in new_ents.items()}
+        batches.append(MatrixBatch(mb.rows, new_ents))
+
+    def pf(ctx):
+        return batches[int(ctx)]
+    contexts = list(range(len(batches)))
+    return MatrixTable(MatrixStage(st.globals, st.cols, st.row_key, st.col_key,
+                                   st.row_type, st.col_type, out_ent_t,
+                                   contexts, pf))
+
+
+def sparse_split_multi(sparse_mt: MatrixTable, *, filter_changed_loci: bool = False) -> MatrixTable:
+    """Split sparse (gVCF-style) multiallelics: local LGT/LA fields are
+    globalized to GT then split (reference sparse_mt/sparse_split_multi.py).
+    """
+    from ..vds.functions import lgt_to_gt
+    from ..methods.statgen import split_multi_hts
+    mt = sparse_mt
+    if 'LGT' in mt._stage.entry_type.fields and 'LA' in mt._stage.entry_type.fields:
+        mt = mt.annotate_entries(GT=lgt_to_gt(mt.LGT, mt.LA))
+        mt = mt.drop('LGT', 'LA')
+    return split_multi_hts(mt, keep_star=True)
+
+
+# ---------------------------------------------------------------------------
+# export / blocking helpers
+# ---------------------------------------------------------------------------
+
+def export_entries_by_col(mt: MatrixTable, path: str, batch_size: int = 256,
+                          bgzip: bool = True, header_json_in_file: bool = True,
+                          use_string_key_as_file_name: bool = False):
+    """Write one TSV(.bgz) per column with row keys + that column's entries
+    (reference experimental/export_entries_by_col.py)."""
+    import gzip
+    st = mt._stage
+    os.makedirs(path, exist_ok=True)
+    cols_py = st.cols.to_pylist()
+    ckey = st.col_key[0] if st.col_key else None
+    ent_fields = list(st.entry_type.fields)
+    row_key = st.row_key
+    mbs = [st.partition_fn(ctx) for ctx in st.contexts]
+    for j in range(len(cols_py)):
+        name = str(cols_py[j][ckey]) if (use_string_key_as_file_name and ckey) else f'{j:04d}'
+        fp = os.path.join(path, name + ('.tsv.bgz' if bgzip else '.tsv'))
+        op = gzip.open if bgzip else open
+        with op(fp, 'wt') as f:
+            if header_json_in_file:
+                f.write('#' + json.dumps({'col': dict(cols_py[j])},
+                                         cls=__import__('hail_tpu.utils.misc', fromlist=['JSONEncoder']).JSONEncoder) + '\n')
+            f.write('\t'.join(list(row_key) + ent_fields) + '\n')
+            for mb in mbs:
+                g = StructColumn(st.entry_type, dict(mb.entries), None,
+                                 (mb.n_rows, mb.n_cols))
+                col_entries = g.to_pylist()
+                keys = {k: mb.rows.columns[k].to_pylist() for k in row_key}
+                for r in range(mb.n_rows):
+                    e = col_entries[r][j]
+                    vals = [str(keys[k][r]) for k in row_key]
+                    for fn2 in ent_fields:
+                        v = None if e is None else e.get(fn2)
+                        vals.append('NA' if v is None else str(v))
+                    f.write('\t'.join(vals) + '\n')
+
+
+def mt_to_table_of_ndarray(entry_expr, block_size: int = 16,
+                           return_checkpointed_table_also: bool = False,
+                           partition_size=None, window_size=None):
+    """Blocks of the entry matrix as ndarray-typed table rows (reference
+    experimental/table_ndarray_utils.py)."""
+    from ..methods.statgen import _entry_expr_to_blocks
+    e = to_expr(entry_expr)
+    G, M = _entry_expr_to_blocks(e)
+    G = np.where(M, 0.0, G.astype(np.float64)) if M is not None else G
+    n = G.shape[0]
+    rows = []
+    for start in range(0, n, block_size):
+        rows.append(Struct(idx=start // block_size,
+                           ndarray=G[start:start + block_size]))
+    t_row = ht.tstruct(idx=ht.tint64, ndarray=ht.tndarray(ht.tfloat64, 2))
+    t = Table(TableStage.from_batches(Batch({}, 1), ['idx'], t_row,
+                                      [Batch.from_pylist(t_row, rows)]))
+    if return_checkpointed_table_also:
+        return t, t
+    return t
+
+
+def block_matrices_tofiles(bms: List, prefix: str, overwrite: bool = False):
+    """Write each BlockMatrix's data to `prefix<i>` as raw row-major float64
+    (reference experimental/write_multiple.py block_matrices_tofiles)."""
+    for i, bm in enumerate(bms):
+        arr = np.asarray(bm.to_numpy(), dtype=np.float64)
+        p = f'{prefix}{i}'
+        if os.path.exists(p) and not overwrite:
+            raise FileExistsError(p)
+        arr.tofile(p)
+
+
+def export_block_matrices(bms: List, prefix: str, overwrite: bool = False,
+                          delimiter: str = '\t', header=None, add_index=False,
+                          compression=None, custom_filenames=None):
+    """Export BlockMatrices as delimited text (reference write_multiple.py)."""
+    for i, bm in enumerate(bms):
+        name = custom_filenames[i] if custom_filenames else f'{i}.tsv'
+        p = os.path.join(prefix, name) if os.path.isdir(prefix) or prefix.endswith('/') \
+            else f'{prefix}{name}'
+        os.makedirs(os.path.dirname(p) or '.', exist_ok=True)
+        arr = np.asarray(bm.to_numpy())
+        with open(p, 'w') as f:
+            if header:
+                f.write(header + '\n')
+            for r_i, row in enumerate(arr):
+                pre = [str(r_i)] if add_index else []
+                f.write(delimiter.join(pre + [repr(float(x)) for x in row]) + '\n')
+
+
+def write_block_matrices(bms: List, prefix: str, overwrite: bool = False):
+    """Write BlockMatrices in native format `prefix<i>.bm` (reference
+    write_multiple.py)."""
+    for i, bm in enumerate(bms):
+        bm.write(f'{prefix}{i}.bm', overwrite=overwrite)
+
+
+def write_matrix_tables(mts: List[MatrixTable], prefix: str,
+                        overwrite: bool = False):
+    """Write several MatrixTables under a shared prefix (reference
+    write_multiple.py write_matrix_tables)."""
+    paths = []
+    for i, m in enumerate(mts):
+        p = f'{prefix}{i}.mt'
+        m.write(p, overwrite=overwrite)
+        paths.append(p)
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# plots + datasets (reference experimental/plots.py, db.py)
+# ---------------------------------------------------------------------------
+
+def plot_roc_curve(ht_, scores, tp_label: str = 'tp', fp_label: str = 'fp',
+                   colors=None, title: str = 'ROC Curve', hover_mode='mouse'):
+    """ROC curves for score fields over a labeled table; returns
+    (figure, aucs) (reference experimental/plots.py)."""
+    import matplotlib.pyplot as plt
+    if isinstance(scores, str):
+        scores = [scores]
+    rows = ht_.collect()
+    fig, ax = plt.subplots()
+    aucs = []
+    for s in scores:
+        pairs = [(r[s], bool(r[tp_label])) for r in rows if r[s] is not None]
+        pairs.sort(key=lambda x: -x[0])
+        n_pos = sum(1 for _, y in pairs if y)
+        n_neg = len(pairs) - n_pos
+        tps = fps = 0
+        xs, ys = [0.0], [0.0]
+        for _, y in pairs:
+            if y:
+                tps += 1
+            else:
+                fps += 1
+            xs.append(fps / max(n_neg, 1))
+            ys.append(tps / max(n_pos, 1))
+        auc = float(np.trapezoid(ys, xs))
+        aucs.append(auc)
+        ax.plot(xs, ys, label=f'{s} (AUC={auc:.4f})')
+    ax.plot([0, 1], [0, 1], 'k--', alpha=0.3)
+    ax.set_xlabel('false positive rate')
+    ax.set_ylabel('true positive rate')
+    ax.set_title(title)
+    ax.legend()
+    return fig, aucs
+
+
+def hail_metadata(t_path: str):
+    """Plot per-partition row counts from a written table/matrix-table's
+    metadata (reference experimental/plots.py hail_metadata)."""
+    import matplotlib.pyplot as plt
+    meta_p = os.path.join(t_path, 'metadata.json')
+    if not os.path.exists(meta_p):
+        raise FileNotFoundError(f'no metadata.json under {t_path}')
+    with open(meta_p) as f:
+        md = json.load(f)
+    counts = md.get('partition_counts') or md.get('partition_rows') or []
+    fig, ax = plt.subplots()
+    ax.bar(range(len(counts)), counts)
+    ax.set_xlabel('partition')
+    ax.set_ylabel('rows')
+    ax.set_title(os.path.basename(t_path))
+    return fig
+
+
+def get_gene_intervals(gene_symbols=None, gene_ids=None, transcript_ids=None,
+                       verbose: bool = True, reference_genome=None,
+                       gtf_file=None):
+    """Intervals for the requested genes/transcripts from a GTF (reference
+    experimental/import_gtf.py get_gene_intervals). `gtf_file` is required in
+    this build (no egress to fetch Gencode)."""
+    from . import import_gtf
+    if gtf_file is None:
+        raise ValueError('get_gene_intervals: gtf_file is required (no '
+                         'network egress to download Gencode GTFs)')
+    ht_ = import_gtf(gtf_file, reference_genome=reference_genome,
+                     skip_invalid_contigs=True)
+    rows = ht_.collect()
+    out = []
+    want_sym = set(gene_symbols or [])
+    want_id = set(gene_ids or [])
+    want_tx = set(transcript_ids or [])
+    for r in rows:
+        feat = r.get('feature') if hasattr(r, 'get') else r['feature']
+        if feat == 'gene' and (r.get('gene_name') in want_sym or r.get('gene_id') in want_id):
+            out.append(r.interval)
+        elif feat == 'transcript' and r.get('transcript_id') in want_tx:
+            out.append(r.interval)
+    if verbose:
+        print(f'get_gene_intervals: found {len(out)} intervals')
+    return out
+
+
+class DB:
+    """Annotation database (reference experimental/db.py). The dataset
+    registry lives in cloud buckets; this build has no egress."""
+
+    def __init__(self, *, region='us-central1', cloud='gcp', url=None,
+                 config=None):
+        raise NotImplementedError(
+            'hl.experimental.DB requires the cloud-hosted annotation dataset '
+            'registry; this build has no network egress. Use '
+            'hl.experimental.import_gtf / import_table on local copies.')

@@ -35,6 +35,10 @@ class Struct(Mapping):
     def __setattr__(self, name: str, value: Any) -> None:
         raise TypeError('Struct is immutable')
 
+    def __reduce__(self):
+        # __slots__ + immutable __setattr__ need explicit pickle support
+        return (_struct_from_dict, (dict(self._fields),))
+
     def __getitem__(self, name: str) -> Any:
         return self._fields[name]
 
@@ -179,3 +183,7 @@ class Interval:
         if c1 > 0 or (c1 == 0 and not self.includes_end):
             return False
         return True
+
+
+def _struct_from_dict(d):
+    return Struct(**d)

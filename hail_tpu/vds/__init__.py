@@ -383,3 +383,322 @@ def new_combiner(**kwargs):
 def load_combiner(path: str):
     from .combiner import load_combiner as lc
     return lc(path)
+
+
+# ---------------------------------------------------------------------------
+# round-2 parity batch (reference vds/methods.py, impex.py, functions.py)
+# ---------------------------------------------------------------------------
+
+from .functions import lgt_to_gt, local_to_global  # noqa: E402
+from . import combiner  # noqa: E402
+from ..expr.expression import to_expr  # noqa: E402
+from ..utils.structs import Struct  # noqa: E402
+
+
+def write_variant_datasets(vdss, paths, *, overwrite: bool = False,
+                           stage_locally: bool = False, codec_spec=None):
+    """Write many VDSes (reference vds/methods.py:12)."""
+    for v, p in zip(vdss, paths):
+        v.write(p, overwrite=overwrite)
+
+
+def read_dense_mt(path: str) -> MatrixTable:
+    """Read a VDS path directly as a dense MatrixTable (reference
+    vds/impex.py:43)."""
+    return to_dense_mt(read_vds(path))
+
+
+def import_vcf(path, **kwargs) -> 'VariantDataset':
+    """Import a (g)VCF as a VariantDataset (reference vds/impex.py:349)."""
+    from ..methods.impex import import_vcf as _ivcf
+    mt = _ivcf(path, **kwargs)
+    return VariantDataset.from_merged_representation(mt)
+
+
+def export_vcf(vds: 'VariantDataset', path: str, **kwargs) -> None:
+    """Export the dense representation of a VariantDataset as VCF (reference
+    vds/impex.py:210)."""
+    from ..methods.impex import export_vcf as _evcf
+    _evcf(to_dense_mt(vds), path, **kwargs)
+
+
+def filter_chromosomes(vds: 'VariantDataset', *, keep=None, remove=None,
+                       keep_autosomes: bool = False) -> 'VariantDataset':
+    """Filter VDS contigs by keep/remove list or autosomes-only (reference
+    vds/methods.py:527)."""
+    n_args = (keep is not None) + (remove is not None) + bool(keep_autosomes)
+    if n_args != 1:
+        raise ValueError("filter_chromosomes: pass exactly one of 'keep', "
+                         "'remove', or 'keep_autosomes'")
+    rd = vds.reference_data
+    rg = rd.rows().collect()[0].locus.reference_genome if rd.count_rows() else None
+    if rg is None:
+        rg = vds.variant_data.rows().collect()[0].locus.reference_genome
+
+    if keep is not None:
+        to_keep = keep if isinstance(keep, list) else [keep]
+    elif remove is not None:
+        rem = set(remove if isinstance(remove, list) else [remove])
+        to_keep = [c for c in rg.contigs if c not in rem]
+    else:
+        special = set(list(rg.x_contigs) + list(rg.y_contigs) + list(rg.mt_contigs))
+        to_keep = [c for c in rg.contigs if c not in special]
+    keep_set = F.literal(set(to_keep))
+
+    def filt(mt):
+        return mt.filter_rows(keep_set.contains(mt.locus.contig))
+    return VariantDataset(filt(vds.reference_data), filt(vds.variant_data))
+
+
+def impute_sex_chr_ploidy_from_interval_coverage(mt: MatrixTable,
+                                                 normalization_contig: str):
+    """Estimate X/Y ploidy from an interval-coverage matrix table (reference
+    vds/methods.py:262): mean depth on sex contigs normalized by the mean
+    depth on `normalization_contig`, times 2."""
+    rows = mt.rows().collect()
+    st = mt._stage
+    contigs = []
+    for i, ctx in enumerate(st.contexts):
+        mb = st.partition_fn(ctx)
+        ivs = mb.rows.columns['interval'].to_pylist()
+        dp_c = mb.entries['sum_dp']
+        bases_c = mb.entries.get('interval_size')
+        import numpy as _np
+        dp = _np.asarray(dp_c.values, dtype=_np.float64)
+        if bases_c is not None:
+            sz = _np.asarray(bases_c.values, dtype=_np.float64)
+        else:
+            sz = _np.ones_like(dp)
+        for r, iv in enumerate(ivs):
+            contigs.append((iv.start.contig, dp[r], sz[r]))
+    import numpy as _np
+    from collections import defaultdict
+    dp_by = defaultdict(lambda: [0.0, 0.0])
+    rg = rows[0].interval.start.reference_genome if rows else None
+    for ctg, dp, sz in contigs:
+        acc = dp_by[ctg]
+        acc[0] = acc[0] + dp
+        acc[1] = acc[1] + sz
+    cols_py = st.cols.to_pylist()
+    skey = st.col_key[0]
+    norm = dp_by.get(normalization_contig)
+    if norm is None:
+        raise ValueError(f'normalization contig {normalization_contig!r} has '
+                         f'no coverage rows')
+    norm_mean = norm[0] / _np.maximum(norm[1], 1)
+    out_rows = []
+    x_c = rg.x_contigs[0] if rg else 'X'
+    y_c = rg.y_contigs[0] if rg else 'Y'
+    for j, c in enumerate(cols_py):
+        def mean_of(ctg):
+            acc = dp_by.get(ctg)
+            if acc is None or acc[1] == 0:
+                return None
+            m = acc[0][j] / acc[1] if hasattr(acc[0], '__len__') else acc[0] / acc[1]
+            return m
+        xm = mean_of(x_c)
+        ym = mean_of(y_c)
+        am = norm_mean if not hasattr(norm_mean, '__len__') else norm_mean[j]
+        out_rows.append(Struct(**{skey: c[skey]},
+                               autosomal_mean_dp=float(am),
+                               x_mean_dp=None if xm is None else float(xm),
+                               x_ploidy=None if xm is None else float(2 * xm / am),
+                               y_mean_dp=None if ym is None else float(ym),
+                               y_ploidy=None if ym is None else float(2 * ym / am)))
+    t_row = ht.tstruct(**{skey: st.col_type[skey]},
+                       autosomal_mean_dp=ht.tfloat64,
+                       x_mean_dp=ht.tfloat64, x_ploidy=ht.tfloat64,
+                       y_mean_dp=ht.tfloat64, y_ploidy=ht.tfloat64)
+    from ..ir.columns import Batch
+    from ..table import Table, TableStage
+    return Table(TableStage.from_batches(Batch({}, 1), [skey], t_row,
+                                         [Batch.from_pylist(t_row, out_rows)]))
+
+
+def merge_reference_blocks(ds, equivalence_function, merge_functions=None):
+    """Merge adjacent per-sample reference blocks when the user equivalence
+    holds (reference vds/methods.py:996). Host-tier sequential pass."""
+    from ..utils.structs import Struct as _S
+    is_vds = isinstance(ds, VariantDataset)
+    rd = ds.reference_data if is_vds else ds
+    st = rd._stage
+    ent_t = st.entry_type
+    samples = st.cols.to_pylist()
+    n_s = len(samples)
+
+    def equivalent(b1, b2):
+        r = equivalence_function(F.literal(b1, ent_t), F.literal(b2, ent_t))
+        return bool(F.eval_expr(to_expr(r)))
+
+    def do_merge(b1, b2):
+        new = dict(b2)
+        out = dict(b1)
+        out['END'] = new['END']
+        if merge_functions:
+            for k, f in merge_functions.items():
+                if isinstance(f, str):
+                    fl = f.lower()
+                    if fl == 'min':
+                        out[k] = min(b1[k], b2[k])
+                    elif fl == 'max':
+                        out[k] = max(b1[k], b2[k])
+                    elif fl == 'sum':
+                        out[k] = b1[k] + b2[k]
+                    else:
+                        raise ValueError(f'unknown merge function {f!r}')
+                else:
+                    out[k] = F.eval_expr(to_expr(
+                        f(F.literal(b1, ent_t), F.literal(b2, ent_t))))
+        return _S(**out)
+
+    # collect per-sample block lists
+    per_sample = [[] for _ in range(n_s)]
+    from ..matrixtable import MatrixBatch as _MB
+    from ..ir.columns import StructColumn as _SC
+    for i, ctx in enumerate(st.contexts):
+        mb = st.partition_fn(ctx)
+        g = _SC(ent_t, dict(mb.entries), None, (mb.n_rows, mb.n_cols))
+        ents = g.to_pylist()
+        emiss = np.logical_and.reduce([c.missing_mask() for c in mb.entries.values()])
+        loci = mb.rows.columns['locus'].to_pylist()
+        for r in range(mb.n_rows):
+            for s in range(mb.n_cols):
+                e = ents[r][s]
+                if e is not None and not emiss[r, s]:
+                    per_sample[s].append((loci[r], e))
+    merged = [[] for _ in range(n_s)]
+    for s in range(n_s):
+        for loc, block in per_sample[s]:
+            if merged[s]:
+                ploc, pblock = merged[s][-1]
+                if (ploc.contig == loc.contig and pblock['END'] + 1 == loc.position
+                        and equivalent(pblock, block)):
+                    merged[s][-1] = (ploc, do_merge(pblock, block))
+                    continue
+            merged[s].append((loc, block))
+    # rebuild: rows = distinct start loci
+    keyfn = lambda l: (l._rg.contig_index(l.contig), l.position)
+    all_loci = sorted({(keyfn(l), l) for s in range(n_s) for l, _ in merged[s]},
+                      key=lambda x: x[0])
+    loci_sorted = [l for _, l in all_loci]
+    pos_of = {k: i for i, (k, _) in enumerate(all_loci)}
+    R = len(loci_sorted)
+    flat = [None] * (R * n_s)
+    for s in range(n_s):
+        for l, b in merged[s]:
+            flat[pos_of[keyfn(l)] * n_s + s] = b
+    ec = C.from_pylist(ent_t, flat).reshape((R, n_s))
+    from ..ir.columns import Batch as _B
+    lt = st.row_type['locus']
+    alleles_list = [['N', '<NON_REF>']] * R
+    rows_cols = {'locus': C.from_pylist(lt, loci_sorted)}
+    if 'alleles' in st.row_type.fields:
+        rows_cols['alleles'] = C.from_pylist(ht.tarray(ht.tstr), alleles_list)
+    rows = _B(rows_cols, R)
+    ents = dict(ec.fields)
+    if ec.missing is not None:
+        ents = {k: v.with_missing(v.missing_mask() | ec.missing)
+                for k, v in ents.items()}
+    row_t = ht.tstruct(**{k: rows_cols[k].typ if hasattr(rows_cols[k], 'typ') else st.row_type[k]
+                          for k in rows_cols})
+    from ..matrixtable import MatrixStage as _MS, MatrixTable as _MT
+    batches = [_MB(rows, ents)]
+    new_rd = _MT(_MS(st.globals, st.cols, st.row_key, st.col_key,
+                     st.row_type, st.col_type, ent_t,
+                     [0], lambda ctx: batches[int(ctx)]))
+    if is_vds:
+        return VariantDataset(new_rd, ds.variant_data)
+    return new_rd
+
+
+def segment_reference_blocks(ref: MatrixTable, intervals) -> MatrixTable:
+    """Segment reference blocks at interval boundaries; loci outside the
+    intervals are dropped (reference vds/methods.py:658). Host-tier."""
+    from ..ir.columns import StructColumn as _SC, Batch as _B
+    from ..matrixtable import MatrixBatch as _MB, MatrixStage as _MS, MatrixTable as _MT
+    key_names = list(intervals._stage.key) if hasattr(intervals._stage, 'key') else []
+    iv_field = key_names[0] if key_names else list(intervals.row)[0]
+    ivs = [r[iv_field] for r in intervals.collect()]
+    st = ref._stage
+    ent_t = st.entry_type
+    n_s = st.cols.length
+    out = {}   # (contig_idx, pos) -> locus
+    cells = {}  # (row_key, sample) -> block
+    for i, ctx in enumerate(st.contexts):
+        mb = st.partition_fn(ctx)
+        g = _SC(ent_t, dict(mb.entries), None, (mb.n_rows, mb.n_cols))
+        ents = g.to_pylist()
+        emiss = np.logical_and.reduce([c.missing_mask() for c in mb.entries.values()])
+        loci = mb.rows.columns['locus'].to_pylist()
+        for r in range(mb.n_rows):
+            loc = loci[r]
+            for iv in ivs:
+                if iv.start.contig != loc.contig:
+                    continue
+                iv_start = iv.start.position
+                iv_end = iv.end.position + (0 if iv.includes_end else -1)
+                for s in range(mb.n_cols):
+                    e = ents[r][s]
+                    if e is None or emiss[r, s]:
+                        continue
+                    b_start = loc.position
+                    b_end = e['END']
+                    seg_start = max(b_start, iv_start)
+                    seg_end = min(b_end, iv_end)
+                    if seg_start > seg_end:
+                        continue
+                    new_loc = type(loc)(loc.contig, seg_start, loc._rg) \
+                        if b_start != seg_start else loc
+                    nb = dict(e)
+                    nb['END'] = seg_end
+                    k = (loc._rg.contig_index(new_loc.contig), new_loc.position)
+                    out[k] = new_loc
+                    cells[(k, s)] = Struct(**nb)
+    keys = sorted(out)
+    R = len(keys)
+    flat = [cells.get((k, s)) for k in keys for s in range(n_s)]
+    ec = C.from_pylist(ent_t, flat).reshape((R, n_s))
+    lt = st.row_type['locus']
+    rows_cols = {'locus': C.from_pylist(lt, [out[k] for k in keys])}
+    for kf in st.row_type.fields:
+        if kf not in rows_cols and kf == 'alleles':
+            rows_cols[kf] = C.from_pylist(ht.tarray(ht.tstr),
+                                          [['N', '<NON_REF>']] * R)
+    rows = _B(rows_cols, R)
+    ents = dict(ec.fields)
+    if ec.missing is not None:
+        ents = {k: v.with_missing(v.missing_mask() | ec.missing)
+                for k, v in ents.items()}
+    batches = [_MB(rows, ents)]
+    return _MT(_MS(st.globals, st.cols, st.row_key, st.col_key,
+                   st.row_type, st.col_type, ent_t,
+                   [0], lambda ctx: batches[int(ctx)]))
+
+
+def store_ref_block_max_length(vds_path: str) -> None:
+    """Compute and store the maximum reference-block length in the VDS
+    metadata to speed up interval filters (reference
+    vds/variant_dataset.py:71)."""
+    import json as _json
+    v = read_vds(vds_path)
+    rd = v.reference_data
+    st = rd._stage
+    max_len = 0
+    for i, ctx in enumerate(st.contexts):
+        mb = st.partition_fn(ctx)
+        import numpy as _np
+        end_c = mb.entries['END']
+        ends = _np.asarray(end_c.values, dtype=_np.int64)
+        miss = end_c.missing_mask()
+        pos = _np.asarray(mb.rows.columns['locus'].position)[:, None]
+        lens = _np.where(miss, 0, ends - pos + 1)
+        if lens.size:
+            max_len = max(max_len, int(lens.max()))
+    meta_p = os.path.join(vds_path, 'metadata.json')
+    meta = {}
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            meta = _json.load(f)
+    meta['ref_block_max_length'] = max_len
+    with open(meta_p, 'w') as f:
+        _json.dump(meta, f)

@@ -286,3 +286,35 @@ def test_namespace_parity_with_reference():
                 if n not in ('ndarray_broadcasting',) and not hasattr(hl, n)
                 and not hasattr(hl.expr.functions, n) and not hasattr(hl.expr.functions, n + '_')]
     assert fmissing == [], fmissing
+
+
+def test_experimental_extras():
+    # loop (tail recursion), tidyr, time, EM, filtering AF
+    assert hl.eval(hl.experimental.loop(
+        lambda recur, x, acc: hl.if_else(x == 0, acc, recur(x - 1, acc + x)),
+        'int32', 5, 0)) == 15
+    t = hl.Table.parallelize([{'s': 'a', 'x': 1, 'y': 2}, {'s': 'b', 'x': 3, 'y': 4}],
+                             hl.dtype('struct{s:str,x:int32,y:int32}'))
+    long = hl.experimental.gather(t, 'key', 'val', 'x', 'y')
+    assert long.count() == 4
+    assert hl.experimental.spread(long, 'key', 'val').count() == 2
+    assert hl.eval(hl.experimental.strftime(
+        '%Y.%m.%d', 1562569201, 'America/New_York')) == '2019.07.08'
+    em = hl.eval(hl.experimental.haplotype_freq_em([20, 10, 5, 10, 10, 5, 5, 5, 5]))
+    assert abs(sum(em) - 150.0) < 1e-6
+    faf = hl.eval(hl.experimental.filtering_allele_frequency(25, 8000, 0.95))
+    assert 0 < faf < 25 / 8000
+
+
+def test_explode_and_phase_trio_matrix():
+    res = '/root/reference/hail/hail/test/resources/'
+    ped = hl.Pedigree.read(res + 'mendel.fam')
+    mt = hl.import_vcf(res + 'mendel.vcf')
+    tm = hl.trio_matrix(mt, ped, complete_trios=True)
+    ex = hl.experimental.explode_trio_matrix(tm)
+    assert ex.count_cols() == 3 * tm.count_cols()
+    assert 'GT' in ex.entry
+    ph = hl.experimental.phase_trio_matrix_by_transmission(tm)
+    phased = [str(e.proband_entry.get('PBT_GT')) for e in ph.entries().collect()
+              if e.proband_entry and e.proband_entry.get('PBT_GT') is not None]
+    assert phased and all('|' in p for p in phased)

@@ -154,3 +154,51 @@ def test_truncate_reference_blocks(gvcfs):
     rows = t.reference_data.rows().collect()
     assert rows[0].locus.position == 100 and rows[0]['__END'] == 129
     assert rows[-1]['__END'] == 200
+
+
+def test_lgt_to_gt_and_local_to_global():
+    assert str(hl.eval(hl.vds.lgt_to_gt(hl.call(0, 1), hl.literal([0, 3])))) == '0/3'
+    assert hl.eval(hl.vds.local_to_global(
+        hl.literal([9, 10]), hl.literal([0, 2]), 3, 0, 'R')) == [9, 0, 10]
+    assert hl.eval(hl.vds.local_to_global(
+        hl.literal([94, 0, 123]), hl.literal([0, 2]), 3, 999, 'G')) == \
+        [94, 999, 999, 0, 999, 123]
+    assert hl.eval(hl.vds.local_to_global(
+        hl.literal([10]), hl.literal([0, 2]), 3, 0, 'A')) == [0, 10]
+
+
+def _ref_block_mt():
+    mt = hl.utils.range_matrix_table(3, 2)
+    mt = mt.key_rows_by(locus=hl.locus('1', 100 + mt.row_idx * 10),
+                        alleles=hl.literal(['N', '<NON_REF>']))
+    mt = mt.annotate_entries(GT=hl.call(0, 0),
+                             END=hl.or_missing(mt.row_idx == 0,
+                                               hl.int32(115 + mt.col_idx * 10)))
+    return mt.filter_entries(mt.row_idx == 0)
+
+
+def test_densify_fills_reference_blocks():
+    d = hl.experimental.densify(_ref_block_mt())
+    ents = {(e.locus.position, e.col_idx): str(e.GT)
+            for e in d.entries().collect() if e.GT is not None}
+    assert ents.get((110, 0)) == '0/0' and (120, 0) not in ents
+    assert ents.get((110, 1)) == '0/0' and ents.get((120, 1)) == '0/0'
+
+
+def test_segment_and_merge_reference_blocks():
+    mt = _ref_block_mt()
+    iv = hl.Table.parallelize(
+        [{'interval': hl.Interval(hl.Locus('1', 105), hl.Locus('1', 118), True, False)}],
+        hl.dtype('struct{interval: interval<locus<GRCh37>>}')).key_by('interval')
+    seg = hl.vds.segment_reference_blocks(mt, iv)
+    rows = [(e.locus.position, e.col_idx, e.END)
+            for e in seg.entries().collect() if e.END is not None]
+    assert (105, 0, 115) in rows and (105, 1, 117) in rows
+    mt3 = hl.utils.range_matrix_table(2, 1)
+    mt3 = mt3.key_rows_by(locus=hl.locus('1', 100 + mt3.row_idx * 10),
+                          alleles=hl.literal(['N', '<NON_REF>']))
+    mt3 = mt3.annotate_entries(END=hl.int32(109 + mt3.row_idx * 10), GQ=30)
+    merged = hl.vds.merge_reference_blocks(mt3, lambda b1, b2: b1.GQ == b2.GQ)
+    out = [(e.locus.position, e.END) for e in merged.entries().collect()
+           if e.END is not None]
+    assert out == [(100, 119)]
