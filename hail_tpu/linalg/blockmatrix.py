@@ -32,7 +32,7 @@ DEFAULT_BLOCK_SIZE = 4096  # API parity: reference BlockMatrix.scala:107
 class BlockMatrix:
     def __init__(self, data: jnp.ndarray, block_size: int = DEFAULT_BLOCK_SIZE):
         self._data = data
-        self.block_size = block_size
+        self._block_size = block_size
 
     # -- constructors ------------------------------------------------------
     @classmethod
@@ -99,7 +99,7 @@ class BlockMatrix:
         os.makedirs(path)
         np.save(os.path.join(path, 'data.npy'), np.asarray(self._data))
         with open(os.path.join(path, 'metadata.json'), 'w') as f:
-            json.dump({'shape': list(self.shape), 'block_size': self.block_size}, f)
+            json.dump({'shape': list(self.shape), 'block_size': self._block_size}, f)
 
     @staticmethod
     def write_from_entry_expr(entry_expr, path: str, overwrite: bool = False,
@@ -128,7 +128,7 @@ class BlockMatrix:
 
     @property
     def T(self) -> 'BlockMatrix':
-        return BlockMatrix(self._data.T, self.block_size)
+        return BlockMatrix(self._data.T, self._block_size)
 
     def transpose(self) -> 'BlockMatrix':
         return self.T
@@ -142,46 +142,46 @@ class BlockMatrix:
         return other
 
     def __add__(self, other):
-        return BlockMatrix(self._data + self._coerce(other), self.block_size)
+        return BlockMatrix(self._data + self._coerce(other), self._block_size)
 
     __radd__ = __add__
 
     def __sub__(self, other):
-        return BlockMatrix(self._data - self._coerce(other), self.block_size)
+        return BlockMatrix(self._data - self._coerce(other), self._block_size)
 
     def __rsub__(self, other):
-        return BlockMatrix(self._coerce(other) - self._data, self.block_size)
+        return BlockMatrix(self._coerce(other) - self._data, self._block_size)
 
     def __mul__(self, other):
-        return BlockMatrix(self._data * self._coerce(other), self.block_size)
+        return BlockMatrix(self._data * self._coerce(other), self._block_size)
 
     __rmul__ = __mul__
 
     def __truediv__(self, other):
-        return BlockMatrix(self._data / self._coerce(other), self.block_size)
+        return BlockMatrix(self._data / self._coerce(other), self._block_size)
 
     def __rtruediv__(self, other):
-        return BlockMatrix(self._coerce(other) / self._data, self.block_size)
+        return BlockMatrix(self._coerce(other) / self._data, self._block_size)
 
     def __pow__(self, x):
-        return BlockMatrix(self._data ** x, self.block_size)
+        return BlockMatrix(self._data ** x, self._block_size)
 
     def __neg__(self):
-        return BlockMatrix(-self._data, self.block_size)
+        return BlockMatrix(-self._data, self._block_size)
 
     def abs(self):
-        return BlockMatrix(jnp.abs(self._data), self.block_size)
+        return BlockMatrix(jnp.abs(self._data), self._block_size)
 
     def sqrt(self):
-        return BlockMatrix(jnp.sqrt(self._data), self.block_size)
+        return BlockMatrix(jnp.sqrt(self._data), self._block_size)
 
     def log(self):
-        return BlockMatrix(jnp.log(self._data), self.block_size)
+        return BlockMatrix(jnp.log(self._data), self._block_size)
 
     # -- matmul ------------------------------------------------------------
     def __matmul__(self, other) -> 'BlockMatrix':
         o = self._coerce(other)
-        return BlockMatrix(_sharded_matmul(self._data, o), self.block_size)
+        return BlockMatrix(_sharded_matmul(self._data, o), self._block_size)
 
     dot = __matmul__
 
@@ -197,10 +197,10 @@ class BlockMatrix:
         if axis is None:
             return float(jnp.sum(self._data))
         s = jnp.sum(self._data, axis=axis, keepdims=True)
-        return BlockMatrix(s, self.block_size)
+        return BlockMatrix(s, self._block_size)
 
     def diagonal(self) -> 'BlockMatrix':
-        return BlockMatrix(jnp.diagonal(self._data).reshape(1, -1), self.block_size)
+        return BlockMatrix(jnp.diagonal(self._data).reshape(1, -1), self._block_size)
 
     # -- indexing / slicing ------------------------------------------------
     def __getitem__(self, idx) -> Union[float, 'BlockMatrix']:
@@ -211,14 +211,14 @@ class BlockMatrix:
             out = self._data[r, c]
             if out.ndim == 1:
                 out = out.reshape(1, -1) if isinstance(r, int) else out.reshape(-1, 1)
-            return BlockMatrix(out, self.block_size)
+            return BlockMatrix(out, self._block_size)
         raise TypeError('BlockMatrix indexing requires a 2-tuple')
 
     def filter_rows(self, rows: Sequence[int]) -> 'BlockMatrix':
-        return BlockMatrix(self._data[jnp.asarray(list(rows))], self.block_size)
+        return BlockMatrix(self._data[jnp.asarray(list(rows))], self._block_size)
 
     def filter_cols(self, cols: Sequence[int]) -> 'BlockMatrix':
-        return BlockMatrix(self._data[:, jnp.asarray(list(cols))], self.block_size)
+        return BlockMatrix(self._data[:, jnp.asarray(list(cols))], self._block_size)
 
     def filter(self, rows: Sequence[int], cols: Sequence[int]) -> 'BlockMatrix':
         return self.filter_rows(rows).filter_cols(cols)
@@ -230,7 +230,7 @@ class BlockMatrix:
         i = jnp.arange(n).reshape(-1, 1)
         j = jnp.arange(m).reshape(1, -1)
         if blocks_only:
-            bs = self.block_size
+            bs = self._block_size
             bi, bj = i // bs, j // bs
             lo = (bj * bs) - (bi * bs + bs - 1)
             hi = (bj * bs + bs - 1) - (bi * bs)
@@ -238,7 +238,7 @@ class BlockMatrix:
         else:
             d = j - i
             mask = (d >= lower) & (d <= upper)
-        return BlockMatrix(jnp.where(mask, self._data, 0.0), self.block_size)
+        return BlockMatrix(jnp.where(mask, self._data, 0.0), self._block_size)
 
     def sparsify_triangle(self, lower: bool = False, blocks_only: bool = False) -> 'BlockMatrix':
         n, m = self.shape
@@ -253,7 +253,7 @@ class BlockMatrix:
         stops_a = jnp.asarray(list(stops)).reshape(-1, 1)
         j = jnp.arange(m).reshape(1, -1)
         mask = (j >= starts_a) & (j < stops_a)
-        return BlockMatrix(jnp.where(mask, self._data, 0.0), self.block_size)
+        return BlockMatrix(jnp.where(mask, self._data, 0.0), self._block_size)
 
     def sparsify_rectangles(self, rectangles: Sequence[Sequence[int]]) -> 'BlockMatrix':
         n, m = self.shape
@@ -262,7 +262,7 @@ class BlockMatrix:
             i = jnp.arange(n).reshape(-1, 1)
             j = jnp.arange(m).reshape(1, -1)
             mask = mask | ((i >= r0) & (i < r1) & (j >= c0) & (j < c1))
-        return BlockMatrix(jnp.where(mask, self._data, 0.0), self.block_size)
+        return BlockMatrix(jnp.where(mask, self._data, 0.0), self._block_size)
 
     densify = lambda self: self
 
@@ -355,7 +355,119 @@ class BlockMatrix:
         raise NotImplementedError('rectangles export: planned (round 2)')
 
     def __repr__(self):
-        return f'<BlockMatrix {self.n_rows}x{self.n_cols}, block_size={self.block_size}>'
+        return f'<BlockMatrix {self.n_rows}x{self.n_cols}, block_size={self._block_size}>'
+
+
+    # -- round-2 parity batch (reference linalg/blockmatrix.py) ------------
+
+    @property
+    def block_size(self) -> int:
+        return self._block_size
+
+    @property
+    def element_type(self):
+        from .. import types as ht
+        return ht.tfloat64
+
+    @staticmethod
+    def default_block_size() -> int:
+        return DEFAULT_BLOCK_SIZE
+
+    def ceil(self) -> 'BlockMatrix':
+        return BlockMatrix(jnp.ceil(self._data), self._block_size)
+
+    def floor(self) -> 'BlockMatrix':
+        return BlockMatrix(jnp.floor(self._data), self._block_size)
+
+    def pad(self, n_rows: int, n_cols: int, value: float = 0.0) -> 'BlockMatrix':
+        """Pad to (n_rows, n_cols) with `value` (used by blocked algorithms)."""
+        r, c = self.shape
+        out = jnp.full((n_rows, n_cols), value, dtype=self._data.dtype)
+        out = out.at[:r, :c].set(self._data)
+        return BlockMatrix(out, self._block_size)
+
+    @classmethod
+    def from_ndarray(cls, nd, block_size: int = None) -> 'BlockMatrix':
+        """Build from an ndarray expression or host array (reference
+        blockmatrix.py from_ndarray)."""
+        from ..expr.expression import Expression
+        if isinstance(nd, Expression):
+            from ..expr import functions as F
+            nd = F.eval_expr(nd)
+        return cls.from_numpy(np.asarray(nd, dtype=np.float64),
+                              block_size or DEFAULT_BLOCK_SIZE)
+
+    def tofile(self, uri: str) -> None:
+        """Write raw row-major float64 data (reference blockmatrix.py
+        tofile; readable by numpy.fromfile)."""
+        np.asarray(self.to_numpy(), dtype=np.float64).tofile(uri)
+
+    @classmethod
+    def fromfile(cls, uri: str, n_rows: int, n_cols: int,
+                 block_size: int = None, *, _assert_type=None) -> 'BlockMatrix':
+        arr = np.fromfile(uri, dtype=np.float64).reshape(n_rows, n_cols)
+        return cls.from_numpy(arr, block_size or DEFAULT_BLOCK_SIZE)
+
+    def export_blocks(self, path_out: str, delimiter: str = '\t',
+                      binary: bool = False) -> None:
+        """Export each block as its own file under `path_out` (reference
+        blockmatrix.py export_blocks)."""
+        import os as _os
+        _os.makedirs(path_out, exist_ok=True)
+        arr = np.asarray(self.to_numpy())
+        bs = self._block_size
+        n_r = (arr.shape[0] + bs - 1) // bs
+        n_c = (arr.shape[1] + bs - 1) // bs
+        for bi in range(n_r):
+            for bj in range(n_c):
+                blk = arr[bi * bs:(bi + 1) * bs, bj * bs:(bj + 1) * bs]
+                name = f'block_{bi}_{bj}'
+                if binary:
+                    blk.astype(np.float64).tofile(_os.path.join(path_out, name + '.bin'))
+                else:
+                    np.savetxt(_os.path.join(path_out, name + '.tsv'), blk,
+                               delimiter=delimiter)
+
+    def export_rectangles(self, path_out: str, rectangles,
+                          delimiter: str = '\t', binary: bool = False) -> None:
+        """Export sub-rectangles [r0, r1, c0, c1] as files (reference
+        blockmatrix.py export_rectangles)."""
+        import os as _os
+        _os.makedirs(path_out, exist_ok=True)
+        arr = np.asarray(self.to_numpy())
+        for i, (r0, r1, c0, c1) in enumerate(rectangles):
+            blk = arr[r0:r1, c0:c1]
+            name = f'rect-{i}_{r0}-{r1}-{c0}-{c1}'
+            if binary:
+                blk.astype(np.float64).tofile(_os.path.join(path_out, name))
+            else:
+                np.savetxt(_os.path.join(path_out, name), blk, delimiter=delimiter)
+
+    def to_matrix_table_row_major(self, n_partitions=None, maximum_cache_memory_in_bytes=None):
+        """Entries as a MatrixTable with row_idx/col_idx keys (reference
+        blockmatrix.py to_matrix_table_row_major)."""
+        from ..matrixtable import MatrixTable, MatrixStage, MatrixBatch
+        from ..ir.columns import Batch, PrimitiveColumn
+        from .. import types as ht
+        from ..utils.structs import Struct
+        arr = np.asarray(self.to_numpy(), dtype=np.float64)
+        R, Cn = arr.shape
+        row_t = ht.tstruct(row_idx=ht.tint64)
+        col_t = ht.tstruct(col_idx=ht.tint64)
+        ent_t = ht.tstruct(element=ht.tfloat64)
+        rows = Batch({'row_idx': PrimitiveColumn(ht.tint64, np.arange(R, dtype=np.int64))}, R)
+        cols = Batch({'col_idx': PrimitiveColumn(ht.tint64, np.arange(Cn, dtype=np.int64))}, Cn)
+        ents = {'element': PrimitiveColumn(ht.tfloat64, arr)}
+        batches = [MatrixBatch(rows, ents)]
+        return MatrixTable(MatrixStage.from_batches(
+            Batch({}, 1), cols, ['row_idx'], ['col_idx'], row_t, col_t, ent_t,
+            batches))
+
+    def join_dim(self, other: 'BlockMatrix') -> int:
+        """Shared inner dimension for a matmul with `other`."""
+        assert self.shape[1] == other.shape[0]
+        return self.shape[1]
+
 
 
 def _sharded_matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

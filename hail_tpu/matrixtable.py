@@ -722,6 +722,386 @@ class MatrixTable:
             mt = mt.choose_cols(list(range(n_cols)))
         return mt
 
+    def tail(self, n_rows: Optional[int], n_cols: Optional[int] = None, *,
+             n: Optional[int] = None) -> 'MatrixTable':
+        """Last `n_rows` rows (and optionally last `n_cols` columns)
+        (reference matrixtable.py tail)."""
+        if n_rows is None:
+            n_rows = n
+        batches = self._stage.collect_batches()
+        total = sum(mb.n_rows for mb in batches)
+        skip = max(0, total - (n_rows if n_rows is not None else total))
+        out = []
+        for mb in batches:
+            if skip >= mb.n_rows:
+                skip -= mb.n_rows
+                continue
+            idx = np.arange(skip, mb.n_rows)
+            skip = 0
+            out.append(mb.gather_rows(idx))
+        st = self._stage
+        mt = MatrixTable(MatrixStage.from_batches(st.globals, st.cols, st.row_key,
+                                                  st.col_key, st.row_type, st.col_type,
+                                                  st.entry_type, out))
+        if n_cols is not None:
+            total_c = st.cols.length
+            mt = mt.choose_cols(list(range(max(0, total_c - n_cols), total_c)))
+        return mt
+
+    def show(self, n_rows: int = 10, n_cols: Optional[int] = None,
+             include_row_fields: bool = False, width: int = 90,
+             truncate=None, types: bool = True, handler=None):
+        """Print the first rows/cols of the entry matrix (reference
+        matrixtable.py show)."""
+        mt = self.head(n_rows, n_cols)
+        t = mt.entries() if include_row_fields else \
+            mt.select_rows().entries()
+        return t.show(n_rows * max(1, mt.count_cols()), width=width,
+                      truncate=truncate, types=types)
+
+    def semi_join_rows(self, other: 'Table') -> 'MatrixTable':
+        """Keep rows whose row key appears in `other` (reference
+        matrixtable.py semi_join_rows)."""
+        return self._row_key_join(other, keep_present=True)
+
+    def anti_join_rows(self, other: 'Table') -> 'MatrixTable':
+        return self._row_key_join(other, keep_present=False)
+
+    def _row_key_join(self, other, keep_present: bool) -> 'MatrixTable':
+        from .table import _key_tuples, _hashable_key
+        rb = other._stage.collect_single()
+        rkeys = {_hashable_key(k) for k in _key_tuples(rb, other._stage.key)}
+        st = self._stage
+
+        def f(mb: 'MatrixBatch', i: int) -> 'MatrixBatch':
+            keys = _key_tuples(mb.rows, st.row_key)
+            keep = np.asarray([(_hashable_key(k) in rkeys) == keep_present
+                               for k in keys], dtype=bool)
+            return mb.filter_rows(keep)
+        return MatrixTable(st.map_partitions(f))
+
+    def semi_join_cols(self, other: 'Table') -> 'MatrixTable':
+        return self._col_key_join(other, keep_present=True)
+
+    def anti_join_cols(self, other: 'Table') -> 'MatrixTable':
+        return self._col_key_join(other, keep_present=False)
+
+    def _col_key_join(self, other, keep_present: bool) -> 'MatrixTable':
+        from .table import _key_tuples, _hashable_key
+        rb = other._stage.collect_single()
+        rkeys = {_hashable_key(k) for k in _key_tuples(rb, other._stage.key)}
+        st = self._stage
+        keys = _key_tuples(st.cols, st.col_key)
+        keep_idx = [i for i, k in enumerate(keys)
+                    if (_hashable_key(k) in rkeys) == keep_present]
+        return self.choose_cols(keep_idx)
+
+    def distinct_by_row(self) -> 'MatrixTable':
+        """Keep the first row for each unique row key (reference
+        matrixtable.py distinct_by_row)."""
+        from .table import _key_tuples, _hashable_key
+        st = self._stage
+        seen = set()
+
+        def f(mb: 'MatrixBatch', i: int) -> 'MatrixBatch':
+            keys = _key_tuples(mb.rows, st.row_key)
+            keep = np.zeros(mb.n_rows, dtype=bool)
+            for j, k in enumerate(keys):
+                hk = _hashable_key(k)
+                if hk not in seen:
+                    seen.add(hk)
+                    keep[j] = True
+            return mb.filter_rows(keep)
+        batches = [f(st.partition_fn(c), i) for i, c in enumerate(st.contexts)]
+        return MatrixTable(MatrixStage.from_batches(
+            st.globals, st.cols, st.row_key, st.col_key, st.row_type,
+            st.col_type, st.entry_type, batches))
+
+    def distinct_by_col(self) -> 'MatrixTable':
+        from .table import _key_tuples, _hashable_key
+        st = self._stage
+        keys = _key_tuples(st.cols, st.col_key)
+        seen = set()
+        keep_idx = []
+        for i, k in enumerate(keys):
+            hk = _hashable_key(k)
+            if hk not in seen:
+                seen.add(hk)
+                keep_idx.append(i)
+        return self.choose_cols(keep_idx)
+
+    def explode_rows(self, field_expr) -> 'MatrixTable':
+        """One output row per element of an array/set row field (reference
+        matrixtable.py explode_rows); entries duplicate."""
+        name = field_expr if isinstance(field_expr, str) else \
+            _mt_field_name(field_expr)
+        st = self._stage
+        ft = st.row_type[name]
+        new_row_t = ht.tstruct(**{k: (t.element_type if k == name else t)
+                                  for k, t in st.row_type.items()})
+
+        def f(mb: 'MatrixBatch', i: int) -> 'MatrixBatch':
+            vals = mb.rows.columns[name].to_pylist()
+            out_idx = []
+            out_elem = []
+            for r, v in enumerate(vals):
+                if v is None:
+                    continue
+                for x in (sorted(v) if isinstance(v, (set, frozenset)) else v):
+                    out_idx.append(r)
+                    out_elem.append(x)
+            idx = np.asarray(out_idx, dtype=np.int64)
+            rows_cols = {}
+            for k, c in mb.rows.columns.items():
+                if k == name:
+                    rows_cols[k] = C.from_pylist(ft.element_type, out_elem)
+                else:
+                    rows_cols[k] = c.gather(idx)
+            ents = {k: c.gather(idx, axis=0) for k, c in mb.entries.items()}
+            return MatrixBatch(Batch(rows_cols, len(idx)), ents)
+        return MatrixTable(st.map_partitions(f, new_row_type=new_row_t))
+
+    def explode_cols(self, field_expr) -> 'MatrixTable':
+        """One output column per element of an array/set col field (reference
+        matrixtable.py explode_cols)."""
+        name = field_expr if isinstance(field_expr, str) else \
+            _mt_field_name(field_expr)
+        st = self._stage
+        ft = st.col_type[name]
+        vals = st.cols.columns[name].to_pylist()
+        out_idx = []
+        out_elem = []
+        for j, v in enumerate(vals):
+            if v is None:
+                continue
+            for x in (sorted(v) if isinstance(v, (set, frozenset)) else v):
+                out_idx.append(j)
+                out_elem.append(x)
+        mt = self.choose_cols(out_idx)
+        st2 = mt._stage
+        new_col_t = ht.tstruct(**{k: (t.element_type if k == name else t)
+                                  for k, t in st2.col_type.items()})
+        cols_cols = dict(st2.cols.columns)
+        cols_cols[name] = C.from_pylist(ft.element_type, out_elem)
+        new_cols = Batch(cols_cols, len(out_idx))
+        return MatrixTable(MatrixStage(st2.globals, new_cols, st2.row_key,
+                                       st2.col_key, st2.row_type, new_col_t,
+                                       st2.entry_type, st2.contexts,
+                                       st2.partition_fn))
+
+    def collect_cols_by_key(self) -> 'MatrixTable':
+        """Group columns by key: non-key col fields and entry fields become
+        arrays (reference matrixtable.py collect_cols_by_key)."""
+        from .table import _key_tuples, _hashable_key
+        st = self._stage
+        keys = _key_tuples(st.cols, st.col_key)
+        groups = {}
+        order = []
+        for j, k in enumerate(keys):
+            hk = _hashable_key(k)
+            if hk not in groups:
+                groups[hk] = []
+                order.append(hk)
+            groups[hk].append(j)
+        cols_py = st.cols.to_pylist()
+        val_fields = [f for f in st.col_type.fields if f not in st.col_key]
+        new_col_t = ht.tstruct(**{f: st.col_type[f] for f in st.col_key},
+                               **{f: ht.tarray(st.col_type[f]) for f in val_fields})
+        new_cols_rows = []
+        for hk in order:
+            idxs = groups[hk]
+            first = cols_py[idxs[0]]
+            new_cols_rows.append(Struct(
+                **{f: first[f] for f in st.col_key},
+                **{f: [cols_py[j][f] for j in idxs] for f in val_fields}))
+        new_cols = Batch.from_pylist(new_col_t, new_cols_rows)
+        new_ent_t = ht.tstruct(**{f: ht.tarray(t) for f, t in st.entry_type.items()})
+        group_lists = [groups[hk] for hk in order]
+
+        def f(mb: 'MatrixBatch', i: int) -> 'MatrixBatch':
+            R = mb.n_rows
+            g = StructColumn(st.entry_type, dict(mb.entries), None,
+                             (R, mb.n_cols))
+            py = g.to_pylist()
+            new_flat = {fn: [] for fn in st.entry_type.fields}
+            for r in range(R):
+                for idxs in group_lists:
+                    for fn in st.entry_type.fields:
+                        new_flat[fn].append([None if py[r][j] is None
+                                             else py[r][j][fn] for j in idxs])
+            ents = {fn: C.from_pylist(ht.tarray(st.entry_type[fn]), new_flat[fn])
+                    .reshape((R, len(group_lists)))
+                    for fn in st.entry_type.fields}
+            return MatrixBatch(mb.rows, ents)
+        st2 = st.map_partitions(f, new_entry_type=new_ent_t)
+        return MatrixTable(MatrixStage(st2.globals, new_cols, st2.row_key,
+                                       st2.col_key, st2.row_type, new_col_t,
+                                       new_ent_t, st2.contexts,
+                                       st2.partition_fn))
+
+    def compute_entry_filter_stats(self, row_field: str = 'entry_stats_row',
+                                   col_field: str = 'entry_stats_col') -> 'MatrixTable':
+        """Annotate rows/cols with counts of filtered entries (reference
+        matrixtable.py compute_entry_filter_stats)."""
+        st = self._stage
+        n_c = st.cols.length
+        row_stats = []
+        col_filt = np.zeros(n_c, dtype=np.int64)
+        col_tot = np.zeros(n_c, dtype=np.int64)
+        batches = []
+        for i, ctx in enumerate(st.contexts):
+            mb = st.partition_fn(ctx)
+            batches.append(mb)
+            if mb.entries:
+                emiss = np.logical_and.reduce(
+                    [c.missing_mask() for c in mb.entries.values()])
+            else:
+                emiss = np.zeros((mb.n_rows, n_c), dtype=bool)
+            row_stats.extend(
+                Struct(n_filtered=int(x), n_remaining=int(n_c - x),
+                       fraction_filtered=float(x / n_c) if n_c else 0.0)
+                for x in emiss.sum(axis=1))
+            col_filt += emiss.sum(axis=0).astype(np.int64)
+            col_tot += mb.n_rows
+        stat_t = ht.tstruct(n_filtered=ht.tint64, n_remaining=ht.tint64,
+                            fraction_filtered=ht.tfloat64)
+        col_stats = [Struct(n_filtered=int(f), n_remaining=int(t - f),
+                            fraction_filtered=float(f / t) if t else 0.0)
+                     for f, t in zip(col_filt, col_tot)]
+        # rebuild with annotations
+        new_row_t = st.row_type._insert_field(row_field, stat_t)
+        new_col_t = st.col_type._insert_field(col_field, stat_t)
+        out = []
+        off = 0
+        for mb in batches:
+            rc = dict(mb.rows.columns)
+            rc[row_field] = C.from_pylist(stat_t, row_stats[off:off + mb.n_rows])
+            off += mb.n_rows
+            out.append(MatrixBatch(Batch(rc, mb.n_rows), mb.entries))
+        cc = dict(st.cols.columns)
+        cc[col_field] = C.from_pylist(stat_t, col_stats)
+        new_cols = Batch(cc, n_c)
+        return MatrixTable(MatrixStage.from_batches(
+            st.globals, new_cols, st.row_key, st.col_key, new_row_t,
+            new_col_t, st.entry_type, out))
+
+    def naive_coalesce(self, max_partitions: int) -> 'MatrixTable':
+        """Merge adjacent partitions down to at most `max_partitions`
+        (reference matrixtable.py naive_coalesce)."""
+        return self.repartition(max_partitions)
+
+    def transmute_globals(self, **named_exprs) -> 'MatrixTable':
+        refs = set()
+        for e in named_exprs.values():
+            refs |= _global_field_refs(to_expr(e)._ir, self._stage.globals_type)
+        mt = self.annotate_globals(**named_exprs)
+        drop = [f for f in refs if f not in named_exprs]
+        return mt.drop(*drop) if drop else mt
+
+    def globals_table(self) -> 'Table':
+        """One-row table of the global fields (reference matrixtable.py
+        globals_table)."""
+        from .table import Table, TableStage
+        st = self._stage
+        return Table(TableStage.from_batches(Batch({}, 1), [],
+                                             st.globals.row_type, [st.globals]))
+
+    def index_globals(self):
+        """The globals as a Python-evaluable struct expression (reference
+        matrixtable.py index_globals)."""
+        from .expr import functions as F
+        g = self._stage.globals.to_pylist()
+        return F.literal(g[0] if g else Struct(), self._stage.globals.row_type)
+
+    def index_rows(self, *exprs, all_matches: bool = False):
+        """Join this MatrixTable's row fields onto foreign key expressions
+        (reference matrixtable.py index_rows)."""
+        return self.rows()[tuple(exprs) if len(exprs) > 1 else exprs[0]]
+
+    def index_cols(self, *exprs, all_matches: bool = False):
+        return self.cols()[tuple(exprs) if len(exprs) > 1 else exprs[0]]
+
+    def index_entries(self, row_exprs, col_exprs):
+        """Join entries onto foreign (row, col) key expressions (reference
+        matrixtable.py index_entries)."""
+        et = self.entries().key_by(*(list(self._stage.row_key) + list(self._stage.col_key)))
+        row_exprs = row_exprs if isinstance(row_exprs, tuple) else (row_exprs,)
+        col_exprs = col_exprs if isinstance(col_exprs, tuple) else (col_exprs,)
+        combined = tuple(row_exprs) + tuple(col_exprs)
+        return et[combined]
+
+    def make_table(self, separator: str = '.') -> 'Table':
+        """One row per matrix row; entry fields become per-sample columns
+        named `<sample><separator><field>` (reference matrixtable.py
+        make_table)."""
+        st = self._stage
+        if len(st.col_key) != 1 or st.col_type[st.col_key[0]] != ht.tstr:
+            raise ValueError('make_table requires a single string column key')
+        skey = st.col_key[0]
+        samples = [r[skey] for r in st.cols.to_pylist()]
+        ent_fields = list(st.entry_type.fields)
+        single = len(ent_fields) == 1
+        from .table import Table, TableStage
+        new_fields = dict(st.row_type.items())
+        for s in samples:
+            for fn in ent_fields:
+                nm = s if single else f'{s}{separator}{fn}'
+                new_fields[nm] = st.entry_type[fn]
+        new_t = ht.tstruct(**new_fields)
+        out_batches = []
+        for i, ctx in enumerate(st.contexts):
+            mb = st.partition_fn(ctx)
+            cols = dict(mb.rows.columns)
+            for j, s in enumerate(samples):
+                for fn in ent_fields:
+                    nm = s if single else f'{s}{separator}{fn}'
+                    c = mb.entries[fn]
+                    cols[nm] = c.gather(np.asarray([j]), axis=1).reshape((mb.n_rows,))
+            out_batches.append(Batch(cols, mb.n_rows))
+        return Table(TableStage.from_batches(st.globals, st.row_key, new_t,
+                                             out_batches))
+
+    @classmethod
+    def from_rows_table(cls, table: 'Table') -> 'MatrixTable':
+        """A MatrixTable with no columns from a table's rows (reference
+        matrixtable.py from_rows_table)."""
+        st = table._stage
+        col_t = ht.tstruct(col_idx=ht.tint32)
+        cols = Batch.from_pylist(col_t, [])
+        batches = [MatrixBatch(b, {}) for b in st.collect_batches()]
+        return MatrixTable(MatrixStage.from_batches(
+            st.globals, cols, st.key, ['col_idx'], st.row_type, col_t,
+            ht.tstruct(), batches))
+
+    @staticmethod
+    def from_parts(globals=None, rows=None, cols=None, entries=None) -> 'MatrixTable':
+        """Build a MatrixTable from dicts of global/row/col/entry data
+        (reference matrixtable.py from_parts). Row/col fields are parallel
+        lists; entry fields are row-major lists of lists."""
+        from .expr.expression import impute_type
+        rows = rows or {}
+        cols = cols or {}
+        entries = entries or {}
+        globals = globals or {}
+        n_r = len(next(iter(rows.values()))) if rows else \
+            (len(next(iter(entries.values()))) if entries else 0)
+        n_c = len(next(iter(cols.values()))) if cols else \
+            (len(next(iter(entries.values()))[0]) if entries else 0)
+        mt = range_matrix_table(n_r, n_c)
+        from .expr import functions as F
+        if globals:
+            mt = mt.annotate_globals(**{k: to_expr(v) for k, v in globals.items()})
+        if rows:
+            mt = mt.annotate_rows(**{k: F.literal(list(v))[mt.row_idx]
+                                     for k, v in rows.items()})
+        if cols:
+            mt = mt.annotate_cols(**{k: F.literal(list(v))[mt.col_idx]
+                                     for k, v in cols.items()})
+        if entries:
+            mt = mt.annotate_entries(**{k: F.literal([list(r) for r in v])[mt.row_idx][mt.col_idx]
+                                        for k, v in entries.items()})
+        return mt
+
     def sample_rows(self, p: float, seed=None) -> 'MatrixTable':
         from .expr import functions as F
         return self.filter_rows(F.rand_unif(0, 1, seed=seed) < p)
@@ -1023,3 +1403,21 @@ def range_matrix_table(n_rows: int, n_cols: int, n_partitions: Optional[int] = N
 def read_matrix_table(path: str) -> MatrixTable:
     from .io.native import read_matrix_table as rmt
     return rmt(path)
+
+
+def _mt_field_name(e) -> str:
+    return _expr_field_name(e)
+
+
+def _global_field_refs(ir, globals_type) -> set:
+    from .ir.nodes import GetField as _GF, Ref as _R
+    out = set()
+
+    def walk(n):
+        if isinstance(n, _GF) and isinstance(n.struct, _R) and n.struct.name == 'global':
+            if n.name in globals_type.fields:
+                out.add(n.name)
+        for c in n.children:
+            walk(c)
+    walk(ir)
+    return out

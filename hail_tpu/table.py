@@ -761,6 +761,206 @@ class Table:
             return batch.compress(keep)
         return Table(self._stage.map_partitions(f, self._stage.row_type))
 
+    def collect_by_key(self, name: str = 'values') -> 'Table':
+        """Group rows by key, collecting the non-key fields into an array
+        field `name` (reference table.py collect_by_key)."""
+        key = self._stage.key
+        val_fields = [f for f in self.row if f not in key]
+        val_t = ht.tstruct(**{f: self._stage.row_type[f] for f in val_fields})
+        rows = self.collect()
+        grouped = {}
+        order = []
+        for r in rows:
+            k = _hashable_key(tuple(r[f] for f in key))
+            if k not in grouped:
+                grouped[k] = (r, [])
+                order.append(k)
+            grouped[k][1].append(Struct(**{f: r[f] for f in val_fields}))
+        out = [Struct(**{f: grouped[k][0][f] for f in key},
+                      **{name: grouped[k][1]}) for k in order]
+        t_row = ht.tstruct(**{f: self._stage.row_type[f] for f in key},
+                           **{name: ht.tarray(val_t)})
+        return Table(TableStage.from_batches(self._stage.globals, key, t_row,
+                                             [Batch.from_pylist(t_row, out)]))
+
+    def expand_types(self) -> 'Table':
+        """Convert non-basic types (locus, call, interval, set, dict) to
+        basic struct/array representations (reference table.py
+        expand_types)."""
+        def expand_t(t):
+            if isinstance(t, ht.tlocus):
+                return ht.tstruct(contig=ht.tstr, position=ht.tint32)
+            if t == ht.tcall:
+                return ht.tstr
+            if isinstance(t, ht.tinterval):
+                et = expand_t(t.point_type)
+                return ht.tstruct(start=et, end=et, includeStart=ht.tbool,
+                                  includeEnd=ht.tbool)
+            if isinstance(t, ht.tset):
+                return ht.tarray(expand_t(t.element_type))
+            if isinstance(t, ht.tdict):
+                return ht.tarray(ht.tstruct(key=expand_t(t.key_type),
+                                            value=expand_t(t.value_type)))
+            if isinstance(t, ht.tarray):
+                return ht.tarray(expand_t(t.element_type))
+            if isinstance(t, ht.tstruct):
+                return ht.tstruct(**{k: expand_t(v) for k, v in t.items()})
+            return t
+
+        def expand_v(v, t):
+            if v is None:
+                return None
+            if isinstance(t, ht.tlocus):
+                return Struct(contig=v.contig, position=v.position)
+            if t == ht.tcall:
+                return str(v)
+            if isinstance(t, ht.tinterval):
+                pt = t.point_type
+                return Struct(start=expand_v(v.start, pt), end=expand_v(v.end, pt),
+                              includeStart=v.includes_start, includeEnd=v.includes_end)
+            if isinstance(t, ht.tset):
+                return sorted((expand_v(x, t.element_type) for x in v),
+                              key=lambda x: (x is None, str(x)))
+            if isinstance(t, ht.tdict):
+                return [Struct(key=expand_v(k, t.key_type),
+                               value=expand_v(val, t.value_type))
+                        for k, val in sorted(v.items(), key=lambda kv: str(kv[0]))]
+            if isinstance(t, ht.tarray):
+                return [expand_v(x, t.element_type) for x in v]
+            if isinstance(t, ht.tstruct):
+                return Struct(**{k: expand_v(v[k], ft) for k, ft in t.items()})
+            return v
+
+        rt = self._stage.row_type
+        new_t = ht.tstruct(**{k: expand_t(t) for k, t in rt.items()})
+        rows = [Struct(**{k: expand_v(r[k], rt[k]) for k in rt.fields})
+                for r in self.collect()]
+        new_key = [k for k in self._stage.key
+                   if not isinstance(rt[k], (ht.tlocus, ht.tinterval))
+                   and rt[k] != ht.tcall]
+        return Table(TableStage.from_batches(self._stage.globals, new_key, new_t,
+                                             [Batch.from_pylist(new_t, rows)]))
+
+    def flatten(self) -> 'Table':
+        """Flatten nested struct row fields into top-level dotted fields
+        (reference table.py flatten)."""
+        rt = self._stage.row_type
+        new_fields = {}
+        paths = {}
+        def walk(prefix, t, path):
+            if isinstance(t, ht.tstruct):
+                for k, ft in t.items():
+                    walk(f'{prefix}.{k}' if prefix else k, ft, path + [k])
+            else:
+                new_fields[prefix] = t
+                paths[prefix] = path
+        for k, t in rt.items():
+            walk(k, t, [k])
+        new_t = ht.tstruct(**new_fields)
+
+        def get_path(r, path):
+            v = r
+            for p in path:
+                if v is None:
+                    return None
+                v = v[p]
+            return v
+        rows = [Struct(**{f: get_path(r, paths[f]) for f in new_fields})
+                for r in self.collect()]
+        new_key = [k for k in self._stage.key if k in new_fields]
+        return Table(TableStage.from_batches(self._stage.globals, new_key, new_t,
+                                             [Batch.from_pylist(new_t, rows)]))
+
+    @staticmethod
+    def from_pandas(df, key=[]) -> 'Table':
+        """Build a Table from a pandas DataFrame (reference table.py
+        from_pandas)."""
+        import pandas as pd
+        import numpy as _np
+        key = [key] if isinstance(key, str) else list(key)
+
+        def infer(col):
+            d = col.dtype
+            try:
+                if _np.issubdtype(d, _np.int32):
+                    return ht.tint32
+                if _np.issubdtype(d, _np.integer):
+                    return ht.tint64
+                if _np.issubdtype(d, _np.floating):
+                    return ht.tfloat64
+                if _np.issubdtype(d, _np.bool_):
+                    return ht.tbool
+            except TypeError:
+                pass  # pandas extension dtype (StringDtype etc.)
+            for v in col:
+                if v is None or (isinstance(v, float) and _np.isnan(v)):
+                    continue
+                from .expr.expression import impute_type
+                return impute_type(v)
+            return ht.tstr
+        t_row = ht.tstruct(**{c: infer(df[c]) for c in df.columns})
+        rows = []
+        for _, r in df.iterrows():
+            d = {}
+            for c in df.columns:
+                v = r[c]
+                if isinstance(v, float) and _np.isnan(v):
+                    v = None
+                elif isinstance(v, _np.generic):
+                    v = v.item()
+            # re-extract to keep order stable
+            d = {c: (None if (isinstance(r[c], float) and _np.isnan(r[c]))
+                     else r[c].item() if isinstance(r[c], _np.generic) else r[c])
+                 for c in df.columns}
+            rows.append(Struct(**d))
+        t = Table(TableStage.from_batches(Batch({}, 1), [], t_row,
+                                          [Batch.from_pylist(t_row, rows)]))
+        return t.key_by(*key) if key else t
+
+    @staticmethod
+    def from_spark(df, key=[]):
+        raise NotImplementedError(
+            'from_spark: no Spark runtime in this build; use Table.from_pandas')
+
+    def to_spark(self, flatten: bool = True):
+        raise NotImplementedError(
+            'to_spark: no Spark runtime in this build; use to_pandas')
+
+    def to_matrix_table_row_major(self, columns, entry_field_name=None,
+                                  col_field_name: str = 'col') -> 'MatrixTable':
+        """Interpret row fields `columns` as the matrix columns (reference
+        table.py to_matrix_table_row_major)."""
+        from .matrixtable import MatrixTable, MatrixStage, MatrixBatch
+        entry_field_name = entry_field_name or 'x'
+        rt = self._stage.row_type
+        et = rt[columns[0]]
+        rows = self.collect()
+        R = len(rows)
+        vals = [[r[c] for c in columns] for r in rows]
+        flat = [v for row in vals for v in row]
+        ec = from_pylist_col = None
+        from .ir import columns as C
+        ent_col = C.from_pylist(et, flat).reshape((R, len(columns)))
+        other = [f for f in rt.fields if f not in columns]
+        row_rows = [Struct(**{f: r[f] for f in other}) for r in rows]
+        row_t = ht.tstruct(**{f: rt[f] for f in other})
+        rows_b = Batch.from_pylist(row_t, row_rows)
+        col_t = ht.tstruct(**{col_field_name: ht.tstr})
+        cols_b = Batch.from_pylist(col_t, [Struct(**{col_field_name: c}) for c in columns])
+        ent_t = ht.tstruct(**{entry_field_name: et})
+        batches = [MatrixBatch(rows_b, {entry_field_name: ent_col})]
+        return MatrixTable(MatrixStage(self._stage.globals, cols_b,
+                                       self._stage.key, [col_field_name],
+                                       row_t, col_t, ent_t,
+                                       [0], lambda ctx: batches[int(ctx)]))
+
+    def write_many(self, output: str, fields, *, overwrite: bool = False,
+                   stage_locally: bool = False, _codec_spec=None) -> None:
+        """Write one table per field under `output` (reference table.py
+        write_many): each table has that field plus the key."""
+        for f in fields:
+            self.select(f).write(os.path.join(output, f), overwrite=overwrite)
+
     # -- conversions -------------------------------------------------------
     def to_pandas(self, flatten: bool = True):
         import pandas as pd
@@ -832,6 +1032,14 @@ class GroupedTable:
     def __init__(self, table: Table, key_fields: List[str]):
         self._table = table
         self._key_fields = key_fields
+        self._npartitions = None
+
+    def partition_hint(self, n: int) -> 'GroupedTable':
+        """Hint the number of output partitions (reference table.py
+        GroupedTable.partition_hint); single-host execution treats this as
+        advisory."""
+        self._npartitions = n
+        return self
 
     def aggregate(self, **named_exprs) -> Table:
         exprs = {k: to_expr(v) for k, v in named_exprs.items()}
@@ -1075,3 +1283,6 @@ def multi_way_zip_join(tables: List['Table'], data_field_name: str,
     g_t = ht.tstruct(**{global_field_name: ht.tarray(tables[0]._stage.globals_type)})
     g = Batch.from_pylist(g_t, [Struct(**{global_field_name: g_rows})])
     return Table(TableStage.from_batches(g, key, row_t, [Batch(cols, n)]))
+
+
+Table.multi_way_zip_join = staticmethod(multi_way_zip_join)

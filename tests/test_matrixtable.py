@@ -127,3 +127,29 @@ def test_sample_and_repartition():
     assert mt2.count_rows() == 50
     mt3 = mt.sample_rows(0.5, seed=3)
     assert 5 < mt3.count_rows() < 45
+
+
+def test_matrixtable_method_parity_batch():
+    mt = hl.utils.range_matrix_table(10, 4)
+    mt = mt.annotate_entries(x=mt.row_idx * 10 + mt.col_idx)
+    assert [r.row_idx for r in mt.tail(3).rows().collect()] == [7, 8, 9]
+    tt = hl.Table.parallelize([{'row_idx': i} for i in range(5)],
+                              hl.dtype('struct{row_idx: int32}'), key='row_idx')
+    assert mt.semi_join_rows(tt).count_rows() == 5
+    assert mt.anti_join_rows(tt).count_rows() == 5
+    assert mt.key_rows_by(k=mt.row_idx % 3).distinct_by_row().count_rows() == 3
+    assert mt.annotate_rows(arr=hl.literal([1, 2])).explode_rows('arr').count_rows() == 20
+    assert mt.annotate_cols(carr=hl.literal(['a', 'b'])).explode_cols('carr').count_cols() == 8
+    ck = mt.key_cols_by(kc=mt.col_idx % 2).collect_cols_by_key()
+    assert ck.count_cols() == 2
+    assert len(ck.entries().collect()[0].x) == 2
+    fp = hl.MatrixTable.from_parts(rows={'r': [1, 2]}, cols={'c': [3, 4, 5]},
+                                   entries={'e': [[1, 2, 3], [4, 5, 6]]})
+    assert fp.count_rows() == 2 and fp.entries().collect()[5].e == 6
+    stats = mt.filter_entries(mt.x % 2 == 0).compute_entry_filter_stats()
+    r0 = stats.rows().collect()[0]
+    assert r0.entry_stats_row.n_filtered + r0.entry_stats_row.n_remaining == 4
+    mt3 = mt.annotate_globals(g1='hello')
+    assert hl.eval(mt3.index_globals().g1) == 'hello'
+    g = mt3.transmute_globals(g2=mt3.g1 + '!')
+    assert g.globals_table().collect()[0].g2 == 'hello!'

@@ -189,3 +189,44 @@ def test_expr_collect_show(capsys):
     t.show(3)
     out = capsys.readouterr().out
     assert 'idx' in out
+
+
+def test_table_method_parity_batch():
+    t = hl.Table.parallelize(
+        [{'k': 'a', 'x': 1, 'y': 2.0}, {'k': 'a', 'x': 3, 'y': 4.0},
+         {'k': 'b', 'x': 5, 'y': 6.0}],
+        hl.dtype('struct{k:str,x:int32,y:float64}'), key='k')
+    rows = t.collect_by_key().collect()
+    assert rows[0].k == 'a' and len(rows[0]['values']) == 2
+    t2 = hl.Table.parallelize([{'a': {'b': 1, 'c': 'z'}, 'd': 5}],
+                              hl.dtype('struct{a: struct{b: int32, c: str}, d: int32}'))
+    assert t2.flatten().collect()[0]['a.b'] == 1
+    ex = hl.Table.parallelize([{'l': hl.Locus('1', 100), 'c': hl.Call([0, 1])}],
+                              hl.dtype('struct{l: locus<GRCh37>, c: call}')).expand_types()
+    r0 = ex.collect()[0]
+    assert r0.l.contig == '1' and r0.c == '0/1'
+    import pandas as pd
+    tp = hl.Table.from_pandas(pd.DataFrame({'s': ['x', 'y'], 'v': [1.5, 2.5]}), key='s')
+    assert tp.count() == 2
+    mt = t.to_matrix_table_row_major(['x'], entry_field_name='val')
+    assert mt.count_rows() == 3 and mt.count_cols() == 1
+    g = t.group_by('k').partition_hint(4).aggregate(n=hl.agg.count())
+    assert {r.k: r.n for r in g.collect()} == {'a': 2, 'b': 1}
+
+
+def test_class_method_namespace_parity():
+    import re
+
+    def methods_of(src_path, cls):
+        src = open(src_path).read()
+        m = re.search(rf'^class {cls}\b.*?(?=^class |\Z)', src, re.S | re.M)
+        return set(re.findall(r'^    def ([a-z][a-z0-9_]*)\(', m.group(0), re.M))
+
+    R = '/root/reference/hail/python/hail/'
+    for cls, path, mine in [('Table', R + 'table.py', hl.Table),
+                            ('MatrixTable', R + 'matrixtable.py', hl.MatrixTable),
+                            ('GroupedTable', R + 'table.py', hl.GroupedTable),
+                            ('BlockMatrix', R + 'linalg/blockmatrix.py',
+                             hl.linalg.BlockMatrix)]:
+        missing = sorted(m for m in methods_of(path, cls) if not hasattr(mine, m))
+        assert missing == [], (cls, missing)
