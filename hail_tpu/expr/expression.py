@@ -814,10 +814,23 @@ def eval_scalar(expr: Expression):
     agg_nodes = aggmod.collect_agg_nodes(expr._ir)
     if agg_nodes:
         raise ValueError('cannot eval an aggregation outside of a table context')
+    # fast-restarts execution cache: skip re-evaluation of semantically
+    # identical queries across sessions (reference SemanticHash.scala +
+    # use_fast_restarts flag)
+    from ..ir.semhash import execution_cache, semhash
+    cache = execution_cache()
+    key = semhash(expr._ir) if cache is not None else None
+    if key is not None:
+        hit, val = cache.lookup(key)
+        if hit:
+            return val
     from ..ir import columns as _C
     from .. import types as _ht
     import numpy as _np
     env = EvalEnv({'__row_idx__': _C.PrimitiveColumn(_ht.tint64, _np.zeros(1, _np.int64))}, (1,))
     col = expr._ir.evaluate(env)
     vals = col.to_pylist()
-    return vals[0] if vals else None
+    out = vals[0] if vals else None
+    if key is not None:
+        cache.put(key, out)
+    return out

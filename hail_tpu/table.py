@@ -568,7 +568,6 @@ class Table:
 
     # -- ordering / distribution ------------------------------------------
     def order_by(self, *fields) -> 'Table':
-        batch = self._stage.collect_single()
         specs = []
         for f_ in fields:
             if isinstance(f_, str):
@@ -579,6 +578,9 @@ class Table:
                 specs.append((f_.name, False))
             else:
                 specs.append((_expr_field_name(f_), True))
+        if self._stage.n_partitions > 1:
+            return Table(_sample_sort(self._stage, specs))
+        batch = self._stage.collect_single()
         idx = _sort_indices(batch, specs)
         sorted_batch = batch.gather(idx)
         return Table(TableStage.from_batches(self._stage.globals, [],
@@ -1147,6 +1149,77 @@ def _sort_indices(batch: Batch, specs: List[Tuple[str, bool]]) -> np.ndarray:
             out.append((v is None, _Rev(v) if not asc_ else v))
         return tuple(out)
     return np.asarray(sorted(range(batch.length), key=keyfn), dtype=np.int64)
+
+
+def _row_sort_keys(batch: Batch, specs: List[Tuple[str, bool]]) -> List[tuple]:
+    """Comparable per-row sort-key tuples (missing sorts last; desc via
+    _Rev)."""
+    cols = [(batch.columns[name].to_pylist(), asc_) for name, asc_ in specs]
+    out = []
+    for i in range(batch.length):
+        key = []
+        for vals, asc_ in cols:
+            v = vals[i]
+            v = v.global_position() if hasattr(v, 'global_position') else v
+            key.append((v is None, _Rev(v) if not asc_ else v))
+        out.append(tuple(key))
+    return out
+
+
+def _sample_sort(stage: 'TableStage', specs: List[Tuple[str, bool]],
+                 samples_per_partition: int = 64) -> 'TableStage':
+    """Distributed sample-pivot sort (reference
+    `lowering/LowerDistributedSort.scala` samplePartition/distributedSort):
+
+    1. each partition materializes and contributes a key sample;
+    2. P-1 pivots are chosen from the pooled sample;
+    3. each input partition range-partitions its rows by pivot (the
+       all-to-all exchange — on the multihost backend each bucket rides the
+       jax.distributed data plane);
+    4. each output partition concatenates its bucket and sorts locally, in
+       parallel via Backend.map_collect.
+    """
+    batches = stage.collect_batches()
+    batches = [b for b in batches if b.length]
+    if not batches:
+        return TableStage.from_batches(stage.globals, [], stage.row_type, [])
+    P = len(batches)
+    keyed = []
+    rng = np.random.default_rng(0)
+    sample_keys = []
+    for b in batches:
+        keys = _row_sort_keys(b, specs)
+        keyed.append((b, keys))
+        if b.length <= samples_per_partition:
+            sample_keys.extend(keys)
+        else:
+            sample_keys.extend(keys[i] for i in
+                               rng.choice(b.length, samples_per_partition,
+                                          replace=False))
+    sample_keys.sort()
+    pivots = [sample_keys[(i + 1) * len(sample_keys) // P]
+              for i in range(P - 1)]
+    # range-partition each batch by pivot (searchsorted on the sorted pivots)
+    import bisect
+    buckets: List[List[Batch]] = [[] for _ in range(P)]
+    for b, keys in keyed:
+        assign = np.asarray([bisect.bisect_right(pivots, k) for k in keys],
+                            dtype=np.int64)
+        for p in range(P):
+            mask = assign == p
+            if mask.any():
+                buckets[p].append(b.compress(mask))
+
+    def sort_bucket(p):
+        parts = buckets[p]
+        if not parts:
+            return Batch.empty(stage.row_type)
+        merged = Batch.concat(parts) if len(parts) > 1 else parts[0]
+        return merged.gather(_sort_indices(merged, specs))
+    sorted_parts = Env.backend().map_collect(list(range(P)), sort_bucket)
+    sorted_parts = [b for b in sorted_parts if b.length]
+    return TableStage.from_batches(stage.globals, [], stage.row_type,
+                                   sorted_parts or [Batch.empty(stage.row_type)])
 
 
 class _Rev:

@@ -230,3 +230,30 @@ def test_class_method_namespace_parity():
                              hl.linalg.BlockMatrix)]:
         missing = sorted(m for m in methods_of(path, cls) if not hasattr(mine, m))
         assert missing == [], (cls, missing)
+
+
+def test_distributed_sample_sort():
+    t = hl.utils.range_table(1000, n_partitions=8)
+    t = t.annotate(v=(t.idx * 37) % 1000)
+    s = t.order_by('v')
+    assert s.n_partitions() > 1  # sample-sort keeps parallel output partitions
+    got = [r.v for r in s.collect()]
+    assert got == sorted(got)
+    got_desc = [r.v for r in t.order_by(hl.desc('v')).collect()]
+    assert got_desc == sorted(got_desc, reverse=True)
+
+
+def test_semantic_hash_execution_cache(tmp_path):
+    import os
+    d = str(tmp_path / 'cache')
+    hl._set_flags(use_fast_restarts='1', cachedir=d)
+    try:
+        assert hl.eval(hl.literal(21) * 2) == 42
+        assert len(os.listdir(d)) == 1
+        assert hl.eval(hl.literal(21) * 2) == 42  # cache hit
+        assert hl.eval(hl.literal(21) * 3) == 63
+        assert len(os.listdir(d)) == 2
+        hl.eval(hl.rand_unif(0, 1))  # nondeterministic: never cached
+        assert len(os.listdir(d)) == 2
+    finally:
+        hl._set_flags(use_fast_restarts='0', cachedir='')
