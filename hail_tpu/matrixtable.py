@@ -28,13 +28,30 @@ from .utils.structs import Struct
 
 
 class MatrixBatch:
-    """A materialized matrix partition: row fields (R,) + entry fields (R,C)."""
+    """A materialized matrix partition: row fields (R,) + entry fields (R,C).
 
-    __slots__ = ('rows', 'entries')
+    `entry_missing` is an optional struct-level (R, C) mask marking FILTERED
+    (absent) entries, distinct from per-field missing: a filtered cell has no
+    entry at all (reference filtered-entries semantics), while a present
+    entry may have individually missing fields. When None, an entry is
+    treated as filtered iff every field is missing."""
 
-    def __init__(self, rows: Batch, entries: Dict[str, Column]):
+    __slots__ = ('rows', 'entries', 'entry_missing')
+
+    def __init__(self, rows: Batch, entries: Dict[str, Column],
+                 entry_missing: 'Optional[np.ndarray]' = None):
         self.rows = rows
         self.entries = dict(entries)
+        self.entry_missing = entry_missing
+
+    def entry_filtered_mask(self) -> np.ndarray:
+        """(R, C) bool mask of filtered/absent entries."""
+        if self.entry_missing is not None:
+            return self.entry_missing
+        if not self.entries:
+            return np.zeros((self.n_rows, self.n_cols), dtype=bool)
+        return np.logical_and.reduce(
+            [c.missing_mask() for c in self.entries.values()])
 
     @property
     def n_rows(self) -> int:
@@ -48,17 +65,21 @@ class MatrixBatch:
 
     def filter_rows(self, keep: np.ndarray) -> 'MatrixBatch':
         return MatrixBatch(self.rows.compress(keep),
-                           {k: c.compress(keep, axis=0) for k, c in self.entries.items()})
+                           {k: c.compress(keep, axis=0) for k, c in self.entries.items()},
+                           self.entry_missing[keep] if self.entry_missing is not None else None)
 
     def gather_rows(self, idx: np.ndarray) -> 'MatrixBatch':
         return MatrixBatch(self.rows.gather(idx),
-                           {k: c.gather(idx, axis=0) for k, c in self.entries.items()})
+                           {k: c.gather(idx, axis=0) for k, c in self.entries.items()},
+                           self.entry_missing[idx] if self.entry_missing is not None else None)
 
     def filter_cols(self, keep: np.ndarray) -> 'MatrixBatch':
-        return MatrixBatch(self.rows, {k: c.compress(keep, axis=1) for k, c in self.entries.items()})
+        return MatrixBatch(self.rows, {k: c.compress(keep, axis=1) for k, c in self.entries.items()},
+                           self.entry_missing[:, keep] if self.entry_missing is not None else None)
 
     def gather_cols(self, idx: np.ndarray) -> 'MatrixBatch':
-        return MatrixBatch(self.rows, {k: c.gather(idx, axis=1) for k, c in self.entries.items()})
+        return MatrixBatch(self.rows, {k: c.gather(idx, axis=1) for k, c in self.entries.items()},
+                           self.entry_missing[:, idx] if self.entry_missing is not None else None)
 
 
 class MatrixStage:
@@ -524,7 +545,8 @@ class MatrixTable:
                 mask = ~mask & ~col.missing_mask()
             drop = ~mask
             ents = {k: c.with_missing(drop.copy()) for k, c in mb.entries.items()}
-            return MatrixBatch(mb.rows, ents)
+            em = mb.entry_missing | drop if mb.entry_missing is not None else drop.copy()
+            return MatrixBatch(mb.rows, ents, em)
         return MatrixTable(self._stage.map_partitions(f))
 
     def unfilter_entries(self) -> 'MatrixTable':

@@ -217,7 +217,7 @@ def concordance(left: MatrixTable, right: MatrixTable,
     """Genotype concordance between two datasets (reference qc.concordance):
     returns (global 5x5 matrix, per-sample table, per-variant table).
     Categories: [missing variant, missing GT, hom ref, het, hom var]."""
-    from ..table import _key_tuples
+    from ..table import _key_tuples, _hashable_key
     lst, rst = left._stage, right._stage
     skey_l, skey_r = lst.col_key[0], rst.col_key[0]
     ls = [r[skey_l] for r in lst.cols.to_pylist()]
@@ -229,14 +229,16 @@ def concordance(left: MatrixTable, right: MatrixTable,
     from ..matrixtable import _concat_matrix_batches
     lmb = _concat_matrix_batches(lst.collect_batches(), lst)
     rmb = _concat_matrix_batches(rst.collect_batches(), rst)
-    lkeys = _key_tuples(lmb.rows, lst.row_key)
-    rkeys = _key_tuples(rmb.rows, rst.row_key)
+    lkeys = [_hashable_key(k) for k in _key_tuples(lmb.rows, lst.row_key)]
+    rkeys = [_hashable_key(k) for k in _key_tuples(rmb.rows, rst.row_key)]
     rmap = {k: i for i, k in enumerate(rkeys)}
 
-    def gt_cat(packed, miss):
+    def gt_cat(packed, miss, filtered):
         from ..genetics.call import calls_n_alt_alleles
+        # 0 = no entry (variant absent or entry filtered), 1 = no call,
+        # 2/3/4 = hom ref / het / hom var (reference qc.concordance)
         cat = np.where(miss, 1, 2 + np.clip(calls_n_alt_alleles(packed), 0, 2))
-        return cat
+        return np.where(filtered, 0, cat)
 
     n_common = len(common)
     glob = np.zeros((5, 5), dtype=np.int64)
@@ -244,38 +246,36 @@ def concordance(left: MatrixTable, right: MatrixTable,
     pv_rows = []
     lp = np.asarray(lmb.entries['GT'].values)[:, li]
     lm = lmb.entries['GT'].missing_mask()[:, li]
+    lf = lmb.entry_filtered_mask()[:, li]
     rp = np.asarray(rmb.entries['GT'].values)[:, ri]
     rm = rmb.entries['GT'].missing_mask()[:, ri]
-    lcat_all = gt_cat(lp, lm)
-    rcat_all = gt_cat(rp, rm)
+    rf = rmb.entry_filtered_mask()[:, ri]
+    lcat_all = gt_cat(lp, lm, lf)
+    rcat_all = gt_cat(rp, rm, rf)
     locus_l = lmb.rows.columns['locus'].to_pylist()
     alleles_l = lmb.rows.columns['alleles'].to_pylist()
+    eye5 = np.arange(5)
     for i, k in enumerate(lkeys):
         j = rmap.get(k)
-        if j is None:
-            lcat = lcat_all[i]
-            mat = np.zeros((5, 5), dtype=np.int64)
-            for c in range(5):
-                mat[c, 0] = int((lcat == c).sum())
-        else:
-            lcat = lcat_all[i]
-            rcat = rcat_all[j]
-            mat = np.zeros((5, 5), dtype=np.int64)
-            np.add.at(mat, (lcat, rcat), 1)
-            per_sample += (np.arange(5)[None, :, None] == lcat[:, None, None]) * \
-                          (np.arange(5)[None, None, :] == rcat[:, None, None])
+        lcat = lcat_all[i]
+        rcat = rcat_all[j] if j is not None else np.zeros(n_common, dtype=np.int64)
+        mat = np.zeros((5, 5), dtype=np.int64)
+        np.add.at(mat, (lcat, rcat), 1)
+        per_sample += (eye5[None, :, None] == lcat[:, None, None]) * \
+                      (eye5[None, None, :] == rcat[:, None, None])
         glob += mat
         pv_rows.append(Struct(locus=locus_l[i], alleles=alleles_l[i],
                               concordance=[[int(x) for x in row] for row in mat],
                               n_discordant=int(_n_discordant(mat))))
-    # right-only variants
+    # right-only variants: left category is 0 for every sample
     lset = set(lkeys)
     for j, k in enumerate(rkeys):
         if k not in lset:
             rcat = rcat_all[j]
             mat = np.zeros((5, 5), dtype=np.int64)
-            for c in range(5):
-                mat[0, c] = int((rcat == c).sum())
+            np.add.at(mat, (np.zeros(n_common, dtype=np.int64), rcat), 1)
+            per_sample += (eye5[None, :, None] == 0) * \
+                          (eye5[None, None, :] == rcat[:, None, None])
             glob += mat
 
     conc_t = ht.tarray(ht.tarray(ht.tint64))

@@ -545,12 +545,16 @@ class Table:
                 grid[ri[i], ci[i]] = lists[i]
             flat = C.from_pylist(rt[f], list(grid.ravel()))
             ents[f] = flat.reshape((R, Cn))
+        # cells with no source row are FILTERED entries (distinct from a
+        # present entry whose fields are missing — reference TableToMatrixTable)
+        present = np.zeros((R, Cn), dtype=bool)
+        present[ri, ci] = True
         row_t = ht.tstruct(**{f: rt[f] for f in row_key + row_fields})
         col_t = ht.tstruct(**{f: rt[f] for f in col_key + col_fields})
         entry_t = ht.tstruct(**{f: rt[f] for f in entry_fields})
         return MatrixTable(MatrixStage.from_batches(
             self._stage.globals, cols, row_key, col_key, row_t, col_t, entry_t,
-            [MatrixBatch(rows, ents)]))
+            [MatrixBatch(rows, ents, ~present)]))
 
     @staticmethod
     def parallelize(rows, schema=None, key=None, n_partitions=None, globals=None):

@@ -328,3 +328,53 @@ def test_king_c_golden():
         for row in csv.DictReader(f, delimiter='\t'):
             got = ents[(row['ID1'], row['ID2'])]
             assert abs(got - float(row['Kinship'])) <= 0.00006
+
+
+def test_concordance_golden():
+    # reference test_qc.py test_concordance_n_discordant_2: exact global,
+    # per-sample, and per-variant concordance matrices
+    rows1 = [
+        {'locus': hl.Locus('1', 100), 'alleles': ['A', 'T'], 's': '1', 'GT': hl.Call([0, 0])},
+        {'locus': hl.Locus('1', 100), 'alleles': ['A', 'T'], 's': '2', 'GT': hl.Call([0, 0])},
+        {'locus': hl.Locus('1', 100), 'alleles': ['A', 'T'], 's': '3', 'GT': hl.Call([1, 1])},
+        {'locus': hl.Locus('1', 100), 'alleles': ['A', 'T'], 's': '4', 'GT': hl.Call([1, 1])},
+        {'locus': hl.Locus('1', 101), 'alleles': ['A', 'T'], 's': '1', 'GT': hl.Call([1, 1])},
+    ]
+    rows2 = [
+        {'locus': hl.Locus('1', 100), 'alleles': ['A', 'T'], 's': '1', 'GT': None},
+        {'locus': hl.Locus('1', 100), 'alleles': ['A', 'T'], 's': '2', 'GT': hl.Call([0, 1])},
+        {'locus': hl.Locus('1', 100), 'alleles': ['A', 'T'], 's': '3', 'GT': hl.Call([0, 1])},
+        {'locus': hl.Locus('1', 100), 'alleles': ['A', 'T'], 's': '4', 'GT': hl.Call([1, 1])},
+    ]
+
+    def make_mt(rows):
+        ht_ = hl.Table.parallelize(
+            rows, hl.dtype('struct{locus:locus<GRCh37>,alleles:array<str>,s:str,GT:call}'))
+        return ht_.to_matrix_table(['locus', 'alleles'], ['s'])
+
+    g, cols, rows_t = hl.concordance(make_mt(rows1), make_mt(rows2))
+    assert [[int(x) for x in r] for r in g] == \
+        [[3, 0, 0, 0, 0], [0, 0, 0, 0, 0], [0, 1, 0, 1, 0],
+         [0, 0, 0, 0, 0], [1, 0, 0, 1, 1]]
+    exp_cols = {
+        '1': ([[0, 0, 0, 0, 0], [0, 0, 0, 0, 0], [0, 1, 0, 0, 0],
+               [0, 0, 0, 0, 0], [1, 0, 0, 0, 0]], 0),
+        '2': ([[1, 0, 0, 0, 0], [0, 0, 0, 0, 0], [0, 0, 0, 1, 0],
+               [0, 0, 0, 0, 0], [0, 0, 0, 0, 0]], 1),
+        '3': ([[1, 0, 0, 0, 0], [0, 0, 0, 0, 0], [0, 0, 0, 0, 0],
+               [0, 0, 0, 0, 0], [0, 0, 0, 1, 0]], 1),
+        '4': ([[1, 0, 0, 0, 0], [0, 0, 0, 0, 0], [0, 0, 0, 0, 0],
+               [0, 0, 0, 0, 0], [0, 0, 0, 0, 1]], 0),
+    }
+    for r in cols.collect():
+        e = exp_cols[r.s]
+        assert r.concordance == e[0] and r.n_discordant == e[1]
+    rc = {r.locus.position: r for r in rows_t.collect()}
+    assert rc[100].concordance == [[0, 0, 0, 0, 0], [0, 0, 0, 0, 0],
+                                   [0, 1, 0, 1, 0], [0, 0, 0, 0, 0],
+                                   [0, 0, 0, 1, 1]]
+    # self-concordance is diagonal
+    mt = make_mt(rows1)
+    g2, _, _ = hl.concordance(mt, mt)
+    assert sum(sum(r) for r in g2) == mt.count_rows() * mt.count_cols()
+    assert all(g2[i][j] == 0 for i in range(5) for j in range(5) if i != j)
