@@ -725,7 +725,9 @@ def _split_multi_impl(ds: MatrixTable, keep_star: bool, hts: bool) -> MatrixTabl
         out_row_idx = []
         out_a_index = []
         out_alleles = []
+        out_locus = []
         out_was_split = []
+        loci_l = mb.rows.columns['locus'].to_pylist()
         for i, als in enumerate(alleles_l):
             n_alt = len(als) - 1 if als else 0
             for a in range(1, n_alt + 1):
@@ -734,9 +736,10 @@ def _split_multi_impl(ds: MatrixTable, keep_star: bool, hts: bool) -> MatrixTabl
                 out_row_idx.append(i)
                 out_a_index.append(a)
                 mr = F.eval_expr(F.min_rep(
-                    to_expr(mb.rows.columns['locus'].to_pylist()[i]),
+                    to_expr(loci_l[i]),
                     to_expr([als[0], als[a]], ht.tarray(ht.tstr))))
                 out_alleles.append(mr.alleles)
+                out_locus.append(mr.locus)
                 out_was_split.append(n_alt > 1)
         idx = np.asarray(out_row_idx, dtype=np.int64)
         aidx = np.asarray(out_a_index, dtype=np.int32)
@@ -747,6 +750,9 @@ def _split_multi_impl(ds: MatrixTable, keep_star: bool, hts: bool) -> MatrixTabl
                 arr = np.empty(Rn, dtype=object)
                 arr[:] = out_alleles
                 rows_cols[kf] = ObjectColumn(ht.tarray(ht.tstr), arr)
+            elif kf == 'locus':
+                # min_rep may advance the position (left trim)
+                rows_cols[kf] = C.from_pylist(st.row_type['locus'], out_locus)
             else:
                 rows_cols[kf] = c.gather(idx)
         rows_cols['was_split'] = PrimitiveColumn(ht.tbool, np.asarray(out_was_split, dtype=bool))
@@ -762,7 +768,12 @@ def _split_multi_impl(ds: MatrixTable, keep_star: bool, hts: bool) -> MatrixTabl
                 k2 = calls_allele_k(packed)
                 nj = (j == aidx2).astype(np.int32)
                 nk = (k2 == aidx2).astype(np.int32)
-                newp = ((packed & (PLOIDY_MASK | 0x4)) | (nj << J_SHIFT) | (nk << K_SHIFT)).astype(np.int32)
+                # unphased DIPLOID downcoded calls are canonically sorted
+                # (hl.downcode); haploid calls keep their single allele in j
+                sortable = ((packed & 0x4) == 0) & ((packed & PLOIDY_MASK) == 2)
+                lo = np.where(sortable, np.minimum(nj, nk), nj)
+                hi = np.where(sortable, np.maximum(nj, nk), nk)
+                newp = ((packed & (PLOIDY_MASK | 0x4)) | (lo << J_SHIFT) | (hi << K_SHIFT)).astype(np.int32)
                 m = c.missing_mask()[idx] if c.missing is not None else None
                 ents[kf] = PrimitiveColumn(ht.tcall, newp, m)
             elif hts and kf == 'AD' and isinstance(c, DenseArrayColumn):

@@ -556,6 +556,42 @@ class Table:
             self._stage.globals, cols, row_key, col_key, row_t, col_t, entry_t,
             [MatrixBatch(rows, ents, ~present)]))
 
+    def _unlocalize_entries(self, entries_field_name: str,
+                            cols_field_name: str, col_key) -> 'MatrixTable':
+        """Inverse of MatrixTable.localize_entries: the array-of-structs row
+        field becomes the entry matrix, the global array the columns
+        (reference table.py _unlocalize_entries)."""
+        from .matrixtable import MatrixBatch, MatrixStage, MatrixTable
+        st = self._stage
+        ent_arr_t = st.row_type[entries_field_name]
+        ent_t = ent_arr_t.element_type
+        col_arr_t = st.globals_type[cols_field_name]
+        col_t = col_arr_t.element_type
+        cols_py = st.globals.to_pylist()[0][cols_field_name]
+        Cn = len(cols_py)
+        cols = Batch.from_pylist(col_t, cols_py)
+        new_row_t = st.row_type._drop_fields([entries_field_name])
+        new_g = Batch({k: v for k, v in st.globals.columns.items()
+                       if k != cols_field_name}, 1)
+        batches = []
+        for b in st.collect_batches():
+            R = b.length
+            ent_lists = b.columns[entries_field_name].to_pylist()
+            flat = [e for row in ent_lists for e in
+                    (row if row is not None else [None] * Cn)]
+            ec = C.from_pylist(ent_t, flat).reshape((R, Cn))
+            ents = dict(ec.fields) if isinstance(ec, StructColumn) else {}
+            em = ec.missing if isinstance(ec, StructColumn) else None
+            if em is not None:
+                ents = {k: v.with_missing(v.missing_mask() | em)
+                        for k, v in ents.items()}
+            rows = Batch({k: v for k, v in b.columns.items()
+                          if k != entries_field_name}, R)
+            batches.append(MatrixBatch(rows, ents, em))
+        return MatrixTable(MatrixStage.from_batches(
+            new_g, cols, st.key, list(col_key), new_row_t, col_t, ent_t,
+            batches))
+
     @staticmethod
     def parallelize(rows, schema=None, key=None, n_partitions=None, globals=None):
         return parallelize(rows, schema, key, n_partitions, globals)

@@ -378,3 +378,49 @@ def test_concordance_golden():
     g2, _, _ = hl.concordance(mt, mt)
     assert sum(sum(r) for r in g2) == mt.count_rows() * mt.count_cols()
     assert all(g2[i][j] == 0 for i in range(5) for j in range(5) if i != j)
+
+
+def test_split_multi_hts_fixture_golden():
+    # reference test_split_multi_hts: splitting split_test.vcf must equal the
+    # pre-split split_test_b.vcf exactly (rows + GT/GQ/PL entries)
+    ds1 = hl.split_multi_hts(hl.import_vcf(RES + 'split_test.vcf'))
+    ds2 = hl.import_vcf(RES + 'split_test_b.vcf')
+    assert all((r.locus.position == 1180) or r.was_split
+               for r in ds1.rows().collect())
+    k1 = sorted((r.locus.contig, r.locus.position, tuple(r.alleles))
+                for r in ds1.rows().collect())
+    k2 = sorted((r.locus.contig, r.locus.position, tuple(r.alleles))
+                for r in ds2.rows().collect())
+    assert k1 == k2
+    e1 = {(x.locus.position, tuple(x.alleles), x.s): (str(x.GT), x.GQ, x.PL)
+          for x in ds1.entries().collect()}
+    e2 = {(x.locus.position, tuple(x.alleles), x.s): (str(x.GT), x.GQ, x.PL)
+          for x in ds2.entries().collect()}
+    assert all(e1.get(k) == v for k, v in e2.items())
+
+
+def test_split_multi_pl_haploid_golden():
+    # reference test_statgen.py test_split_multi_pl_haploid: haploid PL
+    # downcode produces length-2 arrays [min over non-a alleles, PL[a]]
+    lines = [
+        {'locus': hl.Locus('Y', 10_000), 'alleles': ['A', 'C', 'T'],
+         'entries': [{'GT': hl.Call([1]), 'PL': [100, 0, 1000]}]},
+        {'locus': hl.Locus('Y', 11_000), 'alleles': ['A', 'AT', 'ATT', 'T'],
+         'entries': [{'GT': hl.Call([2]), 'PL': [100, 200, 0, 73]}]},
+    ]
+    ht_ = hl.Table.parallelize(lines, hl.dtype(
+        'struct{locus: locus<GRCh37>, alleles: array<str>, '
+        'entries: array<struct{GT: call, PL: array<int32>}>}'),
+        key=['locus', 'alleles'])
+    ht_ = ht_.annotate_globals(cols=hl.literal(
+        [hl.Struct(s='S1')], hl.tarray(hl.tstruct(s=hl.tstr))))
+    mt = hl.split_multi_hts(ht_._unlocalize_entries('entries', 'cols', ['s']))
+    got = [(e.locus.position, e.alleles, e.a_index, str(e.GT), e.PL)
+           for e in mt.entries().collect()]
+    assert got == [
+        (10000, ['A', 'C'], 1, '1', [100, 0]),
+        (10000, ['A', 'T'], 2, '0', [0, 1000]),
+        (11000, ['A', 'AT'], 1, '0', [0, 200]),
+        (11000, ['A', 'ATT'], 2, '1', [73, 0]),
+        (11000, ['A', 'T'], 3, '0', [0, 73]),
+    ]
