@@ -55,7 +55,8 @@ def main():
     N = 10_000          # samples (BASELINE: 10k-sample GWAS)
     BLOCK_R = 4096      # variants per block
     K = 4               # covariates incl. intercept
-    N_ITER = 24
+    N1, N2 = 4, 24      # two loop sizes; the rate uses the DIFFERENCE so the
+                        # relay's fixed per-fetch latency cancels out
 
     rng = np.random.default_rng(0)
     cov = np.concatenate([np.ones((N, 1)), rng.normal(size=(N, K - 1))], axis=1)
@@ -67,7 +68,7 @@ def main():
 
     log('generating blocks on device (h2d over the tunnel is slow)...')
     t = time.time()
-    n_blocks = 3
+    n_blocks = 2
     key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, n_blocks + 1)
     Gs = [jax.random.randint(keys[i], (BLOCK_R, N), 0, 3).astype(jnp.float64)
@@ -93,16 +94,28 @@ def main():
     assert np.isfinite(beta0).all()
     log(f'warm in {time.time() - t:.1f}s')
 
-    # timed loop: cycle distinct pre-staged blocks, chain checksums, fetch once
-    t0 = time.time()
-    acc = jnp.float64(0.0)
-    for i in range(N_ITER):
-        out = linreg_block(Gs[i % n_blocks], M0, Qd, yd, ytyd, dd)
-        acc = acc + out[3].sum()
-    total = float(acc)
-    dt = time.time() - t0
-    variants_per_sec = BLOCK_R * N_ITER / dt
-    log(f'timed {N_ITER} blocks in {dt:.2f}s (checksum {total:.2f})')
+    # timed loops: cycle distinct pre-staged blocks, chain checksums, fetch
+    # once per loop. The reported rate uses T(N2) - T(N1), which cancels the
+    # relay's per-fetch roundtrip latency (can be tens of seconds when the
+    # tunnel is degraded — .claude/skills/verify/SKILL.md).
+    def timed_loop(n_iter):
+        t0 = time.time()
+        acc = jnp.float64(0.0)
+        for i in range(n_iter):
+            out = linreg_block(Gs[i % n_blocks], M0, Qd, yd, ytyd, dd)
+            acc = acc + out[3].sum()
+        total = float(acc)
+        return time.time() - t0, total
+
+    t1, tot1 = timed_loop(N1)
+    log(f'loop N1={N1}: {t1:.2f}s (checksum {tot1:.2f})')
+    t2, tot2 = timed_loop(N2)
+    log(f'loop N2={N2}: {t2:.2f}s (checksum {tot2:.2f})')
+    if t2 > t1 * 1.05:
+        variants_per_sec = BLOCK_R * (N2 - N1) / (t2 - t1)
+    else:  # degenerate timing (relay hiccup) — fall back to the larger loop
+        variants_per_sec = BLOCK_R * N2 / t2
+    log(f'rate {variants_per_sec:.0f} variants/sec/chip')
 
     # host-numpy baseline (same computation + p-values, f64 BLAS)
     import scipy.stats as st

@@ -37,13 +37,21 @@ def locus_windows(locus_expr, radius, coord_expr=None, _localize=True):
     from ...expr.expression import to_expr
     e = to_expr(locus_expr)
     src = e._indices.source
-    rows = src.rows() if hasattr(src, 'rows') else src
-    recs = rows.select(__l=e, **({'__c': to_expr(coord_expr)} if coord_expr is not None else {})).collect()
-    contigs = np.asarray([r.__l.contig for r in recs])
+    ce = to_expr(coord_expr) if coord_expr is not None else None
+    st = src._stage
+    loci = []
+    coords_l = []
+    for i, ctx in enumerate(st.contexts):
+        b = st.partition_fn(ctx)
+        env = src._row_env(b, i)
+        loci.extend(e._ir.evaluate(env).to_pylist())
+        if ce is not None:
+            coords_l.extend(ce._ir.evaluate(env).to_pylist())
+    contigs = np.asarray([l.contig for l in loci])
     if coord_expr is None:
-        coords = np.asarray([r.__l.position for r in recs], dtype=np.float64)
+        coords = np.asarray([l.position for l in loci], dtype=np.float64)
     else:
-        coords = np.asarray([r.__c for r in recs], dtype=np.float64)
+        coords = np.asarray(coords_l, dtype=np.float64)
     n = len(coords)
     starts = np.zeros(n, np.int64)
     stops = np.zeros(n, np.int64)

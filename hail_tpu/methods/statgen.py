@@ -985,18 +985,14 @@ def ld_matrix(entry_expr, locus_expr, radius: Union[int, float],
               coord_expr=None, block_size: Optional[int] = None) -> 'BlockMatrix':
     """Windowed LD (correlation) matrix (reference ld_matrix)."""
     corr = row_correlation(entry_expr, block_size)
-    le = to_expr(locus_expr)
-    mt = le._indices.source
-    gpos = []
-    for i, ctx in enumerate(mt._stage.contexts):
-        mb = mt._stage.partition_fn(ctx)
-        env = mt._row_env(mb, i)
-        col = le._ir.evaluate(env)
-        gpos.append(np.asarray(col.global_position()))
-    gp = np.concatenate(gpos)
+    # windows via locus_windows (contig-bounded; optional genetic-map coords)
+    # — reference ld_matrix = row_correlation + sparsify_row_intervals
+    from ..linalg.utils import locus_windows
+    starts, stops = locus_windows(locus_expr, radius, coord_expr=coord_expr)
+    n = corr.shape[0]
+    cols_ix = np.arange(n)[None, :]
+    mask = (cols_ix >= starts[:, None]) & (cols_ix < stops[:, None])
     import jax.numpy as jnp
-    d = np.abs(gp[:, None] - gp[None, :])
-    mask = d <= radius
     from ..linalg import BlockMatrix
     return BlockMatrix(jnp.where(jnp.asarray(mask), corr._data, 0.0), corr.block_size)
 

@@ -424,3 +424,40 @@ def test_split_multi_pl_haploid_golden():
         (11000, ['A', 'ATT'], 2, '1', [73, 0]),
         (11000, ['A', 'T'], 3, '0', [0, 73]),
     ]
+
+
+def _ld_mt():
+    data = [
+        {'v': '1:1:A:C', 'cm': 0.1, 's': 'a', 'GT': hl.Call([0, 0])},
+        {'v': '1:1:A:C', 'cm': 0.1, 's': 'b', 'GT': hl.Call([0, 0])},
+        {'v': '1:1:A:C', 'cm': 0.1, 's': 'c', 'GT': hl.Call([0, 1])},
+        {'v': '1:1:A:C', 'cm': 0.1, 's': 'd', 'GT': hl.Call([1, 1])},
+        {'v': '1:2000000:G:T', 'cm': 0.9, 's': 'a', 'GT': hl.Call([0, 1])},
+        {'v': '1:2000000:G:T', 'cm': 0.9, 's': 'b', 'GT': hl.Call([1, 1])},
+        {'v': '1:2000000:G:T', 'cm': 0.9, 's': 'c', 'GT': hl.Call([0, 1])},
+        {'v': '1:2000000:G:T', 'cm': 0.9, 's': 'd', 'GT': hl.Call([0, 0])},
+        {'v': '2:1:C:G', 'cm': 0.2, 's': 'a', 'GT': hl.Call([0, 1])},
+        {'v': '2:1:C:G', 'cm': 0.2, 's': 'b', 'GT': hl.Call([0, 0])},
+        {'v': '2:1:C:G', 'cm': 0.2, 's': 'c', 'GT': hl.Call([1, 1])},
+        {'v': '2:1:C:G', 'cm': 0.2, 's': 'd', 'GT': None},
+    ]
+    ht_ = hl.Table.parallelize(data, hl.dtype('struct{v: str, s: str, cm: float64, GT: call}'))
+    ht_ = ht_.transmute(**hl.parse_variant(ht_.v))
+    return ht_.to_matrix_table(['locus', 'alleles'], ['s'], row_fields=['cm'])
+
+
+def test_row_correlation_and_ld_matrix_golden():
+    # reference test_statgen.py test_row_correlation_vs_hardcode +
+    # test_ld_matrix_1..4 hardcoded matrices
+    import numpy as np
+    mt = _ld_mt()
+    exp_corr = [[1.0, -0.85280287, 0.42640143],
+                [-0.85280287, 1.0, -0.5], [0.42640143, -0.5, 1.0]]
+    assert np.allclose(
+        np.asarray(hl.row_correlation(mt.GT.n_alt_alleles()).to_numpy()), exp_corr)
+    exp2 = [[1.0, -0.85280287, 0.0], [-0.85280287, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    x = mt.GT.n_alt_alleles()
+    assert np.allclose(np.asarray(hl.ld_matrix(x, mt.locus, radius=1e6).to_numpy()), np.eye(3))
+    assert np.allclose(np.asarray(hl.ld_matrix(x, mt.locus, radius=2e6).to_numpy()), exp2)
+    assert np.allclose(np.asarray(hl.ld_matrix(x, mt.locus, radius=0.5, coord_expr=mt.cm).to_numpy()), np.eye(3))
+    assert np.allclose(np.asarray(hl.ld_matrix(x, mt.locus, radius=1.0, coord_expr=mt.cm).to_numpy()), exp2)
