@@ -98,18 +98,22 @@ def main():
     # once per loop. The reported rate uses T(N2) - T(N1), which cancels the
     # relay's per-fetch roundtrip latency (can be tens of seconds when the
     # tunnel is degraded — .claude/skills/verify/SKILL.md).
-    def timed_loop(n_iter):
+    def timed_loop(n_iter, salt):
+        # perturb y per iteration: the relay deduplicates IDENTICAL lazy
+        # executions, so every call must differ (verify/SKILL.md). A (N,1)
+        # add is ~0.1% of the kernel's work.
         t0 = time.time()
         acc = jnp.float64(0.0)
         for i in range(n_iter):
-            out = linreg_block(Gs[i % n_blocks], M0, Qd, yd, ytyd, dd)
+            yi = yd + jnp.float64((salt + i) * 1e-12)
+            out = linreg_block(Gs[i % n_blocks], M0, Qd, yi, ytyd, dd)
             acc = acc + out[3].sum()
         total = float(acc)
         return time.time() - t0, total
 
-    t1, tot1 = timed_loop(N1)
+    t1, tot1 = timed_loop(N1, 0)
     log(f'loop N1={N1}: {t1:.2f}s (checksum {tot1:.2f})')
-    t2, tot2 = timed_loop(N2)
+    t2, tot2 = timed_loop(N2, 1000)
     log(f'loop N2={N2}: {t2:.2f}s (checksum {tot2:.2f})')
     if t2 > t1 * 1.05:
         variants_per_sec = BLOCK_R * (N2 - N1) / (t2 - t1)

@@ -126,35 +126,45 @@ def pc_relate(call_expr, min_individual_maf: float, *, k: Optional[int] = None,
     XtX = X.T @ X
     B = np.linalg.solve(XtX, X.T @ np.where(M, (Gz.sum(axis=1) / np.maximum(cnt, 1))[:, None], G).T).T  # (m, p)
     mu = (B @ X.T) / 2.0                      # (m, n) individual-specific af
-    mu = np.clip(mu, 1e-6, 1 - 1e-6)
-    maf_ok = (mu >= min_individual_maf) & (mu <= 1 - min_individual_maf)
-    ok = maf_ok & ~M
-    g_centered = np.where(ok, G - 2 * mu, 0.0)
-    var_part = np.where(ok, np.sqrt(mu * (1 - mu)), 0.0)
+    # mu is invalid (no contribution) when outside (maf, 1-maf) / (0, 1) or
+    # when the genotype is missing (reference pc_relate.py:385 _bad_mu)
+    bad = (mu <= min_individual_maf) | (mu >= 1 - min_individual_maf) | \
+        (mu <= 0.0) | (mu >= 1.0) | M
+    ok = ~bad
+    variance = np.where(ok, mu * (1 - mu), 0.0)
+    centered_af = np.where(ok, G - 2 * mu, 0.0)
+    stddev = np.sqrt(variance)
 
-    gj = jnp.asarray(g_centered)
-    vj = jnp.asarray(var_part)
-    num = np.asarray(gj.T @ gj)
-    den = np.asarray(vj.T @ vj)
+    def gram(A):
+        return np.asarray(jnp.asarray(A).T @ jnp.asarray(A))
+
     with np.errstate(all='ignore'):
-        kin = num / (4 * den)
+        kin = gram(centered_af) / (4 * gram(stddev))
 
-    # IBD0/1/2 estimates (reference PCRelate ibs0 path)
-    hom_alt = np.where(ok, (G >= 1.5).astype(np.float64), 0.0)
-    hom_ref = np.where(ok, (G <= 0.5).astype(np.float64), 0.0)
-    ibs0 = np.asarray(jnp.asarray(hom_alt).T @ jnp.asarray(hom_ref)
-                      + jnp.asarray(hom_ref).T @ jnp.asarray(hom_alt))
+    # IBD2 (reference PCRelate.scala:267 k2): dominance-coded genotypes with
+    # an inbreeding correction from the kinship diagonal
+    f_i = 2.0 * np.diag(kin) - 1.0
+    gd = np.where(~ok, 0.0,
+                  np.where(G == 0.0, mu,
+                           np.where(G == 1.0, 0.0, 1.0 - mu)))
+    normalized_gd = gd - variance * (1.0 + f_i)[None, :]
+    with np.errstate(all='ignore'):
+        k2 = gram(normalized_gd) / gram(variance)
+
+    # IBD0 (reference PCRelate.scala:287 k0): IBS0 ratio for close relatives,
+    # 1 - 4*phi + k2 otherwise; cutoff 2^(-5/2)
+    hom_alt = np.where(ok & (G == 2.0), 1.0, 0.0)
+    hom_ref = np.where(ok & (G == 0.0), 1.0, 0.0)
+    tmp = np.asarray(jnp.asarray(hom_alt).T @ jnp.asarray(hom_ref))
+    ibs0 = tmp + tmp.T
     mu2 = np.where(ok, mu * mu, 0.0)
     om2 = np.where(ok, (1 - mu) * (1 - mu), 0.0)
-    k0_den = np.asarray(jnp.asarray(mu2).T @ jnp.asarray(om2)
-                        + jnp.asarray(om2).T @ jnp.asarray(mu2))
+    tmp2 = np.asarray(jnp.asarray(mu2).T @ jnp.asarray(om2))
+    k0_den = tmp2 + tmp2.T
+    k0cutoff = 2.0 ** (-5.0 / 2.0)
     with np.errstate(all='ignore'):
-        k0 = np.where(kin > 2 ** (-5.0 / 2), ibs0 / np.maximum(k0_den, 1e-300),
-                      1 - 4 * kin + np.nan_to_num(0))
-        k2 = np.zeros_like(kin)
-        # moment identities: k2 ≈ ... use simple relation k2 = 4*kin - 1 + k0 bounded
-        k2 = np.clip(4 * kin - 1 + k0, 0, 1)
-        k1 = np.clip(1 - k0 - k2, 0, 1)
+        k0 = np.where(kin <= k0cutoff, 1.0 - 4.0 * kin + k2, ibs0 / k0_den)
+    k1 = 1.0 - (k2 + k0)
 
     # build pairs table
     st = mt._stage

@@ -461,3 +461,47 @@ def test_row_correlation_and_ld_matrix_golden():
     assert np.allclose(np.asarray(hl.ld_matrix(x, mt.locus, radius=2e6).to_numpy()), exp2)
     assert np.allclose(np.asarray(hl.ld_matrix(x, mt.locus, radius=0.5, coord_expr=mt.cm).to_numpy()), np.eye(3))
     assert np.allclose(np.asarray(hl.ld_matrix(x, mt.locus, radius=1.0, coord_expr=mt.cm).to_numpy()), exp2)
+
+
+def test_pc_relate_r_truth_golden():
+    # reference relatedness/test_pc_relate.py test_pc_relate_against_R_truth:
+    # kin/ibd within the reference's own tolerances vs the GENESIS R package
+    import csv
+    import gzip
+    import json
+    mt = hl.import_vcf(RES + 'pc_relate_bn_input.vcf.bgz', force_bgz=True)
+    hk = hl.pc_relate(mt.GT, 0.00, k=2)
+    got = {(r.i.s if hasattr(r.i, 's') else r.i,
+            r.j.s if hasattr(r.j, 's') else r.j):
+           (r.kin, r.ibd0, r.ibd1, r.ibd2) for r in hk.collect()}
+    truth = {}
+    with gzip.open(RES + 'pc_relate_r_truth.tsv.bgz', 'rt') as f:
+        for row in csv.DictReader(f, delimiter='\t'):
+            i = json.loads(row['i'])['s'] if row['i'].startswith('{') else row['i']
+            j = json.loads(row['j'])['s'] if row['j'].startswith('{') else row['j']
+            truth[(i, j)] = (float(row['kin']), float(row['ibd0']),
+                             float(row['ibd1']), float(row['ibd2']))
+    assert len(truth) == len(got) == 4950
+    tols = [1e-3, 1.3e-2, 2.6e-2, 1.3e-2]
+    for k, tv in truth.items():
+        g = got.get(k) or got.get((k[1], k[0]))
+        for x in range(4):
+            assert abs(g[x] - tv[x]) <= tols[x], (k, x, g[x], tv[x])
+
+
+def test_pc_relate_simple_example_golden():
+    # reference test_pc_relate_simple_example: unrelated by construction
+    gs = hl.literal([
+        [0, 0, 0, 0, 1, 1, 1, 1],
+        [0, 0, 1, 1, 0, 0, 1, 1],
+        [0, 1, 0, 1, 0, 1, 0, 1],
+        [0, 0, 1, 1, 0, 0, 1, 1],
+    ])
+    scores = hl.literal([[1, 1], [-1, 0], [1, -1], [-1, 0]])
+    mt = hl.utils.range_matrix_table(8, 4)
+    mt = mt.annotate_entries(GT=hl.unphased_diploid_gt_index_call(gs[mt.col_idx][mt.row_idx]))
+    mt = mt.annotate_cols(scores=scores[mt.col_idx])
+    pcr = hl.pc_relate(mt.GT, min_individual_maf=0, scores_expr=mt.scores)
+    for r in pcr.collect():
+        assert abs(r.kin) < 1e-12 and abs(r.ibd0 - 1.0) < 1e-12
+        assert abs(r.ibd1) < 1e-12 and abs(r.ibd2) < 1e-12
