@@ -505,3 +505,48 @@ def test_pc_relate_simple_example_golden():
     for r in pcr.collect():
         assert abs(r.kin) < 1e-12 and abs(r.ibd0 - 1.0) < 1e-12
         assert abs(r.ibd1) < 1e-12 and abs(r.ibd2) < 1e-12
+
+
+def test_logreg_lrt_r_golden():
+    # reference test_logistic_regression_lrt R values
+    cov = hl.import_table(RES + 'regressionLogistic.cov', key='Sample',
+                          types={'Cov1': hl.tfloat64, 'Cov2': hl.tfloat64})
+    ph = hl.import_table(RES + 'regressionLogisticBoolean.pheno', key='Sample',
+                         missing='0', types={'isCase': hl.tbool})
+    mt = hl.import_vcf(RES + 'regressionLogistic.vcf')
+    ht = hl.logistic_regression_rows('lrt', y=ph[mt.s].isCase,
+                                     x=mt.GT.n_alt_alleles(),
+                                     covariates=[1.0, cov[mt.s].Cov1, cov[mt.s].Cov2])
+    r = {x.locus.position: x for x in ht.collect()}
+    assert r[1].beta == pytest.approx(-0.81226793796, abs=1e-6)
+    assert r[1].chi_sq_stat == pytest.approx(0.1503349167, abs=1e-6)
+    assert r[1].p_value == pytest.approx(0.6982155052, abs=1e-6)
+    assert r[2].beta == pytest.approx(-0.43659460858, abs=1e-6)
+    assert r[2].chi_sq_stat == pytest.approx(0.1813968574, abs=1e-6)
+    assert r[2].p_value == pytest.approx(0.6701755415, abs=1e-6)
+
+
+def test_poisson_lrt_and_score_r_golden():
+    # reference test_poisson_regression_lrt / _score_test R values
+    cov = hl.import_table(RES + 'regressionLogistic.cov', key='Sample',
+                          types={'Cov1': hl.tfloat64, 'Cov2': hl.tfloat64})
+    ph = hl.import_table(RES + 'regressionPoisson.pheno', key='Sample',
+                         missing='-1', types={'count': hl.tint32})
+    mt = hl.import_vcf(RES + 'regressionLogistic.vcf')
+    covs = [1.0, cov[mt.s].Cov1, cov[mt.s].Cov2]
+    r = {x.locus.position: x
+         for x in hl.poisson_regression_rows('lrt', y=ph[mt.s].count,
+                                             x=mt.GT.n_alt_alleles(),
+                                             covariates=covs).collect()}
+    assert r[1].beta == pytest.approx(0.6725210143, abs=1e-6)
+    assert r[1].chi_sq_stat == pytest.approx(0.8334198333, abs=1e-5)
+    assert r[1].p_value == pytest.approx(0.361285509, abs=1e-6)
+    assert r[2].beta == pytest.approx(-0.5025904503, abs=1e-6)
+    s = {x.locus.position: x
+         for x in hl.poisson_regression_rows('score', y=ph[mt.s].count,
+                                             x=mt.GT.n_alt_alleles(),
+                                             covariates=covs).collect()}
+    assert s[1].chi_sq_stat == pytest.approx(0.8782455145, abs=5e-5)
+    assert s[1].p_value == pytest.approx(0.3486826695, abs=5e-6)
+    assert s[2].chi_sq_stat == pytest.approx(2.067574259, abs=5e-5)
+    assert s[3].chi_sq_stat == pytest.approx(5.483930429, abs=5e-4)
