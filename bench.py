@@ -55,7 +55,7 @@ def main():
     N = 10_000          # samples (BASELINE: 10k-sample GWAS)
     BLOCK_R = 4096      # variants per block
     K = 4               # covariates incl. intercept
-    N1, N2 = 4, 24      # two loop sizes; the rate uses the DIFFERENCE so the
+    N1, N2 = 8, 32      # two loop sizes; the rate uses the DIFFERENCE so the
                         # relay's fixed per-fetch latency cancels out
 
     rng = np.random.default_rng(0)
@@ -111,6 +111,8 @@ def main():
         total = float(acc)
         return time.time() - t0, total
 
+    _tw, _ = timed_loop(2, -100)   # warm the perturb/accumulate ops too
+    log(f'warm loop: {_tw:.2f}s')
     t1, tot1 = timed_loop(N1, 0)
     log(f'loop N1={N1}: {t1:.2f}s (checksum {tot1:.2f})')
     t2, tot2 = timed_loop(N2, 1000)

@@ -144,7 +144,11 @@ def linreg(y, x, nested_dim: int = 1, weight=None) -> Expression:
     xs = x if isinstance(x, (list, tuple)) else [x]
     ye = to_expr(y)
     xes = [to_expr(xx) for xx in xs]
-    return _agg(A.LinRegAgg(), [ye] + xes, (len(xes), nested_dim))
+    if weight is not None:
+        we = to_expr(weight)
+        return _agg(A.LinRegAgg(), [ye] + xes + [we],
+                    (len(xes), nested_dim, True))
+    return _agg(A.LinRegAgg(), [ye] + xes, (len(xes), nested_dim, False))
 
 
 def info_score(gp) -> Expression:

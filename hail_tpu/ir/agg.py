@@ -748,20 +748,30 @@ class LinRegAgg(Aggregator):
                           n=ht.tint64)
 
     def seq(self, arg_cols, include, axis, init_args):
-        k, nested_dim = init_args
+        k, nested_dim = init_args[0], init_args[1]
+        weighted = len(init_args) > 2 and init_args[2]
         y = arg_cols[0]
-        xs = arg_cols[1:]
+        xs = arg_cols[1:-1] if weighted else arg_cols[1:]
         ok = _include_and_defined(y, include)
         for x in xs:
             ok = ok & ~x.missing_mask()
+        if weighted:
+            wcol = arg_cols[-1]
+            ok = ok & ~wcol.missing_mask()
         shape = ok.shape
+        if weighted:
+            w = np.where(ok, np.broadcast_to(
+                np.asarray(wcol.values, np.float64), shape), 0.0)
+        else:
+            w = ok.astype(np.float64)
         yv = np.where(ok, np.broadcast_to(np.asarray(y.values, np.float64), shape), 0.0)
         X = np.stack([np.where(ok, np.broadcast_to(np.asarray(x.values, np.float64), shape), 0.0) for x in xs],
                      axis=-1)  # shape + (k,)
-        xtx = np.einsum('...i,...j->...ij', X, X)
+        # weighted normal equations: X'WX, X'Wy, y'Wy
+        xtx = np.einsum('...i,...j->...ij', X * w[..., None], X)
         xtx = np.sum(xtx, axis=axis)
-        xty = np.sum(X * yv[..., None], axis=axis)
-        yty = np.sum(yv * yv, axis=axis)
+        xty = np.sum(X * (w * yv)[..., None], axis=axis)
+        yty = np.sum(w * yv * yv, axis=axis)
         n = np.sum(ok, axis=axis, dtype=np.int64)
         return (xtx, xty, yty, n, nested_dim)
 
@@ -806,8 +816,8 @@ class LinRegAgg(Aggregator):
                     ybar2 = 0.0
                     rss0 = float(yty[i])
                 q = nested_dim if nested_dim > 0 else k
-                f = ((rss0 - rss) / q) / (rss / d)
-                fp = float(st.f.sf(f, q, d))
+                f = ((rss0 - rss) / q) / (rss / d) if rss > 0 else float('nan')
+                fp = float(st.f.sf(f, q, d)) if rss > 0 else float('nan')
                 r2 = 1 - rss / rss0 if rss0 > 0 else float('nan')
                 ar2 = 1 - (1 - r2) * (ni - (k - q)) / d if not math.isnan(r2) else r2
                 rows.append(Struct(

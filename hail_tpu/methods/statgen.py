@@ -124,8 +124,19 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
     """Per-variant OLS GWAS (reference `statgen.py:419`
     `_linear_regression_rows_nd`): projection-trick batched GEMMs on the
     device (ops/regression.py linreg_block)."""
-    if weights is not None:
-        raise NotImplementedError('weighted linear regression: planned (round 2)')
+    if isinstance(weights, (list, tuple)):
+        # chained weighted groups (reference _linear_regression_rows_nd with
+        # y=[[...],[...]], weights=[w1, w2]): run each group and nest outputs
+        if not (isinstance(y, (list, tuple)) and y and isinstance(y[0], (list, tuple))):
+            raise ValueError('a list of weights requires y to be a list of '
+                             'lists of phenotypes (one group per weight)')
+        group_tables = [
+            linear_regression_rows(list(ys_g), x, covariates,
+                                   block_size=block_size, weights=w_g,
+                                   pass_through=pass_through,
+                                   _precision=_precision)
+            for ys_g, w_g in zip(y, weights)]
+        return _nest_linreg_groups(group_tables)
     from ..ops.regression import linreg_stats
 
     y_is_list = isinstance(y, (list, tuple))
@@ -143,8 +154,20 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
     Y = np.stack(Y_cols, axis=1)                  # (C, P)
     Cov, cov_miss = _covariate_matrix(mt, covariates)
     keep = ~(np.stack(Y_miss, axis=1).any(axis=1) | cov_miss)
+    w_sqrt = None
+    if weights is not None:
+        wv, wm = _eval_col_f64(mt, to_expr(weights))
+        # missing weights exclude the sample (reference
+        # test_weighted_linear_regression__missing_weights_are_excluded)
+        keep &= ~wm
+        w_sqrt = np.sqrt(np.maximum(np.where(wm, 0.0, wv), 0.0))
     Yk = Y[keep]
     Ck = Cov[keep]
+    if w_sqrt is not None:
+        # WLS == OLS on sqrt(w)-scaled y/x/covariates
+        swk = w_sqrt[keep]
+        Yk = Yk * swk[:, None]
+        Ck = Ck * swk[:, None]
     n = int(keep.sum())
     k = Ck.shape[1]
     dof = n - k - 1
@@ -172,6 +195,8 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
         G, M = _eval_entry_f64(mt, xe, mb, i)
         Gk = G[:, keep]
         Mk = M[:, keep]
+        if w_sqrt is not None:
+            Gk = Gk * w_sqrt[keep][None, :]
         res = linreg_stats(Gk, Mk, Q, Y_r, yty_r, dof, _precision)
         bad = res['bad']
         R = G.shape[0]
@@ -204,6 +229,30 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
         }
 
     return _result_table_from_rows(mt, per_part, out_fields, pass_through)
+
+
+def _nest_linreg_groups(tables: List[Table]) -> Table:
+    """Merge per-weight-group linreg tables into nested-array fields
+    (reference chained _linear_regression_rows_nd output shape)."""
+    arr_f = ht.tarray(ht.tfloat64)
+    nested = ht.tarray(arr_f)
+    per_group = [t.collect() for t in tables]
+    key_fields = tables[0]._stage.key
+    rt = tables[0]._stage.row_type
+    rows = []
+    for rec in zip(*per_group):
+        base = {f: rec[0][f] for f in key_fields}
+        base['n'] = [r.n for r in rec]
+        base['sum_x'] = [r.sum_x for r in rec]
+        for f in ('y_transpose_x', 'beta', 'standard_error', 't_stat', 'p_value'):
+            base[f] = [list(r[f]) if r[f] is not None else None for r in rec]
+        rows.append(Struct(**base))
+    t_row = ht.tstruct(**{f: rt[f] for f in key_fields},
+                       n=ht.tarray(ht.tint32), sum_x=ht.tarray(ht.tfloat64),
+                       y_transpose_x=nested, beta=nested,
+                       standard_error=nested, t_stat=nested, p_value=nested)
+    return Table(TableStage.from_batches(Batch({}, 1), key_fields, t_row,
+                                         [Batch.from_pylist(t_row, rows)]))
 
 
 # ---------------------------------------------------------------------------

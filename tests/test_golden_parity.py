@@ -550,3 +550,33 @@ def test_poisson_lrt_and_score_r_golden():
     assert s[1].p_value == pytest.approx(0.3486826695, abs=5e-6)
     assert s[2].chi_sq_stat == pytest.approx(2.067574259, abs=5e-5)
     assert s[3].chi_sq_stat == pytest.approx(5.483930429, abs=5e-4)
+
+
+def test_linreg_dosage_goldens():
+    # reference test_linear_regression_pl / _with_dosage R values
+    cov = hl.import_table(RES + 'regressionLinear.cov', key='Sample',
+                          types={'Cov1': hl.tfloat64, 'Cov2': hl.tfloat64})
+    ph = hl.import_table(RES + 'regressionLinear.pheno', key='Sample',
+                         missing='0', types={'Pheno': hl.tfloat64})
+    mt = hl.import_vcf(RES + 'regressionLinear.vcf')
+    covs = [1.0, cov[mt.s].Cov1, cov[mt.s].Cov2]
+    r = {x.locus.position: x
+         for x in hl.linear_regression_rows(y=ph[mt.s].Pheno,
+                                            x=hl.pl_dosage(mt.PL),
+                                            covariates=covs).collect()}
+    assert r[1].beta == pytest.approx(-0.29166985, abs=1e-6)
+    assert r[1].standard_error == pytest.approx(1.2996510, abs=1e-6)
+    assert r[2].beta == pytest.approx(-0.5499320, abs=1e-6)
+    assert r[2].p_value == pytest.approx(0.24728705, abs=1e-6)
+    assert r[3].beta == pytest.approx(1.09536219, abs=1e-6)
+    assert r[3].t_stat == pytest.approx(1.5872510, abs=1e-6)
+    mtg = hl.import_gen(RES + 'regressionLinear.gen',
+                        sample_file=RES + 'regressionLinear.sample')
+    covg = [1.0, cov[mtg.s].Cov1, cov[mtg.s].Cov2]
+    r2 = {x.locus.position: x
+          for x in hl.linear_regression_rows(y=ph[mtg.s].Pheno,
+                                             x=hl.gp_dosage(mtg.GP),
+                                             covariates=covg).collect()}
+    assert r2[1].beta == pytest.approx(-0.29166985, abs=5e-5)
+    assert r2[1].p_value == pytest.approx(0.84327106, abs=1e-6)
+    assert r2[2].p_value == pytest.approx(0.24728705, abs=1e-6)

@@ -318,3 +318,45 @@ def test_explode_and_phase_trio_matrix():
     phased = [str(e.proband_entry.get('PBT_GT')) for e in ph.entries().collect()
               if e.proband_entry and e.proband_entry.get('PBT_GT') is not None]
     assert phased and all('|' in p for p in phased)
+
+
+def test_weighted_linear_regression():
+    # reference test_weighted_linear_regression: weights == sqrt(w)-prescaled
+    res = '/root/reference/hail/hail/test/resources/'
+    cov = hl.import_table(res + 'regressionLinear.cov', key='Sample',
+                          types={'Cov1': hl.tfloat64, 'Cov2': hl.tfloat64})
+    ph = hl.import_table(res + 'regressionLinear.pheno', key='Sample',
+                         missing='0', types={'Pheno': hl.tfloat64})
+    mt = hl.import_vcf(res + 'regressionLinear.vcf')
+    mt = mt.add_col_index()
+    mt = mt.annotate_cols(y=hl.coalesce(ph[mt.s].Pheno, 1.0))
+    mt = mt.annotate_entries(x=hl.coalesce(hl.float64(mt.GT.n_alt_alleles()), 1.0))
+    covs = [1.0, cov[mt.s].Cov1, cov[mt.s].Cov2]
+    b1 = hl._linear_regression_rows_nd(y=mt.y, x=mt.x, covariates=covs,
+                                       weights=mt.col_idx).beta.collect()
+    b2 = hl._linear_regression_rows_nd(
+        y=mt.y * hl.sqrt(hl.float64(mt.col_idx)),
+        x=mt.x * hl.sqrt(hl.float64(mt.col_idx)),
+        covariates=[c * hl.sqrt(hl.float64(mt.col_idx)) for c in covs]).beta.collect()
+
+    def eqn(a, b):
+        if a is None or b is None:
+            return a is None and b is None
+        return (math.isnan(a) and math.isnan(b)) or abs(a - b) < 1e-9
+    assert all(eqn(a, b) for a, b in zip(b1, b2))
+    # agrees with the weighted aggregator
+    hta = mt.annotate_rows(lr=hl.agg.linreg(
+        mt.y, [1, mt.x, cov[mt.s].Cov1, cov[mt.s].Cov2], weight=mt.col_idx)).rows()
+    b3 = [r.lr.beta[1] if r.lr is not None else None for r in hta.collect()]
+
+    def eqn_missing_is_nan(a, b):
+        if b is None:
+            return a is None or math.isnan(a)
+        return eqn(a, b)
+    assert all(eqn_missing_is_nan(a, b) for a, b in zip(b1, b3))
+    # chained groups nest outputs
+    htm = hl._linear_regression_rows_nd(y=[[mt.y], [hl.abs(mt.y)]], x=mt.x,
+                                        covariates=covs,
+                                        weights=[mt.col_idx, mt.col_idx + 5])
+    r0 = htm.collect()[0]
+    assert len(r0.beta) == 2 and len(r0.beta[0]) == 1
