@@ -92,3 +92,24 @@ def test_scan_with_filter():
     t = t.annotate(s=hl.agg.filter(t.idx % 2 == 0, hl.scan.sum(t.idx)))
     rows = t.collect()
     assert [r.s for r in rows] == [sum(j for j in range(i) if j % 2 == 0) for i in range(10)]
+
+
+def test_scan_full_aggregator_mirror():
+    # every hl.agg.* aggregator has an hl.scan.* prefix form
+    t = hl.utils.range_table(6, n_partitions=2)
+    t = t.annotate(x=t.idx + 1)
+    r = t.annotate(s=hl.scan.sum(t.x), p=hl.scan.product(hl.float64(t.x)),
+                   st=hl.scan.stats(t.x), tk=hl.scan.take(t.x, 2),
+                   fr=hl.scan.fraction(t.x % 2 == 0),
+                   cs=hl.scan.collect_as_set(t.x % 3))
+    rows = r.collect()
+    assert [x.s for x in rows] == [0, 1, 3, 6, 10, 15]
+    assert [round(x.p) for x in rows] == [1, 1, 2, 6, 24, 120]
+    assert rows[3].st.mean == 2.0 and rows[0].st.n == 0
+    assert rows[4].tk == [1, 2]
+    import re
+    agg_fns = [n for n in dir(hl.agg)
+               if not n.startswith('_') and callable(getattr(hl.agg, n))
+               and n not in ('Any', 'ApplyBinaryOp', 'IR', 'Optional')]
+    missing = [n for n in agg_fns if not hasattr(hl.scan, n)]
+    assert missing == [], missing
