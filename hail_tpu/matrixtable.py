@@ -1443,3 +1443,15 @@ def _global_field_refs(ir, globals_type) -> set:
             walk(c)
     walk(ir)
     return out
+
+
+def _mt_same(self, other, tolerance=1e-6, absolute=False, reorder_fields=False):
+    """Row/col/entry equality within tolerance (reference MatrixTable._same)."""
+    if not self.rows()._same(other.rows(), tolerance, absolute):
+        return False
+    if not self.cols()._same(other.cols(), tolerance, absolute):
+        return False
+    return self.entries()._same(other.entries(), tolerance, absolute)
+
+
+MatrixTable._same = _mt_same

@@ -1399,3 +1399,64 @@ def multi_way_zip_join(tables: List['Table'], data_field_name: str,
 
 
 Table.multi_way_zip_join = staticmethod(multi_way_zip_join)
+
+
+def _values_same(a, b, tolerance=1e-6, absolute=False):
+    import math as _math
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if _math.isnan(fa) or _math.isnan(fb):
+            return _math.isnan(fa) and _math.isnan(fb)
+        if absolute:
+            return abs(fa - fb) <= tolerance
+        return abs(fa - fb) <= tolerance * max(1.0, abs(fa), abs(fb))
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(
+            _values_same(x, y, tolerance, absolute) for x, y in zip(a, b))
+    if isinstance(a, (set, frozenset)) and isinstance(b, (set, frozenset)):
+        return a == b
+    if hasattr(a, 'items') and hasattr(b, 'items'):
+        return set(a.keys()) == set(b.keys()) and all(
+            _values_same(a[k], b[k], tolerance, absolute) for k in a.keys())
+    return a == b
+
+
+def _table_same(self, other, tolerance=1e-6, absolute=False, reorder_fields=False):
+    """Keyed-row equality within tolerance (reference Table._same)."""
+    if set(self.row) != set(other.row):
+        print(f'row fields differ: {set(self.row)} vs {set(other.row)}')
+        return False
+    lkey = self._stage.key
+    lrows = self.collect()
+    rrows = other.collect()
+    if len(lrows) != len(rrows):
+        print(f'row counts differ: {len(lrows)} vs {len(rrows)}')
+        return False
+
+    def keyed(rows, key):
+        return {_hashable_key(tuple(r[f] for f in key)): r for r in rows} \
+            if key else None
+    if lkey and list(lkey) == list(other._stage.key):
+        lm = keyed(lrows, lkey)
+        rm = keyed(rrows, lkey)
+        for k, lr in lm.items():
+            rr = rm.get(k)
+            if rr is None:
+                print(f'key {k} missing on right')
+                return False
+            for f in self.row:
+                if not _values_same(lr[f], rr[f], tolerance, absolute):
+                    print(f'field {f} differs at {k}: {lr[f]} vs {rr[f]}')
+                    return False
+        return True
+    for lr, rr in zip(lrows, rrows):
+        for f in self.row:
+            if not _values_same(lr[f], rr[f], tolerance, absolute):
+                print(f'field {f} differs: {lr[f]} vs {rr[f]}')
+                return False
+    return True
+
+
+Table._same = _table_same
