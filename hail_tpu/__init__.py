@@ -60,7 +60,7 @@ from .expr.functions import (
     keyed_union,
     fold, array_scan, cumulative_sum, gq_from_pl, numeric_allele_type,
     parse_float32, parse_json, repeat, zeros, dchisq, dgamma, pgamma, qgamma,
-    phyper, cochran_mantel_haenszel_test, rand_hyper, rand_multi_hyper,
+    phyper, pT, pF, cochran_mantel_haenszel_test, rand_hyper, rand_multi_hyper,
     rand_norm2d,
 )
 

@@ -485,23 +485,35 @@ def median(collection):
 def argmin(array_expr, unique: bool = False):
     e = to_expr(array_expr)
     def f(v):
-        best, bi_ = None, None
+        best, bi_, n_best = None, None, 0
         for i, x in enumerate(v):
-            if x is not None and (best is None or x < best):
-                best, bi_ = x, i
+            if x is None:
+                continue
+            if best is None or x < best:
+                best, bi_, n_best = x, i, 1
+            elif x == best:
+                n_best += 1
+        if unique and n_best > 1:
+            return None
         return bi_
-    return _apply('argmin', ht.tint32, _obj_impl(ht.tint32, f), e)
+    return _apply('argmin', ht.tint32, _obj_impl_lenient(ht.tint32, f), e)
 
 
 def argmax(array_expr, unique: bool = False):
     e = to_expr(array_expr)
     def f(v):
-        best, bi_ = None, None
+        best, bi_, n_best = None, None, 0
         for i, x in enumerate(v):
-            if x is not None and (best is None or x > best):
-                best, bi_ = x, i
+            if x is None:
+                continue
+            if best is None or x > best:
+                best, bi_, n_best = x, i, 1
+            elif x == best:
+                n_best += 1
+        if unique and n_best > 1:
+            return None
         return bi_
-    return _apply('argmax', ht.tint32, _obj_impl(ht.tint32, f), e)
+    return _apply('argmax', ht.tint32, _obj_impl_lenient(ht.tint32, f), e)
 
 
 # ---------------------------------------------------------------------------
@@ -745,6 +757,25 @@ def format(fmt, *args):
     f = to_expr(fmt)
     es = [to_expr(a) for a in args]
     def impl(fc, *cols):
+        def render(v):
+            # hail string rendering: booleans lowercase, missing 'null',
+            # loci as contig:pos, containers recurse (reference strFormat)
+            if v is None:
+                return 'null'
+            if v is True:
+                return 'true'
+            if v is False:
+                return 'false'
+            if isinstance(v, Locus):
+                return f'{v.contig}:{v.position}'
+            if isinstance(v, (list,)):
+                return '[' + ','.join(render(x) for x in v) + ']'
+            if isinstance(v, tuple):
+                return '(' + ', '.join(render(x) for x in v) + ')'
+            if isinstance(v, (frozenset, _bi.set)):
+                return '{' + ','.join(render(x) for x in _bi.sorted(v, key=_bi.str)) + '}'
+            return _bi.str(v)
+
         def g(fv, *vs):
             s = fv
             for v in vs:
@@ -752,10 +783,15 @@ def format(fmt, *args):
                 if not m:
                     break
                 spec = m.group(0)
-                try:
-                    rep = ('NA' if v is None else (spec % v))
-                except Exception:
-                    rep = _bi.str(v)
+                if v is None:
+                    rep = 'null'
+                elif spec.endswith('s'):
+                    rep = spec % render(v)
+                else:
+                    try:
+                        rep = spec % v
+                    except Exception:
+                        rep = render(v)
                 s = s[:m.start()] + rep + s[m.end():]
             return s
         vals, shape = _obj_ufunc(lambda fv, *vs: None if fv is None else g(fv, *vs), fc, *cols)
@@ -781,7 +817,8 @@ def json(value) -> Expression:
         if isinstance(v, (np.integer, np.floating, np.bool_)):
             return v.item()
         return v
-    return _apply('json', ht.tstr, _obj_impl(ht.tstr, lambda v: _json.dumps(conv(v))), e)
+    return _apply('json', ht.tstr, _obj_impl(
+        ht.tstr, lambda v: _json.dumps(conv(v), separators=(',', ':'))), e)
 
 
 def hamming(s1, s2):
@@ -1344,18 +1381,36 @@ def dnorm(x, mu=0, sigma=1, log_p=False):
 
 
 def pchisqtail(x, df, ncp=None, lower_tail=False, log_p=False):
-    def f(v, d):
+    def f(v, d, nc):
         st, sp = _scipy_stats()
-        p = st.chi2.cdf(v, d) if lower_tail else st.chi2.sf(v, d)
+        dist = st.chi2 if nc is None else None
+        if nc is None:
+            p = st.chi2.cdf(v, d) if lower_tail else st.chi2.sf(v, d)
+        else:
+            p = st.ncx2.cdf(v, d, nc) if lower_tail else st.ncx2.sf(v, d, nc)
         return math.log(p) if log_p else p
-    return _apply('pchisqtail', ht.tfloat64, _obj_impl(ht.tfloat64, f), to_expr(x), to_expr(df))
+    if ncp is None:
+        return _apply('pchisqtail', ht.tfloat64,
+                      _obj_impl(ht.tfloat64, lambda v, d: f(v, d, None)),
+                      to_expr(x), to_expr(df))
+    return _apply('pnchisqtail', ht.tfloat64, _obj_impl(ht.tfloat64, f),
+                  to_expr(x), to_expr(df), to_expr(ncp))
 
 
 def qchisqtail(p, df, ncp=None, lower_tail=False, log_p=False):
-    def f(v, d):
+    def f(v, d, nc):
         st, sp = _scipy_stats()
-        return st.chi2.ppf(v, d) if lower_tail else st.chi2.isf(v, d)
-    return _apply('qchisqtail', ht.tfloat64, _obj_impl(ht.tfloat64, f), to_expr(p), to_expr(df))
+        if log_p:
+            v = math.exp(v)
+        if nc is None:
+            return st.chi2.ppf(v, d) if lower_tail else st.chi2.isf(v, d)
+        return st.ncx2.ppf(v, d, nc) if lower_tail else st.ncx2.isf(v, d, nc)
+    if ncp is None:
+        return _apply('qchisqtail', ht.tfloat64,
+                      _obj_impl(ht.tfloat64, lambda v, d: f(v, d, None)),
+                      to_expr(p), to_expr(df))
+    return _apply('qnchisqtail', ht.tfloat64, _obj_impl(ht.tfloat64, f),
+                  to_expr(p), to_expr(df), to_expr(ncp))
 
 
 def ppois(x, lamb, lower_tail=True, log_p=False):
@@ -1740,7 +1795,24 @@ bit_and = _bit_op('bit_and', np.bitwise_and)
 bit_or = _bit_op('bit_or', np.bitwise_or)
 bit_xor = _bit_op('bit_xor', np.bitwise_xor)
 bit_lshift = _bit_op('bit_lshift', np.left_shift)
-bit_rshift = _bit_op('bit_rshift', np.right_shift)
+_bit_rshift_arith = _bit_op('bit_rshift', np.right_shift)
+
+
+def bit_rshift(a, b, logical: bool = False):
+    """Right shift; logical=True shifts in zeros (reference bit_rshift)."""
+    if not logical:
+        return _bit_rshift_arith(a, b)
+    ea, eb = to_expr(a), to_expr(b)
+    t = ht.unify_types(ea.dtype, eb.dtype) or ht.tint32
+
+    def f(x, sh):
+        width = 64 if t == ht.tint64 else 32
+        mask = (1 << width) - 1
+        r = (_bi.int(x) & mask) >> _bi.int(sh)
+        if t != ht.tint64 and r >= 1 << 31:
+            r -= 1 << 32
+        return r
+    return _apply('bit_rshift_logical', t, _obj_impl(t, f), ea, eb)
 
 
 def bit_not(x):
@@ -2105,13 +2177,37 @@ def qgamma(p, shape, scale, lower_tail=True, log_p=False):
 
 
 def phyper(x, popsize, ngood, nsample, log_p=False):
-    """Hypergeometric CDF P(X <= x) (reference functions.py `phyper`)."""
+    """Hypergeometric probability mass P(X == x) — despite the name, the
+    reference computes the density (stats/package.scala:469 phyper ->
+    HypergeometricDistribution.probability)."""
     def f(v, pop, good, samp):
         st, sp = _scipy_stats()
-        p = st.hypergeom.cdf(v, _bi.int(pop), _bi.int(good), _bi.int(samp))
-        return math.log(p) if log_p else p
+        if log_p:
+            return st.hypergeom.logpmf(v, _bi.int(pop), _bi.int(good), _bi.int(samp))
+        return st.hypergeom.pmf(v, _bi.int(pop), _bi.int(good), _bi.int(samp))
     return _apply('phyper', ht.tfloat64, _obj_impl(ht.tfloat64, f),
                   to_expr(x), to_expr(popsize), to_expr(ngood), to_expr(nsample))
+
+
+def pT(x, n, lower_tail=True, log_p=False):
+    """Student's t CDF with `n` degrees of freedom (reference functions.py
+    pT)."""
+    def f(v, df):
+        st, sp = _scipy_stats()
+        p = st.t.cdf(v, df) if lower_tail else st.t.sf(v, df)
+        return math.log(p) if log_p else p
+    return _apply('pT', ht.tfloat64, _obj_impl(ht.tfloat64, f),
+                  to_expr(x), to_expr(n))
+
+
+def pF(x, df1, df2, lower_tail=True, log_p=False):
+    """F-distribution CDF (reference functions.py pF)."""
+    def f(v, d1, d2):
+        st, sp = _scipy_stats()
+        p = st.f.cdf(v, d1, d2) if lower_tail else st.f.sf(v, d1, d2)
+        return math.log(p) if log_p else p
+    return _apply('pF', ht.tfloat64, _obj_impl(ht.tfloat64, f),
+                  to_expr(x), to_expr(df1), to_expr(df2))
 
 
 def cochran_mantel_haenszel_test(a, b, c, d):

@@ -203,7 +203,7 @@ def test_intervals():
 
 
 def test_json_format():
-    assert ev(hl.json(hl.struct(a=1))) == '{"a": 1}'
+    assert ev(hl.json(hl.struct(a=1))) == '{"a":1}'  # reference compact form
     assert ev(hl.delimit(hl.literal([1, 2, 3]), ',')) == '1,2,3'
 
 
@@ -248,7 +248,8 @@ def test_stat_distribution_builtins():
     assert abs(ev(hl.dchisq(1.0, 2.0)) - st.chi2.pdf(1, 2)) < 1e-12
     assert abs(ev(hl.pgamma(2.0, 3.0, 1.5)) - st.gamma.cdf(2, 3, scale=1.5)) < 1e-12
     assert abs(ev(hl.qgamma(0.7, 3.0, 1.5)) - st.gamma.ppf(0.7, 3, scale=1.5)) < 1e-10
-    assert abs(ev(hl.phyper(2, 50, 5, 10)) - st.hypergeom.cdf(2, 50, 5, 10)) < 1e-12
+    # reference phyper is the probability MASS at x (stats/package.scala:469)
+    assert abs(ev(hl.phyper(2, 10, 4, 6)) - 0.42857142857142855) < 1e-10
     # reference functions.py doctest values
     cmh = ev(hl.cochran_mantel_haenszel_test(
         [56, 61, 73, 71], [69, 257, 65, 48], [40, 57, 71, 55], [77, 301, 79, 48]))
@@ -257,3 +258,22 @@ def test_stat_distribution_builtins():
     assert len(ev(hl.rand_norm2d(seed=1))) == 2
     mh = ev(hl.rand_multi_hyper([10, 20, 30], 12, seed=3))
     assert sum(mh) == 12
+
+
+def test_reference_doctest_semantics():
+    # behaviors pinned by the reference's own docstring examples
+    ev = hl.eval
+    assert ev(hl.json([1, 2, 3, 4, 5])) == '[1,2,3,4,5]'
+    assert abs(ev(hl.pchisqtail(5, 1, ncp=2)) - 0.20571085634347097) < 1e-10
+    assert abs(ev(hl.qchisqtail(0.05, 2, ncp=2)) - 10.838131614372958) < 1e-8
+    assert abs(ev(hl.qchisqtail(hl.log(0.05), 2, log_p=True)) - 5.991464547107979) < 1e-8
+    assert abs(ev(hl.pT(1, 10)) - 0.82955343384897) < 1e-10
+    assert abs(ev(hl.pT(1, 10, lower_tail=False)) - 0.17044656615103004) < 1e-10
+    assert abs(ev(hl.pF(1, 3, 10)) - 0.5676627969783028) < 1e-10
+    assert ev(hl.argmin([0.4, 0.2, 0.2], unique=True)) is None
+    assert ev(hl.argmax([0.4, 0.4, 0.2], unique=True)) is None
+    assert ev(hl.bit_rshift(-1, 1, logical=True)) == 2147483647
+    assert ev(hl.format('%.4f', hl.missing(hl.tfloat64))) == 'null'
+    assert ev(hl.format('%s %s %s', 'hello',
+                        hl.tuple([3, hl.locus('1', 2453)]), True)) == \
+        'hello (3, 1:2453) true'
