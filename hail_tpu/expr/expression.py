@@ -329,6 +329,34 @@ class CollectionExpression(Expression):
         from . import functions as F
         return self.fold(lambda acc, x: acc | F.coalesce(f(x), False), False)
 
+    def any(self, f):
+        return self.exists(f)
+
+    def find(self, f):
+        from . import functions as F
+        return F.find(f, self)
+
+    def flatmap(self, f):
+        from . import functions as F
+        return F.flatmap(f, self)
+
+    def group_by(self, f):
+        from . import functions as F
+        return F.group_by(f, self)
+
+    def starmap(self, f):
+        return self.map(lambda t: f(*[t[i] for i in range(len(t.dtype.types))]))
+
+    def __getattr__(self, name):
+        # struct-element field broadcast: array<struct{a,...}>.a -> array<a>
+        # (reference ArrayStructExpression / SetStructExpression)
+        if name.startswith('_'):
+            raise AttributeError(name)
+        et = self.dtype.element_type
+        if isinstance(et, ht.tstruct) and name in et.fields:
+            return self.map(lambda s: s[name])
+        raise AttributeError(f'{type(self).__name__} has no attribute {name!r}')
+
     def all(self, f):
         from . import functions as F
         return self.fold(lambda acc, x: acc & F.coalesce(f(x), True), True)
@@ -365,7 +393,83 @@ class ArrayExpression(CollectionExpression):
 
     def index(self, x):
         from . import functions as F
+        if callable(x) and not isinstance(x, Expression):
+            mapped = F.enumerate_(self).filter(lambda t: x(t[1])).map(lambda t: t[0])
+            return F.or_missing(mapped.length() > 0, mapped.first())
         return F._collection_method(self, 'index_of', ht.tint32, to_expr(x))
+
+    def head(self):
+        """First element, or missing if empty (reference head)."""
+        from . import functions as F
+        return F.or_missing(self.length() > 0, self[0])
+
+    def grouped(self, group_size):
+        """Partition into consecutive groups of `group_size` (reference
+        grouped)."""
+        from . import functions as F
+        n = to_expr(group_size)
+        return F.range_(0, (self.length() + n - 1) // n).map(
+            lambda i: self[i * n:(i + 1) * n])
+
+    # -- elementwise arithmetic (reference ArrayNumericExpression) ----------
+    def _arr_binop(self, other, op, reverse=False):
+        if isinstance(other, ArrayExpression) or (
+                not isinstance(other, Expression) and isinstance(other, (list, tuple))):
+            o = to_expr(other)
+            from . import functions as F
+            pair = F.zip_(self, o)
+            if reverse:
+                return pair.map(lambda t: op(t[1], t[0]))
+            return pair.map(lambda t: op(t[0], t[1]))
+        oe = to_expr(other)
+        if reverse:
+            return self.map(lambda x: op(oe, x))
+        return self.map(lambda x: op(oe if False else x, oe) if not reverse else op(oe, x))
+
+    def __neg__(self):
+        return self.map(lambda x: -x)
+
+    def __add__(self, other):
+        return self._arr_binop(other, lambda a, b: a + b)
+
+    def __radd__(self, other):
+        return self._arr_binop(other, lambda a, b: a + b, reverse=True)
+
+    def __sub__(self, other):
+        return self._arr_binop(other, lambda a, b: a - b)
+
+    def __rsub__(self, other):
+        return self._arr_binop(other, lambda a, b: a - b, reverse=True)
+
+    def __mul__(self, other):
+        return self._arr_binop(other, lambda a, b: a * b)
+
+    def __rmul__(self, other):
+        return self._arr_binop(other, lambda a, b: a * b, reverse=True)
+
+    def __truediv__(self, other):
+        return self._arr_binop(other, lambda a, b: a / b)
+
+    def __rtruediv__(self, other):
+        return self._arr_binop(other, lambda a, b: a / b, reverse=True)
+
+    def __floordiv__(self, other):
+        return self._arr_binop(other, lambda a, b: a // b)
+
+    def __rfloordiv__(self, other):
+        return self._arr_binop(other, lambda a, b: a // b, reverse=True)
+
+    def __mod__(self, other):
+        return self._arr_binop(other, lambda a, b: a % b)
+
+    def __rmod__(self, other):
+        return self._arr_binop(other, lambda a, b: a % b, reverse=True)
+
+    def __pow__(self, other):
+        return self._arr_binop(other, lambda a, b: a ** b)
+
+    def __rpow__(self, other):
+        return self._arr_binop(other, lambda a, b: a ** b, reverse=True)
 
 
 class SetExpression(CollectionExpression):
@@ -392,6 +496,20 @@ class SetExpression(CollectionExpression):
     def is_subset(self, other):
         from . import functions as F
         return F._collection_method(self, 'set_is_subset', ht.tbool, to_expr(other))
+
+    def __sub__(self, other):
+        return self.difference(to_expr(other))
+
+    def __and__(self, other):
+        return self.intersection(to_expr(other))
+
+    def __or__(self, other):
+        return self.union(to_expr(other))
+
+    def __xor__(self, other):
+        u = self.union(to_expr(other))
+        i = self.intersection(to_expr(other))
+        return u.difference(i)
 
 
 class DictExpression(Expression):

@@ -356,6 +356,11 @@ class DenseArrayColumn(Column):
         """Vectorized arr[i]; out-of-bounds or element-missing → missing."""
         i = np.asarray(i)
         n = self.width
+        if n == 0:
+            shape = np.broadcast_shapes(self.shape, i.shape)
+            et = self.typ.element_type
+            z = np.zeros(shape, dtype=et.numpy_dtype or np.float64)
+            return PrimitiveColumn(et, z, np.ones(shape, dtype=bool))
         ii = np.clip(np.where(i < 0, i + self.lengths, i), 0, max(n - 1, 0))
         v = np.take_along_axis(self.values, ii[..., None], axis=-1)[..., 0]
         oob = (np.where(i < 0, i + self.lengths, i) >= self.lengths) | (np.where(i < 0, i + self.lengths, i) < 0)

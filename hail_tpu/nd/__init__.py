@@ -34,6 +34,22 @@ def array(input_array):
             et = ht.tfloat64
         t = ht.tndarray(et, arr.ndim)
         return construct_expr(Literal(arr, t))
+    if isinstance(input_array, (list, tuple)) and any(
+            hasattr(v, '_ir') for v in input_array):
+        # element expressions: build a MakeArray then convert
+        elems = [to_expr(v) for v in input_array]
+        et2 = elems[0].dtype
+        for el in elems[1:]:
+            u = ht.unify_types(et2, el.dtype)
+            et2 = u if u is not None else et2
+        arr_e = F.array([F._coerce_scalar(el, et2) if hasattr(F, '_coerce_scalar')
+                         else el for el in elems])
+        t = ht.tndarray(et2 if et2 in (ht.tint32, ht.tint64, ht.tfloat32,
+                                       ht.tfloat64, ht.tbool) else ht.tfloat64, 1)
+        npdt = t.element_type.numpy_dtype or np.float64
+        return _nd_apply('nd_array', t,
+                         lambda v: np.asarray([np.nan if x is None else x for x in v],
+                                              dtype=npdt), arr_e)
     e = to_expr(input_array)
     t = ht.tndarray(ht.tfloat64, 1)
     return _nd_apply('nd_array', t, lambda v: np.asarray(v, dtype=np.float64), e)
@@ -131,23 +147,50 @@ def concatenate(nds, axis: int = 0):
 
 
 def hstack(nds):
-    return concatenate(nds, axis=1)
+    """Stack along columns; 1-D inputs concatenate (numpy hstack semantics,
+    reference nd.py hstack)."""
+    es = [to_expr(x) for x in nds]
+    ndim = es[0].dtype.ndim
+    return concatenate(nds, axis=0 if ndim == 1 else 1)
 
 
 def vstack(nds):
-    return concatenate(nds, axis=0)
+    """Stack as rows; 1-D inputs become rows (numpy vstack semantics,
+    reference nd.py vstack)."""
+    es = [to_expr(x) for x in nds]
+    t = es[0].dtype
+    out_t = ht.tndarray(t.element_type, 2)
+    from ..expr.functions import _apply, _obj_impl
+
+    def f(*arrs):
+        return np.vstack([np.atleast_2d(np.asarray(a)) for a in arrs])
+    return _apply('nd_vstack', out_t, _obj_impl(out_t, f), *es)
 
 
 def maximum(a, b):
-    t = to_expr(a).dtype
-    return _nd_apply('nd_maximum', t, lambda x, y: np.maximum(np.asarray(x), np.asarray(y)),
-                     to_expr(a), to_expr(b))
+    """Elementwise max; nan-propagating (reference nd.py maximum)."""
+    ea, eb = to_expr(a), to_expr(b)
+    t = ea.dtype if hasattr(ea.dtype, 'ndim') else eb.dtype
+    from ..expr.functions import _apply, _obj_impl
+
+    def f(x, y):
+        xv, yv = np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+        out = np.maximum(xv, yv)
+        return np.where(np.isnan(xv) | np.isnan(yv), np.nan, out)
+    return _apply('nd_maximum', t, _obj_impl(t, f), ea, eb)
 
 
 def minimum(a, b):
-    t = to_expr(a).dtype
-    return _nd_apply('nd_minimum', t, lambda x, y: np.minimum(np.asarray(x), np.asarray(y)),
-                     to_expr(a), to_expr(b))
+    """Elementwise min; nan-propagating (reference nd.py minimum)."""
+    ea, eb = to_expr(a), to_expr(b)
+    t = ea.dtype if hasattr(ea.dtype, 'ndim') else eb.dtype
+    from ..expr.functions import _apply, _obj_impl
+
+    def f(x, y):
+        xv, yv = np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+        out = np.minimum(xv, yv)
+        return np.where(np.isnan(xv) | np.isnan(yv), np.nan, out)
+    return _apply('nd_minimum', t, _obj_impl(t, f), ea, eb)
 
 
 def from_column_major(a, shape):

@@ -277,3 +277,36 @@ def test_reference_doctest_semantics():
     assert ev(hl.format('%s %s %s', 'hello',
                         hl.tuple([3, hl.locus('1', 2453)]), True)) == \
         'hello (3, 1:2453) true'
+
+
+def test_collection_expression_surface():
+    # reference typed_expressions doctest behaviors
+    ev = hl.eval
+    assert ev(hl.literal([1, 2, 3]).any(lambda x: x % 2 == 0)) is True
+    assert ev(hl.literal([1, 5, 6]).find(lambda x: x ** 2 > 20)) == 5
+    assert ev(hl.literal([1, 2]).flatmap(lambda x: hl.range(0, x))) == [0, 0, 1]
+    assert ev(hl.literal(['a', 'b']).head()) == 'a'
+    assert ev(hl.empty_array(hl.tint32).head()) is None
+    assert ev(hl.literal(['Alice', 'Beth']).index(lambda x: x.endswith('e'))) == 0
+    assert ev(hl.literal(['Alice']).index(lambda x: x.startswith('Z'))) is None
+    assert ev(hl.literal([1, 2, 3, 4, 5]).grouped(2)) == [[1, 2], [3, 4], [5]]
+    g = ev(hl.literal([1, 2, 3]).group_by(lambda x: x % 2))
+    assert dict(g) == {0: [2], 1: [1, 3]}
+    assert ev(hl.array([(1, 2), (2, 3)]).starmap(lambda x, y: x + y)) == [3, 5]
+    # ArrayNumericExpression arithmetic
+    assert ev(-hl.literal([0, 1, 2])) == [0, -1, -2]
+    assert ev(hl.literal([0, 1, 2]) + 5) == [5, 6, 7]
+    assert ev(1 - hl.literal([0, 1, 2])) == [1, 0, -1]
+    assert ev(hl.literal([0, 1, 2]) + hl.literal([1, -1, 1])) == [1, 0, 3]
+    assert ev(hl.literal([0, 1, 2]) ** 2) == [0.0, 1.0, 4.0]
+    assert ev(hl.literal([1, 2, 3]) // 2) == [0, 1, 1]
+    # SetExpression operators
+    s1, s2 = hl.literal({1, 2, 3}), hl.literal({1, 3, 5})
+    assert set(ev(s1 - s2)) == {2}
+    assert set(ev(s1 & s2)) == {1, 3}
+    assert set(ev(s1 | s2)) == {1, 2, 3, 5}
+    assert set(ev(s1 ^ s2)) == {2, 5}
+    # array<struct> field broadcast
+    arr = hl.literal([{'a': 'foo', 'b': 1}, {'a': 'bar', 'b': 2}],
+                     hl.tarray(hl.tstruct(a=hl.tstr, b=hl.tint32)))
+    assert ev(arr.a) == ['foo', 'bar']
