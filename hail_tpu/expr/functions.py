@@ -736,7 +736,8 @@ def _string_method(expr, name, result_typ, *args):
     if name == 'split':
         delim, n = args
         return _apply(name, result_typ,
-                      _obj_impl(result_typ, lambda s, d: _re.split(d, s, maxsplit=(n or 0))),
+                      _obj_impl(result_typ,
+                                lambda s, d: _re.split(d, s, maxsplit=(n - 1 if n else 0))),
                       expr, to_expr(delim))
     if name == 'first_match_in':
         pat = _re.compile(args[0])
@@ -883,7 +884,7 @@ def _collection_method(expr, name, result_typ, *args):
         'contains': lambda v, x: x in v,
         'append': lambda v, x: list(v) + [x],
         'extend': lambda v, x: list(v) + list(x),
-        'index_of': lambda v, x: v.index(x) if x in v else -1,
+        'index_of': lambda v, x: v.index(x) if x in v else None,
         'set_add': lambda v, x: frozenset(v) | {x},
         'set_remove': lambda v, x: frozenset(v) - {x},
         'set_union': lambda v, x: frozenset(v) | frozenset(x),

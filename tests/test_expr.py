@@ -310,3 +310,11 @@ def test_collection_expression_surface():
     arr = hl.literal([{'a': 'foo', 'b': 1}, {'a': 'bar', 'b': 2}],
                      hl.tarray(hl.tstruct(a=hl.tstr, b=hl.tint32)))
     assert ev(arr.a) == ['foo', 'bar']
+
+
+def test_string_split_limit_and_index_missing():
+    # Java-style split limit (n = max parts) and missing index-of
+    assert hl.eval(hl.literal('The quick brown fox').split(r'\s+', 2)) == \
+        ['The', 'quick brown fox']
+    assert hl.eval(hl.literal(['Alice', 'Beth']).index('Zed')) is None
+    assert hl.eval(hl.literal(['Alice', 'Beth']).index('Beth')) == 1
