@@ -108,6 +108,37 @@ class Expression:
         for v in vals:
             print(v)
 
+    def describe(self, handler=print):
+        """Print the type and index context (reference
+        Expression.describe)."""
+        src = self._indices.source
+        handler(f'Type: {self.dtype}')
+        handler(f'Indices: {sorted(self._indices.axes)}')
+        if src is not None:
+            handler(f'Source: {type(src).__name__}')
+
+    def export(self, path, delimiter='\t', missing='NA', header=True):
+        """Export the expression's values (reference Expression.export)."""
+        vals = self.collect()
+        with open(path, 'w') as f:
+            if header:
+                f.write('value\n')
+            for v in vals:
+                f.write((missing if v is None else str(v)) + '\n')
+
+    def summarize(self, handler=None):
+        """Print summary statistics of the evaluated values (reference
+        Expression.summarize)."""
+        vals = self.collect() if self._indices.source is not None else [
+            __import__('hail_tpu').eval(self)]
+        n_missing = sum(1 for v in vals if v is None)
+        out = [f'{len(vals)} records, {n_missing} missing']
+        nums = [v for v in vals if isinstance(v, (int, float)) and v is not None]
+        if nums:
+            import statistics
+            out.append(f'min {min(nums)}, max {max(nums)}, mean {statistics.fmean(nums):.4g}')
+        (handler or print)('\n'.join(out))
+
     def _promote_numeric(self, typ):
         if self.dtype == typ:
             return self
@@ -238,6 +269,29 @@ class StringExpression(Expression):
 
     def length(self):
         return self._str_method('length', ht.tint32)
+
+    def find(self, sub):
+        """Index of first occurrence of `sub`, -1 if absent (reference
+        StringExpression.find)."""
+        from . import functions as F
+        sube = to_expr(sub)
+        return F._apply('str_find', ht.tint32,
+                        F._obj_impl(ht.tint32, lambda a, b: a.find(b)),
+                        self, sube)
+
+    def reverse(self):
+        from . import functions as F
+        return F._apply('str_reverse', ht.tstr,
+                        F._obj_impl(ht.tstr, lambda a: a[::-1]), self)
+
+    def translate(self, mapping):
+        """Character-by-character translation via a dict (reference
+        StringExpression.translate)."""
+        from . import functions as F
+        me = to_expr(mapping)
+        return F._apply('str_translate', ht.tstr, F._obj_impl(
+            ht.tstr, lambda a, m: ''.join(m.get(ch, ch) for ch in a)),
+            self, me)
 
     def lower(self):
         return self._str_method('lower', ht.tstr)
@@ -398,6 +452,52 @@ class ArrayExpression(CollectionExpression):
             return F.or_missing(mapped.length() > 0, mapped.first())
         return F._collection_method(self, 'index_of', ht.tint32, to_expr(x))
 
+    def aggregate(self, f):
+        """Aggregate over the array's elements with an aggregator expression
+        (reference ArrayExpression.aggregate / _aggregate_local_array)."""
+        from ..ir import agg as aggmod
+        from ..ir import columns as C
+        from ..ir.nodes import EvalEnv
+        et = self.dtype.element_type
+        var = _fresh_name('elem')
+        elem = construct_expr(Ref(var, et), self._indices)
+        body = to_expr(f(elem))
+        body_ir = body._ir
+        agg_nodes = aggmod.collect_agg_nodes(body_ir)
+        rt = body.dtype
+        arr_ir = self._ir
+
+        class _LocalArrayAgg(IR):
+            def __init__(self, arr):
+                self.arr = arr
+                self.typ = rt
+
+            @property
+            def children(self):
+                return (self.arr,)
+
+            def map_children(self, fn):
+                return _LocalArrayAgg(fn(self.arr))
+
+            def evaluate(self, env):
+                import numpy as np
+                col = self.arr.evaluate(env)
+                obj = C.to_object(col)
+                out = []
+                for lst in obj.values.ravel():
+                    if lst is None:
+                        out.append(None)
+                        continue
+                    inner = EvalEnv({var: C.from_pylist(et, list(lst))},
+                                    (len(lst),))
+                    states = aggmod.partial_aggregate(agg_nodes, inner, (0,))
+                    res = aggmod.finalize_aggregate(body_ir, agg_nodes, states,
+                                                    EvalEnv({}, (1,)))
+                    vals = res.to_pylist()
+                    out.append(vals[0] if vals else None)
+                return C.from_pylist(rt, out).reshape(obj.shape)
+        return construct_expr(_LocalArrayAgg(arr_ir), self._indices)
+
     def head(self):
         """First element, or missing if empty (reference head)."""
         from . import functions as F
@@ -517,6 +617,11 @@ class DictExpression(Expression):
         from . import functions as F
         return F._collection_method(self, 'dict_get_strict', self.dtype.value_type, to_expr(key))
 
+    def key_set(self):
+        """The keys as a set (reference DictExpression.key_set)."""
+        from . import functions as F
+        return F.set_(self.keys())
+
     def get(self, key, default=None):
         from . import functions as F
         if default is None:
@@ -581,6 +686,16 @@ class StructExpression(Expression):
     def items(self):
         return [(k, self[k]) for k in self.dtype.fields]
 
+    def get(self, k, default=None):
+        """Field by name, or `default` when absent (reference
+        StructExpression.get)."""
+        if k in self.dtype.fields:
+            return self[k]
+        from . import functions as F
+        if default is None:
+            raise ValueError(f'Struct has no field {k!r} and no default given')
+        return to_expr(default)
+
     def annotate(self, **named_exprs) -> 'StructExpression':
         fields = {k: GetField(self._ir, k) for k in self.dtype.fields}
         inds = [self._indices]
@@ -621,6 +736,26 @@ class StructExpression(Expression):
 
 
 class TupleExpression(Expression):
+    def count(self, value):
+        """Number of tuple elements equal to `value` (reference
+        TupleExpression.count)."""
+        from . import functions as F
+        out = to_expr(0)
+        for i in range(len(self.dtype.types)):
+            out = out + F.int32(F.coalesce(self[i] == value, False))
+        return out
+
+    def index(self, value, start=0, end=None):
+        """Index of the first element equal to `value` (reference
+        TupleExpression.index); missing if absent."""
+        from . import functions as F
+        n = len(self.dtype.types)
+        end = n if end is None else end
+        out = F.missing(ht.tint32)
+        for i in reversed(range(start, min(end, n))):
+            out = F.if_else(F.coalesce(self[i] == value, False), i, out)
+        return out
+
     def __getitem__(self, i: int):
         return construct_expr(GetTupleElement(self._ir, i), self._indices)
 
@@ -678,6 +813,51 @@ class CallExpression(Expression):
         return self._call_method('one_hot_alleles', ht.tarray(ht.tint32), to_expr(n_alleles))
 
 
+    def unphase(self):
+        """The unphased version of this call (reference CallExpression
+        .unphase)."""
+        from ..ir.nodes import Apply
+        from . import functions as F
+        from ..ir.columns import PrimitiveColumn
+        from ..genetics.call import PHASED_BIT, PLOIDY_MASK, J_SHIFT, K_SHIFT, J_MASK, K_MASK
+
+        def impl(col):
+            import numpy as np
+            p = np.asarray(col.values)
+            j = (p >> J_SHIFT) & J_MASK
+            k = (p >> K_SHIFT) & K_MASK
+            diploid = (p & PLOIDY_MASK) == 2
+            lo = np.where(diploid, np.minimum(j, k), j)
+            hi = np.where(diploid, np.maximum(j, k), k)
+            newp = ((p & PLOIDY_MASK) | (lo << J_SHIFT) | (hi << K_SHIFT)).astype(np.int32)
+            return PrimitiveColumn(ht.tcall, newp, col.missing)
+        return F._apply('unphase', ht.tcall, impl, self)
+
+    def contains_allele(self, allele):
+        """Whether the call has at least one copy of `allele` (reference
+        CallExpression.contains_allele)."""
+        from . import functions as F
+        from ..ir.columns import PrimitiveColumn
+        from ..genetics.call import PLOIDY_MASK, J_SHIFT, K_SHIFT, J_MASK, K_MASK
+        ae = to_expr(allele)
+
+        def impl(col, acol):
+            import numpy as np
+            shape = np.broadcast_shapes(col.shape, acol.shape)
+            p = np.broadcast_to(np.asarray(col.values), shape)
+            a = np.broadcast_to(np.asarray(acol.values), shape)
+            j = (p >> J_SHIFT) & J_MASK
+            k = (p >> K_SHIFT) & K_MASK
+            ploidy = p & PLOIDY_MASK
+            hit = ((ploidy >= 1) & (j == a)) | ((ploidy == 2) & (k == a))
+            from ..ir.columns import _merge_missing
+            m = _merge_missing(
+                np.broadcast_to(col.missing_mask(), shape).copy() if col.missing is not None else None,
+                np.broadcast_to(acol.missing_mask(), shape).copy() if acol.missing is not None else None)
+            return PrimitiveColumn(ht.tbool, hit, m)
+        return F._apply('contains_allele', ht.tbool, impl, self, ae)
+
+
 class LocusExpression(Expression):
     def _locus_method(self, name, result_typ, *args):
         from . import functions as F
@@ -711,6 +891,72 @@ class LocusExpression(Expression):
 
     def in_mito(self):
         return self._locus_method('in_mito', ht.tbool)
+
+    @property
+    def contig_idx(self):
+        """Index of the contig in the reference genome (reference
+        LocusExpression.contig_idx)."""
+        from . import functions as F
+
+        def impl(col):
+            import numpy as np
+            from ..ir.columns import LocusColumn, PrimitiveColumn
+            from ..ir import columns as C
+            if isinstance(col, LocusColumn):
+                return PrimitiveColumn(ht.tint32,
+                                       np.asarray(col.contig_idx, np.int32),
+                                       col.missing)
+            obj = C.to_object(col)
+            vals = np.asarray([(-1 if l is None else
+                                l.reference_genome.contig_index(l.contig))
+                               for l in obj.values.ravel()], np.int32).reshape(col.shape)
+            miss = np.asarray([l is None for l in obj.values.ravel()],
+                              bool).reshape(col.shape)
+            return PrimitiveColumn(ht.tint32, vals, miss if miss.any() else None)
+        return F._apply('contig_idx', ht.tint32, impl, self)
+
+    def in_autosome_or_par(self):
+        return self.in_autosome() | self.in_x_par() | self.in_y_par()
+
+    def window(self, before, after):
+        """Interval of loci from `before` bases upstream to `after` bases
+        downstream, clipped to the contig (reference LocusExpression
+        .window)."""
+        from . import functions as F
+        t = ht.tinterval(self.dtype)
+        from ..ir.columns import ObjectColumn
+        be, ae = to_expr(before), to_expr(after)
+
+        def impl(lcol, bcol, acol):
+            import numpy as np
+            from ..ir import columns as C
+            from ..utils.structs import Interval
+            lobj = C.to_object(lcol)
+            shape = np.broadcast_shapes(lobj.shape, bcol.shape, acol.shape)
+            lv = np.broadcast_to(lobj.values, shape)
+            bv = np.broadcast_to(np.asarray(bcol.values), shape)
+            av = np.broadcast_to(np.asarray(acol.values), shape)
+            out = np.empty(shape, dtype=object)
+            fo, fl, fb, fa = out.ravel(), lv.ravel(), bv.ravel(), av.ravel()
+            for i in range(fo.size):
+                loc = fl[i]
+                if loc is None:
+                    fo[i] = None
+                    continue
+                rg = loc.reference_genome
+                clen = rg.contig_length(loc.contig)
+                start = max(1, loc.position - int(fb[i]))
+                end = min(clen, loc.position + int(fa[i]))
+                fo[i] = Interval(type(loc)(loc.contig, start, rg),
+                                 type(loc)(loc.contig, end, rg), True, True)
+            return C.from_pylist(t, list(fo)).reshape(shape)
+        return F._apply('locus_window', t, impl, self, be, ae)
+
+    def sequence_context(self, before=0, after=0):
+        """Reference bases around the locus (requires a loaded FASTA,
+        reference LocusExpression.sequence_context)."""
+        from . import functions as F
+        return F.get_sequence(self.contig, self.position, before, after)
 
     def __lt__(self, other):
         return self._bin_op('<', other)

@@ -318,3 +318,58 @@ def test_string_split_limit_and_index_missing():
         ['The', 'quick brown fox']
     assert hl.eval(hl.literal(['Alice', 'Beth']).index('Zed')) is None
     assert hl.eval(hl.literal(['Alice', 'Beth']).index('Beth')) == 1
+
+
+def test_expression_class_method_parity():
+    ev = hl.eval
+    # CallExpression
+    assert str(ev(hl.call(1, 0, phased=True).unphase())) == '0/1'
+    assert ev(hl.call(0, 1).contains_allele(1)) is True
+    # LocusExpression
+    w = ev(hl.locus('1', 100).window(10, 10))
+    assert w.start.position == 90 and w.end.position == 110
+    assert ev(hl.locus('1', 5).window(10, 10)).start.position == 1
+    assert ev(hl.locus('2', 5).contig_idx) == 1
+    assert ev(hl.locus('1', 100).in_autosome_or_par()) is True
+    # StringExpression
+    assert ev(hl.literal('abc').reverse()) == 'cba'
+    assert ev(hl.literal('abc').translate({'a': 'z'})) == 'zbc'
+    assert ev(hl.literal('hailo').find('l')) == 3
+    # Struct/Tuple/Dict
+    assert ev(hl.struct(a=5).get('a')) == 5
+    assert ev(hl.struct(a=5).get('zz', 0)) == 0
+    t = hl.tuple([1, 2, 1])
+    assert ev(t.count(1)) == 2 and ev(t.index(2)) == 1 and ev(t.index(9)) is None
+    assert set(ev(hl.literal({'a': 1}).key_set())) == {'a'}
+    # local array aggregation
+    arr = hl.literal([1, 2, 3, 4])
+    assert ev(arr.aggregate(lambda x: hl.agg.sum(x))) == 10
+    tb = hl.utils.range_table(3)
+    tb = tb.annotate(a=hl.range(0, tb.idx + 1))
+    assert [r.s for r in tb.annotate(
+        s=tb.a.aggregate(lambda x: hl.agg.sum(x))).collect()] == [0, 1, 3]
+
+
+def test_expression_class_method_namespace_parity():
+    import re
+    from hail_tpu.expr import expression as E
+    src = open('/root/reference/hail/python/hail/expr/expressions/typed_expressions.py').read()
+
+    def methods_of(cls):
+        m = re.search(rf'^class {cls}\b.*?(?=^class |\Z)', src, re.S | re.M)
+        return set(re.findall(r'^    def ([a-z][a-z0-9_]*)\(', m.group(0), re.M)) if m else set()
+
+    pairs = [('CollectionExpression', E.CollectionExpression),
+             ('ArrayExpression', E.ArrayExpression),
+             ('ArrayNumericExpression', E.ArrayExpression),
+             ('SetExpression', E.SetExpression),
+             ('DictExpression', E.DictExpression),
+             ('StructExpression', E.StructExpression),
+             ('TupleExpression', E.TupleExpression),
+             ('StringExpression', E.StringExpression),
+             ('CallExpression', E.CallExpression),
+             ('LocusExpression', E.LocusExpression),
+             ('IntervalExpression', E.IntervalExpression)]
+    for name, mine in pairs:
+        missing = sorted(m for m in methods_of(name) if not hasattr(mine, m))
+        assert missing == [], (name, missing)
