@@ -190,3 +190,62 @@ def default_reference() -> ReferenceGenome:
 def set_default_reference(rg) -> None:
     global _default_reference
     _default_reference = rg if isinstance(rg, ReferenceGenome) else ReferenceGenome.get(rg)
+
+
+def _rg_global_positions_dict(self):
+    """contig -> global start offset (reference ReferenceGenome
+    .global_positions_dict)."""
+    return dict(self._global_offsets)
+
+
+def _rg_remove_sequence(self):
+    self._sequence = None
+
+
+def _rg_remove_liftover(self, dest):
+    name = dest.name if hasattr(dest, 'name') else dest
+    if hasattr(self, '_liftovers'):
+        self._liftovers.pop(name, None)
+
+
+def _rg_write(self, path: str):
+    """Serialize in the reference's JSON schema (reference
+    ReferenceGenome.write)."""
+    import json as _json
+    d = {
+        'name': self.name,
+        'contigs': [{'name': c, 'length': self.lengths[c]} for c in self.contigs],
+        'xContigs': list(self.x_contigs),
+        'yContigs': list(self.y_contigs),
+        'mtContigs': list(self.mt_contigs),
+        'par': [f'{c0}:{s}-{e}' for (c0, s, c1, e) in self.par],
+    }
+    with open(path, 'w') as f:
+        _json.dump(d, f)
+
+
+def _rg_from_fasta_file(name, fasta_file, index_file=None,
+                        x_contigs=(), y_contigs=(), mt_contigs=(), par=()):
+    """Build a reference genome from a FASTA + .fai index (reference
+    ReferenceGenome.from_fasta_file)."""
+    idx_path = index_file or fasta_file + '.fai'
+    contigs = []
+    lengths = {}
+    with open(idx_path) as f:
+        for line in f:
+            parts = line.rstrip('\n').split('\t')
+            if len(parts) >= 2:
+                contigs.append(parts[0])
+                lengths[parts[0]] = int(parts[1])
+    rg = ReferenceGenome(name, contigs, lengths, x_contigs=x_contigs,
+                         y_contigs=y_contigs, mt_contigs=mt_contigs,
+                         par=[tuple(p) for p in par])
+    rg.add_sequence(fasta_file, idx_path)
+    return rg
+
+
+ReferenceGenome.global_positions_dict = property(_rg_global_positions_dict)
+ReferenceGenome.remove_sequence = _rg_remove_sequence
+ReferenceGenome.remove_liftover = _rg_remove_liftover
+ReferenceGenome.write = _rg_write
+ReferenceGenome.from_fasta_file = staticmethod(_rg_from_fasta_file)

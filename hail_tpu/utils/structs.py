@@ -187,3 +187,35 @@ class Interval:
 
 def _struct_from_dict(d):
     return Struct(**d)
+
+
+def _interval_overlaps(self, other) -> bool:
+    """Whether two intervals share any point (reference
+    Interval.overlaps)."""
+    def lt(a, b):
+        ka = (a.reference_genome.contig_index(a.contig), a.position) \
+            if hasattr(a, 'contig') else a
+        kb = (b.reference_genome.contig_index(b.contig), b.position) \
+            if hasattr(b, 'contig') else b
+        return ka < kb
+
+    def le(a, b):
+        return lt(a, b) or a == b
+    # self.start must be before other's end and vice versa, honoring
+    # inclusivity at the touching endpoints
+    if lt(other.end, self.start) or (other.end == self.start and not
+                                     (other.includes_end and self.includes_start)):
+        return False
+    if lt(self.end, other.start) or (self.end == other.start and not
+                                     (self.includes_end and other.includes_start)):
+        return False
+    return True
+
+
+def _interval_point_type(self):
+    from ..expr.expression import impute_type
+    return impute_type(self.start)
+
+
+Interval.overlaps = _interval_overlaps
+Interval.point_type = property(_interval_point_type)
