@@ -11,6 +11,14 @@ from .resource import (InputResourceFile, JobResourceFile, Resource,
 
 
 class Batch:
+    @staticmethod
+    def from_batch_id(batch_id, *args, **kwargs):
+        """Reference: attach to an existing service batch by id — requires
+        the Batch service backend, absent in this build."""
+        raise NotImplementedError(
+            'from_batch_id requires the cloud Batch service; this build '
+            'runs batches locally only')
+
     def __init__(self, name: Optional[str] = None, backend=None,
                  attributes: Optional[Dict[str, str]] = None,
                  requester_pays_project: Optional[str] = None,

@@ -74,6 +74,36 @@ class Job:
         self._always_run = always_run
         return self
 
+    def timeout(self, timeout) -> 'Job':
+        """Wall-clock limit in seconds (reference Job.timeout)."""
+        self._timeout = timeout
+        return self
+
+    def spot(self, is_spot: bool) -> 'Job':
+        """Spot/preemptible instance preference (advisory locally)."""
+        self._spot = is_spot
+        return self
+
+    def regions(self, regions) -> 'Job':
+        """Cloud regions the job may run in (advisory locally)."""
+        self._regions = regions
+        return self
+
+    def n_max_attempts(self, n: int) -> 'Job':
+        self._n_max_attempts = n
+        return self
+
+    def always_copy_output(self, always: bool = True) -> 'Job':
+        self._always_copy_output = always
+        return self
+
+    def cloudfuse(self, bucket: str, mount_point: str) -> 'Job':
+        raise NotImplementedError(
+            'cloudfuse requires a cloud bucket mount; this build has no '
+            'cloud storage. Stage data with input files instead.')
+
+    gcsfuse = cloudfuse
+
     def env(self, variable: str, value: str) -> 'Job':
         self._env[variable] = value
         return self

@@ -702,3 +702,45 @@ def store_ref_block_max_length(vds_path: str) -> None:
     meta['ref_block_max_length'] = max_len
     with open(meta_p, 'w') as f:
         _json.dump(meta, f)
+
+
+def _vds_reference_genome(self):
+    """Reference genome of the dataset (reference VariantDataset
+    .reference_genome)."""
+    rows = self.variant_data.rows().collect() or self.reference_data.rows().collect()
+    return rows[0].locus.reference_genome if rows else None
+
+
+def _vds_union_rows(self, *others):
+    """Union variants/reference blocks across VDSes with the same samples
+    (reference VariantDataset.union_rows)."""
+    rd = self.reference_data.union_rows(*[o.reference_data for o in others])
+    vd = self.variant_data.union_rows(*[o.variant_data for o in others])
+    return VariantDataset(rd, vd)
+
+
+def _vds_validate(self):
+    """Check structural invariants (reference VariantDataset.validate):
+    END defined and >= position in reference data."""
+    rd = self.reference_data
+    st = rd._stage
+    for i, ctx in enumerate(st.contexts):
+        mb = st.partition_fn(ctx)
+        if 'END' not in mb.entries:
+            raise ValueError('reference_data lacks END entry field')
+        end_c = mb.entries['END']
+        ends = np.asarray(end_c.values)
+        miss = end_c.missing_mask()
+        pos = np.asarray(mb.rows.columns['locus'].position)[:, None]
+        bad = (~miss) & (ends < pos)
+        if bad.any():
+            r, c = np.argwhere(bad)[0]
+            raise ValueError(
+                f'validate: reference block END {ends[r, c]} < start '
+                f'{pos[r, 0]} at row {r}, sample {c}')
+    return self
+
+
+VariantDataset.reference_genome = property(_vds_reference_genome)
+VariantDataset.union_rows = _vds_union_rows
+VariantDataset.validate = _vds_validate
