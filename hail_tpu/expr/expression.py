@@ -1148,6 +1148,15 @@ def impute_type(value: Any) -> ht.HailType:
     raise TypeError(f'cannot impute type of {value!r} ({type(value)})')
 
 
+def _container_has_exprs(value) -> bool:
+    if isinstance(value, (list, tuple, set, frozenset)):
+        return any(isinstance(v, Expression) or _container_has_exprs(v) for v in value)
+    if isinstance(value, dict):
+        return any(isinstance(v, Expression) or _container_has_exprs(v)
+                   for kv in value.items() for v in kv)
+    return False
+
+
 def to_expr(value: Any, dtype: Optional[ht.HailType] = None) -> Expression:
     if isinstance(value, Expression):
         if dtype is not None and value.dtype != dtype:
@@ -1157,6 +1166,28 @@ def to_expr(value: Any, dtype: Optional[ht.HailType] = None) -> Expression:
         if dtype is None:
             raise TypeError('cannot create an expression from None without a type (use hl.missing(t))')
         return construct_expr(NA(dtype))
+    # containers holding expressions build expression containers
+    if _container_has_exprs(value):
+        if isinstance(value, (list,)):
+            elems = [to_expr(v) for v in value]
+            t_el = elems[0].dtype
+            for e in elems[1:]:
+                u = ht.unify_types(t_el, e.dtype)
+                t_el = u if u is not None else t_el
+            elems = [e if e.dtype == t_el else
+                     construct_expr(Cast(e._ir, t_el), e._indices) for e in elems]
+            ind = Indices.unify(*[e._indices for e in elems])
+            return construct_expr(MakeArray([e._ir for e in elems], ht.tarray(t_el)), ind)
+        if isinstance(value, tuple):
+            elems = [to_expr(v) for v in value]
+            ind = Indices.unify(*[e._indices for e in elems])
+            return construct_expr(MakeTuple([e._ir for e in elems]), ind)
+        if isinstance(value, (set, frozenset)):
+            from . import functions as F
+            return F.set_(to_expr(list(value)))
+        if isinstance(value, dict):
+            from . import functions as F
+            return F.dict_([(to_expr(k), to_expr(v)) for k, v in value.items()])
     t = dtype or impute_type(value)
     return construct_expr(Literal(value, t))
 

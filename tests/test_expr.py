@@ -373,3 +373,17 @@ def test_expression_class_method_namespace_parity():
     for name, mine in pairs:
         missing = sorted(m for m in methods_of(name) if not hasattr(mine, m))
         assert missing == [], (name, missing)
+
+
+def test_expression_containers_lift():
+    # python containers holding expressions build expression containers
+    # (reference to_expr: [t.C1, t.C2] -> array expression)
+    t = hl.utils.range_table(3)
+    r = t.aggregate(hl.agg.array_sum([t.idx, t.idx * 2]))
+    assert list(r) == [3, 6]
+    s = hl.eval(hl.literal(5) + 0)
+    pair = hl.eval(hl.tuple([hl.literal(1) + 1, 'x']))
+    assert pair == (2, 'x') or list(pair) == [2, 'x']
+    st = hl.eval(hl.set({hl.literal(3)}))
+    assert set(st) == {3}
+    d = hl.eval({'k': hl.literal(7)}) if True else None
