@@ -261,7 +261,10 @@ class ToArray(IR):
             if v is None:
                 return None
             if isinstance(v, (frozenset, set)):
-                return sorted(v, key=lambda x: (x is None, x))
+                try:
+                    return sorted(v, key=lambda x: (x is None, x))
+                except TypeError:  # unorderable elements (Call, Struct, ...)
+                    return sorted(v, key=lambda x: (x is None, str(x)))
             if hasattr(v, 'items'):
                 return [Struct(key=k, value=x) for k, x in v.items()]
             return list(v)

@@ -360,3 +360,14 @@ def test_weighted_linear_regression():
                                         weights=[mt.col_idx, mt.col_idx + 5])
     r0 = htm.collect()[0]
     assert len(r0.beta) == 2 and len(r0.beta[0]) == 1
+
+
+def test_ld_prune_reference_semantics():
+    res = '/root/reference/hail/hail/test/resources/'
+    ds = hl.import_vcf(res + 'ldprune2.vcf')
+    assert hl.ld_prune(ds.GT).count() == 1  # identical variants prune to one
+    ds2 = hl.balding_nichols_model(1, 10, 10, n_partitions=3)
+    pt = hl.ld_prune(ds2.GT, r2=0.0, bp_window_size=0)
+    exp = ds2.filter_rows(hl.agg.collect_as_set(ds2.GT).size() > 1,
+                          keep=True).count_rows()
+    assert pt.count() == exp
