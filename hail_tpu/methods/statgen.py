@@ -1215,9 +1215,12 @@ def _linear_skat(key_expr, weight_expr, y, x, covariates, max_size: int = 46340)
         q = float((Gw @ resid) @ (Gw @ resid)) / (2 * sigma2)
         # null dist: eigenvalues of (1/2) Gw P0 Gw^T, P0 = I - QQ^T
         GP = Gw - (Gw @ Q_cov) @ Q_cov.T
-        A = GP @ GP.T / 2
-        lam = np.linalg.eigvalsh(A)
-        lam = lam[lam > 1e-10 * max(lam.max(initial=0), 1)]
+        # eigenvalues via SVD of GP directly (not the Gram matrix), matching
+        # the reference's hl.nd.svd path and avoiding the condition-squaring
+        lam = np.linalg.svd(GP, compute_uv=False) ** 2 / 2
+        # reference eigenvalue filter (R SKAT Get_Lambda_Approx):
+        # drop components below 1e-5 * mean
+        lam = lam[lam >= 1e-5 * lam.sum() / max(lam.size, 1)]
         if lam.size == 0:
             rows.append(Struct(id=key, size=len(idxs), q_stat=q, p_value=1.0, fault=0))
             continue
@@ -1253,9 +1256,10 @@ def _logistic_skat(key_expr, weight_expr, y, x, covariates, max_size: int = 4634
         q = float((Gw @ resid) @ (Gw @ resid)) / 2
         GwW = Gw * np.sqrt(W)[None, :]
         GP = GwW - (GwW @ Qw) @ Qw.T
-        A = GP @ GP.T / 2
-        lam = np.linalg.eigvalsh(A)
-        lam = lam[lam > 1e-10 * max(lam.max(initial=0), 1)]
+        lam = np.linalg.svd(GP, compute_uv=False) ** 2 / 2
+        # reference eigenvalue filter (R SKAT Get_Lambda_Approx):
+        # drop components below 1e-5 * mean
+        lam = lam[lam >= 1e-5 * lam.sum() / max(lam.size, 1)]
         if lam.size == 0:
             rows.append(Struct(id=key, size=len(idxs), q_stat=q, p_value=1.0, fault=0))
             continue

@@ -201,6 +201,10 @@ def test_linear_skat_r_golden():
     r = ht.collect()[0]
     assert r.size == 4
     assert r.q_stat == pytest.approx(2.854975, abs=5e-7)
+    # R's printed 0.2700286 carries Davies-integration error at acc=1e-6; our
+    # Ruben-series value 0.27002843 is exact for the same (Q, eigenvalues)
+    # (verified by replicating the reference pipeline verbatim), so we assert
+    # at 5e-7 rather than the reference's implementation-matching 5e-8
     assert r.p_value == pytest.approx(0.2700286, abs=5e-7)
     assert r.fault == 0
 
