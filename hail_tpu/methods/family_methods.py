@@ -337,75 +337,212 @@ def de_novo(mt: MatrixTable, pedigree: Pedigree, pop_frequency_prior,
             min_gq: int = 20, min_p: float = 0.05, max_parent_ab: float = 0.05,
             min_child_ab: float = 0.20, min_dp_ratio: float = 0.10,
             ignore_in_sample_allele_frequency: bool = False) -> Table:
-    """De novo mutation caller (reference de_novo, Samocha/Kaitlin caller).
-    Simplified PL-based implementation producing p_de_novo + confidence."""
-    tm = trio_matrix(mt.annotate_rows(__prior=to_expr(pop_frequency_prior)),
-                     pedigree, complete_trios=True)
+    """Call putative de novo events (reference family_methods.py de_novo —
+    the Samocha caller, bde3e40). Exact reference semantics: posterior
+    P(dn) = P(x|dn)*P(dn) / (P(x|dn)*P(dn) + P(x|missed het)*P(het in
+    parent)) from normalized PL likelihoods; copy-state-specific calls
+    (autosomal / hemi X / hemi Y / female mito); SNP and indel confidence
+    tiers; site frequency from in-sample AC unless
+    ignore_in_sample_allele_frequency."""
+    from ..expr import functions as F
+    DE_NOVO_PRIOR = 1 / 30000000
+    MIN_POP_PRIOR = 100 / 30000000
+
+    required = {'GT', 'AD', 'DP', 'GQ', 'PL'}
+    missing_f = required - set(mt._stage.entry_type.fields)
+    if missing_f:
+        raise ValueError(f"'de_novo': expected 'MatrixTable' to have at least "
+                         f"{required}, missing {missing_f}")
+
+    pfp = to_expr(pop_frequency_prior)
+    mt = mt.annotate_rows(__prior=pfp)
+    if ignore_in_sample_allele_frequency:
+        mt = mt.annotate_rows(__alt_alleles=F.int64(1),
+                              __site_freq=F.max(mt.__prior, MIN_POP_PRIOR))
+    else:
+        from ..expr import aggregators as agg
+        mt = mt.annotate_rows(
+            __alt_alleles=agg.sum(mt.GT.n_alt_alleles()),
+            __total_alleles=2 * agg.sum(F.int32(F.is_defined(mt.GT))))
+        # subtract 1 to correct for the observed genotype
+        mt = mt.annotate_rows(__site_freq=F.max(
+            (F.float64(mt.__alt_alleles) - 1) / F.float64(mt.__total_alleles),
+            mt.__prior, MIN_POP_PRIOR))
+
+    tm = trio_matrix(mt, pedigree, complete_trios=True)
     st = tm._stage
+    trios_cols = st.cols.to_pylist()
+    is_female_arr = np.asarray(
+        [bool(c.get('is_female')) if c.get('is_female') is not None else False
+         for c in trios_cols])
+
     rows_out: List[Struct] = []
-    MIN_POP_PRIOR = 100 / 3e7
     for i, ctx in enumerate(st.contexts):
         mb = st.partition_fn(ctx)
-        prior = np.asarray(mb.rows.columns['__prior'].values, dtype=np.float64)
-        prior = np.maximum(np.nan_to_num(prior), MIN_POP_PRIOR)
-
-        def get(role, field):
-            s = mb.entries[role]
-            return s.fields.get(field)
-
-        out = {}
-        for role in ('proband_entry', 'father_entry', 'mother_entry'):
-            ent = mb.entries[role]
-            pl = ent.fields.get('PL')
-            gt = ent.fields['GT']
-            out[role] = (gt, pl, ent.fields.get('AD'), ent.fields.get('DP'),
-                         ent.fields.get('GQ'), ent.missing_mask())
-        kid_gt, kid_pl, kid_ad, kid_dp, kid_gq, kid_m = out['proband_entry']
-        dad_gt, dad_pl, dad_ad, dad_dp, dad_gq, dad_m = out['father_entry']
-        mom_gt, mom_pl, mom_ad, mom_dp, mom_gq, mom_m = out['mother_entry']
-        if kid_pl is None or dad_pl is None or mom_pl is None:
+        R = mb.n_rows
+        T = mb.n_cols
+        if R == 0 or T == 0:
             continue
-        kp = np.asarray(kid_gt.values)
-        dp_ = np.asarray(dad_gt.values)
-        mp_ = np.asarray(mom_gt.values)
-        valid = (~kid_m) & (~dad_m) & (~mom_m) & \
-            calls_is_het(kp) & calls_is_hom_ref(dp_) & calls_is_hom_ref(mp_) & \
-            ~kid_gt.missing_mask() & ~dad_gt.missing_mask() & ~mom_gt.missing_mask()
-        if kid_gq is not None:
-            valid &= np.asarray(kid_gq.values) >= min_gq
+        loci = mb.rows.columns['locus']
+        rg = loci.rg
+        contig = np.asarray(loci.contig_idx)
+        pos = np.asarray(loci.position)
+        x_idx = [rg.contig_index(c) for c in rg.x_contigs]
+        y_idx = [rg.contig_index(c) for c in rg.y_contigs]
+        mt_idx = [rg.contig_index(c) for c in rg.mt_contigs]
+        in_x = np.isin(contig, x_idx)
+        in_y = np.isin(contig, y_idx)
+        in_mt = np.isin(contig, mt_idx)
+        in_par = np.zeros(R, dtype=bool)
+        for (c0, s0, c1, e0) in rg.par:
+            ci = rg.contig_index(c0)
+            in_par |= (contig == ci) & (pos >= s0) & (pos < e0)
+        in_autosome_or_par = (~in_x & ~in_y & ~in_mt) | in_par
+        f = is_female_arr[None, :]
+        autosomal = in_autosome_or_par[:, None] | ((in_x & ~in_par)[:, None] & f)
+        hemi_x = (in_x & ~in_par)[:, None] & ~f
+        hemi_y = (in_y & ~in_par)[:, None] & ~f
+        hemi_mt = in_mt[:, None] & f
 
-        # PL-based likelihoods: P(dn) via Samocha formula
-        def pl_prob(plcol, idx):
-            v = plcol.values[..., idx].astype(np.float64)
-            return np.power(10.0, -v / 10.0)
-
-        p_kid_het = pl_prob(kid_pl, 1)
-        p_dad_hr = pl_prob(dad_pl, 0)
-        p_mom_hr = pl_prob(mom_pl, 0)
-        p_dad_het = pl_prob(dad_pl, 1)
-        p_mom_het = pl_prob(mom_pl, 1)
-        prior_col = prior[:, None]
-        p_dn_num = p_dad_hr * p_mom_hr * p_kid_het
-        p_missed_het = (p_dad_het * p_mom_hr + p_mom_het * p_dad_hr) * prior_col * 4
-        with np.errstate(all='ignore'):
-            p_dn = p_dn_num / np.maximum(p_dn_num + p_missed_het, 1e-300)
-        # allele balance checks
-        if kid_ad is not None:
-            ad = kid_ad.values.astype(np.float64)
-            with np.errstate(all='ignore'):
-                ab = ad[..., 1] / np.maximum(ad[..., 0] + ad[..., 1], 1)
-            valid &= ab >= min_child_ab
-        ok = valid & (p_dn > min_p)
-        locus_l = mb.rows.columns['locus'].to_pylist()
         alleles_l = mb.rows.columns['alleles'].to_pylist()
-        ids = [r.id for r in st.cols.to_pylist()]
-        rr, tt = np.where(ok)
-        for r, t_i in zip(rr, tt):
-            p = float(p_dn[r, t_i])
-            conf = 'HIGH' if p > 0.99 else ('MEDIUM' if p > 0.5 else 'LOW')
-            rows_out.append(Struct(locus=locus_l[r], alleles=alleles_l[r],
-                                   id=ids[t_i], p_de_novo=p, confidence=conf))
-    row_t = ht.tstruct(locus=st.row_type['locus'], alleles=st.row_type['alleles'],
-                       id=ht.tstr, p_de_novo=ht.tfloat64, confidence=ht.tstr)
+        is_snp_arr = np.asarray([len(a) == 2 and len(a[0]) == 1 and len(a[1]) == 1
+                                 for a in alleles_l])[:, None]
+        prior = np.asarray(mb.rows.columns['__site_freq'].values,
+                           dtype=np.float64)[:, None]
+        n_alt = np.asarray(mb.rows.columns['__alt_alleles'].values,
+                           dtype=np.float64)[:, None]
+
+        def fields(role):
+            ent = mb.entries[role]
+            gt = ent.fields['GT']
+            pl = ent.fields['PL']
+            ad = ent.fields['AD']
+            dpv = ent.fields['DP']
+            gq = ent.fields['GQ']
+            return (np.asarray(gt.values), gt.missing_mask(),
+                    pl.values.astype(np.float64), pl.missing_mask(),
+                    ad.values.astype(np.float64), ad.missing_mask(),
+                    np.asarray(dpv.values, dtype=np.float64), dpv.missing_mask(),
+                    np.asarray(gq.values, dtype=np.float64), gq.missing_mask())
+
+        kp, km, kpl, kplm, kad, kadm, kdp, kdpm, kgq, kgqm = fields('proband_entry')
+        dp_, dm, dpl, dplm, dad_, dadm, ddp, ddpm, _, _ = fields('father_entry')
+        mp_, mm, mpl, mplm, mad, madm, mdp, mdpm, _, _ = fields('mother_entry')
+
+        defined = ~(km | dm | mm | kplm | dplm | mplm)
+        het_hom_hom = calls_is_het(kp) & calls_is_hom_ref(dp_) & calls_is_hom_ref(mp_)
+
+        with np.errstate(all='ignore'):
+            kid_ad_sum = kad[..., 0] + kad[..., 1]
+            kid_ad_ratio = kad[..., 1] / kid_ad_sum
+            kid_ad_fail = kid_ad_ratio < min_child_ab
+
+            def norm_pp(pl):
+                lin = np.power(10.0, -pl / 10.0)
+                return lin / np.maximum(lin.sum(axis=-1, keepdims=True), 1e-300)
+
+            kid_pp = norm_pp(kpl)
+            dad_pp = norm_pp(dpl)
+            mom_pp = norm_pp(mpl)
+
+            p_het_in_parent = 1 - (1 - prior) ** 4
+
+            # autosomal posterior (reference call_auto)
+            p_dn_auto_num = dad_pp[..., 0] * mom_pp[..., 0] * kid_pp[..., 1] * DE_NOVO_PRIOR
+            p_missed_auto = (dad_pp[..., 1] * mom_pp[..., 0]
+                             + dad_pp[..., 0] * mom_pp[..., 1]) * kid_pp[..., 1] * p_het_in_parent
+            p_dn_auto = p_dn_auto_num / (p_dn_auto_num + p_missed_auto)
+
+            def p_dn_hemi(parent_pp):
+                num = parent_pp[..., 0] * kid_pp[..., 1] * DE_NOVO_PRIOR
+                den = num + (parent_pp[..., 1] + parent_pp[..., 2]) * \
+                    kid_pp[..., 2] * p_het_in_parent
+                return num / den
+
+            p_dn_x = p_dn_hemi(mom_pp)
+            p_dn_y = p_dn_hemi(dad_pp)
+
+            dp_ratio_auto = kdp / (ddp + mdp)
+            dad_ab = dad_[..., 1] / (dad_[..., 0] + dad_[..., 1])
+            mom_ab = mad[..., 1] / (mad[..., 0] + mad[..., 1])
+
+        def classify(p_dn, dp_ratio, hemi):
+            """confidence tiers (reference call_auto/call_hemi solve)"""
+            conf = np.full(p_dn.shape, None, dtype=object)
+            with np.errstate(all='ignore'):
+                snp_high = ((p_dn > 0.99) & (kid_ad_ratio > 0.3) & (dp_ratio > 0.2)) | \
+                           ((p_dn > 0.99) & (kid_ad_ratio > 0.3) & (n_alt == 1)) | \
+                           ((p_dn > 0.5) & (kid_ad_ratio > 0.3) & (n_alt < 10) & (kdp > 10))
+                snp_med = (p_dn > 0.5) & ((kid_ad_ratio > 0.3) | (n_alt == 1))
+                snp_low = kid_ad_ratio > 0.2
+                ind_high = (p_dn > 0.99) & (kid_ad_ratio > 0.3) & (n_alt == 1)
+                ind_med = (p_dn > 0.5) & (kid_ad_ratio > 0.3) & (n_alt <= 5)
+                ind_low = kid_ad_ratio > (0.3 if hemi else 0.2)
+            is_snp_b = np.broadcast_to(is_snp_arr, p_dn.shape)
+            conf = np.where(is_snp_b & snp_high, 'HIGH', conf)
+            conf = np.where(is_snp_b & ~snp_high & snp_med, 'MEDIUM', conf)
+            conf = np.where(is_snp_b & ~snp_high & ~snp_med & snp_low, 'LOW', conf)
+            conf = np.where(~is_snp_b & ind_high, 'HIGH', conf)
+            conf = np.where(~is_snp_b & ~ind_high & ind_med, 'MEDIUM', conf)
+            conf = np.where(~is_snp_b & ~ind_high & ~ind_med & ind_low, 'LOW', conf)
+            return conf
+
+        with np.errstate(all='ignore'):
+            base = defined & het_hom_hom & ~kid_ad_fail & ~np.isnan(kid_ad_ratio) \
+                & ~kgqm & (kgq >= min_gq)
+            auto_ok = base & autosomal & ~kdpm & ~ddpm & ~mdpm \
+                & (dp_ratio_auto >= min_dp_ratio) & (kid_ad_ratio >= min_child_ab) \
+                & ((dad_[..., 0] + dad_[..., 1]) > 0) & ((mad[..., 0] + mad[..., 1]) > 0) \
+                & ~(mom_ab > max_parent_ab) & ~(dad_ab > max_parent_ab) \
+                & (p_dn_auto >= min_p)
+            x_ok = base & (hemi_x | hemi_mt) & ~kdpm & ~mdpm \
+                & (kdp / mdp >= min_dp_ratio) & (kid_ad_ratio >= min_child_ab) \
+                & ((mad[..., 0] + mad[..., 1]) > 0) & ~(mom_ab > max_parent_ab) \
+                & (p_dn_x >= min_p)
+            y_ok = base & hemi_y & ~kdpm & ~ddpm \
+                & (kdp / ddp >= min_dp_ratio) & (kid_ad_ratio >= min_child_ab) \
+                & ((dad_[..., 0] + dad_[..., 1]) > 0) & ~(dad_ab > max_parent_ab) \
+                & (p_dn_y >= min_p)
+
+        conf_auto = classify(p_dn_auto, dp_ratio_auto, hemi=False)
+        with np.errstate(all='ignore'):
+            conf_x = classify(p_dn_x, kdp / mdp, hemi=True)
+            conf_y = classify(p_dn_y, kdp / ddp, hemi=True)
+
+        locus_l = loci.to_pylist()
+        ent_t = st.entry_type['proband_entry']
+        role_py = {role: StructColumn(ent_t, dict(mb.entries[role].fields),
+                                      mb.entries[role].missing,
+                                      (R, T)).to_pylist()
+                   for role in ('proband_entry', 'father_entry', 'mother_entry')}
+
+        for ok, p_dn, conf in ((auto_ok, p_dn_auto, conf_auto),
+                               (x_ok, p_dn_x, conf_x),
+                               (y_ok, p_dn_y, conf_y)):
+            rr, tt2 = np.where(ok & (conf != None))  # noqa: E711
+            for r, t_i in zip(rr, tt2):
+                trio = trios_cols[t_i]
+                rows_out.append(Struct(
+                    locus=locus_l[r], alleles=alleles_l[r], id=trio['id'],
+                    prior=float(prior[r, 0]),
+                    proband=trio['proband'], father=trio['father'],
+                    mother=trio['mother'],
+                    proband_entry=role_py['proband_entry'][r][t_i],
+                    father_entry=role_py['father_entry'][r][t_i],
+                    mother_entry=role_py['mother_entry'][r][t_i],
+                    is_female=trio.get('is_female'),
+                    p_de_novo=float(p_dn[r, t_i]),
+                    confidence=str(conf[r, t_i])))
+
+    col_t = st.col_type
+    ent_t = st.entry_type['proband_entry']
+    row_t = ht.tstruct(locus=st.row_type['locus'],
+                       alleles=st.row_type['alleles'], id=ht.tstr,
+                       prior=ht.tfloat64,
+                       proband=col_t['proband'], father=col_t['father'],
+                       mother=col_t['mother'],
+                       proband_entry=ent_t, father_entry=ent_t,
+                       mother_entry=ent_t, is_female=ht.tbool,
+                       p_de_novo=ht.tfloat64, confidence=ht.tstr)
     return Table(TableStage.from_batches(Batch({}, 1), ['locus', 'alleles', 'id'],
                                          row_t, [Batch.from_pylist(row_t, rows_out)]))

@@ -371,3 +371,38 @@ def test_ld_prune_reference_semantics():
     exp = ds2.filter_rows(hl.agg.collect_as_set(ds2.GT).size() > 1,
                           keep=True).count_rows()
     assert pt.count() == exp
+
+
+def test_de_novo_reference_model():
+    # Samocha-model posterior: verified against the closed-form formula
+    rows = []
+    for i, (kpl, dpl, mpl) in enumerate([
+            ([90, 0, 90], [0, 60, 90], [0, 60, 90]),   # strong de novo
+            ([50, 0, 50], [0, 3, 30], [0, 60, 90])]):  # ambiguous father
+        for s, gt, pl, ad in [('kid', hl.Call([0, 1]), kpl, [10, 10]),
+                              ('dad', hl.Call([0, 0]), dpl, [20, 0]),
+                              ('mom', hl.Call([0, 0]), mpl, [20, 0])]:
+            rows.append({'locus': hl.Locus('1', 100 + i), 'alleles': ['A', 'T'],
+                         's': s, 'GT': gt, 'AD': ad, 'DP': sum(ad), 'GQ': 50,
+                         'PL': pl})
+    ht_ = hl.Table.parallelize(rows, hl.dtype(
+        'struct{locus: locus<GRCh37>, alleles: array<str>, s: str, GT: call, '
+        'AD: array<int32>, DP: int32, GQ: int32, PL: array<int32>}'))
+    mt = ht_.to_matrix_table(['locus', 'alleles'], ['s'])
+    ped = hl.Pedigree([hl.Trio('kid', fam_id='f1', pat_id='dad',
+                               mat_id='mom', is_female=False)])
+    r = hl.de_novo(mt, ped, pop_frequency_prior=0.001).collect()
+    assert len(r) == 1  # ambiguous-father site filtered by min_p
+    x = r[0]
+    assert x.locus.position == 100 and x.confidence == 'HIGH'
+    # closed-form: prior site freq = max((1-1)/6, 0.001, 3.3e-6) = 0.001
+    import math
+    dnp = 1 / 3e7
+    p_het = 1 - (1 - 0.001) ** 4
+    e6 = 10 ** -6.0
+    norm_p = 1 / (1 + 2 * e6)      # parent pp normalization
+    num = norm_p * norm_p * dnp
+    den = num + 2 * (e6 * norm_p) * norm_p * p_het
+    assert x.p_de_novo == pytest.approx(num / den, rel=1e-3)
+    # full output schema
+    assert x.proband_entry.GT is not None and x.prior == pytest.approx(0.001)
