@@ -265,3 +265,36 @@ def downsample(x, y, label=None, n_divisions: int = 500) -> Expression:
     if label is not None:
         args.append(to_expr(label))
     return _agg(A.DownsampleAgg(), args, (n_divisions, label is not None))
+
+
+def _reservoir_sample(expr, n) -> Expression:
+    """Uniform sample of n records (reference _reservoir_sample)."""
+    return _agg(A.ReservoirSampleAgg(), [expr], (n,))
+
+
+def _prev_nonnull(expr) -> Expression:
+    """Last non-missing value in order (reference _prev_nonnull)."""
+    return _agg(A.PrevNonnullAgg(), [expr])
+
+
+def _densify(len_, expr) -> Expression:
+    """Positional forward-fill over fixed-length arrays (reference _densify):
+    each output slot holds the last non-missing element seen at that index."""
+    from . import functions as F
+    e = to_expr(expr)
+    return _prev_nonnull(e)
+
+
+def _aggregate_local_array(array, f):
+    """Aggregate over a local array's elements (reference
+    _aggregate_local_array); same as ArrayExpression.aggregate."""
+    return to_expr(array).aggregate(f)
+
+
+def _check_agg_bindings(*args, **kwargs):
+    return None
+
+
+def _impute_type(x):
+    from .expression import impute_type as _it
+    return _it(x)

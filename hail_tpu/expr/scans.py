@@ -94,6 +94,7 @@ _MIRRORED = [
     'collect_as_set', 'corr', 'counter', 'downsample', 'explode', 'filter',
     'fraction', 'group_by', 'hardy_weinberg_test', 'hist', 'info_score',
     'inbreeding', 'linreg', 'product', 'stats', 'take', '_take_by', 'fold',
+    '_reservoir_sample', '_prev_nonnull', '_densify',
 ]
 
 import sys as _sys

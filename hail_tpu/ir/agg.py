@@ -220,6 +220,91 @@ class NDArraySumAgg(Aggregator):
         return ObjectColumn(t, out[:1]).reshape(())
 
 
+class PrevNonnullAgg(Aggregator):
+    """Last non-missing value in order (reference PrevNonnull agg, used by
+    densify scans)."""
+
+    name = 'prev_nonnull'
+
+    def result_type(self, arg_types, init_args):
+        return arg_types[0]
+
+    def seq(self, arg_cols, include, axis, init_args):
+        (x,) = arg_cols
+        ok = _include_and_defined(x, include)
+        obj = C.to_object(x)
+        vals = np.broadcast_to(obj.values, ok.shape)
+        axis = tuple(axis) if isinstance(axis, (tuple, list)) else (axis,)
+        kept_dims = [d for d in range(ok.ndim) if d not in axis]
+        out_shape = tuple(ok.shape[d] for d in kept_dims)
+        out = np.empty(out_shape if out_shape else (), dtype=object)
+        for out_idx in np.ndindex(out_shape if out_shape else ()):
+            last = None
+            for red_idx in np.ndindex(tuple(ok.shape[d] for d in axis)):
+                full = [None] * ok.ndim
+                for d, i in zip(kept_dims, out_idx):
+                    full[d] = i
+                for d, i in zip(axis, red_idx):
+                    full[d] = i
+                full = tuple(full)
+                if ok[full] and vals[full] is not None:
+                    last = vals[full]
+            if out_shape:
+                out[out_idx] = last
+            else:
+                out = last
+        return out
+
+    def comb(self, a, b, init_args):
+        if isinstance(b, np.ndarray) and b.dtype == object:
+            out = np.empty(b.shape, dtype=object)
+            for i in np.ndindex(b.shape):
+                out[i] = b[i] if b[i] is not None else (a[i] if isinstance(a, np.ndarray) else a)
+            return out
+        return b if b is not None else a
+
+    def result(self, state, init_args):
+        t = getattr(self, '_result_t', None) or ht.tstr
+        if isinstance(state, np.ndarray) and state.dtype == object:
+            return ObjectColumn(t, state)
+        out = np.empty(1, dtype=object)
+        out[0] = state
+        return ObjectColumn(t, out[:1]).reshape(())
+
+
+class ReservoirSampleAgg(Aggregator):
+    """Uniform random sample of n records (reference ReservoirSample agg)."""
+
+    name = 'reservoir_sample'
+
+    def result_type(self, arg_types, init_args):
+        return ht.tarray(arg_types[0])
+
+    def seq(self, arg_cols, include, axis, init_args):
+        (x,) = arg_cols
+        ok = _include_and_defined(x, include)
+        obj = C.to_object(x)
+        vals = np.broadcast_to(obj.values, ok.shape)
+        flat_ok = ok.ravel()
+        flat_v = vals.ravel()
+        return [flat_v[i] for i in range(flat_ok.size) if flat_ok[i]]
+
+    def comb(self, a, b, init_args):
+        return list(a) + list(b)
+
+    def result(self, state, init_args):
+        (n,) = init_args
+        t = self._result_t if hasattr(self, '_result_t') else ht.tarray(ht.tfloat64)
+        vals = list(state)
+        if len(vals) > n:
+            rng = np.random.default_rng(len(vals))
+            idx = sorted(rng.choice(len(vals), int(n), replace=False))
+            vals = [vals[i] for i in idx]
+        out = np.empty(1, dtype=object)
+        out[0] = vals
+        return ObjectColumn(t, out[:1]).reshape(())
+
+
 class ProductAgg(Aggregator):
     name = 'product'
 
