@@ -18,7 +18,15 @@ from .typefuncs import (ExpressionException, Aggregation, expr_any, expr_int32,
                         table_source, raise_unless_row_indexed,
                         raise_unless_column_indexed,
                         raise_unless_entry_indexed, analyze, eval_typed,
-                        eval_timed, tint, tfloat)
+                        eval_timed, tint, tfloat, _console_log, _showstr,
+                        _sort_by, _compare, _values_similar, _stream_range,
+                        _zip_func, _locus_windows_per_contig,
+                        hts_entry_schema, tvariable, tstream, ttable, tmatrix,
+                        tblockmatrix, construct_variable, construct_reference,
+                        apply_expr, cast_expr, get_refs,
+                        extract_refs_by_indices, _zip_streams,
+                        _zip_join_producers)
+from . import builders
 
 # expression-class aliases used downstream (reference typed_expressions)
 ArrayNumericExpression = ArrayExpression

@@ -205,3 +205,236 @@ class Aggregation:
 
     def __init__(self, *exprs):
         self.exprs = exprs
+
+
+# -- internal helpers re-exported by hail.expr (reference functions.py) ------
+
+def _console_log(message, result):
+    """Print `message` when evaluated, then return `result` (reference
+    _console_log)."""
+    from . import functions as F
+    me = to_expr(message)
+    re_ = to_expr(result)
+
+    def impl(mcol, rcol):
+        import numpy as np
+        from ..ir import columns as C
+        mobj = C.to_object(mcol)
+        for m in mobj.values.ravel():
+            if m is not None:
+                print(m)
+        return rcol
+    return F._apply('console_log', re_.dtype, impl, me, re_)
+
+
+def _showstr(expr):
+    """Hail display rendering of an expression's value (reference _showstr)."""
+    from . import functions as F
+    e = to_expr(expr)
+
+    def render(v):
+        if v is None:
+            return 'NA'
+        if v is True:
+            return 'True'
+        if v is False:
+            return 'False'
+        if isinstance(v, str):
+            return f'"{v}"'
+        if isinstance(v, (list, tuple)):
+            return '[' + ','.join(render(x) for x in v) + ']'
+        return str(v)
+    return F._apply('showstr', ht.tstr,
+                    F._obj_impl_lenient(ht.tstr, render), e)
+
+
+def _sort_by(collection, f):
+    """Sort by a binary less-than comparator (reference _sort_by)."""
+    import functools as _ft
+    from . import functions as F
+    e = to_expr(collection)
+    et = e.dtype.element_type
+
+    def impl(col):
+        import numpy as np
+        from ..ir import columns as C
+        obj = C.to_object(col)
+        out = np.empty(obj.shape, dtype=object)
+        fo, fv = out.ravel(), obj.values.ravel()
+        from .functions import eval_expr, literal
+
+        def lt(a, b):
+            r = eval_expr(to_expr(f(literal(a, et) if a is not None else F.missing(et),
+                                    literal(b, et) if b is not None else F.missing(et))))
+            return -1 if r else 1
+        for i in range(fo.size):
+            v = fv[i]
+            fo[i] = None if v is None else sorted(v, key=_ft.cmp_to_key(lt))
+        return C.from_pylist(e.dtype, list(fo)).reshape(obj.shape)
+    return F._apply('sort_by', e.dtype, impl, e)
+
+
+def _compare(left, right):
+    """Three-way comparison (reference _compare): -1/0/1."""
+    from . import functions as F
+    le, re_ = to_expr(left), to_expr(right)
+
+    def cmp(a, b):
+        if a == b:
+            return 0
+        return -1 if (b is None or (a is not None and a < b)) else 1
+    return F._apply('compare', ht.tint32, F._obj_impl(ht.tint32, cmp), le, re_)
+
+
+def _values_similar(left, right, tolerance=1e-6, absolute=False):
+    from . import functions as F
+    le, re_ = to_expr(left), to_expr(right)
+
+    def sim(a, b):
+        from ..table import _values_same
+        return _values_same(a, b, tolerance, absolute)
+    return F._apply('values_similar', ht.tbool,
+                    F._obj_impl_lenient(ht.tbool, lambda a, b: sim(a, b)), le, re_)
+
+
+def _stream_range(start, stop=None, step=1):
+    from . import functions as F
+    return F.range_(start, stop, step)
+
+
+def _zip_func(*arrays, f):
+    from . import functions as F
+    return F.map_(f, *arrays)
+
+
+def _locus_windows_per_contig(coords, radius):
+    """Per-contig window start/stop arrays (reference
+    _locus_windows_per_contig): coords is array<array<float64>> grouped by
+    contig; returns struct(starts, stops) over the flattened array."""
+    from . import functions as F
+    ce = to_expr(coords)
+    t = ht.tstruct(starts=ht.tarray(ht.tint32), stops=ht.tarray(ht.tint32))
+
+    def impl(v, r):
+        import numpy as np
+        from ...linalg.utils import array_windows  # pragma: no cover
+        starts_all, stops_all, off = [], [], 0
+        for contig_coords in v:
+            a = np.asarray(list(contig_coords), dtype=np.float64)
+            s, e = array_windows(a, r)
+            starts_all.extend((s + off).tolist())
+            stops_all.extend((e + off).tolist())
+            off += len(a)
+        from ..utils.structs import Struct  # pragma: no cover
+        return Struct(starts=starts_all, stops=stops_all)
+
+    def impl2(v, r):
+        import numpy as np
+        from ..linalg.utils.misc import array_windows
+        from ..utils.structs import Struct
+        starts_all, stops_all, off = [], [], 0
+        for contig_coords in v:
+            a = np.asarray(list(contig_coords), dtype=np.float64)
+            s, e = array_windows(a, r)
+            starts_all.extend(int(x) + off for x in s)
+            stops_all.extend(int(x) + off for x in e)
+            off += len(a)
+        return Struct(starts=starts_all, stops=stops_all)
+    from . import functions as F
+    return F._apply('locus_windows_per_contig', t,
+                    F._obj_impl(t, impl2), ce, to_expr(radius))
+
+
+# -- remaining hail.expr exports (aliases/type objects) ----------------------
+
+#: GATK HTS entry schema (reference expr/__init__ hts_entry_schema)
+hts_entry_schema = ht.tstruct(GT=ht.tcall, AD=ht.tarray(ht.tint32),
+                              DP=ht.tint32, GQ=ht.tint32,
+                              PL=ht.tarray(ht.tint32))
+
+
+class tvariable:
+    """Type variable placeholder (reference types.tvariable)."""
+
+    def __init__(self, name='T', cond=None):
+        self.name = name
+        self.cond = cond
+
+
+class tstream:
+    def __init__(self, element_type):
+        self.element_type = element_type
+
+
+class ttable:
+    def __init__(self, global_type=None, row_type=None, row_key=()):
+        self.global_type = global_type
+        self.row_type = row_type
+        self.row_key = list(row_key)
+
+
+class tmatrix:
+    def __init__(self, global_type=None, col_type=None, col_key=(),
+                 row_type=None, row_key=(), entry_type=None):
+        self.global_type = global_type
+        self.col_type = col_type
+        self.col_key = list(col_key)
+        self.row_type = row_type
+        self.row_key = list(row_key)
+        self.entry_type = entry_type
+
+
+class tblockmatrix:
+    def __init__(self, element_type=None, shape=(), is_row_vector=False,
+                 block_size=4096):
+        self.element_type = element_type
+        self.shape = list(shape)
+        self.is_row_vector = is_row_vector
+        self.block_size = block_size
+
+
+def construct_variable(name, typ, indices=None, aggregations=None):
+    from .expression import construct_expr as _ce, Ref
+    return _ce(Ref(name, typ), indices)
+
+
+def construct_reference(name, typ, indices=None):
+    return construct_variable(name, typ, indices)
+
+
+def apply_expr(f, result_type, *args):
+    es = [to_expr(a) for a in args]
+    return f(*[e._ir for e in es])
+
+
+def cast_expr(expr, dtype):
+    return to_expr(expr, dtype)
+
+
+def get_refs(*exprs):
+    from ..ir.nodes import Ref
+    out = {}
+
+    def walk(ir):
+        if isinstance(ir, Ref):
+            out[ir.name] = ir.typ
+        for c in ir.children:
+            walk(c)
+    for e in exprs:
+        walk(to_expr(e)._ir)
+    return out
+
+
+def extract_refs_by_indices(exprs, indices):
+    return {n for e in exprs for n in get_refs(e)}
+
+
+def _zip_streams(*streams, fill_missing=False):
+    from . import functions as F
+    return F.zip_(*streams)
+
+
+def _zip_join_producers(contexts, stream_f, key, joined_f):
+    raise NotImplementedError(
+        '_zip_join_producers is a lowering-internal stream combinator; use '
+        'Table.multi_way_zip_join')

@@ -387,3 +387,12 @@ def test_expression_containers_lift():
     st = hl.eval(hl.set({hl.literal(3)}))
     assert set(st) == {3}
     d = hl.eval({'k': hl.literal(7)}) if True else None
+
+
+def test_expr_module_namespace_parity():
+    import re
+    esrc = open('/root/reference/hail/python/hail/expr/__init__.py').read()
+    names = re.findall(r"'([^']+)'",
+                       re.search(r'__all__ = \[(.*?)\]', esrc, re.S).group(1))
+    missing = [n for n in names if not hasattr(hl, n) and not hasattr(hl.expr, n)]
+    assert missing == [], missing
