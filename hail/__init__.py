@@ -1,0 +1,31 @@
+"""Drop-in alias: `import hail as hl` resolves to hail_tpu.
+
+Reference pipelines import `hail`; this package forwards the entire
+hail_tpu namespace (and registers submodule aliases so
+`import hail.expr.functions`-style imports work too).
+"""
+
+import sys as _sys
+
+import hail_tpu as _ht
+from hail_tpu import *  # noqa: F401,F403
+from hail_tpu import (agg, scan, nd, vds, utils, linalg, experimental,  # noqa: F401
+                      genetics, plot, ggplot, stats, fs, methods, expr,
+                      __version__, __pip_version__, __revision__)
+
+# submodule aliases: import hail.<mod> -> hail_tpu.<mod>
+_PREFIX_LEN = 9  # len('hail_tpu.') — builtins.len is shadowed by hl.len here
+for _name, _mod in list(_sys.modules.items()):
+    if _name.startswith('hail_tpu.'):
+        _sys.modules['hail.' + _name[_PREFIX_LEN:]] = _mod
+_sys.modules['hail.methods'] = _ht.methods
+_sys.modules['hail.expr'] = _ht.expr
+_sys.modules['hail.utils'] = _ht.utils
+_sys.modules['hail.genetics'] = _ht.genetics
+_sys.modules['hail.linalg'] = _ht.linalg
+_sys.modules['hail.nd'] = _ht.nd
+_sys.modules['hail.vds'] = _ht.vds
+_sys.modules['hail.experimental'] = _ht.experimental
+_sys.modules['hail.plot'] = _ht.plot
+_sys.modules['hail.ggplot'] = _ht.ggplot
+_sys.modules['hail.typecheck'] = __import__('hail_tpu.typecheck', fromlist=['x'])
