@@ -11,7 +11,12 @@ import hail_tpu as _ht
 from hail_tpu import *  # noqa: F401,F403
 from hail_tpu import (agg, scan, nd, vds, utils, linalg, experimental,  # noqa: F401
                       genetics, plot, ggplot, stats, fs, methods, expr,
-                      __version__, __pip_version__, __revision__)
+                      __version__, __pip_version__, __revision__,
+                      _linear_skat, _logistic_skat,
+                      _linear_regression_rows_nd, _logistic_regression_rows_nd,
+                      _blanczos_pca, _hwe_normalized_blanczos,
+                      _pca_and_moments, _spectral_moments,
+                      _set_flags, _get_flags, _with_flags)
 
 # submodule aliases: import hail.<mod> -> hail_tpu.<mod>
 _PREFIX_LEN = 9  # len('hail_tpu.') — builtins.len is shadowed by hl.len here

@@ -6,7 +6,7 @@ inventory this mirrors.
 """
 
 from . import types as _types_mod
-from .types import (HailType, dtype, tint32, tint64, tfloat32, tfloat64, tbool,
+from .types import (HailType, dtype, tint, tfloat, tint32, tint64, tfloat32, tfloat64, tbool,
                     tstr, tcall, tvoid, tbinary, tlocus, tarray, tset, tdict,
                     tstruct, ttuple, tinterval, tndarray)
 from .utils.structs import Struct, frozendict, Interval

@@ -725,6 +725,12 @@ class MatrixTable:
                 col_rows, ht.tarray(st.col_type))})
         return t
 
+    def _force_count_rows(self) -> int:
+        return self.count_rows()
+
+    def _force_count_cols(self) -> int:
+        return self.count_cols()
+
     def head(self, n_rows: int, n_cols: Optional[int] = None) -> 'MatrixTable':
         batches = self._stage.collect_batches()
         out = []

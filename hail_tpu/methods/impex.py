@@ -170,6 +170,35 @@ def import_table(paths, key=None, min_partitions=None, impute: bool = False,
                 return int(v)
             if t in (ht.tfloat32, ht.tfloat64):
                 return float(v)
+            if isinstance(t, ht.tlocus):
+                from ..genetics.locus import Locus
+                return Locus.parse(v, t.reference_genome)
+            if t == ht.tcall:
+                from ..expr import functions as F
+                return F.eval_expr(F.parse_call(v))
+            if isinstance(t, ht.tinterval) and isinstance(t.point_type, ht.tlocus):
+                from ..expr import functions as F
+                return F.eval_expr(F.parse_locus_interval(
+                    v, t.point_type.reference_genome))
+            if isinstance(t, (ht.tarray, ht.tset, ht.tdict, ht.tstruct, ht.ttuple)):
+                import json as _json
+                from ..expr.typefuncs import ExpressionException
+                try:
+                    parsed = _json.loads(v)
+                except Exception:
+                    return v
+                def conv_j(x, tt):
+                    if x is None:
+                        return None
+                    if isinstance(tt, ht.tstruct):
+                        return Struct(**{k2: conv_j(x.get(k2), ft)
+                                         for k2, ft in tt.items()})
+                    if isinstance(tt, ht.tarray):
+                        return [conv_j(e2, tt.element_type) for e2 in x]
+                    if isinstance(tt, ht.tset):
+                        return frozenset(conv_j(e2, tt.element_type) for e2 in x)
+                    return x
+                return conv_j(parsed, t)
             return v
         return C.from_pylist(t, [cv(v) for v in vals])
 

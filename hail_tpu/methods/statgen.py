@@ -1143,26 +1143,93 @@ def simulate_random_mating(mt: MatrixTable, n_rounds: int = 1,
 # SKAT
 # ---------------------------------------------------------------------------
 
-def skat(key_expr, weight_expr, y, x, covariates, logistic: bool = False,
+def skat(key_expr, weight_expr, y, x, covariates, logistic=False,
          max_size: int = 46340, accuracy: float = 1e-6, iterations: int = 10000) -> Table:
-    """SKAT variance-component test per group (reference `statgen.py:2870`)."""
+    """SKAT variance-component test per group (reference `statgen.py:2870`).
+    `logistic` may be a (null_max_iterations, null_tolerance) tuple."""
     if logistic:
+        kw = {}
+        if isinstance(logistic, (tuple, list)):
+            kw['null_max_iterations'] = logistic[0]
+            kw['null_tolerance'] = logistic[1]
         return _logistic_skat(key_expr, weight_expr, y, x, covariates,
-                              max_size=max_size)
+                              max_size=max_size, **kw)
     return _linear_skat(key_expr, weight_expr, y, x, covariates, max_size=max_size)
+
+
+def _logreg_null_fit_np(X, y, max_iterations, tolerance):
+    """Reference-faithful logistic null fit (statgen.py:1040 logreg_fit with
+    null_fit=None): explicit explosion detection on Fisher-solve failure,
+    same initialization and iteration accounting."""
+    n, m = X.shape
+
+    def sigmoid(x):
+        return 1.0 / (1.0 + np.exp(-x))
+    avg = y.sum() / n
+    b = np.zeros(m)
+    b[0] = np.log(avg / (1 - avg))
+    mu = sigmoid(X @ b)
+    score = X.T @ (y - mu)
+    fisher = X.T @ (X * (mu * (1 - mu))[:, None])
+    if max_iterations == 0:
+        return dict(b=None, mu=None, converged=False, exploded=False,
+                    n_iterations=0, log_lkhd=0.0)
+    iteration = 1
+    while True:
+        exploded = False
+        delta = np.full(m, np.nan)
+        try:
+            with np.errstate(all='ignore'):
+                delta = np.linalg.solve(fisher, score)
+            if not np.all(np.isfinite(delta)):
+                exploded = True
+        except np.linalg.LinAlgError:
+            exploded = True
+        with np.errstate(all='ignore'):
+            log_lkhd = float(np.log(y * mu + (1 - y) * (1 - mu)).sum())
+        if exploded or np.isnan(delta[0]):
+            return dict(b=None, mu=None, converged=False, exploded=True,
+                        n_iterations=iteration, log_lkhd=log_lkhd)
+        if np.max(np.abs(delta)) < tolerance:
+            return dict(b=b, mu=mu, converged=True, exploded=False,
+                        n_iterations=iteration, log_lkhd=log_lkhd)
+        if iteration == max_iterations:
+            return dict(b=None, mu=None, converged=False, exploded=False,
+                        n_iterations=iteration, log_lkhd=log_lkhd)
+        b = b + delta
+        mu = sigmoid(X @ b)
+        score = X.T @ (y - mu)
+        fisher = X.T @ (X * (mu * (1 - mu))[:, None])
+        iteration += 1
+
+
+def _deferred_table(row_key, row_type, make) -> Table:
+    """A Table whose computation (and any user errors) runs at collect time —
+    matching the reference's lazy evaluation semantics."""
+    cache = {}
+
+    def pf(ctx):
+        if 'b' not in cache:
+            cache['b'] = make()._stage.collect_single()
+        return cache['b']
+    return Table(TableStage(Batch({}, 1), row_key, row_type, [0], pf))
 
 
 def _skat_setup(key_expr, weight_expr, y, x, covariates):
     xe = to_expr(x)
     mt = xe._indices.source
     G, M = _entry_expr_to_blocks(xe)
+    yv, ym = _eval_col_f64(mt, to_expr(y))
+    Cov, cm = _covariate_matrix(mt, covariates)
+    keep = ~(ym | cm)
+    # drop incomplete samples BEFORE mean imputation (reference _linear_skat
+    # filter_cols precedes G_row_mean)
+    G = G[:, keep]
+    M = M[:, keep]
     cnt = (~M).sum(axis=1)
     s = np.where(M, 0, G).sum(axis=1)
     mean = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
     G = np.where(M, mean[:, None], G)
-    yv, ym = _eval_col_f64(mt, to_expr(y))
-    Cov, cm = _covariate_matrix(mt, covariates)
-    keep = ~(ym | cm)
     # group keys + weights per row
     ke = to_expr(key_expr)
     we = to_expr(weight_expr)
@@ -1181,18 +1248,27 @@ def _skat_setup(key_expr, weight_expr, y, x, covariates):
 
         keys.extend(_per_row(ke))
         weights.extend(_per_row(we))
-    return mt, G[:, keep], yv[keep], Cov[keep], keys, np.asarray(
+    return mt, G, yv[keep], Cov[keep], keys, np.asarray(
         [0.0 if w is None else w for w in weights]), ke.dtype
 
 
 def _skat_table(groups: Dict, key_t, rows: List[Struct]) -> Table:
-    t_row = ht.tstruct(id=key_t, size=ht.tint32, q_stat=ht.tfloat64,
+    t_row = ht.tstruct(group=key_t, size=ht.tint32, q_stat=ht.tfloat64,
                        p_value=ht.tfloat64, fault=ht.tint32)
     b = Batch.from_pylist(t_row, rows)
-    return Table(TableStage.from_batches(Batch({}, 1), ['id'], t_row, [b]))
+    return Table(TableStage.from_batches(Batch({}, 1), ['group'], t_row, [b]))
 
 
 def _linear_skat(key_expr, weight_expr, y, x, covariates, max_size: int = 46340) -> Table:
+    key_t = to_expr(key_expr).dtype
+    row_t = ht.tstruct(group=key_t, size=ht.tint32, q_stat=ht.tfloat64,
+                       p_value=ht.tfloat64, fault=ht.tint32)
+    return _deferred_table(['group'], row_t,
+                           lambda: _linear_skat_eager(key_expr, weight_expr, y,
+                                                      x, covariates, max_size))
+
+
+def _linear_skat_eager(key_expr, weight_expr, y, x, covariates, max_size: int = 46340) -> Table:
     from ..stats.genchisq import pgenchisq_sf_py
     mt, G, yv, Cov, keys, weights, key_t = _skat_setup(key_expr, weight_expr, y, x, covariates)
     n, k = Cov.shape[0], Cov.shape[1]
@@ -1207,10 +1283,16 @@ def _linear_skat(key_expr, weight_expr, y, x, covariates, max_size: int = 46340)
     rows = []
     for key, idxs in groups.items():
         if len(idxs) > max_size:
-            rows.append(Struct(id=key, size=len(idxs), q_stat=None, p_value=None, fault=1))
+            rows.append(Struct(group=key, size=len(idxs), q_stat=None, p_value=None, fault=1))
             continue
         Gi = G[idxs]                       # (m, n)
         w = weights[idxs]
+        if (w < 0).any():
+            from ..utils.misc import HailUserError
+            ws = '[' + ','.join(repr(float(x)) for x in w) + ']'
+            raise HailUserError(
+                f'hl._linear_skat: every weight must be positive, in group '
+                f'{key}, the weights were: {ws}')
         Gw = Gi * np.sqrt(np.maximum(w, 0))[:, None]
         q = float((Gw @ resid) @ (Gw @ resid)) / (2 * sigma2)
         # null dist: eigenvalues of (1/2) Gw P0 Gw^T, P0 = I - QQ^T
@@ -1222,21 +1304,50 @@ def _linear_skat(key_expr, weight_expr, y, x, covariates, max_size: int = 46340)
         # drop components below 1e-5 * mean
         lam = lam[lam >= 1e-5 * lam.sum() / max(lam.size, 1)]
         if lam.size == 0:
-            rows.append(Struct(id=key, size=len(idxs), q_stat=q, p_value=1.0, fault=0))
+            rows.append(Struct(group=key, size=len(idxs), q_stat=q, p_value=1.0, fault=0))
             continue
         p, conv = pgenchisq_sf_py(q, lam, np.ones(lam.size), np.zeros(lam.size), 0.0, 0.0)
-        rows.append(Struct(id=key, size=len(idxs), q_stat=q,
+        rows.append(Struct(group=key, size=len(idxs), q_stat=q,
                            p_value=p, fault=0 if conv else 1))
     return _skat_table(groups, key_t, rows)
 
 
-def _logistic_skat(key_expr, weight_expr, y, x, covariates, max_size: int = 46340) -> Table:
+def _logistic_skat(key_expr, weight_expr, y, x, covariates,
+                   max_size: int = 46340, null_max_iterations: int = 25,
+                   null_tolerance: float = 1e-6) -> Table:
+    key_t = to_expr(key_expr).dtype
+    row_t = ht.tstruct(group=key_t, size=ht.tint32, q_stat=ht.tfloat64,
+                       p_value=ht.tfloat64, fault=ht.tint32)
+    return _deferred_table(['group'], row_t,
+                           lambda: _logistic_skat_eager(
+                               key_expr, weight_expr, y, x, covariates,
+                               max_size, null_max_iterations, null_tolerance))
+
+
+def _logistic_skat_eager(key_expr, weight_expr, y, x, covariates,
+                         max_size: int = 46340, null_max_iterations: int = 25,
+                         null_tolerance: float = 1e-6) -> Table:
     from ..stats.genchisq import pgenchisq_sf_py
+    from ..utils.misc import FatalError, HailUserError
     import jax.numpy as jnp
     from ..ops.regression import logreg_null_fit
     mt, G, yv, Cov, keys, weights, key_t = _skat_setup(key_expr, weight_expr, y, x, covariates)
-    beta_null, mu, conv, ll, it = logreg_null_fit(jnp.asarray(Cov), jnp.asarray(yv))
-    mu = np.asarray(mu)
+    bad_y = [v for v in yv if v not in (0.0, 1.0)]
+    if bad_y:
+        raise HailUserError(
+            f'hl._logistic_skat: phenotypes must either be True, False, 0, '
+            f'or 1, found: {bad_y[0]} of type float64')
+    fit = _logreg_null_fit_np(Cov, yv, null_max_iterations, null_tolerance)
+    if not fit['converged']:
+        if fit['exploded']:
+            raise FatalError(
+                'Failed to fit logistic regression null model (MLE with '
+                f"covariates only): exploded at Newton iteration "
+                f"{fit['n_iterations']}")
+        raise FatalError(
+            'Failed to fit logistic regression null model (MLE with '
+            'covariates only): Newton iteration failed to converge')
+    mu = np.asarray(fit['mu'])
     W = mu * (1 - mu)
     resid = yv - mu
     Xw = Cov * np.sqrt(W)[:, None]
@@ -1248,10 +1359,15 @@ def _logistic_skat(key_expr, weight_expr, y, x, covariates, max_size: int = 4634
     rows = []
     for key, idxs in groups.items():
         if len(idxs) > max_size:
-            rows.append(Struct(id=key, size=len(idxs), q_stat=None, p_value=None, fault=1))
+            rows.append(Struct(group=key, size=len(idxs), q_stat=None, p_value=None, fault=1))
             continue
         Gi = G[idxs]
         w = weights[idxs]
+        if (w < 0).any():
+            ws = '[' + ','.join(repr(float(x)) for x in w) + ']'
+            raise HailUserError(
+                f'hl._logistic_skat: every weight must be positive, in group '
+                f'{key}, the weights were: {ws}')
         Gw = Gi * np.sqrt(np.maximum(w, 0))[:, None]
         q = float((Gw @ resid) @ (Gw @ resid)) / 2
         GwW = Gw * np.sqrt(W)[None, :]
@@ -1261,10 +1377,10 @@ def _logistic_skat(key_expr, weight_expr, y, x, covariates, max_size: int = 4634
         # drop components below 1e-5 * mean
         lam = lam[lam >= 1e-5 * lam.sum() / max(lam.size, 1)]
         if lam.size == 0:
-            rows.append(Struct(id=key, size=len(idxs), q_stat=q, p_value=1.0, fault=0))
+            rows.append(Struct(group=key, size=len(idxs), q_stat=q, p_value=1.0, fault=0))
             continue
         p, conv2 = pgenchisq_sf_py(q, lam, np.ones(lam.size), np.zeros(lam.size), 0.0, 0.0)
-        rows.append(Struct(id=key, size=len(idxs), q_stat=q,
+        rows.append(Struct(group=key, size=len(idxs), q_stat=q,
                            p_value=p, fault=0 if conv2 else 1))
     return _skat_table(groups, key_t, rows)
 

@@ -47,14 +47,27 @@ def _ruben_central(x: float, w: np.ndarray, k: np.ndarray,
     c = np.empty(1024, dtype=np.float64)
     g = np.empty(1024, dtype=np.float64)
     c[0] = math.exp(log_c0)
-    total = c[0] * _chi2.cdf(xb, n_total)
+    # incremental central-chi2 CDF over df: F_{N+2(j+1)}(x) = F_{N+2j}(x) - t_j
+    # with t_j = (x/2)^{N/2+j} e^{-x/2} / Gamma(N/2+j+1),
+    # t_{j+1} = t_j * (x/2) / (N/2+j+1) — O(1) per term instead of a scipy
+    # call (wide eigenvalue spreads need 1e4-1e6 terms)
+    from scipy.special import gammaln
+    half = n_total / 2.0
+    cdf_j = float(_chi2.cdf(xb, n_total))
+    sf_j = float(_chi2.sf(xb, n_total))
+    t_j = math.exp(half * math.log(xb / 2.0) - xb / 2.0 - gammaln(half + 1.0)) \
+        if xb > 0 else 0.0
+    total = c[0] * cdf_j
     # the survival sum keeps full *relative* precision in the far right tail
     # (1 - cdf would round to 0 below ~2^-53), which the SKAT tail needs
-    sf = c[0] * _chi2.sf(xb, n_total)
+    sf = c[0] * sf_j
     mass = c[0]
     pw = ratio.copy()  # ratio^m, updated in place
     j = 0
-    while mass < 1.0 - eps and j + 1 < max_terms:
+    # the c_j recurrence is O(J^2); past ~20k terms Imhof is cheaper, so
+    # bail out and let the caller fall back
+    cap = min(max_terms, 20_000)
+    while mass < 1.0 - eps and j + 1 < cap:
         j += 1
         if j >= len(c):
             c = np.concatenate([c, np.empty(len(c), dtype=np.float64)])
@@ -63,8 +76,11 @@ def _ruben_central(x: float, w: np.ndarray, k: np.ndarray,
         pw *= ratio
         # c_j = (1/j) * sum_{r=0}^{j-1} g_{j-r} c_r  (dot of reversed g slice)
         c[j] = float(np.dot(g[1:j + 1][::-1], c[:j])) / j
-        total += c[j] * _chi2.cdf(xb, n_total + 2 * j)
-        sf += c[j] * _chi2.sf(xb, n_total + 2 * j)
+        cdf_j -= t_j
+        sf_j += t_j
+        t_j *= (xb / 2.0) / (half + j)
+        total += c[j] * cdf_j
+        sf += c[j] * sf_j
         mass += c[j]
     return (min(max(total, 0.0), 1.0), min(max(sf, 0.0), 1.0),
             bool(mass >= 1.0 - eps))

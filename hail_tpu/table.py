@@ -102,12 +102,22 @@ class JoinLookup(IR):
         return JoinLookup(self.table, [f(k) for k in self.key_irs], self.typ)
 
     def evaluate(self, env):
-        lookup = self.table._lookup_dict()
         key_cols = [k.evaluate(env) for k in self.key_irs]
         objs = [C.to_object(c) for c in key_cols]
         shape = np.broadcast_shapes(*[o.shape for o in objs])
         flats = [np.broadcast_to(o.values, shape).ravel() for o in objs]
         n = int(np.prod(shape))
+        # interval-keyed table + point query -> containment lookup
+        # (reference: t[point] on an interval-keyed table)
+        tkey = self.table._stage.key
+        if len(tkey) == 1 and len(self.key_irs) == 1:
+            kt = self.table._stage.row_type[tkey[0]]
+            qt = self.key_irs[0].typ
+            if isinstance(kt, ht.tinterval) and not isinstance(qt, ht.tinterval):
+                tree = self.table._interval_tree()
+                out = [tree(flats[0][i]) for i in range(n)]
+                return C.from_pylist(self.typ, out).reshape(shape)
+        lookup = self.table._lookup_dict()
         out = []
         for i in range(n):
             k = _hashable_key(tuple(f[i] for f in flats))
@@ -169,6 +179,9 @@ class Table:
 
     def n_partitions(self) -> int:
         return self._stage.n_partitions
+
+    def _force_count(self) -> int:
+        return self.count()
 
     def describe(self):
         print('Global fields:')
@@ -1031,6 +1044,56 @@ class Table:
         col = expr._ir.evaluate(self._globals_env())
         vals = col.to_pylist()
         return vals[0] if vals else None
+
+    def _interval_tree(self):
+        """Point-in-interval lookup function for an interval-keyed table
+        (first matching interval's value fields)."""
+        if getattr(self, '_itree_cache', None) is None:
+            import bisect
+            batch = self._stage.collect_single()
+            kf = self._stage.key[0]
+            ivs = batch.columns[kf].to_pylist()
+            value_fields = [f for f in batch.row_type.fields if f != kf]
+            vals = Batch({f: batch.columns[f] for f in value_fields},
+                         batch.length).to_pylist() if value_fields else \
+                [Struct() for _ in range(batch.length)]
+
+            def pkey(p):
+                if hasattr(p, 'contig'):
+                    return (p.reference_genome.contig_index(p.contig), p.position)
+                return p
+            recs = sorted(((pkey(iv.start), pkey(iv.end), iv, v)
+                           for iv, v in zip(ivs, vals) if iv is not None),
+                          key=lambda r: (r[0], r[1]))
+            starts = [r[0] for r in recs]
+
+            def span(s0, e0):
+                if isinstance(s0, tuple):
+                    return e0[1] - s0[1] if s0[0] == e0[0] else float('inf')
+                return e0 - s0
+            max_span = max((span(r[0], r[1]) for r in recs), default=0)
+
+            def lookup(point):
+                if point is None:
+                    return None
+                pk = pkey(point)
+                i = bisect.bisect_right(starts, pk) - 1
+                # overlapping intervals: return the EARLIEST-starting match
+                # (reference interval-join semantics); the scan is bounded by
+                # the maximum interval span
+                best = None
+                while i >= 0:
+                    s0, e0, iv, v = recs[i]
+                    after_start = pk > s0 or (pk == s0 and iv.includes_start)
+                    before_end = pk < e0 or (pk == e0 and iv.includes_end)
+                    if after_start and before_end:
+                        best = v
+                    if span(s0, pk) > max_span:
+                        break
+                    i -= 1
+                return best
+            object.__setattr__(self, '_itree_cache', lookup)
+        return self._itree_cache
 
     def _lookup_dict(self) -> dict:
         if self._lookup_cache is None:

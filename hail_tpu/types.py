@@ -511,3 +511,8 @@ def hts_entry_schema() -> tstruct:
         GQ=tint32,
         PL=tarray(tint32),
     )
+
+
+#: reference aliases
+tfloat = tfloat64
+tint = tint32
