@@ -879,21 +879,39 @@ def _lenient_parser(f):
 # collection method impls used by expression classes
 # ---------------------------------------------------------------------------
 
+def _deep_freeze(x):
+    """Deep-freeze unhashable query values (lists -> tuples) so membership
+    queries against frozensets/dicts (whose elements are frozen at
+    construction, see ir/arrays.py ToSet) hash correctly."""
+    if isinstance(x, (list, tuple)):
+        return tuple(_deep_freeze(e) for e in x)
+    return x
+
+
+def _hashed_lookup(op):
+    def f(v, x):
+        try:
+            return op(v, x)
+        except TypeError:
+            return op(v, _deep_freeze(x))
+    return f
+
+
 def _collection_method(expr, name, result_typ, *args):
     impls = {
-        'contains': lambda v, x: x in v,
+        'contains': _hashed_lookup(lambda v, x: x in v),
         'append': lambda v, x: list(v) + [x],
         'extend': lambda v, x: list(v) + list(x),
         'index_of': lambda v, x: v.index(x) if x in v else None,
-        'set_add': lambda v, x: frozenset(v) | {x},
-        'set_remove': lambda v, x: frozenset(v) - {x},
+        'set_add': _hashed_lookup(lambda v, x: frozenset(v) | {x}),
+        'set_remove': _hashed_lookup(lambda v, x: frozenset(v) - {x}),
         'set_union': lambda v, x: frozenset(v) | frozenset(x),
         'set_intersection': lambda v, x: frozenset(v) & frozenset(x),
         'set_difference': lambda v, x: frozenset(v) - frozenset(x),
         'set_is_subset': lambda v, x: frozenset(v) <= frozenset(x),
-        'dict_get': lambda v, x: v.get(x),
-        'dict_get_strict': lambda v, x: v.get(x),
-        'dict_contains': lambda v, x: x in v,
+        'dict_get': _hashed_lookup(lambda v, x: v.get(x)),
+        'dict_get_strict': _hashed_lookup(lambda v, x: v.get(x)),
+        'dict_contains': _hashed_lookup(lambda v, x: x in v),
         'dict_keys': lambda v: _bi.list(v.keys()),
         'dict_values': lambda v: _bi.list(v.values()),
         'dict_items': lambda v: _bi.list(v.items()),
@@ -901,7 +919,9 @@ def _collection_method(expr, name, result_typ, *args):
     }
     f = impls[name]
     if name == 'dict_get':
-        impl = _obj_impl_lenient(result_typ, lambda v, x: None if v is None else v.get(x))
+        impl = _obj_impl_lenient(
+            result_typ,
+            _hashed_lookup(lambda v, x: None if v is None else v.get(x)))
     else:
         impl = _obj_impl(result_typ, f)
     return _apply(name, result_typ, impl, expr, *args)

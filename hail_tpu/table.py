@@ -288,6 +288,14 @@ class Table:
                                              new_t, batches, self._stage.partition_bounds))
 
     def select(self, *fields, **named_exprs) -> 'Table':
+        # positional args may be field names or top-level field expressions
+        # (reference: t.select(t.x, y=...) keeps x under its own name)
+        norm = []
+        for f_ in fields:
+            if not isinstance(f_, str):
+                f_ = _expr_field_name(f_)
+            norm.append(f_)
+        fields = tuple(norm)
         for f_ in fields:
             if isinstance(f_, str) and f_ not in self._stage.row_type.fields:
                 raise ValueError(f'select: unknown field {f_!r}')
@@ -740,8 +748,8 @@ class Table:
             raise ValueError('join: key lengths differ')
         lb = self._stage.collect_single()
         rb = right._stage.collect_single()
-        lkeys = _key_tuples(lb, lkey)
-        rkeys = _key_tuples(rb, rkey)
+        lkeys = [_hashable_key(k) for k in _key_tuples(lb, lkey)]
+        rkeys = [_hashable_key(k) for k in _key_tuples(rb, rkey)]
         rindex: Dict[tuple, List[int]] = {}
         for i, k in enumerate(rkeys):
             rindex.setdefault(k, []).append(i)
