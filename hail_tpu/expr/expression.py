@@ -1047,6 +1047,9 @@ class NDArrayExpression(Expression):
         from . import functions as F
         return F._ndarray_sum(self, axis)
 
+    def _to_array(self):
+        return self._nd_method('nd_to_array', ht.tarray(self.dtype.element_type))
+
     def to_numpy(self):
         from . import functions as F
         from ..context import Env

@@ -94,7 +94,42 @@ def _prim_impl(result_typ: ht.HailType, npf, domain_check=None):
 # core constructors / control flow
 # ---------------------------------------------------------------------------
 
+def _free_refs(ir, bound=frozenset()):
+    out = set()
+    if isinstance(ir, Ref):
+        if ir.name not in bound:
+            out.add(ir.name)
+        return out
+    binders = set()
+    for attr in ('var', 'accum_var', 'elem_var'):
+        v = getattr(ir, attr, None)
+        if isinstance(v, str):
+            binders.add(v)
+    if type(ir).__name__ == 'Let':
+        v = getattr(ir, 'name', None)
+        if isinstance(v, str):
+            binders.add(v)
+    b = bound | binders
+    for ch in ir.children:
+        out |= _free_refs(ch, b)
+    return out
+
+
 def literal(value: Any, dtype: Optional[ht.HailType] = None) -> Expression:
+    if isinstance(value, Expression):
+        # reference python/hail/expr/functions.py:393-442: an expression with
+        # free variables cannot be captured as a literal; a bound scalar/global
+        # expression is evaluated and re-broadcast
+        if _free_refs(value._ir):
+            raise ValueError(
+                "'literal' cannot be used with hail expressions that depend "
+                "on other expressions. Use expression 'x' directly "
+                "instead of passing it to 'literal'.")
+        if value._indices is not None and getattr(value._indices, 'axes', None):
+            from .typefuncs import ExpressionException
+            raise ExpressionException(
+                f"'literal' can only accept scalar or global expression arguments,"
+                f" found indices {value._indices.axes}")
     return to_expr(value, dtype)
 
 
@@ -272,6 +307,11 @@ def array(collection) -> ArrayExpression:
     if isinstance(collection, Expression):
         if isinstance(collection.dtype, ht.tarray):
             return collection
+        if isinstance(collection.dtype, ht.tndarray):
+            if collection.dtype.ndim != 1:
+                raise ValueError(
+                    f"array: only one dimensional ndarrays are supported: {collection.dtype}")
+            return collection._to_array()
         return construct_expr(ira.ToArray(collection._ir), collection._indices)
     if isinstance(collection, (list, tuple, np.ndarray)):
         elems = [to_expr(v) if v is not None or True else v for v in collection]
@@ -1466,15 +1506,21 @@ def dbeta(x, a, b):
 
 def pgenchisq(x, w, k, lam, mu, sigma, max_iterations=None, min_accuracy=None):
     """CDF of a generalized chi-squared distribution (reference
-    `is/hail/stats/GeneralizedChiSquaredDistribution.scala`, Davies' method).
-    Implemented via Imhof-style numerical integration."""
+    `is/hail/stats/GeneralizedChiSquaredDistribution.scala`, Davies' AS 155;
+    python/hail/expr/functions.py:2387 for defaults lim=10_000, acc=1e-5)."""
     t = ht.tstruct(value=ht.tfloat64, n_iterations=ht.tint32, converged=ht.tbool, fault=ht.tint32)
-    def f(xv, wv, kv, lamv, muv, sigmav):
+    if max_iterations is None:
+        max_iterations = 10_000
+    if min_accuracy is None:
+        min_accuracy = 1e-5
+    def f(xv, wv, kv, lamv, muv, sigmav, limv, accv):
         from ..stats.genchisq import pgenchisq_py
-        val, it, conv, fault = pgenchisq_py(xv, wv, kv, lamv, muv, sigmav)
+        val, it, conv, fault = pgenchisq_py(xv, wv, kv, lamv, muv, sigmav,
+                                            max_iterations=limv, min_accuracy=accv)
         return Struct(value=val, n_iterations=it, converged=conv, fault=fault)
     return _apply('pgenchisq', t, _obj_impl(t, f),
-                  to_expr(x), to_expr(w), to_expr(k), to_expr(lam), to_expr(mu), to_expr(sigma))
+                  to_expr(x), to_expr(w), to_expr(k), to_expr(lam), to_expr(mu), to_expr(sigma),
+                  to_expr(max_iterations), to_expr(min_accuracy))
 
 
 def binom_test(x, n, p, alternative: str = 'two-sided'):
@@ -1707,6 +1753,7 @@ def _ndarray_method(expr, name, result_typ, *args):
         'nd_div': lambda a, b: a / b,
         'nd_transpose': lambda a: a.T,
         'nd_shape': lambda a: tuple(_bi.int(s) for s in a.shape),
+        'nd_to_array': lambda a: _bi.list(np.asarray(a).tolist()),
     }
     if name == 'nd_reshape':
         def impl(col, *shape_cols):

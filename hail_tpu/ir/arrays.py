@@ -252,7 +252,8 @@ class ToArray(IR):
         if isinstance(x.typ, ht.tset):
             self.typ = ht.tarray(x.typ.element_type)
         elif isinstance(x.typ, ht.tdict):
-            self.typ = ht.tarray(ht.tstruct(key=x.typ.key_type, value=x.typ.value_type))
+            # reference hl.array(dict) yields (key, value) tuples
+            self.typ = ht.tarray(ht.ttuple(x.typ.key_type, x.typ.value_type))
         else:
             self.typ = x.typ
 
@@ -266,7 +267,6 @@ class ToArray(IR):
     def evaluate(self, env):
         col = self.x.evaluate(env)
         obj = C.to_object(col)
-        from ..utils.structs import Struct
         def conv(v):
             if v is None:
                 return None
@@ -276,7 +276,7 @@ class ToArray(IR):
                 except TypeError:  # unorderable elements (Call, Struct, ...)
                     return sorted(v, key=lambda x: (x is None, str(x)))
             if hasattr(v, 'items'):
-                return [Struct(key=k, value=x) for k, x in v.items()]
+                return [(k, x) for k, x in v.items()]
             return list(v)
         return ObjectColumn(self.typ, np.frompyfunc(conv, 1, 1)(obj.values))
 

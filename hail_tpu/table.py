@@ -1155,6 +1155,11 @@ class GroupedTable:
         return self
 
     def aggregate(self, **named_exprs) -> Table:
+        for k in named_exprs:
+            if k in self._key_fields:
+                raise ValueError(
+                    f"GroupedTable.aggregate: key field '{k}' both grouping "
+                    f"key and aggregation field")
         exprs = {k: to_expr(v) for k, v in named_exprs.items()}
         t = self._table
         batch = t._stage.collect_single()
