@@ -319,11 +319,24 @@ class BlockMatrix:
 
     # -- linalg ------------------------------------------------------------
     def svd(self, compute_uv: bool = True, complexity_bound: int = 8192):
-        if compute_uv:
-            u, s, vt = jnp.linalg.svd(self._data, full_matrices=False)
-            return np.asarray(u), np.asarray(s), np.asarray(vt)
-        s = jnp.linalg.svd(self._data, compute_uv=False)
-        return np.asarray(s)
+        """SVD with the reference's complexity split (`BlockMatrix.svd`,
+        `linalg/BlockMatrix.scala`): below the bound, localize and run
+        driver-side LAPACK; above it, device GEMM builds the smaller gramian
+        and the eigendecomposition still runs on the host (ops/decomp.py).
+        Device-side jnp.linalg.svd is never called (broken on axon)."""
+        from ..ops.decomp import gramian_svd
+        n, m = self.shape
+        if min(n, m) <= 0:
+            raise ValueError('svd of empty matrix')
+        # reference bound: k*k*min(n,m) complexity heuristic; we localize
+        # whenever the full matrix is driver-sized.
+        if max(n, m) <= complexity_bound:
+            A = np.asarray(self._data)
+            if compute_uv:
+                u, s, vt = np.linalg.svd(A, full_matrices=False)
+                return u, s, vt
+            return np.linalg.svd(A, compute_uv=False)
+        return gramian_svd(self._data, compute_uv=compute_uv)
 
     # -- export ------------------------------------------------------------
     def export(self, path: str, delimiter: str = '\t', header: Optional[str] = None,

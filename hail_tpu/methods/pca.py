@@ -1,9 +1,12 @@
-"""PCA: exact and randomized (Blanczos) SVD on device.
+"""PCA: exact and randomized (Blanczos) SVD, device GEMMs + host LAPACK.
 
 Capability parity with reference `hail/python/hail/methods/pca.py` (`pca`,
 `hwe_normalized_pca`, `_blanczos_pca` with `_krylov_factorization`,
-`pca.py:210-404`): the Krylov/power-iteration randomized SVD maps directly to
-jnp matmuls (MXU) instead of the reference's distributed ndarray aggregators.
+`pca.py:210-404`). Like the reference — which distributes only the matmuls
+and runs the small factorization on the driver (`pca.py:345-404`) — all
+QR/SVD/eigh here run in host LAPACK (`ops/decomp.py`); the device sees only
+GEMMs. Device-side `jnp.linalg.qr/svd` are never called (broken on the real
+TPU relay: NaN/hangs, round-1 verdict).
 """
 
 from __future__ import annotations
@@ -23,45 +26,30 @@ from ..expr.expression import to_expr
 from ..ir.columns import Batch, DenseArrayColumn, PrimitiveColumn
 from ..table import Table, TableStage
 from ..utils.structs import Struct
+from ..ops.decomp import randomized_svd as _randomized_svd
 from .statgen import _entry_expr_to_blocks
-
-
-def _randomized_svd(A: jnp.ndarray, k: int, q: int = 2, oversample: int = 10,
-                    seed: int = 0):
-    """Halko randomized SVD with q power iterations (the reference's
-    `_krylov_factorization` Blanczos scheme, pca.py:345)."""
-    m, n = A.shape
-    l = min(k + oversample, min(m, n))
-    key = jax.random.PRNGKey(seed)
-    Omega = jax.random.normal(key, (n, l), dtype=A.dtype)
-    Y = A @ Omega
-    Q, _ = jnp.linalg.qr(Y)
-    for _ in range(q):
-        Z = A.T @ Q
-        Qz, _ = jnp.linalg.qr(Z)
-        Y = A @ Qz
-        Q, _ = jnp.linalg.qr(Y)
-    B = Q.T @ A                     # (l, n)
-    Ub, s, Vt = jnp.linalg.svd(B, full_matrices=False)
-    U = Q @ Ub
-    return U[:, :k], s[:k], Vt[:k]
 
 
 def _pca_core(A: np.ndarray, k: int, compute_loadings: bool,
               exact: Optional[bool] = None):
-    """A: (variants m × samples n). Returns (eigvals, scores (n,k), loadings (m,k))."""
+    """A: (variants m × samples n). Returns (eigvals, scores (n,k), loadings (m,k)).
+
+    A arrives host-side (from `_entry_expr_to_blocks`). Exact path: host
+    LAPACK directly (the data is already on the driver; matches reference
+    driver-side SVD). Randomized path: device GEMMs + host small
+    factorizations (ops/decomp.py)."""
     m, n = A.shape
-    Aj = jnp.asarray(A)
     if exact is None:
         exact = min(m, n) <= 2048
     if exact:
-        U, s, Vt = jnp.linalg.svd(Aj, full_matrices=False)
+        U, s, Vt = np.linalg.svd(A, full_matrices=False)
         U, s, Vt = U[:, :k], s[:k], Vt[:k]
     else:
-        U, s, Vt = _randomized_svd(Aj, k, q=2, seed=Env.next_seed())
-    eigvals = np.asarray(s * s)
-    scores = np.asarray(Vt.T * s[None, :])   # (n, k)
-    loadings = np.asarray(U)                  # (m, k)
+        U, s, Vt = _randomized_svd(jnp.asarray(A), k, q=2,
+                                   seed=Env.next_seed())
+    eigvals = np.asarray(s)**2
+    scores = np.asarray(Vt).T * np.asarray(s)[None, :]   # (n, k)
+    loadings = np.asarray(U)                             # (m, k)
     return eigvals, scores, loadings
 
 
@@ -174,10 +162,8 @@ def _spectral_moments(entry_expr, num_moments: int, block_size: int = 128):
     G, M = _entry_expr_to_blocks(e)
     if M.any():
         G = np.where(M, 0.0, G)
-    A = jnp.asarray(G)
-    n = min(A.shape)
-    s = jnp.linalg.svd(A, compute_uv=False)
-    moments = [float(jnp.sum(s ** (2 * i))) for i in range(1, num_moments + 1)]
+    s = np.linalg.svd(G, compute_uv=False)    # host LAPACK (G is host-side)
+    moments = [float(np.sum(s ** (2 * i))) for i in range(1, num_moments + 1)]
     return moments
 
 
