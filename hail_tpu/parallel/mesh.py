@@ -50,12 +50,35 @@ def n_devices() -> int:
     return len(jax.devices())
 
 
+def pick_2d_spec(shape: Tuple[int, int], mesh: Mesh) -> P:
+    """Most-parallel PartitionSpec whose mesh dims divide the array dims
+    (committed arrays require exact divisibility; inside jit XLA handles
+    uneven shardings itself). Preference order: full 2-D grid, 1-D over all
+    devices, 1-D over one mesh axis, replicated."""
+    mx, my = (int(mesh.devices.shape[0]), int(mesh.devices.shape[1]))
+    n, m = int(shape[0]), int(shape[1])
+    for spec, (dn, dm) in (
+        (P('x', 'y'), (mx, my)),
+        (P('y', 'x'), (my, mx)),
+        (P(('x', 'y'), None), (mx * my, 1)),
+        (P(None, ('x', 'y')), (1, mx * my)),
+        (P('x', None), (mx, 1)),
+        (P('y', None), (my, 1)),
+        (P(None, 'y'), (1, my)),
+        (P(None, 'x'), (1, mx)),
+    ):
+        if dn <= n and dm <= m and n % dn == 0 and m % dm == 0:
+            return spec
+    return P()
+
+
 def shard_2d(x, mesh: Optional[Mesh] = None):
-    """Shard a 2-D array over the ('x','y') mesh; pads are caller's job."""
+    """Shard a 2-D array over the ('x','y') mesh, picking the most-parallel
+    divisible layout (pick_2d_spec)."""
     mesh = mesh or get_mesh()
     if math.prod(mesh.devices.shape) == 1:
         return jax.device_put(x)
-    sh = NamedSharding(mesh, P('x', 'y'))
+    sh = NamedSharding(mesh, pick_2d_spec(x.shape, mesh))
     return jax.device_put(x, sh)
 
 
