@@ -48,6 +48,19 @@ def _eval_entry_f64(mt: MatrixTable, expr: Expression, mb: MatrixBatch,
     return vals, col.missing_mask()
 
 
+def _eval_entry_i8(mt: MatrixTable, expr: Expression, mb: MatrixBatch,
+                   part_idx: int) -> np.ndarray:
+    """Evaluate an integer-typed entry expression to int8 with -1 = missing
+    (the storage format of the fast linreg path, ops/linreg_i8.py)."""
+    env = mt._entry_env(mb, part_idx)
+    col = expr._ir.evaluate(env)
+    if col.shape != env.shape:
+        col = col.broadcast_to(env.shape)
+    M = col.missing_mask()
+    vals = np.asarray(col.values)
+    return np.where(M, -1, vals).astype(np.int8)
+
+
 def _entry_expr_to_blocks(entry_expr) -> Tuple[np.ndarray, np.ndarray]:
     e = to_expr(entry_expr)
     mt = e._indices.source
@@ -191,15 +204,26 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
                       ('standard_error', ht.tfloat64), ('t_stat', ht.tfloat64),
                       ('p_value', ht.tfloat64)]
 
+    # int8 storage fast path: integer-typed x without weights reads 1
+    # byte/entry in the hot loop (ops/linreg_i8.py, f32 compute)
+    use_i8 = (_precision == 'float32' and w_sqrt is None
+              and xe.dtype in (ht.tint32, ht.tint64))
+
     def per_part(mb, i):
-        G, M = _eval_entry_f64(mt, xe, mb, i)
-        Gk = G[:, keep]
-        Mk = M[:, keep]
-        if w_sqrt is not None:
-            Gk = Gk * w_sqrt[keep][None, :]
-        res = linreg_stats(Gk, Mk, Q, Y_r, yty_r, dof, _precision)
+        if use_i8:
+            from ..ops.linreg_i8 import linreg_stats_i8
+            G8 = _eval_entry_i8(mt, xe, mb, i)
+            res = linreg_stats_i8(G8[:, keep], Q, Y_r, yty_r, dof)
+            R = G8.shape[0]
+        else:
+            G, M = _eval_entry_f64(mt, xe, mb, i)
+            Gk = G[:, keep]
+            Mk = M[:, keep]
+            if w_sqrt is not None:
+                Gk = Gk * w_sqrt[keep][None, :]
+            res = linreg_stats(Gk, Mk, Q, Y_r, yty_r, dof, _precision)
+            R = G.shape[0]
         bad = res['bad']
-        R = G.shape[0]
         def arr_col(a):
             a = np.where(bad[:, None], 0.0, a)
             col = DenseArrayColumn(arr_f, a, np.full(R, P, np.int32),
