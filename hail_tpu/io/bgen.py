@@ -67,11 +67,22 @@ def import_bgen(path, entry_fields: Sequence[str] = ('GT', 'GP'),
         if ef not in ('GT', 'GP', 'dosage'):
             raise ValueError(f'unknown entry field {ef!r}')
 
+    # pre-filter keyset for indexed seek-reads ("contig:pos" strings)
+    want_keys = None
+    if variants is not None:
+        want_keys = set()
+        for v in variants:
+            if isinstance(v, Struct):
+                want_keys.add(str(v.locus))
+            else:
+                want_keys.add(str(v))
+
     all_meta = []
     all_gp = []
     all_miss = []
     samples = None
     for p in paths:
+        idx = _load_bgen_index(p, index_file_map)
         with open(p, 'rb') as f:
             offset, m, n, compression, layout, has_ids = _read_header(f)
             if layout != 2:
@@ -88,6 +99,36 @@ def import_bgen(path, entry_fields: Sequence[str] = ('GT', 'GP'),
                 fsamples = [str(i) for i in range(n)]
             if samples is None:
                 samples = fsamples
+
+            def decode_one(raw_bytes, contig, pos, varid, rsid, alleles, k):
+                gp, miss = _decode_probability_block(raw_bytes, n, k)
+                all_meta.append((contig, pos, varid, rsid, alleles))
+                all_gp.append(gp)
+                all_miss.append(miss)
+
+            if idx is not None and idx.get('n_variants') == m:
+                # seek path: touch only the genotype blocks we need
+                for (chrom, pos, varid, rsid, alleles, voff, goff, clen) \
+                        in idx['variants']:
+                    contig = contig_recoding.get(chrom, chrom)
+                    if not rg.has_contig(contig):
+                        if skip_invalid_loci:
+                            continue
+                        raise ValueError(f'invalid contig {contig!r} '
+                                         '(use contig_recoding or skip_invalid_loci)')
+                    if want_keys is not None and \
+                            f'{contig}:{pos}' not in want_keys:
+                        continue
+                    f.seek(goff)
+                    if compression:
+                        _dlen = struct.unpack('<I', f.read(4))[0]
+                        raw = zlib.decompress(f.read(clen - 4))
+                    else:
+                        raw = f.read(clen)
+                    decode_one(raw, contig, pos, varid, rsid, list(alleles),
+                               len(alleles))
+                continue
+
             f.seek(offset + 4)
             for _vi in range(m):
                 ln = struct.unpack('<H', f.read(2))[0]
@@ -114,10 +155,7 @@ def import_bgen(path, entry_fields: Sequence[str] = ('GT', 'GP'),
                         continue
                     raise ValueError(f'invalid contig {contig!r} '
                                      '(use contig_recoding or skip_invalid_loci)')
-                gp, miss = _decode_probability_block(raw, n, k)
-                all_meta.append((contig, pos, varid, rsid, alleles))
-                all_gp.append(gp)
-                all_miss.append(miss)
+                decode_one(raw, contig, pos, varid, rsid, alleles, k)
 
     m_tot = len(all_meta)
     n = len(samples)
@@ -231,18 +269,92 @@ def _decode_probability_block(raw: bytes, n: int, k: int):
     return gp, missing
 
 
+def _scan_variant_index(p: str):
+    """One pass over a BGEN file collecting per-variant metadata + byte
+    offsets of each variant block (the seek index; reference
+    `io/bgen/IndexBgen.scala` builds the same mapping into a B-tree)."""
+    metas = []
+    with open(p, 'rb') as f:
+        offset, m, n, compression, layout, has_ids = _read_header(f)
+        if has_ids:
+            _read_samples(f, n)
+        f.seek(offset + 4)
+        for _ in range(m):
+            voff = f.tell()
+            ln = struct.unpack('<H', f.read(2))[0]
+            varid = f.read(ln).decode()
+            ln = struct.unpack('<H', f.read(2))[0]
+            rsid = f.read(ln).decode()
+            ln = struct.unpack('<H', f.read(2))[0]
+            chrom = f.read(ln).decode()
+            pos = struct.unpack('<I', f.read(4))[0]
+            k = struct.unpack('<H', f.read(2))[0]
+            alleles = []
+            for _ in range(k):
+                ln = struct.unpack('<I', f.read(4))[0]
+                alleles.append(f.read(ln).decode())
+            clen = struct.unpack('<I', f.read(4))[0]
+            goff = f.tell()
+            f.seek(clen, 1)
+            metas.append((chrom, pos, varid, rsid, alleles, voff, goff, clen))
+    return dict(n_variants=m, n_samples=n, layout=layout,
+                compression=compression, variants=metas)
+
+
+_IDX2_META = 'metadata.json'
+
+
 def index_bgen(path, index_file_map=None, reference_genome='default',
                contig_recoding=None, skip_invalid_loci: bool = False) -> None:
-    """Write a (lightweight) index sidecar (reference IndexBgen writes .idx2;
-    our reader scans directly, so the index just records variant count)."""
+    """Write a `.idx2` index DIRECTORY with per-variant byte offsets,
+    enabling seek-reads in import_bgen (reference `IndexBgen.scala` writes
+    the same dir layout with a B-tree; ours is a JSON metadata file —
+    variant counts here are small enough that a sorted array is the B-tree).
+
+    An existing index (including a reference-format `.idx2` dir, which we
+    can't parse) is replaced. If the default location beside the input is
+    not writable, pass `index_file_map={bgen_path: writable_idx2_path}`."""
+    import shutil
     paths = [path] if isinstance(path, str) else list(path)
     for p in paths:
-        with open(p, 'rb') as f:
-            offset, m, n, compression, layout, has_ids = _read_header(f)
         idx_path = (index_file_map or {}).get(p, p + '.idx2')
-        with open(idx_path, 'w') as f:
-            json.dump({'path': p, 'n_variants': m, 'n_samples': n,
-                       'layout': layout, 'compression': compression}, f)
+        scan = _scan_variant_index(p)
+        try:
+            if os.path.exists(idx_path):
+                if os.path.isdir(idx_path):
+                    shutil.rmtree(idx_path)
+                else:
+                    os.unlink(idx_path)
+            os.makedirs(idx_path)
+            with open(os.path.join(idx_path, _IDX2_META), 'w') as f:
+                json.dump({'path': p, 'n_variants': scan['n_variants'],
+                           'n_samples': scan['n_samples'],
+                           'layout': scan['layout'],
+                           'compression': scan['compression'],
+                           'variants': [list(v) for v in scan['variants']]}, f)
+        except (PermissionError, OSError) as e:
+            raise OSError(
+                f'cannot write BGEN index at {idx_path!r} ({e}); pass '
+                f'index_file_map={{{p!r}: <writable .idx2 path>}}') from e
+
+
+def _load_bgen_index(p: str, index_file_map=None):
+    """Load our .idx2 dir if present and parseable; None otherwise
+    (including for reference-format binary indexes, which trigger a fresh
+    in-memory scan instead of a crash)."""
+    idx_path = (index_file_map or {}).get(p, p + '.idx2')
+    meta_file = os.path.join(idx_path, _IDX2_META)
+    if not os.path.isfile(meta_file):
+        return None
+    try:
+        with open(meta_file) as f:
+            meta = json.load(f)
+        if 'variants' not in meta:
+            return None
+        meta['variants'] = [tuple(v) for v in meta['variants']]
+        return meta
+    except (json.JSONDecodeError, OSError, KeyError):
+        return None
 
 
 def export_bgen(mt, output: str, gp=None, varid=None, rsid=None,
