@@ -103,9 +103,14 @@ def write_batch(batch: Batch, path: str) -> dict:
     return {'columns': descs, 'length': batch.length}
 
 
-def read_batch(path: str, desc: dict) -> Batch:
+def read_batch(path: str, desc: dict, fields: Optional[list] = None) -> Batch:
+    """Load a partition; `fields` restricts to a column subset (projection
+    pushdown — npz members are decompressed per-array, so unselected columns
+    are never read; reference equivalent: PruneDeadFields-driven reads)."""
     with np.load(path, allow_pickle=False) as arrs:
-        cols = {k: column_from_arrays(k, d, arrs) for k, d in desc['columns'].items()}
+        cols = {k: column_from_arrays(k, d, arrs)
+                for k, d in desc['columns'].items()
+                if fields is None or k in fields}
     return Batch(cols, desc['length'])
 
 
@@ -168,11 +173,28 @@ def read_table(path: str):
                   for k, d in meta['globals']['columns'].items()}
     g = Batch(g_cols, 1)
     parts = meta['partitions']
-    def pf(i):
-        return read_batch(os.path.join(path, 'parts', f'part-{i:05d}.npz'), parts[i])
     bounds = [p.get('bounds') for p in parts]
-    return Table(TableStage(g, meta['key'], row_t, list(range(len(parts))), pf,
-                            bounds if any(b is not None for b in bounds) else None))
+    bounds = bounds if any(b is not None for b in bounds) else None
+
+    def make_stage(fields: Optional[list]):
+        sel_t = row_t if fields is None else ht.tstruct.from_fields(
+            [(k, t) for k, t in row_t.fields.items() if k in fields])
+
+        def pf(i):
+            return read_batch(os.path.join(path, 'parts', f'part-{i:05d}.npz'),
+                              parts[i], fields)
+        st = TableStage(g, meta['key'], sel_t, list(range(len(parts))), pf,
+                        bounds)
+
+        def prune(required):
+            req = set(required) | set(meta['key'])
+            if fields is not None:
+                req &= set(fields)
+            return make_stage([k for k in row_t.fields if k in req])
+        st.prune_columns = prune
+        return st
+
+    return Table(make_stage(None))
 
 
 # -- matrix table ----------------------------------------------------------
@@ -229,20 +251,46 @@ def read_matrix_table(path: str):
                   for k, d in meta['globals']['columns'].items()}
     g = Batch(g_cols, 1)
     parts = meta['partitions']
-    def pf(i):
-        d = parts[i]
-        with np.load(os.path.join(path, 'parts', f'part-{i:05d}.npz'), allow_pickle=False) as arrs:
-            rows = Batch({k: column_from_arrays(f'r.{k}', rd, arrs)
-                          for k, rd in d['rows']['columns'].items()}, d['n_rows'])
-            entries = {k: column_from_arrays(f'e.{k}', ed, arrs)
-                       for k, ed in d['entries'].items()}
-        return MatrixBatch(rows, entries)
     bounds = [p.get('bounds') for p in parts]
-    stage = MatrixStage(g, cols, meta['row_key'], meta['col_key'],
-                        row_t, ht.dtype(meta['col_type']), entry_t,
-                        list(range(len(parts))), pf,
-                        bounds if any(b is not None for b in bounds) else None)
-    return MatrixTable(stage)
+    bounds = bounds if any(b is not None for b in bounds) else None
+
+    def make_stage(row_fields: Optional[list], entry_fields: Optional[list]):
+        sel_row_t = row_t if row_fields is None else ht.tstruct.from_fields(
+            [(k, t) for k, t in row_t.fields.items() if k in row_fields])
+        sel_ent_t = entry_t if entry_fields is None else ht.tstruct.from_fields(
+            [(k, t) for k, t in entry_t.fields.items() if k in entry_fields])
+
+        def pf(i):
+            d = parts[i]
+            with np.load(os.path.join(path, 'parts', f'part-{i:05d}.npz'),
+                         allow_pickle=False) as arrs:
+                rows = Batch({k: column_from_arrays(f'r.{k}', rd, arrs)
+                              for k, rd in d['rows']['columns'].items()
+                              if row_fields is None or k in row_fields},
+                             d['n_rows'])
+                entries = {k: column_from_arrays(f'e.{k}', ed, arrs)
+                           for k, ed in d['entries'].items()
+                           if entry_fields is None or k in entry_fields}
+            return MatrixBatch(rows, entries)
+
+        stage = MatrixStage(g, cols, meta['row_key'], meta['col_key'],
+                            sel_row_t, ht.dtype(meta['col_type']), sel_ent_t,
+                            list(range(len(parts))), pf, bounds)
+
+        def prune(row_req=None, entry_req=None):
+            rr = None if row_req is None else \
+                (set(row_req) | set(meta['row_key'])) & \
+                (set(row_fields) if row_fields is not None else set(row_t.fields))
+            er = None if entry_req is None else \
+                set(entry_req) & (set(entry_fields) if entry_fields is not None
+                                  else set(entry_t.fields))
+            return make_stage(
+                row_fields if rr is None else [k for k in row_t.fields if k in rr],
+                entry_fields if er is None else [k for k in entry_t.fields if k in er])
+        stage.prune_matrix = prune
+        return stage
+
+    return MatrixTable(make_stage(None, None))
 
 
 # ---------------------------------------------------------------------------

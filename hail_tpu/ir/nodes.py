@@ -73,6 +73,32 @@ class IR:
         return out
 
 
+def required_fields(irs, ref_names=('row', 'va', 'sa', 'g')) -> Optional[Dict[str, set]]:
+    """Which fields of each env struct an expression actually touches — the
+    analysis behind projection pushdown into reads (the reference's
+    `PruneDeadFields.scala` over its 146-node IR collapses to this walk over
+    the typed evaluator IR). Returns {ref_name: field set}; None means the
+    expression uses a whole struct opaquely (no pruning possible)."""
+    out: Dict[str, set] = {n: set() for n in ref_names}
+    whole = False
+
+    def rec(node):
+        nonlocal whole
+        if isinstance(node, GetField) and isinstance(node.struct, Ref) \
+                and node.struct.name in ref_names:
+            out[node.struct.name].add(node.name)
+            return
+        if isinstance(node, Ref) and node.name in ref_names:
+            whole = True
+            return
+        for c in node.children:
+            rec(c)
+
+    for ir in ([irs] if isinstance(irs, IR) else irs):
+        rec(ir)
+    return None if whole else out
+
+
 def find_nodes(ir: IR, pred) -> List[IR]:
     out = []
     def rec(node):

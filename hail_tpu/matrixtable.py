@@ -267,7 +267,9 @@ class MatrixTable:
         va = StructColumn(mb.rows.row_type, dict(mb.rows.columns), None, (R,)).reshape((R, 1))
         cb = self._stage.cols
         sa = StructColumn(cb.row_type, dict(cb.columns), None, (Cn,)).reshape((1, Cn))
-        g = StructColumn(self._stage.entry_type, dict(mb.entries), None, (R, Cn))
+        # entry struct type derived from the batch (it may be a pruned read)
+        g_t = ht.tstruct(**{k: c.typ for k, c in mb.entries.items()})
+        g = StructColumn(g_t, dict(mb.entries), None, (R, Cn))
         gl = self._global_col().reshape((1, 1))
         idx = ((np.int64(part_idx) << np.int64(32)) + np.arange(R, dtype=np.int64)).reshape(R, 1)
         return EvalEnv({'va': va, 'sa': sa, 'g': g, 'global': gl,

@@ -35,6 +35,20 @@ from ..utils.structs import Struct
 # entry-expression → dense block helpers (the on-ramp to the jit tier)
 # ---------------------------------------------------------------------------
 
+def _pruned_stage_for(mt: MatrixTable, exprs) -> 'MatrixStage':
+    """Native-read stages load only the row/entry fields the expressions
+    touch (projection pushdown; no-op for in-memory stages)."""
+    st = mt._stage
+    prune = getattr(st, 'prune_matrix', None)
+    if prune is None:
+        return st
+    from ..ir.nodes import required_fields
+    req = required_fields([e._ir for e in exprs])
+    if req is None:
+        return st
+    return prune(row_req=req['va'], entry_req=req['g'])
+
+
 def _eval_entry_f64(mt: MatrixTable, expr: Expression, mb: MatrixBatch,
                     part_idx: int) -> Tuple[np.ndarray, np.ndarray]:
     """Evaluate an entry expression to ((R, C) float64, missing bool)."""
@@ -66,9 +80,10 @@ def _entry_expr_to_blocks(entry_expr) -> Tuple[np.ndarray, np.ndarray]:
     mt = e._indices.source
     if mt is None or not isinstance(mt, MatrixTable):
         raise ValueError('entry expression must come from a MatrixTable')
+    st = _pruned_stage_for(mt, [e])
     Gs, Ms = [], []
-    for i, ctx in enumerate(mt._stage.contexts):
-        mb = mt._stage.partition_fn(ctx)
+    for i, ctx in enumerate(st.contexts):
+        mb = st.partition_fn(ctx)
         G, M = _eval_entry_f64(mt, e, mb, i)
         Gs.append(G)
         Ms.append(M)
@@ -102,12 +117,19 @@ def _covariate_matrix(mt: MatrixTable, covariates) -> Tuple[np.ndarray, np.ndarr
 
 
 def _result_table_from_rows(mt: MatrixTable, per_part_fn, out_fields: List[Tuple[str, ht.HailType]],
-                            pass_through=()) -> Table:
+                            pass_through=(), entry_req=None, row_req=None) -> Table:
     """Build a rows-keyed Table: row key fields + pass_through + computed
-    columns via per_part_fn(mb, i) → dict[str, Column]."""
+    columns via per_part_fn(mb, i) → dict[str, Column].
+
+    entry_req/row_req: field subsets actually consumed — pushed into native
+    reads as projection pruning (io/native.py make_stage)."""
     st = mt._stage
     key_fields = st.row_key
     pt_names = [p if isinstance(p, str) else p._ir.name for p in pass_through]
+    prune = getattr(st, 'prune_matrix', None)
+    if prune is not None and entry_req is not None:
+        st = prune(row_req=set(pt_names) | set(row_req or ()),
+                   entry_req=set(entry_req))
     row_t = ht.tstruct.from_fields(
         [(k, st.row_type[k]) for k in key_fields]
         + [(p, st.row_type[p]) for p in pt_names]
@@ -252,7 +274,12 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
             'p_value': scal_col(res['p_value'][:, 0]),
         }
 
-    return _result_table_from_rows(mt, per_part, out_fields, pass_through)
+    from ..ir.nodes import required_fields
+    req = required_fields([xe._ir])
+    return _result_table_from_rows(
+        mt, per_part, out_fields, pass_through,
+        entry_req=None if req is None else req['g'],
+        row_req=None if req is None else req['va'])
 
 
 def _nest_linreg_groups(tables: List[Table]) -> Table:

@@ -47,9 +47,11 @@ def _kernel(g_ref, w_ref, gw_ref, mw_ref, st_ref):
     j = pl.program_id(1)
     g = g_ref[:]                                   # (TILE_R, TILE_N) int8
     w = w_ref[:]                                   # (TILE_N, KP) f32
-    miss = g < 0
-    gz = jnp.where(miss, jnp.int8(0), g).astype(jnp.float32)
-    mf = miss.astype(jnp.float32)
+    # v5e has no int8 vector compare (Mosaic: "Target does not support this
+    # comparison") — cast to f32 in-register first; -1/0/1/2 are exact.
+    gf = g.astype(jnp.float32)
+    mf = (gf < 0).astype(jnp.float32)
+    gz = jnp.maximum(gf, 0.0)
     gw = jnp.dot(gz, w, preferred_element_type=jnp.float32)
     mw = jnp.dot(mf, w, preferred_element_type=jnp.float32)
     st = jnp.concatenate([

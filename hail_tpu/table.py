@@ -306,6 +306,17 @@ class Table:
         names = list(dict.fromkeys(key + [f_ for f_ in keep if f_] + list(exprs)))
         new_t = ht.tstruct.from_fields(
             [(n, exprs[n].dtype if n in exprs else self._stage.row_type[n]) for n in names])
+        stage = self._stage
+        # projection pushdown: a select directly over a native read loads
+        # only the referenced columns (reference: PruneDeadFields into reads)
+        prune = getattr(stage, 'prune_columns', None)
+        if prune is not None:
+            from .ir.nodes import required_fields
+            req_map = required_fields([e._ir for e in exprs.values()])
+            if req_map is not None:
+                req = set(n for n in names if n not in exprs) | req_map['row']
+                stage = prune(req)
+
         def f(batch, i):
             cols = {}
             for n in names:
@@ -314,7 +325,7 @@ class Table:
                 else:
                     cols[n] = batch.columns[n]
             return Batch(cols, batch.length)
-        return Table(self._stage.map_partitions(f, new_t))
+        return Table(stage.map_partitions(f, new_t))
 
     def drop(self, *fields) -> 'Table':
         names = set()
