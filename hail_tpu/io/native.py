@@ -183,8 +183,14 @@ def read_table(path: str):
         def pf(i):
             return read_batch(os.path.join(path, 'parts', f'part-{i:05d}.npz'),
                               parts[i], fields)
+        import hashlib
+        stat = os.stat(os.path.join(path, 'metadata.json'))
+        lineage = hashlib.blake2b(
+            f'read_table|{os.path.abspath(path)}|{stat.st_mtime_ns}|'
+            f'{stat.st_size}|{sorted(fields) if fields else "*"}'.encode(),
+            digest_size=16).hexdigest()
         st = TableStage(g, meta['key'], sel_t, list(range(len(parts))), pf,
-                        bounds)
+                        bounds, lineage=lineage)
 
         def prune(required):
             req = set(required) | set(meta['key'])

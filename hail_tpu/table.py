@@ -36,13 +36,19 @@ class TableStage:
 
     def __init__(self, globals: Batch, key: List[str], row_type: ht.tstruct,
                  contexts: List[Any], partition_fn: Callable[[Any], Batch],
-                 partition_bounds: Optional[List[Interval]] = None):
+                 partition_bounds: Optional[List[Interval]] = None,
+                 lineage: Optional[str] = None):
         self.globals = globals
         self.key = list(key)
         self.row_type = row_type
         self.contexts = list(contexts)
         self.partition_fn = partition_fn
         self.partition_bounds = partition_bounds
+        # semantic lineage: stable content hash of (source, op chain) when
+        # every op in the chain has IR-derived identity; None = not cacheable.
+        # Powers the per-partition fast-restarts cache (reference
+        # ExecutionCache.scala:15-103 keyed on SemanticHash + partition).
+        self.lineage = lineage
 
     @property
     def n_partitions(self) -> int:
@@ -52,23 +58,53 @@ class TableStage:
     def globals_type(self) -> ht.tstruct:
         return self.globals.row_type
 
+    def _child_lineage(self, tag: Optional[str]) -> Optional[str]:
+        if tag is None or self.lineage is None:
+            return None
+        import hashlib
+        return hashlib.blake2b(f'{self.lineage}|{tag}'.encode(),
+                               digest_size=16).hexdigest()
+
     # -- combinators -------------------------------------------------------
     def map_partitions(self, f: Callable[[Batch, int], Batch], new_row_type: ht.tstruct,
-                       preserves_bounds: bool = True) -> 'TableStage':
+                       preserves_bounds: bool = True,
+                       lineage_tag: Optional[str] = None) -> 'TableStage':
         pf = self.partition_fn
         def new_fn(ctx):
             i, inner = ctx
             return f(pf(inner), i)
         ctxs = [(i, c) for i, c in enumerate(self.contexts)]
         return TableStage(self.globals, self.key, new_row_type, ctxs, new_fn,
-                          self.partition_bounds if preserves_bounds else None)
+                          self.partition_bounds if preserves_bounds else None,
+                          self._child_lineage(lineage_tag))
 
     def with_globals(self, new_globals: Batch) -> 'TableStage':
         return TableStage(new_globals, self.key, self.row_type, self.contexts,
                           self.partition_fn, self.partition_bounds)
 
     def collect_batches(self) -> List[Batch]:
-        return Env.backend().map_collect(self.contexts, self.partition_fn)
+        from .ir.semhash import execution_cache
+        cache = execution_cache()
+        if cache is None or self.lineage is None or not self.contexts:
+            return Env.backend().map_collect(self.contexts, self.partition_fn)
+        # per-partition fast restarts: skip partitions whose results are
+        # already on disk (reference ExecutionCache.scala:15-103)
+        keys = [f'{self.lineage}.part{i}of{len(self.contexts)}'
+                for i in range(len(self.contexts))]
+        results: List[Optional[Batch]] = []
+        todo = []
+        for i, k in enumerate(keys):
+            hit, val = cache.lookup(k)
+            results.append(val if hit else None)
+            if not hit:
+                todo.append(i)
+        if todo:
+            fresh = Env.backend().map_collect([self.contexts[i] for i in todo],
+                                              self.partition_fn)
+            for i, b in zip(todo, fresh):
+                results[i] = b
+                cache.put(keys[i], b)
+        return results
 
     def collect_single(self) -> Batch:
         batches = self.collect_batches()
@@ -325,7 +361,11 @@ class Table:
                 else:
                     cols[n] = batch.columns[n]
             return Batch(cols, batch.length)
-        return Table(stage.map_partitions(f, new_t))
+        from .ir.semhash import semhash
+        shs = [semhash(e._ir) for e in exprs.values()]
+        tag = None if any(x is None for x in shs) else \
+            f'select:{names}:{shs}'
+        return Table(stage.map_partitions(f, new_t, lineage_tag=tag))
 
     def drop(self, *fields) -> 'Table':
         names = set()
@@ -365,7 +405,11 @@ class Table:
             if not keep:
                 mask = ~mask & ~m
             return batch.compress(mask)
-        return Table(self._stage.map_partitions(f, self._stage.row_type))
+        from .ir.semhash import semhash
+        sh = semhash(e._ir)
+        return Table(self._stage.map_partitions(
+            f, self._stage.row_type,
+            lineage_tag=None if sh is None else f'filter:{keep}:{sh}'))
 
     def key_by(self, *keys, **named_exprs) -> 'Table':
         t = self
