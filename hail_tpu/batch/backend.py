@@ -57,6 +57,59 @@ class Backend:
         pass
 
 
+def _resolve_resource_paths(batch, scratch: str) -> Dict[str, str]:
+    """uid → on-disk path for every resource, with ResourceGroup member files
+    resolved against the group root template."""
+    paths: Dict[str, str] = {}
+
+    def path_of(r: Resource) -> str:
+        if r._uid in paths:
+            return paths[r._uid]
+        if isinstance(r, InputResourceFile):
+            p = r._input_path
+        elif isinstance(r, ResourceGroup):
+            p = os.path.join(scratch, r._uid.strip('_'))
+        else:
+            p = os.path.join(scratch, r._uid.strip('_'))
+            ext = getattr(r, '_extension', None)
+            if ext:
+                p += ext
+        paths[r._uid] = p
+        return p
+
+    for r in batch._all_resources():
+        path_of(r)
+        if isinstance(r, ResourceGroup):
+            root = paths[r._uid]
+            for name, f in r._files.items():
+                if isinstance(f, InputResourceFile):
+                    paths[f._uid] = f._input_path
+                else:
+                    template = r._templates.get(name, '{root}.' + name)
+                    paths[f._uid] = template.format(root=root)
+    return paths
+
+
+def _substitute(text: str, paths: Dict[str, str]) -> str:
+    def repl(m):
+        return paths.get(m.group(1), m.group(0))
+    return re.sub(r'\$\{(__[A-Z_]+_\d+__)\}', repl, text)
+
+
+def _copy_batch_outputs(batch, paths: Dict[str, str]) -> None:
+    for resource, dest in batch._outputs:
+        if isinstance(resource, ResourceGroup):
+            for name, f in resource._files.items():
+                src = paths[f._uid]
+                if os.path.exists(src):
+                    _copy_out(src, dest + os.path.splitext(src)[1]
+                              if '{root}' not in dest else dest)
+        else:
+            src = paths[resource._uid]
+            if os.path.exists(src):
+                _copy_out(src, dest)
+
+
 class LocalBackend(Backend):
     def __init__(self, tmp_dir: Optional[str] = None, gsa_key_file=None,
                  extra_docker_run_flags=None):
@@ -240,16 +293,137 @@ def _copy_out(src: str, dest: str) -> None:
 
 
 class ServiceBackend(Backend):
-    """Cloud batch service backend — gated in this build (reference
-    `backend.py:411` submits to the deployed Batch service)."""
+    """Submit the pipeline DAG to the Batch service over REST (reference
+    `hailtop/batch/backend.py:411` ServiceBackend → deployed Batch;
+    here: the single-node service in hail_tpu.batch_service).
+
+    `url` points at a running service; with no url, a private in-process
+    service is started on demand (and stopped on close) so the REST path is
+    exercised even on one machine."""
 
     def __init__(self, billing_project: Optional[str] = None,
-                 remote_tmpdir: Optional[str] = None, **kwargs):
-        self.billing_project = billing_project
+                 remote_tmpdir: Optional[str] = None,
+                 url: Optional[str] = None, **kwargs):
+        self.billing_project = billing_project or 'local'
         self.remote_tmpdir = remote_tmpdir
+        self._url = url
+        self._own_service = None
 
-    def _run(self, batch, **kwargs):
-        raise NotImplementedError(
-            'ServiceBackend requires a deployed batch service; this build has '
-            'no cluster egress. Use LocalBackend, or hail_tpu.backend '
-            'multihost for distributed query execution.')
+    def _client(self):
+        from ..batch_service import BatchService, BatchServiceClient
+        if self._url is None:
+            if self._own_service is None:
+                self._own_service = BatchService.start_in_thread()
+            self._url = f'http://127.0.0.1:{self._own_service.port}'
+        return BatchServiceClient(self._url)
+
+    def _run(self, batch, dry_run=False, verbose=False,
+             delete_scratch_on_exit=True, wait=True, **kwargs) -> BatchRun:
+        client = self._client()
+        scratch = tempfile.mkdtemp(prefix='hail_tpu_batch_svc_run_',
+                                   dir=self.remote_tmpdir)
+        paths = _resolve_resource_paths(batch, scratch)
+
+        if dry_run:
+            for j in batch._jobs:
+                if isinstance(j, BashJob):
+                    print(f'# Job: {j.name or j._uid}')
+                    for cmd in j._commands:
+                        print(_substitute(cmd, paths))
+            return BatchRun(batch, {j._uid: 'DryRun' for j in batch._jobs},
+                            {}, None)
+
+        job_ids: Dict[str, int] = {}
+        bunch = []
+        for i, j in enumerate(batch._jobs, start=1):
+            job_ids[j._uid] = i
+            env = dict(j._env)
+            if isinstance(j, BashJob):
+                script = '\n'.join(['set -e']
+                                   + [_substitute(c, paths) for c in j._commands])
+            elif isinstance(j, PythonJob):
+                script = self._python_job_script(j, paths, scratch, i)
+                # pickle references functions by module: make their source
+                # dirs importable in the worker process (the reference ships
+                # dill closures into containers instead)
+                import inspect
+                dirs = []
+                for fn, *_ in j._calls:
+                    try:
+                        d = os.path.dirname(os.path.abspath(inspect.getfile(fn)))
+                        if d not in dirs:
+                            dirs.append(d)
+                    except TypeError:
+                        pass
+                repo_root = os.path.dirname(os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__))))
+                dirs.append(repo_root)
+                pp = os.pathsep.join(dirs + [os.environ.get('PYTHONPATH', '')])
+                env.setdefault('PYTHONPATH', pp.rstrip(os.pathsep))
+            else:
+                raise NotImplementedError(type(j).__name__)
+            bunch.append({
+                'job_id': i,
+                'spec': {'command': script, 'env': env},
+                'parent_ids': [job_ids[d._uid] for d in j._all_dependencies()
+                               if d._uid in job_ids],
+                'always_run': j._always_run,
+                'n_max_attempts': max(1, getattr(j, '_n_max_attempts', 1) or 1),
+            })
+        bid = client.create_batch(
+            attributes={'name': batch.name} if batch.name else {},
+            billing_project=self.billing_project,
+            cancel_after_n_failures=batch._cancel_after_n_failures)
+        client.create_jobs(bid, bunch)
+        client.close_batch(bid)
+        if not wait:
+            return BatchRun(batch, {j._uid: 'Running' for j in batch._jobs},
+                            {}, scratch)
+        client.wait(bid)
+        states: Dict[str, str] = {}
+        errors: Dict[str, str] = {}
+        for job in client.list_jobs(bid):
+            uid = next(u for u, i in job_ids.items() if i == job['job_id'])
+            states[uid] = job['state']
+            if job['state'] in ('Failed', 'Error'):
+                errors[uid] = client.get_job_log(bid, job['job_id'])[-2000:]
+        _copy_batch_outputs(batch, paths)
+        run = BatchRun(batch, states, errors, scratch)
+        if delete_scratch_on_exit:
+            shutil.rmtree(scratch, ignore_errors=True)
+            run._scratch = None
+        return run
+
+    def _python_job_script(self, j: PythonJob, paths: Dict[str, str],
+                           scratch: str, idx: int) -> str:
+        """PythonJob via pickled calls executed by a generated runner (the
+        reference ships dill-pickled closures into containers)."""
+        payload = os.path.join(scratch, f'pyjob_{idx}.pkl')
+
+        def encode(a):
+            # self-contained markers so the runner needs no hail_tpu imports
+            if isinstance(a, PythonResult):
+                return ('__result__', paths[a._uid])
+            if isinstance(a, ResourceFile):
+                return ('__path__', paths[a._uid])
+            return ('__value__', a)
+
+        spec = []
+        for fn, args, kw, result in j._calls:
+            out_files = {kind: paths[f._uid] for kind, f in
+                         [('json', result._json_file), ('str', result._str_file),
+                          ('repr', result._repr_file)] if f is not None}
+            # every result value is also pickled to its resource path so
+            # downstream jobs (and this job's later calls) can read it
+            spec.append((fn, [encode(a) for a in args],
+                         {k: encode(v) for k, v in kw.items()},
+                         paths[result._uid], out_files))
+        with open(payload, 'wb') as f:
+            pickle.dump(spec, f)
+        runner = os.path.join(os.path.dirname(__file__), '_pyjob_runner.py')
+        return f'exec {shutil.which("python3") or "python3"} {runner} {payload}'
+
+    def close(self):
+        if self._own_service is not None:
+            self._own_service.shutdown()
+            self._own_service = None

@@ -1,0 +1,69 @@
+"""Sync REST client for the single-node Batch service (the shape of
+`hailtop/batch_client`'s sync client over the reference's /api/v1alpha
+routes)."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+from typing import List, Optional
+
+
+class BatchServiceClient:
+    def __init__(self, url: str):
+        self.url = url.rstrip('/')
+
+    def _req(self, method: str, path: str, body: Optional[dict] = None) -> dict:
+        data = None if body is None else json.dumps(body).encode()
+        req = urllib.request.Request(
+            f'{self.url}/api/v1alpha{path}', data=data, method=method,
+            headers={'Content-Type': 'application/json'})
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return json.loads(resp.read() or b'{}')
+
+    # -- batches ------------------------------------------------------------
+    def create_batch(self, attributes: Optional[dict] = None,
+                     billing_project: str = 'local',
+                     cancel_after_n_failures: Optional[int] = None) -> int:
+        return self._req('POST', '/batches/create', {
+            'attributes': attributes or {},
+            'billing_project': billing_project,
+            'cancel_after_n_failures': cancel_after_n_failures,
+        })['id']
+
+    def create_jobs(self, batch_id: int, bunch: List[dict]) -> List[int]:
+        return self._req('POST', f'/batches/{batch_id}/jobs/create',
+                         {'bunch': bunch})['job_ids']
+
+    def close_batch(self, batch_id: int) -> None:
+        self._req('PATCH', f'/batches/{batch_id}/close')
+
+    def get_batch(self, batch_id: int) -> dict:
+        return self._req('GET', f'/batches/{batch_id}')
+
+    def list_jobs(self, batch_id: int) -> List[dict]:
+        return self._req('GET', f'/batches/{batch_id}/jobs')['jobs']
+
+    def get_job(self, batch_id: int, job_id: int) -> dict:
+        return self._req('GET', f'/batches/{batch_id}/jobs/{job_id}')
+
+    def get_job_log(self, batch_id: int, job_id: int) -> str:
+        return self._req('GET', f'/batches/{batch_id}/jobs/{job_id}/log')['main']
+
+    def cancel_batch(self, batch_id: int) -> None:
+        self._req('PATCH', f'/batches/{batch_id}/cancel')
+
+    def delete_batch(self, batch_id: int) -> None:
+        self._req('DELETE', f'/batches/{batch_id}')
+
+    def wait(self, batch_id: int, timeout: float = 300.0,
+             poll: float = 0.05) -> dict:
+        t0 = time.time()
+        while True:
+            st = self.get_batch(batch_id)
+            if st['complete']:
+                return st
+            if time.time() - t0 > timeout:
+                raise TimeoutError(f'batch {batch_id} not complete: {st}')
+            time.sleep(poll)

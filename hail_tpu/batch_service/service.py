@@ -1,0 +1,454 @@
+"""The Batch service: REST front end + driver + worker pool on one host.
+
+Route shapes follow the reference front end
+(`/root/reference/batch/batch/front_end/front_end.py`):
+
+    POST   /api/v1alpha/batches/create
+    POST   /api/v1alpha/batches/{batch_id}/jobs/create
+    PATCH  /api/v1alpha/batches/{batch_id}/close
+    GET    /api/v1alpha/batches/{batch_id}
+    GET    /api/v1alpha/batches/{batch_id}/jobs
+    GET    /api/v1alpha/batches/{batch_id}/jobs/{job_id}
+    GET    /api/v1alpha/batches/{batch_id}/jobs/{job_id}/log
+    PATCH  /api/v1alpha/batches/{batch_id}/cancel
+    DELETE /api/v1alpha/batches/{batch_id}
+
+Job state machine mirrors the reference: Pending -> Ready -> Running ->
+Success | Failed | Cancelled | Error. Retries honor `n_max_attempts`
+(reference worker re-attempts), `cancel_after_n_failures` cancels the batch
+(front_end.py create validation), parents gate scheduling (DAG), and
+`always_run` jobs execute even after parent failure or batch cancellation.
+Scheduling is fair-share across open batches: each scheduling round grants
+slots to the batch with the fewest running jobs first (the single-node
+analogue of PoolScheduler._compute_fair_share, pool.py:493-605).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import signal
+import sqlite3
+import subprocess
+import tempfile
+import threading
+import time
+from typing import Dict, List, Optional
+
+from aiohttp import web
+
+TERMINAL = ('Success', 'Failed', 'Cancelled', 'Error')
+
+
+class _DB:
+    """sqlite job state (reference: MySQL schema, batch/sql/000-initial.sql)."""
+
+    def __init__(self, path: str):
+        self._conn = sqlite3.connect(path, check_same_thread=False)
+        self._conn.row_factory = sqlite3.Row
+        self._lock = threading.Lock()
+        with self._lock:
+            self._conn.executescript('''
+                CREATE TABLE IF NOT EXISTS batches (
+                    id INTEGER PRIMARY KEY AUTOINCREMENT,
+                    attributes TEXT, billing_project TEXT,
+                    state TEXT NOT NULL DEFAULT 'open',
+                    cancel_after_n_failures INTEGER,
+                    n_jobs INTEGER NOT NULL DEFAULT 0,
+                    time_created REAL, time_closed REAL, time_completed REAL);
+                CREATE TABLE IF NOT EXISTS jobs (
+                    batch_id INTEGER NOT NULL, job_id INTEGER NOT NULL,
+                    spec TEXT NOT NULL, state TEXT NOT NULL DEFAULT 'Pending',
+                    exit_code INTEGER, attempts INTEGER NOT NULL DEFAULT 0,
+                    n_max_attempts INTEGER NOT NULL DEFAULT 1,
+                    always_run INTEGER NOT NULL DEFAULT 0,
+                    parents TEXT NOT NULL DEFAULT '[]',
+                    log_path TEXT, error TEXT,
+                    time_started REAL, time_completed REAL,
+                    PRIMARY KEY (batch_id, job_id));
+            ''')
+
+    def execute(self, sql, args=()):
+        with self._lock:
+            cur = self._conn.execute(sql, args)
+            self._conn.commit()
+            return cur
+
+    def query(self, sql, args=()):
+        with self._lock:
+            return self._conn.execute(sql, args).fetchall()
+
+    def close(self):
+        with self._lock:
+            self._conn.close()
+
+
+class BatchService:
+    """Front end + driver + workers. Run with `async with` or start()/stop(),
+    or `BatchService.start_in_thread()` from sync code."""
+
+    def __init__(self, port: int = 0, n_workers: int = 4,
+                 data_dir: Optional[str] = None):
+        self.requested_port = port
+        self.port: Optional[int] = None
+        self.n_workers = n_workers
+        self.data_dir = data_dir or tempfile.mkdtemp(prefix='hail_tpu_batch_svc_')
+        os.makedirs(os.path.join(self.data_dir, 'logs'), exist_ok=True)
+        self.db = _DB(os.path.join(self.data_dir, 'state.db'))
+        self._app = self._build_app()
+        self._runner: Optional[web.AppRunner] = None
+        self._driver_task: Optional[asyncio.Task] = None
+        self._running_procs: Dict[tuple, subprocess.Popen] = {}
+        self._wake = asyncio.Event()
+        self._stopped = False
+
+    # -- REST front end -----------------------------------------------------
+    def _build_app(self) -> web.Application:
+        app = web.Application()
+        r = app.router
+        r.add_post('/api/v1alpha/batches/create', self._create_batch)
+        r.add_post('/api/v1alpha/batches/{batch_id}/jobs/create', self._create_jobs)
+        r.add_patch('/api/v1alpha/batches/{batch_id}/close', self._close_batch)
+        r.add_get('/api/v1alpha/batches/{batch_id}', self._get_batch)
+        r.add_get('/api/v1alpha/batches/{batch_id}/jobs', self._list_jobs)
+        r.add_get('/api/v1alpha/batches/{batch_id}/jobs/{job_id}', self._get_job)
+        r.add_get('/api/v1alpha/batches/{batch_id}/jobs/{job_id}/log', self._get_log)
+        r.add_patch('/api/v1alpha/batches/{batch_id}/cancel', self._cancel_batch)
+        r.add_delete('/api/v1alpha/batches/{batch_id}', self._delete_batch)
+        return app
+
+    async def _create_batch(self, req: web.Request) -> web.Response:
+        spec = await req.json()
+        canf = spec.get('cancel_after_n_failures')
+        if canf is not None and canf < 1:
+            raise web.HTTPBadRequest(
+                reason=f'cancel_after_n_failures must be >= 1, got {canf}')
+        cur = self.db.execute(
+            'INSERT INTO batches (attributes, billing_project, '
+            'cancel_after_n_failures, time_created) VALUES (?, ?, ?, ?)',
+            (json.dumps(spec.get('attributes') or {}),
+             spec.get('billing_project', 'local'), canf, time.time()))
+        return web.json_response({'id': cur.lastrowid})
+
+    async def _create_jobs(self, req: web.Request) -> web.Response:
+        bid = int(req.match_info['batch_id'])
+        b = self._batch_row(bid)
+        if b['state'] != 'open':
+            raise web.HTTPBadRequest(reason=f'batch {bid} is not open')
+        payload = await req.json()
+        bunch = payload['bunch'] if 'bunch' in payload else payload
+        created = []
+        for jspec in bunch:
+            jid = int(jspec['job_id'])
+            spec = jspec.get('process') or jspec.get('spec') or jspec
+            self.db.execute(
+                'INSERT INTO jobs (batch_id, job_id, spec, n_max_attempts, '
+                'always_run, parents) VALUES (?, ?, ?, ?, ?, ?)',
+                (bid, jid, json.dumps(spec),
+                 int(jspec.get('n_max_attempts', 1)),
+                 1 if jspec.get('always_run') else 0,
+                 json.dumps(jspec.get('parent_ids', []))))
+            created.append(jid)
+        self.db.execute('UPDATE batches SET n_jobs = n_jobs + ? WHERE id = ?',
+                        (len(created), bid))
+        return web.json_response({'job_ids': created})
+
+    async def _close_batch(self, req: web.Request) -> web.Response:
+        bid = int(req.match_info['batch_id'])
+        self._batch_row(bid)
+        self.db.execute(
+            "UPDATE batches SET state = 'running', time_closed = ? "
+            "WHERE id = ? AND state = 'open'", (time.time(), bid))
+        self._wake.set()
+        return web.json_response({})
+
+    def _batch_row(self, bid: int):
+        rows = self.db.query('SELECT * FROM batches WHERE id = ?', (bid,))
+        if not rows:
+            raise web.HTTPNotFound(reason=f'batch {bid} not found')
+        return rows[0]
+
+    def _batch_status(self, bid: int) -> dict:
+        b = self._batch_row(bid)
+        counts = {s: 0 for s in
+                  ('Pending', 'Ready', 'Running', 'Success', 'Failed',
+                   'Cancelled', 'Error')}
+        for r in self.db.query(
+                'SELECT state, COUNT(*) c FROM jobs WHERE batch_id = ? '
+                'GROUP BY state', (bid,)):
+            counts[r['state']] = r['c']
+        n_done = sum(counts[s] for s in TERMINAL)
+        complete = b['state'] != 'open' and n_done == b['n_jobs']
+        return {
+            'id': b['id'], 'state': b['state'],
+            'attributes': json.loads(b['attributes']),
+            'billing_project': b['billing_project'],
+            'n_jobs': b['n_jobs'], 'n_completed': n_done,
+            'n_succeeded': counts['Success'],
+            'n_failed': counts['Failed'] + counts['Error'],
+            'n_cancelled': counts['Cancelled'],
+            'complete': complete,
+            'time_created': b['time_created'],
+        }
+
+    async def _get_batch(self, req: web.Request) -> web.Response:
+        return web.json_response(self._batch_status(int(req.match_info['batch_id'])))
+
+    def _job_json(self, r) -> dict:
+        return {'batch_id': r['batch_id'], 'job_id': r['job_id'],
+                'state': r['state'], 'exit_code': r['exit_code'],
+                'attempts': r['attempts'], 'error': r['error'],
+                'spec': json.loads(r['spec'])}
+
+    async def _list_jobs(self, req: web.Request) -> web.Response:
+        bid = int(req.match_info['batch_id'])
+        self._batch_row(bid)
+        rows = self.db.query(
+            'SELECT * FROM jobs WHERE batch_id = ? ORDER BY job_id', (bid,))
+        return web.json_response({'jobs': [self._job_json(r) for r in rows]})
+
+    async def _get_job(self, req: web.Request) -> web.Response:
+        bid = int(req.match_info['batch_id'])
+        jid = int(req.match_info['job_id'])
+        rows = self.db.query(
+            'SELECT * FROM jobs WHERE batch_id = ? AND job_id = ?', (bid, jid))
+        if not rows:
+            raise web.HTTPNotFound(reason=f'job {bid}/{jid} not found')
+        return web.json_response(self._job_json(rows[0]))
+
+    async def _get_log(self, req: web.Request) -> web.Response:
+        bid = int(req.match_info['batch_id'])
+        jid = int(req.match_info['job_id'])
+        rows = self.db.query(
+            'SELECT log_path FROM jobs WHERE batch_id = ? AND job_id = ?',
+            (bid, jid))
+        if not rows:
+            raise web.HTTPNotFound(reason=f'job {bid}/{jid} not found')
+        p = rows[0]['log_path']
+        log = ''
+        if p and os.path.exists(p):
+            with open(p) as f:
+                log = f.read()
+        return web.json_response({'main': log})
+
+    async def _cancel_batch(self, req: web.Request) -> web.Response:
+        bid = int(req.match_info['batch_id'])
+        self._batch_row(bid)
+        self._do_cancel(bid)
+        self._wake.set()
+        return web.json_response({})
+
+    def _do_cancel(self, bid: int) -> None:
+        self.db.execute(
+            "UPDATE batches SET state = 'cancelled' WHERE id = ? "
+            "AND state != 'complete'", (bid,))
+        self.db.execute(
+            "UPDATE jobs SET state = 'Cancelled' WHERE batch_id = ? "
+            "AND state IN ('Pending', 'Ready') AND always_run = 0", (bid,))
+        for (b, j), proc in list(self._running_procs.items()):
+            if b == bid:
+                try:
+                    proc.terminate()
+                except ProcessLookupError:
+                    pass
+
+    async def _delete_batch(self, req: web.Request) -> web.Response:
+        bid = int(req.match_info['batch_id'])
+        self._do_cancel(bid)
+        self.db.execute('DELETE FROM jobs WHERE batch_id = ?', (bid,))
+        self.db.execute('DELETE FROM batches WHERE id = ?', (bid,))
+        return web.json_response({})
+
+    # -- driver: scheduling + retries (reference driver/pool.py) ------------
+    def _ready_jobs(self) -> List[sqlite3.Row]:
+        """Pending jobs whose parents are all terminal-successful (or which
+        are always_run with terminal parents)."""
+        out = []
+        for b in self.db.query(
+                "SELECT id, cancel_after_n_failures, state FROM batches "
+                "WHERE state IN ('running', 'cancelled')"):
+            bid = b['id']
+            jobs = self.db.query(
+                'SELECT * FROM jobs WHERE batch_id = ? ORDER BY job_id', (bid,))
+            states = {r['job_id']: r['state'] for r in jobs}
+            cancelled = b['state'] == 'cancelled'
+            for r in jobs:
+                if r['state'] != 'Pending':
+                    continue
+                parents = json.loads(r['parents'])
+                pstates = [states.get(p, 'Success') for p in parents]
+                if cancelled and not r['always_run']:
+                    self._set_job_state(bid, r['job_id'], 'Cancelled')
+                    continue
+                if any(s in ('Failed', 'Error', 'Cancelled') for s in pstates):
+                    if r['always_run']:
+                        if all(s in TERMINAL for s in pstates):
+                            out.append(r)
+                    else:
+                        self._set_job_state(bid, r['job_id'], 'Cancelled')
+                elif all(s == 'Success' for s in pstates):
+                    out.append(r)
+        return out
+
+    def _set_job_state(self, bid, jid, state, **fields):
+        sets = ['state = ?']
+        args = [state]
+        for k, v in fields.items():
+            sets.append(f'{k} = ?')
+            args.append(v)
+        args += [bid, jid]
+        self.db.execute(
+            f'UPDATE jobs SET {", ".join(sets)} WHERE batch_id = ? AND job_id = ?',
+            args)
+
+    async def _driver_loop(self):
+        loop = asyncio.get_running_loop()
+        while not self._stopped:
+            try:
+                free = self.n_workers - len(self._running_procs)
+                if free > 0:
+                    ready = self._ready_jobs()
+                    # fair share: grant slots to batches with fewest running
+                    running_per_batch: Dict[int, int] = {}
+                    for (b, _j) in self._running_procs:
+                        running_per_batch[b] = running_per_batch.get(b, 0) + 1
+                    ready.sort(key=lambda r: (running_per_batch.get(r['batch_id'], 0),
+                                              r['batch_id'], r['job_id']))
+                    for r in ready[:free]:
+                        self._launch(r, loop)
+                self._finalize_batches()
+                try:
+                    await asyncio.wait_for(self._wake.wait(), timeout=0.05)
+                except asyncio.TimeoutError:
+                    pass
+                self._wake.clear()
+            except Exception:  # noqa: BLE001 — driver must survive
+                import traceback
+                traceback.print_exc()
+                await asyncio.sleep(0.2)
+
+    def _launch(self, r: sqlite3.Row, loop) -> None:
+        bid, jid = r['batch_id'], r['job_id']
+        spec = json.loads(r['spec'])
+        attempt = r['attempts'] + 1
+        log_path = os.path.join(self.data_dir, 'logs', f'{bid}-{jid}-{attempt}.log')
+        command = spec.get('command')
+        if isinstance(command, list):
+            argv = command
+        else:
+            argv = ['/bin/bash', '-c', command or 'true']
+        env = dict(os.environ)
+        env.update(spec.get('env') or {})
+        logf = open(log_path, 'wb')
+        proc = subprocess.Popen(argv, stdout=logf, stderr=subprocess.STDOUT,
+                                env=env, start_new_session=True)
+        self._running_procs[(bid, jid)] = proc
+        self._set_job_state(bid, jid, 'Running', attempts=attempt,
+                            log_path=log_path, time_started=time.time())
+
+        async def wait_done():
+            rc = await loop.run_in_executor(None, proc.wait)
+            logf.close()
+            self._running_procs.pop((bid, jid), None)
+            self._on_job_exit(bid, jid, rc, attempt)
+            self._wake.set()
+        asyncio.ensure_future(wait_done())
+
+    def _on_job_exit(self, bid, jid, rc, attempt):
+        row = self.db.query(
+            'SELECT n_max_attempts, always_run FROM jobs '
+            'WHERE batch_id = ? AND job_id = ?', (bid, jid))[0]
+        if rc == 0:
+            self._set_job_state(bid, jid, 'Success', exit_code=0,
+                                time_completed=time.time())
+            return
+        bstate = self.db.query('SELECT state FROM batches WHERE id = ?',
+                               (bid,))[0]['state']
+        if bstate == 'cancelled' and not row['always_run']:
+            # terminated by batch cancellation, not a job failure
+            self._set_job_state(bid, jid, 'Cancelled', exit_code=rc,
+                                time_completed=time.time())
+            return
+        if attempt < row['n_max_attempts']:
+            # retry: back to Pending (reference worker re-attempt semantics)
+            self._set_job_state(bid, jid, 'Pending', exit_code=rc)
+            return
+        self._set_job_state(bid, jid, 'Failed', exit_code=rc,
+                            time_completed=time.time())
+        b = self.db.query(
+            'SELECT cancel_after_n_failures FROM batches WHERE id = ?',
+            (bid,))[0]
+        canf = b['cancel_after_n_failures']
+        if canf is not None:
+            n_failed = self.db.query(
+                "SELECT COUNT(*) c FROM jobs WHERE batch_id = ? AND "
+                "state IN ('Failed', 'Error')", (bid,))[0]['c']
+            if n_failed >= canf:
+                self._do_cancel(bid)
+
+    def _finalize_batches(self):
+        for b in self.db.query(
+                "SELECT id, n_jobs FROM batches WHERE state IN "
+                "('running', 'cancelled')"):
+            done = self.db.query(
+                'SELECT COUNT(*) c FROM jobs WHERE batch_id = ? AND state IN '
+                '(?, ?, ?, ?)', (b['id'],) + TERMINAL)[0]['c']
+            if b['n_jobs'] > 0 and done == b['n_jobs']:
+                self.db.execute(
+                    "UPDATE batches SET state = 'complete', time_completed = ? "
+                    "WHERE id = ?", (time.time(), b['id']))
+
+    # -- lifecycle -----------------------------------------------------------
+    async def start(self) -> int:
+        self._runner = web.AppRunner(self._app)
+        await self._runner.setup()
+        site = web.TCPSite(self._runner, '127.0.0.1', self.requested_port)
+        await site.start()
+        self.port = site._server.sockets[0].getsockname()[1]
+        self._driver_task = asyncio.ensure_future(self._driver_loop())
+        return self.port
+
+    async def stop(self):
+        self._stopped = True
+        for proc in list(self._running_procs.values()):
+            try:
+                proc.terminate()
+            except ProcessLookupError:
+                pass
+        if self._driver_task:
+            self._driver_task.cancel()
+        if self._runner:
+            await self._runner.cleanup()
+        self.db.close()
+
+    @classmethod
+    def start_in_thread(cls, **kwargs) -> 'BatchService':
+        """Run the service on a dedicated event-loop thread; returns once the
+        port is bound. `svc.shutdown()` stops it."""
+        svc = cls(**kwargs)
+        started = threading.Event()
+
+        def run():
+            loop = asyncio.new_event_loop()
+            asyncio.set_event_loop(loop)
+            svc._loop = loop
+            loop.run_until_complete(svc.start())
+            started.set()
+            loop.run_forever()
+        t = threading.Thread(target=run, daemon=True, name='batch-service')
+        t.start()
+        started.wait(timeout=30)
+        svc._thread = t
+        return svc
+
+    def shutdown(self):
+        loop = getattr(self, '_loop', None)
+        if loop is None:
+            return
+        fut = asyncio.run_coroutine_threadsafe(self.stop(), loop)
+        try:
+            fut.result(timeout=10)
+        except Exception:
+            pass
+        loop.call_soon_threadsafe(loop.stop)

@@ -42,7 +42,10 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(g_ref, w_ref, gw_ref, mw_ref, st_ref):
+def _kernel(g_ref, w_ref, o_ref):
+    """One pass per (R-tile, N-tile): output block is [GW | MW | stats(3)]
+    fused into a single (TILE_R, 2·KP+3) accumulator — Mosaic on v5e rejects
+    this kernel split into 3 separate accumulated outputs (probed r2)."""
     from jax.experimental import pallas as pl
     j = pl.program_id(1)
     g = g_ref[:]                                   # (TILE_R, TILE_N) int8
@@ -52,26 +55,26 @@ def _kernel(g_ref, w_ref, gw_ref, mw_ref, st_ref):
     gf = g.astype(jnp.float32)
     mf = (gf < 0).astype(jnp.float32)
     gz = jnp.maximum(gf, 0.0)
-    gw = jnp.dot(gz, w, preferred_element_type=jnp.float32)
-    mw = jnp.dot(mf, w, preferred_element_type=jnp.float32)
-    st = jnp.concatenate([
+    # HIGHEST: true-f32 (3-pass bf16) MXU — default reduces operands to bf16
+    # and costs ~3 decimal digits on the betas
+    gw = jnp.dot(gz, w, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    mw = jnp.dot(mf, w, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    o = jnp.concatenate([
+        gw, mw,
         jnp.sum(mf, axis=1, keepdims=True),
         jnp.sum(gz, axis=1, keepdims=True),
         jnp.sum(gz * gz, axis=1, keepdims=True),
-        jnp.zeros((gz.shape[0], 1), jnp.float32),
-    ], axis=1)                                     # (TILE_R, 4)
+    ], axis=1)                                     # (TILE_R, 2*KP+3)
 
     @pl.when(j == 0)
     def _():
-        gw_ref[:] = gw
-        mw_ref[:] = mw
-        st_ref[:] = st
+        o_ref[:] = o
 
     @pl.when(j > 0)
     def _():
-        gw_ref[:] = gw_ref[:] + gw
-        mw_ref[:] = mw_ref[:] + mw
-        st_ref[:] = st_ref[:] + st
+        o_ref[:] = o_ref[:] + o
 
 
 def _linreg_i8_sums(G8: jnp.ndarray, W: jnp.ndarray, interpret: bool):
@@ -80,7 +83,23 @@ def _linreg_i8_sums(G8: jnp.ndarray, W: jnp.ndarray, interpret: bool):
     from jax.experimental.pallas import tpu as pltpu
     R, N = G8.shape
     KP = W.shape[1]
+    width = 2 * KP + 3
     grid = (R // TILE_R, N // TILE_N)
+    # Mosaic on the v5e relay fails ("failed to legalize 'func.return'")
+    # when this kernel is traced under jax_enable_x64 — the session enables
+    # x64 for f64 parity elsewhere, so trace the pallas call with x64 off
+    # (everything here is int8/f32; bisected r2).
+    import contextlib
+    x64_off = jax.enable_x64(False) if hasattr(jax, 'enable_x64') \
+        else contextlib.nullcontext()
+    with x64_off:
+        out = _pallas_sums_call(G8, W, R, N, KP, width, grid, interpret)
+    return out[:, :KP], out[:, KP:2 * KP], out[:, 2 * KP:]
+
+
+def _pallas_sums_call(G8, W, R, N, KP, width, grid, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
     return pl.pallas_call(
         _kernel,
         grid=grid,
@@ -90,24 +109,9 @@ def _linreg_i8_sums(G8: jnp.ndarray, W: jnp.ndarray, interpret: bool):
             pl.BlockSpec((TILE_N, KP), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((TILE_R, KP), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R, KP), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R, 4), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((R, KP), jnp.float32),
-            jax.ShapeDtypeStruct((R, KP), jnp.float32),
-            jax.ShapeDtypeStruct((R, 4), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * R * N * KP,
-            bytes_accessed=R * N + N * KP * 4 + 2 * R * KP * 4 + R * 16,
-            transcendentals=0,
-        ),
+        out_specs=pl.BlockSpec((TILE_R, width), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, width), jnp.float32),
         interpret=interpret,
     )(G8, W)
 
@@ -117,10 +121,11 @@ def _sums_ref(G8, W):
     miss = G8 < 0
     gz = jnp.where(miss, 0, G8).astype(jnp.float32)
     mf = miss.astype(jnp.float32)
-    gw = gz @ W
-    mw = mf @ W
-    st = jnp.stack([mf.sum(axis=1), gz.sum(axis=1), (gz * gz).sum(axis=1),
-                    jnp.zeros(G8.shape[0], jnp.float32)], axis=1)
+    hp = jax.lax.Precision.HIGHEST
+    gw = jnp.dot(gz, W, precision=hp)
+    mw = jnp.dot(mf, W, precision=hp)
+    st = jnp.stack([mf.sum(axis=1), gz.sum(axis=1), (gz * gz).sum(axis=1)],
+                   axis=1)
     return gw, mw, st
 
 

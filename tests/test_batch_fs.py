@@ -131,9 +131,15 @@ def test_batch_pool_executor():
         assert ex.map(lambda x: x * x, [1, 2, 3]) == [1, 4, 9]
 
 
-def test_service_backend_gated():
+def test_service_backend_runs_via_rest():
+    # ServiceBackend is no longer gated: it auto-starts the single-node
+    # batch service and submits over REST (tests/test_batch_service.py has
+    # the full coverage)
     be = hb.ServiceBackend(billing_project='x')
-    b = hb.Batch(backend=be)
-    b.new_job().command('true')
-    with pytest.raises(NotImplementedError):
-        b.run()
+    try:
+        b = hb.Batch(backend=be)
+        b.new_job().command('true')
+        run = b.run()
+        assert run.status()['state'] == 'success'
+    finally:
+        be.close()

@@ -1,0 +1,189 @@
+"""Single-node Batch service: REST endpoints, DAG scheduling, retries,
+cancel_after_n_failures, always_run — a ported subset of the reference's
+batch/test/test_batch.py + test_dag.py semantics (round-1 verdict item 7)."""
+
+import os
+import time
+
+import pytest
+
+from hail_tpu.batch_service import BatchService, BatchServiceClient
+
+
+@pytest.fixture(scope='module')
+def svc():
+    try:
+        service = BatchService.start_in_thread(n_workers=4)
+    except OSError:
+        pytest.skip('sockets unavailable in this sandbox')
+    yield service
+    service.shutdown()
+
+
+@pytest.fixture
+def client(svc):
+    return BatchServiceClient(f'http://127.0.0.1:{svc.port}')
+
+
+def test_simple_batch(client):
+    bid = client.create_batch(attributes={'name': 'simple'})
+    client.create_jobs(bid, [
+        {'job_id': 1, 'spec': {'command': 'echo hello'}},
+    ])
+    client.close_batch(bid)
+    st = client.wait(bid)
+    assert st['n_succeeded'] == 1 and st['state'] == 'complete'
+    assert 'hello' in client.get_job_log(bid, 1)
+
+
+def test_dag_ordering(client, tmp_path):
+    marker = str(tmp_path / 'order.txt')
+    bid = client.create_batch()
+    client.create_jobs(bid, [
+        {'job_id': 1, 'spec': {'command': f'echo 1 >> {marker}'}},
+        {'job_id': 2, 'spec': {'command': f'echo 2 >> {marker}'},
+         'parent_ids': [1]},
+        {'job_id': 3, 'spec': {'command': f'echo 3 >> {marker}'},
+         'parent_ids': [2]},
+    ])
+    client.close_batch(bid)
+    st = client.wait(bid)
+    assert st['n_succeeded'] == 3
+    with open(marker) as f:
+        assert f.read().split() == ['1', '2', '3']
+
+
+def test_failed_parent_cancels_children(client):
+    bid = client.create_batch()
+    client.create_jobs(bid, [
+        {'job_id': 1, 'spec': {'command': 'exit 3'}},
+        {'job_id': 2, 'spec': {'command': 'echo never'}, 'parent_ids': [1]},
+    ])
+    client.close_batch(bid)
+    st = client.wait(bid)
+    assert st['n_failed'] == 1 and st['n_cancelled'] == 1
+    assert client.get_job(bid, 1)['exit_code'] == 3
+    assert client.get_job(bid, 2)['state'] == 'Cancelled'
+
+
+def test_always_run_runs_after_failure(client, tmp_path):
+    marker = str(tmp_path / 'cleanup.txt')
+    bid = client.create_batch()
+    client.create_jobs(bid, [
+        {'job_id': 1, 'spec': {'command': 'false'}},
+        {'job_id': 2, 'spec': {'command': f'touch {marker}'},
+         'parent_ids': [1], 'always_run': True},
+    ])
+    client.close_batch(bid)
+    st = client.wait(bid)
+    assert client.get_job(bid, 2)['state'] == 'Success'
+    assert os.path.exists(marker)
+
+
+def test_retry_n_max_attempts(client, tmp_path):
+    counter = str(tmp_path / 'attempts')
+    # fails twice, succeeds on the 3rd attempt
+    cmd = (f'n=$(cat {counter} 2>/dev/null || echo 0); n=$((n+1)); '
+           f'echo $n > {counter}; [ "$n" -ge 3 ]')
+    bid = client.create_batch()
+    client.create_jobs(bid, [
+        {'job_id': 1, 'spec': {'command': cmd}, 'n_max_attempts': 5},
+    ])
+    client.close_batch(bid)
+    st = client.wait(bid)
+    job = client.get_job(bid, 1)
+    assert job['state'] == 'Success'
+    assert job['attempts'] == 3
+    with open(counter) as f:
+        assert f.read().strip() == '3'
+
+
+def test_cancel_after_n_failures(client):
+    bid = client.create_batch(cancel_after_n_failures=1)
+    client.create_jobs(bid, [
+        {'job_id': 1, 'spec': {'command': 'exit 1'}},
+        {'job_id': 2, 'spec': {'command': 'sleep 30'}},   # should be cancelled
+    ])
+    client.close_batch(bid)
+    st = client.wait(bid, timeout=25)
+    assert st['n_failed'] == 1
+    assert st['n_cancelled'] >= 1 or st['n_succeeded'] == 1
+
+
+def test_cancel_batch(client):
+    bid = client.create_batch()
+    client.create_jobs(bid, [
+        {'job_id': 1, 'spec': {'command': 'sleep 60'}},
+        {'job_id': 2, 'spec': {'command': 'echo x'}, 'parent_ids': [1]},
+    ])
+    client.close_batch(bid)
+    time.sleep(0.3)
+    client.cancel_batch(bid)
+    st = client.wait(bid, timeout=20)
+    jobs = {j['job_id']: j['state'] for j in client.list_jobs(bid)}
+    assert jobs[2] == 'Cancelled'
+    assert jobs[1] in ('Failed', 'Cancelled')  # terminated by cancel
+
+
+def test_bad_requests(client):
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError):
+        client.get_batch(999999)
+    with pytest.raises(urllib.error.HTTPError):
+        client.create_batch(cancel_after_n_failures=0)
+
+
+def test_fair_share_across_batches(client):
+    # two batches submitted together both make progress
+    bids = []
+    for _ in range(2):
+        bid = client.create_batch()
+        client.create_jobs(bid, [
+            {'job_id': j, 'spec': {'command': 'sleep 0.05'}}
+            for j in range(1, 7)])
+        client.close_batch(bid)
+        bids.append(bid)
+    for bid in bids:
+        st = client.wait(bid, timeout=60)
+        assert st['n_succeeded'] == 6
+
+
+def test_dsl_service_backend(tmp_path):
+    """hailtop.batch DSL pointed at the service (reference ServiceBackend)."""
+    import hail_tpu.batch as hb
+    backend = hb.ServiceBackend()
+    try:
+        b = hb.Batch(backend=backend, name='dsl-test')
+        j1 = b.new_job('first')
+        j1.command(f'echo step1 > {j1.out}')
+        j2 = b.new_job('second')
+        j2.command(f'cat {j1.out} > {j2.out}; echo step2 >> {j2.out}')
+        dest = str(tmp_path / 'final.txt')
+        b.write_output(j2.out, dest)
+        run = b.run()
+        assert run.status()['state'] == 'success', run.errors()
+        with open(dest) as f:
+            assert f.read().split() == ['step1', 'step2']
+    finally:
+        backend.close()
+
+
+def test_dsl_service_backend_python_job(tmp_path):
+    import hail_tpu.batch as hb
+    backend = hb.ServiceBackend()
+    try:
+        b = hb.Batch(backend=backend, name='pyjob')
+        j = b.new_python_job('compute')
+        result = j.call(_mult, 6, 7)
+        dest = str(tmp_path / 'answer.txt')
+        b.write_output(result.as_str(), dest)
+        run = b.run()
+        assert run.status()['state'] == 'success', run.errors()
+        with open(dest) as f:
+            assert f.read() == '42'
+    finally:
+        backend.close()
+
+
+def _mult(a, b):
+    return a * b
