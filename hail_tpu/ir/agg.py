@@ -966,51 +966,93 @@ class InfoScoreAgg(Aggregator):
 
 
 class ApproxCDFAgg(Aggregator):
-    """approx_cdf(x, k): quantile sketch. Round-1 implementation keeps a
-    bounded uniform subsample (reference uses the compact KLL-style sketch in
-    `agg/ApproxCDFAggregator`; same API, lower fidelity at extreme scale)."""
+    """approx_cdf(x, k): KLL quantile sketch (Karnin-Lang-Liberty) — bounded
+    memory, mergeable, rank error O(1/k) (the reference implements the same
+    sketch family in `agg/ApproxCDFAggregator.scala`).
+
+    Level h holds items of weight 2^h with capacity k*(2/3)^(H-1-h) (min 8).
+    An overflowing level is compacted: sorted, one random parity promoted to
+    level h+1, the other discarded. Odd buffers keep one item in place so the
+    total weight is EXACTLY n (ranks[-1] == n without fixups)."""
 
     name = 'approx_cdf'
-    MAX_KEEP = 8192
+    SHRINK = 2.0 / 3.0
 
     def result_type(self, arg_types, init_args):
         return ht.tstruct(values=ht.tarray(ht.tfloat64), ranks=ht.tarray(ht.tint64),
                           _compaction_counts=ht.tarray(ht.tint32))
 
+    def _cap(self, k, h, H):
+        import math
+        return max(int(math.ceil(k * (self.SHRINK ** (H - 1 - h)))), 8)
+
+    def _compact(self, levels, counts, k, rng):
+        while True:
+            H = len(levels)
+            over = None
+            for h in range(H):
+                if levels[h].size > self._cap(k, h, H):
+                    over = h
+                    break
+            if over is None:
+                return levels, counts
+            buf = np.sort(levels[over])
+            keep = np.empty(0, dtype=np.float64)
+            if buf.size % 2 == 1:
+                # keep one item at this level so total weight is preserved
+                keep_idx = rng.integers(0, buf.size)
+                keep = buf[keep_idx:keep_idx + 1]
+                buf = np.delete(buf, keep_idx)
+            promoted = buf[int(rng.integers(0, 2))::2]
+            levels[over] = keep
+            if over + 1 == H:
+                levels.append(promoted)
+                counts = counts + [0]
+            else:
+                levels[over + 1] = np.concatenate([levels[over + 1], promoted])
+            counts[over] += 1
+
     def seq(self, arg_cols, include, axis, init_args):
+        (k,) = init_args or (100,)
         (x,) = arg_cols
         ok = _include_and_defined(x, include)
         vals = np.broadcast_to(np.asarray(x.values, np.float64), ok.shape)[ok]
-        n = vals.size
-        if n > self.MAX_KEEP:
-            idx = np.linspace(0, n - 1, self.MAX_KEEP).astype(np.int64)
-            vals = np.sort(vals)[idx]
-            weight = n / self.MAX_KEEP
-        else:
-            vals = np.sort(vals)
-            weight = 1.0
-        return (vals, np.full(vals.shape, weight), np.int64(n))
+        rng = np.random.default_rng(0x5EED ^ vals.size)
+        levels = [np.asarray(vals, np.float64).ravel()]
+        counts = [0]
+        levels, counts = self._compact(levels, counts, k, rng)
+        return (levels, counts, np.int64(vals.size))
 
     def comb(self, a, b, init_args):
-        vals = np.concatenate([a[0], b[0]])
-        w = np.concatenate([a[1], b[1]])
-        order = np.argsort(vals, kind='stable')
-        vals, w = vals[order], w[order]
-        n = a[2] + b[2]
-        if vals.size > self.MAX_KEEP:
-            idx = np.linspace(0, vals.size - 1, self.MAX_KEEP).astype(np.int64)
-            scale = w.sum() / w[idx].sum() if w[idx].sum() > 0 else 1.0
-            vals, w = vals[idx], w[idx] * scale
-        return (vals, w, n)
+        (k,) = init_args or (100,)
+        la, ca, na = a
+        lb, cb, nb = b
+        H = max(len(la), len(lb))
+        levels = []
+        counts = []
+        for h in range(H):
+            xs = [l[h] for l in (la, lb) if h < len(l)]
+            levels.append(np.concatenate(xs) if len(xs) > 1 else xs[0].copy())
+            counts.append((ca[h] if h < len(ca) else 0)
+                          + (cb[h] if h < len(cb) else 0))
+        rng = np.random.default_rng(0xC0B ^ int(na + nb))
+        levels, counts = self._compact(levels, counts, k, rng)
+        return (levels, counts, na + nb)
 
     def result(self, state, init_args):
         from ..utils.structs import Struct
-        vals, w, n = state
+        levels, counts, n = state
+        vals = np.concatenate(levels) if levels else np.empty(0)
+        w = np.concatenate([np.full(l.size, 1 << h, np.int64)
+                            for h, l in enumerate(levels)]) if levels else \
+            np.empty(0, np.int64)
+        order = np.argsort(vals, kind='stable')
+        vals, w = vals[order], w[order]
         ranks = np.concatenate([[0], np.cumsum(w)]).astype(np.int64)
-        if ranks.size > 1:
-            ranks[-1] = n
+        assert ranks.size == 1 or ranks[-1] == n, (ranks[-1], n)
         return C.from_pylist(self.result_type([None], init_args), [Struct(
-            values=list(vals), ranks=list(ranks), _compaction_counts=[])])
+            values=list(vals), ranks=list(ranks),
+            _compaction_counts=[int(c) for c in counts])])
 
 
 class DownsampleAgg(Aggregator):
@@ -1254,7 +1296,77 @@ def combine_optional(agg_nodes, a, b):
 # `AggFold` — `is/hail/expr/ir/agg/`).
 # ---------------------------------------------------------------------------
 
-class GroupedAgg(Aggregator):
+class _SlicedStates:
+    """Per-slice states of an env-combinator aggregated over a PARTIAL axis
+    set (e.g. per-row aggregation over entries): one full-reduction state per
+    kept index. Cross-partition comb zips slice-wise, which is correct for
+    the only partial context that combines across partitions (column-wise
+    aggregation — slices are columns, consistent across row partitions)."""
+
+    __slots__ = ('states',)
+
+    def __init__(self, states):
+        self.states = states
+
+
+def _slice_env(env: EvalEnv, ka: int, i: int) -> EvalEnv:
+    """Project a 2-D env onto slice i of axis ka, dropping that axis."""
+    bindings = {}
+    for k, c in env.bindings.items():
+        sliced = c
+        if len(c.shape) == len(env.shape):
+            if c.shape[ka] == env.shape[ka] and env.shape[ka] != 1:
+                sliced = c.gather(np.asarray([i], dtype=np.int64), axis=ka)
+            new_shape = tuple(s for d, s in enumerate(sliced.shape) if d != ka)
+            sliced = sliced.reshape(new_shape)
+        bindings[k] = sliced
+    new_shape = tuple(s for d, s in enumerate(env.shape) if d != ka)
+    return EvalEnv(bindings, new_shape)
+
+
+class EnvCombinator(Aggregator):
+    """Shared machinery for group_by/explode/array_agg/fold: subclasses
+    implement `_seq_env_full` (full-reduction), `_comb_full`, and
+    `_result_one`; partial-axis contexts (annotate_rows/annotate_cols entry
+    aggregations) are lifted by slicing the kept axis — the reference
+    supports these combinators in any context (`agg/Extract.scala:26-146`)."""
+
+    def seq_env(self, node, env, axis, include):
+        if len(axis) == len(env.shape):
+            return self._seq_env_full(node, env, axis, include)
+        if len(env.shape) != 2 or len(axis) != 1:
+            raise NotImplementedError(
+                f'agg.{self.name}: unsupported aggregation context '
+                f'(shape {env.shape}, axis {axis})')
+        ka = 1 - axis[0]
+        inc = None if include is None else np.broadcast_to(include, env.shape)
+        states = []
+        for i in range(env.shape[ka]):
+            senv = _slice_env(env, ka, i)
+            sinc = None if inc is None else np.take(inc, i, axis=ka)
+            states.append(self._seq_env_full(
+                node, senv, tuple(range(len(senv.shape))), sinc))
+        return _SlicedStates(states)
+
+    def comb(self, a, b, init_args):
+        if isinstance(a, _SlicedStates):
+            assert isinstance(b, _SlicedStates) and len(a.states) == len(b.states)
+            return _SlicedStates([self._comb_full(x, y, init_args)
+                                  for x, y in zip(a.states, b.states)])
+        return self._comb_full(a, b, init_args)
+
+    def result_env(self, state, post_env):
+        if isinstance(state, _SlicedStates):
+            vals = []
+            for st_ in state.states:
+                col = self._result_one(st_, post_env)
+                v = col.to_pylist()
+                vals.append(v[0] if v else None)
+            return C.from_pylist(self.result_type(None, None), vals)
+        return self._result_one(state, post_env)
+
+
+class GroupedAgg(EnvCombinator):
     name = 'group_by'
 
     def __init__(self, key_ir, inner_ir, inner_nodes, key_t, value_t):
@@ -1267,9 +1379,7 @@ class GroupedAgg(Aggregator):
     def result_type(self, arg_types, init_args):
         return ht.tdict(self.key_t, self.value_t)
 
-    def seq_env(self, node, env, axis, include):
-        if len(axis) != len(env.shape):
-            raise NotImplementedError('agg.group_by requires a full reduction context')
+    def _seq_env_full(self, node, env, axis, include):
         key_col = self.key_ir.evaluate(env)
         if key_col.shape != env.shape:
             key_col = key_col.broadcast_to(env.shape)
@@ -1290,13 +1400,13 @@ class GroupedAgg(Aggregator):
             out[k] = partial_aggregate(self.inner_nodes, env, axis, extra_include=mask)
         return out
 
-    def comb(self, a, b, init_args):
+    def _comb_full(self, a, b, init_args):
         out = dict(a)
         for k, st_ in b.items():
             out[k] = combine_states(self.inner_nodes, out[k], st_) if k in out else st_
         return out
 
-    def result_env(self, state, post_env):
+    def _result_one(self, state, post_env):
         d = {}
         for k, st_ in state.items():
             col = finalize_aggregate(self.inner_ir, self.inner_nodes, st_,
@@ -1306,7 +1416,7 @@ class GroupedAgg(Aggregator):
         return C.from_pylist(ht.tdict(self.key_t, self.value_t), [frozendict(d)])
 
 
-class ExplodedAgg(Aggregator):
+class ExplodedAgg(EnvCombinator):
     name = 'explode'
 
     def __init__(self, arr_ir, var, inner_ir, inner_nodes, value_t):
@@ -1319,9 +1429,7 @@ class ExplodedAgg(Aggregator):
     def result_type(self, arg_types, init_args):
         return self.value_t
 
-    def seq_env(self, node, env, axis, include):
-        if len(axis) != len(env.shape):
-            raise NotImplementedError('agg.explode requires a full reduction context')
+    def _seq_env_full(self, node, env, axis, include):
         arr_col = self.arr_ir.evaluate(env)
         if arr_col.shape != env.shape:
             arr_col = arr_col.broadcast_to(env.shape)
@@ -1350,15 +1458,15 @@ class ExplodedAgg(Aggregator):
         inner_env = EvalEnv(new_bindings, (n,))
         return partial_aggregate(self.inner_nodes, inner_env, (0,))
 
-    def comb(self, a, b, init_args):
+    def _comb_full(self, a, b, init_args):
         return combine_states(self.inner_nodes, a, b)
 
-    def result_env(self, state, post_env):
+    def _result_one(self, state, post_env):
         return finalize_aggregate(self.inner_ir, self.inner_nodes, state,
                                   EvalEnv(dict(post_env.bindings), (1,)))
 
 
-class ArrayAggAgg(Aggregator):
+class ArrayAggAgg(EnvCombinator):
     name = 'array_agg'
 
     def __init__(self, arr_ir, var, inner_ir, inner_nodes, value_t):
@@ -1371,9 +1479,7 @@ class ArrayAggAgg(Aggregator):
     def result_type(self, arg_types, init_args):
         return ht.tarray(self.value_t)
 
-    def seq_env(self, node, env, axis, include):
-        if len(axis) != len(env.shape):
-            raise NotImplementedError('agg.array_agg requires a full reduction context')
+    def _seq_env_full(self, node, env, axis, include):
         arr_col = self.arr_ir.evaluate(env)
         if arr_col.shape != env.shape:
             arr_col = arr_col.broadcast_to(env.shape)
@@ -1395,12 +1501,12 @@ class ArrayAggAgg(Aggregator):
             states.append(partial_aggregate(self.inner_nodes, inner_env, (0,), extra_include=inc))
         return states
 
-    def comb(self, a, b, init_args):
+    def _comb_full(self, a, b, init_args):
         if len(a) < len(b):
             a, b = b, a
         return [combine_states(self.inner_nodes, x, y) for x, y in zip(a, b)] + list(a[len(b):])
 
-    def result_env(self, state, post_env):
+    def _result_one(self, state, post_env):
         vals = []
         for st_ in state:
             col = finalize_aggregate(self.inner_ir, self.inner_nodes, st_,
@@ -1410,7 +1516,7 @@ class ArrayAggAgg(Aggregator):
         return C.from_pylist(ht.tarray(self.value_t), [vals])
 
 
-class FoldAgg(Aggregator):
+class FoldAgg(EnvCombinator):
     name = 'fold'
 
     def __init__(self, zero_ir, accum_name, seq_ir, comb_name1, comb_name2, comb_ir, value_t):
@@ -1431,9 +1537,7 @@ class FoldAgg(Aggregator):
         v = col.to_pylist()
         return v[0] if v else None
 
-    def seq_env(self, node, env, axis, include):
-        if len(axis) != len(env.shape):
-            raise NotImplementedError('agg.fold requires a full reduction context')
+    def _seq_env_full(self, node, env, axis, include):
         n = int(np.prod(env.shape))
         flat_env_bindings = {k: c.broadcast_to(env.shape).reshape((n,))
                              for k, c in env.bindings.items()}
@@ -1449,12 +1553,12 @@ class FoldAgg(Aggregator):
             acc = v[0] if v else None
         return acc
 
-    def comb(self, a, b, init_args):
+    def _comb_full(self, a, b, init_args):
         bindings = {self.comb_name1: C.from_pylist(self.value_t, [a]),
                     self.comb_name2: C.from_pylist(self.value_t, [b])}
         res = self.comb_ir.evaluate(EvalEnv(bindings, (1,)))
         v = res.to_pylist()
         return v[0] if v else None
 
-    def result(self, state, init_args):
+    def _result_one(self, state, post_env):
         return C.from_pylist(self.value_t, [state])
