@@ -180,8 +180,12 @@ class BatchService:
             counts[r['state']] = r['c']
         n_done = sum(counts[s] for s in TERMINAL)
         complete = b['state'] != 'open' and n_done == b['n_jobs']
+        state = b['state']
+        if complete and state == 'running':
+            # all jobs terminal but the driver hasn't stamped the batch yet
+            state = 'complete'
         return {
-            'id': b['id'], 'state': b['state'],
+            'id': b['id'], 'state': state,
             'attributes': json.loads(b['attributes']),
             'billing_project': b['billing_project'],
             'n_jobs': b['n_jobs'], 'n_completed': n_done,

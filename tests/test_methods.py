@@ -10,6 +10,10 @@ from hail_tpu import types as ht
 
 @pytest.fixture(scope='module')
 def bn():
+    # pin the model seed: the session's ambient seed state depends on test
+    # ordering, and downstream assertions (e.g. ld_score > 0.5 needing
+    # polymorphic variants) are data-dependent
+    hl.reset_global_randomness()
     mt = hl.balding_nichols_model(2, 60, 80)
     mt = mt.annotate_cols(pheno=hl.rand_norm(seed=11), cov1=hl.rand_norm(seed=12))
     return mt.persist()
