@@ -34,3 +34,12 @@ _sys.modules['hail.experimental'] = _ht.experimental
 _sys.modules['hail.plot'] = _ht.plot
 _sys.modules['hail.ggplot'] = _ht.ggplot
 _sys.modules['hail.typecheck'] = __import__('hail_tpu.typecheck', fromlist=['x'])
+# reference test-harness imports (helpers.py:10, conftest.py:11-12)
+import hail_tpu.utils.java as _java
+import hail_tpu.backend as _backend_pkg
+import hail_tpu.backend.service_backend as _service_backend
+import hail_tpu.backend.backend as _backend_mod
+_sys.modules['hail.utils.java'] = _java
+_sys.modules['hail.backend'] = _backend_pkg
+_sys.modules['hail.backend.backend'] = _backend_mod
+_sys.modules['hail.backend.service_backend'] = _service_backend

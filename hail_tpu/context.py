@@ -64,6 +64,17 @@ class Env:
         return hc._seed_counter
 
     @classmethod
+    def is_fully_initialized(cls) -> bool:
+        # reference Env.is_fully_initialized (utils/java.py): session + backend up
+        return cls._hc is not None
+
+    @classmethod
+    def reset_global_randomness(cls) -> None:
+        # reference Env.reset_global_randomness: rewind the session rng
+        import hail_tpu
+        hail_tpu.reset_global_randomness()
+
+    @classmethod
     def is_initialized(cls) -> bool:
         return cls._hc is not None
 

@@ -35,6 +35,20 @@ from ..utils.structs import Struct
 # entry-expression → dense block helpers (the on-ramp to the jit tier)
 # ---------------------------------------------------------------------------
 
+def _match_gt_nalt(xe) -> Optional[str]:
+    """Detect x == <entry call field>.n_alt_alleles(); returns the entry
+    field name (the packed-call device-decode fast path) or None."""
+    from ..ir.nodes import Apply, GetField, Ref
+    ir = xe._ir
+    if isinstance(ir, Apply) and ir.name == 'n_alt_alleles' \
+            and len(ir.args) == 1:
+        a = ir.args[0]
+        if isinstance(a, GetField) and isinstance(a.struct, Ref) \
+                and a.struct.name == 'g':
+            return a.name
+    return None
+
+
 def _pruned_stage_for(mt: MatrixTable, exprs) -> 'MatrixStage':
     """Native-read stages load only the row/entry fields the expressions
     touch (projection pushdown; no-op for in-memory stages)."""
@@ -230,21 +244,13 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
     # byte/entry in the hot loop (ops/linreg_i8.py, f32 compute)
     use_i8 = (_precision == 'float32' and w_sqrt is None
               and xe.dtype in (ht.tint32, ht.tint64))
+    # packed-call device-decode fast path: x == <call field>.n_alt_alleles()
+    # ships the raw packed int32 column and decodes ON DEVICE — zero host
+    # per-entry work (linreg_block_call)
+    gt_field = _match_gt_nalt(xe) if use_i8 else None
+    all_keep = bool(keep.all())
 
-    def per_part(mb, i):
-        if use_i8:
-            from ..ops.linreg_i8 import linreg_stats_i8
-            G8 = _eval_entry_i8(mt, xe, mb, i)
-            res = linreg_stats_i8(G8[:, keep], Q, Y_r, yty_r, dof)
-            R = G8.shape[0]
-        else:
-            G, M = _eval_entry_f64(mt, xe, mb, i)
-            Gk = G[:, keep]
-            Mk = M[:, keep]
-            if w_sqrt is not None:
-                Gk = Gk * w_sqrt[keep][None, :]
-            res = linreg_stats(Gk, Mk, Q, Y_r, yty_r, dof, _precision)
-            R = G.shape[0]
+    def _pack_results(res, R):
         bad = res['bad']
         def arr_col(a):
             a = np.where(bad[:, None], 0.0, a)
@@ -273,6 +279,32 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
             't_stat': scal_col(res['t_stat'][:, 0]),
             'p_value': scal_col(res['p_value'][:, 0]),
         }
+
+    def per_part(mb, i):
+        if gt_field is not None:
+            col = mb.entries.get(gt_field)
+            if isinstance(col, C.PrimitiveColumn) and col.typ == ht.tcall:
+                from ..ops.linreg_i8 import linreg_stats_call
+                packed = col.values if all_keep else col.values[:, keep]
+                miss = col.missing
+                if miss is not None and not all_keep:
+                    miss = miss[:, keep]
+                res = linreg_stats_call(packed, miss, Q, Y_r, yty_r, dof)
+                return _pack_results(res, packed.shape[0])
+        if use_i8:
+            from ..ops.linreg_i8 import linreg_stats_i8
+            G8 = _eval_entry_i8(mt, xe, mb, i)
+            res = linreg_stats_i8(G8[:, keep], Q, Y_r, yty_r, dof)
+            R = G8.shape[0]
+        else:
+            G, M = _eval_entry_f64(mt, xe, mb, i)
+            Gk = G[:, keep]
+            Mk = M[:, keep]
+            if w_sqrt is not None:
+                Gk = Gk * w_sqrt[keep][None, :]
+            res = linreg_stats(Gk, Mk, Q, Y_r, yty_r, dof, _precision)
+            R = G.shape[0]
+        return _pack_results(res, R)
 
     from ..ir.nodes import required_fields
     req = required_fields([xe._ir])

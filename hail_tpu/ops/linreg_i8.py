@@ -151,7 +151,13 @@ def linreg_block_i8(G8: jnp.ndarray, W: jnp.ndarray, yty_r: jnp.ndarray,
     else:
         GW, MW, ST = _sums_ref(Gp, Wp)
     GW, MW, ST = GW[:R], MW[:R], ST[:R]
-    nmiss_pad = ST[:, 0] - (Np - N)                # padded cols are all-missing
+    return _ols_epilogue(GW, MW, ST, Np - N, N, k, yty_r, d)
+
+
+def _ols_epilogue(GW, MW, ST, n_pad_cols, N, k, yty_r, d):
+    """Shared OLS finish: algebraic mean imputation + beta/se/t from the
+    one-pass sums. `n_pad_cols` padded sample columns count as all-missing."""
+    nmiss_pad = ST[:, 0] - n_pad_cols
     cnt = jnp.float32(N) - nmiss_pad
     s = ST[:, 1]
     ss = ST[:, 2]
@@ -167,6 +173,55 @@ def linreg_block_i8(G8: jnp.ndarray, W: jnp.ndarray, yty_r: jnp.ndarray,
     se = jnp.sqrt(jnp.maximum(se2, 0.0))
     t = beta / se
     return cnt, s, Gy, beta, se, t, gg
+
+
+@partial(jax.jit, static_argnames=('k',))
+def linreg_block_call(packed: jnp.ndarray, missing: jnp.ndarray,
+                      W: jnp.ndarray, yty_r: jnp.ndarray, d: jnp.ndarray,
+                      k: int):
+    """OLS directly from PACKED genotype calls: the n_alt_alleles decode
+    (3 bit ops) runs ON DEVICE, fused by XLA into the GEMM pipeline — the
+    host evaluator does zero per-entry work (the TPU-native answer to the
+    host-eval bottleneck; BASELINE north star "dense int8 GT tensors").
+
+    packed: (R, N) int32 in genetics.call layout (ploidy bits [0:2),
+    j at [3:17), k at [17:32)); missing: (R, N) bool."""
+    ploidy = packed & 3
+    aj = (packed >> 3) & ((1 << 14) - 1)
+    ak = (packed >> 17) & ((1 << 15) - 1)
+    nalt = (((aj != 0) & (ploidy >= 1)).astype(jnp.float32)
+            + ((ak != 0) & (ploidy == 2)).astype(jnp.float32))
+    mf = missing.astype(jnp.float32)
+    gz = nalt * (1.0 - mf)
+    Wf = W.astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    GW = jnp.dot(gz, Wf, precision=hp)
+    MW = jnp.dot(mf, Wf, precision=hp)
+    ST = jnp.stack([mf.sum(axis=1), gz.sum(axis=1), (gz * gz).sum(axis=1)],
+                   axis=1)
+    return _ols_epilogue(GW, MW, ST, 0, packed.shape[1], k, yty_r, d)
+
+
+def linreg_stats_call(packed: np.ndarray, missing, Q: np.ndarray,
+                      y_r: np.ndarray, yty_r: np.ndarray, dof: int):
+    """Host wrapper of the packed-call device-decode path."""
+    import scipy.stats as st
+    k = Q.shape[1]
+    W = np.concatenate([Q, y_r], axis=1).astype(np.float32)
+    if missing is None:
+        missing = np.zeros(packed.shape, dtype=bool)
+    cnt, s, ytx, beta, se, t, gg = (np.asarray(v) for v in linreg_block_call(
+        jnp.asarray(np.ascontiguousarray(packed, dtype=np.int32)),
+        jnp.asarray(missing), jnp.asarray(W), jnp.asarray(yty_r),
+        jnp.asarray(float(dof)), k))
+    with np.errstate(all='ignore'):
+        p = 2 * st.t.sf(np.abs(np.asarray(t, np.float64)), dof)
+    bad = (gg <= 0) | (cnt == 0)
+    return dict(n=cnt.astype(np.int32), sum_x=s.astype(np.float64),
+                y_transpose_x=ytx.astype(np.float64),
+                beta=beta.astype(np.float64),
+                standard_error=se.astype(np.float64),
+                t_stat=t.astype(np.float64), p_value=p, bad=bad)
 
 
 def linreg_stats_i8(G8: np.ndarray, Q: np.ndarray, y_r: np.ndarray,

@@ -1,0 +1,49 @@
+"""Shim of the reference's `hail.utils.java` surface (reference
+`hail/python/hail/utils/java.py`): the pieces its own test harness imports
+(`test/hail/helpers.py:10`, `conftest.py:12`). There is no JVM here — `Env`
+maps onto the session singleton in hail_tpu.context."""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+
+class FatalError(Exception):
+    """Error from the execution engine (reference: JVM-side fatal errors)."""
+
+
+class HailUserError(Exception):
+    pass
+
+
+def choose_backend(backend: str | None = None) -> str:
+    """Reference resolution order: explicit arg → HAIL_QUERY_BACKEND env →
+    config → default ('spark' there; 'local' here — and 'spark' requests run
+    on the local backend anyway)."""
+    return (backend
+            or os.environ.get('HAIL_QUERY_BACKEND')
+            or 'local')
+
+
+def info(msg: str) -> None:
+    logging.getLogger('hail').info(msg)
+    print(msg, file=sys.stderr)
+
+
+def warning(msg: str) -> None:
+    logging.getLogger('hail').warning(msg)
+    print(msg, file=sys.stderr)
+
+
+def error(msg: str) -> None:
+    logging.getLogger('hail').error(msg)
+    print(msg, file=sys.stderr)
+
+
+def __getattr__(name):
+    if name == 'Env':
+        from ..context import Env
+        return Env
+    raise AttributeError(name)
