@@ -240,6 +240,11 @@ class LocusColumn(Column):
         return self.typ.reference_genome
 
     def global_position(self) -> np.ndarray:
+        if self.rg is None:
+            # genome-less loci (reference: rg=None keys are a plain
+            # contig/position struct): order by contig index then position
+            return ((self.contig_idx.astype(np.int64) << np.int64(33))
+                    + self.position.astype(np.int64))
         offsets = np.asarray([self.rg._global_offsets[c] for c in self.rg.contigs], dtype=np.int64)
         return offsets[self.contig_idx] + (self.position.astype(np.int64) - 1)
 

@@ -157,49 +157,68 @@ def segment_intervals(ht_table: Table, points) -> Table:
 def compute_charr(ds: MatrixTable, min_af: float = 0.05, max_af: float = 0.95,
                   min_dp: int = 10, max_dp: int = 100, min_gq: int = 20,
                   ref_AF=None) -> Table:
-    """CHARR contamination estimate (reference qc.compute_charr): mean ref-read
-    fraction at high-quality hom-alt sites."""
-    from ..genetics.call import calls_is_hom_var
+    """CHARR contamination estimate (reference qc.compute_charr): per sample,
+    mean over high-quality hom-alt biallelic autosomal SNVs of
+    (AD[0]/(AD[0]+AD[1])) / ref_AF."""
+    from ..genetics.call import calls_is_hom_var, calls_n_alt_alleles
+    from ..genetics.allele_type import is_snp as _is_snp
     st = ds._stage
     n = st.n_cols
+    need = [f for f in ('AD', 'GT', 'GQ') if f not in st.entry_type.fields]
+    if need:
+        raise ValueError(
+            f"'compute_charr': require a VDS or MatrixTable with fields "
+            f"LAD/LGT/GQ/DP or AD/GT/GQ/DP, missing {need}")
     num = np.zeros(n)
     den = np.zeros(n, dtype=np.int64)
     for i, ctx in enumerate(st.contexts):
         mb = st.partition_fn(ctx)
         gt = mb.entries['GT']
-        ad = mb.entries.get('AD')
+        ad = mb.entries['AD']
         dp = mb.entries.get('DP')
-        gq = mb.entries.get('GQ')
-        if ad is None:
-            raise ValueError('compute_charr requires AD entry field')
+        gq = mb.entries['GQ']
         packed = np.asarray(gt.values)
         ok = ~gt.missing_mask() & calls_is_hom_var(packed)
-        adv = ad.values.astype(np.float64)
-        tot = adv.sum(axis=-1)
+        adv = np.asarray(ad.values, dtype=np.float64)
+        ad01 = adv[..., 0] + adv[..., 1]
+        dpv = np.asarray(dp.values, np.float64) if dp is not None else ad01
+        ok &= (dpv >= min_dp) & (dpv <= max_dp)
         if dp is not None:
-            dpv = np.asarray(dp.values, dtype=np.float64)
-            ok &= (dpv >= min_dp) & (dpv <= max_dp) & ~dp.missing_mask()
-        if gq is not None:
-            ok &= (np.asarray(gq.values) >= min_gq) & ~gq.missing_mask()
-        # site af filter
-        af = None
+            ok &= ~dp.missing_mask()
+        ok &= (np.asarray(gq.values) >= min_gq) & ~gq.missing_mask()
+        # row filters: autosomal biallelic SNV with ref_AF in (min, max)
+        loci = mb.rows.columns.get(st.row_key[0] if st.row_key else 'locus')
+        alleles = mb.rows.columns.get('alleles')
+        row_ok = np.ones(mb.n_rows, dtype=bool)
+        if loci is not None and isinstance(loci, LocusColumn) and loci.rg is not None:
+            auto = set(loci.rg.contigs[:22]) if loci.rg.name in ('GRCh37', 'GRCh38') \
+                else None
+            contigs = [loci.rg.contigs[ci] for ci in np.asarray(loci.contig_idx)]
+            if auto is not None:
+                row_ok &= np.asarray([c in auto for c in contigs])
+        if alleles is not None:
+            al = alleles.to_pylist()
+            row_ok &= np.asarray([
+                a is not None and len(a) == 2 and len(a[0]) == 1
+                and len(a[1]) == 1 and a[0] != a[1] for a in al])
         if ref_AF is not None:
             env = ds._row_env(mb, i)
             col = to_expr(ref_AF)._ir.evaluate(env)
-            af = np.asarray(col.values, dtype=np.float64)
+            raf = np.broadcast_to(np.asarray(col.values, np.float64),
+                                  (mb.n_rows,))
         else:
-            na = (ok * 0)
-            # estimate from data: alt freq over called
-            from ..genetics.call import calls_n_alt_alleles
+            if n < 10_000:
+                raise ValueError(
+                    "'compute_charr': with fewer than 10,000 samples, require "
+                    "a reference AF in 'reference_data_source'.")
             called = ~gt.missing_mask()
             with np.errstate(all='ignore'):
-                af = calls_n_alt_alleles(packed).astype(np.float64).sum(
-                    axis=1, where=called) / np.maximum(2 * called.sum(axis=1), 1)
-        site_ok = (af >= min_af) & (af <= max_af)
-        ok &= site_ok[:, None]
+                raf = 1 - calls_n_alt_alleles(packed).astype(np.float64).sum(
+                    axis=1, where=called) / (2 * n)
+        row_ok &= (raf > min_af) & (raf < max_af)
+        ok &= row_ok[:, None]
         with np.errstate(all='ignore'):
-            ref_frac = adv[..., 0] / np.maximum(tot, 1)
-            charr_per = ref_frac / np.maximum(1 - af, 1e-6)[:, None]
+            charr_per = (adv[..., 0] / np.maximum(ad01, 1)) / raf[:, None]
         num += np.where(ok, charr_per, 0.0).sum(axis=0)
         den += ok.sum(axis=0)
     with np.errstate(all='ignore'):

@@ -37,7 +37,12 @@ def variant_qc(mt: MatrixTable, name: str = 'variant_qc') -> MatrixTable:
     from ..stats.hwe import hwe_test_vec
     from ..ir.columns import DenseArrayColumn
     if 'GT' not in mt._stage.entry_type.fields:
-        raise ValueError('variant_qc requires a GT entry field')
+        raise ValueError("Method 'variant_qc' requires an entry field 'GT' "
+                         "(type 'call')")
+    if 'alleles' not in mt._stage.row_type.fields \
+            or mt._stage.row_type['alleles'] != ht.tarray(ht.tstr):
+        raise ValueError("Method 'variant_qc' requires a field 'alleles' "
+                         "(type 'array<str>') in the row schema")
     st = mt._stage
     n_cols = st.n_cols
     has_dp = 'DP' in st.entry_type.fields

@@ -1342,6 +1342,24 @@ def _skat_table(groups: Dict, key_t, rows: List[Struct]) -> Table:
     return Table(TableStage.from_batches(Batch({}, 1), ['group'], t_row, [b]))
 
 
+def _skat_pvalue(q: float, lam: np.ndarray) -> Tuple[float, bool]:
+    """SKAT survival probability with the reference's exact numerics:
+    Davies AS-155 at R SKAT's defaults (lim=10000, acc=1e-6) — R's published
+    truth values ARE Davies-at-1e-6 output, so a more-exact integrator
+    (Ruben) differs from them by ~1e-6 and fails the reference's own 5e-8
+    asserts. Ruben remains the fallback when Davies faults."""
+    from ..stats.genchisq import davies_qf, pgenchisq_sf_py
+    try:
+        val, _n, fault = davies_qf(q, [1] * lam.size, list(lam),
+                                   [0.0] * lam.size, 0.0, 10000, 1e-6)
+        if fault == 0:
+            return min(max(1.0 - val, 0.0), 1.0), True
+    except Exception:
+        pass
+    return pgenchisq_sf_py(q, lam, np.ones(lam.size), np.zeros(lam.size),
+                           0.0, 0.0)
+
+
 def _linear_skat(key_expr, weight_expr, y, x, covariates, max_size: int = 46340) -> Table:
     key_t = to_expr(key_expr).dtype
     row_t = ht.tstruct(group=key_t, size=ht.tint32, q_stat=ht.tfloat64,
@@ -1389,7 +1407,7 @@ def _linear_skat_eager(key_expr, weight_expr, y, x, covariates, max_size: int = 
         if lam.size == 0:
             rows.append(Struct(group=key, size=len(idxs), q_stat=q, p_value=1.0, fault=0))
             continue
-        p, conv = pgenchisq_sf_py(q, lam, np.ones(lam.size), np.zeros(lam.size), 0.0, 0.0)
+        p, conv = _skat_pvalue(q, lam)
         rows.append(Struct(group=key, size=len(idxs), q_stat=q,
                            p_value=p, fault=0 if conv else 1))
     return _skat_table(groups, key_t, rows)
@@ -1462,7 +1480,7 @@ def _logistic_skat_eager(key_expr, weight_expr, y, x, covariates,
         if lam.size == 0:
             rows.append(Struct(group=key, size=len(idxs), q_stat=q, p_value=1.0, fault=0))
             continue
-        p, conv2 = pgenchisq_sf_py(q, lam, np.ones(lam.size), np.zeros(lam.size), 0.0, 0.0)
+        p, conv2 = _skat_pvalue(q, lam)
         rows.append(Struct(group=key, size=len(idxs), q_stat=q,
                            p_value=p, fault=0 if conv2 else 1))
     return _skat_table(groups, key_t, rows)

@@ -1527,6 +1527,9 @@ def parallelize(rows, schema: Optional[ht.tstruct] = None, key=None,
     """hl.Table.parallelize equivalent."""
     from .expr.expression import impute_type
     rows = list(rows)
+    if isinstance(schema, str):
+        # reference accepts type strings ('struct{locus:locus<GRCh37>,...}')
+        schema = ht.dtype(schema)
     if schema is None:
         if not rows:
             raise ValueError('parallelize: empty rows require a schema')

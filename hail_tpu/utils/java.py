@@ -20,11 +20,13 @@ class HailUserError(Exception):
 
 def choose_backend(backend: str | None = None) -> str:
     """Reference resolution order: explicit arg → HAIL_QUERY_BACKEND env →
-    config → default ('spark' there; 'local' here — and 'spark' requests run
-    on the local backend anyway)."""
+    config → default. The default is 'spark' exactly as in the reference:
+    hl.init maps 'spark' onto the thread-pool local backend, and the
+    reference test harness's backend-conditional xfails/skips (e.g.
+    `fails_local_backend`) then apply the same way they do upstream."""
     return (backend
             or os.environ.get('HAIL_QUERY_BACKEND')
-            or 'local')
+            or 'spark')
 
 
 def info(msg: str) -> None:

@@ -1,0 +1,39 @@
+#!/bin/bash
+# Run the REFERENCE's own test suites (unmodified, from /root/reference)
+# against this framework through the drop-in alias packages (hail/, hailtop/).
+# Usage:  make alias-tests            (writes ALIAS_TESTS.log)
+#         tools/alias_tests.sh [extra pytest args / test paths]
+#
+# Mechanics: --import-mode=importlib keeps sys.path untouched so
+# PYTHONPATH=/root/repo wins the `import hail` resolution over the
+# reference's own package; the reference conftest's markers are registered
+# inline; resources resolve via HAIL_TEST_RESOURCES_DIR.
+set -u
+cd "$(dirname "$0")/.."
+REF=${REF:-/root/reference/hail/python/test/hail}
+
+export PYTHONDONTWRITEBYTECODE=1
+export PYTHONPATH="$PWD:/root/reference/hail/python${PYTHONPATH:+:$PYTHONPATH}"
+export HAIL_TEST_RESOURCES_DIR=/root/reference/hail/hail/test/resources
+export JAX_PLATFORM_NAME=cpu
+export JAX_PLATFORMS=cpu
+
+DEFAULT_TARGETS=(
+  "$REF/methods/test_skat.py"
+  "$REF/methods/test_family_methods.py"
+  "$REF/methods/test_king.py"
+)
+
+if [ "$#" -gt 0 ]; then
+  TARGETS=("$@")
+else
+  TARGETS=("${DEFAULT_TARGETS[@]}")
+fi
+
+exec python -m pytest -p no:cacheprovider --import-mode=importlib \
+  --rootdir="$PWD" -q \
+  -o "markers=timeout: per-test timeout (reference suite)
+backend: backend selection (reference suite)
+cloud: cloud-only (reference suite)
+unchecked_allocator: jvm flag (reference suite)" \
+  "${TARGETS[@]}"
