@@ -1152,6 +1152,10 @@ def impute_type(value: Any) -> ht.HailType:
 
 
 def _container_has_exprs(value) -> bool:
+    from ..utils.structs import Struct as _Struct
+    if isinstance(value, _Struct):
+        return any(isinstance(v, Expression) or _container_has_exprs(v)
+                   for v in value.values())
     if isinstance(value, (list, tuple, set, frozenset)):
         return any(isinstance(v, Expression) or _container_has_exprs(v) for v in value)
     if isinstance(value, dict):
@@ -1171,6 +1175,10 @@ def to_expr(value: Any, dtype: Optional[ht.HailType] = None) -> Expression:
         return construct_expr(NA(dtype))
     # containers holding expressions build expression containers
     if _container_has_exprs(value):
+        from ..utils.structs import Struct as _Struct
+        if isinstance(value, _Struct):
+            from . import functions as F
+            return F.struct(**{k: to_expr(v) for k, v in value.items()})
         if isinstance(value, (list,)):
             elems = [to_expr(v) for v in value]
             t_el = elems[0].dtype

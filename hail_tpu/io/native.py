@@ -165,6 +165,11 @@ def write_table(table, path: str, overwrite: bool = False) -> None:
 
 def read_table(path: str):
     from ..table import Table, TableStage
+    from .hail_format import is_hail_native, read_hail_table
+    if is_hail_native(path):
+        # a directory written by the reference Hail (metadata.json.gz +
+        # EType-encoded parts) — decode via the compatibility reader
+        return read_hail_table(path)
     with open(os.path.join(path, 'metadata.json')) as f:
         meta = json.load(f)
     row_t = ht.dtype(meta['row_type'])
@@ -245,6 +250,9 @@ def write_matrix_table(mt, path: str, overwrite: bool = False) -> None:
 
 def read_matrix_table(path: str):
     from ..matrixtable import MatrixTable, MatrixStage, MatrixBatch
+    from .hail_format import is_hail_native, read_hail_matrix_table
+    if is_hail_native(path):
+        return read_hail_matrix_table(path)
     with open(os.path.join(path, 'metadata.json')) as f:
         meta = json.load(f)
     row_t = ht.dtype(meta['row_type'])

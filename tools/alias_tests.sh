@@ -22,6 +22,7 @@ DEFAULT_TARGETS=(
   "$REF/methods/test_skat.py"
   "$REF/methods/test_family_methods.py"
   "$REF/methods/test_king.py"
+  "$REF/methods/test_qc.py"
 )
 
 if [ "$#" -gt 0 ]; then
