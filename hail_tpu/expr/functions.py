@@ -1605,6 +1605,10 @@ _rand_counter = [0]
 
 
 def _rand_uniform_impl(seed):
+    """Uniform [0,1) per row via counter-based Threefry (reference
+    Random.scala: PMAC(nonce, staticID=seed, message=[row uid]) ->
+    ThreefryRandomEngine.nextDouble). Stable across partitionings because
+    row UIDs are (ir/random.py + TableStage.uid_for)."""
     if seed is None:
         from ..context import Env
         seed = Env.next_seed()
@@ -1615,10 +1619,10 @@ def _rand_uniform_impl(seed):
         # fixed seed produces identical values per row uid)
         salt = 0
     def impl(idx_col):
-        idx = np.asarray(idx_col.values, dtype=np.uint64)
-        with np.errstate(over='ignore'):
-            h = _splitmix64(idx * np.uint64(0x100000001B3) + np.uint64((seed * 1099511628211 + salt) & 0xFFFFFFFFFFFFFFFF))
-        u = (h >> np.uint64(11)).astype(np.float64) / _bi.float(1 << 53)
+        from ..ir.random import rand_unif01
+        idx = np.asarray(idx_col.values, dtype=np.int64)
+        u = rand_unif01(nonce=salt, static_id=seed,
+                        message=[idx.ravel()]).reshape(idx.shape)
         return PrimitiveColumn(ht.tfloat64, u, None)
     return impl
 

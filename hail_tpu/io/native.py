@@ -194,8 +194,10 @@ def read_table(path: str):
             f'read_table|{os.path.abspath(path)}|{stat.st_mtime_ns}|'
             f'{stat.st_size}|{sorted(fields) if fields else "*"}'.encode(),
             digest_size=16).hexdigest()
+        lens = [p.get('length', 0) for p in parts]
         st = TableStage(g, meta['key'], sel_t, list(range(len(parts))), pf,
-                        bounds, lineage=lineage)
+                        bounds, lineage=lineage,
+                        uid_bases=list(np.cumsum([0] + lens[:-1]).astype(int)))
 
         def prune(required):
             req = set(required) | set(meta['key'])

@@ -90,7 +90,8 @@ class MatrixStage:
     def __init__(self, globals: Batch, cols: Batch, row_key: List[str], col_key: List[str],
                  row_type: ht.tstruct, col_type: ht.tstruct, entry_type: ht.tstruct,
                  contexts: List[Any], partition_fn: Callable[[Any], MatrixBatch],
-                 partition_bounds: Optional[List] = None):
+                 partition_bounds: Optional[List] = None,
+                 uid_bases: Optional[List[int]] = None):
         self.globals = globals
         self.cols = cols
         self.row_key = list(row_key)
@@ -101,6 +102,13 @@ class MatrixStage:
         self.contexts = list(contexts)
         self.partition_fn = partition_fn
         self.partition_bounds = partition_bounds
+        # stable per-row UID base offsets (see TableStage.uid_bases)
+        self.uid_bases = list(uid_bases) if uid_bases is not None else None
+
+    def uid_for(self, part_idx: int, n: int) -> np.ndarray:
+        if self.uid_bases is not None and part_idx < len(self.uid_bases):
+            return np.int64(self.uid_bases[part_idx]) + np.arange(n, dtype=np.int64)
+        return (np.int64(part_idx) << np.int64(32)) + np.arange(n, dtype=np.int64)
 
     @property
     def n_cols(self) -> int:
@@ -119,7 +127,8 @@ class MatrixStage:
         ctxs = [(i, c) for i, c in enumerate(self.contexts)]
         return MatrixStage(self.globals, self.cols, self.row_key, self.col_key,
                            new_row_type or self.row_type, self.col_type,
-                           new_entry_type or self.entry_type, ctxs, new_fn)
+                           new_entry_type or self.entry_type, ctxs, new_fn,
+                           uid_bases=self.uid_bases)
 
     def collect_batches(self) -> List[MatrixBatch]:
         return Env.backend().map_collect(self.contexts, self.partition_fn)
@@ -127,8 +136,10 @@ class MatrixStage:
     @staticmethod
     def from_batches(globals, cols, row_key, col_key, row_type, col_type, entry_type,
                      batches: List[MatrixBatch]) -> 'MatrixStage':
+        bases = list(np.cumsum([0] + [b.n_rows for b in batches[:-1]]).astype(int))
         return MatrixStage(globals, cols, row_key, col_key, row_type, col_type,
-                           entry_type, list(range(len(batches))), lambda i: batches[i])
+                           entry_type, list(range(len(batches))), lambda i: batches[i],
+                           uid_bases=bases)
 
 
 class MatrixTable:
@@ -250,7 +261,7 @@ class MatrixTable:
     def _row_env(self, mb: MatrixBatch, part_idx: int) -> EvalEnv:
         n = mb.n_rows
         va = StructColumn(mb.rows.row_type, dict(mb.rows.columns), None, (n,))
-        idx = (np.int64(part_idx) << np.int64(32)) + np.arange(n, dtype=np.int64)
+        idx = self._stage.uid_for(part_idx, n)
         return EvalEnv({'va': va, 'global': self._global_col(),
                         '__row_idx__': PrimitiveColumn(ht.tint64, idx)}, (n,))
 
@@ -271,7 +282,13 @@ class MatrixTable:
         g_t = ht.tstruct(**{k: c.typ for k, c in mb.entries.items()})
         g = StructColumn(g_t, dict(mb.entries), None, (R, Cn))
         gl = self._global_col().reshape((1, 1))
-        idx = ((np.int64(part_idx) << np.int64(32)) + np.arange(R, dtype=np.int64)).reshape(R, 1)
+        # per-ENTRY uid: row_uid * n_cols + col index (reference: entry uid =
+        # (row uid, col idx) pair fed to the PMAC message, `ir.py` RNGSplit
+        # with entry_uid) — distinct rand values per entry, stable across
+        # partitionings
+        row_uid = self._stage.uid_for(part_idx, R)
+        idx = row_uid.reshape(R, 1) * np.int64(max(Cn, 1)) \
+            + np.arange(Cn, dtype=np.int64).reshape(1, Cn)
         return EvalEnv({'va': va, 'sa': sa, 'g': g, 'global': gl,
                         '__row_idx__': PrimitiveColumn(ht.tint64, idx)}, (R, Cn))
 

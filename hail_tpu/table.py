@@ -37,13 +37,21 @@ class TableStage:
     def __init__(self, globals: Batch, key: List[str], row_type: ht.tstruct,
                  contexts: List[Any], partition_fn: Callable[[Any], Batch],
                  partition_bounds: Optional[List[Interval]] = None,
-                 lineage: Optional[str] = None):
+                 lineage: Optional[str] = None,
+                 uid_bases: Optional[List[int]] = None):
         self.globals = globals
         self.key = list(key)
         self.row_type = row_type
         self.contexts = list(contexts)
         self.partition_fn = partition_fn
         self.partition_bounds = partition_bounds
+        # per-partition base offsets for stable row UIDs (rand_* / uid
+        # machinery): uid = uid_bases[p] + local index. When known (sources
+        # with known partition row counts, materialized batches) this makes
+        # randomness independent of the partitioning, mirroring the
+        # reference's read-time row UIDs (`ir/table_ir.py` uid fields +
+        # dev-docs/hail-query/randomness.md). None -> (p << 32) + i fallback.
+        self.uid_bases = list(uid_bases) if uid_bases is not None else None
         # semantic lineage: stable content hash of (source, op chain) when
         # every op in the chain has IR-derived identity; None = not cacheable.
         # Powers the per-partition fast-restarts cache (reference
@@ -76,11 +84,19 @@ class TableStage:
         ctxs = [(i, c) for i, c in enumerate(self.contexts)]
         return TableStage(self.globals, self.key, new_row_type, ctxs, new_fn,
                           self.partition_bounds if preserves_bounds else None,
-                          self._child_lineage(lineage_tag))
+                          self._child_lineage(lineage_tag),
+                          uid_bases=self.uid_bases)
 
     def with_globals(self, new_globals: Batch) -> 'TableStage':
         return TableStage(new_globals, self.key, self.row_type, self.contexts,
-                          self.partition_fn, self.partition_bounds)
+                          self.partition_fn, self.partition_bounds,
+                          uid_bases=self.uid_bases)
+
+    def uid_for(self, part_idx: int, n: int) -> np.ndarray:
+        """Stable per-row UIDs for partition `part_idx` of length n."""
+        if self.uid_bases is not None and part_idx < len(self.uid_bases):
+            return np.int64(self.uid_bases[part_idx]) + np.arange(n, dtype=np.int64)
+        return (np.int64(part_idx) << np.int64(32)) + np.arange(n, dtype=np.int64)
 
     def collect_batches(self) -> List[Batch]:
         from .ir.semhash import execution_cache
@@ -116,8 +132,10 @@ class TableStage:
     def from_batches(globals: Batch, key: List[str], row_type: ht.tstruct,
                      batches: List[Batch],
                      partition_bounds=None) -> 'TableStage':
+        bases = list(np.cumsum([0] + [b.length for b in batches[:-1]]).astype(int))
         return TableStage(globals, key, row_type, list(range(len(batches))),
-                          lambda i: batches[i], partition_bounds)
+                          lambda i: batches[i], partition_bounds,
+                          uid_bases=bases)
 
 
 class JoinLookup(IR):
@@ -240,7 +258,7 @@ class Table:
         row = StructColumn(batch.row_type, dict(batch.columns), None, (n,))
         gt = self._stage.globals_type
         g = StructColumn(gt, dict(self._stage.globals.columns), None, (1,))
-        idx = (np.int64(part_idx) << np.int64(32)) + np.arange(n, dtype=np.int64)
+        idx = self._stage.uid_for(part_idx, n)
         return EvalEnv({
             'row': row, 'global': g,
             '__row_idx__': PrimitiveColumn(ht.tint64, idx),
@@ -1518,7 +1536,8 @@ def range_table(n: int, n_partitions: Optional[int] = None) -> Table:
         s, e = ctx
         return Batch({'idx': PrimitiveColumn(ht.tint32, np.arange(s, e, dtype=np.int32))}, e - s)
     g = Batch({}, 1)
-    return Table(TableStage(g, ['idx'], row_t, contexts, pf))
+    return Table(TableStage(g, ['idx'], row_t, contexts, pf,
+                            uid_bases=[s for s, _ in contexts]))
 
 
 def parallelize(rows, schema: Optional[ht.tstruct] = None, key=None,
