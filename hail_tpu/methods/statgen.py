@@ -1571,7 +1571,7 @@ def linear_mixed_regression_rows(entry_expr, model, pa_t_path=None,
     else:
         raise ValueError('model lacks rotation matrix; build with '
                          'hl.linear_mixed_model (which retains it)')
-    res = model.fit_alternatives_numpy(pa)
+    res = model.fit_alternatives_batched(pa)
     key_fields = mt._stage.row_key
     rows_b = mt.rows()._stage.collect_single()
     out_cols = {kf: rows_b.columns[kf] for kf in key_fields}

@@ -163,3 +163,97 @@ class LinearMixedModel:
         chi2 = np.maximum(chi2, 0)
         p = st.chi2.sf(chi2, 1)
         return {'beta': betas, 'sigma_sq': sig, 'chi_sq': chi2, 'p_value': p}
+
+    def fit_alternatives_batched(self, pa: np.ndarray):
+        """Vectorized per-variant LRT over rotated genotypes pa (n×m).
+
+        Same statistics as `fit_alternatives_numpy` but computed in closed
+        form for all variants at once (rank-one update of the weighted
+        normal equations — the augmented RSS is RSS_X - (gᵀWM_Xy)²/(gᵀWM_Xg)
+        and logdet grows by log of the Schur complement), with the heavy
+        GEMMs on the device (MXU). The per-variant Python loop is O(m·k³);
+        this is two (k×n)·(n×m) GEMMs + elementwise.
+        """
+        import scipy.stats as st
+        import jax.numpy as jnp
+        assert self._fitted
+        delta = 1.0 / self.gamma
+        d = self.s + delta
+        w = 1.0 / d
+        px, py = self.px, self.py
+        n, k = px.shape
+
+        wpx = px * w[:, None]                  # n×k
+        xtx0 = wpx.T @ px                      # k×k
+        xty0 = wpx.T @ py                      # k
+        xtx0_inv = np.linalg.inv(xtx0)
+        beta0 = xtx0_inv @ xty0
+        r0 = py - px @ beta0                   # weighted-fit residual
+        sign0, logdet0 = np.linalg.slogdet(xtx0)
+        sum_log_d = float(np.sum(np.log(d)))
+        null_nll, _, _ = self._neg_reml(math.log(delta))
+
+        paj = jnp.asarray(pa)
+        wj = jnp.asarray(w)
+        # gW* contractions (device): xg = pxᵀW g per variant, plus scalars
+        xg = jnp.asarray(wpx).T @ paj                      # k×m
+        ggw = jnp.sum(paj * (wj[:, None] * paj), axis=0)    # m
+        gy = (wj * py) @ paj                                # m
+        gr0 = (wj * r0) @ paj                               # m  (= gᵀ W M_X y)
+        xg_h = np.asarray(xg)
+        ggw_h = np.asarray(ggw)
+        gy_h = np.asarray(gy)
+        gr0_h = np.asarray(gr0)
+
+        s_g = ggw_h - np.einsum('km,kl,lm->m', xg_h, xtx0_inv, xg_h)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            beta_g = gr0_h / s_g
+            rss_x = float(np.sum(w * r0 * r0))
+            rss = rss_x - gr0_h * gr0_h / s_g
+            dof = n - k - 1
+            sigma_g2 = rss / dof
+            ll = -0.5 * (sum_log_d + dof * np.log(rss) + logdet0 + np.log(s_g))
+            chi2 = 2 * (ll - (-null_nll))
+        bad = ~np.isfinite(s_g) | (s_g <= 0) | ~np.isfinite(rss) | (rss <= 0)
+        beta_g[bad] = np.nan
+        chi2 = np.where(bad, np.nan, np.maximum(chi2, 0))
+        p = st.chi2.sf(chi2, 1)
+        return {'beta': beta_g, 'sigma_sq': sigma_g2, 'chi_sq': chi2,
+                'p_value': p}
+
+    def compute_neg_log_reml(self, log_gamma, return_parameters=False):
+        """Historical API (reference docs): -REML log-likelihood at the given
+        log γ (γ = σ²_g/σ²_e ⇒ log δ = -log γ)."""
+        nll, beta, sigma_g2 = self._neg_reml(-float(log_gamma))
+        if return_parameters:
+            delta = math.exp(-float(log_gamma))
+            return nll, beta, sigma_g2, sigma_g2 * delta
+        return nll
+
+    @property
+    def h_sq_standard_error(self) -> Optional[float]:
+        """Delta-method SE of h² from the curvature of the REML surface in
+        log γ (numerical second derivative), mirroring the historical
+        LinearMixedModel.h_sq_standard_error."""
+        if not self._fitted:
+            return None
+        lg = self.log_gamma
+        eps = 1e-3
+        f = lambda x: self.compute_neg_log_reml(x)
+        d2 = (f(lg + eps) - 2 * f(lg) + f(lg - eps)) / (eps * eps)
+        if not np.isfinite(d2) or d2 <= 0:
+            return None
+        var_lg = 1.0 / d2
+        g = math.exp(lg)
+        dh_dlg = g / (1 + g) ** 2      # h² = γ/(1+γ)
+        return float(dh_dlg * math.sqrt(var_lg))
+
+    def h_sq_normalized_lkhd(self, n_points: int = 101) -> np.ndarray:
+        """Normalized REML likelihood over an h² grid in (0,1) (historical
+        API: discretized posterior for h²)."""
+        hs = np.linspace(0.01, 0.99, n_points)
+        lls = np.array([-self.compute_neg_log_reml(math.log(h / (1 - h)))
+                        for h in hs])
+        lls -= lls.max()
+        lk = np.exp(lls)
+        return lk / lk.sum()
