@@ -390,9 +390,8 @@ class MatrixTable:
             partials = Env.backend().map_collect(self._stage.contexts, part)
             if not partials:
                 raise ValueError('aggregation over an empty matrix')
-            state = partials[0]
-            for s in partials[1:]:
-                state = aggmod.combine_states(agg_nodes, state, s)
+            from .table import _tree_combine
+            state = _tree_combine(agg_nodes, partials)
             col = aggmod.finalize_aggregate(e._ir, agg_nodes, state, self._col_env())
         else:
             col = e._ir.evaluate(self._col_env())
@@ -619,9 +618,8 @@ class MatrixTable:
             mb = self._stage.partition_fn(ctx)
             return aggmod.partial_aggregate(agg_nodes, self._row_env(mb, 0), (0,))
         partials = Env.backend().map_collect(self._stage.contexts, part)
-        state = partials[0]
-        for s in partials[1:]:
-            state = aggmod.combine_states(agg_nodes, state, s)
+        from .table import _tree_combine
+        state = _tree_combine(agg_nodes, partials)
         col = aggmod.finalize_aggregate(e._ir, agg_nodes, state, self._globals_env())
         vals = col.to_pylist()
         return vals[0] if vals else None
@@ -641,9 +639,8 @@ class MatrixTable:
             mb = self._stage.partition_fn(ctx)
             return aggmod.partial_aggregate(agg_nodes, self._entry_env(mb, 0), (0, 1))
         partials = Env.backend().map_collect(self._stage.contexts, part)
-        state = partials[0]
-        for s in partials[1:]:
-            state = aggmod.combine_states(agg_nodes, state, s)
+        from .table import _tree_combine
+        state = _tree_combine(agg_nodes, partials)
         col = aggmod.finalize_aggregate(e._ir, agg_nodes, state, self._globals_env())
         vals = col.to_pylist()
         return vals[0] if vals else None

@@ -138,6 +138,28 @@ class TableStage:
                           uid_bases=bases)
 
 
+def _tree_combine(agg_nodes, partials):
+    """Combine per-partition aggregator states as a tree with the session
+    branching factor (reference `LowerTableIR.scala:835-870` tree-reduce;
+    `hl.init(branching_factor=...)`). Groups are consecutive chunks combined
+    left-to-right, preserving order-sensitive aggregators (collect/take);
+    each round's groups combine in parallel on the backend pool."""
+    bf = max(2, int(getattr(Env.hc(), 'branching_factor', 50)))
+
+    def reduce_chunk(chunk):
+        acc = chunk[0]
+        for s in chunk[1:]:
+            acc = aggmod.combine_states(agg_nodes, acc, s)
+        return acc
+
+    while len(partials) > 1:
+        chunks = [partials[i:i + bf] for i in range(0, len(partials), bf)]
+        if len(chunks) == 1:
+            return reduce_chunk(chunks[0])
+        partials = Env.backend().map_collect(chunks, reduce_chunk)
+    return partials[0]
+
+
 class JoinLookup(IR):
     """IR node for `other_table[key_expr]`: a broadcast hash-join lookup
     (analogue of the reference's TableJoin-in-expression idiom used all over
@@ -318,9 +340,11 @@ class Table:
             acc = aggmod.combine_optional(scan_nodes, acc, p)
             carries.append(acc)
         node_by_uid = {n.uid: n for n in scan_nodes}
-        # phase 2: per-partition scan with known carries
-        batches = []
-        for i, ctx in enumerate(self._stage.contexts):
+        # phase 2: per-partition scan with known carries — runs in parallel
+        # over partitions (only the cheap carry prefix above is sequential,
+        # mirroring the reference's distributed_scan_comb_op path)
+        def phase2(ctx2):
+            i, ctx = ctx2
             batch = self._stage.partition_fn(ctx)
             env = self._row_env(batch, i)
             results = {}
@@ -337,7 +361,9 @@ class Table:
                 if col.shape != (batch.length,):
                     col = col.broadcast_to((batch.length,))
                 cols[k] = col
-            batches.append(batch.annotate(**cols))
+            return batch.annotate(**cols)
+        batches = Env.backend().map_collect(
+            list(enumerate(self._stage.contexts)), phase2)
         return Table(TableStage.from_batches(self._stage.globals, self._stage.key,
                                              new_t, batches, self._stage.partition_bounds))
 
@@ -550,9 +576,7 @@ class Table:
         if not partials:
             empty = Batch.empty(self._stage.row_type)
             partials = [aggmod.partial_aggregate(agg_nodes, self._row_env(empty, 0), (0,))]
-        state = partials[0]
-        for s in partials[1:]:
-            state = aggmod.combine_states(agg_nodes, state, s)
+        state = _tree_combine(agg_nodes, partials)
         col = aggmod.finalize_aggregate(e._ir, agg_nodes, state, self._globals_env())
         vals = col.to_pylist()
         return vals[0] if vals else None

@@ -89,3 +89,18 @@ def test_toplevel_still_works(mt):
     from collections import Counter
     oracle = Counter(e.nalt for e in ent)
     assert dict(d) == dict(oracle)
+
+
+def test_tree_combine_branching_factor(monkeypatch):
+    """Tree-reduce with small branching factor matches sequential fold and
+    preserves order-sensitive aggregators (reference LowerTableIR tree)."""
+    import hail_tpu as hl
+    from hail_tpu.context import Env
+    monkeypatch.setattr(Env.hc(), 'branching_factor', 2)
+    t = hl.utils.range_table(1000, n_partitions=37)
+    res = t.aggregate(hl.struct(s=hl.agg.sum(t.idx),
+                                c=hl.agg.collect(t.idx),
+                                tk=hl.agg.take(t.idx, 5)))
+    assert res.s == 999 * 1000 // 2
+    assert res.c == list(range(1000))
+    assert res.tk == [0, 1, 2, 3, 4]
