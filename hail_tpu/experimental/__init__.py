@@ -353,8 +353,7 @@ def phase_by_transmission(locus, alleles, c, tm=None):
         t, lambda l, a, calls: phase(l, a, calls)), le, ae, ce)
 
 
-def load_dataset(name, version, reference_genome, region='us-central1', cloud='gcp'):
-    raise NotImplementedError('annotation datasets require cloud access (gated)')
+from .datasets import load_dataset  # noqa: E402
 
 
 def simulate_phenotypes(mt, genotype, h2, pi=1.0, rg=None, annot=None,
@@ -432,5 +431,6 @@ from .extras import (gather, spread, separate, strftime, strptime,
                      mt_to_table_of_ndarray, block_matrices_tofiles,
                      export_block_matrices, write_block_matrices,
                      write_matrix_tables, plot_roc_curve, hail_metadata,
-                     get_gene_intervals, DB, Function)
+                     get_gene_intervals, Function)
+from .datasets import DB, get_datasets_metadata
 from ..context import init  # reference experimental re-exports init

@@ -685,15 +685,3 @@ def get_gene_intervals(gene_symbols=None, gene_ids=None, transcript_ids=None,
     if verbose:
         print(f'get_gene_intervals: found {len(out)} intervals')
     return out
-
-
-class DB:
-    """Annotation database (reference experimental/db.py). The dataset
-    registry lives in cloud buckets; this build has no egress."""
-
-    def __init__(self, *, region='us-central1', cloud='gcp', url=None,
-                 config=None):
-        raise NotImplementedError(
-            'hl.experimental.DB requires the cloud-hosted annotation dataset '
-            'registry; this build has no network egress. Use '
-            'hl.experimental.import_gtf / import_table on local copies.')

@@ -166,6 +166,39 @@ class Interval:
     def __hash__(self) -> int:
         return hash((_try_hash(self.start), _try_hash(self.end), self.includes_start, self.includes_end))
 
+    @staticmethod
+    def _point_key(p):
+        # loci order by (contig index, position); other points by themselves
+        if hasattr(p, 'contig') and hasattr(p, 'position'):
+            return (p.reference_genome.contig_index(p.contig), p.position)
+        return p
+
+    def _order_key(self):
+        # inclusive start sorts before exclusive at the same point; shorter
+        # (exclusive-ended) intervals sort first at the same end point
+        return (Interval._point_key(self.start), not self.includes_start,
+                Interval._point_key(self.end), self.includes_end)
+
+    def __lt__(self, other):
+        if not isinstance(other, Interval):
+            return NotImplemented
+        return self._order_key() < other._order_key()
+
+    def __le__(self, other):
+        if not isinstance(other, Interval):
+            return NotImplemented
+        return self._order_key() <= other._order_key()
+
+    def __gt__(self, other):
+        if not isinstance(other, Interval):
+            return NotImplemented
+        return other.__lt__(self)
+
+    def __ge__(self, other):
+        if not isinstance(other, Interval):
+            return NotImplemented
+        return other.__le__(self)
+
     def __repr__(self) -> str:
         lb = '[' if self.includes_start else '('
         rb = ']' if self.includes_end else ')'
