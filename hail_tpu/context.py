@@ -121,8 +121,14 @@ def init(backend: str = 'local',
     elif backend == 'multihost':
         from .backend.distributed import MultihostBackend
         b = MultihostBackend()
+    elif backend in ('service', 'batch'):
+        from .backend.service_backend import ServiceBackend
+        b = ServiceBackend(url=kwargs.pop('service_url', None),
+                           billing_project=kwargs.pop('billing_project', None) or 'local',
+                           n_workers=n_threads or 4)
     else:
-        raise ValueError(f'unknown backend {backend!r} (expected local or multihost)')
+        raise ValueError(
+            f'unknown backend {backend!r} (expected local, multihost, or service)')
     tmp = tmp_dir or os.environ.get('TMPDIR', '/tmp')
     Env._hc = HailContext(
         b, log or 'hail_tpu.log', quiet, append, tmp, local_tmpdir or tmp,
@@ -189,11 +195,13 @@ def init_local(log=None, quiet=False, append=False, branching_factor=50,
 
 
 def init_batch(*args, **kwargs) -> None:
-    """Reference: initialize against the Batch service backend. This build has
-    no cloud service; the multihost mesh backend is the nearest analogue."""
-    kwargs.pop('billing_project', None)
+    """Initialize against the Batch service backend (Query-on-Batch):
+    partitions run as jobs of the single-node Batch service (reference
+    hl.init_batch -> ServiceBackend, backend/service_backend.py)."""
     kwargs.pop('remote_tmpdir', None)
-    init(backend='multihost',
+    init(backend='service',
+         billing_project=kwargs.pop('billing_project', None),
+         service_url=kwargs.pop('service_url', None),
          default_reference=kwargs.pop('default_reference', 'GRCh37'),
          global_seed=kwargs.pop('global_seed', None))
 
