@@ -12,12 +12,35 @@ backend (hail_tpu/backend/distributed.py) shards contexts across
 from __future__ import annotations
 
 import os
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, List, Optional, Sequence
 
 
 class Backend:
+    """Template: `map_collect` times every stage and writes a per-stage record
+    to the session log (the analogue of the reference's per-stage Spark log
+    lines and QoB X-Hail-Timings), then delegates to the subclass's
+    `_map_collect_impl`."""
+
+    _stage_counter = 0
+
     def map_collect(self, contexts: Sequence[Any], fn: Callable[[Any], Any]) -> List[Any]:
+        contexts = list(contexts)
+        Backend._stage_counter += 1
+        stage_id = Backend._stage_counter
+        t0 = time.perf_counter()
+        try:
+            results = self._map_collect_impl(contexts, fn)
+            return results
+        finally:
+            from ..utils.hail_logging import logger
+            logger().info(
+                'stage %d (%s): %d partition(s) in %.3fs',
+                stage_id, type(self).__name__, len(contexts),
+                time.perf_counter() - t0)
+
+    def _map_collect_impl(self, contexts: Sequence[Any], fn: Callable[[Any], Any]) -> List[Any]:
         raise NotImplementedError
 
     def stop(self) -> None:
@@ -40,8 +63,7 @@ class LocalBackend(Backend):
             self._pool = ThreadPoolExecutor(max_workers=self.n_threads)
         return self._pool
 
-    def map_collect(self, contexts, fn):
-        contexts = list(contexts)
+    def _map_collect_impl(self, contexts, fn):
         if len(contexts) <= 1:
             return [fn(c) for c in contexts]
         return list(self.pool.map(fn, contexts))

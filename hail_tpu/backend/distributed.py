@@ -41,11 +41,11 @@ class MultihostBackend(Backend):
         import jax
         return jax.process_count()
 
-    def map_collect(self, contexts, fn):
+    def _map_collect_impl(self, contexts, fn):
         contexts = list(contexts)
         n_proc = self.process_count
         if n_proc == 1:
-            return self._local.map_collect(contexts, fn)
+            return self._local._map_collect_impl(contexts, fn)
         idxs, local_results = self.map_local(contexts, fn)
         # serialize and allgather across hosts: in the SPMD driver model
         # every process continues the same program, so each needs the merged
@@ -67,7 +67,7 @@ class MultihostBackend(Backend):
         n_proc = self.process_count
         pid = self.process_index
         mine = [(i, c) for i, c in enumerate(contexts) if i % n_proc == pid]
-        results = self._local.map_collect([c for _, c in mine], fn)
+        results = self._local._map_collect_impl([c for _, c in mine], fn)
         return [i for i, _ in mine], results
 
     def owns(self, index: int) -> bool:

@@ -57,7 +57,7 @@ class ServiceBackend(Backend):
         self._staging_root = staging_dir or tempfile.mkdtemp(prefix='hail_tpu_qob_')
         self._counter = 0
 
-    def map_collect(self, contexts: Sequence[Any], fn: Callable[[Any], Any]) -> List[Any]:
+    def _map_collect_impl(self, contexts: Sequence[Any], fn: Callable[[Any], Any]) -> List[Any]:
         import cloudpickle
         contexts = list(contexts)
         if len(contexts) <= self.inline_threshold:

@@ -35,6 +35,8 @@ class HailContext:
         self.backend = backend
         self.log = log
         self.quiet = quiet
+        from .utils.hail_logging import configure
+        configure(log, quiet, append)
         self.tmp_dir = tmp_dir
         self.local_tmpdir = local_tmpdir
         self.branching_factor = branching_factor
@@ -130,8 +132,12 @@ def init(backend: str = 'local',
         raise ValueError(
             f'unknown backend {backend!r} (expected local, multihost, or service)')
     tmp = tmp_dir or os.environ.get('TMPDIR', '/tmp')
+    if log is None:
+        # reference default is hail-<timestamp>.log in cwd; keep the session
+        # log out of user working trees by defaulting to the tmp dir
+        log = os.path.join(tmp, f'hail_tpu-{os.getpid()}.log')
     Env._hc = HailContext(
-        b, log or 'hail_tpu.log', quiet, append, tmp, local_tmpdir or tmp,
+        b, log, quiet, append, tmp, local_tmpdir or tmp,
         default_reference, global_seed, branching_factor)
 
 
