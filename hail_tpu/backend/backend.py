@@ -17,6 +17,36 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, List, Optional, Sequence
 
 
+def _retrying(fn: Callable[[Any], Any], stage_id: int) -> Callable[[Any], Any]:
+    """Per-partition retry (Spark's task-retry analogue, reference
+    ServiceBackend.scala:290-300 partition re-runs): each partition gets up to
+    `max_partition_attempts` tries; retries are logged to the session log."""
+    from ..context import Env
+    attempts = 3
+    if Env.is_initialized():
+        try:
+            attempts = max(1, int(Env.hc().flags.get('max_partition_attempts', '3')))
+        except (TypeError, ValueError):
+            pass
+    if attempts <= 1:
+        return fn
+
+    def run(ctx):
+        for attempt in range(1, attempts + 1):
+            try:
+                return fn(ctx)
+            except Exception as e:
+                if attempt == attempts:
+                    raise
+                from ..utils.hail_logging import logger
+                logger().warning(
+                    'stage %d: partition attempt %d/%d failed (%s: %s); retrying',
+                    stage_id, attempt, attempts, type(e).__name__, e)
+        raise AssertionError('unreachable')
+
+    return run
+
+
 class Backend:
     """Template: `map_collect` times every stage and writes a per-stage record
     to the session log (the analogue of the reference's per-stage Spark log
@@ -31,7 +61,7 @@ class Backend:
         stage_id = Backend._stage_counter
         t0 = time.perf_counter()
         try:
-            results = self._map_collect_impl(contexts, fn)
+            results = self._map_collect_impl(contexts, _retrying(fn, stage_id))
             return results
         finally:
             from ..utils.hail_logging import logger

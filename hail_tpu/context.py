@@ -23,6 +23,7 @@ DEFAULT_FLAGS: Dict[str, str] = {
     'branching_factor': '50',
     'shuffle_cutoff_to_local_sort': str(512 * 1024 * 1024),
     'use_fast_restarts': '0',
+    'max_partition_attempts': '3',     # per-partition retry, Spark task-retry analogue
     'cachedir': '',
     'rng_nonce': '0',
 }
@@ -41,6 +42,9 @@ class HailContext:
         self.local_tmpdir = local_tmpdir
         self.branching_factor = branching_factor
         self.flags = dict(DEFAULT_FLAGS)
+        from .ir import columns as _columns
+        _columns.set_strict_invariants(
+            self.flags['strict_invariants'] not in ('0', '', 'false'))
         self._seed_counter = global_seed if global_seed is not None else 0
         from .genetics.reference_genome import set_default_reference
         set_default_reference(default_reference)
@@ -161,8 +165,17 @@ def set_global_seed(seed: int) -> None:
     Env.hc()._seed_counter = seed
 
 
+def _sync_flag_caches() -> None:
+    """Push flag values consumed on hot paths into module-level caches (Batch
+    construction must not do a dict lookup through Env per call)."""
+    from .ir import columns as _columns
+    v = Env.hc().flags.get('strict_invariants', '0')
+    _columns.set_strict_invariants(v not in ('0', '', 'false', 'False', None))
+
+
 def _set_flags(**flags) -> None:
     Env.hc().flags.update({k: v for k, v in flags.items()})
+    _sync_flag_caches()
 
 
 def _get_flags(*names):
@@ -303,6 +316,7 @@ class _with_flags:
         f = Env.hc().flags
         self._saved = {k: f.get(k) for k in self.flags}
         f.update(self.flags)
+        _sync_flag_caches()
         return self
 
     def __exit__(self, *exc):
@@ -312,3 +326,4 @@ class _with_flags:
                 f.pop(k, None)
             else:
                 f[k] = v
+        _sync_flag_caches()

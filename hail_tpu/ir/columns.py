@@ -26,6 +26,28 @@ from ..genetics.locus import Locus
 # Column hierarchy
 # ---------------------------------------------------------------------------
 
+_STRICT_INVARIANTS = False
+
+
+def set_strict_invariants(on: bool) -> None:
+    """Toggle strict-invariants mode (flag 'strict_invariants'): every Batch
+    construction validates the columnar plane's structural invariants — the
+    analogue of the reference's region-integrity / requiredness assertions
+    (`HailFeatureFlags` + region `assert`s). Synced from the session flags by
+    hail_tpu.context."""
+    global _STRICT_INVARIANTS
+    _STRICT_INVARIANTS = bool(on)
+
+
+class InvariantViolation(AssertionError):
+    pass
+
+
+def _inv(cond: bool, path: str, msg: str) -> None:
+    if not cond:
+        raise InvariantViolation(f'{path}: {msg}')
+
+
 class Column:
     """Abstract column: values of one HailType with shape (n,) or (r, c)."""
 
@@ -65,6 +87,10 @@ class Column:
     # -- helpers -----------------------------------------------------------
     def reshape(self, shape) -> 'Column':
         raise NotImplementedError
+
+    def check_invariants(self, path: str = '<column>') -> None:
+        """Validate structural invariants (strict_invariants mode)."""
+        pass
 
 
 def obj_array(values, shape=None) -> np.ndarray:
@@ -136,6 +162,20 @@ class PrimitiveColumn(Column):
         m = self.missing.reshape(shape) if self.missing is not None else None
         return PrimitiveColumn(self.typ, self.values.reshape(shape), m)
 
+    def check_invariants(self, path='<column>'):
+        _inv(self.values.shape == self.shape, path,
+             f'values shape {self.values.shape} != column shape {self.shape}')
+        if self.typ.numpy_dtype is not None:
+            _inv(self.values.dtype == self.typ.numpy_dtype, path,
+                 f'values dtype {self.values.dtype} != {self.typ} dtype '
+                 f'{self.typ.numpy_dtype}')
+        if self.missing is not None:
+            _inv(self.missing.dtype == np.bool_, path, 'missing mask not bool')
+            _inv(self.missing.shape == self.shape, path,
+                 f'missing shape {self.missing.shape} != {self.shape}')
+            _inv(bool(self.missing.any()), path,
+                 'all-False missing mask should be normalized to None')
+
     def to_pylist(self):
         flat_v = self.values.ravel()
         flat_m = self.missing.ravel() if self.missing is not None else None
@@ -200,6 +240,15 @@ class StructColumn(Column):
         f = {k: c.reshape(shape) for k, c in self.fields.items()}
         m = self.missing.reshape(shape) if self.missing is not None else None
         return StructColumn(self.typ, f, m, shape)
+
+    def check_invariants(self, path='<column>'):
+        if self.missing is not None:
+            _inv(self.missing.shape == self.shape, path,
+                 f'missing shape {self.missing.shape} != {self.shape}')
+        for k, c in self.fields.items():
+            _inv(c.shape == self.shape, f'{path}.{k}',
+                 f'field shape {c.shape} != struct shape {self.shape}')
+            c.check_invariants(f'{path}.{k}')
 
     def to_pylist(self):
         field_lists = {k: obj_array(_flatten(c.to_pylist(), len(c.shape))) for k, c in self.fields.items()}
@@ -273,6 +322,18 @@ class LocusColumn(Column):
     def reshape(self, shape):
         m = self.missing.reshape(shape) if self.missing is not None else None
         return LocusColumn(self.typ, self.contig_idx.reshape(shape), self.position.reshape(shape), m)
+
+    def check_invariants(self, path='<column>'):
+        _inv(self.position.shape == self.shape, path,
+             f'position shape {self.position.shape} != {self.shape}')
+        _inv(self.contig_idx.dtype == np.int32 and self.position.dtype == np.int32,
+             path, 'locus contig_idx/position must be int32')
+        if self.rg is not None and self.contig_idx.size:
+            live = self.contig_idx if self.missing is None \
+                else self.contig_idx[~self.missing]
+            if live.size:
+                _inv(int(live.min()) >= 0 and int(live.max()) < len(self.rg.contigs),
+                     path, 'contig index out of range for reference genome')
 
     def to_pylist(self):
         contigs = self.rg.contigs
@@ -374,6 +435,22 @@ class DenseArrayColumn(Column):
             m = m | np.take_along_axis(self.elem_missing, ii[..., None], axis=-1)[..., 0]
         m = _merge_missing(self.missing, m)
         return PrimitiveColumn(self.typ.element_type, v, m)
+
+    def check_invariants(self, path='<column>'):
+        _inv(self.values.shape == tuple(self.shape) + (self.width,), path,
+             f'values shape {self.values.shape} != {tuple(self.shape) + (self.width,)}')
+        _inv(self.lengths.shape == self.shape, path,
+             f'lengths shape {self.lengths.shape} != {self.shape}')
+        if self.lengths.size:
+            live = self.lengths if self.missing is None \
+                else self.lengths[~self.missing]
+            if live.size:
+                _inv(int(live.min()) >= 0 and int(live.max()) <= self.width,
+                     path, f'array lengths outside [0, width={self.width}]')
+        if self.elem_missing is not None:
+            _inv(self.elem_missing.shape == self.values.shape, path,
+                 f'elem_missing shape {self.elem_missing.shape} != '
+                 f'{self.values.shape}')
 
     def to_pylist(self):
         et = self.typ.element_type
@@ -616,6 +693,17 @@ class Batch:
                 raise ValueError('empty batch requires explicit length')
             length = next(iter(self.columns.values())).length
         self.length = length
+        if _STRICT_INVARIANTS:
+            self.check_invariants()
+
+    def check_invariants(self) -> None:
+        """Validate every column's structure + the common-length contract
+        (strict_invariants mode)."""
+        for k, c in self.columns.items():
+            _inv(isinstance(c, Column), k, f'not a Column: {type(c).__name__}')
+            _inv(len(c.shape) >= 1 and c.shape[0] == self.length, k,
+                 f'column shape {c.shape} vs batch length {self.length}')
+            c.check_invariants(k)
 
     @property
     def row_type(self) -> ht.tstruct:

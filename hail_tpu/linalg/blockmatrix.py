@@ -436,7 +436,33 @@ class BlockMatrix:
 
     @staticmethod
     def rectangles_to_numpy(path: str, binary: bool = False):
-        raise NotImplementedError('rectangles export: planned (round 2)')
+        """Assemble an ndarray from files written by export_rectangles /
+        export_blocks: each `rect-<i>_<r0>-<r1>-<c0>-<c1>` file is placed at
+        its bounds; uncovered entries are 0; the result's shape is the max
+        upper bound per dimension (reference blockmatrix.py
+        rectangles_to_numpy:2292-2363)."""
+        import os as _os
+        import re as _re
+        rects = []
+        for fname in sorted(_os.listdir(path)):
+            if fname.endswith('.crc') or fname.startswith(('.', '_')):
+                continue
+            nums = [int(x) for x in _re.findall(r'\d+', fname)]
+            if len(nums) != 5:
+                raise ValueError(f'Invalid rectangle file name: {fname}')
+            rects.append((nums, _os.path.join(path, fname)))
+        if not rects:
+            return np.zeros((0, 0))
+        n_rows = max(r[0][2] for r in rects)
+        n_cols = max(r[0][4] for r in rects)
+        nd = np.zeros((n_rows, n_cols))
+        for (_, r0, r1, c0, c1), fpath in rects:
+            if binary:
+                data = np.fromfile(fpath).reshape(r1 - r0, c1 - c0)
+            else:
+                data = np.loadtxt(fpath, ndmin=2)
+            nd[r0:r1, c0:c1] = data
+        return nd
 
     def __repr__(self):
         return f'<BlockMatrix {self.n_rows}x{self.n_cols}, block_size={self._block_size}>'
@@ -494,23 +520,16 @@ class BlockMatrix:
 
     def export_blocks(self, path_out: str, delimiter: str = '\t',
                       binary: bool = False) -> None:
-        """Export each block as its own file under `path_out` (reference
-        blockmatrix.py export_blocks)."""
-        import os as _os
-        _os.makedirs(path_out, exist_ok=True)
-        arr = np.asarray(self.to_numpy())
+        """Export each block as its own rect-named file under `path_out` — a
+        special case of export_rectangles, same file naming as the reference
+        (reference blockmatrix.py export_blocks)."""
         bs = self._block_size
-        n_r = (arr.shape[0] + bs - 1) // bs
-        n_c = (arr.shape[1] + bs - 1) // bs
-        for bi in range(n_r):
-            for bj in range(n_c):
-                blk = arr[bi * bs:(bi + 1) * bs, bj * bs:(bj + 1) * bs]
-                name = f'block_{bi}_{bj}'
-                if binary:
-                    blk.astype(np.float64).tofile(_os.path.join(path_out, name + '.bin'))
-                else:
-                    np.savetxt(_os.path.join(path_out, name + '.tsv'), blk,
-                               delimiter=delimiter)
+        n_r = (self.n_rows + bs - 1) // bs
+        n_c = (self.n_cols + bs - 1) // bs
+        rects = [[bi * bs, min((bi + 1) * bs, self.n_rows),
+                  bj * bs, min((bj + 1) * bs, self.n_cols)]
+                 for bi in range(n_r) for bj in range(n_c)]
+        self.export_rectangles(path_out, rects, delimiter, binary)
 
     def export_rectangles(self, path_out: str, rectangles,
                           delimiter: str = '\t', binary: bool = False) -> None:

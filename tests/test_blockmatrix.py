@@ -91,3 +91,22 @@ def test_export(tmp_path):
     BlockMatrix.from_numpy(a).export(p)
     lines = open(p).read().strip().split('\n')
     assert len(lines) == 2
+
+
+def test_rectangles_roundtrip(tmp_path):
+    # reference blockmatrix.py rectangles_to_numpy docstring example
+    nd = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0], [7.0, 8.0, 9.0]])
+    p = str(tmp_path / 'rects')
+    BlockMatrix.from_numpy(nd).export_rectangles(p, [[0, 3, 0, 1], [1, 2, 0, 2]])
+    out = BlockMatrix.rectangles_to_numpy(p)
+    assert np.allclose(out, np.array([[1.0, 0.0], [4.0, 5.0], [7.0, 0.0]]))
+
+
+def test_rectangles_binary_and_blocks(tmp_path):
+    nd = np.arange(12, dtype=np.float64).reshape(3, 4)
+    pb = str(tmp_path / 'rb')
+    BlockMatrix.from_numpy(nd).export_rectangles(pb, [[0, 3, 0, 4]], binary=True)
+    assert np.allclose(BlockMatrix.rectangles_to_numpy(pb, binary=True), nd)
+    pblk = str(tmp_path / 'blocks')
+    BlockMatrix.from_numpy(nd, block_size=2).export_blocks(pblk)
+    assert np.allclose(BlockMatrix.rectangles_to_numpy(pblk), nd)
