@@ -11,14 +11,25 @@ from typing import List, Optional
 
 
 class BatchServiceClient:
-    def __init__(self, url: str):
+    def __init__(self, url: str, token: Optional[str] = None):
+        """`token`: session token sent as `Authorization: Bearer ...` when
+        the service has auth enabled (reference batch_client attaches
+        hailtop.auth service_auth_headers). Defaults to the stored token
+        for the 'default' namespace, if any."""
         self.url = url.rstrip('/')
+        if token is None:
+            from ..services.tokens import get_token
+            token = get_token()
+        self.token = token
 
     def _req(self, method: str, path: str, body: Optional[dict] = None) -> dict:
         data = None if body is None else json.dumps(body).encode()
+        headers = {'Content-Type': 'application/json'}
+        if self.token:
+            headers['Authorization'] = f'Bearer {self.token}'
         req = urllib.request.Request(
             f'{self.url}/api/v1alpha{path}', data=data, method=method,
-            headers={'Content-Type': 'application/json'})
+            headers=headers)
         with urllib.request.urlopen(req, timeout=30) as resp:
             return json.loads(resp.read() or b'{}')
 

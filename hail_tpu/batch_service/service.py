@@ -86,13 +86,22 @@ class _DB:
 
 class BatchService:
     """Front end + driver + workers. Run with `async with` or start()/stop(),
-    or `BatchService.start_in_thread()` from sync code."""
+    or `BatchService.start_in_thread()` from sync code.
+
+    `auth_url` (optional) points at an AuthService; when set, /api routes
+    require a valid Bearer session token, verified against
+    {auth_url}/api/v1alpha/userinfo (the reference batch front end's
+    rest_authenticated_users_only, gear/auth.py). Also serves /metrics
+    (Prometheus text) and HTML pages at /batches, /batches/{id}
+    (reference front_end ui_batches/ui_batch via web_common templates)."""
 
     def __init__(self, port: int = 0, n_workers: int = 4,
-                 data_dir: Optional[str] = None):
+                 data_dir: Optional[str] = None,
+                 auth_url: Optional[str] = None):
         self.requested_port = port
         self.port: Optional[int] = None
         self.n_workers = n_workers
+        self.auth_url = auth_url.rstrip('/') if auth_url else None
         self.data_dir = data_dir or tempfile.mkdtemp(prefix='hail_tpu_batch_svc_')
         os.makedirs(os.path.join(self.data_dir, 'logs'), exist_ok=True)
         self.db = _DB(os.path.join(self.data_dir, 'state.db'))
@@ -104,12 +113,42 @@ class BatchService:
         self._stopped = False
 
     # -- REST front end -----------------------------------------------------
+    def _auth_middleware(self):
+        import aiohttp as _aiohttp
+        from ..services.gear import get_session_id
+
+        @web.middleware
+        async def middleware(request, handler):
+            if not request.path.startswith('/api/'):
+                return await handler(request)
+            session_id = await get_session_id(request)
+            if not session_id:
+                raise web.HTTPUnauthorized(reason='not authenticated')
+            async with _aiohttp.ClientSession() as s:
+                async with s.get(
+                        f'{self.auth_url}/api/v1alpha/userinfo',
+                        headers={'Authorization': f'Bearer {session_id}'}) as resp:
+                    if resp.status != 200:
+                        raise web.HTTPUnauthorized(reason='invalid token')
+                    request['userdata'] = await resp.json()
+            return await handler(request)
+        return middleware
+
     def _build_app(self) -> web.Application:
-        app = web.Application()
+        from ..services.metrics import monitor_endpoints_middleware
+        middlewares = [monitor_endpoints_middleware()]
+        if self.auth_url:
+            middlewares.append(self._auth_middleware())
+        app = web.Application(middlewares=middlewares)
         r = app.router
+        r.add_get('/healthcheck', self._healthcheck)
+        r.add_get('/metrics', self._metrics)
+        r.add_get('/batches', self._ui_batches)
+        r.add_get('/batches/{batch_id}', self._ui_batch)
         r.add_post('/api/v1alpha/batches/create', self._create_batch)
         r.add_post('/api/v1alpha/batches/{batch_id}/jobs/create', self._create_jobs)
         r.add_patch('/api/v1alpha/batches/{batch_id}/close', self._close_batch)
+        r.add_get('/api/v1alpha/batches', self._list_batches)
         r.add_get('/api/v1alpha/batches/{batch_id}', self._get_batch)
         r.add_get('/api/v1alpha/batches/{batch_id}/jobs', self._list_jobs)
         r.add_get('/api/v1alpha/batches/{batch_id}/jobs/{job_id}', self._get_job)
@@ -117,6 +156,60 @@ class BatchService:
         r.add_patch('/api/v1alpha/batches/{batch_id}/cancel', self._cancel_batch)
         r.add_delete('/api/v1alpha/batches/{batch_id}', self._delete_batch)
         return app
+
+    async def _healthcheck(self, req: web.Request) -> web.Response:
+        return web.Response()
+
+    async def _metrics(self, req: web.Request) -> web.Response:
+        from ..services.metrics import render_metrics
+        extra = {'batch_running_jobs': float(len(self._running_procs)),
+                 'batch_worker_slots': float(self.n_workers)}
+        for r in self.db.query('SELECT state, COUNT(*) c FROM jobs GROUP BY state'):
+            extra[f'batch_jobs_{r["state"].lower()}'] = float(r['c'])
+        return web.Response(text=render_metrics(extra),
+                            content_type='text/plain', charset='utf-8')
+
+    async def _list_batches(self, req: web.Request) -> web.Response:
+        ids = [r['id'] for r in
+               self.db.query('SELECT id FROM batches ORDER BY id')]
+        return web.json_response(
+            {'batches': [self._batch_status(i) for i in ids]})
+
+    async def _ui_batches(self, req: web.Request) -> web.Response:
+        from ..services.web_common import render_page, render_table
+        rows = []
+        for r in self.db.query('SELECT id FROM batches ORDER BY id DESC'):
+            s = self._batch_status(r['id'])
+            rows.append([f'<a href="/batches/{s["id"]}">{s["id"]}</a>',
+                         s['state'], s['n_jobs'], s['n_completed'],
+                         s['n_failed'], s['billing_project']])
+        html = render_table(
+            ['id', 'state', 'jobs', 'completed', 'failed', 'billing project'],
+            rows, raw_cols=(0,))
+        return web.Response(text=render_page('Batches', html),
+                            content_type='text/html')
+
+    async def _ui_batch(self, req: web.Request) -> web.Response:
+        from html import escape
+        from ..services.web_common import render_page, render_table
+        bid = int(req.match_info['batch_id'])
+        s = self._batch_status(bid)
+        rows = []
+        for r in self.db.query(
+                'SELECT * FROM jobs WHERE batch_id = ? ORDER BY job_id', (bid,)):
+            spec = json.loads(r['spec'])
+            cmd = spec.get('command')
+            cmd = ' '.join(cmd) if isinstance(cmd, list) else (cmd or '')
+            rows.append([r['job_id'],
+                         f'<span class="state-{escape(r["state"])}">'
+                         f'{escape(r["state"])}</span>',
+                         r['exit_code'], r['attempts'], cmd[:120]])
+        html = (f'<p>state: {escape(s["state"])} — {s["n_completed"]}/'
+                f'{s["n_jobs"]} jobs complete</p>'
+                + render_table(['job', 'state', 'exit code', 'attempts',
+                                'command'], rows, raw_cols=(1,)))
+        return web.Response(text=render_page(f'Batch {bid}', html),
+                            content_type='text/html')
 
     async def _create_batch(self, req: web.Request) -> web.Response:
         spec = await req.json()

@@ -102,6 +102,27 @@ def _cmd_fs(args) -> int:
     return 0
 
 
+def _cmd_auth(args) -> int:
+    """`hailctl auth login/logout/user/copy-paste-login` against a local
+    AuthService (reference hailctl/auth/cli.py, minus the OAuth browser
+    flow)."""
+    from .services import auth_client
+    url = args.url
+    if args.action == 'login':
+        auth_client.login(url, args.username)
+        print(f'logged in as {args.username}')
+    elif args.action == 'logout':
+        auth_client.logout(url)
+        print('logged out')
+    elif args.action == 'user':
+        import json as _json
+        print(_json.dumps(auth_client.get_userinfo(url), indent=2))
+    elif args.action == 'copy-paste-login':
+        auth_client.copy_paste_login(url, args.username)
+        print('logged in')
+    return 0
+
+
 def _cmd_version(args) -> int:
     from . import __version__
     print(__version__)
@@ -140,6 +161,14 @@ def main(argv=None) -> int:
     pf.add_argument('action', choices=['ls', 'cp', 'rm', 'stat', 'mkdir'])
     pf.add_argument('paths', nargs='+')
     pf.set_defaults(fn=_cmd_fs)
+
+    pa = sub.add_parser('auth')
+    pa.add_argument('action', choices=['login', 'logout', 'user',
+                                       'copy-paste-login'])
+    pa.add_argument('username', nargs='?',
+                    help='username (login) or token (copy-paste-login)')
+    pa.add_argument('--url', default='http://127.0.0.1:5000')
+    pa.set_defaults(fn=_cmd_auth)
 
     pv = sub.add_parser('version')
     pv.set_defaults(fn=_cmd_version)

@@ -56,3 +56,5 @@ _sys.modules['hailtop.hail_decorator'] = _hdec
 _hver = _types.ModuleType('hailtop.version')
 _hver.__version__ = _ht.__pip_version__
 _sys.modules['hailtop.version'] = _hver
+import hail_tpu.services.auth_client as auth  # noqa: E402
+_sys.modules['hailtop.auth'] = auth
