@@ -207,13 +207,14 @@ class _Reader:
 
 
 class EType:
-    __slots__ = ('kind', 'required', 'fields', 'element')
+    __slots__ = ('kind', 'required', 'fields', 'element', 'ndims')
 
-    def __init__(self, kind, required, fields=None, element=None):
+    def __init__(self, kind, required, fields=None, element=None, ndims=None):
         self.kind = kind
         self.required = required
         self.fields = fields      # list[(name, EType)] for struct
         self.element = element    # EType for arrays / ndarray
+        self.ndims = ndims        # int for ndarray
 
 
 def parse_etype(s: str) -> EType:
@@ -257,11 +258,14 @@ def _parse_etype(s: str, i: int) -> Tuple[EType, int]:
     if kind in ('EArray', 'ENDArrayColumnMajor', 'ENDArray'):
         assert s[i] == '['
         sub, i = _parse_etype(s, i + 1)
-        # ndarrays carry ",n" dimension suffix
+        # ndarrays carry a ",n" dimension suffix
+        j = i
         while i < len(s) and s[i] != ']':
             i += 1
+        suffix = s[j:i].lstrip(',')
+        ndims = int(suffix) if suffix.isdigit() else None
         return EType('ndarray' if kind != 'EArray' else 'array',
-                     required, element=sub), i + 1
+                     required, element=sub, ndims=ndims), i + 1
     return EType(kind[1:].lower(), required), i
 
 
@@ -331,9 +335,12 @@ def _parse_vtype(s: str, i: int) -> Tuple[ht.HailType, int]:
         return ht.tinterval(sub), i + 1
     if s.startswith('NDArray[', i):
         sub, i = _parse_vtype(s, i + len('NDArray['))
+        j = i
         while s[i] != ']':
             i += 1
-        return ht.tndarray(sub, 1), i + 1
+        suffix = s[j:i].lstrip(',')
+        ndims = int(suffix) if suffix.isdigit() else 1
+        return ht.tndarray(sub, ndims), i + 1
     raise ValueError(f'unknown vtype at {i}: {s[i:i+40]}')
 
 
@@ -432,7 +439,16 @@ def decode_value(r: _Reader, et: EType, vt: ht.HailType) -> Any:
     if et.kind == 'boolean':
         return bool(r.byte())
     if et.kind == 'ndarray':
-        raise NotImplementedError('ndarray decoding from native format')
+        # ENDArrayColumnMajor.scala:20-47: nDims int64 shape values, then
+        # elements in column-major order
+        ndims = et.ndims if et.ndims is not None else getattr(vt, 'ndim', 1)
+        shape = [r.int64() for _ in range(ndims)]
+        total = 1
+        for s_ in shape:
+            total *= s_
+        evt = getattr(vt, 'element_type', ht.tfloat64)
+        vals = [decode_value(r, et.element, evt) for _ in range(total)]
+        return np.reshape(np.asarray(vals), shape, order='F')
     raise NotImplementedError(et.kind)
 
 

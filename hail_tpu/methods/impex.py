@@ -729,15 +729,75 @@ def get_vcf_header_info(path, filter=None, find=None, replace=None):
                   sampleIDs=list(h.samples))
 
 
-def import_gvcf_interval(*args, **kwargs):
-    """Reference impex.import_gvcf_interval streams one interval of a GVCF
-    through the VCF parser. Single-sample GVCF import is available via
-    `hl.import_vcf` (reference-block END fields are preserved in info);
-    interval restriction composes with `hl.filter_intervals`."""
-    raise NotImplementedError(
-        'import_gvcf_interval: use hl.import_vcf(...) combined with '
-        'hl.filter_intervals for interval-restricted GVCF import; the '
-        'streaming interval reader is not yet implemented')
+def import_gvcf_interval(path, file_num, contig, start, end,
+                         header_info=None, call_fields=('PGT',),
+                         entry_float_type='float64',
+                         array_elements_required=True,
+                         reference_genome='default', contig_recoding=None,
+                         skip_invalid_loci=False, filter=None, find=None,
+                         replace=None):
+    """One interval of a GVCF as a Table of localized rows (reference
+    impex.py:3091-3130 GVCFPartitionReader, which streams the same rows
+    inside the combiner's lowered IR; here an eager Table with fields
+    `entries` (one Struct per sample) and `file_num`).
+
+    Only lines on `contig` with start <= POS < end are parsed (text-level
+    prefilter with early stop on the position-sorted GVCF), plus the
+    reference block immediately before `start` when its INFO END spans into
+    the interval (the reference reader's spanning-block behavior)."""
+    import re as _re
+    import tempfile as _tempfile
+    from ..io.vcf import _open_text, import_vcf
+    contig = str(contig)
+    recoded = (contig_recoding or {})
+    end_re = _re.compile(r'(?:^|;)END=(\d+)')
+    header_lines = []
+    kept = []
+    spanning = None  # last block before `start`, kept if END spans into it
+    seen_contig = False
+    with _open_text(path) as f:
+        for line in f:
+            if line.startswith('#'):
+                header_lines.append(line)
+                continue
+            tab1 = line.index('\t')
+            c = line[:tab1]
+            c = recoded.get(c, c)
+            if c != contig:
+                if seen_contig:
+                    break  # sorted: moved past the target contig
+                continue
+            seen_contig = True
+            tab2 = line.index('\t', tab1 + 1)
+            pos = int(line[tab1 + 1:tab2])
+            if pos < start:
+                m = end_re.search(line.split('\t', 8)[7])
+                if m is not None and int(m.group(1)) >= start:
+                    spanning = line
+                else:
+                    spanning = None
+                continue
+            if pos >= end:
+                break
+            kept.append(line)
+    if spanning is not None:
+        kept.insert(0, spanning)
+    with _tempfile.NamedTemporaryFile('w', suffix='.vcf', delete=False) as tf:
+        tf.writelines(header_lines)
+        tf.writelines(kept)
+        tmp = tf.name
+    try:
+        mt = import_vcf(tmp, call_fields=list(call_fields),
+                        reference_genome=reference_genome,
+                        contig_recoding=contig_recoding,
+                        skip_invalid_loci=skip_invalid_loci,
+                        filter=filter,
+                        find_replace=(find, replace) if find is not None else None,
+                        array_elements_required=array_elements_required)
+        t = mt.localize_entries('entries', 'cols')
+        return t.annotate(file_num=file_num)
+    finally:
+        os.unlink(tmp)
 
 
 def export_elasticsearch(t, host, port, index, index_type, block_size,

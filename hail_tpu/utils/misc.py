@@ -10,6 +10,10 @@ import tempfile
 import time
 from typing import Any, Callable, List, Optional, Sequence, Tuple
 
+import numpy as np
+
+from .structs import Struct
+
 
 class HailUserError(Exception):
     """An error caused by invalid user input (reference utils/java.py:16)."""
@@ -245,22 +249,185 @@ def _dumps_partitions(partitions, row_key_type):
     ], cls=JSONEncoder)
 
 
-_TUTORIAL_GATED = (
-    'tutorial data download requires network access; this build has no '
-    'egress. Place the extracted files under the output directory manually '
-    'or use your own dataset.'
-)
+# -- tutorial datasets (reference utils/tutorial.py) ------------------------
+# The reference downloads public subsets (1KG ~15MB, HGDP ~30MB,
+# MovieLens-100k). This build has no egress, so these synthesize a
+# deterministic dataset with the same file layout, schemas, and annotation
+# columns — every tutorial pipeline (GWAS, PCA, MovieLens joins) runs
+# unmodified against them.
+
+_1KG_POPS = [('GBR', 'EUR'), ('FIN', 'EUR'), ('CHS', 'EAS'), ('PUR', 'AMR'),
+             ('CDX', 'EAS'), ('CLM', 'AMR'), ('IBS', 'EUR'), ('PEL', 'AMR'),
+             ('PJL', 'SAS'), ('KHV', 'EAS'), ('ACB', 'AFR'), ('GWD', 'AFR'),
+             ('ESN', 'AFR'), ('BEB', 'SAS'), ('MSL', 'AFR'), ('STU', 'SAS'),
+             ('ITU', 'SAS'), ('CEU', 'EUR'), ('YRI', 'AFR'), ('CHB', 'EAS'),
+             ('JPT', 'EAS'), ('LWK', 'AFR'), ('ASW', 'AFR'), ('MXL', 'AMR'),
+             ('TSI', 'EUR'), ('GIH', 'SAS')]
+
+
+def _synth_vcf(path: str, samples, contigs, n_variants: int, seed: int,
+               chr_prefix: bool = False) -> None:
+    """Deterministic multi-sample VCF with GT:AD:DP:GQ entries, gzip-written
+    (readable by import_vcf's .bgz path)."""
+    import gzip as _gzip
+    rng = np.random.default_rng(seed)
+    n = len(samples)
+    alleles = ['A', 'C', 'G', 'T']
+    with _gzip.open(path, 'wt') as f:
+        f.write('##fileformat=VCFv4.2\n##source=hail_tpu_tutorial\n')
+        f.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n')
+        f.write('##FORMAT=<ID=AD,Number=.,Type=Integer,Description="Allelic depth">\n')
+        f.write('##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read depth">\n')
+        f.write('##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype quality">\n')
+        f.write('##INFO=<ID=AC,Number=A,Type=Integer,Description="Allele count">\n')
+        f.write('#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t'
+                + '\t'.join(samples) + '\n')
+        per_contig = n_variants // len(contigs)
+        for ci, contig in enumerate(contigs):
+            m = per_contig if ci < len(contigs) - 1 else \
+                n_variants - per_contig * (len(contigs) - 1)
+            pos = np.sort(rng.choice(
+                np.arange(10_000, 5_000_000, dtype=np.int64), m, replace=False))
+            af = rng.beta(0.8, 0.8, size=m).clip(0.02, 0.98)
+            for vi in range(m):
+                ref, alt = rng.choice(4, 2, replace=False)
+                nalt = rng.binomial(2, af[vi], size=n)
+                dp = rng.integers(10, 60, size=n)
+                name = f'chr{contig}' if chr_prefix else str(contig)
+                row = [name, str(pos[vi]), '.', alleles[ref], alleles[alt],
+                       '100', 'PASS', f'AC={int(nalt.sum())}', 'GT:AD:DP:GQ']
+                for s in range(n):
+                    g = nalt[s]
+                    gt = ('0/0', '0/1', '1/1')[g]
+                    ad_alt = (0, dp[s] // 2, dp[s])[g]
+                    row.append(f'{gt}:{dp[s] - ad_alt},{ad_alt}:{dp[s]}:'
+                               f'{int(rng.integers(20, 99))}')
+                f.write('\t'.join(row) + '\n')
+
+
+def _write_gene_annotations(path: str, contigs, seed: int) -> None:
+    rng = np.random.default_rng(seed)
+    with open(path, 'w') as f:
+        f.write('Gene stable ID\tGene name\tChromosome/scaffold name\t'
+                'Gene start (bp)\tGene end (bp)\tGene type\n')
+        gid = 1000
+        for contig in contigs:
+            for i in range(8):
+                start = int(rng.integers(10_000, 4_500_000))
+                f.write(f'ENSG{gid:011d}\tGENE{gid}\t{contig}\t{start}\t'
+                        f'{start + int(rng.integers(1000, 400_000))}\t'
+                        f'protein_coding\n')
+                gid += 1
 
 
 def get_1kg(output_dir: str, overwrite: bool = False) -> None:
-    """Download the 1000-genomes tutorial dataset (reference
-    utils/tutorial.py:47). Gated: no network egress."""
-    raise NotImplementedError('get_1kg: ' + _TUTORIAL_GATED)
+    """Materialize the 1000-genomes tutorial dataset layout (reference
+    utils/tutorial.py:47-103: 1kg.mt, 1kg.vcf.bgz, 1kg_annotations.txt,
+    ensembl_gene_annotations.txt). The reference downloads the real ~15MB
+    subset; this synthesizes a deterministic stand-in with the same schemas."""
+    import hail_tpu as hl
+    os.makedirs(output_dir, exist_ok=True)
+    mt_path = os.path.join(output_dir, '1kg.mt')
+    vcf_path = os.path.join(output_dir, '1kg.vcf.bgz')
+    annot_path = os.path.join(output_dir, '1kg_annotations.txt')
+    gene_path = os.path.join(output_dir, 'ensembl_gene_annotations.txt')
+    if not overwrite and all(os.path.exists(p) for p in
+                             (mt_path, vcf_path, annot_path, gene_path)):
+        return
+    rng = np.random.default_rng(1000)
+    samples = [f'HG{i:05d}' for i in range(96, 96 + 250)]
+    contigs = ['1', '2', '3', '4', '20', 'X']
+    _synth_vcf(vcf_path, samples, contigs, 1200, seed=1001)
+    hl.import_vcf(vcf_path, min_partitions=4).write(mt_path, overwrite=True)
+    with open(annot_path, 'w') as f:
+        f.write('Sample\tPopulation\tSuperPopulation\tisFemale\tPurpleHair\t'
+                'CaffeineConsumption\n')
+        for s in samples:
+            pop, superpop = _1KG_POPS[int(rng.integers(len(_1KG_POPS)))]
+            f.write(f'{s}\t{pop}\t{superpop}\t'
+                    f'{str(bool(rng.integers(2))).lower()}\t'
+                    f'{str(bool(rng.integers(2))).lower()}\t'
+                    f'{int(rng.integers(0, 10))}\n')
+    _write_gene_annotations(gene_path, contigs[:-1], seed=1002)
 
 
 def get_hgdp(output_dir: str, overwrite: bool = False) -> None:
-    raise NotImplementedError('get_hgdp: ' + _TUTORIAL_GATED)
+    """Materialize the HGDP tutorial dataset layout (reference
+    utils/tutorial.py:106-165, GRCh38): HGDP.mt, HGDP.vcf.bgz,
+    HGDP_annotations.txt, ensembl_gene_annotations.txt. Synthesized
+    deterministically (no egress)."""
+    import hail_tpu as hl
+    os.makedirs(output_dir, exist_ok=True)
+    mt_path = os.path.join(output_dir, 'HGDP.mt')
+    vcf_path = os.path.join(output_dir, 'HGDP.vcf.bgz')
+    annot_path = os.path.join(output_dir, 'HGDP_annotations.txt')
+    gene_path = os.path.join(output_dir, 'ensembl_gene_annotations.txt')
+    if not overwrite and all(os.path.exists(p) for p in
+                             (mt_path, vcf_path, annot_path, gene_path)):
+        return
+    rng = np.random.default_rng(2000)
+    samples = [f'HGDP{i:05d}' for i in range(1, 61)]
+    contigs = ['1', '2', '21']
+    _synth_vcf(vcf_path, samples, contigs, 900, seed=2001, chr_prefix=True)
+    hl.import_vcf(vcf_path, min_partitions=4,
+                  reference_genome='GRCh38').write(mt_path, overwrite=True)
+    regions = ['AFRICA', 'EUROPE', 'EAST_ASIA', 'AMERICA', 'OCEANIA',
+               'CENTRAL_SOUTH_ASIA', 'MIDDLE_EAST']
+    with open(annot_path, 'w') as f:
+        f.write('sample_id\tregion\tpopulation\tsex\n')
+        for s in samples:
+            region = regions[int(rng.integers(len(regions)))]
+            f.write(f'{s}\t{region}\tPOP{int(rng.integers(1, 10))}\t'
+                    f'{"XX" if rng.integers(2) else "XY"}\n')
+    _write_gene_annotations(gene_path, [f'chr{c}' for c in contigs], seed=2002)
 
 
 def get_movie_lens(output_dir: str, overwrite: bool = False) -> None:
-    raise NotImplementedError('get_movie_lens: ' + _TUTORIAL_GATED)
+    """Materialize the MovieLens tutorial tables (reference
+    utils/tutorial.py:168-260: movies.ht, ratings.ht, users.ht with the
+    MovieLens-100k schemas). Synthesized deterministically (no egress)."""
+    import hail_tpu as hl
+    os.makedirs(output_dir, exist_ok=True)
+    movies_path = os.path.join(output_dir, 'movies.ht')
+    ratings_path = os.path.join(output_dir, 'ratings.ht')
+    users_path = os.path.join(output_dir, 'users.ht')
+    if not overwrite and all(os.path.exists(p) for p in
+                             (movies_path, ratings_path, users_path)):
+        return
+    rng = np.random.default_rng(3000)
+    genres = ['Action', 'Adventure', 'Animation', "Children's", 'Comedy',
+              'Crime', 'Documentary', 'Drama', 'Fantasy', 'Film-Noir',
+              'Horror', 'Musical', 'Mystery', 'Romance', 'Sci-Fi',
+              'Thriller', 'War', 'Western']
+    occupations = ['administrator', 'artist', 'doctor', 'educator',
+                   'engineer', 'entertainment', 'executive', 'healthcare',
+                   'lawyer', 'librarian', 'marketing', 'none', 'other',
+                   'programmer', 'retired', 'salesman', 'scientist',
+                   'student', 'technician', 'writer']
+    n_users, n_movies, n_ratings = 200, 300, 5000
+    users = [Struct(id=i + 1, age=int(rng.integers(18, 73)),
+                    sex='F' if rng.integers(2) else 'M',
+                    occupation=occupations[int(rng.integers(len(occupations)))],
+                    zipcode=f'{int(rng.integers(10000, 99999))}')
+             for i in range(n_users)]
+    movies = [Struct(movie_id=i + 1, title=f'Movie {i + 1} ({1970 + int(rng.integers(50))})',
+                     genres=sorted(rng.choice(genres,
+                                              int(rng.integers(1, 4)),
+                                              replace=False).tolist()))
+              for i in range(n_movies)]
+    ratings = [Struct(user_id=int(rng.integers(1, n_users + 1)),
+                      movie_id=int(rng.integers(1, n_movies + 1)),
+                      rating=int(rng.integers(1, 6)))
+               for _ in range(n_ratings)]
+    hl.Table.parallelize(
+        users, hl.tstruct(id=hl.tint32, age=hl.tint32, sex=hl.tstr,
+                          occupation=hl.tstr, zipcode=hl.tstr),
+        key='id').write(users_path, overwrite=True)
+    hl.Table.parallelize(
+        movies, hl.tstruct(movie_id=hl.tint32, title=hl.tstr,
+                           genres=hl.tarray(hl.tstr)),
+        key='movie_id').write(movies_path, overwrite=True)
+    hl.Table.parallelize(
+        ratings, hl.tstruct(user_id=hl.tint32, movie_id=hl.tint32,
+                            rating=hl.tint32)).write(ratings_path,
+                                                     overwrite=True)

@@ -70,3 +70,20 @@ def test_reference_mt_parity_with_vcf_import():
     mt = hl.read_matrix_table(MT)
     n_called = mt.aggregate_entries(hl.agg.count_where(hl.is_defined(mt.GT)))
     assert n_called == 33720  # stable decoded fact for this fixture
+
+
+def test_ndarray_decode_column_major():
+    # ENDArrayColumnMajor.scala:20-47: nDims int64 shapes then elements in
+    # column-major order
+    import struct
+    import numpy as np
+    from hail_tpu.io.hail_format import _Reader, decode_value, parse_etype, parse_vtype
+    et = parse_etype('+ENDArrayColumnMajor[+EFloat64,2]')
+    assert et.kind == 'ndarray' and et.ndims == 2
+    vt = parse_vtype('NDArray[Float64,2]')
+    assert vt.ndim == 2
+    arr = np.arange(6, dtype=np.float64).reshape(2, 3)
+    buf = struct.pack('<qq', 2, 3) + arr.tobytes(order='F')
+    out = decode_value(_Reader(buf, leb128=False), et, vt)
+    assert out.shape == (2, 3)
+    assert np.array_equal(out, arr)

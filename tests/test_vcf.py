@@ -103,3 +103,20 @@ def test_import_avro():
     t = hl.import_avro('/root/reference/hail/hail/test/resources/avro/weather.avro')
     assert t.count() == 5
     assert str(t._stage.row_type) == 'struct{station: str, time: int64, temp: int32}'
+
+
+def test_import_gvcf_interval():
+    # reference impex.py import_gvcf_interval (GVCFPartitionReader)
+    p = '/root/reference/hail/hail/test/resources/gvcfs/HG00268.g.vcf.gz'
+    t = hl.import_gvcf_interval(p, 0, 'chr20', 17959646, 17959700,
+                                reference_genome='GRCh38')
+    rows = t.collect()
+    assert [r.locus.position for r in rows] == [17959646, 17959647, 17959680, 17959681]
+    assert all(r.file_num == 0 for r in rows)
+    assert str(rows[0].entries[0].GT) == '0/0'
+    # reference block spanning `start` (INFO END >= start) is included
+    t2 = hl.import_gvcf_interval(p, 1, 'chr20', 17959600, 17959647,
+                                 reference_genome='GRCh38')
+    first = t2.collect()[0]
+    assert first.locus.position == 17959480
+    assert first.info.END == 17959645
