@@ -24,6 +24,7 @@ DEFAULT_FLAGS: Dict[str, str] = {
     'shuffle_cutoff_to_local_sort': str(512 * 1024 * 1024),
     'use_fast_restarts': '0',
     'max_partition_attempts': '3',     # per-partition retry, Spark task-retry analogue
+    'partition_cache_bytes': str(512 * 1024 * 1024),  # in-memory partition memo budget
     'cachedir': '',
     'rng_nonce': '0',
 }
@@ -149,6 +150,8 @@ def stop() -> None:
     if Env._hc is not None:
         Env._hc.backend.stop()
         Env._hc = None
+    from .ir import memcache
+    memcache.clear()
 
 
 def default_reference():

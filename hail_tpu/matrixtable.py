@@ -118,12 +118,19 @@ class MatrixStage:
     def globals_type(self) -> ht.tstruct:
         return self.globals.row_type
 
+    def materialize_partition(self, i: int) -> MatrixBatch:
+        """Partition i through the in-memory memo (ir/memcache.py): repeated
+        actions over a shared chain prefix evaluate it once."""
+        from .ir import memcache
+        return memcache.memoized(self, i,
+                                 lambda: self.partition_fn(self.contexts[i]))
+
     def map_partitions(self, f: Callable[[MatrixBatch, int], MatrixBatch],
                        new_row_type=None, new_entry_type=None) -> 'MatrixStage':
-        pf = self.partition_fn
+        parent = self
         def new_fn(ctx):
-            i, inner = ctx
-            return f(pf(inner), i)
+            i, _inner = ctx
+            return f(parent.materialize_partition(i), i)
         ctxs = [(i, c) for i, c in enumerate(self.contexts)]
         return MatrixStage(self.globals, self.cols, self.row_key, self.col_key,
                            new_row_type or self.row_type, self.col_type,
@@ -131,7 +138,17 @@ class MatrixStage:
                            uid_bases=self.uid_bases)
 
     def collect_batches(self) -> List[MatrixBatch]:
-        return Env.backend().map_collect(self.contexts, self.partition_fn)
+        from .ir import memcache
+        n = len(self.contexts)
+        results = [memcache.peek(self, i) for i in range(n)]
+        todo = [i for i, b in enumerate(results) if b is None]
+        if todo:
+            fresh = Env.backend().map_collect([self.contexts[i] for i in todo],
+                                              self.partition_fn)
+            for i, b in zip(todo, fresh):
+                results[i] = b
+                memcache.store(self, i, b)
+        return results
 
     @staticmethod
     def from_batches(globals, cols, row_key, col_key, row_type, col_type, entry_type,

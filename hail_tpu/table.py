@@ -73,14 +73,21 @@ class TableStage:
         return hashlib.blake2b(f'{self.lineage}|{tag}'.encode(),
                                digest_size=16).hexdigest()
 
+    def materialize_partition(self, i: int) -> Batch:
+        """Partition i through the in-memory memo (ir/memcache.py): repeated
+        actions over a shared chain prefix evaluate it once."""
+        from .ir import memcache
+        return memcache.memoized(self, i,
+                                 lambda: self.partition_fn(self.contexts[i]))
+
     # -- combinators -------------------------------------------------------
     def map_partitions(self, f: Callable[[Batch, int], Batch], new_row_type: ht.tstruct,
                        preserves_bounds: bool = True,
                        lineage_tag: Optional[str] = None) -> 'TableStage':
-        pf = self.partition_fn
+        parent = self
         def new_fn(ctx):
-            i, inner = ctx
-            return f(pf(inner), i)
+            i, _inner = ctx
+            return f(parent.materialize_partition(i), i)
         ctxs = [(i, c) for i, c in enumerate(self.contexts)]
         return TableStage(self.globals, self.key, new_row_type, ctxs, new_fn,
                           self.partition_bounds if preserves_bounds else None,
@@ -99,27 +106,42 @@ class TableStage:
         return (np.int64(part_idx) << np.int64(32)) + np.arange(n, dtype=np.int64)
 
     def collect_batches(self) -> List[Batch]:
+        from .ir import memcache
         from .ir.semhash import execution_cache
+        n = len(self.contexts)
+        if n == 0:
+            return []
         cache = execution_cache()
-        if cache is None or self.lineage is None or not self.contexts:
-            return Env.backend().map_collect(self.contexts, self.partition_fn)
-        # per-partition fast restarts: skip partitions whose results are
-        # already on disk (reference ExecutionCache.scala:15-103)
-        keys = [f'{self.lineage}.part{i}of{len(self.contexts)}'
-                for i in range(len(self.contexts))]
-        results: List[Optional[Batch]] = []
+        disk_keys = None
+        if cache is not None and self.lineage is not None:
+            disk_keys = [f'{self.lineage}.part{i}of{n}' for i in range(n)]
+        # layer 1: in-memory memo; layer 2: on-disk fast restarts
+        # (reference ExecutionCache.scala:15-103); layer 3: compute
+        results: List[Optional[Batch]] = [None] * n
         todo = []
-        for i, k in enumerate(keys):
-            hit, val = cache.lookup(k)
-            results.append(val if hit else None)
-            if not hit:
-                todo.append(i)
+        memo_hits = set()
+        for i in range(n):
+            b = memcache.peek(self, i)
+            if b is not None:
+                results[i] = b
+                memo_hits.add(i)
+                continue
+            if disk_keys is not None:
+                hit, val = cache.lookup(disk_keys[i])
+                if hit:
+                    results[i] = val
+                    continue
+            todo.append(i)
         if todo:
             fresh = Env.backend().map_collect([self.contexts[i] for i in todo],
                                               self.partition_fn)
             for i, b in zip(todo, fresh):
                 results[i] = b
-                cache.put(keys[i], b)
+                if disk_keys is not None:
+                    cache.put(disk_keys[i], b)
+        for i in range(n):
+            if i not in memo_hits:
+                memcache.store(self, i, results[i])
         return results
 
     def collect_single(self) -> Batch:
