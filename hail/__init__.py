@@ -43,3 +43,68 @@ _sys.modules['hail.utils.java'] = _java
 _sys.modules['hail.backend'] = _backend_pkg
 _sys.modules['hail.backend.backend'] = _backend_mod
 _sys.modules['hail.backend.service_backend'] = _service_backend
+
+# module-path remaps where our layout differs from the reference's
+# (reference hail/expr/types.py → hail_tpu/types.py, etc.)
+import importlib as _importlib
+
+# importlib (not `import a.b as x`): several of these submodule names are
+# shadowed by same-named functions on their parent package (methods.pca is
+# both the pca() function and the module)
+_types = _importlib.import_module('hail_tpu.types')
+_context = _importlib.import_module('hail_tpu.context')
+_ir = _importlib.import_module('hail_tpu.ir')
+_tc_check = _importlib.import_module('hail_tpu.typecheck.check')
+_utils_misc = _importlib.import_module('hail_tpu.utils.misc')
+_placement_tree = _importlib.import_module('hail_tpu.utils.placement_tree')
+_linkedlist = _importlib.import_module('hail_tpu.utils.linkedlist')
+_dedup = _importlib.import_module('hail_tpu.utils.deduplicate')
+_exp_time = _importlib.import_module('hail_tpu.experimental.time')
+_vds_combiner = _importlib.import_module('hail_tpu.vds.combiner')
+_vds_combine = _importlib.import_module('hail_tpu.vds.combiner.combine')
+_methods_pca = _importlib.import_module('hail_tpu.methods.pca')
+_methods_qc = _importlib.import_module('hail_tpu.methods.qc')
+from hail_tpu.expr.typefuncs import ExpressionException  # noqa: F401
+
+_sys.modules['hail.expr.types'] = _types
+_sys.modules['hail.context'] = _context
+_sys.modules['hail.ir'] = _ir
+_sys.modules['hail.typecheck.check'] = _tc_check
+_sys.modules['hail.utils.misc'] = _utils_misc
+_sys.modules['hail.utils.placement_tree'] = _placement_tree
+_sys.modules['hail.utils.linkedlist'] = _linkedlist
+_sys.modules['hail.utils.deduplicate'] = _dedup
+_sys.modules['hail.experimental.time'] = _exp_time
+_sys.modules['hail.vds.combiner'] = _vds_combiner
+_sys.modules['hail.vds.combiner.combine'] = _vds_combine
+_sys.modules['hail.methods.pca'] = _methods_pca
+_sys.modules['hail.methods.qc'] = _methods_qc
+ir = _ir
+current_backend = _ht.current_backend if hasattr(_ht, 'current_backend') else None
+
+
+# reference tests monkeypatch/import hail.backend.spark_backend; there is no
+# Spark here — expose an explanatory stub module
+import types as _types_mod
+_spark_stub = _types_mod.ModuleType('hail.backend.spark_backend')
+
+
+class SparkBackend:  # noqa: N801 - reference name
+    def __init__(self, *a, **kw):
+        raise NotImplementedError(
+            'SparkBackend does not exist in hail_tpu: execution is local '
+            'XLA / mesh backends (see hail_tpu/backend/)')
+
+
+def _configure_spark_classpath(*a, **kw):
+    raise NotImplementedError('no Spark in hail_tpu')
+
+
+def _get_or_create_pyspark_session(*a, **kw):
+    raise NotImplementedError('no Spark in hail_tpu')
+
+
+_spark_stub.SparkBackend = SparkBackend
+_spark_stub._configure_spark_classpath = _configure_spark_classpath
+_spark_stub._get_or_create_pyspark_session = _get_or_create_pyspark_session
+_sys.modules['hail.backend.spark_backend'] = _spark_stub

@@ -34,6 +34,7 @@ from .expr.expression import (Expression, ArrayExpression, BooleanExpression,
                               TupleExpression, to_expr, impute_type)
 
 # function library: exported under both `hl.<fn>` and `hl.expr.functions`
+from .expr.typefuncs import ExpressionException
 from .expr import functions as _F
 from .expr.functions import (
     literal, missing, null, if_else, cond, case, switch, coalesce, or_else,

@@ -55,6 +55,12 @@ class Backend:
 
     _stage_counter = 0
 
+    @property
+    def fs(self):
+        """Backend filesystem (reference Backend.fs): the scheme-routing FS."""
+        from ..fs.router_fs import get_fs
+        return get_fs()
+
     def map_collect(self, contexts: Sequence[Any], fn: Callable[[Any], Any]) -> List[Any]:
         contexts = list(contexts)
         Backend._stage_counter += 1

@@ -330,3 +330,19 @@ class _with_flags:
             else:
                 f[k] = v
         _sync_flag_caches()
+
+
+def _get_local_tmpdir(local_tmpdir=None) -> str:
+    """Resolve the local scratch dir (reference `hail/context.py`
+    _get_local_tmpdir): explicit arg > initialized context > /tmp."""
+    if local_tmpdir:
+        return local_tmpdir
+    if Env._hc is not None:
+        return Env.hc().local_tmpdir
+    import tempfile
+    return tempfile.gettempdir()
+
+
+# re-exported for the reference import path `from hail.context import
+# TemporaryFilename` (reference context.py defines it there)
+from .utils import TemporaryDirectory, TemporaryFilename  # noqa: E402,F401

@@ -232,8 +232,8 @@ def fold(zero, seq_op, comb_op) -> Expression:
     return construct_expr(node, unify_all(z, seq))
 
 
-def approx_cdf(expr, k: int = 100) -> Expression:
-    return _agg(A.ApproxCDFAgg(), [expr], (k,))
+def approx_cdf(expr, k: int = 100, _raw: bool = False) -> Expression:
+    return _agg(A.ApproxCDFAgg(), [expr], (k, _raw))
 
 
 def approx_quantiles(expr, qs, k: int = 100) -> Expression:

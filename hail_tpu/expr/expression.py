@@ -655,6 +655,20 @@ class DictExpression(Expression):
         return F._dict_map_values(self, f)
 
 
+def _ordering_key(v):
+    """Recursive total-order key over Hail values: missing sorts last,
+    loci by global position, structs/arrays lexicographically."""
+    if v is None:
+        return (1,)
+    if isinstance(v, Locus):
+        return (0, v.global_position())
+    if isinstance(v, Struct):
+        return (0, tuple(_ordering_key(x) for x in v.values()))
+    if isinstance(v, (list, tuple)):
+        return (0, tuple(_ordering_key(x) for x in v))
+    return (0, v)
+
+
 class StructExpression(Expression):
     def __getattr__(self, name: str):
         if name.startswith('_'):
@@ -685,6 +699,33 @@ class StructExpression(Expression):
 
     def items(self):
         return [(k, self[k]) for k in self.dtype.fields]
+
+    def _order_op(self, other, py_op):
+        """Lexicographic struct ordering over fields (reference struct
+        ordering: orderings.scala struct comparison)."""
+        from . import functions as F
+        other = to_expr(other, self.dtype)
+
+        def cmp(a, b):
+            return py_op(_ordering_key(a), _ordering_key(b))
+        return F._apply(f'struct_{py_op.__name__}', ht.tbool,
+                        F._obj_impl(ht.tbool, cmp), self, other)
+
+    def __lt__(self, other):
+        import operator
+        return self._order_op(other, operator.lt)
+
+    def __le__(self, other):
+        import operator
+        return self._order_op(other, operator.le)
+
+    def __gt__(self, other):
+        import operator
+        return self._order_op(other, operator.gt)
+
+    def __ge__(self, other):
+        import operator
+        return self._order_op(other, operator.ge)
 
     def get(self, k, default=None):
         """Field by name, or `default` when absent (reference

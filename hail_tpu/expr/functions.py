@@ -1653,7 +1653,12 @@ def rand_int32(a, b=None, seed=None):
     return int32(floor(u * (to_expr(b) - to_expr(a)))) + to_expr(a)
 
 
-def rand_int64(a, b=None, seed=None):
+def rand_int64(a=None, b=None, seed=None):
+    if a is None:
+        # full-range int64 (reference functions.py:3262); computed in f64 —
+        # b - a = 2^64 - 1 would overflow the int64 path below
+        u = rand_unif(seed=seed)
+        return int64(floor((u - 0.5) * _bi.float(1 << 64)))
     if b is None:
         a, b = 0, a
     u = rand_unif(seed=seed)
@@ -2390,3 +2395,103 @@ def rand_norm2d(mean=None, cov=None, seed=None):
             fo[i] = [_bi.float(v[0]), _bi.float(v[1])]
         return C.from_pylist(t, list(fo)).reshape(shape)
     return _apply('rand_norm2d', t, impl, me, cve, u1, u2)
+
+
+# ---------------------------------------------------------------------------
+# approx_cdf internals (reference hail/expr/functions.py:160-280)
+# ---------------------------------------------------------------------------
+
+_RAW_CDF_T = ht.tstruct(levels=ht.tarray(ht.tint32), items=ht.tarray(ht.tfloat64),
+                        _compaction_counts=ht.tarray(ht.tint32))
+_CDF_T = ht.tstruct(values=ht.tarray(ht.tfloat64), ranks=ht.tarray(ht.tint64),
+                    _compaction_counts=ht.tarray(ht.tint32))
+
+
+def _result_from_raw_cdf(raw_cdf):
+    """Convert a raw KLL sketch (levels offsets + items) into the cdf result
+    shape {values, ranks, _compaction_counts} (reference
+    `hail/expr/functions.py:173` `_result_from_raw_cdf`)."""
+    def f(raw):
+        weights: dict = {}
+        levels = raw['levels']
+        items = raw['items']
+        for lvl in range(len(levels) - 1):
+            for i in range(levels[lvl], levels[lvl + 1]):
+                v = items[i]
+                weights[v] = weights.get(v, 0) + (1 << lvl)
+        vals = sorted(weights)
+        ranks = [0]
+        for v in vals:
+            ranks.append(ranks[-1] + weights[v])
+        return Struct(values=vals, ranks=ranks,
+                      _compaction_counts=list(raw['_compaction_counts']))
+    return _apply('result_from_raw_cdf', _CDF_T, _obj_impl(_CDF_T, f),
+                  to_expr(raw_cdf))
+
+
+def _cdf_combine(k, left, right):
+    """Merge two raw KLL sketches (reference `approxCDFCombine`,
+    `hail/expr/functions.py:192`)."""
+    from ..ir.agg import ApproxCDFAgg
+
+    def f(a, b):
+        agg_ = ApproxCDFAgg()
+
+        def state(raw):
+            lv, it = raw['levels'], raw['items']
+            levels = [np.asarray(it[lv[h]:lv[h + 1]], np.float64)
+                      for h in range(len(lv) - 1)]
+            counts = list(raw['_compaction_counts'])
+            n = sum(lvl.size << h for h, lvl in enumerate(levels))
+            return (levels, counts, np.int64(n))
+
+        levels, counts, _n = agg_.comb(state(a), state(b), (k, True))
+        offsets = [0]
+        parts = []
+        for lvl in levels:
+            parts.append(np.sort(lvl))
+            offsets.append(offsets[-1] + lvl.size)
+        items = np.concatenate(parts) if parts else np.empty(0)
+        return Struct(levels=[_bi.int(o) for o in offsets],
+                      items=[_bi.float(v) for v in items],
+                      _compaction_counts=[_bi.int(c) for c in counts])
+
+    return _apply('approxCDFCombine', _RAW_CDF_T, _obj_impl(_RAW_CDF_T, f),
+                  to_expr(left), to_expr(right))
+
+
+def _cdf_error_bound(compaction_counts, n, failure_prob, all_quantiles):
+    import math
+    s_num = sum(c * (2 ** (2 * i)) for i, c in enumerate(compaction_counts))
+    if n == 0:
+        return math.inf
+    s = s_num / (n * n)
+
+    def single(fp):
+        return math.sqrt(math.log(2 / fp) * s / 2)
+
+    if not all_quantiles:
+        return single(failure_prob)
+    if s == 0:
+        return 0.0
+    p = 1 / failure_prob
+    for _ in range(5):
+        p = 4 * math.sqrt(math.log(2 * p / failure_prob) / (2 * s))
+    return 1 / p + single(failure_prob / p)
+
+
+def _error_from_cdf(cdf, failure_prob, all_quantiles=False):
+    """Hoeffding error bound on approx_cdf quantile estimates (reference
+    `hail/expr/functions.py:198` `_error_from_cdf`)."""
+    def f(c, fp):
+        return _cdf_error_bound(c['_compaction_counts'], c['ranks'][-1],
+                                fp, all_quantiles)
+    return _apply('error_from_cdf', ht.tfloat64, _obj_impl(ht.tfloat64, f),
+                  to_expr(cdf), to_expr(failure_prob))
+
+
+def _error_from_cdf_python(cdf, failure_prob, all_quantiles=False):
+    """Python-value twin of :func:`._error_from_cdf` (reference
+    `hail/expr/functions.py:241`)."""
+    return _cdf_error_bound(cdf['_compaction_counts'], cdf['ranks'][-1],
+                            failure_prob, all_quantiles)

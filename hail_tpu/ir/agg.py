@@ -978,7 +978,21 @@ class ApproxCDFAgg(Aggregator):
     name = 'approx_cdf'
     SHRINK = 2.0 / 3.0
 
+    RAW_T = ht.tstruct(levels=ht.tarray(ht.tint32), items=ht.tarray(ht.tfloat64),
+                       _compaction_counts=ht.tarray(ht.tint32))
+
+    @staticmethod
+    def _parse_init(init_args):
+        if not init_args:
+            return 100, False
+        k = init_args[0]
+        raw = bool(init_args[1]) if len(init_args) > 1 else False
+        return k, raw
+
     def result_type(self, arg_types, init_args):
+        _, raw = self._parse_init(init_args)
+        if raw:
+            return self.RAW_T
         return ht.tstruct(values=ht.tarray(ht.tfloat64), ranks=ht.tarray(ht.tint64),
                           _compaction_counts=ht.tarray(ht.tint32))
 
@@ -1013,7 +1027,7 @@ class ApproxCDFAgg(Aggregator):
             counts[over] += 1
 
     def seq(self, arg_cols, include, axis, init_args):
-        (k,) = init_args or (100,)
+        k, _ = self._parse_init(init_args)
         (x,) = arg_cols
         ok = _include_and_defined(x, include)
         vals = np.broadcast_to(np.asarray(x.values, np.float64), ok.shape)[ok]
@@ -1024,7 +1038,7 @@ class ApproxCDFAgg(Aggregator):
         return (levels, counts, np.int64(vals.size))
 
     def comb(self, a, b, init_args):
-        (k,) = init_args or (100,)
+        k, _ = self._parse_init(init_args)
         la, ca, na = a
         lb, cb, nb = b
         H = max(len(la), len(lb))
@@ -1041,7 +1055,22 @@ class ApproxCDFAgg(Aggregator):
 
     def result(self, state, init_args):
         from ..utils.structs import Struct
+        _, raw = self._parse_init(init_args)
         levels, counts, n = state
+        if raw:
+            # raw sketch: `levels` are offsets into `items`; items of level h
+            # (weight 2^h) are items[levels[h]:levels[h+1]], sorted
+            # (reference approx_cdf(_raw=True), ApproxCDFAggregator.scala)
+            offsets = [0]
+            parts = []
+            for lvl in levels:
+                parts.append(np.sort(lvl))
+                offsets.append(offsets[-1] + lvl.size)
+            items = np.concatenate(parts) if parts else np.empty(0)
+            return C.from_pylist(self.RAW_T, [Struct(
+                levels=[int(o) for o in offsets],
+                items=[float(v) for v in items],
+                _compaction_counts=[int(c) for c in counts])])
         vals = np.concatenate(levels) if levels else np.empty(0)
         w = np.concatenate([np.full(l.size, 1 << h, np.int64)
                             for h, l in enumerate(levels)]) if levels else \

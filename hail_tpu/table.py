@@ -584,7 +584,7 @@ class Table:
         for r in rows:
             print(' | '.join(_show_value(r[f]) for f in fields))
 
-    def aggregate(self, expr) -> Any:
+    def aggregate(self, expr, _localize: bool = True) -> Any:
         e = to_expr(expr)
         self._check_source(e)
         agg_nodes = aggmod.collect_agg_nodes(e._ir)
@@ -601,7 +601,14 @@ class Table:
         state = _tree_combine(agg_nodes, partials)
         col = aggmod.finalize_aggregate(e._ir, agg_nodes, state, self._globals_env())
         vals = col.to_pylist()
-        return vals[0] if vals else None
+        out = vals[0] if vals else None
+        if not _localize:
+            # reference returns an unevaluated expression; here the value is
+            # already computed, so hand back a typed literal (same downstream
+            # contract: composes into further expressions / hl.eval)
+            from .expr.functions import literal, missing
+            return literal(out, e.dtype) if out is not None else missing(e.dtype)
+        return out
 
 
     def export(self, output: str, types_file: Optional[str] = None,

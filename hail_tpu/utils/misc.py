@@ -431,3 +431,39 @@ def get_movie_lens(output_dir: str, overwrite: bool = False) -> None:
         ratings, hl.tstruct(user_id=hl.tint32, movie_id=hl.tint32,
                             rating=hl.tint32)).write(ratings_path,
                                                      overwrite=True)
+
+
+_CONTROL_ESCAPES = {'\b': '\\b', '\n': '\\n', '\t': '\\t', '\f': '\\f',
+                    '\r': '\\r'}
+
+
+def escape_str(s: str, backticked: bool = False) -> str:
+    """Escape a string to Hail text form (reference `utils/misc.py:568`):
+    non-ASCII and control chars become \\uXXXX, quotes/backticks escape
+    per context."""
+    out = []
+    for ch in s:
+        n = ord(ch)
+        if n > 0x7F:
+            out.append(f'\\u{n:04X}')
+        elif n < 32:
+            esc = _CONTROL_ESCAPES.get(ch)
+            out.append(esc if esc is not None else f'\\u{n:04X}')
+        elif ch == '"':
+            out.append('"' if backticked else '\\"')
+        elif ch == '`':
+            out.append('\\`' if backticked else '`')
+        elif ch == '\\':
+            out.append('\\\\')
+        else:
+            out.append(ch)
+    return ''.join(out)
+
+
+def escape_id(s: str) -> str:
+    """Backtick-quote an identifier unless it is a plain word
+    (reference `utils/misc.py:605`)."""
+    import re
+    if re.fullmatch(r'[_a-zA-Z]\w*', s):
+        return s
+    return f'`{escape_str(s, backticked=True)}`'

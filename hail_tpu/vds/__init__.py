@@ -25,6 +25,8 @@ class VariantDataset:
     and `variant_data` (variant sites) — reference
     `vds/variant_dataset.py`."""
 
+    ref_block_max_length_field = 'ref_block_max_length'
+
     def __init__(self, reference_data: MatrixTable, variant_data: MatrixTable):
         self.reference_data = reference_data
         self.variant_data = variant_data

@@ -15,114 +15,10 @@ import os
 import uuid
 from typing import Dict, List, Optional
 
-import numpy as np
-
-from .. import types as ht
-from ..ir import columns as C
-from ..ir.columns import Batch, ObjectColumn, PrimitiveColumn
-from ..matrixtable import MatrixBatch, MatrixStage, MatrixTable, _concat_matrix_batches
-from ..utils.structs import Struct
-from . import VariantDataset, read_vds
+from .. import read_vds
+from .combine import combine_variant_datasets, transform_gvcf
 
 VDS_VERSION = 1
-
-
-def transform_gvcf(mt: MatrixTable, reference_entry_fields_to_keep=(),
-                   info_to_keep=None) -> VariantDataset:
-    """Split an imported GVCF into (reference_data, variant_data)
-    (reference `vds/combiner/combine.py` transform_gvcf)."""
-    from ..expr import functions as F
-    # reference-block rows: single alt <NON_REF> and INFO END present
-    def is_ref_block(m):
-        al = m.alleles
-        return (F.len_(al) <= 2) & F.coalesce(al[1] == '<NON_REF>', True) \
-            & F.is_defined(m.info.END) if 'END' in m._stage.row_type['info'].fields \
-            else F.literal(False)
-    has_end = 'info' in mt._stage.row_type.fields and 'END' in mt._stage.row_type['info'].fields
-    if has_end:
-        ref = mt.filter_rows(F.is_defined(mt.info.END))
-        var = mt.filter_rows(F.is_defined(mt.info.END), keep=False)
-        ref = ref.annotate_rows(__END=ref.info.END)
-    else:
-        ref = mt.filter_rows(F.literal(False))
-        var = mt
-        ref = ref.annotate_rows(__END=F.missing(ht.tint32))
-    # drop <NON_REF> from variant alleles
-    var = var.annotate_rows(alleles=var.alleles.filter(lambda a: a != '<NON_REF>'))
-    return VariantDataset(ref, var)
-
-
-def combine_variant_datasets(vdses: List[VariantDataset]) -> VariantDataset:
-    """Union samples across VDSes (reference combine.py combine_vds)."""
-    refs = [v.reference_data for v in vdses]
-    vars_ = [v.variant_data for v in vdses]
-    return VariantDataset(_outer_union_cols(refs), _outer_union_cols(vars_))
-
-
-def _hashable(kt):
-    return tuple(tuple(v) if isinstance(v, list) else v for v in kt)
-
-
-def _outer_union_cols(mts: List[MatrixTable]) -> MatrixTable:
-    """Full outer union of columns: rows = union of row keys; entries missing
-    where a dataset lacks the row."""
-    if len(mts) == 1:
-        return mts[0]
-    from ..table import _key_tuples
-    st0 = mts[0]._stage
-    mbs = [_concat_matrix_batches(mt._stage.collect_batches(), mt._stage) for mt in mts]
-    key_fields = st0.row_key
-    all_keys = {}
-    for mb, mt in zip(mbs, mts):
-        for i, kt in enumerate(_key_tuples(mb.rows, key_fields)):
-            kt = _hashable(kt)
-            if kt not in all_keys:
-                all_keys[kt] = (mb, i)
-    # sort union keys by locus global position where applicable
-    def sort_key(kt):
-        out = []
-        for v in kt:
-            if hasattr(v, 'global_position'):
-                out.append(v.global_position())
-            elif isinstance(v, list):
-                out.append(tuple(str(x) for x in v))
-            else:
-                out.append(v)
-        return tuple(out)
-    union_keys = sorted(all_keys.keys(), key=sort_key)
-    key_index = {kt: i for i, kt in enumerate(union_keys)}
-    R = len(union_keys)
-    # row fields taken from the first dataset containing the key
-    row_vals = []
-    for kt in union_keys:
-        mb, i = all_keys[kt]
-        row_vals.append(Struct(**{f: mb.rows.columns[f].to_pylist()[i]
-                                  for f in st0.row_type.fields}))
-    rows = Batch.from_pylist(st0.row_type, row_vals)
-    # entries: per dataset gather into union rows
-    ent_cols = {}
-    total_cols = sum(mt._stage.n_cols for mt in mts)
-    for field, ftype in st0.entry_type.fields.items():
-        pieces = []
-        for mb, mt in zip(mbs, mts):
-            kts = [_hashable(k) for k in _key_tuples(mb.rows, key_fields)]
-            src_idx = np.full(R, 0, dtype=np.int64)
-            present = np.zeros(R, dtype=bool)
-            for i, kt in enumerate(kts):
-                j = key_index[kt]
-                src_idx[j] = i
-                present[j] = True
-            col = mb.entries[field].gather(src_idx, axis=0)
-            miss_rows = ~present
-            if miss_rows.any():
-                col = col.with_missing(np.broadcast_to(miss_rows[:, None],
-                                                       (R, mt._stage.n_cols)).copy())
-            pieces.append(col)
-        ent_cols[field] = C.concat_columns(pieces, axis=1)
-    cols = Batch.concat([mt._stage.cols for mt in mts])
-    return MatrixTable(MatrixStage.from_batches(
-        st0.globals, cols, st0.row_key, st0.col_key, st0.row_type,
-        st0.col_type, st0.entry_type, [MatrixBatch(rows, ent_cols)]))
 
 
 class VariantDatasetCombiner:
@@ -187,7 +83,7 @@ class VariantDatasetCombiner:
 
     # -- execution ---------------------------------------------------------
     def run(self) -> None:
-        from ..io.vcf import import_vcf
+        from ...io.vcf import import_vcf
         while self.gvcf_paths:
             batch = self.gvcf_paths[:self.gvcf_batch_size]
             vdses = []

@@ -17,6 +17,10 @@ export PYTHONPATH="$PWD:/root/reference/hail/python${PYTHONPATH:+:$PYTHONPATH}"
 export HAIL_TEST_RESOURCES_DIR=/root/reference/hail/hail/test/resources
 export JAX_PLATFORM_NAME=cpu
 export JAX_PLATFORMS=cpu
+# we ARE a local backend: the reference conftest (loaded via --confcutdir)
+# then applies its own backend-marker skips/xfails (spark/JVM-only tests
+# skip, fails_local_backend tests xfail) exactly as upstream CI would
+export HAIL_QUERY_BACKEND=${HAIL_QUERY_BACKEND:-local}
 
 DEFAULT_TARGETS=(
   "$REF/methods/test_skat.py"
@@ -31,10 +35,6 @@ else
   TARGETS=("${DEFAULT_TARGETS[@]}")
 fi
 
-exec python -m pytest -p no:cacheprovider --import-mode=importlib \
-  --rootdir="$PWD" -q \
-  -o "markers=timeout: per-test timeout (reference suite)
-backend: backend selection (reference suite)
-cloud: cloud-only (reference suite)
-unchecked_allocator: jvm flag (reference suite)" \
+exec python -m pytest -p no:cacheprovider -p tools.alias_plugin --import-mode=importlib \
+  --rootdir="$PWD" --confcutdir=/root/reference -c tools/alias_pytest.ini -q \
   "${TARGETS[@]}"
