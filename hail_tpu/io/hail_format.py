@@ -485,7 +485,35 @@ def _load_component(path: str, rel: str):
             raw = f.read()
         rows, vt = decode_rows(raw, codec)
         out.append(rows)
-    return out, parse_vtype(codec['_vType']), meta.get('_key', [])
+    return (out, parse_vtype(codec['_vType']), meta.get('_key', []),
+            meta.get('_jRangeBounds'))
+
+
+def _gp_bounds(jrange_bounds, vt: ht.HailType, key) -> Optional[list]:
+    """Partitioner range bounds (`_jRangeBounds` in the RVD spec) →
+    per-partition closed [lo, hi] locus global-position bounds, the form the
+    interval/key-predicate pruning passes consume
+    (hail_tpu/ir/interval_filters.py)."""
+    if not jrange_bounds or not key:
+        return None
+    t0 = vt.fields.get(key[0]) if isinstance(vt, ht.tstruct) else None
+    rg = getattr(t0, 'reference_genome', None)
+    if rg is None:
+        return None
+    def gp(point):
+        loc = point.get(key[0]) if isinstance(point, dict) else None
+        if not isinstance(loc, dict):
+            return None
+        c, p = loc.get('contig'), loc.get('position')
+        if c not in rg._global_offsets:
+            return None
+        return rg._global_offsets[c] + p - 1
+    out = []
+    for b in jrange_bounds:
+        lo = gp(b.get('start'))
+        hi = gp(b.get('end'))
+        out.append(None if lo is None or hi is None else (lo, hi))
+    return out
 
 
 def is_hail_native(path: str) -> bool:
@@ -499,14 +527,15 @@ def read_hail_table(path: str):
         meta = json.load(f)
     assert meta['name'] == 'TableSpec', meta['name']
     comps = meta['components']
-    g_parts, g_vt, _ = _load_component(path, comps['globals']['rel_path'])
+    g_parts, g_vt, _, _ = _load_component(path, comps['globals']['rel_path'])
     g_rows = [row for part in g_parts for row in part]
-    r_parts, r_vt, key = _load_component(path, comps['rows']['rel_path'])
+    r_parts, r_vt, key, jrb = _load_component(path, comps['rows']['rel_path'])
     globals_b = Batch.from_pylist(g_vt, g_rows or [Struct()])
     batches = [Batch.from_pylist(r_vt, rows) for rows in r_parts]
     if not batches:
         batches = [Batch.empty(r_vt)]
-    return Table(TableStage.from_batches(globals_b, list(key), r_vt, batches))
+    return Table(TableStage.from_batches(globals_b, list(key), r_vt, batches,
+                                         partition_bounds=_gp_bounds(jrb, r_vt, key)))
 
 
 def read_hail_matrix_table(path: str):
@@ -517,10 +546,10 @@ def read_hail_matrix_table(path: str):
         meta = json.load(f)
     assert meta['name'] == 'MatrixTableSpec', meta['name']
     comps = meta['components']
-    g_parts, g_vt, _ = _load_component(path, comps['globals']['rel_path'])
-    c_parts, c_vt, _ = _load_component(path, comps['cols']['rel_path'])
-    r_parts, r_vt, row_key = _load_component(path, comps['rows']['rel_path'])
-    e_parts, e_vt, _ = _load_component(path, comps['entries']['rel_path'])
+    g_parts, g_vt, _, _ = _load_component(path, comps['globals']['rel_path'])
+    c_parts, c_vt, _, _ = _load_component(path, comps['cols']['rel_path'])
+    r_parts, r_vt, row_key, jrb = _load_component(path, comps['rows']['rel_path'])
+    e_parts, e_vt, _, _ = _load_component(path, comps['entries']['rel_path'])
 
     g_rows = [row for part in g_parts for row in part]
     cols_rows = [row for part in c_parts for row in part]
@@ -552,4 +581,5 @@ def read_hail_matrix_table(path: str):
     if not mbs:
         mbs = [MatrixBatch(Batch.empty(r_vt), {})]
     return MatrixTable(MatrixStage.from_batches(
-        globals_b, cols_b, list(row_key), col_key, r_vt, c_vt, entry_t, mbs))
+        globals_b, cols_b, list(row_key), col_key, r_vt, c_vt, entry_t, mbs,
+        partition_bounds=_gp_bounds(jrb, r_vt, row_key)))

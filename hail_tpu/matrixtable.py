@@ -152,11 +152,12 @@ class MatrixStage:
 
     @staticmethod
     def from_batches(globals, cols, row_key, col_key, row_type, col_type, entry_type,
-                     batches: List[MatrixBatch]) -> 'MatrixStage':
+                     batches: List[MatrixBatch],
+                     partition_bounds=None) -> 'MatrixStage':
         bases = list(np.cumsum([0] + [b.n_rows for b in batches[:-1]]).astype(int))
         return MatrixStage(globals, cols, row_key, col_key, row_type, col_type,
                            entry_type, list(range(len(batches))), lambda i: batches[i],
-                           uid_bases=bases)
+                           partition_bounds, uid_bases=bases)
 
 
 class MatrixTable:
@@ -530,6 +531,7 @@ class MatrixTable:
     def filter_rows(self, expr, keep: bool = True) -> 'MatrixTable':
         e = to_expr(expr)
         self._check_source(e)
+        self = self._prune_by_predicate(e._ir, keep)
         agg_nodes = aggmod.collect_agg_nodes(e._ir)
         def f(mb, i):
             if agg_nodes:
@@ -543,6 +545,29 @@ class MatrixTable:
                 mask = ~mask & ~col.missing_mask()
             return mb.filter_rows(mask)
         return MatrixTable(self._stage.map_partitions(f))
+
+    def _prune_by_predicate(self, pred_ir, keep: bool) -> 'MatrixTable':
+        """Partition pruning from row-key comparisons in the filter predicate
+        (reference `expr/ir/ExtractIntervalFilters.scala`)."""
+        st = self._stage
+        if not keep or not st.row_key:
+            return self
+        key0 = st.row_key[0]
+        rg = getattr(st.row_type[key0], 'reference_genome', None)
+        if rg is None:
+            return self
+        from .ir.interval_filters import extract_gp_ranges, prune_indices
+        ranges = extract_gp_ranges(pred_ir, key0, rg)
+        keep_idx = prune_indices(getattr(st, 'partition_bounds', None), ranges)
+        if keep_idx is None or len(keep_idx) == len(st.contexts):
+            return self
+        return MatrixTable(MatrixStage(
+            st.globals, st.cols, st.row_key, st.col_key,
+            st.row_type, st.col_type, st.entry_type,
+            [st.contexts[i] for i in keep_idx], st.partition_fn,
+            [st.partition_bounds[i] for i in keep_idx],
+            uid_bases=([st.uid_bases[i] for i in keep_idx]
+                       if st.uid_bases is not None else None)))
 
     def filter_cols(self, expr, keep: bool = True) -> 'MatrixTable':
         e = to_expr(expr)
@@ -680,7 +705,9 @@ class MatrixTable:
         pf = st.partition_fn
         def f(ctx):
             return pf(ctx).rows
-        return Table(TableStage(st.globals, st.row_key, st.row_type, st.contexts, f))
+        return Table(TableStage(st.globals, st.row_key, st.row_type, st.contexts, f,
+                                getattr(st, 'partition_bounds', None),
+                                uid_bases=getattr(st, 'uid_bases', None)))
 
     def cols(self) -> Table:
         st = self._stage

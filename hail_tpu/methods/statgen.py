@@ -616,8 +616,16 @@ def balding_nichols_model(n_populations: int, n_samples: int, n_variants: int,
         n_populations=n_populations, n_samples=n_samples, n_variants=n_variants,
         pop_dist=list(pop_dist), fst=list(fst), mixture=mixture))])
     contexts = [(int(bounds[i]), int(bounds[i + 1])) for i in range(n_partitions)]
+    part_bounds = None
+    if n_variants <= max_pos:
+        # positions are 1..n_variants on contig 0 → exact key bounds per
+        # partition (enables ExtractIntervalFilters-style pruning)
+        off = rg._global_offsets[contig]
+        part_bounds = [(off + int(bounds[i]), off + int(bounds[i + 1]) - 1)
+                       for i in range(n_partitions)]
     return MatrixTable(MatrixStage(g, cols, ['locus', 'alleles'], ['sample_idx'],
-                                   row_t, col_t, entry_t, contexts, pf))
+                                   row_t, col_t, entry_t, contexts, pf,
+                                   part_bounds))
 
 
 # ---------------------------------------------------------------------------

@@ -462,6 +462,7 @@ class Table:
     def filter(self, expr, keep: bool = True) -> 'Table':
         e = to_expr(expr)
         self._check_source(e)
+        self = self._prune_by_predicate(e._ir, keep)
         def f(batch, i):
             col = self._eval_rows(e, batch, i)
             vals = np.asarray(col.values, dtype=bool) if isinstance(col, PrimitiveColumn) else \
@@ -476,6 +477,30 @@ class Table:
         return Table(self._stage.map_partitions(
             f, self._stage.row_type,
             lineage_tag=None if sh is None else f'filter:{keep}:{sh}'))
+
+    def _prune_by_predicate(self, pred_ir, keep: bool) -> 'Table':
+        """Partition pruning from key comparisons in a filter predicate — the
+        reference's ExtractIntervalFilters pass
+        (`expr/ir/ExtractIntervalFilters.scala`)."""
+        st = self._stage
+        if not keep or not st.key:
+            return self
+        key0 = st.key[0]
+        t0 = st.row_type[key0]
+        rg = getattr(t0, 'reference_genome', None)
+        if rg is None:
+            return self
+        from .ir.interval_filters import extract_gp_ranges, prune_indices
+        ranges = extract_gp_ranges(pred_ir, key0, rg)
+        keep_idx = prune_indices(getattr(st, 'partition_bounds', None), ranges)
+        if keep_idx is None or len(keep_idx) == len(st.contexts):
+            return self
+        return Table(TableStage(
+            st.globals, st.key, st.row_type,
+            [st.contexts[i] for i in keep_idx], st.partition_fn,
+            [st.partition_bounds[i] for i in keep_idx],
+            uid_bases=([st.uid_bases[i] for i in keep_idx]
+                       if st.uid_bases is not None else None)))
 
     def key_by(self, *keys, **named_exprs) -> 'Table':
         t = self
