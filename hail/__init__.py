@@ -67,6 +67,7 @@ _methods_qc = _importlib.import_module('hail_tpu.methods.qc')
 from hail_tpu.expr.typefuncs import ExpressionException  # noqa: F401
 
 _sys.modules['hail.expr.types'] = _types
+_sys.modules['hail.expr.expressions'] = _importlib.import_module('hail_tpu.expr.expression')
 _sys.modules['hail.context'] = _context
 _sys.modules['hail.ir'] = _ir
 _sys.modules['hail.typecheck.check'] = _tc_check

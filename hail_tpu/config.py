@@ -100,3 +100,41 @@ class DeployConfig:
 
     def url(self, service: str, path: str) -> str:
         return self.base_url(service) + path
+
+
+class ConfigVariable(str, __import__('enum').Enum):
+    """Known user-config keys (reference `hailtop/config/variables.py`)."""
+
+    DOMAIN = 'domain'
+    PROFILE = 'profile'
+    GCS_REQUESTER_PAYS_PROJECT = 'gcs_requester_pays/project'
+    GCS_REQUESTER_PAYS_BUCKETS = 'gcs_requester_pays/buckets'
+    GCS_BUCKET_ALLOW_LIST = 'gcs/bucket_allow_list'
+    BATCH_BUCKET = 'batch/bucket'
+    BATCH_REMOTE_TMPDIR = 'batch/remote_tmpdir'
+    BATCH_REGIONS = 'batch/regions'
+    BATCH_BILLING_PROJECT = 'batch/billing_project'
+    BATCH_BACKEND = 'batch/backend'
+    QUERY_BACKEND = 'query/backend'
+    QUERY_BATCH_BACKEND_MAX_READ_PARALLELISM = 'query/batch_backend_max_read_parallelism'
+    QUERY_BATCH_DRIVER_CORES = 'query/batch_driver_cores'
+    QUERY_BATCH_WORKER_CORES = 'query/batch_worker_cores'
+    QUERY_BATCH_DRIVER_MEMORY = 'query/batch_driver_memory'
+    QUERY_BATCH_WORKER_MEMORY = 'query/batch_worker_memory'
+    QUERY_NAME_PREFIX = 'query/name_prefix'
+    QUERY_DISABLE_PROGRESS_BAR = 'query/disable_progress_bar'
+    HTTP_TIMEOUT_IN_SECONDS = 'http/timeout_in_seconds'
+
+
+def configuration_of(config_variable, explicit_argument, fallback, *,
+                     deprecated_envvar=None):
+    """Explicit arg → user config → fallback (reference
+    `hailtop/config/user_config.py:131`)."""
+    if explicit_argument is not None:
+        return explicit_argument
+    key = config_variable.value if isinstance(config_variable, ConfigVariable) \
+        else str(config_variable)
+    v = get_config_option(key)
+    if v is not None:
+        return v
+    return fallback

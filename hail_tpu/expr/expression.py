@@ -1088,6 +1088,10 @@ class NDArrayExpression(Expression):
         from . import functions as F
         return F._ndarray_sum(self, axis)
 
+    def __getitem__(self, item):
+        from . import functions as F
+        return F._ndarray_getitem(self, item)
+
     def _to_array(self):
         return self._nd_method('nd_to_array', ht.tarray(self.dtype.element_type))
 
@@ -1281,3 +1285,8 @@ def eval_scalar(expr: Expression):
     if key is not None:
         cache.put(key, out)
     return out
+
+
+# late import (typefuncs itself imports this module): re-exported because the
+# reference exposes ExpressionException at hail.expr.expressions
+from .typefuncs import ExpressionException  # noqa: E402,F401

@@ -1775,6 +1775,51 @@ def _ndarray_method(expr, name, result_typ, *args):
     return _apply(name, result_typ, _obj_impl(result_typ, f), expr, *args)
 
 
+def _ndarray_getitem(expr, item):
+    """NDArray indexing (reference NDArrayExpression.__getitem__): integer
+    indices (expressions allowed) select elements; python slices (static
+    bounds) select subarrays; mixed forms reduce ndim per integer index."""
+    nd = expr.dtype.ndim
+    if not isinstance(item, tuple):
+        item = (item,)
+    if _bi.len(item) != nd:
+        raise ValueError(f'expected {nd} indices, got {_bi.len(item)}')
+    slice_positions = [i for i, s in enumerate(item)
+                       if isinstance(s, slice)]
+    out_ndim = _bi.len(slice_positions)
+    et = expr.dtype.element_type
+    result_typ = ht.tndarray(et, out_ndim) if out_ndim else et
+    static = [s if isinstance(s, slice) else None for s in item]
+    idx_exprs = [to_expr(s) for s in item if not isinstance(s, slice)]
+
+    def impl(col, *idx_cols):
+        obj = C.to_object(col)
+        idxs = [C.to_object(c) for c in idx_cols]
+        shape = np.broadcast_shapes(obj.shape, *[c.shape for c in idxs])
+        ov = np.broadcast_to(obj.values, shape)
+        fis = [np.broadcast_to(c.values, shape).ravel() for c in idxs]
+        out = np.empty(shape, dtype=object)
+        fo, fa = out.ravel(), ov.ravel()
+        for i in range(fo.size):
+            a = fa[i]
+            if a is None or any(f[i] is None for f in fis):
+                fo[i] = None
+                continue
+            sel = []
+            j = 0
+            for s in static:
+                if s is not None:
+                    sel.append(s)
+                else:
+                    sel.append(_bi.int(fis[j][i]))
+                    j += 1
+            v = np.asarray(a)[tuple(sel)]
+            fo[i] = v.item() if np.ndim(v) == 0 else v
+        return C.from_pylist(result_typ, _bi.list(fo)).reshape(shape)
+
+    return _apply('nd_index', result_typ, impl, expr, *idx_exprs)
+
+
 def _ndarray_sum(expr, axis):
     if axis is None:
         t = expr.dtype.element_type

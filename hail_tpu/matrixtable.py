@@ -214,7 +214,21 @@ class MatrixTable:
             return self.globals[name]
         raise AttributeError(f'MatrixTable has no field {name!r}')
 
-    __getitem__ = __getattr__
+    def __getitem__(self, item):
+        if isinstance(item, str):
+            return self.__getattr__(item)
+        if isinstance(item, tuple) and len(item) == 2:
+            # mt[row_key_exprs, col_key_exprs] → entry struct join (reference
+            # MatrixTable.__getitem__ entry lookup)
+            rpart, cpart = item
+            rkeys = list(rpart) if isinstance(rpart, tuple) else [rpart]
+            ckeys = list(cpart) if isinstance(cpart, tuple) else [cpart]
+            st = self._stage
+            ent = self.entries()
+            keyed = ent.key_by(*(list(st.row_key) + list(st.col_key)))
+            keyed = keyed.select(*st.entry_type.fields)
+            return keyed[tuple(rkeys + ckeys)]
+        raise TypeError(f'invalid MatrixTable index: {item!r}')
 
 
     def _eval_global_expr(self, expr):
@@ -630,14 +644,60 @@ class MatrixTable:
                                        st.contexts, st.partition_fn))
 
 
+    def _group_key_names(self, keys, named_exprs, axis):
+        """Validate group keys, split into (names, extra annotations): a
+        top-level field expression keys by its name; a nested field (mt.s.a)
+        keys by the LEAF name and is annotated first; a named expression must
+        introduce a FRESH name (reference GroupedMatrixTable key checks)."""
+        from .expr.typefuncs import ExpressionException
+        from .ir.nodes import GetField, Ref
+        st = self._stage
+        axis_fields = (st.row_type if axis == 'row' else st.col_type).fields
+        all_fields = (set(st.row_type.fields) | set(st.col_type.fields)
+                      | set(st.entry_type.fields) | set(st.globals_type.fields))
+
+        def check_axes(e, name):
+            if e._indices.axes != frozenset({axis}):
+                raise ExpressionException(
+                    f"group key {name!r} has indices {sorted(e._indices.axes)};"
+                    f" expected ['{axis}']")
+
+        names = []
+        ann = {}
+        for k in keys:
+            if isinstance(k, str):
+                if k not in axis_fields:
+                    raise ExpressionException(
+                        f'{k!r} is not a {axis} field')
+                names.append(k)
+                continue
+            ir = k._ir
+            if not isinstance(ir, GetField):
+                raise ExpressionException(
+                    'positional group keys must be fields; '
+                    'use a named expression (name=expr) otherwise')
+            check_axes(k, ir.name)
+            top_level = isinstance(ir.struct, Ref) and ir.name in axis_fields
+            if not top_level:
+                ann[ir.name] = k
+            names.append(ir.name)
+        for name, e in named_exprs.items():
+            if name in all_fields:
+                raise ExpressionException(
+                    f'cannot assign group key {name!r}: field already exists')
+            e = to_expr(e)
+            check_axes(e, name)
+            ann[name] = e
+        return names + list(named_exprs), ann
+
     def group_rows_by(self, *keys, **named_exprs) -> 'GroupedMatrixTable':
-        mt = self.annotate_rows(**named_exprs) if named_exprs else self
-        names = [k if isinstance(k, str) else _expr_field_name(k) for k in keys] + list(named_exprs)
+        names, ann = self._group_key_names(keys, named_exprs, 'row')
+        mt = self.annotate_rows(**ann) if ann else self
         return GroupedMatrixTable(mt, row_keys=names)
 
     def group_cols_by(self, *keys, **named_exprs) -> 'GroupedMatrixTable':
-        mt = self.annotate_cols(**named_exprs) if named_exprs else self
-        names = [k if isinstance(k, str) else _expr_field_name(k) for k in keys] + list(named_exprs)
+        names, ann = self._group_key_names(keys, named_exprs, 'column')
+        mt = self.annotate_cols(**ann) if ann else self
         return GroupedMatrixTable(mt, col_keys=names)
 
 
@@ -1344,24 +1404,112 @@ class GroupedMatrixTable:
     `hail/python/hail/matrixtable.py` GroupedMatrixTable →
     MatrixAggregateRowsByKey/MatrixAggregateColsByKey)."""
 
-    def __init__(self, mt: 'MatrixTable', row_keys=None, col_keys=None):
+    def __init__(self, mt: 'MatrixTable', row_keys=None, col_keys=None,
+                 entry_aggs=None, row_aggs=None, col_aggs=None):
         self._mt = mt
         self._row_keys = row_keys
         self._col_keys = col_keys
+        self._entry_aggs = dict(entry_aggs or {})
+        self._row_aggs = dict(row_aggs or {})
+        self._col_aggs = dict(col_aggs or {})
 
     def partition_hint(self, n: int) -> 'GroupedMatrixTable':
         return self
 
+    def _copy(self, **updates) -> 'GroupedMatrixTable':
+        d = dict(mt=self._mt, row_keys=self._row_keys, col_keys=self._col_keys,
+                 entry_aggs=self._entry_aggs, row_aggs=self._row_aggs,
+                 col_aggs=self._col_aggs)
+        d.update(updates)
+        return GroupedMatrixTable(d['mt'], d['row_keys'], d['col_keys'],
+                                  d['entry_aggs'], d['row_aggs'], d['col_aggs'])
+
+    def _check_field_names(self, exprs, allow_entry_collision=False):
+        from .expr.typefuncs import ExpressionException
+        st = self._mt._stage
+        keys = set(self._row_keys or []) | set(self._col_keys or [])
+        other = (set(st.col_type.fields) if self._row_keys is not None
+                 else set(st.row_type.fields))
+        staged = (set(self._entry_aggs) | set(self._row_aggs)
+                  | set(self._col_aggs))
+        forbidden = set(st.globals_type.fields) | keys | other | staged
+        if not allow_entry_collision:
+            forbidden |= set(st.entry_type.fields)
+        for n in exprs:
+            if n in forbidden:
+                raise ExpressionException(
+                    f'cannot assign aggregated field {n!r}: '
+                    f'name collides with an existing field')
+
+    def _check_scope(self, exprs, free_allowed, agg_allowed, what):
+        from .expr.scopes import axis_usage
+        from .expr.typefuncs import ExpressionException
+        for n, e in exprs.items():
+            free, agged = axis_usage(to_expr(e)._ir)
+            if not free <= free_allowed:
+                raise ExpressionException(
+                    f'{what} {n!r}: non-aggregated indices '
+                    f'{sorted(free - free_allowed)} are out of scope')
+            if not agged <= agg_allowed:
+                raise ExpressionException(
+                    f'{what} {n!r}: aggregation scope is '
+                    f'{sorted(agg_allowed)} only, found {sorted(agged)}')
+
+    def aggregate_entries(self, **exprs) -> 'GroupedMatrixTable':
+        """Stage per-group entry aggregations (reference
+        GroupedMatrixTable.aggregate_entries)."""
+        self._check_field_names(exprs, allow_entry_collision=True)
+        other_axis = 'column' if self._row_keys is not None else 'row'
+        self._check_scope(exprs, frozenset({other_axis}),
+                          frozenset({'row', 'column'}), 'aggregate_entries')
+        return self._copy(entry_aggs={**self._entry_aggs, **exprs})
+
+    def aggregate_rows(self, **exprs) -> 'GroupedMatrixTable':
+        """Stage per-group row-field aggregations (row grouping only)."""
+        if self._row_keys is None:
+            raise NotImplementedError(
+                'aggregate_rows requires group_rows_by')
+        self._check_field_names(exprs)
+        self._check_scope(exprs, frozenset(), frozenset({'row'}),
+                          'aggregate_rows')
+        return self._copy(row_aggs={**self._row_aggs, **exprs})
+
+    def aggregate_cols(self, **exprs) -> 'GroupedMatrixTable':
+        """Stage per-group col-field aggregations (col grouping only)."""
+        if self._col_keys is None:
+            raise NotImplementedError(
+                'aggregate_cols requires group_cols_by')
+        self._check_field_names(exprs)
+        self._check_scope(exprs, frozenset(), frozenset({'column'}),
+                          'aggregate_cols')
+        return self._copy(col_aggs={**self._col_aggs, **exprs})
+
+    def result(self) -> 'MatrixTable':
+        """Execute all staged aggregations (reference
+        GroupedMatrixTable.result)."""
+        return self._result(self._entry_aggs, self._row_aggs, self._col_aggs)
+
     def aggregate(self, **entry_exprs) -> 'MatrixTable':
+        self._check_field_names(entry_exprs, allow_entry_collision=True)
+        return self._result({**self._entry_aggs, **entry_exprs},
+                            self._row_aggs, self._col_aggs)
+
+    def _result(self, entry_exprs, row_agg_exprs, col_agg_exprs) -> 'MatrixTable':
         mt = self._mt
         st = mt._stage
         exprs = {k: to_expr(v) for k, v in entry_exprs.items()}
         new_entry_t = ht.tstruct(**{k: e.dtype for k, e in exprs.items()})
         all_nodes = {k: aggmod.collect_agg_nodes(e._ir) for k, e in exprs.items()}
+        axis_exprs = {k: to_expr(v) for k, v in
+                      (row_agg_exprs if self._row_keys is not None
+                       else col_agg_exprs).items()}
+        axis_nodes = {k: aggmod.collect_agg_nodes(e._ir)
+                      for k, e in axis_exprs.items()}
 
         if self._row_keys is not None:
             key_names = list(self._row_keys)
-            # phase 1: per-partition, per-group (C,) partial states
+            # phase 1: per-partition, per-group partial states — entry aggs
+            # over (rows-in-group × cols), row aggs over rows-in-group
             def part(ctx):
                 mb = st.partition_fn(ctx)
                 renv = mt._row_env(mb, 0)
@@ -1377,38 +1525,56 @@ class GroupedMatrixTable:
                 for kt, idxs in groups.items():
                     mask = np.zeros((mb.n_rows, 1), dtype=bool)
                     mask[idxs, 0] = True
-                    out[kt] = {name: aggmod.partial_aggregate(nodes, env, (0,),
-                                                              extra_include=np.broadcast_to(mask, env.shape))
-                               for name, nodes in all_nodes.items()}
+                    states = {('e', name): aggmod.partial_aggregate(
+                        nodes, env, (0,), extra_include=np.broadcast_to(mask, env.shape))
+                        for name, nodes in all_nodes.items()}
+                    rmask = mask[:, 0]
+                    states.update({('r', name): aggmod.partial_aggregate(
+                        nodes, renv, (0,), extra_include=rmask)
+                        for name, nodes in axis_nodes.items()})
+                    out[kt] = states
                 return out
             partials = Env.backend().map_collect(st.contexts, part)
+            node_of = {('e', n): all_nodes[n] for n in all_nodes}
+            node_of.update({('r', n): axis_nodes[n] for n in axis_nodes})
             merged: Dict = {}
             for p in partials:
                 for kt, states in p.items():
                     if kt in merged:
-                        merged[kt] = {name: aggmod.combine_states(all_nodes[name], merged[kt][name], states[name])
-                                      for name in states}
+                        merged[kt] = {nk: aggmod.combine_states(node_of[nk], merged[kt][nk], states[nk])
+                                      for nk in states}
                     else:
                         merged[kt] = states
             group_keys = sorted(merged.keys(), key=lambda t: tuple((x is None, x) for x in t))
             Cn = st.n_cols
             ents = {}
             cenv = mt._col_env()
+            genv = mt._globals_env()
             for name, e in exprs.items():
                 cols_per_group = []
                 for kt in group_keys:
-                    col = aggmod.finalize_aggregate(e._ir, all_nodes[name], merged[kt][name], cenv)
+                    col = aggmod.finalize_aggregate(e._ir, all_nodes[name], merged[kt][('e', name)], cenv)
                     if col.shape != (Cn,):
                         col = col.broadcast_to((Cn,)) if int(np.prod(col.shape)) == 1 else col.reshape((Cn,))
                     cols_per_group.append(col.reshape((1, Cn)))
                 ents[name] = C.concat_columns(cols_per_group, axis=0) if cols_per_group else \
                     C.null_column(e.dtype, (0, Cn))
             key_types = {kn: st.row_type[kn] for kn in key_names}
-            rows = Batch({kn: C.from_pylist(key_types[kn], [kt[i] for kt in group_keys])
-                          for i, kn in enumerate(key_names)}, len(group_keys))
+            row_cols = {kn: C.from_pylist(key_types[kn], [kt[i] for kt in group_keys])
+                        for i, kn in enumerate(key_names)}
+            for name, e in axis_exprs.items():
+                vals = []
+                for kt in group_keys:
+                    col = aggmod.finalize_aggregate(e._ir, axis_nodes[name], merged[kt][('r', name)], genv)
+                    lst = col.to_pylist()
+                    vals.append(lst[0] if lst else None)
+                row_cols[name] = C.from_pylist(e.dtype, vals)
+            row_t = ht.tstruct(**key_types,
+                               **{n: e.dtype for n, e in axis_exprs.items()})
+            rows = Batch(row_cols, len(group_keys))
             return MatrixTable(MatrixStage.from_batches(
                 st.globals, st.cols, key_names, st.col_key,
-                ht.tstruct(**key_types), st.col_type, new_entry_t,
+                row_t, st.col_type, new_entry_t,
                 [MatrixBatch(rows, ents)]))
 
         # group_cols_by
@@ -1435,17 +1601,34 @@ class GroupedMatrixTable:
                                                       extra_include=np.broadcast_to(mask, env.shape))
                     col = aggmod.finalize_aggregate(e._ir, all_nodes[name], states, renv)
                     if col.shape != (mb.n_rows,):
-                        col = col.reshape((mb.n_rows,))
+                        col = (col.broadcast_to((mb.n_rows,))
+                               if int(np.prod(col.shape)) == 1
+                               else col.reshape((mb.n_rows,)))
                     per_group.append(col.reshape((mb.n_rows, 1)))
                 ents[name] = C.concat_columns(per_group, axis=1) if per_group else \
                     C.null_column(e.dtype, (mb.n_rows, 0))
             batches.append(MatrixBatch(mb.rows, ents))
         key_types = {kn: st.col_type[kn] for kn in key_names}
-        cols = Batch({kn: C.from_pylist(key_types[kn], [kt[i] for kt in group_keys])
-                      for i, kn in enumerate(key_names)}, len(group_keys))
+        col_cols = {kn: C.from_pylist(key_types[kn], [kt[i] for kt in group_keys])
+                    for i, kn in enumerate(key_names)}
+        genv = mt._globals_env()
+        for name, e in axis_exprs.items():
+            vals = []
+            for kt in group_keys:
+                cmask = np.zeros(st.n_cols, dtype=bool)
+                cmask[groups[kt]] = True
+                states = aggmod.partial_aggregate(axis_nodes[name], cenv, (0,),
+                                                  extra_include=cmask)
+                col = aggmod.finalize_aggregate(e._ir, axis_nodes[name], states, genv)
+                lst = col.to_pylist()
+                vals.append(lst[0] if lst else None)
+            col_cols[name] = C.from_pylist(e.dtype, vals)
+        col_t = ht.tstruct(**key_types,
+                           **{n: e.dtype for n, e in axis_exprs.items()})
+        cols = Batch(col_cols, len(group_keys))
         return MatrixTable(MatrixStage.from_batches(
             st.globals, cols, st.row_key, key_names, st.row_type,
-            ht.tstruct(**key_types), new_entry_t, batches))
+            col_t, new_entry_t, batches))
 
 
 def _bool_mask(col: Column) -> np.ndarray:

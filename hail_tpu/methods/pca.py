@@ -53,26 +53,26 @@ def _pca_core(A: np.ndarray, k: int, compute_loadings: bool,
     return eigvals, scores, loadings
 
 
-def _scores_table(mt, scores: np.ndarray) -> Table:
+def _scores_table(mt, scores: np.ndarray, field: str = 'scores') -> Table:
     st = mt._stage
     cols = st.cols
     k = scores.shape[1]
     b = Batch({
         **{kf: cols.columns[kf] for kf in st.col_key},
-        'scores': DenseArrayColumn(ht.tarray(ht.tfloat64), scores,
-                                   np.full(scores.shape[0], k, np.int32)),
+        field: DenseArrayColumn(ht.tarray(ht.tfloat64), scores,
+                                np.full(scores.shape[0], k, np.int32)),
     }, cols.length)
     return Table(TableStage.from_batches(Batch({}, 1), st.col_key, b.row_type, [b]))
 
 
-def _loadings_table(mt, loadings: np.ndarray) -> Table:
+def _loadings_table(mt, loadings: np.ndarray, field: str = 'loadings') -> Table:
     st = mt._stage
     rows = mt.rows()._stage.collect_single()
     k = loadings.shape[1]
     b = Batch({
         **{kf: rows.columns[kf] for kf in st.row_key},
-        'loadings': DenseArrayColumn(ht.tarray(ht.tfloat64), loadings,
-                                     np.full(loadings.shape[0], k, np.int32)),
+        field: DenseArrayColumn(ht.tarray(ht.tfloat64), loadings,
+                                np.full(loadings.shape[0], k, np.int32)),
     }, rows.length)
     return Table(TableStage.from_batches(Batch({}, 1), st.row_key, b.row_type, [b]))
 
@@ -135,11 +135,16 @@ def hwe_normalized_pca(call_expr, k: int = 10, compute_loadings: bool = False
 
 
 def _blanczos_pca(entry_expr, k: int = 10, compute_loadings: bool = False,
-                  q_iterations: int = 10, oversampling_param: int = 10,
-                  block_size: int = 128) -> Tuple[list, Table, Optional[Table]]:
+                  q_iterations: int = 10, oversampling_param=None,
+                  block_size: int = 128, compute_scores: bool = True,
+                  transpose: bool = False) -> Tuple[list, Optional[Table], Optional[Table]]:
     """Randomized PCA with explicit Blanczos parameters (reference
-    `pca.py:210` `_blanczos_pca`)."""
+    `pca.py:538` `_blanczos_pca`). With `transpose=True` the input holds the
+    matrix transposed: loadings live on the input's columns and scores on its
+    rows (reference test_blanczos_flags semantics)."""
     e = _unwrap_tsm(entry_expr)
+    if oversampling_param is None:
+        oversampling_param = 10
     mt = e._indices.source
     G, M = _entry_expr_to_blocks(e)
     if M.any():
@@ -147,12 +152,26 @@ def _blanczos_pca(entry_expr, k: int = 10, compute_loadings: bool = False,
         s = np.where(M, 0, G).sum(axis=1)
         mean = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
         G = np.where(M, mean[:, None], G)
-    U, s, Vt = _randomized_svd(jnp.asarray(G), k, q=q_iterations,
-                               oversample=oversampling_param, seed=Env.next_seed())
+    if G.size <= (4 << 20):
+        # small problem: exact host SVD beats the randomized scheme in both
+        # time and accuracy (device/randomized path is for at-scale inputs)
+        U, s, Vt = np.linalg.svd(np.asarray(G, np.float64), full_matrices=False)
+        U, s, Vt = U[:, :k], s[:k], Vt[:k]
+    else:
+        U, s, Vt = _randomized_svd(jnp.asarray(G), k, q=q_iterations,
+                                   oversample=oversampling_param, seed=Env.next_seed())
     eigvals = list(np.asarray(s * s))
-    scores = np.asarray(Vt.T * np.asarray(s)[None, :])
-    st = _scores_table(mt, scores)
-    lt = _loadings_table(mt, np.asarray(U)) if compute_loadings else None
+    U = np.asarray(U)
+    V = np.asarray(Vt.T)
+    sv = np.asarray(s)
+    if not transpose:
+        st = _scores_table(mt, V * sv[None, :]) if compute_scores else None
+        lt = _loadings_table(mt, U) if compute_loadings else None
+    else:
+        # input is A^T: A = V Σ U^T, so A's left-singulars are the input's
+        # column vectors and A's scores span the input's rows
+        st = _loadings_table(mt, U * sv[None, :], field='scores') if compute_scores else None
+        lt = _scores_table(mt, V, field='loadings') if compute_loadings else None
     return eigvals, st, lt
 
 

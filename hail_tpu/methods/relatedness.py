@@ -175,8 +175,9 @@ def pc_relate(call_expr, min_individual_maf: float, *, k: Optional[int] = None,
         for j in range(j0, n):
             if min_kinship is not None and kin[i, j] < min_kinship:
                 continue
-            r = {'i': col_keys[i] if len(st.col_key) > 1 else col_keys[i][st.col_key[0]],
-                 'j': col_keys[j] if len(st.col_key) > 1 else col_keys[j][st.col_key[0]],
+            # i/j are STRUCTS of the col key fields, even for a single key
+            # (reference pc_relate returns key fields typed tstruct(col_key))
+            r = {'i': col_keys[i], 'j': col_keys[j],
                  'kin': float(kin[i, j])}
             if statistics in ('kin2', 'kin20', 'all'):
                 r['ibd2'] = float(k2[i, j])
@@ -185,8 +186,7 @@ def pc_relate(call_expr, min_individual_maf: float, *, k: Optional[int] = None,
             if statistics == 'all':
                 r['ibd1'] = float(k1[i, j])
             rows.append(Struct(**r))
-    kt = st.col_type[st.col_key[0]] if len(st.col_key) == 1 else ht.tstruct(
-        **{kf: st.col_type[kf] for kf in st.col_key})
+    kt = ht.tstruct(**{kf: st.col_type[kf] for kf in st.col_key})
     fields = [('i', kt), ('j', kt), ('kin', ht.tfloat64)]
     if statistics in ('kin2', 'kin20', 'all'):
         fields.append(('ibd2', ht.tfloat64))

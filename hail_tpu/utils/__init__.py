@@ -7,7 +7,8 @@ from .misc import (HailUserError, FatalError, error, warning, info,
                    timestamp_path, guess_cloud_spark_provider, chunk, maybe,
                    no_service_backend, storage_level, deduplicate, LinkedList,
                    JSONEncoder, _dumps_partitions, get_1kg, get_hgdp,
-                   get_movie_lens)
+                   get_movie_lens, async_to_blocking, secret_alnum_string,
+                   sync_check_exec, escape_str, escape_id)
 from .hadoop import (hadoop_open, hadoop_copy, hadoop_exists, hadoop_is_file,
                      hadoop_is_dir, hadoop_stat, hadoop_ls,
                      hadoop_scheme_supported, TemporaryDirectory,

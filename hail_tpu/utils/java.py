@@ -49,3 +49,10 @@ def __getattr__(name):
         from ..context import Env
         return Env
     raise AttributeError(name)
+
+
+def scala_object(jpackage, name):
+    """JVM accessor (reference utils/java.py scala_object). There is no JVM
+    here; tests that reach this are spark-backend-only (the conftest's
+    backend markers skip them)."""
+    raise NotImplementedError('scala_object: no JVM in hail_tpu')

@@ -467,3 +467,39 @@ def escape_id(s: str) -> str:
     if re.fullmatch(r'[_a-zA-Z]\w*', s):
         return s
     return f'`{escape_str(s, backticked=True)}`'
+
+
+def async_to_blocking(coro):
+    """Run a coroutine to completion on this thread's loop (reference
+    `hailtop/utils/utils.py` async_to_blocking)."""
+    import asyncio
+    try:
+        loop = asyncio.get_running_loop()
+    except RuntimeError:
+        loop = None
+    if loop is not None:
+        raise RuntimeError('async_to_blocking called from a running event loop')
+    return asyncio.run(coro)
+
+
+def secret_alnum_string(n: int = 22, *, case: str = 'mixed') -> str:
+    """Random alphanumeric token (reference hailtop/utils secret_alnum_string)."""
+    import secrets
+    import string
+    if case == 'lowercase':
+        alphabet = string.ascii_lowercase + string.digits
+    elif case == 'uppercase':
+        alphabet = string.ascii_uppercase + string.digits
+    elif case == 'numbers':
+        alphabet = string.digits
+    else:
+        alphabet = string.ascii_letters + string.digits
+    return ''.join(secrets.choice(alphabet) for _ in range(n))
+
+
+def sync_check_exec(*argv, capture_output: bool = False, env=None):
+    """Run a subprocess, raising on nonzero exit (reference
+    `hailtop/utils/process.py` sync_check_exec)."""
+    import subprocess
+    return subprocess.run(list(argv), check=True, capture_output=capture_output,
+                          env=env)

@@ -58,3 +58,79 @@ _hver.__version__ = _ht.__pip_version__
 _sys.modules['hailtop.version'] = _hver
 import hail_tpu.services.auth_client as auth  # noqa: E402
 _sys.modules['hailtop.auth'] = auth
+
+# submodules the reference test-suites import (reference hailtop/*)
+import hail_tpu.config as _cfg
+_cfgmod = _types.ModuleType('hailtop.config')
+_cfgmod.ConfigVariable = _cfg.ConfigVariable
+_cfgmod.configuration_of = _cfg.configuration_of
+_cfgmod.DeployConfig = _cfg.DeployConfig
+_cfgmod.get_user_config = _cfg.get_user_config
+_cfgmod.get_deploy_config = getattr(_cfg, 'get_deploy_config', None)
+_sys.modules['hailtop.config'] = _cfgmod
+
+_proc = _types.ModuleType('hailtop.utils.process')
+from hail_tpu.utils.misc import sync_check_exec as _sync_check_exec  # noqa: E402
+_proc.sync_check_exec = _sync_check_exec
+_sys.modules['hailtop.utils.process'] = _proc
+
+_tu = _types.ModuleType('hailtop.test_utils')
+import os as _os  # noqa: E402
+import unittest as _unittest  # noqa: E402
+
+
+def _in_azure() -> bool:
+    return _os.environ.get('HAIL_CLOUD') == 'azure'
+
+
+def skip_in_azure(fn):
+    return _unittest.skipIf(_in_azure(), 'skipped in Azure')(fn)
+
+
+def run_if_azure(fn):
+    return _unittest.skipUnless(_in_azure(), 'Azure-only')(fn)
+
+
+_tu.skip_in_azure = skip_in_azure
+_tu.run_if_azure = run_if_azure
+_sys.modules['hailtop.test_utils'] = _tu
+
+import hail_tpu.fs.aio as _aio  # noqa: E402
+_aiotools = _types.ModuleType('hailtop.aiotools')
+_aiotools.AsyncFS = _aio.AsyncFS
+_aiotools.LocalAsyncFS = _aio.LocalAsyncFS
+_router_fs_mod = _types.ModuleType('hailtop.aiotools.router_fs')
+_router_fs_mod.RouterAsyncFS = _aio.RouterAsyncFS
+_aiotools.router_fs = _router_fs_mod
+_sys.modules['hailtop.aiotools'] = _aiotools
+_sys.modules['hailtop.aiotools.router_fs'] = _router_fs_mod
+
+_aiocloud = _types.ModuleType('hailtop.aiocloud')
+_aioazure = _types.ModuleType('hailtop.aiocloud.aioazure')
+
+
+class AzureAsyncFS:  # noqa: N801 - reference name
+    def __init__(self, *a, **kw):
+        raise NotImplementedError(
+            'AzureAsyncFS: cloud drivers are gated in this zero-egress build')
+
+    @staticmethod
+    def valid_url(url: str) -> bool:
+        return url.startswith(('https://', 'hail-az://'))
+
+
+_aioazure.AzureAsyncFS = AzureAsyncFS
+_aiocloud.aioazure = _aioazure
+_sys.modules['hailtop.aiocloud'] = _aiocloud
+_sys.modules['hailtop.aiocloud.aioazure'] = _aioazure
+
+import hail_tpu.batch_service.client as _bsc  # noqa: E402
+_bcmod = _types.ModuleType('hailtop.batch_client')
+_bcclient = _types.ModuleType('hailtop.batch_client.client')
+_bcclient.BatchClient = _bsc.BatchServiceClient
+_bcclient.Batch = batch.Batch
+_bcclient.Job = batch.Job
+_bcclient.JobGroup = getattr(batch, 'JobGroup', None)
+_bcmod.client = _bcclient
+_sys.modules['hailtop.batch_client'] = _bcmod
+_sys.modules['hailtop.batch_client.client'] = _bcclient
