@@ -342,11 +342,15 @@ def dict_(collection) -> Expression:
     else:
         kt, vt = et.fields['key'], et.fields['value']
     def impl(col):
+        from ..utils.structs import freeze
         obj = C.to_object(col)
         def f(v):
             if v is None:
                 return None
-            return frozendict({p[0]: p[1] for p in v})
+            # dict KEYS must be hashable; values keep their python form
+            # (reference freezes values only when the dict itself lands in a
+            # set — handled by freeze() at that point)
+            return frozendict({freeze(p[0]): p[1] for p in v})
         return ObjectColumn(ht.tdict(kt, vt), np.frompyfunc(f, 1, 1)(obj.values))
     return _apply('dict', ht.tdict(kt, vt), impl, a)
 
@@ -2222,7 +2226,8 @@ def parse_json(x, dtype):
         if isinstance(typ, ht.tarray):
             return [conv(e, typ.element_type) for e in v]
         if isinstance(typ, ht.tset):
-            return _bi.frozenset(conv(e, typ.element_type) for e in v)
+            from ..utils.structs import freeze
+            return _bi.frozenset(freeze(conv(e, typ.element_type)) for e in v)
         if isinstance(typ, ht.tdict):
             if isinstance(v, _bi.dict):
                 return {conv(k, typ.key_type): conv(val, typ.value_type) for k, val in v.items()}

@@ -47,7 +47,8 @@ class Call:
 
     def __init__(self, alleles: Sequence[int], phased: bool = False):
         if len(alleles) > 2:
-            raise NotImplementedError('ploidy > 2')
+            raise NotImplementedError(
+                'Calls with greater than 2 alleles are not supported.')
         self._alleles: List[int] = list(alleles)
         self._phased = phased
 

@@ -66,6 +66,12 @@ class Pedigree:
                     mat_id=None if mom == '0' else mom,
                     is_female=is_female,
                 ))
+        from collections import Counter
+        from ..utils.misc import FatalError
+        dup = [s for s, n in Counter(t.s for t in trios).items() if n > 1]
+        if dup:
+            raise FatalError(
+                f'Invalid pedigree: found duplicate proband IDs\n{dup}')
         return cls(trios)
 
     def complete_trios(self) -> List[Trio]:

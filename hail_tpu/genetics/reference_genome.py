@@ -113,6 +113,8 @@ class ReferenceGenome:
         return self._global_offsets[contig] + (position - 1)
 
     def locus_from_global_position(self, gpos: int) -> Tuple[str, int]:
+        if gpos < 0:
+            raise ValueError(f'global position {gpos} is negative')
         for c in self.contigs:
             off = self._global_offsets[c]
             if gpos < off + self.lengths[c]:

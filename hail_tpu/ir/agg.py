@@ -470,6 +470,12 @@ class FractionAgg(Aggregator):
         return PrimitiveColumn(ht.tfloat64, np.where(miss, 0.0, frac), miss if miss.any() else None)
 
 
+class _PerPosState(list):
+    """Marker type: a list of per-output-position collect states (partial-axis
+    reduce). Distinguishes [state, state, ...] from a single full-reduction
+    state whose ELEMENTS happen to be lists (e.g. collecting array values)."""
+
+
 class CollectAgg(Aggregator):
     """collect / collect_as_set / counter — object-state aggregators.
 
@@ -503,7 +509,7 @@ class CollectAgg(Aggregator):
         keep_ax = [i for i in range(ndim) if i not in axis][0]
         moved_ok = np.moveaxis(ok, keep_ax, 0)
         moved_v = np.moveaxis(pyl, keep_ax, 0)
-        out = []
+        out = _PerPosState()
         for i in range(moved_ok.shape[0]):
             o = moved_ok[i].ravel()
             v = moved_v[i].ravel()
@@ -511,25 +517,24 @@ class CollectAgg(Aggregator):
         return out
 
     def comb(self, a, b, init_args):
-        if isinstance(a, list) and a and isinstance(a[0], list):
-            return [x + y for x, y in zip(a, b)]
+        if isinstance(a, _PerPosState):
+            return _PerPosState(x + y for x, y in zip(a, b))
         return a + b
 
     def result(self, state, init_args):
         def fin(lst):
             if self.kind == 'collect':
                 return list(lst)
+            from ..utils.structs import freeze
             if self.kind == 'collect_as_set':
-                return frozenset(lst)
+                return frozenset(freeze(v) for v in lst)
             d: Dict[Any, int] = {}
             for v in lst:
-                d[v] = d.get(v, 0) + 1
+                k = freeze(v)
+                d[k] = d.get(k, 0) + 1
             return frozendict(d)
         rt = getattr(self, '_result_t', None) or self.result_type([ht.tfloat64], init_args)
-        if state and isinstance(state[0], list) and self.kind != 'collect':
-            return C.from_pylist(rt, [fin(s) for s in state])
-        if state and isinstance(state[0], list) and self.kind == 'collect':
-            # nested lists only arise from partial-axis seq states
+        if isinstance(state, _PerPosState):
             return C.from_pylist(rt, [fin(s) for s in state])
         return C.from_pylist(rt, [fin(state)])
 

@@ -232,16 +232,10 @@ class ToSet(IR):
     def evaluate(self, env):
         col = self.arr.evaluate(env)
         obj = C.to_object(col)
-        def _freeze(x):
-            # deep-freeze unhashable container elements (lists -> tuples)
-            if isinstance(x, list):
-                return tuple(_freeze(e) for e in x)
-            if isinstance(x, tuple):
-                return tuple(_freeze(e) for e in x)
-            return x
+        from ..utils.structs import freeze
 
         vals = np.frompyfunc(
-            lambda v: None if v is None else frozenset(_freeze(e) for e in v),
+            lambda v: None if v is None else frozenset(freeze(e) for e in v),
             1, 1)(obj.values)
         return ObjectColumn(self.typ, vals)
 

@@ -10,12 +10,10 @@ import os
 import sys
 
 
-class FatalError(Exception):
-    """Error from the execution engine (reference: JVM-side fatal errors)."""
-
-
-class HailUserError(Exception):
-    pass
+# single error hierarchy shared with hail_tpu.utils (the reference's
+# FatalError lives here in utils/java.py; ours is defined in utils.misc and
+# re-exported so `except FatalError` catches regardless of import path)
+from .misc import FatalError, HailUserError  # noqa: F401
 
 
 def choose_backend(backend: str | None = None) -> str:

@@ -156,7 +156,8 @@ def deduplicate(ids: Sequence[str], max_attempts: Optional[int] = None,
                 break
             i += 1
             if max_attempts is not None and i > max_attempts:
-                raise ValueError(f'could not deduplicate {s} in {max_attempts} attempts')
+                raise RecursionError(
+                    f'cannot deduplicate {s} after {max_attempts} attempts')
         used.add(cand)
         renames.append((s, cand))
         out.append(cand)

@@ -71,8 +71,13 @@ class Struct(Mapping):
         return hash(tuple(sorted((k, _try_hash(v)) for k, v in self._fields.items())))
 
     def __repr__(self) -> str:
-        inner = ', '.join(f'{k}={v!r}' for k, v in self._fields.items())
-        return f'Struct({inner})'
+        if all(k.isidentifier() for k in self._fields):
+            inner = ', '.join(f'{k}={v!r}' for k, v in self._fields.items())
+            return f'Struct({inner})'
+        # non-identifier field names render in the **{...} constructor form
+        # the reference uses (utils/struct.py __str__)
+        inner = ', '.join(f'{k!r}: {v!r}' for k, v in self._fields.items())
+        return 'Struct(**{' + inner + '})'
 
     def annotate(self, **kwargs: Any) -> 'Struct':
         d = dict(self._fields)
@@ -99,6 +104,50 @@ def _try_hash(v: Any) -> int:
         if isinstance(v, set):
             return hash(frozenset(v))
         return 0
+
+
+try:
+    from frozenlist import FrozenList as _FrozenListBase
+except ImportError:  # pragma: no cover - frozenlist ships with aiohttp
+    _FrozenListBase = None
+
+if _FrozenListBase is not None:
+    class frozenlist(_FrozenListBase):
+        """Hashable list for set elements / dict keys (reference
+        hailtop/hail_frozenlist.py semantics: a FrozenList frozen at birth)."""
+
+        def __init__(self, items=()):
+            super().__init__(list(items))
+            self.freeze()
+
+        def __repr__(self):
+            return f'frozenlist({list(self)})'
+else:
+    class frozenlist(tuple):
+        def __repr__(self):
+            return f'frozenlist({list(self)})'
+
+
+def freeze(v):
+    """Recursively convert a value to its hashable form: list→frozenlist,
+    dict→frozendict, set→frozenset, struct/tuple elementwise (reference
+    freezes container values at JSON/encoding conversion when they land in
+    sets or dict keys, expr/types.py _convert_from_json _should_freeze)."""
+    if isinstance(v, frozenlist):
+        return v
+    if isinstance(v, list):
+        return frozenlist([freeze(x) for x in v])
+    if isinstance(v, tuple):
+        return tuple(freeze(x) for x in v)
+    if isinstance(v, Struct):
+        return Struct(**{k: freeze(x) for k, x in v.items()})
+    if isinstance(v, frozendict):
+        return frozendict({freeze(k): freeze(x) for k, x in v.items()})
+    if isinstance(v, dict):
+        return frozendict({freeze(k): freeze(x) for k, x in v.items()})
+    if isinstance(v, (set, frozenset)):
+        return frozenset(freeze(x) for x in v)
+    return v
 
 
 class frozendict(Mapping):
@@ -252,3 +301,44 @@ def _interval_point_type(self):
 
 Interval.overlaps = _interval_overlaps
 Interval.point_type = property(_interval_point_type)
+
+
+# --- pprint integration -----------------------------------------------------
+# The reference teaches pprint to lay Structs out field-per-line when they
+# exceed the line width (utils/struct.py StructPrettyPrinter monkey-patch);
+# without this, pprint falls back to single-line repr for any object type.
+import pprint as _pprint  # noqa: E402
+
+_base_printer = _pprint.PrettyPrinter
+
+
+class _StructAwarePrinter(_base_printer):
+    def _format(self, obj, stream, indent, allowance, context, level,
+                *args, **kwargs):
+        if not isinstance(obj, Struct):
+            return _base_printer._format(self, obj, stream, indent, allowance,
+                                         context, level, *args, **kwargs)
+        rep = self._repr(obj, context, level)
+        if len(rep) <= self._width - indent - allowance:
+            stream.write(rep)
+            return
+        stream.write('Struct(')
+        indent += len('Struct(')
+        plain = all(k.isidentifier() for k in obj)
+        if not plain:
+            stream.write('**{')
+            indent += len('**{')
+        items = list(obj.items())
+        for i, (k, v) in enumerate(items):
+            if i:
+                stream.write(' ' * indent)
+            head = f'{k}=' if plain else f'{k!r}: '
+            stream.write(head)
+            self._format(v, stream, indent + len(head), allowance,
+                         context, level, *args, **kwargs)
+            if i != len(items) - 1:
+                stream.write(',\n')
+        stream.write(')' if plain else '})')
+
+
+_pprint.PrettyPrinter = _StructAwarePrinter

@@ -60,6 +60,14 @@ import hail_tpu.services.auth_client as auth  # noqa: E402
 _sys.modules['hailtop.auth'] = auth
 
 # submodules the reference test-suites import (reference hailtop/*)
+import hail_tpu.utils.structs as _structs
+_fd = _types.ModuleType('hailtop.frozendict')
+_fd.frozendict = _structs.frozendict
+_sys.modules['hailtop.frozendict'] = _fd
+_fl = _types.ModuleType('hailtop.hail_frozenlist')
+_fl.frozenlist = _structs.frozenlist
+_sys.modules['hailtop.hail_frozenlist'] = _fl
+
 import hail_tpu.config as _cfg
 _cfgmod = _types.ModuleType('hailtop.config')
 _cfgmod.ConfigVariable = _cfg.ConfigVariable
