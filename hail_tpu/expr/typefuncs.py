@@ -126,7 +126,11 @@ def coercer_from_dtype(t):
             return e
 
         def can_coerce(self, typ):
-            return ht.unify_types(typ, t) == t
+            return typ == t or ht.unify_types(typ, t) == t
+
+        def requires_conversion(self, typ):
+            # a value already of the target type needs no conversion
+            return self.can_coerce(typ) and typ != t
     return _Coercer()
 
 

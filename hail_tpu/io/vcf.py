@@ -185,7 +185,11 @@ def import_vcf(path, force_bgz: bool = False, force: bool = False,
     # row type
     info_fields = list(header.infos.keys())
     info_t = ht.tstruct(**{k: header.field_type('info', k) for k in info_fields})
-    row_t = ht.tstruct(locus=ht.tlocus(rg), alleles=ht.tarray(ht.tstr),
+    # rg=None keys rows by a plain contig/position struct (reference
+    # TLocus.schemaFromRG(None))
+    locus_t = ht.tlocus(rg) if rg is not None else \
+        ht.tstruct(contig=ht.tstr, position=ht.tint32)
+    row_t = ht.tstruct(locus=locus_t, alleles=ht.tarray(ht.tstr),
                        rsid=ht.tstr, qual=ht.tfloat64, filters=ht.tset(ht.tstr),
                        info=info_t)
     # entry type: preserve header order, GT first if present
@@ -234,6 +238,7 @@ def import_vcf(path, force_bgz: bool = False, force: bool = False,
         lines = rows[s:e]
         R = len(lines)
         contig_idx = np.zeros(R, dtype=np.int32)
+        contig_strs = np.empty(R, dtype=object)
         position = np.zeros(R, dtype=np.int32)
         loc_missing = np.zeros(R, dtype=bool)
         alleles = np.empty(R, dtype=object)
@@ -262,13 +267,16 @@ def import_vcf(path, force_bgz: bool = False, force: bool = False,
             contig = parts[0]
             if contig_recoding:
                 contig = contig_recoding.get(contig, contig)
-            if not rg.has_contig(contig):
-                if skip_invalid_loci:
-                    keep[i] = False
-                    continue
-                raise ValueError(f'invalid contig {contig!r} for reference genome {rg.name} '
-                                 f'(use contig_recoding or skip_invalid_loci)')
-            contig_idx[i] = rg.contig_index(contig)
+            if rg is None:
+                contig_strs[i] = contig
+            else:
+                if not rg.has_contig(contig):
+                    if skip_invalid_loci:
+                        keep[i] = False
+                        continue
+                    raise ValueError(f'invalid contig {contig!r} for reference genome {rg.name} '
+                                     f'(use contig_recoding or skip_invalid_loci)')
+                contig_idx[i] = rg.contig_index(contig)
             position[i] = int(parts[1])
             rsid[i] = None if parts[2] == '.' else parts[2]
             ref = parts[3]
@@ -350,8 +358,16 @@ def import_vcf(path, force_bgz: bool = False, force: bool = False,
         info_cols = {k: C.from_pylist(info_t[k], list(subsel(info_vals[k])))
                      for k in info_fields}
         Rk = R if sel is None else len(sel)
+        if rg is None:
+            locus_col = C.StructColumn(
+                locus_t,
+                {'contig': ObjectColumn(ht.tstr, subsel(contig_strs)),
+                 'position': PrimitiveColumn(ht.tint32, subsel(position))},
+                None, (R if sel is None else len(sel),))
+        else:
+            locus_col = LocusColumn(locus_t, subsel(contig_idx), subsel(position))
         row_cols = {
-            'locus': LocusColumn(ht.tlocus(rg), subsel(contig_idx), subsel(position)),
+            'locus': locus_col,
             'alleles': ObjectColumn(ht.tarray(ht.tstr), subsel(alleles)),
             'rsid': ObjectColumn(ht.tstr, subsel(rsid)),
             'qual': PrimitiveColumn(ht.tfloat64, subsel(qual),
@@ -557,6 +573,10 @@ def _import_vcf_fast_gt(path, force_bgz, header_file, reference_genome,
                         contig_recoding, skip_invalid_loci, n_partitions):
     from .. import native as native_mod
     from ..matrixtable import MatrixBatch, MatrixStage, MatrixTable
+    if reference_genome is None:
+        # genome-less import keys by a contig/position struct — only the
+        # general path builds that
+        raise _FastPathUnavailable()
     if native_mod.get_lib() is None:
         raise _FastPathUnavailable(native_mod.build_error())
     paths = [path] if isinstance(path, str) else list(path)

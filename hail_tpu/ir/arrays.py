@@ -73,11 +73,17 @@ class ArrayMap(IR):
             inner_env = inner_env.bind(self.var, elem_col)
             res = self.body.evaluate(inner_env)
             if isinstance(res, PrimitiveColumn):
-                vals = np.broadcast_to(res.values, col.values.shape)
+                # the body may broadcast against wider env axes (e.g. a row
+                # array combined with an entry value) — take the union shape
+                out_shape = np.broadcast_shapes(res.values.shape, col.values.shape)
+                vals = np.broadcast_to(res.values, out_shape)
                 em = res.missing
                 if em is not None:
-                    em = np.broadcast_to(em, col.values.shape)
-                return DenseArrayColumn(ht.tarray(bt), vals, col.lengths, em, col.missing)
+                    em = np.broadcast_to(em, out_shape)
+                lengths = np.broadcast_to(col.lengths, out_shape[:-1])
+                miss = (np.broadcast_to(col.missing, out_shape[:-1])
+                        if col.missing is not None else None)
+                return DenseArrayColumn(ht.tarray(bt), vals, lengths, em, miss)
         # object fallback: per-element scalar evaluation
         return _object_lambda(self, col, env, mode='map')
 

@@ -896,16 +896,57 @@ class MatrixTable:
             mt = mt.choose_cols(list(range(max(0, total_c - n_cols), total_c)))
         return mt
 
-    def show(self, n_rows: int = 10, n_cols: Optional[int] = None,
+    class _Show:
+        """Wide matrix rendering: the localized table plus how many columns
+        were displayed vs exist (reference MatrixTable._Show)."""
+
+        def __init__(self, table, n_rows, actual_n_cols, displayed_n_cols,
+                     width, truncate, types):
+            self.table_show = table._show(n_rows, width, truncate, types)
+            self.actual_n_cols = actual_n_cols
+            self.displayed_n_cols = displayed_n_cols
+
+        def __str__(self):
+            s = str(self.table_show)
+            if self.displayed_n_cols != self.actual_n_cols:
+                s += (f'\nshowing the first {self.displayed_n_cols} '
+                      f'of {self.actual_n_cols} columns')
+            return s
+
+        def __repr__(self):
+            return self.__str__()
+
+    def show(self, n_rows: Optional[int] = 10, n_cols: Optional[int] = None,
              include_row_fields: bool = False, width: int = 90,
              truncate=None, types: bool = True, handler=None):
-        """Print the first rows/cols of the entry matrix (reference
-        matrixtable.py show)."""
-        mt = self.head(n_rows, n_cols)
-        t = mt.entries() if include_row_fields else \
-            mt.select_rows().entries()
-        return t.show(n_rows * max(1, mt.count_cols()), width=width,
-                      truncate=truncate, types=types)
+        """Show the first rows as a wide table — one field per displayed
+        matrix column (reference matrixtable.py show: localize_entries then
+        select row key + per-column entry structs)."""
+        import hail_tpu as hl
+        st = self._stage
+        actual_n_cols = self.count_cols()
+        if n_cols is None:
+            n_cols = 8
+        displayed = min(actual_n_cols, n_cols)
+
+        t = self.localize_entries('entries', 'cols')
+        col_headers = [f'<col {i}>' for i in range(displayed)]
+        ckt = [st.col_type[k] for k in st.col_key]
+        if len(st.col_key) == 1 and ckt[0] in (ht.tstr, ht.tint32, ht.tint64):
+            cvals = st.cols.columns[st.col_key[0]].to_pylist()[:displayed]
+            if len(set(cvals)) == len(cvals):
+                col_headers = [repr(c) for c in cvals]
+        entries = {col_headers[i]: t.entries[i] for i in range(displayed)}
+        row_fields = list(st.row_key) + \
+            ([f for f in st.row_type.fields if f not in st.row_key]
+             if include_row_fields else [])
+        t = t.select(**{f: t[f] for f in row_fields}, **entries)
+        showobj = MatrixTable._Show(t, n_rows, actual_n_cols, displayed,
+                                    width, truncate, types)
+        if handler is None:
+            print(str(showobj))
+            return None
+        return handler(showobj)
 
     def semi_join_rows(self, other: 'Table') -> 'MatrixTable':
         """Keep rows whose row key appears in `other` (reference

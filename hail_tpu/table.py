@@ -602,12 +602,46 @@ class Table:
         from .expr import functions as F
         return self.filter(F.rand_unif(0, 1, seed=seed) < p)
 
-    def show(self, n: int = 10, width: int = 90, truncate=None, types: bool = True):
-        rows = self.take(n)
-        fields = list(self._stage.row_type.fields)
-        print(' | '.join(fields))
-        for r in rows:
-            print(' | '.join(_show_value(r[f]) for f in fields))
+    class _Show:
+        """Deferred text rendering of the first rows (reference
+        Table._Show): holds the table so callers (e.g. MatrixTable.show
+        handlers) can introspect what is displayed."""
+
+        def __init__(self, table, n, width, truncate, types):
+            self.table = table
+            self.n = 10 if n is None else n
+            self.width = max(width or 90, 8)
+            self.truncate = truncate
+            self.types = types
+
+        def __str__(self):
+            rows = self.table.take(self.n)
+            fields = list(self.table._stage.row_type.fields)
+            lines = [' | '.join(fields)]
+            if self.types:
+                lines.append(' | '.join(
+                    str(t) for t in self.table._stage.row_type.fields.values()))
+            for r in rows:
+                vals = [_show_value(r[f]) for f in fields]
+                if self.truncate:
+                    vals = [v if len(v) <= self.truncate else
+                            v[:self.truncate - 3] + '...' for v in vals]
+                lines.append(' | '.join(vals))
+            return '\n'.join(lines)
+
+        def __repr__(self):
+            return self.__str__()
+
+    def _show(self, n, width, truncate, types):
+        return Table._Show(self, n, width, truncate, types)
+
+    def show(self, n: int = 10, width: int = 90, truncate=None,
+             types: bool = True, handler=None):
+        s = self._show(n, width, truncate, types)
+        if handler is None:
+            print(str(s))
+            return None
+        return handler(s)
 
     def aggregate(self, expr, _localize: bool = True) -> Any:
         e = to_expr(expr)

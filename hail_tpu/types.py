@@ -23,17 +23,54 @@ __all__ = [
 ]
 
 
+class HailTypeContext:
+    """The reference-genome names a type mentions (reference
+    expr/types.py HailTypeContext) — what a consumer must have registered
+    before values of the type make sense."""
+
+    def __init__(self, references=frozenset()):
+        self.references = set(references)
+
+    @property
+    def is_empty(self):
+        return len(self.references) == 0
+
+    @classmethod
+    def union(cls, *types):
+        refs = set()
+        for t in types:
+            refs |= t.get_context().references
+        return HailTypeContext(refs)
+
+
 class HailType:
     """Base class for hail types."""
 
     def __repr__(self) -> str:
-        return str(self)
+        s = str(self).replace("'", "\\'")
+        return f"dtype('{s}')"
 
     def __eq__(self, other: object) -> bool:
         return isinstance(other, HailType) and str(self) == str(other)
 
     def __hash__(self) -> int:
         return hash(str(self))
+
+    def pretty(self, indent: int = 0, increment: int = 4) -> str:
+        """A parseable pretty string of the type (reference HailType.pretty;
+        the canonical str form is already parseable, so indentation only
+        prefixes it)."""
+        return ' ' * indent + str(self)
+
+    def get_context(self) -> 'HailTypeContext':
+        ctx = getattr(self, '_context', None)
+        if ctx is None:
+            ctx = self._get_context()
+            self._context = ctx
+        return ctx
+
+    def _get_context(self) -> 'HailTypeContext':
+        return HailTypeContext()
 
     @property
     def numpy_dtype(self):
@@ -206,6 +243,18 @@ class tlocus(HailType):
         from .genetics.locus import Locus
         return isinstance(v, Locus)
 
+    def _get_context(self):
+        return HailTypeContext({self.reference_genome.name})
+
+    @classmethod
+    def _schema_from_rg(cls, reference_genome='default'):
+        """The locus schema import_vcf produces for `reference_genome`
+        (reference tlocus._schema_from_rg / TLocus.schemaFromRG): a bare
+        contig/position struct when no genome is given."""
+        if reference_genome is None:
+            return tstruct(contig=tstr, position=tint32)
+        return cls(reference_genome)
+
 
 class tarray(HailType):
     def __init__(self, element_type: HailType):
@@ -216,6 +265,9 @@ class tarray(HailType):
 
     def _typecheck(self, v):
         return isinstance(v, (list, tuple, np.ndarray))
+
+    def _get_context(self):
+        return self.element_type.get_context()
 
     def coerce(self, v):
         if v is None:
@@ -233,6 +285,9 @@ class tset(HailType):
     def _typecheck(self, v):
         return isinstance(v, (set, frozenset))
 
+    def _get_context(self):
+        return self.element_type.get_context()
+
     def coerce(self, v):
         if v is None:
             return None
@@ -249,6 +304,9 @@ class tdict(HailType):
 
     def _typecheck(self, v):
         return isinstance(v, (dict, frozendict))
+
+    def _get_context(self):
+        return HailTypeContext.union(self.key_type, self.value_type)
 
     def coerce(self, v):
         if v is None:
@@ -299,6 +357,24 @@ class tstruct(HailType):
             return None
         return Struct(**{k: t.coerce(v.get(k)) for k, t in self.fields.items()})
 
+    def _get_context(self):
+        return HailTypeContext.union(*self.fields.values())
+
+    def _rename(self, m: Dict[str, str]) -> 'tstruct':
+        """Rename fields by map, rejecting collisions (reference
+        tstruct._rename)."""
+        seen: Dict[str, str] = {}
+        out = []
+        for f0, t in self.fields.items():
+            f = m.get(f0, f0)
+            if f in seen:
+                raise ValueError(
+                    'Cannot rename two fields to the same name: attempted '
+                    f'to rename {seen[f]!r} and {f0!r} both to {f!r}')
+            seen[f] = f0
+            out.append((f, t))
+        return tstruct.from_fields(out)
+
     def _insert_field(self, name: str, typ: HailType) -> 'tstruct':
         d = dict(self.fields)
         d[name] = typ
@@ -328,6 +404,9 @@ class ttuple(HailType):
     def _typecheck(self, v):
         return isinstance(v, tuple) and len(v) == len(self.types)
 
+    def _get_context(self):
+        return HailTypeContext.union(*self.types)
+
 
 class tinterval(HailType):
     def __init__(self, point_type: HailType):
@@ -338,6 +417,9 @@ class tinterval(HailType):
 
     def _typecheck(self, v):
         return isinstance(v, Interval)
+
+    def _get_context(self):
+        return self.point_type.get_context()
 
 
 class tndarray(HailType):
@@ -350,6 +432,9 @@ class tndarray(HailType):
 
     def _typecheck(self, v):
         return isinstance(v, np.ndarray) or hasattr(v, '__array__')
+
+    def _get_context(self):
+        return self.element_type.get_context()
 
 
 def is_numeric(t: HailType) -> bool:
@@ -380,9 +465,33 @@ def unify_types(*ts: HailType) -> Optional[HailType]:
 
 
 def _escape_field(name: str) -> str:
-    if re.fullmatch(r'[A-Za-z_][A-Za-z0-9_]*', name):
-        return name
-    return f'`{name}`'
+    from .utils.misc import escape_id
+    return escape_id(name)
+
+
+_UNESCAPE_MAP = {'n': '\n', 't': '\t', 'r': '\r', 'b': '\b', 'f': '\f',
+                 'a': '\a', 'v': '\v', '\\': '\\', '`': '`', '"': '"',
+                 "'": "'"}
+
+
+def _unescape(s: str) -> str:
+    """Reverse of utils.misc.escape_str for backticked identifiers."""
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == '\\' and i + 1 < len(s):
+            n = s[i + 1]
+            if n == 'u' and i + 5 < len(s):
+                out.append(chr(int(s[i + 2:i + 6], 16)))
+                i += 6
+                continue
+            out.append(_UNESCAPE_MAP.get(n, n))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return ''.join(out)
 
 
 # ---------------------------------------------------------------------------
@@ -395,7 +504,7 @@ _SIMPLE = {
     'bool': tbool, 'str': tstr, 'call': tcall, 'void': tvoid, 'binary': tbinary,
 }
 
-_TOKEN = re.compile(r'\s*([A-Za-z_][A-Za-z0-9_]*|`[^`]*`|[<>{}(),:]|\d+)')
+_TOKEN = re.compile(r'\s*([A-Za-z_][A-Za-z0-9_]*|`(?:\\.|[^\\`])*`|[<>{}(),:]|\d+)')
 
 
 class _TypeParser:
@@ -470,7 +579,7 @@ class _TypeParser:
                 while True:
                     name = self.next()
                     if name.startswith('`'):
-                        name = name[1:-1]
+                        name = _unescape(name[1:-1])
                     self.expect(':')
                     fields.append((name, self.parse()))
                     if self.peek() == ',':
