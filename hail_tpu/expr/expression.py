@@ -54,6 +54,11 @@ class Indices:
 class Expression:
     """Base expression: wraps an IR node, a type, and indices."""
 
+    # keep numpy from broadcasting python ops over expressions elementwise:
+    # np.ndarray <op> Expression must defer to our reflected methods
+    # (reference base_expression.py:552)
+    __array_ufunc__ = None
+
     def __init__(self, ir: IR, indices: Optional[Indices] = None):
         self._ir = ir
         self._indices = indices or Indices()
@@ -68,6 +73,18 @@ class Expression:
     # -- helpers -----------------------------------------------------------
     def _bin_op(self, op: str, other, reverse=False) -> 'Expression':
         o = to_expr(other)
+        if isinstance(o.dtype, ht.tndarray) and \
+                not isinstance(self.dtype, ht.tndarray):
+            # scalar <op> ndarray broadcasts elementwise over the ndarray
+            from . import ndarrays as nds
+            import numpy as _np
+            npf = {'+': _np.add, '-': _np.subtract, '*': _np.multiply,
+                   '/': _np.true_divide, '//': _np.floor_divide,
+                   '**': _np.power}.get(op)
+            if npf is not None:
+                l, r = (o, self) if reverse else (self, o)
+                return nds.nd_binop(f'nd_{op}', npf, l, r,
+                                    div=op in ('/', '**'))
         l, r = (o, self) if reverse else (self, o)
         ind = Indices.unify(l._indices, r._indices)
         return construct_expr(ApplyBinaryOp(op, l._ir, r._ir), ind)
@@ -104,6 +121,10 @@ class Expression:
         return self.collect()[:n]
 
     def show(self, n: int = 10):
+        if self._indices.source is None:
+            # source-free expression: show its single evaluated value
+            print(eval_scalar(self))
+            return
         vals = self.take(n)
         for v in vals:
             print(v)
@@ -1041,63 +1062,118 @@ class IntervalExpression(Expression):
 
 
 class NDArrayExpression(Expression):
+    """NDArray surface (reference NDArrayExpression/NDArrayNumericExpression,
+    expressions/typed_expressions.py); ops delegate to expr.ndarrays."""
+
     @property
     def ndim(self):
         return self.dtype.ndim
 
     @property
     def shape(self):
-        from . import functions as F
-        return F._ndarray_method(self, 'nd_shape', ht.ttuple(*([ht.tint64] * self.dtype.ndim)))
+        from . import ndarrays as nds
+        return nds.nd_shape(self)
 
-    def _nd_method(self, name, result_typ, *args):
-        from . import functions as F
-        return F._ndarray_method(self, name, result_typ, *args)
+    def _binop(self, name, npf, other, div=False, reflected=False):
+        from . import ndarrays as nds
+        if reflected:
+            return nds.nd_binop(name, npf, other, self, div=div)
+        return nds.nd_binop(name, npf, self, other, div=div)
 
     def __matmul__(self, other):
-        other = to_expr(other)
-        nd = max(1, self.dtype.ndim + other.dtype.ndim - 2)
-        return self._nd_method('nd_matmul', ht.tndarray(ht.tfloat64, nd), other)
+        from . import ndarrays as nds
+        return nds.nd_matmul(self, other)
+
+    def __rmatmul__(self, other):
+        from . import ndarrays as nds
+        return nds.nd_matmul(nds.nd_array(other), self)
 
     def __add__(self, other):
-        return self._nd_method('nd_add', self.dtype, to_expr(other))
+        import numpy as _np
+        return self._binop('nd_add', _np.add, other)
+
+    def __radd__(self, other):
+        import numpy as _np
+        return self._binop('nd_add', _np.add, other, reflected=True)
 
     def __sub__(self, other):
-        return self._nd_method('nd_sub', self.dtype, to_expr(other))
+        import numpy as _np
+        return self._binop('nd_sub', _np.subtract, other)
+
+    def __rsub__(self, other):
+        import numpy as _np
+        return self._binop('nd_sub', _np.subtract, other, reflected=True)
 
     def __mul__(self, other):
-        return self._nd_method('nd_mul', self.dtype, to_expr(other))
+        import numpy as _np
+        return self._binop('nd_mul', _np.multiply, other)
+
+    def __rmul__(self, other):
+        import numpy as _np
+        return self._binop('nd_mul', _np.multiply, other, reflected=True)
 
     def __truediv__(self, other):
-        return self._nd_method('nd_div', ht.tndarray(ht.tfloat64, self.dtype.ndim), to_expr(other))
+        import numpy as _np
+        return self._binop('nd_div', _np.true_divide, other, div=True)
+
+    def __rtruediv__(self, other):
+        import numpy as _np
+        return self._binop('nd_div', _np.true_divide, other, div=True,
+                           reflected=True)
+
+    def __floordiv__(self, other):
+        import numpy as _np
+        return self._binop('nd_floordiv', _np.floor_divide, other)
+
+    def __rfloordiv__(self, other):
+        import numpy as _np
+        return self._binop('nd_floordiv', _np.floor_divide, other,
+                           reflected=True)
+
+    def __pow__(self, other):
+        import numpy as _np
+        return self._binop('nd_pow', _np.power, other, div=True)
+
+    def __neg__(self):
+        from . import ndarrays as nds
+        import numpy as _np
+        return nds.nd_unary('nd_neg', _np.negative, self)
 
     @property
     def T(self):
-        return self._nd_method('nd_transpose', self.dtype)
+        from . import ndarrays as nds
+        return nds.nd_transpose(self)
 
-    def transpose(self):
-        return self.T
+    def transpose(self, axes=None):
+        from . import ndarrays as nds
+        return nds.nd_transpose(self, axes)
 
     def reshape(self, *shape):
-        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
-            shape = tuple(shape[0])
-        shape_exprs = [to_expr(s) for s in shape]
-        return self._nd_method('nd_reshape', ht.tndarray(self.dtype.element_type, len(shape)), *shape_exprs)
+        from . import ndarrays as nds
+        return nds.nd_reshape(self, shape)
+
+    def map(self, f):
+        from . import ndarrays as nds
+        return nds.nd_map(self, f)
+
+    def map2(self, other, f):
+        from . import ndarrays as nds
+        return nds.nd_map2(self, other, f)
 
     def sum(self, axis=None):
-        from . import functions as F
-        return F._ndarray_sum(self, axis)
+        from . import ndarrays as nds
+        return nds.nd_sum(self, axis)
 
     def __getitem__(self, item):
-        from . import functions as F
-        return F._ndarray_getitem(self, item)
+        from . import ndarrays as nds
+        return nds.nd_getitem(self, item)
 
     def _to_array(self):
-        return self._nd_method('nd_to_array', ht.tarray(self.dtype.element_type))
+        from . import ndarrays as nds
+        return nds.nd_to_array(self)
 
     def to_numpy(self):
         from . import functions as F
-        from ..context import Env
         return F.eval_expr(self)
 
 

@@ -388,7 +388,13 @@ def len_(x) -> Expression:
 
 def _unary_math(name, npf, result=ht.tfloat64):
     def f(x):
-        return _apply(name, result, _prim_impl(result, npf), to_expr(x))
+        e = to_expr(x)
+        if isinstance(e.dtype, ht.tndarray):
+            # numeric functions broadcast over ndarrays (reference
+            # @ndarray_broadcasting on hl.sqrt/log/floor/...)
+            from . import ndarrays as nds
+            return nds.nd_elementwise_unary(name, npf, e, result)
+        return _apply(name, result, _prim_impl(result, npf), e)
     f.__name__ = name
     return f
 
@@ -415,11 +421,18 @@ tanh = _unary_math('tanh', np.tanh)
 
 
 def log(x, base=None):
+    e = to_expr(x)
+    if isinstance(e.dtype, ht.tndarray):
+        from . import ndarrays as nds
+        if base is None:
+            return nds.nd_elementwise_unary('log', np.log, e)
+        b = base
+        return nds.nd_elementwise_unary('log', lambda v: np.log(v) / np.log(b), e)
     if base is None:
-        return _apply('log', ht.tfloat64, _prim_impl(ht.tfloat64, np.log), to_expr(x))
+        return _apply('log', ht.tfloat64, _prim_impl(ht.tfloat64, np.log), e)
     return _apply('log', ht.tfloat64,
                   _prim_impl(ht.tfloat64, lambda v, b: np.log(v) / np.log(b)),
-                  to_expr(x), to_expr(base))
+                  e, to_expr(base))
 
 
 def abs(x):

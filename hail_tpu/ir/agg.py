@@ -191,6 +191,11 @@ class NDArraySumAgg(Aggregator):
                 if v is None:
                     continue
                 a = np.asarray(v, dtype=np.float64)
+                if acc is not None and acc.shape != a.shape:
+                    from ..utils.misc import FatalError
+                    raise FatalError(
+                        f"Can't sum ndarrays of different shapes: "
+                        f'{acc.shape} vs {a.shape}')
                 acc = a.copy() if acc is None else acc + a
             if out_shape:
                 out[out_idx] = acc
@@ -203,13 +208,23 @@ class NDArraySumAgg(Aggregator):
             return b
         if b is None:
             return a
+        def add(x, y):
+            if x is None:
+                return y
+            if y is None:
+                return x
+            if x.shape != y.shape:
+                from ..utils.misc import FatalError
+                raise FatalError(
+                    f"Can't sum ndarrays of different shapes: "
+                    f'{x.shape} vs {y.shape}')
+            return x + y
         if isinstance(a, np.ndarray) and a.dtype == object:
             out = np.empty(a.shape, dtype=object)
             for i in np.ndindex(a.shape):
-                x, y = a[i], b[i]
-                out[i] = y if x is None else (x if y is None else x + y)
+                out[i] = add(a[i], b[i])
             return out
-        return a + b
+        return add(a, b)
 
     def result(self, state, init_args):
         t = getattr(self, '_result_t', None) or ht.tndarray(ht.tfloat64, 2)

@@ -713,7 +713,7 @@ class MatrixTable:
                 f'{k}: {t}' for k, t in self._stage.entry_type.items()))
 
     # -- aggregate ---------------------------------------------------------
-    def aggregate_rows(self, expr) -> Any:
+    def aggregate_rows(self, expr, _localize: bool = True) -> Any:
         e = to_expr(expr)
         agg_nodes = aggmod.collect_agg_nodes(e._ir)
         def part(ctx):
@@ -724,17 +724,25 @@ class MatrixTable:
         state = _tree_combine(agg_nodes, partials)
         col = aggmod.finalize_aggregate(e._ir, agg_nodes, state, self._globals_env())
         vals = col.to_pylist()
-        return vals[0] if vals else None
+        out = vals[0] if vals else None
+        if not _localize:
+            from .expr.functions import literal, missing
+            return literal(out, e.dtype) if out is not None else missing(e.dtype)
+        return out
 
-    def aggregate_cols(self, expr) -> Any:
+    def aggregate_cols(self, expr, _localize: bool = True) -> Any:
         e = to_expr(expr)
         agg_nodes = aggmod.collect_agg_nodes(e._ir)
         states = aggmod.partial_aggregate(agg_nodes, self._col_env(), (0,))
         col = aggmod.finalize_aggregate(e._ir, agg_nodes, states, self._globals_env())
         vals = col.to_pylist()
-        return vals[0] if vals else None
+        out = vals[0] if vals else None
+        if not _localize:
+            from .expr.functions import literal, missing
+            return literal(out, e.dtype) if out is not None else missing(e.dtype)
+        return out
 
-    def aggregate_entries(self, expr) -> Any:
+    def aggregate_entries(self, expr, _localize: bool = True) -> Any:
         e = to_expr(expr)
         agg_nodes = aggmod.collect_agg_nodes(e._ir)
         def part(ctx):
@@ -745,7 +753,11 @@ class MatrixTable:
         state = _tree_combine(agg_nodes, partials)
         col = aggmod.finalize_aggregate(e._ir, agg_nodes, state, self._globals_env())
         vals = col.to_pylist()
-        return vals[0] if vals else None
+        out = vals[0] if vals else None
+        if not _localize:
+            from .expr.functions import literal, missing
+            return literal(out, e.dtype) if out is not None else missing(e.dtype)
+        return out
 
     # -- counts / shape ----------------------------------------------------
     def count_rows(self) -> int:

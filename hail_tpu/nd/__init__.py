@@ -1,86 +1,84 @@
-"""`hl.nd` — ndarray constructors (reference hail/python/hail/nd/nd.py).
+"""`hl.nd` — ndarray constructors and linear algebra.
 
-NDArray expressions are object columns holding numpy arrays; device-tier
-linear algebra lives in hail_tpu.linalg / hail_tpu.ops.
+Capability parity with reference hail/python/hail/nd/nd.py. NDArray values
+are numpy arrays in object cells (see hail_tpu/expr/ndarrays.py); small
+decompositions run on the host via LAPACK — the device (jax) tier in
+hail_tpu.linalg / hail_tpu.ops handles at-scale linear algebra, exactly the
+split the reference makes between Breeze-on-driver and BlockMatrix.
 """
 
 from __future__ import annotations
+
+import builtins as _bi
 
 import numpy as np
 
 from .. import types as ht
 from ..expr import functions as F
-from ..expr.expression import construct_expr, to_expr
-from ..ir import columns as C
-from ..ir.columns import ObjectColumn
-from ..ir.nodes import Apply
+from ..expr import ndarrays as nds
+from ..expr.expression import Expression, to_expr
+from ..expr.ndarrays import _apply, _np_of_et
+from ..utils.misc import HailUserError
 
+#: alias of numpy's newaxis (None) for slice expressions
+newaxis = None
 
-def _nd_apply(name, result_typ, f, *exprs):
-    return F._apply(name, result_typ, F._obj_impl(result_typ, f), *exprs)
-
-
-def array(input_array):
-    from ..ir.nodes import Literal
-    if isinstance(input_array, np.ndarray) or (
-            isinstance(input_array, (list, tuple)) and not any(
-                hasattr(v, '_ir') for v in np.asarray(input_array, dtype=object).ravel())):
-        arr = np.asarray(input_array)
-        et = {np.dtype(np.int32): ht.tint32, np.dtype(np.int64): ht.tint64,
-              np.dtype(np.float32): ht.tfloat32, np.dtype(np.float64): ht.tfloat64,
-              np.dtype(np.bool_): ht.tbool}.get(arr.dtype, ht.tfloat64)
-        if arr.dtype == object:
-            arr = arr.astype(np.float64)
-            et = ht.tfloat64
-        t = ht.tndarray(et, arr.ndim)
-        return construct_expr(Literal(arr, t))
-    if isinstance(input_array, (list, tuple)) and any(
-            hasattr(v, '_ir') for v in input_array):
-        # element expressions: build a MakeArray then convert
-        elems = [to_expr(v) for v in input_array]
-        et2 = elems[0].dtype
-        for el in elems[1:]:
-            u = ht.unify_types(et2, el.dtype)
-            et2 = u if u is not None else et2
-        arr_e = F.array([F._coerce_scalar(el, et2) if hasattr(F, '_coerce_scalar')
-                         else el for el in elems])
-        t = ht.tndarray(et2 if et2 in (ht.tint32, ht.tint64, ht.tfloat32,
-                                       ht.tfloat64, ht.tbool) else ht.tfloat64, 1)
-        npdt = t.element_type.numpy_dtype or np.float64
-        return _nd_apply('nd_array', t,
-                         lambda v: np.asarray([np.nan if x is None else x for x in v],
-                                              dtype=npdt), arr_e)
-    e = to_expr(input_array)
-    t = ht.tndarray(ht.tfloat64, 1)
-    return _nd_apply('nd_array', t, lambda v: np.asarray(v, dtype=np.float64), e)
+array = nds.nd_array
 
 
 def arange(start, stop=None, step=1):
+    """Integer range ndarray (reference nd.arange); step 0 fails at eval."""
     if stop is None:
         start, stop = 0, start
-    t = ht.tndarray(ht.tint32, 1)
-    return _nd_apply('nd_arange', t, lambda a, b, c: np.arange(a, b, c, dtype=np.int32),
-                     to_expr(start), to_expr(stop), to_expr(step))
+    rt = ht.tndarray(ht.tint32, 1)
+
+    def impl(s, e, st):
+        if st == 0:
+            raise HailUserError('Array range cannot have step size 0')
+        return np.arange(s, e, st, dtype=np.int32)
+    return _apply('nd_arange', rt, impl, to_expr(start), to_expr(stop),
+                  to_expr(step))
+
+
+def _shape_exprs(shape):
+    if isinstance(shape, Expression) and isinstance(shape.dtype, ht.ttuple):
+        return None, shape
+    if isinstance(shape, (tuple, list)):
+        return [to_expr(s) for s in shape], None
+    return [to_expr(shape)], None
 
 
 def full(shape, value, dtype=None):
-    t = ht.tndarray(ht.tfloat64, len(shape) if isinstance(shape, (list, tuple)) else 1)
-    shp = tuple(shape) if isinstance(shape, (list, tuple)) else (shape,)
-    return _nd_apply('nd_full', t, lambda v: np.full(shp, v), to_expr(value))
+    dims, tup = _shape_exprs(shape)
+    v = to_expr(value)
+    et = (ht.dtype(dtype) if isinstance(dtype, str) else dtype) or v.dtype
+    npdt = _np_of_et(et)
+    ndim = _bi.len(dims) if dims is not None else _bi.len(tup.dtype.types)
+    rt = ht.tndarray(et, ndim)
+    if tup is not None:
+        return _apply('nd_full', rt,
+                      lambda shp, val: np.full(tuple(_bi.int(s) for s in shp), val, dtype=npdt),
+                      tup, v)
+    return _apply('nd_full', rt,
+                  lambda *a: np.full(tuple(_bi.int(s) for s in a[:-1]), a[-1], dtype=npdt),
+                  *dims, v)
 
 
-def zeros(shape, dtype=None):
-    return full(shape, 0.0)
+def zeros(shape, dtype=ht.tfloat64):
+    return full(shape, 0, dtype=dtype)
 
 
-def ones(shape, dtype=None):
-    return full(shape, 1.0)
+def ones(shape, dtype=ht.tfloat64):
+    return full(shape, 1, dtype=dtype)
 
 
-def eye(N, M=None, dtype=None):
-    t = ht.tndarray(ht.tfloat64, 2)
-    return _nd_apply('nd_eye', t, lambda n_, m_: np.eye(int(n_), int(m_) if m_ is not None else None),
-                     to_expr(N), to_expr(M if M is not None else N))
+def eye(N, M=None, dtype=ht.tfloat64):
+    et = ht.dtype(dtype) if isinstance(dtype, str) else dtype
+    npdt = _np_of_et(et)
+    rt = ht.tndarray(et, 2)
+    return _apply('nd_eye', rt,
+                  lambda n, m: np.eye(_bi.int(n), _bi.int(m), dtype=npdt),
+                  to_expr(N), to_expr(M if M is not None else N))
 
 
 def identity(N):
@@ -88,125 +86,235 @@ def identity(N):
 
 
 def diagonal(nd):
-    t = ht.tndarray(nd.dtype.element_type, 1)
-    return _nd_apply('nd_diagonal', t, lambda a: np.diagonal(np.asarray(a)).copy(), nd)
+    """Principal diagonal of a matrix (reference nd.diagonal)."""
+    assert nd.dtype.ndim == 2, 'diagonal requires 2 dimensional ndarray'
+    rt = ht.tndarray(nd.dtype.element_type, 1)
+    return _apply('nd_diagonal', rt, lambda a: np.diagonal(np.asarray(a)).copy(), nd)
+
+
+def _as_nd(x):
+    if isinstance(x, Expression):
+        return x
+    return array(x)
 
 
 def solve(a, b, no_crash: bool = False):
-    t = ht.tndarray(ht.tfloat64, to_expr(b).dtype.ndim)
-    return _nd_apply('nd_solve', t, lambda x, y: np.linalg.solve(np.asarray(x), np.asarray(y)),
-                     to_expr(a), to_expr(b))
+    """Solve ax = b (reference nd.solve / LAPACK dgesv); singular systems
+    raise HailUserError unless no_crash."""
+    a, b = _as_nd(a), _as_nd(b)
+    b_ndim = b.dtype.ndim
+    rt = ht.tndarray(ht.tfloat64, b_ndim)
+
+    def impl(av, bv):
+        av = np.asarray(av, dtype=np.float64)
+        bv = np.asarray(bv, dtype=np.float64)
+        rhs = bv.reshape(-1, 1) if bv.ndim == 1 else bv
+        try:
+            out = np.linalg.solve(av, rhs)
+        except np.linalg.LinAlgError:
+            if no_crash:
+                return None
+            raise HailUserError('solve: matrix was singular') from None
+        return out[:, 0] if bv.ndim == 1 else out
+    if no_crash:
+        rt2 = ht.ttuple(rt, ht.tbool)
+
+        def impl2(av, bv):
+            out = impl(av, bv)
+            if out is None:
+                return (np.zeros_like(np.asarray(bv, dtype=np.float64)), True)
+            return (out, False)
+        return _apply('nd_solve', rt2, impl2, a, b)
+    return _apply('nd_solve', rt, impl, a, b)
 
 
-def solve_triangular(a, b, lower: bool = False, no_crash: bool = False):
-    import scipy.linalg
-    t = ht.tndarray(ht.tfloat64, to_expr(b).dtype.ndim)
-    return _nd_apply('nd_solve_triangular', t,
-                     lambda x, y: scipy.linalg.solve_triangular(np.asarray(x), np.asarray(y), lower=lower),
-                     to_expr(a), to_expr(b))
+def solve_triangular(nd_coef, nd_dep, lower: bool = False,
+                     no_crash: bool = False):
+    """Solve Tx = b for triangular T (reference nd.solve_triangular /
+    dtrtrs)."""
+    a, b = _as_nd(nd_coef), _as_nd(nd_dep)
+    b_ndim = b.dtype.ndim
+    rt = ht.tndarray(ht.tfloat64, b_ndim)
+
+    def impl(av, bv):
+        av = np.asarray(av, dtype=np.float64)
+        bv = np.asarray(bv, dtype=np.float64)
+        if np.any(np.diagonal(av) == 0):
+            if no_crash:
+                return None
+            raise HailUserError('solve_triangular: matrix is singular') from None
+        tri = np.tril(av) if lower else np.triu(av)
+        rhs = bv.reshape(-1, 1) if bv.ndim == 1 else bv
+        out = np.linalg.solve(tri, rhs)
+        return out[:, 0] if bv.ndim == 1 else out
+    if no_crash:
+        rt2 = ht.ttuple(rt, ht.tbool)
+
+        def impl2(av, bv):
+            out = impl(av, bv)
+            if out is None:
+                return (np.zeros_like(np.asarray(bv, dtype=np.float64)), True)
+            return (out, False)
+        return _apply('nd_solve_triangular', rt2, impl2, a, b)
+    return _apply('nd_solve_triangular', rt, impl, a, b)
 
 
 def qr(nd, mode: str = 'reduced'):
-    e = to_expr(nd)
-    t = ht.ttuple(ht.tndarray(ht.tfloat64, 2), ht.tndarray(ht.tfloat64, 2))
-    return _nd_apply('nd_qr', t, lambda a: tuple(np.linalg.qr(np.asarray(a), mode=mode)), e)
+    """QR decomposition (reference nd.qr / dgeqrf+dorgqr); modes
+    reduced/complete/r/raw like numpy."""
+    if mode not in ('reduced', 'complete', 'r', 'raw'):
+        raise ValueError(f'Unrecognized mode: {mode}')
+    nd = _as_nd(nd)
+    assert nd.dtype.ndim == 2, 'qr requires 2 dimensional ndarray'
+    f2 = ht.tndarray(ht.tfloat64, 2)
+    f1 = ht.tndarray(ht.tfloat64, 1)
+    if mode == 'r':
+        return _apply('nd_qr_r', f2,
+                      lambda a: np.linalg.qr(np.asarray(a, np.float64), mode='r'), nd)
+    if mode == 'raw':
+        rt = ht.ttuple(f2, f1)
+        return _apply('nd_qr_raw', rt,
+                      lambda a: tuple(np.linalg.qr(np.asarray(a, np.float64), mode='raw')), nd)
+    rt = ht.ttuple(f2, f2)
+    return _apply(f'nd_qr_{mode}', rt,
+                  lambda a: tuple(np.linalg.qr(np.asarray(a, np.float64), mode=mode)), nd)
 
 
 def svd(nd, full_matrices: bool = True, compute_uv: bool = True):
-    e = to_expr(nd)
+    """Singular value decomposition (reference nd.svd / dgesdd)."""
+    nd = _as_nd(nd)
+    f2 = ht.tndarray(ht.tfloat64, 2)
+    f1 = ht.tndarray(ht.tfloat64, 1)
     if compute_uv:
-        t = ht.ttuple(ht.tndarray(ht.tfloat64, 2), ht.tndarray(ht.tfloat64, 1),
-                      ht.tndarray(ht.tfloat64, 2))
-        return _nd_apply('nd_svd', t,
-                         lambda a: tuple(np.linalg.svd(np.asarray(a), full_matrices=full_matrices)), e)
-    t = ht.tndarray(ht.tfloat64, 1)
-    return _nd_apply('nd_svd', t, lambda a: np.linalg.svd(np.asarray(a), compute_uv=False), e)
+        rt = ht.ttuple(f2, f1, f2)
+        return _apply('nd_svd', rt,
+                      lambda a: tuple(np.linalg.svd(np.asarray(a, np.float64),
+                                                    full_matrices=full_matrices)), nd)
+    return _apply('nd_svd_s', f1,
+                  lambda a: np.linalg.svd(np.asarray(a, np.float64),
+                                          compute_uv=False), nd)
 
 
 def eigh(nd, eigvals_only: bool = False):
-    e = to_expr(nd)
+    """Symmetric eigendecomposition (reference nd.eigh / dsyevr)."""
+    nd = _as_nd(nd)
+    f2 = ht.tndarray(ht.tfloat64, 2)
+    f1 = ht.tndarray(ht.tfloat64, 1)
     if eigvals_only:
-        t = ht.tndarray(ht.tfloat64, 1)
-        return _nd_apply('nd_eigh', t, lambda a: np.linalg.eigvalsh(np.asarray(a)), e)
-    t = ht.ttuple(ht.tndarray(ht.tfloat64, 1), ht.tndarray(ht.tfloat64, 2))
-    return _nd_apply('nd_eigh', t, lambda a: tuple(np.linalg.eigh(np.asarray(a))), e)
+        return _apply('nd_eigvalsh', f1,
+                      lambda a: np.linalg.eigvalsh(np.asarray(a, np.float64)), nd)
+    rt = ht.ttuple(f1, f2)
+    return _apply('nd_eigh', rt,
+                  lambda a: tuple(np.linalg.eigh(np.asarray(a, np.float64))), nd)
 
 
 def inv(nd):
-    t = ht.tndarray(ht.tfloat64, 2)
-    return _nd_apply('nd_inv', t, lambda a: np.linalg.inv(np.asarray(a)), to_expr(nd))
+    """Matrix inverse (reference nd.inv / dgetri)."""
+    nd = _as_nd(nd)
+    f2 = ht.tndarray(ht.tfloat64, 2)
+
+    def impl(a):
+        try:
+            return np.linalg.inv(np.asarray(a, np.float64))
+        except np.linalg.LinAlgError:
+            raise HailUserError('inv: matrix is singular') from None
+    return _apply('nd_inv', f2, impl, nd)
+
+
+def _check_concat_elements(nds_list):
+    # element-type agreement is checked before dimensionality (reference
+    # nd.concatenate error precedence)
+    ets = [e.dtype.element_type for e in nds_list]
+    if _bi.len({str(t) for t in ets}) != 1:
+        raise ValueError(
+            'hl.nd.concatenate: ndarrays must have same element types, '
+            f'found these element types: ({", ".join(str(t) for t in ets)})')
+    ndims = [e.dtype.ndim for e in nds_list]
+    if _bi.len(set(ndims)) != 1:
+        raise ValueError(
+            'hl.nd.concatenate: ndarrays must have same number of '
+            f'dimensions, found: {", ".join(str(n) for n in ndims)}')
 
 
 def concatenate(nds, axis: int = 0):
-    es = [to_expr(x) for x in nds]
-    t = es[0].dtype
-    from ..expr.functions import _apply, _obj_impl
-    def f(*arrs):
-        return np.concatenate([np.asarray(a) for a in arrs], axis=axis)
-    return _apply('nd_concatenate', t, _obj_impl(t, f), *es)
+    """Join ndarrays along an axis (reference nd.concatenate /
+    NDArrayConcat)."""
+    if isinstance(nds, Expression) and isinstance(nds.dtype, ht.tarray):
+        et = nds.dtype.element_type
+        rt = et
+
+        def impl(vs):
+            return np.concatenate([np.asarray(v) for v in vs], axis=axis)
+        return _apply('nd_concat', rt, impl, nds)
+    exprs = [_as_nd(x) for x in nds]
+    _check_concat_elements(exprs)
+    rt = exprs[0].dtype
+
+    def impl(*vs):
+        return np.concatenate([np.asarray(v) for v in vs], axis=axis)
+    return _apply('nd_concat', rt, impl, *exprs)
 
 
-def hstack(nds):
-    """Stack along columns; 1-D inputs concatenate (numpy hstack semantics,
-    reference nd.py hstack)."""
-    es = [to_expr(x) for x in nds]
-    ndim = es[0].dtype.ndim
-    return concatenate(nds, axis=0 if ndim == 1 else 1)
+def vstack(arrs):
+    """Stack vertically; 1-d inputs become rows (reference nd.vstack)."""
+    if isinstance(arrs, Expression) and isinstance(arrs.dtype, ht.tarray):
+        et = arrs.dtype.element_type
+        rt = ht.tndarray(et.element_type, 2)
+
+        def impl(vs):
+            return np.vstack([np.asarray(v) for v in vs])
+        return _apply('nd_vstack', rt, impl, arrs)
+    exprs = [_as_nd(x) for x in arrs]
+    rt = ht.tndarray(exprs[0].dtype.element_type, 2)
+
+    def impl(*vs):
+        return np.vstack([np.asarray(v) for v in vs])
+    return _apply('nd_vstack', rt, impl, *exprs)
 
 
-def vstack(nds):
-    """Stack as rows; 1-D inputs become rows (numpy vstack semantics,
-    reference nd.py vstack)."""
-    es = [to_expr(x) for x in nds]
-    t = es[0].dtype
-    out_t = ht.tndarray(t.element_type, 2)
-    from ..expr.functions import _apply, _obj_impl
+def hstack(arrs):
+    """Stack horizontally (reference nd.hstack)."""
+    if isinstance(arrs, Expression) and isinstance(arrs.dtype, ht.tarray):
+        et = arrs.dtype.element_type
+        rt = et
 
-    def f(*arrs):
-        return np.vstack([np.atleast_2d(np.asarray(a)) for a in arrs])
-    return _apply('nd_vstack', out_t, _obj_impl(out_t, f), *es)
+        def impl(vs):
+            return np.hstack([np.asarray(v) for v in vs])
+        return _apply('nd_hstack', rt, impl, arrs)
+    exprs = [_as_nd(x) for x in arrs]
+    rt = exprs[0].dtype
 
-
-def maximum(a, b):
-    """Elementwise max; nan-propagating (reference nd.py maximum)."""
-    ea, eb = to_expr(a), to_expr(b)
-    t = ea.dtype if hasattr(ea.dtype, 'ndim') else eb.dtype
-    from ..expr.functions import _apply, _obj_impl
-
-    def f(x, y):
-        xv, yv = np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
-        out = np.maximum(xv, yv)
-        return np.where(np.isnan(xv) | np.isnan(yv), np.nan, out)
-    return _apply('nd_maximum', t, _obj_impl(t, f), ea, eb)
+    def impl(*vs):
+        return np.hstack([np.asarray(v) for v in vs])
+    return _apply('nd_hstack', rt, impl, *exprs)
 
 
-def minimum(a, b):
-    """Elementwise min; nan-propagating (reference nd.py minimum)."""
-    ea, eb = to_expr(a), to_expr(b)
-    t = ea.dtype if hasattr(ea.dtype, 'ndim') else eb.dtype
-    from ..expr.functions import _apply, _obj_impl
+def maximum(nd1, nd2):
+    """Elementwise max, NaN-propagating (reference nd.maximum)."""
+    return nds.nd_binop('nd_maximum', np.maximum, _as_nd(nd1), _as_nd(nd2))
 
-    def f(x, y):
-        xv, yv = np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
-        out = np.minimum(xv, yv)
-        return np.where(np.isnan(xv) | np.isnan(yv), np.nan, out)
-    return _apply('nd_minimum', t, _obj_impl(t, f), ea, eb)
+
+def minimum(nd1, nd2):
+    """Elementwise min, NaN-propagating (reference nd.minimum)."""
+    return nds.nd_binop('nd_minimum', np.minimum, _as_nd(nd1), _as_nd(nd2))
 
 
 def from_column_major(a, shape):
-    """Interpret flat array `a` as a column-major (Fortran-order) matrix of
-    `shape` (reference nd/nd.py:66)."""
-    assert len(shape) == 2
-    return array(a).reshape(tuple(reversed(shape))).T
+    """Interpret a flat column-major buffer as a 2-d ndarray."""
+    e = to_expr(a)
+    rt = ht.tndarray(e.dtype.element_type if isinstance(e.dtype, ht.tarray)
+                     else ht.tfloat64, 2)
+
+    def impl(v, r, c):
+        return np.asarray(v).reshape((_bi.int(c), _bi.int(r))).T
+    return _apply('nd_from_column_major', rt, impl, e,
+                  to_expr(shape[0]), to_expr(shape[1]))
 
 
 def solve_helper(nd_coef, nd_dep, nd_dep_ndim_orig):
-    """Shape/dtype-normalizing wrapper used by the regression paths
-    (reference nd/nd.py:322)."""
-    assert nd_dep_ndim_orig in (1, 2)
+    """Shape normalization used by solve paths (reference nd.solve_helper):
+    promotes 1-d dependents to column vectors."""
+    a, b = _as_nd(nd_coef), _as_nd(nd_dep)
     if nd_dep_ndim_orig == 1:
-        nd_dep = nd_dep.reshape((-1, 1))
-    sol = solve(nd_coef, nd_dep)
-    if nd_dep_ndim_orig == 1:
-        sol = sol.reshape((-1,))
-    return sol
+        b = b.reshape((-1, 1))
+    return a, b
