@@ -50,8 +50,15 @@ class AsyncFS:
     async def statfile(self, path: str) -> FileStatus:
         return await self._run(self._fs.stat, path)
 
-    async def listfiles(self, path: str) -> List[FileStatus]:
-        return await self._run(self._fs.ls, path)
+    async def listfiles(self, path: str):
+        """Async iterator of FileListEntry-likes (the reference's AsyncFS
+        contract is `async for x in await fs.listfiles(p)`)."""
+        entries = await self._run(self._fs.ls, path)
+
+        async def gen():
+            for e in entries:
+                yield e
+        return gen()
 
     async def mkdir(self, path: str) -> None:
         await self._run(self._fs.mkdir, path)

@@ -29,6 +29,10 @@ class FileStatus:
     def is_file(self) -> bool:
         return not self.is_dir
 
+    async def url(self) -> str:
+        """Async accessor (reference FileListEntry.url)."""
+        return self.path
+
     @property
     def typ(self) -> str:
         return 'dir' if self.is_dir else 'file'

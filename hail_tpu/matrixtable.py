@@ -1284,10 +1284,24 @@ class MatrixTable:
         cols = cols or {}
         entries = entries or {}
         globals = globals or {}
+        assert rows or entries, 'from_parts: need rows or entries'
+        assert cols or entries, 'from_parts: need cols or entries'
         n_r = len(next(iter(rows.values()))) if rows else \
-            (len(next(iter(entries.values()))) if entries else 0)
+            len(next(iter(entries.values())))
         n_c = len(next(iter(cols.values()))) if cols else \
-            (len(next(iter(entries.values()))[0]) if entries else 0)
+            len(next(iter(entries.values()))[0])
+        for k, v in rows.items():
+            if len(v) != n_r:
+                raise ValueError(f'mismatched row property dimensions: '
+                                 f'{k!r} has {len(v)} values, expected {n_r}')
+        for k, v in cols.items():
+            if len(v) != n_c:
+                raise ValueError(f'mismatched col property dimensions: '
+                                 f'{k!r} has {len(v)} values, expected {n_c}')
+        for k, v in entries.items():
+            if len(v) != n_r or any(len(r) != n_c for r in v):
+                raise ValueError(f'mismatched entry property dimensions: '
+                                 f'{k!r} is not {n_r} x {n_c}')
         mt = range_matrix_table(n_r, n_c)
         from .expr import functions as F
         if globals:
