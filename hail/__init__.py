@@ -16,7 +16,8 @@ from hail_tpu import (agg, scan, nd, vds, utils, linalg, experimental,  # noqa: 
                       _linear_regression_rows_nd, _logistic_regression_rows_nd,
                       _blanczos_pca, _hwe_normalized_blanczos,
                       _pca_and_moments, _spectral_moments,
-                      _set_flags, _get_flags, _with_flags)
+                      _set_flags, _get_flags, _with_flags,
+                      _compare, _sort_by, _values_similar)
 
 # submodule aliases: import hail.<mod> -> hail_tpu.<mod>
 _PREFIX_LEN = 9  # len('hail_tpu.') — builtins.len is shadowed by hl.len here

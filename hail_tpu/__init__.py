@@ -94,6 +94,11 @@ set = _F.set_
 dict = _F.dict_
 tuple = _F.tuple_
 eval = _F.eval_expr
+eval_typed = _F.eval_typed
+eval_timed = _F.eval_timed
+_compare = _F._compare
+_sort_by = _F._sort_by
+_values_similar = _F._values_similar
 
 from .expr import aggregators as agg
 from .expr import scans as scan

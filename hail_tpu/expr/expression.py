@@ -103,6 +103,12 @@ class Expression:
         raise TypeError(
             'cannot convert a Hail expression to bool; use hl.if_else / & / | for conditionals')
 
+    def __iter__(self):
+        # without this, python's iter-protocol would loop forever over
+        # __getitem__(0), __getitem__(1), ... (reference base_expression.py)
+        from .typefuncs import ExpressionException
+        raise ExpressionException(f'{self!r} object is not iterable')
+
     # -- missingness -------------------------------------------------------
     def is_missing(self) -> 'BooleanExpression':
         return construct_expr(IsMissing(self._ir), self._indices)
@@ -164,23 +170,6 @@ class Expression:
         if self.dtype == typ:
             return self
         return construct_expr(Cast(self._ir, typ), self._indices)
-
-
-class BooleanExpression(Expression):
-    def __and__(self, other):
-        return self._bin_op('&', other)
-
-    def __rand__(self, other):
-        return self._bin_op('&', other, reverse=True)
-
-    def __or__(self, other):
-        return self._bin_op('|', other)
-
-    def __ror__(self, other):
-        return self._bin_op('|', other, reverse=True)
-
-    def __invert__(self):
-        return construct_expr(ApplyUnaryOp('!', self._ir), self._indices)
 
 
 class NumericExpression(Expression):
@@ -249,6 +238,26 @@ class NumericExpression(Expression):
         return F.abs(self)
 
 
+class BooleanExpression(NumericExpression):
+    """Booleans support arithmetic (as 0/1) like the reference's
+    BooleanExpression(NumericExpression)."""
+
+    def __and__(self, other):
+        return self._bin_op('&', other)
+
+    def __rand__(self, other):
+        return self._bin_op('&', other, reverse=True)
+
+    def __or__(self, other):
+        return self._bin_op('|', other)
+
+    def __ror__(self, other):
+        return self._bin_op('|', other, reverse=True)
+
+    def __invert__(self):
+        return construct_expr(ApplyUnaryOp('!', self._ir), self._indices)
+
+
 class Int32Expression(NumericExpression):
     pass
 
@@ -271,6 +280,13 @@ class StringExpression(Expression):
 
     def __radd__(self, other):
         return self._bin_op('+', other, reverse=True)
+
+    def __mul__(self, other):
+        # string repetition (reference StringExpression.__mul__)
+        return self._bin_op('*', other)
+
+    def __rmul__(self, other):
+        return self._bin_op('*', other, reverse=True)
 
     def __lt__(self, other):
         return self._bin_op('<', other)
@@ -442,6 +458,20 @@ class CollectionExpression(Expression):
 
 
 class ArrayExpression(CollectionExpression):
+    # arrays order lexicographically (hail total order; reference
+    # test_operators x45-x52)
+    def __lt__(self, other):
+        return self._bin_op('<', other)
+
+    def __le__(self, other):
+        return self._bin_op('<=', other)
+
+    def __gt__(self, other):
+        return self._bin_op('>', other)
+
+    def __ge__(self, other):
+        return self._bin_op('>=', other)
+
     def __getitem__(self, item):
         if isinstance(item, slice):
             s = None if item.start is None else to_expr(item.start)._ir
@@ -621,16 +651,44 @@ class SetExpression(CollectionExpression):
     def __sub__(self, other):
         return self.difference(to_expr(other))
 
+    def __rsub__(self, other):
+        from . import functions as F
+        return F._collection_method(to_expr(other), 'set_difference',
+                                    self.dtype, self)
+
     def __and__(self, other):
         return self.intersection(to_expr(other))
 
+    __rand__ = __and__
+
     def __or__(self, other):
         return self.union(to_expr(other))
+
+    __ror__ = __or__
 
     def __xor__(self, other):
         u = self.union(to_expr(other))
         i = self.intersection(to_expr(other))
         return u.difference(i)
+
+    __rxor__ = __xor__
+
+    # comparisons are SUBSET relations (reference SetExpression ordering)
+    def __le__(self, other):
+        return self.is_subset(to_expr(other))
+
+    def __lt__(self, other):
+        o = to_expr(other)
+        return self.is_subset(o) & (self != o)
+
+    def __ge__(self, other):
+        from . import functions as F
+        return F._collection_method(to_expr(other), 'set_is_subset',
+                                    ht.tbool, self)
+
+    def __gt__(self, other):
+        o = to_expr(other)
+        return self.__ge__(o) & (self != o)
 
 
 class DictExpression(Expression):
@@ -798,6 +856,28 @@ class StructExpression(Expression):
 
 
 class TupleExpression(Expression):
+    def __iter__(self):
+        # statically-sized, so iteration/star-unpacking is well-defined
+        # (reference TupleExpression.__iter__)
+        for i in range(len(self.dtype.types)):
+            yield self[i]
+
+    def __len__(self):
+        return len(self.dtype.types)
+
+    # tuples order lexicographically, like structs/arrays
+    def __lt__(self, other):
+        return self._bin_op('<', other)
+
+    def __le__(self, other):
+        return self._bin_op('<=', other)
+
+    def __gt__(self, other):
+        return self._bin_op('>', other)
+
+    def __ge__(self, other):
+        return self._bin_op('>=', other)
+
     def count(self, value):
         """Number of tuple elements equal to `value` (reference
         TupleExpression.count)."""
@@ -924,6 +1004,20 @@ class LocusExpression(Expression):
     def _locus_method(self, name, result_typ, *args):
         from . import functions as F
         return F._locus_method(self, name, result_typ, *args)
+
+    def __add__(self, other):
+        # shift position, clamped to the contig bounds (reference
+        # LocusExpression.__add__)
+        from . import functions as F
+        rg = self.dtype.reference_genome
+        n = to_expr(other)
+        newpos = F.int32(F.min(F.max(F.int64(self.position) + F.int64(n),
+                                     F.int64(1)),
+                               F.int64(F.contig_length(self.contig, rg))))
+        return F.locus(self.contig, newpos, rg)
+
+    def __sub__(self, other):
+        return self.__add__(to_expr(other) * -1)
 
     @property
     def contig(self):

@@ -606,6 +606,9 @@ def flatten(collection):
 
 
 def any_(*args):
+    if args and _bi.callable(args[0]):
+        f = args[0]
+        return any_(*[map_(f, c) for c in args[1:]])
     if _bi.len(args) == 1 and isinstance(to_expr(args[0]).dtype, (ht.tarray, ht.tset)):
         e = to_expr(args[0])
         return _apply('array_any', ht.tbool, _obj_impl(ht.tbool, lambda v: _bi.any(x is True for x in v)), e)
@@ -616,6 +619,10 @@ def any_(*args):
 
 
 def all_(*args):
+    if args and _bi.callable(args[0]):
+        # hl.all(f, collection) maps the predicate first (reference hl.all)
+        f = args[0]
+        return all_(*[map_(f, c) for c in args[1:]])
     if _bi.len(args) == 1 and isinstance(to_expr(args[0]).dtype, (ht.tarray, ht.tset)):
         e = to_expr(args[0])
         return _apply('array_all', ht.tbool, _obj_impl(ht.tbool, lambda v: _bi.all(x is True for x in v)), e)
@@ -1084,7 +1091,7 @@ def _locus_method(expr, name, result_typ, *args):
         is_y = np.isin(col.contig_idx, y_idx)
         is_mt = np.isin(col.contig_idx, mt_idx)
         in_par = np.zeros(col.shape, dtype=bool)
-        for (c0, s, c1, e) in rg.par:
+        for (c0, s, c1, e) in rg._par_tuples:
             ci = rg.contig_index(c0)
             in_par |= (col.contig_idx == ci) & (col.position >= s) & (col.position < e)
         outv = {
@@ -1123,12 +1130,25 @@ def interval(start, end, includes_start=True, includes_end=False):
                   s, e, to_expr(includes_start), to_expr(includes_end))
 
 
-def locus_interval(contig, start, end, includes_start=True, includes_end=False, reference_genome='default'):
-    return interval(locus(contig, start, reference_genome), locus(contig, end, reference_genome),
-                    includes_start, includes_end)
+def locus_interval(contig, start, end, includes_start=True, includes_end=False,
+                   reference_genome='default', invalid_missing=False):
+    """Locus interval with the engine's canonicalization: endpoints are
+    validated against contig bounds and normalized (reference
+    ReferenceGenome.toLocusInterval, variant/ReferenceGenome.scala:227)."""
+    from ..genetics.reference_genome import ReferenceGenome, default_reference
+    rg = default_reference() if reference_genome == 'default' else (
+        ReferenceGenome.get(reference_genome) if isinstance(reference_genome, str) else reference_genome)
+    t = ht.tinterval(ht.tlocus(rg))
+
+    def f(c, s, e):
+        return rg.to_locus_interval(c, _bi.int(s), _bi.int(e),
+                                    includes_start, includes_end,
+                                    invalid_missing)
+    return _apply('locus_interval', t, _obj_impl(t, f),
+                  to_expr(contig), to_expr(start), to_expr(end))
 
 
-def parse_locus_interval(s, reference_genome='default'):
+def parse_locus_interval(s, reference_genome='default', invalid_missing=False):
     from ..genetics.reference_genome import ReferenceGenome, default_reference
     rg = default_reference() if reference_genome == 'default' else (
         ReferenceGenome.get(reference_genome) if isinstance(reference_genome, str) else reference_genome)
@@ -1170,6 +1190,13 @@ def parse_locus_interval(s, reference_genome='default'):
             elif pl.endswith('m'):
                 mult, p = 1000000, p[:-1]
             return _bi.int(_bi.float(p) * mult)
+        if ca == cb:
+            # same-contig intervals go through the canonicalizer so
+            # invalid/empty forms normalize or go missing (reference
+            # toLocusInterval)
+            return rg.to_locus_interval(ca, parse_pos(ca, pa),
+                                        parse_pos(cb, pb), inc_s, inc_e,
+                                        invalid_missing)
         return Interval(Locus(ca, parse_pos(ca, pa), rg), Locus(cb, parse_pos(cb, pb), rg), inc_s, inc_e)
     return _apply('parse_locus_interval', t, _obj_impl(t, f), to_expr(s))
 
@@ -1225,8 +1252,20 @@ def parse_variant(s, reference_genome='default'):
     return _apply('parse_variant', t, _obj_impl(t, f), to_expr(s))
 
 
-def variant_str(locus_expr, alleles_expr):
-    return locus_expr.contig + ':' + str_(locus_expr.position) + ':' + delimit(alleles_expr, ':')
+def variant_str(*args):
+    """contig:pos:ref:alt1,... string; accepts (locus, alleles) or a single
+    struct{locus, alleles} (reference functions.py variant_str)."""
+    if _bi.len(args) == 1:
+        s = to_expr(args[0])
+        locus_expr, alleles_expr = s.locus, s.alleles
+    elif _bi.len(args) == 2:
+        locus_expr, alleles_expr = to_expr(args[0]), to_expr(args[1])
+    else:
+        raise ValueError(
+            'variant_str: expects either one struct{locus, alleles} '
+            'argument or (locus, alleles) arguments')
+    return (locus_expr.contig + ':' + str_(locus_expr.position) + ':'
+            + alleles_expr[0] + ':' + delimit(alleles_expr[1:], ','))
 
 
 def call(*alleles, phased=False) -> CallExpression:
@@ -1311,23 +1350,30 @@ def allele_type(ref, alt):
                   to_expr(ref), to_expr(alt))
 
 
-def is_valid_contig(contig, reference_genome='default'):
+def _resolve_rg(reference_genome):
+    """Resolve 'default' / a name / a ReferenceGenome object."""
     from ..genetics.reference_genome import ReferenceGenome, default_reference
-    rg = default_reference() if reference_genome == 'default' else ReferenceGenome.get(reference_genome)
+    if reference_genome == 'default':
+        return default_reference()
+    if isinstance(reference_genome, _bi.str):
+        return ReferenceGenome.get(reference_genome)
+    return reference_genome
+
+
+def is_valid_contig(contig, reference_genome='default'):
+    rg = _resolve_rg(reference_genome)
     return _apply('is_valid_contig', ht.tbool, _obj_impl(ht.tbool, lambda c: rg.has_contig(c)), to_expr(contig))
 
 
 def is_valid_locus(contig, position, reference_genome='default'):
-    from ..genetics.reference_genome import ReferenceGenome, default_reference
-    rg = default_reference() if reference_genome == 'default' else ReferenceGenome.get(reference_genome)
+    rg = _resolve_rg(reference_genome)
     return _apply('is_valid_locus', ht.tbool,
                   _obj_impl(ht.tbool, lambda c, p: rg.has_contig(c) and 1 <= p <= rg.contig_length(c)),
                   to_expr(contig), to_expr(position))
 
 
 def contig_length(contig, reference_genome='default'):
-    from ..genetics.reference_genome import ReferenceGenome, default_reference
-    rg = default_reference() if reference_genome == 'default' else ReferenceGenome.get(reference_genome)
+    rg = _resolve_rg(reference_genome)
     return _apply('contig_length', ht.tint32, _obj_impl(ht.tint32, lambda c: rg.contig_length(c)), to_expr(contig))
 
 
@@ -1349,24 +1395,33 @@ def min_rep(locus_expr, alleles_expr):
         lv = np.broadcast_to(lobj.values, shape)
         av = np.broadcast_to(aobj.values, shape)
         def f(lo, al):
+            from ..utils.misc import FatalError
             if lo is None or al is None:
                 return None
+            if not al:
+                raise FatalError('min_rep: expect at least one allele')
+            if _bi.any(a is None for a in al):
+                raise FatalError('min_rep: found null allele')
             ref = al[0]
-            alts = al[1:]
-            if not alts:
-                return Struct(locus=lo, alleles=list(al))
+            # '*' (spanning deletion) alleles are excluded from trimming
+            # (reference VariantMethods.minRep)
+            alts = [a for a in al[1:] if a != '*']
+            nonstar = [ref] + alts
             # trim right
-            min_len = _bi.min([_bi.len(a) for a in al])
+            min_len = _bi.min([_bi.len(a) for a in nonstar])
             r = 0
-            while r < min_len - 1 and _bi.all(a[_bi.len(a) - 1 - r] == ref[_bi.len(ref) - 1 - r] for a in alts):
+            while r < min_len - 1 and _bi.all(
+                    a[_bi.len(a) - 1 - r] == ref[_bi.len(ref) - 1 - r] for a in alts):
                 r += 1
-            trimmed = [a[:_bi.len(a) - r] for a in al]
+            trimmed = [a if a == '*' else a[:_bi.len(a) - r] for a in al]
             # trim left
-            min_len = _bi.min([_bi.len(a) for a in trimmed])
+            ns_trimmed = [a for a in trimmed if a != '*']
+            min_len = _bi.min([_bi.len(a) for a in ns_trimmed])
             l = 0
-            while l < min_len - 1 and _bi.all(a[l] == trimmed[0][l] for a in trimmed[1:]):
+            while l < min_len - 1 and _bi.all(
+                    a[l] == ns_trimmed[0][l] for a in ns_trimmed[1:]):
                 l += 1
-            out = [a[l:] for a in trimmed]
+            out = [a if a == '*' else a[l:] for a in trimmed]
             return Struct(locus=Locus(lo.contig, lo.position + l, lo.reference_genome), alleles=out)
         vals = np.frompyfunc(f, 2, 1)(lv, av)
         return C.from_pylist(t, list(vals.ravel())).reshape(shape)
@@ -1434,27 +1489,36 @@ def _scipy_stats():
 
 
 def pnorm(x, mu=0, sigma=1, lower_tail=True, log_p=False):
+    """Normal CDF, correctly rounded via high-precision evaluation (the
+    reference's jdistlib/R values are correctly-rounded for these paths)."""
     def f(v, m, s):
-        st, sp = _scipy_stats()
-        p = st.norm.cdf(v, loc=m, scale=s)
-        if not lower_tail:
-            p = 1 - p
-        return math.log(p) if log_p else p
+        import mpmath as mp
+        with mp.workdps(40):
+            z = (mp.mpf(v) - mp.mpf(m)) / mp.mpf(s)
+            p = mp.erfc(-z / mp.sqrt(2)) / 2 if lower_tail else \
+                mp.erfc(z / mp.sqrt(2)) / 2
+            return _bi.float(mp.log(p)) if log_p else _bi.float(p)
     return _apply('pnorm', ht.tfloat64, _obj_impl(ht.tfloat64, f), to_expr(x), to_expr(mu), to_expr(sigma))
 
 
-def qnorm(p, mu=0, sigma=1):
+def qnorm(p, mu=0, sigma=1, lower_tail=True, log_p=False):
     def f(v, m, s):
         st, sp = _scipy_stats()
-        return st.norm.ppf(v, loc=m, scale=s)
+        if log_p:
+            v = math.exp(v)
+        return st.norm.ppf(v if lower_tail else 1 - v, loc=m, scale=s)
     return _apply('qnorm', ht.tfloat64, _obj_impl(ht.tfloat64, f), to_expr(p), to_expr(mu), to_expr(sigma))
 
 
 def dnorm(x, mu=0, sigma=1, log_p=False):
     def f(v, m, s):
-        st, sp = _scipy_stats()
-        d = st.norm.pdf(v, loc=m, scale=s)
-        return math.log(d) if log_p else d
+        z = (v - m) / s
+        if log_p:
+            import mpmath as mp
+            with mp.workdps(40):
+                zz = (mp.mpf(v) - mp.mpf(m)) / mp.mpf(s)
+                return _bi.float(-zz * zz / 2 - mp.log(mp.mpf(s) * mp.sqrt(2 * mp.pi)))
+        return math.exp(-0.5 * z * z) / (s * math.sqrt(2 * math.pi))
     return _apply('dnorm', ht.tfloat64, _obj_impl(ht.tfloat64, f), to_expr(x), to_expr(mu), to_expr(sigma))
 
 
@@ -1853,6 +1917,130 @@ def eval_expr(expr):
 eval = eval_expr
 
 
+def eval_typed(expression):
+    """Evaluate and return (value, dtype) (reference
+    expression_utils.eval_typed)."""
+    e = to_expr(expression)
+    return eval_scalar(e), e.dtype
+
+
+def eval_timed(expression):
+    """Evaluate and return (value, timings) (reference eval_timed)."""
+    import time as _time
+    e = to_expr(expression)
+    t0 = _time.time()
+    v = eval_scalar(e)
+    return v, {'duration_ms': (_time.time() - t0) * 1000.0}
+
+
+def _cmp_values(a, b):
+    """Recursive total-order compare on python values mirroring the engine's
+    orderings (missing sorts last; containers lexicographic; sets/dicts by
+    sorted contents) — backs hl._compare (reference ApplyComparisonOp)."""
+    if a is None and b is None:
+        return 0
+    if a is None:
+        return 1
+    if b is None:
+        return -1
+    if isinstance(a, Struct):
+        for k in a:
+            c = _cmp_values(a[k], b[k])
+            if c:
+                return c
+        return 0
+    if isinstance(a, (list, tuple)) and not isinstance(a, _bi.str):
+        for x, y in zip(a, b):
+            c = _cmp_values(x, y)
+            if c:
+                return c
+        return (_bi.len(a) > _bi.len(b)) - (_bi.len(a) < _bi.len(b))
+    if isinstance(a, (set, frozenset)):
+        import functools
+        ka = _bi.sorted(a, key=functools.cmp_to_key(_cmp_values))
+        kb = _bi.sorted(b, key=functools.cmp_to_key(_cmp_values))
+        return _cmp_values(ka, kb)
+    if isinstance(a, dict):
+        import functools
+        ka = _bi.sorted(a.items(), key=functools.cmp_to_key(
+            lambda p, q: _cmp_values(p[0], q[0])))
+        kb = _bi.sorted(b.items(), key=functools.cmp_to_key(
+            lambda p, q: _cmp_values(p[0], q[0])))
+        return _cmp_values([list(p) for p in ka], [list(p) for p in kb])
+    return (a > b) - (a < b)
+
+
+def _compare(left, right):
+    """Total-order comparison to int32 (reference hl._compare)."""
+    l, r = to_expr(left), to_expr(right)
+    if l.dtype != r.dtype:
+        raise TypeError(
+            f"'compare' expected 'left' and 'right' to have the same type: "
+            f'found {l.dtype} vs {r.dtype}')
+    return _apply('compare', ht.tint32,
+                  _obj_impl_lenient(ht.tint32, _cmp_values), l, r)
+
+
+def _sort_by(collection, less_than):
+    """Sort with an expression comparator (reference hl._sort_by /
+    ArraySort): missing elements sort last; a comparator that evaluates to
+    missing is a fatal error."""
+    from ..utils.misc import FatalError
+    e = to_expr(collection)
+    et = e.dtype.element_type
+
+    def impl(v):
+        import functools
+
+        def lt(a, b):
+            r = eval_scalar(less_than(literal(a, et), literal(b, et)))
+            if r is None:
+                raise FatalError('_sort_by: comparison returned missing')
+            return _bi.bool(r)
+
+        present = [x for x in v if x is not None]
+        out = _bi.sorted(present, key=functools.cmp_to_key(
+            lambda a, b: -1 if lt(a, b) else (1 if lt(b, a) else 0)))
+        return out + [None] * (_bi.len(v) - _bi.len(present))
+    return _apply('sort_by', e.dtype, _obj_impl(e.dtype, impl), e)
+
+
+def _similar_values(a, b, tolerance, absolute):
+    if a is None and b is None:
+        return True
+    if a is None or b is None:
+        return False
+    if isinstance(a, _bi.float) or isinstance(b, _bi.float):
+        import math
+        if math.isnan(a) and math.isnan(b):
+            return True
+        if absolute:
+            return _bi.abs(a - b) <= tolerance
+        return _bi.abs(a - b) <= tolerance * _bi.max(_bi.abs(a), _bi.abs(b), 1e-300)
+    if isinstance(a, Struct):
+        return _bi.all(_similar_values(a[k], b[k], tolerance, absolute) for k in a)
+    if isinstance(a, (list, tuple)) and not isinstance(a, _bi.str):
+        return _bi.len(a) == _bi.len(b) and _bi.all(
+            _similar_values(x, y, tolerance, absolute) for x, y in zip(a, b))
+    if isinstance(a, (set, frozenset)):
+        return a == b
+    if isinstance(a, dict):
+        return _bi.set(a) == _bi.set(b) and _bi.all(
+            _similar_values(a[k], b[k], tolerance, absolute) for k in a)
+    return a == b
+
+
+def _values_similar(left, right, tolerance=1e-6, absolute=False):
+    """Approximate equality with missing-agreement (reference
+    hl._values_similar / valuesSimilar)."""
+    l, r = to_expr(left), to_expr(right)
+    assert l.dtype == r.dtype
+    return _apply('values_similar', ht.tbool,
+                  _obj_impl_lenient(ht.tbool,
+                                    lambda a, b: _similar_values(a, b, tolerance, absolute)),
+                  l, r)
+
+
 # ---------------------------------------------------------------------------
 # additional builtins (breadth batch 2)
 # ---------------------------------------------------------------------------
@@ -2103,55 +2291,65 @@ def get_sequence(contig, position, before=0, after=0, reference_genome='default'
 
 
 def mendel_error_code(locus, is_female, father, mother, child):
-    """Mendel error code for a trio genotype configuration (reference
-    hl.mendel_error_code)."""
-    from ..genetics.locus import Locus as _Locus
+    """Mendel error code for a trio genotype configuration, exactly the
+    reference's 12-code table (hl.mendel_error_code: auto codes 1-8, hemi-X
+    9-10, hemi-Y 11-12, missing_false genotype conditions)."""
     t = ht.tint32
+
     def f(l, fem, dad, mom, kid):
+        if l is None:
+            return None
         rg = l.reference_genome
+
         def na(c2):
-            return c2.n_alt_alleles()
-        in_x = rg.is_x(l.contig) and not rg.in_par(l.contig, l.position)
-        in_y = rg.is_y(l.contig) and not rg.in_par(l.contig, l.position)
-        auto = not in_x and not in_y
+            return None if c2 is None else c2.n_alt_alleles()
         d, m2, k = na(dad), na(mom), na(kid)
-        if auto or (in_x and fem):
-            if k == 1:
-                if d == 0 and m2 == 0:
-                    return 1
-                if d == 2 and m2 == 2:
-                    return 2
-            if k == 0:
-                if d == 2 and m2 != 2:
-                    return 3
-                if m2 == 2 and d != 2:
-                    return 4
-                if d == 2 and m2 == 2:
-                    return 5
-            if k == 2:
-                if d == 0 and m2 != 0:
-                    return 6
-                if m2 == 0 and d != 0:
-                    return 7
-                if d == 0 and m2 == 0:
-                    return 8
+
+        def eq(v, n):
+            return v is not None and v == n
+
+        def gt0(v):
+            return v is not None and v > 0
+        nonpar = not rg.in_par(l.contig, l.position)
+        x_nonpar = rg.is_x(l.contig) and nonpar
+        y_nonpar = rg.is_y(l.contig) and nonpar
+        auto_or_par = not x_nonpar and not y_nonpar and not rg.is_mitochondrial(l.contig)
+        if auto_or_par or fem is True:
+            if eq(d, 2) and eq(m2, 2) and eq(k, 1):
+                return 1
+            if eq(d, 0) and eq(m2, 0) and eq(k, 1):
+                return 2
+            if eq(d, 0) and eq(m2, 0) and eq(k, 2):
+                return 5
+            if eq(d, 2) and eq(m2, 2) and eq(k, 0):
+                return 8
+            if eq(d, 0) and eq(k, 2):
+                return 3
+            if eq(m2, 0) and eq(k, 2):
+                return 4
+            if eq(d, 2) and eq(k, 0):
+                return 6
+            if eq(m2, 2) and eq(k, 0):
+                return 7
             return None
-        if in_x and not fem:
-            if k == 2 and m2 == 0:
-                return 10
-            if k == 0 and m2 == 2:
+        if fem is None:
+            return None
+        if x_nonpar:
+            if eq(m2, 2) and eq(k, 0):
                 return 9
+            if eq(m2, 0) and gt0(k):
+                return 10
             return None
-        if in_y and not fem:
-            if k == 2 and d == 0:
-                return 12
-            if k == 0 and d == 2:
+        if y_nonpar:
+            if gt0(d) and eq(k, 0):
                 return 11
+            if eq(d, 0) and gt0(k):
+                return 12
+            return None
         return None
-    return _apply('mendel_error_code', t, _obj_impl_lenient(
-        t, lambda l, fem, dad, mom, kid: None if l is None or dad is None or mom is None or kid is None
-        else f(l, fem if fem is not None else True, dad, mom, kid)),
-        to_expr(locus), to_expr(is_female), to_expr(father), to_expr(mother), to_expr(child))
+    return _apply('mendel_error_code', t, _obj_impl_lenient(t, f),
+                  to_expr(locus), to_expr(is_female), to_expr(father),
+                  to_expr(mother), to_expr(child))
 
 
 # ---------------------------------------------------------------------------

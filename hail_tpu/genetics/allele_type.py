@@ -35,16 +35,34 @@ class AlleleType(Enum):
 
 _TRANSITIONS = {('A', 'G'), ('G', 'A'), ('C', 'T'), ('T', 'C')}
 
+_BASES = frozenset('ACGTNacgtn')
+
+
+def _is_symbolic(alt: str) -> bool:
+    """VCF symbolic/breakend alt forms: <ID>, [p[t / ]p]t, and
+    single-breakend '.'-anchored alleles (reference AltAlleleMethods)."""
+    if not alt:
+        return False
+    return ('[' in alt or ']' in alt
+            or ('<' in alt and '>' in alt)
+            or alt[0] == '.' or alt[-1] == '.')
+
+
+def _valid_bases(s: str) -> bool:
+    return len(s) > 0 and all(c in _BASES for c in s)
+
 
 def allele_type(ref: str, alt: str, include_ti_tv: bool = False) -> AlleleType:
+    if _is_symbolic(alt):
+        return AlleleType.SYMBOLIC
     if alt == '*':
         return AlleleType.STAR
-    if any(c not in 'ACGTNacgtn' for c in ref) or any(c not in 'ACGTNacgtn' for c in alt):
-        return AlleleType.SYMBOLIC
+    if not _valid_bases(ref) or not _valid_bases(alt):
+        return AlleleType.UNKNOWN
+    if ref == alt:
+        return AlleleType.UNKNOWN
     if len(ref) == len(alt):
         if len(ref) == 1:
-            if ref == alt:
-                return AlleleType.UNKNOWN
             if include_ti_tv:
                 if (ref.upper(), alt.upper()) in _TRANSITIONS:
                     return AlleleType.TRANSITION
@@ -58,11 +76,13 @@ def allele_type(ref: str, alt: str, include_ti_tv: bool = False) -> AlleleType:
                 else AlleleType.TRANSVERSION
             )
         return AlleleType.MNP
+    # indel classification anchors the shared first base and requires the
+    # shorter allele's tail to be a suffix of the longer one
     if len(ref) < len(alt):
-        if ref and alt.startswith(ref):
+        if ref[0] == alt[0] and alt.endswith(ref[1:]):
             return AlleleType.INSERTION
         return AlleleType.COMPLEX
-    if alt and ref.startswith(alt):
+    if ref[0] == alt[0] and ref.endswith(alt[1:]):
         return AlleleType.DELETION
     return AlleleType.COMPLEX
 

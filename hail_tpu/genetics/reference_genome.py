@@ -38,7 +38,7 @@ class ReferenceGenome:
         self.x_contigs = list(x_contigs)
         self.y_contigs = list(y_contigs)
         self.mt_contigs = list(mt_contigs)
-        self.par = [tuple(p) for p in par]
+        self._par_tuples = [tuple(p) for p in par]
         self._contig_index = {c: i for i, c in enumerate(self.contigs)}
         # global position offsets: contig -> cumulative start (for sorting loci as int64)
         self._global_offsets: Dict[str, int] = {}
@@ -55,6 +55,8 @@ class ReferenceGenome:
     # -- registry ----------------------------------------------------------
     @classmethod
     def get(cls, name: str) -> 'ReferenceGenome':
+        if name == 'default':
+            return default_reference()
         if name not in cls._registry:
             if name in _BUILTIN:
                 cls._load_builtin(name)
@@ -102,11 +104,73 @@ class ReferenceGenome:
     def contig_index(self, contig: str) -> int:
         return self._contig_index[contig]
 
+    @property
+    def par(self):
+        """Pseudoautosomal regions as locus Intervals (reference
+        ReferenceGenome.par)."""
+        from ..utils.structs import Interval
+        from .locus import Locus
+        return [Interval(Locus(c0, s0, self), Locus(c1, e0, self))
+                for (c0, s0, c1, e0) in self._par_tuples]
+
     def has_contig(self, contig: str) -> bool:
         return contig in self._contig_index
 
     def contig_length(self, contig: str) -> int:
-        return self.lengths[contig]
+        try:
+            return self.lengths[contig]
+        except KeyError:
+            from ..utils.misc import FatalError
+            raise FatalError(
+                f'Invalid contig {contig!r} for reference genome '
+                f'{self.name}') from None
+
+    def to_locus_interval(self, contig: str, start: int, end: int,
+                          includes_start: bool, includes_end: bool,
+                          invalid_missing: bool = False):
+        """Validate + canonicalize a locus interval (reference
+        ReferenceGenome.toLocusInterval, variant/ReferenceGenome.scala:227):
+        bound checks against contig length, open-at-0 / open-past-end
+        normalization, and the canonical empty-interval forms."""
+        from ..utils.misc import FatalError
+        from ..utils.structs import Interval
+        from .locus import Locus
+
+        def invalid(msg):
+            if invalid_missing:
+                return None
+            raise FatalError(msg)
+
+        if not self.has_contig(contig):
+            return invalid(f"Contig '{contig}' is not in the reference "
+                           f"genome '{self.name}'.")
+        clen = self.lengths[contig]
+
+        def valid(pos):
+            return 1 <= pos <= clen
+        if not valid(start if includes_start else start + 1):
+            return invalid(f"Invalid interval: start {start} is not within "
+                           f'[1-{clen}] for {self.name}')
+        if not valid(end if includes_end else end - 1):
+            return invalid(f"Invalid interval: end {end} is not within "
+                           f'[1-{clen}] for {self.name}')
+        if not includes_start and start == 0:
+            start, includes_start = 1, True
+        if not includes_end and end == clen + 1:
+            end, includes_end = clen, True
+        if start == end:
+            if includes_start and not includes_end:
+                if start != 1:
+                    start, includes_start = start - 1, False
+            elif includes_end and not includes_start:
+                if end != clen:
+                    end, includes_end = end + 1, False
+        # validity (Interval.isValid): start < end, or a single fully
+        # inclusive point
+        if not (start < end or (start == end and includes_start and includes_end)):
+            return invalid('Invalid interval: empty')
+        return Interval(Locus(contig, start, self), Locus(contig, end, self),
+                        includes_start, includes_end)
 
     def global_position(self, contig: str, position: int) -> int:
         """1-based locus → 0-based global genome coordinate (sort key)."""
@@ -138,7 +202,7 @@ class ReferenceGenome:
         return not (self.is_x(contig) or self.is_y(contig) or self.is_mitochondrial(contig))
 
     def in_par(self, contig: str, position: int) -> bool:
-        for (c0, s, c1, e) in self.par:
+        for (c0, s, c1, e) in self._par_tuples:
             if contig == c0 and s <= position < e:
                 return True
         return False
@@ -220,7 +284,7 @@ def _rg_write(self, path: str):
         'xContigs': list(self.x_contigs),
         'yContigs': list(self.y_contigs),
         'mtContigs': list(self.mt_contigs),
-        'par': [f'{c0}:{s}-{e}' for (c0, s, c1, e) in self.par],
+        'par': [f'{c0}:{s}-{e}' for (c0, s, c1, e) in self._par_tuples],
     }
     with open(path, 'w') as f:
         _json.dump(d, f)

@@ -344,6 +344,16 @@ _NP_BINOP = {
 def binop_type(op: str, lt: ht.HailType, rt: ht.HailType) -> ht.HailType:
     if op in _CMP_OPS or op in _BOOL_OPS:
         return ht.tbool
+    # numeric ops broadcast over arrays (reference: scalar <op> array and
+    # array <op> array are elementwise)
+    if isinstance(lt, ht.tarray) or isinstance(rt, ht.tarray):
+        le = lt.element_type if isinstance(lt, ht.tarray) else lt
+        re_ = rt.element_type if isinstance(rt, ht.tarray) else rt
+        return ht.tarray(binop_type(op, le, re_))
+    if op == '*' and ((lt == ht.tstr and rt in (ht.tint32, ht.tint64))
+                      or (rt == ht.tstr and lt in (ht.tint32, ht.tint64))):
+        # string repetition
+        return ht.tstr
     if op == '/':
         if lt == ht.tfloat32 and rt in (ht.tfloat32, ht.tint32, ht.tint64):
             return ht.tfloat32
@@ -397,8 +407,13 @@ def eval_binop(op: str, lc: Column, rc: Column, out_typ: ht.HailType) -> Column:
     if isinstance(lc, PrimitiveColumn) and isinstance(rc, PrimitiveColumn):
         with np.errstate(all='ignore'):
             lv, rv = lc.values, rc.values
-            if op in ('==', '!=') and lc.typ == ht.tbool:
-                pass
+            if op not in _CMP_OPS:
+                # bools participate in arithmetic as 0/1 (numpy rejects e.g.
+                # boolean subtract)
+                if getattr(lv, 'dtype', None) == np.bool_:
+                    lv = lv.astype(np.int32)
+                if getattr(rv, 'dtype', None) == np.bool_:
+                    rv = rv.astype(np.int32)
             vals = _NP_BINOP[op](lv, rv)
         missing = C._merge_missing(lc.missing, rc.missing)
         if out_typ.numpy_dtype is not None and vals.dtype != out_typ.numpy_dtype:
@@ -418,12 +433,19 @@ def eval_binop(op: str, lc: Column, rc: Column, out_typ: ht.HailType) -> Column:
     rov = np.broadcast_to(ro.values, shape)
     py_op = _PY_BINOP[op]
     def f(a, b):
-        if op in ('==', '!='):
-            if a is None or b is None:
-                return None
-            return py_op(a, b)
         if a is None or b is None:
             return None
+        if op not in _CMP_OPS and isinstance(out_typ, ht.tarray):
+            # numeric broadcast over arrays ('+' on lists must NOT
+            # concatenate; elementwise with per-element missingness)
+            def el(x, y):
+                return None if x is None or y is None else py_op(x, y)
+            if isinstance(a, list) and isinstance(b, list):
+                return [el(x, y) for x, y in zip(a, b)]
+            if isinstance(a, list):
+                return [el(x, b) for x in a]
+            if isinstance(b, list):
+                return [el(a, y) for y in b]
         return py_op(a, b)
     vals = np.frompyfunc(f, 2, 1)(lov, rov)
     return C.from_pylist(out_typ, list(vals.ravel())).reshape(shape)

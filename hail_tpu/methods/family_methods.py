@@ -165,7 +165,7 @@ def mendel_errors(call, pedigree: Pedigree) -> Tuple[Table, Table, Table, Table]
         in_x = np.isin(contig, x_idx)
         in_y = np.isin(contig, y_idx)
         in_par = np.zeros(mb.n_rows, dtype=bool)
-        for (c0, s0, c1, e0) in rg.par:
+        for (c0, s0, c1, e0) in rg._par_tuples:
             ci = rg.contig_index(c0)
             in_par |= (contig == ci) & \
                       (np.asarray(loci.position) >= s0) & (np.asarray(loci.position) < e0)
@@ -291,7 +291,7 @@ def transmission_disequilibrium_test(dataset: MatrixTable, pedigree: Pedigree) -
         in_autosome = ~np.isin(contig, sex_idx)
         in_x = np.isin(contig, x_idx)
         in_x_par = np.zeros(mb.n_rows, dtype=bool)
-        for (c0, s0, c1, e0) in rg.par:
+        for (c0, s0, c1, e0) in rg._par_tuples:
             ci = rg.contig_index(c0)
             if ci not in x_idx:
                 continue
@@ -394,7 +394,7 @@ def de_novo(mt: MatrixTable, pedigree: Pedigree, pop_frequency_prior,
         in_y = np.isin(contig, y_idx)
         in_mt = np.isin(contig, mt_idx)
         in_par = np.zeros(R, dtype=bool)
-        for (c0, s0, c1, e0) in rg.par:
+        for (c0, s0, c1, e0) in rg._par_tuples:
             ci = rg.contig_index(c0)
             in_par |= (contig == ci) & (pos >= s0) & (pos < e0)
         in_autosome_or_par = (~in_x & ~in_y & ~in_mt) | in_par

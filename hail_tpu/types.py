@@ -89,6 +89,17 @@ class HailType:
         """Convert a python value into this type's canonical python form."""
         return value
 
+    def _to_encoding(self, value: Any) -> bytes:
+        """Serialize a single value of this type to bytes (reference
+        HailType._to_encoding wire form; here the python object codec — the
+        columnar npz codec in io/native.py is the bulk wire format)."""
+        import pickle
+        return pickle.dumps(value, protocol=4)
+
+    def _from_encoding(self, data: bytes) -> Any:
+        import pickle
+        return pickle.loads(data)
+
 
 class _tint32(HailType):
     def __str__(self):

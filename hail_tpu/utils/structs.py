@@ -196,7 +196,10 @@ class Interval:
 
     __slots__ = ('start', 'end', 'includes_start', 'includes_end')
 
-    def __init__(self, start, end, includes_start: bool = True, includes_end: bool = False):
+    def __init__(self, start, end, includes_start: bool = True,
+                 includes_end: bool = False, point_type=None):
+        # point_type is accepted for reference-signature parity; the point
+        # type is recoverable from the endpoints
         self.start = start
         self.end = end
         self.includes_start = includes_start
