@@ -97,6 +97,7 @@ eval = _F.eval_expr
 eval_typed = _F.eval_typed
 eval_timed = _F.eval_timed
 _compare = _F._compare
+_locus_windows_per_contig = _F._locus_windows_per_contig
 _sort_by = _F._sort_by
 _values_similar = _F._values_similar
 

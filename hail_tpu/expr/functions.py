@@ -2030,6 +2030,25 @@ def _similar_values(a, b, tolerance, absolute):
     return a == b
 
 
+def _locus_windows_per_contig(coords, radius):
+    """Window [start, stop) ranges for per-contig coordinate lists flattened
+    to global indices (reference hl._locus_windows_per_contig)."""
+    rt = ht.ttuple(ht.tarray(ht.tint32), ht.tarray(ht.tint32))
+
+    def f(groups, rad):
+        from ..linalg.utils.misc import array_windows
+        starts, stops = [], []
+        off = 0
+        for g in groups:
+            s, t = array_windows(np.asarray(g, dtype=np.float64), rad)
+            starts.extend((s + off).tolist())
+            stops.extend((t + off).tolist())
+            off += _bi.len(g)
+        return ([_bi.int(x) for x in starts], [_bi.int(x) for x in stops])
+    return _apply('locus_windows_per_contig', rt, _obj_impl(rt, f),
+                  to_expr(coords), to_expr(radius))
+
+
 def _values_similar(left, right, tolerance=1e-6, absolute=False):
     """Approximate equality with missing-agreement (reference
     hl._values_similar / valuesSimilar)."""

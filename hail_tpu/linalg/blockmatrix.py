@@ -46,10 +46,14 @@ class BlockMatrix:
     sharded (round-1 verdict item 2; reference keeps blocks distributed in a
     Spark RDD, `linalg/BlockMatrix.scala:107`)."""
 
-    def __init__(self, data: jnp.ndarray, block_size: int = DEFAULT_BLOCK_SIZE):
+    def __init__(self, data: jnp.ndarray, block_size: int = DEFAULT_BLOCK_SIZE,
+                 _sparse: bool = False):
         self._data = _shard_at_rest(jnp.asarray(data, dtype=jnp.float64)
                                     if not isinstance(data, jnp.ndarray) else data)
         self._block_size = block_size
+        # storage stays dense (zeroed dropped blocks) — the TPU-native answer
+        # to the reference's block sparsity; the flag tracks the logical state
+        self._sparse = _sparse
 
     # -- constructors ------------------------------------------------------
     @classmethod
@@ -63,6 +67,39 @@ class BlockMatrix:
     def fill(cls, n_rows: int, n_cols: int, value: float,
              block_size: int = DEFAULT_BLOCK_SIZE) -> 'BlockMatrix':
         return cls(jnp.full((n_rows, n_cols), float(value)), block_size)
+
+    @classmethod
+    def _create(cls, n_rows: int, n_cols: int, data, block_size: int = DEFAULT_BLOCK_SIZE) -> 'BlockMatrix':
+        """Build from a row-major flat list (reference BlockMatrix._create)."""
+        arr = np.asarray(list(data), dtype=np.float64).reshape(n_rows, n_cols)
+        return cls(jnp.asarray(arr), block_size)
+
+    def _sparsify_blocks(self, blocks) -> 'BlockMatrix':
+        """Keep only the listed blocks (COLUMN-major block indexing like the
+        reference GridPartitioner: block b = (b % n_block_rows,
+        b // n_block_rows)); dropped blocks are zeroed in dense storage."""
+        import math as _math
+        n, m = self.shape
+        bs = self._block_size
+        nbr = _math.ceil(n / bs)
+        mask = np.zeros((n, m), dtype=bool)
+        for b in blocks:
+            bi, bj = b % nbr, b // nbr
+            mask[bi * bs:(bi + 1) * bs, bj * bs:(bj + 1) * bs] = True
+        return BlockMatrix(jnp.where(jnp.asarray(mask), self._data, 0.0),
+                           bs, _sparse=True)
+
+    def _map_dense(self, f) -> 'BlockMatrix':
+        """Apply an expression-level function elementwise, including to
+        zeroed blocks (reference BlockMatrix._map_dense)."""
+        from ..expr import functions as F
+        arr = np.asarray(self._data)
+        flat = F.literal([float(v) for v in arr.ravel()])
+        out = F.eval_expr(flat.map(f))
+        return BlockMatrix(jnp.asarray(np.asarray(out, dtype=np.float64)
+                                       .reshape(arr.shape)), self._block_size)
+
+    _map_sparse = _map_dense
 
     @classmethod
     def random(cls, n_rows: int, n_cols: int, block_size: int = DEFAULT_BLOCK_SIZE,
@@ -102,10 +139,10 @@ class BlockMatrix:
             if mean_impute:
                 cnt = (~M).sum(axis=1)
                 s = np.where(M, 0, G).sum(axis=1)
-                mean = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
+                mean = np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)
                 G = np.where(M, mean[:, None], G)
             elif M.any():
-                raise ValueError('from_entry_expr: missing entries (use mean_impute=True)')
+                raise ValueError('Cannot construct an ndarray with missing values: use mean_impute=True or filter first')
             if center:
                 G = G - G.mean(axis=1, keepdims=True)
             if normalize:
@@ -164,7 +201,8 @@ class BlockMatrix:
               stage_locally: bool = False) -> None:
         if os.path.exists(path):
             if not overwrite:
-                raise ValueError(f'path exists: {path}')
+                from ..utils.misc import FatalError
+                raise FatalError(f'path exists: {path}')
             import shutil
             shutil.rmtree(path)
         os.makedirs(path)
@@ -195,7 +233,7 @@ class BlockMatrix:
 
     @property
     def is_sparse(self) -> bool:
-        return False
+        return self._sparse
 
     @property
     def T(self) -> 'BlockMatrix':
@@ -209,6 +247,10 @@ class BlockMatrix:
         if isinstance(other, BlockMatrix):
             return other._data
         if isinstance(other, np.ndarray):
+            if other.dtype.kind not in 'ifbu':
+                raise TypeError(
+                    f'BlockMatrix operand must be numeric, found dtype '
+                    f'{other.dtype}')
             return jnp.asarray(other, dtype=jnp.float64)
         return other
 
@@ -240,6 +282,9 @@ class BlockMatrix:
     def __neg__(self):
         return BlockMatrix(-self._data, self._block_size)
 
+    def __pos__(self):
+        return self
+
     def abs(self):
         return BlockMatrix(jnp.abs(self._data), self._block_size)
 
@@ -252,6 +297,10 @@ class BlockMatrix:
     # -- matmul ------------------------------------------------------------
     def __matmul__(self, other) -> 'BlockMatrix':
         o = self._coerce(other)
+        if getattr(o, 'ndim', 2) == 2 and self._data.shape[1] != o.shape[0]:
+            raise ValueError(
+                f'matmul: inner dimensions mismatch: {self.shape} @ '
+                f'{tuple(o.shape)}')
         return BlockMatrix(_sharded_matmul(self._data, o), self._block_size)
 
     dot = __matmul__
@@ -274,22 +323,62 @@ class BlockMatrix:
         return BlockMatrix(jnp.diagonal(self._data).reshape(1, -1), self._block_size)
 
     # -- indexing / slicing ------------------------------------------------
+    @staticmethod
+    def _pos_index(i, size, name, allow_size=False):
+        """Validate/normalize an index with negative wrap (reference
+        BlockMatrix._pos_index)."""
+        if 0 <= i < size or (i == size and allow_size):
+            return i
+        if 0 <= i + size < size:
+            return i + size
+        raise ValueError(f'invalid {name} {i} for axis of size {size}')
+
+    @staticmethod
+    def _range_to_keep(idx, size):
+        if isinstance(idx, int):
+            p = BlockMatrix._pos_index(idx, size, 'index')
+            return slice(p, p + 1, 1)
+        if not isinstance(idx, slice):
+            raise TypeError('BlockMatrix indices must be int or slice')
+        if idx.step is not None and idx.step <= 0:
+            raise ValueError(f'slice step must be positive, found {idx.step}')
+        start = 0 if idx.start is None else \
+            BlockMatrix._pos_index(idx.start, size, 'start index')
+        stop = size if idx.stop is None else \
+            BlockMatrix._pos_index(idx.stop, size, 'stop index', allow_size=True)
+        step = 1 if idx.step is None else idx.step
+        if start >= stop:
+            raise ValueError(f'slice {start}:{stop}:{step} is empty')
+        return slice(start, stop, step)
+
     def __getitem__(self, idx) -> Union[float, 'BlockMatrix']:
-        if isinstance(idx, tuple) and len(idx) == 2:
-            r, c = idx
-            if isinstance(r, int) and isinstance(c, int):
-                return float(self._data[r, c])
-            out = self._data[r, c]
-            if out.ndim == 1:
-                out = out.reshape(1, -1) if isinstance(r, int) else out.reshape(-1, 1)
-            return BlockMatrix(out, self._block_size)
-        raise TypeError('BlockMatrix indexing requires a 2-tuple')
+        if not (isinstance(idx, tuple) and len(idx) == 2):
+            raise ValueError('tuple of indices or slices must have length two')
+        r, c = idx
+        n, m = self.shape
+        if isinstance(r, int) and isinstance(c, int):
+            i = BlockMatrix._pos_index(r, n, 'row index')
+            j = BlockMatrix._pos_index(c, m, 'col index')
+            return float(self._data[i, j])
+        rs = BlockMatrix._range_to_keep(r, n)
+        cs = BlockMatrix._range_to_keep(c, m)
+        return BlockMatrix(self._data[rs, cs], self._block_size)
 
     def filter_rows(self, rows: Sequence[int]) -> 'BlockMatrix':
-        return BlockMatrix(self._data[jnp.asarray(list(rows))], self._block_size)
+        rows = list(rows)
+        n = self.shape[0]
+        for i in rows:
+            if not (0 <= i < n):
+                raise ValueError(f'filter_rows: index {i} out of range for {n} rows')
+        return BlockMatrix(self._data[jnp.asarray(rows)], self._block_size)
 
     def filter_cols(self, cols: Sequence[int]) -> 'BlockMatrix':
-        return BlockMatrix(self._data[:, jnp.asarray(list(cols))], self._block_size)
+        cols = list(cols)
+        m = self.shape[1]
+        for j in cols:
+            if not (0 <= j < m):
+                raise ValueError(f'filter_cols: index {j} out of range for {m} cols')
+        return BlockMatrix(self._data[:, jnp.asarray(cols)], self._block_size)
 
     def filter(self, rows: Sequence[int], cols: Sequence[int]) -> 'BlockMatrix':
         return self.filter_rows(rows).filter_cols(cols)
@@ -324,16 +413,33 @@ class BlockMatrix:
         stops_a = jnp.asarray(list(stops)).reshape(-1, 1)
         j = jnp.arange(m).reshape(1, -1)
         mask = (j >= starts_a) & (j < stops_a)
-        return BlockMatrix(jnp.where(mask, self._data, 0.0), self._block_size)
+        if blocks_only:
+            # keep whole blocks touched by any row's interval (reference
+            # sparsify_row_intervals blocks_only semantics)
+            mask = self._block_hull(mask)
+        return BlockMatrix(jnp.where(mask, self._data, 0.0),
+                           self._block_size, _sparse=True)
+
+    def _block_hull(self, mask):
+        """Expand an element mask to whole (block_size x block_size) blocks:
+        a block is kept if any of its elements is kept."""
+        n, m = self.shape
+        bs = self._block_size
+        nb, mb = math.ceil(n / bs), math.ceil(m / bs)
+        em = np.zeros((nb * bs, mb * bs), dtype=bool)
+        em[:n, :m] = np.asarray(mask)
+        blocks = em.reshape(nb, bs, mb, bs).any(axis=(1, 3))
+        return jnp.asarray(np.repeat(np.repeat(blocks, bs, axis=0), bs, axis=1)[:n, :m])
 
     def sparsify_rectangles(self, rectangles: Sequence[Sequence[int]]) -> 'BlockMatrix':
+        """Keep blocks overlapping any rectangle — block granularity, like
+        the reference (blockmatrix.py sparsify_rectangles)."""
         n, m = self.shape
-        mask = jnp.zeros((n, m), dtype=bool)
+        mask = np.zeros((n, m), dtype=bool)
         for (r0, r1, c0, c1) in rectangles:
-            i = jnp.arange(n).reshape(-1, 1)
-            j = jnp.arange(m).reshape(1, -1)
-            mask = mask | ((i >= r0) & (i < r1) & (j >= c0) & (j < c1))
-        return BlockMatrix(jnp.where(mask, self._data, 0.0), self._block_size)
+            mask[r0:r1, c0:c1] = True
+        return BlockMatrix(jnp.where(self._block_hull(mask), self._data, 0.0),
+                           self._block_size, _sparse=True)
 
     densify = lambda self: self
 
@@ -407,7 +513,24 @@ class BlockMatrix:
                 u, s, vt = np.linalg.svd(A, full_matrices=False)
                 return u, s, vt
             return np.linalg.svd(A, compute_uv=False)
-        return gramian_svd(self._data, compute_uv=compute_uv)
+        # gramian route: device GEMM builds the small k x k gramian, host
+        # eigendecomposition, and the LARGE factor stays a distributed
+        # BlockMatrix (reference _svd_gramian contract)
+        left = n <= m
+        a = np.asarray((self @ self.T)._data if left else (self.T @ self)._data)
+        if not compute_uv:
+            e = np.linalg.eigvalsh(a)
+            e[:np.searchsorted(e, 0.0)] = 0
+            return np.flip(np.sqrt(e), axis=0)
+        e, w = np.linalg.eigh(a)
+        e[:np.searchsorted(e, 0.0)] = 0
+        s = np.flip(np.sqrt(e), axis=0)
+        w = np.fliplr(w)
+        with np.errstate(all='ignore'):
+            ws = w / s
+        if left:
+            return w, s, BlockMatrix.from_numpy(ws.T) @ self
+        return self @ BlockMatrix.from_numpy(ws), s, w.T
 
     # -- export ------------------------------------------------------------
     def export(self, path: str, delimiter: str = '\t', header: Optional[str] = None,

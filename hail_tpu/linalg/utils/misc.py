@@ -35,9 +35,29 @@ def locus_windows(locus_expr, radius, coord_expr=None, _localize=True):
     """Window ranges for loci within `radius` base pairs on the same contig
     (reference linalg/utils/misc.py:82). Contig boundaries break windows."""
     from ...expr.expression import to_expr
+    from ...expr.typefuncs import ExpressionException
+    from ...utils.misc import FatalError, HailUserError
     e = to_expr(locus_expr)
     src = e._indices.source
-    ce = to_expr(coord_expr) if coord_expr is not None else None
+    if src is None:
+        raise ExpressionException("locus_windows: 'locus_expr' has no source")
+    if 'row' not in e._indices.axes:
+        raise ExpressionException(
+            "locus_windows: 'locus_expr' must be row-indexed")
+    ce = None
+    if coord_expr is not None:
+        ce = to_expr(coord_expr)
+        csrc = ce._indices.source
+        if csrc is None:
+            raise ExpressionException(
+                "locus_windows: 'coord_expr' has no source")
+        if csrc is not src:
+            raise ExpressionException(
+                "locus_windows: 'coord_expr' has a different source than "
+                "'locus_expr'")
+        if 'row' not in ce._indices.axes:
+            raise ExpressionException(
+                "locus_windows: 'coord_expr' must be row-indexed")
     st = src._stage
     loci = []
     coords_l = []
@@ -47,11 +67,23 @@ def locus_windows(locus_expr, radius, coord_expr=None, _localize=True):
         loci.extend(e._ir.evaluate(env).to_pylist())
         if ce is not None:
             coords_l.extend(ce._ir.evaluate(env).to_pylist())
+    if any(l is None for l in loci):
+        raise HailUserError("locus_windows: missing value for 'locus_expr'")
     contigs = np.asarray([l.contig for l in loci])
     if coord_expr is None:
         coords = np.asarray([l.position for l in loci], dtype=np.float64)
     else:
+        if any(c is None for c in coords_l):
+            raise FatalError(
+                "locus_windows: missing value for 'coord_expr'")
         coords = np.asarray(coords_l, dtype=np.float64)
+    # loci must ascend in global position (reference checks the same)
+    gpos = np.asarray([l.reference_genome.global_position(l.contig, l.position)
+                       if l.reference_genome is not None else l.position
+                       for l in loci], dtype=np.int64)
+    if not np.all(gpos[:-1] <= gpos[1:]):
+        raise HailUserError(
+            "locus_windows: 'locus_expr' must be in ascending order")
     n = len(coords)
     starts = np.zeros(n, np.int64)
     stops = np.zeros(n, np.int64)

@@ -73,7 +73,13 @@ def _eval_entry_f64(mt: MatrixTable, expr: Expression, mb: MatrixBatch,
     vals = np.asarray(col.values, dtype=np.float64) if isinstance(col, PrimitiveColumn) else \
         np.asarray([[0.0 if v is None else float(v) for v in row]
                     for row in C.to_object(col).values], dtype=np.float64)
-    return vals, col.missing_mask()
+    miss = col.missing_mask()
+    if mb.entry_missing is not None:
+        # filtered entries are missing for ANY entry expression, even ones
+        # computed from row/col fields alone (reference filtered-entry
+        # semantics)
+        miss = miss | mb.entry_missing
+    return vals, miss
 
 
 def _eval_entry_i8(mt: MatrixTable, expr: Expression, mb: MatrixBatch,

@@ -1656,8 +1656,22 @@ def parallelize(rows, schema: Optional[ht.tstruct] = None, key=None,
                 n_partitions: Optional[int] = None,
                 globals: Optional[Struct] = None) -> Table:
     """hl.Table.parallelize equivalent."""
-    from .expr.expression import impute_type
-    rows = list(rows)
+    from .expr.expression import Expression, eval_scalar, impute_type
+
+    def devalue(v):
+        # rows may hold expression values (hl.missing(...), hl.locus(...));
+        # materialize them to python values (reference parallelize accepts
+        # expressions via hl.literal coercion)
+        if isinstance(v, Expression):
+            return eval_scalar(v)
+        if isinstance(v, dict):
+            return {k: devalue(x) for k, x in v.items()}
+        if isinstance(v, Struct):
+            return Struct(**{k: devalue(x) for k, x in v.items()})
+        if isinstance(v, (list, tuple)):
+            return type(v)(devalue(x) for x in v)
+        return v
+    rows = [devalue(r) for r in rows]
     if isinstance(schema, str):
         # reference accepts type strings ('struct{locus:locus<GRCh37>,...}')
         schema = ht.dtype(schema)

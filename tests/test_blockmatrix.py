@@ -48,8 +48,12 @@ def test_sparsify():
     assert tri[0, 5] == 1 and tri[5, 0] == 0
     ri = bm.sparsify_row_intervals([0, 1, 2, 3, 4, 5], [1, 2, 3, 4, 5, 6]).to_numpy()
     assert np.allclose(ri, np.eye(6))
-    rect = bm.sparsify_rectangles([[0, 2, 0, 2]]).to_numpy()
+    # sparsify_rectangles keeps whole BLOCKS intersecting the rectangles
+    # (reference block-granular semantics)
+    bm2 = BlockMatrix.from_numpy(a, block_size=2)
+    rect = bm2.sparsify_rectangles([[0, 2, 0, 2]]).to_numpy()
     assert rect[:2, :2].sum() == 4 and rect.sum() == 4
+    assert bm2.sparsify_rectangles([[0, 1, 0, 1]]).is_sparse
 
 
 def test_write_read(tmp_path):
