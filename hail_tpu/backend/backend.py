@@ -12,6 +12,7 @@ backend (hail_tpu/backend/distributed.py) shards contexts across
 from __future__ import annotations
 
 import os
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, List, Optional, Sequence
@@ -99,10 +100,23 @@ class LocalBackend(Backend):
             self._pool = ThreadPoolExecutor(max_workers=self.n_threads)
         return self._pool
 
+    _in_worker = threading.local()
+
     def _map_collect_impl(self, contexts, fn):
-        if len(contexts) <= 1:
+        if len(contexts) <= 1 or getattr(LocalBackend._in_worker, 'flag', False):
+            # nested stages (a partition fn that itself collects, e.g. a
+            # lookup-join building its dictionary) run serially in-thread:
+            # scheduling them on the same pool can deadlock when every
+            # worker is blocked waiting on queued subtasks
             return [fn(c) for c in contexts]
-        return list(self.pool.map(fn, contexts))
+
+        def run(c):
+            LocalBackend._in_worker.flag = True
+            try:
+                return fn(c)
+            finally:
+                LocalBackend._in_worker.flag = False
+        return list(self.pool.map(run, contexts))
 
     def stop(self):
         if self._pool is not None:

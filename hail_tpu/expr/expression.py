@@ -117,13 +117,20 @@ class Expression:
         return construct_expr(ApplyUnaryOp('!', IsMissing(self._ir)), self._indices)
 
     # -- execution ---------------------------------------------------------
-    def collect(self):
+    def collect(self, _localize: bool = True):
         src = self._indices.source
         if src is None:
             raise ValueError('collect() requires an expression with a table source')
-        return src._collect_expr(self)
+        out = src._collect_expr(self)
+        if not _localize:
+            from .functions import literal
+            return literal(out, ht.tarray(self.dtype))
+        return out
 
-    def take(self, n: int):
+    def take(self, n: int, _localize: bool = True):
+        if not _localize:
+            from .functions import literal
+            return literal(self.take(n), ht.tarray(self.dtype))
         return self.collect()[:n]
 
     def show(self, n: int = 10):

@@ -498,20 +498,30 @@ def _gp_bounds(jrange_bounds, vt: ht.HailType, key) -> Optional[list]:
         return None
     t0 = vt.fields.get(key[0]) if isinstance(vt, ht.tstruct) else None
     rg = getattr(t0, 'reference_genome', None)
-    if rg is None:
+    numeric = t0 in (ht.tint32, ht.tint64, ht.tfloat32, ht.tfloat64)
+    if rg is None and not numeric:
         return None
-    def gp(point):
-        loc = point.get(key[0]) if isinstance(point, dict) else None
-        if not isinstance(loc, dict):
+
+    def gp(point, end=False):
+        v = point.get(key[0]) if isinstance(point, dict) else None
+        if rg is not None:
+            if not isinstance(v, dict):
+                return None
+            c, p = v.get('contig'), v.get('position')
+            if c not in rg._global_offsets:
+                return None
+            return rg._global_offsets[c] + p - 1
+        if v is None:
             return None
-        c, p = loc.get('contig'), loc.get('position')
-        if c not in rg._global_offsets:
-            return None
-        return rg._global_offsets[c] + p - 1
+        return v
+
     out = []
     for b in jrange_bounds:
         lo = gp(b.get('start'))
-        hi = gp(b.get('end'))
+        hi = gp(b.get('end'), end=True)
+        # stored bounds may be half-open on the end; the pruning passes use
+        # closed [lo, hi], so widen exclusive integer ends by keeping hi
+        # as-is (conservative: may keep one extra partition, never drops)
         out.append(None if lo is None or hi is None else (lo, hi))
     return out
 

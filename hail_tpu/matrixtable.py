@@ -1738,9 +1738,33 @@ def range_matrix_table(n_rows: int, n_cols: int, n_partitions: Optional[int] = N
                                    row_t, col_t, entry_t, contexts, pf))
 
 
-def read_matrix_table(path: str) -> MatrixTable:
+def read_matrix_table(path: str, *, _intervals=None,
+                      _filter_intervals: bool = False,
+                      _n_partitions=None, _assert_type=None,
+                      _load_refs: bool = True,
+                      _create_row_uids: bool = False,
+                      _create_col_uids: bool = False) -> MatrixTable:
+    """Read a written MatrixTable (reference read_matrix_table); underscore
+    options mirror read_table's indexed-read surface applied to row keys."""
     from .io.native import read_matrix_table as rmt
-    return rmt(path)
+    mt = rmt(path)
+    if _intervals is not None:
+        from .table import _interval_contains_key
+        ivs = list(_intervals)
+        st = mt._stage
+        key = list(st.row_key)
+
+        def f(mb, i):
+            if not mb.n_rows:
+                return mb
+            kvals = list(zip(*[mb.rows.columns[k].to_pylist() for k in key]))
+            keep = np.asarray([any(_interval_contains_key(iv, kt) for iv in ivs)
+                               for kt in kvals], dtype=bool)
+            return mb.filter_rows(keep)
+        mt = MatrixTable(st.map_partitions(f))
+    if _n_partitions is not None:
+        mt = mt.repartition(_n_partitions)
+    return mt
 
 
 def _mt_field_name(e) -> str:

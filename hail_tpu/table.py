@@ -554,10 +554,17 @@ class Table:
                                             lambda c: self._stage.partition_fn(c).length)
         return int(sum(lengths))
 
-    def collect(self) -> List[Struct]:
-        return self._stage.collect_single().to_pylist()
+    def collect(self, _localize: bool = True, *, _timed: bool = False):
+        out = self._stage.collect_single().to_pylist()
+        if not _localize:
+            from .expr.functions import literal
+            return literal(out, ht.tarray(self._stage.row_type))
+        return out
 
-    def take(self, n: int) -> List[Struct]:
+    def take(self, n: int, _localize: bool = True):
+        if not _localize:
+            from .expr.functions import literal
+            return literal(self.take(n), ht.tarray(self._stage.row_type))
         out: List[Struct] = []
         for ctx in self._stage.contexts:
             b = self._stage.partition_fn(ctx)
@@ -1700,9 +1707,119 @@ def parallelize(rows, schema: Optional[ht.tstruct] = None, key=None,
     return t
 
 
-def read_table(path: str) -> Table:
+def _interval_endpoint(v, key_len):
+    """Normalize an interval endpoint to a comparison tuple (endpoints may be
+    scalars, Structs, or key-prefix tuples — reference partitioner
+    semantics)."""
+    if isinstance(v, Struct):
+        return tuple(v.values())
+    if isinstance(v, tuple):
+        return v
+    return (v,)
+
+
+def _cmp_prefix(ktuple, endpoint):
+    """Lexicographic compare of a key tuple against a (possibly shorter)
+    endpoint prefix: 0 means the key matches the prefix."""
+    from .expr.functions import _cmp_values
+    for kv, ev in zip(ktuple, endpoint):
+        c = _cmp_values(kv, ev)
+        if c:
+            return c
+    return 0
+
+
+def _interval_contains_key(iv, ktuple):
+    s = _interval_endpoint(iv.start, len(ktuple))
+    e = _interval_endpoint(iv.end, len(ktuple))
+    c0 = _cmp_prefix(ktuple, s)
+    if c0 < 0 or (c0 == 0 and not iv.includes_start and len(s) >= len(ktuple)):
+        return False
+    if c0 == 0 and not iv.includes_start and len(s) < len(ktuple):
+        # prefix-equal with exclusive start excludes the whole prefix group
+        return False
+    c1 = _cmp_prefix(ktuple, e)
+    if c1 > 0 or (c1 == 0 and not iv.includes_end):
+        return False
+    return True
+
+
+def _restrict_to_intervals(t: Table, intervals, filter_intervals: bool) -> Table:
+    """Indexed read: restrict a keyed table to the union of key intervals.
+    filter_intervals=True prunes source partitions but keeps their
+    granularity; otherwise the result has ONE partition per interval
+    (reference read_table _intervals/_filter_intervals semantics,
+    StagedIndexReader seeks)."""
+    st = t._stage
+    key = list(st.key)
+
+    def part_mask(batch, ivs):
+        if not batch.length:
+            return np.zeros(0, dtype=bool)
+        kvals = list(zip(*[batch.columns[k].to_pylist() for k in key]))
+        return np.asarray([any(_interval_contains_key(iv, kt) for iv in ivs)
+                           for kt in kvals], dtype=bool)
+
+    def overlaps_bounds(iv, b):
+        # bounds are [min, max] scalars of the first key field (gpos for
+        # loci); conservative: keep the partition when unsure
+        if b is None:
+            return True
+        s = _interval_endpoint(iv.start, len(key))
+        e = _interval_endpoint(iv.end, len(key))
+        try:
+            lo, hi = b
+            sv, ev = s[0], e[0]
+            if hasattr(sv, 'contig'):  # locus endpoints vs gpos bounds
+                sv = sv.reference_genome.global_position(sv.contig, sv.position)
+                ev = ev.reference_genome.global_position(ev.contig, ev.position)
+            if ev < lo or (ev == lo and not iv.includes_end and len(e) >= len(key)):
+                return False
+            if sv > hi:
+                return False
+            return True
+        except (TypeError, AttributeError):
+            return True
+
+    pf = st.partition_fn
+    ctxs = list(st.contexts)
+    bounds = st.partition_bounds or [None] * len(ctxs)
+    if filter_intervals:
+        kept = [i for i, b in enumerate(bounds)
+                if any(overlaps_bounds(iv, b) for iv in intervals)]
+
+        def new_pf(i):
+            b = pf(ctxs[i])
+            return b.compress(part_mask(b, intervals))
+        return Table(TableStage(st.globals, key, st.row_type, kept, new_pf))
+
+    def iv_pf(j):
+        iv = intervals[j]
+        pieces = [pf(ctxs[i]) for i, b in enumerate(bounds)
+                  if overlaps_bounds(iv, b)]
+        out = [b.compress(part_mask(b, [iv])) for b in pieces]
+        out = [b for b in out if b.length]
+        if not out:
+            return Batch.empty(st.row_type)
+        return Batch.concat(out)
+    return Table(TableStage(st.globals, key, st.row_type,
+                            list(range(len(intervals))), iv_pf))
+
+
+def read_table(path: str, *, _intervals=None, _filter_intervals: bool = False,
+               _n_partitions: Optional[int] = None, _assert_type=None,
+               _load_refs: bool = True, _create_row_uids: bool = False) -> Table:
+    """Read a written table (reference methods/impex.py read_table): the
+    underscore options drive indexed reads (_intervals/_filter_intervals),
+    re-partitioning, and read-time row uids (ours are stable by
+    construction, so _create_row_uids only asserts availability)."""
     from .io.native import read_table as rt
-    return rt(path)
+    t = rt(path)
+    if _intervals is not None:
+        t = _restrict_to_intervals(t, list(_intervals), _filter_intervals)
+    if _n_partitions is not None:
+        t = t.repartition(_n_partitions)
+    return t
 
 
 def _agg_all(expr):
