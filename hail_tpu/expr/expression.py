@@ -120,7 +120,12 @@ class Expression:
     def collect(self, _localize: bool = True):
         src = self._indices.source
         if src is None:
-            raise ValueError('collect() requires an expression with a table source')
+            # source-free expressions collect to their single value
+            out = [eval_scalar(self)]
+            if not _localize:
+                from .functions import literal
+                return literal(out, ht.tarray(self.dtype))
+            return out
         out = src._collect_expr(self)
         if not _localize:
             from .functions import literal
@@ -333,9 +338,17 @@ class StringExpression(Expression):
         StringExpression.translate)."""
         from . import functions as F
         me = to_expr(mapping)
-        return F._apply('str_translate', ht.tstr, F._obj_impl(
-            ht.tstr, lambda a, m: ''.join(m.get(ch, ch) for ch in a)),
-            self, me)
+
+        def f(a, m):
+            from ..utils.misc import FatalError
+            for k in m:
+                if k is None or len(k) != 1:
+                    raise FatalError(
+                        f'translate: mapping keys must be one character, '
+                        f'found {k!r}')
+            return ''.join(m.get(ch, ch) for ch in a)
+        return F._apply('str_translate', ht.tstr, F._obj_impl(ht.tstr, f),
+                        self, me)
 
     def lower(self):
         return self._str_method('lower', ht.tstr)
@@ -367,9 +380,47 @@ class StringExpression(Expression):
     def first_match_in(self, regex):
         return self._str_method('first_match_in', ht.tarray(ht.tstr), regex)
 
+    def _split_line(self, delim, missing=('NA',), quote=None, regex=False):
+        """TSV-style field splitting with quote support and missing-token
+        substitution (reference StringExpression._split_line, the
+        import_table line splitter)."""
+        from . import functions as F
+        import re as _re2
+        miss = set(missing)
+        pat = _re2.compile(delim if regex else _re2.escape(delim))
+
+        def f(s):
+            out = []
+            i, n = 0, len(s)
+            while i <= n:
+                if quote and i < n and s[i] == quote:
+                    j = s.index(quote, i + 1)
+                    out.append(s[i + 1:j])
+                    i = j + 1
+                    m = pat.match(s, i)
+                    if m:
+                        i = m.end()
+                    elif i >= n:
+                        break
+                else:
+                    m = pat.search(s, i)
+                    if m:
+                        out.append(s[i:m.start()])
+                        i = m.end()
+                    else:
+                        out.append(s[i:])
+                        break
+            return [None if t in miss else t for t in out]
+        return F._apply('split_line', ht.tarray(ht.tstr),
+                        F._obj_impl(ht.tarray(ht.tstr), f), self)
+
     def join(self, array):
         from . import functions as F
-        return F.delimit(array, self)
+        c = to_expr(array)
+        et = c.dtype.element_type
+        if et != ht.tstr:
+            raise TypeError(f'Expected str collection, {et} found')
+        return F.delimit(c, self)
 
     def __getitem__(self, item):
         if isinstance(item, slice):
@@ -424,8 +475,8 @@ class CollectionExpression(Expression):
                               Indices.unify(self._indices, zero._indices, body._indices))
 
     def exists(self, f):
-        from . import functions as F
-        return self.fold(lambda acc, x: acc | F.coalesce(f(x), False), False)
+        # Kleene OR-reduce: any([False, NA]) is NA, any([True, NA]) is True
+        return self.fold(lambda acc, x: acc | f(x), False)
 
     def any(self, f):
         return self.exists(f)
@@ -456,8 +507,8 @@ class CollectionExpression(Expression):
         raise AttributeError(f'{type(self).__name__} has no attribute {name!r}')
 
     def all(self, f):
-        from . import functions as F
-        return self.fold(lambda acc, x: acc & F.coalesce(f(x), True), True)
+        # Kleene AND-reduce: all([True, NA]) is NA, all([False, NA]) is False
+        return self.fold(lambda acc, x: acc & f(x), True)
 
     def contains(self, item):
         from . import functions as F
@@ -764,6 +815,10 @@ class StructExpression(Expression):
         raise AttributeError(f'StructExpression has no field or method {name!r}; fields: {list(self.dtype.fields)}')
 
     def __getitem__(self, name):
+        if isinstance(name, slice):
+            # positional field slicing (reference StructExpression slices)
+            fields = list(self.dtype.fields)[name]
+            return self.select(*fields)
         if isinstance(name, int):
             name = list(self.dtype.fields)[name]
         return construct_expr(GetField(self._ir, name), self._indices)
@@ -905,7 +960,13 @@ class TupleExpression(Expression):
             out = F.if_else(F.coalesce(self[i] == value, False), i, out)
         return out
 
-    def __getitem__(self, i: int):
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            idxs = range(len(self.dtype.types))[i]
+            elems = [self[j] for j in idxs]
+            ind = Indices.unify(*[e._indices for e in elems]) if elems \
+                else self._indices
+            return construct_expr(MakeTuple([e._ir for e in elems]), ind)
         return construct_expr(GetTupleElement(self._ir, i), self._indices)
 
     def __len__(self):
@@ -1387,6 +1448,8 @@ def _container_has_exprs(value) -> bool:
 
 
 def to_expr(value: Any, dtype: Optional[ht.HailType] = None) -> Expression:
+    if isinstance(dtype, str):
+        dtype = ht.dtype(dtype)
     if isinstance(value, Expression):
         if dtype is not None and value.dtype != dtype:
             return construct_expr(Cast(value._ir, dtype), value._indices)

@@ -192,15 +192,30 @@ cond = if_else
 
 
 def coalesce(*args) -> Expression:
-    exprs = []
-    t = None
-    for a in args:
-        if isinstance(a, Expression):
-            t = t or a.dtype
-    for a in args:
-        exprs.append(to_expr(a, t) if not isinstance(a, Expression) else a)
+    exprs = [to_expr(a) for a in args]
+    t = exprs[0].dtype
+    for e in exprs[1:]:
+        u = ht.unify_types(t, e.dtype)
+        if u is None:
+            raise TypeError(f'coalesce: cannot unify types {t} and {e.dtype}')
+        t = u
+    exprs = [_numeric_cast(e, t) for e in exprs]
     ind = unify_all(*exprs)
     return construct_expr(Coalesce([e._ir for e in exprs]), ind)
+
+
+def _numeric_cast(e, t):
+    if e.dtype == t:
+        return e
+    if t == ht.tfloat64:
+        return float64(e)
+    if t == ht.tfloat32:
+        return float32(e)
+    if t == ht.tint64:
+        return int64(e)
+    if t == ht.tint32:
+        return int32(e)
+    return e
 
 
 def or_else(a, b) -> Expression:
@@ -243,7 +258,23 @@ class CaseBuilder:
         return self.default(missing(t))
 
     def or_error(self, message) -> Expression:
-        return self.or_missing()
+        """Raise HailUserError when no case matches (reference
+        CaseBuilder.or_error)."""
+        from ..utils.misc import HailUserError
+        res = self.or_missing()
+        matched = to_expr(False)
+        for c, _ in self._cases:
+            matched = matched | coalesce(to_expr(c), False)
+        msg = to_expr(message)
+        t = res.dtype
+
+        def impl(v, m, mg):
+            if m is not True:
+                raise HailUserError(
+                    f'Error summary: HailException: the else clause of'
+                    f' .or_error("{mg}") was reached')
+            return v
+        return _apply('or_error', t, _obj_impl_lenient(t, impl), res, matched, msg)
 
 
 def case(missing_false: bool = False) -> CaseBuilder:
@@ -268,13 +299,35 @@ class SwitchBuilder:
         out = to_expr(value)
         for v, then in reversed(self._cases):
             out = if_else(self._base == v, then, out, missing_false=True)
+        # a missing subject matches no case: result is missing unless
+        # when_missing was given (reference SwitchBuilder semantics)
         if hasattr(self, '_missing'):
             out = if_else(self._base.is_missing(), self._missing, out)
+        else:
+            out = if_else(self._base.is_missing(), missing(out.dtype), out)
         return out
 
     def or_missing(self) -> Expression:
         t = to_expr(self._cases[-1][1]).dtype
         return self.default(missing(t))
+
+    def or_error(self, message) -> Expression:
+        from ..utils.misc import HailUserError
+        res = self.or_missing()
+        matched = self._base.is_missing() if hasattr(self, '_missing') \
+            else to_expr(False)
+        for v, _ in self._cases:
+            matched = matched | coalesce(self._base == v, False)
+        msg = to_expr(message)
+        t = res.dtype
+
+        def impl(r, m, mg):
+            if m is not True:
+                raise HailUserError(
+                    f'Error summary: HailException: the else clause of'
+                    f' .or_error("{mg}") was reached')
+            return r
+        return _apply('or_error', t, _obj_impl_lenient(t, impl), res, matched, msg)
 
 
 def switch(expr) -> SwitchBuilder:
@@ -307,12 +360,18 @@ def array(collection) -> ArrayExpression:
     if isinstance(collection, Expression):
         if isinstance(collection.dtype, ht.tarray):
             return collection
+        if isinstance(collection.dtype, ht.tdict):
+            # dicts convert to (key, value) tuple arrays (reference hl.array)
+            return collection.items()
         if isinstance(collection.dtype, ht.tndarray):
             if collection.dtype.ndim != 1:
                 raise ValueError(
                     f"array: only one dimensional ndarrays are supported: {collection.dtype}")
             return collection._to_array()
         return construct_expr(ira.ToArray(collection._ir), collection._indices)
+    if isinstance(collection, (dict, frozendict)):
+        return array([tuple_([to_expr(k), to_expr(v)])
+                      for k, v in collection.items()])
     if isinstance(collection, (list, tuple, np.ndarray)):
         elems = [to_expr(v) if v is not None or True else v for v in collection]
         if any(isinstance(v, Expression) for v in collection):
@@ -334,7 +393,14 @@ def set_(collection) -> Expression:
 
 def dict_(collection) -> Expression:
     if isinstance(collection, (dict, frozendict)):
-        return to_expr(frozendict(collection))
+        if _bi.any(isinstance(k, Expression) or isinstance(v, Expression)
+                   for k, v in collection.items()):
+            # expression keys/values (e.g. a missing key) build through the
+            # pair-array path
+            collection = [tuple_([to_expr(k), to_expr(v)])
+                          for k, v in collection.items()]
+        else:
+            return to_expr(frozendict(collection))
     a = array(collection)
     et = a.dtype.element_type
     if isinstance(et, ht.ttuple):
@@ -371,7 +437,13 @@ def range_(start, stop=None, step=1) -> ArrayExpression:
     if stop is None:
         start, stop = 0, start
     s, e, st = to_expr(start), to_expr(stop), to_expr(step)
-    impl = _obj_impl(ht.tarray(ht.tint32), lambda a, b, c: list(range(a, b, c)))
+
+    def f(a, b, c):
+        if c == 0:
+            from ..utils.misc import HailUserError
+            raise HailUserError('Array range cannot have step size 0')
+        return list(range(a, b, c))
+    impl = _obj_impl(ht.tarray(ht.tint32), f)
     return _apply('range', ht.tarray(ht.tint32), impl, s, e, st)
 
 
@@ -633,20 +705,33 @@ def all_(*args):
 
 
 def sorted_(collection, key=None, reverse=False):
-    e = array(collection)
+    c = to_expr(collection)
+    if isinstance(c.dtype, ht.tdict):
+        # dicts sort as (key, value) tuples by key (reference hl.sorted)
+        c = c.items()
+    e = array(c)
+    import functools
+    kcmp = functools.cmp_to_key(_cmp_values)
     if key is None:
         def f(v):
-            return _bi.sorted(v, key=lambda x: (x is None, x), reverse=reverse)
+            present = [x for x in v if x is not None]
+            return _bi.sorted(present, key=kcmp, reverse=reverse) + \
+                [None] * (_bi.len(v) - _bi.len(present))
         return _apply('sorted', e.dtype, _obj_impl(e.dtype, f), e)
-    # sort by key expression: evaluate keys then sort
-    et = e.dtype.element_type
+    # sort by key expression: evaluate keys then sort (missing keys last)
     keyed = e.map(lambda x: struct(k=key(x), v=x))
     def f(v):
-        return [p['v'] for p in _bi.sorted(v, key=lambda p: (p['k'] is None, p['k']), reverse=reverse)]
+        present = [p for p in v if p['k'] is not None]
+        rest = [p['v'] for p in v if p['k'] is None]
+        return [p['v'] for p in _bi.sorted(present, key=lambda p: kcmp(p['k']),
+                                           reverse=reverse)] + rest
     return _apply('sorted_by', e.dtype, _obj_impl(e.dtype, f), keyed)
 
 
 def reversed_(collection):
+    e = to_expr(collection)
+    if e.dtype == ht.tstr:
+        return _apply('reversed', ht.tstr, _obj_impl(ht.tstr, lambda s: s[::-1]), e)
     e = array(collection)
     return _apply('reversed', e.dtype, _obj_impl(e.dtype, lambda v: list(_bi.reversed(v))), e)
 
@@ -789,6 +874,11 @@ def _string_method(expr, name, result_typ, *args):
         return _apply(name, result_typ, _obj_impl(result_typ, lambda s, p: s.endswith(p)), expr, to_expr(args[0]))
     if name == 'matches':
         regex, full = args
+        if isinstance(regex, Expression):
+            def f2(s, r):
+                pat = _re.compile(r)
+                return (pat.fullmatch(s) if full else pat.search(s)) is not None
+            return _apply(name, result_typ, _obj_impl(result_typ, f2), expr, regex)
         pat = _re.compile(regex)
         f = (lambda s: pat.fullmatch(s) is not None) if full else (lambda s: pat.search(s) is not None)
         return _apply(name, result_typ, _obj_impl(result_typ, f), expr)
@@ -819,38 +909,50 @@ def _string_method(expr, name, result_typ, *args):
 
 
 def format(fmt, *args):
+    """Java-Formatter-style string formatting with hail value rendering
+    (reference hl.format / strFormat: missing prints 'null', booleans
+    lowercase, structs `{k: v}`, arrays `[a,b]`, tuples `(a, b)`, loci
+    contig:pos; %b/%B treat null as false and non-bool values as true)."""
     f = to_expr(fmt)
     es = [to_expr(a) for a in args]
-    def impl(fc, *cols):
-        def render(v):
-            # hail string rendering: booleans lowercase, missing 'null',
-            # loci as contig:pos, containers recurse (reference strFormat)
-            if v is None:
-                return 'null'
-            if v is True:
-                return 'true'
-            if v is False:
-                return 'false'
-            if isinstance(v, Locus):
-                return f'{v.contig}:{v.position}'
-            if isinstance(v, (list,)):
-                return '[' + ','.join(render(x) for x in v) + ']'
-            if isinstance(v, tuple):
-                return '(' + ', '.join(render(x) for x in v) + ')'
-            if isinstance(v, (frozenset, _bi.set)):
-                return '{' + ','.join(render(x) for x in _bi.sorted(v, key=_bi.str)) + '}'
-            return _bi.str(v)
 
+    def render(v):
+        if v is None:
+            return 'null'
+        if v is True:
+            return 'true'
+        if v is False:
+            return 'false'
+        if isinstance(v, Locus):
+            return f'{v.contig}:{v.position}'
+        if isinstance(v, Struct):
+            return '{' + ', '.join(f'{k}: {render(x)}' for k, x in v.items()) + '}'
+        if isinstance(v, list):
+            return '[' + ','.join(render(x) for x in v) + ']'
+        if isinstance(v, tuple):
+            return '(' + ', '.join(render(x) for x in v) + ')'
+        if isinstance(v, (frozendict, dict)):
+            return '{' + ','.join(f'{render(k)}:{render(x)}' for k, x in v.items()) + '}'
+        if isinstance(v, (frozenset, set)):
+            return '{' + ','.join(render(x) for x in _bi.sorted(v, key=_bi.str)) + '}'
+        return _bi.str(v)
+
+    def impl(fc, *cols):
         def g(fv, *vs):
             s = fv
             for v in vs:
-                m = _re.search(r'%[-#0-9.+ ]*[sdfex]', s)
+                m = _re.search(r'%[-#0-9.+ ]*[sdfexXobB]', s)
                 if not m:
                     break
                 spec = m.group(0)
-                if v is None:
+                conv = spec[-1]
+                if conv in 'bB':
+                    rep = 'true' if (v is not None and v is not False) else 'false'
+                    if conv == 'B':
+                        rep = rep.upper()
+                elif v is None:
                     rep = 'null'
-                elif spec.endswith('s'):
+                elif conv == 's':
                     rep = spec % render(v)
                 else:
                     try:
@@ -986,6 +1088,18 @@ def _collection_method(expr, name, result_typ, *args):
         impl = _obj_impl_lenient(
             result_typ,
             _hashed_lookup(lambda v, x: None if v is None else v.get(x)))
+    elif name == 'dict_get_strict':
+        def strict(v, x):
+            if v is None:
+                return None
+            from ..utils.misc import HailUserError
+            sentinel = _bi.object()
+            out = v.get(x, sentinel)
+            if out is sentinel:
+                ks = 'NA' if x is None else repr(x)
+                raise HailUserError(f'Key {ks} not found in dictionary')
+            return out
+        impl = _obj_impl_lenient(result_typ, _hashed_lookup(strict))
     else:
         impl = _obj_impl(result_typ, f)
     return _apply(name, result_typ, impl, expr, *args)
