@@ -227,6 +227,17 @@ def fold(zero, seq_op, comb_op) -> Expression:
     c1 = construct_expr(Ref(a1, z.dtype))
     c2 = construct_expr(Ref(a2, z.dtype))
     comb = to_expr(comb_op(c1, c2))
+
+    def refs_fields(ir):
+        from ..ir.nodes import Ref as _Ref
+        if isinstance(ir, _Ref) and ir.name in ('va', 'sa', 'g', 'global'):
+            return True
+        import builtins
+        return builtins.any(refs_fields(c) for c in getattr(ir, 'children', ()))
+    if refs_fields(comb._ir):
+        from ..utils.misc import HailUserError
+        raise HailUserError(
+            'The comb_op function of fold cannot reference any fields')
     agg_ = A.FoldAgg(z._ir, accum_name, seq._ir, a1, a2, comb._ir, z.dtype)
     node = AggOp(agg_, [], z.dtype)
     return construct_expr(node, unify_all(z, seq))

@@ -523,39 +523,49 @@ def atan2(y, x):
     return _apply('atan2', ht.tfloat64, _prim_impl(ht.tfloat64, np.arctan2), to_expr(y), to_expr(x))
 
 
-def _minmax(name, npf, py_red):
+def _minmax_red(vals, is_min, filter_missing, ignore_nan):
+    """Value-level min/max with the engine's missing/NaN rules: missing
+    filtered (or poisoning when filter_missing=False); NaN propagates unless
+    ignore_nan (hl.nanmin/nanmax)."""
+    import math
+    vals = _bi.list(vals)
+    if not filter_missing and _bi.any(v is None for v in vals):
+        return None
+    vs = [v for v in vals if v is not None]
+    if not vs:
+        return None
+    nans = [v for v in vs if isinstance(v, _bi.float) and math.isnan(v)]
+    if nans:
+        if not ignore_nan:
+            return _bi.float('nan')
+        vs = [v for v in vs if not (isinstance(v, _bi.float) and math.isnan(v))]
+        if not vs:
+            return _bi.float('nan')
+    return (_bi.min if is_min else _bi.max)(vs)
+
+
+def _minmax(name, npf, py_red, ignore_nan=False):
+    is_min = name.endswith('min')
+
     def f(*exprs, filter_missing: bool = True):
-        if len(exprs) == 1:
+        if _bi.len(exprs) == 1 and isinstance(to_expr(exprs[0]).dtype, (ht.tarray, ht.tset)):
             e = to_expr(exprs[0])
-            assert isinstance(e.dtype, (ht.tarray, ht.tset)), e.dtype
             et = e.dtype.element_type
+
             def impl(col):
-                if isinstance(col, DenseArrayColumn):
-                    ok = np.arange(col.width)[None] < col.lengths.reshape(-1, 1)
-                    ok = ok.reshape(col.shape + (col.width,))
-                    if col.elem_missing is not None:
-                        ok = ok & ~col.elem_missing
-                    fill = np.inf if name == 'min' else -np.inf
-                    vals = np.where(ok, col.values.astype(np.float64), fill)
-                    with np.errstate(all='ignore'):
-                        red = npf(vals, axis=-1)
-                    anyok = ok.any(axis=-1)
-                    out = np.where(anyok, red, 0).astype(et.numpy_dtype) if et.numpy_dtype is not None else red
-                    miss = C._merge_missing(col.missing, ~anyok)
-                    return PrimitiveColumn(et, out, miss)
-                return _obj_impl(et, lambda v: py_red([x for x in v if x is not None]) if any(x is not None for x in v) else None)(col)
+                obj = C.to_object(col)
+                out = np.frompyfunc(
+                    lambda v: None if v is None else
+                    _minmax_red(v, is_min, filter_missing, ignore_nan),
+                    1, 1)(obj.values)
+                return C.from_pylist(et, _bi.list(out.ravel())).reshape(obj.shape)
             return _apply(name, et, impl, e)
         es = [to_expr(x) for x in exprs]
         t = ht.unify_types(*[e.dtype for e in es])
-        out = es[0]
-        for e in es[1:]:
-            cmp = (out < e) if name == 'min' else (out > e)
-            both = if_else(cmp, out, e)
-            if filter_missing:
-                out = coalesce(both, out, e)
-            else:
-                out = both
-        return out if out.dtype == t else construct_expr(Cast(out._ir, t), out._indices)
+        es = [_numeric_cast(e, t) for e in es]
+        return _apply(name, t, _obj_impl_lenient(
+            t, lambda *vs: _minmax_red(vs, is_min, filter_missing, ignore_nan)),
+            *es)
     f.__name__ = name
     return f
 
@@ -2289,32 +2299,11 @@ def bit_count(x):
     return _apply('bit_count', ht.tint32, impl, e)
 
 
-def nanmin(*exprs, filter_missing: bool = True):
-    if _bi.len(exprs) == 1:
-        e = to_expr(exprs[0])
-        return _apply('nanmin', e.dtype.element_type,
-                      _obj_impl(e.dtype.element_type,
-                                lambda v: _bi.min((x for x in v if x is not None and not math.isnan(x)),
-                                                  default=None)), e)
-    vals = [to_expr(x) for x in exprs]
-    out = vals[0]
-    for v in vals[1:]:
-        out = if_else(is_nan(out) | (v < out), v, out, missing_false=True)
-    return out
+nanmin = _minmax('nanmin', np.nanmin, _bi.min, ignore_nan=True)
 
 
-def nanmax(*exprs, filter_missing: bool = True):
-    if _bi.len(exprs) == 1:
-        e = to_expr(exprs[0])
-        return _apply('nanmax', e.dtype.element_type,
-                      _obj_impl(e.dtype.element_type,
-                                lambda v: _bi.max((x for x in v if x is not None and not math.isnan(x)),
-                                                  default=None)), e)
-    vals = [to_expr(x) for x in exprs]
-    out = vals[0]
-    for v in vals[1:]:
-        out = if_else(is_nan(out) | (v > out), v, out, missing_false=True)
-    return out
+nanmax = _minmax('nanmax', np.nanmax, _bi.max, ignore_nan=True)
+
 
 
 def corr(x, y):

@@ -355,6 +355,8 @@ class MinMaxAgg(Aggregator):
         (x,) = arg_cols
         ok = _include_and_defined(x, include)
         vals = np.broadcast_to(np.asarray(_numeric_values(x), dtype=np.float64), ok.shape)
+        # NaN records are skipped (reference agg.min/max semantics)
+        ok = ok & ~np.isnan(vals)
         fill = np.inf if self.is_min else -np.inf
         vals = np.where(ok, vals, fill)
         f = np.min if self.is_min else np.max
@@ -1283,7 +1285,9 @@ def scan_partition(node: AggOp, env: EvalEnv, carry) -> Tuple[Column, Any]:
         (x,) = arg_cols
         ok = _include_and_defined(x, include)
         fill = np.inf if agg_.is_min else -np.inf
-        vals = np.where(ok, np.asarray(x.values, dtype=np.float64), fill)
+        xv = np.asarray(x.values, dtype=np.float64)
+        ok = ok & ~np.isnan(xv)
+        vals = np.where(ok, xv, fill)
         acc = np.minimum.accumulate(vals) if agg_.is_min else np.maximum.accumulate(vals)
         acc = excl(acc, fill)
         seen = excl(np.cumsum(ok.astype(np.int64))) > 0
@@ -1311,22 +1315,41 @@ def scan_partition(node: AggOp, env: EvalEnv, carry) -> Tuple[Column, Any]:
             if ok[i]:
                 prefix.append(pyl[i])
         return ObjectColumn(node.typ, out), prefix
-    # generic fallback: sequential seq/comb per row (correct, slow)
+    # generic fallback: sequential seq/comb per row (correct, slow).
+    # Env-combinators (group_by/explode/array_agg/fold) take row-sliced envs
+    # instead of arg columns.
+    env_aware = hasattr(agg_, 'seq_env')
+
+    def env_rows(idxs):
+        b = {k: c.broadcast_to(env.shape).gather(np.asarray(idxs, dtype=np.int64))
+             for k, c in env.bindings.items()}
+        return EvalEnv(b, (len(idxs),))
+
     states = []
     carry_state = carry
-    ones = (1,)
     for i in range(n):
         states.append(carry_state)
-        row_cols = [c.gather(np.asarray([i])) for c in arg_cols]
         inc = include[i:i + 1] if include is not None else None
-        s = agg_.seq(row_cols, inc, (0,), node.init_args)
+        if env_aware:
+            s = agg_.seq_env(node, env_rows([i]), (0,), inc)
+        else:
+            row_cols = [c.gather(np.asarray([i])) for c in arg_cols]
+            s = agg_.seq(row_cols, inc, (0,), node.init_args)
         carry_state = s if carry_state is None else agg_.comb(carry_state, s, node.init_args)
     results = []
-    for st_ in states:
+    for i, st_ in enumerate(states):
         if st_ is None:
-            empty_cols = [c.gather(np.asarray([], dtype=np.int64)) for c in arg_cols]
-            st_ = agg_.seq(empty_cols, None, (0,), node.init_args)
-        col = agg_.result(st_, node.init_args)
+            if env_aware:
+                st_ = agg_.seq_env(node, env_rows([]), (0,), None)
+            else:
+                empty_cols = [c.gather(np.asarray([], dtype=np.int64)) for c in arg_cols]
+                st_ = agg_.seq(empty_cols, None, (0,), node.init_args)
+        if env_aware:
+            # finalize with THIS row's env: the combinator's inner IR may
+            # reference row fields outside the aggregated part
+            col = agg_.result_env(st_, env_rows([i]))
+        else:
+            col = agg_.result(st_, node.init_args)
         results.append(col.to_pylist()[0])
     return C.from_pylist(node.typ, results), carry_state
 
@@ -1433,16 +1456,18 @@ class GroupedAgg(EnvCombinator):
         if key_col.shape != env.shape:
             key_col = key_col.broadcast_to(env.shape)
         keys = C.obj_array(_flatten_vals(key_col)).reshape(env.shape)
-        base_ok = ~key_col.missing_mask()
+        # a missing key is its own group (reference GroupedAggregator)
+        base_ok = np.ones(env.shape, dtype=bool)
         if include is not None:
             base_ok = base_ok & np.broadcast_to(include, env.shape)
         out = {}
         flat_keys = keys.ravel()
         flat_ok = base_ok.ravel()
+        from ..utils.structs import freeze
         uniq = {}
         for i, k in enumerate(flat_keys):
             if flat_ok[i]:
-                uniq.setdefault(k, []).append(i)
+                uniq.setdefault(freeze(k), []).append(i)
         for k, idxs in uniq.items():
             mask = np.zeros(env.shape, dtype=bool)
             mask.ravel()[idxs] = True
@@ -1534,9 +1559,17 @@ class ArrayAggAgg(EnvCombinator):
             arr_col = arr_col.broadcast_to(env.shape)
         et = self.arr_ir.typ.element_type
         obj = C.to_object(arr_col)
+        inc0 = None if include is None else np.broadcast_to(include, env.shape).ravel()
+        n_records = sum(1 for i, _ in enumerate(obj.values.ravel())
+                        if inc0 is None or inc0[i])
+        if n_records == 0:
+            # no aggregated records at all: the result is missing
+            # (reference AggArrayPerElement over an empty stream)
+            return None
         lengths = [len(v) for v in obj.values.ravel() if v is not None]
         if lengths and len(set(lengths)) > 1:
-            raise ValueError('array_agg: arrays must have identical lengths')
+            from ..utils.misc import FatalError
+            raise FatalError('array_agg: arrays must have identical lengths')
         width = lengths[0] if lengths else 0
         states = []
         for j in range(width):
@@ -1551,11 +1584,17 @@ class ArrayAggAgg(EnvCombinator):
         return states
 
     def _comb_full(self, a, b, init_args):
+        if a is None:
+            return b
+        if b is None:
+            return a
         if len(a) < len(b):
             a, b = b, a
         return [combine_states(self.inner_nodes, x, y) for x, y in zip(a, b)] + list(a[len(b):])
 
     def _result_one(self, state, post_env):
+        if state is None:
+            return C.from_pylist(ht.tarray(self.value_t), [None])
         vals = []
         for st_ in state:
             col = finalize_aggregate(self.inner_ir, self.inner_nodes, st_,

@@ -1233,6 +1233,16 @@ class Table:
 
     def _collect_expr(self, expr: Expression) -> list:
         e = to_expr(expr)
+        from .expr.scans import ScanOp
+
+        def has_scan(ir):
+            return isinstance(ir, ScanOp) or any(
+                has_scan(c) for c in getattr(ir, 'children', ()))
+        if has_scan(e._ir):
+            # scans need the two-phase prefix machinery: materialize through
+            # annotate, then collect the plain field
+            tmp = self.annotate(__scan_collect_tmp=e)
+            return [r['__scan_collect_tmp'] for r in tmp.collect()]
         out = []
         for i, ctx in enumerate(self._stage.contexts):
             b = self._stage.partition_fn(ctx)
