@@ -338,6 +338,11 @@ class GGPlot:
             new.facet = other
         elif isinstance(other, CoordCartesian):
             new.coord = other
+        elif isinstance(other, Aesthetic):
+            # adding an aes() merges into the plot-level mapping
+            merged = Aesthetic(self.mapping)
+            merged.update(other)
+            new.mapping = merged
         else:
             raise TypeError(f'cannot add {type(other).__name__} to a GGPlot')
         return new
@@ -633,9 +638,10 @@ class GGPlot:
         self.to_plot().savefig(path)
 
     def to_plotly(self):
-        raise NotImplementedError(
-            'plotly rendering is not available in this build; use to_plot() '
-            '(matplotlib Figure) or write_image(path)')
+        """Lower to a plotly-shaped Figure (reference ggplot to_plotly);
+        see hail_tpu/ggplot/plotlike.py."""
+        from .plotlike import to_plotly as _to_plotly
+        return _to_plotly(self)
 
 
 def ggplot(table=None, mapping=None) -> GGPlot:

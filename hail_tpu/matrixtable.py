@@ -830,6 +830,11 @@ class MatrixTable:
         key = st.row_key + [rename_col[k] for k in st.col_key]
         return Table(TableStage(st.globals, key, new_t, st.contexts, f))
 
+    def _localize_entries(self, entries_array_field_name=None,
+                          columns_array_field_name=None):
+        return self.localize_entries(entries_array_field_name,
+                                     columns_array_field_name)
+
     def localize_entries(self, entries_array_field_name=None,
                          columns_array_field_name=None) -> Table:
         st = self._stage

@@ -53,8 +53,25 @@ def cumulative_histogram(data, legend=None, title=None, normalize=True, log=Fals
     return fig
 
 
+def _check_downsample_args(name, collect_all, n_divisions):
+    """Validate the deprecated collect_all / n_divisions pair (reference
+    plot/plots.py downsampling argument handling)."""
+    if n_divisions is not None and n_divisions <= 0:
+        raise ValueError(
+            f'{name}: n_divisions must be a positive integer or None')
+    if collect_all is not None:
+        if n_divisions is not None:
+            raise ValueError(
+                f'{name}: pass collect_all or n_divisions, not both')
+        import warnings
+        warnings.warn(f'{name}: collect_all is deprecated, '
+                      f'use n_divisions=None instead')
+
+
 def scatter(x, y, label=None, title=None, xlabel=None, ylabel=None, size=4,
-            legend=True, hover_fields=None, colors=None, width=800, height=800):
+            legend=True, hover_fields=None, colors=None, width=800, height=800,
+            collect_all=None, n_divisions=500, missing_label='NA'):
+    _check_downsample_args('scatter', collect_all, n_divisions)
     import matplotlib
     matplotlib.use('Agg')
     import matplotlib.pyplot as plt
@@ -86,6 +103,7 @@ def histogram2d(x, y, bins=40, range=None, title=None, width=600, height=600,
 def qq(pvals, label=None, title='Q-Q plot', xlabel='Expected -log10(p)',
        ylabel='Observed -log10(p)', size=6, legend=True, hover_fields=None,
        collect_all=None, n_divisions=500, missing_label='NA'):
+    _check_downsample_args('qq', collect_all, n_divisions)
     import matplotlib
     matplotlib.use('Agg')
     import matplotlib.pyplot as plt
@@ -106,6 +124,7 @@ def qq(pvals, label=None, title='Q-Q plot', xlabel='Expected -log10(p)',
 
 def manhattan(pvals, locus=None, title=None, size=4, hover_fields=None,
               collect_all=None, n_divisions=500, significance_line=5e-8):
+    _check_downsample_args('manhattan', collect_all, n_divisions)
     import matplotlib
     matplotlib.use('Agg')
     import matplotlib.pyplot as plt
@@ -202,9 +221,11 @@ def smoothed_pdf(data, k=350, smoothing=0.5, legend=None, title=None,
 
 
 def joint_plot(x, y, label=None, title=None, xlabel=None, ylabel=None,
-               size=4, hover_fields=None, colors=None, width=600, height=600):
+               size=4, hover_fields=None, colors=None, width=600, height=600,
+               collect_all=None, n_divisions=500, missing_label='NA'):
     """Scatter plot with marginal histograms (reference plot/plots.py
     joint_plot)."""
+    _check_downsample_args('join_plot', collect_all, n_divisions)
     import matplotlib.pyplot as plt
     xv = np.asarray(_collect_numeric(x), dtype=np.float64)
     yv = np.asarray(_collect_numeric(y), dtype=np.float64)
@@ -241,17 +262,29 @@ def set_font_size(p, font_size: str = '12pt'):
     return p
 
 
-def visualize_missingness(mt, row_field=None, column_field=None,
+def visualize_missingness(entry_field, row_field=None, column_field=None,
                           window=6000000, plot_width=1800, plot_height=900):
-    """Heatmap of entry missingness across the dataset (reference
-    plot/plots.py visualize_missingness)."""
+    """Heatmap of entry missingness across the dataset; takes an ENTRY
+    expression (reference plot/plots.py visualize_missingness)."""
     import matplotlib.pyplot as plt
+    if isinstance(entry_field, Expression):
+        mt = entry_field._indices.source
+        e = entry_field
+    else:
+        mt = entry_field
+        e = None
     st = mt._stage
-    entry_name = next(iter(st.entry_type.fields))
+    entry_name = None if e is not None else next(iter(st.entry_type.fields))
     blocks = []
     for i, ctx in enumerate(st.contexts):
         mb = st.partition_fn(ctx)
-        c = mb.entries[entry_name]
+        if e is not None:
+            env = mt._entry_env(mb, i)
+            c = e._ir.evaluate(env)
+            if c.shape != env.shape:
+                c = c.broadcast_to(env.shape)
+        else:
+            c = mb.entries[entry_name]
         blocks.append(c.missing_mask().astype(np.float64))
     M = np.concatenate(blocks, axis=0) if blocks else np.zeros((0, 0))
     # downsample rows into windows for display

@@ -502,6 +502,19 @@ class Table:
             uid_bases=([st.uid_bases[i] for i in keep_idx]
                        if st.uid_bases is not None else None)))
 
+    @property
+    def _fields(self):
+        """All field expressions by name (reference Table._fields)."""
+        out = {k: self[k] for k in self._stage.row_type.fields}
+        for k in self._stage.globals.row_type.fields:
+            out.setdefault(k, self.globals[k] if hasattr(self, 'globals') else None)
+        return out
+
+    @property
+    def _row_indices(self):
+        from .expr.expression import Indices
+        return Indices(self, frozenset({'row'}))
+
     def key_by(self, *keys, **named_exprs) -> 'Table':
         t = self
         if named_exprs:
@@ -511,17 +524,44 @@ class Table:
         for n in names:
             if n not in t._stage.row_type.fields:
                 raise ValueError(f'key_by: unknown field {n!r}')
+        if names and names != t._stage.key[:len(names)]:
+            # keyed tables are key-sorted (reference Table key invariant);
+            # re-keying by a non-prefix triggers a sort
+            t = t.order_by(*names)
         st = TableStage(t._stage.globals, names, t._stage.row_type, t._stage.contexts,
-                        t._stage.partition_fn, None)
+                        t._stage.partition_fn,
+                        t._stage.partition_bounds if names == t._stage.key[:len(names)] else None)
         return Table(st)
 
     def rename(self, mapping: Dict[str, str]) -> 'Table':
+        fields = set(self._stage.row_type.fields) | \
+            set(self._stage.globals.row_type.fields)
+        for src_f in mapping:
+            if src_f not in fields:
+                raise LookupError(f'rename: no field {src_f!r}')
+        targets = {}
+        for src_f, dst in mapping.items():
+            if dst in targets:
+                raise ValueError(
+                    f'rename: cannot rename two fields to {dst!r}')
+            if dst in fields and dst not in mapping:
+                raise ValueError(
+                    f'rename: field {dst!r} already exists')
+            targets[dst] = src_f
+        # globals rename
+        g = self._stage.globals
+        gmap = {k: mapping.get(k, k) for k in g.row_type.fields}
+        if any(k != v for k, v in gmap.items()):
+            gb = Batch({gmap[k]: c for k, c in g.columns.items()}, g.length)
+        else:
+            gb = g
         new_t = ht.tstruct.from_fields(
             [(mapping.get(k, k), v) for k, v in self._stage.row_type.items()])
         def f(batch, i):
             return Batch({mapping.get(k, k): c for k, c in batch.columns.items()}, batch.length)
         st = self._stage.map_partitions(f, new_t)
         st.key = [mapping.get(k, k) for k in self._stage.key]
+        st.globals = gb
         return Table(st)
 
     def annotate_globals(self, **named_exprs) -> 'Table':
@@ -870,17 +910,49 @@ class Table:
         write_table(self, path, overwrite)
 
     # -- set ops -----------------------------------------------------------
-    def union(self, *others) -> 'Table':
+    def union(self, *others, unify: bool = False) -> 'Table':
         tables = [self] + list(others)
         row_t = self._stage.row_type
-        for t in others:
-            if str(t._stage.row_type) != str(row_t):
-                raise ValueError('union: row types differ')
+        if unify:
+            # union of fields, numeric types unified, absent fields missing
+            # (reference Table.union unify=True)
+            fields: Dict[str, ht.HailType] = {}
+            for t in tables:
+                for k, v in t._stage.row_type.items():
+                    if k in fields:
+                        u = ht.unify_types(fields[k], v)
+                        if u is None:
+                            raise ValueError(
+                                f'union: cannot unify field {k!r}: '
+                                f'{fields[k]} vs {v}')
+                        fields[k] = u
+                    else:
+                        fields[k] = v
+            row_t = ht.tstruct.from_fields(list(fields.items()))
+            norm = []
+            for t in tables:
+                missing_fields = {k: v for k, v in fields.items()
+                                  if k not in t._stage.row_type.fields}
+                from .expr import functions as F
+                t2 = t
+                if missing_fields:
+                    t2 = t2.annotate(**{k: F.missing(v)
+                                        for k, v in missing_fields.items()})
+                t2 = t2.select(*fields.keys())
+                norm.append(t2)
+            tables = norm
+        else:
+            for t in others:
+                if str(t._stage.row_type) != str(row_t):
+                    raise ValueError('union: row types differ')
         all_batches = []
         for t in tables:
             all_batches.extend(t._stage.collect_batches())
-        return Table(TableStage.from_batches(self._stage.globals, self._stage.key,
-                                             row_t, all_batches))
+        out = Table(TableStage.from_batches(self._stage.globals, [],
+                                            row_t, all_batches))
+        if self._stage.key:
+            out = out.key_by(*self._stage.key)
+        return out
 
     def distinct(self) -> 'Table':
         batch = self._stage.collect_single()
@@ -907,8 +979,17 @@ class Table:
             self._stage.row_type._insert_field(name, ht.tint64), out,
             self._stage.partition_bounds))
 
-    def explode(self, field) -> 'Table':
-        name = field if isinstance(field, str) else _expr_field_name(field)
+    def explode(self, field, name: Optional[str] = None) -> 'Table':
+        if not isinstance(field, str):
+            from .ir.nodes import GetField, Ref
+            ir = field._ir
+            if not (isinstance(ir, GetField) and isinstance(ir.struct, Ref)):
+                raise ValueError(
+                    'explode: expression must be a top-level row field')
+        fname = field if isinstance(field, str) else _expr_field_name(field)
+        if fname in self._stage.key:
+            raise ValueError(f'explode: cannot explode key field {fname!r}')
+        name = fname  # renamed output handled below
         et = self._stage.row_type[name]
         if not isinstance(et, (ht.tarray, ht.tset)):
             raise ValueError(f'explode: field {name!r} is not an array/set')
@@ -998,23 +1079,36 @@ class Table:
         joined = joined.gather(_sort_indices(joined, specs))
         return Table(TableStage.from_batches(Batch(g_cols, 1), lkey, new_t, [joined]))
 
-    def anti_join(self, right: 'Table') -> 'Table':
+    def _semi_anti(self, right: 'Table', keep_present: bool, what: str) -> 'Table':
+        # the right key must be a non-empty prefix-compatible subset of the
+        # left key (reference semi_join/anti_join key checks)
+        lk, rk = self._stage.key, right._stage.key
+        if not rk or len(rk) > len(lk):
+            raise ValueError(
+                f'{what}: cannot join: the right table key must be a '
+                f'non-empty prefix of the left table key '
+                f'(left key {lk}, right key {rk})')
+        for lf, rf in zip(lk, rk):
+            if str(self._stage.row_type[lf]) != str(right._stage.row_type[rf]):
+                raise ValueError(
+                    f'{what}: cannot join: key type mismatch at {lf!r}')
         rb = right._stage.collect_single()
-        rkeys = set(_key_tuples(rb, right._stage.key))
+        rkeys = {_hashable_key(k) for k in _key_tuples(rb, rk)}
+        nk = len(rk)
+
         def f(batch, i):
-            keys = _key_tuples(batch, self._stage.key)
-            keep = np.asarray([k not in rkeys for k in keys], dtype=bool)
+            keys = _key_tuples(batch, lk)
+            keep = np.asarray(
+                [(_hashable_key(k[:nk]) in rkeys) == keep_present
+                 for k in keys], dtype=bool)
             return batch.compress(keep)
         return Table(self._stage.map_partitions(f, self._stage.row_type))
 
+    def anti_join(self, right: 'Table') -> 'Table':
+        return self._semi_anti(right, False, 'anti_join')
+
     def semi_join(self, right: 'Table') -> 'Table':
-        rb = right._stage.collect_single()
-        rkeys = set(_key_tuples(rb, right._stage.key))
-        def f(batch, i):
-            keys = _key_tuples(batch, self._stage.key)
-            keep = np.asarray([k in rkeys for k in keys], dtype=bool)
-            return batch.compress(keep)
-        return Table(self._stage.map_partitions(f, self._stage.row_type))
+        return self._semi_anti(right, True, 'semi_join')
 
     def collect_by_key(self, name: str = 'values') -> 'Table':
         """Group rows by key, collecting the non-key fields into an array
@@ -1903,9 +1997,24 @@ def _values_same(a, b, tolerance=1e-6, absolute=False):
 
 
 def _table_same(self, other, tolerance=1e-6, absolute=False, reorder_fields=False):
-    """Keyed-row equality within tolerance (reference Table._same)."""
+    """Keyed-row equality within tolerance (reference Table._same): types,
+    key, globals and rows must all agree."""
     if set(self.row) != set(other.row):
         print(f'row fields differ: {set(self.row)} vs {set(other.row)}')
+        return False
+    if not reorder_fields and str(self._stage.row_type) != str(other._stage.row_type):
+        print(f'row types differ: {self._stage.row_type} vs {other._stage.row_type}')
+        return False
+    if list(self._stage.key) != list(other._stage.key):
+        print(f'keys differ: {self._stage.key} vs {other._stage.key}')
+        return False
+    if str(self._stage.globals.row_type) != str(other._stage.globals.row_type):
+        print('global types differ')
+        return False
+    lg = self._stage.globals.to_pylist()[0]
+    rg_ = other._stage.globals.to_pylist()[0]
+    if not _values_same(lg, rg_, tolerance, absolute):
+        print(f'globals differ: {lg} vs {rg_}')
         return False
     lkey = self._stage.key
     lrows = self.collect()
