@@ -516,6 +516,14 @@ class CollectionExpression(Expression):
 
 
 class ArrayExpression(CollectionExpression):
+    # streams are arrays in this engine: conversion hooks are identities
+    # (reference to_stream/to_array round-trips)
+    def to_array(self):
+        return self
+
+    def _to_stream(self):
+        return self
+
     # arrays order lexicographically (hail total order; reference
     # test_operators x45-x52)
     def __lt__(self, other):
@@ -1407,12 +1415,16 @@ def impute_type(value: Any) -> ht.HailType:
     if isinstance(value, Interval):
         return ht.tinterval(impute_type(value.start))
     if isinstance(value, Struct):
-        return ht.tstruct(**{k: impute_type(v) for k, v in value.items()})
+        return ht.tstruct(**{k: (ht.tvoid if v is None else impute_type(v))
+                             for k, v in value.items()})
     if isinstance(value, list):
         ets = [impute_type(v) for v in value if v is not None]
         et = ht.unify_types(*ets) if ets else ht.tint32
         if et is None:
-            raise TypeError(f'cannot impute array element type from {value!r}')
+            from .typefuncs import ExpressionException
+            raise ExpressionException(
+                f'cannot impute array elements of heterogeneous types: '
+                f'{sorted({str(t) for t in ets})}')
         return ht.tarray(et)
     if isinstance(value, tuple):
         return ht.ttuple(*[impute_type(v) for v in value])
@@ -1425,6 +1437,11 @@ def impute_type(value: Any) -> ht.HailType:
         vts = [impute_type(v) for v in value.values() if v is not None]
         kt = ht.unify_types(*kts) if kts else ht.tstr
         vt = ht.unify_types(*vts) if vts else ht.tint32
+        if vt is None and kt == ht.tstr and not isinstance(value, frozendict):
+            # str-keyed dicts with heterogeneous values impute as structs
+            # (reference _impute_type Mapping fallback)
+            return ht.tstruct(**{k: (ht.tvoid if v is None else impute_type(v))
+                                 for k, v in value.items()})
         return ht.tdict(kt, vt)
     if isinstance(value, np.ndarray):
         et = {np.dtype(np.int32): ht.tint32, np.dtype(np.int64): ht.tint64,

@@ -2878,3 +2878,9 @@ def _error_from_cdf_python(cdf, failure_prob, all_quantiles=False):
     `hail/expr/functions.py:241`)."""
     return _cdf_error_bound(cdf['_compaction_counts'], cdf['ranks'][-1],
                             failure_prob, all_quantiles)
+
+
+def _stream_range(start, stop=None, step=1):
+    """Stream form of hl.range (streams are arrays here; reference
+    hl._stream_range)."""
+    return range_(start, stop, step)

@@ -6,10 +6,10 @@ AlleleType logic in `is/hail/variant/AltAlleleMethods` — fresh implementation.
 
 from __future__ import annotations
 
-from enum import Enum
+from enum import IntEnum
 
 
-class AlleleType(Enum):
+class AlleleType(IntEnum):
     UNKNOWN = 0
     SNP = 1
     MNP = 2

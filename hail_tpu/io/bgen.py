@@ -67,11 +67,22 @@ def import_bgen(path, entry_fields: Sequence[str] = ('GT', 'GP'),
         if ef not in ('GT', 'GP', 'dosage'):
             raise ValueError(f'unknown entry field {ef!r}')
 
-    # pre-filter keyset for indexed seek-reads ("contig:pos" strings)
+    # pre-filter keyset for indexed seek-reads ("contig:pos" strings).
+    # `variants` may be a locus-keyed Table, a list of Locus/Structs, or
+    # expressions (reference import_bgen variants arg forms)
     want_keys = None
     if variants is not None:
+        from ..table import Table as _Table
+        from ..expr.expression import Expression as _Expr, eval_scalar
+        if isinstance(variants, _Table):
+            variants = [r['locus'] if 'locus' in r else r
+                        for r in variants.collect()]
+        elif isinstance(variants, _Expr):
+            variants = eval_scalar(variants)
         want_keys = set()
         for v in variants:
+            if isinstance(v, _Expr):
+                v = eval_scalar(v)
             if isinstance(v, Struct):
                 want_keys.add(str(v.locus))
             else:

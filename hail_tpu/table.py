@@ -846,8 +846,10 @@ class Table:
             batches))
 
     @staticmethod
-    def parallelize(rows, schema=None, key=None, n_partitions=None, globals=None):
-        return parallelize(rows, schema, key, n_partitions, globals)
+    def parallelize(rows, schema=None, key=None, n_partitions=None,
+                    globals=None, partial_type=None):
+        return parallelize(rows, schema, key, n_partitions, globals,
+                           partial_type=partial_type)
 
     # -- group by ----------------------------------------------------------
     def group_by(self, *key, **named_exprs) -> 'GroupedTable':
@@ -861,16 +863,36 @@ class Table:
 
     # -- ordering / distribution ------------------------------------------
     def order_by(self, *fields) -> 'Table':
+        t = self
         specs = []
-        for f_ in fields:
+        tmp_fields = []
+
+        def spec_of(f_, ascending=True):
+            nonlocal t
             if isinstance(f_, str):
-                specs.append((f_, True))
-            elif isinstance(f_, tuple):
-                specs.append(f_)
-            elif isinstance(f_, _DescOrder):
-                specs.append((f_.name, False))
-            else:
-                specs.append((_expr_field_name(f_), True))
+                return (f_, ascending)
+            if isinstance(f_, tuple):
+                return f_
+            if isinstance(f_, _DescOrder):
+                return spec_of(f_.name, False)
+            # field-reference expressions sort in place; any other
+            # expression sorts via a temporary annotated column
+            from .ir.nodes import GetField, Ref
+            ir = f_._ir
+            if isinstance(ir, GetField) and isinstance(ir.struct, Ref) \
+                    and ir.name in t._stage.row_type.fields:
+                return (ir.name, ascending)
+            from .expr.expression import _fresh_name
+            tmp = _fresh_name('order_by')
+            t = t.annotate(**{tmp: f_})
+            tmp_fields.append(tmp)
+            return (tmp, ascending)
+
+        for f_ in fields:
+            specs.append(spec_of(f_))
+        if tmp_fields:
+            out = t.order_by(*[(n, a) for (n, a) in specs])
+            return out.drop(*tmp_fields)
         if self._stage.n_partitions > 1:
             return Table(_sample_sort(self._stage, specs))
         batch = self._stage.collect_single()
@@ -1223,47 +1245,56 @@ class Table:
     @staticmethod
     def from_pandas(df, key=[]) -> 'Table':
         """Build a Table from a pandas DataFrame (reference table.py
-        from_pandas)."""
+        from_pandas): numeric NaN stays NaN for float columns and becomes
+        missing otherwise; pandas dtypes give partial type hints (nullable
+        Int32 -> tint32 etc.; plain int64 columns fall back to python-int
+        imputation)."""
         import pandas as pd
         import numpy as _np
         key = [key] if isinstance(key, str) else list(key)
 
-        def infer(col):
-            d = col.dtype
-            try:
-                if _np.issubdtype(d, _np.int32):
-                    return ht.tint32
-                if _np.issubdtype(d, _np.integer):
-                    return ht.tint64
-                if _np.issubdtype(d, _np.floating):
-                    return ht.tfloat64
-                if _np.issubdtype(d, _np.bool_):
-                    return ht.tbool
-            except TypeError:
-                pass  # pandas extension dtype (StringDtype etc.)
-            for v in col:
-                if v is None or (isinstance(v, float) and _np.isnan(v)):
-                    continue
-                from .expr.expression import impute_type
-                return impute_type(v)
-            return ht.tstr
-        t_row = ht.tstruct(**{c: infer(df[c]) for c in df.columns})
+        def hint(dtype):
+            if isinstance(dtype, pd.StringDtype):
+                return ht.tstr
+            if isinstance(dtype, pd.Int64Dtype):
+                return ht.tint64
+            if isinstance(dtype, pd.Int32Dtype):
+                return ht.tint32
+            if dtype == _np.float64:
+                return ht.tfloat64
+            if dtype == _np.float32:
+                return ht.tfloat32
+            if dtype == _np.bool_:
+                return ht.tbool
+            return None
+
+        fields = list(df.columns)
+        hints = {f: hint(df[f].dtype) for f in fields}
         rows = []
-        for _, r in df.iterrows():
-            d = {}
-            for c in df.columns:
-                v = r[c]
-                if isinstance(v, float) and _np.isnan(v):
-                    v = None
+        for _, prow in df.iterrows():
+            r = {}
+            for f in fields:
+                v = prow[f]
+                if pd.api.types.is_numeric_dtype(df[f].dtype) and \
+                        _np.isscalar(v) and pd.isna(v):
+                    # float NaN is a VALUE; other numeric NA is missing
+                    r[f] = float(v) if isinstance(v, (float, _np.floating)) \
+                        else None
+                elif v is None or v is pd.NA:
+                    r[f] = None
                 elif isinstance(v, _np.generic):
-                    v = v.item()
-            # re-extract to keep order stable
-            d = {c: (None if (isinstance(r[c], float) and _np.isnan(r[c]))
-                     else r[c].item() if isinstance(r[c], _np.generic) else r[c])
-                 for c in df.columns}
-            rows.append(Struct(**d))
-        t = Table(TableStage.from_batches(Batch({}, 1), [], t_row,
-                                          [Batch.from_pylist(t_row, rows)]))
+                    r[f] = v.item()
+                else:
+                    r[f] = v
+            rows.append(r)
+        from .expr.typefuncs import ExpressionException
+        try:
+            t = parallelize(rows, partial_type={k: v for k, v in hints.items()
+                                                if v is not None})
+        except ValueError as e:
+            raise ExpressionException(
+                f'from_pandas: cannot impute array elements of a '
+                f'heterogeneous object column: {e}') from None
         return t.key_by(*key) if key else t
 
     @staticmethod
@@ -1311,19 +1342,105 @@ class Table:
             self.select(f).write(os.path.join(output, f), overwrite=overwrite)
 
     # -- conversions -------------------------------------------------------
-    def to_pandas(self, flatten: bool = True):
+    def to_pandas(self, flatten: bool = True, types=None):
+        """DataFrame with hail-typed nullable dtypes; `types` overrides by
+        column name or by HailType (reference Table.to_pandas)."""
         import pandas as pd
+        types = types or {}
+        defaults = {str(ht.tstr): 'string', str(ht.tint32): 'Int32',
+                    str(ht.tint64): 'Int64', str(ht.tfloat32): 'Float32',
+                    str(ht.tfloat64): 'Float64', str(ht.tbool): 'boolean'}
+        overrides_by_type = {str(k): v for k, v in types.items()
+                             if isinstance(k, ht.HailType)}
+        overrides_by_name = {k: v for k, v in types.items()
+                             if isinstance(k, str)}
         batch = self._stage.collect_single()
         data = {}
+
         def add(prefix, col):
             if isinstance(col, StructColumn) and flatten:
                 for k, c in col.fields.items():
                     add(f'{prefix}.{k}', c)
                 return
-            data[prefix] = col.to_pylist()
+            t = col.typ
+            if prefix in overrides_by_name:
+                dt = overrides_by_name[prefix]
+            elif str(t) in overrides_by_type:
+                dt = overrides_by_type[str(t)]
+            else:
+                dt = defaults.get(str(t), object)
+            data[prefix] = pd.Series(col.to_pylist(), dtype=dt)
         for k, col in batch.columns.items():
             add(k, col)
         return pd.DataFrame(data)
+
+    def _filter_partitions(self, parts, keep: bool = True) -> 'Table':
+        """Keep (or drop) partitions by index (reference
+        Table._filter_partitions)."""
+        parts = set(parts)
+        st = self._stage
+        sel = [i for i in range(len(st.contexts))
+               if (i in parts) == keep]
+        ctxs = [st.contexts[i] for i in sel]
+        bounds = [st.partition_bounds[i] for i in sel] \
+            if st.partition_bounds else None
+        return Table(TableStage(st.globals, st.key, st.row_type, ctxs,
+                                st.partition_fn, bounds))
+
+    def _map_partitions(self, f) -> 'Table':
+        """Apply `f` to each partition's row stream (reference
+        Table._map_partitions; streams are arrays of row structs here)."""
+        from .expr.expression import Expression, Indices, construct_expr, _fresh_name
+        from .ir.nodes import Ref
+        st = self._stage
+        var = _fresh_name('partition_rows')
+        rows_expr = construct_expr(Ref(var, ht.tarray(st.row_type)),
+                                   Indices(self, frozenset()))
+        out = f(rows_expr)
+        if not isinstance(out, Expression) or \
+                not isinstance(out.dtype, ht.tarray) or \
+                not isinstance(out.dtype.element_type, ht.tstruct):
+            raise TypeError(
+                '_map_partitions: expected return type expression of type '
+                'stream<struct>')
+        new_t = out.dtype.element_type
+        for k in st.key:
+            if k not in new_t.fields or str(new_t[k]) != str(st.row_type[k]):
+                raise ValueError('_map_partitions: must preserve key fields')
+        out_ir = out._ir
+        genv = self._globals_env()
+
+        def pf(ctx):
+            b = st.partition_fn(ctx)
+            rows_col = C.from_pylist(ht.tarray(st.row_type), [b.to_pylist()])
+            env = genv.bind(var, rows_col)
+            res = out_ir.evaluate(env)
+            vals = res.to_pylist()
+            rows = vals[0] if vals else []
+            return Batch.from_pylist(new_t, rows or [])
+        return Table(TableStage(st.globals, st.key, new_t,
+                                list(st.contexts), pf))
+
+    def _group_within_partitions(self, name: str, n: int) -> 'Table':
+        """Group consecutive runs of n rows within each partition into an
+        array field (reference Table._group_within_partitions)."""
+        st = self._stage
+        new_t = ht.tstruct.from_fields(
+            [(k, st.row_type[k]) for k in st.key]
+            + [(name, ht.tarray(st.row_type))])
+
+        def pf(ctx):
+            b = st.partition_fn(ctx)
+            rows = b.to_pylist()
+            out = []
+            for i in range(0, len(rows), n):
+                grp = rows[i:i + n]
+                first = grp[0]
+                out.append(Struct(**{k: first[k] for k in st.key},
+                                  **{name: grp}))
+            return Batch.from_pylist(new_t, out)
+        return Table(TableStage(st.globals, st.key, new_t,
+                                list(st.contexts), pf))
 
     def _collect_expr(self, expr: Expression) -> list:
         e = to_expr(expr)
@@ -1427,7 +1544,8 @@ class _DescOrder:
 
 
 def desc(f) -> _DescOrder:
-    return _DescOrder(f if isinstance(f, str) else _expr_field_name(f))
+    # f may be a field name, a field reference, or any sortable expression
+    return _DescOrder(f)
 
 
 def asc(f):
@@ -1752,7 +1870,11 @@ def range_table(n: int, n_partitions: Optional[int] = None) -> Table:
     if n_partitions is None:
         n_partitions = min(max(1, n // 64000 + 1), 8) if n > 0 else 1
     n_partitions = max(1, min(n_partitions, max(n, 1)))
-    bounds = np.linspace(0, n, n_partitions + 1).astype(np.int64)
+    # reference partitioning: base size n//k, the first n%k partitions get
+    # one extra row (utils/misc.py partition)
+    base, rem = divmod(n, n_partitions)
+    sizes = [base + (1 if i < rem else 0) for i in range(n_partitions)]
+    bounds = np.cumsum([0] + sizes)
     contexts = [(int(bounds[i]), int(bounds[i + 1])) for i in range(n_partitions)]
     row_t = ht.tstruct(idx=ht.tint32)
     def pf(ctx):
@@ -1765,9 +1887,14 @@ def range_table(n: int, n_partitions: Optional[int] = None) -> Table:
 
 def parallelize(rows, schema: Optional[ht.tstruct] = None, key=None,
                 n_partitions: Optional[int] = None,
-                globals: Optional[Struct] = None) -> Table:
-    """hl.Table.parallelize equivalent."""
+                globals: Optional[Struct] = None,
+                partial_type=None) -> Table:
+    """hl.Table.parallelize equivalent (reference Table.parallelize;
+    partial_type supplies per-field type hints merged over imputation)."""
     from .expr.expression import Expression, eval_scalar, impute_type
+    if schema is not None and partial_type is not None:
+        raise ValueError(
+            'parallelize: define either schema or partial type, not both')
 
     def devalue(v):
         # rows may hold expression values (hl.missing(...), hl.locus(...));
@@ -1783,6 +1910,8 @@ def parallelize(rows, schema: Optional[ht.tstruct] = None, key=None,
             return type(v)(devalue(x) for x in v)
         return v
     rows = [devalue(r) for r in rows]
+    # top-level row dicts are STRUCT rows (reference parallelize semantics)
+    rows = [Struct(**r) if isinstance(r, dict) else r for r in rows]
     if isinstance(schema, str):
         # reference accepts type strings ('struct{locus:locus<GRCh37>,...}')
         schema = ht.dtype(schema)
@@ -1797,6 +1926,11 @@ def parallelize(rows, schema: Optional[ht.tstruct] = None, key=None,
                 if u is None:
                     raise ValueError(f'parallelize: inconsistent row types {schema} vs {t}')
                 schema = u
+    if partial_type:
+        hints = {k: (ht.dtype(v) if isinstance(v, str) else v)
+                 for k, v in dict(partial_type).items() if v is not None}
+        schema = ht.tstruct.from_fields(
+            [(k, hints.get(k, t)) for k, t in schema.fields.items()])
     batch = Batch.from_pylist(schema, rows)
     g = Batch({}, 1) if globals is None else Batch.from_pylist(impute_type(globals), [globals])
     key = [key] if isinstance(key, str) else list(key or [])
@@ -1978,6 +2112,12 @@ def _values_same(a, b, tolerance=1e-6, absolute=False):
     import math as _math
     if a is None or b is None:
         return a is None and b is None
+    if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
+        return np.asarray(a).shape == np.asarray(b).shape and \
+            bool(np.allclose(np.asarray(a, dtype=np.float64),
+                             np.asarray(b, dtype=np.float64),
+                             atol=tolerance if absolute else 0.0,
+                             rtol=0.0 if absolute else tolerance))
     if isinstance(a, float) or isinstance(b, float):
         fa, fb = float(a), float(b)
         if _math.isnan(fa) or _math.isnan(fb):

@@ -461,10 +461,11 @@ _RANK_TYPE = [tbool, tint32, tint64, tfloat32, tfloat64]
 
 
 def unify_types(*ts: HailType) -> Optional[HailType]:
-    """Least upper bound of numeric types; identical types unify to themselves."""
-    ts = [t for t in ts if t is not None]
+    """Least upper bound of numeric types; identical types unify to themselves.
+    tvoid (the type of an all-missing value) unifies with anything."""
+    ts = [t for t in ts if t is not None and t != tvoid]
     if not ts:
-        return None
+        return tvoid
     if all(t == ts[0] for t in ts):
         return ts[0]
     if all(str(t) in _NUMERIC_RANK for t in ts):
@@ -472,6 +473,15 @@ def unify_types(*ts: HailType) -> Optional[HailType]:
     if all(isinstance(t, tarray) for t in ts):
         elem = unify_types(*[t.element_type for t in ts])
         return tarray(elem) if elem is not None else None
+    if all(isinstance(t, tstruct) for t in ts) and \
+            all(list(t.fields) == list(ts[0].fields) for t in ts):
+        out = []
+        for k in ts[0].fields:
+            u = unify_types(*[t[k] for t in ts])
+            if u is None:
+                return None
+            out.append((k, u))
+        return tstruct.from_fields(out)
     return None
 
 

@@ -183,8 +183,196 @@ def filter_intervals(vds: VariantDataset, intervals, *, split_reference_blocks: 
 
 def sample_qc(vds: VariantDataset, *, gq_bins=(0, 20, 60), dp_bins=(0, 1, 10, 20, 30),
               dp_field=None):
-    from ..methods.qc import sample_qc as mt_sample_qc
-    return mt_sample_qc(vds.variant_data).cols()
+    """Per-sample QC over a VDS (reference vds/sample_qc.py sample_qc):
+    variant metrics from the (global) GT of the variant data plus
+    base-weighted GQ/DP coverage from reference blocks, combined per sample.
+    Columnar host computation (the dense-matrix QC fast path lives in
+    methods/qc.py)."""
+    from ..genetics.allele_type import AlleleType, allele_type
+    from ..genetics.call import J_MASK, J_SHIFT, K_MASK, K_SHIFT, PLOIDY_MASK
+    from ..ir.columns import Batch, PrimitiveColumn
+    from ..table import Table, TableStage
+
+    vst = vds.variant_data._stage
+    rst = vds.reference_data._stage
+    n = vst.n_cols
+
+    if dp_field is not None:
+        ref_dp = dp_field
+    elif 'DP' in rst.entry_type.fields:
+        ref_dp = 'DP'
+    elif 'MIN_DP' in rst.entry_type.fields:
+        ref_dp = 'MIN_DP'
+    else:
+        ref_dp = None
+
+    nG, nD = len(gq_bins), len(dp_bins)
+    gq_counts = np.zeros((n, nG), dtype=np.int64)
+    dp_counts = np.zeros((n, nD), dtype=np.int64)
+    n_het = np.zeros(n, dtype=np.int64)
+    n_hom_var = np.zeros(n, dtype=np.int64)
+    n_singleton = np.zeros(n, dtype=np.int64)
+    n_singleton_ti = np.zeros(n, dtype=np.int64)
+    n_singleton_tv = np.zeros(n, dtype=np.int64)
+    atype_counts = np.zeros((n, len(AlleleType)), dtype=np.int64)
+
+    def unpack(col):
+        packed = np.asarray(col.values, dtype=np.int64)
+        miss = col.missing_mask()
+        ploidy = (packed & PLOIDY_MASK).astype(np.int32)
+        j = ((packed >> J_SHIFT) & J_MASK).astype(np.int32)
+        k = ((packed >> K_SHIFT) & K_MASK).astype(np.int32)
+        return ploidy, j, k, miss
+
+    for ci, ctx in enumerate(vst.contexts):
+        mb = vst.partition_fn(ctx)
+        if mb.n_rows == 0:
+            continue
+        ent = mb.entries
+        lgt = ent.get('GT') or ent.get('LGT')
+        if lgt is None:
+            raise ValueError('vds.sample_qc: variant data needs GT or LGT')
+        ploidy, j, k, miss = unpack(lgt)
+        if 'GT' not in ent and 'LA' in ent:
+            # local → global allele translation (reference lgt_to_gt)
+            la = C.to_object(ent['LA']).values
+            for r in range(mb.n_rows):
+                for s in range(n):
+                    if miss[r, s]:
+                        continue
+                    m = la[r, s]
+                    if m is None:
+                        continue
+                    if ploidy[r, s] >= 1 and j[r, s] < len(m):
+                        j[r, s] = m[j[r, s]]
+                    if ploidy[r, s] == 2 and k[r, s] < len(m):
+                        k[r, s] = m[k[r, s]]
+        alleles = C.to_object(mb.rows.columns['alleles']).values
+        atypes = [[int(allele_type(a[0], alt, include_ti_tv=True))
+                   for alt in a[1:]] if a is not None else []
+                  for a in alleles]
+        ok = ~miss
+        dip = ok & (ploidy == 2)
+        het = dip & (j != k)
+        hom_var = dip & (j == k) & (j > 0)
+        n_het += het.sum(axis=0)
+        n_hom_var += hom_var.sum(axis=0)
+        # allele counts per row (incl. ref) for singleton detection
+        R = mb.n_rows
+        n_all = np.asarray([len(a) if a is not None else 0 for a in alleles])
+        for r in range(R):
+            if not ok[r].any():
+                continue
+            ac = np.zeros(max(n_all[r], 1), dtype=np.int64)
+            for s in range(n):
+                if not ok[r, s]:
+                    continue
+                if ploidy[r, s] >= 1:
+                    ac[j[r, s]] += 1
+                if ploidy[r, s] == 2:
+                    ac[k[r, s]] += 1
+            at = atypes[r]
+            for s in range(n):
+                if not ok[r, s]:
+                    continue
+                carried = ([j[r, s]] if ploidy[r, s] >= 1 else []) + \
+                    ([k[r, s]] if ploidy[r, s] == 2 else [])
+                for g in carried:
+                    if g == 0 or g - 1 >= len(at):
+                        continue
+                    t = at[g - 1]
+                    atype_counts[s, t] += 1
+                    if ac[g] == 1:
+                        n_singleton[s] += 1
+                        if t == int(AlleleType.TRANSITION):
+                            n_singleton_ti[s] += 1
+                        elif t == int(AlleleType.TRANSVERSION):
+                            n_singleton_tv[s] += 1
+        if 'GQ' in ent:
+            gq = np.asarray(ent['GQ'].values, dtype=np.float64)
+            gq_ok = ~ent['GQ'].missing_mask()
+            for bi, b in enumerate(gq_bins):
+                gq_counts[:, bi] += (gq_ok & (gq >= b)).sum(axis=0)
+        if ref_dp is not None and 'DP' in ent:
+            dpv = np.asarray(ent['DP'].values, dtype=np.float64)
+            dp_ok = ~ent['DP'].missing_mask()
+            for bi, b in enumerate(dp_bins):
+                dp_counts[:, bi] += (dp_ok & (dpv >= b)).sum(axis=0)
+
+    end_field = '__END' if '__END' in rst.row_type.fields else 'END'
+    end_in_rows = end_field in rst.row_type.fields
+    for ci, ctx in enumerate(rst.contexts):
+        mb = rst.partition_fn(ctx)
+        if mb.n_rows == 0:
+            continue
+        pos = np.asarray(mb.rows.columns['locus'].position, dtype=np.int64)
+        if end_in_rows:
+            endc = mb.rows.columns[end_field]
+            ends = np.asarray(endc.values, dtype=np.int64)
+            lens = (1 + ends - pos)[:, None]
+        else:
+            endc = mb.entries['END']
+            ends = np.asarray(endc.values, dtype=np.int64)
+            lens = 1 + ends - pos[:, None]
+        gq = mb.entries.get('GQ')
+        if gq is not None:
+            gqv = np.asarray(gq.values, dtype=np.float64)
+            gq_ok = ~gq.missing_mask()
+            for bi, b in enumerate(gq_bins):
+                sel = gq_ok & (gqv >= b)
+                gq_counts[:, bi] += np.where(sel, np.broadcast_to(lens, sel.shape), 0).sum(axis=0)
+        if ref_dp is not None and ref_dp in mb.entries:
+            dpc = mb.entries[ref_dp]
+            dpv = np.asarray(dpc.values, dtype=np.float64)
+            dp_ok = ~dpc.missing_mask()
+            for bi, b in enumerate(dp_bins):
+                sel = dp_ok & (dpv >= b)
+                dp_counts[:, bi] += np.where(sel, np.broadcast_to(lens, sel.shape), 0).sum(axis=0)
+
+    def ratio(a, b):
+        return [float(x) / y if y else None for x, y in zip(a, b)]
+
+    n_ti = atype_counts[:, int(AlleleType.TRANSITION)]
+    n_tv = atype_counts[:, int(AlleleType.TRANSVERSION)]
+    cols = dict(vst.cols.columns)
+    b = {kf: cols[kf] for kf in vst.col_key}
+    gq_t = ht.ttuple(*([ht.tint64] * nG))
+    b['bases_over_gq_threshold'] = C.from_pylist(
+        gq_t, [tuple(int(x) for x in row) for row in gq_counts])
+    fields_after = {}
+    if ref_dp is not None:
+        dp_t = ht.ttuple(*([ht.tint64] * nD))
+        fields_after['bases_over_dp_threshold'] = C.from_pylist(
+            dp_t, [tuple(int(x) for x in row) for row in dp_counts])
+    ints = {
+        'n_het': n_het, 'n_hom_var': n_hom_var,
+        'n_non_ref': n_het + n_hom_var,
+        'n_singleton': n_singleton, 'n_singleton_ti': n_singleton_ti,
+        'n_singleton_tv': n_singleton_tv,
+        'n_snp': n_ti + n_tv,
+        'n_insertion': atype_counts[:, int(AlleleType.INSERTION)],
+        'n_deletion': atype_counts[:, int(AlleleType.DELETION)],
+        'n_transition': n_ti, 'n_transversion': n_tv,
+        'n_star': atype_counts[:, int(AlleleType.STAR)],
+    }
+    for k2, v in fields_after.items():
+        b[k2] = v
+    for k2, v in ints.items():
+        b[k2] = PrimitiveColumn(ht.tint64, v.astype(np.int64))
+    ratios = {
+        'r_ti_tv': ratio(n_ti, n_tv),
+        'r_ti_tv_singleton': ratio(n_singleton_ti, n_singleton_tv),
+        'r_het_hom_var': ratio(n_het, n_hom_var),
+        'r_insertion_deletion': ratio(ints['n_insertion'], ints['n_deletion']),
+    }
+    for k2, v in ratios.items():
+        b[k2] = C.from_pylist(ht.tfloat64, v)
+    batch = Batch(b, n)
+    g = {'gq_bins': C.from_pylist(ht.ttuple(*([ht.tint32] * nG)), [tuple(gq_bins)])}
+    if ref_dp is not None:
+        g['dp_bins'] = C.from_pylist(ht.ttuple(*([ht.tint32] * nD)), [tuple(dp_bins)])
+    return Table(TableStage.from_batches(Batch(g, 1), list(vst.col_key),
+                                         batch.row_type, [batch]))
 
 
 def split_multi(vds: VariantDataset, *, filter_changed_loci: bool = False) -> VariantDataset:
