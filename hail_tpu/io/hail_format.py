@@ -577,6 +577,7 @@ def read_hail_matrix_table(path: str):
     (ename, entries_arr_t), = e_vt.fields.items()
     entry_t = entries_arr_t.element_type
 
+    import numpy as _np
     mbs = []
     for rows, ents in zip(r_parts, e_parts):
         R = len(rows)
@@ -587,7 +588,12 @@ def read_hail_matrix_table(path: str):
                     for erow in ents for e in erow[ename]]
             col = C.from_pylist(ft, flat).reshape((R, n_cols))
             ent_cols[f] = col
-        mbs.append(MatrixBatch(rows_b, ent_cols))
+        # a missing ELEMENT of the entries array is a FILTERED entry
+        # (reference localize/unlocalize round-trip semantics)
+        filt = _np.asarray([e is None for erow in ents for e in erow[ename]],
+                           dtype=bool).reshape((R, n_cols))
+        mbs.append(MatrixBatch(rows_b, ent_cols,
+                               filt if filt.any() else None))
     if not mbs:
         mbs = [MatrixBatch(Batch.empty(r_vt), {})]
     return MatrixTable(MatrixStage.from_batches(

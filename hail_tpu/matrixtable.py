@@ -826,7 +826,12 @@ class MatrixTable:
                 cols[rename_col[k]] = c.gather(cidx)
             for k, c in mb.entries.items():
                 cols[rename_ent[k]] = c.reshape((R * Cn,))
-            return Batch(cols, R * Cn)
+            b = Batch(cols, R * Cn)
+            if mb.entry_missing is not None:
+                # FILTERED entries produce no rows (reference
+                # MatrixTable.entries semantics)
+                b = b.compress(~mb.entry_missing.reshape((R * Cn,)))
+            return b
         key = st.row_key + [rename_col[k] for k in st.col_key]
         return Table(TableStage(st.globals, key, new_t, st.contexts, f))
 

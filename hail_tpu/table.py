@@ -1892,6 +1892,10 @@ def parallelize(rows, schema: Optional[ht.tstruct] = None, key=None,
     """hl.Table.parallelize equivalent (reference Table.parallelize;
     partial_type supplies per-field type hints merged over imputation)."""
     from .expr.expression import Expression, eval_scalar, impute_type
+    if isinstance(rows, Expression):
+        # array-of-structs expression rows (reference parallelize accepts
+        # expressions)
+        rows = eval_scalar(rows)
     if schema is not None and partial_type is not None:
         raise ValueError(
             'parallelize: define either schema or partial type, not both')

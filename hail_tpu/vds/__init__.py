@@ -50,10 +50,43 @@ class VariantDataset:
     def n_samples(self) -> int:
         return self.variant_data.count_cols()
 
+    def union_rows(*vdses) -> 'VariantDataset':
+        """Combine VDSes with the same samples and disjoint variants;
+        ref_block_max_length survives as the max when every input has it
+        (reference VariantDataset.union_rows)."""
+        fd = VariantDataset.ref_block_max_length_field
+        mts = [v.reference_data for v in vdses]
+        have = [mt for mt in mts
+                if fd in mt._stage.globals_type.fields]
+        if len(have) == len(mts) and mts:
+            maxes = [mt._stage.globals.columns[fd].to_pylist()[0] for mt in mts]
+            new_ref = mts[0].union_rows(*mts[1:]) if len(mts) > 1 else mts[0]
+            new_ref = new_ref.annotate_globals(**{fd: max(maxes)})
+        else:
+            mts = [mt.drop(fd) if fd in mt._stage.globals_type.fields else mt
+                   for mt in mts]
+            new_ref = mts[0].union_rows(*mts[1:]) if len(mts) > 1 else mts[0]
+        new_var = vdses[0].variant_data.union_rows(
+            *(v.variant_data for v in vdses[1:]))
+        return VariantDataset(new_ref, new_var)
 
-def read_vds(path: str) -> VariantDataset:
-    return VariantDataset(read_matrix_table(os.path.join(path, 'reference_data')),
-                          read_matrix_table(os.path.join(path, 'variant_data')))
+
+def read_vds(path: str, *, intervals=None, n_partitions=None,
+             _assert_reference_type=None, _assert_variant_type=None,
+             _warn_no_ref_block_max_length=True) -> VariantDataset:
+    import json as _json
+    rd = read_matrix_table(os.path.join(path, 'reference_data'))
+    vd = read_matrix_table(os.path.join(path, 'variant_data'))
+    meta_p = os.path.join(path, 'metadata.json')
+    fd = VariantDataset.ref_block_max_length_field
+    if os.path.exists(meta_p) and fd not in rd._stage.globals_type.fields:
+        with open(meta_p) as f:
+            meta = _json.load(f)
+        if fd in meta:
+            rd = rd.annotate_globals(**{fd: int(meta[fd])})
+    if intervals is not None:
+        return filter_intervals(VariantDataset(rd, vd), intervals)
+    return VariantDataset(rd, vd)
 
 
 def to_dense_mt(vds: VariantDataset) -> MatrixTable:
@@ -177,8 +210,104 @@ def filter_variants(vds: VariantDataset, variants_table, *, keep: bool = True) -
 def filter_intervals(vds: VariantDataset, intervals, *, split_reference_blocks: bool = False,
                      keep: bool = True) -> VariantDataset:
     from ..methods.misc import filter_intervals as fi
-    return VariantDataset(fi(vds.reference_data, intervals, keep),
+    from ..table import Table as _T
+    from ..expr.expression import Expression as _E, eval_scalar as _ev
+    if isinstance(intervals, _T):
+        # interval-keyed table form (reference vds.filter_intervals)
+        key0 = intervals._stage.key[0]
+        intervals = [r[key0] for r in intervals.collect()]
+    elif isinstance(intervals, _E):
+        intervals = _ev(intervals)
+    intervals = [_ev(iv) if isinstance(iv, _E) else iv for iv in intervals]
+    rd = vds.reference_data
+    if split_reference_blocks:
+        rd = segment_reference_blocks_to_intervals(rd, intervals)
+    return VariantDataset(fi(rd, intervals, keep),
                           fi(vds.variant_data, intervals, keep))
+
+
+def segment_reference_blocks_to_intervals(rd, intervals):
+    """Clip per-sample reference blocks to interval boundaries so an
+    interval filter keeps exact coverage (reference filter_intervals
+    split_reference_blocks path)."""
+    from ..genetics.locus import Locus
+    from ..ir.columns import Batch, LocusColumn, PrimitiveColumn
+    from ..matrixtable import MatrixBatch, MatrixStage, MatrixTable, _concat_matrix_batches
+    st = rd._stage
+    if 'END' not in st.entry_type.fields and '__END' not in st.row_type.fields:
+        return rd
+    mb = _concat_matrix_batches(st.collect_batches(), st)
+    if mb.n_rows == 0:
+        return rd
+    loc = mb.rows.columns['locus']
+    rg = loc.typ.reference_genome
+    pos = np.asarray(loc.position, dtype=np.int64)
+    cidx = np.asarray(loc.contig_idx)
+    # clip each block's start up to each interval start it spans
+    ivs = []
+    for iv in intervals:
+        s_, e_ = iv.start, iv.end
+        sp = s_.position if not iv.includes_start else s_.position
+        if not iv.includes_start:
+            sp += 1
+        ep = e_.position if iv.includes_end else e_.position - 1
+        ivs.append((rg.contig_index(s_.contig), sp, ep))
+    end_entry = 'END' in st.entry_type.fields
+    if end_entry:
+        ends = np.asarray(mb.entries['END'].values, dtype=np.int64)
+        emiss = mb.entries['END'].missing_mask()
+    src_rows, new_pos = [], []
+    new_ends = []
+    for r in range(mb.n_rows):
+        starts = {int(pos[r])}
+        for (ci, sp, ep) in ivs:
+            if ci != cidx[r]:
+                continue
+            if sp > pos[r]:
+                starts.add(int(sp))
+        for s_ in sorted(starts):
+            src_rows.append(r)
+            new_pos.append(s_)
+    idx = np.asarray(src_rows, dtype=np.int64)
+    cols = {}
+    for k, c2 in mb.rows.columns.items():
+        if k == 'locus':
+            cols[k] = LocusColumn(c2.typ, cidx[idx],
+                                  np.asarray(new_pos, dtype=np.int32))
+        else:
+            cols[k] = c2.gather(idx)
+    ents = {}
+    npos = np.asarray(new_pos, dtype=np.int64)
+    for k, c2 in mb.entries.items():
+        g = c2.gather(idx, axis=0)
+        ents[k] = g
+    if end_entry:
+        ge = ents['END']
+        vals = np.asarray(ge.values, dtype=np.int64).copy()
+        miss = ge.missing_mask().copy()
+        # a piece is dead for a sample if its start is past the sample's end
+        for j, r in enumerate(src_rows):
+            for s_ in range(mb.n_cols):
+                if miss[j, s_]:
+                    continue
+                if npos[j] > ends[r, s_]:
+                    miss[j, s_] = True
+                    continue
+                # truncate the END at the next interval boundary start - 1
+                nxt = [p2 for p2 in set(npos[idx == r]) if p2 > npos[j]]
+                if nxt:
+                    vals[j, s_] = min(ends[r, s_], min(nxt) - 1)
+                else:
+                    vals[j, s_] = ends[r, s_]
+        ents['END'] = PrimitiveColumn(ge.typ, vals.astype(np.int32),
+                                      miss if miss.any() else None)
+        # drop rows with all-missing entries
+    order = np.lexsort((npos, cidx[idx]))
+    rows = Batch({k: c2.gather(order) for k, c2 in cols.items()}, len(order))
+    ents = {k: c2.gather(order, axis=0) for k, c2 in ents.items()}
+    return MatrixTable(MatrixStage.from_batches(
+        st.globals, st.cols, st.row_key, st.col_key, st.row_type,
+        st.col_type, st.entry_type, [MatrixBatch(rows, ents)]))
 
 
 def sample_qc(vds: VariantDataset, *, gq_bins=(0, 20, 60), dp_bins=(0, 1, 10, 20, 30),
@@ -519,50 +648,104 @@ def impute_sex_chromosome_ploidy(vds, calling_intervals, normalization_contig: s
                                          [Batch.from_pylist(row_t, rows)]))
 
 
-def truncate_reference_blocks(vds, *, max_ref_block_base_pairs=None,
+def truncate_reference_blocks(ds, *, max_ref_block_base_pairs=None,
                               ref_block_winsorize_fraction=None):
-    """Split reference blocks longer than max_ref_block_base_pairs
-    (reference vds.truncate_reference_blocks)."""
-    from ..genetics.locus import Locus
-    from ..ir.columns import Batch
+    """Split reference blocks longer than a maximum and record
+    `ref_block_max_length` on the reference data's globals (reference
+    vds/methods.py truncate_reference_blocks). Handles per-ENTRY END (each
+    sample's block split independently)."""
+    from ..ir.columns import Batch, LocusColumn, PrimitiveColumn
     from ..matrixtable import MatrixBatch, MatrixStage, MatrixTable, _concat_matrix_batches
-    if max_ref_block_base_pairs is None:
-        return vds
-    rst = vds.reference_data._stage
-    rmb = _concat_matrix_batches(rst.collect_batches(), rst)
-    loc = rmb.rows.columns['locus']
+    is_vds = isinstance(ds, VariantDataset)
+    rd = ds.reference_data if is_vds else ds
+    if int(ref_block_winsorize_fraction is None) + int(max_ref_block_base_pairs is None) != 1:
+        raise ValueError(
+            'truncate_reference_blocks: require exactly one of '
+            '"max_ref_block_base_pairs", "ref_block_winsorize_fraction"')
+    st = rd._stage
+    mb = _concat_matrix_batches(st.collect_batches(), st)
+    loc = mb.rows.columns['locus']
     pos = np.asarray(loc.position, dtype=np.int64)
-    endf = rmb.rows.columns.get('__END')
-    if endf is None:
-        return vds
-    ends = np.asarray(endf.values, dtype=np.int64)
-    span = ends - pos + 1
-    n_pieces = np.maximum(1, np.ceil(span / max_ref_block_base_pairs)).astype(np.int64)
-    src, new_pos, new_end = [], [], []
-    for i in range(rmb.n_rows):
-        for p2 in range(int(n_pieces[i])):
-            s2 = pos[i] + p2 * max_ref_block_base_pairs
-            e2 = min(ends[i], s2 + max_ref_block_base_pairs - 1)
-            src.append(i)
-            new_pos.append(s2)
-            new_end.append(e2)
-    idx = np.asarray(src, dtype=np.int64)
-    from ..ir.columns import LocusColumn, PrimitiveColumn
+    cidx = np.asarray(loc.contig_idx)
+    end_entry = 'END' in st.entry_type.fields
+    if end_entry:
+        endc = mb.entries['END']
+        ends = np.asarray(endc.values, dtype=np.int64)
+        emiss = endc.missing_mask()
+    else:
+        endf = mb.rows.columns.get('__END')
+        if endf is None:
+            return ds
+        ends = np.broadcast_to(np.asarray(endf.values, dtype=np.int64)[:, None],
+                               (mb.n_rows, mb.n_cols))
+        emiss = np.zeros((mb.n_rows, mb.n_cols), dtype=bool)
+    lens = ends - pos[:, None] + 1
+    if ref_block_winsorize_fraction is not None:
+        assert 0 < ref_block_winsorize_fraction < 1
+        defined = lens[~emiss]
+        max_ref_block_base_pairs = int(np.quantile(
+            defined, 1.0 - ref_block_winsorize_fraction)) if defined.size else 1
+    maxlen = int(max_ref_block_base_pairs)
+    assert maxlen > 0
+
+    # per (row, sample): pieces starting at pos + k*maxlen. New row set =
+    # union of piece start positions per source row.
+    n_s = mb.n_cols
+    piece_map = {}
+    for r in range(mb.n_rows):
+        for s in range(n_s):
+            if emiss[r, s]:
+                continue
+            start = pos[r]
+            while start <= ends[r, s]:
+                piece_end = min(ends[r, s], start + maxlen - 1)
+                piece_map.setdefault((int(cidx[r]), int(start)), []).append(
+                    (r, s, int(piece_end)))
+                start = piece_end + 1
+    keys = sorted(piece_map)
+    R2 = len(keys)
+    new_cidx = np.asarray([k[0] for k in keys], dtype=np.int32)
+    new_pos = np.asarray([k[1] for k in keys], dtype=np.int32)
+    # source row for row-level fields: first contributing piece
+    src_row = np.asarray([piece_map[k][0][0] for k in keys], dtype=np.int64)
     cols = {}
-    for k, c2 in rmb.rows.columns.items():
-        if k == 'locus':
-            cols[k] = LocusColumn(c2.typ, np.asarray(loc.contig_idx)[idx],
-                                  np.asarray(new_pos, dtype=np.int32))
-        elif k == '__END':
-            cols[k] = PrimitiveColumn(ht.tint32, np.asarray(new_end, dtype=np.int32))
+    for k2, c2 in mb.rows.columns.items():
+        if k2 == 'locus':
+            cols[k2] = LocusColumn(c2.typ, new_cidx, new_pos)
+        elif k2 == '__END':
+            continue
         else:
-            cols[k] = c2.gather(idx)
-    rows = Batch(cols, len(idx))
-    ents = {k: c2.gather(idx, axis=0) for k, c2 in rmb.entries.items()}
+            cols[k2] = c2.gather(src_row)
+    ents = {}
+    ent_objs = {k2: C.to_object(c2) for k2, c2 in mb.entries.items()}
+    for k2, c2 in mb.entries.items():
+        t2 = c2.typ if hasattr(c2, 'typ') else st.entry_type[k2]
+        vals = np.empty((R2, n_s), dtype=object)
+        for ri, key in enumerate(keys):
+            for (r, s, piece_end) in piece_map[key]:
+                if k2 == 'END':
+                    vals[ri, s] = piece_end
+                else:
+                    v2 = ent_objs[k2].values[r, s]
+                    vals[ri, s] = v2
+        flat = [vals[i, j] for i in range(R2) for j in range(n_s)]
+        ents[k2] = C.from_pylist(st.entry_type[k2], flat).reshape((R2, n_s))
+    if not end_entry:
+        # internal row-__END layout: every sample shares the row end, so the
+        # split is row-level
+        cols['__END'] = PrimitiveColumn(ht.tint32, np.asarray(
+            [max((pe for (_, _, pe) in piece_map[k]), default=0) for k in keys],
+            dtype=np.int32))
+    g = dict(st.globals.columns)
+    g[VariantDataset.ref_block_max_length_field] = C.from_pylist(ht.tint32, [maxlen])
+    rows = Batch(cols, R2)
+    new_row_t = rows.row_type
     new_ref = MatrixTable(MatrixStage.from_batches(
-        rst.globals, rst.cols, rst.row_key, rst.col_key, rst.row_type,
-        rst.col_type, rst.entry_type, [MatrixBatch(rows, ents)]))
-    return VariantDataset(new_ref, vds.variant_data)
+        Batch(g, 1), st.cols, st.row_key, st.col_key, new_row_t,
+        st.col_type, st.entry_type, [MatrixBatch(rows, ents)]))
+    if is_vds:
+        return VariantDataset(new_ref, ds.variant_data)
+    return new_ref
 
 
 def new_combiner(**kwargs):
@@ -727,13 +910,16 @@ def merge_reference_blocks(ds, equivalence_function, merge_functions=None):
         if merge_functions:
             for k, f in merge_functions.items():
                 if isinstance(f, str):
+                    a2, c2 = b1.get(k), b2.get(k)
                     fl = f.lower()
-                    if fl == 'min':
-                        out[k] = min(b1[k], b2[k])
+                    if a2 is None or c2 is None:
+                        out[k] = a2 if c2 is None else c2
+                    elif fl == 'min':
+                        out[k] = min(a2, c2)
                     elif fl == 'max':
-                        out[k] = max(b1[k], b2[k])
+                        out[k] = max(a2, c2)
                     elif fl == 'sum':
-                        out[k] = b1[k] + b2[k]
+                        out[k] = a2 + c2
                     else:
                         raise ValueError(f'unknown merge function {f!r}')
                 else:
@@ -754,7 +940,8 @@ def merge_reference_blocks(ds, equivalence_function, merge_functions=None):
         for r in range(mb.n_rows):
             for s in range(mb.n_cols):
                 e = ents[r][s]
-                if e is not None and not emiss[r, s]:
+                if e is not None and not emiss[r, s] and \
+                        e.get('END') is not None:
                     per_sample[s].append((loci[r], e))
     merged = [[] for _ in range(n_s)]
     for s in range(n_s):
@@ -842,14 +1029,18 @@ def segment_reference_blocks(ref: MatrixTable, intervals) -> MatrixTable:
                     nb = dict(e)
                     nb['END'] = seg_end
                     k = (loc._rg.contig_index(new_loc.contig), new_loc.position)
-                    out[k] = new_loc
+                    out[k] = (new_loc, iv)
                     cells[(k, s)] = Struct(**nb)
     keys = sorted(out)
     R = len(keys)
     flat = [cells.get((k, s)) for k in keys for s in range(n_s)]
     ec = C.from_pylist(ent_t, flat).reshape((R, n_s))
     lt = st.row_type['locus']
-    rows_cols = {'locus': C.from_pylist(lt, [out[k] for k in keys])}
+    # the covering interval is carried as a row field (reference
+    # segment_reference_blocks interval annotation)
+    rows_cols = {'interval': C.from_pylist(ht.tinterval(lt),
+                                           [out[k][1] for k in keys]),
+                 'locus': C.from_pylist(lt, [out[k][0] for k in keys])}
     for kf in st.row_type.fields:
         if kf not in rows_cols and kf == 'alleles':
             rows_cols[kf] = C.from_pylist(ht.tarray(ht.tstr),
@@ -860,8 +1051,9 @@ def segment_reference_blocks(ref: MatrixTable, intervals) -> MatrixTable:
         ents = {k: v.with_missing(v.missing_mask() | ec.missing)
                 for k, v in ents.items()}
     batches = [_MB(rows, ents)]
+    new_row_t = rows.row_type
     return _MT(_MS(st.globals, st.cols, st.row_key, st.col_key,
-                   st.row_type, st.col_type, ent_t,
+                   new_row_t, st.col_type, ent_t,
                    [0], lambda ctx: batches[int(ctx)]))
 
 
@@ -932,5 +1124,4 @@ def _vds_validate(self):
 
 
 VariantDataset.reference_genome = property(_vds_reference_genome)
-VariantDataset.union_rows = _vds_union_rows
 VariantDataset.validate = _vds_validate
