@@ -157,13 +157,96 @@ class Expression:
             handler(f'Source: {type(src).__name__}')
 
     def export(self, path, delimiter='\t', missing='NA', header=True):
-        """Export the expression's values (reference Expression.export)."""
-        vals = self.collect()
+        """Export values as text (reference Expression.export): entry
+        expressions write a row-key x column matrix with the col keys as
+        the header; row/col expressions write key + value columns."""
+        from ..genetics.call import Call as _Call
+        from ..genetics.locus import Locus as _Locus
+        from ..utils.structs import Struct as _Struct
+
+        def render(v):
+            import json as _json
+            if v is None:
+                return missing
+            if v is True:
+                return 'true'
+            if v is False:
+                return 'false'
+            if isinstance(v, _Call):
+                return str(v)
+            if isinstance(v, _Locus):
+                return f'{v.contig}:{v.position}'
+            if isinstance(v, (list, tuple)):
+                return _json.dumps([_json_safe(x) for x in v],
+                                   separators=(',', ':'))
+            if isinstance(v, (set, frozenset)):
+                return _json.dumps(sorted(_json_safe(x) for x in v),
+                                   separators=(',', ':'))
+            if isinstance(v, (_Struct, dict)):
+                return _json.dumps(_json_safe(v), separators=(',', ':'))
+            return str(v)
+
+        def _json_safe(v):
+            if isinstance(v, (_Struct, dict)):
+                return {k: _json_safe(x) for k, x in v.items()}
+            if isinstance(v, (list, tuple, set, frozenset)):
+                return [_json_safe(x) for x in v]
+            if isinstance(v, _Call):
+                return str(v)
+            return v
+
+        src = self._indices.source
+        axes = self._indices.axes
+        from ..matrixtable import MatrixTable as _MT
+        if isinstance(src, _MT) and axes == frozenset({'row', 'column'}):
+            st = src._stage
+            key_names = list(st.row_key)
+            col_keys = st.cols.to_pylist()
+            if len(st.col_key) == 1:
+                col_hdrs = [render(k[st.col_key[0]]) for k in col_keys]
+            else:
+                col_hdrs = [render(tuple(k[f] for f in st.col_key))
+                            for k in col_keys]
+            with open(path, 'w') as f:
+                if header:
+                    f.write(delimiter.join(key_names + col_hdrs) + '\n')
+                for i, ctx in enumerate(st.contexts):
+                    mb = st.partition_fn(ctx)
+                    env = src._entry_env(mb, i)
+                    col = self._ir.evaluate(env)
+                    if col.shape != env.shape:
+                        col = col.broadcast_to(env.shape)
+                    vals = col.to_pylist()
+                    keys = [mb.rows.columns[k].to_pylist() for k in key_names]
+                    for r in range(mb.n_rows):
+                        parts = [render(keys[j][r]) for j in range(len(key_names))]
+                        parts += [render(v) for v in vals[r]]
+                        f.write(delimiter.join(parts) + '\n')
+            return
+        # row/col-indexed (or table rows): key fields + the value
+        from ..ir.nodes import GetField
+        name = self._ir.name if isinstance(self._ir, GetField) else 'value'
+        if isinstance(src, _MT) and axes == frozenset({'column'}):
+            st = src._stage
+            key_names = list(st.col_key)
+            kvals = [st.cols.columns[k].to_pylist() for k in key_names]
+            vals = src._collect_expr(self)
+        elif src is not None:
+            st = src._stage
+            key_names = list(st.key) if hasattr(st, 'key') else list(st.row_key)
+            rows = src.rows().collect() if isinstance(src, _MT) else src.collect()
+            kvals = [[r[k] for r in rows] for k in key_names]
+            vals = src._collect_expr(self) if not isinstance(src, _MT) \
+                else src.rows()._collect_expr(self) if False else src._collect_expr(self)
+        else:
+            key_names, kvals = [], []
+            vals = [eval_scalar(self)]
         with open(path, 'w') as f:
             if header:
-                f.write('value\n')
-            for v in vals:
-                f.write((missing if v is None else str(v)) + '\n')
+                f.write(delimiter.join(key_names + [name]) + '\n')
+            for i, v in enumerate(vals):
+                parts = [render(kv[i]) for kv in kvals] + [render(v)]
+                f.write(delimiter.join(parts) + '\n')
 
     def summarize(self, handler=None):
         """Print summary statistics of the evaluated values (reference

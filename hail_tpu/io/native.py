@@ -221,10 +221,15 @@ def write_matrix_table(mt, path: str, overwrite: bool = False) -> None:
         arrs: Dict[str, np.ndarray] = {}
         row_descs = {k: column_to_arrays(f'r.{k}', c, arrs) for k, c in mb.rows.columns.items()}
         ent_descs = {k: column_to_arrays(f'e.{k}', c, arrs) for k, c in mb.entries.items()}
+        desc = {'rows': {'columns': row_descs, 'length': mb.n_rows},
+                'entries': ent_descs, 'n_rows': mb.n_rows,
+                'bounds': _partition_bounds(mb.rows, st.row_key)}
+        if mb.entry_missing is not None:
+            # FILTERED-entry mask (distinct from per-field missing)
+            arrs['entry_filtered'] = mb.entry_missing
+            desc['entry_filtered'] = True
         np.savez_compressed(os.path.join(path, 'parts', f'part-{i:05d}.npz'), **arrs)
-        part_descs.append({'rows': {'columns': row_descs, 'length': mb.n_rows},
-                           'entries': ent_descs, 'n_rows': mb.n_rows,
-                           'bounds': _partition_bounds(mb.rows, st.row_key)})
+        part_descs.append(desc)
     c_arrs: Dict[str, np.ndarray] = {}
     c_descs = {k: column_to_arrays(k, c, c_arrs) for k, c in st.cols.columns.items()}
     np.savez_compressed(os.path.join(path, 'cols.npz'), **c_arrs)
@@ -287,7 +292,9 @@ def read_matrix_table(path: str):
                 entries = {k: column_from_arrays(f'e.{k}', ed, arrs)
                            for k, ed in d['entries'].items()
                            if entry_fields is None or k in entry_fields}
-            return MatrixBatch(rows, entries)
+                filt = np.asarray(arrs['entry_filtered']) \
+                    if d.get('entry_filtered') else None
+            return MatrixBatch(rows, entries, filt)
 
         stage = MatrixStage(g, cols, meta['row_key'], meta['col_key'],
                             sel_row_t, ht.dtype(meta['col_type']), sel_ent_t,

@@ -385,12 +385,18 @@ class MatrixTable:
             st.globals, st.cols, st.row_key, st.col_key, new_t, st.col_type,
             st.entry_type, batches))
 
+    @staticmethod
+    def _unfiltered_mask(mb):
+        """(R, C) include mask excluding FILTERED entries, or None."""
+        return None if mb.entry_missing is None else ~mb.entry_missing
+
     def _eval_row_expr(self, e: Expression, mb: MatrixBatch, part_idx: int) -> Column:
         R = mb.n_rows
         agg_nodes = aggmod.collect_agg_nodes(e._ir)
         if agg_nodes:
             env = self._entry_env(mb, part_idx)
-            states = aggmod.partial_aggregate(agg_nodes, env, (1,))
+            states = aggmod.partial_aggregate(agg_nodes, env, (1,),
+                                              extra_include=MatrixTable._unfiltered_mask(mb))
             col = aggmod.finalize_aggregate(e._ir, agg_nodes, states,
                                             self._row_env(mb, part_idx))
         else:
@@ -418,7 +424,8 @@ class MatrixTable:
             def part(ctx):
                 mb = self._stage.partition_fn(ctx)
                 env = self._entry_env(mb, 0)
-                return aggmod.partial_aggregate(agg_nodes, env, (0,))
+                return aggmod.partial_aggregate(agg_nodes, env, (0,),
+                                                extra_include=MatrixTable._unfiltered_mask(mb))
             partials = Env.backend().map_collect(self._stage.contexts, part)
             if not partials:
                 raise ValueError('aggregation over an empty matrix')
@@ -445,7 +452,7 @@ class MatrixTable:
                 if col.shape != env.shape:
                     col = col.broadcast_to(env.shape)
                 ents[k] = col
-            return MatrixBatch(mb.rows, ents)
+            return MatrixBatch(mb.rows, ents, mb.entry_missing)
         return MatrixTable(self._stage.map_partitions(f, new_entry_type=new_t))
 
     def annotate_globals(self, **named_exprs) -> 'MatrixTable':
@@ -500,7 +507,7 @@ class MatrixTable:
                     ents[n] = col
                 else:
                     ents[n] = mb.entries[n]
-            return MatrixBatch(mb.rows, ents)
+            return MatrixBatch(mb.rows, ents, mb.entry_missing)
         return MatrixTable(self._stage.map_partitions(f, new_entry_type=new_t))
 
     def select_globals(self, *fields, **named_exprs) -> 'MatrixTable':
@@ -747,7 +754,8 @@ class MatrixTable:
         agg_nodes = aggmod.collect_agg_nodes(e._ir)
         def part(ctx):
             mb = self._stage.partition_fn(ctx)
-            return aggmod.partial_aggregate(agg_nodes, self._entry_env(mb, 0), (0, 1))
+            return aggmod.partial_aggregate(agg_nodes, self._entry_env(mb, 0), (0, 1),
+                                            extra_include=MatrixTable._unfiltered_mask(mb))
         partials = Env.backend().map_collect(self._stage.contexts, part)
         from .table import _tree_combine
         state = _tree_combine(agg_nodes, partials)
@@ -1143,7 +1151,7 @@ class MatrixTable:
             ents = {fn: C.from_pylist(ht.tarray(st.entry_type[fn]), new_flat[fn])
                     .reshape((R, len(group_lists)))
                     for fn in st.entry_type.fields}
-            return MatrixBatch(mb.rows, ents)
+            return MatrixBatch(mb.rows, ents, mb.entry_missing)
         st2 = st.map_partitions(f, new_entry_type=new_ent_t)
         return MatrixTable(MatrixStage(st2.globals, new_cols, st2.row_key,
                                        st2.col_key, st2.row_type, new_col_t,

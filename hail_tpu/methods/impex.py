@@ -649,7 +649,9 @@ def import_matrix_table(paths, row_fields=None, row_key=(), entry_type=ht.tint32
                 return float(v)
             return v
         rf_cols[name] = C.from_pylist(t, [cv(v) for v in vals])
-    ent = np.zeros((m, n), dtype=entry_type.numpy_dtype or np.float64)
+    numeric_entries = entry_type.numpy_dtype is not None
+    ent = np.zeros((m, n), dtype=entry_type.numpy_dtype) if numeric_entries \
+        else np.empty((m, n), dtype=object)
     emiss = np.zeros((m, n), dtype=bool)
     for r, row in enumerate(data_rows):
         for c in range(n):
@@ -660,15 +662,37 @@ def import_matrix_table(paths, row_fields=None, row_key=(), entry_type=ht.tint32
                 ent[r, c] = int(v)
             elif entry_type in (ht.tfloat32, ht.tfloat64):
                 ent[r, c] = float(v)
-    rf_cols['row_id'] = PrimitiveColumn(ht.tint64, np.arange(m, dtype=np.int64))
-    row_t = ht.tstruct(row_id=ht.tint64, **{k: rf_cols[k].typ for k in rf_names})
-    rows = Batch({'row_id': rf_cols['row_id'], **{k: rf_cols[k] for k in rf_names}}, m)
-    cols = Batch({'col_id': C.from_pylist(ht.tstr, col_ids)}, n)
+            else:
+                ent[r, c] = v
+    if isinstance(row_key, str):
+        row_key = [row_key]
+    row_key = list(row_key)
+    add_row_id = not row_key
+    if add_row_id:
+        # the implicit int64 row index key (reference import_matrix_table)
+        rf_cols['row_id'] = PrimitiveColumn(ht.tint64, np.arange(m, dtype=np.int64))
+        row_t = ht.tstruct(row_id=ht.tint64, **{k: rf_cols[k].typ for k in rf_names})
+        rows = Batch({'row_id': rf_cols['row_id'], **{k: rf_cols[k] for k in rf_names}}, m)
+        row_key = ['row_id']
+    else:
+        row_t = ht.tstruct(**{k: rf_cols[k].typ for k in rf_names})
+        rows = Batch({k: rf_cols[k] for k in rf_names}, m)
+    if header is None:
+        # headerless files number their columns (int32 col ids)
+        col_col = C.from_pylist(ht.tint32, [int(c) for c in col_ids])
+        col_t = ht.tstruct(col_id=ht.tint32)
+    else:
+        col_col = C.from_pylist(ht.tstr, col_ids)
+        col_t = ht.tstruct(col_id=ht.tstr)
+    cols = Batch({'col_id': col_col}, n)
     return MatrixTable(MatrixStage.from_batches(
-        Batch({}, 1), cols, list(row_key) or ['row_id'], ['col_id'], row_t,
-        ht.tstruct(col_id=ht.tstr), ht.tstruct(x=entry_type),
+        Batch({}, 1), cols, row_key, ['col_id'], row_t,
+        col_t, ht.tstruct(x=entry_type),
         [MatrixBatch(rows, {'x': PrimitiveColumn(entry_type, ent,
-                                                 emiss if emiss.any() else None)})]))
+                                                 emiss if emiss.any() else None)
+                            if numeric_entries else
+                            C.ObjectColumn(entry_type,
+                                           np.where(emiss, None, ent))})]))
 
 
 def grep(regex: str, path, max_count: int = 100, *, show: bool = True):

@@ -90,80 +90,95 @@ def read_vds(path: str, *, intervals=None, n_partitions=None,
 
 
 def to_dense_mt(vds: VariantDataset) -> MatrixTable:
-    """Densify: fill variant-site entries from the covering reference blocks
-    (reference `vds/methods.py` to_dense_mt): per sample, a variant position
-    with no variant call but inside a defined reference block [start, END]
-    becomes hom-ref with the block's GQ/DP."""
-    from ..genetics.call import pack_diploid
-    from ..ir.columns import Batch, PrimitiveColumn
-    from ..matrixtable import MatrixBatch, MatrixStage, _concat_matrix_batches
+    """Densify: at each variant site, a sample with no variant call takes the
+    covering reference block's shared fields and a (hom-)ref call; uncovered
+    sites stay FILTERED (reference vds/methods.py to_dense_mt coalesce_join
+    semantics, incl. haploid reference LGT/GT passthrough)."""
+    from ..genetics.call import pack_call
+    from ..genetics.call import Call as _Call
+    from ..ir.columns import Batch
+    from ..matrixtable import MatrixBatch, MatrixStage, MatrixTable, _concat_matrix_batches
     ref_mt, var_mt = vds.reference_data, vds.variant_data
     rst, vst = ref_mt._stage, var_mt._stage
     if rst.n_cols == 0 or not rst.contexts:
         return var_mt
     rmb = _concat_matrix_batches(rst.collect_batches(), rst)
     vmb = _concat_matrix_batches(vst.collect_batches(), vst)
+    n = vst.n_cols
     if rmb.n_rows == 0 or vmb.n_rows == 0:
         return var_mt
-    n = vst.n_cols
-    ref_locus = rmb.rows.columns['locus']
-    ref_gpos = np.asarray(ref_locus.global_position())
-    end_field = '__END' if '__END' in rmb.rows.columns else None
-    if end_field is None:
-        return var_mt
-    ends = np.asarray(rmb.rows.columns[end_field].values, dtype=np.int64)
-    end_miss = rmb.rows.columns[end_field].missing_mask()
-    # END is a position on the same contig: global end = gpos + (END - pos)
-    ref_pos = np.asarray(ref_locus.position, dtype=np.int64)
-    end_gpos = ref_gpos + np.where(end_miss, 0, ends - ref_pos)
-    var_gpos = np.asarray(vmb.rows.columns['locus'].global_position())
 
-    gt_col = vmb.entries.get('GT')
-    if gt_col is None:
+    ref_loc = rmb.rows.columns['locus']
+    ref_gpos = np.asarray(ref_loc.global_position())
+    ref_pos = np.asarray(ref_loc.position, dtype=np.int64)
+    if 'END' in rmb.entries:
+        ends_col = rmb.entries['END']
+        ends = np.asarray(ends_col.values, dtype=np.int64)
+        block_def = ~rmb.entry_filtered_mask() & ~ends_col.missing_mask()
+        end_gpos = ref_gpos[:, None] + (ends - ref_pos[:, None])
+    elif '__END' in rmb.rows.columns:
+        ends = np.asarray(rmb.rows.columns['__END'].values, dtype=np.int64)
+        end_gpos = np.broadcast_to(
+            (ref_gpos + (ends - ref_pos))[:, None], (rmb.n_rows, n)).copy()
+        block_def = ~rmb.entry_filtered_mask()
+    else:
         return var_mt
-    gt = np.array(gt_col.values, dtype=np.int32, copy=True)
-    gt_miss = np.array(gt_col.missing_mask(), copy=True)
-    ref_gt_defined = ~rmb.entries['GT'].missing_mask() if 'GT' in rmb.entries else \
-        np.ones((rmb.n_rows, n), dtype=bool)
-    fill_fields = {}
-    for f in ('DP', 'GQ', 'MIN_DP'):
-        if f in rmb.entries and f in vmb.entries:
-            fill_fields[f] = (np.asarray(rmb.entries[f].values),
-                              rmb.entries[f].missing_mask())
-    out_extra = {f: (np.array(vmb.entries[f].values, copy=True),
-                     np.array(vmb.entries[f].missing_mask(), copy=True))
-                 for f in fill_fields}
-    hom_ref = np.int32(2 | (0 << 3) | (0 << 17))
-    for s_i in range(n):
-        defined = ref_gt_defined[:, s_i]
+
+    var_gpos = np.asarray(vmb.rows.columns['locus'].global_position())
+    var_filtered = vmb.entry_filtered_mask()
+    ent_t = vst.entry_type
+    call_field = 'GT' if 'GT' in ent_t.fields else (
+        'LGT' if 'LGT' in ent_t.fields else None)
+    ref_fields = set(rst.entry_type.fields)
+    ref_call_field = 'GT' if 'GT' in ref_fields else (
+        'LGT' if 'LGT' in ref_fields else None)
+    shared = [f for f in ent_t.fields if f in ref_fields and f != 'END']
+    ref_objs = {f: C.to_object(rmb.entries[f]) for f in shared}
+    ref_call = rmb.entries.get(ref_call_field) if ref_call_field else None
+    hom_ref = _Call([0, 0])
+
+    out_vals = {f: np.array(C.to_object(vmb.entries[f]).values, copy=True)
+                for f in ent_t.fields}
+    out_filtered = np.array(var_filtered, copy=True)
+    for s in range(n):
+        defined = block_def[:, s]
         if not defined.any():
             continue
         starts = ref_gpos[defined]
-        ends_s = end_gpos[defined]
+        ends_s = end_gpos[defined, s]
         block_rows = np.where(defined)[0]
         idx = np.searchsorted(starts, var_gpos, side='right') - 1
-        valid = (idx >= 0)
+        valid = idx >= 0
         idxc = np.clip(idx, 0, len(starts) - 1)
         covered = valid & (ends_s[idxc] >= var_gpos)
-        need = gt_miss[:, s_i] & covered
+        need = var_filtered[:, s] & covered
         if not need.any():
             continue
-        gt[need, s_i] = hom_ref
-        gt_miss[need, s_i] = False
         src_rows = block_rows[idxc[need]]
-        for f, (vals, miss) in fill_fields.items():
-            ov, om = out_extra[f]
-            ov[need, s_i] = vals[src_rows, s_i]
-            om[need, s_i] = miss[src_rows, s_i]
-    ents = dict(vmb.entries)
-    ents['GT'] = PrimitiveColumn(ht.tcall, gt, gt_miss if gt_miss.any() else None)
-    for f, (ov, om) in out_extra.items():
-        ents[f] = type(vmb.entries[f])(vmb.entries[f].typ, ov, om if om.any() else None) \
-            if isinstance(vmb.entries[f], PrimitiveColumn) else vmb.entries[f]
+        rows_need = np.where(need)[0]
+        for f in ent_t.fields:
+            if f == call_field:
+                if ref_call is not None:
+                    cv = C.to_object(ref_call).values
+                    vals = [cv[r0, s] if cv[r0, s] is not None else hom_ref
+                            for r0 in src_rows]
+                else:
+                    vals = [hom_ref] * len(src_rows)
+                out_vals[f][rows_need, s] = vals
+            elif f in shared:
+                out_vals[f][rows_need, s] = ref_objs[f].values[src_rows, s]
+            # var-only fields stay missing
+        out_filtered[rows_need, s] = False
+
+    ents = {}
+    for f, t2 in ent_t.fields.items():
+        flat = [out_vals[f][i, j] for i in range(vmb.n_rows) for j in range(n)]
+        ents[f] = C.from_pylist(t2, flat).reshape((vmb.n_rows, n))
     return MatrixTable(MatrixStage.from_batches(
         vst.globals, vst.cols, vst.row_key, vst.col_key, vst.row_type,
-        vst.col_type, vst.entry_type, [MatrixBatch(vmb.rows, ents)]))
-
+        vst.col_type, ent_t,
+        [MatrixBatch(vmb.rows, ents,
+                     out_filtered if out_filtered.any() else None)]))
 
 def to_merged_sparse_mt(vds: VariantDataset) -> MatrixTable:
     return vds.variant_data.union_rows(vds.reference_data) \
@@ -890,7 +905,18 @@ def impute_sex_chr_ploidy_from_interval_coverage(mt: MatrixTable,
 
 def merge_reference_blocks(ds, equivalence_function, merge_functions=None):
     """Merge adjacent per-sample reference blocks when the user equivalence
-    holds (reference vds/methods.py:996). Host-tier sequential pass."""
+    holds (reference vds/methods.py:996). Host-tier sequential pass.
+
+    Semantics matched to the reference: the folded block is placed at the
+    chain-start row (keeping the first block's un-merged fields), absorbed
+    rows get missing entries, and ``ref_block_max_length`` is dropped since
+    merging can lengthen blocks. Known data-dependent caveat: a
+    ``merge_functions`` entry such as ``{'MIN_DP': 'min'}`` genuinely changes
+    the fill value ``to_dense_mt`` produces at variant sites inside a merged
+    chain (e.g. chr22:10685693 in the 1kg 5-sample VDS: covering block
+    MIN_DP 9, chain-min 8), so ``to_dense_mt(vds)._same(to_dense_mt(merged))``
+    cannot hold on such data under either implementation.
+    """
     from ..utils.structs import Struct as _S
     is_vds = isinstance(ds, VariantDataset)
     rd = ds.reference_data if is_vds else ds
