@@ -122,7 +122,7 @@ def call_stats(call, alleles) -> Expression:
 
 
 def hardy_weinberg_test(call, one_sided: bool = False) -> Expression:
-    return _agg(A.HWEAgg(), [call])
+    return _agg(A.HWEAgg(), [call], (bool(one_sided),))
 
 
 def inbreeding(call, prior) -> Expression:

@@ -1648,12 +1648,11 @@ def dnorm(x, mu=0, sigma=1, log_p=False):
 
 def pchisqtail(x, df, ncp=None, lower_tail=False, log_p=False):
     def f(v, d, nc):
-        st, sp = _scipy_stats()
-        dist = st.chi2 if nc is None else None
         if nc is None:
-            p = st.chi2.cdf(v, d) if lower_tail else st.chi2.sf(v, d)
-        else:
-            p = st.ncx2.cdf(v, d, nc) if lower_tail else st.ncx2.sf(v, d, nc)
+            from ..stats import rmath
+            return rmath.pchisq(v, d, lower_tail=lower_tail, log_p=log_p)
+        st, sp = _scipy_stats()
+        p = st.ncx2.cdf(v, d, nc) if lower_tail else st.ncx2.sf(v, d, nc)
         return math.log(p) if log_p else p
     if ncp is None:
         return _apply('pchisqtail', ht.tfloat64,
@@ -1681,17 +1680,15 @@ def qchisqtail(p, df, ncp=None, lower_tail=False, log_p=False):
 
 def ppois(x, lamb, lower_tail=True, log_p=False):
     def f(v, l):
-        st, sp = _scipy_stats()
-        p = st.poisson.cdf(v, l) if lower_tail else st.poisson.sf(v, l)
-        return math.log(p) if log_p else p
+        from ..stats import rmath
+        return rmath.ppois(v, l, lower_tail=lower_tail, log_p=log_p)
     return _apply('ppois', ht.tfloat64, _obj_impl(ht.tfloat64, f), to_expr(x), to_expr(lamb))
 
 
 def dpois(x, lamb, log_p=False):
     def f(v, l):
-        st, sp = _scipy_stats()
-        d = st.poisson.pmf(v, l)
-        return math.log(d) if log_p else d
+        from ..stats import rmath
+        return rmath.dpois(v, l, give_log=log_p)
     return _apply('dpois', ht.tfloat64, _obj_impl(ht.tfloat64, f), to_expr(x), to_expr(lamb))
 
 
@@ -1740,15 +1737,9 @@ def fisher_exact_test(c1, c2, c3, c4):
     t = ht.tstruct(p_value=ht.tfloat64, odds_ratio=ht.tfloat64,
                    ci_95_lower=ht.tfloat64, ci_95_upper=ht.tfloat64)
     def f(a, b, c, d):
-        st, sp = _scipy_stats()
-        table = [[a, b], [c, d]]
-        res = st.fisher_exact(table)
-        try:
-            ci = st.contingency.odds_ratio(table).confidence_interval(0.95)
-            lo, hi = ci.low, ci.high
-        except Exception:
-            lo, hi = _bi.float('nan'), _bi.float('nan')
-        return Struct(p_value=res.pvalue, odds_ratio=res.statistic, ci_95_lower=lo, ci_95_upper=hi)
+        from ..stats.exact_tests import fisher_exact_test as fet
+        p, orat, lo, hi = fet(_bi.int(a), _bi.int(b), _bi.int(c), _bi.int(d))
+        return Struct(p_value=p, odds_ratio=orat, ci_95_lower=lo, ci_95_upper=hi)
     return _apply('fisher_exact_test', t, _obj_impl(t, f),
                   to_expr(c1), to_expr(c2), to_expr(c3), to_expr(c4))
 
@@ -1756,17 +1747,9 @@ def fisher_exact_test(c1, c2, c3, c4):
 def chi_squared_test(c1, c2, c3, c4):
     t = ht.tstruct(p_value=ht.tfloat64, odds_ratio=ht.tfloat64)
     def f(a, b, c, d):
-        n = a + b + c + d
-        if n == 0:
-            return Struct(p_value=_bi.float('nan'), odds_ratio=_bi.float('nan'))
-        e_a = (a + b) * (a + c) / n
-        e_b = (a + b) * (b + d) / n
-        e_c = (c + d) * (a + c) / n
-        e_d = (c + d) * (b + d) / n
-        stat = _bi.sum((o - e) ** 2 / e if e > 0 else 0.0 for o, e in [(a, e_a), (b, e_b), (c, e_c), (d, e_d)])
-        st, sp = _scipy_stats()
-        orat = (a * d) / (b * c) if b * c > 0 else _bi.float('inf')
-        return Struct(p_value=st.chi2.sf(stat, 1), odds_ratio=orat)
+        from ..stats.exact_tests import chi_squared_test as cst
+        p, orat = cst(_bi.int(a), _bi.int(b), _bi.int(c), _bi.int(d))
+        return Struct(p_value=p, odds_ratio=orat)
     return _apply('chi_squared_test', t, _obj_impl(t, f),
                   to_expr(c1), to_expr(c2), to_expr(c3), to_expr(c4))
 
@@ -1775,11 +1758,9 @@ def contingency_table_test(c1, c2, c3, c4, min_cell_count):
     t = ht.tstruct(p_value=ht.tfloat64, odds_ratio=ht.tfloat64)
     mcc = to_expr(min_cell_count)
     def f(a, b, c, d, m):
-        if _bi.min([a, b, c, d]) < m:
-            st, sp = _scipy_stats()
-            res = st.fisher_exact([[a, b], [c, d]])
-            return Struct(p_value=res.pvalue, odds_ratio=res.statistic)
-        return eval_scalar(chi_squared_test(a, b, c, d))
+        from ..stats.exact_tests import contingency_table_test as ctt
+        p, orat = ctt(_bi.int(a), _bi.int(b), _bi.int(c), _bi.int(d), _bi.int(m))
+        return Struct(p_value=p, odds_ratio=orat)
     return _apply('contingency_table_test', t, _obj_impl(t, f),
                   to_expr(c1), to_expr(c2), to_expr(c3), to_expr(c4), mcc)
 
@@ -1788,7 +1769,7 @@ def hardy_weinberg_test(n_hom_ref, n_het, n_hom_var, one_sided=False):
     t = ht.tstruct(het_freq_hwe=ht.tfloat64, p_value=ht.tfloat64)
     def f(a, b, c):
         from ..stats.hwe import hwe_test
-        hf, p = hwe_test(_bi.int(a), _bi.int(b), _bi.int(c))
+        hf, p = hwe_test(_bi.int(a), _bi.int(b), _bi.int(c), one_sided=one_sided)
         return Struct(het_freq_hwe=hf, p_value=p)
     return _apply('hardy_weinberg_test', t, _obj_impl(t, f),
                   to_expr(n_hom_ref), to_expr(n_het), to_expr(n_hom_var))
@@ -2594,8 +2575,11 @@ def zeros(length):
 
 def dchisq(x, df, ncp=None, log_p=False):
     def f(v, d, nc):
+        if nc is None:
+            from ..stats import rmath
+            return rmath.dchisq(v, d, give_log=log_p)
         st, sp = _scipy_stats()
-        dens = st.chi2.pdf(v, d) if nc is None else st.ncx2.pdf(v, d, nc)
+        dens = st.ncx2.pdf(v, d, nc)
         return math.log(dens) if log_p else dens
     nce = to_expr(0.0) if ncp is None else to_expr(ncp)
     if ncp is None:
@@ -2610,18 +2594,16 @@ def dgamma(x, shape, scale, log_p=False):
     """Gamma density with `shape`/`scale` parameterization (reference
     functions.py `dgamma`)."""
     def f(v, a, s):
-        st, sp = _scipy_stats()
-        d = st.gamma.pdf(v, a, scale=s)
-        return math.log(d) if log_p else d
+        from ..stats import rmath
+        return rmath.dgamma(v, a, s, give_log=log_p)
     return _apply('dgamma', ht.tfloat64, _obj_impl(ht.tfloat64, f),
                   to_expr(x), to_expr(shape), to_expr(scale))
 
 
 def pgamma(x, shape, scale, lower_tail=True, log_p=False):
     def f(v, a, s):
-        st, sp = _scipy_stats()
-        p = st.gamma.cdf(v, a, scale=s) if lower_tail else st.gamma.sf(v, a, scale=s)
-        return math.log(p) if log_p else p
+        from ..stats import rmath
+        return rmath.pgamma(v, a, s, lower_tail=lower_tail, log_p=log_p)
     return _apply('pgamma', ht.tfloat64, _obj_impl(ht.tfloat64, f),
                   to_expr(x), to_expr(shape), to_expr(scale))
 
@@ -2677,7 +2659,7 @@ def cochran_mantel_haenszel_test(a, b, c, d):
     t = ht.tstruct(test_statistic=ht.tfloat64, p_value=ht.tfloat64)
 
     def f(av, bv, cv, dv):
-        st, sp = _scipy_stats()
+        from ..stats.rmath import pchisq
         num = 0.0
         den = 0.0
         for ai, bi, ci, di in _bi.zip(av, bv, cv, dv):
@@ -2689,7 +2671,7 @@ def cochran_mantel_haenszel_test(a, b, c, d):
             num += ai - n1 * m1 / tt
             den += n1 * n2 * m1 * m2 / (tt ** 3 - tt ** 2)
         stat = (_bi.abs(num) - 0.5) ** 2 / den
-        return Struct(test_statistic=stat, p_value=_bi.float(st.chi2.sf(stat, 1)))
+        return Struct(test_statistic=stat, p_value=pchisq(stat, 1, lower_tail=False))
     return _apply('cochran_mantel_haenszel_test', t, _obj_impl(t, f),
                   array(a), array(b), array(c), array(d))
 

@@ -730,8 +730,9 @@ class HWEAgg(Aggregator):
 
     def result(self, state, init_args):
         from ..stats.hwe import hwe_test_vec
+        one_sided = bool(init_args[0]) if init_args else False
         n_hom_ref, n_het, n_hom_var = (np.atleast_1d(np.asarray(v)) for v in state)
-        het_freq, p = hwe_test_vec(n_hom_ref, n_het, n_hom_var)
+        het_freq, p = hwe_test_vec(n_hom_ref, n_het, n_hom_var, one_sided=one_sided)
         shape = n_hom_ref.shape
         return StructColumn(self._result_t, {
             'het_freq_hwe': PrimitiveColumn(ht.tfloat64, het_freq),

@@ -49,33 +49,53 @@ def _lh_distribution(n: int, nA: int) -> Tuple[np.ndarray, np.ndarray]:
 
 def hwe_test(n_hom_ref: int, n_het: int, n_hom_var: int,
              one_sided: bool = False) -> Tuple[float, float]:
+    """(het_freq_hwe, p_value) with the reference's exact semantics
+    (is/hail/stats/package.scala:114 `hardyWeinbergTest`):
+
+    - het_freq_hwe = E[nAB]/n with the Levene-Haldane closed-form mean
+      nA*nB/(2n-1) — NaN when n == 0 (mean is -0.0/0).
+    - one_sided: rightMidP(nAB) = P(X > nAB) + P(nAB)/2 (test for excess
+      heterozygosity).
+    - two-sided: exactMidP(nAB) = sum of P(x) for x strictly less probable
+      than nAB plus half-weight for outcomes of (relatively) equal
+      probability, D_== tolerance 1e-12.
+    - degenerate distributions (all mass at one het count, including no
+      data) give p = 0.5.
+    """
+    if n_hom_ref < 0 or n_het < 0 or n_hom_var < 0:
+        from ..utils.java import FatalError
+        raise FatalError(
+            f'hardy_weinberg_test: all arguments must be non-negative, '
+            f'got {n_hom_ref}, {n_het}, {n_hom_var}')
     n = n_hom_ref + n_het + n_hom_var
-    if n == 0:
-        return (float('nan'), float('nan'))
-    n_a = 2 * n_hom_ref + n_het  # copies of "A"
-    n_b = 2 * n_hom_var + n_het
-    nA = min(n_a, n_b)  # rarer allele copies
+    nAB = n_het
+    nA = nAB + 2 * min(n_hom_ref, n_hom_var)  # rarer allele copies
+    nB = 2 * n - nA
+    # closed-form Levene-Haldane mean, matching the reference bit for bit
+    mean = 1.0 * nA * nB / (2 * n - 1) if n > 0 else -0.0
+    het_freq = mean / n if n > 0 else float('nan')
+
     hets, pmf = _lh_distribution(n, nA)
-    e_het = float(np.sum(hets * pmf))
-    het_freq = e_het / n
-    idx = np.searchsorted(hets, n_het)
-    p_obs = pmf[idx] if idx < len(hets) and hets[idx] == n_het else 0.0
+    idx = np.searchsorted(hets, nAB)
+    p_obs = float(pmf[idx]) if idx < len(hets) and hets[idx] == nAB else 0.0
     if one_sided:
-        # excess-het mid-p (reference LeveneHaldane.rightMidP):
-        # P(X > obs) + 0.5 * P(obs)
-        p = float(np.sum(pmf[hets > n_het]) + 0.5 * p_obs)
+        # reference LeveneHaldane.rightMidP: P(X > obs) + 0.5 * P(obs)
+        p = float(np.sum(pmf[hets > nAB]) + 0.5 * p_obs)
         return het_freq, min(p, 1.0)
     # two-sided exact mid-p (reference LeveneHaldane.exactMidP): outcomes of
     # smaller probability fully, equal probability (incl. obs) at half weight
+    if p_obs == 0.0:
+        return het_freq, 0.0
     tol = 1e-12
-    less = pmf < p_obs * (1 - tol)
-    equal = np.abs(pmf - p_obs) <= p_obs * tol
+    eps = tol * np.maximum(pmf, p_obs)
+    less = pmf < p_obs - eps
+    equal = np.abs(pmf - p_obs) <= eps
     p = float(np.sum(pmf[less]) + 0.5 * np.sum(pmf[equal]))
     return het_freq, min(p, 1.0)
 
 
 def hwe_test_vec(n_hom_ref: np.ndarray, n_het: np.ndarray, n_hom_var: np.ndarray,
-                 with_one_sided: bool = False):
+                 with_one_sided: bool = False, one_sided: bool = False):
     n_hom_ref = np.asarray(n_hom_ref).ravel()
     n_het = np.asarray(n_het).ravel()
     n_hom_var = np.asarray(n_hom_var).ravel()
@@ -83,7 +103,8 @@ def hwe_test_vec(n_hom_ref: np.ndarray, n_het: np.ndarray, n_hom_var: np.ndarray
     p = np.empty(n_hom_ref.shape, dtype=np.float64)
     p1 = np.empty(n_hom_ref.shape, dtype=np.float64)
     for i in range(n_hom_ref.size):
-        het_freq[i], p[i] = hwe_test(int(n_hom_ref[i]), int(n_het[i]), int(n_hom_var[i]))
+        het_freq[i], p[i] = hwe_test(int(n_hom_ref[i]), int(n_het[i]), int(n_hom_var[i]),
+                                     one_sided=one_sided)
         if with_one_sided:
             _, p1[i] = hwe_test(int(n_hom_ref[i]), int(n_het[i]), int(n_hom_var[i]),
                                 one_sided=True)

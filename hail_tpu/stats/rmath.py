@@ -1,0 +1,796 @@
+"""Bit-faithful port of R's gamma-family distribution kernels.
+
+The reference engine's `pchisqtail` / `dchisq` / `pgamma` / `dgamma` /
+`ppois` / `dpois` builtins (is/hail/stats/package.scala via jdistlib, itself a
+Java port of R's C nmath sources) return the exact doubles R produces, and
+the reference test-suite asserts those doubles with `==`.  This module
+re-derives the same algorithm family — Catherine Loader's saddle-point
+density (`bd0` + `stirlerr`) and Morten Welinder's `pgamma` rewrite
+(`logcf`/`log1pmx`/`lgamma1p`, upper/lower series, lower continued fraction,
+`ppois_asymp`) — with the identical operation order so intermediate rounding
+matches the reference bit for bit on the supported paths.
+
+Pure host-tier scalar code: these feed `hl.eval`-style scalar builtins and
+per-row host aggregations, never the jit compute path.
+"""
+
+from __future__ import annotations
+
+import math
+
+__all__ = [
+    'pgamma', 'dgamma', 'pchisq', 'dchisq', 'ppois', 'dpois',
+    'dpois_raw', 'bd0', 'stirlerr', 'log1pmx', 'lgamma1p',
+]
+
+_DBL_EPSILON = 2.220446049250313e-16
+_DBL_MIN = 2.2250738585072014e-308
+_DBL_MAX = 1.7976931348623157e308
+_DBL_MIN_EXP = -1021
+_DBL_MANT_DIG = 53
+_M_LN2 = 0.6931471805599453
+_M_2PI = 6.283185307179586
+_M_LN_SQRT_2PI = 0.918938533204672741780329736406
+_M_1_SQRT_2PI = 0.398942280401432677939946059934
+_M_SQRT_32 = 5.656854249492380195206754896838
+_M_SQRT2 = 1.4142135623730951
+
+# sqr(sqr(sqr(4294967296.0))) = 2^256
+_scalefactor = 4294967296.0 ** 8
+# ln(2) * DBL_MAX_EXP / DBL_EPSILON
+_M_cutoff = _M_LN2 * 1024 / _DBL_EPSILON
+
+_inf = math.inf
+_nan = math.nan
+
+
+def _fmax2(a, b):
+    return a if a > b else b
+
+
+# ---------------------------------------------------------------------------
+# logcf / log1pmx / lgamma1p
+# ---------------------------------------------------------------------------
+
+def _logcf(x, i, d, eps):
+    """Continued fraction for log(1-x) related series: sum x^k/(i+k*d)."""
+    c1 = 2 * d
+    c2 = i + d
+    c4 = c2 + d
+    a1 = c2
+    b1 = i * (c2 - i * x)
+    b2 = d * d * x
+    a2 = c4 * c2 - b2
+    b2 = c4 * b1 - i * b2
+
+    while abs(a2 * b1 - a1 * b2) > abs(eps * b1 * b2):
+        c3 = c2 * c2 * x
+        c2 += d
+        c4 += d
+        a1 = c4 * a2 - c3 * a1
+        b1 = c4 * b2 - c3 * b1
+
+        c3 = c1 * c1 * x
+        c1 += d
+        c4 += d
+        a2 = c4 * a1 - c3 * a2
+        b2 = c4 * b1 - c3 * b2
+
+        if abs(b2) > _scalefactor:
+            a1 /= _scalefactor
+            b1 /= _scalefactor
+            a2 /= _scalefactor
+            b2 /= _scalefactor
+        elif abs(b2) < 1 / _scalefactor:
+            a1 *= _scalefactor
+            b1 *= _scalefactor
+            a2 *= _scalefactor
+            b2 *= _scalefactor
+
+    return a2 / b2
+
+
+_minLog1Value = -0.79149064
+
+
+def log1pmx(x):
+    """log(1+x) - x, accurately for small |x|."""
+    if x > 1 or x < _minLog1Value:
+        return math.log1p(x) - x
+    # expand in (x/(2+x))^2
+    r = x / (2 + x)
+    y = r * r
+    if abs(x) < 1e-2:
+        two = 2.0
+        return r * ((((two / 9 * y + two / 7) * y + two / 5) * y + two / 3) * y - x)
+    return r * (2 * y * _logcf(y, 3.0, 2.0, 1e-14) - x)
+
+
+# coeffs[i] = (zeta(i+2)-1)/(i+2), i = 0..39  (exact doubles from R pgamma.c)
+_lgamma1p_coeffs = (
+    0.3224670334241132182362075833230126e-0,
+    0.6735230105319809513324605383715000e-1,
+    0.2058080842778454787900092413529198e-1,
+    0.7385551028673985266273097291406834e-2,
+    0.2890510330741523285752988298486755e-2,
+    0.1192753911703260977113935692828109e-2,
+    0.5096695247430424223356548135815582e-3,
+    0.2231547584535793797614188036013401e-3,
+    0.9945751278180853371459589003190170e-4,
+    0.4492623673813314170020750240635786e-4,
+    0.2050721277567069155316650397830591e-4,
+    0.9439488275268395903987425104415055e-5,
+    0.4374866789907487804181793223952411e-5,
+    0.2039215753801366236781900709670839e-5,
+    0.9551412130407419832857179772951265e-6,
+    0.4492469198764566043294290331193655e-6,
+    0.2120718480555466586923135901077628e-6,
+    0.1004322482396809960872083050053344e-6,
+    0.4769810169363980565760193417246730e-7,
+    0.2271109460894316491031998116062124e-7,
+    0.1083865921489695409107491757968159e-7,
+    0.5183475041970046655121248647057669e-8,
+    0.2483674543802478317185008663991718e-8,
+    0.1192140140586091207442548202774640e-8,
+    0.5731367241678862013330194857961011e-9,
+    0.2759522885124233145178149692816341e-9,
+    0.1330476437424448948149715720858008e-9,
+    0.6422964563838100022082448087644648e-10,
+    0.3104424774732227276239215783404066e-10,
+    0.1502138408075414217093301048780668e-10,
+    0.7275974480239079662504549924814047e-11,
+    0.3527742476575915083615072228655483e-11,
+    0.1711991790559617908601084114443031e-11,
+    0.8315385841420284819798357793954418e-12,
+    0.4042200525289440065536008957032895e-12,
+    0.1966475631096616490411045679010286e-12,
+    0.9573630387838555763782200936508615e-13,
+    0.4664076026428374224576492565974577e-13,
+    0.2273736960065972320633279596737272e-13,
+    0.1109139947083452201658320007192334e-13,
+)
+
+_eulers_const = 0.5772156649015328606065120900824024
+_lgamma1p_c = 0.2273736845824652515226821577978691e-12  # zeta(N+2)-1, N=40
+
+
+def lgamma1p(a):
+    """log(Gamma(a+1)), accurate for |a| < 0.5."""
+    if abs(a) >= 0.5:
+        return math.lgamma(a + 1)
+    # Abramowitz & Stegun 6.1.33
+    lgam = _lgamma1p_c * _logcf(-a / 2, 42.0, 1.0, 1e-14)
+    for i in range(39, -1, -1):
+        lgam = _lgamma1p_coeffs[i] - a * lgam
+    return (a * lgam - _eulers_const) * a - log1pmx(a)
+
+
+# ---------------------------------------------------------------------------
+# stirlerr / bd0 (Loader's density machinery)
+# ---------------------------------------------------------------------------
+
+_S0 = 0.083333333333333333333        # 1/12
+_S1 = 0.00277777777777777777778      # 1/360
+_S2 = 0.00079365079365079365079365   # 1/1260
+_S3 = 0.000595238095238095238095238  # 1/1680
+_S4 = 0.0008417508417508417508417508 # 1/1188
+
+_sferr_halves = (
+    0.0,                           # 0.0 (placeholder)
+    0.1534264097200273452913848,   # 0.5
+    0.0810614667953272582196702,   # 1.0
+    0.0548141210519176538961390,   # 1.5
+    0.0413406959554092940938221,   # 2.0
+    0.03316287351993628748511048,  # 2.5
+    0.02767792568499833914878929,  # 3.0
+    0.02374616365629749597132920,  # 3.5
+    0.02079067210376509311152277,  # 4.0
+    0.01848845053267318523077934,  # 4.5
+    0.01664469118982119565398018,  # 5.0
+    0.01513497322191737887351255,  # 5.5
+    0.01387612882307074799874573,  # 6.0
+    0.01281046524292022692424986,  # 6.5
+    0.01189670994589177009505572,  # 7.0
+    0.01110455975820691732662991,  # 7.5
+    0.010411265261972096497478567, # 8.0
+    0.009799416126158803298389475, # 8.5
+    0.009255462182712732917728637, # 9.0
+    0.008768700134139385462952823, # 9.5
+    0.008330563433362871256469318, # 10.0
+    0.007934114564314020547248100, # 10.5
+    0.007573675487951840794972024, # 11.0
+    0.007244554301320383179543912, # 11.5
+    0.006942840107209529865664152, # 12.0
+    0.006665247032707682442354394, # 12.5
+    0.006408994188004207068439631, # 13.0
+    0.006171712263039457647532867, # 13.5
+    0.005951370112758847735624416, # 14.0
+    0.005746216513010115682023589, # 14.5
+    0.005554733551962801371038690, # 15.0
+)
+
+
+def stirlerr(n):
+    """stirlerr(n) = log(n!) - log(sqrt(2*pi*n)*(n/e)^n)."""
+    if n <= 15.0:
+        nn = n + n
+        if nn == int(nn):
+            return _sferr_halves[int(nn)]
+        return math.lgamma(n + 1.0) - (n + 0.5) * math.log(n) + n - _M_LN_SQRT_2PI
+
+    nn = n * n
+    if n > 500:
+        return (_S0 - _S1 / nn) / n
+    if n > 80:
+        return (_S0 - (_S1 - _S2 / nn) / nn) / n
+    if n > 35:
+        return (_S0 - (_S1 - (_S2 - _S3 / nn) / nn) / nn) / n
+    # 15 < n <= 35:
+    return (_S0 - (_S1 - (_S2 - (_S3 - _S4 / nn) / nn) / nn) / nn) / n
+
+
+def bd0(x, np_):
+    """Deviance term x*log(x/np) + np - x, evaluated stably near x == np."""
+    if not (math.isfinite(x) and math.isfinite(np_)) or np_ == 0.0:
+        return _nan
+
+    if abs(x - np_) < 0.1 * (x + np_):
+        v = (x - np_) / (x + np_)
+        s = (x - np_) * v
+        if abs(s) < _DBL_MIN:
+            return s
+        ej = 2 * x * v
+        v = v * v
+        for j in range(1, 1000):
+            ej *= v
+            s1 = s + ej / (2 * j + 1)
+            if s1 == s:
+                return s1
+            s = s1
+    return x * math.log(x / np_) + np_ - x
+
+
+# ---------------------------------------------------------------------------
+# dpois / dnorm
+# ---------------------------------------------------------------------------
+
+def _d0(give_log):
+    return -_inf if give_log else 0.0
+
+
+def _d1(give_log):
+    return 0.0 if give_log else 1.0
+
+
+def _d_exp(x, give_log):
+    return x if give_log else math.exp(x)
+
+
+def _d_fexp(f, x, give_log):
+    return -0.5 * math.log(f) + x if give_log else math.exp(x) / math.sqrt(f)
+
+
+def dpois_raw(x, lam, give_log=False):
+    if lam == 0:
+        return _d1(give_log) if x == 0 else _d0(give_log)
+    if not math.isfinite(lam):
+        return _d0(give_log)
+    if x < 0:
+        return _d0(give_log)
+    if x <= lam * _DBL_MIN:
+        return _d_exp(-lam, give_log)
+    if lam < x * _DBL_MIN:
+        if not math.isfinite(x):
+            return _d0(give_log)
+        return _d_exp(-lam + x * math.log(lam) - math.lgamma(x + 1), give_log)
+    return _d_fexp(_M_2PI * x, -stirlerr(x) - bd0(x, lam), give_log)
+
+
+def dpois(x, lam, give_log=False):
+    if math.isnan(x) or math.isnan(lam):
+        return x + lam
+    if lam < 0:
+        return _nan
+    if x != math.floor(x):
+        return _d0(give_log)
+    if x < 0 or not math.isfinite(x):
+        return _d0(give_log)
+    return dpois_raw(round(x), lam, give_log)
+
+
+def _dpois_wrap(x_plus_1, lam, give_log):
+    if not math.isfinite(lam):
+        return _d0(give_log)
+    if x_plus_1 > 1:
+        return dpois_raw(x_plus_1 - 1, lam, give_log)
+    if lam > abs(x_plus_1 - 1) * _M_cutoff:
+        return _d_exp(-lam - math.lgamma(x_plus_1), give_log)
+    d = dpois_raw(x_plus_1, lam, give_log)
+    return d + math.log(x_plus_1 / lam) if give_log else d * (x_plus_1 / lam)
+
+
+def dnorm_std(x, give_log=False):
+    """R dnorm(x, 0, 1) with the high-accuracy tail split."""
+    x = abs(x)
+    if not math.isfinite(x):
+        return _d0(give_log)
+    if x >= 2 * math.sqrt(_DBL_MAX):
+        return _d0(give_log)
+    if give_log:
+        return -(_M_LN_SQRT_2PI + 0.5 * x * x)
+    if x < 5:
+        return _M_1_SQRT_2PI * math.exp(-0.5 * x * x)
+    if x > math.sqrt(-2 * _M_LN2 * (_DBL_MIN_EXP + 1 - _DBL_MANT_DIG)):
+        return 0.0
+    x1 = math.ldexp(_rint(math.ldexp(x, 16)), -16)
+    x2 = x - x1
+    return _M_1_SQRT_2PI * (math.exp(-0.5 * x1 * x1) * math.exp((-0.5 * x2 - x1) * x2))
+
+
+def _rint(x):
+    # round-half-to-even, like C rint under the default rounding mode
+    f = math.floor(x)
+    d = x - f
+    if d > 0.5:
+        return f + 1.0
+    if d < 0.5:
+        return f
+    return f if math.fmod(f, 2.0) == 0.0 else f + 1.0
+
+
+# ---------------------------------------------------------------------------
+# Cody pnorm (needed by ppois_asymp; R pnorm.c "pnorm_both")
+# ---------------------------------------------------------------------------
+
+_pn_a = (
+    2.2352520354606839287,
+    161.02823106855587881,
+    1067.6894854603709582,
+    18154.981253343561249,
+    0.065682337918207449113,
+)
+_pn_b = (
+    47.20258190468824187,
+    976.09855173777669322,
+    10260.932208618978205,
+    45507.789335026729956,
+)
+_pn_c = (
+    0.39894151208813466764,
+    8.8831497943883759412,
+    93.506656132177855979,
+    597.27027639480026226,
+    2494.5375852903726711,
+    6848.1904505362823326,
+    16003.184846516838186,
+    38912.003286093271411,
+    0.77105849500132443926e-7,
+)
+_pn_d = (
+    22.266688044328115691,
+    235.38790178262499861,
+    1519.377599407554805,
+    6485.558298266760755,
+    18615.571640885098091,
+    34900.952721145977266,
+    38912.003288205607651,
+    19685.429676859990727,
+)
+_pn_p = (
+    0.21589853405795699,
+    0.1274011611602473639,
+    0.022235277870649807,
+    0.001421619193227893466,
+    2.9112874951168792e-5,
+    0.02307344176494017303,
+)
+_pn_q = (
+    1.28426009614491121,
+    0.468238212480865118,
+    0.0659881378689285515,
+    0.00378239633202758244,
+    7.29751555083966205e-5,
+)
+
+
+def _pnorm_both(x, i_tail, log_p):
+    """Returns (cum, ccum); i_tail in {0,1,2} meaning lower, upper, both."""
+    eps = _DBL_EPSILON * 0.5
+    lower = i_tail != 1
+    upper = i_tail != 0
+    cum = ccum = 0.0
+
+    y = abs(x)
+    if y <= 0.67448975:
+        xnum = xden = 0.0
+        if y > eps:
+            xsq = x * x
+            xnum = _pn_a[4] * xsq
+            xden = xsq
+            for i in range(3):
+                xnum = (xnum + _pn_a[i]) * xsq
+                xden = (xden + _pn_b[i]) * xsq
+        temp = x * (xnum + _pn_a[3]) / (xden + _pn_b[3])
+        if lower:
+            cum = 0.5 + temp
+        if upper:
+            ccum = 0.5 - temp
+        if log_p:
+            if lower:
+                cum = math.log(cum)
+            if upper:
+                ccum = math.log(ccum)
+    elif y <= _M_SQRT_32:
+        xnum = _pn_c[8] * y
+        xden = y
+        for i in range(7):
+            xnum = (xnum + _pn_c[i]) * y
+            xden = (xden + _pn_d[i]) * y
+        temp = (xnum + _pn_c[7]) / (xden + _pn_d[7])
+        xsq = math.floor(y * 16) / 16
+        del_ = (y - xsq) * (y + xsq)
+        if log_p:
+            cum = -xsq * xsq * 0.5 + -del_ * 0.5 + math.log(temp)
+            if (lower and x > 0.0) or (upper and x <= 0.0):
+                ccum = math.log1p(-math.exp(-xsq * xsq * 0.5) * math.exp(-del_ * 0.5) * temp)
+        else:
+            cum = math.exp(-xsq * xsq * 0.5) * math.exp(-del_ * 0.5) * temp
+            ccum = 1.0 - cum
+        if x > 0.0:
+            cum, ccum = ccum, cum
+    else:
+        # |x| > sqrt(32) = 5.657
+        if log_p and y < 1e170:
+            xsq = 1.0 / (x * x)
+            xnum = _pn_p[5] * xsq
+            xden = xsq
+            for i in range(4):
+                xnum = (xnum + _pn_p[i]) * xsq
+                xden = (xden + _pn_q[i]) * xsq
+            temp = xsq * (xnum + _pn_p[4]) / (xden + _pn_q[4])
+            temp = (_M_1_SQRT_2PI - temp) / y
+            xsq = math.floor(x * 16) / 16
+            del_ = (x - xsq) * (x + xsq)
+            if log_p:
+                cum = -xsq * xsq * 0.5 + -del_ * 0.5 + math.log(temp)
+                if (lower and x > 0.0) or (upper and x <= 0.0):
+                    ccum = math.log1p(-math.exp(-xsq * xsq * 0.5) * math.exp(-del_ * 0.5) * temp)
+            else:
+                cum = math.exp(-xsq * xsq * 0.5) * math.exp(-del_ * 0.5) * temp
+                ccum = 1.0 - cum
+            if x > 0.0:
+                cum, ccum = ccum, cum
+        else:
+            if x > 0:
+                cum = _d1(log_p)
+                ccum = _d0(log_p)
+            else:
+                cum = _d0(log_p)
+                ccum = _d1(log_p)
+    return cum, ccum
+
+
+def pnorm_std(x, lower_tail=True, log_p=False):
+    if math.isnan(x):
+        return x
+    if not math.isfinite(x):
+        if x > 0:
+            return _d1(log_p) if lower_tail else _d0(log_p)
+        return _d0(log_p) if lower_tail else _d1(log_p)
+    cum, ccum = _pnorm_both(x, 0 if lower_tail else 1, log_p)
+    return cum if lower_tail else ccum
+
+
+# ---------------------------------------------------------------------------
+# pgamma (Welinder)
+# ---------------------------------------------------------------------------
+
+def _dpnorm(x, lower_tail, lp):
+    """dnorm(x) / pnorm(x) where pnorm was computed as lp (possibly log)."""
+    if x < 0:
+        x = -x
+        lower_tail = not lower_tail
+    if x > 10 and not lower_tail:
+        term = 1 / x
+        sum_ = term
+        x2 = x * x
+        i = 1.0
+        while True:
+            term *= -i / x2
+            sum_ += term
+            i += 2
+            if abs(term) <= _DBL_EPSILON * sum_:
+                break
+        return 1 / sum_
+    d = dnorm_std(x, False)
+    return d / math.exp(lp)
+
+
+_ppois_coefs_a = (
+    -1e99,
+    2 / 3.0,
+    -4 / 135.0,
+    8 / 2835.0,
+    16 / 8505.0,
+    -8992 / 12629925.0,
+    -334144 / 492567075.0,
+    698752 / 1477701225.0,
+)
+_ppois_coefs_b = (
+    -1e99,
+    1 / 12.0,
+    1 / 288.0,
+    -139 / 51840.0,
+    -571 / 2488320.0,
+    163879 / 209018880.0,
+    5246819 / 75246796800.0,
+    -534703531 / 902961561600.0,
+)
+
+
+def _ppois_asymp(x, lam, lower_tail, log_p):
+    """Asymptotic expansion for the Poisson cdf, x large, lambda near x."""
+    dfm = lam - x
+    pt_ = -log1pmx(dfm / x)
+    s2pt = math.sqrt(2 * x * pt_)
+    if dfm < 0:
+        s2pt = -s2pt
+
+    elfb = x
+    elfb_term = 1.0
+    for i in range(1, 8):
+        elfb += elfb_term * _ppois_coefs_b[i]
+        elfb_term /= x
+    if not lower_tail:
+        elfb = -elfb
+
+    res12 = 0.0
+    res1_ig = res1_term = math.sqrt(x)
+    res2_ig = res2_term = s2pt
+    for i in range(1, 8):
+        res12 += res1_ig * _ppois_coefs_a[i]
+        res12 += res2_ig * _ppois_coefs_b[i]
+        res1_term *= pt_ / i
+        res2_term *= 2 * pt_ / (2 * i + 1)
+        res1_ig = res1_ig / x + res1_term
+        res2_ig = res2_ig / x + res2_term
+
+    if not lower_tail:
+        res12 = -res12
+
+    np_ = pnorm_std(s2pt, not lower_tail, log_p)
+
+    if log_p:
+        n_d_over_p = _dpnorm(s2pt, not lower_tail, np_)
+        return np_ + math.log1p(res12 / elfb * n_d_over_p)
+    nd = dnorm_std(s2pt, log_p)
+    return np_ + res12 / elfb * nd
+
+
+def _pd_upper_series(x, y, log_p):
+    term = x / y
+    sum_ = term
+    while True:
+        y += 1
+        term *= x / y
+        sum_ += term
+        if term <= sum_ * _DBL_EPSILON:
+            break
+    return math.log(sum_) if log_p else sum_
+
+
+_max_it_cf = 200000
+
+
+def _pd_lower_cf(y, d):
+    if y == 0:
+        return 0.0
+    f0 = y / d
+    if abs(y - 1) < abs(d) * _DBL_EPSILON:
+        return f0
+    if f0 > 1.0:
+        f0 = 1.0
+    c2 = y
+    c4 = d
+    a1 = 0.0
+    b1 = 1.0
+    a2 = y
+    b2 = d
+    while b2 > _scalefactor:
+        a1 /= _scalefactor
+        b1 /= _scalefactor
+        a2 /= _scalefactor
+        b2 /= _scalefactor
+
+    i = 0.0
+    of = -1.0
+    f = 0.0
+    while i < _max_it_cf:
+        i += 1
+        c2 -= 1
+        c3 = i * c2
+        c4 += 2
+        a1 = c4 * a2 + c3 * a1
+        b1 = c4 * b2 + c3 * b1
+
+        i += 1
+        c2 -= 1
+        c3 = i * c2
+        c4 += 2
+        a2 = c4 * a1 + c3 * a2
+        b2 = c4 * b1 + c3 * b2
+
+        if b2 > _scalefactor:
+            a1 /= _scalefactor
+            b1 /= _scalefactor
+            a2 /= _scalefactor
+            b2 /= _scalefactor
+
+        if b2 != 0:
+            f = a2 / b2
+            if abs(f - of) <= _DBL_EPSILON * _fmax2(f0, abs(f)):
+                return f
+            of = f
+    return f
+
+
+def _pd_lower_series(lam, y):
+    term = 1.0
+    sum_ = 0.0
+    while y >= 1 and term > sum_ * _DBL_EPSILON:
+        term *= y / lam
+        sum_ += term
+        y -= 1
+    if y != math.floor(y):
+        # the CF gives the tail of the series relative to the last term
+        f = _pd_lower_cf(y, lam + 1 - y)
+        sum_ += term * f
+    return sum_
+
+
+def _log1_exp(x):
+    # log(1 - exp(x)), x <= 0
+    if x > -_M_LN2:
+        return math.log(-math.expm1(x))
+    return math.log1p(-math.exp(x))
+
+
+def _pgamma_smallx(x, alph, lower_tail, log_p):
+    sum_ = 0.0
+    c = alph
+    n = 0.0
+    while True:
+        n += 1
+        c *= -x / n
+        term = c / (alph + n)
+        sum_ += term
+        if abs(term) <= _DBL_EPSILON * abs(sum_):
+            break
+
+    if lower_tail:
+        f1 = math.log1p(sum_) if log_p else 1 + sum_
+        if alph > 1:
+            f2 = dpois_raw(alph, x, log_p)
+            f2 = f2 + x if log_p else f2 * math.exp(x)
+        elif log_p:
+            f2 = alph * math.log(x) - lgamma1p(alph)
+        else:
+            f2 = math.pow(x, alph) / math.exp(lgamma1p(alph))
+        return f1 + f2 if log_p else f1 * f2
+    lf2 = alph * math.log(x) - lgamma1p(alph)
+    if log_p:
+        return _log1_exp(math.log1p(sum_) + lf2)
+    f1m1 = sum_
+    f2m1 = math.expm1(lf2)
+    return -(f1m1 + f2m1 + f1m1 * f2m1)
+
+
+def _pgamma_raw(x, alph, lower_tail, log_p):
+    # assumes alph > 0, x not NaN
+    if x <= 0:
+        return _d0(log_p) if lower_tail else _d1(log_p)
+    if x >= _inf:
+        return _d1(log_p) if lower_tail else _d0(log_p)
+
+    if x < 1:
+        res = _pgamma_smallx(x, alph, lower_tail, log_p)
+    elif x <= alph - 1 and x < 0.8 * (alph + 50):
+        # incl. large alph compared to x
+        sum_ = _pd_upper_series(x, alph, log_p)
+        d = _dpois_wrap(alph, x, log_p)
+        if not lower_tail:
+            res = _log1_exp(d + sum_) if log_p else 1 - d * sum_
+        else:
+            res = sum_ + d if log_p else sum_ * d
+    elif alph - 1 < x and alph < 0.8 * (x + 50):
+        # incl. large x compared to alph
+        d = _dpois_wrap(alph, x, log_p)
+        if alph < 1:
+            if x * _DBL_EPSILON > 1 - alph:
+                sum_ = _d1(log_p)
+            else:
+                f = _pd_lower_cf(alph, x - (alph - 1)) * x / alph
+                sum_ = math.log(f) if log_p else f
+        else:
+            sum_ = _pd_lower_series(x, alph - 1)
+            sum_ = math.log1p(sum_) if log_p else 1 + sum_
+        if not lower_tail:
+            res = sum_ + d if log_p else sum_ * d
+        else:
+            res = _log1_exp(d + sum_) if log_p else 1 - d * sum_
+    else:
+        # x >= 1 and x fairly near alph
+        res = _ppois_asymp(alph - 1, x, not lower_tail, log_p)
+
+    # avoid underflow near DBL_MIN: redo in log space
+    if not log_p and res < _DBL_MIN / _DBL_EPSILON:
+        return math.exp(_pgamma_raw(x, alph, lower_tail, True))
+    return res
+
+
+def pgamma(x, alph, scale=1.0, lower_tail=True, log_p=False):
+    if math.isnan(x) or math.isnan(alph) or math.isnan(scale):
+        return x + alph + scale
+    if alph < 0 or scale <= 0:
+        return _nan
+    x = x / scale
+    if math.isnan(x):
+        return x
+    if alph == 0.0:
+        if x <= 0:
+            return _d0(log_p) if lower_tail else _d1(log_p)
+        return _d1(log_p) if lower_tail else _d0(log_p)
+    return _pgamma_raw(x, alph, lower_tail, log_p)
+
+
+def dgamma(x, shape, scale=1.0, give_log=False):
+    if math.isnan(x) or math.isnan(shape) or math.isnan(scale):
+        return x + shape + scale
+    if shape < 0 or scale <= 0:
+        return _nan
+    if x < 0:
+        return _d0(give_log)
+    if shape == 0:
+        return _inf if x == 0 else _d0(give_log)
+    if x == 0:
+        if shape < 1:
+            return _inf
+        if shape > 1:
+            return _d0(give_log)
+        return -math.log(scale) if give_log else 1 / scale
+    if shape < 1:
+        pr = dpois_raw(shape, x / scale, give_log)
+        if give_log:
+            return pr + (math.log(shape / x) if math.isfinite(shape / x)
+                         else math.log(shape) - math.log(x))
+        return pr * shape / x
+    # shape >= 1
+    pr = dpois_raw(shape - 1, x / scale, give_log)
+    return pr - math.log(scale) if give_log else pr / scale
+
+
+# ---------------------------------------------------------------------------
+# chi-squared / poisson wrappers
+# ---------------------------------------------------------------------------
+
+def pchisq(x, df, lower_tail=True, log_p=False):
+    return pgamma(x, df / 2.0, 2.0, lower_tail, log_p)
+
+
+def dchisq(x, df, give_log=False):
+    return dgamma(x, df / 2.0, 2.0, give_log)
+
+
+def ppois(x, lam, lower_tail=True, log_p=False):
+    if math.isnan(x) or math.isnan(lam):
+        return x + lam
+    if lam < 0:
+        return _nan
+    if x < 0:
+        return _d0(log_p) if lower_tail else _d1(log_p)
+    if lam == 0:
+        return _d1(log_p) if lower_tail else _d0(log_p)
+    if not math.isfinite(x):
+        return _d1(log_p) if lower_tail else _d0(log_p)
+    x = math.floor(x + 1e-7)
+    return pgamma(lam, x + 1, 1.0, not lower_tail, log_p)
