@@ -688,7 +688,9 @@ class ArrayExpression(CollectionExpression):
                     if lst is None:
                         out.append(None)
                         continue
-                    inner = EvalEnv({var: C.from_pylist(et, list(lst))},
+                    inner = EvalEnv({var: C.from_pylist(et, list(lst)),
+                                     '__row_idx__': C.PrimitiveColumn(
+                                         ht.tint64, np.arange(len(lst), dtype=np.int64))},
                                     (len(lst),))
                     states = aggmod.partial_aggregate(agg_nodes, inner, (0,))
                     res = aggmod.finalize_aggregate(body_ir, agg_nodes, states,

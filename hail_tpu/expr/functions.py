@@ -2072,6 +2072,20 @@ def _cmp_values(a, b):
         kb = _bi.sorted(b.items(), key=functools.cmp_to_key(
             lambda p, q: _cmp_values(p[0], q[0])))
         return _cmp_values([list(p) for p in ka], [list(p) for p in kb])
+    from ..utils.structs import Interval
+    if isinstance(a, Interval):
+        # engine interval ordering: start (an included start sorts first),
+        # then end (an included end sorts last)
+        c = _cmp_values(a.start, b.start)
+        if c:
+            return c
+        c = (not a.includes_start) - (not b.includes_start)
+        if c:
+            return c
+        c = _cmp_values(a.end, b.end)
+        if c:
+            return c
+        return a.includes_end - b.includes_end
     return (a > b) - (a < b)
 
 

@@ -322,68 +322,147 @@ def read_matrix_table(path: str):
 # B-tree index — here by the partition key bounds)
 # ---------------------------------------------------------------------------
 
-def _interval_gpos(q):
-    from ..utils.structs import Interval
-    if isinstance(q, Interval):
-        s_, e_ = q.start, q.end
-        lo = s_.global_position() if hasattr(s_, 'global_position') else s_
-        hi = e_.global_position() if hasattr(e_, 'global_position') else e_
-        return lo, hi, q.includes_start, q.includes_end
-    p = q.global_position() if hasattr(q, 'global_position') else q
-    return p, p, True, True
+def _validate_and_coerce_endpoint(point, key_typ):
+    """Validation + prefix coercion for query_table endpoints (reference
+    python/hail/expr/functions.py `__validate_and_coerce_endpoint`).
+    Returns (prefix_values: list, point_size: int)."""
+    from ..expr import functions as F
+    from ..expr.expression import to_expr
+    from .. import types as ht
+    key_names = list(key_typ)
+    pt = to_expr(point)
+    if pt.dtype == key_typ[0]:
+        pt = F.struct(**{key_names[0]: pt})
+    ts = pt.dtype
+    if not isinstance(ts, ht.tstruct):
+        raise ValueError(
+            f'key mismatch: cannot use query point type {pt.dtype} to query a table with key of '
+            f'({", ".join(str(x) for x in key_typ.values())}) ')
+    if len(ts) == 0:
+        raise ValueError("query point value cannot be an empty struct")
+    for i, (qt, kt) in enumerate(zip(ts.values(), key_typ.values())):
+        if kt != qt:
+            raise ValueError(
+                f'mismatch at key field {i} ({list(ts.keys())[i]!r}): '
+                f'query type is {qt}, key type is {qt}')
+    if len(ts) > len(key_typ):
+        raise ValueError(
+            f'query point type has {len(ts)} field(s), but key only has {len(key_typ)} field(s)')
+    vals = F.eval_expr(pt)
+    return list(vals.values()) if vals is not None else [None] * len(ts), len(ts)
+
+
+def _query_bounds(query, key_typ):
+    """Resolve a point-or-interval query into ((start_vals, ns), inc_s,
+    (end_vals, ne), inc_e)."""
+    from ..expr.expression import to_expr
+    from ..expr import functions as F
+    from .. import types as ht
+    q = to_expr(query)
+    if q.dtype != key_typ[0] and isinstance(q.dtype, ht.tinterval):
+        qv = F.eval_expr(q)
+        s = _validate_and_coerce_endpoint(
+            F.literal(qv.start, q.dtype.point_type), key_typ)
+        e = _validate_and_coerce_endpoint(
+            F.literal(qv.end, q.dtype.point_type), key_typ)
+        return s, qv.includes_start, e, qv.includes_end
+    p = _validate_and_coerce_endpoint(q, key_typ)
+    return p, True, p, True
+
+
+def _cmp_key_prefix(key_vals, endpoint):
+    """Compare a row's key tuple against an endpoint prefix; 0 = prefix-equal."""
+    from ..expr.functions import _cmp_values
+    vals, n = endpoint
+    for i in range(n):
+        c = _cmp_values(key_vals[i], vals[i])
+        if c:
+            return c
+    return 0
+
+
+def _query_keyed_rows(t, query):
+    """Shared scan for query_table / query_matrix_table_rows: returns the
+    list of (partition_index, row_index) matches plus the stage."""
+    key_typ = t.key.dtype
+    if len(key_typ) == 0:
+        raise ValueError('cannot query unkeyed table')
+    (s_ep, inc_s, e_ep, inc_e) = _query_bounds(query, key_typ)
+    st = t._stage
+    key_names = list(key_typ)
+    hits = []
+    for i in range(st.n_partitions):
+        batch = st.partition_fn(st.contexts[i])
+        cols = [C.to_object(batch.columns[k]).values for k in key_names]
+        for r in range(batch.length):
+            kv = tuple(col[r] for col in cols)
+            cs = _cmp_key_prefix(kv, s_ep)
+            if not (cs > 0 or (cs == 0 and inc_s)):
+                continue
+            ce = _cmp_key_prefix(kv, e_ep)
+            if ce < 0 or (ce == 0 and inc_e):
+                hits.append((i, r))
+    return hits
 
 
 def query_table(path: str, query):
-    """Rows of a written Table whose key matches the point/interval `query`,
-    reading only the partitions whose bounds intersect it."""
+    """Array expression of the rows of a written Table whose key matches the
+    point/interval `query` (reference hl.query_table,
+    python/hail/expr/functions.py:7239)."""
     from .. import table as table_mod
+    from ..expr import functions as F
+    from .. import types as ht
     t = table_mod.read_table(path)
-    lo, hi, inc_s, inc_e = _interval_gpos(query)
+    hits = _query_keyed_rows(t, query)
     st = t._stage
-    keep = list(range(st.n_partitions))
-    if st.partition_bounds is not None:
-        keep = [i for i, b in enumerate(st.partition_bounds)
-                if b is None or not (b[1] < lo or b[0] > hi)]
     out = []
-    key0 = st.key[0]
-    for i in keep:
+    by_part = {}
+    for i, r in hits:
+        by_part.setdefault(i, []).append(r)
+    for i, rs in by_part.items():
         batch = st.partition_fn(st.contexts[i])
-        col = batch.columns[key0]
-        gp = col.global_position() if isinstance(col, LocusColumn) else \
-            np.asarray(col.values, dtype=np.float64)
-        mask = ((gp > lo) | ((gp == lo) & inc_s)) & ((gp < hi) | ((gp == hi) & inc_e))
-        out.extend(batch.compress(mask).to_pylist())
-    return out
+        rows = batch.take(np.asarray(rs, dtype=np.int64)) if hasattr(batch, 'take') else None
+        if rows is None:
+            mask = np.zeros(batch.length, dtype=bool)
+            mask[rs] = True
+            rows = batch.compress(mask)
+        out.extend(rows.to_pylist())
+    return F.literal(out, ht.tarray(t.row.dtype))
 
 
-def query_matrix_table_rows(path: str, query, entries_name: str = 'entries'):
-    """Row structs (+ localized entries array) of a written MatrixTable
-    matching the point/interval query (reference hl.query_matrix_table_rows)."""
+def query_matrix_table_rows(path: str, query, entries_name: str = 'entries_array'):
+    """Array expression of the row structs (+ localized entries array) of a
+    written MatrixTable matching the point/interval query (reference
+    hl.query_matrix_table_rows, python/hail/expr/functions.py:7289)."""
     from ..matrixtable import read_matrix_table
     from ..utils.structs import Struct
+    from ..expr import functions as F
+    from .. import types as ht
     mt = read_matrix_table(path)
-    lo, hi, inc_s, inc_e = _interval_gpos(query)
+    if entries_name in mt.row:
+        raise ValueError(
+            f'field "{entries_name}" is present in matrix table row fields, '
+            f'use a different `entries_name`')
+    rows_t = mt.rows()
+    hits = _query_keyed_rows(rows_t, query)
     st = mt._stage
-    keep = list(range(len(st.contexts)))
-    if st.partition_bounds is not None:
-        keep = [i for i, b in enumerate(st.partition_bounds)
-                if b is None or not (b[1] < lo or b[0] > hi)]
-    key0 = st.row_key[0]
     out = []
-    for i in keep:
+    by_part = {}
+    for i, r in hits:
+        by_part.setdefault(i, []).append(r)
+    for i, rs in by_part.items():
         mb = st.partition_fn(st.contexts[i])
-        col = mb.rows.columns[key0]
-        gp = col.global_position() if isinstance(col, LocusColumn) else \
-            np.asarray(col.values, dtype=np.float64)
-        mask = ((gp > lo) | ((gp == lo) & inc_s)) & ((gp < hi) | ((gp == hi) & inc_e))
-        sel = np.where(mask)[0]
-        if not len(sel):
-            continue
+        sel = np.asarray(rs, dtype=np.int64)
         sub = mb.gather_rows(sel)
         rows_py = sub.rows.to_pylist()
         ent_py = {k: C.to_object(c).values for k, c in sub.entries.items()}
+        filt = getattr(sub, 'entry_missing', None)
         for r_i, r in enumerate(rows_py):
-            ents = [Struct(**{k: ent_py[k][r_i, j] for k in ent_py})
+            ents = [None if (filt is not None and filt[r_i, j]) else
+                    Struct(**{k: ent_py[k][r_i, j] for k in ent_py})
                     for j in range(st.n_cols)]
             out.append(Struct(**dict(r), **{entries_name: ents}))
-    return out
+    ent_struct = ht.tstruct(**{k: v for k, v in mt.entry.dtype.items()})
+    full_t = ht.tstruct(**{k: v for k, v in mt.row.dtype.items()},
+                        **{entries_name: ht.tarray(ent_struct)})
+    return F.literal(out, ht.tarray(full_t))

@@ -339,7 +339,14 @@ class tstruct(HailType):
         inner = ', '.join(f'{_escape_field(k)}: {v}' for k, v in self.fields.items())
         return f'struct{{{inner}}}'
 
-    def __getitem__(self, name: str) -> HailType:
+    def __getitem__(self, name) -> 'HailType':
+        # like the reference's tbaseStruct: accepts a field name, a positional
+        # index, or a slice over the ordered fields
+        if isinstance(name, int):
+            return list(self.fields.values())[name]
+        if isinstance(name, slice):
+            items = list(self.fields.items())[name]
+            return tstruct(**dict(items))
         return self.fields[name]
 
     def __contains__(self, name: str) -> bool:
