@@ -88,6 +88,9 @@ def fraction(condition) -> Expression:
 
 
 def counter(expr, *, weight=None) -> Expression:
+    if weight is not None:
+        # reference aggregators.py counter: group_by(expr, sum(weight))
+        return group_by(expr, sum(weight))
     return _agg(A.CollectAgg('counter'), [expr])
 
 

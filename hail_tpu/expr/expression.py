@@ -138,14 +138,50 @@ class Expression:
             return literal(self.take(n), ht.tarray(self.dtype))
         return self.collect()[:n]
 
-    def show(self, n: int = 10):
+    def _to_relational(self):
+        """Build (table, field_name) presenting this expression relationally
+        (reference Expression._to_relational_preserving_rows_and_cols)."""
+        from ..table import Table
+        src = self._indices.source
+        axes = self._indices.axes
+        if isinstance(src, Table):
+            t = src
+        else:
+            if axes == {'row'}:
+                t = src.rows()
+            elif axes == {'column'}:
+                t = src.cols()
+            else:
+                t = src.entries()
+        # a bare reference to an existing field keeps its own name
+        ir_ = self._ir
+        name = getattr(ir_, 'name', None)
+        if isinstance(name, str) and name in t.row:
+            if name in t.key:
+                return t.select(), name
+            return t.select(name), name
+        return t.select(**{'<expr>': self}), '<expr>'
+
+    def show(self, n=None, width=None, truncate=None,
+             types: bool = True, handler=None):
+        """Print (or hand to `handler`) a formatted table of values
+        (reference Expression.show)."""
+        if handler is None:
+            handler = print
         if self._indices.source is None:
             # source-free expression: show its single evaluated value
-            print(eval_scalar(self))
-            return
-        vals = self.take(n)
-        for v in vals:
-            print(v)
+            return handler(eval_scalar(self))
+        t, _ = self._to_relational()
+        return handler(t._show(n, width, truncate, types))
+
+    def _persist(self):
+        """Eagerly evaluate and pin the value (reference Expression._persist:
+        the persisted expression no longer depends on its inputs)."""
+        from . import functions as F
+        return F.literal(eval_scalar(self), self.dtype)
+
+    def persist(self):
+        return self._persist()
 
     def describe(self, handler=print):
         """Print the type and index context (reference
@@ -580,13 +616,20 @@ class CollectionExpression(Expression):
         return self.map(lambda t: f(*[t[i] for i in range(len(t.dtype.types))]))
 
     def __getattr__(self, name):
-        # struct-element field broadcast: array<struct{a,...}>.a -> array<a>
+        # struct-element field broadcast: array<struct{a,...}>.a -> array<a>,
+        # recursing through nested collections: array<array<struct>>.a works
         # (reference ArrayStructExpression / SetStructExpression)
         if name.startswith('_'):
             raise AttributeError(name)
         et = self.dtype.element_type
         if isinstance(et, ht.tstruct) and name in et.fields:
             return self.map(lambda s: s[name])
+        if isinstance(et, (ht.tarray, ht.tset)):
+            leaf = et
+            while isinstance(leaf, (ht.tarray, ht.tset)):
+                leaf = leaf.element_type
+            if isinstance(leaf, ht.tstruct) and name in leaf.fields:
+                return self.map(lambda inner: getattr(inner, name))
         raise AttributeError(f'{type(self).__name__} has no attribute {name!r}')
 
     def all(self, f):
@@ -622,6 +665,9 @@ class ArrayExpression(CollectionExpression):
         return self._bin_op('>=', other)
 
     def __getitem__(self, item):
+        if isinstance(item, str):
+            # field broadcast: array<struct{a,...}>["a"] == array.a
+            return getattr(self, item)
         if isinstance(item, slice):
             s = None if item.start is None else to_expr(item.start)._ir
             e = None if item.stop is None else to_expr(item.stop)._ir

@@ -579,46 +579,61 @@ max = _minmax('max', np.max, _bi.max)
 def sum_(collection, filter_missing: bool = True):
     e = to_expr(collection)
     et = e.dtype.element_type
-    rt = ht.tint64 if et in (ht.tint32, ht.tint64) else ht.tfloat64
+    rt = et  # hl.sum preserves the element type (unlike agg.sum)
     def impl(col):
-        if isinstance(col, DenseArrayColumn):
+        if isinstance(col, DenseArrayColumn) and filter_missing:
             ok = np.arange(col.width)[None] < col.lengths.reshape(-1, 1)
             ok = ok.reshape(col.shape + (col.width,))
             if col.elem_missing is not None:
                 ok = ok & ~col.elem_missing
-            dt = np.int64 if rt == ht.tint64 else np.float64
+            dt = rt.numpy_dtype if getattr(rt, 'numpy_dtype', None) is not None else np.float64
             vals = np.where(ok, col.values, 0).astype(dt)
-            return PrimitiveColumn(rt, vals.sum(axis=-1), col.missing)
-        return _obj_impl(rt, lambda v: _bi.sum(x for x in v if x is not None))(col)
+            return PrimitiveColumn(rt, vals.sum(axis=-1, dtype=dt), col.missing)
+        def f(v):
+            if not filter_missing and _bi.any(x is None for x in v):
+                return None
+            return _bi.sum(x for x in v if x is not None)
+        return _obj_impl_lenient(rt, lambda v: None if v is None else f(v))(col)
     return _apply('sum', rt, impl, e)
 
 
-def product(collection):
+def product(collection, filter_missing: bool = True):
     e = to_expr(collection)
     et = e.dtype.element_type
-    rt = ht.tint64 if et in (ht.tint32, ht.tint64) else ht.tfloat64
-    return _apply('product', rt, _obj_impl(rt, lambda v: math.prod(x for x in v if x is not None)), e)
+    rt = et  # hl.product preserves the element type
+    def f(v):
+        if not filter_missing and _bi.any(x is None for x in v):
+            return None
+        return math.prod(x for x in v if x is not None)
+    return _apply('product', rt,
+                  _obj_impl_lenient(rt, lambda v: None if v is None else f(v)), e)
 
 
 def mean(collection, filter_missing: bool = True):
     e = to_expr(collection)
     def impl(col):
         def f(v):
+            if not filter_missing and _bi.any(x is None for x in v):
+                return None
             vs = [x for x in v if x is not None]
-            return (_bi.sum(vs) / _bi.len(vs)) if vs else None
+            # mean of an empty collection is NaN (reference sum/length)
+            return (_bi.sum(vs) / _bi.len(vs)) if vs else math.nan
         return _obj_impl_lenient(ht.tfloat64, lambda v: None if v is None else f(v))(col)
     return _apply('mean', ht.tfloat64, impl, e)
 
 
-def median(collection):
+def median(collection, filter_missing: bool = True):
     e = to_expr(collection)
     def f(v):
+        if not filter_missing and _bi.any(x is None for x in v):
+            return None
         vs = sorted(x for x in v if x is not None)
         n = _bi.len(vs)
         if n == 0:
             return None
         return vs[n // 2] if n % 2 else (vs[n // 2 - 1] + vs[n // 2]) / 2
-    return _apply('median', ht.tfloat64, _obj_impl(ht.tfloat64, f), e)
+    return _apply('median', ht.tfloat64,
+                  _obj_impl_lenient(ht.tfloat64, lambda v: None if v is None else f(v)), e)
 
 
 def argmin(array_expr, unique: bool = False):
@@ -672,17 +687,26 @@ def filter_(f, collection):
 
 
 def flatmap(f, collection):
-    return flatten(to_expr(collection).map(f))
+    e = to_expr(collection)
+    res = flatten(e.map(f))
+    # the result keeps the input's collection kind (reference flatmap)
+    if isinstance(e.dtype, ht.tset) and not isinstance(res.dtype, ht.tset):
+        return set_(res)
+    return res
 
 
 def flatten(collection):
     e = to_expr(collection)
     et = e.dtype.element_type
+    as_set = isinstance(et, ht.tset)
     def f(v):
         out = []
         for x in v:
             if x is not None:
                 out.extend(x)
+        if as_set:
+            from ..utils.structs import freeze
+            return _bi.frozenset(freeze(x) for x in out)
         return out
     return _apply('flatten', et, _obj_impl(et, f), e)
 
@@ -857,7 +881,10 @@ def keyed_union(*arrays, key):
                     kt = tuple(x[k2] for k2 in key)
                     if kt not in seen:
                         seen[kt] = x
-            out[i] = _bi.list(seen.values())
+            # result is key-sorted (the engine merges sorted streams)
+            import functools
+            out[i] = [seen[k2] for k2 in
+                      _bi.sorted(seen, key=functools.cmp_to_key(_cmp_values))]
         return C.from_pylist(t, _bi.list(out)).reshape(shape)
     return _apply('keyed_union', t, impl, *es)
 
@@ -914,6 +941,12 @@ def _string_method(expr, name, result_typ, *args):
         return _apply(name, result_typ, _obj_impl(result_typ, lambda s: s[start:stop:step]), expr)
     if name == 'index':
         i = args[0]
+        if isinstance(i, Expression):
+            return _apply(
+                name, result_typ,
+                _obj_impl(result_typ,
+                          lambda s, ix: s[ix] if -_bi.len(s) <= ix < _bi.len(s) else None),
+                expr, i)
         return _apply(name, result_typ, _obj_impl(result_typ, lambda s: s[i] if -_bi.len(s) <= i < _bi.len(s) else None), expr)
     raise ValueError(name)
 
@@ -991,8 +1024,14 @@ def json(value) -> Expression:
             return _bi.str(v)
         if isinstance(v, Locus):
             return {'contig': v.contig, 'position': v.position}
+        from ..utils.structs import Interval as _Interval
+        if isinstance(v, _Interval):
+            return {'start': conv(v.start), 'end': conv(v.end),
+                    'includeStart': v.includes_start, 'includeEnd': v.includes_end}
         if isinstance(v, (np.integer, np.floating, np.bool_)):
             return v.item()
+        if isinstance(v, _bi.float) and (v != v or v in (_bi.float('inf'), _bi.float('-inf'))):
+            return v
         return v
     return _apply('json', ht.tstr, _obj_impl(
         ht.tstr, lambda v: _json.dumps(conv(v), separators=(',', ':'))), e)
@@ -1073,6 +1112,14 @@ def _hashed_lookup(op):
     return f
 
 
+def _sorted_by_key(it, key=None):
+    import functools
+    k = functools.cmp_to_key(_cmp_values)
+    if key is None:
+        return _bi.sorted(it, key=k)
+    return _bi.sorted(it, key=lambda x: k(key(x)))
+
+
 def _collection_method(expr, name, result_typ, *args):
     impls = {
         'contains': _hashed_lookup(lambda v, x: x in v),
@@ -1088,9 +1135,10 @@ def _collection_method(expr, name, result_typ, *args):
         'dict_get': _hashed_lookup(lambda v, x: v.get(x)),
         'dict_get_strict': _hashed_lookup(lambda v, x: v.get(x)),
         'dict_contains': _hashed_lookup(lambda v, x: x in v),
-        'dict_keys': lambda v: _bi.list(v.keys()),
-        'dict_values': lambda v: _bi.list(v.values()),
-        'dict_items': lambda v: _bi.list(v.items()),
+        # dict iteration order is key-sorted (engine dicts are sorted maps)
+        'dict_keys': lambda v: _sorted_by_key(v.keys()),
+        'dict_values': lambda v: [x[1] for x in _sorted_by_key(v.items(), key=lambda p: p[0])],
+        'dict_items': lambda v: _sorted_by_key(v.items(), key=lambda p: p[0]),
         'dict_size': lambda v: _bi.len(v),
     }
     f = impls[name]
@@ -1394,11 +1442,20 @@ def variant_str(*args):
 
 def call(*alleles, phased=False) -> CallExpression:
     es = [to_expr(a) for a in alleles]
+    ph = to_expr(phased) if isinstance(phased, Expression) else None
     def impl(*cols):
         from ..genetics.call import J_SHIFT, K_SHIFT, PHASED_BIT
+        if ph is not None:
+            ph_col, cols = cols[-1], cols[:-1]
         shape = np.broadcast_shapes(*[c.shape for c in cols]) if cols else (1,)
-        base = _bi.len(cols) | (PHASED_BIT if phased else 0)
-        packed = np.full(shape, base, dtype=np.int32)
+        if ph is not None:
+            shape = np.broadcast_shapes(shape, ph_col.shape)
+            phased_arr = np.broadcast_to(np.asarray(ph_col.values, dtype=bool), shape)
+            base = _bi.len(cols) | np.where(phased_arr, PHASED_BIT, 0)
+        else:
+            base = _bi.len(cols) | (PHASED_BIT if phased else 0)
+        packed = np.broadcast_to(np.asarray(base, dtype=np.int32), shape).copy() if ph is not None \
+            else np.full(shape, base, dtype=np.int32)
         if _bi.len(cols) >= 1:
             packed = packed | (np.broadcast_to(cols[0].values, shape).astype(np.int32) << J_SHIFT)
         if _bi.len(cols) == 2:
@@ -1406,8 +1463,11 @@ def call(*alleles, phased=False) -> CallExpression:
         miss = None
         for c in cols:
             miss = C._merge_missing(miss, _bcast_mask(c.missing, shape))
-        return PrimitiveColumn(ht.tcall, packed, miss)
-    return _apply('call', ht.tcall, impl, *es)
+        if ph is not None:
+            miss = C._merge_missing(miss, _bcast_mask(ph_col.missing, shape))
+        return PrimitiveColumn(ht.tcall, packed.astype(np.int32), miss)
+    args = es + ([ph] if ph is not None else [])
+    return _apply('call', ht.tcall, impl, *args)
 
 
 def unphased_diploid_gt_index_call(gt_index) -> CallExpression:
@@ -1422,15 +1482,19 @@ def unphased_diploid_gt_index_call(gt_index) -> CallExpression:
     return _apply('unphased_diploid_gt_index_call', ht.tcall, impl, e)
 
 
+def _parse_call_str(v):
+    phased = '|' in v
+    sep = '|' if phased else '/'
+    if v in ('.', './.', '.|.'):
+        return None
+    parts = v.split(sep)
+    return Call([_bi.int(p) for p in parts if p != '.'], phased)
+
+
 def parse_call(s) -> CallExpression:
-    def f(v):
-        phased = '|' in v
-        sep = '|' if phased else '/'
-        if v in ('.', './.', '.|.'):
-            return None
-        parts = v.split(sep)
-        return Call([_bi.int(p) for p in parts if p != '.'], phased)
-    return _apply('parse_call', ht.tcall, _obj_impl_lenient(ht.tcall, lambda v: None if v is None else f(v)), to_expr(s))
+    return _apply('parse_call', ht.tcall,
+                  _obj_impl_lenient(ht.tcall, lambda v: None if v is None else _parse_call_str(v)),
+                  to_expr(s))
 
 
 def downcode(c, i):
@@ -1561,12 +1625,18 @@ def pl_dosage(pl):
             p = np.power(10.0, -col.values[..., :3].astype(np.float64) / 10.0)
             p = p / p.sum(axis=-1, keepdims=True)
             d = p[..., 1] + 2 * p[..., 2]
-            return PrimitiveColumn(ht.tfloat64, d, col.missing)
+            miss = col.missing
+            if col.elem_missing is not None:
+                em = col.elem_missing[..., :3].any(axis=-1)
+                miss = em if miss is None else (miss | em)
+            return PrimitiveColumn(ht.tfloat64, d, miss)
         return _obj_impl(ht.tfloat64, lambda v: _pl_dosage_py(v))(col)
     return _apply('pl_dosage', ht.tfloat64, impl, e)
 
 
 def _pl_dosage_py(v):
+    if _bi.any(x is None for x in v[:3]):
+        return None
     p = [10.0 ** (-x / 10.0) for x in v[:3]]
     s = _bi.sum(p)
     p = [x / s for x in p]
@@ -2072,6 +2142,18 @@ def _cmp_values(a, b):
         kb = _bi.sorted(b.items(), key=functools.cmp_to_key(
             lambda p, q: _cmp_values(p[0], q[0])))
         return _cmp_values([list(p) for p in ka], [list(p) for p in kb])
+    from ..genetics.locus import Locus as _LocusV
+    if isinstance(a, _LocusV):
+        c = _cmp_values(a.global_position() if hasattr(a, 'global_position') else a.contig,
+                        b.global_position() if hasattr(b, 'global_position') else b.contig)
+        if c:
+            return c
+        return _cmp_values(a.position, b.position)
+    if isinstance(a, Call):
+        if a == b:
+            return 0
+        return _cmp_values((a.ploidy, a.alleles, a.phased),
+                           (b.ploidy, b.alleles, b.phased))
     from ..utils.structs import Interval
     if isinstance(a, Interval):
         # engine interval ordering: start (an included start sorts first),
@@ -2219,20 +2301,31 @@ def uniroot(f, min, max, *, max_iter: int = 1000, epsilon: float = 2.22e-16,
     x = construct_expr(Ref(var, ht.tfloat64))
     body = to_expr(f(x))
     def impl(lo_c, hi_c):
-        from scipy.optimize import brentq
         import numpy as _np
-        lov = _bi.float(_np.asarray(lo_c.values).ravel()[0])
-        hiv = _bi.float(_np.asarray(hi_c.values).ravel()[0])
+        from ..utils.java import FatalError, HailUserError
+        lov = C.to_object(lo_c).values.ravel()[0]
+        hiv = C.to_object(hi_c).values.ravel()[0]
+        if lov is None or hiv is None:
+            return C.from_pylist(ht.tfloat64, [None])
+        lov, hiv = _bi.float(lov), _bi.float(hiv)
+        if not lov < hiv:
+            raise HailUserError(
+                f"'uniroot': min must be less than max in uniroot, got: min {lov}, max {hiv}")
         def scalar_f(xv):
             from ..ir.nodes import EvalEnv
             env = EvalEnv({var: C.from_pylist(ht.tfloat64, [xv])}, (1,))
             res = body._ir.evaluate(env).to_pylist()
-            return res[0]
-        try:
-            root = brentq(scalar_f, lov, hiv, maxiter=max_iter, xtol=tolerance)
-            return C.from_pylist(ht.tfloat64, [root])
-        except ValueError:
-            return C.from_pylist(ht.tfloat64, [None])
+            if res[0] is None:
+                raise FatalError("'uniroot': value of f(x) is missing")
+            return _bi.float(res[0])
+        flo, fhi = scalar_f(lov), scalar_f(hiv)
+        if (flo > 0 and fhi > 0) or (flo < 0 and fhi < 0):
+            raise HailUserError(
+                f"'uniroot': sign of endpoints must have opposite signs, "
+                f"got: f(min) = {flo}, f(max) = {fhi}")
+        from ..stats.exact_tests import uniroot as _brent
+        root = _brent(scalar_f, lov, hiv, tolerance=tolerance)
+        return C.from_pylist(ht.tfloat64, [root])
     return _apply('uniroot', ht.tfloat64, impl, lo, hi)
 
 
@@ -2259,25 +2352,50 @@ def _bit_op(name, npf):
 bit_and = _bit_op('bit_and', np.bitwise_and)
 bit_or = _bit_op('bit_or', np.bitwise_or)
 bit_xor = _bit_op('bit_xor', np.bitwise_xor)
-bit_lshift = _bit_op('bit_lshift', np.left_shift)
-_bit_rshift_arith = _bit_op('bit_rshift', np.right_shift)
+
+
+def _shift_op(x, y, op):
+    """Fixed-width shift with the reference's edge semantics
+    (python/hail/expr/functions.py:6853 `_shift_op`): shifting by >= the
+    word size gives sign(x) for arithmetic right shift and 0 otherwise;
+    negative shifts raise a HailUserError."""
+    ex, ey = to_expr(x), to_expr(y)
+    t = ex.dtype
+    word_size = 64 if t == ht.tint64 else 32
+
+    def f(xv, yv):
+        xv = _bi.int(xv)
+        yv = _bi.int(yv)
+        if yv >= word_size:
+            if op == '>>':
+                return (xv > 0) - (xv < 0)
+            return 0
+        if yv < 0:
+            from ..utils.java import HailUserError
+            raise HailUserError(
+                f'cannot shift by a negative value: {xv} {op} {yv}')
+        mask = (1 << word_size) - 1
+        if op == '<<':
+            r = (xv << yv) & mask
+        elif op == '>>':
+            r = xv >> yv  # python >> is arithmetic for negatives
+            return r if -(1 << (word_size - 1)) <= r < (1 << (word_size - 1)) else \
+                ((r & mask) - (1 << word_size) if (r & mask) >= (1 << (word_size - 1)) else r & mask)
+        else:  # '>>>'
+            r = (xv & mask) >> yv
+        if r >= 1 << (word_size - 1):
+            r -= 1 << word_size
+        return r
+    return _apply(f'bit_shift{op}', t, _obj_impl(t, f), ex, ey)
+
+
+def bit_lshift(x, y):
+    return _shift_op(x, y, '<<')
 
 
 def bit_rshift(a, b, logical: bool = False):
     """Right shift; logical=True shifts in zeros (reference bit_rshift)."""
-    if not logical:
-        return _bit_rshift_arith(a, b)
-    ea, eb = to_expr(a), to_expr(b)
-    t = ht.unify_types(ea.dtype, eb.dtype) or ht.tint32
-
-    def f(x, sh):
-        width = 64 if t == ht.tint64 else 32
-        mask = (1 << width) - 1
-        r = (_bi.int(x) & mask) >> _bi.int(sh)
-        if t != ht.tint64 and r >= 1 << 31:
-            r -= 1 << 32
-        return r
-    return _apply('bit_rshift_logical', t, _obj_impl(t, f), ea, eb)
+    return _shift_op(a, b, '>>>' if logical else '>>')
 
 
 def bit_not(x):
@@ -2491,7 +2609,7 @@ def cumulative_sum(a, filter_missing: bool = True):
     `cumulative_sum`)."""
     e = array(a)
     et = e.dtype.element_type
-    rt = ht.tfloat64 if et in (ht.tfloat32, ht.tfloat64) else ht.tint64
+    rt = et  # running sums keep the element type (reference cumulative_sum)
 
     def impl(v):
         out = []
@@ -2551,6 +2669,22 @@ def parse_json(x, dtype):
             return None
         if isinstance(typ, ht.tstruct):
             return Struct(**{k: conv(v.get(k), ft) for k, ft in typ.items()})
+        if isinstance(typ, ht.ttuple):
+            return _bi.tuple(conv(e, et) for e, et in _bi.zip(v, typ.types))
+        if isinstance(typ, ht.tlocus):
+            from ..genetics.locus import Locus as _Locus
+            return _Locus(v['contig'], _bi.int(v['position']),
+                          typ.reference_genome)
+        if isinstance(typ, ht.tinterval):
+            from ..utils.structs import Interval as _Interval
+            return _Interval(conv(v['start'], typ.point_type),
+                             conv(v['end'], typ.point_type),
+                             _bi.bool(v.get('includeStart', True)),
+                             _bi.bool(v.get('includeEnd', False)),
+                             point_type=typ.point_type)
+        if typ == ht.tcall:
+            from ..genetics.call import Call as _Call
+            return _parse_call_str(v)
         if isinstance(typ, ht.tarray):
             return [conv(e, typ.element_type) for e in v]
         if isinstance(typ, ht.tset):

@@ -514,7 +514,12 @@ class CollectAgg(Aggregator):
 
     def seq(self, arg_cols, include, axis, init_args):
         (x,) = arg_cols
-        ok = _include_and_defined(x, include)
+        if self.kind == 'counter':
+            # counter keys include missing (a None group), unlike collect
+            ok = np.ones(x.shape, dtype=bool) if include is None else \
+                np.broadcast_to(include, x.shape)
+        else:
+            ok = _include_and_defined(x, include)
         pyl = C.obj_array(_flatten_vals(x), x.shape)
         pyl = np.broadcast_to(pyl, ok.shape)
         ndim = len(ok.shape)

@@ -218,7 +218,14 @@ class ArraySlice(IR):
         fo = out.ravel()
         for i in range(flat.size):
             v = flat[i]
-            fo[i] = None if v is None else list(v)[slice(get(sc, i), get(ec, i), get(stc, i))]
+            if v is None:
+                fo[i] = None
+                continue
+            step = get(stc, i)
+            if step == 0:
+                from ..utils.java import HailUserError
+                raise HailUserError('step cannot be 0 for array slice')
+            fo[i] = list(v)[slice(get(sc, i), get(ec, i), step)]
         return C.from_pylist(self.typ, list(fo)).reshape(obj.shape)
 
 
@@ -306,7 +313,9 @@ def _object_lambda(node, col: Column, env: EvalEnv, mode: str) -> Column:
 
 
 def _sort_key(x):
-    return (x is None, x)
+    import functools
+    from ..expr.functions import _cmp_values
+    return functools.cmp_to_key(_cmp_values)(x)
 
 
 def _eval_scalar_body(body: IR, env: EvalEnv, extra: dict, flat_index: Optional[int] = None):

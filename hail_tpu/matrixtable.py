@@ -946,8 +946,8 @@ class MatrixTable:
         def __repr__(self):
             return self.__str__()
 
-    def show(self, n_rows: Optional[int] = 10, n_cols: Optional[int] = None,
-             include_row_fields: bool = False, width: int = 90,
+    def show(self, n_rows=None, n_cols=None,
+             include_row_fields: bool = False, width=None,
              truncate=None, types: bool = True, handler=None):
         """Show the first rows as a wide table — one field per displayed
         matrix column (reference matrixtable.py show: localize_entries then

@@ -655,26 +655,113 @@ class Table:
         handlers) can introspect what is displayed."""
 
         def __init__(self, table, n, width, truncate, types):
+            if n is None or width is None:
+                import shutil
+                (columns, lines) = shutil.get_terminal_size((80, 10))
+                width = width or columns
+                n = n or min(max(10, (lines - 20)), 100)
             self.table = table
-            self.n = 10 if n is None else n
-            self.width = max(width or 90, 8)
-            self.truncate = truncate
+            self.n = n
+            self.width = max(width, 8)
+            if truncate:
+                self.truncate = min(max(truncate, 4), self.width - 4)
+            else:
+                self.truncate = self.width - 4
             self.types = types
+            self._data_cache = None
+
+        def data(self):
+            if self._data_cache is None:
+                t = self.table.flatten()
+                row_dtype = t.row.dtype
+                rows = t.take(self.n + 1)
+                has_more = len(rows) > self.n
+                rows = [{k: _show_value(r[k]) for k in row_dtype} for r in rows[:self.n]]
+                self._data_cache = (rows, has_more, row_dtype)
+            return self._data_cache
+
+        def _ascii_str(self):
+            """Grid rendering, field-for-field with the reference
+            (python/hail/table.py Table._Show._ascii_str)."""
+            import itertools
+            truncate = self.truncate
+            types = self.types
+
+            def trunc(s):
+                if len(s) > truncate:
+                    return s[:truncate - 3] + "..."
+                return s
+
+            rows, has_more, dtype = self.data()
+            fields = list(dtype)
+            trunc_fields = [trunc(f) for f in fields]
+            n_fields = len(fields)
+
+            type_strs = [trunc(str(dtype[f])) for f in fields] if types else [''] * len(fields)
+            right_align = [ht.is_numeric(dtype[f]) for f in fields]
+
+            rows = [[trunc(row[f]) for f in fields] for row in rows]
+
+            def max_value_width(i):
+                return max(itertools.chain([0], (len(row[i]) for row in rows)))
+
+            column_width = [max(len(trunc_fields[i]), len(type_strs[i]), max_value_width(i))
+                            for i in range(n_fields)]
+
+            column_blocks = []
+            start = 0
+            i = 1
+            w = column_width[0] + 4 if column_width else 0
+            while i < n_fields:
+                w = w + column_width[i] + 3
+                if w > self.width:
+                    column_blocks.append((start, i))
+                    start = i
+                    w = column_width[i] + 4
+                i = i + 1
+            column_blocks.append((start, i))
+
+            def format_hline(widths):
+                if not widths:
+                    return "++\n"
+                return '+-' + '-+-'.join(['-' * w for w in widths]) + '-+\n'
+
+            def pad(v, w, ra):
+                e = w - len(v)
+                return ' ' * e + v if ra else v + ' ' * e
+
+            def format_line(values, widths, ra):
+                if not values:
+                    return "||\n"
+                values = map(pad, values, widths, ra)
+                return '| ' + ' | '.join(values) + ' |\n'
+
+            s = ''
+            first = True
+            for start, end in column_blocks:
+                if first:
+                    first = False
+                else:
+                    s += '\n'
+                block_column_width = column_width[start:end]
+                block_right_align = right_align[start:end]
+                hline = format_hline(block_column_width)
+                s += hline
+                s += format_line(trunc_fields[start:end], block_column_width, block_right_align)
+                s += hline
+                if types:
+                    s += format_line(type_strs[start:end], block_column_width, block_right_align)
+                    s += hline
+                for row in rows:
+                    s += format_line(row[start:end], block_column_width, block_right_align)
+                s += hline
+            if has_more:
+                n_rows = len(rows)
+                s += f"showing top {n_rows} {'row' if n_rows == 1 else 'rows'}\n"
+            return s
 
         def __str__(self):
-            rows = self.table.take(self.n)
-            fields = list(self.table._stage.row_type.fields)
-            lines = [' | '.join(fields)]
-            if self.types:
-                lines.append(' | '.join(
-                    str(t) for t in self.table._stage.row_type.fields.values()))
-            for r in rows:
-                vals = [_show_value(r[f]) for f in fields]
-                if self.truncate:
-                    vals = [v if len(v) <= self.truncate else
-                            v[:self.truncate - 3] + '...' for v in vals]
-                lines.append(' | '.join(vals))
-            return '\n'.join(lines)
+            return self._ascii_str()
 
         def __repr__(self):
             return self.__str__()
@@ -682,7 +769,7 @@ class Table:
     def _show(self, n, width, truncate, types):
         return Table._Show(self, n, width, truncate, types)
 
-    def show(self, n: int = 10, width: int = 90, truncate=None,
+    def show(self, n=None, width=None, truncate=None,
              types: bool = True, handler=None):
         s = self._show(n, width, truncate, types)
         if handler is None:
@@ -1856,8 +1943,50 @@ def _choose(use_b_mask: np.ndarray, b: Column, a: Column) -> Column:
 
 
 def _show_value(v) -> str:
+    """Hail display string for a value (reference `showStr`,
+    is/hail/expr/ir/functions/StringFunctions.scala:365): strings quoted,
+    floats %.2e, structs as parenthesized value tuples, dicts key-sorted."""
+    import functools
+    from .expr.functions import _cmp_values
+    from .genetics.call import Call as _Call
+    from .genetics.locus import Locus as _Locus
+    from .utils.structs import Interval as _Interval, Struct as _Struct
+
     if v is None:
         return 'NA'
+    if isinstance(v, (bool, np.bool_)):
+        return 'True' if v else 'False'
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if f != f:
+            return 'NaN'
+        if f == float('inf'):
+            return 'Infinity'
+        if f == float('-inf'):
+            return '-Infinity'
+        return '%.2e' % f
+    if isinstance(v, str):
+        import json as _json
+        return _json.dumps(v)
+    if isinstance(v, _Struct):
+        return '(' + ','.join(_show_value(x) for x in v.values()) + ')'
+    if isinstance(v, tuple):
+        return '(' + ','.join(_show_value(x) for x in v) + ')'
+    if isinstance(v, list):
+        return '[' + ','.join(_show_value(x) for x in v) + ']'
+    if isinstance(v, (set, frozenset)):
+        items = sorted(v, key=functools.cmp_to_key(_cmp_values))
+        return '{' + ','.join(_show_value(x) for x in items) + '}'
+    if isinstance(v, dict) or hasattr(v, 'items') and not isinstance(v, (_Struct, _Interval)):
+        items = sorted(v.items(), key=functools.cmp_to_key(
+            lambda p, q: _cmp_values(p[0], q[0])))
+        return '{' + ','.join(f'{_show_value(k)}:{_show_value(x)}' for k, x in items) + '}'
+    if isinstance(v, (_Call, _Locus)):
+        return str(v)
+    if isinstance(v, _Interval):
+        return f'{"[" if v.includes_start else "("}{_show_value(v.start)}-{_show_value(v.end)}{"]" if v.includes_end else ")"}'
+    if isinstance(v, np.ndarray):
+        return str(v.tolist())
     return str(v)
 
 
