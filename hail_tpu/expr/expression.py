@@ -630,7 +630,10 @@ class CollectionExpression(Expression):
                 leaf = leaf.element_type
             if isinstance(leaf, ht.tstruct) and name in leaf.fields:
                 return self.map(lambda inner: getattr(inner, name))
-        raise AttributeError(f'{type(self).__name__} has no attribute {name!r}')
+        kind = 'Set' if isinstance(self.dtype, ht.tset) else 'Array'
+        struct = 'Struct' if isinstance(et, ht.tstruct) else ''
+        raise AttributeError(
+            f'{kind}{struct}Expression instance has no field, method, or property {name!r}')
 
     def all(self, f):
         # Kleene AND-reduce: all([True, NA]) is NA, all([False, NA]) is False
@@ -1040,7 +1043,21 @@ class StructExpression(Expression):
         return construct_expr(MakeStruct(fields), self._indices)
 
     def rename(self, mapping: Dict[str, str]) -> 'StructExpression':
-        fields = {mapping.get(k, k): GetField(self._ir, k) for k in self.dtype.fields}
+        """Rename fields: unrenamed fields keep their order, renamed fields
+        are appended (reference StructExpression.rename)."""
+        old_fields = set(self.dtype.fields)
+        new_to_old = {}
+        for old, new in mapping.items():
+            if old not in old_fields:
+                raise ValueError(f'{old} is not a field of this struct: {self.dtype}.')
+            if new in old_fields and new not in mapping:
+                raise ValueError(
+                    f'{old} is renamed to {new} but {new} is already in the struct: {self.dtype}.')
+            if new in new_to_old:
+                raise ValueError(f'{new} is the new name of both {old} and {new_to_old[new]}.')
+            new_to_old[new] = old
+        fields = {k: GetField(self._ir, k) for k in self.dtype.fields if k not in mapping}
+        fields.update({new: GetField(self._ir, old) for old, new in mapping.items()})
         return construct_expr(MakeStruct(fields), self._indices)
 
     def flatten(self) -> 'StructExpression':

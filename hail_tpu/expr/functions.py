@@ -2846,19 +2846,27 @@ def rand_multi_hyper(colors, nsample, seed=None):
     ce = array(colors)
     ne = to_expr(nsample)
     t = ht.tarray(ht.tint32)
-    base = 0 if seed is None else seed
+    _rand_counter[0] += 1
+    if seed is not None and not isinstance(seed, Expression):
+        base = _bi.int(seed) * 1_000_003 + _rand_counter[0]
+    else:
+        base = _rand_counter[0]
 
     def impl(ccol, ncol, idx_col):
         import scipy.stats as st
         n_rows = idx_col.shape[0] if idx_col.shape else 1
         cobj = C.to_object(ccol).broadcast_to(idx_col.shape)
         nvals = np.broadcast_to(np.asarray(ncol.values), idx_col.shape)
+        idxs = np.broadcast_to(np.asarray(idx_col.values, dtype=np.int64),
+                               idx_col.shape)
         out = np.empty(idx_col.shape, dtype=object)
         for i in range(out.size):
             cols = cobj.values.ravel()[i]
             remaining_total = _bi.sum(cols)
             remaining_draw = _bi.int(nvals.ravel()[i])
-            rng = np.random.default_rng((base * 1_000_003 + i) & 0xFFFFFFFF)
+            rng = np.random.default_rng(
+                _bi.int(_splitmix64(np.uint64(
+                    (base * 1_000_003 + _bi.int(idxs.ravel()[i])) & 0xFFFFFFFFFFFFFFFF))))
             draws = []
             for j, cnt in enumerate(cols):
                 if remaining_total <= 0 or remaining_draw <= 0:

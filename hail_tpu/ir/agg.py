@@ -909,7 +909,12 @@ class LinRegAgg(Aggregator):
             ni = int(n[i])
             d = ni - k
             if ni == 0 or d <= 0:
-                rows.append(None)
+                # no (or insufficient) data: all-missing stats, n kept
+                rows.append(Struct(
+                    beta=None, standard_error=None, t_stat=None, p_value=None,
+                    multiple_standard_error=None, multiple_r_squared=None,
+                    adjusted_r_squared=None, f_stat=None, multiple_p_value=None,
+                    n=ni))
                 continue
             try:
                 beta = np.linalg.solve(xtx[i], xty[i])

@@ -19,12 +19,29 @@ from .columns import Column, DenseArrayColumn, ObjectColumn, PrimitiveColumn
 from .nodes import IR, Cast, EvalEnv
 
 
+def _mix_uid(row_uid, elem_index):
+    """Derive a per-(row, element) uid from the row uid — splitmix64 step, so
+    randomness inside collection lambdas varies per element (the reference
+    splits stream-element UIDs the same way, ir/random uid machinery)."""
+    x = (np.asarray(row_uid, dtype=np.uint64)
+         + np.uint64(0x9E3779B97F4A7C15) * (np.asarray(elem_index, dtype=np.uint64) + np.uint64(1)))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return ((x ^ (x >> np.uint64(31))) >> np.uint64(1)).astype(np.int64)
+
+
 def _elem_env(env: EvalEnv, arr_shape, width) -> EvalEnv:
     """Environment for vectorized lambda evaluation: every outer binding gets a
     trailing broadcast axis; the lambda var will have shape arr_shape+(width,)."""
     new = {}
     for k, c in env.bindings.items():
         new[k] = c.reshape(c.shape + (1,))
+    uid = new.get('__row_idx__')
+    if uid is not None and width:
+        vals = np.broadcast_to(np.asarray(uid.values, dtype=np.int64)[..., :1],
+                               uid.values.shape[:-1] + (width,))
+        mixed = _mix_uid(vals, np.arange(width, dtype=np.int64))
+        new['__row_idx__'] = PrimitiveColumn(ht.tint64, mixed)
     return EvalEnv(new, tuple(arr_shape) + (width,))
 
 
@@ -290,8 +307,13 @@ class ToArray(IR):
 
 def _object_lambda(node, col: Column, env: EvalEnv, mode: str) -> Column:
     obj = C.to_object(col)
-    out = np.empty(obj.shape, dtype=object)
-    flat = obj.values.ravel()
+    # a row-dependent body must be evaluated per environment position even
+    # when the array itself is row-independent (shape (1,)) — broadcast the
+    # array over the env shape rather than collapsing to one evaluation
+    full_shape = np.broadcast_shapes(obj.shape, env.shape) if env.shape else obj.shape
+    vals = np.broadcast_to(obj.values, full_shape)
+    out = np.empty(full_shape, dtype=object)
+    flat = vals.ravel()
     fo = out.ravel()
     et = node.arr.typ.element_type
     for i in range(flat.size):
@@ -301,15 +323,16 @@ def _object_lambda(node, col: Column, env: EvalEnv, mode: str) -> Column:
             continue
         elems = sorted(v, key=_sort_key) if isinstance(v, (set, frozenset)) else list(v)
         res = []
-        for x in elems:
-            r = _eval_scalar_body(node.body, env, {node.var: (et, x)}, flat_index=i)
+        for j, x in enumerate(elems):
+            r = _eval_scalar_body(node.body, env, {node.var: (et, x)},
+                                  flat_index=i, full_shape=full_shape, elem_index=j)
             if mode == 'map':
                 res.append(r)
             elif mode == 'filter':
                 if r is True:
                     res.append(x)
         fo[i] = frozenset(res) if isinstance(node.typ, ht.tset) else res
-    return C.from_pylist(node.typ, list(fo)).reshape(obj.shape)
+    return C.from_pylist(node.typ, list(fo)).reshape(full_shape)
 
 
 def _sort_key(x):
@@ -318,17 +341,24 @@ def _sort_key(x):
     return functools.cmp_to_key(_cmp_values)(x)
 
 
-def _eval_scalar_body(body: IR, env: EvalEnv, extra: dict, flat_index: Optional[int] = None):
+def _eval_scalar_body(body: IR, env: EvalEnv, extra: dict,
+                      flat_index: Optional[int] = None,
+                      full_shape=None, elem_index: Optional[int] = None):
     """Evaluate `body` for a single element: bindings become length-1 columns."""
     bindings = {}
-    ones = (1,) * 1
     for k, c in env.bindings.items():
         if flat_index is not None:
+            if full_shape is not None and tuple(c.shape) != tuple(full_shape):
+                c = c.broadcast_to(full_shape) if hasattr(c, 'broadcast_to') else c
             flatc = c.reshape((int(np.prod(c.shape)),)) if int(np.prod(c.shape)) > 1 else c.reshape((c.length if c.shape else 1,))
             idx = min(flat_index, flatc.length - 1)
             bindings[k] = flatc.gather(np.asarray([idx]))
         else:
             bindings[k] = c.reshape((int(np.prod(c.shape)),)).gather(np.asarray([0]))
+    if elem_index is not None and '__row_idx__' in bindings:
+        base = np.asarray(bindings['__row_idx__'].values).ravel()
+        bindings['__row_idx__'] = PrimitiveColumn(
+            ht.tint64, _mix_uid(base, np.asarray([elem_index], dtype=np.int64)))
     for k, (t, v) in extra.items():
         bindings[k] = C.from_pylist(t, [v])
     scalar_env = EvalEnv(bindings, (1,))
