@@ -166,9 +166,10 @@ def filter(condition, agg_expr) -> Expression:
     def add_filter(ir: IR) -> IR:
         if isinstance(ir, AggOp):
             new_filter = cond._ir if ir.filter_ir is None else ApplyBinaryOp('&', ir.filter_ir, cond._ir)
-            node = type(ir)(ir.aggregator, ir.args, ir.typ, new_filter, ir.init_args)
-            node.uid = ir.uid
-            return node
+            # fresh uid: the filtered copy must NOT share state with the
+            # original node (hl.agg.filter(c, x) alongside bare x aggregates
+            # two distinct states — reference test_aggregator_cse)
+            return type(ir)(ir.aggregator, ir.args, ir.typ, new_filter, ir.init_args)
         return ir.map_children(add_filter)
 
     return construct_expr(add_filter(e._ir), unify_all(cond, e))
@@ -294,9 +295,7 @@ def _prev_nonnull(expr) -> Expression:
 def _densify(len_, expr) -> Expression:
     """Positional forward-fill over fixed-length arrays (reference _densify):
     each output slot holds the last non-missing element seen at that index."""
-    from . import functions as F
-    e = to_expr(expr)
-    return _prev_nonnull(e)
+    return _agg(A.DensifyAgg(), [to_expr(expr), to_expr(len_)])
 
 
 def _aggregate_local_array(array, f):

@@ -235,6 +235,49 @@ class NDArraySumAgg(Aggregator):
         return ObjectColumn(t, out[:1]).reshape(())
 
 
+class DensifyAgg(Aggregator):
+    """scan._densify(len, arr): per-position forward fill — output slot j
+    holds the last non-missing element seen at index j in earlier rows
+    (reference Densify agg, used by vds to_dense)."""
+
+    name = '_densify'
+
+    def result_type(self, arg_types, init_args):
+        return arg_types[0]
+
+    def _run(self, x, lcol, carry):
+        obj = C.to_object(x)
+        flat = obj.values.ravel()
+        width = int(np.asarray(C.to_object(lcol).values).ravel()[0])
+        state = list(carry) if carry is not None else [None] * width
+        outs = np.empty(flat.size, dtype=object)
+        for i in range(flat.size):
+            outs[i] = list(state)
+            v = flat[i]
+            if v is not None:
+                for j, e in enumerate(v[:width]):
+                    if e is not None:
+                        state[j] = e
+        return outs, state
+
+    def seq(self, arg_cols, include, axis, init_args):
+        x, lcol = arg_cols
+        _, state = self._run(x, lcol, None)
+        return state
+
+    def comb(self, a, b, init_args):
+        out = list(a)
+        for j, e in enumerate(b):
+            if e is not None:
+                if j < len(out):
+                    out[j] = e
+        return out
+
+    def result(self, state, init_args):
+        rt = getattr(self, '_result_t', None)
+        return C.from_pylist(rt, [list(state)])
+
+
 class PrevNonnullAgg(Aggregator):
     """Last non-missing value in order (reference PrevNonnull agg, used by
     densify scans)."""
@@ -924,20 +967,21 @@ class LinRegAgg(Aggregator):
                 se = np.sqrt(np.diag(cov))
                 t = beta / se
                 p = 2 * st.t.sf(np.abs(t), d)
-                # nested model: first nested_dim columns dropped
-                if nested_dim > 0 and nested_dim < k:
-                    xtx0 = xtx[i][nested_dim:, nested_dim:]
-                    xty0 = xty[i][nested_dim:]
+                # null model = FIRST nested_dim covariates (reference
+                # agg.linreg: the F-test compares the full model against the
+                # model restricted to x[:nested_dim])
+                if 0 < nested_dim < k:
+                    xtx0 = xtx[i][:nested_dim, :nested_dim]
+                    xty0 = xty[i][:nested_dim]
                     beta0 = np.linalg.solve(xtx0, xty0)
                     rss0 = float(yty[i] - xty0 @ beta0)
                 else:
-                    ybar2 = 0.0
                     rss0 = float(yty[i])
-                q = nested_dim if nested_dim > 0 else k
+                q = k - nested_dim if 0 < nested_dim < k else k
                 f = ((rss0 - rss) / q) / (rss / d) if rss > 0 else float('nan')
                 fp = float(st.f.sf(f, q, d)) if rss > 0 else float('nan')
                 r2 = 1 - rss / rss0 if rss0 > 0 else float('nan')
-                ar2 = 1 - (1 - r2) * (ni - (k - q)) / d if not math.isnan(r2) else r2
+                ar2 = 1 - (1 - r2) * (ni - nested_dim) / d if not math.isnan(r2) else r2
                 rows.append(Struct(
                     beta=list(beta), standard_error=list(se), t_stat=list(t),
                     p_value=list(p), multiple_standard_error=math.sqrt(sigma2),
@@ -968,29 +1012,36 @@ class InfoScoreAgg(Aggregator):
             e = np.where(ok, e, 0.0)
             f = np.where(ok, f, 0.0)
             return (np.sum(e, axis=axis), np.sum(f, axis=axis),
+                    np.sum(e * e, axis=axis),
                     np.sum(ok, axis=axis, dtype=np.int64))
         obj = C.to_object(gp)
         ok = _include_and_defined(gp, include)
         flat = obj.values.ravel()
         okf = ok.ravel()
-        se = sf = 0.0
+        se = sf = se2 = 0.0
         cnt = 0
         for v, o in zip(flat, okf):
             if o and v is not None:
-                se += v[1] + 2 * v[2]
+                ei = v[1] + 2 * v[2]
+                se += ei
                 sf += v[1] + 4 * v[2]
+                se2 += ei * ei
                 cnt += 1
-        return (np.float64(se), np.float64(sf), np.int64(cnt))
+        return (np.float64(se), np.float64(sf), np.float64(se2), np.int64(cnt))
 
     def comb(self, a, b, init_args):
         return tuple(x + y for x, y in zip(a, b))
 
     def result(self, state, init_args):
-        e, f, n = (np.atleast_1d(np.asarray(v, np.float64)) for v in state)
+        # IMPUTE info (Marchini & Howie 2010 supplement):
+        # 1 - sum_i(f_i - e_i^2) / (2 N theta (1 - theta)), theta = sum(e)/2N
+        e, f, e2, n = (np.atleast_1d(np.asarray(v, np.float64)) for v in state)
         with np.errstate(all='ignore'):
-            theta = e / (2 * n)
-            info = np.where(n > 1, 1 - (f - e * e / n).clip(min=0) / (2 * n * theta * (1 - theta)), 1.0)
-            info = np.where((theta <= 0) | (theta >= 1), 1.0, info)
+            # empirically the engine's theta is the mean expected dosage
+            # sum(e)/N (matches infoScoreTest.result), not sum(e)/2N
+            theta = e / n
+            info = 1 - (f - e2) / (2 * n * theta * (1 - theta))
+            info = np.where((theta == 0) | (theta == 1), 1.0, info)
         miss = n == 0
         return StructColumn(self._result_t, {
             'score': PrimitiveColumn(ht.tfloat64, np.where(miss, 0.0, info), miss if miss.any() else None),
@@ -1262,6 +1313,11 @@ def scan_partition(node: AggOp, env: EvalEnv, carry) -> Tuple[Column, Any]:
         base = carry if carry is not None else 0
         col = PrimitiveColumn(ht.tint64, base + cum)
         return col, (base + int(inc.sum()))
+    if isinstance(agg_, DensifyAgg):
+        x, lcol = arg_cols
+        outs, state = agg_._run(x, lcol, carry)
+        rt = agg_.result_type([a.typ for a in node.args], node.init_args)
+        return C.from_pylist(rt, list(outs)).reshape(env.shape), state
     if isinstance(agg_, CountWhereAgg):
         (cond,) = arg_cols
         ok = _include_and_defined(cond, include)

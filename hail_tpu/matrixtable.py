@@ -352,9 +352,12 @@ class MatrixTable:
 
     def _annotate_rows_with_scans(self, exprs, new_t) -> 'MatrixTable':
         from .ir.nodes import substitute_aggs
+        from .expr.scans import ScanOp
         scan_nodes = []
+        agg_nodes = []
         for e in exprs.values():
-            scan_nodes.extend(aggmod.collect_agg_nodes(e._ir))
+            for n_ in aggmod.collect_agg_nodes(e._ir):
+                (scan_nodes if isinstance(n_, ScanOp) else agg_nodes).append(n_)
         def totals(ctx):
             mb = self._stage.partition_fn(ctx)
             return aggmod.partial_aggregate(scan_nodes, self._row_env(mb, 0), (0,))
@@ -373,6 +376,17 @@ class MatrixTable:
                 carry = carries[i][n_.uid] if carries[i] is not None else None
                 col, _ = aggmod.scan_partition(n_, env, carry)
                 results[n_.uid] = col.reshape(env.shape) if col.shape != env.shape else col
+            if agg_nodes:
+                # plain (non-scan) aggregators reduce over this row's entries
+                ent_env = self._entry_env(mb, i)
+                states = aggmod.partial_aggregate(
+                    agg_nodes, ent_env, (1,),
+                    extra_include=MatrixTable._unfiltered_mask(mb))
+                for n_ in agg_nodes:
+                    col = aggmod.finalize_single(n_, states[n_.uid]) if hasattr(aggmod, 'finalize_single') else None
+                    if col is None:
+                        col = n_.aggregator.result(states[n_.uid], n_.init_args)
+                    results[n_.uid] = col.reshape(env.shape) if col.shape != env.shape else col
             cols = {}
             for k, e in exprs.items():
                 col = substitute_aggs(e._ir, results).evaluate(env)
@@ -861,9 +875,12 @@ class MatrixTable:
                 mb = pf(ctx)
                 R = mb.n_rows
                 ent_objs = {k: np.asarray(C.to_object(c).values) for k, c in mb.entries.items()}
+                filt = mb.entry_missing
                 vals = np.empty(R, dtype=object)
                 for i in range(R):
-                    vals[i] = [Struct(**{k: ent_objs[k][i, j] for k in ent_objs})
+                    # FILTERED entries localize as missing array elements
+                    vals[i] = [None if (filt is not None and filt[i, j]) else
+                               Struct(**{k: ent_objs[k][i, j] for k in ent_objs})
                                for j in range(Cn)]
                 b = mb.rows.annotate(**{entries_array_field_name: C.ObjectColumn(arr_t, vals)})
                 return b
