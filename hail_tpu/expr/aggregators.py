@@ -17,8 +17,29 @@ from .expression import Expression, Indices, construct_expr, to_expr, unify_all
 from . import functions as F
 
 
+def _refs_outside_aggs(ir: IR, names) -> list:
+    """Names from `names` referenced outside any AggOp subtree of `ir`."""
+    from ..ir.nodes import Ref
+    found = []
+    def rec(n):
+        if isinstance(n, AggOp):
+            return
+        if isinstance(n, Ref) and n.name in names:
+            found.append(n.name)
+        for c in n.children:
+            rec(c)
+    rec(ir)
+    return found
+
+
 def _agg(aggregator: A.Aggregator, args, init_args=()) -> Expression:
+    from ..ir import agg as aggmod
     exprs = [to_expr(a) for a in args]
+    for e in exprs:
+        if aggmod.collect_agg_nodes(e._ir):
+            from .typefuncs import ExpressionException
+            raise ExpressionException(
+                f"'{aggregator.name}': cannot aggregate an already-aggregated expression")
     rt = aggregator.result_type([e.dtype for e in exprs], init_args)
     aggregator._result_t = rt
     ind = unify_all(*exprs) if exprs else Indices()
@@ -160,8 +181,13 @@ def info_score(gp) -> Expression:
 
 def filter(condition, agg_expr) -> Expression:
     """Restrict an aggregation to records where `condition` holds."""
+    from ..ir import agg as aggmod
     cond = to_expr(condition)
     e = to_expr(agg_expr)
+    if not aggmod.collect_agg_nodes(e._ir):
+        from .typefuncs import ExpressionException
+        raise ExpressionException(
+            "'filter': the aggregation expression must contain aggregations")
 
     def add_filter(ir: IR) -> IR:
         if isinstance(ir, AggOp):
@@ -185,6 +211,11 @@ def explode(f, array_agg_expr) -> Expression:
     var = _fresh_name('exp_elem')
     elem = construct_expr(Ref(var, arr.dtype.element_type), arr._indices)
     inner = to_expr(f(elem))
+    if _refs_outside_aggs(inner._ir, {var}):
+        from .typefuncs import ExpressionException
+        raise ExpressionException(
+            "'explode': the exploded element may only be referenced inside "
+            "aggregations in the lambda body")
     inner_nodes = aggmod.collect_agg_nodes(inner._ir)
     agg_ = A.ExplodedAgg(arr._ir, var, inner._ir, inner_nodes, inner.dtype)
     node = AggOp(agg_, [], inner.dtype)
@@ -197,6 +228,11 @@ def group_by(group, agg_expr) -> Expression:
     from ..ir import agg as aggmod
     key = to_expr(group)
     e = to_expr(agg_expr)
+    if _refs_outside_aggs(e._ir, {'row'}):
+        from .typefuncs import ExpressionException
+        raise ExpressionException(
+            "'group_by': row fields may only be referenced inside "
+            "aggregations in the group body")
     inner_nodes = aggmod.collect_agg_nodes(e._ir)
     agg_ = A.GroupedAgg(key._ir, e._ir, inner_nodes, key.dtype, e.dtype)
     node = AggOp(agg_, [], ht.tdict(key.dtype, e.dtype))

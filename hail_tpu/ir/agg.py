@@ -1185,8 +1185,11 @@ class DownsampleAgg(Aggregator):
         xv = np.broadcast_to(np.asarray(x.values, np.float64), ok.shape)[ok]
         yv = np.broadcast_to(np.asarray(y.values, np.float64), ok.shape)[ok]
         if lab is not None:
-            lv = np.broadcast_to(np.asarray(C.to_object(lab).to_pylist(), dtype=object).reshape(lab.shape)
-                                 if not isinstance(lab, ObjectColumn) else lab.values, ok.shape)[ok]
+            lo = C.to_object(lab)
+            lv_all = np.empty(int(np.prod(lo.shape)), dtype=object)
+            for i, v in enumerate(np.asarray(lo.values, dtype=object).ravel()):
+                lv_all[i] = v
+            lv = np.broadcast_to(lv_all.reshape(lo.shape), ok.shape)[ok]
         else:
             lv = np.full(xv.shape, None, dtype=object)
         return {'pts': list(zip(xv.tolist(), yv.tolist(), lv.tolist()))}
@@ -1209,7 +1212,13 @@ class DownsampleAgg(Aggregator):
         for (x, y, l) in pts:
             key = (int((x - x0) / xspan * n_div), int((y - y0) / yspan * n_div))
             if key not in grid:
-                grid[key] = (x, y, [] if l is None else [str(l)])
+                if l is None:
+                    lab = None
+                elif isinstance(l, (list, tuple)):
+                    lab = [None if s is None else str(s) for s in l]
+                else:
+                    lab = [str(l)]
+                grid[key] = (x, y, lab)
         return C.from_pylist(self.result_type([None], init_args), [list(grid.values())])
 
 

@@ -1455,19 +1455,44 @@ class MatrixTable:
             [mapping.get(k, k) for k in st.col_key], new_rt, cb.row_type, new_et,
             st2.contexts, st2.partition_fn))
 
+    @staticmethod
+    def _transmute_refs(exprs) -> set:
+        # transmute drops the fields its expressions reference: collect both
+        # struct-field accesses (row/col/entry bases) and bare field refs
+        from .ir.nodes import GetField, Ref
+        refs = set()
+        def rec(node):
+            if isinstance(node, GetField) and isinstance(node.struct, Ref):
+                refs.add(node.name)
+            elif isinstance(node, Ref):
+                refs.add(node.name)
+            for c in node.children:
+                rec(c)
+        for e in exprs.values():
+            rec(e._ir)
+        return refs
+
     def transmute_entries(self, **named_exprs):
         exprs = {k: to_expr(v) for k, v in named_exprs.items()}
-        keep = [f for f in self._stage.entry_type.fields if f not in named_exprs]
+        refs = MatrixTable._transmute_refs(exprs)
+        keep = [f for f in self._stage.entry_type.fields
+                if f not in named_exprs and f not in refs]
         return self.select_entries(*keep, **named_exprs)
 
     def transmute_rows(self, **named_exprs):
+        exprs = {k: to_expr(v) for k, v in named_exprs.items()}
+        refs = MatrixTable._transmute_refs(exprs)
         keep = [f for f in self._stage.row_type.fields
-                if f not in named_exprs and f not in self._stage.row_key]
+                if f not in named_exprs and f not in self._stage.row_key
+                and f not in refs]
         return self.select_rows(*keep, **named_exprs)
 
     def transmute_cols(self, **named_exprs):
+        exprs = {k: to_expr(v) for k, v in named_exprs.items()}
+        refs = MatrixTable._transmute_refs(exprs)
         keep = [f for f in self._stage.col_type.fields
-                if f not in named_exprs and f not in self._stage.col_key]
+                if f not in named_exprs and f not in self._stage.col_key
+                and f not in refs]
         return self.select_cols(*keep, **named_exprs)
 
     def add_row_index(self, name: str = 'row_idx') -> 'MatrixTable':

@@ -783,6 +783,16 @@ class Table:
         agg_nodes = aggmod.collect_agg_nodes(e._ir)
         if not agg_nodes:
             raise ValueError('aggregate() requires aggregators in the expression')
+        # row fields may only be referenced inside aggregations (reference
+        # analyze: 'scope violation' — agg.sum(t.idx) / t.idx is rejected)
+        from .expr.aggregators import _refs_outside_aggs
+        bad = _refs_outside_aggs(
+            e._ir, set(self._stage.row_type.fields) | {'row'})
+        if bad:
+            from .expr.typefuncs import ExpressionException
+            raise ExpressionException(
+                f"'aggregate': row field{'s' if len(bad) > 1 else ''} "
+                f"{sorted(set(bad))} may only be referenced inside an aggregation")
         def part(ctx):
             batch = self._stage.partition_fn(ctx)
             env = self._row_env(batch, 0)
