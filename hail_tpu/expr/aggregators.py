@@ -228,7 +228,12 @@ def group_by(group, agg_expr) -> Expression:
     from ..ir import agg as aggmod
     key = to_expr(group)
     e = to_expr(agg_expr)
-    if _refs_outside_aggs(e._ir, {'row'}):
+    import builtins
+    inner_nodes_pre = aggmod.collect_agg_nodes(e._ir)
+    is_scan = builtins.any(getattr(n, 'is_scan', False) for n in inner_nodes_pre)
+    # scans are per-row results so row refs in the body are fine; plain
+    # aggregations may only use row fields inside the inner aggregators
+    if not is_scan and _refs_outside_aggs(e._ir, {'row'}):
         from .typefuncs import ExpressionException
         raise ExpressionException(
             "'group_by': row fields may only be referenced inside "

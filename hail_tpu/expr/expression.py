@@ -160,7 +160,39 @@ class Expression:
             if name in t.key:
                 return t.select(), name
             return t.select(name), name
-        return t.select(**{'<expr>': self}), '<expr>'
+        if isinstance(src, Table):
+            return t.select(**{'<expr>': self}), '<expr>'
+        # matrix-sourced computed expressions re-anchor through select_*
+        if axes == {'row'}:
+            return src.select_rows(**{'<expr>': self}).rows().select('<expr>'), '<expr>'
+        if axes == {'column'}:
+            return src.select_cols(**{'<expr>': self}).cols().select('<expr>'), '<expr>'
+        t2 = src.select_rows().select_cols().select_entries(**{'<expr>': self}).entries()
+        return t2.select('<expr>'), '<expr>'
+
+    def _to_relational_preserving_rows_and_cols(self, fallback_name='<expr>'):
+        """(name, table) pair; full row/col/entry struct expressions map back
+        to their source tables (reference base_expression.py:982)."""
+        from ..table import Table
+        source = self._indices.source
+        if isinstance(source, Table):
+            if self is source.row:
+                return None, source
+            if self is source.key:
+                return None, source.select()
+        elif source is not None:
+            if self is source.row:
+                return None, source.rows()
+            if self is source.row_key:
+                return None, source.rows().select()
+            if self is source.col:
+                return None, source.key_cols_by().cols()
+            if self is source.col_key:
+                return None, source.select_cols().key_cols_by().cols()
+            if self is source.entry:
+                return None, source.select_rows().select_cols()
+        t, name = self._to_relational()
+        return name, t
 
     def show(self, n=None, width=None, truncate=None,
              types: bool = True, handler=None):
@@ -701,6 +733,61 @@ class ArrayExpression(CollectionExpression):
             return F.or_missing(mapped.length() > 0, mapped.first())
         return F._collection_method(self, 'index_of', ht.tint32, to_expr(x))
 
+    def _aggregate_scan(self, f):
+        """Exclusive running scan over the array's elements (reference
+        StreamExpression.aggregate_scan); only scan aggregators allowed."""
+        from ..ir import agg as aggmod
+        from ..ir import columns as C
+        from ..ir.nodes import EvalEnv, substitute_aggs
+        from .scans import ScanOp
+        from .typefuncs import ExpressionException
+        et = self.dtype.element_type
+        var = _fresh_name('scan_elem')
+        elem = construct_expr(Ref(var, et), self._indices)
+        body = to_expr(f(elem))
+        nodes = aggmod.collect_agg_nodes(body._ir)
+        if any(not isinstance(n, ScanOp) for n in nodes):
+            raise ExpressionException('local stream scan cannot aggregate')
+        rt = ht.tarray(body.dtype)
+        body_ir = body._ir
+        arr_ir = self._ir
+
+        class _LocalArrayScan(IR):
+            def __init__(self, arr):
+                self.arr = arr
+                self.typ = rt
+
+            @property
+            def children(self):
+                return (self.arr,)
+
+            def map_children(self, fn):
+                return _LocalArrayScan(fn(self.arr))
+
+            def evaluate(self, env):
+                col = self.arr.evaluate(env)
+                obj = C.to_object(col)
+                out = []
+                for lst in obj.values.ravel():
+                    if lst is None:
+                        out.append(None)
+                        continue
+                    inner = EvalEnv(
+                        {var: C.from_pylist(et, list(lst)),
+                         '__row_idx__': C.PrimitiveColumn(
+                             ht.tint64, np.arange(len(lst), dtype=np.int64))},
+                        (len(lst),))
+                    results = {}
+                    for n_ in nodes:
+                        rcol, _ = aggmod.scan_partition(n_, inner, None)
+                        results[n_.uid] = rcol
+                    rescol = substitute_aggs(body_ir, results).evaluate(inner)
+                    if rescol.shape != (len(lst),):
+                        rescol = rescol.broadcast_to((len(lst),))
+                    out.append(rescol.to_pylist())
+                return C.from_pylist(rt, out).reshape(obj.shape)
+        return construct_expr(_LocalArrayScan(arr_ir), self._indices)
+
     def aggregate(self, f):
         """Aggregate over the array's elements with an aggregator expression
         (reference ArrayExpression.aggregate / _aggregate_local_array)."""
@@ -949,21 +1036,56 @@ def _ordering_key(v):
 
 
 class StructExpression(Expression):
+    @staticmethod
+    def _from_fields(fields):
+        """Build a struct expression from {name: expr} (reference
+        StructExpression._from_fields)."""
+        from . import functions as F
+        return F.struct(**fields)
+
+    @property
+    def _warn_on_shadowed_name(self):
+        """Field names that shadow Expression attributes; accessing the
+        shadowing attribute warns once and removes the name from the set
+        (reference base_expression shadowed-name warning)."""
+        cached = self.__dict__.get('_shadowed_names')
+        if cached is None:
+            cached = {f for f in self.dtype.fields
+                      if f.startswith('_') or hasattr(type(self), f)}
+            self.__dict__['_shadowed_names'] = cached
+        return cached
+
+    def __getattribute__(self, name):
+        if name != '__dict__':
+            shadowed = object.__getattribute__(self, '__dict__').get('_shadowed_names')
+            if shadowed and name in shadowed:
+                import warnings
+                warnings.warn(
+                    f'Field {name} is shadowed by another method or attribute. '
+                    f'Use ["{name}"] syntax to access the field.')
+                shadowed.discard(name)
+        return object.__getattribute__(self, name)
+
     def __getattr__(self, name: str):
         if name.startswith('_'):
             raise AttributeError(name)
-        if name in self.dtype.fields:
+        ir_ = object.__getattribute__(self, '_ir')
+        if name in ir_.typ.fields:
             return self[name]
-        raise AttributeError(f'StructExpression has no field or method {name!r}; fields: {list(self.dtype.fields)}')
+        raise AttributeError(f'StructExpression has no field or method {name!r}; fields: {list(ir_.typ.fields)}')
 
     def __getitem__(self, name):
+        # use raw attribute access so internal field projection does not
+        # consume _warn_on_shadowed_name entries
+        ir_ = object.__getattribute__(self, '_ir')
+        indices = object.__getattribute__(self, '_indices')
         if isinstance(name, slice):
             # positional field slicing (reference StructExpression slices)
-            fields = list(self.dtype.fields)[name]
+            fields = list(ir_.typ.fields)[name]
             return self.select(*fields)
         if isinstance(name, int):
-            name = list(self.dtype.fields)[name]
-        return construct_expr(GetField(self._ir, name), self._indices)
+            name = list(ir_.typ.fields)[name]
+        return construct_expr(GetField(ir_, name), indices)
 
     def __iter__(self):
         return iter(self.dtype.fields)

@@ -3022,3 +3022,50 @@ def _stream_range(start, stop=None, step=1):
     """Stream form of hl.range (streams are arrays here; reference
     hl._stream_range)."""
     return range_(start, stop, step)
+
+
+def _zip_join_producers(contexts, stream_f, key, join_f):
+    """Zip-join keyed streams produced per context: the sorted union of keys,
+    with per-producer values (missing where a producer lacks the key), mapped
+    through `join_f(key_struct, vals)` (reference functions.py
+    `_zip_join_producers` / StreamZipJoinProducers)."""
+    import functools
+    ce = to_expr(contexts)
+    ctx_t = ce.dtype.element_type
+    ctxs = eval_expr(ce)
+    streams = []
+    elem_t = None
+    for c in ctxs:
+        se = to_expr(stream_f(literal(c, ctx_t)))
+        elem_t = se.dtype.element_type
+        streams.append(eval_expr(se) or [])
+    key = [key] if isinstance(key, _bi.str) else _bi.list(key)
+    key_t = ht.tstruct(**{k: elem_t[k] for k in key})
+    all_keys = []
+    seen = _bi.set()
+    for s in streams:
+        for x in s:
+            kt = _bi.tuple(x[k] for k in key)
+            if kt not in seen:
+                seen.add(kt)
+                all_keys.append(kt)
+    all_keys.sort(key=functools.cmp_to_key(_cmp_values))
+    out = []
+    res_t = None
+    for kt in all_keys:
+        kstruct = Struct(**{k: v for k, v in _bi.zip(key, kt)})
+        vals = []
+        for s in streams:
+            hit = None
+            for x in s:
+                if _bi.tuple(x[k] for k in key) == kt:
+                    hit = x
+                    break
+            vals.append(hit)
+        je = to_expr(join_f(literal(kstruct, key_t),
+                            literal(vals, ht.tarray(elem_t))))
+        res_t = je.dtype
+        out.append(eval_expr(je))
+    if res_t is None:
+        res_t = key_t
+    return literal(out, ht.tarray(res_t))

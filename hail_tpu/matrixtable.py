@@ -167,16 +167,27 @@ class MatrixTable:
     # -- schema / field expressions ---------------------------------------
     @property
     def row(self) -> StructExpression:
-        return construct_expr(Ref('va', self._stage.row_type), Indices(self, frozenset({'row'})))
+        # cached so `expr is mt.row` identity checks work (reference caches
+        # the field-struct expressions on the source object)
+        if '_row_expr' not in self.__dict__:
+            self.__dict__['_row_expr'] = construct_expr(
+                Ref('va', self._stage.row_type), Indices(self, frozenset({'row'})))
+        return self.__dict__['_row_expr']
 
     @property
     def col(self) -> StructExpression:
-        return construct_expr(Ref('sa', self._stage.col_type), Indices(self, frozenset({'column'})))
+        if '_col_expr' not in self.__dict__:
+            self.__dict__['_col_expr'] = construct_expr(
+                Ref('sa', self._stage.col_type), Indices(self, frozenset({'column'})))
+        return self.__dict__['_col_expr']
 
     @property
     def entry(self) -> StructExpression:
-        return construct_expr(Ref('g', self._stage.entry_type),
-                              Indices(self, frozenset({'row', 'column'})))
+        if '_entry_expr' not in self.__dict__:
+            self.__dict__['_entry_expr'] = construct_expr(
+                Ref('g', self._stage.entry_type),
+                Indices(self, frozenset({'row', 'column'})))
+        return self.__dict__['_entry_expr']
 
     @property
     def globals(self) -> StructExpression:
@@ -184,11 +195,15 @@ class MatrixTable:
 
     @property
     def row_key(self) -> StructExpression:
-        return self.row.select(*self._stage.row_key)
+        if '_row_key_expr' not in self.__dict__:
+            self.__dict__['_row_key_expr'] = self.row.select(*self._stage.row_key)
+        return self.__dict__['_row_key_expr']
 
     @property
     def col_key(self) -> StructExpression:
-        return self.col.select(*self._stage.col_key)
+        if '_col_key_expr' not in self.__dict__:
+            self.__dict__['_col_key_expr'] = self.col.select(*self._stage.col_key)
+        return self.__dict__['_col_key_expr']
 
     @property
     def row_value(self):

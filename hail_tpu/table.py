@@ -233,8 +233,10 @@ class Table:
     # -- schema ------------------------------------------------------------
     @property
     def row(self) -> StructExpression:
-        return construct_expr(Ref('row', self._stage.row_type),
-                              Indices(self, frozenset({'row'})))
+        if '_row_expr' not in self.__dict__:
+            self.__dict__['_row_expr'] = construct_expr(
+                Ref('row', self._stage.row_type), Indices(self, frozenset({'row'})))
+        return self.__dict__['_row_expr']
 
     @property
     def row_value(self) -> StructExpression:
@@ -242,7 +244,9 @@ class Table:
 
     @property
     def key(self) -> StructExpression:
-        return self.row.select(*self._stage.key)
+        if '_key_expr' not in self.__dict__:
+            self.__dict__['_key_expr'] = self.row.select(*self._stage.key)
+        return self.__dict__['_key_expr']
 
     @property
     def globals(self) -> StructExpression:
@@ -947,6 +951,33 @@ class Table:
                     globals=None, partial_type=None):
         return parallelize(rows, schema, key, n_partitions, globals,
                            partial_type=partial_type)
+
+    @staticmethod
+    def _generate(contexts, partitions, rowfn, globals=None) -> 'Table':
+        """Build a table by evaluating `rowfn(context, globals)` per context —
+        one partition per context (reference Table._generate / TableGen)."""
+        from .expr import functions as F
+        from .expr.expression import to_expr
+        ce = to_expr(contexts)
+        ctx_t = ce.dtype.element_type
+        ctxs = F.eval_expr(ce)
+        g = globals if globals is not None else F.struct()
+        ge = to_expr(g)
+        gval = F.eval_expr(ge)
+        first = rowfn(F.literal(ctxs[0], ctx_t) if ctxs else F.missing(ctx_t),
+                      F.literal(gval, ge.dtype))
+        row_t = to_expr(first).dtype.element_type
+        part_rows = []
+        for c in ctxs:
+            expr = rowfn(F.literal(c, ctx_t), F.literal(gval, ge.dtype))
+            part_rows.append(F.eval_expr(to_expr(expr)) or [])
+        pf_rows = part_rows
+
+        def pf(i):
+            return Batch.from_pylist(row_t, [dict(r) for r in pf_rows[i]])
+
+        gb = Batch.from_pylist(ge.dtype, [dict(gval)]) if len(gval) else Batch({}, 1)
+        return Table(TableStage(gb, [], row_t, list(range(len(pf_rows))), pf))
 
     # -- group by ----------------------------------------------------------
     def group_by(self, *key, **named_exprs) -> 'GroupedTable':
