@@ -262,19 +262,22 @@ class CaseBuilder:
         CaseBuilder.or_error)."""
         from ..utils.misc import HailUserError
         res = self.or_missing()
-        matched = to_expr(False)
+        # the else clause is only REACHED when every condition is literally
+        # False — a missing condition makes the whole case missing (If(NA)
+        # is NA in the engine), so it does not error
+        reached_else = to_expr(True)
         for c, _ in self._cases:
-            matched = matched | coalesce(to_expr(c), False)
+            reached_else = reached_else & coalesce(~to_expr(c), False)
         msg = to_expr(message)
         t = res.dtype
 
         def impl(v, m, mg):
-            if m is not True:
+            if m is True:
                 raise HailUserError(
                     f'Error summary: HailException: the else clause of'
                     f' .or_error("{mg}") was reached')
             return v
-        return _apply('or_error', t, _obj_impl_lenient(t, impl), res, matched, msg)
+        return _apply('or_error', t, _obj_impl_lenient(t, impl), res, reached_else, msg)
 
 
 def case(missing_false: bool = False) -> CaseBuilder:

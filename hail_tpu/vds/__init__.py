@@ -39,6 +39,111 @@ class VariantDataset:
         var = mt.filter_rows(F.len_(mt.alleles) > 1) if hasattr(mt, 'alleles') else mt
         return VariantDataset(ref, var)
 
+    @staticmethod
+    def _add_len(rd: MatrixTable) -> MatrixTable:
+        """Populate LEN from END (no-op if present) — reference
+        variant_dataset.py:436."""
+        ents = rd._stage.entry_type.fields
+        if 'LEN' in ents:
+            return rd
+        if 'END' in ents:
+            return rd.annotate_entries(LEN=rd.END - rd.locus.position + 1)
+        raise ValueError('Need `END` to compute `LEN` in reference data')
+
+    @staticmethod
+    def _add_end(rd: MatrixTable) -> MatrixTable:
+        ents = rd._stage.entry_type.fields
+        if 'END' in ents:
+            return rd
+        if 'LEN' in ents:
+            return rd.annotate_entries(END=rd.LEN + rd.locus.position - 1)
+        raise ValueError('Need `LEN` to compute `END` in reference data')
+
+    def validate(self, *, check_data: bool = True) -> 'VariantDataset':
+        """Eagerly checks representational properties of the VDS (reference
+        variant_dataset.py:271 validate)."""
+        import hail_tpu as hl
+
+        def err(msg):
+            return ValueError(f'VDS.validate: {msg}')
+
+        rd, vd = self.reference_data, self.variant_data
+        rd_row_key = rd.row_key.dtype
+        if (len(rd_row_key) != 1 or list(rd_row_key)[0] != 'locus'
+                or not isinstance(rd_row_key[0], ht.tlocus)):
+            raise err("expect reference data to have a single row key 'locus' "
+                      f"of type locus, found {rd_row_key}")
+        vd_row_key = vd.row_key.dtype
+        if (len(vd_row_key) != 2 or list(vd_row_key) != ['locus', 'alleles']
+                or not isinstance(vd_row_key[0], ht.tlocus)
+                or vd_row_key[1] != ht.tarray(ht.tstr)):
+            raise err("expect variant data to have a row key "
+                      f"{{'locus': locus<rg>, alleles: array<str>}}, found {vd_row_key}")
+        if len(rd.col_key.dtype) != 1 or rd.col_key.dtype[0] != ht.tstr:
+            raise err('expect reference data to have a single col key of type string')
+        if len(vd.col_key.dtype) != 1 or vd.col_key.dtype[0] != ht.tstr:
+            raise err('expect variant data to have a single col key of type string')
+
+        field = 'gvcf_filters'
+        ref_has = field in rd._stage.entry_type.fields
+        var_has = field in vd._stage.entry_type.fields
+        if ref_has and not var_has:
+            raise err(f"reference data has '{field}' when variant data does not")
+        if var_has and not ref_has:
+            raise err(f"variant data has '{field}' when reference data does not")
+
+        ents = rd._stage.entry_type.fields
+        if 'END' not in ents and 'LEN' not in ents:
+            raise err("expect at least one of 'END' or 'LEN' in entry of reference data")
+        if 'END' in ents and ents['END'] != ht.tint32:
+            raise err("'END' field in entry of reference data must have type tint32")
+        if 'LEN' in ents and ents['LEN'] != ht.tint32:
+            raise err("'LEN' field in entry of reference data must have type tint32")
+
+        if not check_data:
+            return self
+
+        ref_cols = rd.col_key.collect()
+        var_cols = vd.col_key.collect()
+        if len(ref_cols) != len(var_cols):
+            raise err('mismatch in number of columns between reference and variant data')
+        if ref_cols != var_cols:
+            raise err('mismatch in column keys between reference and variant data')
+
+        n_rd_rows = rd.count_rows()
+        n_distinct = rd.distinct_by_row().count_rows()
+        if n_distinct != n_rd_rows:
+            raise err(f'reference data loci are not distinct: found {n_rd_rows} '
+                      f'rows, but {n_distinct} distinct loci')
+
+        rdl = VariantDataset._add_len(rd)
+        agg_exprs = {
+            'missing_len': hl.agg.filter(hl.is_missing(rdl.LEN),
+                                         hl.agg.take(rdl.locus, 5)),
+            'negative_len': hl.agg.filter(rdl.LEN < 0, hl.agg.take(rdl.locus, 5)),
+        }
+        fd = VariantDataset.ref_block_max_length_field
+        if fd in rdl._stage.globals_type.fields:
+            rbml = rdl._stage.globals.columns[fd].to_pylist()[0]
+            agg_exprs['blocks_too_long'] = hl.agg.filter(
+                rdl.LEN > rbml, hl.agg.take(rdl.locus, 5))
+        res = rdl.aggregate_entries(hl.struct(**agg_exprs))
+        if res['missing_len']:
+            raise err('found records in reference data with missing LEN field\n  '
+                      + '\n  '.join(str(x) for x in res['missing_len']))
+        if res['negative_len']:
+            raise err('found records in reference data with negative LEN\n  '
+                      + '\n  '.join(str(x) for x in res['negative_len']))
+        if res.get('blocks_too_long'):
+            raise err('found records in reference data with blocks larger than '
+                      '`ref_block_max_length`\n  '
+                      + '\n  '.join(str(x) for x in res['blocks_too_long']))
+        return self
+
+    def _same(self, other: 'VariantDataset') -> bool:
+        return (self.reference_data._same(other.reference_data)
+                and self.variant_data._same(other.variant_data))
+
     def write(self, path: str, overwrite: bool = False) -> None:
         self.reference_data.write(os.path.join(path, 'reference_data'), overwrite)
         self.variant_data.write(os.path.join(path, 'variant_data'), overwrite)
@@ -77,13 +182,19 @@ def read_vds(path: str, *, intervals=None, n_partitions=None,
     import json as _json
     rd = read_matrix_table(os.path.join(path, 'reference_data'))
     vd = read_matrix_table(os.path.join(path, 'variant_data'))
-    meta_p = os.path.join(path, 'metadata.json')
     fd = VariantDataset.ref_block_max_length_field
-    if os.path.exists(meta_p) and fd not in rd._stage.globals_type.fields:
-        with open(meta_p) as f:
-            meta = _json.load(f)
-        if fd in meta:
-            rd = rd.annotate_globals(**{fd: int(meta[fd])})
+    # the reference stores extra reference globals in a side file
+    # (variant_dataset.py read_vds, extra_ref_globals_file)
+    for meta_name in ('metadata.json', 'extra_reference_globals.json'):
+        meta_p = os.path.join(path, meta_name)
+        if os.path.exists(meta_p) and fd not in rd._stage.globals_type.fields:
+            with open(meta_p) as f:
+                meta = _json.load(f)
+            rd = rd.annotate_globals(**{k: (int(v) if k == fd else v)
+                                        for k, v in meta.items()})
+    # LEN/END are interconvertible representations; surface both on read
+    rd = VariantDataset._add_len(rd)
+    rd = VariantDataset._add_end(rd)
     if intervals is not None:
         return filter_intervals(VariantDataset(rd, vd), intervals)
     return VariantDataset(rd, vd)
@@ -525,32 +636,36 @@ def split_multi(vds: VariantDataset, *, filter_changed_loci: bool = False) -> Va
 
 
 def _ref_block_arrays(vds):
-    """(starts_gpos, ends_gpos, per-sample defined mask, dp values|None, rows)"""
+    """(starts_gpos (R,), per-entry ends_gpos (R,C), per-entry defined mask,
+    dp column|None, concatenated matrix batch). Reference blocks carry END
+    (or LEN) per ENTRY: each sample's block at a row has its own extent."""
     from ..matrixtable import _concat_matrix_batches
-    rst = vds.reference_data._stage
+    rd = VariantDataset._add_end(vds.reference_data)
+    rst = rd._stage
     rmb = _concat_matrix_batches(rst.collect_batches(), rst)
     loc = rmb.rows.columns['locus']
     gp = np.asarray(loc.global_position())
     pos = np.asarray(loc.position, dtype=np.int64)
-    endf = rmb.rows.columns.get('__END')
-    ends = np.asarray(endf.values, dtype=np.int64) if endf is not None else pos
-    end_gp = gp + (ends - pos)
-    gt = rmb.entries.get('GT')
-    defined = ~gt.missing_mask() if gt is not None else \
-        np.ones((rmb.n_rows, rst.n_cols), dtype=bool)
+    endc = rmb.entries['END']
+    ends = np.asarray(endc.values, dtype=np.int64)
+    defined = ~endc.missing_mask()
+    if rmb.entry_missing is not None:
+        defined = defined & ~rmb.entry_missing
+    end_gp = gp[:, None] + (ends - pos[:, None])
     dp = rmb.entries.get('DP')
+    if dp is None:
+        dp = rmb.entries.get('MIN_DP')
     return gp, end_gp, defined, dp, rmb
 
 
-def interval_coverage(vds: VariantDataset, intervals, gq_thresholds=(0, 20),
+def interval_coverage(vds: VariantDataset, intervals, gq_thresholds=(0, 10, 20),
                       dp_thresholds=(0, 1, 10, 20, 30), dp_field=None):
-    """Per (interval, sample) coverage summary from reference blocks
-    (reference `vds/methods.py` interval_coverage): bases covered, mean DP,
-    and fraction-over-DP/GQ-threshold columns. Returns a MatrixTable with
-    interval rows and per-sample entries."""
-    from ..ir.columns import Batch, ObjectColumn, PrimitiveColumn
+    """Base-coverage statistics by interval (reference vds/methods.py:761
+    interval_coverage): rows keyed by `interval` with `interval_size`;
+    entries hold base-weighted GQ/DP threshold counts and fractions computed
+    from reference blocks clipped to each interval."""
+    from ..ir.columns import Batch, PrimitiveColumn
     from ..matrixtable import MatrixBatch, MatrixStage, MatrixTable
-    from ..utils.structs import Interval
     gp, end_gp, defined, dp_col, rmb = _ref_block_arrays(vds)
     rst = vds.reference_data._stage
     n = rst.n_cols
@@ -558,6 +673,7 @@ def interval_coverage(vds: VariantDataset, intervals, gq_thresholds=(0, 20),
     dpm = dp_col.missing_mask() if dp_col is not None else None
     gq_col = rmb.entries.get('GQ')
     gqv = np.asarray(gq_col.values, dtype=np.float64) if gq_col is not None else None
+    gqm = gq_col.missing_mask() if gq_col is not None else None
 
     ivs = []
     if hasattr(intervals, 'collect'):
@@ -566,54 +682,73 @@ def interval_coverage(vds: VariantDataset, intervals, gq_thresholds=(0, 20),
     else:
         ivs = list(intervals)
     m = len(ivs)
-    bases_cov = np.zeros((m, n))
-    dp_sum = np.zeros((m, n))
-    frac_dp = {t: np.zeros((m, n)) for t in dp_thresholds}
-    frac_gq = {t: np.zeros((m, n)) for t in gq_thresholds}
-    lens = np.zeros(m)
+    has_dp = dpv is not None
+
+    bases_gq = np.zeros((m, n, len(gq_thresholds)), dtype=np.int64)
+    bases_dp = np.zeros((m, n, len(dp_thresholds)), dtype=np.int64)
+    sum_dp = np.zeros((m, n), dtype=np.int64)
+    sizes = np.zeros(m, dtype=np.int64)
     for ii, iv in enumerate(ivs):
-        s_ = iv.start.global_position()
-        e_ = iv.end.global_position()
-        lens[ii] = max(e_ - s_, 1)
-        overlap = np.maximum(0, np.minimum(end_gp, e_) - np.maximum(gp, s_) + 1)
-        rows = np.where(overlap > 0)[0]
-        for r in rows:
-            ov = overlap[r]
-            d = defined[r]
-            bases_cov[ii] += np.where(d, ov, 0)
-            if dpv is not None:
-                dprow = np.where(dpm[r], 0, dpv[r]) if dpm is not None else dpv[r]
-                dp_sum[ii] += np.where(d, ov * dprow, 0)
-                for t in dp_thresholds:
-                    frac_dp[t][ii] += np.where(d & (dprow >= t), ov, 0)
-            if gqv is not None:
-                for t in gq_thresholds:
-                    frac_gq[t][ii] += np.where(d & (gqv[r] >= t), ov, 0)
-    rows_b = Batch({'interval': C.from_pylist(
-        ht.tinterval(rst.row_type['locus']), ivs)}, m)
-    ents = {
-        'bases_over_dp_threshold': None,
-        'fraction_over_dp_threshold': None,
-    }
+        s_gp = iv.start.global_position() + (0 if iv.includes_start else 1)
+        e_gp = iv.end.global_position() - (0 if iv.includes_end else 1)
+        sizes[ii] = e_gp - s_gp + 1
+        # per-entry overlap of each sample block with the interval, in bases
+        ov = np.maximum(
+            0, np.minimum(end_gp, e_gp) - np.maximum(gp[:, None], s_gp) + 1)
+        ov = np.where(defined, ov, 0)
+        if not ov.any():
+            continue
+        for ti, t in enumerate(gq_thresholds):
+            okt = (gqv >= t) & ~(gqm if gqm is not None else False) \
+                if gqv is not None else np.zeros_like(defined)
+            bases_gq[ii, :, ti] = np.where(okt, ov, 0).sum(axis=0)
+        if has_dp:
+            dvals = np.where(dpm, 0, dpv) if dpm is not None else dpv
+            sum_dp[ii] = (ov * np.where(dpm, 0, dpv) if dpm is not None
+                          else ov * dpv).sum(axis=0).astype(np.int64)
+            for ti, t in enumerate(dp_thresholds):
+                okt = (dvals >= t) & ~(dpm if dpm is not None else False)
+                bases_dp[ii, :, ti] = np.where(okt, ov, 0).sum(axis=0)
+
+    loc_t = rst.row_type['locus']
+    rows_b = Batch({
+        'interval': C.from_pylist(ht.tinterval(loc_t), ivs),
+        'interval_size': PrimitiveColumn(ht.tint32, sizes.astype(np.int32)),
+    }, m)
+    gq_tt = ht.ttuple(*[ht.tint64] * len(gq_thresholds))
+    dp_tt = ht.ttuple(*[ht.tint64] * len(dp_thresholds))
+    gq_ft = ht.ttuple(*[ht.tfloat64] * len(gq_thresholds))
+    dp_ft = ht.ttuple(*[ht.tfloat64] * len(dp_thresholds))
     ents = {}
-    ents['bases_covered'] = PrimitiveColumn(ht.tint64, bases_cov.astype(np.int64))
+    ents['bases_over_gq_threshold'] = C.from_pylist(
+        gq_tt, [tuple(int(x) for x in bases_gq[i, j])
+                for i in range(m) for j in range(n)]).reshape((m, n))
+    if has_dp:
+        ents['sum_dp'] = PrimitiveColumn(ht.tint64, sum_dp)
+        ents['bases_over_dp_threshold'] = C.from_pylist(
+            dp_tt, [tuple(int(x) for x in bases_dp[i, j])
+                    for i in range(m) for j in range(n)]).reshape((m, n))
     with np.errstate(all='ignore'):
-        mean_dp = np.where(bases_cov > 0, dp_sum / np.maximum(bases_cov, 1), 0.0)
-        ents['mean_dp'] = PrimitiveColumn(ht.tfloat64, mean_dp)
-        for t in dp_thresholds:
-            ents[f'fraction_over_dp_{t}'] = PrimitiveColumn(
-                ht.tfloat64, frac_dp[t] / lens[:, None])
-        for t in gq_thresholds:
-            ents[f'fraction_over_gq_{t}'] = PrimitiveColumn(
-                ht.tfloat64, frac_gq[t] / lens[:, None])
-    from .. import ir
-    from ..ir import columns as C2
-    entry_t = ht.tstruct(**{k: (ht.tint64 if k == 'bases_covered' else ht.tfloat64)
-                            for k in ents})
+        ents['fraction_over_gq_threshold'] = C.from_pylist(
+            gq_ft, [tuple(float(x) / sizes[i] for x in bases_gq[i, j])
+                    for i in range(m) for j in range(n)]).reshape((m, n))
+        if has_dp:
+            ents['fraction_over_dp_threshold'] = C.from_pylist(
+                dp_ft, [tuple(float(x) / sizes[i] for x in bases_dp[i, j])
+                        for i in range(m) for j in range(n)]).reshape((m, n))
+            ents['mean_dp'] = PrimitiveColumn(
+                ht.tfloat64, sum_dp / np.maximum(sizes[:, None], 1))
+    entry_t = ht.tstruct(**{k: c.typ if hasattr(c, 'typ') else c.row_type
+                            for k, c in ents.items()})
+    from ..expr.expression import to_expr as _te
+    gq_glob = Batch({'gq_thresholds': C.from_pylist(
+        ht.ttuple(*[ht.tint32] * len(gq_thresholds)),
+        [tuple(gq_thresholds)])}, 1)
     return MatrixTable(MatrixStage.from_batches(
-        Batch({}, 1), rst.cols, ['interval'], rst.col_key,
-        ht.tstruct(interval=ht.tinterval(rst.row_type['locus'])), rst.col_type,
-        entry_t, [MatrixBatch(rows_b, ents)]))
+        gq_glob, rst.cols, ['interval'], rst.col_key,
+        ht.tstruct(interval=ht.tinterval(loc_t), interval_size=ht.tint32),
+        rst.col_type, entry_t, [MatrixBatch(rows_b, ents)]))
+
 
 
 def impute_sex_chromosome_ploidy(vds, calling_intervals, normalization_contig: str,
@@ -637,7 +772,7 @@ def impute_sex_chromosome_ploidy(vds, calling_intervals, normalization_contig: s
         sel = np.isin(contigs, idxs)
         if not sel.any():
             return np.zeros(n), np.zeros(n)
-        w = lengths[sel][:, None] * defined[sel]
+        w = lengths[sel] * defined[sel]
         tot = (w * dpv[sel]).sum(axis=0)
         cov = w.sum(axis=0)
         with np.errstate(all='ignore'):
@@ -677,6 +812,7 @@ def truncate_reference_blocks(ds, *, max_ref_block_base_pairs=None,
         raise ValueError(
             'truncate_reference_blocks: require exactly one of '
             '"max_ref_block_base_pairs", "ref_block_winsorize_fraction"')
+    rd = VariantDataset._add_end(rd)
     st = rd._stage
     mb = _concat_matrix_batches(st.collect_batches(), st)
     loc = mb.rows.columns['locus']
@@ -740,6 +876,9 @@ def truncate_reference_blocks(ds, *, max_ref_block_base_pairs=None,
             for (r, s, piece_end) in piece_map[key]:
                 if k2 == 'END':
                     vals[ri, s] = piece_end
+                elif k2 == 'LEN':
+                    # keep LEN consistent with the piece's new extent
+                    vals[ri, s] = piece_end - key[1] + 1
                 else:
                     v2 = ent_objs[k2].values[r, s]
                     vals[ri, s] = v2
@@ -1127,27 +1266,4 @@ def _vds_union_rows(self, *others):
     return VariantDataset(rd, vd)
 
 
-def _vds_validate(self):
-    """Check structural invariants (reference VariantDataset.validate):
-    END defined and >= position in reference data."""
-    rd = self.reference_data
-    st = rd._stage
-    for i, ctx in enumerate(st.contexts):
-        mb = st.partition_fn(ctx)
-        if 'END' not in mb.entries:
-            raise ValueError('reference_data lacks END entry field')
-        end_c = mb.entries['END']
-        ends = np.asarray(end_c.values)
-        miss = end_c.missing_mask()
-        pos = np.asarray(mb.rows.columns['locus'].position)[:, None]
-        bad = (~miss) & (ends < pos)
-        if bad.any():
-            r, c = np.argwhere(bad)[0]
-            raise ValueError(
-                f'validate: reference block END {ends[r, c]} < start '
-                f'{pos[r, 0]} at row {r}, sample {c}')
-    return self
-
-
 VariantDataset.reference_genome = property(_vds_reference_genome)
-VariantDataset.validate = _vds_validate

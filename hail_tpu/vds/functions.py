@@ -46,6 +46,13 @@ def local_to_global(array, local_alleles, n_alleles, fill_value, number: str):
         if arr is None:
             return None
         n = int(n)
+        if la is not None:
+            for ga in la:
+                if ga is not None and ga >= n:
+                    from ..utils.java import HailUserError
+                    raise HailUserError(
+                        f'local_to_global: local allele of {ga} out of bounds '
+                        f'given n_total_alleles of {n}')
         if number == 'G':
             out = [fill] * (n * (n + 1) // 2)
             k = len(la)

@@ -73,17 +73,18 @@ def test_combiner_run_and_dense(gvcfs, tmp_path):
     dense = hvds.to_dense_mt(final)
     assert dense.count_rows() == 2
     ents = {(str(e.locus), e.s): e for e in dense.entries().collect()}
+    # the combiner localizes GT to LGT (reference combine.py make_*_entry)
     # S1's variant at 300: S2 covered by block 250-350 → hom ref fill
     e = ents[('20:300', 'S2')]
-    assert e.GT is not None and e.GT.is_hom_ref()
+    assert e.LGT is not None and e.LGT.is_hom_ref()
     assert e.DP == 28 and e.GQ == 95
     # S2's variant at 150: S1 covered by block 100-200 → hom ref fill
     e2 = ents[('20:150', 'S1')]
-    assert e2.GT is not None and e2.GT.is_hom_ref()
+    assert e2.LGT is not None and e2.LGT.is_hom_ref()
     assert e2.DP == 30
     # the actual variant calls survive
-    assert ents[('20:300', 'S1')].GT.is_het()
-    assert ents[('20:150', 'S2')].GT.is_hom_var()
+    assert ents[('20:300', 'S1')].LGT.is_het()
+    assert ents[('20:150', 'S2')].LGT.is_hom_var()
 
 
 def test_combiner_resumable(gvcfs, tmp_path):
@@ -133,11 +134,12 @@ def test_interval_coverage_and_ploidy(gvcfs, tmp_path):
     cov = hvds.interval_coverage(merged, [iv])
     assert cov.count() == (1, 2)
     e = {x.s: x for x in cov.entries().collect()}
-    # S1's block covers 100-200 → 101 bases within [100, 300]
-    assert e['S1'].bases_covered == 101
-    assert abs(e['S1'].mean_dp - 30.0) < 1e-9
-    # S2's block covers 250-350 → clipped to 250-300 → 51 bases
-    assert e['S2'].bases_covered == 51
+    # reference schema: bases over thresholds + sum_dp/mean_dp over the
+    # interval size. S1's block covers 100-200 → 101 bases within [100, 300]
+    assert e['S1'].bases_over_gq_threshold[0] == 101
+    assert e['S1'].sum_dp == 101 * 30
+    # S2's block covers 250-350 → clipped to [250, 300) → 50 bases
+    assert e['S2'].bases_over_dp_threshold[0] == 50
     t = hvds.impute_sex_chromosome_ploidy(merged, None, '20')
     rows = {r.s: r for r in t.collect()}
     assert rows['S1'].autosomal_mean_dp == 30.0
@@ -151,9 +153,9 @@ def test_truncate_reference_blocks(gvcfs):
     t = hvds.truncate_reference_blocks(v, max_ref_block_base_pairs=30)
     # block 100-200 (101bp) → ceil(101/30)=4 pieces
     assert t.reference_data.count_rows() == 4
-    rows = t.reference_data.rows().collect()
-    assert rows[0].locus.position == 100 and rows[0]['__END'] == 129
-    assert rows[-1]['__END'] == 200
+    ents = t.reference_data.entries().collect()
+    assert ents[0].locus.position == 100 and ents[0].END == 129
+    assert ents[-1].END == 200 and ents[-1].LEN == 200 - ents[-1].locus.position + 1
 
 
 def test_lgt_to_gt_and_local_to_global():
