@@ -126,6 +126,15 @@ class Expression:
                 from .functions import literal
                 return literal(out, ht.tarray(self.dtype))
             return out
+        if not self._indices.axes:
+            # globals-indexed: a single value
+            col = self._ir.evaluate(src._globals_env())
+            vals = col.to_pylist()
+            out = [vals[0] if vals else None]
+            if not _localize:
+                from .functions import literal
+                return literal(out, ht.tarray(self.dtype))
+            return out
         out = src._collect_expr(self)
         if not _localize:
             from .functions import literal

@@ -115,7 +115,30 @@ def _free_refs(ir, bound=frozenset()):
     return out
 
 
+def _sanitize_missing(value):
+    """Map pandas NA (and friends) to None recursively so host values from
+    to_pandas round-trip through literals."""
+    try:
+        import pandas as pd
+        na = pd.NA
+    except Exception:
+        return value
+    if value is na:
+        return None
+    if isinstance(value, list):
+        return [_sanitize_missing(v) for v in value]
+    if isinstance(value, tuple):
+        return _bi.tuple(_sanitize_missing(v) for v in value)
+    if isinstance(value, (set, frozenset)):
+        return _bi.frozenset(_sanitize_missing(v) for v in value)
+    if isinstance(value, dict):
+        return {k: _sanitize_missing(v) for k, v in value.items()}
+    return value
+
+
 def literal(value: Any, dtype: Optional[ht.HailType] = None) -> Expression:
+    if not isinstance(value, Expression):
+        value = _sanitize_missing(value)
     if isinstance(value, Expression):
         # reference python/hail/expr/functions.py:393-442: an expression with
         # free variables cannot be captured as a literal; a bound scalar/global

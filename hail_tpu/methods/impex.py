@@ -208,7 +208,18 @@ def import_table(paths, key=None, min_partitions=None, impute: bool = False,
         field_types[source_file_field] = ht.tstr
     row_t = ht.tstruct(**{k: field_types[k] for k in cols})
     b = Batch(cols, len(rows))
-    t = Table(TableStage.from_batches(Batch({}, 1), [], row_t, [b]))
+    if min_partitions and min_partitions > 1:
+        # honor the requested minimum partitioning (reference TextTableReader
+        # minPartitions) by slicing the in-memory batch
+        k = int(min_partitions)
+        n = b.length
+        base, rem = divmod(n, k)
+        sizes = [base + (1 if i < rem else 0) for i in range(k)]
+        offs = np.cumsum([0] + sizes)
+        batches = [b.slice(int(offs[i]), int(offs[i + 1])) for i in range(k)]
+        t = Table(TableStage.from_batches(Batch({}, 1), [], row_t, batches))
+    else:
+        t = Table(TableStage.from_batches(Batch({}, 1), [], row_t, [b]))
     if key:
         key = [key] if isinstance(key, str) else list(key)
         t = t.key_by(*key)

@@ -187,17 +187,20 @@ class JoinLookup(IR):
     (analogue of the reference's TableJoin-in-expression idiom used all over
     methods; evaluated as a host-side dict lookup, `LowerTableIR` join)."""
 
-    def __init__(self, table: 'Table', key_irs: List[IR], typ: ht.tstruct):
+    def __init__(self, table: 'Table', key_irs: List[IR], typ: ht.tstruct,
+                 all_matches: bool = False):
         self.table = table
         self.key_irs = key_irs
         self.typ = typ
+        self.all_matches = all_matches
 
     @property
     def children(self):
         return tuple(self.key_irs)
 
     def map_children(self, f):
-        return JoinLookup(self.table, [f(k) for k in self.key_irs], self.typ)
+        return JoinLookup(self.table, [f(k) for k in self.key_irs], self.typ,
+                          self.all_matches)
 
     def evaluate(self, env):
         key_cols = [k.evaluate(env) for k in self.key_irs]
@@ -212,7 +215,7 @@ class JoinLookup(IR):
             kt = self.table._stage.row_type[tkey[0]]
             qt = self.key_irs[0].typ
             if isinstance(kt, ht.tinterval) and not isinstance(qt, ht.tinterval):
-                tree = self.table._interval_tree()
+                tree = self.table._interval_tree(all_matches=self.all_matches)
                 out = [tree(flats[0][i]) for i in range(n)]
                 return C.from_pylist(self.typ, out).reshape(shape)
         lookup = self.table._lookup_dict()
@@ -229,6 +232,13 @@ class Table:
     def __init__(self, stage: TableStage):
         self._stage = stage
         self._lookup_cache: Optional[dict] = None
+
+    def __setattr__(self, key, value):
+        # tables are immutable; assignment is a user error (reference
+        # table.py:165 __setattr__)
+        if not key.startswith('_'):
+            raise NotImplementedError('Table objects are not mutable')
+        object.__setattr__(self, key, value)
 
     # -- schema ------------------------------------------------------------
     @property
@@ -273,6 +283,11 @@ class Table:
             exprs = [item[k] for k in item.dtype.fields]
         else:
             exprs = [to_expr(item)]
+        if not self._stage.key:
+            from .expr.typefuncs import ExpressionException
+            raise ExpressionException(
+                'Cannot index an unkeyed table\n'
+                '  Table key: <<<empty key>>>')
         if len(exprs) != len(self._stage.key):
             raise ValueError(f'expected {len(self._stage.key)} key expressions, got {len(exprs)}')
         value_t = self._stage.row_type._drop_fields(self._stage.key)
@@ -589,8 +604,14 @@ class Table:
         return Table(self._stage.with_globals(Batch(g, 1)))
 
     def transmute_globals(self, **named_exprs) -> 'Table':
-        return self.select_globals(*[], **{**{k: self.globals[k] for k in self._stage.globals_type.fields
-                                              if k not in named_exprs}, **named_exprs})
+        # transmute drops the globals its expressions reference
+        exprs = {k: to_expr(v) for k, v in named_exprs.items()}
+        refs = set()
+        for e in exprs.values():
+            refs |= _global_field_refs(e._ir, set(self._stage.globals_type.fields))
+        keep = {k: self.globals[k] for k in self._stage.globals_type.fields
+                if k not in named_exprs and k not in refs}
+        return self.select_globals(*[], **{**keep, **named_exprs})
 
     # -- consumers ---------------------------------------------------------
     def count(self) -> int:
@@ -786,7 +807,15 @@ class Table:
         self._check_source(e)
         agg_nodes = aggmod.collect_agg_nodes(e._ir)
         if not agg_nodes:
-            raise ValueError('aggregate() requires aggregators in the expression')
+            # aggregation-free expressions evaluate in the globals context
+            # (reference: kt.aggregate(5) == 5)
+            col = e._ir.evaluate(self._globals_env())
+            vals = col.to_pylist()
+            v = vals[0] if vals else None
+            if not _localize:
+                from .expr.functions import literal as _lit
+                return _lit(v, e.dtype)
+            return v
         # row fields may only be referenced inside aggregations (reference
         # analyze: 'scope violation' — agg.sum(t.idx) / t.idx is rejected)
         from .expr.aggregators import _refs_outside_aggs
@@ -981,13 +1010,16 @@ class Table:
 
     # -- group by ----------------------------------------------------------
     def group_by(self, *key, **named_exprs) -> 'GroupedTable':
+        # computed keys are staged under temp names so the aggregation body
+        # still sees the original fields (reference group_by field lifetimes)
         t = self
-        names = []
+        pairs = [(k if isinstance(k, str) else _expr_field_name(k),) * 2
+                 for k in key]
         if named_exprs:
-            t = t.annotate(**named_exprs)
-            names += list(named_exprs)
-        names = [k if isinstance(k, str) else _expr_field_name(k) for k in key] + names
-        return GroupedTable(t, names)
+            tmp = {f'__gb_{k}': to_expr(v) for k, v in named_exprs.items()}
+            t = t.annotate(**tmp)
+            pairs += [(k, f'__gb_{k}') for k in named_exprs]
+        return GroupedTable(t, pairs)
 
     # -- ordering / distribution ------------------------------------------
     def order_by(self, *fields) -> 'Table':
@@ -1133,6 +1165,19 @@ class Table:
         if not isinstance(field, str):
             from .ir.nodes import GetField, Ref
             ir = field._ir
+            # nested field paths (t.foo.bar) explode in place: rows with a
+            # missing/empty array along the path are dropped (reference
+            # Table.explode nested-field support)
+            path = []
+            node = ir
+            while isinstance(node, GetField):
+                path.append(node.name)
+                node = node.struct
+            if isinstance(node, Ref) and node.name == 'row' and len(path) > 1:
+                if name is not None:
+                    raise ValueError(
+                        "Cannot rename nested exploded field")
+                return self._explode_path(list(reversed(path)))
             if not (isinstance(ir, GetField) and isinstance(ir.struct, Ref)):
                 raise ValueError(
                     'explode: expression must be a top-level row field')
@@ -1163,6 +1208,54 @@ class Table:
             return Batch(cols, int(lens.sum()))
         return Table(self._stage.map_partitions(f, new_t))
 
+    def _explode_path(self, path: List[str]) -> 'Table':
+        """Explode a nested array field: each row yields one output row per
+        element, with the array slot replaced by the element."""
+        t = self._stage.row_type
+        sub_t = t
+        for p in path:
+            sub_t = sub_t[p]
+        if not isinstance(sub_t, (ht.tarray, ht.tset)):
+            raise ValueError(f"explode: field {'.'.join(path)!r} is not an array/set")
+        elem_t = sub_t.element_type
+
+        def rebuild_type(typ, p_idx):
+            if p_idx == len(path):
+                return elem_t
+            out = {}
+            for k, v in typ.items():
+                out[k] = rebuild_type(v, p_idx + 1) if k == path[p_idx] else v
+            return ht.tstruct(**out)
+        new_t = rebuild_type(t, 0)
+
+        def set_path(r, p_idx, value):
+            if p_idx == len(path):
+                return value
+            d = dict(r)
+            d[path[p_idx]] = set_path(r[path[p_idx]], p_idx + 1, value)
+            return Struct(**d)
+
+        def get_path(r, p_idx):
+            v = r
+            for p in path[p_idx:]:
+                if v is None:
+                    return None
+                v = v[p]
+            return v
+
+        out_rows = []
+        for r in self.collect():
+            arr = get_path(r, 0)
+            if arr is None:
+                continue
+            elems = sorted(arr, key=lambda x: (x is None, x)) \
+                if isinstance(arr, (set, frozenset)) else list(arr)
+            for x in elems:
+                out_rows.append(set_path(r, 0, x))
+        return Table(TableStage.from_batches(
+            self._stage.globals, self._stage.key, new_t,
+            [Batch.from_pylist(new_t, [dict(r) for r in out_rows])]))
+
     # -- joins -------------------------------------------------------------
     def join(self, right: 'Table', how: str = 'inner', _mangle=None) -> 'Table':
         lkey = self._stage.key
@@ -1176,11 +1269,15 @@ class Table:
         rindex: Dict[tuple, List[int]] = {}
         for i, k in enumerate(rkeys):
             rindex.setdefault(k, []).append(i)
+        def _has_missing(k):
+            return any(x is None for x in k)
+
         l_idx: List[int] = []
         r_idx: List[int] = []
         matched_r = set()
         for i, k in enumerate(lkeys):
-            js = rindex.get(k)
+            # missing keys never match (SQL-null semantics, reference joins)
+            js = rindex.get(k) if not _has_missing(k) else None
             if js:
                 for j in js:
                     l_idx.append(i)
@@ -1191,7 +1288,7 @@ class Table:
                 r_idx.append(-1)
         if how in ('right', 'outer'):
             for k, js in rindex.items():
-                if k not in matched_r:
+                if k not in matched_r or _has_missing(k):
                     for j in js:
                         l_idx.append(-1)
                         r_idx.append(j)
@@ -1220,10 +1317,13 @@ class Table:
             g = rb.columns[f].gather(np.maximum(r_idx_a, 0))
             cols[rename[f]] = g.with_missing(rmiss if rmiss.any() else None)
         new_t = ht.tstruct(**{k: c.typ for k, c in cols.items()})
+        # right globals join with collision mangling (glob -> glob_1)
         g_cols = dict(self._stage.globals.columns)
         for k, v in right._stage.globals.columns.items():
-            if k not in g_cols:
-                g_cols[k] = v
+            nk = k
+            while nk in g_cols:
+                nk = nk + '_1'
+            g_cols[nk] = v
         joined = Batch(cols, len(l_idx_a))
         specs = [(k, True) for k in lkey]
         joined = joined.gather(_sort_indices(joined, specs))
@@ -1366,7 +1466,8 @@ class Table:
             return v
         rows = [Struct(**{f: get_path(r, paths[f]) for f in new_fields})
                 for r in self.collect()]
-        new_key = [k for k in self._stage.key if k in new_fields]
+        # the result of flatten is always unkeyed (rows stay in key order)
+        new_key = []
         return Table(TableStage.from_batches(self._stage.globals, new_key, new_t,
                                              [Batch.from_pylist(new_t, rows)]))
 
@@ -1594,10 +1695,11 @@ class Table:
         vals = col.to_pylist()
         return vals[0] if vals else None
 
-    def _interval_tree(self):
+    def _interval_tree(self, all_matches: bool = False):
         """Point-in-interval lookup function for an interval-keyed table
-        (first matching interval's value fields)."""
-        if getattr(self, '_itree_cache', None) is None:
+        (first matching interval's value fields, or all matches)."""
+        cache_attr = '_itree_cache_all' if all_matches else '_itree_cache'
+        if getattr(self, cache_attr, None) is None:
             import bisect
             batch = self._stage.collect_single()
             kf = self._stage.key[0]
@@ -1631,18 +1733,22 @@ class Table:
                 # (reference interval-join semantics); the scan is bounded by
                 # the maximum interval span
                 best = None
+                matches = []
                 while i >= 0:
                     s0, e0, iv, v = recs[i]
                     after_start = pk > s0 or (pk == s0 and iv.includes_start)
                     before_end = pk < e0 or (pk == e0 and iv.includes_end)
                     if after_start and before_end:
                         best = v
+                        matches.append(v)
                     if span(s0, pk) > max_span:
                         break
                     i -= 1
+                if all_matches:
+                    return matches[::-1]
                 return best
-            object.__setattr__(self, '_itree_cache', lookup)
-        return self._itree_cache
+            object.__setattr__(self, cache_attr, lookup)
+        return getattr(self, cache_attr)
 
     def _lookup_dict(self) -> dict:
         if self._lookup_cache is None:
@@ -1655,8 +1761,28 @@ class Table:
         return self._lookup_cache
 
     def index(self, *exprs, all_matches=False):
+        from .expr.expression import TupleExpression
         if len(exprs) == 1 and isinstance(exprs[0], StructExpression):
-            return self[exprs[0]]
+            exprs = tuple(exprs[0][k] for k in exprs[0].dtype.fields)
+        if len(exprs) == 1 and isinstance(exprs[0], TupleExpression):
+            return self.index(*[exprs[0][i] for i in range(len(exprs[0]))],
+                              all_matches=all_matches)
+        if all_matches:
+            key_t = self.key.dtype
+            is_interval = (len(exprs) == 1 and len(key_t) == 1
+                           and isinstance(key_t[0], ht.tinterval)
+                           and to_expr(exprs[0]).dtype == key_t[0].point_type)
+            if is_interval:
+                e = to_expr(exprs[0])
+                value_t = self._stage.row_type._drop_fields(self._stage.key)
+                return construct_expr(
+                    JoinLookup(self, [e._ir], ht.tarray(value_t), all_matches=True),
+                    unify_all(e))
+            # non-interval: group rows per key, then index the grouped table
+            # (reference _index: collect_by_key(uid).index(*exprs)[uid])
+            uid = '__matches'
+            grouped = self.collect_by_key(uid)
+            return grouped.index(*exprs)[uid]
         return self[tuple(exprs)]
 
     def index_globals(self) -> StructExpression:
@@ -1684,9 +1810,12 @@ class GroupedTable:
     """Result of Table.group_by; aggregate() runs a grouped aggregation
     (reference `LowerTableKeyByAndAggregate`)."""
 
-    def __init__(self, table: Table, key_fields: List[str]):
+    def __init__(self, table: Table, key_fields):
         self._table = table
-        self._key_fields = key_fields
+        # (output_name, source_field) pairs
+        self._key_pairs = [(k, k) if isinstance(k, str) else tuple(k)
+                           for k in key_fields]
+        self._key_fields = [src for _, src in self._key_pairs]
         self._npartitions = None
 
     def partition_hint(self, n: int) -> 'GroupedTable':
@@ -1696,12 +1825,22 @@ class GroupedTable:
         self._npartitions = n
         return self
 
+    def _set_buffer_size(self, n: int) -> 'GroupedTable':
+        """Advisory in-memory buffer size (reference GroupedTable
+        _set_buffer_size); single-host execution treats this as a no-op."""
+        return self
+
     def aggregate(self, **named_exprs) -> Table:
+        out_names = [o for o, _ in self._key_pairs]
         for k in named_exprs:
-            if k in self._key_fields:
+            if k in out_names:
                 raise ValueError(
                     f"GroupedTable.aggregate: key field '{k}' both grouping "
                     f"key and aggregation field")
+            if k in self._table._stage.globals_type.fields:
+                from .expr.typefuncs import ExpressionException
+                raise ExpressionException(
+                    f"GroupedTable.aggregate: cannot overwrite global field {k!r}")
         exprs = {k: to_expr(v) for k, v in named_exprs.items()}
         t = self._table
         batch = t._stage.collect_single()
@@ -1732,13 +1871,16 @@ class GroupedTable:
                 vals = col.to_pylist()
                 row[k] = vals[0] if vals else None
             out_rows.append(row)
-        key_cols = {f: batch.columns[f].gather(np.asarray(group_first, dtype=np.int64))
-                    for f in self._key_fields}
+        gf = np.asarray(group_first, dtype=np.int64)
+        key_cols = {out: batch.columns[src].gather(gf)
+                    for out, src in self._key_pairs}
         agg_cols = {k: C.from_pylist(exprs[k].dtype, [r[k] for r in out_rows]) for k in exprs}
-        new_t = ht.tstruct(**{**{f: batch.row_type[f] for f in self._key_fields},
+        out_names = [o for o, _ in self._key_pairs]
+        new_t = ht.tstruct(**{**{out: batch.row_type[src]
+                                 for out, src in self._key_pairs},
                               **{k: e.dtype for k, e in exprs.items()}})
         nb = Batch({**key_cols, **agg_cols}, n_groups)
-        return Table(TableStage.from_batches(t._stage.globals, self._key_fields, new_t, [nb]))
+        return Table(TableStage.from_batches(t._stage.globals, out_names, new_t, [nb]))
 
 
 # ---------------------------------------------------------------------------
@@ -1798,13 +1940,17 @@ def _sort_indices(batch: Batch, specs: List[Tuple[str, bool]]) -> np.ndarray:
         keys.append(-k if not asc_ else k)
     if vectorized and keys:
         return np.lexsort(list(reversed(keys))).astype(np.int64)
-    # object fallback
+    # object fallback: total order via the engine comparator (handles
+    # structs, intervals, loci, ...)
+    import functools
+    from .expr.functions import _cmp_values
+    K = functools.cmp_to_key(_cmp_values)
     cols = [(batch.columns[name].to_pylist(), asc_) for name, asc_ in specs]
     def keyfn(i):
         out = []
         for vals, asc_ in cols:
             v = vals[i]
-            out.append((v is None, _Rev(v) if not asc_ else v))
+            out.append((v is None, K(v) if asc_ else _Rev(K(v))))
         return tuple(out)
     return np.asarray(sorted(range(batch.length), key=keyfn), dtype=np.int64)
 
@@ -2362,3 +2508,66 @@ def _table_same(self, other, tolerance=1e-6, absolute=False, reorder_fields=Fals
 
 
 Table._same = _table_same
+
+
+def _global_field_refs(ir_node, global_names) -> set:
+    """Global fields referenced by an IR tree (Refs to global field names or
+    GetField on the 'global' struct)."""
+    out = set()
+    def rec(node):
+        if isinstance(node, GetField) and isinstance(node.struct, Ref) \
+                and node.struct.name == 'global':
+            out.add(node.name)
+        elif isinstance(node, Ref) and node.name in global_names:
+            out.add(node.name)
+        for c in node.children:
+            rec(c)
+    rec(ir_node)
+    return out
+
+
+def _maybe_truncate_for_flexindex(indexer, indexee_dtype):
+    import hail_tpu as hl
+    from .expr import functions as F
+    from .expr.expression import to_expr as _to_expr
+    if isinstance(indexer, tuple):
+        indexer = F.tuple_(list(indexer))
+    indexer = _to_expr(indexer)
+    if not len(indexee_dtype) > 0:
+        raise ValueError('Must have non-empty key to index')
+    if not isinstance(indexer.dtype, (ht.tstruct, ht.ttuple)):
+        indexer = F.tuple_([indexer])
+
+    def _types(t):
+        return list(t.types) if isinstance(t, ht.ttuple) else list(t.values())
+
+    matching_prefix = 0
+    for x, y in zip(_types(indexer.dtype), _types(indexee_dtype)):
+        if x != y:
+            break
+        matching_prefix += 1
+    prefix_match = matching_prefix == len(indexee_dtype)
+    direct_match = prefix_match and len(_types(indexer.dtype)) == len(indexee_dtype)
+    prefix_interval_match = (
+        len(indexee_dtype) == 1
+        and isinstance(indexee_dtype[0], ht.tinterval)
+        and _types(indexer.dtype)[0] == indexee_dtype[0].point_type)
+    direct_interval_match = prefix_interval_match and len(_types(indexer.dtype)) == 1
+    if direct_match or direct_interval_match:
+        return indexer
+    if prefix_match:
+        return indexer[0:matching_prefix]
+    if prefix_interval_match:
+        return indexer[0]
+    return None
+
+
+def _table_maybe_flexindex(self, indexer, all_matches=False):
+    truncated = _maybe_truncate_for_flexindex(indexer, self.key.dtype)
+    if truncated is not None:
+        return self.index(truncated, all_matches=all_matches)
+    return None
+
+
+Table._maybe_truncate_for_flexindex = staticmethod(_maybe_truncate_for_flexindex)
+Table._maybe_flexindex_table_by_expr = _table_maybe_flexindex
