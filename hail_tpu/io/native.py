@@ -138,8 +138,14 @@ def _prepare_dir(path: str, overwrite: bool):
 
 
 def write_table(table, path: str, overwrite: bool = False) -> None:
-    _prepare_dir(path, overwrite)
+    from ..utils.java import FatalError
     st = table._stage
+    src = getattr(st, 'source_path', None)
+    if src is not None and os.path.abspath(src) == os.path.abspath(path):
+        raise FatalError(
+            f'Error summary: path {path!r} is both an input and output source '
+            f'in this query; write to a different path or checkpoint first')
+    _prepare_dir(path, overwrite)
     batches = st.collect_batches()
     part_descs = []
     for i, b in enumerate(batches):
@@ -198,6 +204,8 @@ def read_table(path: str):
         st = TableStage(g, meta['key'], sel_t, list(range(len(parts))), pf,
                         bounds, lineage=lineage,
                         uid_bases=list(np.cumsum([0] + lens[:-1]).astype(int)))
+        # remember provenance: writing back to the same path is an error
+        st.source_path = os.path.abspath(path)
 
         def prune(required):
             req = set(required) | set(meta['key'])

@@ -108,14 +108,19 @@ def import_table(paths, key=None, min_partitions=None, impute: bool = False,
                 if filter_re and filter_re.search(line):
                     continue
                 if find_replace:
-                    line = re.sub(find_replace[0], find_replace[1], line)
+                    # Java-style $N group references in the replacement
+                    repl = re.sub(r'\$(\d+)', r'\\\1', find_replace[1])
+                    line = re.sub(find_replace[0], repl, line)
                 parts = split_line(line)
                 if first and not no_header:
+                    first = False
                     if header is None:
                         header = parts
-                    first = False
-                    continue
-                first = False
+                        continue
+                    # later files: skip the first line only if it repeats
+                    # the header (header_per_shard imports)
+                    if parts == header:
+                        continue
                 rows.append([None if x in missing_vals or x == '' else x for x in parts])
                 src_files.append(p)
 
@@ -180,6 +185,13 @@ def import_table(paths, key=None, min_partitions=None, impute: bool = False,
                 from ..expr import functions as F
                 return F.eval_expr(F.parse_locus_interval(
                     v, t.point_type.reference_genome))
+            if isinstance(t, ht.tndarray):
+                import json as _json
+                try:
+                    return np.asarray(_json.loads(v),
+                                      dtype=t.element_type.numpy_dtype)
+                except Exception:
+                    return None
             if isinstance(t, (ht.tarray, ht.tset, ht.tdict, ht.tstruct, ht.ttuple)):
                 import json as _json
                 from ..expr.typefuncs import ExpressionException
@@ -187,18 +199,7 @@ def import_table(paths, key=None, min_partitions=None, impute: bool = False,
                     parsed = _json.loads(v)
                 except Exception:
                     return v
-                def conv_j(x, tt):
-                    if x is None:
-                        return None
-                    if isinstance(tt, ht.tstruct):
-                        return Struct(**{k2: conv_j(x.get(k2), ft)
-                                         for k2, ft in tt.items()})
-                    if isinstance(tt, ht.tarray):
-                        return [conv_j(e2, tt.element_type) for e2 in x]
-                    if isinstance(tt, ht.tset):
-                        return frozenset(conv_j(e2, tt.element_type) for e2 in x)
-                    return x
-                return conv_j(parsed, t)
+                return _conv_json_typed(parsed, t)
             return v
         return C.from_pylist(t, [cv(v) for v in vals])
 
@@ -243,9 +244,31 @@ def import_lines(paths, min_partitions=None, force_bgz: bool = False,
 
 def export_table(table: Table, output: str, types_file: Optional[str] = None,
                  header: bool = True, parallel=None, delimiter: str = '\t') -> None:
-    """Table.export (reference table.py export)."""
-    batch = table._stage.collect_single()
-    fields = list(batch.row_type.fields)
+    """Table.export (reference table.py export); parallel modes write one
+    shard per partition plus shard-manifest.txt."""
+    st = table._stage
+    fields = list(st.row_type.fields)
+    if parallel in ('separate_header', 'header_per_shard'):
+        os.makedirs(output, exist_ok=True)
+        shard_names = []
+        if parallel == 'separate_header' and header:
+            with open(os.path.join(output, 'header.tsv'), 'w') as f:
+                f.write(delimiter.join(fields) + '\n')
+            shard_names.append('header.tsv')
+        for i, ctx in enumerate(st.contexts):
+            b = st.partition_fn(ctx)
+            name = f'part-{i:05d}.tsv'
+            shard_names.append(name)
+            lists = {k: b.columns[k].to_pylist() for k in fields}
+            with open(os.path.join(output, name), 'w') as f:
+                if header and parallel == 'header_per_shard':
+                    f.write(delimiter.join(fields) + '\n')
+                for r in range(b.length):
+                    f.write(delimiter.join(_export_str(lists[k][r]) for k in fields) + '\n')
+        with open(os.path.join(output, 'shard-manifest.txt'), 'w') as f:
+            f.write('\n'.join(shard_names) + '\n')
+        return
+    batch = st.collect_single()
     opener = gzip.open if output.endswith('.gz') or output.endswith('.bgz') else open
     lists = {k: batch.columns[k].to_pylist() for k in fields}
     with opener(output, 'wt') as f:
@@ -258,17 +281,121 @@ def export_table(table: Table, output: str, types_file: Optional[str] = None,
             f.write(str(batch.row_type))
 
 
+def _jsonable(v):
+    """Hail-style JSON form of a value (dict with non-string keys becomes a
+    list of {key, value} pairs; loci/calls render as their string forms)."""
+    from ..genetics.locus import Locus as _Locus
+    from ..genetics.call import Call as _Call
+    from ..utils.structs import Interval as _Interval, frozendict as _fd
+    if v is None:
+        return None
+    if isinstance(v, Struct):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if isinstance(v, (dict, _fd)) or (hasattr(v, 'items') and not isinstance(v, (Struct,))):
+        items = list(v.items())
+        if all(isinstance(k, str) for k, _ in items):
+            return {k: _jsonable(x) for k, x in items}
+        return [{'key': _jsonable(k), 'value': _jsonable(x)} for k, x in items]
+    if isinstance(v, (set, frozenset)):
+        import functools
+        from ..expr.functions import _cmp_values
+        return [_jsonable(x) for x in sorted(v, key=functools.cmp_to_key(_cmp_values))]
+    from ..utils.structs import frozenlist as _fl
+    if isinstance(v, (list, tuple, _fl)):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, (_Locus, _Call)):
+        return str(v)
+    if isinstance(v, _Interval):
+        return _interval_str(v)
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if isinstance(v, (np.integer, np.floating, np.bool_)):
+        return v.item()
+    return v
+
+
+def _interval_str(v) -> str:
+    lb = '[' if v.includes_start else '('
+    rb = ']' if v.includes_end else ')'
+    return f'{lb}{v.start}-{v.end}{rb}'
+
+
+def _conv_json_typed(x, tt):
+    """Typed reconstruction of _jsonable output (import side)."""
+    from ..genetics.locus import Locus as _Locus
+    from ..utils.structs import Interval as _Interval, freeze
+    from ..expr import functions as F
+    import builtins
+    if x is None:
+        return None
+    if isinstance(tt, ht.tstruct):
+        return Struct(**{k2: _conv_json_typed(x.get(k2), ft)
+                         for k2, ft in tt.items()})
+    if isinstance(tt, ht.ttuple):
+        return builtins.tuple(_conv_json_typed(e2, et)
+                              for e2, et in zip(x, tt.types))
+    if isinstance(tt, ht.tarray):
+        return [_conv_json_typed(e2, tt.element_type) for e2 in x]
+    if isinstance(tt, ht.tset):
+        return builtins.frozenset(freeze(_conv_json_typed(e2, tt.element_type))
+                                  for e2 in x)
+    if isinstance(tt, ht.tdict):
+        if isinstance(x, dict):
+            return {freeze(_conv_json_typed(k2, tt.key_type)):
+                    _conv_json_typed(v2, tt.value_type) for k2, v2 in x.items()}
+        return {freeze(_conv_json_typed(p['key'], tt.key_type)):
+                _conv_json_typed(p['value'], tt.value_type) for p in x}
+    if isinstance(tt, ht.tlocus):
+        return _Locus.parse(x, tt.reference_genome) if isinstance(x, str) else             _Locus(x['contig'], int(x['position']), tt.reference_genome)
+    if tt == ht.tcall:
+        from ..expr.functions import _parse_call_str
+        return _parse_call_str(x)
+    if isinstance(tt, ht.tinterval):
+        if isinstance(x, str):
+            inc_s = x[0] == '['
+            inc_e = x[-1] == ']'
+            body = x[1:-1] if x[0] in '[(' else x
+            a, b = body.rsplit('-', 1)
+            pt = tt.point_type
+            return _Interval(_conv_json_point(a, pt), _conv_json_point(b, pt),
+                             inc_s, inc_e)
+        return _Interval(_conv_json_typed(x['start'], tt.point_type),
+                         _conv_json_typed(x['end'], tt.point_type),
+                         bool(x.get('includeStart', True)),
+                         bool(x.get('includeEnd', False)))
+    if tt in (ht.tint32, ht.tint64):
+        return int(x)
+    if tt in (ht.tfloat32, ht.tfloat64):
+        return float(x)
+    return x
+
+
+def _conv_json_point(sv, pt):
+    from ..genetics.locus import Locus as _Locus
+    if isinstance(pt, ht.tlocus):
+        return _Locus.parse(sv, pt.reference_genome)
+    if pt in (ht.tint32, ht.tint64):
+        return int(sv)
+    if pt in (ht.tfloat32, ht.tfloat64):
+        return float(sv)
+    return sv
+
+
 def _export_str(v) -> str:
     import json as _json
+    from ..utils.structs import Interval as _Interval, frozendict as _fd
     if v is None:
         return 'NA'
+    if isinstance(v, np.ndarray):
+        return _json.dumps(v.tolist())
     if isinstance(v, bool):
         return 'true' if v else 'false'
     if isinstance(v, float):
         return f'{v:.5e}' if (abs(v) >= 1e6 or (abs(v) < 1e-4 and v != 0)) else repr(v)
-    if isinstance(v, (list, tuple, set, frozenset, dict, Struct)):
-        return _json.dumps(v, default=lambda o: list(o) if isinstance(o, (set, frozenset))
-                           else dict(o) if isinstance(o, Struct) else str(o))
+    if isinstance(v, _Interval):
+        return _interval_str(v)
+    if isinstance(v, (list, tuple, set, frozenset, dict, _fd, Struct)):
+        return _json.dumps(_jsonable(v))
     return str(v)
 
 

@@ -105,7 +105,11 @@ def filter_intervals(ds, intervals, keep: bool = True):
             ds = Table(st)
         def f(batch, i):
             key0 = ds._stage.key[0]
-            mask = row_mask(batch.columns[key0])
+            col = batch.columns[key0]
+            if isinstance(col, LocusColumn):
+                mask = row_mask(col)
+            else:
+                mask = _generic_interval_mask(batch, ds._stage.key, ivs, keep)
             return batch.compress(mask)
         return Table(ds._stage.map_partitions(f, ds._stage.row_type))
 
@@ -319,3 +323,31 @@ def _n_discordant(mat: np.ndarray) -> int:
     # discordant = both called (cats 2..4) and different
     sub = mat[2:, 2:]
     return int(sub.sum() - np.trace(sub))
+
+
+def _generic_interval_mask(batch, key_fields, ivs, keep):
+    """Row mask for interval filtering over arbitrary (non-locus) keys:
+    prefix comparisons like the reference's key-ordering interval semantics."""
+    from ..io.native import _cmp_key_prefix
+    cols = [C.to_object(batch.columns[k]).values for k in key_fields]
+    n = batch.length
+    m = np.zeros(n, dtype=bool)
+    endpoints = []
+    for iv in ivs:
+        def ep(v):
+            if isinstance(v, Struct):
+                return (list(v.values()), len(list(v.values())))
+            return ([v], 1)
+        endpoints.append((ep(iv.start), iv.includes_start,
+                          ep(iv.end), iv.includes_end))
+    for r in range(n):
+        kv = tuple(c[r] for c in cols)
+        for (s_ep, inc_s, e_ep, inc_e) in endpoints:
+            cs = _cmp_key_prefix(kv, s_ep)
+            if not (cs > 0 or (cs == 0 and inc_s)):
+                continue
+            ce = _cmp_key_prefix(kv, e_ep)
+            if ce < 0 or (ce == 0 and inc_e):
+                m[r] = True
+                break
+    return m if keep else ~m

@@ -1065,7 +1065,21 @@ class Table:
         batch = self._stage.collect_single()
         n = max(1, min(n, max(batch.length, 1)))
         bounds = np.linspace(0, batch.length, n + 1).astype(int)
-        parts = [batch.slice(int(bounds[i]), int(bounds[i + 1])) for i in range(n)]
+        if self._stage.key and batch.length:
+            # partitions cannot split a key: snap cut points forward to the
+            # next key change (a single key value yields one partition)
+            keys = _key_tuples(batch, self._stage.key)
+            cuts = [0]
+            for i in range(1, n):
+                c = int(bounds[i])
+                while c < batch.length and c > 0 and keys[c] == keys[c - 1]:
+                    c += 1
+                if c > cuts[-1] and c < batch.length:
+                    cuts.append(c)
+            cuts.append(batch.length)
+            parts = [batch.slice(cuts[i], cuts[i + 1]) for i in range(len(cuts) - 1)]
+        else:
+            parts = [batch.slice(int(bounds[i]), int(bounds[i + 1])) for i in range(n)]
         return Table(TableStage.from_batches(self._stage.globals, self._stage.key,
                                              self._stage.row_type, parts))
 
@@ -1540,24 +1554,48 @@ class Table:
         """Interpret row fields `columns` as the matrix columns (reference
         table.py to_matrix_table_row_major)."""
         from .matrixtable import MatrixTable, MatrixStage, MatrixBatch
-        entry_field_name = entry_field_name or 'x'
         rt = self._stage.row_type
+        if not columns:
+            raise ValueError('to_matrix_table_row_major: columns must be non-empty')
+        if entry_field_name is not None and entry_field_name in rt.fields:
+            raise ValueError(
+                f'to_matrix_table_row_major: entry field name {entry_field_name!r} '
+                f'is already a row field')
         et = rt[columns[0]]
+        for c in columns:
+            if rt[c] != et:
+                raise ValueError(
+                    f'to_matrix_table_row_major: field {c!r} has type {rt[c]}, '
+                    f'expected {et}')
         rows = self.collect()
         R = len(rows)
-        vals = [[r[c] for c in columns] for r in rows]
-        flat = [v for row in vals for v in row]
-        ec = from_pylist_col = None
         from .ir import columns as C
-        ent_col = C.from_pylist(et, flat).reshape((R, len(columns)))
         other = [f for f in rt.fields if f not in columns]
         row_rows = [Struct(**{f: r[f] for f in other}) for r in rows]
         row_t = ht.tstruct(**{f: rt[f] for f in other})
         rows_b = Batch.from_pylist(row_t, row_rows)
         col_t = ht.tstruct(**{col_field_name: ht.tstr})
         cols_b = Batch.from_pylist(col_t, [Struct(**{col_field_name: c}) for c in columns])
-        ent_t = ht.tstruct(**{entry_field_name: et})
-        batches = [MatrixBatch(rows_b, {entry_field_name: ent_col})]
+        if entry_field_name is None:
+            # with no entry name, each column field must be a struct whose
+            # fields become the entry fields (reference
+            # to_matrix_table_row_major)
+            if not isinstance(et, ht.tstruct):
+                raise ValueError(
+                    'to_matrix_table_row_major: with entry_field_name=None, '
+                    f'fields must be structs, found {et}')
+            ent_t = et
+            ent_cols = {}
+            for k, ft in et.items():
+                flat = [None if r[c] is None else r[c][k]
+                        for r in rows for c in columns]
+                ent_cols[k] = C.from_pylist(ft, flat).reshape((R, len(columns)))
+            batches = [MatrixBatch(rows_b, ent_cols)]
+        else:
+            flat = [r[c] for r in rows for c in columns]
+            ent_col = C.from_pylist(et, flat).reshape((R, len(columns)))
+            ent_t = ht.tstruct(**{entry_field_name: et})
+            batches = [MatrixBatch(rows_b, {entry_field_name: ent_col})]
         return MatrixTable(MatrixStage(self._stage.globals, cols_b,
                                        self._stage.key, [col_field_name],
                                        row_t, col_t, ent_t,

@@ -122,6 +122,10 @@ if _FrozenListBase is not None:
 
         def __repr__(self):
             return f'frozenlist({list(self)})'
+
+        def __reduce__(self):
+            # the C-extension base isn't picklable; rebuild from a list
+            return (frozenlist, (list(self),))
 else:
     class frozenlist(tuple):
         def __repr__(self):
