@@ -85,6 +85,9 @@ class Backend:
 
 
 class LocalBackend(Backend):
+    # the engine always executes through the lowered (stage) pipeline
+    requires_lowering = False
+
     """Thread-pool partition execution on one host
     (reference `backend/local/LocalBackend.scala`)."""
 

@@ -1,0 +1,102 @@
+"""Relational lineage nodes (reference `hail/ir/table_ir.py` node classes).
+
+The engine executes through columnar TableStage pipelines rather than a
+TableIR interpreter, but each relational operator still RECORDS which logical
+node produced it. The lineage supports the reference's IR-introspection
+surface (`t._tir.base_search(lambda x: isinstance(x, ir.TableMapRows))`) used
+by tests and user tooling to check which operators a pipeline contains.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+
+class BaseIR:
+    """A lineage node: operator tag + child lineages."""
+
+    def __init__(self, *children: 'BaseIR'):
+        self.children: List[BaseIR] = [c for c in children if c is not None]
+
+    def base_search(self, f) -> List['BaseIR']:
+        out = []
+        if f(self):
+            out.append(self)
+        for c in self.children:
+            out.extend(c.base_search(f))
+        return out
+
+    def search(self, f):
+        return self.base_search(f)
+
+    def __repr__(self):
+        if not self.children:
+            return type(self).__name__
+        return f'{type(self).__name__}({", ".join(map(repr, self.children))})'
+
+
+def _make(name):
+    return type(name, (BaseIR,), {})
+
+
+TableLiteral = _make('TableLiteral')
+TableRange = _make('TableRange')
+TableRead = _make('TableRead')
+TableParallelize = _make('TableParallelize')
+TableGen = _make('TableGen')
+TableKeyBy = _make('TableKeyBy')
+TableMapRows = _make('TableMapRows')
+TableMapGlobals = _make('TableMapGlobals')
+TableFilter = _make('TableFilter')
+TableExplode = _make('TableExplode')
+TableJoin = _make('TableJoin')
+TableIntervalJoin = _make('TableIntervalJoin')
+TableLeftJoinRightDistinct = _make('TableLeftJoinRightDistinct')
+TableUnion = _make('TableUnion')
+TableHead = _make('TableHead')
+TableTail = _make('TableTail')
+TableOrderBy = _make('TableOrderBy')
+TableDistinct = _make('TableDistinct')
+TableRepartition = _make('TableRepartition')
+TableKeyByAndAggregate = _make('TableKeyByAndAggregate')
+TableAggregateByKey = _make('TableAggregateByKey')
+TableRename = _make('TableRename')
+TableMultiWayZipJoin = _make('TableMultiWayZipJoin')
+TableFilterIntervals = _make('TableFilterIntervals')
+TableMapPartitions = _make('TableMapPartitions')
+MatrixRowsTable = _make('MatrixRowsTable')
+MatrixColsTable = _make('MatrixColsTable')
+MatrixEntriesTable = _make('MatrixEntriesTable')
+CastMatrixToTable = _make('CastMatrixToTable')
+CastTableToMatrix = _make('CastTableToMatrix')
+BlockMatrixToTable = _make('BlockMatrixToTable')
+BlockMatrixToTableApply = _make('BlockMatrixToTableApply')
+
+# matrix lineage nodes
+MatrixRead = _make('MatrixRead')
+MatrixLiteral = _make('MatrixLiteral')
+MatrixRangeReader = _make('MatrixRangeReader')
+MatrixMapRows = _make('MatrixMapRows')
+MatrixMapCols = _make('MatrixMapCols')
+MatrixMapEntries = _make('MatrixMapEntries')
+MatrixMapGlobals = _make('MatrixMapGlobals')
+MatrixFilterRows = _make('MatrixFilterRows')
+MatrixFilterCols = _make('MatrixFilterCols')
+MatrixFilterEntries = _make('MatrixFilterEntries')
+MatrixKeyRowsBy = _make('MatrixKeyRowsBy')
+MatrixExplodeRows = _make('MatrixExplodeRows')
+MatrixExplodeCols = _make('MatrixExplodeCols')
+MatrixAggregateRowsByKey = _make('MatrixAggregateRowsByKey')
+MatrixAggregateColsByKey = _make('MatrixAggregateColsByKey')
+MatrixUnionRows = _make('MatrixUnionRows')
+MatrixUnionCols = _make('MatrixUnionCols')
+MatrixDistinctByRow = _make('MatrixDistinctByRow')
+MatrixRowsHead = _make('MatrixRowsHead')
+MatrixColsHead = _make('MatrixColsHead')
+MatrixRowsTail = _make('MatrixRowsTail')
+MatrixColsTail = _make('MatrixColsTail')
+MatrixRepartition = _make('MatrixRepartition')
+MatrixChooseCols = _make('MatrixChooseCols')
+MatrixCollectColsByKey = _make('MatrixCollectColsByKey')
+MatrixAnnotateRowsTable = _make('MatrixAnnotateRowsTable')
+MatrixAnnotateColsTable = _make('MatrixAnnotateColsTable')

@@ -478,8 +478,11 @@ class BlockMatrix:
             'j': PrimitiveColumn(httypes.tint64, j),
             'entry': PrimitiveColumn(httypes.tfloat64, arr.ravel()),
         }, n * m)
-        return Table(TableStage.from_batches(Batch({}, 1), ['i', 'j'],
-                                             b.row_type, [b]))
+        out = Table(TableStage.from_batches(Batch({}, 1), ['i', 'j'],
+                                            b.row_type, [b]))
+        from ..ir import relational_ir as _rir
+        out._stage.tir = _rir.BlockMatrixToTable()
+        return out
 
     def to_table_row_major(self, n_partitions=None, maximum_cache_memory_in_bytes=None):
         from .. import types as httypes

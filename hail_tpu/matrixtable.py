@@ -362,7 +362,8 @@ class MatrixTable:
             cols = {}
             for k, e in exprs.items():
                 cols[k] = self._eval_row_expr(e, mb, i)
-            return MatrixBatch(mb.rows.annotate(**cols), mb.entries)
+            return MatrixBatch(mb.rows.annotate(**cols), mb.entries,
+                               mb.entry_missing)
         return MatrixTable(self._stage.map_partitions(f, new_row_type=new_t))
 
     def _annotate_rows_with_scans(self, exprs, new_t) -> 'MatrixTable':
@@ -408,7 +409,8 @@ class MatrixTable:
                 if col.shape != (mb.n_rows,):
                     col = col.broadcast_to((mb.n_rows,))
                 cols[k] = col
-            batches.append(MatrixBatch(mb.rows.annotate(**cols), mb.entries))
+            batches.append(MatrixBatch(mb.rows.annotate(**cols), mb.entries,
+                                       mb.entry_missing))
         st = self._stage
         return MatrixTable(MatrixStage.from_batches(
             st.globals, st.cols, st.row_key, st.col_key, new_t, st.col_type,
@@ -505,7 +507,8 @@ class MatrixTable:
             cols = {}
             for n in names:
                 cols[n] = self._eval_row_expr(exprs[n], mb, i) if n in exprs else mb.rows.columns[n]
-            return MatrixBatch(Batch(cols, mb.n_rows), mb.entries)
+            return MatrixBatch(Batch(cols, mb.n_rows), mb.entries,
+                               mb.entry_missing)
         return MatrixTable(self._stage.map_partitions(f, new_row_type=new_t))
 
     def select_cols(self, *fields, **named_exprs) -> 'MatrixTable':
@@ -565,7 +568,8 @@ class MatrixTable:
             new_et = st.entry_type._drop_fields(entry_drops)
             def f(mb, i):
                 return MatrixBatch(mb.rows.drop(*row_drops),
-                                   {k: v for k, v in mb.entries.items() if k not in entry_drops})
+                                   {k: v for k, v in mb.entries.items() if k not in entry_drops},
+                                   mb.entry_missing)
             out = MatrixTable(out._stage.map_partitions(f, new_row_type=new_rt, new_entry_type=new_et))
         if col_drops or glob_drops:
             st2 = out._stage
@@ -907,6 +911,12 @@ class MatrixTable:
                 col_rows, ht.tarray(st.col_type))})
         return t
 
+    @property
+    def _tir(self):
+        from .ir import relational_ir as _rir
+        tir = getattr(self._stage, 'tir', None)
+        return tir if tir is not None else _rir.MatrixLiteral()
+
     def _force_count_rows(self) -> int:
         return self.count_rows()
 
@@ -1109,7 +1119,8 @@ class MatrixTable:
                 else:
                     rows_cols[k] = c.gather(idx)
             ents = {k: c.gather(idx, axis=0) for k, c in mb.entries.items()}
-            return MatrixBatch(Batch(rows_cols, len(idx)), ents)
+            filt = mb.entry_missing[idx] if mb.entry_missing is not None else None
+            return MatrixBatch(Batch(rows_cols, len(idx)), ents, filt)
         return MatrixTable(st.map_partitions(f, new_row_type=new_row_t))
 
     def explode_cols(self, field_expr) -> 'MatrixTable':
@@ -1228,7 +1239,8 @@ class MatrixTable:
             rc = dict(mb.rows.columns)
             rc[row_field] = C.from_pylist(stat_t, row_stats[off:off + mb.n_rows])
             off += mb.n_rows
-            out.append(MatrixBatch(Batch(rc, mb.n_rows), mb.entries))
+            out.append(MatrixBatch(Batch(rc, mb.n_rows), mb.entries,
+                                   mb.entry_missing))
         cc = dict(st.cols.columns)
         cc[col_field] = C.from_pylist(stat_t, col_stats)
         new_cols = Batch(cc, n_c)
@@ -1516,7 +1528,8 @@ class MatrixTable:
         off = 0
         for mb in batches:
             col = PrimitiveColumn(ht.tint64, np.arange(off, off + mb.n_rows, dtype=np.int64))
-            out.append(MatrixBatch(mb.rows.annotate(**{name: col}), mb.entries))
+            out.append(MatrixBatch(mb.rows.annotate(**{name: col}), mb.entries,
+                                   mb.entry_missing))
             off += mb.n_rows
         st = self._stage
         return MatrixTable(MatrixStage.from_batches(
@@ -1870,3 +1883,33 @@ def _mt_same(self, other, tolerance=1e-6, absolute=False, reorder_fields=False):
 
 
 MatrixTable._same = _mt_same
+
+
+# ---------------------------------------------------------------------------
+# relational lineage tags for table-producing ops (ir/relational_ir.py)
+# ---------------------------------------------------------------------------
+
+def _wrap_mt_table_tir():
+    from .ir import relational_ir as _rir
+
+    def wrap(name, node_cls):
+        orig = getattr(MatrixTable, name)
+
+        def wrapped(self, *a, **k):
+            out = orig(self, *a, **k)
+            try:
+                out._stage.tir = node_cls(self._tir)
+            except Exception:
+                pass
+            return out
+        wrapped.__name__ = getattr(orig, '__name__', name)
+        wrapped.__doc__ = orig.__doc__
+        setattr(MatrixTable, name, wrapped)
+
+    wrap('rows', _rir.MatrixRowsTable)
+    wrap('cols', _rir.MatrixColsTable)
+    wrap('entries', _rir.MatrixEntriesTable)
+    wrap('localize_entries', _rir.CastMatrixToTable)
+
+
+_wrap_mt_table_tir()

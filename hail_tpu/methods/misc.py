@@ -111,7 +111,10 @@ def filter_intervals(ds, intervals, keep: bool = True):
             else:
                 mask = _generic_interval_mask(batch, ds._stage.key, ivs, keep)
             return batch.compress(mask)
-        return Table(ds._stage.map_partitions(f, ds._stage.row_type))
+        out = Table(ds._stage.map_partitions(f, ds._stage.row_type))
+        from ..ir import relational_ir as _rir
+        out._stage.tir = _rir.TableFilterIntervals(ds._tir)
+        return out
 
 
 def rename_duplicates(dataset: MatrixTable, name: str = 'unique_id') -> MatrixTable:

@@ -585,7 +585,8 @@ class Table:
 
     def annotate_globals(self, **named_exprs) -> 'Table':
         exprs = {k: to_expr(v) for k, v in named_exprs.items()}
-        env = self._globals_env()
+        env = self._globals_env().bind(
+            '__row_idx__', PrimitiveColumn(ht.tint64, np.asarray([-1], dtype=np.int64)))
         g = dict(self._stage.globals.columns)
         for k, e in exprs.items():
             col = e._ir.evaluate(env)
@@ -1902,10 +1903,13 @@ class GroupedTable:
             sub = batch.slice(s, e_)
             env = t._row_env(sub, 0)
             row = {}
+            fin_env = t._globals_env().bind(
+                '__row_idx__', PrimitiveColumn(ht.tint64,
+                                               np.asarray([s], dtype=np.int64)))
             for k, expr in exprs.items():
                 nodes = all_nodes[k]
                 states = aggmod.partial_aggregate(nodes, env, (0,))
-                col = aggmod.finalize_aggregate(expr._ir, nodes, states, t._globals_env())
+                col = aggmod.finalize_aggregate(expr._ir, nodes, states, fin_env)
                 vals = col.to_pylist()
                 row[k] = vals[0] if vals else None
             out_rows.append(row)
@@ -2609,3 +2613,198 @@ def _table_maybe_flexindex(self, indexer, all_matches=False):
 
 Table._maybe_truncate_for_flexindex = staticmethod(_maybe_truncate_for_flexindex)
 Table._maybe_flexindex_table_by_expr = _table_maybe_flexindex
+
+
+# ---------------------------------------------------------------------------
+# relational lineage (reference t._tir IR tree; see ir/relational_ir.py)
+# ---------------------------------------------------------------------------
+
+from .ir import relational_ir as _rir  # noqa: E402
+
+
+def _table_tir(self):
+    tir = getattr(self._stage, 'tir', None)
+    return tir if tir is not None else _rir.TableLiteral()
+
+
+Table._tir = property(_table_tir)
+
+
+def _set_tir(t, node):
+    try:
+        t._stage.tir = node
+    except Exception:
+        pass
+    return t
+
+
+def _wrap_unary_tir(method_name, node_cls):
+    orig = getattr(Table, method_name)
+
+    def wrapped(self, *a, **k):
+        out = orig(self, *a, **k)
+        if isinstance(out, Table):
+            _set_tir(out, node_cls(self._tir))
+        return out
+    wrapped.__name__ = getattr(orig, '__name__', method_name)
+    wrapped.__doc__ = orig.__doc__
+    setattr(Table, method_name, wrapped)
+
+
+for _name, _cls in [
+    ('key_by', _rir.TableKeyBy),
+    ('select', _rir.TableMapRows),
+    ('transmute', _rir.TableMapRows),
+    ('add_index', _rir.TableMapRows),
+    ('filter', _rir.TableFilter),
+    ('annotate_globals', _rir.TableMapGlobals),
+    ('select_globals', _rir.TableMapGlobals),
+    ('transmute_globals', _rir.TableMapGlobals),
+    ('drop', _rir.TableMapRows),
+    ('explode', _rir.TableExplode),
+    ('head', _rir.TableHead),
+    ('tail', _rir.TableTail),
+    ('order_by', _rir.TableOrderBy),
+    ('distinct', _rir.TableDistinct),
+    ('repartition', _rir.TableRepartition),
+    ('naive_coalesce', _rir.TableRepartition),
+    ('collect_by_key', _rir.TableAggregateByKey),
+    ('rename', _rir.TableRename),
+    ('_map_partitions', _rir.TableMapPartitions),
+    ('_filter_partitions', _rir.TableMapPartitions),
+]:
+    if hasattr(Table, _name):
+        _wrap_unary_tir(_name, _cls)
+
+
+def _wrap_annotate_tir():
+    orig = Table.annotate
+
+    def annotate(self, **named_exprs):
+        out = orig(self, **named_exprs)
+        if isinstance(out, Table):
+            child = self._tir
+            # joins in the annotation lineage: interval-keyed lookups record
+            # TableIntervalJoin, plain lookups TableLeftJoinRightDistinct
+            def scan(ir_):
+                nonlocal child
+                if isinstance(ir_, JoinLookup):
+                    tkey = ir_.table._stage.key
+                    is_iv = (len(tkey) == 1 and isinstance(
+                        ir_.table._stage.row_type[tkey[0]], ht.tinterval)
+                        and len(ir_.key_irs) == 1
+                        and not isinstance(ir_.key_irs[0].typ, ht.tinterval))
+                    child = (_rir.TableIntervalJoin(child)
+                             if is_iv else _rir.TableLeftJoinRightDistinct(child))
+                for c in ir_.children:
+                    scan(c)
+            for e in named_exprs.values():
+                if isinstance(e, Expression):
+                    scan(e._ir)
+            _set_tir(out, _rir.TableMapRows(child))
+        return out
+    Table.annotate = annotate
+
+
+_wrap_annotate_tir()
+
+
+def _wrap_join_tir():
+    orig = Table.join
+
+    def join(self, right, how='inner', _mangle=None):
+        out = orig(self, right, how, _mangle)
+        _set_tir(out, _rir.TableJoin(self._tir, right._tir))
+        return out
+    Table.join = join
+
+    orig_union = Table.union
+
+    def union(self, *others, unify=False):
+        out = orig_union(self, *others, unify=unify)
+        _set_tir(out, _rir.TableUnion(self._tir, *[o._tir for o in others]))
+        return out
+    Table.union = union
+
+    orig_mwzj = Table.multi_way_zip_join if hasattr(Table, 'multi_way_zip_join') else None
+    if orig_mwzj is not None:
+        def multi_way_zip_join(tables, data_field_name, global_field_name):
+            out = orig_mwzj(tables, data_field_name, global_field_name)
+            _set_tir(out, _rir.TableMultiWayZipJoin(*[t._tir for t in tables]))
+            return out
+        Table.multi_way_zip_join = staticmethod(multi_way_zip_join)
+
+    orig_gen = Table.__dict__['_generate'].__func__
+
+    def _generate(contexts, partitions, rowfn, globals=None):
+        out = orig_gen(contexts, partitions, rowfn, globals)
+        _set_tir(out, _rir.TableGen())
+        return out
+    Table._generate = staticmethod(_generate)
+
+    orig_par = Table.__dict__['parallelize'].__func__
+
+    def parallelize_(rows, schema=None, key=None, n_partitions=None,
+                     globals=None, partial_type=None):
+        out = orig_par(rows, schema, key, n_partitions, globals, partial_type)
+        _set_tir(out, _rir.TableParallelize())
+        return out
+    Table.parallelize = staticmethod(parallelize_)
+
+
+_wrap_join_tir()
+
+
+def _wrap_module_constructors_tir():
+    global range_table, parallelize
+    orig_range = range_table
+
+    def range_table_(n, n_partitions=None):
+        out = orig_range(n, n_partitions)
+        _set_tir(out, _rir.TableRange())
+        return out
+    range_table_.__doc__ = orig_range.__doc__
+    range_table = range_table_
+
+    orig_parallelize = parallelize
+
+    def parallelize_(rows, schema=None, key=None, n_partitions=None,
+                     globals=None, partial_type=None):
+        out = orig_parallelize(rows, schema, key, n_partitions,
+                               globals, partial_type=partial_type)
+        _set_tir(out, _rir.TableParallelize())
+        return out
+    parallelize_.__doc__ = orig_parallelize.__doc__
+    parallelize = parallelize_
+
+
+_wrap_module_constructors_tir()
+
+
+def _wrap_read_table_tir():
+    global read_table
+    orig = read_table
+
+    def read_table_(path, *a, **k):
+        out = orig(path, *a, **k)
+        if isinstance(out, Table):
+            _set_tir(out, _rir.TableRead())
+        return out
+    read_table_.__doc__ = orig.__doc__
+    read_table = read_table_
+
+
+_wrap_read_table_tir()
+
+
+def _wrap_grouped_aggregate_tir():
+    orig = GroupedTable.aggregate
+
+    def aggregate(self, **named_exprs):
+        out = orig(self, **named_exprs)
+        _set_tir(out, _rir.TableKeyByAndAggregate(self._table._tir))
+        return out
+    GroupedTable.aggregate = aggregate
+
+
+_wrap_grouped_aggregate_tir()

@@ -751,52 +751,116 @@ def interval_coverage(vds: VariantDataset, intervals, gq_thresholds=(0, 10, 20),
 
 
 
+def impute_sex_chr_ploidy_from_interval_coverage(mt, normalization_contig: str):
+    """Sex-chromosome ploidy from a precomputed interval-coverage MatrixTable
+    (reference vds/methods.py:262): per-sample contig mean depth =
+    sum(sum_dp)/sum(interval_size), ploidy = 2 * chr_dp / autosomal_dp."""
+    import hail_tpu as hl
+    rg = mt._stage.row_type['interval'].point_type.reference_genome
+    if len(rg.x_contigs) != 1:
+        raise NotImplementedError(
+            f"reference genome {rg.name!r} has multiple X contigs, this is not "
+            f"supported in 'impute_sex_chr_ploidy_from_interval_coverage'")
+    chr_x = rg.x_contigs[0]
+    if len(rg.y_contigs) != 1:
+        raise NotImplementedError(
+            f"reference genome {rg.name!r} has multiple Y contigs, this is not "
+            f"supported in 'impute_sex_chr_ploidy_from_interval_coverage'")
+    chr_y = rg.y_contigs[0]
+
+    mt = mt.annotate_rows(contig=mt.interval.start.contig)
+    mt = mt.annotate_cols(__mean_dp=hl.agg.group_by(
+        mt.contig, hl.agg.sum(mt.sum_dp) / hl.agg.sum(mt.interval_size)))
+    mean_dp_dict = mt.__mean_dp
+    auto_dp = mean_dp_dict.get(normalization_contig, 0.0)
+    x_dp = mean_dp_dict.get(chr_x, 0.0)
+    y_dp = mean_dp_dict.get(chr_y, 0.0)
+    per_sample = mt.transmute_cols(
+        autosomal_mean_dp=auto_dp,
+        x_mean_dp=x_dp,
+        x_ploidy=2 * x_dp / auto_dp,
+        y_mean_dp=y_dp,
+        y_ploidy=2 * y_dp / auto_dp,
+    )
+    return per_sample.cols()
+
+
 def impute_sex_chromosome_ploidy(vds, calling_intervals, normalization_contig: str,
                                  use_variant_dataset: bool = False):
-    """X/Y ploidy estimates from mean reference-block DP vs an autosomal
-    normalization contig (reference vds.impute_sex_chromosome_ploidy)."""
-    from ..ir.columns import Batch
-    from ..table import Table, TableStage
-    gp, end_gp, defined, dp_col, rmb = _ref_block_arrays(vds)
+    """X/Y ploidy estimates from interval depth vs an autosomal normalization
+    contig (reference vds/methods.py:337 impute_sex_chromosome_ploidy):
+    calling intervals are segmented at PAR boundaries and PAR-overlapping
+    segments dropped; coverage comes from reference blocks (or variant DP
+    with use_variant_dataset)."""
+    import hail_tpu as hl
+    from ..utils.structs import Interval, Struct
     rst = vds.reference_data._stage
     rg = rst.row_type['locus'].reference_genome
-    n = rst.n_cols
-    if dp_col is None:
-        raise ValueError('impute_sex_chromosome_ploidy requires a DP entry field')
-    dpv = np.asarray(dp_col.values, dtype=np.float64)
-    contigs = np.asarray(rmb.rows.columns['locus'].contig_idx)
-    lengths = (end_gp - gp + 1).astype(np.float64)
 
-    def mean_dp_for(contig_names):
-        idxs = [rg.contig_index(c2) for c2 in contig_names if rg.has_contig(c2)]
-        sel = np.isin(contigs, idxs)
-        if not sel.any():
-            return np.zeros(n), np.zeros(n)
-        w = lengths[sel] * defined[sel]
-        tot = (w * dpv[sel]).sum(axis=0)
-        cov = w.sum(axis=0)
-        with np.errstate(all='ignore'):
-            return np.where(cov > 0, tot / np.maximum(cov, 1), 0.0), cov
+    if calling_intervals is None:
+        # convenience: whole contigs carrying reference data
+        from ..genetics.locus import Locus as _Locus
+        seen = []
+        for ctx in rst.contexts:
+            lc = rst.partition_fn(ctx).rows.columns['locus']
+            for ci in np.unique(np.asarray(lc.contig_idx)):
+                c = rg.contigs[int(ci)]
+                if c not in seen:
+                    seen.append(c)
+        ivs = [Interval(_Locus(c, 1, rg), _Locus(c, rg.contig_length(c), rg),
+                        True, False) for c in seen]
+    elif hasattr(calling_intervals, 'collect'):
+        k0 = calling_intervals._stage.key[0]
+        ivs = [r[k0] for r in calling_intervals.collect()]
+    else:
+        ivs = [F.eval_expr(to_expr(iv)) if not isinstance(iv, Interval) else iv
+               for iv in calling_intervals]
 
-    norm_mean, _ = mean_dp_for([normalization_contig])
-    x_mean, _ = mean_dp_for(rg.x_contigs)
-    y_mean, _ = mean_dp_for(rg.y_contigs)
-    with np.errstate(all='ignore'):
-        x_ploidy = np.where(norm_mean > 0, 2 * x_mean / np.maximum(norm_mean, 1e-300), 0.0)
-        y_ploidy = np.where(norm_mean > 0, 2 * y_mean / np.maximum(norm_mean, 1e-300), 0.0)
-    skey = rst.col_key[0]
-    samples = [r[skey] for r in rst.cols.to_pylist()]
-    row_t = ht.tstruct(s=ht.tstr, autosomal_mean_dp=ht.tfloat64,
-                       x_mean_dp=ht.tfloat64, x_ploidy=ht.tfloat64,
-                       y_mean_dp=ht.tfloat64, y_ploidy=ht.tfloat64)
-    from ..utils.structs import Struct
-    rows = [Struct(s=samples[i], autosomal_mean_dp=float(norm_mean[i]),
-                   x_mean_dp=float(x_mean[i]), x_ploidy=float(x_ploidy[i]),
-                   y_mean_dp=float(y_mean[i]), y_ploidy=float(y_ploidy[i]))
-            for i in range(n)]
-    return Table(TableStage.from_batches(Batch({}, 1), ['s'], row_t,
-                                         [Batch.from_pylist(row_t, rows)]))
+    def gpos(p):
+        return p.global_position()
 
+    # segment at PAR boundaries, then drop PAR-overlapping segments
+    par = list(rg.par)
+    boundaries = []
+    for piv in par:
+        boundaries.extend([piv.start, piv.end])
+    segments = []
+    for iv in ivs:
+        if iv.start.contig != iv.end.contig:
+            raise ValueError(
+                "'impute_sex_chromosome_ploidy' does not support calling "
+                "intervals that span chromosome boundaries")
+        cuts = sorted((b for b in boundaries
+                       if b.contig == iv.start.contig
+                       and gpos(iv.start) < gpos(b) < gpos(iv.end)),
+                      key=gpos)
+        bounds = [iv.start] + cuts + [iv.end]
+        for j in range(len(bounds) - 1):
+            seg = Interval(bounds[j], bounds[j + 1],
+                           iv.includes_start if j == 0 else True,
+                           iv.includes_end if j == len(bounds) - 2 else False)
+            overlaps_par = any(
+                piv.start.contig == seg.start.contig
+                and gpos(seg.start) < gpos(piv.end)
+                and gpos(piv.start) < gpos(seg.end)
+                for piv in par)
+            if not overlaps_par:
+                segments.append(seg)
+
+    if use_variant_dataset:
+        mt = vds.variant_data
+        loc_t = rst.row_type['locus']
+        iv_t = ht.tinterval(loc_t)
+        civ = hl.Table.parallelize(
+            [Struct(interval=s, interval_dup=s) for s in segments],
+            schema=ht.tstruct(interval=iv_t, interval_dup=iv_t), key='interval')
+        mt = mt.annotate_rows(interval=civ[mt.locus].interval_dup)
+        mt = mt.filter_rows(hl.is_defined(mt.interval))
+        coverage = mt.select_entries(sum_dp=mt.DP,
+                                     interval_size=hl.is_defined(mt.DP))
+    else:
+        coverage = interval_coverage(vds, segments, gq_thresholds=())
+    return impute_sex_chr_ploidy_from_interval_coverage(coverage, normalization_contig)
 
 def truncate_reference_blocks(ds, *, max_ref_block_base_pairs=None,
                               ref_block_winsorize_fraction=None):
@@ -975,71 +1039,6 @@ def filter_chromosomes(vds: 'VariantDataset', *, keep=None, remove=None,
     def filt(mt):
         return mt.filter_rows(keep_set.contains(mt.locus.contig))
     return VariantDataset(filt(vds.reference_data), filt(vds.variant_data))
-
-
-def impute_sex_chr_ploidy_from_interval_coverage(mt: MatrixTable,
-                                                 normalization_contig: str):
-    """Estimate X/Y ploidy from an interval-coverage matrix table (reference
-    vds/methods.py:262): mean depth on sex contigs normalized by the mean
-    depth on `normalization_contig`, times 2."""
-    rows = mt.rows().collect()
-    st = mt._stage
-    contigs = []
-    for i, ctx in enumerate(st.contexts):
-        mb = st.partition_fn(ctx)
-        ivs = mb.rows.columns['interval'].to_pylist()
-        dp_c = mb.entries['sum_dp']
-        bases_c = mb.entries.get('interval_size')
-        import numpy as _np
-        dp = _np.asarray(dp_c.values, dtype=_np.float64)
-        if bases_c is not None:
-            sz = _np.asarray(bases_c.values, dtype=_np.float64)
-        else:
-            sz = _np.ones_like(dp)
-        for r, iv in enumerate(ivs):
-            contigs.append((iv.start.contig, dp[r], sz[r]))
-    import numpy as _np
-    from collections import defaultdict
-    dp_by = defaultdict(lambda: [0.0, 0.0])
-    rg = rows[0].interval.start.reference_genome if rows else None
-    for ctg, dp, sz in contigs:
-        acc = dp_by[ctg]
-        acc[0] = acc[0] + dp
-        acc[1] = acc[1] + sz
-    cols_py = st.cols.to_pylist()
-    skey = st.col_key[0]
-    norm = dp_by.get(normalization_contig)
-    if norm is None:
-        raise ValueError(f'normalization contig {normalization_contig!r} has '
-                         f'no coverage rows')
-    norm_mean = norm[0] / _np.maximum(norm[1], 1)
-    out_rows = []
-    x_c = rg.x_contigs[0] if rg else 'X'
-    y_c = rg.y_contigs[0] if rg else 'Y'
-    for j, c in enumerate(cols_py):
-        def mean_of(ctg):
-            acc = dp_by.get(ctg)
-            if acc is None or acc[1] == 0:
-                return None
-            m = acc[0][j] / acc[1] if hasattr(acc[0], '__len__') else acc[0] / acc[1]
-            return m
-        xm = mean_of(x_c)
-        ym = mean_of(y_c)
-        am = norm_mean if not hasattr(norm_mean, '__len__') else norm_mean[j]
-        out_rows.append(Struct(**{skey: c[skey]},
-                               autosomal_mean_dp=float(am),
-                               x_mean_dp=None if xm is None else float(xm),
-                               x_ploidy=None if xm is None else float(2 * xm / am),
-                               y_mean_dp=None if ym is None else float(ym),
-                               y_ploidy=None if ym is None else float(2 * ym / am)))
-    t_row = ht.tstruct(**{skey: st.col_type[skey]},
-                       autosomal_mean_dp=ht.tfloat64,
-                       x_mean_dp=ht.tfloat64, x_ploidy=ht.tfloat64,
-                       y_mean_dp=ht.tfloat64, y_ploidy=ht.tfloat64)
-    from ..ir.columns import Batch
-    from ..table import Table, TableStage
-    return Table(TableStage.from_batches(Batch({}, 1), [skey], t_row,
-                                         [Batch.from_pylist(t_row, out_rows)]))
 
 
 def merge_reference_blocks(ds, equivalence_function, merge_functions=None):

@@ -140,8 +140,11 @@ def test_interval_coverage_and_ploidy(gvcfs, tmp_path):
     assert e['S1'].sum_dp == 101 * 30
     # S2's block covers 250-350 → clipped to [250, 300) → 50 bases
     assert e['S2'].bases_over_dp_threshold[0] == 50
-    t = hvds.impute_sex_chromosome_ploidy(merged, None, '20')
+    civ = [hl.eval(hl.parse_locus_interval('20:100-201'))]
+    t = hvds.impute_sex_chromosome_ploidy(merged, civ, '20')
     rows = {r.s: r for r in t.collect()}
+    # reference semantics: mean over the interval SIZE (101 bases, all
+    # covered by S1's DP-30 block)
     assert rows['S1'].autosomal_mean_dp == 30.0
     assert rows['S1'].x_ploidy == 0.0  # no X blocks
 

@@ -1,7 +1,17 @@
 """pytest plugin for alias runs (tools/alias_tests.sh): the reference marks
 known-local-backend-failures as STRICT xfail (helpers.py fails_local_backend);
 when this framework passes such a test, that's a capability win, not an
-error — downgrade every xfail marker to non-strict so XPASS reports as xpassed."""
+error — downgrade every xfail marker to non-strict so XPASS reports as xpassed.
+
+Also force the jax platform to CPU before first use: the axon sitecustomize
+overrides the JAX_PLATFORMS env var, so env-level forcing does not stick and
+jnp ops would otherwise dispatch over the TPU relay during CPU test runs."""
+
+try:
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+except Exception:
+    pass
 
 
 def pytest_collection_modifyitems(items):
