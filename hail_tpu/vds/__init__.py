@@ -32,12 +32,69 @@ class VariantDataset:
         self.variant_data = variant_data
 
     @staticmethod
-    def from_merged_representation(mt: MatrixTable, *, ref_block_fields=(),
+    def from_merged_representation(mt: MatrixTable, *,
+                                   ref_block_indicator_field: str = 'END',
+                                   ref_block_fields=(),
                                    infer_ref_block_fields: bool = True,
                                    is_split: bool = False) -> 'VariantDataset':
-        ref = mt.filter_rows(F.len_(mt.alleles) == 1) if hasattr(mt, 'alleles') else mt
-        var = mt.filter_rows(F.len_(mt.alleles) > 1) if hasattr(mt, 'alleles') else mt
-        return VariantDataset(ref, var)
+        """Split a merged sparse MatrixTable into (reference_data,
+        variant_data) — reference variant_dataset.py:133. Reference blocks are
+        the entries carrying the indicator (END or LEN); the kept reference
+        entry fields are inferred from missingness in the first rows."""
+        import hail_tpu as hl
+        ind = ref_block_indicator_field
+        ents = mt._stage.entry_type.fields
+        if ind not in ('END', 'LEN'):
+            raise ValueError(
+                f'Invalid `ref_block_indicator_field` `{ind}` one of `LEN` or `END` expected')
+        if ind not in ents:
+            raise ValueError(
+                'VariantDataset.from_merged_representation: expect field '
+                f'`{ind}` in matrix table entry')
+        if 'LA' not in ents and not is_split:
+            raise ValueError(
+                'VariantDataset.from_merged_representation: expect field `LA` '
+                'in matrix table entry.\n  If this dataset is already split '
+                'into biallelics, use `is_split=True` to permit a conversion '
+                'with no `LA` field.')
+        if 'GT' not in ents and 'LGT' not in ents:
+            raise ValueError(
+                'VariantDataset.from_merged_representation: expect field '
+                '`LGT` or `GT` in matrix table entry')
+
+        used = set(ref_block_fields)
+        used.add(ind)
+        if infer_ref_block_fields:
+            mt_head = mt.head(n_rows=100)
+            present = mt_head.aggregate_entries(hl.agg.filter(
+                hl.is_defined(mt_head[ind]),
+                hl.tuple([hl.agg.any(hl.is_defined(mt_head[x]))
+                          for x in ents])))
+            for k, any_present in zip(list(ents), present):
+                if any_present:
+                    used.add(k)
+        gt_field = 'LGT' if 'LGT' in ents else 'GT'
+        used.discard('LA')
+
+        rmt = mt.filter_entries(
+            hl.case()
+            .when(hl.is_missing(mt[ind]), False)
+            .when(hl.is_defined(mt[ind]) & mt[gt_field].is_hom_ref(), True)
+            .or_error(hl.str(
+                'cannot create VDS from merged representation - found '
+                f'{ind} field with non-reference genotype at ')
+                + hl.str(mt.locus)))
+        rmt = rmt.select_entries(*(x for x in ents if x in used))
+        rmt = rmt.filter_rows(hl.agg.count() > 0)
+        rmt = rmt.key_rows_by('locus').select_rows().select_cols()
+        rmt = VariantDataset._add_len(rmt) if ind == 'END' else \
+            VariantDataset._add_end(rmt)
+        if is_split:
+            rmt = rmt.distinct_by_row()
+
+        vmt = mt.filter_entries(hl.is_missing(mt[ind])).drop(ind)
+        vmt = vmt.filter_rows(hl.agg.count() > 0)
+        return VariantDataset(rmt, vmt)
 
     @staticmethod
     def _add_len(rd: MatrixTable) -> MatrixTable:
@@ -222,7 +279,15 @@ def to_dense_mt(vds: VariantDataset) -> MatrixTable:
     ref_loc = rmb.rows.columns['locus']
     ref_gpos = np.asarray(ref_loc.global_position())
     ref_pos = np.asarray(ref_loc.position, dtype=np.int64)
-    if 'END' in rmb.entries:
+    if 'LEN' in rmb.entries:
+        # LEN is authoritative (the reference to_dense computes _END_GLOBAL
+        # from LEN, vds/methods.py:43); a user-annotated LEN may make a
+        # stale END
+        len_col = rmb.entries['LEN']
+        lens = np.asarray(len_col.values, dtype=np.int64)
+        block_def = ~rmb.entry_filtered_mask() & ~len_col.missing_mask()
+        end_gpos = ref_gpos[:, None] + (lens - 1)
+    elif 'END' in rmb.entries:
         ends_col = rmb.entries['END']
         ends = np.asarray(ends_col.values, dtype=np.int64)
         block_def = ~rmb.entry_filtered_mask() & ~ends_col.missing_mask()
@@ -243,7 +308,8 @@ def to_dense_mt(vds: VariantDataset) -> MatrixTable:
     ref_fields = set(rst.entry_type.fields)
     ref_call_field = 'GT' if 'GT' in ref_fields else (
         'LGT' if 'LGT' in ref_fields else None)
-    shared = [f for f in ent_t.fields if f in ref_fields and f != 'END']
+    shared = [f for f in ent_t.fields
+              if f in ref_fields and f not in ('END', 'LEN')]
     ref_objs = {f: C.to_object(rmb.entries[f]) for f in shared}
     ref_call = rmb.entries.get(ref_call_field) if ref_call_field else None
     hom_ref = _Call([0, 0])
@@ -291,9 +357,148 @@ def to_dense_mt(vds: VariantDataset) -> MatrixTable:
         [MatrixBatch(vmb.rows, ents,
                      out_filtered if out_filtered.any() else None)]))
 
-def to_merged_sparse_mt(vds: VariantDataset) -> MatrixTable:
-    return vds.variant_data.union_rows(vds.reference_data) \
-        if _same_entries(vds) else vds.variant_data
+def to_merged_sparse_mt(vds: VariantDataset, *, ref_allele_function=None) -> MatrixTable:
+    """Merge reference and variant data into one sparse MatrixTable
+    (reference vds/methods.py:108): outer join on locus; reference entries
+    are widened into the union entry schema with LA=[0] and a hom-ref call;
+    reference-only rows take alleles=[ref_allele]."""
+    from ..matrixtable import MatrixBatch, MatrixStage, MatrixTable as _MT, _concat_matrix_batches
+    from ..utils.structs import Struct
+    rst = vds.reference_data._stage
+    vst = vds.variant_data._stage
+
+    merged_schema = dict(rst.entry_type.fields)
+    for e, t in vst.entry_type.fields.items():
+        if e in merged_schema:
+            if merged_schema[e] != t:
+                raise TypeError(
+                    f"cannot unify field {e!r}: {merged_schema[e]}, {t}")
+        else:
+            merged_schema[e] = t
+    ref_fields = set(rst.entry_type.fields)
+    var_fields = set(vst.entry_type.fields)
+
+    rmb = _concat_matrix_batches(rst.collect_batches(), rst)
+    vmb = _concat_matrix_batches(vst.collect_batches(), vst)
+    n = vst.n_cols
+
+    def batch_rows(mb, fields):
+        objs = {k: C.to_object(mb.rows.columns[k]).values for k in fields}
+        return objs
+
+    ref_loci = rmb.rows.columns['locus'].to_pylist() if rmb.n_rows else []
+    ref_gpos = [l.global_position() for l in ref_loci]
+    ref_by_gpos = {g: i for i, g in enumerate(ref_gpos)}
+    ref_allele_col = rmb.rows.columns.get('ref_allele')
+    ref_alleles = ref_allele_col.to_pylist() if ref_allele_col is not None else None
+
+    var_row_fields = [k for k in vst.row_type.fields]
+    var_objs = {k: C.to_object(vmb.rows.columns[k]).values for k in var_row_fields} \
+        if vmb.n_rows else {k: [] for k in var_row_fields}
+    var_loci = vmb.rows.columns['locus'].to_pylist() if vmb.n_rows else []
+    var_gpos = [l.global_position() for l in var_loci]
+
+    ent_objs_r = {k: C.to_object(c).values for k, c in rmb.entries.items()}
+    ent_objs_v = {k: C.to_object(c).values for k, c in vmb.entries.items()}
+    filt_r = rmb.entry_missing
+    filt_v = vmb.entry_missing
+    rg = rst.row_type['locus'].reference_genome
+
+    if ref_allele_function is None and ref_alleles is None:
+        if not getattr(rg, '_has_sequence', lambda: False)():
+            ref_allele_function = lambda locus, i: None if False else (_ for _ in ()).throw(
+                ValueError(
+                    "to_merged_sparse_mt: in order to construct a ref allele for "
+                    "reference-only sites, either pass a function to fill in "
+                    "reference alleles (e.g. ref_allele_function=lambda locus: "
+                    "hl.missing('str')) or add a sequence file with "
+                    "'hl.get_reference(RG_NAME).add_sequence(FASTA_PATH)'."))
+
+    def ref_allele_at(ri):
+        if ref_alleles is not None:
+            return ref_alleles[ri]
+        if ref_allele_function is not None:
+            return ref_allele_function(ref_loci[ri], ri)
+        return rg.sequence_context(ref_loci[ri])
+
+    def rewrite_ref(ri, j):
+        if filt_r is not None and filt_r[ri, j]:
+            return None
+        vals = {}
+        miss_all = True
+        for k, t in merged_schema.items():
+            if k == 'LA':
+                vals[k] = [0]
+            elif k in ('LGT', 'GT') and k not in ref_fields:
+                from ..genetics.call import Call as _Call
+                vals[k] = _Call([0, 0])
+            elif k in ref_fields:
+                v = ent_objs_r[k][ri, j]
+                vals[k] = v
+                if v is not None:
+                    miss_all = False
+            else:
+                vals[k] = None
+        if miss_all and all(ent_objs_r[k][ri, j] is None for k in ref_fields):
+            return None
+        return Struct(**vals)
+
+    def rewrite_var(vi, j):
+        if filt_v is not None and filt_v[vi, j]:
+            return None
+        if all(ent_objs_v[k][vi, j] is None for k in var_fields):
+            # a fully-missing variant entry defers to the reference entry
+            return None
+        return Struct(**{k: (ent_objs_v[k][vi, j] if k in var_fields else None)
+                         for k in merged_schema})
+
+    out_rows = []
+    out_entries = []
+    used_ref = set()
+    for vi in range(len(var_loci)):
+        g = var_gpos[vi]
+        ri = ref_by_gpos.get(g)
+        if ri is not None:
+            used_ref.add(ri)
+        row = {k: var_objs[k][vi] for k in var_row_fields}
+        ents = []
+        for j in range(n):
+            e = rewrite_var(vi, j)
+            if e is None and ri is not None:
+                e = rewrite_ref(ri, j)
+            ents.append(e)
+        out_rows.append((g, row, ents))
+    for ri in range(len(ref_loci)):
+        if ri in used_ref:
+            continue
+        row = {k: None for k in var_row_fields}
+        row['locus'] = ref_loci[ri]
+        row['alleles'] = [ref_allele_at(ri)]
+        ents = [rewrite_ref(ri, j) for j in range(n)]
+        out_rows.append((ref_gpos[ri], row, ents))
+    out_rows.sort(key=lambda t: (t[0], tuple(t[1].get('alleles') or [])))
+
+    R = len(out_rows)
+    ent_t = ht.tstruct(**merged_schema)
+    row_t = vst.row_type
+    rows_b = C.Batch({}, R) if False else None
+    from ..ir.columns import Batch
+    rows_b = Batch.from_pylist(row_t, [r for _, r, _ in out_rows])
+    filt = np.zeros((R, n), dtype=bool)
+    vals = {k: np.empty((R, n), dtype=object) for k in merged_schema}
+    for i, (_, _, ents) in enumerate(out_rows):
+        for j, e in enumerate(ents):
+            if e is None:
+                filt[i, j] = True
+            else:
+                for k in merged_schema:
+                    vals[k][i, j] = e.get(k)
+    ent_cols = {k: C.from_pylist(t, list(vals[k].ravel())).reshape((R, n))
+                for k, t in merged_schema.items()}
+    mb = MatrixBatch(rows_b, ent_cols, filt if filt.any() else None)
+    return _MT(MatrixStage.from_batches(
+        vst.globals, vst.cols, ['locus', 'alleles'], vst.col_key,
+        row_t, vst.col_type, ent_t, [mb]))
 
 
 def _same_entries(vds) -> bool:
@@ -631,8 +836,23 @@ def sample_qc(vds: VariantDataset, *, gq_bins=(0, 20, 60), dp_bins=(0, 1, 10, 20
 
 
 def split_multi(vds: VariantDataset, *, filter_changed_loci: bool = False) -> VariantDataset:
-    from ..methods.statgen import split_multi_hts
-    return VariantDataset(vds.reference_data, split_multi_hts(vds.variant_data))
+    """Split multiallelics in the variant data; the reference data's LGT
+    (a hom-ref call) becomes GT unless GT already exists (reference
+    vds/methods.py:630 split_multi)."""
+    import hail_tpu as hl
+    from ..experimental import sparse_split_multi
+    variant_data = sparse_split_multi(vds.variant_data,
+                                      filter_changed_loci=filter_changed_loci)
+    reference_data = vds.reference_data
+    ents = reference_data._stage.entry_type.fields
+    if 'LGT' in ents:
+        if 'GT' in ents:
+            reference_data = reference_data.drop('LGT')
+        else:
+            reference_data = reference_data.transmute_entries(
+                GT=reference_data.LGT)
+    return VariantDataset(reference_data=reference_data,
+                          variant_data=variant_data)
 
 
 def _ref_block_arrays(vds):
@@ -999,18 +1219,113 @@ def read_dense_mt(path: str) -> MatrixTable:
     return to_dense_mt(read_vds(path))
 
 
-def import_vcf(path, **kwargs) -> 'VariantDataset':
-    """Import a (g)VCF as a VariantDataset (reference vds/impex.py:349)."""
-    from ..methods.impex import import_vcf as _ivcf
-    mt = _ivcf(path, **kwargs)
-    return VariantDataset.from_merged_representation(mt)
+def import_vcf(path, *, is_split=False, ref_block_fields=(),
+               infer_ref_block_fields=True, header_file=None,
+               call_fields=(), **kwargs) -> 'VariantDataset':
+    """Import an SVCR-VCF as a VariantDataset (reference vds/impex.py:349):
+    LEN is the reference-block indicator; LAA converts back to LA; entries
+    filtered to those with a defined GT/LGT; ##ref_block_max_length parsed
+    from the header."""
+    import hail_tpu as hl
+    from ..methods.impex import import_vcf as _ivcf, _open
+    if isinstance(call_fields, str):
+        call_fields = tuple({'LGT', call_fields})
+    else:
+        call_fields = tuple({'LGT', *call_fields})
+    hdr = header_file or (path if isinstance(path, str) else path[0])
+    ref_block_max_length = None
+    with _open(hdr) as f:
+        for _line in f:
+            line = _line.strip()
+            if not line:
+                continue
+            if not line.startswith('##'):
+                break
+            if line.startswith('##ref_block_max_length='):
+                try:
+                    ref_block_max_length = int(line.split('=', 1)[1])
+                    if ref_block_max_length <= 0:
+                        raise ValueError
+                except ValueError:
+                    ref_block_max_length = None
+    vcf = _ivcf(path, call_fields=call_fields, **kwargs)
+    ents = vcf._stage.entry_type.fields
+    if 'LEN' not in ents or ents['LEN'] != ht.tint32:
+        raise ValueError(
+            'Invalid SVCR-VCF: expected `LEN` of type `int32` in FORMAT fields')
+    gt_fields = [f for f in ('GT', 'LGT') if f in ents and ents[f] == ht.tcall]
+    if not gt_fields:
+        raise ValueError(
+            'Invalid SVCR-VCF: expected at least one field of type `call` '
+            'named `GT` or `LGT`')
+    if not is_split:
+        has_la = 'LA' in ents
+        has_laa = 'LAA' in ents
+        if not (has_la or has_laa):
+            raise ValueError(
+                'Invalid SVCR-VCF: expected one of `LA` or `LAA` in FORMAT fields')
+        if has_laa:
+            if has_la:
+                vcf = vcf.drop('LAA')
+            else:
+                vcf = vcf.transmute_entries(LA=hl.array([0]).extend(vcf.LAA))
+    import functools
+    vcf = vcf.filter_entries(functools.reduce(
+        lambda p, q: p | q, (hl.is_defined(vcf[g]) for g in gt_fields)))
+    vds = VariantDataset.from_merged_representation(
+        vcf, ref_block_indicator_field='LEN', ref_block_fields=ref_block_fields,
+        infer_ref_block_fields=infer_ref_block_fields, is_split=is_split)
+    if ref_block_max_length is not None:
+        vds.reference_data = vds.reference_data.annotate_globals(
+            **{VariantDataset.ref_block_max_length_field: ref_block_max_length})
+    return vds
 
 
-def export_vcf(vds: 'VariantDataset', path: str, **kwargs) -> None:
-    """Export the dense representation of a VariantDataset as VCF (reference
-    vds/impex.py:210)."""
+def export_vcf(vds: 'VariantDataset', path: str, *, append_to_header=None,
+               parallel=None, metadata=None, tabix: bool = False) -> None:
+    """Export a VariantDataset as an SVCR-VCF (reference vds/impex.py:210):
+    LGT/LPGT become GT/PGT via lgt_to_gt, LA becomes LAA, gvcf_info is
+    dropped, END is dropped in favor of LEN, and ref_block_max_length is
+    recorded as a header line."""
+    import tempfile
+    import hail_tpu as hl
     from ..methods.impex import export_vcf as _evcf
-    _evcf(to_dense_mt(vds), path, **kwargs)
+    from .functions import lgt_to_gt
+    ref, var = vds.reference_data, vds.variant_data
+    if 'END' in ref._stage.entry_type.fields:
+        ref = ref.drop('END')
+    vents = var._stage.entry_type.fields
+    if 'gvcf_info' in vents and isinstance(vents['gvcf_info'], ht.tstruct):
+        var = var.drop('gvcf_info')
+    vents = var._stage.entry_type.fields
+    if 'LGT' in vents:
+        if 'GT' not in vents:
+            var = var.annotate_entries(GT=lgt_to_gt(var.LGT, var.LA))
+        var = var.drop('LGT')
+    vents = var._stage.entry_type.fields
+    if 'LPGT' in vents:
+        if 'PGT' not in vents:
+            var = var.annotate_entries(PGT=lgt_to_gt(var.LPGT, var.LA))
+        var = var.drop('LPGT')
+    if 'LA' in var._stage.entry_type.fields:
+        var = var.transmute_entries(LAA=var.LA[1:])
+
+    extra_header = (
+        '##SVCR="This is a VCF that implements hail\'s Scalable Variant Call '
+        'Representation. See https://doi.org/10.1101/2024.01.09.574205 for '
+        'more information."\n')
+    fd = VariantDataset.ref_block_max_length_field
+    if fd in ref._stage.globals_type.fields:
+        rbml = ref._stage.globals.columns[fd].to_pylist()[0]
+        extra_header += f'##ref_block_max_length={rbml}\n'
+    if append_to_header:
+        with open(append_to_header) as f:
+            extra_header += f.read()
+    hdr_path = tempfile.mktemp(suffix='.txt')
+    with open(hdr_path, 'w') as f:
+        f.write(extra_header)
+    vcf = to_merged_sparse_mt(VariantDataset(reference_data=ref, variant_data=var))
+    _evcf(vcf, path, append_to_header=hdr_path, metadata=metadata, tabix=tabix)
 
 
 def filter_chromosomes(vds: 'VariantDataset', *, keep=None, remove=None,
