@@ -127,6 +127,9 @@ def pmac_hash(nonce: int, static_id: int, message, n: int = None):
         for m in message:
             a = np.asarray(m)
             if a.ndim:
+                if a.shape[0] == 0:
+                    n = 0
+                    break
                 n = max(n, a.shape[0])
     cols = _as_u64_cols(message, n)
     L = len(cols)

@@ -100,3 +100,7 @@ MatrixChooseCols = _make('MatrixChooseCols')
 MatrixCollectColsByKey = _make('MatrixCollectColsByKey')
 MatrixAnnotateRowsTable = _make('MatrixAnnotateRowsTable')
 MatrixAnnotateColsTable = _make('MatrixAnnotateColsTable')
+MatrixToMatrixApply = _make('MatrixToMatrixApply')
+MatrixRename = _make('MatrixRename')
+MatrixFilterIntervals = _make('MatrixFilterIntervals')
+TableToTableApply = _make('TableToTableApply')

@@ -374,10 +374,12 @@ class MatrixTable:
         for e in exprs.values():
             for n_ in aggmod.collect_agg_nodes(e._ir):
                 (scan_nodes if isinstance(n_, ScanOp) else agg_nodes).append(n_)
-        def totals(ctx):
+        def totals(i_ctx):
+            i, ctx = i_ctx
             mb = self._stage.partition_fn(ctx)
-            return aggmod.partial_aggregate(scan_nodes, self._row_env(mb, 0), (0,))
-        partials = Env.backend().map_collect(self._stage.contexts, totals)
+            return aggmod.partial_aggregate(scan_nodes, self._row_env(mb, i), (0,))
+        partials = Env.backend().map_collect(
+            list(enumerate(self._stage.contexts)), totals)
         carries = [None]
         acc = None
         for p in partials[:-1]:
@@ -451,13 +453,29 @@ class MatrixTable:
     def _eval_col_expr(self, e: Expression) -> Column:
         Cn = self._stage.n_cols
         agg_nodes = aggmod.collect_agg_nodes(e._ir)
+        from .expr.scans import ScanOp
+        scan_nodes = [n_ for n_ in agg_nodes if isinstance(n_, ScanOp)]
+        if scan_nodes and len(scan_nodes) == len(agg_nodes):
+            # column-axis scans: exclusive prefix over the ordered columns
+            from .ir.nodes import substitute_aggs
+            env = self._col_env()
+            results = {}
+            for n_ in scan_nodes:
+                col, _ = aggmod.scan_partition(n_, env, None)
+                results[n_.uid] = col.reshape(env.shape) if col.shape != env.shape else col
+            col = substitute_aggs(e._ir, results).evaluate(env)
+            if col.shape != (Cn,):
+                col = col.broadcast_to((Cn,)) if int(np.prod(col.shape)) == 1 else col.reshape((Cn,))
+            return col
         if agg_nodes:
-            def part(ctx):
+            def part(i_ctx):
+                i, ctx = i_ctx
                 mb = self._stage.partition_fn(ctx)
-                env = self._entry_env(mb, 0)
+                env = self._entry_env(mb, i)
                 return aggmod.partial_aggregate(agg_nodes, env, (0,),
                                                 extra_include=MatrixTable._unfiltered_mask(mb))
-            partials = Env.backend().map_collect(self._stage.contexts, part)
+            partials = Env.backend().map_collect(
+                list(enumerate(self._stage.contexts)), part)
             if not partials:
                 raise ValueError('aggregation over an empty matrix')
             from .table import _tree_combine
@@ -486,8 +504,24 @@ class MatrixTable:
             return MatrixBatch(mb.rows, ents, mb.entry_missing)
         return MatrixTable(self._stage.map_partitions(f, new_entry_type=new_t))
 
+    def _filter_partitions(self, parts, keep: bool = True) -> 'MatrixTable':
+        """Keep (or drop) partitions by index (reference
+        MatrixTable._filter_partitions / MatrixToMatrixApply)."""
+        st = self._stage
+        sel = [i for i in range(len(st.contexts))
+               if (i in parts) == keep]
+        return MatrixTable(MatrixStage(
+            st.globals, st.cols, st.row_key, st.col_key, st.row_type,
+            st.col_type, st.entry_type, [st.contexts[i] for i in sel],
+            st.partition_fn,
+            ([st.partition_bounds[i] for i in sel]
+             if st.partition_bounds is not None else None),
+            uid_bases=([st.uid_bases[i] for i in sel]
+                       if st.uid_bases is not None else None)))
+
     def annotate_globals(self, **named_exprs) -> 'MatrixTable':
-        env = self._globals_env()
+        env = self._globals_env().bind(
+            '__row_idx__', PrimitiveColumn(ht.tint64, np.asarray([-1], dtype=np.int64)))
         g = dict(self._stage.globals.columns)
         for k, v in named_exprs.items():
             col = to_expr(v)._ir.evaluate(env)
@@ -756,10 +790,12 @@ class MatrixTable:
     def aggregate_rows(self, expr, _localize: bool = True) -> Any:
         e = to_expr(expr)
         agg_nodes = aggmod.collect_agg_nodes(e._ir)
-        def part(ctx):
+        def part(i_ctx):
+            i, ctx = i_ctx
             mb = self._stage.partition_fn(ctx)
-            return aggmod.partial_aggregate(agg_nodes, self._row_env(mb, 0), (0,))
-        partials = Env.backend().map_collect(self._stage.contexts, part)
+            return aggmod.partial_aggregate(agg_nodes, self._row_env(mb, i), (0,))
+        partials = Env.backend().map_collect(
+            list(enumerate(self._stage.contexts)), part)
         from .table import _tree_combine
         state = _tree_combine(agg_nodes, partials)
         col = aggmod.finalize_aggregate(e._ir, agg_nodes, state, self._globals_env())
@@ -785,11 +821,13 @@ class MatrixTable:
     def aggregate_entries(self, expr, _localize: bool = True) -> Any:
         e = to_expr(expr)
         agg_nodes = aggmod.collect_agg_nodes(e._ir)
-        def part(ctx):
+        def part(i_ctx):
+            i, ctx = i_ctx
             mb = self._stage.partition_fn(ctx)
-            return aggmod.partial_aggregate(agg_nodes, self._entry_env(mb, 0), (0, 1),
+            return aggmod.partial_aggregate(agg_nodes, self._entry_env(mb, i), (0, 1),
                                             extra_include=MatrixTable._unfiltered_mask(mb))
-        partials = Env.backend().map_collect(self._stage.contexts, part)
+        partials = Env.backend().map_collect(
+            list(enumerate(self._stage.contexts)), part)
         from .table import _tree_combine
         state = _tree_combine(agg_nodes, partials)
         col = aggmod.finalize_aggregate(e._ir, agg_nodes, state, self._globals_env())
@@ -923,8 +961,10 @@ class MatrixTable:
     def _force_count_cols(self) -> int:
         return self.count_cols()
 
-    def head(self, n_rows: int, n_cols: Optional[int] = None) -> 'MatrixTable':
+    def head(self, n_rows: Optional[int], n_cols: Optional[int] = None) -> 'MatrixTable':
         batches = self._stage.collect_batches()
+        if n_rows is None:
+            n_rows = sum(mb.n_rows for mb in batches)
         out = []
         remaining = n_rows
         for mb in batches:
@@ -1091,9 +1131,26 @@ class MatrixTable:
                 keep_idx.append(i)
         return self.choose_cols(keep_idx)
 
+    @staticmethod
+    def _field_path(field_expr):
+        from .ir.nodes import GetField, Ref
+        path = []
+        node = field_expr._ir
+        while isinstance(node, GetField):
+            path.append(node.name)
+            node = node.struct
+        if isinstance(node, Ref):
+            return list(reversed(path))
+        return None
+
     def explode_rows(self, field_expr) -> 'MatrixTable':
         """One output row per element of an array/set row field (reference
-        matrixtable.py explode_rows); entries duplicate."""
+        matrixtable.py explode_rows); entries duplicate. Nested paths
+        (mt.s.a) explode in place."""
+        if not isinstance(field_expr, str):
+            path = MatrixTable._field_path(field_expr)
+            if path and len(path) > 1:
+                return _explode_mt_path(self, path, 'row')
         name = field_expr if isinstance(field_expr, str) else \
             _mt_field_name(field_expr)
         st = self._stage
@@ -1125,7 +1182,11 @@ class MatrixTable:
 
     def explode_cols(self, field_expr) -> 'MatrixTable':
         """One output column per element of an array/set col field (reference
-        matrixtable.py explode_cols)."""
+        matrixtable.py explode_cols). Nested paths explode in place."""
+        if not isinstance(field_expr, str):
+            path = MatrixTable._field_path(field_expr)
+            if path and len(path) > 1:
+                return _explode_mt_path(self, path, 'col')
         name = field_expr if isinstance(field_expr, str) else \
             _mt_field_name(field_expr)
         st = self._stage
@@ -1665,14 +1726,15 @@ class GroupedMatrixTable:
             key_names = list(self._row_keys)
             # phase 1: per-partition, per-group partial states — entry aggs
             # over (rows-in-group × cols), row aggs over rows-in-group
-            def part(ctx):
+            def part(i_ctx):
+                pi, ctx = i_ctx
                 mb = st.partition_fn(ctx)
-                renv = mt._row_env(mb, 0)
+                renv = mt._row_env(mb, pi)
                 key_cols = {kn: renv.bindings['va'].fields[kn] for kn in key_names}
                 keys = list(zip(*[C.obj_array(
                     C._flatten(kc.to_pylist(), 1)) for kc in key_cols.values()])) \
                     if key_names else [() for _ in range(mb.n_rows)]
-                env = mt._entry_env(mb, 0)
+                env = mt._entry_env(mb, pi)
                 groups = {}
                 for i, kt in enumerate(keys):
                     groups.setdefault(kt, []).append(i)
@@ -1689,7 +1751,8 @@ class GroupedMatrixTable:
                         for name, nodes in axis_nodes.items()})
                     out[kt] = states
                 return out
-            partials = Env.backend().map_collect(st.contexts, part)
+            partials = Env.backend().map_collect(
+                list(enumerate(st.contexts)), part)
             node_of = {('e', n): all_nodes[n] for n in all_nodes}
             node_of.update({('r', n): axis_nodes[n] for n in axis_nodes})
             merged: Dict = {}
@@ -1703,11 +1766,16 @@ class GroupedMatrixTable:
             group_keys = sorted(merged.keys(), key=lambda t: tuple((x is None, x) for x in t))
             Cn = st.n_cols
             ents = {}
-            cenv = mt._col_env()
+            from .ir.arrays import _mix_uid
             genv = mt._globals_env()
             for name, e in exprs.items():
                 cols_per_group = []
-                for kt in group_keys:
+                for gi, kt in enumerate(group_keys):
+                    # distinct uids per (group, column) so body randomness in
+                    # the aggregation result differs per output entry
+                    cenv = mt._col_env().bind('__row_idx__', PrimitiveColumn(
+                        ht.tint64, _mix_uid(np.full(Cn, gi, dtype=np.int64),
+                                            np.arange(Cn, dtype=np.int64))))
                     col = aggmod.finalize_aggregate(e._ir, all_nodes[name], merged[kt][('e', name)], cenv)
                     if col.shape != (Cn,):
                         col = col.broadcast_to((Cn,)) if int(np.prod(col.shape)) == 1 else col.reshape((Cn,))
@@ -1719,8 +1787,10 @@ class GroupedMatrixTable:
                         for i, kn in enumerate(key_names)}
             for name, e in axis_exprs.items():
                 vals = []
-                for kt in group_keys:
-                    col = aggmod.finalize_aggregate(e._ir, axis_nodes[name], merged[kt][('r', name)], genv)
+                for gi, kt in enumerate(group_keys):
+                    fenv = genv.bind('__row_idx__', PrimitiveColumn(
+                        ht.tint64, np.asarray([gi], dtype=np.int64)))
+                    col = aggmod.finalize_aggregate(e._ir, axis_nodes[name], merged[kt][('r', name)], fenv)
                     lst = col.to_pylist()
                     vals.append(lst[0] if lst else None)
                 row_cols[name] = C.from_pylist(e.dtype, vals)
@@ -1742,18 +1812,23 @@ class GroupedMatrixTable:
             groups.setdefault(kt, []).append(j)
         group_keys = sorted(groups.keys(), key=lambda t: tuple((x is None, x) for x in t))
         batches = []
-        for ctx in st.contexts:
+        from .ir.arrays import _mix_uid
+        for pi, ctx in enumerate(st.contexts):
             mb = st.partition_fn(ctx)
-            env = mt._entry_env(mb, 0)
-            renv = mt._row_env(mb, 0)
+            env = mt._entry_env(mb, pi)
+            base_renv = mt._row_env(mb, pi)
             ents = {}
             for name, e in exprs.items():
                 per_group = []
-                for kt in group_keys:
+                for gi, kt in enumerate(group_keys):
                     mask = np.zeros((1, st.n_cols), dtype=bool)
                     mask[0, groups[kt]] = True
                     states = aggmod.partial_aggregate(all_nodes[name], env, (1,),
                                                       extra_include=np.broadcast_to(mask, env.shape))
+                    renv = base_renv.bind('__row_idx__', PrimitiveColumn(
+                        ht.tint64, _mix_uid(
+                            np.asarray(base_renv.bindings['__row_idx__'].values),
+                            np.full(mb.n_rows, gi, dtype=np.int64))))
                     col = aggmod.finalize_aggregate(e._ir, all_nodes[name], states, renv)
                     if col.shape != (mb.n_rows,):
                         col = (col.broadcast_to((mb.n_rows,))
@@ -1769,12 +1844,14 @@ class GroupedMatrixTable:
         genv = mt._globals_env()
         for name, e in axis_exprs.items():
             vals = []
-            for kt in group_keys:
+            for gi, kt in enumerate(group_keys):
                 cmask = np.zeros(st.n_cols, dtype=bool)
                 cmask[groups[kt]] = True
                 states = aggmod.partial_aggregate(axis_nodes[name], cenv, (0,),
                                                   extra_include=cmask)
-                col = aggmod.finalize_aggregate(e._ir, axis_nodes[name], states, genv)
+                fenv = genv.bind('__row_idx__', PrimitiveColumn(
+                    ht.tint64, np.asarray([gi], dtype=np.int64)))
+                col = aggmod.finalize_aggregate(e._ir, axis_nodes[name], states, fenv)
                 lst = col.to_pylist()
                 vals.append(lst[0] if lst else None)
             col_cols[name] = C.from_pylist(e.dtype, vals)
@@ -1913,3 +1990,275 @@ def _wrap_mt_table_tir():
 
 
 _wrap_mt_table_tir()
+
+
+def _wrap_mt_lineage():
+    from .ir import relational_ir as _rir
+
+    MatrixTable._mir = MatrixTable._tir
+
+    def wrap(name, node_cls, n_sources=1):
+        if not hasattr(MatrixTable, name):
+            return
+        orig = getattr(MatrixTable, name)
+
+        def wrapped(self, *a, **k):
+            out = orig(self, *a, **k)
+            if isinstance(out, MatrixTable):
+                parents = [self._tir]
+                if n_sources == 2 and a and isinstance(a[0], MatrixTable):
+                    parents.append(a[0]._tir)
+                try:
+                    out._stage.tir = node_cls(*parents)
+                except Exception:
+                    pass
+            return out
+        wrapped.__name__ = getattr(orig, '__name__', name)
+        wrapped.__doc__ = orig.__doc__
+        setattr(MatrixTable, name, wrapped)
+
+    def wrap_annotate(name, map_node, join_node):
+        orig = getattr(MatrixTable, name)
+
+        def wrapped(self, **named_exprs):
+            out = orig(self, **named_exprs)
+            if isinstance(out, MatrixTable):
+                from .table import JoinLookup
+                child = self._tir
+                has_join = False
+
+                def scan(ir_):
+                    nonlocal has_join
+                    if isinstance(ir_, JoinLookup):
+                        has_join = True
+                    for c in getattr(ir_, 'children', ()):
+                        scan(c)
+                for e in named_exprs.values():
+                    if isinstance(e, Expression):
+                        scan(e._ir)
+                if has_join:
+                    child = join_node(child)
+                try:
+                    out._stage.tir = map_node(child)
+                except Exception:
+                    pass
+            return out
+        wrapped.__name__ = name
+        wrapped.__doc__ = orig.__doc__
+        setattr(MatrixTable, name, wrapped)
+    wrap_annotate('annotate_rows', _rir.MatrixMapRows, _rir.MatrixAnnotateRowsTable)
+    wrap_annotate('annotate_cols', _rir.MatrixMapCols, _rir.MatrixAnnotateColsTable)
+    wrap_annotate('annotate_entries', _rir.MatrixMapEntries, _rir.MatrixMapEntries)
+
+    for nm, cls in [
+        ('select_rows', _rir.MatrixMapRows),
+        ('transmute_rows', _rir.MatrixMapRows),
+        ('select_cols', _rir.MatrixMapCols),
+        ('transmute_cols', _rir.MatrixMapCols),
+        ('select_entries', _rir.MatrixMapEntries),
+        ('transmute_entries', _rir.MatrixMapEntries),
+        ('annotate_globals', _rir.MatrixMapGlobals),
+        ('select_globals', _rir.MatrixMapGlobals),
+        ('transmute_globals', _rir.MatrixMapGlobals),
+        ('filter_rows', _rir.MatrixFilterRows),
+        ('filter_cols', _rir.MatrixFilterCols),
+        ('filter_entries', _rir.MatrixFilterEntries),
+        ('key_rows_by', _rir.MatrixKeyRowsBy),
+        ('_key_rows_by_assert_sorted', _rir.MatrixKeyRowsBy),
+        ('key_cols_by', _rir.MatrixMapCols),
+        ('explode_rows', _rir.MatrixExplodeRows),
+        ('explode_cols', _rir.MatrixExplodeCols),
+        ('choose_cols', _rir.MatrixChooseCols),
+        ('collect_cols_by_key', _rir.MatrixCollectColsByKey),
+        ('distinct_by_row', _rir.MatrixDistinctByRow),
+        ('head', _rir.MatrixRowsHead),
+        ('tail', _rir.MatrixRowsTail),
+        ('rename', _rir.MatrixRename),
+        ('repartition', _rir.MatrixRepartition),
+        ('naive_coalesce', _rir.MatrixRepartition),
+        ('drop', _rir.MatrixMapRows),
+    ]:
+        wrap(nm, cls)
+    wrap('union_rows', _rir.MatrixUnionRows, n_sources=2)
+    wrap('union_cols', _rir.MatrixUnionCols, n_sources=2)
+
+    # head/tail with n_cols produce ColsHead/ColsTail lineage
+    def wrap_ht(name, row_node, col_node):
+        orig = getattr(MatrixTable, name)
+
+        def wrapped(self, n_rows, n_cols=None, **k):
+            out = orig(self, n_rows, n_cols, **k)
+            if isinstance(out, MatrixTable):
+                node = self._tir
+                if n_rows is not None:
+                    node = row_node(node)
+                if n_cols is not None:
+                    node = col_node(node)
+                try:
+                    out._stage.tir = node
+                except Exception:
+                    pass
+            return out
+        wrapped.__name__ = name
+        setattr(MatrixTable, name, wrapped)
+    wrap_ht('head', _rir.MatrixRowsHead, _rir.MatrixColsHead)
+    wrap_ht('tail', _rir.MatrixRowsTail, _rir.MatrixColsTail)
+
+    def wrap_apply(name):
+        if not hasattr(MatrixTable, name):
+            return
+        orig = getattr(MatrixTable, name)
+
+        def wrapped(self, *a, **k):
+            out = orig(self, *a, **k)
+            if isinstance(out, MatrixTable):
+                try:
+                    out._stage.tir = _rir.MatrixToMatrixApply(self._tir)
+                except Exception:
+                    pass
+            return out
+        wrapped.__name__ = name
+        setattr(MatrixTable, name, wrapped)
+    wrap_apply('_filter_partitions')
+
+
+_wrap_mt_lineage()
+
+
+def _wrap_mt_constructors_lineage():
+    import sys
+    from .ir import relational_ir as _rir
+    mod = sys.modules[__name__]
+
+    orig_range = range_matrix_table
+
+    def range_matrix_table_(n_rows, n_cols, n_partitions=None):
+        out = orig_range(n_rows, n_cols, n_partitions)
+        try:
+            out._stage.tir = _rir.MatrixRead()
+        except Exception:
+            pass
+        return out
+    range_matrix_table_.__doc__ = orig_range.__doc__
+    mod.range_matrix_table = range_matrix_table_
+
+    orig_read = read_matrix_table
+
+    def read_matrix_table_(path, *a, **k):
+        out = orig_read(path, *a, **k)
+        try:
+            out._stage.tir = _rir.MatrixRead()
+        except Exception:
+            pass
+        return out
+    read_matrix_table_.__doc__ = orig_read.__doc__
+    mod.read_matrix_table = read_matrix_table_
+
+
+_wrap_mt_constructors_lineage()
+
+
+def _wrap_grouped_mt_lineage():
+    from .ir import relational_ir as _rir
+    def wrap_result(name):
+        orig = getattr(GroupedMatrixTable, name)
+
+        def wrapped(self, **named_exprs):
+            out = orig(self, **named_exprs) if named_exprs or name == 'aggregate' \
+                else orig(self)
+            if isinstance(out, MatrixTable):
+                node = _rir.MatrixAggregateRowsByKey if self._row_keys is not None \
+                    else _rir.MatrixAggregateColsByKey
+                try:
+                    out._stage.tir = node(self._mt._tir)
+                except Exception:
+                    pass
+            return out
+        wrapped.__name__ = name
+        setattr(GroupedMatrixTable, name, wrapped)
+    wrap_result('aggregate')
+    wrap_result('result')
+
+
+_wrap_grouped_mt_lineage()
+
+
+def _explode_mt_path(mt: MatrixTable, path, axis: str) -> MatrixTable:
+    """Explode a NESTED array field along an axis (reference
+    MatrixExplodeRows/Cols with a field path)."""
+    from .utils.structs import Struct as _S
+    st = mt._stage
+    t = st.row_type if axis == 'row' else st.col_type
+    sub_t = t
+    for p in path:
+        sub_t = sub_t[p]
+    if not isinstance(sub_t, (ht.tarray, ht.tset)):
+        raise ValueError(f"explode: field {'.'.join(path)!r} is not an array/set")
+    elem_t = sub_t.element_type
+
+    def rebuild_type(typ, i):
+        if i == len(path):
+            return elem_t
+        return ht.tstruct(**{k: (rebuild_type(v, i + 1) if k == path[i] else v)
+                             for k, v in typ.items()})
+    new_t = rebuild_type(t, 0)
+
+    def get_path(r):
+        v = r
+        for p in path:
+            if v is None:
+                return None
+            v = v[p]
+        return v
+
+    def set_path(r, i, value):
+        if i == len(path):
+            return value
+        d = dict(r)
+        d[path[i]] = set_path(r[path[i]], i + 1, value)
+        return _S(**d)
+
+    if axis == 'row':
+        def f(mb, i):
+            rows_py = mb.rows.to_pylist()
+            out_idx = []
+            out_rows = []
+            for r, row in enumerate(rows_py):
+                arr = get_path(row)
+                if arr is None:
+                    continue
+                elems = sorted(arr) if isinstance(arr, (set, frozenset)) else list(arr)
+                for x in elems:
+                    out_idx.append(r)
+                    out_rows.append(dict(set_path(row, 0, x)))
+            idx = np.asarray(out_idx, dtype=np.int64)
+            rows_b = Batch.from_pylist(new_t, out_rows)
+            ents = {k: c.gather(idx, axis=0) for k, c in mb.entries.items()}
+            filt = mb.entry_missing[idx] if mb.entry_missing is not None else None
+            return MatrixBatch(rows_b, ents, filt)
+        out = MatrixTable(st.map_partitions(f, new_row_type=new_t))
+        from .ir import relational_ir as _rir
+        out._stage.tir = _rir.MatrixExplodeRows(mt._tir)
+        return out
+
+    # axis == 'col'
+    cols_py = st.cols.to_pylist()
+    out_idx = []
+    out_cols = []
+    for j, colrow in enumerate(cols_py):
+        arr = get_path(colrow)
+        if arr is None:
+            continue
+        elems = sorted(arr) if isinstance(arr, (set, frozenset)) else list(arr)
+        for x in elems:
+            out_idx.append(j)
+            out_cols.append(dict(set_path(colrow, 0, x)))
+    m2 = mt.choose_cols(out_idx)
+    st2 = m2._stage
+    cols_b = Batch.from_pylist(new_t, out_cols)
+    out = MatrixTable(MatrixStage(st2.globals, cols_b, st2.row_key, st2.col_key,
+                                  st2.row_type, new_t, st2.entry_type,
+                                  st2.contexts, st2.partition_fn))
+    from .ir import relational_ir as _rir
+    out._stage.tir = _rir.MatrixExplodeCols(mt._tir)
+    return out

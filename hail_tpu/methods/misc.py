@@ -89,9 +89,17 @@ def filter_intervals(ds, intervals, keep: bool = True):
                                         if st.uid_bases is not None else None))
             ds = MatrixTable(st)
         def f(mb, i):
-            mask = row_mask(mb.rows.columns['locus'])
+            key0 = ds._stage.row_key[0]
+            col = mb.rows.columns[key0]
+            if isinstance(col, LocusColumn):
+                mask = row_mask(col)
+            else:
+                mask = _generic_interval_mask(mb.rows, ds._stage.row_key, ivs, keep)
             return mb.filter_rows(mask)
-        return MatrixTable(ds._stage.map_partitions(f))
+        out = MatrixTable(ds._stage.map_partitions(f))
+        from ..ir import relational_ir as _rir
+        out._stage.tir = _rir.MatrixFilterIntervals(ds._tir)
+        return out
     else:
         from ..table import TableStage
         st = ds._stage

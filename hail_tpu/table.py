@@ -370,11 +370,13 @@ class Table:
         for e in exprs.values():
             scan_nodes.extend(aggmod.collect_agg_nodes(e._ir))
         # phase 1: per-partition totals
-        def totals(ctx):
+        def totals(i_ctx):
+            i, ctx = i_ctx
             batch = self._stage.partition_fn(ctx)
-            env = self._row_env(batch, 0)
+            env = self._row_env(batch, i)
             return aggmod.partial_aggregate(scan_nodes, env, (0,))
-        partials = Env.backend().map_collect(self._stage.contexts, totals)
+        partials = Env.backend().map_collect(
+            list(enumerate(self._stage.contexts)), totals)
         carries: List[Optional[dict]] = [None]
         acc = None
         for p in partials[:-1]:
@@ -827,11 +829,13 @@ class Table:
             raise ExpressionException(
                 f"'aggregate': row field{'s' if len(bad) > 1 else ''} "
                 f"{sorted(set(bad))} may only be referenced inside an aggregation")
-        def part(ctx):
+        def part(i_ctx):
+            i, ctx = i_ctx
             batch = self._stage.partition_fn(ctx)
-            env = self._row_env(batch, 0)
+            env = self._row_env(batch, i)
             return aggmod.partial_aggregate(agg_nodes, env, (0,))
-        partials = Env.backend().map_collect(self._stage.contexts, part)
+        partials = Env.backend().map_collect(
+            list(enumerate(self._stage.contexts)), part)
         if not partials:
             empty = Batch.empty(self._stage.row_type)
             partials = [aggmod.partial_aggregate(agg_nodes, self._row_env(empty, 0), (0,))]
@@ -2795,6 +2799,22 @@ def _wrap_read_table_tir():
 
 
 _wrap_read_table_tir()
+
+
+def _wrap_unlocalize_tir():
+    orig = Table._unlocalize_entries
+
+    def _unlocalize_entries(self, entries_field_name, cols_field_name, col_key):
+        out = orig(self, entries_field_name, cols_field_name, col_key)
+        try:
+            out._stage.tir = _rir.CastTableToMatrix(self._tir)
+        except Exception:
+            pass
+        return out
+    Table._unlocalize_entries = _unlocalize_entries
+
+
+_wrap_unlocalize_tir()
 
 
 def _wrap_grouped_aggregate_tir():
