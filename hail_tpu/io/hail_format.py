@@ -554,6 +554,11 @@ def read_hail_matrix_table(path: str):
     from ..matrixtable import MatrixBatch, MatrixStage, MatrixTable
     with gzip.open(os.path.join(path, 'metadata.json.gz')) as f:
         meta = json.load(f)
+    if 'file_version' not in meta:
+        from ..utils.java import FatalError
+        raise FatalError(
+            f'Error summary: HailException: metadata does not contain file '
+            f'version: {path}')
     assert meta['name'] == 'MatrixTableSpec', meta['name']
     comps = meta['components']
     g_parts, g_vt, _, _ = _load_component(path, comps['globals']['rel_path'])

@@ -132,7 +132,9 @@ def _partition_bounds(batch: Batch, key) -> Optional[list]:
 def _prepare_dir(path: str, overwrite: bool):
     if os.path.exists(path):
         if not overwrite:
-            raise ValueError(f'path exists: {path} (use overwrite=True)')
+            from ..utils.java import FatalError
+            raise FatalError(
+                f'Error summary: PathIOException: file already exists: {path}')
         shutil.rmtree(path)
     os.makedirs(os.path.join(path, 'parts'), exist_ok=True)
 

@@ -11,6 +11,8 @@ same blocks).
 
 from __future__ import annotations
 
+import builtins
+
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -1070,13 +1072,16 @@ class MatrixTable:
 
     def _row_key_join(self, other, keep_present: bool) -> 'MatrixTable':
         from .table import _key_tuples, _hashable_key
+        st = self._stage
+        what = 'semi_join_rows' if keep_present else 'anti_join_rows'
+        nk = _check_key_prefix(what, [st.row_type[k] for k in st.row_key],
+                               [other._stage.row_type[k] for k in other._stage.key])
         rb = other._stage.collect_single()
         rkeys = {_hashable_key(k) for k in _key_tuples(rb, other._stage.key)}
-        st = self._stage
 
         def f(mb: 'MatrixBatch', i: int) -> 'MatrixBatch':
             keys = _key_tuples(mb.rows, st.row_key)
-            keep = np.asarray([(_hashable_key(k) in rkeys) == keep_present
+            keep = np.asarray([(_hashable_key(k[:nk]) in rkeys) == keep_present
                                for k in keys], dtype=bool)
             return mb.filter_rows(keep)
         return MatrixTable(st.map_partitions(f))
@@ -1089,12 +1094,15 @@ class MatrixTable:
 
     def _col_key_join(self, other, keep_present: bool) -> 'MatrixTable':
         from .table import _key_tuples, _hashable_key
+        st = self._stage
+        what = 'semi_join_cols' if keep_present else 'anti_join_cols'
+        nk = _check_key_prefix(what, [st.col_type[k] for k in st.col_key],
+                               [other._stage.row_type[k] for k in other._stage.key])
         rb = other._stage.collect_single()
         rkeys = {_hashable_key(k) for k in _key_tuples(rb, other._stage.key)}
-        st = self._stage
         keys = _key_tuples(st.cols, st.col_key)
         keep_idx = [i for i, k in enumerate(keys)
-                    if (_hashable_key(k) in rkeys) == keep_present]
+                    if (_hashable_key(k[:nk]) in rkeys) == keep_present]
         return self.choose_cols(keep_idx)
 
     def distinct_by_row(self) -> 'MatrixTable':
@@ -1485,47 +1493,167 @@ class MatrixTable:
         self.write(path, overwrite=overwrite)
         return read_matrix_table(path)
 
-    def write(self, path: str, overwrite: bool = False):
+    def write(self, path: str, overwrite: bool = False,
+              stage_locally: bool = False, _codec_spec=None,
+              _partitions=None):
         from .io.native import write_matrix_table
-        write_matrix_table(self, path, overwrite)
+        mt = self
+        if _partitions is not None:
+            mt = mt._repartition_by_intervals(list(_partitions))
+        write_matrix_table(mt, path, overwrite)
+
+    def _repartition_by_intervals(self, intervals) -> 'MatrixTable':
+        """One partition per key interval, dropping rows outside their union
+        (reference write(_partitions=...) partitioner coercion)."""
+        from .table import _interval_contains_key, _key_tuples
+        st = self._stage
+        mb = _concat_matrix_batches(st.collect_batches(), st)
+        kts = _key_tuples(mb.rows, st.row_key)
+        batches = []
+        for iv in intervals:
+            keep = np.asarray([_interval_contains_key(iv, kt) for kt in kts],
+                              dtype=bool) if kts else np.zeros(0, dtype=bool)
+            batches.append(mb.filter_rows(keep))
+        return MatrixTable(MatrixStage.from_batches(
+            st.globals, st.cols, st.row_key, st.col_key, st.row_type,
+            st.col_type, st.entry_type, batches))
 
     # -- unions ------------------------------------------------------------
-    def union_rows(self, *others) -> 'MatrixTable':
+    def union_rows(self, *others, _check_cols: bool = True) -> 'MatrixTable':
+        from .table import _key_tuples
         st = self._stage
+        my_cols = _key_tuples(st.cols, st.col_key)
         all_batches = list(self._stage.collect_batches())
         for o in others:
             if str(o._stage.entry_type) != str(st.entry_type):
                 raise ValueError('union_rows: entry types differ')
+            if _check_cols and _key_tuples(o._stage.cols, o._stage.col_key) != my_cols:
+                raise ValueError(
+                    'union_rows: datasets must have the same columns in the '
+                    'same order; use union_rows(..., _check_cols=False) to '
+                    'disable this check')
             all_batches.extend(o._stage.collect_batches())
         return MatrixTable(MatrixStage.from_batches(st.globals, st.cols, st.row_key,
                                                     st.col_key, st.row_type, st.col_type,
                                                     st.entry_type, all_batches))
 
-    def union_cols(self, other: 'MatrixTable', row_join_type: str = 'inner') -> 'MatrixTable':
+    def union_cols(self, other: 'MatrixTable', row_join_type: str = 'inner',
+                   drop_right_row_fields: bool = True) -> 'MatrixTable':
+        """Union of columns; rows joined on row key (reference
+        matrixtable.py union_cols / MatrixIR.scala MatrixUnionCols)."""
+        if row_join_type not in ('inner', 'outer'):
+            raise ValueError(f"row_join_type must be 'inner' or 'outer', "
+                             f"got {row_join_type!r}")
+        if self._stage.entry_type != other._stage.entry_type:
+            raise ValueError(f'entry types differ:\n'
+                             f'    left: {self._stage.entry_type}\n'
+                             f'    right: {other._stage.entry_type}')
+        if self._stage.col_type != other._stage.col_type:
+            raise ValueError(f'column types differ:\n'
+                             f'    left: {self._stage.col_type}\n'
+                             f'    right: {other._stage.col_type}')
+        if list(self._stage.col_key) != list(other._stage.col_key):
+            raise ValueError(
+                f'column key fields differ:\n'
+                f"    left: {', '.join(self._stage.col_key)}\n"
+                f"    right: {', '.join(other._stage.col_key)}")
+        lkt = [self._stage.row_type[k] for k in self._stage.row_key]
+        rkt = [other._stage.row_type[k] for k in other._stage.row_key]
+        if lkt != rkt:
+            raise ValueError(
+                f'row key types differ:\n'
+                f"    left: {', '.join(map(str, lkt))}\n"
+                f"    right: {', '.join(map(str, rkt))}")
+        if drop_right_row_fields:
+            other = other.select_rows()
+        else:
+            left_fields = set(self._stage.row_type.fields) - set(self._stage.row_key)
+            renames = {}
+            for f in other._stage.row_type.fields:
+                if f in other._stage.row_key:
+                    continue
+                nf = f
+                while nf in left_fields or (nf != f and nf in renames.values()):
+                    nf = nf + '_1'
+                if nf != f:
+                    renames[f] = nf
+            if renames:
+                other = other.rename(renames)
+
         st = self._stage
         ot = other._stage
-        lb = self._stage.collect_batches()
-        lmb = _concat_matrix_batches(lb, st)
-        rmb = _concat_matrix_batches(other._stage.collect_batches(), ot)
-        from .table import _key_tuples
-        lkeys = _key_tuples(lmb.rows, st.row_key)
-        rkeys = {k: i for i, k in enumerate(_key_tuples(rmb.rows, ot.row_key))}
+        lmb = _concat_matrix_batches(st.collect_batches(), st)
+        rmb = _concat_matrix_batches(ot.collect_batches(), ot)
+        from .table import _key_tuples, _hashable_key, _sort_indices, _choose
+        lmap, rmap = {}, {}
+        for i, k in enumerate(_key_tuples(lmb.rows, st.row_key)):
+            lmap.setdefault(_hashable_key(k), i)
+        for j, k in enumerate(_key_tuples(rmb.rows, ot.row_key)):
+            rmap.setdefault(_hashable_key(k), j)
         l_idx, r_idx = [], []
-        for i, k in enumerate(lkeys):
-            j = rkeys.get(k)
-            if j is not None:
+        for k, i in lmap.items():
+            j = rmap.get(k, -1)
+            if j >= 0 or row_join_type == 'outer':
                 l_idx.append(i)
                 r_idx.append(j)
+        if row_join_type == 'outer':
+            for k, j in rmap.items():
+                if k not in lmap:
+                    l_idx.append(-1)
+                    r_idx.append(j)
         l_idx = np.asarray(l_idx, dtype=np.int64)
         r_idx = np.asarray(r_idx, dtype=np.int64)
-        lmb2 = lmb.gather_rows(l_idx)
-        rmb2 = rmb.gather_rows(r_idx)
-        ents = {k: C.concat_columns([lmb2.entries[k], rmb2.entries[k]], axis=1)
-                for k in st.entry_type.fields}
+        lmiss = l_idx < 0
+        rmiss = r_idx < 0
+        lg = np.maximum(l_idx, 0)
+        rg = np.maximum(r_idx, 0)
+
+        row_cols: Dict[str, C.Column] = {}
+        for f, c in lmb.rows.columns.items():
+            g = c.gather(lg)
+            if f in st.row_key:
+                rj = rmb.rows.columns[list(ot.row_key)[list(st.row_key).index(f)]].gather(rg)
+                row_cols[f] = _choose(lmiss, rj, g)
+            else:
+                row_cols[f] = g.with_missing(lmiss if lmiss.any() else None)
+        r_value_fields = [f for f in ot.row_type.fields if f not in ot.row_key]
+        for f in r_value_fields:
+            g = rmb.rows.columns[f].gather(rg)
+            row_cols[f] = g.with_missing(rmiss if rmiss.any() else None)
+        n_out = len(l_idx)
+        rows = Batch(row_cols, n_out)
+        order = _sort_indices(rows, [(k, True) for k in st.row_key])
+        rows = rows.gather(order)
+        lmiss = lmiss[order]
+        rmiss = rmiss[order]
+        lg = lg[order]
+        rg = rg[order]
+
+        n_lc, n_rc = st.n_cols, ot.n_cols
+        ents: Dict[str, C.Column] = {}
+        for f in st.entry_type.fields:
+            le = lmb.entries[f].gather(lg, axis=0)
+            re = rmb.entries[f].gather(rg, axis=0)
+            if lmiss.any():
+                le = le.with_missing(np.broadcast_to(lmiss[:, None], (n_out, n_lc)))
+            if rmiss.any():
+                re = re.with_missing(np.broadcast_to(rmiss[:, None], (n_out, n_rc)))
+            ents[f] = C.concat_columns([le, re], axis=1)
+        em = None
+        lem = lmb.entry_missing
+        rem = rmb.entry_missing
+        if lem is not None or rem is not None:
+            lem2 = lem[lg] if lem is not None else np.zeros((n_out, n_lc), dtype=bool)
+            rem2 = rem[rg] if rem is not None else np.zeros((n_out, n_rc), dtype=bool)
+            em = np.concatenate([lem2, rem2], axis=1)
         cols = Batch.concat([st.cols, ot.cols])
+        new_rt = ht.tstruct(**{k: c.typ for k, c in rows.columns.items()})
+        out_mb = MatrixBatch(rows, ents)
+        if em is not None:
+            out_mb.entry_missing = em
         return MatrixTable(MatrixStage.from_batches(
-            st.globals, cols, st.row_key, st.col_key, st.row_type, st.col_type,
-            st.entry_type, [MatrixBatch(lmb2.rows, ents)]))
+            st.globals, cols, st.row_key, st.col_key, new_rt, st.col_type,
+            st.entry_type, [out_mb]))
 
     # -- misc --------------------------------------------------------------
     def rename(self, mapping: Dict[str, str]) -> 'MatrixTable':
@@ -1908,11 +2036,17 @@ def read_matrix_table(path: str, *, _intervals=None,
                       _n_partitions=None, _assert_type=None,
                       _load_refs: bool = True,
                       _create_row_uids: bool = False,
-                      _create_col_uids: bool = False) -> MatrixTable:
+                      _create_col_uids: bool = False,
+                      _drop_rows: bool = False,
+                      _drop_cols: bool = False) -> MatrixTable:
     """Read a written MatrixTable (reference read_matrix_table); underscore
     options mirror read_table's indexed-read surface applied to row keys."""
     from .io.native import read_matrix_table as rmt
     mt = rmt(path)
+    if _drop_rows:
+        mt = mt.filter_rows(False)
+    if _drop_cols:
+        mt = mt.filter_cols(False)
     if _intervals is not None:
         from .table import _interval_contains_key
         ivs = list(_intervals)
@@ -1931,6 +2065,20 @@ def read_matrix_table(path: str, *, _intervals=None,
         mt = mt.repartition(_n_partitions)
     return mt
 
+
+
+def _check_key_prefix(what: str, left_types: list, right_types: list) -> int:
+    """semi/anti join key validation: the right key must be a non-empty
+    type-compatible prefix of the left key (reference matrixtable.py
+    semi_join_rows key checks). Returns the prefix length."""
+    if not right_types or len(right_types) > len(left_types) or \
+            builtins.any(lt != rt for lt, rt in zip(left_types, right_types)):
+        raise ValueError(
+            f'{what}: cannot join: the right-hand key must be a non-empty '
+            f'prefix of the left key\n'
+            f"    left key:  {', '.join(map(str, left_types))}\n"
+            f"    right key: {', '.join(map(str, right_types))}")
+    return len(right_types)
 
 def _mt_field_name(e) -> str:
     return _expr_field_name(e)

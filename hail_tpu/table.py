@@ -1952,7 +1952,9 @@ def _expr_field_name(e: Expression) -> str:
 
 
 def _hashable_key(kt: tuple) -> tuple:
-    return tuple(tuple(v) if isinstance(v, list) else v for v in kt)
+    from .utils.structs import freeze
+    return tuple(freeze(v) if isinstance(v, (list, dict, set)) or hasattr(v, '_fields')
+                 else v for v in kt)
 
 
 def _key_tuples(batch: Batch, key: List[str]) -> List[tuple]:
