@@ -707,9 +707,25 @@ class MatrixTable:
         mt = self.annotate_rows(**named_exprs) if named_exprs else self
         names = [k if isinstance(k, str) else _expr_field_name(k) for k in keys] + list(named_exprs)
         st = mt._stage
-        return MatrixTable(MatrixStage(st.globals, st.cols, names, st.col_key,
-                                       st.row_type, st.col_type, st.entry_type,
-                                       st.contexts, st.partition_fn))
+        out = MatrixTable(MatrixStage(st.globals, st.cols, names, st.col_key,
+                                      st.row_type, st.col_type, st.entry_type,
+                                      st.contexts, st.partition_fn))
+        if names and names != st.row_key[:len(names)]:
+            # matrix rows are row-key-sorted (reference MatrixKeyRowsBy
+            # isSorted=False shuffle); re-keying by a non-prefix sorts
+            out = out._sort_rows_by_key()
+        return out
+
+    def _sort_rows_by_key(self) -> 'MatrixTable':
+        from .table import _sort_indices
+        st = self._stage
+        mb = _concat_matrix_batches(st.collect_batches(), st)
+        order = _sort_indices(mb.rows, [(k, True) for k in st.row_key])
+        if not np.array_equal(order, np.arange(mb.n_rows)):
+            mb = mb.gather_rows(order)
+        return MatrixTable(MatrixStage.from_batches(
+            st.globals, st.cols, st.row_key, st.col_key, st.row_type,
+            st.col_type, st.entry_type, [mb]))
 
     def key_cols_by(self, *keys, **named_exprs) -> 'MatrixTable':
         mt = self.annotate_cols(**named_exprs) if named_exprs else self
@@ -863,8 +879,15 @@ class MatrixTable:
                                 uid_bases=getattr(st, 'uid_bases', None)))
 
     def cols(self) -> Table:
+        from .table import _sort_indices
         st = self._stage
         cb = st.cols
+        if st.col_key:
+            # the cols TABLE is col-key-sorted (reference MatrixColsTable);
+            # the matrix itself keeps its column order
+            order = _sort_indices(cb, [(k, True) for k in st.col_key])
+            if not np.array_equal(order, np.arange(cb.length)):
+                cb = cb.gather(order)
         return Table(TableStage.from_batches(st.globals, st.col_key, st.col_type, [cb]))
 
     def entries(self) -> Table:
@@ -895,23 +918,30 @@ class MatrixTable:
         new_t = ht.tstruct.from_fields(fields)
         cb = st.cols
         pf = st.partition_fn
+        if st.col_key:
+            # entries table is (row key, col key)-sorted (reference
+            # MatrixEntriesTable): apply the col-key permutation per row
+            from .table import _sort_indices
+            perm = _sort_indices(cb, [(k, True) for k in st.col_key])
+        else:
+            perm = np.arange(Cn)
         def f(ctx):
             mb = pf(ctx)
             R = mb.n_rows
             cols: Dict[str, Column] = {}
             ridx = np.repeat(np.arange(R), Cn)
-            cidx = np.tile(np.arange(Cn), R)
+            cidx = np.tile(perm, R)
             for k, c in mb.rows.columns.items():
                 cols[k] = c.gather(ridx)
             for k, c in cb.columns.items():
                 cols[rename_col[k]] = c.gather(cidx)
             for k, c in mb.entries.items():
-                cols[rename_ent[k]] = c.reshape((R * Cn,))
+                cols[rename_ent[k]] = c.gather(perm, axis=1).reshape((R * Cn,))
             b = Batch(cols, R * Cn)
             if mb.entry_missing is not None:
                 # FILTERED entries produce no rows (reference
                 # MatrixTable.entries semantics)
-                b = b.compress(~mb.entry_missing.reshape((R * Cn,)))
+                b = b.compress(~mb.entry_missing[:, perm].reshape((R * Cn,)))
             return b
         key = st.row_key + [rename_col[k] for k in st.col_key]
         return Table(TableStage(st.globals, key, new_t, st.contexts, f))
