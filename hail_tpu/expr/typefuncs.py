@@ -376,6 +376,22 @@ class ttable:
         self.row_type = row_type
         self.row_key = list(row_key)
 
+    def _as_tuple(self):
+        return (str(self.global_type), str(self.row_type), tuple(self.row_key))
+
+    def __eq__(self, other):
+        return isinstance(other, ttable) and self._as_tuple() == other._as_tuple()
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+    def __hash__(self):
+        return hash(self._as_tuple())
+
+    def __repr__(self):
+        return (f'ttable(global_type={self.global_type}, '
+                f'row_type={self.row_type}, row_key={self.row_key})')
+
 
 class tmatrix:
     def __init__(self, global_type=None, col_type=None, col_key=(),
@@ -386,6 +402,25 @@ class tmatrix:
         self.row_type = row_type
         self.row_key = list(row_key)
         self.entry_type = entry_type
+
+    def _as_tuple(self):
+        return (str(self.global_type), str(self.col_type), tuple(self.col_key),
+                str(self.row_type), tuple(self.row_key), str(self.entry_type))
+
+    def __eq__(self, other):
+        return isinstance(other, tmatrix) and self._as_tuple() == other._as_tuple()
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+    def __hash__(self):
+        return hash(self._as_tuple())
+
+    def __repr__(self):
+        return (f'tmatrix(global_type={self.global_type}, '
+                f'col_type={self.col_type}, col_key={self.col_key}, '
+                f'row_type={self.row_type}, row_key={self.row_key}, '
+                f'entry_type={self.entry_type})')
 
 
 class tblockmatrix:

@@ -238,8 +238,22 @@ class MatrixTable:
             # mt[row_key_exprs, col_key_exprs] → entry struct join (reference
             # MatrixTable.__getitem__ entry lookup)
             rpart, cpart = item
-            rkeys = list(rpart) if isinstance(rpart, tuple) else [rpart]
-            ckeys = list(cpart) if isinstance(cpart, tuple) else [cpart]
+            st0 = self._stage
+
+            def _expand(part, n):
+                # a struct expression always explodes into its fields
+                # (reference Table.index flexindex struct handling)
+                from .expr.expression import StructExpression
+                items = list(part) if isinstance(part, tuple) else [part]
+                out = []
+                for it in items:
+                    if isinstance(it, StructExpression):
+                        out.extend(it[k] for k in it.dtype.fields)
+                    else:
+                        out.append(it)
+                return out
+            rkeys = _expand(rpart, len(st0.row_key))
+            ckeys = _expand(cpart, len(st0.col_key))
             st = self._stage
             ent = self.entries()
             keyed = ent.key_by(*(list(st.row_key) + list(st.col_key)))
@@ -944,7 +958,12 @@ class MatrixTable:
                 b = b.compress(~mb.entry_missing[:, perm].reshape((R * Cn,)))
             return b
         key = st.row_key + [rename_col[k] for k in st.col_key]
-        return Table(TableStage(st.globals, key, new_t, st.contexts, f))
+        t = Table(TableStage(st.globals, [], new_t, st.contexts, f))
+        if key:
+            # entries table is (row key, col key)-keyed AND key-sorted
+            # (reference MatrixEntriesTable ordering)
+            t = t.key_by(*key)
+        return t
 
     def _localize_entries(self, entries_array_field_name=None,
                           columns_array_field_name=None):
@@ -980,6 +999,13 @@ class MatrixTable:
             t = t.annotate_globals(**{columns_array_field_name: to_expr(
                 col_rows, ht.tarray(st.col_type))})
         return t
+
+    @property
+    def _type(self):
+        from .expr.typefuncs import tmatrix
+        st = self._stage
+        return tmatrix(st.globals_type, st.col_type, st.col_key,
+                       st.row_type, st.row_key, st.entry_type)
 
     @property
     def _tir(self):
@@ -1378,9 +1404,19 @@ class MatrixTable:
     def index_rows(self, *exprs, all_matches: bool = False):
         """Join this MatrixTable's row fields onto foreign key expressions
         (reference matrixtable.py index_rows)."""
+        if not self._stage.row_key:
+            from .expr.typefuncs import ExpressionException
+            raise ExpressionException(
+                'Cannot index an unkeyed axis\n'
+                '  MatrixTable row key:   <<<empty key>>>')
         return self.rows()[tuple(exprs) if len(exprs) > 1 else exprs[0]]
 
     def index_cols(self, *exprs, all_matches: bool = False):
+        if not self._stage.col_key:
+            from .expr.typefuncs import ExpressionException
+            raise ExpressionException(
+                'Cannot index an unkeyed axis\n'
+                '  MatrixTable col key:   <<<empty key>>>')
         return self.cols()[tuple(exprs) if len(exprs) > 1 else exprs[0]]
 
     def index_entries(self, row_exprs, col_exprs):
@@ -1616,10 +1652,17 @@ class MatrixTable:
         rmb = _concat_matrix_batches(ot.collect_batches(), ot)
         from .table import _key_tuples, _hashable_key, _sort_indices, _choose
         lmap, rmap = {}, {}
+        l_null, r_null = [], []
         for i, k in enumerate(_key_tuples(lmb.rows, st.row_key)):
-            lmap.setdefault(_hashable_key(k), i)
+            if builtins.any(v is None for v in k):
+                l_null.append(i)
+            else:
+                lmap.setdefault(_hashable_key(k), i)
         for j, k in enumerate(_key_tuples(rmb.rows, ot.row_key)):
-            rmap.setdefault(_hashable_key(k), j)
+            if builtins.any(v is None for v in k):
+                r_null.append(j)
+            else:
+                rmap.setdefault(_hashable_key(k), j)
         l_idx, r_idx = [], []
         for k, i in lmap.items():
             j = rmap.get(k, -1)
@@ -1627,10 +1670,18 @@ class MatrixTable:
                 l_idx.append(i)
                 r_idx.append(j)
         if row_join_type == 'outer':
+            # missing keys never match (SQL join semantics): null-keyed rows
+            # from each side survive an outer join unmatched
             for k, j in rmap.items():
                 if k not in lmap:
                     l_idx.append(-1)
                     r_idx.append(j)
+            for i in l_null:
+                l_idx.append(i)
+                r_idx.append(-1)
+            for j in r_null:
+                l_idx.append(-1)
+                r_idx.append(j)
         l_idx = np.asarray(l_idx, dtype=np.int64)
         r_idx = np.asarray(r_idx, dtype=np.int64)
         lmiss = l_idx < 0

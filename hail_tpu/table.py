@@ -221,8 +221,13 @@ class JoinLookup(IR):
         lookup = self.table._lookup_dict()
         out = []
         for i in range(n):
-            k = _hashable_key(tuple(f[i] for f in flats))
-            out.append(lookup.get(k))
+            kv = tuple(f[i] for f in flats)
+            if any(v is None for v in kv):
+                # SQL join semantics: missing keys never match
+                # (reference TableJoin null-key behavior)
+                out.append(None)
+                continue
+            out.append(lookup.get(_hashable_key(kv)))
         return C.from_pylist(self.typ, out).reshape(shape)
 
 
@@ -280,19 +285,47 @@ class Table:
         if isinstance(item, tuple):
             exprs = [to_expr(e) for e in item]
         elif isinstance(item, StructExpression):
-            exprs = [item[k] for k in item.dtype.fields]
+            kt = self._stage.key
+            if len(kt) == 1 and item.dtype == self._stage.row_type[kt[0]]:
+                exprs = [item]
+            else:
+                # struct expressions explode into their fields before key
+                # matching (reference Table.index flexindex)
+                exprs = [item[k] for k in item.dtype.fields]
         else:
             exprs = [to_expr(item)]
+        if len(self._stage.key) == 1 and len(exprs) == 1:
+            kt0 = self._stage.row_type[self._stage.key[0]]
+            qt0 = exprs[0].dtype
+            if isinstance(kt0, ht.tinterval) and qt0 != kt0 \
+                    and qt0 != kt0.point_type:
+                from .expr.typefuncs import ExpressionException
+                raise ExpressionException(
+                    f'Key mismatch: cannot index interval-keyed table\n'
+                    f'  Table key:        {kt0}\n'
+                    f'  Index expression: {qt0}')
         if not self._stage.key:
             from .expr.typefuncs import ExpressionException
             raise ExpressionException(
                 'Cannot index an unkeyed table\n'
                 '  Table key: <<<empty key>>>')
         if len(exprs) != len(self._stage.key):
-            raise ValueError(f'expected {len(self._stage.key)} key expressions, got {len(exprs)}')
+            from .expr.typefuncs import ExpressionException
+            raise ExpressionException(
+                f'Key mismatch: cannot index table with given expressions:\n'
+                f'  Table key:         '
+                f"{', '.join(str(self._stage.row_type[k]) for k in self._stage.key)}\n"
+                f'  Index expressions: '
+                f"{', '.join(str(e.dtype) for e in exprs)}")
         value_t = self._stage.row_type._drop_fields(self._stage.key)
         ind = unify_all(*exprs)
         return construct_expr(JoinLookup(self, [e._ir for e in exprs], value_t), ind)
+
+    @property
+    def _type(self):
+        from .expr.typefuncs import ttable
+        st = self._stage
+        return ttable(st.globals_type, st.row_type, st.key)
 
     def n_partitions(self) -> int:
         return self._stage.n_partitions
@@ -1762,9 +1795,14 @@ class Table:
             starts = [r[0] for r in recs]
 
             def span(s0, e0):
-                if isinstance(s0, tuple):
-                    return e0[1] - s0[1] if s0[0] == e0[0] else float('inf')
-                return e0 - s0
+                try:
+                    if isinstance(s0, tuple):
+                        return e0[1] - s0[1] if s0[0] == e0[0] else float('inf')
+                    return e0 - s0
+                except TypeError:
+                    # non-numeric interval points (struct keys, strings):
+                    # no bounded-scan optimization
+                    return float('inf')
             max_span = max((span(r[0], r[1]) for r in recs), default=0)
 
             def lookup(point):

@@ -67,6 +67,30 @@ class Struct(Mapping):
             return self._fields == other
         return NotImplemented
 
+    def __lt__(self, other):
+        if not isinstance(other, Struct):
+            return NotImplemented
+        from ..expr.functions import _cmp_values
+        return _cmp_values(self, other) < 0
+
+    def __le__(self, other):
+        if not isinstance(other, Struct):
+            return NotImplemented
+        from ..expr.functions import _cmp_values
+        return _cmp_values(self, other) <= 0
+
+    def __gt__(self, other):
+        if not isinstance(other, Struct):
+            return NotImplemented
+        from ..expr.functions import _cmp_values
+        return _cmp_values(self, other) > 0
+
+    def __ge__(self, other):
+        if not isinstance(other, Struct):
+            return NotImplemented
+        from ..expr.functions import _cmp_values
+        return _cmp_values(self, other) >= 0
+
     def __hash__(self) -> int:
         return hash(tuple(sorted((k, _try_hash(v)) for k, v in self._fields.items())))
 
