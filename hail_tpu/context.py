@@ -70,6 +70,22 @@ class Env:
         hc._seed_counter += 1
         return hc._seed_counter
 
+    _uid_counter = 0
+
+    @classmethod
+    def get_uid(cls, base=None) -> str:
+        # reference utils/java.py Env.get_uid: fresh identifier strings
+        cls._uid_counter += 1
+        return f'__uid_{base}_{cls._uid_counter}' if base else f'__uid_{cls._uid_counter}'
+
+    @classmethod
+    def hail(cls):
+        # reference Env.hail(): the JVM is.hail package object; here a stub
+        # namespace that utils.java.scala_object understands
+        class _pkg:
+            io = 'is.hail.io'
+        return _pkg
+
     @classmethod
     def is_fully_initialized(cls) -> bool:
         # reference Env.is_fully_initialized (utils/java.py): session + backend up

@@ -246,6 +246,7 @@ def write_matrix_table(mt, path: str, overwrite: bool = False) -> None:
     g_arrs: Dict[str, np.ndarray] = {}
     g_descs = {k: column_to_arrays(k, c, g_arrs) for k, c in st.globals.columns.items()}
     np.savez_compressed(os.path.join(path, 'globals.npz'), **g_arrs)
+    _write_mt_component_tables(st, mbatches, path)
     meta = {
         'format_version': FORMAT_VERSION,
         'kind': 'matrix_table',
@@ -263,6 +264,41 @@ def write_matrix_table(mt, path: str, overwrite: bool = False) -> None:
     }
     with open(os.path.join(path, 'metadata.json'), 'w') as f:
         json.dump(meta, f)
+
+
+def _write_mt_component_tables(st, mbatches, path: str) -> None:
+    """Write rows/cols/globals component tables inside the .mt directory so
+    `read_table(path + '/rows')` etc. work (reference MatrixTableSpec
+    components, rvd/AbstractRVDSpec.scala; tests read_stored_rows/cols/
+    globals, fix3307). Also leaves the entries-encoding breadcrumb the
+    reference stores at entries/rows/metadata.json.gz."""
+    import gzip
+    from ..table import Table, TableStage
+    rows_t = Table(TableStage.from_batches(
+        st.globals, st.row_key, st.row_type, [mb.rows for mb in mbatches]))
+    write_table(rows_t, os.path.join(path, 'rows'))
+    cols_t = Table(TableStage.from_batches(
+        st.globals, [], st.col_type, [st.cols]))
+    write_table(cols_t, os.path.join(path, 'cols'))
+    globals_t = Table(TableStage.from_batches(
+        Batch({}, 1), [], st.globals.row_type, [st.globals]))
+    write_table(globals_t, os.path.join(path, 'globals'))
+    os.makedirs(os.path.join(path, 'entries', 'rows'), exist_ok=True)
+    try:
+        from ..context import Env as _Env
+        unstable = _Env._hc is not None and \
+            _Env.hc().flags.get('use_unstable_encodings') in ('1', 'true', True)
+    except Exception:
+        unstable = False
+    fields = ','.join(f'{k}:{t}' for k, t in st.entry_type.items())
+    etype = (f'EStructOfArrays[{fields}]' if unstable
+             else f'EBaseStruct[{fields}]')
+    breadcrumb = {'_codecSpec': {'_eType': etype,
+                                 'name': 'TypedCodecSpec'},
+                  'note': 'hail_tpu columnar npz storage'}
+    with gzip.open(os.path.join(path, 'entries', 'rows', 'metadata.json.gz'),
+                   'wt') as f:
+        json.dump(breadcrumb, f)
 
 
 def read_matrix_table(path: str):

@@ -714,7 +714,11 @@ class MatrixTable:
         return MatrixTable(self._stage.map_partitions(f))
 
     def unfilter_entries(self) -> 'MatrixTable':
-        return self
+        """Re-include FILTERED entries as present entries with all fields
+        missing (reference matrixtable.py unfilter_entries)."""
+        def f(mb, i):
+            return MatrixBatch(mb.rows, mb.entries, None)
+        return MatrixTable(self._stage.map_partitions(f))
 
     # -- keys --------------------------------------------------------------
     def key_rows_by(self, *keys, **named_exprs) -> 'MatrixTable':
@@ -1339,9 +1343,8 @@ class MatrixTable:
         for i, ctx in enumerate(st.contexts):
             mb = st.partition_fn(ctx)
             batches.append(mb)
-            if mb.entries:
-                emiss = np.logical_and.reduce(
-                    [c.missing_mask() for c in mb.entries.values()])
+            if mb.entry_missing is not None:
+                emiss = mb.entry_missing
             else:
                 emiss = np.zeros((mb.n_rows, n_c), dtype=bool)
             row_stats.extend(
@@ -1351,7 +1354,7 @@ class MatrixTable:
             col_filt += emiss.sum(axis=0).astype(np.int64)
             col_tot += mb.n_rows
         stat_t = ht.tstruct(n_filtered=ht.tint64, n_remaining=ht.tint64,
-                            fraction_filtered=ht.tfloat64)
+                            fraction_filtered=ht.tfloat32)
         col_stats = [Struct(n_filtered=int(f), n_remaining=int(t - f),
                             fraction_filtered=float(f / t) if t else 0.0)
                      for f, t in zip(col_filt, col_tot)]
@@ -1948,11 +1951,15 @@ class GroupedMatrixTable:
                 for i, kt in enumerate(keys):
                     groups.setdefault(kt, []).append(i)
                 out = {}
+                unfilt = MatrixTable._unfiltered_mask(mb)
                 for kt, idxs in groups.items():
                     mask = np.zeros((mb.n_rows, 1), dtype=bool)
                     mask[idxs, 0] = True
+                    emask = np.broadcast_to(mask, env.shape)
+                    if unfilt is not None:
+                        emask = emask & unfilt
                     states = {('e', name): aggmod.partial_aggregate(
-                        nodes, env, (0,), extra_include=np.broadcast_to(mask, env.shape))
+                        nodes, env, (0,), extra_include=emask)
                         for name, nodes in all_nodes.items()}
                     rmask = mask[:, 0]
                     states.update({('r', name): aggmod.partial_aggregate(
@@ -2029,11 +2036,15 @@ class GroupedMatrixTable:
             ents = {}
             for name, e in exprs.items():
                 per_group = []
+                unfilt = MatrixTable._unfiltered_mask(mb)
                 for gi, kt in enumerate(group_keys):
                     mask = np.zeros((1, st.n_cols), dtype=bool)
                     mask[0, groups[kt]] = True
+                    emask = np.broadcast_to(mask, env.shape)
+                    if unfilt is not None:
+                        emask = emask & unfilt
                     states = aggmod.partial_aggregate(all_nodes[name], env, (1,),
-                                                      extra_include=np.broadcast_to(mask, env.shape))
+                                                      extra_include=emask)
                     renv = base_renv.bind('__row_idx__', PrimitiveColumn(
                         ht.tint64, _mix_uid(
                             np.asarray(base_renv.bindings['__row_idx__'].values),

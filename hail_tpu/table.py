@@ -1139,7 +1139,8 @@ class Table:
         self.write(path, overwrite=overwrite)
         return read_table(path)
 
-    def write(self, path: str, overwrite: bool = False, stage_locally: bool = False):
+    def write(self, path: str, overwrite: bool = False,
+              stage_locally: bool = False, _codec_spec=None):
         from .io.native import write_table
         write_table(self, path, overwrite)
 

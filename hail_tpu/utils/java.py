@@ -49,8 +49,38 @@ def __getattr__(name):
     raise AttributeError(name)
 
 
+class _CodecSpec:
+    """A named buffer/codec spec (reference is.hail.io.BufferSpec JVM
+    objects surfaced through scala_object). Our native format compresses
+    every partition with numpy's deflate; the names are accepted by
+    write(_codec_spec=...) for API parity and all decode identically."""
+
+    def __init__(self, name: str):
+        self._name = name
+
+    def toString(self) -> str:
+        return self._name
+
+    def __repr__(self) -> str:
+        return self._name
+
+
+class _BufferSpecs:
+    def specs(self):
+        return [_CodecSpec('{"name":"LEB128BufferSpec","child":'
+                           '{"name":"BlockingBufferSpec","blockSize":32768,'
+                           '"child":{"name":"ZstdBlockBufferSpec",'
+                           '"blockSize":32768}}}'),
+                _CodecSpec('{"name":"LEB128BufferSpec","child":'
+                           '{"name":"BlockingBufferSpec","blockSize":32768,'
+                           '"child":{"name":"LZ4FastBlockBufferSpec",'
+                           '"blockSize":32768}}}'),
+                _CodecSpec('{"name":"StreamBufferSpec"}')]
+
+
 def scala_object(jpackage, name):
-    """JVM accessor (reference utils/java.py scala_object). There is no JVM
-    here; tests that reach this are spark-backend-only (the conftest's
-    backend markers skip them)."""
-    raise NotImplementedError('scala_object: no JVM in hail_tpu')
+    """JVM object accessor (reference utils/java.py scala_object). There is
+    no JVM here; the known objects tests touch are emulated."""
+    if name == 'BufferSpec':
+        return _BufferSpecs()
+    raise NotImplementedError(f'scala_object: no JVM in hail_tpu ({name})')
