@@ -1222,6 +1222,8 @@ class MatrixTable:
         name = field_expr if isinstance(field_expr, str) else \
             _mt_field_name(field_expr)
         st = self._stage
+        if name in st.row_key:
+            raise ValueError(f"method 'explode_rows' cannot explode a key field {name!r}")
         ft = st.row_type[name]
         new_row_t = ht.tstruct(**{k: (t.element_type if k == name else t)
                                   for k, t in st.row_type.items()})
@@ -1258,6 +1260,8 @@ class MatrixTable:
         name = field_expr if isinstance(field_expr, str) else \
             _mt_field_name(field_expr)
         st = self._stage
+        if name in st.col_key:
+            raise ValueError(f"method 'explode_cols' cannot explode a key field {name!r}")
         ft = st.col_type[name]
         vals = st.cols.columns[name].to_pylist()
         out_idx = []
@@ -1441,13 +1445,18 @@ class MatrixTable:
         skey = st.col_key[0]
         samples = [r[skey] for r in st.cols.to_pylist()]
         ent_fields = list(st.entry_type.fields)
-        single = len(ent_fields) == 1
+        if builtins.any(smp is None for smp in samples):
+            raise ValueError('make_table: column key contains a missing value')
+
+        def _mk_name(smp, fn):
+            # empty entry field name: separator omitted (reference
+            # make_table docstring "If the entry field name is empty...")
+            return smp if fn == '' else f'{smp}{separator}{fn}'
         from .table import Table, TableStage
         new_fields = dict(st.row_type.items())
         for s in samples:
             for fn in ent_fields:
-                nm = s if single else f'{s}{separator}{fn}'
-                new_fields[nm] = st.entry_type[fn]
+                new_fields[_mk_name(s, fn)] = st.entry_type[fn]
         new_t = ht.tstruct(**new_fields)
         out_batches = []
         for i, ctx in enumerate(st.contexts):
@@ -1455,9 +1464,8 @@ class MatrixTable:
             cols = dict(mb.rows.columns)
             for j, s in enumerate(samples):
                 for fn in ent_fields:
-                    nm = s if single else f'{s}{separator}{fn}'
                     c = mb.entries[fn]
-                    cols[nm] = c.gather(np.asarray([j]), axis=1).reshape((mb.n_rows,))
+                    cols[_mk_name(s, fn)] = c.gather(np.asarray([j]), axis=1).reshape((mb.n_rows,))
             out_batches.append(Batch(cols, mb.n_rows))
         return Table(TableStage.from_batches(st.globals, st.row_key, new_t,
                                              out_batches))
@@ -1467,11 +1475,11 @@ class MatrixTable:
         """A MatrixTable with no columns from a table's rows (reference
         matrixtable.py from_rows_table)."""
         st = table._stage
-        col_t = ht.tstruct(col_idx=ht.tint32)
-        cols = Batch.from_pylist(col_t, [])
+        col_t = ht.tstruct()
+        cols = Batch({}, 0)
         batches = [MatrixBatch(b, {}) for b in st.collect_batches()]
         return MatrixTable(MatrixStage.from_batches(
-            st.globals, cols, st.key, ['col_idx'], st.row_type, col_t,
+            st.globals, cols, st.key, [], st.row_type, col_t,
             ht.tstruct(), batches))
 
     @staticmethod
