@@ -1121,11 +1121,18 @@ def _lenient_parser(f):
 # ---------------------------------------------------------------------------
 
 def _deep_freeze(x):
-    """Deep-freeze unhashable query values (lists -> tuples) so membership
-    queries against frozensets/dicts (whose elements are frozen at
-    construction, see ir/arrays.py ToSet) hash correctly."""
-    if isinstance(x, (list, tuple)):
+    """Deep-freeze unhashable query values so membership queries against
+    frozensets/dicts (whose elements are frozen at construction, see
+    ir/arrays.py ToSet) hash correctly. Lists become frozenlist — NOT tuple —
+    because stored elements are frozenlists and FrozenList.__eq__ accepts
+    lists/FrozenLists but rejects tuples (a tuple query would hash to the
+    right bucket yet compare unequal; reference test_mendel_errors_8 exercises
+    this via set-of-(locus, alleles) containment)."""
+    from ..utils.structs import frozenlist
+    if isinstance(x, tuple):
         return tuple(_deep_freeze(e) for e in x)
+    if isinstance(x, list):
+        return frozenlist([_deep_freeze(e) for e in x])
     return x
 
 

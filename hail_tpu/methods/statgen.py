@@ -1350,7 +1350,7 @@ def _skat_setup(key_expr, weight_expr, y, x, covariates):
 
 
 def _skat_table(groups: Dict, key_t, rows: List[Struct]) -> Table:
-    t_row = ht.tstruct(group=key_t, size=ht.tint32, q_stat=ht.tfloat64,
+    t_row = ht.tstruct(group=key_t, size=ht.tint64, q_stat=ht.tfloat64,
                        p_value=ht.tfloat64, fault=ht.tint32)
     b = Batch.from_pylist(t_row, rows)
     return Table(TableStage.from_batches(Batch({}, 1), ['group'], t_row, [b]))
@@ -1376,7 +1376,7 @@ def _skat_pvalue(q: float, lam: np.ndarray) -> Tuple[float, bool]:
 
 def _linear_skat(key_expr, weight_expr, y, x, covariates, max_size: int = 46340) -> Table:
     key_t = to_expr(key_expr).dtype
-    row_t = ht.tstruct(group=key_t, size=ht.tint32, q_stat=ht.tfloat64,
+    row_t = ht.tstruct(group=key_t, size=ht.tint64, q_stat=ht.tfloat64,
                        p_value=ht.tfloat64, fault=ht.tint32)
     return _deferred_table(['group'], row_t,
                            lambda: _linear_skat_eager(key_expr, weight_expr, y,
@@ -1431,7 +1431,7 @@ def _logistic_skat(key_expr, weight_expr, y, x, covariates,
                    max_size: int = 46340, null_max_iterations: int = 25,
                    null_tolerance: float = 1e-6) -> Table:
     key_t = to_expr(key_expr).dtype
-    row_t = ht.tstruct(group=key_t, size=ht.tint32, q_stat=ht.tfloat64,
+    row_t = ht.tstruct(group=key_t, size=ht.tint64, q_stat=ht.tfloat64,
                        p_value=ht.tfloat64, fault=ht.tint32)
     return _deferred_table(['group'], row_t,
                            lambda: _logistic_skat_eager(
