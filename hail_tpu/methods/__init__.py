@@ -15,7 +15,8 @@ from .relatedness import identity_by_descent, king, pc_relate, maximal_independe
 from .family_methods import (trio_matrix, mendel_errors, de_novo,
                              transmission_disequilibrium_test)
 from .misc import (rename_duplicates, filter_intervals, segment_intervals,
-                   compute_charr, concordance)
+                   compute_charr, concordance, require_biallelic,
+                   require_row_key_variant)
 from .annotators import vep, nirvana
 from .impex import (import_vcf, export_vcf, import_plink, export_plink,
                     import_bgen, export_bgen, index_bgen, import_gen, export_gen,

@@ -436,14 +436,17 @@ def import_locus_intervals(path: str, reference_genome='default',
     import_locus_intervals)."""
     rg = _resolve_rg(reference_genome)
     rows = []
+    has_target = False
     with _open(path) as f:
         for line in f:
             line = line.strip()
             if not line or line.startswith('@'):
                 continue
-            parts = line.split('\t') if '\t' in line else line.split()
+            parts = line.split()
             try:
                 if len(parts) >= 3:
+                    # 5-col Picard format: contig start end strand target
+                    has_target = True
                     contig, s, e = parts[0], int(parts[1]), int(parts[2])
                     target = parts[4] if len(parts) >= 5 else None
                     from ..genetics.locus import Locus
@@ -452,11 +455,12 @@ def import_locus_intervals(path: str, reference_genome='default',
                     rows.append(Struct(interval=iv, target=target))
                 else:
                     iv = F.eval_expr(F.parse_locus_interval(parts[0], rg))
-                    rows.append(Struct(interval=iv, target=None))
+                    rows.append(Struct(interval=iv))
             except ValueError:
                 if not skip_invalid_intervals:
                     raise
-    row_t = ht.tstruct(interval=ht.tinterval(ht.tlocus(rg)), target=ht.tstr)
+    row_t = ht.tstruct(interval=ht.tinterval(ht.tlocus(rg)),
+                       **({'target': ht.tstr} if has_target else {}))
     return Table(TableStage.from_batches(Batch({}, 1), ['interval'], row_t,
                                          [Batch.from_pylist(row_t, rows)]))
 
@@ -469,13 +473,15 @@ def import_bed(path: str, reference_genome='default',
     from ..genetics.locus import Locus
     from ..utils.structs import Interval
     rows = []
+    # header-line regexes per the reference (impex.py:909): browser/track
+    # lines and bare key="value" attribute lines (e.g. itemRgb="On")
+    _hdr = re.compile(r'^browser.*|^track.*|^\w+=("[\w\d ]+"|\d+).*')
     with _open(path) as f:
         for line in f:
             line = line.strip()
-            if (not line or line.startswith('track') or line.startswith('browser')
-                    or line.startswith('#')):
+            if not line or line.startswith('#') or _hdr.match(line):
                 continue
-            parts = line.split('\t') if '\t' in line else line.split()
+            parts = line.split()
             try:
                 contig, s, e = parts[0], int(parts[1]), int(parts[2])
                 iv = Interval(Locus(contig, s + 1, rg), Locus(contig, e + 1, rg), True, False)
@@ -483,7 +489,7 @@ def import_bed(path: str, reference_genome='default',
                     rows.append(Struct(interval=iv, target=parts[3]))
                 else:
                     rows.append(Struct(interval=iv))
-            except ValueError:
+            except (ValueError, IndexError):
                 if not skip_invalid_intervals:
                     raise
     has_target = rows and 'target' in rows[0]

@@ -26,6 +26,9 @@ def filter_intervals(ds, intervals, keep: bool = True):
     """Filter rows to (or excluding) a list of locus intervals — vectorized
     via global positions (the reference's interval-pushdown partition pruning,
     `ExtractIntervalFilters.scala`, becomes a mask here)."""
+    from ..expr.expression import Expression
+    if isinstance(intervals, Expression):
+        intervals = F.eval_expr(intervals)
     ivs = []
     for iv in intervals:
         if isinstance(iv, Interval):
@@ -33,6 +36,9 @@ def filter_intervals(ds, intervals, keep: bool = True):
         else:
             v = F.eval_expr(to_expr(iv))
             ivs.append(v)
+    # locus-point intervals use the vectorized global-position mask; struct
+    # points (compound keys) go through the generic key-prefix comparison
+    _locus_points = all(hasattr(iv.start, 'global_position') for iv in ivs)
 
     def row_mask(locus_col: LocusColumn) -> np.ndarray:
         gp = locus_col.global_position()
@@ -91,7 +97,7 @@ def filter_intervals(ds, intervals, keep: bool = True):
         def f(mb, i):
             key0 = ds._stage.row_key[0]
             col = mb.rows.columns[key0]
-            if isinstance(col, LocusColumn):
+            if isinstance(col, LocusColumn) and _locus_points:
                 mask = row_mask(col)
             else:
                 mask = _generic_interval_mask(mb.rows, ds._stage.row_key, ivs, keep)
@@ -114,7 +120,7 @@ def filter_intervals(ds, intervals, keep: bool = True):
         def f(batch, i):
             key0 = ds._stage.key[0]
             col = batch.columns[key0]
-            if isinstance(col, LocusColumn):
+            if isinstance(col, LocusColumn) and _locus_points:
                 mask = row_mask(col)
             else:
                 mask = _generic_interval_mask(batch, ds._stage.key, ivs, keep)
@@ -125,19 +131,66 @@ def filter_intervals(ds, intervals, keep: bool = True):
         return out
 
 
+def require_row_key_variant(dataset, method: str):
+    """Reference methods/misc.py require_row_key_variant: row key must be
+    (locus, alleles) with locus<rg> / array<str> types."""
+    if isinstance(dataset, MatrixTable):
+        key = list(dataset._stage.row_key)
+        row_t = dataset._stage.row_type
+    else:
+        key = list(dataset._stage.key)
+        row_t = dataset._stage.row_type
+    ok = (key == ['locus', 'alleles']
+          and isinstance(row_t.fields.get('locus'), ht.tlocus)
+          and row_t.fields.get('alleles') == ht.tarray(ht.tstr))
+    if not ok:
+        raise ValueError(
+            f"Method '{method}' requires row key to be two fields 'locus' "
+            f"(type 'locus<any>') and 'alleles' (type 'array<str>')\n"
+            f"  Found:{''.join(chr(10) + '    ' + k for k in key)}")
+
+
+def require_biallelic(dataset: MatrixTable, method: str,
+                      tolerate_generic_locus: bool = False) -> MatrixTable:
+    """Reference methods/misc.py:261 require_biallelic: lazily errors (on
+    realization) if any row is not biallelic."""
+    from ..utils.misc import HailUserError
+    if not tolerate_generic_locus:
+        require_row_key_variant(dataset, method)
+
+    def f(mb, i):
+        alleles = mb.rows.columns['alleles'].to_pylist()
+        for a in alleles:
+            if a is not None and len(a) != 2:
+                raise HailUserError(
+                    f"'{method}' expects biallelic variants ('alleles' field "
+                    f"of length 2), found {a}")
+        return mb
+    return MatrixTable(dataset._stage.map_partitions(f))
+
+
 def rename_duplicates(dataset: MatrixTable, name: str = 'unique_id') -> MatrixTable:
     st = dataset._stage
     skey = st.col_key[0]
     samples = [r[skey] for r in st.cols.to_pylist()]
-    seen = {}
+    # reference misc.rename_duplicates: a generated name must not collide
+    # with any name already assigned (original or synthesized); the per-base
+    # counter persists across occurrences.
+    used = set()
+    counts = {}
     uniq = []
     for s in samples:
-        if s in seen:
-            seen[s] += 1
-            uniq.append(f'{s}_{seen[s]}')
-        else:
-            seen[s] = 0
+        if s not in used:
+            used.add(s)
             uniq.append(s)
+            continue
+        k = counts.get(s, 0) + 1
+        while f'{s}_{k}' in used:
+            k += 1
+        counts[s] = k
+        new = f'{s}_{k}'
+        used.add(new)
+        uniq.append(new)
     return _annotate_col_list(dataset, name, uniq)
 
 

@@ -19,6 +19,7 @@ import numpy as np
 jax.config.update('jax_enable_x64', True)
 
 from .. import types as ht
+from ..expr import functions as F
 from ..expr.expression import Expression, to_expr
 from ..genetics.call import calls_is_het, calls_is_hom_ref, calls_is_hom_var
 from ..ir import columns as C
@@ -295,15 +296,41 @@ def maximal_independent_set(i_expr, j_expr, keep: bool = True,
     `methods/relatedness/maximal_independence.py` → Graph.scala)."""
     ie = to_expr(i_expr)
     je = to_expr(j_expr)
+    if ie.dtype != je.dtype:
+        raise ValueError(
+            "'maximal_independent_set' expects arguments `i` and `j` to have "
+            f"same type. Found {ie.dtype} and {je.dtype}.")
     src = ie._indices.source
+    from ..table import Table as _Table
+    if not isinstance(src, _Table):
+        raise ValueError(
+            "'maximal_independent_set' expects an expression of 'Table'. Found {}".format(
+                f"expression of '{src.__class__}'" if src is not None
+                else 'scalar expression'))
+    if je._indices.source is not src:
+        raise ValueError(
+            "'maximal_independent_set' expects arguments `i` and `j` to be "
+            "expressions of the same Table.")
     edges = list(zip(src._collect_expr(ie), src._collect_expr(je)))
-    # greedy removal of max-degree nodes
+    # greedy removal of max-degree nodes (reference methods/misc.py:16 →
+    # ArrayMaximalIndependentSet): when degrees tie, remove the node that is
+    # LARGEST under tie_breaker's ordering.
     from collections import defaultdict
     adj = defaultdict(set)
     for a, b in edges:
         if a != b:
             adj[a].add(b)
             adj[b].add(a)
+    tb_cache = {}
+
+    def tb(u, v):
+        key = (repr(u), repr(v))
+        if key not in tb_cache:
+            lu = F.literal(u, ie.dtype)
+            lv = F.literal(v, ie.dtype)
+            tb_cache[key] = float(F.eval_expr(F.float64(tie_breaker(lu, lv))))
+        return tb_cache[key]
+
     removed = set()
     while True:
         best, best_deg = None, 0
@@ -313,6 +340,9 @@ def maximal_independent_set(i_expr, j_expr, keep: bool = True,
             deg = sum(1 for u in ns if u not in removed)
             if deg > best_deg:
                 best, best_deg = v, deg
+            elif deg == best_deg and deg > 0 and tie_breaker is not None:
+                if tb(v, best) > 0:
+                    best = v
         if best is None or best_deg == 0:
             break
         removed.add(best)

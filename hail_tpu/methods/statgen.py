@@ -1200,40 +1200,65 @@ def simulate_random_mating(mt: MatrixTable, n_rounds: int = 1,
                            keep_founders: bool = True) -> MatrixTable:
     """Simulate offspring by random mating (reference
     statgen.simulate_random_mating)."""
+    if generation_size_multiplier <= 0:
+        raise ValueError(
+            "simulate_random_mating: 'generation_size_multiplier' must be "
+            f"greater than zero: got {generation_size_multiplier}")
+    if n_rounds < 1:
+        raise ValueError(
+            f"simulate_random_mating: 'n_rounds' must be positive: got {n_rounds}")
     rng = np.random.default_rng(Env.next_seed())
     st = mt._stage
     batches = st.collect_batches()
     from ..matrixtable import _concat_matrix_batches
     mb = _concat_matrix_batches(batches, st)
     packed = np.asarray(mb.entries['GT'].values)
-    miss = mb.entries['GT'].missing_mask()
     n = packed.shape[1]
-    gen = packed
-    all_gens = [packed]
-    cur_n = n
+    ck = st.col_key[0]
+    originals = [str(r[ck]) for r in st.cols.to_pylist()]
+    # reference mating_simulation.py:50-62: keep_founders accumulates the
+    # mating pool across generations (new = floor(pool * mult), parents drawn
+    # from the whole pool); keep_founders=False mates only within the latest
+    # generation and returns ONLY the final one.
+    founder_cols = [Struct(s=f'generation_0_idx_{i}', original=originals[i],
+                           mother=None, father=None) for i in range(n)]
+    pool = packed          # calls of the current mating pool
+    pool_cols = founder_cols
+    gen_cols_all = [founder_cols]
     for r in range(n_rounds):
-        n_children = max(1, int(cur_n * generation_size_multiplier))
-        p1 = rng.integers(0, cur_n, n_children)
-        p2 = rng.integers(0, cur_n, n_children)
-        j1 = calls_allele_j(gen)
-        k1 = calls_allele_k(gen)
-        # transmit a random allele from each parent
-        pick1 = rng.integers(0, 2, (gen.shape[0], n_children))
-        pick2 = rng.integers(0, 2, (gen.shape[0], n_children))
+        prev_n = pool.shape[1]
+        n_children = int(np.floor(prev_n * generation_size_multiplier))
+        p1 = rng.integers(0, prev_n, n_children)
+        p2 = rng.integers(0, prev_n, n_children)
+        j1 = calls_allele_j(pool)
+        k1 = calls_allele_k(pool)
+        pick1 = rng.integers(0, 2, (pool.shape[0], n_children))
+        pick2 = rng.integers(0, 2, (pool.shape[0], n_children))
         a1 = np.where(pick1 == 0, j1[:, p1], k1[:, p1])
         a2 = np.where(pick2 == 0, j1[:, p2], k1[:, p2])
         gen = pack_diploid(a1, a2)
-        all_gens.append(gen)
-        cur_n = n_children
-    full = np.concatenate(all_gens if keep_founders else all_gens[1:], axis=1)
-    total_n = full.shape[1]
-    cols = Batch({'sample_idx': PrimitiveColumn(ht.tint32, np.arange(total_n, dtype=np.int32))},
-                 total_n)
+        new_cols = [Struct(s=f'generation_{r + 1}_idx_{i}', original=None,
+                           mother=int(p1[i]), father=int(p2[i]))
+                    for i in range(n_children)]
+        gen_cols_all.append(new_cols)
+        if keep_founders:
+            pool = np.concatenate([pool, gen], axis=1)
+            pool_cols = pool_cols + new_cols
+        else:
+            pool = gen
+            pool_cols = new_cols
+    if keep_founders:
+        full, out_cols = pool, [c for g in gen_cols_all for c in g]
+    else:
+        full, out_cols = pool, gen_cols_all[-1]
+    col_t = ht.tstruct(s=ht.tstr, original=ht.tstr, mother=ht.tint32,
+                       father=ht.tint32)
+    cols = Batch.from_pylist(col_t, out_cols)
     ents = {'GT': PrimitiveColumn(ht.tcall, full)}
     new_mb = MatrixBatch(mb.rows, ents)
     return MatrixTable(MatrixStage.from_batches(
-        st.globals, cols, st.row_key, ['sample_idx'], st.row_type,
-        ht.tstruct(sample_idx=ht.tint32), ht.tstruct(GT=ht.tcall), [new_mb]))
+        st.globals, cols, st.row_key, ['s'], st.row_type,
+        col_t, ht.tstruct(GT=ht.tcall), [new_mb]))
 
 
 # ---------------------------------------------------------------------------
@@ -1507,10 +1532,13 @@ def lambda_gc(p_value, approximate: bool = True):
     e = to_expr(p_value)
     src = e._indices.source
     if isinstance(src, MatrixTable):
-        vals = [v for v in src.rows()._collect_expr(e) if v is not None]
+        vals = src.rows()._collect_expr(e)
     else:
-        vals = [v for v in src._collect_expr(e) if v is not None]
-    chi2 = st.chi2.isf(np.asarray(vals), 1)
+        vals = src._collect_expr(e)
+    # reference _lambda_gc_agg filters to defined, non-NaN p in [0, 1]
+    vals = np.asarray([v for v in vals if v is not None], dtype=np.float64)
+    vals = vals[~np.isnan(vals) & (vals >= 0) & (vals <= 1)]
+    chi2 = st.chi2.isf(vals, 1)
     return float(np.median(chi2) / st.chi2.ppf(0.5, 1))
 
 

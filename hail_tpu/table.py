@@ -446,10 +446,19 @@ class Table:
     def select(self, *fields, **named_exprs) -> 'Table':
         # positional args may be field names or top-level field expressions
         # (reference: t.select(t.x, y=...) keeps x under its own name)
+        named_exprs = dict(named_exprs)
         norm = []
         for f_ in fields:
             if not isinstance(f_, str):
-                f_ = _expr_field_name(f_)
+                name = _expr_field_name(f_)
+                if name not in self._stage.row_type.fields:
+                    # nested path like t.select(t.a.b): becomes field 'b'
+                    # (reference Table.select 'assignment by path tail')
+                    if name in named_exprs:
+                        raise ValueError(f'select: duplicate field {name!r}')
+                    named_exprs[name] = f_
+                    continue
+                f_ = name
             norm.append(f_)
         fields = tuple(norm)
         for f_ in fields:
