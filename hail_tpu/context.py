@@ -87,6 +87,12 @@ class Env:
         return _pkg
 
     @classmethod
+    def fs(cls):
+        # reference Env.fs() (utils/java.py): the session filesystem handle
+        from .fs.router_fs import RouterFS
+        return RouterFS()
+
+    @classmethod
     def is_fully_initialized(cls) -> bool:
         # reference Env.is_fully_initialized (utils/java.py): session + backend up
         return cls._hc is not None

@@ -399,7 +399,6 @@ def array(collection) -> ArrayExpression:
         return array([tuple_([to_expr(k), to_expr(v)])
                       for k, v in collection.items()])
     if isinstance(collection, (list, tuple, np.ndarray)):
-        elems = [to_expr(v) if v is not None or True else v for v in collection]
         if any(isinstance(v, Expression) for v in collection):
             exprs = []
             t = ht.unify_types(*[to_expr(v).dtype for v in collection if v is not None])

@@ -452,10 +452,9 @@ def decode_value(r: _Reader, et: EType, vt: ht.HailType) -> Any:
     raise NotImplementedError(et.kind)
 
 
-def decode_rows(raw: bytes, codec_spec: dict) -> Tuple[List[Any], ht.HailType]:
-    et = parse_etype(codec_spec['_eType'])
-    vt = parse_vtype(codec_spec['_vType'])
-    flat, leb = decode_part_bytes(raw, codec_spec['_bufferSpec'])
+def decode_rows_et(raw: bytes, et: EType, vt: ht.HailType,
+                   buffer_spec: dict) -> List[Any]:
+    flat, leb = decode_part_bytes(raw, buffer_spec)
     r = _Reader(flat, leb)
     rows = []
     while not r.eof():
@@ -463,7 +462,128 @@ def decode_rows(raw: bytes, codec_spec: dict) -> Tuple[List[Any], ht.HailType]:
         if marker == 0:
             break
         rows.append(decode_value(r, et, vt))
-    return rows, vt
+    return rows
+
+
+def decode_rows(raw: bytes, codec_spec: dict) -> Tuple[List[Any], ht.HailType]:
+    et = parse_etype(codec_spec['_eType'])
+    vt = parse_vtype(codec_spec['_vType'])
+    return decode_rows_et(raw, et, vt, codec_spec['_bufferSpec']), vt
+
+
+# ---------------------------------------------------------------------------
+# legacy (pre-TypedCodecSpec) specs: OrderedRVDSpec / UnpartitionedRVDSpec /
+# IndexedRVDSpec with a PackCodecSpec — the encoding is derived from the
+# legacy virtual-type string, whose '+' markers carry requiredness
+# (reference `is/hail/compatibility/` LegacyEncodedTypeParser)
+# ---------------------------------------------------------------------------
+
+
+def parse_legacy_etype(s: str) -> EType:
+    t, rest = _parse_letype(s, 0)
+    assert rest == len(s), (s, rest)
+    return t
+
+
+def _parse_letype(s: str, i: int) -> Tuple[EType, int]:
+    required = False
+    if s[i] == '+':
+        required = True
+        i += 1
+    _prims = {'String': 'binary', 'Binary': 'binary', 'Int32': 'int32',
+              'Int64': 'int64', 'Float32': 'float32', 'Float64': 'float64',
+              'Boolean': 'boolean', 'Call': 'int32'}
+    for name, kind in _prims.items():
+        if s.startswith(name, i) and not s.startswith(name + 'a', i):
+            return EType(kind, required), i + len(name)
+    if s.startswith('Locus(', i):
+        j = s.index(')', i)
+        return EType('struct', required, fields=[
+            ('contig', EType('binary', True)),
+            ('position', EType('int32', True))]), j + 1
+    if s.startswith('Struct{', i) or s.startswith('Tuple[', i):
+        is_tuple = s.startswith('Tuple[', i)
+        close = ']' if is_tuple else '}'
+        i += len('Tuple[') if is_tuple else len('Struct{')
+        fields = []
+        fi = 0
+        while s[i] != close:
+            if is_tuple:
+                name = str(fi)
+                fi += 1
+            else:
+                j = i
+                depth = 0
+                in_tick = False
+                while in_tick or not (s[j] == ':' and depth == 0):
+                    if s[j] == '`':
+                        in_tick = not in_tick
+                    elif not in_tick:
+                        if s[j] in '{[(':
+                            depth += 1
+                        elif s[j] in '}])':
+                            depth -= 1
+                    j += 1
+                name = s[i:j].strip('`')
+                i = j + 1
+            sub, i = _parse_letype(s, i)
+            fields.append((name, sub))
+            if s[i] == ',':
+                i += 1
+        return EType('struct', required, fields=fields), i + 1
+    for name in ('Array[', 'Set['):
+        if s.startswith(name, i):
+            sub, i = _parse_letype(s, i + len(name))
+            assert s[i] == ']'
+            return EType('array', required, element=sub), i + 1
+    if s.startswith('Dict[', i):
+        k, i = _parse_letype(s, i + len('Dict['))
+        assert s[i] == ','
+        v, i = _parse_letype(s, i + 1)
+        assert s[i] == ']'
+        el = EType('struct', True, fields=[('key', k), ('value', v)])
+        return EType('array', required, element=el), i + 1
+    if s.startswith('Interval[', i):
+        sub, i = _parse_letype(s, i + len('Interval['))
+        assert s[i] == ']'
+        return EType('struct', required, fields=[
+            ('start', sub), ('end', sub),
+            ('includes_start', EType('boolean', True)),
+            ('includes_end', EType('boolean', True))]), i + 1
+    if s.startswith('NDArray[', i):
+        sub, i = _parse_letype(s, i + len('NDArray['))
+        j = i
+        while s[i] != ']':
+            i += 1
+        suffix = s[j:i].lstrip(',')
+        ndims = int(suffix) if suffix.isdigit() else 1
+        return EType('ndarray', required, element=sub, ndims=ndims), i + 1
+    raise ValueError(f'unknown legacy type at {i}: {s[i:i+40]}')
+
+
+def _legacy_rvd_meta(meta: dict):
+    """(row_type_str, key, part_files, jrange_bounds) from a legacy spec."""
+    import re
+    if meta['name'] == 'UnpartitionedRVDSpec':
+        return meta['rowType'], [], meta['partFiles'], None
+    ts = meta.get('rvdType') or meta.get('orvdType')
+    inner = ts[ts.index('{') + 1:-1]
+    assert inner.startswith('key:'), inner
+    j = inner.index('[')
+    depth = 0
+    k = j
+    for k in range(j, len(inner)):
+        if inner[k] == '[':
+            depth += 1
+        elif inner[k] == ']':
+            depth -= 1
+            if depth == 0:
+                break
+    key_str = inner[j:k + 1]
+    key = [p.strip('`') for p in re.findall(r'[^\[\],]+', key_str)]
+    row_str = inner[k + 1:]
+    assert row_str.startswith(',row:'), row_str[:20]
+    return row_str[len(',row:'):], key, meta['partFiles'], meta.get('jRangeBounds')
 
 
 # ---------------------------------------------------------------------------
@@ -473,20 +593,31 @@ def decode_rows(raw: bytes, codec_spec: dict) -> Tuple[List[Any], ht.HailType]:
 
 def _load_component(path: str, rel: str):
     """Load an RVD component: returns (list of per-partition row lists, vtype,
-    key)."""
+    key, jRangeBounds). Handles both the current TypedCodecSpec layout and the
+    legacy PackCodecSpec specs (OrderedRVDSpec/UnpartitionedRVDSpec/
+    IndexedRVDSpec — ref `rvd/AbstractRVDSpec.scala:224`, `compatibility/`)."""
     comp_dir = os.path.join(path, rel)
     with gzip.open(os.path.join(comp_dir, 'metadata.json.gz')) as f:
         meta = json.load(f)
-    codec = meta['_codecSpec']
-    parts = meta['_partFiles']
+    if '_codecSpec' in meta:
+        codec = meta['_codecSpec']
+        et = parse_etype(codec['_eType'])
+        vt = parse_vtype(codec['_vType'])
+        buffer_spec = codec['_bufferSpec']
+        parts = meta['_partFiles']
+        key = meta.get('_key', [])
+        jrb = meta.get('_jRangeBounds')
+    else:
+        row_str, key, parts, jrb = _legacy_rvd_meta(meta)
+        et = parse_legacy_etype(row_str)
+        vt = parse_vtype(row_str)
+        buffer_spec = meta['codecSpec']['child']
     out = []
     for pf in parts:
         with open(os.path.join(comp_dir, 'parts', pf), 'rb') as f:
             raw = f.read()
-        rows, vt = decode_rows(raw, codec)
-        out.append(rows)
-    return (out, parse_vtype(codec['_vType']), meta.get('_key', []),
-            meta.get('_jRangeBounds'))
+        out.append(decode_rows_et(raw, et, vt, buffer_spec))
+    return out, vt, key, jrb
 
 
 def _gp_bounds(jrange_bounds, vt: ht.HailType, key) -> Optional[list]:
@@ -530,12 +661,48 @@ def is_hail_native(path: str) -> bool:
     return os.path.isfile(os.path.join(path, 'metadata.json.gz'))
 
 
+def _load_references(path: str, rel: Optional[str]) -> None:
+    """Register custom reference genomes stored inside the dataset
+    (`references_rel_path` dir of RG JSONs — ref RelationalSpec.references)."""
+    if not rel:
+        return
+    ref_dir = os.path.join(path, rel)
+    if not os.path.isdir(ref_dir):
+        return
+    from ..genetics.reference_genome import ReferenceGenome
+    for fn in os.listdir(ref_dir):
+        full = os.path.join(ref_dir, fn)
+        try:
+            if fn.endswith('.json.gz'):
+                with gzip.open(full) as f:
+                    d = json.load(f)
+            elif fn.endswith('.json'):
+                with open(full) as f:
+                    d = json.load(f)
+            else:
+                continue
+        except Exception:
+            continue
+        if d.get('name') in ReferenceGenome._registry:
+            continue
+        contigs = [c['name'] for c in d['contigs']]
+        lengths = {c['name']: c['length'] for c in d['contigs']}
+        par = [(p['start']['contig'], p['start']['position'],
+                p['end']['contig'], p['end']['position'])
+               for p in d.get('par', [])]
+        ReferenceGenome(d['name'], contigs, lengths,
+                        x_contigs=d.get('xContigs', []),
+                        y_contigs=d.get('yContigs', []),
+                        mt_contigs=d.get('mtContigs', []), par=par)
+
+
 def read_hail_table(path: str):
     from ..ir.columns import Batch
     from ..table import Table, TableStage
     with gzip.open(os.path.join(path, 'metadata.json.gz')) as f:
         meta = json.load(f)
     assert meta['name'] == 'TableSpec', meta['name']
+    _load_references(path, meta.get('references_rel_path'))
     comps = meta['components']
     g_parts, g_vt, _, _ = _load_component(path, comps['globals']['rel_path'])
     g_rows = [row for part in g_parts for row in part]
@@ -560,6 +727,7 @@ def read_hail_matrix_table(path: str):
             f'Error summary: HailException: metadata does not contain file '
             f'version: {path}')
     assert meta['name'] == 'MatrixTableSpec', meta['name']
+    _load_references(path, meta.get('references_rel_path'))
     comps = meta['components']
     g_parts, g_vt, _, _ = _load_component(path, comps['globals']['rel_path'])
     c_parts, c_vt, _, _ = _load_component(path, comps['cols']['rel_path'])

@@ -120,8 +120,10 @@ def _eval_col_f64(mt: MatrixTable, expr: Expression) -> Tuple[np.ndarray, np.nda
 
 def _covariate_matrix(mt: MatrixTable, covariates) -> Tuple[np.ndarray, np.ndarray]:
     covs = list(covariates)
+    n_all = mt._stage.n_cols
     if not covs:
-        raise ValueError('at least one covariate required (include an intercept, e.g. 1.0)')
+        # empty covariate list is legal (reference: cov_Qts = zeros((0, n)))
+        return np.zeros((n_all, 0)), np.zeros(n_all, dtype=bool)
     cols, miss = [], []
     for cexp in covs:
         v, m = _eval_col_f64(mt, to_expr(cexp))
@@ -136,37 +138,151 @@ def _covariate_matrix(mt: MatrixTable, covariates) -> Tuple[np.ndarray, np.ndarr
     return Cv, Mv
 
 
+def _raise_unless_entry_indexed(caller: str, expr: Expression) -> None:
+    """ref expr/expressions/expression_utils.py:296."""
+    from ..expr.typefuncs import ExpressionException
+    src = expr._indices.source
+    if src is None:
+        raise ExpressionException(
+            f"{caller}: expression must be entry-indexed, found no indices (no source)")
+    if expr._indices.axes != frozenset({'row', 'column'}):
+        raise ExpressionException(
+            f"{caller}: expression must be entry-indexed, found indices "
+            f"{sorted(expr._indices.axes)}.")
+
+
+def _raise_unless_column_indexed(caller: str, expr: Expression) -> None:
+    """ref expr/expressions/expression_utils.py:316."""
+    from ..expr.typefuncs import ExpressionException
+    src = expr._indices.source
+    if src is None:
+        raise ExpressionException(
+            f"{caller}: expression must be column-indexed, found no indices (no source).")
+    if expr._indices.axes != frozenset({'column'}):
+        raise ExpressionException(
+            f"{caller}: expression must be column-indexed, found indices "
+            f"({sorted(expr._indices.axes)}).")
+
+
+def _warn_if_no_intercept(caller: str, covariates) -> bool:
+    """ref statgen.py _warn_if_no_intercept: warn when every covariate is
+    axis-indexed (i.e. no constant/intercept term was supplied)."""
+    from ..utils.misc import warning
+    if all([to_expr(e)._indices.axes for e in covariates]):
+        warning(
+            f'{caller}: model appears to have no intercept covariate.'
+            '\n    To include an intercept, add 1.0 to the list of covariates.'
+        )
+        return True
+    return False
+
+
+def _nested_field_name(e: Expression) -> Optional[str]:
+    """If e is a (possibly nested) field access rooted at the row, return the
+    tail field name (reference `f._ir.is_nested_field` + `f._ir.name`)."""
+    from ..ir.nodes import GetField, Ref
+    ir = e._ir
+    if not isinstance(ir, GetField):
+        return None
+    name = ir.name
+    while isinstance(ir, GetField):
+        ir = ir.struct
+    if isinstance(ir, Ref) and ir.name in ('va', 'row'):
+        return name
+    return None
+
+
+def _get_regression_row_fields(mt: MatrixTable, pass_through, method) -> Dict[str, object]:
+    """ref statgen.py:195 — resolve pass_through into {name: str|Expression},
+    validating duplicates/key fields/complex expressions."""
+    from ..expr.typefuncs import ExpressionException
+    key_names = list(mt._stage.row_key)
+    row_fields: Dict[str, object] = dict(zip(key_names, key_names))
+    for f in pass_through:
+        if isinstance(f, str):
+            if f not in mt._stage.row_type.fields:
+                raise ValueError(
+                    f"'{method}/pass_through': MatrixTable has no row field {f!r}")
+            if f in row_fields and f not in key_names:
+                raise ValueError(
+                    f"'{method}/pass_through': found duplicated field {f!r}")
+            row_fields[f] = f
+        else:
+            if not isinstance(f, Expression):
+                raise ValueError(
+                    f"'{method}/pass_through': expect fields or nested fields, "
+                    "not complex expressions")
+            name = _nested_field_name(f)
+            if name is None:
+                raise ValueError(
+                    f"'{method}/pass_through': expect fields or nested fields, "
+                    "not complex expressions")
+            if f._indices.axes != frozenset({'row'}):
+                raise ExpressionException(
+                    f"'{method}/pass_through': require row-indexed fields, "
+                    f"found indices {sorted(f._indices.axes)}")
+            if name in row_fields and name not in key_names:
+                raise ValueError(
+                    f"'{method}/pass_through': found duplicated field {name!r}")
+            row_fields[name] = f
+    for kf in key_names:
+        del row_fields[kf]
+    return row_fields
+
+
 def _result_table_from_rows(mt: MatrixTable, per_part_fn, out_fields: List[Tuple[str, ht.HailType]],
-                            pass_through=(), entry_req=None, row_req=None) -> Table:
+                            row_fields: Optional[Dict[str, object]] = None,
+                            entry_req=None, row_req=None,
+                            globals_batch: Optional[Batch] = None) -> Table:
     """Build a rows-keyed Table: row key fields + pass_through + computed
     columns via per_part_fn(mb, i) → dict[str, Column].
 
+    row_fields: {name: row-field-name-or-row-Expression} pass-through dict
+    (reference `_get_regression_row_fields` output, key fields excluded).
     entry_req/row_req: field subsets actually consumed — pushed into native
     reads as projection pruning (io/native.py make_stage)."""
+    row_fields = row_fields or {}
     st = mt._stage
     key_fields = st.row_key
-    pt_names = [p if isinstance(p, str) else p._ir.name for p in pass_through]
+    pt_req = set()
+    for v in row_fields.values():
+        if isinstance(v, str):
+            pt_req.add(v)
+        else:
+            from ..ir.nodes import required_fields
+            req = required_fields([v._ir])
+            if req is None:
+                pt_req = None
+                break
+            pt_req |= set(req['va'])
     prune = getattr(st, 'prune_matrix', None)
-    if prune is not None and entry_req is not None:
-        st = prune(row_req=set(pt_names) | set(row_req or ()),
+    if prune is not None and entry_req is not None and pt_req is not None:
+        st = prune(row_req=pt_req | set(row_req or ()),
                    entry_req=set(entry_req))
+
+    def pt_type(v):
+        return st.row_type[v] if isinstance(v, str) else v.dtype
     row_t = ht.tstruct.from_fields(
         [(k, st.row_type[k]) for k in key_fields]
-        + [(p, st.row_type[p]) for p in pt_names]
-        + out_fields)
+        + out_fields
+        + [(n, pt_type(v)) for n, v in row_fields.items()])
 
     pf = st.partition_fn
     def part(ctx):
-        i, inner = ctx if isinstance(ctx, tuple) else (0, ctx)
-        mb = pf(inner) if isinstance(ctx, tuple) else pf(ctx)
+        i, inner = ctx
+        mb = pf(inner)
         computed = per_part_fn(mb, i)
         cols = {k: mb.rows.columns[k] for k in key_fields}
-        for p in pt_names:
-            cols[p] = mb.rows.columns[p]
         cols.update(computed)
+        for n, v in row_fields.items():
+            if isinstance(v, str):
+                cols[n] = mb.rows.columns[v]
+            else:
+                cols[n] = mt._eval_row_expr(v, mb, i)
         return Batch(cols, mb.n_rows)
     ctxs = [(i, c) for i, c in enumerate(st.contexts)]
-    return Table(TableStage(st.globals, key_fields, row_t, ctxs, part))
+    g = globals_batch if globals_batch is not None else Batch({}, 1)
+    return Table(TableStage(g, key_fields, row_t, ctxs, part))
 
 
 # ---------------------------------------------------------------------------
@@ -176,66 +292,91 @@ def _result_table_from_rows(mt: MatrixTable, per_part_fn, out_fields: List[Tuple
 def linear_regression_rows(y, x, covariates, block_size: int = 16,
                            pass_through=(), weights=None,
                            _precision: str = 'float64') -> Table:
-    """Per-variant OLS GWAS (reference `statgen.py:419`
-    `_linear_regression_rows_nd`): projection-trick batched GEMMs on the
-    device (ops/regression.py linreg_block)."""
-    if isinstance(weights, (list, tuple)):
-        # chained weighted groups (reference _linear_regression_rows_nd with
-        # y=[[...],[...]], weights=[w1, w2]): run each group and nest outputs
-        if not (isinstance(y, (list, tuple)) and y and isinstance(y[0], (list, tuple))):
-            raise ValueError('a list of weights requires y to be a list of '
-                             'lists of phenotypes (one group per weight)')
-        group_tables = [
-            linear_regression_rows(list(ys_g), x, covariates,
-                                   block_size=block_size, weights=w_g,
-                                   pass_through=pass_through,
-                                   _precision=_precision)
-            for ys_g, w_g in zip(y, weights)]
-        return _nest_linreg_groups(group_tables)
+    """Per-variant OLS GWAS with the reference's nd semantics
+    (`statgen.py:419` `_linear_regression_rows_nd`): per-group complete-case
+    sample sets, per-row mean imputation of x, sqrt-weight scaling, NaN
+    propagation through degenerate fits, and chained (list-of-lists y)
+    nested-array output — the hot GEMMs run on the device
+    (ops/regression.py linreg_block / ops/linreg_i8.py)."""
     from ..ops.regression import linreg_stats
 
-    y_is_list = isinstance(y, (list, tuple))
-    ys = list(y) if y_is_list else [y]
     xe = to_expr(x)
     mt = xe._indices.source
-    if mt is None:
+    if mt is None or not isinstance(mt, MatrixTable):
         raise ValueError('x must be an entry expression')
+    _raise_unless_entry_indexed('linear_regression_rows_nd/x', xe)
 
-    Y_cols, Y_miss = [], []
-    for ye in ys:
-        v, m = _eval_col_f64(mt, to_expr(ye))
-        Y_cols.append(v)
-        Y_miss.append(m)
-    Y = np.stack(Y_cols, axis=1)                  # (C, P)
-    Cov, cov_miss = _covariate_matrix(mt, covariates)
-    keep = ~(np.stack(Y_miss, axis=1).any(axis=1) | cov_miss)
-    w_sqrt = None
+    y_is_list = isinstance(y, (list, tuple))
+    if y_is_list and len(y) == 0:
+        raise ValueError("'linear_regression_rows_nd': found no values for 'y'")
+    is_chained = y_is_list and isinstance(y[0], (list, tuple))
+    if is_chained and any(len(lst) == 0 for lst in y):
+        raise ValueError("'linear_regression_rows': found empty inner list for 'y'")
     if weights is not None:
-        wv, wm = _eval_col_f64(mt, to_expr(weights))
-        # missing weights exclude the sample (reference
-        # test_weighted_linear_regression__missing_weights_are_excluded)
-        keep &= ~wm
-        w_sqrt = np.sqrt(np.maximum(np.where(wm, 0.0, wv), 0.0))
-    Yk = Y[keep]
-    Ck = Cov[keep]
-    if w_sqrt is not None:
-        # WLS == OLS on sqrt(w)-scaled y/x/covariates
-        swk = w_sqrt[keep]
-        Yk = Yk * swk[:, None]
-        Ck = Ck * swk[:, None]
-    n = int(keep.sum())
-    k = Ck.shape[1]
-    dof = n - k - 1
-    if dof < 1:
-        raise ValueError(f'n={n} samples with k={k} covariates: not enough degrees of freedom')
+        if is_chained and not isinstance(weights, (list, tuple)):
+            raise ValueError("When y is a list of lists, weights should be a list.")
+        elif y_is_list and not is_chained and isinstance(weights, (list, tuple)):
+            raise ValueError("When y is a single list, weights should be a single expression.")
+        elif not y_is_list and isinstance(weights, (list, tuple)):
+            raise ValueError("When y is a single expression, weights should be a single expression.")
+    weight_list = (list(weights) if isinstance(weights, (list, tuple))
+                   else (None if weights is None else [weights]))
+    if is_chained:
+        y_groups = [[to_expr(e) for e in g] for g in y]
+    else:
+        y_groups = [[to_expr(e) for e in (y if y_is_list else [y])]]
+    if weight_list is not None and len(weight_list) != len(y_groups):
+        raise ValueError("Must specify same number of weights as groups of phenotypes")
+    for g in y_groups:
+        for e in g:
+            _raise_unless_column_indexed('linear_regression_rows_nd/y', e)
+    _warn_if_no_intercept('linear_regression_rows_nd', covariates)
 
-    Q, _ = np.linalg.qr(Ck)                        # (n, k)
-    Y_r = Yk - Q @ (Q.T @ Yk)
-    yty_r = (Y_r * Y_r).sum(axis=0)
+    row_fields = _get_regression_row_fields(mt, pass_through,
+                                            'linear_regression_rows_nd')
 
-    P = Y.shape[1]
+    # ---- column-plane setup (reference setup_globals, statgen.py:507) ----
+    Cov, cov_miss = _covariate_matrix(mt, covariates)
+    k = Cov.shape[1]
+    groups = []
+    for gi, g in enumerate(y_groups):
+        Yv, Ym = [], []
+        for e in g:
+            v, m = _eval_col_f64(mt, e)
+            Yv.append(v)
+            Ym.append(m)
+        Y = np.stack(Yv, axis=1)                         # (N, P)
+        keep = ~(np.stack(Ym, axis=1).any(axis=1) | cov_miss)
+        sw = None
+        if weight_list is not None:
+            wv, wm = _eval_col_f64(mt, to_expr(weight_list[gi]))
+            keep &= ~wm                                  # missing weights excluded
+            with np.errstate(invalid='ignore'):
+                sw = np.sqrt(wv)
+        idx = np.flatnonzero(keep)
+        n_g = int(idx.size)
+        Yk = Y[idx]
+        Ck = Cov[idx]
+        swk = sw[idx] if sw is not None else None
+        Ys = Yk * swk[:, None] if swk is not None else Yk
+        Cs = Ck * swk[:, None] if swk is not None else Ck
+        if k > 0:
+            Qg, _ = np.linalg.qr(Cs)                     # (n_g, k)
+        else:
+            Qg = np.zeros((n_g, 0))
+        Qty = Qg.T @ Ys                                  # (k, P)
+        yyp = (Ys * Ys).sum(axis=0) - (Qty * Qty).sum(axis=0)  # (P,)
+        groups.append(dict(idx=idx, sw=swk, Q=Qg, Ys=Ys, Qty=Qty, yyp=yyp,
+                           n=n_g, d=n_g - k - 1, P=Y.shape[1]))
+
     arr_f = ht.tarray(ht.tfloat64)
-    if y_is_list:
+    if is_chained:
+        nested = ht.tarray(arr_f)
+        out_fields = [('n', ht.tarray(ht.tint32)), ('sum_x', arr_f),
+                      ('y_transpose_x', nested), ('beta', nested),
+                      ('standard_error', nested), ('t_stat', nested),
+                      ('p_value', nested)]
+    elif y_is_list:
         out_fields = [('n', ht.tint32), ('sum_x', ht.tfloat64),
                       ('y_transpose_x', arr_f), ('beta', arr_f),
                       ('standard_error', arr_f), ('t_stat', arr_f),
@@ -246,102 +387,90 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
                       ('standard_error', ht.tfloat64), ('t_stat', ht.tfloat64),
                       ('p_value', ht.tfloat64)]
 
-    # int8 storage fast path: integer-typed x without weights reads 1
-    # byte/entry in the hot loop (ops/linreg_i8.py, f32 compute)
-    use_i8 = (_precision == 'float32' and w_sqrt is None
-              and xe.dtype in (ht.tint32, ht.tint64))
-    # packed-call device-decode fast path: x == <call field>.n_alt_alleles()
-    # ships the raw packed int32 column and decodes ON DEVICE — zero host
-    # per-entry work (linreg_block_call)
+    # int8-storage fast path (opt-in via _precision='float32'): integer-typed
+    # x, single group, no weights → 1 byte/entry hot loop (ops/linreg_i8.py);
+    # x == GT.n_alt_alleles() additionally decodes packed calls ON DEVICE
+    grp0 = groups[0]
+    use_i8 = (_precision == 'float32' and not is_chained
+              and weight_list is None and xe.dtype in (ht.tint32, ht.tint64))
     gt_field = _match_gt_nalt(xe) if use_i8 else None
-    all_keep = bool(keep.all())
+    all_keep = bool(grp0['n'] == Cov.shape[0])
 
-    def _pack_results(res, R):
-        bad = res['bad']
-        def arr_col(a):
-            a = np.where(bad[:, None], 0.0, a)
-            col = DenseArrayColumn(arr_f, a, np.full(R, P, np.int32),
-                                   None, bad if bad.any() else None)
-            return col
-        def scal_col(a, t=ht.tfloat64, maskable=True):
-            m = bad if (maskable and bad.any()) else None
-            return PrimitiveColumn(t, np.where(bad, 0, a) if maskable else a, m)
+    def _pack_group(res, R, grp):
+        """res: dict of (R, P) arrays (+ sum_x (R,)) → output columns."""
+        P = grp['P']
+        n_col = PrimitiveColumn(ht.tint32, np.full(R, grp['n'], np.int32))
+        sx_col = PrimitiveColumn(ht.tfloat64, res['sum_x'].astype(np.float64))
         if y_is_list:
-            return {
-                'n': PrimitiveColumn(ht.tint32, res['n'].astype(np.int32)),
-                'sum_x': PrimitiveColumn(ht.tfloat64, res['sum_x']),
-                'y_transpose_x': arr_col(res['y_transpose_x']),
-                'beta': arr_col(res['beta']),
-                'standard_error': arr_col(res['standard_error']),
-                't_stat': arr_col(res['t_stat']),
-                'p_value': arr_col(res['p_value']),
-            }
+            def arr_col(a):
+                return DenseArrayColumn(arr_f, a.astype(np.float64),
+                                        np.full(R, P, np.int32), None, None)
+            fieldf = arr_col
+        else:
+            def scal_col(a):
+                return PrimitiveColumn(ht.tfloat64, a[:, 0].astype(np.float64))
+            fieldf = scal_col
         return {
-            'n': PrimitiveColumn(ht.tint32, res['n'].astype(np.int32)),
-            'sum_x': PrimitiveColumn(ht.tfloat64, res['sum_x']),
-            'y_transpose_x': scal_col(res['y_transpose_x'][:, 0]),
-            'beta': scal_col(res['beta'][:, 0]),
-            'standard_error': scal_col(res['standard_error'][:, 0]),
-            't_stat': scal_col(res['t_stat'][:, 0]),
-            'p_value': scal_col(res['p_value'][:, 0]),
+            'n': n_col, 'sum_x': sx_col,
+            'y_transpose_x': fieldf(res['y_transpose_x']),
+            'beta': fieldf(res['beta']),
+            'standard_error': fieldf(res['standard_error']),
+            't_stat': fieldf(res['t_stat']),
+            'p_value': fieldf(res['p_value']),
         }
+
+    def _group_result(G, M, grp):
+        idx = grp['idx']
+        return linreg_stats(G[:, idx], M[:, idx], grp['sw'], grp['Q'],
+                            grp['Ys'], grp['Qty'], grp['yyp'], grp['d'],
+                            _precision)
 
     def per_part(mb, i):
         if gt_field is not None:
             col = mb.entries.get(gt_field)
             if isinstance(col, C.PrimitiveColumn) and col.typ == ht.tcall:
                 from ..ops.linreg_i8 import linreg_stats_call
-                packed = col.values if all_keep else col.values[:, keep]
+                packed = col.values if all_keep else col.values[:, grp0['idx']]
                 miss = col.missing
                 if miss is not None and not all_keep:
-                    miss = miss[:, keep]
-                res = linreg_stats_call(packed, miss, Q, Y_r, yty_r, dof)
-                return _pack_results(res, packed.shape[0])
+                    miss = miss[:, grp0['idx']]
+                res = linreg_stats_call(packed, miss, grp0['Q'], grp0['Ys'],
+                                        grp0['Qty'], grp0['yyp'], grp0['d'])
+                return _pack_group(res, packed.shape[0], grp0)
         if use_i8:
             from ..ops.linreg_i8 import linreg_stats_i8
             G8 = _eval_entry_i8(mt, xe, mb, i)
-            res = linreg_stats_i8(G8[:, keep], Q, Y_r, yty_r, dof)
-            R = G8.shape[0]
-        else:
-            G, M = _eval_entry_f64(mt, xe, mb, i)
-            Gk = G[:, keep]
-            Mk = M[:, keep]
-            if w_sqrt is not None:
-                Gk = Gk * w_sqrt[keep][None, :]
-            res = linreg_stats(Gk, Mk, Q, Y_r, yty_r, dof, _precision)
-            R = G.shape[0]
-        return _pack_results(res, R)
+            res = linreg_stats_i8(G8[:, grp0['idx']], grp0['Q'], grp0['Ys'],
+                                  grp0['Qty'], grp0['yyp'], grp0['d'])
+            return _pack_group(res, G8.shape[0], grp0)
+        G, M = _eval_entry_f64(mt, xe, mb, i)
+        R = G.shape[0]
+        if not is_chained:
+            return _pack_group(_group_result(G, M, grp0), R, grp0)
+        # chained: nested-array output (reference build_row, statgen.py:685)
+        per_group = [_group_result(G, M, grp) for grp in groups]
+        ncol = C.from_pylist(ht.tarray(ht.tint32),
+                             [[grp['n'] for grp in groups]] * R)
+        sx = np.stack([res['sum_x'] for res in per_group], axis=1)
+        out = {'n': ncol,
+               'sum_x': DenseArrayColumn(arr_f, sx.astype(np.float64),
+                                         np.full(R, len(groups), np.int32),
+                                         None, None)}
+        for f in ('y_transpose_x', 'beta', 'standard_error', 't_stat', 'p_value'):
+            vals = np.empty(R, dtype=object)
+            per_g = [res[f] for res in per_group]
+            for r in range(R):
+                vals[r] = [[float(a[r, j]) for j in range(a.shape[1])]
+                           for a in per_g]
+            out[f] = ObjectColumn(ht.tarray(arr_f), vals)
+        return out
 
     from ..ir.nodes import required_fields
     req = required_fields([xe._ir])
     return _result_table_from_rows(
-        mt, per_part, out_fields, pass_through,
+        mt, per_part, out_fields, row_fields,
         entry_req=None if req is None else req['g'],
         row_req=None if req is None else req['va'])
-
-
-def _nest_linreg_groups(tables: List[Table]) -> Table:
-    """Merge per-weight-group linreg tables into nested-array fields
-    (reference chained _linear_regression_rows_nd output shape)."""
-    arr_f = ht.tarray(ht.tfloat64)
-    nested = ht.tarray(arr_f)
-    per_group = [t.collect() for t in tables]
-    key_fields = tables[0]._stage.key
-    rt = tables[0]._stage.row_type
-    rows = []
-    for rec in zip(*per_group):
-        base = {f: rec[0][f] for f in key_fields}
-        base['n'] = [r.n for r in rec]
-        base['sum_x'] = [r.sum_x for r in rec]
-        for f in ('y_transpose_x', 'beta', 'standard_error', 't_stat', 'p_value'):
-            base[f] = [list(r[f]) if r[f] is not None else None for r in rec]
-        rows.append(Struct(**base))
-    t_row = ht.tstruct(**{f: rt[f] for f in key_fields},
-                       n=ht.tarray(ht.tint32), sum_x=ht.tarray(ht.tfloat64),
-                       y_transpose_x=nested, beta=nested,
-                       standard_error=nested, t_stat=nested, p_value=nested)
-    return Table(TableStage.from_batches(Batch({}, 1), key_fields, t_row,
-                                         [Batch.from_pylist(t_row, rows)]))
 
 
 # ---------------------------------------------------------------------------
@@ -350,189 +479,299 @@ def _nest_linreg_groups(tables: List[Table]) -> Table:
 
 _LOGREG_TESTS = ('wald', 'lrt', 'score', 'firth')
 
+# reference numerical_regression_fit_dtype (statgen.py): the full fit struct
+_ND1 = ht.tndarray(ht.tfloat64, 1)
+_ND2 = ht.tndarray(ht.tfloat64, 2)
+_FIT_FULL_T = ht.tstruct(b=_ND1, score=_ND1, fisher=_ND2, mu=_ND1,
+                         n_iterations=ht.tint32, log_lkhd=ht.tfloat64,
+                         converged=ht.tbool, exploded=ht.tbool)
+_FIRTH_FIT_T = ht.tstruct(b=_ND1, mu=_ND1, n_iterations=ht.tint32,
+                          log_lkhd=ht.tfloat64, converged=ht.tbool,
+                          exploded=ht.tbool)
+_FIT_VIEW_T = ht.tstruct(n_iterations=ht.tint32, converged=ht.tbool,
+                         exploded=ht.tbool)
+
+
+def _fit_full_struct(fit: Optional[dict], keys=('b', 'score', 'fisher', 'mu')) -> Optional[Struct]:
+    if fit is None:
+        return None
+    d = {kk: fit.get(kk) for kk in keys}
+    d.update(n_iterations=int(fit['n_iterations']),
+             log_lkhd=float(fit['log_lkhd']), converged=bool(fit['converged']),
+             exploded=bool(fit['exploded']))
+    return Struct(**d)
+
+
+def _fit_view_struct(view: Optional[dict]) -> Optional[Struct]:
+    return None if view is None else Struct(**view)
+
+
+def _glm_column_setup(mt, ys, covariates):
+    """Shared column-plane prep: complete-case filter over all y + covariates
+    (reference `mt.filter_cols(hl.array(y + covariates).all(hl.is_defined))`).
+    Returns (keep_idx, covmat, yvecs)."""
+    yv_all = [_eval_col_f64(mt, e) for e in ys]
+    Cov, cov_miss = _covariate_matrix(mt, covariates)
+    keep = ~cov_miss
+    for _, m in yv_all:
+        keep &= ~m
+    idx = np.flatnonzero(keep)
+    covmat = Cov[idx]
+    yvecs = [v[idx] for v, _ in yv_all]
+    return idx, covmat, yvecs
+
+
+def _glm_xvecs(mt, xe, mb, i, idx):
+    """Per-partition x over kept samples, mean-imputed (reference
+    `transmute(x=hl.nd.array(mean_impute(...)))`)."""
+    G, M = _eval_entry_f64(mt, xe, mb, i)
+    Gk = G[:, idx]
+    Mk = M[:, idx]
+    with np.errstate(invalid='ignore', divide='ignore'):
+        cnt = (~Mk).sum(axis=1)
+        mean = np.where(Mk, 0.0, Gk).sum(axis=1) / cnt
+    return np.where(Mk, mean[:, None], Gk)
+
 
 def logistic_regression_rows(test: str, y, x, covariates, pass_through=(),
-                             max_iterations: int = 25, tolerance: float = 1e-6) -> Table:
-    """Per-variant logistic GWAS, tests wald/lrt/score/firth (reference
-    `statgen.py:731` + `is/hail/methods/LogisticRegression.scala`), batched
-    Newton iterations on the device."""
+                             max_iterations: Optional[int] = None,
+                             tolerance: Optional[float] = None) -> Table:
+    """Per-variant logistic GWAS, tests wald/lrt/score/firth — a faithful
+    port of the reference `_logistic_regression_rows_nd` (statgen.py:1310)
+    via stats/glmfit.py, preserving its Newton/Firth iteration semantics
+    (incl. exact n_iterations / exploded behavior)."""
+    from ..stats import glmfit
+    from ..utils.misc import FatalError
     if test not in _LOGREG_TESTS:
         raise ValueError(f'test must be one of {_LOGREG_TESTS}')
-    import jax.numpy as jnp
-    import scipy.stats as sstats
-    from ..ops.regression import (firth_fit, glm_per_variant_fit,
-                                  glm_score_test, logreg_null_fit)
+    if max_iterations is None:
+        max_iterations = 25 if test != 'firth' else 100
+    if tolerance is None:
+        tolerance = 1e-8
+    assert tolerance > 0.0
+    if len(covariates) == 0:
+        raise ValueError('logistic regression requires at least one covariate expression')
 
     xe = to_expr(x)
     mt = xe._indices.source
-    yv, ym = _eval_col_f64(mt, to_expr(y))
-    Cov, cov_miss = _covariate_matrix(mt, covariates)
-    keep = ~(ym | cov_miss)
-    yk = yv[keep]
-    Ck = Cov[keep]
-    if not np.all((yk == 0) | (yk == 1)):
-        raise ValueError('y must be boolean or 0/1 for logistic regression')
+    if mt is None or not isinstance(mt, MatrixTable):
+        raise ValueError('x must be an entry expression')
+    _raise_unless_entry_indexed('logistic_regresion_rows/x', xe)
 
-    beta_null, mu_null, null_conv, ll_null, null_it = logreg_null_fit(
-        jnp.asarray(Ck), jnp.asarray(yk), max_iterations, tolerance)
-    beta_null = np.asarray(beta_null)
-    ll_null_v = float(ll_null)
-    k = Ck.shape[1]
+    y_is_list = isinstance(y, (list, tuple))
+    if y_is_list and len(y) == 0:
+        raise ValueError("'logistic_regression_rows': found no values for 'y'")
+    ys = [to_expr(e) for e in (y if y_is_list else [y])]
+    for e in ys:
+        _raise_unless_column_indexed('logistic_regression_rows/y', e)
+    row_fields = _get_regression_row_fields(mt, pass_through,
+                                            'logistic_regression_rows')
 
+    idx, covmat, yvecs = _glm_column_setup(mt, ys, covariates)
 
-    fit_t = ht.tstruct(n_iterations=ht.tint32, converged=ht.tbool, exploded=ht.tbool)
+    # null fits (one per phenotype); non-convergence is a query error
+    # (reference fit_null .or_error, statgen.py:1582)
+    null_fits = []
+    for yvec in yvecs:
+        nf = glmfit.logreg_fit(covmat, yvec, None, max_iterations, tolerance)
+        if nf['exploded']:
+            raise FatalError(
+                "Failed to fit logistic regression null model (standard MLE "
+                f"with covariates only): exploded at Newton iteration {nf['n_iterations']}")
+        if not nf['converged']:
+            raise FatalError(
+                "Failed to fit logistic regression null model (standard MLE "
+                "with covariates only): Newton iteration failed to converge")
+        null_fits.append(nf)
+
     if test == 'wald':
-        out_fields = [('beta', ht.tfloat64), ('standard_error', ht.tfloat64),
-                      ('z_stat', ht.tfloat64), ('p_value', ht.tfloat64), ('fit', fit_t)]
+        res_t = ht.tstruct(beta=ht.tfloat64, standard_error=ht.tfloat64,
+                           z_stat=ht.tfloat64, p_value=ht.tfloat64,
+                           fit=_FIT_VIEW_T)
     elif test == 'lrt':
-        out_fields = [('beta', ht.tfloat64), ('chi_sq_stat', ht.tfloat64),
-                      ('p_value', ht.tfloat64), ('fit', fit_t)]
+        res_t = ht.tstruct(beta=ht.tfloat64, chi_sq_stat=ht.tfloat64,
+                           p_value=ht.tfloat64, fit=_FIT_VIEW_T)
     elif test == 'score':
-        out_fields = [('chi_sq_stat', ht.tfloat64), ('p_value', ht.tfloat64)]
+        res_t = ht.tstruct(chi_sq_stat=ht.tfloat64, p_value=ht.tfloat64)
     else:
-        out_fields = [('beta', ht.tfloat64), ('chi_sq_stat', ht.tfloat64),
-                      ('p_value', ht.tfloat64), ('fit', fit_t)]
+        res_t = ht.tstruct(beta=ht.tfloat64, chi_sq_stat=ht.tfloat64,
+                           p_value=ht.tfloat64, firth_null_fit=_FIRTH_FIT_T,
+                           fit=_FIRTH_FIT_T)
 
-    def fit_struct(R, its, conv):
-        return StructColumn(fit_t, {
-            'n_iterations': PrimitiveColumn(ht.tint32, np.full(R, its, np.int32)),
-            'converged': PrimitiveColumn(ht.tbool, conv),
-            'exploded': PrimitiveColumn(ht.tbool, np.zeros(R, bool)),
-        }, None, (R,))
+    def run_test(X, yvec, null_fit):
+        if test == 'score':
+            return glmfit.logistic_score_test(X, yvec, null_fit)
+        if test == 'firth':
+            r = glmfit.firth_test(null_fit, X, yvec, max_iterations, tolerance)
+            return dict(beta=r['beta'], chi_sq_stat=r['chi_sq_stat'],
+                        p_value=r['p_value'],
+                        firth_null_fit=_firth_struct(r['firth_null_fit']),
+                        fit=_firth_struct(r['fit']))
+        fit = glmfit.logreg_fit(X, yvec, null_fit, max_iterations, tolerance)
+        if test == 'wald':
+            r = glmfit.wald_test(X, fit)
+        else:
+            r = glmfit.lrt_test(X, null_fit, fit)
+        r['fit'] = _fit_view_struct(r['fit'])
+        return r
+
+    def _firth_struct(f):
+        # glmfit.firth_test returns trimmed views; rebuild the reference
+        # firth fit struct (b/mu omitted when not converged)
+        if f is None:
+            return None
+        return Struct(b=f.get('b'), mu=f.get('mu'),
+                      n_iterations=f['n_iterations'],
+                      log_lkhd=f.get('log_lkhd'), converged=f['converged'],
+                      exploded=f['exploded'])
 
     def per_part(mb, i):
-        G, M = _eval_entry_f64(mt, xe, mb, i)
-        Gk = jnp.asarray(G[:, keep])
-        Mk = jnp.asarray(M[:, keep])
-        R = G.shape[0]
-        if test == 'score':
-            chi2, cnt = glm_score_test(Gk, Mk, jnp.asarray(Ck), jnp.asarray(yk),
-                                       jnp.asarray(beta_null))
-            chi2 = np.asarray(chi2)
-            p = sstats.chi2.sf(chi2, 1)
-            return {'chi_sq_stat': PrimitiveColumn(ht.tfloat64, chi2),
-                    'p_value': PrimitiveColumn(ht.tfloat64, p)}
-        if test == 'firth':
-            b_start = jnp.concatenate([jnp.broadcast_to(jnp.asarray(beta_null), (R, k)),
-                                       jnp.zeros((R, 1))], axis=1)
-            # restricted per-variant null (genotype frozen at 0, full-design
-            # penalty), then the full fit warm-started from it
-            b_null, ll_null_pen, conv0, _, _ = firth_fit(
-                Gk, Mk, jnp.asarray(Ck), jnp.asarray(yk), b_start, k,
-                max_iterations * 4, tolerance)
-            b, ll_pen, conv1, its, cnt = firth_fit(
-                Gk, Mk, jnp.asarray(Ck), jnp.asarray(yk), b_null, k + 1,
-                max_iterations * 4, tolerance)
-            b = np.asarray(b)
-            chi2 = 2 * (np.asarray(ll_pen) - np.asarray(ll_null_pen))
-            p = sstats.chi2.sf(np.maximum(chi2, 0), 1)
-            conv = np.asarray(conv0) & np.asarray(conv1)
-            return {'beta': PrimitiveColumn(ht.tfloat64, b[:, k], ~conv if (~conv).any() else None),
-                    'chi_sq_stat': PrimitiveColumn(ht.tfloat64, chi2),
-                    'p_value': PrimitiveColumn(ht.tfloat64, p),
-                    'fit': fit_struct(R, int(its), conv)}
-        b, se_g, ll, conv, its, cnt = glm_per_variant_fit(
-            Gk, Mk, jnp.asarray(Ck), jnp.asarray(yk), jnp.asarray(beta_null),
-            max_iterations, tolerance, 'logistic')
-        b = np.asarray(b)
-        se_g = np.asarray(se_g)
-        conv = np.asarray(conv)
-        nm = ~conv
-        mm = nm if nm.any() else None
-        if test == 'wald':
-            z = b[:, k] / se_g
-            p = 2 * sstats.norm.sf(np.abs(z))
-            return {'beta': PrimitiveColumn(ht.tfloat64, b[:, k], mm),
-                    'standard_error': PrimitiveColumn(ht.tfloat64, se_g, mm),
-                    'z_stat': PrimitiveColumn(ht.tfloat64, z, mm),
-                    'p_value': PrimitiveColumn(ht.tfloat64, p, mm),
-                    'fit': fit_struct(R, int(its), conv)}
-        chi2 = 2 * (np.asarray(ll) - ll_null_v)
-        p = sstats.chi2.sf(np.maximum(chi2, 0), 1)
-        return {'beta': PrimitiveColumn(ht.tfloat64, b[:, k], mm),
-                'chi_sq_stat': PrimitiveColumn(ht.tfloat64, chi2, mm),
-                'p_value': PrimitiveColumn(ht.tfloat64, p, mm),
-                'fit': fit_struct(R, int(its), conv)}
+        Xv = _glm_xvecs(mt, xe, mb, i, idx)            # (R, n) imputed
+        R = Xv.shape[0]
+        rows = []
+        for r in range(R):
+            Xr = np.hstack([covmat, Xv[r][:, None]])
+            results = [Struct(**run_test(Xr, yvec, nf))
+                       for yvec, nf in zip(yvecs, null_fits)]
+            rows.append(results)
+        if y_is_list:
+            vals = np.empty(R, dtype=object)
+            for r in range(R):
+                vals[r] = rows[r]
+            return {'logistic_regression': ObjectColumn(ht.tarray(res_t), vals)}
+        out = {}
+        for fname, ftype in res_t.fields.items():
+            out[fname] = C.from_pylist(ftype, [rows[r][0][fname] for r in range(R)])
+        return out
 
-    return _result_table_from_rows(mt, per_part, out_fields, pass_through)
+    if y_is_list:
+        out_fields = [('logistic_regression', ht.tarray(res_t))]
+        g_t = ht.tstruct(null_fits=ht.tarray(_FIT_FULL_T))
+        g_batch = Batch.from_pylist(g_t, [Struct(
+            null_fits=[_fit_full_struct(nf) for nf in null_fits])])
+    else:
+        out_fields = list(res_t.fields.items())
+        g_batch = Batch.from_pylist(_FIT_FULL_T,
+                                    [_fit_full_struct(null_fits[0])])
+
+    # reference scalar-y ordering: key, pass_through, then test fields
+    # (ht.select(...) then transmute appends the flat fields last)
+    from ..ir.nodes import required_fields
+    req = required_fields([xe._ir])
+    t = _result_table_from_rows(
+        mt, per_part, out_fields, row_fields,
+        entry_req=None if req is None else req['g'],
+        row_req=None if req is None else req['va'],
+        globals_batch=g_batch)
+    return t
+
+
+def _glm_firth_view(f):
+    return f
 
 
 def poisson_regression_rows(test: str, y, x, covariates, pass_through=(),
-                            max_iterations: int = 25, tolerance: float = 1e-6) -> Table:
-    """Per-variant Poisson regression (reference statgen
-    poisson_regression_rows)."""
+                            max_iterations: int = 25,
+                            tolerance: Optional[float] = None) -> Table:
+    """Per-variant Poisson regression — faithful port of the reference
+    `_lowered_poisson_regression_rows` (statgen.py:1747), including its
+    initial-mu quirk on the wald/lrt paths."""
+    from ..stats import glmfit
+    from ..utils.misc import FatalError
     if test not in ('wald', 'lrt', 'score'):
         raise ValueError('poisson test must be wald/lrt/score')
-    import jax.numpy as jnp
-    import scipy.stats as sstats
-    from ..ops.regression import glm_per_variant_fit, glm_score_test
+    assert max_iterations > 0
+    if tolerance is None:
+        tolerance = 1e-8
+    assert tolerance > 0.0
+    k = len(covariates)
+    if k == 0:
+        raise ValueError('_lowered_poisson_regression_rows: at least one covariate is required.')
+    _warn_if_no_intercept('_lowered_poisson_regression_rows', covariates)
 
     xe = to_expr(x)
     mt = xe._indices.source
-    yv, ym = _eval_col_f64(mt, to_expr(y))
-    Cov, cov_miss = _covariate_matrix(mt, covariates)
-    keep = ~(ym | cov_miss)
-    yk = yv[keep]
-    Ck = Cov[keep]
-    # null fit: Newton for poisson
-    k = Ck.shape[1]
-    beta = np.zeros(k)
-    beta[0] = math.log(max(yk.mean(), 1e-12))
-    for _ in range(50):
-        mu = np.exp(Ck @ beta)
-        grad = Ck.T @ (yk - mu)
-        H = (Ck * mu[:, None]).T @ Ck
-        delta = np.linalg.solve(H + 1e-12 * np.eye(k), grad)
-        beta += delta
-        if np.max(np.abs(delta)) < tolerance:
-            break
-    mu0 = np.exp(Ck @ beta)
-    ll_null = float(np.sum(yk * np.log(mu0 + 1e-300) - mu0))
+    if mt is None or not isinstance(mt, MatrixTable):
+        raise ValueError('x must be an entry expression')
+    _raise_unless_entry_indexed('_lowered_poisson_regression_rows/x', xe)
+    ye = to_expr(y)
+    row_fields = _get_regression_row_fields(mt, pass_through,
+                                            '_lowered_poisson_regression_rows')
 
-    fit_t = ht.tstruct(n_iterations=ht.tint32, converged=ht.tbool, exploded=ht.tbool)
-    out_fields = {'wald': [('beta', ht.tfloat64), ('standard_error', ht.tfloat64),
-                           ('z_stat', ht.tfloat64), ('p_value', ht.tfloat64), ('fit', fit_t)],
-                  'lrt': [('beta', ht.tfloat64), ('chi_sq_stat', ht.tfloat64),
-                          ('p_value', ht.tfloat64), ('fit', fit_t)],
-                  'score': [('chi_sq_stat', ht.tfloat64), ('p_value', ht.tfloat64)]}[test]
+    idx, covmat, (yvec,) = _glm_column_setup(mt, [ye], covariates)
+    n = int(idx.size)
+    if n - k - 1 < 1:
+        raise FatalError(
+            f"_lowered_poisson_regression_rows: insufficient degrees of freedom: n={n}, k={k}")
+
+    logmean = float(np.log(yvec.sum() / n))
+    b0 = np.concatenate([[logmean], np.zeros(k - 1)])
+    mu0 = np.exp(covmat @ b0)
+    score0 = covmat.T @ (yvec - mu0)
+    fisher0 = (mu0 * covmat.T) @ covmat
+    null_fit = glmfit.poisson_fit(covmat, yvec, b0, mu0, score0, fisher0,
+                                  max_iterations, tolerance)
+    if not null_fit['converged']:
+        raise FatalError(
+            '_lowered_poisson_regression_rows: null model did not converge: '
+            f"{dict(n_iterations=null_fit['n_iterations'], log_lkhd=null_fit['log_lkhd'], converged=False, exploded=null_fit['exploded'])}")
+
+    if test == 'score':
+        out_fields = [('chi_sq_stat', ht.tfloat64), ('p_value', ht.tfloat64)]
+    elif test == 'wald':
+        out_fields = [('test_fit', _FIT_FULL_T), ('beta', ht.tfloat64),
+                      ('standard_error', ht.tfloat64), ('z_stat', ht.tfloat64),
+                      ('p_value', ht.tfloat64), ('fit', _FIT_VIEW_T)]
+    else:
+        out_fields = [('test_fit', _FIT_FULL_T), ('beta', ht.tfloat64),
+                      ('chi_sq_stat', ht.tfloat64), ('p_value', ht.tfloat64),
+                      ('fit', _FIT_VIEW_T)]
+
+    def _sigmoid(v):
+        with np.errstate(over='ignore'):
+            return 1.0 / (1.0 + np.exp(-v))
+
+    def per_row(xvec):
+        if test == 'score':
+            return glmfit.poisson_score_test(null_fit, covmat, yvec, xvec)
+        X = np.hstack([covmat, xvec[:, None]])
+        b = np.concatenate([null_fit['b'], [0.0]])
+        # faithful reference quirk (statgen.py:1833): the wald/lrt prelude
+        # evaluates the initial mu with sigmoid, not exp
+        mu = _sigmoid(X @ b)
+        residual = yvec - mu
+        score = np.concatenate([null_fit['score'], [xvec @ residual]])
+        f01 = ((covmat.T * mu) @ xvec).reshape(-1, 1)
+        f11 = np.array([[(mu * xvec) @ xvec]])
+        fisher = np.block([[null_fit['fisher'], f01], [f01.T, f11]])
+        test_fit = glmfit.poisson_fit(X, yvec, b, mu, score, fisher,
+                                      max_iterations, tolerance)
+        if test == 'lrt':
+            r = glmfit.lrt_test(X, null_fit, test_fit)
+        else:
+            r = glmfit.wald_test(X, test_fit)
+        r['fit'] = _fit_view_struct(r['fit'])
+        r['test_fit'] = _fit_full_struct(test_fit)
+        return r
 
     def per_part(mb, i):
-        G, M = _eval_entry_f64(mt, xe, mb, i)
-        Gk = jnp.asarray(G[:, keep])
-        Mk = jnp.asarray(M[:, keep])
-        R = G.shape[0]
-        if test == 'score':
-            chi2, cnt = glm_score_test(Gk, Mk, jnp.asarray(Ck), jnp.asarray(yk),
-                                       jnp.asarray(beta), 'poisson')
-            chi2 = np.asarray(chi2)
-            return {'chi_sq_stat': PrimitiveColumn(ht.tfloat64, chi2),
-                    'p_value': PrimitiveColumn(ht.tfloat64, sstats.chi2.sf(chi2, 1))}
-        b, se_g, ll, conv, its, cnt = glm_per_variant_fit(
-            Gk, Mk, jnp.asarray(Ck), jnp.asarray(yk), jnp.asarray(beta),
-            max_iterations, tolerance, 'poisson')
-        b = np.asarray(b)
-        se_g = np.asarray(se_g)
-        conv = np.asarray(conv)
-        mm = (~conv) if (~conv).any() else None
-        fit = StructColumn(fit_t, {
-            'n_iterations': PrimitiveColumn(ht.tint32, np.full(R, int(its), np.int32)),
-            'converged': PrimitiveColumn(ht.tbool, conv),
-            'exploded': PrimitiveColumn(ht.tbool, np.zeros(R, bool)),
-        }, None, (R,))
-        if test == 'wald':
-            z = b[:, k] / se_g
-            return {'beta': PrimitiveColumn(ht.tfloat64, b[:, k], mm),
-                    'standard_error': PrimitiveColumn(ht.tfloat64, se_g, mm),
-                    'z_stat': PrimitiveColumn(ht.tfloat64, z, mm),
-                    'p_value': PrimitiveColumn(ht.tfloat64, 2 * sstats.norm.sf(np.abs(z)), mm),
-                    'fit': fit}
-        chi2 = 2 * (np.asarray(ll) - ll_null)
-        return {'beta': PrimitiveColumn(ht.tfloat64, b[:, k], mm),
-                'chi_sq_stat': PrimitiveColumn(ht.tfloat64, chi2, mm),
-                'p_value': PrimitiveColumn(ht.tfloat64, sstats.chi2.sf(np.maximum(chi2, 0), 1), mm),
-                'fit': fit}
+        Xv = _glm_xvecs(mt, xe, mb, i, idx)
+        R = Xv.shape[0]
+        rows = [per_row(Xv[r]) for r in range(R)]
+        out = {}
+        for fname, ftype in out_fields:
+            out[fname] = C.from_pylist(ftype, [rows[r][fname] for r in range(R)])
+        return out
 
-    return _result_table_from_rows(mt, per_part, out_fields, pass_through)
+    g_batch = Batch.from_pylist(ht.tstruct(null_fit=_FIT_FULL_T),
+                                [Struct(null_fit=_fit_full_struct(null_fit))])
+    from ..ir.nodes import required_fields
+    req = required_fields([xe._ir])
+    return _result_table_from_rows(
+        mt, per_part, out_fields, row_fields,
+        entry_req=None if req is None else req['g'],
+        row_req=None if req is None else req['va'],
+        globals_batch=g_batch)
 
 
 # ---------------------------------------------------------------------------
@@ -1108,8 +1347,12 @@ def realized_relationship_matrix(call_expr) -> 'BlockMatrix':
     n = G.shape[1]
     W = np.where(ok[:, None], centered / np.sqrt(np.where(ok, ss, 1))[:, None], 0.0) * math.sqrt(n)
     m = int(ok.sum())
+    if m == 0:
+        from ..utils.misc import FatalError
+        raise FatalError(
+            'Cannot run RRM: found 0 variants after filtering out constant rows')
     bm = BlockMatrix.from_numpy(W)
-    return (bm.T @ bm) * (1.0 / max(m, 1))
+    return (bm.T @ bm) * (1.0 / m)
 
 
 def row_correlation(entry_expr, block_size: Optional[int] = None) -> 'BlockMatrix':
@@ -1146,53 +1389,142 @@ def ld_matrix(entry_expr, locus_expr, radius: Union[int, float],
 def ld_prune(call_expr, r2: float = 0.2, bp_window_size: int = 1000000,
              memory_per_core: int = 256, keep_higher_maf: bool = True,
              block_size: Optional[int] = None) -> Table:
-    """Greedy LD pruning (reference `statgen.py:4708` ld_prune +
-    `LocalLDPrune`): returns the kept variants as a Table."""
+    """LD pruning with the reference's 3-stage semantics (`statgen.py:4708`):
+    (1) per-partition greedy local prune, (2) windowed r² matrix over the
+    survivors, (3) maximal-independent-set removal with a keep-higher-MAF
+    tie-breaker. Returns the kept variants' row keys as a keyed Table."""
+    if block_size is not None and block_size <= 0:
+        raise ValueError(f'block_size must be positive, found {block_size}')
+    if memory_per_core <= 0:
+        raise ValueError(f'memory_per_core must be positive, found {memory_per_core}')
+    if bp_window_size < 0:
+        raise ValueError(f'bp_window_size must be non-negative, found {bp_window_size}')
+    if not 0.0 <= r2 <= 1:
+        raise ValueError(f'r2 must be in the range [0.0, 1.0], found {r2}')
+
     e = to_expr(call_expr)
     mt = e._indices.source
+    if mt is None or not isinstance(mt, MatrixTable):
+        raise ValueError('ld_prune: call_expr must be an entry expression')
+    _raise_unless_entry_indexed('ld_prune/call_expr', e)
     ne = e.n_alt_alleles() if e.dtype == ht.tcall else e
-    G, M = _entry_expr_to_blocks(ne)
+
+    # gather standardized rows + locus coordinates + partition ids
+    st = mt._stage
+    Gs, Ms, cidxs, poss, pids = [], [], [], [], []
+    for i, ctx in enumerate(st.contexts):
+        mb = st.partition_fn(ctx)
+        G, M = _eval_entry_f64(mt, ne, mb, i)
+        Gs.append(G)
+        Ms.append(M)
+        lc = mb.rows.columns['locus']
+        cidxs.append(np.asarray(lc.contig_idx))
+        poss.append(np.asarray(lc.position))
+        pids.append(np.full(G.shape[0], i, np.int32))
+    G = np.concatenate(Gs, axis=0)
+    M = np.concatenate(Ms, axis=0)
+    cidx = np.concatenate(cidxs)
+    pos = np.concatenate(poss).astype(np.int64)
+    pid = np.concatenate(pids)
+    m = G.shape[0]
+
     cnt = (~M).sum(axis=1)
     s = np.where(M, 0, G).sum(axis=1)
     mean = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
-    G = np.where(M, mean[:, None], G)
-    centered = G - mean[:, None]
+    Gi = np.where(M, mean[:, None], G)
+    centered = Gi - mean[:, None]
     ss = np.sqrt((centered * centered).sum(axis=1))
     ok = ss > 0
     Z = np.where(ok[:, None], centered / np.where(ok, ss, 1)[:, None], 0.0)
 
-    rows_t = mt.rows().select()
-    locus_col = []
-    for i, ctx in enumerate(mt._stage.contexts):
-        mb = mt._stage.partition_fn(ctx)
-        lc = mb.rows.columns['locus']
-        locus_col.append(np.asarray(lc.global_position()))
-    gp = np.concatenate(locus_col)
-
-    m = Z.shape[0]
-    keep = np.ones(m, dtype=bool)
-    kept_idx: List[int] = []
-    start = 0
-    for i in range(m):
-        if not ok[i]:
-            keep[i] = False
-            continue
-        # drop kept variants that left the window
-        while kept_idx and gp[kept_idx[0]] < gp[i] - bp_window_size:
-            kept_idx.pop(0)
-        if kept_idx:
-            corr = Z[kept_idx] @ Z[i]
-            if np.any(corr * corr > r2):
-                keep[i] = False
-                continue
-        kept_idx.append(i)
+    # distinct_by_row: duplicate row keys keep the first occurrence
+    first_seen = np.ones(m, dtype=bool)
+    seen = set()
     rows_table = mt.rows()
-    batch = rows_table._stage.collect_single().compress(keep)
-    key = rows_table._stage.key
-    kept = Batch({k: batch.columns[k] for k in key}, batch.length)
-    return Table(TableStage.from_batches(Batch({}, 1), key,
-                                         ht.tstruct(**{k: kept.columns[k].typ for k in key}),
-                                         [kept]))
+    batch = rows_table._stage.collect_single()
+    key_names = rows_table._stage.key
+    key_pylists = {k: batch.columns[k].to_pylist() for k in key_names}
+    for i in range(m):
+        kk = tuple(_freeze(key_pylists[k][i]) for k in key_names)
+        if kk in seen:
+            first_seen[i] = False
+        else:
+            seen.add(kk)
+
+    # stage 1: per-partition greedy local prune (reference LocalLDPrune)
+    survive = np.zeros(m, dtype=bool)
+    for p in set(pid.tolist()):
+        part_idx = np.flatnonzero((pid == p) & ok & first_seen)
+        kept_local: List[int] = []
+        for i in part_idx:
+            while kept_local and (
+                    cidx[kept_local[0]] != cidx[i]
+                    or pos[kept_local[0]] < pos[i] - bp_window_size):
+                kept_local.pop(0)
+            if kept_local:
+                corr = Z[kept_local] @ Z[i]
+                if np.any(corr * corr >= r2):
+                    continue
+            kept_local.append(int(i))
+            survive[i] = True
+
+    # stage 2: windowed r² among survivors → edge list (i < j, same contig,
+    # within window, r² >= threshold)
+    sv = np.flatnonzero(survive)
+    edges = []
+    for a in range(sv.size):
+        i = sv[a]
+        for b in range(a + 1, sv.size):
+            j = sv[b]
+            if cidx[j] != cidx[i] or pos[j] - pos[i] > bp_window_size:
+                if cidx[j] != cidx[i] or pos[j] > pos[i]:
+                    break
+                continue
+            rr = float(Z[i] @ Z[j]) ** 2
+            if rr >= r2:
+                edges.append((int(i), int(j)))
+
+    # stage 3: maximal independent set, removing max-degree nodes; ties keep
+    # the higher-MAF variant (reference tie_breaker sign(right-left twice_maf))
+    twice_maf = np.minimum(mean, 2.0 - mean)
+    from collections import defaultdict
+    adj = defaultdict(set)
+    for i, j in edges:
+        adj[i].add(j)
+        adj[j].add(i)
+    removed = set()
+    while True:
+        best = None
+        best_deg = 0
+        for node, nbrs in adj.items():
+            if node in removed:
+                continue
+            deg = len(nbrs - removed)
+            if deg == 0:
+                continue
+            if (best is None or deg > best_deg
+                    or (deg == best_deg and keep_higher_maf
+                        and twice_maf[node] < twice_maf[best])):
+                best, best_deg = node, deg
+        if best is None:
+            break
+        removed.add(best)
+
+    final_keep = survive.copy()
+    for i in removed:
+        final_keep[i] = False
+
+    kept = Batch({k: batch.columns[k].compress(final_keep) for k in key_names},
+                 int(final_keep.sum()))
+    return Table(TableStage.from_batches(
+        Batch({}, 1), key_names,
+        ht.tstruct(**{k: kept.columns[k].typ for k in key_names}), [kept]))
+
+
+def _freeze(v):
+    if isinstance(v, list):
+        return tuple(_freeze(x) for x in v)
+    return v
 
 
 def simulate_random_mating(mt: MatrixTable, n_rounds: int = 1,

@@ -130,19 +130,18 @@ def _sums_ref(G8, W):
 
 
 @partial(jax.jit, static_argnames=('k', 'use_pallas', 'interpret'))
-def linreg_block_i8(G8: jnp.ndarray, W: jnp.ndarray, yty_r: jnp.ndarray,
-                    d: jnp.ndarray, k: int, use_pallas: bool = True,
-                    interpret: bool = False):
+def linreg_block_i8(G8: jnp.ndarray, W: jnp.ndarray, Qty: jnp.ndarray,
+                    yyp: jnp.ndarray, d: jnp.ndarray, k: int,
+                    use_pallas: bool = True, interpret: bool = False):
     """int8-storage f32-compute per-variant OLS.
 
-    G8: (R, N) int8, -1 = missing. W: (N, k+P) f32 = [Q | y_r] with Q the
-    orthonormal covariate basis and y_r the residualized phenotypes.
-    Returns (cnt, sum_x, Gy, beta, se, t, gg) matching linreg_block's layout
-    (f32 precision; betas agree with the f64 path to ~1e-6 relative).
+    G8: (R, N) int8, -1 = missing. W: (N, k+P) f32 = [Q | Ys] with Q the
+    orthonormal covariate basis and Ys the phenotype matrix; Qty = Qᵀ Ys;
+    yyp the residual y·y. Returns (sum_x, ytx, beta, se, t) per the
+    reference nd formula (f32 precision; betas agree with the f64 path to
+    ~1e-6 relative).
     """
     R, N = G8.shape
-    KP = W.shape[1]
-    P = KP - k
     Rp, Np = _ceil_to(R, TILE_R), _ceil_to(N, TILE_N)
     Gp = jnp.pad(G8, ((0, Rp - R), (0, Np - N)), constant_values=-1)
     Wp = jnp.pad(W.astype(jnp.float32), ((0, Np - N), (0, 0)))
@@ -151,34 +150,37 @@ def linreg_block_i8(G8: jnp.ndarray, W: jnp.ndarray, yty_r: jnp.ndarray,
     else:
         GW, MW, ST = _sums_ref(Gp, Wp)
     GW, MW, ST = GW[:R], MW[:R], ST[:R]
-    return _ols_epilogue(GW, MW, ST, Np - N, N, k, yty_r, d)
+    return _ols_epilogue(GW, MW, ST, Np - N, N, k, Qty, yyp, d)
 
 
-def _ols_epilogue(GW, MW, ST, n_pad_cols, N, k, yty_r, d):
-    """Shared OLS finish: algebraic mean imputation + beta/se/t from the
-    one-pass sums. `n_pad_cols` padded sample columns count as all-missing."""
-    nmiss_pad = ST[:, 0] - n_pad_cols
-    cnt = jnp.float32(N) - nmiss_pad
+def _ols_epilogue(GW, MW, ST, n_pad_cols, N, k, Qty, yyp, d):
+    """Shared OLS finish: algebraic mean imputation + the reference nd block
+    formula (statgen.py:631) from the one-pass sums. `n_pad_cols` padded
+    sample columns count as all-missing. W = [Q | Ys]; degenerate fits
+    propagate NaN (reference semantics, no masking)."""
+    nmiss = ST[:, 0] - n_pad_cols
+    cnt = jnp.float32(N) - nmiss
     s = ST[:, 1]
     ss = ST[:, 2]
-    mean = jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), 0.0)
-    GiW = GW + mean[:, None] * MW                  # imputed G @ [Q | y_r]
+    mean = s / cnt                                 # 0/0 → nan, as reference
+    GiW = GW + mean[:, None] * MW                  # imputed G @ [Q | Ys]
     GQ = GiW[:, :k]
-    Gy = GiW[:, k:]
-    gg = ss + mean * mean * nmiss_pad - jnp.sum(GQ * GQ, axis=1)
-    gg = jnp.maximum(gg, 0.0)
-    beta = Gy / gg[:, None]
-    se2 = (yty_r.astype(jnp.float32)[None, :] / gg[:, None] - beta * beta) \
-        / d.astype(jnp.float32)
-    se = jnp.sqrt(jnp.maximum(se2, 0.0))
+    ytx = GiW[:, k:]
+    sum_x = s + mean * nmiss                       # sum of imputed x
+    xyp = ytx - GQ @ Qty.astype(jnp.float32)
+    xxp = ss + mean * mean * nmiss - jnp.sum(GQ * GQ, axis=1)
+    rec = 1.0 / xxp
+    beta = xyp * rec[:, None]
+    se = jnp.sqrt((1.0 / d.astype(jnp.float32))
+                  * (yyp.astype(jnp.float32)[None, :] * rec[:, None] - beta * beta))
     t = beta / se
-    return cnt, s, Gy, beta, se, t, gg
+    return sum_x, ytx, beta, se, t
 
 
 @partial(jax.jit, static_argnames=('k',))
 def linreg_block_call(packed: jnp.ndarray, missing: jnp.ndarray,
-                      W: jnp.ndarray, yty_r: jnp.ndarray, d: jnp.ndarray,
-                      k: int):
+                      W: jnp.ndarray, Qty: jnp.ndarray, yyp: jnp.ndarray,
+                      d: jnp.ndarray, k: int):
     """OLS directly from PACKED genotype calls: the n_alt_alleles decode
     (3 bit ops) runs ON DEVICE, fused by XLA into the GEMM pipeline — the
     host evaluator does zero per-entry work (the TPU-native answer to the
@@ -199,51 +201,45 @@ def linreg_block_call(packed: jnp.ndarray, missing: jnp.ndarray,
     MW = jnp.dot(mf, Wf, precision=hp)
     ST = jnp.stack([mf.sum(axis=1), gz.sum(axis=1), (gz * gz).sum(axis=1)],
                    axis=1)
-    return _ols_epilogue(GW, MW, ST, 0, packed.shape[1], k, yty_r, d)
+    return _ols_epilogue(GW, MW, ST, 0, packed.shape[1], k, Qty, yyp, d)
+
+
+def _finish_stats(out, dof):
+    import scipy.stats as st
+    sum_x, ytx, beta, se, t = (np.asarray(v, dtype=np.float64) for v in out)
+    with np.errstate(all='ignore'):
+        p = 2 * st.t.sf(np.abs(t), dof) if dof > 0 else np.full_like(t, np.nan)
+    return dict(sum_x=sum_x, y_transpose_x=ytx, beta=beta,
+                standard_error=se, t_stat=t, p_value=p)
 
 
 def linreg_stats_call(packed: np.ndarray, missing, Q: np.ndarray,
-                      y_r: np.ndarray, yty_r: np.ndarray, dof: int):
+                      Ys: np.ndarray, Qty: np.ndarray, yyp: np.ndarray,
+                      dof: int):
     """Host wrapper of the packed-call device-decode path."""
-    import scipy.stats as st
     k = Q.shape[1]
-    W = np.concatenate([Q, y_r], axis=1).astype(np.float32)
+    W = np.concatenate([Q, Ys], axis=1).astype(np.float32)
     if missing is None:
         missing = np.zeros(packed.shape, dtype=bool)
-    cnt, s, ytx, beta, se, t, gg = (np.asarray(v) for v in linreg_block_call(
+    out = linreg_block_call(
         jnp.asarray(np.ascontiguousarray(packed, dtype=np.int32)),
-        jnp.asarray(missing), jnp.asarray(W), jnp.asarray(yty_r),
-        jnp.asarray(float(dof)), k))
-    with np.errstate(all='ignore'):
-        p = 2 * st.t.sf(np.abs(np.asarray(t, np.float64)), dof)
-    bad = (gg <= 0) | (cnt == 0)
-    return dict(n=cnt.astype(np.int32), sum_x=s.astype(np.float64),
-                y_transpose_x=ytx.astype(np.float64),
-                beta=beta.astype(np.float64),
-                standard_error=se.astype(np.float64),
-                t_stat=t.astype(np.float64), p_value=p, bad=bad)
+        jnp.asarray(missing), jnp.asarray(W), jnp.asarray(Qty),
+        jnp.asarray(yyp), jnp.asarray(float(dof)), k)
+    return _finish_stats(out, dof)
 
 
-def linreg_stats_i8(G8: np.ndarray, Q: np.ndarray, y_r: np.ndarray,
-                    yty_r: np.ndarray, dof: int):
+def linreg_stats_i8(G8: np.ndarray, Q: np.ndarray, Ys: np.ndarray,
+                    Qty: np.ndarray, yyp: np.ndarray, dof: int):
     """Host wrapper: int8 fast path with p-values. XLA's fused jnp path
     measured slightly faster than the Pallas kernel on the v5e (5.9M vs
     4.5M variants/s, r2 race) — it is the default; set
     HAIL_TPU_LINREG_PALLAS=1 to use the Pallas kernel."""
     import os
-    import scipy.stats as st
     use_pallas = (jax.devices()[0].platform == 'tpu'
                   and os.environ.get('HAIL_TPU_LINREG_PALLAS') == '1')
     k = Q.shape[1]
-    W = np.concatenate([Q, y_r], axis=1).astype(np.float32)
-    cnt, s, ytx, beta, se, t, gg = (np.asarray(v) for v in linreg_block_i8(
-        jnp.asarray(G8), jnp.asarray(W), jnp.asarray(yty_r),
-        jnp.asarray(float(dof)), k, use_pallas=use_pallas))
-    with np.errstate(all='ignore'):
-        p = 2 * st.t.sf(np.abs(np.asarray(t, np.float64)), dof)
-    bad = (gg <= 0) | (cnt == 0)
-    return dict(n=cnt.astype(np.int32), sum_x=s.astype(np.float64),
-                y_transpose_x=ytx.astype(np.float64),
-                beta=beta.astype(np.float64),
-                standard_error=se.astype(np.float64),
-                t_stat=t.astype(np.float64), p_value=p, bad=bad)
+    W = np.concatenate([Q, Ys], axis=1).astype(np.float32)
+    out = linreg_block_i8(jnp.asarray(G8), jnp.asarray(W), jnp.asarray(Qty),
+                          jnp.asarray(yyp), jnp.asarray(float(dof)), k,
+                          use_pallas=use_pallas)
+    return _finish_stats(out, dof)

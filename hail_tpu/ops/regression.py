@@ -30,63 +30,70 @@ def _impute_mean(G: jnp.ndarray, missing: jnp.ndarray) -> Tuple[jnp.ndarray, jnp
     return Gi, cnt, s
 
 
-@partial(jax.jit, static_argnames=())
-def linreg_block(G: jnp.ndarray, missing: jnp.ndarray, Q: jnp.ndarray,
-                 y_r: jnp.ndarray, yty_r: jnp.ndarray, d: jnp.ndarray):
-    """Per-variant OLS with covariate projection.
+def _impute_mean_nan(G: jnp.ndarray, missing: jnp.ndarray) -> jnp.ndarray:
+    """Reference mean_impute semantics (statgen.py:490): missing entries take
+    the mean of the non-missing entries; an all-missing row imputes NaN."""
+    cnt = jnp.sum(~missing, axis=1).astype(G.dtype)
+    s = jnp.sum(jnp.where(missing, 0.0, G), axis=1)
+    mean = s / cnt                                   # 0/0 → nan, as reference
+    return jnp.where(missing, mean[:, None], G)
 
-    G: (R, N) raw dosages; missing: (R, N) bool; Q: (N, k) orthonormal basis
-    of the covariate column space; y_r: (N, P) residualized phenotypes
-    (y - QQ^T y); yty_r: (P,) residual sums of squares; d: degrees of freedom
-    = n_called_majority... scalar n - k - 1.
-    Returns (n, sum_x, ytx, beta, se, t, G_imputed).
+
+@partial(jax.jit, static_argnames=())
+def linreg_block(G: jnp.ndarray, missing: jnp.ndarray, sqrtw: jnp.ndarray,
+                 Q: jnp.ndarray, Ys: jnp.ndarray, Qty: jnp.ndarray,
+                 yyp: jnp.ndarray, d: jnp.ndarray):
+    """Per-variant OLS, the reference `_linear_regression_rows_nd` block
+    formula (statgen.py:631 process_block) on the device.
+
+    G: (R, n) raw dosages over the group's kept samples; missing: (R, n);
+    sqrtw: (n,) sqrt-weights (ones when unweighted); Q: (n, k) orthonormal
+    basis of the (scaled) covariates; Ys: (n, P) scaled phenotypes;
+    Qty: (k, P) = Qᵀ Ys; yyp: (P,) residual y·y; d: scalar dof = n-k-1.
+    Degenerate fits propagate NaN (no masking), matching the reference.
+    Returns (sum_x, ytx, beta, se, t).
     """
-    Gi, cnt, s = _impute_mean(G, missing)
-    GQ = Gi @ Q                              # (R, k)   [MXU]
-    Gy = Gi @ y_r                            # (R, P)   [MXU]
-    gg = jnp.sum(Gi * Gi, axis=1) - jnp.sum(GQ * GQ, axis=1)   # residual ||g_r||^2
-    gg = jnp.maximum(gg, 0.0)
-    beta = Gy / gg[:, None]
-    # se^2 = (yty_r / gg - beta^2) / d
-    se2 = (yty_r[None, :] / gg[:, None] - beta * beta) / d
-    se = jnp.sqrt(jnp.maximum(se2, 0.0))
+    Gi = _impute_mean_nan(G, missing)
+    X = Gi * sqrtw[None, :]                  # (R, n)
+    sum_x = jnp.sum(X, axis=1)
+    Qtx = X @ Q                              # (R, k)   [MXU]
+    ytx = X @ Ys                             # (R, P)   [MXU]
+    xyp = ytx - Qtx @ Qty                    # (R, P)
+    xxp = jnp.sum(X * X, axis=1) - jnp.sum(Qtx * Qtx, axis=1)
+    xxp_rec = 1.0 / xxp
+    beta = xyp * xxp_rec[:, None]
+    se = jnp.sqrt((1.0 / d) * (yyp[None, :] * xxp_rec[:, None] - beta * beta))
     t = beta / se
-    return cnt, s, Gy, beta, se, t, gg
+    return sum_x, ytx, beta, se, t
 
 
 @partial(jax.jit, static_argnames=())
-def linreg_block_f32(G, missing, Q, y_r, yty_r, d):
+def linreg_block_f32(G, missing, sqrtw, Q, Ys, Qty, yyp, d):
     """f32 fast path of linreg_block (~2-3x on TPU; for when 1e-8 JVM parity
     is not required — betas agree to ~1e-5 relative)."""
-    G = G.astype(jnp.float32)
-    Q = Q.astype(jnp.float32)
-    y_r = y_r.astype(jnp.float32)
-    yty_r = yty_r.astype(jnp.float32)
-    Gi, cnt, s = _impute_mean(G, missing)
-    GQ = Gi @ Q
-    Gy = Gi @ y_r
-    gg = jnp.maximum(jnp.sum(Gi * Gi, axis=1) - jnp.sum(GQ * GQ, axis=1), 0.0)
-    beta = Gy / gg[:, None]
-    se2 = (yty_r[None, :] / gg[:, None] - beta * beta) / d.astype(jnp.float32)
-    se = jnp.sqrt(jnp.maximum(se2, 0.0))
-    t = beta / se
-    return cnt, s, Gy, beta, se, t, gg
+    return linreg_block(G.astype(jnp.float32), missing,
+                        sqrtw.astype(jnp.float32), Q.astype(jnp.float32),
+                        Ys.astype(jnp.float32), Qty.astype(jnp.float32),
+                        yyp.astype(jnp.float32), d.astype(jnp.float32))
 
 
-def linreg_stats(G: np.ndarray, missing: np.ndarray, Q: np.ndarray,
-                 y_r: np.ndarray, yty_r: np.ndarray, dof: int,
+def linreg_stats(G: np.ndarray, missing: np.ndarray, sqrtw, Q: np.ndarray,
+                 Ys: np.ndarray, Qty: np.ndarray, yyp: np.ndarray, dof: int,
                  precision: str = 'float64'):
-    """Host wrapper: returns numpy arrays incl. p-values (t-dist via scipy)."""
+    """Host wrapper: returns numpy (R, P) arrays incl. p-values
+    (2·pT(-|t|, d), scipy t-dist)."""
     import scipy.stats as st
     kernel = linreg_block if precision == 'float64' else linreg_block_f32
-    cnt, s, ytx, beta, se, t, gg = (np.asarray(v) for v in kernel(
-        jnp.asarray(G), jnp.asarray(missing), jnp.asarray(Q), jnp.asarray(y_r),
-        jnp.asarray(yty_r), jnp.asarray(float(dof))))
+    if sqrtw is None:
+        sqrtw = np.ones(G.shape[1])
+    sum_x, ytx, beta, se, t = (np.asarray(v, dtype=np.float64) for v in kernel(
+        jnp.asarray(G), jnp.asarray(missing), jnp.asarray(sqrtw),
+        jnp.asarray(Q), jnp.asarray(Ys), jnp.asarray(Qty), jnp.asarray(yyp),
+        jnp.asarray(float(dof))))
     with np.errstate(all='ignore'):
-        p = 2 * st.t.sf(np.abs(t), dof)
-    bad = (gg <= 0) | (cnt == 0)
-    return dict(n=cnt, sum_x=s, y_transpose_x=ytx, beta=beta,
-                standard_error=se, t_stat=t, p_value=p, bad=bad)
+        p = 2 * st.t.sf(np.abs(t), dof) if dof > 0 else np.full_like(t, np.nan)
+    return dict(sum_x=sum_x, y_transpose_x=ytx, beta=beta,
+                standard_error=se, t_stat=t, p_value=p)
 
 
 # ---------------------------------------------------------------------------
