@@ -1968,21 +1968,29 @@ def rand_pois(lamb, seed=None):
 
 def rand_beta(a, b, lower=None, upper=None, seed=None):
     u = construct_expr(Apply('rand_unif', ht.tfloat64, [RowIndex()], _rand_uniform_impl(seed)))
-    def impl(ucol, acol, bcol):
+    lo_v = 0.0 if lower is None else lower
+    hi_v = 1.0 if upper is None else upper
+    truncated = lower is not None or upper is not None
+    def impl(ucol, acol, bcol, locol, hicol):
         import scipy.stats as st
         shape = np.broadcast_shapes(ucol.shape, acol.shape, bcol.shape)
         uv = np.broadcast_to(ucol.values, shape)
         av = np.broadcast_to(np.asarray(acol.values, np.float64), shape)
         bv = np.broadcast_to(np.asarray(bcol.values, np.float64), shape)
+        if truncated:
+            # truncated beta: map the uniform into (cdf(lo), cdf(hi)) then
+            # invert — values land strictly inside the bounds (the reference
+            # rejection-samples to the same law, RandomSeededFunctions rbeta)
+            lov = np.broadcast_to(np.asarray(locol.values, np.float64), shape)
+            hiv = np.broadcast_to(np.asarray(hicol.values, np.float64), shape)
+            c_lo = st.beta.cdf(lov, av, bv)
+            c_hi = st.beta.cdf(hiv, av, bv)
+            uv = c_lo + uv * (c_hi - c_lo)
         vals = st.beta.ppf(uv, av, bv)
         miss = C._merge_missing(_bcast_mask(acol.missing, shape), _bcast_mask(bcol.missing, shape))
         return PrimitiveColumn(ht.tfloat64, vals, miss)
-    e = _apply('rand_beta', ht.tfloat64, impl, u, to_expr(a), to_expr(b))
-    if lower is not None or upper is not None:
-        lo = to_expr(0.0 if lower is None else lower)
-        hi = to_expr(1.0 if upper is None else upper)
-        e = min(max(e, lo), hi)
-    return e
+    return _apply('rand_beta', ht.tfloat64, impl, u, to_expr(a), to_expr(b),
+                  to_expr(lo_v, ht.tfloat64), to_expr(hi_v, ht.tfloat64))
 
 
 def rand_gamma(shape, scale, seed=None):

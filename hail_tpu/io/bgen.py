@@ -94,6 +94,16 @@ def import_bgen(path, entry_fields: Sequence[str] = ('GT', 'GP'),
     samples = None
     for p in paths:
         idx = _load_bgen_index(p, index_file_map)
+        if idx is not None:
+            # index-time settings carry into the import (reference semantics:
+            # import_bgen takes recoding/rg/skip_invalid from the .idx2)
+            contig_recoding = {**idx.get('contig_recoding', {}),
+                               **(contig_recoding or {})}
+            if reference_genome == 'default' and idx.get('reference_genome') \
+                    not in (None, 'default'):
+                rg = ReferenceGenome.get(idx['reference_genome'])
+            skip_invalid_loci = skip_invalid_loci or bool(
+                idx.get('skip_invalid_loci'))
         with open(p, 'rb') as f:
             offset, m, n, compression, layout, has_ids = _read_header(f)
             if layout != 2:
@@ -337,11 +347,19 @@ def index_bgen(path, index_file_map=None, reference_genome='default',
                 else:
                     os.unlink(idx_path)
             os.makedirs(idx_path)
+            rg_name = (reference_genome if isinstance(reference_genome, str)
+                       else getattr(reference_genome, 'name', 'default'))
             with open(os.path.join(idx_path, _IDX2_META), 'w') as f:
                 json.dump({'path': p, 'n_variants': scan['n_variants'],
                            'n_samples': scan['n_samples'],
                            'layout': scan['layout'],
                            'compression': scan['compression'],
+                           # index-time settings are applied by import_bgen
+                           # (reference IndexBgen stores them in the idx2
+                           # metadata; LoadBgen.scala reads them back)
+                           'contig_recoding': contig_recoding or {},
+                           'reference_genome': rg_name,
+                           'skip_invalid_loci': bool(skip_invalid_loci),
                            'variants': [list(v) for v in scan['variants']]}, f)
         except (PermissionError, OSError) as e:
             raise OSError(

@@ -785,40 +785,81 @@ def balding_nichols_model(n_populations: int, n_samples: int, n_variants: int,
                           af_dist=None, reference_genome='default',
                           mixture: bool = False, phased: bool = False) -> MatrixTable:
     """Simulate genotypes under the Balding-Nichols model (reference
-    `is/hail/stats/BaldingNicholsModel` / statgen.balding_nichols_model)."""
+    `statgen.balding_nichols_model`): k_n ~ pop_dist; p_m ~ af_dist;
+    p_km ~ Beta(mean p_m, var Fk p_m (1-p_m)); g_nm ~ Binomial(2, p_k_n,m)."""
     from ..genetics.reference_genome import ReferenceGenome, default_reference
+    from ..expr.typefuncs import ExpressionException
     rg = default_reference() if reference_genome == 'default' else (
         ReferenceGenome.get(reference_genome) if isinstance(reference_genome, str) else reference_genome)
+    if pop_dist is None:
+        pop_dist = [1 for _ in range(n_populations)]
+    if fst is None:
+        fst = [0.1 for _ in range(n_populations)]
+    if af_dist is None:
+        af_dist = F.rand_unif(0.1, 0.9, seed=0)
+    if n_partitions is None:
+        n_partitions = max(8, int(n_samples * n_variants / (128 * 1024 * 1024)))
+    for name, var in {"populations": n_populations, "samples": n_samples,
+                      "variants": n_variants, "partitions": n_partitions}.items():
+        if var < 1:
+            raise ValueError("n_{} must be positive, got {}".format(name, var))
+    for name, var in {"pop_dist": pop_dist, "fst": fst}.items():
+        if len(var) != n_populations:
+            raise ValueError("{} must be of length n_populations={}, got length {}"
+                             .format(name, n_populations, len(var)))
+    if any(x < 0 for x in pop_dist):
+        raise ValueError("pop_dist must be non-negative, got {}".format(pop_dist))
+    if any(x <= 0 or x >= 1 for x in fst):
+        raise ValueError("elements of fst must satisfy 0 < x < 1, got {}".format(fst))
+    af_e = to_expr(af_dist)
+    if af_e._indices.source is not None:
+        raise ExpressionException(
+            'balding_nichols_model expects af_dist to have scalar arguments: '
+            'found expression from source {}'.format(af_e._indices.source))
+    if af_e.dtype != ht.tfloat64:
+        raise ValueError("af_dist must be a hail function with return type tfloat64.")
+
     seed = Env.next_seed()
     rng = np.random.default_rng(seed)
-    if pop_dist is None:
-        pop_dist = [1.0 / n_populations] * n_populations
-    pop_dist = np.asarray(pop_dist, dtype=np.float64)
-    pop_dist = pop_dist / pop_dist.sum()
-    if fst is None:
-        fst = [0.1] * n_populations
+    pop_dist_raw = list(pop_dist)
+    pd = np.asarray(pop_dist, dtype=np.float64)
+    pd = pd / pd.sum()
     fst = np.asarray(fst, dtype=np.float64)
 
-    pops = rng.choice(n_populations, size=n_samples, p=pop_dist)
-    if af_dist is None:
-        p0 = rng.uniform(0.1, 0.9, size=n_variants)
+    if mixture:
+        pops_mix = rng.dirichlet(np.asarray(pop_dist_raw, np.float64),
+                                 size=n_samples)         # (N, K)
+        pops = None
     else:
-        p0 = rng.uniform(0.1, 0.9, size=n_variants)
-    # per-population allele freqs
+        pops = rng.choice(n_populations, size=n_samples, p=pd)
+
+    # ancestral allele frequency: evaluate the af_dist random expression per
+    # variant (a scalar random function of the row uid, reference rowfn)
+    from ..ir.nodes import EvalEnv
+    env = EvalEnv({'__row_idx__': PrimitiveColumn(
+        ht.tint64, np.arange(n_variants, dtype=np.int64))}, (n_variants,))
+    p0 = np.asarray(af_e._ir.evaluate(env).values, dtype=np.float64)
+
+    # per-population allele freqs: Beta(ancestral·x, (1-ancestral)·x) with
+    # x = (1-F)/F (reference af= mapping)
     pk = np.empty((n_variants, n_populations))
     for kpop in range(n_populations):
-        Fk = fst[kpop]
-        if Fk <= 0:
-            pk[:, kpop] = p0
-        else:
-            a = p0 * (1 - Fk) / Fk
-            b = (1 - p0) * (1 - Fk) / Fk
-            pk[:, kpop] = rng.beta(np.maximum(a, 1e-6), np.maximum(b, 1e-6))
-    P = pk[:, pops]                                   # (M, N)
-    n_alt = rng.binomial(2, P)                         # (M, N)
-    j = (n_alt >= 1).astype(np.int32)
-    kallele = (n_alt == 2).astype(np.int32)
-    packed = pack_diploid(j, kallele, phased=phased)
+        x = (1.0 - fst[kpop]) / fst[kpop]
+        pk[:, kpop] = rng.beta(np.maximum(p0 * x, 1e-12),
+                               np.maximum((1.0 - p0) * x, 1e-12))
+    if mixture:
+        P = (pk @ pops_mix.T)                              # (M, N)
+    else:
+        P = pk[:, pops]                                    # (M, N)
+    if phased:
+        mom = (rng.random((n_variants, n_samples)) < P).astype(np.int32)
+        dad = (rng.random((n_variants, n_samples)) < P).astype(np.int32)
+        packed = pack_diploid(mom, dad, phased=True)
+    else:
+        n_alt = rng.binomial(2, P)                         # (M, N)
+        j = (n_alt >= 1).astype(np.int32)
+        kallele = (n_alt == 2).astype(np.int32)
+        packed = pack_diploid(j, kallele, phased=False)
 
     contig = rg.contigs[0]
     max_pos = rg.contig_length(contig)
@@ -828,11 +869,10 @@ def balding_nichols_model(n_populations: int, n_samples: int, n_variants: int,
 
     row_t = ht.tstruct(locus=ht.tlocus(rg), alleles=ht.tarray(ht.tstr),
                        ancestral_af=ht.tfloat64, af=ht.tarray(ht.tfloat64))
-    col_t = ht.tstruct(sample_idx=ht.tint32, pop=ht.tint32)
+    pop_t = ht.tarray(ht.tfloat64) if mixture else ht.tint32
+    col_t = ht.tstruct(sample_idx=ht.tint32, pop=pop_t)
     entry_t = ht.tstruct(GT=ht.tcall)
 
-    if n_partitions is None:
-        n_partitions = max(1, min(8, n_variants // 4096 + 1))
     n_partitions = min(n_partitions, max(n_variants, 1))
     bounds = np.linspace(0, n_variants, n_partitions + 1).astype(int)
 
@@ -852,14 +892,21 @@ def balding_nichols_model(n_populations: int, n_samples: int, n_variants: int,
         }, R)
         return MatrixBatch(rows, {'GT': PrimitiveColumn(ht.tcall, packed[s:e])})
 
+    if mixture:
+        pop_col = DenseArrayColumn(pop_t, pops_mix,
+                                   np.full(n_samples, n_populations, np.int32))
+    else:
+        pop_col = PrimitiveColumn(ht.tint32, pops.astype(np.int32))
     cols = Batch({'sample_idx': PrimitiveColumn(ht.tint32, np.arange(n_samples, dtype=np.int32)),
-                  'pop': PrimitiveColumn(ht.tint32, pops.astype(np.int32))}, n_samples)
+                  'pop': pop_col}, n_samples)
     bn_t = ht.tstruct(n_populations=ht.tint32, n_samples=ht.tint32,
-                      n_variants=ht.tint32, pop_dist=ht.tarray(ht.tfloat64),
+                      n_variants=ht.tint32, n_partitions=ht.tint32,
+                      pop_dist=ht.tarray(ht.tfloat64),
                       fst=ht.tarray(ht.tfloat64), mixture=ht.tbool)
     g = Batch.from_pylist(ht.tstruct(bn=bn_t), [Struct(bn=Struct(
         n_populations=n_populations, n_samples=n_samples, n_variants=n_variants,
-        pop_dist=list(pop_dist), fst=list(fst), mixture=mixture))])
+        n_partitions=n_partitions, pop_dist=[float(x) for x in pop_dist_raw],
+        fst=list(fst), mixture=mixture))])
     contexts = [(int(bounds[i]), int(bounds[i + 1])) for i in range(n_partitions)]
     part_bounds = None
     if n_variants <= max_pos:
