@@ -38,13 +38,18 @@ class MatrixBatch:
     entry may have individually missing fields. When None, an entry is
     treated as filtered iff every field is missing."""
 
-    __slots__ = ('rows', 'entries', 'entry_missing')
+    __slots__ = ('rows', 'entries', 'entry_missing', 'uids')
 
     def __init__(self, rows: Batch, entries: Dict[str, Column],
-                 entry_missing: 'Optional[np.ndarray]' = None):
+                 entry_missing: 'Optional[np.ndarray]' = None,
+                 uids: 'Optional[np.ndarray]' = None):
         self.rows = rows
         self.entries = dict(entries)
         self.entry_missing = entry_missing
+        # optional explicit per-row UIDs (reference: readers assign stable
+        # row uids that survive filtering/repartitioning — randomness.md);
+        # None → the stage's positional uid_for fallback
+        self.uids = uids
 
     def entry_filtered_mask(self) -> np.ndarray:
         """(R, C) bool mask of filtered/absent entries."""
@@ -68,20 +73,24 @@ class MatrixBatch:
     def filter_rows(self, keep: np.ndarray) -> 'MatrixBatch':
         return MatrixBatch(self.rows.compress(keep),
                            {k: c.compress(keep, axis=0) for k, c in self.entries.items()},
-                           self.entry_missing[keep] if self.entry_missing is not None else None)
+                           self.entry_missing[keep] if self.entry_missing is not None else None,
+                           uids=self.uids[keep] if self.uids is not None else None)
 
     def gather_rows(self, idx: np.ndarray) -> 'MatrixBatch':
         return MatrixBatch(self.rows.gather(idx),
                            {k: c.gather(idx, axis=0) for k, c in self.entries.items()},
-                           self.entry_missing[idx] if self.entry_missing is not None else None)
+                           self.entry_missing[idx] if self.entry_missing is not None else None,
+                           uids=self.uids[idx] if self.uids is not None else None)
 
     def filter_cols(self, keep: np.ndarray) -> 'MatrixBatch':
         return MatrixBatch(self.rows, {k: c.compress(keep, axis=1) for k, c in self.entries.items()},
-                           self.entry_missing[:, keep] if self.entry_missing is not None else None)
+                           self.entry_missing[:, keep] if self.entry_missing is not None else None,
+                           uids=self.uids)
 
     def gather_cols(self, idx: np.ndarray) -> 'MatrixBatch':
         return MatrixBatch(self.rows, {k: c.gather(idx, axis=1) for k, c in self.entries.items()},
-                           self.entry_missing[:, idx] if self.entry_missing is not None else None)
+                           self.entry_missing[:, idx] if self.entry_missing is not None else None,
+                           uids=self.uids)
 
 
 class MatrixStage:
@@ -324,7 +333,7 @@ class MatrixTable:
     def _row_env(self, mb: MatrixBatch, part_idx: int) -> EvalEnv:
         n = mb.n_rows
         va = StructColumn(mb.rows.row_type, dict(mb.rows.columns), None, (n,))
-        idx = self._stage.uid_for(part_idx, n)
+        idx = mb.uids if mb.uids is not None else self._stage.uid_for(part_idx, n)
         return EvalEnv({'va': va, 'global': self._global_col(),
                         '__row_idx__': PrimitiveColumn(ht.tint64, idx)}, (n,))
 
@@ -349,7 +358,8 @@ class MatrixTable:
         # (row uid, col idx) pair fed to the PMAC message, `ir.py` RNGSplit
         # with entry_uid) — distinct rand values per entry, stable across
         # partitionings
-        row_uid = self._stage.uid_for(part_idx, R)
+        row_uid = mb.uids if mb.uids is not None \
+            else self._stage.uid_for(part_idx, R)
         idx = row_uid.reshape(R, 1) * np.int64(max(Cn, 1)) \
             + np.arange(Cn, dtype=np.int64).reshape(1, Cn)
         return EvalEnv({'va': va, 'sa': sa, 'g': g, 'global': gl,
@@ -379,7 +389,7 @@ class MatrixTable:
             for k, e in exprs.items():
                 cols[k] = self._eval_row_expr(e, mb, i)
             return MatrixBatch(mb.rows.annotate(**cols), mb.entries,
-                               mb.entry_missing)
+                               mb.entry_missing, uids=mb.uids)
         return MatrixTable(self._stage.map_partitions(f, new_row_type=new_t))
 
     def _annotate_rows_with_scans(self, exprs, new_t) -> 'MatrixTable':
@@ -428,7 +438,7 @@ class MatrixTable:
                     col = col.broadcast_to((mb.n_rows,))
                 cols[k] = col
             batches.append(MatrixBatch(mb.rows.annotate(**cols), mb.entries,
-                                       mb.entry_missing))
+                                       mb.entry_missing, uids=mb.uids))
         st = self._stage
         return MatrixTable(MatrixStage.from_batches(
             st.globals, st.cols, st.row_key, st.col_key, new_t, st.col_type,
@@ -517,7 +527,7 @@ class MatrixTable:
                 if col.shape != env.shape:
                     col = col.broadcast_to(env.shape)
                 ents[k] = col
-            return MatrixBatch(mb.rows, ents, mb.entry_missing)
+            return MatrixBatch(mb.rows, ents, mb.entry_missing, uids=mb.uids)
         return MatrixTable(self._stage.map_partitions(f, new_entry_type=new_t))
 
     def _filter_partitions(self, parts, keep: bool = True) -> 'MatrixTable':
@@ -558,7 +568,7 @@ class MatrixTable:
             for n in names:
                 cols[n] = self._eval_row_expr(exprs[n], mb, i) if n in exprs else mb.rows.columns[n]
             return MatrixBatch(Batch(cols, mb.n_rows), mb.entries,
-                               mb.entry_missing)
+                               mb.entry_missing, uids=mb.uids)
         return MatrixTable(self._stage.map_partitions(f, new_row_type=new_t))
 
     def select_cols(self, *fields, **named_exprs) -> 'MatrixTable':
@@ -589,7 +599,7 @@ class MatrixTable:
                     ents[n] = col
                 else:
                     ents[n] = mb.entries[n]
-            return MatrixBatch(mb.rows, ents, mb.entry_missing)
+            return MatrixBatch(mb.rows, ents, mb.entry_missing, uids=mb.uids)
         return MatrixTable(self._stage.map_partitions(f, new_entry_type=new_t))
 
     def select_globals(self, *fields, **named_exprs) -> 'MatrixTable':
@@ -710,14 +720,14 @@ class MatrixTable:
             drop = ~mask
             ents = {k: c.with_missing(drop.copy()) for k, c in mb.entries.items()}
             em = mb.entry_missing | drop if mb.entry_missing is not None else drop.copy()
-            return MatrixBatch(mb.rows, ents, em)
+            return MatrixBatch(mb.rows, ents, em, uids=mb.uids)
         return MatrixTable(self._stage.map_partitions(f))
 
     def unfilter_entries(self) -> 'MatrixTable':
         """Re-include FILTERED entries as present entries with all fields
         missing (reference matrixtable.py unfilter_entries)."""
         def f(mb, i):
-            return MatrixBatch(mb.rows, mb.entries, None)
+            return MatrixBatch(mb.rows, mb.entries, None, uids=mb.uids)
         return MatrixTable(self._stage.map_partitions(f))
 
     # -- keys --------------------------------------------------------------
@@ -1327,7 +1337,7 @@ class MatrixTable:
             ents = {fn: C.from_pylist(ht.tarray(st.entry_type[fn]), new_flat[fn])
                     .reshape((R, len(group_lists)))
                     for fn in st.entry_type.fields}
-            return MatrixBatch(mb.rows, ents, mb.entry_missing)
+            return MatrixBatch(mb.rows, ents, mb.entry_missing, uids=mb.uids)
         st2 = st.map_partitions(f, new_entry_type=new_ent_t)
         return MatrixTable(MatrixStage(st2.globals, new_cols, st2.row_key,
                                        st2.col_key, st2.row_type, new_col_t,
@@ -2065,7 +2075,7 @@ class GroupedMatrixTable:
                     per_group.append(col.reshape((mb.n_rows, 1)))
                 ents[name] = C.concat_columns(per_group, axis=1) if per_group else \
                     C.null_column(e.dtype, (mb.n_rows, 0))
-            batches.append(MatrixBatch(mb.rows, ents))
+            batches.append(MatrixBatch(mb.rows, ents, uids=mb.uids))
         key_types = {kn: st.col_type[kn] for kn in key_names}
         col_cols = {kn: C.from_pylist(key_types[kn], [kt[i] for kt in group_keys])
                     for i, kn in enumerate(key_names)}

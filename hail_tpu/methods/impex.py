@@ -646,7 +646,8 @@ def import_gen(path: str, sample_file: str, tolerance: float = 0.2,
                min_partitions=None, chromosome: Optional[str] = None,
                reference_genome='default', contig_recoding=None,
                skip_invalid_loci: bool = False) -> MatrixTable:
-    """Oxford GEN import (reference import_gen / LoadGen)."""
+    """Oxford GEN import (reference import_gen, impex.py:1355)."""
+    from ..utils.misc import FatalError
     rg = _resolve_rg(reference_genome)
     contig_recoding = contig_recoding or {}
     samples = []
@@ -661,45 +662,73 @@ def import_gen(path: str, sample_file: str, tolerance: float = 0.2,
         for line in f:
             parts = line.split()
             if chromosome is not None:
-                contig, vid, rsid_, pos, a1, a2 = chromosome, parts[0], parts[1], parts[2], parts[3], parts[4]
+                contig, vid, rsid_, pos, a1, a2 = (chromosome, parts[0],
+                                                   parts[1], parts[2],
+                                                   parts[3], parts[4])
                 probs = parts[5:]
             else:
                 contig, vid, rsid_, pos, a1, a2 = parts[:6]
                 probs = parts[6:]
             contig = contig_recoding.get(contig, contig)
-            if rg is not None and not rg.has_contig(contig):
+            pos = int(pos)
+            if rg is not None and not (
+                    rg.has_contig(contig) and 0 < pos <= rg.contig_length(contig)):
                 if skip_invalid_loci:
                     continue
-                raise ValueError(f'invalid contig {contig!r}')
-            rows_meta.append((contig, int(pos), vid, rsid_, a1, a2))
+                raise FatalError(f"Invalid locus '{contig}:{pos}' found")
+            rows_meta.append((contig, pos, vid, rsid_, a1, a2))
             gps.append([float(x) for x in probs])
+    # sorted by key (reference GEN rows land keyed by locus, alleles)
+    if rg is not None:
+        order = sorted(range(len(rows_meta)),
+                       key=lambda i: (rg._global_offsets[rows_meta[i][0]]
+                                      + rows_meta[i][1]))
+    else:
+        order = sorted(range(len(rows_meta)),
+                       key=lambda i: (rows_meta[i][0], rows_meta[i][1]))
+    rows_meta = [rows_meta[i] for i in order]
+    gps = [gps[i] for i in order]
     m = len(rows_meta)
     gp = np.asarray(gps, dtype=np.float64).reshape(m, n, 3)
     tot = gp.sum(axis=2)
     miss = np.abs(tot - 1.0) > tolerance
     gpn = gp / np.maximum(tot[..., None], 1e-300)
     best = np.argmax(gpn, axis=2)
-    j = (best >= 1).astype(np.int32)
-    k = (best == 2).astype(np.int32)
+    # unphased diploid calls order alleles ascending: het = 0/1
+    j = (best == 2).astype(np.int32)
+    k = (best >= 1).astype(np.int32)
     packed = pack_diploid(j, k)
-    row_t = ht.tstruct(locus=ht.tlocus(rg), alleles=ht.tarray(ht.tstr),
-                       varid=ht.tstr, rsid=ht.tstr)
+    locus_t = ht.tlocus(rg) if rg is not None else \
+        ht.tstruct(contig=ht.tstr, position=ht.tint32)
+    row_t = ht.tstruct(locus=locus_t, alleles=ht.tarray(ht.tstr),
+                       rsid=ht.tstr, varid=ht.tstr)
     alleles_arr = np.empty(m, dtype=object)
     varids = np.empty(m, dtype=object)
     rsids = np.empty(m, dtype=object)
     cidx = np.zeros(m, np.int32)
     positions = np.zeros(m, np.int32)
+    contigs = np.empty(m, dtype=object)
     for i, (contig, pos, vid, rsid_, a1, a2) in enumerate(rows_meta):
-        cidx[i] = rg.contig_index(contig)
+        if rg is not None:
+            cidx[i] = rg.contig_index(contig)
+        contigs[i] = contig
         positions[i] = pos
         alleles_arr[i] = [a1, a2]
         varids[i] = vid
         rsids[i] = rsid_
+    if rg is not None:
+        locus_col = LocusColumn(locus_t, cidx, positions)
+    else:
+        from ..ir.columns import StructColumn
+        locus_col = StructColumn(locus_t, {
+            'contig': ObjectColumn(ht.tstr, contigs),
+            'position': PrimitiveColumn(ht.tint32, positions),
+        }, None, (m,))
     rows = Batch({
-        'locus': LocusColumn(ht.tlocus(rg), cidx, positions),
+        'locus': locus_col,
         'alleles': ObjectColumn(ht.tarray(ht.tstr), alleles_arr),
-        'varid': ObjectColumn(ht.tstr, varids),
         'rsid': ObjectColumn(ht.tstr, rsids),
+        'varid': ObjectColumn(ht.tstr, varids),
     }, m)
     ents = {
         'GT': PrimitiveColumn(ht.tcall, packed, miss if miss.any() else None),
@@ -717,38 +746,89 @@ def import_gen(path: str, sample_file: str, tolerance: float = 0.2,
 def export_gen(dataset: MatrixTable, output: str, precision: int = 4,
                gp=None, id1=None, id2=None, missing=None, varid=None,
                rsid=None) -> None:
-    st = dataset._stage
+    """Oxford GEN export (reference impex.export_gen → ExportGen.scala)."""
+    from ..expr.expression import to_expr as _to_expr
+    mt = dataset
+    st = mt._stage
+    if gp is None:
+        if 'GP' not in st.entry_type.fields or \
+                st.entry_type['GP'] != ht.tarray(ht.tfloat64):
+            raise ValueError(
+                'exporting to GEN requires a GP (genotype probability) '
+                'array<float64> field in the entry')
+    miss_val = 0.0 if missing is None else float(missing)
+
     skey = st.col_key[0]
-    samples = [r[skey] for r in st.cols.to_pylist()]
+
+    def eval_col_str(expr):
+        col = mt._eval_col_expr(_to_expr(expr))
+        return [('' if v is None else str(v)) for v in col.to_pylist()]
+
+    if id1 is not None:
+        id1s = eval_col_str(id1)
+    else:
+        id1s = [str(r[skey]) for r in st.cols.to_pylist()]
+    if id2 is not None:
+        id2s = eval_col_str(id2)
+    else:
+        id2s = id1s
+    n = len(id1s)
     with open(output + '.sample', 'w') as f:
-        f.write('ID_1 ID_2 missing\n0 0 0\n')
-        for s in samples:
-            f.write(f'{s} {s} 0\n')
+        f.write('ID_1 ID_2 ID_3\n0 0 0\n')
+        for a, b in zip(id1s, id2s):
+            f.write(f'{a} {b} 0\n')
+    fmt = f'{{:.{precision}f}}'
     with open(output + '.gen', 'w') as f:
         for ictx, ctx in enumerate(st.contexts):
             mb = st.partition_fn(ctx)
             loci = mb.rows.columns['locus'].to_pylist()
             alleles = mb.rows.columns['alleles'].to_pylist()
-            gp_col = mb.entries.get('GP')
-            for r in range(mb.n_rows):
+            R = mb.n_rows
+
+            def row_strs(expr, field, default_fn):
+                if expr is not None:
+                    col = mt._eval_row_expr(_to_expr(expr), mb, ictx)
+                    return [('' if v is None else str(v))
+                            for v in col.to_pylist()]
+                if field in mb.rows.columns:
+                    return [('' if v is None else str(v))
+                            for v in mb.rows.columns[field].to_pylist()]
+                return [default_fn(r) for r in range(R)]
+
+            vids = row_strs(varid, 'varid',
+                            lambda r: f'{loci[r].contig}:{loci[r].position}:'
+                                      f'{alleles[r][0]}:{alleles[r][1]}')
+            rsids = row_strs(rsid, 'rsid', lambda r: '.')
+            if gp is not None:
+                env = mt._entry_env(mb, ictx)
+                e = _to_expr(gp)
+                gp_col = e._ir.evaluate(env)
+                if gp_col.shape != env.shape:
+                    gp_col = gp_col.broadcast_to(env.shape)
+            else:
+                gp_col = mb.entries.get('GP')
+            if mb.entry_missing is not None:
+                gp_col = gp_col.with_missing(mb.entry_missing)
+            gp_miss = gp_col.missing_mask()
+            gp_vals = getattr(gp_col, 'values', None)
+            use_dense = gp_vals is not None and getattr(gp_vals, 'ndim', 0) == 3
+            py = None if use_dense else gp_col.to_pylist()
+            for r in range(R):
                 l = loci[r]
+                contig = l.contig if hasattr(l, 'contig') else l['contig']
+                posn = l.position if hasattr(l, 'position') else l['position']
                 a = alleles[r]
-                vid = f'{l.contig}:{l.position}:{a[0]}:{a[1]}'
-                parts = [l.contig, vid, vid, str(l.position), a[0], a[1]]
-                if gp_col is not None:
-                    vals = gp_col.values[r]
-                    mm = gp_col.missing_mask()[r]
-                    for jx in range(len(samples)):
-                        if mm[jx]:
-                            parts.extend(['0', '0', '0'])
-                        else:
-                            parts.extend(f'{vals[jx, t]:.{precision}f}' for t in range(3))
-                f.write(' '.join(parts) + '\n')
-
-
-# ---------------------------------------------------------------------------
-# matrix table from text
-# ---------------------------------------------------------------------------
+                out = [contig, vids[r], rsids[r], str(posn), a[0], a[1]]
+                for ci in range(n):
+                    if gp_miss[r, ci]:
+                        vals = (miss_val, miss_val, miss_val)
+                    elif use_dense:
+                        vals = gp_vals[r, ci, :3]
+                    else:
+                        v = py[r][ci]
+                        vals = (miss_val,) * 3 if v is None else tuple(v[:3])
+                    out.extend(fmt.format(x) for x in vals)
+                f.write(' '.join(out) + '\n')
 
 def import_matrix_table(paths, row_fields=None, row_key=(), entry_type=ht.tint32,
                         missing: str = 'NA', min_partitions=None,

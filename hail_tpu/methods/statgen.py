@@ -857,8 +857,9 @@ def balding_nichols_model(n_populations: int, n_samples: int, n_variants: int,
         packed = pack_diploid(mom, dad, phased=True)
     else:
         n_alt = rng.binomial(2, P)                         # (M, N)
-        j = (n_alt >= 1).astype(np.int32)
-        kallele = (n_alt == 2).astype(np.int32)
+        # unphased diploid calls order alleles ascending: het = 0/1
+        j = (n_alt == 2).astype(np.int32)
+        kallele = (n_alt >= 1).astype(np.int32)
         packed = pack_diploid(j, kallele, phased=False)
 
     contig = rg.contigs[0]

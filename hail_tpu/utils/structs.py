@@ -121,12 +121,11 @@ def _try_hash(v: Any) -> int:
     try:
         return hash(v)
     except TypeError:
-        if isinstance(v, (list, tuple)):
-            return hash(tuple(_try_hash(x) for x in v))
-        if isinstance(v, dict):
-            return hash(tuple(sorted((k, _try_hash(x)) for k, x in v.items())))
-        if isinstance(v, set):
-            return hash(frozenset(v))
+        # hash the FROZEN form so a struct holding a raw list hashes the same
+        # as one holding the frozenlist it compares equal to (set/dict
+        # membership consistency; import_bgen variant-filter containment)
+        if isinstance(v, (list, tuple, dict, set)):
+            return hash(freeze(v))
         return 0
 
 

@@ -43,7 +43,7 @@ def test_index_overwrites_foreign_idx2_dir(bgen_copy):
     with open(os.path.join(idx2, 'index'), 'wb') as f:
         f.write(b'\x00' * 64)
     assert _load_bgen_index(bgen_copy) is None  # unparseable, not a crash
-    hl.index_bgen(bgen_copy)
+    hl.index_bgen(bgen_copy, contig_recoding={'01': '1'})
     assert _load_bgen_index(bgen_copy) is not None
 
 
@@ -52,18 +52,17 @@ def test_index_file_map_for_readonly_input(tmp_path):
         pytest.skip('reference bgen fixture not available')
     # index a file whose directory we must not write to
     idx = str(tmp_path / 'alt.idx2')
-    hl.index_bgen(REF_BGEN, index_file_map={REF_BGEN: idx})
+    hl.index_bgen(REF_BGEN, index_file_map={REF_BGEN: idx},
+                  contig_recoding={'01': '1'})
     assert os.path.isdir(idx)
     meta = _load_bgen_index(REF_BGEN, {REF_BGEN: idx})
     assert meta is not None and meta['n_variants'] > 0
 
 
 def test_indexed_import_matches_scan(bgen_copy):
-    mt_scan = hl.import_bgen(bgen_copy, entry_fields=['GT', 'GP', 'dosage'],
-                             contig_recoding={'01': '1'})
-    hl.index_bgen(bgen_copy)
-    mt_idx = hl.import_bgen(bgen_copy, entry_fields=['GT', 'GP', 'dosage'],
-                            contig_recoding={'01': '1'})
+    hl.index_bgen(bgen_copy, contig_recoding={'01': '1'})
+    mt_scan = hl.import_bgen(bgen_copy, entry_fields=['GT', 'GP', 'dosage'])
+    mt_idx = hl.import_bgen(bgen_copy, entry_fields=['GT', 'GP', 'dosage'])
     assert mt_scan.count() == mt_idx.count()
     d1 = mt_scan.aggregate_entries(hl.agg.sum(mt_scan.dosage))
     d2 = mt_idx.aggregate_entries(hl.agg.sum(mt_idx.dosage))
@@ -71,13 +70,11 @@ def test_indexed_import_matches_scan(bgen_copy):
 
 
 def test_indexed_variant_filter_seeks(bgen_copy):
-    hl.index_bgen(bgen_copy)
-    mt_all = hl.import_bgen(bgen_copy, entry_fields=['GT'],
-                            contig_recoding={'01': '1'})
+    hl.index_bgen(bgen_copy, contig_recoding={'01': '1'})
+    mt_all = hl.import_bgen(bgen_copy, entry_fields=['GT'])
     rows = mt_all.rows().take(5)
     want = [r.locus for r in rows[2:4]]
-    mt_f = hl.import_bgen(bgen_copy, entry_fields=['GT'], variants=want,
-                          contig_recoding={'01': '1'})
+    mt_f = hl.import_bgen(bgen_copy, entry_fields=['GT'], variants=want)
     assert mt_f.count_rows() == len({str(w) for w in want})
     got = {str(r.locus) for r in mt_f.rows().collect()}
     assert got == {str(w) for w in want}

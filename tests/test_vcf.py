@@ -79,13 +79,15 @@ def test_filter_intervals(sample_mt):
 def test_bgen_gen_plink_roundtrips(tmp_path):
     mt = hl.balding_nichols_model(1, 8, 20)
     out = str(tmp_path / 'x')
-    hl.export_bgen(mt, out)
+    gp = hl.map(lambda i: hl.if_else(mt.GT.n_alt_alleles() == i, 1.0, 0.0),
+                hl.range(0, 3))
+    hl.export_bgen(mt, out, gp=gp)
+    hl.index_bgen(out + '.bgen')
     mt2 = hl.import_bgen(out + '.bgen', entry_fields=['GT', 'GP', 'dosage'])
     assert mt2.count() == (20, 8)
     g1 = mt.entries().collect()
     g2 = mt2.entries().collect()
     assert all(a.GT == b.GT for a, b in zip(g1, g2))
-    hl.index_bgen(out + '.bgen')
     assert os.path.exists(out + '.bgen.idx2')
     hl.export_gen(mt2, str(tmp_path / 'g'))
     mt3 = hl.import_gen(str(tmp_path / 'g.gen'), str(tmp_path / 'g.sample'))
