@@ -275,6 +275,12 @@ class Expression:
         src = self._indices.source
         axes = self._indices.axes
         from ..matrixtable import MatrixTable as _MT
+
+        def _w(pth):
+            import gzip as _gzip
+            if pth.endswith('.gz') or pth.endswith('.bgz'):
+                return _gzip.open(pth, 'wt')
+            return open(pth, 'w')
         if isinstance(src, _MT) and axes == frozenset({'row', 'column'}):
             st = src._stage
             key_names = list(st.row_key)
@@ -284,7 +290,7 @@ class Expression:
             else:
                 col_hdrs = [render(tuple(k[f] for f in st.col_key))
                             for k in col_keys]
-            with open(path, 'w') as f:
+            with _w(path) as f:
                 if header:
                     f.write(delimiter.join(key_names + col_hdrs) + '\n')
                 for i, ctx in enumerate(st.contexts):
@@ -318,7 +324,7 @@ class Expression:
         else:
             key_names, kvals = [], []
             vals = [eval_scalar(self)]
-        with open(path, 'w') as f:
+        with _w(path) as f:
             if header:
                 f.write(delimiter.join(key_names + [name]) + '\n')
             for i, v in enumerate(vals):

@@ -330,6 +330,22 @@ class MatrixTable:
     def _globals_env(self) -> EvalEnv:
         return EvalEnv({'global': self._global_col()}, (1,))
 
+    @property
+    def _row_indices(self):
+        return Indices(self, frozenset({'row'}))
+
+    @property
+    def _col_indices(self):
+        return Indices(self, frozenset({'column'}))
+
+    @property
+    def _entry_indices(self):
+        return Indices(self, frozenset({'row', 'column'}))
+
+    @property
+    def _global_indices(self):
+        return Indices(self, frozenset())
+
     def _row_env(self, mb: MatrixBatch, part_idx: int) -> EvalEnv:
         n = mb.n_rows
         va = StructColumn(mb.rows.row_type, dict(mb.rows.columns), None, (n,))

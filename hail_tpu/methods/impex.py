@@ -24,7 +24,7 @@ from ..ir.columns import (Batch, DenseArrayColumn, LocusColumn, ObjectColumn,
                           PrimitiveColumn)
 from ..matrixtable import MatrixBatch, MatrixStage, MatrixTable
 from ..table import Table, TableStage
-from ..utils.structs import Struct
+from ..utils.structs import Interval, Struct
 
 # re-export the VCF entry points
 from ..io.vcf import export_vcf, get_vcf_metadata, import_vcf  # noqa: F401
@@ -96,12 +96,25 @@ def import_table(paths, key=None, min_partitions=None, impute: bool = False,
             return delim_re.split(line)
         return line.split(delimiter)
 
+    # single-char comment entries are literal prefixes; longer ones are
+    # regexes matched at line start (reference import_table comment semantics)
+    comment_pats = [(c if len(c) == 1 else re.compile(c)) for c in comment]
+
+    def _is_comment(line):
+        for c in comment_pats:
+            if isinstance(c, str):
+                if line.startswith(c):
+                    return True
+            elif c.match(line):
+                return True
+        return False
+
     for p in paths:
         with _open(p) as f:
             first = True
             for line in f:
                 line = line.rstrip('\n')
-                if any(line.startswith(c) for c in comment):
+                if _is_comment(line):
                     continue
                 if skip_blank_lines and not line:
                     continue
@@ -430,70 +443,149 @@ def import_fam(path: str, quant_pheno: bool = False, delimiter: str = r'\\s+',
                                          [Batch.from_pylist(row_t, rows)]))
 
 
+def _interval_point(rg, contig, pos):
+    from ..genetics.locus import Locus
+    if rg is not None:
+        return Locus(contig, pos, rg)
+    return Struct(contig=contig, position=pos)
+
+
+def _interval_valid(rg, contig, start, end, includes_end):
+    if rg is None:
+        return True
+    if not rg.has_contig(contig):
+        return False
+    ln = rg.contig_length(contig)
+    if not (1 <= start <= ln):
+        return False
+    hi = ln if includes_end else ln + 1
+    if not (1 <= end <= hi):
+        return False
+    if (start, True) > (end, includes_end) and start > end:
+        return False
+    return start <= end
+
+
 def import_locus_intervals(path: str, reference_genome='default',
-                           skip_invalid_intervals: bool = False) -> Table:
-    """UCSC interval_list / 'chr:start-end' lines (reference
-    import_locus_intervals)."""
+                           skip_invalid_intervals: bool = False,
+                           contig_recoding=None, **kwargs) -> Table:
+    """UCSC interval_list import (reference impex.import_locus_intervals,
+    impex.py:1124): 'contig:start-end' single-column, 3-column
+    'contig start end', or 5-column Picard '... strand target' — closed
+    intervals; extra kwargs flow to import_table (filter/find_replace)."""
+    from ..utils.misc import FatalError
     rg = _resolve_rg(reference_genome)
+    contig_recoding = contig_recoding or {}
+    t = import_table(path, comment="@", impute=False, no_header=True,
+                     types={'f0': ht.tstr, 'f1': ht.tint32, 'f2': ht.tint32,
+                            'f3': ht.tstr, 'f4': ht.tstr}, **kwargs)
+    nf = len(t.row.dtype)
+    recs = t.collect()
+    point_t = ht.tlocus(rg) if rg is not None else \
+        ht.tstruct(contig=ht.tstr, position=ht.tint32)
+    has_target = nf == 5
+    if nf not in (1, 3, 5):
+        raise FatalError("""invalid interval format.  Acceptable formats:
+              'chr:start-end'
+              'chr  start  end' (tab-separated)
+              'chr  start  end  strand  target' (tab-separated, strand is '+' or '-')""")
+
+    from ..expr.expression import eval_scalar
+    interval_re = re.compile(r'([^:]*):(\d+)\-(\d+)')
     rows = []
-    has_target = False
-    with _open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith('@'):
+    for r in recs:
+        if nf == 1 and rg is not None:
+            # 'chr:start-end' strings go through the full interval parser
+            # (reference: hl.parse_locus_interval(f0, rg)), which also
+            # understands exported bracket forms
+            iv = eval_scalar(F.parse_locus_interval(
+                r.f0, rg, invalid_missing=skip_invalid_intervals))
+            if iv is None:
                 continue
-            parts = line.split()
-            try:
-                if len(parts) >= 3:
-                    # 5-col Picard format: contig start end strand target
-                    has_target = True
-                    contig, s, e = parts[0], int(parts[1]), int(parts[2])
-                    target = parts[4] if len(parts) >= 5 else None
-                    from ..genetics.locus import Locus
-                    from ..utils.structs import Interval
-                    iv = Interval(Locus(contig, s, rg), Locus(contig, e, rg), True, True)
-                    rows.append(Struct(interval=iv, target=target))
-                else:
-                    iv = F.eval_expr(F.parse_locus_interval(parts[0], rg))
-                    rows.append(Struct(interval=iv))
-            except ValueError:
-                if not skip_invalid_intervals:
-                    raise
-    row_t = ht.tstruct(interval=ht.tinterval(ht.tlocus(rg)),
+            rows.append(Struct(interval=iv))
+            continue
+        if nf == 1:
+            m = interval_re.fullmatch(r.f0.strip()) if r.f0 is not None else None
+            if m is None:
+                if skip_invalid_intervals:
+                    continue
+                raise FatalError(f'invalid interval expression: {r.f0!r}')
+            contig, start, end = m.group(1), int(m.group(2)), int(m.group(3))
+        else:
+            contig, start, end = r.f0, r.f1, r.f2
+        contig = contig_recoding.get(contig, contig)
+        if rg is not None:
+            iv = eval_scalar(F.locus_interval(contig, start, end, True, True,
+                                              rg, invalid_missing=skip_invalid_intervals))
+            if iv is None:
+                continue
+        else:
+            iv = Interval(_interval_point(rg, contig, start),
+                          _interval_point(rg, contig, end), True, True)
+        if has_target:
+            rows.append(Struct(interval=iv, target=r.f4))
+        else:
+            rows.append(Struct(interval=iv))
+    import functools
+    from ..expr.functions import _cmp_values
+    rows.sort(key=functools.cmp_to_key(
+        lambda x, y: _cmp_values(x.interval, y.interval)))
+    row_t = ht.tstruct(interval=ht.tinterval(point_t),
                        **({'target': ht.tstr} if has_target else {}))
     return Table(TableStage.from_batches(Batch({}, 1), ['interval'], row_t,
                                          [Batch.from_pylist(row_t, rows)]))
 
 
 def import_bed(path: str, reference_genome='default',
-               skip_invalid_intervals: bool = False) -> Table:
-    """UCSC BED file → interval table (reference import_bed). BED is 0-based
-    half-open; loci are 1-based."""
+               skip_invalid_intervals: bool = False, contig_recoding=None,
+               **kwargs) -> Table:
+    """UCSC BED import (reference impex.import_bed, impex.py:1195): 0-based
+    half-open input → 1-based [start+1, end+1) intervals; a 4th column
+    becomes `target`; browser/track/attribute lines are comments; extra
+    kwargs flow to import_table (filter/find_replace)."""
+    from ..utils.misc import FatalError
     rg = _resolve_rg(reference_genome)
-    from ..genetics.locus import Locus
-    from ..utils.structs import Interval
+    contig_recoding = contig_recoding or {}
+    t = import_table(path, no_header=True, delimiter=r'\s+', impute=False,
+                     skip_blank_lines=True,
+                     types={'f0': ht.tstr, 'f1': ht.tint32, 'f2': ht.tint32,
+                            'f3': ht.tstr, 'f4': ht.tstr},
+                     comment=['^browser.*', '^track.*',
+                              r'^\w+=("[\w\d ]+"|\d+).*'], **kwargs)
+    nf = len(t.row.dtype)
+    if nf < 3:
+        raise FatalError(
+            f'too few fields for BED file: expected 3 or more, but found {nf}')
+    has_target = nf >= 4
+    recs = t.collect()
+    point_t = ht.tlocus(rg) if rg is not None else \
+        ht.tstruct(contig=ht.tstr, position=ht.tint32)
     rows = []
-    # header-line regexes per the reference (impex.py:909): browser/track
-    # lines and bare key="value" attribute lines (e.g. itemRgb="On")
-    _hdr = re.compile(r'^browser.*|^track.*|^\w+=("[\w\d ]+"|\d+).*')
-    with _open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith('#') or _hdr.match(line):
+    for r in recs:
+        contig = contig_recoding.get(r.f0, r.f0)
+        if r.f1 is None or r.f2 is None:
+            if skip_invalid_intervals:
                 continue
-            parts = line.split()
-            try:
-                contig, s, e = parts[0], int(parts[1]), int(parts[2])
-                iv = Interval(Locus(contig, s + 1, rg), Locus(contig, e + 1, rg), True, False)
-                if len(parts) >= 4:
-                    rows.append(Struct(interval=iv, target=parts[3]))
-                else:
-                    rows.append(Struct(interval=iv))
-            except (ValueError, IndexError):
-                if not skip_invalid_intervals:
-                    raise
-    has_target = rows and 'target' in rows[0]
-    row_t = ht.tstruct(interval=ht.tinterval(ht.tlocus(rg)),
+            raise FatalError(f'invalid BED line: {r}')
+        start, end = r.f1 + 1, r.f2 + 1
+        if rg is not None:
+            from ..expr.expression import eval_scalar
+            iv = eval_scalar(F.locus_interval(contig, start, end, True, False,
+                                              rg, invalid_missing=skip_invalid_intervals))
+            if iv is None:
+                continue
+        else:
+            iv = Interval(_interval_point(rg, contig, start),
+                          _interval_point(rg, contig, end), True, False)
+        if has_target:
+            rows.append(Struct(interval=iv, target=r.f3))
+        else:
+            rows.append(Struct(interval=iv))
+    import functools
+    from ..expr.functions import _cmp_values
+    rows.sort(key=functools.cmp_to_key(
+        lambda x, y: _cmp_values(x.interval, y.interval)))
+    row_t = ht.tstruct(interval=ht.tinterval(point_t),
                        **({'target': ht.tstr} if has_target else {}))
     return Table(TableStage.from_batches(Batch({}, 1), ['interval'], row_t,
                                          [Batch.from_pylist(row_t, rows)]))
@@ -833,61 +925,123 @@ def export_gen(dataset: MatrixTable, output: str, precision: int = 4,
 def import_matrix_table(paths, row_fields=None, row_key=(), entry_type=ht.tint32,
                         missing: str = 'NA', min_partitions=None,
                         no_header: bool = False, force_bgz: bool = False,
-                        sep: Optional[str] = None, delimiter: str = '\t') -> MatrixTable:
-    """Import a dense text matrix (reference import_matrix_table)."""
+                        sep: Optional[str] = None, comment=(),
+                        delimiter: str = '\t') -> MatrixTable:
+    """Import a dense text matrix (reference impex.import_matrix_table,
+    impex.py:1830): row fields taken from the leading columns, entries from
+    the rest; `row_id` int64 index added when `row_key` is empty; parse
+    errors surface with the reference's messages."""
+    from ..utils.misc import HailUserError
     delimiter = sep or delimiter
     paths = [paths] if isinstance(paths, str) else list(paths)
     row_fields = dict(row_fields or {})
     entry_type = ht.dtype(entry_type)
-    header = None
+    comment = [comment] if isinstance(comment, str) else list(comment)
+
+    def is_comment(line):
+        return any(line.startswith(c) for c in comment)
+
+    n_row_fields = len(row_fields)
+    headers = []
     data_rows = []
     for p in paths:
+        hdr = None
         with _open(p) as f:
             for line in f:
                 line = line.rstrip('\n')
-                if header is None and not no_header:
-                    header = line.split(delimiter)
+                if comment and is_comment(line):
                     continue
-                data_rows.append(line.split(delimiter))
-    n_row_fields = len(row_fields)
-    if header is None:
-        width = len(data_rows[0]) if data_rows else 0
-        col_ids = [str(i) for i in range(width - n_row_fields)]
-        rf_names = list(row_fields.keys())
+                if hdr is None and not no_header:
+                    hdr = line.split(delimiter)
+                    continue
+                if line or no_header:
+                    data_rows.append(line.split(delimiter))
+        if not no_header:
+            headers.append(hdr if hdr is not None else [])
+    if headers:
+        h0 = headers[0]
+        for h in headers[1:]:
+            if len(h) != len(h0):
+                raise ValueError(
+                    'invalid header: lengths of headers differ. '
+                    f'{len(h0)} elements in first file, {len(h)} in another')
+            if h != h0:
+                raise ValueError(
+                    'invalid header: expected elements to be identical for '
+                    f'all input paths. {h0} != {h}')
+        header = h0
     else:
-        rf_names = header[:n_row_fields]
+        header = None
+
+    rf_names = list(row_fields.keys())
+    width = len(data_rows[0]) if data_rows else n_row_fields
+    num_entries = max(width - n_row_fields, 0)
+    if header is None:
+        col_ids = list(range(num_entries))
+    elif len(header) == num_entries:
+        # header carries only the column ids (reference: row-field columns
+        # may be unnamed in the header)
+        col_ids = header
+    else:
         col_ids = header[n_row_fields:]
     n = len(col_ids)
     m = len(data_rows)
     rf_types = {k: ht.dtype(v) for k, v in row_fields.items()}
-    rf_cols = {}
-    for i, name in enumerate(rf_names):
-        t = rf_types.get(name, ht.tstr)
-        vals = [r[i] if r[i] != missing else None for r in data_rows]
-        def cv(v, t=t):
-            if v is None:
-                return None
+
+    def type_name(t):
+        return str(t)
+
+    def parse_typed(v, t, err):
+        if v == missing:
+            return None
+        try:
             if t in (ht.tint32, ht.tint64):
                 return int(v)
             if t in (ht.tfloat32, ht.tfloat64):
                 return float(v)
-            return v
-        rf_cols[name] = C.from_pylist(t, [cv(v) for v in vals])
+        except ValueError:
+            raise HailUserError(err(v, t))
+        return v
+
+    rf_cols = {}
+    for i, name in enumerate(rf_names):
+        t = rf_types.get(name, ht.tstr)
+        vals = []
+        for r in data_rows:
+            if i >= len(r):
+                raise HailUserError(
+                    'unexpected end of line while reading row fields')
+            vals.append(parse_typed(
+                r[i], t,
+                lambda v, t: f"error parsing value into {type_name(t)} "
+                             f"at row field {name!r}"))
+        rf_cols[name] = C.from_pylist(t, vals)
+
     numeric_entries = entry_type.numpy_dtype is not None
     ent = np.zeros((m, n), dtype=entry_type.numpy_dtype) if numeric_entries \
         else np.empty((m, n), dtype=object)
     emiss = np.zeros((m, n), dtype=bool)
     for r, row in enumerate(data_rows):
+        if len(row) < n_row_fields + n:
+            raise HailUserError(
+                'unexpected end of line while reading entries')
         for c in range(n):
             v = row[n_row_fields + c]
             if v == missing:
                 emiss[r, c] = True
-            elif entry_type in (ht.tint32, ht.tint64):
-                ent[r, c] = int(v)
-            elif entry_type in (ht.tfloat32, ht.tfloat64):
-                ent[r, c] = float(v)
-            else:
-                ent[r, c] = v
+                continue
+            cid = col_ids[c]
+            err = (f"error parsing value into {type_name(entry_type)} "
+                   f"at column id {cid!r}")
+            try:
+                if entry_type in (ht.tint32, ht.tint64):
+                    ent[r, c] = int(v)
+                elif entry_type in (ht.tfloat32, ht.tfloat64):
+                    ent[r, c] = float(v)
+                else:
+                    ent[r, c] = v
+            except ValueError:
+                raise HailUserError(err)
     if isinstance(row_key, str):
         row_key = [row_key]
     row_key = list(row_key)
@@ -917,7 +1071,6 @@ def import_matrix_table(paths, row_fields=None, row_key=(), entry_type=ht.tint32
                             if numeric_entries else
                             C.ObjectColumn(entry_type,
                                            np.where(emiss, None, ent))})]))
-
 
 def grep(regex: str, path, max_count: int = 100, *, show: bool = True):
     paths = [path] if isinstance(path, str) else list(path)

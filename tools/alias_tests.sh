@@ -15,6 +15,7 @@ REF=${REF:-/root/reference/hail/python/test/hail}
 export PYTHONDONTWRITEBYTECODE=1
 export PYTHONPATH="$PWD:/root/reference/hail/python${PYTHONPATH:+:$PYTHONPATH}"
 export HAIL_TEST_RESOURCES_DIR=/root/reference/hail/hail/test/resources
+export HAIL_DOCTEST_DATA_DIR=/root/reference/hail/python/hail/docs/data
 export JAX_PLATFORM_NAME=cpu
 export JAX_PLATFORMS=cpu
 # we ARE a local backend: the reference conftest (loaded via --confcutdir)
