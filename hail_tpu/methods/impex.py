@@ -601,23 +601,43 @@ def import_plink(bed: str, bim: str, fam: str, min_partitions=None,
                  reference_genome='default', contig_recoding=None,
                  skip_invalid_loci: bool = False,
                  n_partitions: Optional[int] = None, block_size=None) -> MatrixTable:
-    """PLINK .bed/.bim/.fam import (reference `is/hail/io/plink/LoadPlink`):
-    2-bit genotype unpacking is a vectorized numpy bit op."""
+    """PLINK .bed/.bim/.fam import (reference impex.import_plink →
+    `is/hail/io/plink/LoadPlink`): 2-bit genotype unpacking is a vectorized
+    numpy bit op; PLINK's numeric sex-chromosome codes recode per reference
+    genome by default."""
+    from ..utils.misc import FatalError
     rg = _resolve_rg(reference_genome)
-    contig_recoding = contig_recoding or {}
+    if contig_recoding is None:
+        if rg is None:
+            contig_recoding = {}
+        elif rg.name == 'GRCh37':
+            contig_recoding = {'23': 'X', '24': 'Y', '25': 'X', '26': 'MT'}
+        elif rg.name == 'GRCh38':
+            contig_recoding = {
+                **{str(i): f'chr{i}' for i in range(1, 23)},
+                **{'23': 'chrX', '24': 'chrY', '25': 'chrX', '26': 'chrM'},
+            }
+        else:
+            contig_recoding = {}
     # fam
     fam_t = import_fam(fam, quant_pheno=quant_pheno)
     samples = fam_t.collect()
     n = len(samples)
+    if n == 0:
+        raise FatalError(f'Empty FAM file: {fam}')
     # bim
     variants = []
     with _open(bim) as f:
         for line in f:
+            if not line.strip():
+                continue
             parts = re.split(r'\s+', line.strip())
             contig, vid, cm, pos, a1, a2 = parts[:6]
-            contig = contig_recoding.get(contig, contig)
-            variants.append((contig, int(pos), vid, float(cm), a1, a2))
+            variants.append((contig_recoding.get(contig, contig), int(pos),
+                             vid, float(cm), a1, a2))
     m = len(variants)
+    if m == 0:
+        raise FatalError(f'BIM file does not contain any variants: {bim}')
     # bed: magic 0x6c 0x1b 0x01 then ceil(n/4) bytes per variant
     with open(bed, 'rb') as f:
         magic = f.read(3)
@@ -637,43 +657,57 @@ def import_plink(bed: str, bim: str, fam: str, min_partitions=None,
     n_alt = np.where(codes == 0, 2, np.where(codes == 2, 1, 0)).astype(np.int32)
     if not a2_reference:
         n_alt = np.where(miss, 0, 2 - n_alt)
-    j = (n_alt >= 1).astype(np.int32)
-    k = (n_alt == 2).astype(np.int32)
+    # unphased diploid calls order alleles ascending: het = 0/1
+    j = (n_alt == 2).astype(np.int32)
+    k = (n_alt >= 1).astype(np.int32)
     packed = pack_diploid(j, k)
 
     keep = np.ones(m, dtype=bool)
     cidx = np.zeros(m, dtype=np.int32)
     positions = np.zeros(m, dtype=np.int32)
+    contigs = np.empty(m, dtype=object)
     alleles_arr = np.empty(m, dtype=object)
     rsids = np.empty(m, dtype=object)
     cms = np.zeros(m, dtype=np.float64)
     for i, (contig, pos, vid, cm, a1, a2) in enumerate(variants):
-        if rg is not None and not rg.has_contig(contig):
+        if rg is not None and not (rg.has_contig(contig)
+                                   and 0 < pos <= rg.contig_length(contig)):
             if skip_invalid_loci:
                 keep[i] = False
                 continue
-            raise ValueError(f'invalid contig {contig!r}')
+            raise FatalError(f"Invalid locus '{contig}:{pos}' found")
         cidx[i] = rg.contig_index(contig) if rg else 0
+        contigs[i] = contig
         positions[i] = pos
         alleles_arr[i] = [a2, a1] if a2_reference else [a1, a2]
         rsids[i] = vid
         cms[i] = cm
     sel = np.where(keep)[0]
-    row_t = ht.tstruct(locus=ht.tlocus(rg), alleles=ht.tarray(ht.tstr),
+    locus_t = ht.tlocus(rg) if rg is not None else \
+        ht.tstruct(contig=ht.tstr, position=ht.tint32)
+    row_t = ht.tstruct(locus=locus_t, alleles=ht.tarray(ht.tstr),
                        rsid=ht.tstr, cm_position=ht.tfloat64)
     mk = len(sel)
+    if rg is not None:
+        locus_col = LocusColumn(locus_t, cidx[sel], positions[sel])
+        order = np.argsort(locus_col.global_position(), kind='stable')
+    else:
+        from ..ir.columns import StructColumn
+        locus_col = StructColumn(locus_t, {
+            'contig': ObjectColumn(ht.tstr, contigs[sel]),
+            'position': PrimitiveColumn(ht.tint32, positions[sel]),
+        }, None, (mk,))
+        order = np.asarray(sorted(
+            range(mk), key=lambda i: (contigs[sel][i], positions[sel][i])),
+            dtype=np.int64)
     rows = Batch({
-        'locus': LocusColumn(ht.tlocus(rg), cidx[sel], positions[sel]),
+        'locus': locus_col,
         'alleles': ObjectColumn(ht.tarray(ht.tstr), alleles_arr[sel]),
         'rsid': ObjectColumn(ht.tstr, rsids[sel]),
         'cm_position': PrimitiveColumn(ht.tfloat64, cms[sel]),
     }, mk)
     gt_col = PrimitiveColumn(ht.tcall, packed[sel], miss[sel] if miss[sel].any() else None)
-    mb = MatrixBatch(rows, {'GT': gt_col})
-    # sort by locus
-    from ..table import _sort_indices
-    order = np.argsort(rows.columns['locus'].global_position(), kind='stable')
-    mb = mb.gather_rows(order)
+    mb = MatrixBatch(rows, {'GT': gt_col}).gather_rows(order)
 
     ph_field = 'quant_pheno' if quant_pheno else 'is_case'
     col_t = ht.tstruct(s=ht.tstr, fam_id=ht.tstr, pat_id=ht.tstr, mat_id=ht.tstr,
@@ -682,33 +716,105 @@ def import_plink(bed: str, bim: str, fam: str, min_partitions=None,
     col_rows = [Struct(s=r.id, fam_id=r.fam_id, pat_id=r.pat_id, mat_id=r.mat_id,
                        is_female=r.is_female, **{ph_field: r[ph_field]}) for r in samples]
     cols = Batch.from_pylist(col_t, col_rows)
+    n_parts = max(1, min(n_partitions or min_partitions or 1, mk or 1))
+    bounds = np.linspace(0, mk, n_parts + 1).astype(int)
+    mbs = [mb.gather_rows(np.arange(bounds[i], bounds[i + 1]))
+           for i in range(n_parts)]
     return MatrixTable(MatrixStage.from_batches(
         Batch({}, 1), cols, ['locus', 'alleles'], ['s'], row_t, col_t,
-        ht.tstruct(GT=ht.tcall), [mb]))
+        ht.tstruct(GT=ht.tcall), mbs))
 
 
 def export_plink(dataset: MatrixTable, output: str, call=None, fam_id=None,
                  ind_id=None, pat_id=None, mat_id=None, is_female=None,
                  pheno=None, varid=None, cm_position=None) -> None:
-    """Export to PLINK .bed/.bim/.fam (reference export_plink)."""
-    st = dataset._stage
+    """Export to PLINK .bed/.bim/.fam (reference impex.export_plink →
+    `is/hail/io/plink/ExportPlink`): A2 = ref allele; fam string fields
+    reject embedded whitespace at call time, varid at write time."""
+    from ..expr.expression import to_expr as _to_expr
+    from ..utils.misc import FatalError
+    mt = dataset
+    st = mt._stage
     skey = st.col_key[0]
-    samples = [r[skey] for r in st.cols.to_pylist()]
-    n = len(samples)
+    n = st.n_cols
+
+    os.makedirs(os.path.dirname(os.path.abspath(output)), exist_ok=True)
+
+    def col_strs(expr, default):
+        if expr is None:
+            return [default] * n
+        e = _to_expr(expr)
+        if e._indices.source is None:
+            v = str(_eval_py(e))
+            return [v] * n
+        col = mt._eval_col_expr(e)
+        return [default if v is None else str(v) for v in col.to_pylist()]
+
+    def _eval_py(e):
+        from ..expr.expression import eval_scalar
+        return eval_scalar(e)
+
+    fam_ids = col_strs(fam_id, '0')
+    ind_ids = col_strs(ind_id if ind_id is not None else mt[skey], '0')
+    pat_ids = col_strs(pat_id, '0')
+    mat_ids = col_strs(mat_id, '0')
+    for name, vals in (('fam_id', fam_ids), ('ind_id', ind_ids),
+                       ('pat_id', pat_ids), ('mat_id', mat_ids)):
+        bad = [v for v in vals if any(c.isspace() for c in v)]
+        if bad:
+            raise TypeError(
+                f"parameter '{name}' has spaces in the following values: {bad}")
+
+    def bool_strs(expr, missing_code, true_code='2', false_code='1'):
+        if expr is None:
+            return [missing_code] * n
+        e = _to_expr(expr)
+        if e._indices.source is None:
+            v = _eval_py(e)
+        else:
+            col = mt._eval_col_expr(e)
+            return [missing_code if v is None
+                    else (true_code if v is True else false_code if v is False
+                          else str(v)) for v in col.to_pylist()]
+        if v is None:
+            return [missing_code] * n
+        if v is True:
+            return [true_code] * n
+        if v is False:
+            return [false_code] * n
+        return [str(v)] * n
+
+    sexes = bool_strs(is_female, '0')
+    phenos = bool_strs(pheno, 'NA')
+
     with open(output + '.fam', 'w') as f:
-        for s in samples:
-            f.write(f'0\t{s}\t0\t0\t0\t-9\n')
+        for i in range(n):
+            f.write(f'{fam_ids[i]}\t{ind_ids[i]}\t{pat_ids[i]}\t{mat_ids[i]}\t'
+                    f'{sexes[i]}\t{phenos[i]}\n')
+
     bim_lines = []
     bed_chunks = [b'\x6c\x1b\x01']
     for i, ctx in enumerate(st.contexts):
         mb = st.partition_fn(ctx)
-        gt = mb.entries['GT']
+        if call is not None:
+            env = mt._entry_env(mb, i)
+            e = _to_expr(call)
+            gt = e._ir.evaluate(env)
+            if gt.shape != env.shape:
+                gt = gt.broadcast_to(env.shape)
+        else:
+            gt = mb.entries['GT']
+        if mb.entry_missing is not None:
+            gt = gt.with_missing(mb.entry_missing)
         from ..genetics.call import calls_n_alt_alleles
         packed = np.asarray(gt.values)
         miss = gt.missing_mask()
         na = calls_n_alt_alleles(packed)
         # code: ref=a2 → 2 alt = 00, het = 10, 0 alt = 11, missing = 01
         codes = np.where(miss, 1, np.where(na == 2, 0, np.where(na == 1, 2, 3))).astype(np.uint8)
+        if codes.shape[0] == 0:
+            loci = []
+            continue
         pad = (-codes.shape[1]) % 4
         if pad:
             codes = np.concatenate([codes, np.zeros((codes.shape[0], pad), np.uint8)], axis=1)
@@ -718,11 +824,35 @@ def export_plink(dataset: MatrixTable, output: str, call=None, fam_id=None,
         bed_chunks.append(byts.tobytes())
         loci = mb.rows.columns['locus'].to_pylist()
         alleles = mb.rows.columns['alleles'].to_pylist()
+
+        def row_strs(expr, default_fn):
+            if expr is None:
+                return [default_fn(r) for r in range(mb.n_rows)]
+            e = _to_expr(expr)
+            if e._indices.source is None:
+                v = _eval_py(e)
+                return [str(v)] * mb.n_rows
+            col = mt._eval_row_expr(e, mb, i)
+            return ['' if v is None else str(v) for v in col.to_pylist()]
+
+        def _contig(l):
+            return l.contig if hasattr(l, 'contig') else l['contig']
+
+        def _posn(l):
+            return l.position if hasattr(l, 'position') else l['position']
+
+        vids = row_strs(varid, lambda r: f'{_contig(loci[r])}:{_posn(loci[r])}'
+                                         f':{alleles[r][0]}:{alleles[r][1]}')
+        cms = row_strs(cm_position, lambda r: '0.0')
+        if cm_position is not None:
+            cms = [str(float(v)) for v in cms]
         for r in range(mb.n_rows):
             l = loci[r]
             a = alleles[r]
-            vid = f'{l.contig}:{l.position}:{a[0]}:{a[1]}'
-            bim_lines.append(f'{l.contig}\t{vid}\t0\t{l.position}\t{a[1]}\t{a[0]}\n')
+            if any(c.isspace() for c in vids[r]):
+                raise FatalError(f'no white space allowed: {vids[r]!r}')
+            bim_lines.append(f'{_contig(l)}\t{vids[r]}\t{cms[r]}\t{_posn(l)}\t'
+                             f'{a[1]}\t{a[0]}\n')
     with open(output + '.bim', 'w') as f:
         f.writelines(bim_lines)
     with open(output + '.bed', 'wb') as f:

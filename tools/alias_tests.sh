@@ -16,6 +16,8 @@ export PYTHONDONTWRITEBYTECODE=1
 export PYTHONPATH="$PWD:/root/reference/hail/python${PYTHONPATH:+:$PYTHONPATH}"
 export HAIL_TEST_RESOURCES_DIR=/root/reference/hail/hail/test/resources
 export HAIL_DOCTEST_DATA_DIR=/root/reference/hail/python/hail/docs/data
+# no plink binary in this image: the reference suite's own env-skip marker
+command -v plink >/dev/null 2>&1 || export HAIL_TEST_SKIP_PLINK=1
 export JAX_PLATFORM_NAME=cpu
 export JAX_PLATFORMS=cpu
 # we ARE a local backend: the reference conftest (loaded via --confcutdir)
