@@ -71,6 +71,13 @@ from hail_tpu.expr.typefuncs import ExpressionException  # noqa: F401
 
 _sys.modules['hail.expr.types'] = _types
 _sys.modules['hail.expr.expressions'] = _importlib.import_module('hail_tpu.expr.expression')
+# hail.expr.expressions.typed_expressions: the reference keeps the typed
+# Expression subclasses in a dedicated module; ours live in expr.expression
+_sys.modules['hail.expr.expressions.typed_expressions'] = \
+    _importlib.import_module('hail_tpu.expr.expression')
+_expr_expressions = _sys.modules['hail.expr.expressions']
+_expr_expressions.typed_expressions = _expr_expressions
+_ht.expr.expressions = _expr_expressions
 _sys.modules['hail.context'] = _context
 _sys.modules['hail.ir'] = _ir
 _sys.modules['hail.typecheck.check'] = _tc_check

@@ -18,12 +18,27 @@ from dataclasses import dataclass
 from typing import IO, List, Optional
 
 
+class _BoolFlag(int):
+    """A bool usable both as a value (`if st.is_dir`) and a method
+    (`st.is_dir()`) — the reference's FileListEntry exposes is_dir() as a
+    method while older call sites read it as an attribute."""
+
+    def __call__(self) -> bool:
+        return bool(self)
+
+    def __repr__(self) -> str:
+        return repr(bool(self))
+
+
 @dataclass
 class FileStatus:
     path: str
     size: int
     is_dir: bool
     modification_time: Optional[float] = None
+
+    def __post_init__(self):
+        self.is_dir = _BoolFlag(bool(self.is_dir))
 
     # reference FileListEntry API
     def is_file(self) -> bool:

@@ -120,8 +120,19 @@ def decode_part_bytes(raw: bytes, buffer_spec: dict) -> Tuple[bytes, bool]:
             out += lz4_decompress_block(block[4:], decomp_len)
         elif comp.startswith('Zstd'):
             import zstandard
-            out += zstandard.ZstdDecompressor().decompress(
-                bytes(block), max_output_size=1 << 26)
+            # block layout: [int32 decompressed length][zstd frame]
+            # (InputBuffers.scala ZstdInputBlockBuffer.readBlock); the
+            # size-based variant flags uncompressed blocks in bit 0
+            decomp_len = _struct.unpack_from('<i', block, 0)[0]
+            if comp.startswith('ZstdSizedBased'):
+                if decomp_len % 2 == 0:
+                    out += bytes(block[4:])
+                    continue
+                out += zstandard.ZstdDecompressor().decompress(
+                    bytes(block[4:]), max_output_size=decomp_len >> 1)
+            else:
+                out += zstandard.ZstdDecompressor().decompress(
+                    bytes(block[4:]), max_output_size=max(decomp_len, 1))
         else:
             raise NotImplementedError(f'compression {comp}')
     return bytes(out), leb128

@@ -143,10 +143,13 @@ class MatrixStage:
             i, _inner = ctx
             return f(parent.materialize_partition(i), i)
         ctxs = [(i, c) for i, c in enumerate(self.contexts)]
+        # explicit None checks: an empty tstruct is falsy but is a real
+        # new type (select_entries() with no fields)
         return MatrixStage(self.globals, self.cols, self.row_key, self.col_key,
-                           new_row_type or self.row_type, self.col_type,
-                           new_entry_type or self.entry_type, ctxs, new_fn,
-                           uid_bases=self.uid_bases)
+                           self.row_type if new_row_type is None else new_row_type,
+                           self.col_type,
+                           self.entry_type if new_entry_type is None else new_entry_type,
+                           ctxs, new_fn, uid_bases=self.uid_bases)
 
     def collect_batches(self) -> List[MatrixBatch]:
         from .ir import memcache

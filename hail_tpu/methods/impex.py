@@ -27,7 +27,9 @@ from ..table import Table, TableStage
 from ..utils.structs import Interval, Struct
 
 # re-export the VCF entry points
-from ..io.vcf import export_vcf, get_vcf_metadata, import_vcf  # noqa: F401
+from ..io.vcf import export_vcf as _export_vcf_io  # noqa: F401
+from ..io.vcf import get_vcf_metadata, import_vcf  # noqa: F401
+from ..utils.misc import warning  # noqa: F401
 from ..io.bgen import export_bgen, import_bgen, index_bgen  # noqa: F401
 from ..io.avro import import_avro  # noqa: F401
 
@@ -61,7 +63,8 @@ def import_table(paths, key=None, min_partitions=None, impute: bool = False,
                  source_file_field: Optional[str] = None) -> Table:
     """Import delimited text (reference impex.import_table)."""
     paths = [paths] if isinstance(paths, str) else list(paths)
-    types = dict(types or {})
+    types = {k: (ht.dtype(v) if isinstance(v, str) else v)
+             for k, v in (types or {}).items()}
     missing_vals = {missing} if isinstance(missing, str) else set(missing)
     comment = [comment] if isinstance(comment, str) else list(comment)
     filter_re = re.compile(filter) if filter else None
@@ -137,15 +140,48 @@ def import_table(paths, key=None, min_partitions=None, impute: bool = False,
                 rows.append([None if x in missing_vals or x == '' else x for x in parts])
                 src_files.append(p)
 
+    if header is None and not no_header:
+        raise ValueError(
+            'Invalid file: no lines remaining after filters\n Files provided: '
+            + ', '.join(paths))
     if header is None:
         width = max((len(r) for r in rows), default=0)
         header = [f'f{i}' for i in range(width)]
 
     ncol = len(header)
+
+    def _row_major_check(field_types):
+        # errors surface in row-major order, as the reference's line parser
+        from ..utils.misc import HailUserError
+        for r in rows:
+            if len(r) != ncol:
+                plural = '' if len(r) == 1 else 's'
+                raise HailUserError(
+                    f'Expected {ncol} fields, found {len(r)} field{plural}')
+            for i, name in enumerate(header):
+                t = field_types.get(name)
+                v = r[i]
+                if v is None:
+                    continue
+                if t in (ht.tint32, ht.tint64):
+                    try:
+                        int(v)
+                    except ValueError:
+                        raise HailUserError(
+                            f'cannot parse {t} from input string {v!r}')
+                elif t in (ht.tfloat32, ht.tfloat64):
+                    try:
+                        float(v)
+                    except ValueError:
+                        raise HailUserError(
+                            f'cannot parse {t} from input string {v!r}')
+
     col_strs: List[List[Optional[str]]] = [[] for _ in range(ncol)]
     for r in rows:
         for i in range(ncol):
             col_strs[i].append(r[i] if i < len(r) else None)
+    if any(len(r) != ncol for r in rows):
+        _row_major_check(types)
 
     def infer(vals: List[Optional[str]]) -> ht.HailType:
         nonnull = [v for v in vals if v is not None]
@@ -185,9 +221,19 @@ def import_table(paths, key=None, min_partitions=None, impute: bool = False,
             if t == ht.tbool:
                 return v.lower() == 'true'
             if t in (ht.tint32, ht.tint64):
-                return int(v)
+                try:
+                    return int(v)
+                except ValueError:
+                    from ..utils.misc import HailUserError
+                    raise HailUserError(
+                        f'cannot parse {t} from input string {v!r}')
             if t in (ht.tfloat32, ht.tfloat64):
-                return float(v)
+                try:
+                    return float(v)
+                except ValueError:
+                    from ..utils.misc import HailUserError
+                    raise HailUserError(
+                        f'cannot parse {t} from input string {v!r}')
             if isinstance(t, ht.tlocus):
                 from ..genetics.locus import Locus
                 return Locus.parse(v, t.reference_genome)
@@ -216,7 +262,11 @@ def import_table(paths, key=None, min_partitions=None, impute: bool = False,
             return v
         return C.from_pylist(t, [cv(v) for v in vals])
 
-    cols = {name: convert(col_strs[i], field_types[name]) for i, name in enumerate(header)}
+    try:
+        cols = {name: convert(col_strs[i], field_types[name]) for i, name in enumerate(header)}
+    except Exception:
+        _row_major_check(field_types)
+        raise
     if source_file_field:
         cols[source_file_field] = C.from_pylist(ht.tstr, src_files)
         field_types[source_file_field] = ht.tstr
@@ -252,6 +302,18 @@ def import_lines(paths, min_partitions=None, force_bgz: bool = False,
     row_t = ht.tstruct(file=ht.tstr, text=ht.tstr)
     b = Batch({'file': C.from_pylist(ht.tstr, files),
                'text': C.from_pylist(ht.tstr, texts)}, len(texts))
+    if file_per_partition:
+        bs = []
+        for p in paths:
+            sel = np.asarray([f == p for f in files])
+            bs.append(b.compress(sel))
+        return Table(TableStage.from_batches(Batch({}, 1), [], row_t, bs))
+    k = int(min_partitions or 1)
+    if k > 1 and b.length:
+        bounds = np.linspace(0, b.length, min(k, b.length) + 1).astype(int)
+        bs = [b.slice(int(bounds[i]), int(bounds[i + 1]))
+              for i in range(len(bounds) - 1)]
+        return Table(TableStage.from_batches(Batch({}, 1), [], row_t, bs))
     return Table(TableStage.from_batches(Batch({}, 1), [], row_t, [b]))
 
 
@@ -1340,3 +1402,60 @@ def export_elasticsearch(t, host, port, index, index_type, block_size,
         'export_elasticsearch requires a reachable Elasticsearch cluster; '
         'this build has no network egress. Export with t.export(...) or '
         'to_pandas().to_json(...) and bulk-load externally.')
+
+def export_vcf(dataset, output: str, append_to_header=None, parallel=None,
+               metadata=None, *, tabix: bool = False) -> None:
+    """Reference impex.export_vcf's python-level validation (gz warning,
+    sites-only Tables, filters dtype check, invalid INFO names, ignored
+    fields) before the writer (io/vcf.py)."""
+    from ..table import Table as _Table
+    _, ext = os.path.splitext(output)
+    if ext == '.gz':
+        warning(
+            'VCF export with standard gzip compression requested. This is '
+            'almost *never* desired and will cause issues with other tools '
+            'that consume VCF files. The compression format used for VCF '
+            'files is traditionally *block* gzip compression. To use block '
+            'gzip compression with hail VCF export, use a path ending in '
+            '`.bgz`.')
+    if isinstance(dataset, _Table):
+        mt = MatrixTable.from_rows_table(dataset)
+        dataset = mt.key_cols_by(sample='').filter_cols(False)
+
+    row_t = dataset._stage.row_type
+    if 'filters' in row_t.fields and row_t['filters'] != ht.tset(ht.tstr):
+        raise ValueError(
+            f"'export_vcf': expect the 'filters' field to be set<str>, found "
+            f"{row_t['filters']}\n  Either transform this field to set<str> "
+            'to export as VCF FILTERS field, or drop it from the dataset.')
+
+    info_fields = (list(row_t['info'].fields) if 'info' in row_t.fields
+                   and isinstance(row_t['info'], ht.tstruct) else [])
+    invalid_info_fields = [
+        f for f in info_fields
+        if not re.fullmatch(r"^([A-Za-z_][0-9A-Za-z_.]*|1000G)", f)]
+    if invalid_info_fields:
+        invalid_info_str = ''.join(f'\n    {f!r}' for f in invalid_info_fields)
+        warning('export_vcf: the following info field names are invalid in '
+                'VCF 4.3 and may not work with some tools: ' + invalid_info_str)
+
+    row_fields_used = {'rsid', 'info', 'filters', 'qual'}
+    key_fields = set(dataset._stage.row_key) | set(dataset._stage.col_key)
+    fields_dropped = []
+    for f in dataset._stage.globals_type.fields:
+        fields_dropped.append((f, 'global'))
+    for f in dataset._stage.col_type.fields:
+        if f not in key_fields:
+            fields_dropped.append((f, 'column'))
+    for f in row_t.fields:
+        if f not in row_fields_used and f not in key_fields:
+            fields_dropped.append((f, 'row'))
+    if fields_dropped:
+        ignored_str = ''.join(f'\n    {f!r} ({axis})'
+                              for f, axis in fields_dropped)
+        warning('export_vcf: ignored the following fields:' + ignored_str)
+        dataset = dataset.drop(*(f for f, _ in fields_dropped))
+
+    _export_vcf_io(dataset, output, append_to_header=append_to_header,
+                   parallel=parallel, metadata=metadata, tabix=tabix)
+

@@ -284,6 +284,16 @@ class Table:
         # table[key_expr] → join lookup
         if isinstance(item, tuple):
             exprs = [to_expr(e) for e in item]
+            if len(exprs) != len(self._stage.key):
+                # struct expressions explode into their fields before key
+                # matching (reference flexindex; index_entries(row_key, col_key))
+                flat = []
+                for e in exprs:
+                    if isinstance(e, StructExpression):
+                        flat.extend(e[k] for k in e.dtype.fields)
+                    else:
+                        flat.append(e)
+                exprs = flat
         elif isinstance(item, StructExpression):
             kt = self._stage.key
             if len(kt) == 1 and item.dtype == self._stage.row_type[kt[0]]:
@@ -1939,12 +1949,15 @@ class GroupedTable:
         idx = _sort_indices(batch, specs)
         batch = batch.gather(idx)
         keys = _key_tuples(batch, self._key_fields)
-        # group boundaries
-        bounds = [0]
-        for i in range(1, len(keys)):
-            if keys[i] != keys[i - 1]:
-                bounds.append(i)
-        bounds.append(len(keys))
+        # group boundaries (an empty table has zero groups)
+        if not keys:
+            bounds = [0]
+        else:
+            bounds = [0]
+            for i in range(1, len(keys)):
+                if keys[i] != keys[i - 1]:
+                    bounds.append(i)
+            bounds.append(len(keys))
         n_groups = max(0, len(bounds) - 1)
         all_nodes = {k: aggmod.collect_agg_nodes(e._ir) for k, e in exprs.items()}
         out_rows = []
