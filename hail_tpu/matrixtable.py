@@ -2177,22 +2177,80 @@ def read_matrix_table(path: str, *, _intervals=None,
     if _drop_cols:
         mt = mt.filter_cols(False)
     if _intervals is not None:
-        from .table import _interval_contains_key
-        ivs = list(_intervals)
-        st = mt._stage
-        key = list(st.row_key)
-
-        def f(mb, i):
-            if not mb.n_rows:
-                return mb
-            kvals = list(zip(*[mb.rows.columns[k].to_pylist() for k in key]))
-            keep = np.asarray([any(_interval_contains_key(iv, kt) for iv in ivs)
-                               for kt in kvals], dtype=bool)
-            return mb.filter_rows(keep)
-        mt = MatrixTable(st.map_partitions(f))
+        mt = _restrict_mt_to_intervals(mt, list(_intervals), _filter_intervals)
     if _n_partitions is not None:
         mt = mt.repartition(_n_partitions)
     return mt
+
+
+def _restrict_mt_to_intervals(mt: MatrixTable, intervals,
+                              filter_intervals: bool) -> MatrixTable:
+    """Indexed MT read (reference IndexedRVDSpec2 seeks): partition bounds
+    restrict which source partitions are touched at PLAN time;
+    filter_intervals=True keeps the overlapping source partitions'
+    granularity, otherwise the result has ONE partition per interval."""
+    from .table import _interval_contains_key, _interval_endpoint
+    st = mt._stage
+    key = list(st.row_key)
+
+    def part_mask(mb, ivs):
+        if not mb.n_rows:
+            return np.zeros(0, dtype=bool)
+        kvals = list(zip(*[mb.rows.columns[k].to_pylist() for k in key]))
+        return np.asarray([any(_interval_contains_key(iv, kt) for iv in ivs)
+                           for kt in kvals], dtype=bool)
+
+    def overlaps_bounds(iv, b):
+        if b is None:
+            return True
+        s = _interval_endpoint(iv.start, len(key))
+        e = _interval_endpoint(iv.end, len(key))
+        try:
+            lo, hi = b
+            sv, ev = s[0], e[0]
+            if hasattr(sv, 'contig'):
+                sv = sv.reference_genome.global_position(sv.contig, sv.position)
+                ev = ev.reference_genome.global_position(ev.contig, ev.position)
+            if ev < lo or (ev == lo and not iv.includes_end and len(e) >= len(key)):
+                return False
+            if sv > hi:
+                return False
+            return True
+        except (TypeError, AttributeError):
+            return True
+
+    pf = st.partition_fn
+    ctxs = list(st.contexts)
+    bounds = st.partition_bounds or [None] * len(ctxs)
+    if filter_intervals:
+        kept = [i for i, b in enumerate(bounds)
+                if any(overlaps_bounds(iv, b) for iv in intervals)]
+
+        def new_pf(i):
+            mb = pf(ctxs[i])
+            return mb.filter_rows(part_mask(mb, intervals))
+        return MatrixTable(MatrixStage(
+            st.globals, st.cols, key, st.col_key, st.row_type, st.col_type,
+            st.entry_type, kept, new_pf,
+            [bounds[i] for i in kept] if st.partition_bounds else None))
+
+    def iv_pf(j):
+        iv = intervals[j]
+        pieces = [pf(ctxs[i]) for i, b in enumerate(bounds)
+                  if overlaps_bounds(iv, b)]
+        out = [mb.filter_rows(part_mask(mb, [iv])) for mb in pieces]
+        out = [mb for mb in out if mb.n_rows]
+        if not out:
+            from .ir.columns import Batch as _B
+            return MatrixBatch(_B.empty(st.row_type), {
+                k: C.null_column(t, (0, st.n_cols))
+                for k, t in st.entry_type.items()})
+        if len(out) == 1:
+            return out[0]
+        return _concat_matrix_batches(out, st)
+    return MatrixTable(MatrixStage(
+        st.globals, st.cols, key, st.col_key, st.row_type, st.col_type,
+        st.entry_type, list(range(len(intervals))), iv_pf))
 
 
 
