@@ -39,7 +39,7 @@ for entry in "${SUITES[@]}"; do
   p=$(echo "$log" | grep -Eo '[0-9]+ passed' | grep -Eo '[0-9]+' | head -1); p=${p:-0}
   f=$(echo "$log" | grep -Eo '[0-9]+ failed' | grep -Eo '[0-9]+' | head -1); f=${f:-0}
   e=$(echo "$log" | grep -Eo '[0-9]+ error' | grep -Eo '[0-9]+' | head -1); e=${e:-0}
-  s=$(echo "$log" | grep -Eo '[0-9]+ (skipped|xfailed)' | grep -Eo '[0-9]+' | paste -sd+ | bc); s=${s:-0}
+  s=$(echo "$log" | grep -Eo '[0-9]+ (skipped|xfailed)' | grep -Eo '[0-9]+' | awk '{t+=$1} END {print t+0}'); s=${s:-0}
   TOTAL_P=$((TOTAL_P + p)); TOTAL_F=$((TOTAL_F + f + e))
   printf '%-12s passed=%-5s failed=%-4s errors=%-4s skipped=%-4s wall=%ss\n' \
     "$name" "$p" "$f" "$e" "$s" "$((end - start))" | tee -a "$OUT"
