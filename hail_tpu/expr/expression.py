@@ -44,8 +44,12 @@ class Indices:
         for ind in indices:
             if ind.source is not None:
                 if src is not None and src is not ind.source:
-                    raise ValueError(
-                        'cannot combine expressions from different source objects')
+                    from .typefuncs import ExpressionException
+                    raise ExpressionException(
+                        'Cannot combine expressions from different source objects.'
+                        '\n    Found fields from 2 objects:'
+                        f'\n        {type(src).__name__}'
+                        f'\n        {type(ind.source).__name__}')
                 src = ind.source
             axes |= ind.axes
         return Indices(src, frozenset(axes))
@@ -65,6 +69,11 @@ class Expression:
 
     @property
     def dtype(self) -> ht.HailType:
+        return self._ir.typ
+
+    @property
+    def _type(self) -> ht.HailType:
+        # reference Expression._type (base_expression.py)
         return self._ir.typ
 
     def __repr__(self):

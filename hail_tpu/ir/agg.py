@@ -557,8 +557,9 @@ class CollectAgg(Aggregator):
 
     def seq(self, arg_cols, include, axis, init_args):
         (x,) = arg_cols
-        if self.kind == 'counter':
-            # counter keys include missing (a None group), unlike collect
+        if self.kind in ('counter', 'collect'):
+            # counter keys and collect elements include missing (reference
+            # CollectAggregator stores optional elements; test_agg_explode)
             ok = np.ones(x.shape, dtype=bool) if include is None else \
                 np.broadcast_to(include, x.shape)
         else:

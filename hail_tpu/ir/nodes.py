@@ -40,6 +40,25 @@ class EvalEnv:
         return EvalEnv(dict(self.bindings), shape)
 
 
+def walk_ir(root):
+    """Yield every IR node of a tree (pre-order); non-IR child entries
+    (field-name pairs etc.) are skipped."""
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if not hasattr(n, 'children'):
+            continue
+        yield n
+        ch = n.children() if callable(n.children) else n.children
+        for c in ch:
+            if c is None:
+                continue
+            if isinstance(c, (tuple, list)):
+                stack.extend(x for x in c if hasattr(x, 'children'))
+            else:
+                stack.append(c)
+
+
 class IR:
     """Base IR node."""
 

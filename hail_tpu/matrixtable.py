@@ -334,6 +334,20 @@ class MatrixTable:
         return EvalEnv({'global': self._global_col()}, (1,))
 
     @property
+    def _fields(self):
+        # reference MatrixTable._fields: every field name → its expression
+        out = {}
+        for f in self._stage.globals_type.fields:
+            out[f] = self.globals[f]
+        for f in self._stage.row_type.fields:
+            out[f] = self.row[f]
+        for f in self._stage.col_type.fields:
+            out[f] = self.col[f]
+        for f in self._stage.entry_type.fields:
+            out[f] = self.entry[f]
+        return out
+
+    @property
     def _row_indices(self):
         return Indices(self, frozenset({'row'}))
 
@@ -385,10 +399,13 @@ class MatrixTable:
                         '__row_idx__': PrimitiveColumn(ht.tint64, idx)}, (R, Cn))
 
     def _check_source(self, *exprs):
+        from .expr.typefuncs import ExpressionException
         for e in exprs:
             src = e._indices.source
             if src is not None and src is not self:
-                raise ValueError('expression from a different source; use [] joins')
+                raise ExpressionException(
+                    'source mismatch: expression is bound to another object; '
+                    'use [] join syntax to combine datasets')
 
     # -- annotate ----------------------------------------------------------
     def annotate_rows(self, **named_exprs) -> 'MatrixTable':
@@ -604,7 +621,30 @@ class MatrixTable:
 
     def select_entries(self, *fields, **named_exprs) -> 'MatrixTable':
         exprs = {k: to_expr(v) for k, v in named_exprs.items()}
-        names = list(dict.fromkeys(list(fields) + list(exprs)))
+        from .ir.nodes import GetField, Ref
+        pos_names = []
+        for f in fields:
+            if isinstance(f, str):
+                pos_names.append(f)
+                continue
+            # nested positional selection: mt.select_entries(mt.a.b) keeps
+            # field 'b' = the nested value (reference get_select_exprs)
+            ir = f._ir
+            name = ir.name if isinstance(ir, GetField) else None
+            base = ir
+            while isinstance(base, GetField):
+                base = base.struct
+            if name is None or not (isinstance(base, Ref) and base.name == 'g'):
+                from .expr.typefuncs import ExpressionException
+                raise ExpressionException(
+                    'select_entries: arguments must be entry fields or '
+                    'nested entry fields, not complex expressions')
+            if isinstance(ir.struct, Ref):
+                pos_names.append(name)     # top-level field: keep as-is
+            else:
+                exprs.setdefault(name, f)
+                pos_names.append(name)
+        names = list(dict.fromkeys(pos_names + list(exprs)))
         new_t = ht.tstruct.from_fields(
             [(n, exprs[n].dtype if n in exprs else self._stage.entry_type[n]) for n in names])
         def f(mb, i):
@@ -796,7 +836,8 @@ class MatrixTable:
                       | set(st.entry_type.fields) | set(st.globals_type.fields))
 
         def check_axes(e, name):
-            if e._indices.axes != frozenset({axis}):
+            # scalar (axis-free) key expressions are legal constants
+            if e._indices.axes not in (frozenset({axis}), frozenset()):
                 raise ExpressionException(
                     f"group key {name!r} has indices {sorted(e._indices.axes)};"
                     f" expected ['{axis}']")
@@ -820,24 +861,40 @@ class MatrixTable:
             if not top_level:
                 ann[ir.name] = k
             names.append(ir.name)
+        renames = {}
         for name, e in named_exprs.items():
-            if name in all_fields:
-                raise ExpressionException(
-                    f'cannot assign group key {name!r}: field already exists')
             e = to_expr(e)
             check_axes(e, name)
-            ann[name] = e
-        return names + list(named_exprs), ann
+            if name in all_fields and name not in axis_fields:
+                # shadowing is only legal for fields of the grouped axis
+                # (old row fields die with the regroup); col/global/entry
+                # collisions are errors (test_errors_caught_correctly)
+                raise ExpressionException(
+                    f'cannot assign group key {name!r}: '
+                    f'field already exists outside the {axis} axis')
+            if name in all_fields:
+                # a named key may SHADOW a field of the grouped axis: the
+                # key expr is evaluated against the old bindings, and the
+                # field takes the key's name only in the result (reference
+                # test_group_by_field_lifetimes)
+                tmp = f'__group_key_{name}'
+                renames[tmp] = name
+                ann[tmp] = e
+                names.append(tmp)
+            else:
+                ann[name] = e
+                names.append(name)
+        return names, ann, renames
 
     def group_rows_by(self, *keys, **named_exprs) -> 'GroupedMatrixTable':
-        names, ann = self._group_key_names(keys, named_exprs, 'row')
+        names, ann, renames = self._group_key_names(keys, named_exprs, 'row')
         mt = self.annotate_rows(**ann) if ann else self
-        return GroupedMatrixTable(mt, row_keys=names)
+        return GroupedMatrixTable(mt, row_keys=names, key_renames=renames)
 
     def group_cols_by(self, *keys, **named_exprs) -> 'GroupedMatrixTable':
-        names, ann = self._group_key_names(keys, named_exprs, 'column')
+        names, ann, renames = self._group_key_names(keys, named_exprs, 'column')
         mt = self.annotate_cols(**ann) if ann else self
-        return GroupedMatrixTable(mt, col_keys=names)
+        return GroupedMatrixTable(mt, col_keys=names, key_renames=renames)
 
 
     def summarize(self, *, rows: bool = True, entries: bool = True,
@@ -873,8 +930,29 @@ class MatrixTable:
 
     def aggregate_cols(self, expr, _localize: bool = True) -> Any:
         e = to_expr(expr)
+        from .ir.nodes import Ref, walk_ir
+        for n_ in walk_ir(e._ir):
+            if isinstance(n_, Ref) and n_.name == 'g':
+                from .expr.typefuncs import ExpressionException
+                raise ExpressionException(
+                    'scope violation: aggregate_cols aggregates over columns; '
+                    'found an entry expression inside the aggregation')
         agg_nodes = aggmod.collect_agg_nodes(e._ir)
-        states = aggmod.partial_aggregate(agg_nodes, self._col_env(), (0,))
+        env = self._col_env()
+        if self._stage.col_key:
+            # keyed column aggregations run in col-key order (reference: the
+            # cols table is key-sorted; test_aggregate_cols_order)
+            from .table import _sort_indices
+            cb = self._stage.cols
+            order = _sort_indices(cb, [(k, True) for k in self._stage.col_key])
+            if not np.array_equal(order, np.arange(cb.length)):
+                sb = cb.gather(order)
+                from .ir.columns import StructColumn as _SC, PrimitiveColumn as _PC
+                sa = _SC(sb.row_type, dict(sb.columns), None, (sb.length,))
+                env = EvalEnv({'sa': sa, 'global': self._global_col(),
+                               '__row_idx__': _PC(ht.tint64, np.asarray(order, np.int64))},
+                              (sb.length,))
+        states = aggmod.partial_aggregate(agg_nodes, env, (0,))
         col = aggmod.finalize_aggregate(e._ir, agg_nodes, states, self._globals_env())
         vals = col.to_pylist()
         out = vals[0] if vals else None
@@ -1779,6 +1857,20 @@ class MatrixTable:
     # -- misc --------------------------------------------------------------
     def rename(self, mapping: Dict[str, str]) -> 'MatrixTable':
         st = self._stage
+        all_fields = (list(st.globals_type.fields) + list(st.row_type.fields)
+                      + list(st.col_type.fields) + list(st.entry_type.fields))
+        for old in mapping:
+            if old not in all_fields:
+                raise LookupError(f'cannot rename missing field {old!r}')
+        seen = {}
+        for old, new in mapping.items():
+            if new in seen:
+                raise ValueError(
+                    f'cannot rename two fields to the same name: {new!r}')
+            seen[new] = old
+            if new in all_fields and new not in mapping:
+                raise ValueError(
+                    f'cannot rename {old!r} to {new!r}: field already exists')
         new_rt = ht.tstruct.from_fields([(mapping.get(k, k), v) for k, v in st.row_type.items()])
         new_et = ht.tstruct.from_fields([(mapping.get(k, k), v) for k, v in st.entry_type.items()])
         def f(mb, i):
@@ -1870,13 +1962,15 @@ class GroupedMatrixTable:
     MatrixAggregateRowsByKey/MatrixAggregateColsByKey)."""
 
     def __init__(self, mt: 'MatrixTable', row_keys=None, col_keys=None,
-                 entry_aggs=None, row_aggs=None, col_aggs=None):
+                 entry_aggs=None, row_aggs=None, col_aggs=None,
+                 key_renames=None):
         self._mt = mt
         self._row_keys = row_keys
         self._col_keys = col_keys
         self._entry_aggs = dict(entry_aggs or {})
         self._row_aggs = dict(row_aggs or {})
         self._col_aggs = dict(col_aggs or {})
+        self._key_renames = dict(key_renames or {})
 
     def partition_hint(self, n: int) -> 'GroupedMatrixTable':
         return self
@@ -1884,10 +1978,11 @@ class GroupedMatrixTable:
     def _copy(self, **updates) -> 'GroupedMatrixTable':
         d = dict(mt=self._mt, row_keys=self._row_keys, col_keys=self._col_keys,
                  entry_aggs=self._entry_aggs, row_aggs=self._row_aggs,
-                 col_aggs=self._col_aggs)
+                 col_aggs=self._col_aggs, key_renames=self._key_renames)
         d.update(updates)
         return GroupedMatrixTable(d['mt'], d['row_keys'], d['col_keys'],
-                                  d['entry_aggs'], d['row_aggs'], d['col_aggs'])
+                                  d['entry_aggs'], d['row_aggs'], d['col_aggs'],
+                                  d['key_renames'])
 
     def _check_field_names(self, exprs, allow_entry_collision=False):
         from .expr.typefuncs import ExpressionException
@@ -1960,6 +2055,12 @@ class GroupedMatrixTable:
                             self._row_aggs, self._col_aggs)
 
     def _result(self, entry_exprs, row_agg_exprs, col_agg_exprs) -> 'MatrixTable':
+        out = self._result_inner(entry_exprs, row_agg_exprs, col_agg_exprs)
+        if self._key_renames:
+            out = out.rename(dict(self._key_renames))
+        return out
+
+    def _result_inner(self, entry_exprs, row_agg_exprs, col_agg_exprs) -> 'MatrixTable':
         mt = self._mt
         st = mt._stage
         exprs = {k: to_expr(v) for k, v in entry_exprs.items()}
