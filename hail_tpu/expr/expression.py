@@ -185,7 +185,9 @@ class Expression:
             return src.select_rows(**{'<expr>': self}).rows().select('<expr>'), '<expr>'
         if axes == {'column'}:
             return src.select_cols(**{'<expr>': self}).cols().select('<expr>'), '<expr>'
-        t2 = src.select_rows().select_cols().select_entries(**{'<expr>': self}).entries()
+        # evaluate the entry expr BEFORE dropping the row/col fields it may
+        # reference (test_show_5: mt.af * mt.GT.n_alt_alleles())
+        t2 = src.select_entries(**{'<expr>': self}).select_rows().select_cols().entries()
         return t2.select('<expr>'), '<expr>'
 
     def _to_relational_preserving_rows_and_cols(self, fallback_name='<expr>'):

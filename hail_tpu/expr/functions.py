@@ -360,15 +360,56 @@ def switch(expr) -> SwitchBuilder:
     return SwitchBuilder(expr)
 
 
-def bind(f, *exprs):
-    """hl.bind(f, *args): apply f to expressions (no CSE benefit here since
-    evaluation is columnar, but kept for API parity)."""
-    return to_expr(f(*[to_expr(e) for e in exprs]))
+_bind_counter = [0]
 
 
-def rbind(*exprs_and_f):
+def _sub_refs(ir, mapping):
+    from ..ir.nodes import Ref, AggOp
+    if isinstance(ir, Ref) and ir.name in mapping:
+        return mapping[ir.name]
+    if isinstance(ir, AggOp):
+        new = AggOp(ir.aggregator, [_sub_refs(a, mapping) for a in ir.args],
+                    ir.typ,
+                    None if ir.filter_ir is None
+                    else _sub_refs(ir.filter_ir, mapping),
+                    ir.init_args)
+        new.uid = ir.uid
+        return new
+    return ir.map_children(lambda c: _sub_refs(c, mapping))
+
+
+def bind(f, *exprs, _ctx=None):
+    """hl.bind(f, *args): apply f to expressions. A bound variable may not
+    be referenced inside an aggregation (reference scope rule,
+    test_aggregator_bindings) unless `_ctx='agg'/'scan'` opts in."""
+    from ..ir.nodes import AggOp, Ref, walk_ir
+    from .typefuncs import ExpressionException
+    exprs_ = [to_expr(e) for e in exprs]
+    _bind_counter[0] += 1
+    names = [f'__bind_{_bind_counter[0]}_{i}' for i in range(_bi.len(exprs_))]
+    vars_ = [construct_expr(Ref(n, e.dtype), e._indices)
+             for n, e in zip(names, exprs_)]
+    body = to_expr(f(*vars_))
+    if _ctx is None:
+        nameset = _bi.set(names)
+        has_agg = _bi.any(isinstance(n, AggOp) for n in walk_ir(body._ir))
+        refs_var = _bi.any(isinstance(n, Ref) and n.name in nameset
+                           for n in walk_ir(body._ir))
+        if has_agg and refs_var:
+            # a bind variable may not cross an aggregation boundary in
+            # either direction (reference scope rule,
+            # test_aggregator_bindings); _ctx='agg'/'scan' opts in
+            raise ExpressionException(
+                'dynamic variables created by hl.bind or lambda methods '
+                'cannot be aggregated')
+    sub_map = {n: e._ir for n, e in zip(names, exprs_)}
+    out_ir = _sub_refs(body._ir, sub_map)
+    return construct_expr(out_ir, unify_all(body, *exprs_))
+
+
+def rbind(*exprs_and_f, _ctx=None):
     *exprs, f = exprs_and_f
-    return bind(f, *exprs)
+    return bind(f, *exprs, _ctx=_ctx)
 
 
 def struct(**kwargs) -> StructExpression:
