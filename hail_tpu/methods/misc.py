@@ -131,6 +131,26 @@ def filter_intervals(ds, intervals, keep: bool = True):
         return out
 
 
+def require_row_key_variant_w_struct_locus(dataset, method: str):
+    """Reference methods/misc.py require_row_key_variant_w_struct_locus: key
+    must be (locus, alleles) where locus is locus<any> OR
+    struct{contig: str, position: int32}."""
+    key = list(dataset._stage.row_key if isinstance(dataset, MatrixTable)
+               else dataset._stage.key)
+    row_t = dataset._stage.row_type
+    loc_t = row_t.fields.get('locus')
+    struct_ok = loc_t == ht.tstruct(contig=ht.tstr, position=ht.tint32)
+    ok = (key == ['locus', 'alleles']
+          and row_t.fields.get('alleles') == ht.tarray(ht.tstr)
+          and (isinstance(loc_t, ht.tlocus) or struct_ok))
+    if not ok:
+        found = ''.join(f"\n    '{k}': {row_t.fields.get(k)}" for k in key)
+        raise ValueError(
+            f"Method '{method}' requires row key to be two fields 'locus' "
+            "(type 'locus<any>' or 'struct{contig: str, position: int32}') "
+            f"and 'alleles' (type 'array<str>')\n  Found:{found}")
+
+
 def require_row_key_variant(dataset, method: str):
     """Reference methods/misc.py require_row_key_variant: row key must be
     (locus, alleles) with locus<rg> / array<str> types."""
@@ -155,7 +175,9 @@ def require_biallelic(dataset: MatrixTable, method: str,
     """Reference methods/misc.py:261 require_biallelic: lazily errors (on
     realization) if any row is not biallelic."""
     from ..utils.misc import HailUserError
-    if not tolerate_generic_locus:
+    if tolerate_generic_locus:
+        require_row_key_variant_w_struct_locus(dataset, method)
+    else:
         require_row_key_variant(dataset, method)
 
     def f(mb, i):

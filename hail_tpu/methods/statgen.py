@@ -1592,7 +1592,9 @@ def simulate_random_mating(mt: MatrixTable, n_rounds: int = 1,
     batches = st.collect_batches()
     from ..matrixtable import _concat_matrix_batches
     mb = _concat_matrix_batches(batches, st)
-    packed = np.asarray(mb.entries['GT'].values)
+    gt_col = mb.entries['GT']
+    packed = np.asarray(gt_col.values)
+    gt_miss = gt_col.missing_mask()
     n = packed.shape[1]
     ck = st.col_key[0]
     originals = [str(r[ck]) for r in st.cols.to_pylist()]
@@ -1603,6 +1605,7 @@ def simulate_random_mating(mt: MatrixTable, n_rounds: int = 1,
     founder_cols = [Struct(s=f'generation_0_idx_{i}', original=originals[i],
                            mother=None, father=None) for i in range(n)]
     pool = packed          # calls of the current mating pool
+    pool_miss = gt_miss    # missing parental calls yield missing offspring
     pool_cols = founder_cols
     gen_cols_all = [founder_cols]
     for r in range(n_rounds):
@@ -1617,15 +1620,20 @@ def simulate_random_mating(mt: MatrixTable, n_rounds: int = 1,
         a1 = np.where(pick1 == 0, j1[:, p1], k1[:, p1])
         a2 = np.where(pick2 == 0, j1[:, p2], k1[:, p2])
         gen = pack_diploid(a1, a2)
+        # a missing sampled parent call makes the offspring call missing
+        # (reference: indexing a missing call is missing)
+        gen_miss = pool_miss[:, p1] | pool_miss[:, p2]
         new_cols = [Struct(s=f'generation_{r + 1}_idx_{i}', original=None,
                            mother=int(p1[i]), father=int(p2[i]))
                     for i in range(n_children)]
         gen_cols_all.append(new_cols)
         if keep_founders:
             pool = np.concatenate([pool, gen], axis=1)
+            pool_miss = np.concatenate([pool_miss, gen_miss], axis=1)
             pool_cols = pool_cols + new_cols
         else:
             pool = gen
+            pool_miss = gen_miss
             pool_cols = new_cols
     if keep_founders:
         full, out_cols = pool, [c for g in gen_cols_all for c in g]
@@ -1634,7 +1642,8 @@ def simulate_random_mating(mt: MatrixTable, n_rounds: int = 1,
     col_t = ht.tstruct(s=ht.tstr, original=ht.tstr, mother=ht.tint32,
                        father=ht.tint32)
     cols = Batch.from_pylist(col_t, out_cols)
-    ents = {'GT': PrimitiveColumn(ht.tcall, full)}
+    ents = {'GT': PrimitiveColumn(ht.tcall, full,
+                                  pool_miss if pool_miss.any() else None)}
     new_mb = MatrixBatch(mb.rows, ents)
     return MatrixTable(MatrixStage.from_batches(
         st.globals, cols, st.row_key, ['s'], st.row_type,

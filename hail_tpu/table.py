@@ -457,28 +457,36 @@ class Table:
         # positional args may be field names or top-level field expressions
         # (reference: t.select(t.x, y=...) keeps x under its own name)
         named_exprs = dict(named_exprs)
-        norm = []
+        from .ir.nodes import GetField, Ref
+        ordered = []   # (name, field-name str | nested Expression), in order
         for f_ in fields:
-            if not isinstance(f_, str):
-                name = _expr_field_name(f_)
-                if name not in self._stage.row_type.fields:
-                    # nested path like t.select(t.a.b): becomes field 'b'
-                    # (reference Table.select 'assignment by path tail')
-                    if name in named_exprs:
-                        raise ValueError(f'select: duplicate field {name!r}')
-                    named_exprs[name] = f_
-                    continue
-                f_ = name
-            norm.append(f_)
-        fields = tuple(norm)
-        for f_ in fields:
-            if isinstance(f_, str) and f_ not in self._stage.row_type.fields:
-                raise ValueError(f'select: unknown field {f_!r}')
-        keep = [f_ if isinstance(f_, str) else None for f_ in fields]
+            if isinstance(f_, str):
+                if f_ not in self._stage.row_type.fields:
+                    raise ValueError(f'select: unknown field {f_!r}')
+                ordered.append((f_, f_))
+                continue
+            ir_ = f_._ir
+            if isinstance(ir_, GetField) and isinstance(ir_.struct, Ref) \
+                    and ir_.struct.name in ('row', 'va'):
+                # top-level field reference — decided by expression IDENTITY
+                # (the GetField applied directly to the row ref), not by
+                # whether the tail name happens to exist top-level
+                # (reference get_select_exprs is_top_level_field)
+                ordered.append((ir_.name, ir_.name))
+                continue
+            name = _expr_field_name(f_)
+            if name in named_exprs or any(n == name for n, _ in ordered):
+                raise ValueError(f'select: duplicate field {name!r}')
+            ordered.append((name, f_))
         exprs = {k: to_expr(v) for k, v in named_exprs.items()}
+        for n, v in ordered:
+            if not isinstance(v, str):
+                exprs[n] = to_expr(v)
         self._check_source(*exprs.values())
         key = self._stage.key
-        names = list(dict.fromkeys(key + [f_ for f_ in keep if f_] + list(exprs)))
+        # positional fields keep their positional order, keywords follow
+        names = list(dict.fromkeys(
+            key + [n for n, _ in ordered] + list(named_exprs)))
         new_t = ht.tstruct.from_fields(
             [(n, exprs[n].dtype if n in exprs else self._stage.row_type[n]) for n in names])
         stage = self._stage
