@@ -21,12 +21,21 @@ FAILURES = []
 
 
 def stage(name):
+    """Each stage runs TWICE: the cold pass includes XLA compilation (and any
+    first-touch IO), the warm pass re-executes the same queries — the split
+    the round-2 verdict asked for (compile regressions vs run regressions
+    are separately visible)."""
     def deco(fn):
         def run(*a, **kw):
             t0 = time.time()
             try:
                 fn(*a, **kw)
-                print(f'PASS {name} {time.time() - t0:.1f}s', flush=True)
+                cold = time.time() - t0
+                t1 = time.time()
+                fn(*a, **kw)
+                warm = time.time() - t1
+                print(f'PASS {name} cold={cold:.1f}s warm={warm:.1f}s',
+                      flush=True)
             except Exception as e:  # noqa: BLE001 — smoke harness records and continues
                 FAILURES.append(name)
                 print(f'FAIL {name} {time.time() - t0:.1f}s: {e!r}', flush=True)
@@ -138,6 +147,58 @@ def main():
         r = rel.take(3)
         assert all(np.isfinite(x.kin) for x in r), r
     s8()
+
+    @stage('import_bgen+dosage')
+    def s9():
+        import shutil, tempfile
+        res = '/root/reference/hail/hail/test/resources/'
+        tmp = tempfile.mkdtemp()
+        bg = tmp + '/ex.bgen'
+        shutil.copy(res + 'example.8bits.bgen', bg)
+        hl.index_bgen(bg, contig_recoding={'01': '1'},
+                      reference_genome='GRCh37')
+        bmt = hl.import_bgen(bg, entry_fields=['dosage'])
+        assert bmt.count() == (199, 500)
+        d = bmt.aggregate_entries(hl.agg.stats(bmt.dosage))
+        assert np.isfinite(d.mean), d
+    s9()
+
+    @stage('genetic_relatedness_matrix')
+    def s10():
+        grm = hl.genetic_relatedness_matrix(mt.GT)
+        gn = grm.to_numpy()
+        assert gn.shape == (100, 100) and np.isfinite(gn).all()
+    s10()
+
+    @stage('order_by')
+    def s11():
+        t = mtq.rows().select('qual')
+        o = t.order_by(hl.desc(t.qual)).take(5)
+        quals = [r.qual for r in o]
+        assert quals == sorted(quals, reverse=True), quals
+    s11()
+
+    @stage('device_entry_agg')
+    def s12():
+        # the generic fused entry-aggregation tier (ops/entry_agg.py)
+        v = mt.aggregate_entries(hl.agg.sum(mt.GT.n_alt_alleles() * 2 + 1))
+        import os
+        os.environ['HAIL_TPU_NO_DEVICE_AGG'] = '1'
+        try:
+            vh = mt.aggregate_entries(hl.agg.sum(mt.GT.n_alt_alleles() * 2 + 1))
+        finally:
+            del os.environ['HAIL_TPU_NO_DEVICE_AGG']
+        assert v == vh, (v, vh)
+    s12()
+
+    @stage('write_read_roundtrip')
+    def s13():
+        import tempfile
+        tmp = tempfile.mkdtemp() + '/rt.mt'
+        mtq.write(tmp)
+        back = hl.read_matrix_table(tmp)
+        assert back.count() == (346, 100)
+    s13()
 
     print(f'TOTAL {time.time() - t0:.1f}s '
           f'{"ALL PASS" if not FAILURES else "FAILED: " + ",".join(FAILURES)}',
