@@ -2207,13 +2207,22 @@ def _multihost_sample_sort(stage: 'TableStage', specs: List[Tuple[str, bool]],
     else:
         local_sorted = Batch.empty(stage.row_type)
 
-    def pf(i):
-        # partition i lives on process i; round-robin context assignment in
-        # MultihostBackend.map_collect routes it there (i % n_proc == i)
-        assert i == pid, f'sorted partition {i} requested on process {pid}'
+    from .backend.distributed import Owned
+
+    def pf(ctx):
+        owner = ctx.owner if isinstance(ctx, Owned) else ctx
+        if owner != pid:
+            raise RuntimeError(
+                f'sorted partition owned by process {owner} requested on '
+                f'process {pid}; downstream operations on a multihost-sorted '
+                'table must route through backend.map_collect (which honors '
+                'Owned contexts)')
         return local_sorted
+    # partitions ship by EXPLICIT ownership: any downstream map_collect
+    # (count/collect/write/aggregate) runs each partition on the process
+    # holding its data, regardless of index arithmetic
     return TableStage(stage.globals, [], stage.row_type,
-                      list(range(n_proc)), pf)
+                      [Owned(p, p) for p in range(n_proc)], pf)
 
 
 class _Rev:
