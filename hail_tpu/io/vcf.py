@@ -279,14 +279,52 @@ def import_vcf(path, force_bgz: bool = False, force: bool = False,
                 rows.append(line)
 
     n_rows_total = len(rows)
-    if n_partitions is None:
-        n_partitions = min_partitions or max(1, min(8, n_rows_total // 4096 + 1))
-    n_partitions = max(1, min(n_partitions, max(n_rows_total, 1)))
-    bounds = np.linspace(0, n_rows_total, n_partitions + 1).astype(int)
+    part_bounds_gpos = None
+    iv_contexts = None
+    if _partitions is not None and rg is not None:
+        # interval-partitioned read (reference import_gvcfs / MatrixVCFReader
+        # _partitions_json): one partition per interval, rows outside every
+        # interval dropped, per-partition key bounds enable plan-time pruning
+        ivs = list(_partitions)
+
+        def _gpos_of(endpoint):
+            loc = endpoint['locus'] if hasattr(endpoint, 'get') or \
+                isinstance(endpoint, dict) else getattr(endpoint, 'locus', endpoint)
+            return rg._global_offsets[loc.contig] + loc.position - 1
+
+        ranges = []
+        for iv in ivs:
+            lo = _gpos_of(iv.start) + (0 if iv.includes_start else 1)
+            hi = _gpos_of(iv.end) - (0 if iv.includes_end else 1)
+            ranges.append((lo, hi))
+        line_gpos = np.empty(n_rows_total, dtype=np.int64)
+        for li, line in enumerate(rows):
+            tab1 = line.index('\t')
+            tab2 = line.index('\t', tab1 + 1)
+            contig = line[:tab1]
+            if contig_recoding:
+                contig = contig_recoding.get(contig, contig)
+            pos = int(line[tab1 + 1:tab2])
+            line_gpos[li] = rg._global_offsets.get(contig, -1 << 60) + pos - 1
+        iv_contexts = []
+        for (lo, hi) in ranges:
+            sel = np.flatnonzero((line_gpos >= lo) & (line_gpos <= hi))
+            iv_contexts.append(sel)
+        part_bounds_gpos = [tuple(r) for r in ranges]
+        n_partitions = len(iv_contexts)
+        bounds = None
+    else:
+        if n_partitions is None:
+            n_partitions = min_partitions or max(1, min(8, n_rows_total // 4096 + 1))
+        n_partitions = max(1, min(n_partitions, max(n_rows_total, 1)))
+        bounds = np.linspace(0, n_rows_total, n_partitions + 1).astype(int)
 
     def parse_partition(ctx) -> MatrixBatch:
-        s, e = ctx
-        lines = rows[s:e]
+        if isinstance(ctx, np.ndarray):
+            lines = [rows[i] for i in ctx]
+        else:
+            s, e = ctx
+            lines = rows[s:e]
         R = len(lines)
         contig_idx = np.zeros(R, dtype=np.int32)
         contig_strs = np.empty(R, dtype=object)
@@ -483,11 +521,15 @@ def import_vcf(path, force_bgz: bool = False, force: bool = False,
                 entries[k] = ObjectColumn(slot['t'], subsel(slot['v']))
         return MatrixBatch(Batch(row_cols, Rk), entries)
 
-    contexts = [(int(bounds[i]), int(bounds[i + 1])) for i in range(n_partitions)]
+    if iv_contexts is not None:
+        contexts = iv_contexts
+    else:
+        contexts = [(int(bounds[i]), int(bounds[i + 1]))
+                    for i in range(n_partitions)]
     cols = Batch({'s': C.from_pylist(ht.tstr, samples)}, n_samples)
     g = Batch({}, 1)
     stage = MatrixStage(g, cols, ['locus', 'alleles'], ['s'], row_t, col_t,
-                        entry_t, contexts, parse_partition)
+                        entry_t, contexts, parse_partition, part_bounds_gpos)
     return MatrixTable(stage)
 
 

@@ -104,3 +104,43 @@ MatrixToMatrixApply = _make('MatrixToMatrixApply')
 MatrixRename = _make('MatrixRename')
 MatrixFilterIntervals = _make('MatrixFilterIntervals')
 TableToTableApply = _make('TableToTableApply')
+
+
+class MatrixVCFReader(BaseIR):
+    """Functional reader node (reference ir/matrix_reads MatrixVCFReader):
+    holds the import parameters incl. `_partitions_json`; `MatrixTable(
+    ir.MatrixRead(reader))` resolves it through io/vcf.import_vcf."""
+
+    def __init__(self, path, call_fields=('PGT',), entry_float_type=None,
+                 header_file=None, block_size=None, min_partitions=None,
+                 reference_genome='default', contig_recoding=None,
+                 array_elements_required=True, skip_invalid_loci=False,
+                 force_bgz=False, force_gz=False, filter=None,
+                 find_replace=None, n_partitions=None, _partitions_json=None,
+                 _partitions_type=None):
+        super().__init__()
+        self.params = dict(
+            path=path, call_fields=tuple(call_fields),
+            entry_float_type=entry_float_type, header_file=header_file,
+            block_size=block_size, min_partitions=min_partitions,
+            reference_genome=reference_genome,
+            contig_recoding=contig_recoding,
+            array_elements_required=array_elements_required,
+            skip_invalid_loci=skip_invalid_loci, force_bgz=force_bgz,
+            filter=filter, find_replace=find_replace,
+            n_partitions=n_partitions)
+        self._partitions_json = _partitions_json
+        self._partitions_type = _partitions_type
+
+    def resolve(self):
+        import json as _json
+        from ..io.vcf import import_vcf
+        params = dict(self.params)
+        if params.get('entry_float_type') is None:
+            from .. import types as _ht
+            params['entry_float_type'] = _ht.tfloat64
+        parts = None
+        if self._partitions_json is not None:
+            pt = self._partitions_type
+            parts = pt._convert_from_json(_json.loads(self._partitions_json))
+        return import_vcf(params.pop('path'), _partitions=parts, **params)

@@ -175,7 +175,20 @@ class MatrixStage:
 
 
 class MatrixTable:
-    def __init__(self, stage: MatrixStage):
+    def __init__(self, stage):
+        if not isinstance(stage, MatrixStage):
+            # reference-style construction from a relational IR:
+            # hl.MatrixTable(ir.MatrixRead(ir.MatrixVCFReader(...)))
+            from .ir import relational_ir as _rir
+            node = stage
+            if isinstance(node, _rir.MatrixRead) and node.children and \
+                    hasattr(node.children[0], 'resolve'):
+                self._stage = node.children[0].resolve()._stage
+                return
+            if hasattr(node, 'resolve'):
+                self._stage = node.resolve()._stage
+                return
+            raise TypeError(f'cannot build MatrixTable from {type(stage).__name__}')
         self._stage = stage
 
     # -- schema / field expressions ---------------------------------------

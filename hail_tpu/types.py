@@ -46,6 +46,20 @@ class HailTypeContext:
 class HailType:
     """Base class for hail types."""
 
+    def _convert_to_json(self, v):
+        """Value → the reference's JSON wire form (expr/types.py
+        _convert_to_json): loci/intervals/structs as dicts, calls as
+        strings, sets/arrays as lists."""
+        return _to_json(self, v)
+
+    def _convert_from_json(self, v, _should_freeze=False):
+        return _from_json(self, v)
+
+    def _convert_from_json_na(self, v):
+        if v is None:
+            return None
+        return _from_json(self, v)
+
     def __repr__(self) -> str:
         s = str(self).replace("'", "\\'")
         return f"dtype('{s}')"
@@ -653,3 +667,72 @@ def hts_entry_schema() -> tstruct:
 #: reference aliases
 tfloat = tfloat64
 tint = tint32
+
+# ---------------------------------------------------------------------------
+# JSON wire conversions (reference expr/types.py _convert_to/from_json)
+# ---------------------------------------------------------------------------
+
+def _to_json(t, v):
+    if v is None:
+        return None
+    if isinstance(t, tstruct):
+        return {k: _to_json(ft, v[k]) for k, ft in t.fields.items()}
+    if isinstance(t, ttuple):
+        return [_to_json(ft, x) for ft, x in zip(t.types, v)]
+    if isinstance(t, (tarray, tset)):
+        return [_to_json(t.element_type, x) for x in v]
+    if isinstance(t, tdict):
+        return [{'key': _to_json(t.key_type, k),
+                 'value': _to_json(t.value_type, x)} for k, x in v.items()]
+    if isinstance(t, tlocus):
+        return {'contig': v.contig, 'position': v.position}
+    if isinstance(t, tinterval):
+        return {'start': _to_json(t.point_type, v.start),
+                'end': _to_json(t.point_type, v.end),
+                'includeStart': v.includes_start,
+                'includeEnd': v.includes_end}
+    if t == tcall:
+        return str(v)
+    if isinstance(t, tndarray):
+        import numpy as _np
+        arr = _np.asarray(v)
+        return {'shape': list(arr.shape),
+                'data': [_to_json(t.element_type, x) for x in arr.ravel()]}
+    return v
+
+
+def _from_json(t, v):
+    if v is None:
+        return None
+    if isinstance(t, tstruct):
+        from .utils.structs import Struct as _Struct
+        return _Struct(**{k: _from_json(ft, v.get(k))
+                          for k, ft in t.fields.items()})
+    if isinstance(t, ttuple):
+        return tuple(_from_json(ft, x) for ft, x in zip(t.types, v))
+    if isinstance(t, tarray):
+        return [_from_json(t.element_type, x) for x in v]
+    if isinstance(t, tset):
+        from .utils.structs import freeze as _freeze
+        return frozenset(_freeze(_from_json(t.element_type, x)) for x in v)
+    if isinstance(t, tdict):
+        from .utils.structs import freeze as _freeze, frozendict as _fd
+        return _fd({_freeze(_from_json(t.key_type, e['key'])):
+                    _from_json(t.value_type, e['value']) for e in v})
+    if isinstance(t, tlocus):
+        from .genetics.locus import Locus as _Locus
+        return _Locus(v['contig'], v['position'], t.reference_genome)
+    if isinstance(t, tinterval):
+        from .utils.structs import Interval as _Interval
+        return _Interval(_from_json(t.point_type, v['start']),
+                         _from_json(t.point_type, v['end']),
+                         v.get('includeStart', True),
+                         v.get('includeEnd', False))
+    if t == tcall:
+        from .genetics.call import Call as _Call
+        return _Call.parse(v) if isinstance(v, str) else v
+    if isinstance(t, tndarray):
+        import numpy as _np
+        return _np.asarray(v['data']).reshape(v['shape'])
+    return v
+
