@@ -19,7 +19,8 @@ SUITES=(
   "typecheck   $REF/typecheck"
   "ggplot      $REF/ggplot"
   "fs          $REF/fs"
-  "misc        $REF/test_ir.py $REF/test_randomness.py $REF/test_indices_aggregations.py $REF/test_context.py"
+  "ir          $REF/test_ir.py"
+  "misc        $REF/test_randomness.py $REF/test_indices_aggregations.py $REF/test_context.py"
 )
 
 {
