@@ -2,7 +2,7 @@
 `hailtop/fs/fs_utils.py`): hfs.open/copy/exists/ls/stat/mkdir/remove over the
 RouterFS."""
 
-from .router_fs import FS, FileStatus, LocalFS, RouterFS, get_fs
+from .router_fs import FS, FileStatus, LocalFS, RouterFS, get_fs, local_path
 from .aio import (AsyncFS, LocalAsyncFS, RouterAsyncFS, copy_files,
                   copy_sync, delete_files, delete_sync)
 

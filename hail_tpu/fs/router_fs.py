@@ -203,6 +203,12 @@ class RouterFS(FS):
             return self._local
         scheme = path.split('://', 1)[0]
         if scheme not in self._cache:
+            if not os.environ.get('HAIL_TPU_ENABLE_CLOUD_FS'):
+                raise ValueError(
+                    f'scheme {scheme!r} is not available in this build: cloud '
+                    f'filesystems require network egress (set '
+                    f'HAIL_TPU_ENABLE_CLOUD_FS=1 to route {scheme}:// through '
+                    f'fsspec in a connected environment)')
             try:
                 self._cache[scheme] = FsspecFS(scheme)
             except Exception as e:
@@ -254,3 +260,24 @@ def get_fs() -> RouterFS:
     if _router is None:
         _router = RouterFS()
     return _router
+
+
+def local_path(path) -> str:
+    """Validate a user path for direct (locally-materialized) IO and return
+    the OS path.
+
+    Writers/readers that build directory trees (native format, BGEN index,
+    exports) operate on local paths; any URI scheme must route through the
+    RouterFS, which raises for schemes unavailable in this build — matching
+    reference `io/fs/RouterFS.scala` semantics, where an unconfigured scheme
+    is an error rather than a silent local write.
+    """
+    if not isinstance(path, str) or '://' not in path:
+        return path
+    if path.startswith('file://'):
+        return path[len('file://'):]
+    fs = get_fs()._route(path)  # raises ValueError when the scheme is unavailable
+    raise ValueError(
+        f'path {path!r} routes to the non-local filesystem {fs!r}: this '
+        f'operation materializes a local directory tree and does not support '
+        f'direct cloud IO; write locally and copy with hailtop.fs')

@@ -527,6 +527,8 @@ def export_bgen(mt, output: str, gp=None, varid=None, rsid=None,
     """Export BGEN v1.2, 8-bit probabilities + SAMPLE file (reference
     impex.export_bgen → MatrixBGENWriter). `parallel='header_per_shard'`
     writes a directory of per-partition BGEN files + shard-manifest.txt."""
+    from ..fs import local_path
+    output = local_path(output)
     from ..expr.expression import Expression
     st = mt._stage
     if gp is None:

@@ -130,6 +130,8 @@ def _partition_bounds(batch: Batch, key) -> Optional[list]:
 
 
 def _prepare_dir(path: str, overwrite: bool):
+    from ..fs import local_path
+    path = local_path(path)
     if os.path.exists(path):
         if not overwrite:
             from ..utils.java import FatalError
@@ -141,6 +143,8 @@ def _prepare_dir(path: str, overwrite: bool):
 
 def write_table(table, path: str, overwrite: bool = False) -> None:
     from ..utils.java import FatalError
+    from ..fs import local_path
+    path = local_path(path)
     st = table._stage
     src = getattr(st, 'source_path', None)
     if src is not None and os.path.abspath(src) == os.path.abspath(path):
@@ -173,6 +177,8 @@ def write_table(table, path: str, overwrite: bool = False) -> None:
 
 def read_table(path: str):
     from ..table import Table, TableStage
+    from ..fs import local_path
+    path = local_path(path)
     from .hail_format import is_hail_native, read_hail_table
     if is_hail_native(path):
         # a directory written by the reference Hail (metadata.json.gz +
@@ -223,6 +229,8 @@ def read_table(path: str):
 # -- matrix table ----------------------------------------------------------
 
 def write_matrix_table(mt, path: str, overwrite: bool = False) -> None:
+    from ..fs import local_path
+    path = local_path(path)
     _prepare_dir(path, overwrite)
     st = mt._stage
     mbatches = st.collect_batches()
@@ -303,6 +311,8 @@ def _write_mt_component_tables(st, mbatches, path: str) -> None:
 
 def read_matrix_table(path: str):
     from ..matrixtable import MatrixTable, MatrixStage, MatrixBatch
+    from ..fs import local_path
+    path = local_path(path)
     from .hail_format import is_hail_native, read_hail_matrix_table
     if is_hail_native(path):
         return read_hail_matrix_table(path)

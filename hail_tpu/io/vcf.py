@@ -618,6 +618,8 @@ def export_vcf(dataset, output: str, append_to_header: Optional[str] = None,
     impex.export_vcf → `io/vcf/ExportVCF.scala` / `ir/MatrixWriter.scala`):
     metadata-driven headers, %.2f QUAL / %.6g values, trailing-missing FORMAT
     fields dropped per genotype, parallel sharded output, optional tabix."""
+    from ..fs import local_path
+    output = local_path(output)
     from ..utils.misc import FatalError
     from ..table import Table as _Table
     if isinstance(dataset, _Table):

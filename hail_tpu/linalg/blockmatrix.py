@@ -202,6 +202,8 @@ class BlockMatrix:
 
     @classmethod
     def read(cls, path: str) -> 'BlockMatrix':
+        from ..fs import local_path
+        path = local_path(path)
         with open(os.path.join(path, 'metadata.json')) as f:
             meta = json.load(f)
         arr = np.load(os.path.join(path, 'data.npy'))
@@ -209,6 +211,8 @@ class BlockMatrix:
 
     def write(self, path: str, overwrite: bool = False, force_row_major: bool = False,
               stage_locally: bool = False) -> None:
+        from ..fs import local_path
+        path = local_path(path)
         if os.path.exists(path):
             if not overwrite:
                 from ..utils.misc import FatalError
@@ -549,6 +553,8 @@ class BlockMatrix:
     def export(self, path: str, delimiter: str = '\t', header: Optional[str] = None,
                add_index: bool = False, parallel: Optional[str] = None,
                partition_size: Optional[int] = None, entries: str = 'full') -> None:
+        from ..fs import local_path
+        path = local_path(path)
         arr = np.asarray(self._data)
         n, m = arr.shape
         with open(path, 'w') as f:
@@ -672,6 +678,8 @@ class BlockMatrix:
         """Export sub-rectangles [r0, r1, c0, c1] as files (reference
         blockmatrix.py export_rectangles)."""
         import os as _os
+        from ..fs import local_path
+        path_out = local_path(path_out)
         _os.makedirs(path_out, exist_ok=True)
         arr = np.asarray(self.to_numpy())
         for i, (r0, r1, c0, c1) in enumerate(rectangles):

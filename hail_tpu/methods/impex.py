@@ -35,6 +35,8 @@ from ..io.avro import import_avro  # noqa: F401
 
 
 def _open(path: str):
+    from ..fs import local_path
+    path = local_path(path)
     if path.endswith('.gz') or path.endswith('.bgz'):
         return gzip.open(path, 'rt')
     return open(path, 'rt')
@@ -321,6 +323,8 @@ def export_table(table: Table, output: str, types_file: Optional[str] = None,
                  header: bool = True, parallel=None, delimiter: str = '\t') -> None:
     """Table.export (reference table.py export); parallel modes write one
     shard per partition plus shard-manifest.txt."""
+    from ..fs import local_path
+    output = local_path(output)
     st = table._stage
     fields = list(st.row_type.fields)
     if parallel in ('separate_header', 'header_per_shard'):
@@ -793,6 +797,8 @@ def export_plink(dataset: MatrixTable, output: str, call=None, fam_id=None,
     """Export to PLINK .bed/.bim/.fam (reference impex.export_plink →
     `is/hail/io/plink/ExportPlink`): A2 = ref allele; fam string fields
     reject embedded whitespace at call time, varid at write time."""
+    from ..fs import local_path
+    output = local_path(output)
     from ..expr.expression import to_expr as _to_expr
     from ..utils.misc import FatalError
     mt = dataset
@@ -1030,6 +1036,8 @@ def import_gen(path: str, sample_file: str, tolerance: float = 0.2,
 def export_gen(dataset: MatrixTable, output: str, precision: int = 4,
                gp=None, id1=None, id2=None, missing=None, varid=None,
                rsid=None) -> None:
+    from ..fs import local_path
+    output = local_path(output)
     """Oxford GEN export (reference impex.export_gen → ExportGen.scala)."""
     from ..expr.expression import to_expr as _to_expr
     mt = dataset

@@ -51,6 +51,8 @@ class VariantDatasetCombiner:
 
     # -- plan persistence --------------------------------------------------
     def save(self) -> None:
+        from ...fs import local_path
+        self.save_path = local_path(self.save_path)
         os.makedirs(os.path.dirname(os.path.abspath(self.save_path)) or '.', exist_ok=True)
         with open(self.save_path, 'w') as f:
             json.dump({
@@ -67,6 +69,8 @@ class VariantDatasetCombiner:
 
     @staticmethod
     def load(path: str) -> 'VariantDatasetCombiner':
+        from ...fs import local_path
+        path = local_path(path)
         with open(path) as f:
             d = json.load(f)
         c = VariantDatasetCombiner(
