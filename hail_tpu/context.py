@@ -41,6 +41,9 @@ class HailContext:
         configure(log, quiet, append)
         self.tmp_dir = tmp_dir
         self.local_tmpdir = local_tmpdir
+        # reference context.py:131 exposes these as properties on HailContext
+        self._tmpdir = tmp_dir
+        self._local_tmpdir = local_tmpdir
         self.branching_factor = branching_factor
         self.flags = dict(DEFAULT_FLAGS)
         from .ir import columns as _columns

@@ -545,6 +545,9 @@ _SIMPLE = {
     'float': tfloat64, 'float32': tfloat32, 'float64': tfloat64,
     'bool': tbool, 'str': tstr, 'call': tcall, 'void': tvoid, 'binary': tbinary,
 }
+# the reference grammar accepts t-prefixed spellings for every type
+# (type_parsing.py:10-29: "tint32" / "int32" etc.)
+_SIMPLE.update({'t' + k: v for k, v in list(_SIMPLE.items())})
 
 _TOKEN = re.compile(r'\s*([A-Za-z_][A-Za-z0-9_]*|`(?:\\.|[^\\`])*`|[<>{}(),:]|\d+)')
 
@@ -580,6 +583,10 @@ class _TypeParser:
         tok = self.next()
         if tok in _SIMPLE:
             return _SIMPLE[tok]
+        if tok and tok.startswith('t') and tok[1:] in (
+                'array', 'set', 'dict', 'interval', 'ndarray', 'locus',
+                'struct', 'tuple', 'stream'):
+            tok = tok[1:]
         if tok == 'array':
             self.expect('<')
             t = self.parse()
