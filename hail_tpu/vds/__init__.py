@@ -560,12 +560,15 @@ def filter_intervals(vds: VariantDataset, intervals, *, split_reference_blocks: 
 def segment_reference_blocks_to_intervals(rd, intervals):
     """Clip per-sample reference blocks to interval boundaries so an
     interval filter keeps exact coverage (reference filter_intervals
-    split_reference_blocks path)."""
-    from ..genetics.locus import Locus
-    from ..ir.columns import Batch, LocusColumn, PrimitiveColumn
+    split_reference_blocks path → segment_reference_blocks,
+    vds/methods.py:658): each block is cut into one segment per interval it
+    overlaps, END/LEN adjusted, with one output row per distinct segment
+    start; cells with no covering segment are FILTERED."""
+    from ..ir.columns import Batch, LocusColumn, StructColumn
     from ..matrixtable import MatrixBatch, MatrixStage, MatrixTable, _concat_matrix_batches
+    from ..utils.structs import Struct as _S
     st = rd._stage
-    if 'END' not in st.entry_type.fields and '__END' not in st.row_type.fields:
+    if 'END' not in st.entry_type.fields:
         return rd
     mb = _concat_matrix_batches(st.collect_batches(), st)
     if mb.n_rows == 0:
@@ -574,71 +577,64 @@ def segment_reference_blocks_to_intervals(rd, intervals):
     rg = loc.typ.reference_genome
     pos = np.asarray(loc.position, dtype=np.int64)
     cidx = np.asarray(loc.contig_idx)
-    # clip each block's start up to each interval start it spans
     ivs = []
     for iv in intervals:
-        s_, e_ = iv.start, iv.end
-        sp = s_.position if not iv.includes_start else s_.position
-        if not iv.includes_start:
-            sp += 1
-        ep = e_.position if iv.includes_end else e_.position - 1
-        ivs.append((rg.contig_index(s_.contig), sp, ep))
-    end_entry = 'END' in st.entry_type.fields
-    if end_entry:
-        ends = np.asarray(mb.entries['END'].values, dtype=np.int64)
-        emiss = mb.entries['END'].missing_mask()
-    src_rows, new_pos = [], []
-    new_ends = []
+        sp = iv.start.position + (0 if iv.includes_start else 1)
+        ep = iv.end.position - (0 if iv.includes_end else 1)
+        ivs.append((rg.contig_index(iv.start.contig), sp, ep))
+    ent_t = st.entry_type
+    ends_col = mb.entries['END']
+    ends = np.asarray(ends_col.values, dtype=np.int64)
+    present = ~mb.entry_filtered_mask() & ~ends_col.missing_mask()
+    n_s = mb.n_cols
+    g = StructColumn(ent_t, dict(mb.entries), None, (mb.n_rows, n_s))
+    ents_py = g.to_pylist()
+    row_src = {}               # (ci, seg_start) -> source row (row fields)
+    cells = {}                 # ((ci, seg_start), sample) -> (row, seg_end)
     for r in range(mb.n_rows):
-        starts = {int(pos[r])}
         for (ci, sp, ep) in ivs:
-            if ci != cidx[r]:
+            if ci != cidx[r] or pos[r] > ep:
                 continue
-            if sp > pos[r]:
-                starts.add(int(sp))
-        for s_ in sorted(starts):
-            src_rows.append(r)
-            new_pos.append(s_)
-    idx = np.asarray(src_rows, dtype=np.int64)
+            for s_ in range(n_s):
+                if not present[r, s_]:
+                    continue
+                seg_start = max(int(pos[r]), sp)
+                seg_end = min(int(ends[r, s_]), ep)
+                if seg_start > seg_end:
+                    continue
+                key = (int(ci), seg_start)
+                row_src.setdefault(key, r)
+                cells[(key, s_)] = (r, seg_end)
+    keys = sorted(row_src)
+    R = len(keys)
+    key_idx = {k: i for i, k in enumerate(keys)}
+    flat = [None] * (R * n_s)
+    entry_missing = np.ones((R, n_s), dtype=bool)
+    for (key, s_), (r, seg_end) in cells.items():
+        e = dict(ents_py[r][s_] or {})
+        e['END'] = seg_end
+        if 'LEN' in ent_t.fields:
+            e['LEN'] = seg_end - key[1] + 1
+        i = key_idx[key]
+        flat[i * n_s + s_] = _S(**e)
+        entry_missing[i, s_] = False
+    ec = C.from_pylist(ent_t, flat).reshape((R, n_s))
+    ents = dict(ec.fields)
+    src_rows = np.asarray([row_src[k] for k in keys], dtype=np.int64)
     cols = {}
     for k, c2 in mb.rows.columns.items():
         if k == 'locus':
-            cols[k] = LocusColumn(c2.typ, cidx[idx],
-                                  np.asarray(new_pos, dtype=np.int32))
+            cols[k] = LocusColumn(c2.typ,
+                                  np.asarray([k2[0] for k2 in keys]),
+                                  np.asarray([k2[1] for k2 in keys],
+                                             dtype=np.int32))
         else:
-            cols[k] = c2.gather(idx)
-    ents = {}
-    npos = np.asarray(new_pos, dtype=np.int64)
-    for k, c2 in mb.entries.items():
-        g = c2.gather(idx, axis=0)
-        ents[k] = g
-    if end_entry:
-        ge = ents['END']
-        vals = np.asarray(ge.values, dtype=np.int64).copy()
-        miss = ge.missing_mask().copy()
-        # a piece is dead for a sample if its start is past the sample's end
-        for j, r in enumerate(src_rows):
-            for s_ in range(mb.n_cols):
-                if miss[j, s_]:
-                    continue
-                if npos[j] > ends[r, s_]:
-                    miss[j, s_] = True
-                    continue
-                # truncate the END at the next interval boundary start - 1
-                nxt = [p2 for p2 in set(npos[idx == r]) if p2 > npos[j]]
-                if nxt:
-                    vals[j, s_] = min(ends[r, s_], min(nxt) - 1)
-                else:
-                    vals[j, s_] = ends[r, s_]
-        ents['END'] = PrimitiveColumn(ge.typ, vals.astype(np.int32),
-                                      miss if miss.any() else None)
-        # drop rows with all-missing entries
-    order = np.lexsort((npos, cidx[idx]))
-    rows = Batch({k: c2.gather(order) for k, c2 in cols.items()}, len(order))
-    ents = {k: c2.gather(order, axis=0) for k, c2 in ents.items()}
+            cols[k] = c2.gather(src_rows)
+    rows = Batch(cols, R)
     return MatrixTable(MatrixStage.from_batches(
         st.globals, st.cols, st.row_key, st.col_key, st.row_type,
-        st.col_type, st.entry_type, [MatrixBatch(rows, ents)]))
+        st.col_type, ent_t,
+        [MatrixBatch(rows, ents, entry_missing if entry_missing.any() else None)]))
 
 
 def sample_qc(vds: VariantDataset, *, gq_bins=(0, 20, 60), dp_bins=(0, 1, 10, 20, 30),

@@ -467,18 +467,24 @@ def _outer_union_cols(mts: List[MatrixTable]) -> MatrixTable:
         row_vals.append(Struct(**{f: mb.rows.columns[f].to_pylist()[i]
                                   for f in st0.row_type.fields}))
     rows = Batch.from_pylist(st0.row_type, row_vals)
-    # entries: per dataset gather into union rows
+    # entries: per dataset gather into union rows. Cells where a dataset
+    # lacks the row are FILTERED (absent), not all-field-missing — the
+    # reference's union_cols produces no entry there, and round-tripping a
+    # combine must reproduce the input's sparsity exactly.
+    routing = []
+    for mb in mbs:
+        kts = [_hashable(k) for k in _key_tuples(mb.rows, key_fields)]
+        src_idx = np.full(R, 0, dtype=np.int64)
+        present = np.zeros(R, dtype=bool)
+        for i, kt in enumerate(kts):
+            j = key_index[kt]
+            src_idx[j] = i
+            present[j] = True
+        routing.append((src_idx, present))
     ent_cols = {}
     for field, ftype in st0.entry_type.fields.items():
         pieces = []
-        for mb, mt in zip(mbs, mts):
-            kts = [_hashable(k) for k in _key_tuples(mb.rows, key_fields)]
-            src_idx = np.full(R, 0, dtype=np.int64)
-            present = np.zeros(R, dtype=bool)
-            for i, kt in enumerate(kts):
-                j = key_index[kt]
-                src_idx[j] = i
-                present[j] = True
+        for mb, mt, (src_idx, present) in zip(mbs, mts, routing):
             col = mb.entries[field].gather(src_idx, axis=0)
             miss_rows = ~present
             if miss_rows.any():
@@ -486,7 +492,18 @@ def _outer_union_cols(mts: List[MatrixTable]) -> MatrixTable:
                                                        (R, mt._stage.n_cols)).copy())
             pieces.append(col)
         ent_cols[field] = C.concat_columns(pieces, axis=1)
+    filt_pieces = []
+    for mb, mt, (src_idx, present) in zip(mbs, mts, routing):
+        nc = mt._stage.n_cols
+        src_filt = mb.entry_filtered_mask()
+        block = src_filt[src_idx]
+        block = np.where(present[:, None], block, True)
+        filt_pieces.append(block)
+    entry_missing = np.concatenate(filt_pieces, axis=1)
+    if not entry_missing.any():
+        entry_missing = None
     cols = Batch.concat([mt._stage.cols for mt in mts])
     return MatrixTable(MatrixStage.from_batches(
         st0.globals, cols, st0.row_key, st0.col_key, st0.row_type,
-        st0.col_type, st0.entry_type, [MatrixBatch(rows, ent_cols)]))
+        st0.col_type, st0.entry_type,
+        [MatrixBatch(rows, ent_cols, entry_missing)]))

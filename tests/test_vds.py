@@ -65,7 +65,8 @@ def test_combiner_run_and_dense(gvcfs, tmp_path):
     temp = str(tmp_path / 'tmp')
     os.makedirs(temp)
     c = hvds.new_combiner(output_path=out, temp_path=temp,
-                          gvcf_paths=[p1, p2], reference_genome='GRCh37')
+                          gvcf_paths=[p1, p2], reference_genome='GRCh37',
+                          import_interval_size=1_000_000_000)
     c.run()
     assert c.finished
     final = hvds.read_vds(out)
@@ -92,7 +93,8 @@ def test_combiner_resumable(gvcfs, tmp_path):
     out = str(tmp_path / 'out2.vds')
     temp = str(tmp_path / 'tmp2')
     os.makedirs(temp)
-    c = hvds.new_combiner(output_path=out, temp_path=temp, gvcf_paths=[p1, p2])
+    c = hvds.new_combiner(output_path=out, temp_path=temp, gvcf_paths=[p1, p2],
+                          import_interval_size=1_000_000_000)
     c.save()
     # reload the plan and run
     c2 = hvds.load_combiner(c.save_path)
