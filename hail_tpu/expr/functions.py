@@ -364,15 +364,23 @@ _bind_counter = [0]
 
 
 def _sub_refs(ir, mapping):
-    from ..ir.nodes import Ref, AggOp
+    from ..ir.nodes import Ref, AggOp, _AGGREGATOR_IR_ATTRS
     if isinstance(ir, Ref) and ir.name in mapping:
         return mapping[ir.name]
     if isinstance(ir, AggOp):
-        new = AggOp(ir.aggregator, [_sub_refs(a, mapping) for a in ir.args],
-                    ir.typ,
-                    None if ir.filter_ir is None
-                    else _sub_refs(ir.filter_ir, mapping),
-                    ir.init_args)
+        agg2 = ir.aggregator
+        held = [(a, getattr(agg2, a)) for a in _AGGREGATOR_IR_ATTRS
+                if getattr(agg2, a, None) is not None]
+        if held:
+            import copy as _copy
+            agg2 = _copy.copy(agg2)
+            for a, h in held:
+                setattr(agg2, a, _sub_refs(h, mapping))
+        new = type(ir)(agg2, [_sub_refs(a, mapping) for a in ir.args],
+                       ir.typ,
+                       None if ir.filter_ir is None
+                       else _sub_refs(ir.filter_ir, mapping),
+                       ir.init_args)
         new.uid = ir.uid
         return new
     return ir.map_children(lambda c: _sub_refs(c, mapping))
@@ -2804,12 +2812,10 @@ def zeros(length):
 
 def dchisq(x, df, ncp=None, log_p=False):
     def f(v, d, nc):
+        from ..stats import rmath
         if nc is None:
-            from ..stats import rmath
             return rmath.dchisq(v, d, give_log=log_p)
-        st, sp = _scipy_stats()
-        dens = st.ncx2.pdf(v, d, nc)
-        return math.log(dens) if log_p else dens
+        return rmath.dnchisq(v, d, nc, give_log=log_p)
     nce = to_expr(0.0) if ncp is None else to_expr(ncp)
     if ncp is None:
         return _apply('dchisq', ht.tfloat64,
@@ -2862,21 +2868,20 @@ def phyper(x, popsize, ngood, nsample, log_p=False):
 
 def pT(x, n, lower_tail=True, log_p=False):
     """Student's t CDF with `n` degrees of freedom (reference functions.py
-    pT)."""
+    pT → jdistlib T.cumulative; bit-exact R pt.c port)."""
     def f(v, df):
-        st, sp = _scipy_stats()
-        p = st.t.cdf(v, df) if lower_tail else st.t.sf(v, df)
-        return math.log(p) if log_p else p
+        from ..stats import rmath
+        return rmath.pt(v, df, lower_tail=lower_tail, log_p=log_p)
     return _apply('pT', ht.tfloat64, _obj_impl(ht.tfloat64, f),
                   to_expr(x), to_expr(n))
 
 
 def pF(x, df1, df2, lower_tail=True, log_p=False):
-    """F-distribution CDF (reference functions.py pF)."""
+    """F-distribution CDF (reference functions.py pF → jdistlib
+    F.cumulative; bit-exact R pf.c port)."""
     def f(v, d1, d2):
-        st, sp = _scipy_stats()
-        p = st.f.cdf(v, d1, d2) if lower_tail else st.f.sf(v, d1, d2)
-        return math.log(p) if log_p else p
+        from ..stats import rmath
+        return rmath.pf(v, d1, d2, lower_tail=lower_tail, log_p=log_p)
     return _apply('pF', ht.tfloat64, _obj_impl(ht.tfloat64, f),
                   to_expr(x), to_expr(df1), to_expr(df2))
 

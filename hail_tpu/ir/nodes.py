@@ -40,15 +40,30 @@ class EvalEnv:
         return EvalEnv(dict(self.bindings), shape)
 
 
+_AGGREGATOR_IR_ATTRS = ('key_ir', 'inner_ir', 'arr_ir', 'zero_ir',
+                        'seq_ir', 'comb_ir')
+
+
+def aggregator_held_irs(aggregator):
+    """IRs stored on an aggregator object itself (group_by keys, explode
+    arrays, fold lambdas) — part of the expression tree for scope analysis
+    even though they are not AggOp children."""
+    return [getattr(aggregator, a) for a in _AGGREGATOR_IR_ATTRS
+            if getattr(aggregator, a, None) is not None]
+
+
 def walk_ir(root):
     """Yield every IR node of a tree (pre-order); non-IR child entries
-    (field-name pairs etc.) are skipped."""
+    (field-name pairs etc.) are skipped. AggOp nodes also descend into
+    aggregator-held IRs (group_by key, explode array, fold lambdas)."""
     stack = [root]
     while stack:
         n = stack.pop()
         if not hasattr(n, 'children'):
             continue
         yield n
+        if isinstance(n, AggOp):
+            stack.extend(aggregator_held_irs(n.aggregator))
         ch = n.children() if callable(n.children) else n.children
         for c in ch:
             if c is None:
@@ -73,6 +88,11 @@ class IR:
 
     def map_children(self, f: Callable[['IR'], 'IR']) -> 'IR':
         return self
+
+    def base_search(self, f) -> list:
+        """All nodes in the tree matching predicate `f` (reference
+        BaseIR.base_search, used by test_stream_randomness)."""
+        return [n for n in walk_ir(self) if f(n)]
 
     # -- rendering (for tests / semantic hashing) -------------------------
     def render(self) -> str:

@@ -211,11 +211,16 @@ _sferr_halves = (
 
 
 def stirlerr(n):
-    """stirlerr(n) = log(n!) - log(sqrt(2*pi*n)*(n/e)^n)."""
+    """stirlerr(n) = log(n!) - log(sqrt(2*pi*n)*(n/e)^n).
+
+    The engine we must match bit-exactly (jdistlib, the reference's
+    distribution library — `is/hail/stats/package.scala:7`) takes the
+    half-integer table only at INTEGER n and evaluates the lgamma formula at
+    half-integers, unlike R's nmath which tables both; dchisq(10, 5) etc.
+    differ by 2 ulp between the two choices."""
     if n <= 15.0:
-        nn = n + n
-        if nn == int(nn):
-            return _sferr_halves[int(nn)]
+        if n == int(n):
+            return _sferr_halves[int(n + n)]
         return math.lgamma(n + 1.0) - (n + 0.5) * math.log(n) + n - _M_LN_SQRT_2PI
 
     nn = n * n
@@ -781,6 +786,71 @@ def dchisq(x, df, give_log=False):
     return dgamma(x, df / 2.0, 2.0, give_log)
 
 
+def dnchisq(x, df, ncp, give_log=False):
+    """Noncentral chi-squared density (R nmath dnchisq.c port; jdistlib
+    NonCentralChiSquare.density)."""
+    eps = 5e-15
+    if math.isnan(x) or math.isnan(df) or math.isnan(ncp):
+        return x + df + ncp
+    if not math.isfinite(df) or not math.isfinite(ncp) or ncp < 0 or df < 0:
+        return _nan
+    if x < 0:
+        return _d0(give_log)
+    if x == 0 and df < 2.0:
+        return _inf
+    if ncp == 0:
+        return dchisq(x, df, give_log) if df > 0 else _d0(give_log)
+    if x == _inf:
+        return _d0(give_log)
+
+    ncp2 = 0.5 * ncp
+
+    imax = math.ceil((-(2 + df) + math.sqrt((2 - df) * (2 - df) + 4 * ncp * x)) / 4)
+    if imax < 0:
+        imax = 0
+    if math.isfinite(imax):
+        dfmid = df + 2 * imax
+        mid = dpois_raw(imax, ncp2, False) * dchisq(x, dfmid, False)
+    else:
+        mid = 0.0
+
+    if mid == 0:
+        if give_log or ncp > 1000.0:
+            nl = df + ncp
+            ic = nl / (nl + ncp)
+            return dchisq(x * ic, nl * ic, give_log)
+        return _d0(give_log)
+
+    total = mid
+
+    # jdistlib (older-R port) accumulates the LOWER tail before the upper —
+    # summation order is observable at the ulp level (dnchisq(10,5,5))
+    term = mid
+    df_ = dfmid
+    i = imax
+    while i != 0:
+        df_ -= 2
+        q = i * df_ / (x * ncp2)
+        i -= 1
+        term *= q
+        total += term
+        if q < 1 and term * q <= eps * (1 - q):
+            break
+    # upper tail
+    term = mid
+    df_ = dfmid
+    i = imax
+    while True:
+        i += 1
+        q = x * ncp2 / i / df_
+        df_ += 2
+        term *= q
+        total += term
+        if not (q >= 1 or term * q > (1 - q) * eps):
+            break
+    return math.log(total) if give_log else total
+
+
 def ppois(x, lam, lower_tail=True, log_p=False):
     if math.isnan(x) or math.isnan(lam):
         return x + lam
@@ -794,3 +864,98 @@ def ppois(x, lam, lower_tail=True, log_p=False):
         return _d1(log_p) if lower_tail else _d0(log_p)
     x = math.floor(x + 1e-7)
     return pgamma(lam, x + 1, 1.0, not lower_tail, log_p)
+
+# ---------------------------------------------------------------------------
+# beta / t / F CDFs (R nmath pbeta.c / pt.c / pf.c via TOMS708 bratio)
+# ---------------------------------------------------------------------------
+
+def pbeta(x, a, b, lower_tail=True, log_p=False):
+    """Incomplete beta CDF, R nmath pbeta.c port (jdistlib Beta.cumulative)."""
+    from . import toms708
+    if math.isnan(x) or math.isnan(a) or math.isnan(b):
+        return x + a + b
+    if a < 0 or b < 0:
+        return _nan
+    if x <= 0:
+        return _d0(log_p) if lower_tail else _d1(log_p)
+    if x >= 1:
+        return _d1(log_p) if lower_tail else _d0(log_p)
+    if a == 0 or b == 0 or not math.isfinite(a) or not math.isfinite(b):
+        if a == 0 and b == 0:
+            return -_M_LN2 if log_p else 0.5
+        if a == 0 or a / b == 0:
+            return _d1(log_p) if lower_tail else _d0(log_p)
+        if b == 0 or b / a == 0:
+            return _d0(log_p) if lower_tail else _d1(log_p)
+        if x < 0.5:
+            return _d0(log_p) if lower_tail else _d1(log_p)
+        return _d1(log_p) if lower_tail else _d0(log_p)
+    x1 = 0.5 - x + 0.5
+    w, wc, _ierr = toms708.bratio(a, b, x, x1, log_p)
+    return w if lower_tail else wc
+
+
+def pt(x, n, lower_tail=True, log_p=False):
+    """Student t CDF, R nmath pt.c port (jdistlib T.cumulative)."""
+    if math.isnan(x) or math.isnan(n):
+        return x + n
+    if n <= 0.0:
+        return _nan
+    if not math.isfinite(x):
+        if x < 0:
+            return _d0(log_p) if lower_tail else _d1(log_p)
+        return _d1(log_p) if lower_tail else _d0(log_p)
+    if not math.isfinite(n):
+        return pnorm_std(x, lower_tail, log_p)
+
+    nx = 1 + (x / n) * x
+    if nx > 1e100:
+        lval = -0.5 * n * (2 * math.log(abs(x)) - math.log(n))             - lbeta(0.5 * n, 0.5) - math.log(0.5 * n)
+        val = lval if log_p else math.exp(lval)
+    else:
+        val = (pbeta(x * x / (n + x * x), 0.5, n / 2.0, False, log_p)
+               if n > x * x
+               else pbeta(1.0 / nx, n / 2.0, 0.5, True, log_p))
+    if x <= 0.0:
+        lower_tail = not lower_tail
+    if log_p:
+        if lower_tail:
+            return math.log1p(-0.5 * math.exp(val))
+        return val - _M_LN2
+    val /= 2.0
+    return (0.5 - val + 0.5) if lower_tail else val
+
+
+def lbeta(a, b):
+    """log beta function via TOMS708 betaln for positive args (R lbeta
+    differs in corner cases; this covers the pt() use)."""
+    from . import toms708
+    return toms708.betaln(a, b)
+
+
+def pf(x, df1, df2, lower_tail=True, log_p=False):
+    """F CDF, R nmath pf.c port (jdistlib F.cumulative)."""
+    if math.isnan(x) or math.isnan(df1) or math.isnan(df2):
+        return x + df1 + df2
+    if df1 <= 0.0 or df2 <= 0.0:
+        return _nan
+    if x <= 0.0:
+        return _d0(log_p) if lower_tail else _d1(log_p)
+    if not math.isfinite(x):
+        return _d1(log_p) if lower_tail else _d0(log_p)
+    if df2 == _inf:
+        if df1 == _inf:
+            if x < 1.0:
+                return _d0(log_p) if lower_tail else _d1(log_p)
+            if x == 1.0:
+                return -_M_LN2 if log_p else 0.5
+            return _d1(log_p) if lower_tail else _d0(log_p)
+        return pchisq(x * df1, df1, lower_tail, log_p)
+    if df1 == _inf:
+        return pchisq(df2 / x, df2, not lower_tail, log_p)
+    if df1 * x > df2:
+        return pbeta(df2 / (df2 + df1 * x), df2 / 2.0, df1 / 2.0,
+                     not lower_tail, log_p)
+    return pbeta(df1 * x / (df2 + df1 * x), df1 / 2.0, df2 / 2.0,
+                 lower_tail, log_p)
+
