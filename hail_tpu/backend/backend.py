@@ -54,6 +54,43 @@ class Backend:
     lines and QoB X-Hail-Timings), then delegates to the subclass's
     `_map_collect_impl`."""
 
+    # Must match the engine's known flags (reference HailFeatureFlags.scala:
+    # 16-52 == backend.py:172-201): name -> (env var, default)
+    _flags_env_vars_and_defaults = {
+        "branching_factor": ("HAIL_BRANCHING_FACTOR", None),
+        "cachedir": ("HAIL_CACHE_DIR", None),
+        "distributed_scan_comb_op": ("HAIL_DEV_DISTRIBUTED_SCAN_COMB_OP", None),
+        "grouped_aggregate_buffer_size": ("HAIL_GROUPED_AGGREGATE_BUFFER_SIZE", "50"),
+        "index_branching_factor": ("HAIL_INDEX_BRANCHING_FACTOR", None),
+        "jvm_bytecode_dump": ("HAIL_DEV_JVM_BYTECODE_DUMP", None),
+        "lower": ("HAIL_DEV_LOWER", None),
+        "lower_bm": ("HAIL_DEV_LOWER_BM", None),
+        "lower_only": ("HAIL_DEV_LOWER_ONLY", None),
+        "max_leader_scans": ("HAIL_DEV_MAX_LEADER_SCANS", "1000"),
+        "max_optimizer_iterations": ("HAIL_OPTIMIZER_ITERATIONS", None),
+        "method_split_ir_limit": ("HAIL_DEV_METHOD_SPLIT_LIMIT", "16"),
+        "no_ir_logging": ("HAIL_DEV_NO_IR_LOG", None),
+        "no_whole_stage_codegen": ("HAIL_DEV_NO_WHOLE_STAGE_CODEGEN", None),
+        "optimize": ("HAIL_QUERY_OPTIMIZE", "1"),
+        "print_inputs_on_worker": ("HAIL_DEV_PRINT_INPUTS_ON_WORKER", None),
+        "print_ir_on_worker": ("HAIL_DEV_PRINT_IR_ON_WORKER", None),
+        "profile": ("HAIL_PROFILE", None),
+        "rng_nonce": ("HAIL_RNG_NONCE", "0x0"),
+        "shuffle_cutoff_to_local_sort": ("HAIL_SHUFFLE_CUTOFF", "512000000"),
+        "shuffle_max_branch_factor": ("HAIL_SHUFFLE_MAX_BRANCH", "64"),
+        "spark_max_stage_parallelism": ("HAIL_SPARK_MAX_STAGE_PARALLELISM", str(2**31 - 1)),
+        "strict_invariants": ("HAIL_STRICT_INVARIANTS", None),
+        "use_fast_restarts": ("HAIL_USE_FAST_RESTARTS", None),
+        "use_new_shuffle": ("HAIL_USE_NEW_SHUFFLE", None),
+        "use_ssa_logs": ("HAIL_USE_SSA_LOGS", "1"),
+        "use_unstable_encodings": ("HAIL_DEV_USE_UNSTABLE_ENCODINGS", None),
+        "write_ir_files": ("HAIL_WRITE_IR_FILES", None),
+        # hail_tpu-specific runtime knobs (same flag machinery)
+        "jit_threshold_rows": ("HAIL_TPU_JIT_THRESHOLD_ROWS", "4096"),
+        "max_partition_attempts": ("HAIL_TPU_MAX_PARTITION_ATTEMPTS", "3"),
+        "partition_cache_bytes": ("HAIL_TPU_PARTITION_CACHE_BYTES", str(512 * 1024 * 1024)),
+    }
+
     _stage_counter = 0
 
     @property

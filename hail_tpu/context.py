@@ -16,17 +16,16 @@ from typing import Dict, Optional
 from .backend.backend import Backend, LocalBackend
 
 
+# Must match knownFlags in the reference's HailFeatureFlags.scala:16-52 /
+# backend.py:172-201 (name -> (env var, default)); a flag's live value is its
+# env override, else the default — `hl._get_flags(name)` surfaces None for
+# unset defaultless flags, exactly like the reference.
+
+FLAGS_ENV_VARS_AND_DEFAULTS = Backend._flags_env_vars_and_defaults
+
 DEFAULT_FLAGS: Dict[str, str] = {
-    # mirrors the spirit of HailFeatureFlags.scala:16-52
-    'strict_invariants': '0',
-    'jit_threshold_rows': '4096',      # min rows before shipping an op to jax
-    'branching_factor': '50',
-    'shuffle_cutoff_to_local_sort': str(512 * 1024 * 1024),
-    'use_fast_restarts': '0',
-    'max_partition_attempts': '3',     # per-partition retry, Spark task-retry analogue
-    'partition_cache_bytes': str(512 * 1024 * 1024),  # in-memory partition memo budget
-    'cachedir': '',
-    'rng_nonce': '0',
+    name: os.environ.get(env_var, default)
+    for name, (env_var, default) in FLAGS_ENV_VARS_AND_DEFAULTS.items()
 }
 
 
@@ -48,7 +47,8 @@ class HailContext:
         self.flags = dict(DEFAULT_FLAGS)
         from .ir import columns as _columns
         _columns.set_strict_invariants(
-            self.flags['strict_invariants'] not in ('0', '', 'false'))
+            (self.flags.get('strict_invariants') or '0')
+            not in ('0', '', 'false'))
         self._seed_counter = global_seed if global_seed is not None else 0
         from .genetics.reference_genome import set_default_reference
         set_default_reference(default_reference)
@@ -84,9 +84,48 @@ class Env:
     @classmethod
     def hail(cls):
         # reference Env.hail(): the JVM is.hail package object; here a stub
-        # namespace that utils.java.scala_object understands
+        # namespace that utils.java.scala_object understands, plus a
+        # scala-Map-shaped view of the flag table so the reference's
+        # test_flags_same_in_scala_and_python can verify both sides agree
+        class _ScalaTuple2:
+            def __init__(self, a, b):
+                self._a, self._b = a, b
+
+            def _1(self):
+                return self._a
+
+            def _2(self):
+                return self._b
+
+        class _ScalaMapIterator:
+            def __init__(self, items):
+                self._items = items
+                self._i = 0
+
+            def hasNext(self):
+                return self._i < len(self._items)
+
+            def next(self):
+                kv = self._items[self._i]
+                self._i += 1
+                return kv
+
+        class _ScalaMap:
+            def __init__(self, d):
+                self._items = [_ScalaTuple2(k, _ScalaTuple2(v[0], v[1]))
+                               for k, v in d.items()]
+
+            def iterator(self):
+                return _ScalaMapIterator(self._items)
+
+        class _HailFeatureFlags:
+            @staticmethod
+            def defaults():
+                return _ScalaMap(Backend._flags_env_vars_and_defaults)
+
         class _pkg:
             io = 'is.hail.io'
+            HailFeatureFlags = _HailFeatureFlags
         return _pkg
 
     @classmethod
@@ -207,9 +246,9 @@ def _set_flags(**flags) -> None:
 
 
 def _get_flags(*names):
+    # reference context.py:951 → backend.get_flags(*flags): a dict over the
+    # REQUESTED names only ({} for no names); unset/defaultless flags are None
     f = Env.hc().flags
-    if not names:
-        return dict(f)
     return {n: f.get(n) for n in names}
 
 

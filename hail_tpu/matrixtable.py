@@ -424,6 +424,9 @@ class MatrixTable:
     def annotate_rows(self, **named_exprs) -> 'MatrixTable':
         exprs = {k: to_expr(v) for k, v in named_exprs.items()}
         self._check_source(*exprs.values())
+        from .expr.scopes import analyze
+        for e in exprs.values():
+            analyze('MatrixTable.annotate_rows', e, {'row'}, {'column'})
         from .expr.scans import ScanOp
         new_t = self._stage.row_type
         has_scan = False
@@ -516,6 +519,9 @@ class MatrixTable:
     def annotate_cols(self, **named_exprs) -> 'MatrixTable':
         exprs = {k: to_expr(v) for k, v in named_exprs.items()}
         self._check_source(*exprs.values())
+        from .expr.scopes import analyze
+        for e in exprs.values():
+            analyze('MatrixTable.annotate_cols', e, {'column'}, {'row'})
         new_cols = dict(self._stage.cols.columns)
         for k, e in exprs.items():
             new_cols[k] = self._eval_col_expr(e)
@@ -565,6 +571,9 @@ class MatrixTable:
     def annotate_entries(self, **named_exprs) -> 'MatrixTable':
         exprs = {k: to_expr(v) for k, v in named_exprs.items()}
         self._check_source(*exprs.values())
+        from .expr.scopes import analyze
+        for e in exprs.values():
+            analyze('MatrixTable.annotate_entries', e, {'row', 'column'})
         new_t = self._stage.entry_type
         for k, e in exprs.items():
             new_t = new_t._insert_field(k, e.dtype)
@@ -717,6 +726,8 @@ class MatrixTable:
     def filter_rows(self, expr, keep: bool = True) -> 'MatrixTable':
         e = to_expr(expr)
         self._check_source(e)
+        from .expr.scopes import analyze
+        analyze('MatrixTable.filter_rows', e, {'row'}, {'column'})
         self = self._prune_by_predicate(e._ir, keep)
         agg_nodes = aggmod.collect_agg_nodes(e._ir)
         def f(mb, i):
@@ -758,6 +769,8 @@ class MatrixTable:
     def filter_cols(self, expr, keep: bool = True) -> 'MatrixTable':
         e = to_expr(expr)
         self._check_source(e)
+        from .expr.scopes import analyze
+        analyze('MatrixTable.filter_cols', e, {'column'}, {'row'})
         col = self._eval_col_expr(e)
         mask = _bool_mask(col)
         if not keep:
@@ -781,6 +794,8 @@ class MatrixTable:
     def filter_entries(self, expr, keep: bool = True) -> 'MatrixTable':
         e = to_expr(expr)
         self._check_source(e)
+        from .expr.scopes import analyze
+        analyze('MatrixTable.filter_entries', e, {'row', 'column'})
         def f(mb, i):
             env = self._entry_env(mb, i)
             col = e._ir.evaluate(env)
