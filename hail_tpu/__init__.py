@@ -129,9 +129,10 @@ from .io.native import query_table as query_table, \
 
 
 def reset_global_randomness():
+    # reference utils/java.py:125: rewind the static rng uid counter so
+    # identical query sequences reproduce identical random streams
+    Env._static_rng_uid = 0
     Env.hc()._seed_counter = 0
-    from .expr.functions import _rand_counter
-    _rand_counter[0] = 0
 
 from . import plot
 from . import ggplot

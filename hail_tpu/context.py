@@ -73,6 +73,16 @@ class Env:
         hc._seed_counter += 1
         return hc._seed_counter
 
+    _static_rng_uid = 0
+
+    @classmethod
+    def next_static_rng_uid(cls) -> int:
+        # reference utils/java.py:118: sequential static uids for seeded
+        # functions, rewound by reset_global_randomness
+        result = cls._static_rng_uid
+        cls._static_rng_uid += 1
+        return result
+
     _uid_counter = 0
 
     @classmethod

@@ -27,7 +27,7 @@ from ..ir import columns as C
 from ..ir.columns import (Column, DenseArrayColumn, LocusColumn, ObjectColumn,
                           PrimitiveColumn, StructColumn)
 from ..ir.nodes import (IR, Apply, Cast, Coalesce, If, IsMissing, Literal,
-                        MakeArray, MakeStruct, MakeTuple, NA, Ref, RowIndex,
+                        MakeArray, MakeStruct, MakeTuple, NA, Ref, RngUidTuple, RowIndex,
                         eval_binop)
 from ..ir import arrays as ira
 from .expression import (ArrayExpression, BooleanExpression, CallExpression,
@@ -1941,31 +1941,49 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 _rand_counter = [0]
 
 
-def _rand_uniform_impl(seed):
-    """Uniform [0,1) per row via counter-based Threefry (reference
-    Random.scala: PMAC(nonce, staticID=seed, message=[row uid]) ->
-    ThreefryRandomEngine.nextDouble). Stable across partitionings because
-    row UIDs are (ir/random.py + TableStage.uid_for)."""
+def _static_rng_uid(seed):
+    """Reference _seeded_func (functions.py:121): a fresh sequential static
+    uid per seeded-function application, or -seed-1 for an explicit seed."""
+    from ..context import Env
     if seed is None:
-        from ..context import Env
-        seed = Env.next_seed()
-        _rand_counter[0] += 1
-        salt = _rand_counter[0]
-    else:
-        # explicit seed → fully deterministic (reference: ApplySeeded with a
-        # fixed seed produces identical values per row uid)
-        salt = 0
-    def impl(idx_col):
-        from ..ir.random import rand_unif01
-        idx = np.asarray(idx_col.values, dtype=np.int64)
-        u = rand_unif01(nonce=salt, static_id=seed,
-                        message=[idx.ravel()]).reshape(idx.shape)
+        return Env.next_static_rng_uid()
+    return -seed - 1
+
+
+def _rng_nonce() -> int:
+    from ..context import Env
+    try:
+        import builtins
+        return builtins.int(Env.hc().flags.get('rng_nonce') or '0x0', 0)
+    except ValueError:
+        return 0
+
+
+def _uid_words(uid_struct_col):
+    """Unpack the RngUidTuple StructColumn into flat int64 word arrays."""
+    shape = uid_struct_col.shape
+    words = [np.asarray(c.values, dtype=np.int64).ravel()
+             for c in uid_struct_col.fields.values()]
+    return words, shape
+
+
+def _rand_uniform_impl(seed):
+    """Uniform [0,1) per row, bit-exact with the reference's rand_unif
+    (RandomSeededFunctions._rand_unif over PMAC(nonce, staticUID,
+    uid words) — Random.scala + randomness.md)."""
+    sid = _static_rng_uid(seed)
+    nonce = None
+    def impl(uid_col):
+        from ..ir.random import rand_unif_exact
+        nl = _rng_nonce() if nonce is None else nonce
+        words, shape = _uid_words(uid_col)
+        u = rand_unif_exact(nl, sid, words).reshape(shape)
         return PrimitiveColumn(ht.tfloat64, u, None)
     return impl
 
 
 def rand_unif(lo=0.0, hi=1.0, seed=None):
-    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RowIndex()], _rand_uniform_impl(seed)))
+    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RngUidTuple()], _rand_uniform_impl(seed)))
     return u * (to_expr(hi) - to_expr(lo)) + to_expr(lo)
 
 
@@ -1974,7 +1992,7 @@ def rand_bool(p, seed=None):
 
 
 def rand_norm(mean=0.0, sd=1.0, seed=None):
-    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RowIndex()], _rand_uniform_impl(seed)))
+    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RngUidTuple()], _rand_uniform_impl(seed)))
     def impl(col):
         import scipy.special as sp
         z = sp.ndtri(np.clip(col.values, 1e-15, 1 - 1e-15))
@@ -1983,27 +2001,57 @@ def rand_norm(mean=0.0, sd=1.0, seed=None):
     return z * to_expr(sd) + to_expr(mean)
 
 
-def rand_int32(a, b=None, seed=None):
+def _rand_int32_expr(bound, seed):
+    sid = _static_rng_uid(seed)
+    def impl(uid_col, bcol):
+        from ..ir.random import rand_int32_bounded
+        words, shape = _uid_words(uid_col)
+        bv = np.broadcast_to(np.asarray(bcol.values, dtype=np.int64),
+                             shape).ravel()
+        vals = rand_int32_bounded(_rng_nonce(), sid, words, bv).reshape(shape)
+        return PrimitiveColumn(ht.tint32, vals, None)
+    return _apply('rand_int32', ht.tint32, impl, construct_expr(
+        RngUidTuple(), Indices()), to_expr(bound))
+
+
+def rand_int32(a, b=None, *, seed=None):
+    """Uniform 32-bit integers over [0, a) or [a, b) (reference
+    functions.py:3223 → engine nextInt(n), Random.scala:491)."""
     if b is None:
-        a, b = 0, a
-    u = rand_unif(seed=seed)
-    return int32(floor(u * (to_expr(b) - to_expr(a)))) + to_expr(a)
+        return _rand_int32_expr(a, seed)
+    return _rand_int32_expr(to_expr(b) - to_expr(a), seed) + to_expr(a)
 
 
-def rand_int64(a=None, b=None, seed=None):
+def _rand_int64_expr(bound, seed):
+    sid = _static_rng_uid(seed)
+    full = bound is None
+    def impl(uid_col, bcol):
+        from ..ir.random import rand_int64_full, rand_int64_bounded
+        words, shape = _uid_words(uid_col)
+        if full:
+            vals = rand_int64_full(_rng_nonce(), sid, words).reshape(shape)
+        else:
+            bv = np.broadcast_to(np.asarray(bcol.values, dtype=np.int64),
+                                 shape).ravel()
+            vals = rand_int64_bounded(_rng_nonce(), sid, words, bv).reshape(shape)
+        return PrimitiveColumn(ht.tint64, vals, None)
+    return _apply('rand_int64', ht.tint64, impl, construct_expr(
+        RngUidTuple(), Indices()), to_expr(0 if bound is None else bound))
+
+
+def rand_int64(a=None, b=None, *, seed=None):
+    """Uniform 64-bit integers over all of int64, [0, a), or [a, b)
+    (reference functions.py:3262 → engine nextLong, Random.scala:473-518)."""
     if a is None:
-        # full-range int64 (reference functions.py:3262); computed in f64 —
-        # b - a = 2^64 - 1 would overflow the int64 path below
-        u = rand_unif(seed=seed)
-        return int64(floor((u - 0.5) * _bi.float(1 << 64)))
+        return _rand_int64_expr(None, seed)
     if b is None:
-        a, b = 0, a
-    u = rand_unif(seed=seed)
-    return int64(floor(u * (int64(to_expr(b)) - int64(to_expr(a))))) + int64(to_expr(a))
+        return _rand_int64_expr(a, seed)
+    return _rand_int64_expr(int64(to_expr(b)) - int64(to_expr(a)), seed) \
+        + int64(to_expr(a))
 
 
 def rand_pois(lamb, seed=None):
-    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RowIndex()], _rand_uniform_impl(seed)))
+    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RngUidTuple()], _rand_uniform_impl(seed)))
     l = to_expr(lamb)
     def impl(ucol, lcol):
         import scipy.stats as st
@@ -2016,7 +2064,7 @@ def rand_pois(lamb, seed=None):
 
 
 def rand_beta(a, b, lower=None, upper=None, seed=None):
-    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RowIndex()], _rand_uniform_impl(seed)))
+    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RngUidTuple()], _rand_uniform_impl(seed)))
     lo_v = 0.0 if lower is None else lower
     hi_v = 1.0 if upper is None else upper
     truncated = lower is not None or upper is not None
@@ -2043,7 +2091,7 @@ def rand_beta(a, b, lower=None, upper=None, seed=None):
 
 
 def rand_gamma(shape, scale, seed=None):
-    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RowIndex()], _rand_uniform_impl(seed)))
+    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RngUidTuple()], _rand_uniform_impl(seed)))
     def impl(ucol, kcol, scol):
         import scipy.stats as st
         shp = np.broadcast_shapes(ucol.shape, kcol.shape, scol.shape)
@@ -2056,7 +2104,7 @@ def rand_gamma(shape, scale, seed=None):
 
 
 def rand_cat(prob_array, seed=None):
-    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RowIndex()], _rand_uniform_impl(seed)))
+    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RngUidTuple()], _rand_uniform_impl(seed)))
     p = array(prob_array)
     def impl(ucol, pcol):
         pobj = C.to_object(pcol)
@@ -2076,7 +2124,7 @@ def rand_dirichlet(a, seed=None):
     ae = array(a)
     k_t = ht.tarray(ht.tfloat64)
     # one gamma per element via per-element sub-streams of the row uniform
-    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RowIndex()], _rand_uniform_impl(seed)))
+    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RngUidTuple()], _rand_uniform_impl(seed)))
     def impl2(ucol, acol):
         import scipy.stats as st
         aobj = C.to_object(acol)
@@ -2525,7 +2573,7 @@ def corr(x, y):
 def shuffle(a, seed=None):
     """Randomly permute an array (reference hl.shuffle)."""
     e = array(a)
-    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RowIndex()], _rand_uniform_impl(seed)))
+    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RngUidTuple()], _rand_uniform_impl(seed)))
     def impl(acol, ucol):
         import numpy as _np
         obj = C.to_object(acol)
@@ -2911,7 +2959,7 @@ def cochran_mantel_haenszel_test(a, b, c, d):
 
 
 def rand_hyper(popsize, ngood, nsample, seed=None):
-    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RowIndex()], _rand_uniform_impl(seed)))
+    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RngUidTuple()], _rand_uniform_impl(seed)))
 
     def impl(ucol, pcol, gcol, ncol):
         import scipy.stats as st

@@ -735,6 +735,38 @@ class RowIndex(IR):
         return col
 
 
+class RngUidTuple(IR):
+    """The tuple of 64-bit uid words identifying the current evaluation
+    context (reference randomness.md: the dynamic RNGSplit message — a row's
+    uid, an entry's (row uid, col idx), an exploded element's
+    (row uid, element idx)). Evaluates to a StructColumn of int64 words."""
+
+    def __init__(self):
+        self.typ = ht.tstruct(w0=ht.tint64)  # nominal; width is contextual
+
+    def evaluate(self, env):
+        from .columns import StructColumn
+        words = []
+        k = 0
+        while f'__uid_w{k}__' in env.bindings:
+            words.append(env.bindings[f'__uid_w{k}__'])
+            k += 1
+        if not words:
+            col = env.bindings.get('__row_idx__')
+            if col is None:
+                raise ValueError('rng uid words not available in this context')
+            words = [col]
+        # the uid columns may be wider than the env shape (rand inside an
+        # array lambda evaluates element-wise while the env is still the
+        # outer row shape): take the broadcast superset
+        target = np.broadcast_shapes(env.shape, *[w.shape for w in words])
+        ws = [w if w.shape == target else w.broadcast_to(target)
+              for w in words]
+        t = ht.tstruct(**{f'w{i}': ht.tint64 for i in range(len(ws))})
+        return StructColumn(t, {f'w{i}': w for i, w in enumerate(ws)}, None,
+                            target)
+
+
 class AggOp(IR):
     """An aggregator application. Only valid inside aggregation contexts;
     evaluation is handled by hail_tpu.ir.agg (extract/seq/comb/result split,

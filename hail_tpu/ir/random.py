@@ -234,3 +234,291 @@ def rand_int64s(nonce: int, static_id: int, message, n: int = None) -> np.ndarra
     s, ft = pmac_hash(nonce, static_id, message, n)
     nn = s.shape[0]
     return threefry_encrypt(s, (np.broadcast_to(np.asarray(ft, U64), (nn,)), U64(0)))
+
+
+# ---------------------------------------------------------------------------
+# ThreefryRandomEngine emulation (Random.scala:406-572): a per-row buffered
+# stream over encrypt(state, (finalTweak, counter)); ints are consumed
+# high-32-first within each 64-bit word.
+# ---------------------------------------------------------------------------
+
+_MASK32 = 0xFFFFFFFF
+
+
+class ScalarEngine:
+    """Exact per-row engine for the rare slow paths (rejection resampling)."""
+
+    def __init__(self, state4, final_tweak):
+        self.state = np.asarray(state4, dtype=U64)
+        self.tweak = U64(final_tweak)
+        self.counter = 0
+        self.used = 8
+        self.buf = None
+
+    def _fill(self):
+        self.buf = threefry_encrypt(self.state[None, :],
+                                    (self.tweak, U64(self.counter)))[0]
+        self.used = 0
+        self.counter += 1
+
+    def next_int(self) -> int:
+        if self.used >= 8:
+            self._fill()
+        result = int(self.buf[self.used >> 1])
+        self.used += 1
+        parity = self.used & 1
+        shift = parity << 5
+        return (result >> shift) & _MASK32
+
+    def next_long(self) -> int:
+        self.used += self.used & 1
+        if self.used >= 8:
+            self._fill()
+        r = int(self.buf[self.used >> 1])
+        self.used += 2
+        return r
+
+    def next_int_bounded(self, n: int) -> int:
+        # Lemire-style bounded draw (Random.scala:491-508)
+        mult = n * (self.next_int() & _MASK32)
+        result = mult >> 32
+        fraction = mult & _MASK32
+        if fraction < (1 << 32) - n:
+            return result
+        mult_high = (((n * (self.next_int() & _MASK32)) >> 32)
+                     + (n * (self.next_int() & _MASK32))) >> 32
+        s = fraction + mult_high
+        carry = (s >> 32) & 1
+        return result + carry
+
+    def next_long_bounded(self, l: int) -> int:
+        x = (self.next_long() & ((1 << 64) - 1)) >> 1
+        r = x % l
+        while x - r + (l - 1) >= (1 << 63):
+            x = (self.next_long() & ((1 << 64) - 1)) >> 1
+            r = x % l
+        return r
+
+
+def map4_unif(block: np.ndarray) -> np.ndarray:
+    """RandomSeededFunctions._rand_unif: an (n,4) random block -> uniform
+    [0,1) doubles via the infinite-precision-bitstream construction (bits
+    scanned long3..long0, significand always long0 >>> 12)."""
+    n = block.shape[0]
+    bits = block[:, 3].copy()
+    exp = np.full(n, 1022, dtype=np.int64)
+    for w in (2, 1, 0):
+        zero = bits == 0
+        if not zero.any():
+            break
+        bits = np.where(zero, block[:, w], bits)
+        exp = np.where(zero, exp - 64, exp)
+    dead = bits == 0
+    bits = np.where(dead, U64(1), bits)
+    exp = exp - _trailing_zeros(bits)
+    result = (exp.astype(np.int64) << np.int64(52)).view(U64) \
+        | (block[:, 0] >> U64(12))
+    out = result.view(np.float64).copy()
+    out[dead] = 0.0
+    return out
+
+
+def _rand_state(nonce: int, static_id: int, words, n: int = None):
+    """PMAC the uid words -> ((n,4) engine state, final tweak)."""
+    return pmac_hash(nonce, static_id, words, n)
+
+
+def rand_unif_exact(nonce, static_id, words, n=None) -> np.ndarray:
+    """hl.rand_unif parity: _rand_unif over rngState.rand() (the PMAC final
+    encryption block)."""
+    s, ft = pmac_hash(nonce, static_id, words, n)
+    block = threefry_encrypt(s, (ft, U64(0)))
+    return map4_unif(block)
+
+
+def rand_int32_bounded(nonce, static_id, words, bound, n=None) -> np.ndarray:
+    """hl.rand_int32 parity: engine nextInt(bound) per row. `bound` is a
+    scalar or (n,) int array."""
+    s, ft = pmac_hash(nonce, static_id, words, n)
+    nrows = s.shape[0]
+    block0 = threefry_encrypt(s, (ft, U64(0)))
+    hi = (block0[:, 0] >> U64(32)).astype(np.int64)   # first nextInt: high 32
+    b = np.broadcast_to(np.asarray(bound, dtype=np.int64), (nrows,))
+    mult = b * hi
+    result = (mult >> np.int64(32)).astype(np.int64)
+    fraction = mult & np.int64(_MASK32)
+    slow = fraction >= (np.int64(1 << 32) - b)
+    if slow.any():
+        for i in np.where(slow)[0]:
+            result[i] = ScalarEngine(s[i], ft).next_int_bounded(int(b[i]))
+    return result.astype(np.int32)
+
+
+def rand_int64_full(nonce, static_id, words, n=None) -> np.ndarray:
+    """hl.rand_int64() parity: engine nextLong per row."""
+    s, ft = pmac_hash(nonce, static_id, words, n)
+    return threefry_encrypt(s, (ft, U64(0)))[:, 0].view(np.int64).copy()
+
+
+def rand_int64_bounded(nonce, static_id, words, bound, n=None) -> np.ndarray:
+    """hl.rand_int64(l) parity: engine nextLong(l) per row."""
+    s, ft = pmac_hash(nonce, static_id, words, n)
+    nrows = s.shape[0]
+    b = np.broadcast_to(np.asarray(bound, dtype=np.int64), (nrows,))
+    out = np.empty(nrows, dtype=np.int64)
+    block0 = threefry_encrypt(s, (ft, U64(0)))
+    x = (block0[:, 0] >> U64(1)).astype(np.int64)
+    r = x % b
+    ok = (x - r + (b - 1)) >= 0
+    out[ok] = r[ok]
+    for i in np.where(~ok)[0]:
+        out[i] = ScalarEngine(s[i], ft).next_long_bounded(int(b[i]))
+    return out
+
+
+def _long_to_double_bits(result: int) -> float:
+    import struct as _struct
+    return _struct.unpack('<d', _struct.pack('<Q', result & ((1 << 64) - 1)))[0]
+
+
+def _scalar_next_double(eng: 'ScalarEngine') -> float:
+    """Engine nextDouble (Random.scala:553-572)."""
+    bits = eng.next_long() & ((1 << 64) - 1)
+    exponent = 1022
+    while bits == 0:
+        bits = eng.next_long() & ((1 << 64) - 1)
+        exponent -= 64
+    e = (bits & -bits).bit_length() - 1
+    exponent -= e
+    significand = (bits if e < 12 else eng.next_long() & ((1 << 64) - 1)) >> 12
+    return _long_to_double_bits(((exponent & 0xFFF) << 52) | significand)
+
+
+ScalarEngine.next_double = _scalar_next_double
+
+
+_EXPMAX = 1024 * 0.693147180559945309417232121458  # log(DBL_MAX)
+
+
+def rbeta_engine(eng: 'ScalarEngine', aa: float, bb: float) -> float:
+    """Beta variate via Cheng's BB/BC algorithms (R nmath rbeta.c; jdistlib
+    Beta.random) consuming the engine's nextDouble stream."""
+    import math
+    if math.isnan(aa) or math.isnan(bb) or aa < 0.0 or bb < 0.0:
+        return float('nan')
+    if not math.isfinite(aa) and not math.isfinite(bb):
+        return 0.5
+    if aa == 0.0 and bb == 0.0:
+        return 0.0 if eng.next_double() < 0.5 else 1.0
+    if not math.isfinite(aa) or bb == 0.0:
+        return 1.0
+    if not math.isfinite(bb) or aa == 0.0:
+        return 0.0
+
+    a = min(aa, bb)
+    b = max(aa, bb)
+    alpha = a + b
+
+    def v_w(AA, beta, u1):
+        v = beta * math.log(u1 / (1.0 - u1))
+        if v <= _EXPMAX:
+            w = AA * math.exp(v)
+            if not math.isfinite(w):
+                w = 1.7976931348623157e308
+        else:
+            w = 1.7976931348623157e308
+        return v, w
+
+    if a <= 1.0:  # Algorithm BC — NOTE R swaps notation here: a = LARGER
+        a = max(aa, bb)
+        b = min(aa, bb)
+        alpha = a + b
+        beta = 1.0 / b
+        delta = 1.0 + a - b
+        k1 = delta * (0.0138889 + 0.0416667 * b) / (a * beta - 0.777778)
+        k2 = 0.25 + (0.5 + 0.25 / delta) * b
+        while True:
+            u1 = eng.next_double()
+            u2 = eng.next_double()
+            if u1 < 0.5:
+                y = u1 * u2
+                z = u1 * y
+                if 0.25 * u2 + z - y >= k1:
+                    continue
+            else:
+                z = u1 * u1 * u2
+                if z <= 0.25:
+                    v, w = v_w(a, beta, u1)
+                    break
+                if z >= k2:
+                    continue
+            v, w = v_w(a, beta, u1)
+            if alpha * (math.log(alpha / (b + w)) + v) - 1.3862944 >= math.log(z):
+                break
+        return b / (b + w) if aa != a else w / (b + w)
+
+    # Algorithm BB
+    beta = math.sqrt((alpha - 2.0) / (2.0 * a * b - alpha))
+    gamma = a + 1.0 / beta
+    while True:
+        u1 = eng.next_double()
+        u2 = eng.next_double()
+        v, w = v_w(a, beta, u1)
+        z = u1 * u1 * u2
+        r = gamma * v - 1.3862944
+        s = a + r - w
+        if s + 2.609438 >= 5.0 * z:
+            break
+        t = math.log(z)
+        if s > t:
+            break
+        if r + alpha * math.log(alpha / (b + w)) >= t:
+            break
+    return b / (b + w) if aa != a else w / (b + w)
+
+
+def rand_beta_exact(nonce, static_id, words, a, b, lo=None, hi=None, n=None):
+    """hl.rand_beta parity: jdistlib Beta.random per row, rejection-resampled
+    into [lo, hi] when bounds are given (RandomSeededFunctions rand_beta)."""
+    s, ft = pmac_hash(nonce, static_id, words, n)
+    nrows = s.shape[0]
+    av = np.broadcast_to(np.asarray(a, dtype=np.float64), (nrows,))
+    bv = np.broadcast_to(np.asarray(b, dtype=np.float64), (nrows,))
+    out = np.empty(nrows, dtype=np.float64)
+    for i in range(nrows):
+        eng = ScalarEngine(s[i], ft)
+        val = rbeta_engine(eng, float(av[i]), float(bv[i]))
+        if lo is not None or hi is not None:
+            lo_ = 0.0 if lo is None else lo
+            hi_ = 1.0 if hi is None else hi
+            while val < lo_ or val > hi_:
+                val = rbeta_engine(eng, float(av[i]), float(bv[i]))
+        out[i] = val
+    return out
+
+
+def rand_cat_exact(nonce, static_id, words, weights, n=None):
+    """hl.rand_cat parity: u = _rand_unif(block) * sum(weights), then linear
+    scan (RandomSeededFunctions rand_cat). `weights` is (n, k)."""
+    s, ft = pmac_hash(nonce, static_id, words, n)
+    block = threefry_encrypt(s, (ft, U64(0)))
+    u = map4_unif(block)
+    w = np.asarray(weights, dtype=np.float64)
+    if w.ndim == 1:
+        w = np.broadcast_to(w[None, :], (s.shape[0], w.shape[0]))
+    total = w.sum(axis=1)
+    r = u * total
+    # the scode scans by SUBTRACTION (r > w[i] -> r -= w[i]; i++), which is
+    # not bit-identical to a cumulative-sum comparison — replicate it
+    k = w.shape[1]
+    nrows = w.shape[0]
+    idx = np.zeros(nrows, dtype=np.int64)
+    rows = np.arange(nrows)
+    for _ in range(k):
+        w_i = w[rows, np.minimum(idx, k - 1)]
+        cond = (r > w_i) & (idx < k)
+        if not cond.any():
+            break
+        r = np.where(cond, r - w_i, r)
+        idx = np.where(cond, idx + 1, idx)
+    return idx.astype(np.int32)

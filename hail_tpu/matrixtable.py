@@ -408,8 +408,13 @@ class MatrixTable:
             else self._stage.uid_for(part_idx, R)
         idx = row_uid.reshape(R, 1) * np.int64(max(Cn, 1)) \
             + np.arange(Cn, dtype=np.int64).reshape(1, Cn)
+        # reference entry rng uid = (row uid, col idx) word pair (randomness.md)
+        w0 = np.broadcast_to(row_uid.reshape(R, 1), (R, Cn))
+        w1 = np.broadcast_to(np.arange(Cn, dtype=np.int64).reshape(1, Cn), (R, Cn))
         return EvalEnv({'va': va, 'sa': sa, 'g': g, 'global': gl,
-                        '__row_idx__': PrimitiveColumn(ht.tint64, idx)}, (R, Cn))
+                        '__row_idx__': PrimitiveColumn(ht.tint64, idx),
+                        '__uid_w0__': PrimitiveColumn(ht.tint64, w0),
+                        '__uid_w1__': PrimitiveColumn(ht.tint64, w1)}, (R, Cn))
 
     def _check_source(self, *exprs):
         from .expr.typefuncs import ExpressionException

