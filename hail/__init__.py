@@ -18,7 +18,7 @@ from hail_tpu import (agg, scan, nd, vds, utils, linalg, experimental,  # noqa: 
                       _pca_and_moments, _spectral_moments,
                       _set_flags, _get_flags, _with_flags,
                       _compare, _sort_by, _values_similar,
-                      _locus_windows_per_contig, _stream_range,
+                      _locus_windows_per_contig, _stream_range, _zip_streams,
                       _zip_join_producers)
 
 # submodule aliases: import hail.<mod> -> hail_tpu.<mod>

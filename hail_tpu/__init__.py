@@ -99,6 +99,7 @@ eval_timed = _F.eval_timed
 _compare = _F._compare
 _locus_windows_per_contig = _F._locus_windows_per_contig
 _stream_range = _F._stream_range
+_zip_streams = _F._zip_streams
 _zip_join_producers = _F._zip_join_producers
 _sort_by = _F._sort_by
 _values_similar = _F._values_similar

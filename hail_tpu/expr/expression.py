@@ -614,11 +614,12 @@ class CollectionExpression(Expression):
         return self.length()
 
     def map(self, f) -> 'Expression':
+        from ..ir.nodes import ToStream
         et = self.dtype.element_type
         var = _fresh_name('elem')
         elem = construct_expr(Ref(var, et), self._indices)
         body = to_expr(f(elem))
-        return construct_expr(ira.ArrayMap(self._ir, var, body._ir),
+        return construct_expr(ira.ArrayMap(ToStream(self._ir), var, body._ir),
                               Indices.unify(self._indices, body._indices))
 
     def filter(self, f) -> 'Expression':
@@ -664,7 +665,9 @@ class CollectionExpression(Expression):
 
     def flatmap(self, f):
         from . import functions as F
-        return F.flatmap(f, self)
+        from ..ir.nodes import StreamFlatMap
+        out = F.flatmap(f, self)
+        return construct_expr(StreamFlatMap(out._ir), out._indices)
 
     def group_by(self, f):
         from . import functions as F
@@ -703,13 +706,26 @@ class CollectionExpression(Expression):
 
 
 class ArrayExpression(CollectionExpression):
-    # streams are arrays in this engine: conversion hooks are identities
-    # (reference to_stream/to_array round-trips)
+    # streams are arrays in this engine: conversion hooks are transparent
+    # markers so the tree keeps the reference's observable stream boundaries
     def to_array(self):
-        return self
+        from ..ir.nodes import ToArray
+        return construct_expr(ToArray(self._ir), self._indices)
 
     def _to_stream(self):
         return self
+
+    def zip_with_index(self, start, index_first=True):
+        """Stream of (index, element) tuples (reference
+        StreamExpression.zip_with_index → StreamZip with a StreamIota)."""
+        from . import functions as F
+        from ..ir.nodes import StreamIota, StreamZip
+        start_e = to_expr(start)
+        n = self.length()
+        idxs = F.range_(start_e, start_e + n)
+        pair = F.zip_(idxs, self) if index_first else F.zip_(self, idxs)
+        return construct_expr(StreamZip(pair._ir, [StreamIota()]),
+                              pair._indices)
 
     # arrays order lexicographically (hail total order; reference
     # test_operators x45-x52)
@@ -812,7 +828,8 @@ class ArrayExpression(CollectionExpression):
                         rescol = rescol.broadcast_to((len(lst),))
                     out.append(rescol.to_pylist())
                 return C.from_pylist(rt, out).reshape(obj.shape)
-        return construct_expr(_LocalArrayScan(arr_ir), self._indices)
+        from ..ir.nodes import StreamAggScan
+        return construct_expr(StreamAggScan(_LocalArrayScan(arr_ir)), self._indices)
 
     def aggregate(self, f):
         """Aggregate over the array's elements with an aggregator expression
@@ -860,7 +877,9 @@ class ArrayExpression(CollectionExpression):
                     vals = res.to_pylist()
                     out.append(vals[0] if vals else None)
                 return C.from_pylist(rt, out).reshape(obj.shape)
-        return construct_expr(_LocalArrayAgg(arr_ir), self._indices)
+        from ..ir.nodes import StreamAgg
+        return construct_expr(StreamAgg(_LocalArrayAgg(arr_ir)),
+                              self._indices)
 
     def head(self):
         """First element, or missing if empty (reference head)."""

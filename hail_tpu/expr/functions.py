@@ -1960,11 +1960,20 @@ def _rng_nonce() -> int:
 
 
 def _uid_words(uid_struct_col):
-    """Unpack the RngUidTuple StructColumn into flat int64 word arrays."""
+    """Unpack the RngUidTuple StructColumn into flat int64 word arrays;
+    an empty list means the reference's empty dynamic message."""
     shape = uid_struct_col.shape
     words = [np.asarray(c.values, dtype=np.int64).ravel()
              for c in uid_struct_col.fields.values()]
     return words, shape
+
+
+def _uid_n(words, shape):
+    # empty partitions give genuinely zero-length word columns
+    import builtins
+    if words:
+        return builtins.int(words[0].shape[0])
+    return builtins.int(np.prod(shape)) if shape else 1
 
 
 def _rand_uniform_impl(seed):
@@ -1977,7 +1986,8 @@ def _rand_uniform_impl(seed):
         from ..ir.random import rand_unif_exact
         nl = _rng_nonce() if nonce is None else nonce
         words, shape = _uid_words(uid_col)
-        u = rand_unif_exact(nl, sid, words).reshape(shape)
+        u = rand_unif_exact(nl, sid, words,
+                            n=_uid_n(words, shape)).reshape(shape)
         return PrimitiveColumn(ht.tfloat64, u, None)
     return impl
 
@@ -2008,7 +2018,8 @@ def _rand_int32_expr(bound, seed):
         words, shape = _uid_words(uid_col)
         bv = np.broadcast_to(np.asarray(bcol.values, dtype=np.int64),
                              shape).ravel()
-        vals = rand_int32_bounded(_rng_nonce(), sid, words, bv).reshape(shape)
+        vals = rand_int32_bounded(_rng_nonce(), sid, words, bv,
+                                  n=_uid_n(words, shape)).reshape(shape)
         return PrimitiveColumn(ht.tint32, vals, None)
     return _apply('rand_int32', ht.tint32, impl, construct_expr(
         RngUidTuple(), Indices()), to_expr(bound))
@@ -2029,11 +2040,13 @@ def _rand_int64_expr(bound, seed):
         from ..ir.random import rand_int64_full, rand_int64_bounded
         words, shape = _uid_words(uid_col)
         if full:
-            vals = rand_int64_full(_rng_nonce(), sid, words).reshape(shape)
+            vals = rand_int64_full(_rng_nonce(), sid, words,
+                                   n=_uid_n(words, shape)).reshape(shape)
         else:
             bv = np.broadcast_to(np.asarray(bcol.values, dtype=np.int64),
                                  shape).ravel()
-            vals = rand_int64_bounded(_rng_nonce(), sid, words, bv).reshape(shape)
+            vals = rand_int64_bounded(_rng_nonce(), sid, words, bv,
+                                      n=_uid_n(words, shape)).reshape(shape)
         return PrimitiveColumn(ht.tint64, vals, None)
     return _apply('rand_int64', ht.tint64, impl, construct_expr(
         RngUidTuple(), Indices()), to_expr(0 if bound is None else bound))
@@ -3150,6 +3163,13 @@ def _error_from_cdf_python(cdf, failure_prob, all_quantiles=False):
     `hail/expr/functions.py:241`)."""
     return _cdf_error_bound(cdf['_compaction_counts'], cdf['ranks'][-1],
                             failure_prob, all_quantiles)
+
+
+def _zip_streams(*streams, fill_missing: bool = False):
+    """Zip streams into tuples (reference hl._zip_streams → StreamZip)."""
+    from ..ir.nodes import StreamZip
+    out = zip_(*streams, fill_missing=fill_missing)
+    return construct_expr(StreamZip(out._ir), out._indices)
 
 
 def _stream_range(start, stop=None, step=1):

@@ -1589,13 +1589,15 @@ class ExplodedAgg(EnvCombinator):
         ok = np.ones(flat.size, dtype=bool) if include is None else \
             np.broadcast_to(include, env.shape).ravel()
         rep_idx = []
+        elem_idx = []
         elems = []
         for i, v in enumerate(flat):
             if v is None or not ok[i]:
                 continue
             seq = sorted(v, key=lambda x: (x is None, x)) if isinstance(v, (set, frozenset)) else list(v)
-            for x in seq:
+            for j, x in enumerate(seq):
                 rep_idx.append(i)
+                elem_idx.append(j)
                 elems.append(x)
         n = len(elems)
         et = self.arr_ir.typ.element_type
@@ -1605,6 +1607,18 @@ class ExplodedAgg(EnvCombinator):
             fc = c.reshape((int(np.prod(c.shape)),)) if int(np.prod(c.shape)) == int(np.prod(env.shape)) \
                 else c.broadcast_to(env.shape).reshape((int(np.prod(env.shape)),))
             new_bindings[k2] = fc.gather(idx)
+        # exploded elements extend the uid words with their index within the
+        # row's collection (reference AggExplode stream-uid appending)
+        ej = np.asarray(elem_idx, dtype=np.int64)
+        k3 = 0
+        while f'__uid_w{k3}__' in new_bindings:
+            k3 += 1
+        if k3 == 0 and '__row_idx__' in new_bindings:
+            new_bindings['__uid_w0__'] = PrimitiveColumn(
+                ht.tint64, np.asarray(new_bindings['__row_idx__'].values,
+                                      dtype=np.int64).ravel().copy())
+            k3 = 1
+        new_bindings[f'__uid_w{k3}__'] = PrimitiveColumn(ht.tint64, ej)
         new_bindings[self.var] = C.from_pylist(et, elems)
         inner_env = EvalEnv(new_bindings, (n,))
         return partial_aggregate(self.inner_nodes, inner_env, (0,))

@@ -37,11 +37,33 @@ def _elem_env(env: EvalEnv, arr_shape, width) -> EvalEnv:
     for k, c in env.bindings.items():
         new[k] = c.reshape(c.shape + (1,))
     uid = new.get('__row_idx__')
+    if uid is None and width:
+        # no outer uid context (hl.eval of a literal collection): the element
+        # index alone is the uid word, matching the reference's zip-iota
+        k = 0
+        while f'__uid_w{k}__' in new:
+            k += 1
+        idx_w = np.arange(width, dtype=np.int64).reshape(
+            (1,) * len(arr_shape) + (width,))
+        new[f'__uid_w{k}__'] = PrimitiveColumn(
+            ht.tint64, np.broadcast_to(idx_w, tuple(1 for _ in arr_shape) + (width,)).copy())
     if uid is not None and width:
         vals = np.broadcast_to(np.asarray(uid.values, dtype=np.int64)[..., :1],
                                uid.values.shape[:-1] + (width,))
         mixed = _mix_uid(vals, np.arange(width, dtype=np.int64))
         new['__row_idx__'] = PrimitiveColumn(ht.tint64, mixed)
+        # uid WORDS gain the element index (reference stream uids append the
+        # zip-iota; randomness.md) — derive w0 from the row uid when the
+        # context hasn't established words yet
+        k = 0
+        while f'__uid_w{k}__' in new:
+            k += 1
+        if k == 0:
+            new['__uid_w0__'] = PrimitiveColumn(ht.tint64, vals.copy())
+            k = 1
+        idx_w = np.broadcast_to(np.arange(width, dtype=np.int64),
+                                vals.shape).copy()
+        new[f'__uid_w{k}__'] = PrimitiveColumn(ht.tint64, idx_w)
     return EvalEnv(new, tuple(arr_shape) + (width,))
 
 
@@ -155,9 +177,10 @@ class ArrayFold(IR):
                 flat_out[i] = None
                 continue
             acc = flat_z[i]
-            for x in a:
+            for j, x in enumerate(a):
                 acc = _eval_scalar_body(self.body, env,
-                                        {self.accum_var: (self.typ, acc), self.elem_var: (self.arr.typ.element_type, x)})
+                                        {self.accum_var: (self.typ, acc), self.elem_var: (self.arr.typ.element_type, x)},
+                                        elem_index=j)
             flat_out[i] = acc
         return C.from_pylist(self.typ, list(flat_out)).reshape(obj.shape)
 
@@ -199,9 +222,10 @@ class ArrayScan(IR):
                 continue
             acc = flat_z[i]
             accs = [acc]
-            for x in a:
+            for j, x in enumerate(a):
                 acc = _eval_scalar_body(self.body, env,
-                                        {self.accum_var: (bt, acc), self.elem_var: (et, x)})
+                                        {self.accum_var: (bt, acc), self.elem_var: (et, x)},
+                                        elem_index=j)
                 accs.append(acc)
             flat_out[i] = accs
         return C.from_pylist(self.typ, list(flat_out)).reshape(obj.shape)
@@ -357,6 +381,16 @@ def _eval_scalar_body(body: IR, env: EvalEnv, extra: dict,
             bindings[k] = c.reshape((int(np.prod(c.shape)),)).gather(np.asarray([0]))
     if elem_index is not None and '__row_idx__' in bindings:
         base = np.asarray(bindings['__row_idx__'].values).ravel()
+        # uid words gain the element index (reference stream-uid appending);
+        # the mixed single-word __row_idx__ stays for legacy consumers
+        k = 0
+        while f'__uid_w{k}__' in bindings:
+            k += 1
+        if k == 0:
+            bindings['__uid_w0__'] = PrimitiveColumn(ht.tint64, base.copy())
+            k = 1
+        bindings[f'__uid_w{k}__'] = PrimitiveColumn(
+            ht.tint64, np.asarray([elem_index], dtype=np.int64))
         bindings['__row_idx__'] = PrimitiveColumn(
             ht.tint64, _mix_uid(base, np.asarray([elem_index], dtype=np.int64)))
     for k, (t, v) in extra.items():

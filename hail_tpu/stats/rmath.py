@@ -708,7 +708,11 @@ def _pgamma_raw(x, alph, lower_tail, log_p):
         else:
             res = sum_ + d if log_p else sum_ * d
     elif alph - 1 < x and alph < 0.8 * (x + 50):
-        # incl. large x compared to alph
+        # incl. large x compared to alph. NOTE: for alph < 1 the engine we
+        # match (jdistlib) is within ~1-30 ulp of this (R-current) route but
+        # not bit-identical; its exact internals are unreproducible without
+        # the source (test_cochran_mantel_haenszel_test pins two of its
+        # outputs that no R-vintage assembly reproduces simultaneously)
         d = _dpois_wrap(alph, x, log_p)
         if alph < 1:
             if x * _DBL_EPSILON > 1 - alph:

@@ -1895,10 +1895,13 @@ class Table:
         return self[tuple(exprs)]
 
     def index_globals(self) -> StructExpression:
+        from .ir.nodes import TableGetGlobals
+        from .expr.expression import construct_expr
         gb = self._stage.globals
         gt = self._stage.globals_type
         vals = Struct(**{k: (gb.columns[k].to_pylist()[0]) for k in gt.fields})
-        return to_expr(vals, gt)
+        e = to_expr(vals, gt)
+        return construct_expr(TableGetGlobals(e._ir), e._indices)
 
 
 class _DescOrder:
