@@ -209,3 +209,43 @@ class TestRandStability:
             a = t.annotate(x=f()).x.collect()
             b = t.annotate(x=f()).x.collect()
             assert a == b
+
+
+def test_engine_rand_int32_reference_values():
+    """Engine nextInt(n) parity pins (the reference's own test_randomness.py
+    values for range_table(5).annotate(x=rand_int32(5)) and the 5x2 entries
+    grid)."""
+    import numpy as np
+    from hail_tpu.ir.random import rand_int32_bounded
+    got = rand_int32_bounded(0, 0, [np.arange(5, dtype=np.int64)], 5)
+    assert list(got) == [4, 3, 2, 3, 3]
+    r = np.repeat(np.arange(5, dtype=np.int64), 2)
+    c = np.tile(np.arange(2, dtype=np.int64), 5)
+    got2 = rand_int32_bounded(0, 0, [r, c], 5)
+    assert list(got2) == [0, 3, 2, 4, 1, 4, 4, 2, 4, 4]
+
+
+def test_engine_scalar_matches_vectorized():
+    import numpy as np
+    from hail_tpu.ir.random import (ScalarEngine, pmac_hash, rand_doubles,
+                                    rand_int64_full)
+    s, ft = pmac_hash(3, 9, [np.arange(4, dtype=np.int64)])
+    vec_d = rand_doubles(s, ft)
+    vec_l = rand_int64_full(3, 9, [np.arange(4, dtype=np.int64)])
+    for i in range(4):
+        e = ScalarEngine(s[i], ft)
+        assert e.next_long() & ((1 << 64) - 1) == int(vec_l[i]) & ((1 << 64) - 1)
+        e2 = ScalarEngine(s[i], ft)
+        assert e2.next_double() == vec_d[i]
+
+
+def test_rand_functions_deterministic_after_reset():
+    import hail_tpu as hl
+    hl.init(idempotent=True)
+    hl.reset_global_randomness()
+    t = hl.utils.range_table(5)
+    a = t.annotate(x=hl.rand_int32(5)).x.collect()
+    hl.reset_global_randomness()
+    t = hl.utils.range_table(5)
+    b = t.annotate(x=hl.rand_int32(5)).x.collect()
+    assert a == b == [4, 3, 2, 3, 3]
