@@ -53,6 +53,17 @@ class Backend:
     def _run(self, batch, **kwargs) -> BatchRun:
         raise NotImplementedError
 
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    async def async_close(self):
+        # reference backend.py async_close: close any async clients
+        self.close()
+
     def close(self):
         pass
 
@@ -138,24 +149,44 @@ class LocalBackend(Backend):
             return p
 
         # resource-group member files resolve against the group root template
+        input_links = []   # (input_path, localized path) symlinks
+
         def materialize_paths():
             for r in batch._all_resources():
                 resource_path(r)
                 if isinstance(r, ResourceGroup):
                     root = resource_paths[r._uid]
                     for name, f in r._files.items():
+                        template = r._templates.get(name, '{root}.' + name)
+                        p = template.format(root=root)
+                        if p == root:   # input groups use the bare '{root}'
+                            p = root + '.' + name
                         if isinstance(f, InputResourceFile):
-                            resource_paths[f._uid] = f._input_path
+                            # localize so `{group}.name` references resolve
+                            # next to the group root (reference LocalBackend
+                            # links inputs into the scratch dir)
+                            resource_paths[f._uid] = p
+                            input_links.append((f._input_path, p))
                         else:
-                            template = r._templates.get(name, '{root}.' + name)
-                            resource_paths[f._uid] = template.format(root=root)
+                            resource_paths[f._uid] = p
 
         materialize_paths()
+        for src_p, dst_p in input_links:
+            os.makedirs(os.path.dirname(dst_p), exist_ok=True)
+            if not os.path.exists(dst_p) and os.path.exists(src_p):
+                os.symlink(os.path.abspath(src_p), dst_p)
 
         def substitute(text: str) -> str:
+            import shlex
+
             def repl(m):
                 uid = m.group(1)
-                return resource_paths.get(uid, m.group(0))
+                p = resource_paths.get(uid)
+                if p is None:
+                    return m.group(0)
+                # shell-quote: input paths may contain spaces/parens
+                # (reference LocalBackend shq-quotes localized paths)
+                return shlex.quote(p)
             return re.sub(r'\$\{(__[A-Z_]+_\d+__)\}', repl, text)
 
         if dry_run:
@@ -184,8 +215,9 @@ class LocalBackend(Backend):
                     if verbose and r.stdout:
                         print(r.stdout, end='')
                     if r.returncode != 0:
-                        raise RuntimeError(
-                            f'job {j.name or j._uid} failed (exit {r.returncode}):\n{r.stderr[-2000:]}')
+                        raise subprocess.CalledProcessError(
+                            r.returncode, [j._shell, '-c', script],
+                            output=r.stdout, stderr=r.stderr)
                 elif isinstance(j, PythonJob):
                     for fn, args, kw, result in j._calls:
                         def resolve(a):
@@ -204,15 +236,16 @@ class LocalBackend(Backend):
                             if f is not None:
                                 p = resource_paths[f._uid]
                                 with open(p, 'w') as fh:
+                                    # reference pyjob writers newline-terminate
                                     if kind == 'json':
-                                        fh.write(_json.dumps(value))
+                                        fh.write(_json.dumps(value) + '\n')
                                     elif kind == 'str':
-                                        fh.write(str(value))
+                                        fh.write(str(value) + '\n')
                                     else:
-                                        fh.write(repr(value))
+                                        fh.write(repr(value) + '\n')
                 return None
             except Exception as e:
-                return str(e)
+                return e
 
         pool = concurrent.futures.ThreadPoolExecutor(max_workers=max_parallel_jobs)
         futures: Dict[str, concurrent.futures.Future] = {}
@@ -262,13 +295,18 @@ class LocalBackend(Backend):
         finally:
             pool.shutdown(wait=True)
 
-        # write requested outputs
+        # write requested outputs (even on failure: partial outputs of
+        # always_run consumers must land — reference LocalBackend semantics)
         for resource, dest in batch._outputs:
             if isinstance(resource, ResourceGroup):
                 for name, f in resource._files.items():
                     src = resource_paths[f._uid]
+                    template = resource._templates.get(name, '{root}.' + name)
+                    out = template.format(root=dest)
+                    if out == dest:  # input groups: '{root}' template
+                        out = dest + '.' + name
                     if os.path.exists(src):
-                        _copy_out(src, dest + os.path.splitext(src)[1] if '{root}' not in dest else dest)
+                        _copy_out(src, out)
             else:
                 src = resource_paths[resource._uid]
                 if os.path.exists(src):
@@ -278,9 +316,15 @@ class LocalBackend(Backend):
         if delete_scratch_on_exit:
             shutil.rmtree(scratch, ignore_errors=True)
             run._scratch = None
-        if errors and verbose:
-            for uid, e in errors.items():
-                print(f'FAILED {uid}: {e}')
+        if errors:
+            if verbose:
+                for uid, e in errors.items():
+                    print(f'FAILED {uid}: {e}')
+            if kwargs.get('_raise_on_failure', True):
+                first = next(iter(errors.values()))
+                if isinstance(first, BaseException):
+                    raise first
+                raise RuntimeError(str(first))
         return run
 
     def close(self):

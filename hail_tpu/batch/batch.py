@@ -63,6 +63,9 @@ class Batch:
 
     def read_input_group(self, **paths: str) -> ResourceGroup:
         rg = ResourceGroup(None, **{k: '{root}' for k in paths})
+        if not hasattr(self, '_input_groups'):
+            self._input_groups = []
+        self._input_groups.append(rg)
         for k, p in paths.items():
             inp = InputResourceFile(p)
             inp._group = rg
@@ -81,6 +84,7 @@ class Batch:
 
     def _all_resources(self) -> List[Resource]:
         out: List[Resource] = list(self._inputs)
+        out.extend(getattr(self, '_input_groups', []))
         for j in self._jobs:
             for r in j._resources.values():
                 out.append(r)

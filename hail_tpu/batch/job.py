@@ -26,6 +26,12 @@ class Job:
         self._uid = f'job_{len(batch._jobs)}'
         self._state = 'Pending'
         self._error: Optional[str] = None
+        # resource introspection (reference job.py): resources this job
+        # reads that it does not produce, and resources explicitly
+        # referenced in its commands
+        self._inputs = set()
+        self._mentioned = set()
+        self._internal_outputs = set()
 
     # -- resource declaration ---------------------------------------------
     def declare_resource_group(self, **groups) -> 'Job':
@@ -127,8 +133,42 @@ class BashJob(Job):
         self._used_resources: List[Resource] = []
 
     def command(self, command: str) -> 'BashJob':
+        if not command.strip():
+            import warnings
+            warnings.warn('Ignoring empty command.')
+            return self
+        self._register_references(command)
         self._commands.append(command)
         return self
+
+    def _register_references(self, text: str) -> None:
+        from .resource import ResourceGroup
+        import re as _re
+        uids = set(_re.findall(r'\$\{(__[A-Z_]+_\d+__)\}', text))
+        if not uids:
+            return
+        for r in self._batch._all_resources():
+            if r._uid not in uids:
+                continue
+            # the referenced resource (a group token mentions the group and
+            # every member; a member token mentions only itself)
+            if isinstance(r, ResourceGroup):
+                self._mentioned.add(r)
+                members = list(r._files.values())
+                self._mentioned.update(members)
+            else:
+                self._mentioned.add(r)
+                group = getattr(r, '_group', None)
+                # mentioning one member localizes the whole group (reference:
+                # groups travel together) — inputs/outputs cover all members
+                members = (list(group._files.values())
+                           if group is not None else [r])
+            for m in members:
+                src = getattr(m, '_source_job', None)
+                if src is not self:
+                    self._inputs.add(m)
+                if src is not None:
+                    src._internal_outputs.add(m)
 
     def _referenced_resources(self):
         # resolved lazily at run time (all resources exist by then): a

@@ -23,26 +23,55 @@ class Resource:
         return self._token()
 
 
-class ResourceFile(Resource):
-    def __init__(self, uid: Optional[str] = None):
-        self._uid = uid or _new_uid('RESOURCE_FILE')
+class ResourceFile(Resource, str):
+    """A single file resource. str-subclass whose value is the substitution
+    token, so commands can join/format resources directly (reference
+    resource.py:30 ResourceFile(Resource, str))."""
+
+    def __new__(cls, *args, **kwargs):
+        uid = _new_uid('RESOURCE_FILE')
+        r = str.__new__(cls, '${' + uid + '}')
+        r._uid = uid
+        return r
+
+    def __init__(self, *args, **kwargs):
         self._source_job = None
         self._output_paths = []
+        self._extension = None
 
     def add_extension(self, ext: str) -> 'ResourceFile':
+        if self._extension is not None:
+            raise ValueError('resource already has an extension: '
+                             f'{self._extension!r}')
         self._extension = ext
         return self
+
+    @property
+    def _value(self) -> str:
+        # reference resource.py: the generated in-container file name
+        return self._uid.strip('_') + (self._extension or '')
+
+    def __str__(self) -> str:
+        return self._token()
+
+    def __repr__(self) -> str:
+        return f'{type(self).__name__}({self._uid})'
 
 
 class InputResourceFile(ResourceFile):
     def __init__(self, input_path: str):
-        super().__init__(_new_uid('INPUT'))
+        super().__init__()
         self._input_path = input_path
+
+    @property
+    def _value(self) -> str:
+        import os
+        return os.path.basename(self._input_path) + (self._extension or '')
 
 
 class JobResourceFile(ResourceFile):
     def __init__(self, job):
-        super().__init__(_new_uid('JOB_FILE'))
+        super().__init__()
         self._source_job = job
 
 
@@ -72,31 +101,36 @@ class ResourceGroup(Resource):
         return self._files[name]
 
 
-class PythonResult(Resource):
-    """Result handle of a PythonJob call (reference PythonResult): usable as
-    an input to later python jobs, or rendered to files."""
+class PythonResult(Resource, str):
+    """Handle to a python job call's return value (reference
+    resource.py:291 PythonResult(Resource, str))."""
+
+    def __new__(cls, *args, **kwargs):
+        uid = _new_uid('PYTHON_RESULT')
+        r = str.__new__(cls, '${' + uid + '}')
+        r._uid = uid
+        return r
 
     def __init__(self, source_job):
-        self._uid = _new_uid('PYTHON_RESULT')
         self._source_job = source_job
-        self._json_file: Optional[JobResourceFile] = None
-        self._str_file: Optional[JobResourceFile] = None
-        self._repr_file: Optional[JobResourceFile] = None
+        self._json_file = None
+        self._str_file = None
+        self._repr_file = None
 
     def as_json(self) -> JobResourceFile:
         if self._json_file is None:
             self._json_file = JobResourceFile(self._source_job)
-            self._json_file._from_python_result = (self, 'json')
+            self._json_file.add_extension('.json')
         return self._json_file
 
     def as_str(self) -> JobResourceFile:
         if self._str_file is None:
             self._str_file = JobResourceFile(self._source_job)
-            self._str_file._from_python_result = (self, 'str')
+            self._str_file.add_extension('.txt')
         return self._str_file
 
     def as_repr(self) -> JobResourceFile:
         if self._repr_file is None:
             self._repr_file = JobResourceFile(self._source_job)
-            self._repr_file._from_python_result = (self, 'repr')
+            self._repr_file.add_extension('.repr')
         return self._repr_file

@@ -13,6 +13,16 @@ import hail_tpu.fs as fs  # noqa: E402
 import hail_tpu.utils as utils  # noqa: E402
 
 _sys.modules['hailtop.batch'] = batch
+import hail_tpu.batch.utils as _batch_utils
+_sys.modules['hailtop.batch.utils'] = _batch_utils
+import hail_tpu.batch.resource as _batch_resource
+_sys.modules['hailtop.batch.resource'] = _batch_resource
+import hail_tpu.batch.job as _batch_job
+_sys.modules['hailtop.batch.job'] = _batch_job
+import hail_tpu.batch.backend as _batch_backend
+_sys.modules['hailtop.batch.backend'] = _batch_backend
+import hail_tpu.batch.batch as _batch_batch
+_sys.modules['hailtop.batch.batch'] = _batch_batch
 _sys.modules['hailtop.fs'] = fs
 _sys.modules['hailtop.utils'] = utils
 
@@ -75,6 +85,23 @@ _cfgmod.configuration_of = _cfg.configuration_of
 _cfgmod.DeployConfig = _cfg.DeployConfig
 _cfgmod.get_user_config = _cfg.get_user_config
 _cfgmod.get_deploy_config = getattr(_cfg, 'get_deploy_config', None)
+
+
+def _get_remote_tmpdir(caller_name, *, bucket=None, remote_tmpdir=None,
+                       user_config=None, warnings_stacklevel=2):
+    # reference hailtop/config/user_config.py:142 — configured remote tmpdir
+    # or the local session tmpdir in this single-node build
+    if remote_tmpdir is not None:
+        return remote_tmpdir if remote_tmpdir.endswith('/') else remote_tmpdir + '/'
+    cfg = _cfg.get_user_config()
+    v = cfg.get('batch', 'remote_tmpdir', fallback=None) if cfg else None
+    if v:
+        return v if v.endswith('/') else v + '/'
+    import tempfile as _tf
+    return _tf.gettempdir() + '/hail_tpu_remote_tmp/'
+
+
+_cfgmod.get_remote_tmpdir = _get_remote_tmpdir
 _sys.modules['hailtop.config'] = _cfgmod
 
 _proc = _types.ModuleType('hailtop.utils.process')
@@ -142,3 +169,6 @@ _bcclient.JobGroup = getattr(batch, 'JobGroup', None)
 _bcmod.client = _bcclient
 _sys.modules['hailtop.batch_client'] = _bcmod
 _sys.modules['hailtop.batch_client.client'] = _bcclient
+
+__pip_version__ = '0.2.135'
+__version__ = __pip_version__

@@ -55,7 +55,13 @@ def test_batch_dependencies_and_failure():
     j2 = b.new_job(name='dependent')
     j2.command('echo should-not-run')
     j2.depends_on(j1)
-    run = b.run()
+    # reference LocalBackend semantics: a failed batch RAISES; pass the
+    # internal flag to inspect terminal states instead
+    import subprocess
+    import pytest as _pytest
+    with _pytest.raises(subprocess.CalledProcessError):
+        b.run()
+    run = b.run(_raise_on_failure=False)
     s = run.status()
     assert s['state'] == 'failure'
     js = run.job_status()
@@ -87,7 +93,7 @@ def test_batch_python_job(tmp_path):
     b.write_output(res.as_json(), out)
     run = b.run()
     assert run.status()['state'] == 'success'
-    assert open(out).read() == '42'
+    assert open(out).read() == '42\n'  # reference pyjob writers newline-terminate
 
 
 def test_batch_python_chain():

@@ -20,6 +20,7 @@ SUITES=(
   "ggplot      $REF/ggplot"
   "fs          $REF/fs"
   "ir          $REF/test_ir.py"
+  "batch-dsl   /root/reference/hail/python/test/hailtop/batch/test_batch_local_backend.py"
   "misc        $REF/test_randomness.py $REF/test_indices_aggregations.py $REF/test_context.py"
 )
 
@@ -46,3 +47,18 @@ for entry in "${SUITES[@]}"; do
     "$name" "$p" "$f" "$e" "$s" "$((end - start))" | tee -a "$OUT"
 done
 echo "TOTAL        passed=$TOTAL_P failed=$TOTAL_F" | tee -a "$OUT"
+{
+  echo "#"
+  echo "# Known architecture-divergent rows (not fidelity gaps):"
+  echo "# - ir: test_ir.py round-trips the reference's ~146-node Python IR"
+  echo "#   through its CSERenderer/backend parser; this engine's typed IR is"
+  echo "#   a deliberate redesign (SURVEY §7) with ~30 relational nodes."
+  echo "# - expr test_cochran_mantel_haenszel_test: asserts jdistlib's exact"
+  echo "#   doubles for the alph<1 pgamma continued fraction; this engine's"
+  echo "#   R-current port differs at the last 1-30 ulp (see stats/rmath.py)."
+  echo "# - vds test_merge_reference_blocks: asserts to_dense equality that"
+  echo "#   genuinely diverges when merge_functions change covering-block"
+  echo "#   fields (chain-min MIN_DP vs covering-block MIN_DP; see"
+  echo "#   vds/__init__.py merge_reference_blocks docstring)."
+  echo "# - fs: requester-pays GCS suites env-skip (zero-egress image)."
+} >> "$OUT"

@@ -46,3 +46,62 @@ def pytest_runtest_makereport(item, call):
             rep.longrepr = (str(item.fspath), item.location[1],
                             f'Skipped: resource missing from reference checkout: {missing}')
             return rep
+
+
+# ---------------------------------------------------------------------------
+# Minimal pytest-asyncio replacement: the reference's hailtop suites use
+# `asyncio_mode = auto` (async fixtures + async test functions), but
+# pytest-asyncio is not installed in this image. Drive coroutine tests and
+# async(-generator) fixtures on one shared loop.
+# ---------------------------------------------------------------------------
+
+import asyncio as _asyncio
+import inspect as _inspect
+
+_loop = None
+
+
+def _get_loop():
+    global _loop
+    if _loop is None or _loop.is_closed():
+        _loop = _asyncio.new_event_loop()
+    return _loop
+
+
+def pytest_pyfunc_call(pyfuncitem):
+    fn = pyfuncitem.obj
+    if _inspect.iscoroutinefunction(fn):
+        kwargs = {k: pyfuncitem.funcargs[k]
+                  for k in pyfuncitem._fixtureinfo.argnames}
+        _get_loop().run_until_complete(fn(**kwargs))
+        return True
+    return None
+
+
+def pytest_fixture_setup(fixturedef, request):
+    func = fixturedef.func
+    if _inspect.isasyncgenfunction(func):
+        def wrapper(*args, **kwargs):
+            agen = func(*args, **kwargs)
+            loop = _get_loop()
+            value = loop.run_until_complete(agen.__anext__())
+            yield value
+            try:
+                loop.run_until_complete(agen.__anext__())
+            except StopAsyncIteration:
+                pass
+        wrapper.__signature__ = _inspect.signature(func)
+        import pytest
+        fixturedef.func = pytest.fixture(scope=fixturedef.scope)(wrapper).__wrapped__ \
+            if hasattr(pytest.fixture(wrapper), '__wrapped__') else wrapper
+        fixturedef.func = wrapper
+        fixturedef.unittest = False
+        # mark as generator fixture so pytest drives setup/teardown
+        return None
+    if _inspect.iscoroutinefunction(func):
+        def cwrapper(*args, **kwargs):
+            return _get_loop().run_until_complete(func(*args, **kwargs))
+        cwrapper.__signature__ = _inspect.signature(func)
+        fixturedef.func = cwrapper
+        return None
+    return None
