@@ -87,14 +87,59 @@ def _hashable(v):
 # time (reference experimental/time.py — C-style format, IANA zone ids)
 # ---------------------------------------------------------------------------
 
+# C/strftime(3) directives Python's strptime/strftime lack (the reference
+# engine parses with a full strftime grammar)
+_C_TIME_ALIASES = {
+    '%D': '%m/%d/%y',
+    '%F': '%Y-%m-%d',
+    '%T': '%H:%M:%S',
+    '%R': '%H:%M',
+    '%r': '%I:%M:%S %p',
+    '%l': '%I',    # hour 1-12, blank-padded (strptime is pad-lenient)
+    '%e': '%d',    # day, blank-padded
+    '%k': '%H',    # hour 0-23, blank-padded
+    '%h': '%b',
+    '%n': ' ',
+    '%t': ' ',
+}
+
+
+def _c_time_format(fmt: str) -> str:
+    for k, v in _C_TIME_ALIASES.items():
+        fmt = fmt.replace(k, v)
+    return fmt
+
+
+def _zone(z: str):
+    import datetime
+    import re as _re
+    from zoneinfo import ZoneInfo
+    try:
+        return ZoneInfo(z)
+    except Exception:
+        # java.time accepts 'GMT+2'-style ids (sign = offset FROM UTC,
+        # unlike POSIX); tzdata has no file for them
+        m = _re.fullmatch(r'(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?', z)
+        if m:
+            sign = 1 if m.group(1) == '+' else -1
+            return datetime.timezone(sign * datetime.timedelta(
+                hours=int(m.group(2)), minutes=int(m.group(3) or 0)))
+        raise
+
+
 def strftime(format, time, zone_id):
     """Format unix seconds as a string in the given IANA time zone
     (reference time.py:8)."""
     def impl(fmt, t, z):
         import datetime
-        from zoneinfo import ZoneInfo
-        dt = datetime.datetime.fromtimestamp(t, tz=ZoneInfo(z))
-        return dt.strftime(fmt)
+        import re as _re
+        dt = datetime.datetime.fromtimestamp(t, tz=_zone(z))
+        out = dt.strftime(_c_time_format(fmt))
+        if '%z' in fmt:
+            # the engine prints offsets colon-separated ('-04:00')
+            raw = dt.strftime('%z')
+            out = out.replace(raw, raw[:3] + ':' + raw[3:])
+        return out
     return F._apply('strftime', ht.tstr, F._obj_impl(ht.tstr, impl),
                     to_expr(format), to_expr(time), to_expr(zone_id))
 
@@ -104,9 +149,8 @@ def strptime(time, format, zone_id):
     seconds (reference time.py:53)."""
     def impl(t, fmt, z):
         import datetime
-        from zoneinfo import ZoneInfo
-        dt = datetime.datetime.strptime(t, fmt)
-        dt = dt.replace(tzinfo=ZoneInfo(z))
+        dt = datetime.datetime.strptime(t, _c_time_format(fmt))
+        dt = dt.replace(tzinfo=_zone(z))
         return int(dt.timestamp())
     return F._apply('strptime', ht.tint64, F._obj_impl(ht.tint64, impl),
                     to_expr(time), to_expr(format), to_expr(zone_id))

@@ -137,14 +137,16 @@ class Expression:
             return out
         if not self._indices.axes:
             # globals-indexed: a single value
+            from ..utils.structs import thaw
             col = self._ir.evaluate(src._globals_env())
             vals = col.to_pylist()
-            out = [vals[0] if vals else None]
+            out = [thaw(vals[0]) if vals else None]
             if not _localize:
                 from .functions import literal
                 return literal(out, ht.tarray(self.dtype))
             return out
-        out = src._collect_expr(self)
+        from ..utils.structs import thaw
+        out = [thaw(v) for v in src._collect_expr(self)]
         if not _localize:
             from .functions import literal
             return literal(out, ht.tarray(self.dtype))
@@ -1850,10 +1852,14 @@ def eval_scalar(expr: Expression):
     from ..ir import columns as _C
     from .. import types as _ht
     import numpy as _np
-    env = EvalEnv({'__row_idx__': _C.PrimitiveColumn(_ht.tint64, _np.zeros(1, _np.int64))}, (1,))
+    # NOTE: no uid bindings — the reference's hl.eval evaluates with an
+    # EMPTY dynamic rng message (RNGStateLiteral + static split only), so
+    # seeded functions here must see zero uid words for stream parity
+    env = EvalEnv({}, (1,))
     col = expr._ir.evaluate(env)
     vals = col.to_pylist()
-    out = vals[0] if vals else None
+    from ..utils.structs import thaw
+    out = thaw(vals[0]) if vals else None
     if key is not None:
         cache.put(key, out)
     return out

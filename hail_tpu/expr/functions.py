@@ -447,6 +447,11 @@ def array(collection) -> ArrayExpression:
     if isinstance(collection, (dict, frozendict)):
         return array([tuple_([to_expr(k), to_expr(v)])
                       for k, v in collection.items()])
+    if isinstance(collection, (set, frozenset)):
+        # set -> array comes out in the engine's set order: sorted
+        # (reference hl.array doctest: ['Alice', 'Bob', 'Charlie'])
+        e = to_expr(frozenset(collection))
+        return construct_expr(ira.ToArray(e._ir), e._indices)
     if isinstance(collection, (list, tuple, np.ndarray)):
         if any(isinstance(v, Expression) for v in collection):
             exprs = []
@@ -697,7 +702,11 @@ def mean(collection, filter_missing: bool = True):
 
 
 def median(collection, filter_missing: bool = True):
+    """Median VALUE of the collection — the engine returns an element of
+    the collection (element dtype; even counts take the lower middle:
+    reference functions.py:5095 doctest median([1,3,5,6,7,9]) == 5)."""
     e = to_expr(collection)
+    et = e.dtype.element_type
     def f(v):
         if not filter_missing and _bi.any(x is None for x in v):
             return None
@@ -705,9 +714,9 @@ def median(collection, filter_missing: bool = True):
         n = _bi.len(vs)
         if n == 0:
             return None
-        return vs[n // 2] if n % 2 else (vs[n // 2 - 1] + vs[n // 2]) / 2
-    return _apply('median', ht.tfloat64,
-                  _obj_impl_lenient(ht.tfloat64, lambda v: None if v is None else f(v)), e)
+        return vs[(n - 1) // 2]
+    return _apply('median', et,
+                  _obj_impl_lenient(et, lambda v: None if v is None else f(v)), e)
 
 
 def argmin(array_expr, unique: bool = False):
@@ -2584,26 +2593,9 @@ def corr(x, y):
 
 
 def shuffle(a, seed=None):
-    """Randomly permute an array (reference hl.shuffle)."""
-    e = array(a)
-    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RngUidTuple()], _rand_uniform_impl(seed)))
-    def impl(acol, ucol):
-        import numpy as _np
-        obj = C.to_object(acol)
-        shape = np.broadcast_shapes(obj.shape, ucol.shape)
-        av = np.broadcast_to(obj.values, shape).ravel()
-        uv = np.broadcast_to(ucol.values, shape).ravel()
-        out = np.empty(_bi.len(av), dtype=object)
-        for i in _bi.range(_bi.len(av)):
-            if av[i] is None:
-                out[i] = None
-                continue
-            rng = _np.random.default_rng(_bi.int(uv[i] * (1 << 53)))
-            vals = _bi.list(av[i])
-            rng.shuffle(vals)
-            out[i] = vals
-        return C.from_pylist(e.dtype, _bi.list(out)).reshape(shape)
-    return _apply('shuffle', e.dtype, impl, e, u)
+    """Randomly permute an array (reference functions.py:7177: sorted by a
+    per-element rand_unif key — same keys, same permutation)."""
+    return sorted_(array(a), key=lambda _: rand_unif(0.0, 1.0, seed=seed))
 
 
 def triangle(n):
@@ -2855,8 +2847,12 @@ def parse_json(x, dtype):
 
 
 def repeat(expr, n):
-    """Array of `n` copies of `expr` (reference functions.py `repeat`)."""
-    e = to_expr(expr() if _bi.callable(expr) else expr)
+    """Array of `n` copies of `expr` (reference functions.py `repeat`). A
+    callable is invoked per element (stream-map semantics: randomness inside
+    draws independently per position, reference repeat's lambda form)."""
+    if _bi.callable(expr):
+        return range_(to_expr(n)).map(lambda _: expr())
+    e = to_expr(expr)
     ne = to_expr(n)
     t = ht.tarray(e.dtype)
     return _apply('repeat', t,
@@ -3026,8 +3022,9 @@ def rand_multi_hyper(colors, nsample, seed=None):
                 remaining_draw -= dj
             out.ravel()[i] = draws
         return C.from_pylist(t, list(out.ravel())).reshape(idx_col.shape)
-    idx = construct_expr(Apply('row_index', ht.tint64, [RowIndex()],
-                               lambda c: c))
+    # per-row uid stream via the exact engine (works in every context,
+    # including hl.eval's empty dynamic message)
+    idx = _rand_int64_expr(None, None)
     return _apply('rand_multi_hyper', t, impl, ce, ne, idx)
 
 

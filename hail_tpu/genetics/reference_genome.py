@@ -176,13 +176,16 @@ class ReferenceGenome:
         """1-based locus → 0-based global genome coordinate (sort key)."""
         return self._global_offsets[contig] + (position - 1)
 
-    def locus_from_global_position(self, gpos: int) -> Tuple[str, int]:
+    def locus_from_global_position(self, gpos: int) -> 'Locus':
+        # reference ReferenceGenome.locus_from_global_position returns a
+        # Locus (reference_genome.py:538 doctest)
+        from .locus import Locus
         if gpos < 0:
             raise ValueError(f'global position {gpos} is negative')
         for c in self.contigs:
             off = self._global_offsets[c]
             if gpos < off + self.lengths[c]:
-                return c, gpos - off + 1
+                return Locus(c, gpos - off + 1, self)
         raise ValueError(f'global position {gpos} out of range')
 
     @property

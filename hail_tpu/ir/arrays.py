@@ -379,20 +379,24 @@ def _eval_scalar_body(body: IR, env: EvalEnv, extra: dict,
             bindings[k] = flatc.gather(np.asarray([idx]))
         else:
             bindings[k] = c.reshape((int(np.prod(c.shape)),)).gather(np.asarray([0]))
-    if elem_index is not None and '__row_idx__' in bindings:
-        base = np.asarray(bindings['__row_idx__'].values).ravel()
+    if elem_index is not None:
         # uid words gain the element index (reference stream-uid appending);
-        # the mixed single-word __row_idx__ stays for legacy consumers
+        # the mixed single-word __row_idx__ stays for legacy consumers. In a
+        # scalar/eval context with no row uid, the element index is the
+        # whole message.
         k = 0
         while f'__uid_w{k}__' in bindings:
             k += 1
-        if k == 0:
+        if k == 0 and '__row_idx__' in bindings:
+            base = np.asarray(bindings['__row_idx__'].values).ravel()
             bindings['__uid_w0__'] = PrimitiveColumn(ht.tint64, base.copy())
             k = 1
         bindings[f'__uid_w{k}__'] = PrimitiveColumn(
             ht.tint64, np.asarray([elem_index], dtype=np.int64))
-        bindings['__row_idx__'] = PrimitiveColumn(
-            ht.tint64, _mix_uid(base, np.asarray([elem_index], dtype=np.int64)))
+        if '__row_idx__' in bindings:
+            base = np.asarray(bindings['__row_idx__'].values).ravel()
+            bindings['__row_idx__'] = PrimitiveColumn(
+                ht.tint64, _mix_uid(base, np.asarray([elem_index], dtype=np.int64)))
     for k, (t, v) in extra.items():
         bindings[k] = C.from_pylist(t, [v])
     scalar_env = EvalEnv(bindings, (1,))

@@ -959,7 +959,8 @@ class MatrixTable:
         if not _localize:
             from .expr.functions import literal, missing
             return literal(out, e.dtype) if out is not None else missing(e.dtype)
-        return out
+        from .utils.structs import thaw
+        return thaw(out)
 
     def _try_device_entry_agg(self, e, agg_nodes, _localize):
         """Device tier for generic entry aggregations (ops/entry_agg.py):
@@ -1035,7 +1036,8 @@ class MatrixTable:
         if not _localize:
             from .expr.functions import literal, missing
             return literal(out, e.dtype) if out is not None else missing(e.dtype)
-        return out
+        from .utils.structs import thaw
+        return thaw(out)
 
     def aggregate_entries(self, expr, _localize: bool = True) -> Any:
         e = to_expr(expr)
@@ -1058,7 +1060,8 @@ class MatrixTable:
         if not _localize:
             from .expr.functions import literal, missing
             return literal(out, e.dtype) if out is not None else missing(e.dtype)
-        return out
+        from .utils.structs import thaw
+        return thaw(out)
 
     # -- counts / shape ----------------------------------------------------
     def count_rows(self) -> int:

