@@ -167,6 +167,12 @@ def str_(x) -> Expression:
     e = to_expr(x)
     if e.dtype == ht.tstr:
         return e
+    if isinstance(e.dtype, (ht.tstruct, ht.ttuple, ht.tarray, ht.tset,
+                            ht.tdict, ht.tinterval)) or isinstance(
+            e.dtype, ht.tndarray):
+        # containers stringify as compact JSON (reference str doctest:
+        # hl.str(struct(a=5, b=7)) == '{"a":5,"b":7}')
+        return json(e)
     return construct_expr(Cast(e._ir, ht.tstr), e._indices)
 
 
@@ -1773,36 +1779,39 @@ def _scipy_stats():
 
 
 def pnorm(x, mu=0, sigma=1, lower_tail=True, log_p=False):
-    """Normal CDF, correctly rounded via high-precision evaluation (the
-    reference's jdistlib/R values are correctly-rounded for these paths)."""
+    """Normal CDF (jdistlib Normal.cumulative = R pnorm.c Cody port in
+    stats/rmath.py pnorm_std)."""
     def f(v, m, s):
-        import mpmath as mp
-        with mp.workdps(40):
-            z = (mp.mpf(v) - mp.mpf(m)) / mp.mpf(s)
-            p = mp.erfc(-z / mp.sqrt(2)) / 2 if lower_tail else \
-                mp.erfc(z / mp.sqrt(2)) / 2
-            return _bi.float(mp.log(p)) if log_p else _bi.float(p)
-    return _apply('pnorm', ht.tfloat64, _obj_impl(ht.tfloat64, f), to_expr(x), to_expr(mu), to_expr(sigma))
+        from ..stats import rmath
+        if s <= 0:
+            if s < 0:
+                return _bi.float('nan')
+            lo = v < m
+            p_ = 1.0 if (lo == (not lower_tail)) else 0.0
+            return math.log(p_) if log_p else p_
+        return rmath.pnorm_std((v - m) / s, lower_tail=lower_tail,
+                               log_p=log_p)
+    return _apply('pnorm', ht.tfloat64, _obj_impl(ht.tfloat64, f),
+                  to_expr(x), to_expr(mu), to_expr(sigma))
 
 
 def qnorm(p, mu=0, sigma=1, lower_tail=True, log_p=False):
+    """Normal quantile (jdistlib Normal.quantile = AS 241, bit-exact port
+    in stats/rmath.py)."""
     def f(v, m, s):
-        st, sp = _scipy_stats()
-        if log_p:
-            v = math.exp(v)
-        return st.norm.ppf(v if lower_tail else 1 - v, loc=m, scale=s)
+        from ..stats import rmath
+        return rmath.qnorm(v, m, s, lower_tail=lower_tail, log_p=log_p)
     return _apply('qnorm', ht.tfloat64, _obj_impl(ht.tfloat64, f), to_expr(p), to_expr(mu), to_expr(sigma))
 
 
 def dnorm(x, mu=0, sigma=1, log_p=False):
+    """Normal density (jdistlib Normal.density = R dnorm.c port in
+    stats/rmath.py dnorm_std)."""
     def f(v, m, s):
+        from ..stats import rmath
         z = (v - m) / s
-        if log_p:
-            import mpmath as mp
-            with mp.workdps(40):
-                zz = (mp.mpf(v) - mp.mpf(m)) / mp.mpf(s)
-                return _bi.float(-zz * zz / 2 - mp.log(mp.mpf(s) * mp.sqrt(2 * mp.pi)))
-        return math.exp(-0.5 * z * z) / (s * math.sqrt(2 * math.pi))
+        d = rmath.dnorm_std(z, give_log=log_p)
+        return d - math.log(s) if log_p else d / s
     return _apply('dnorm', ht.tfloat64, _obj_impl(ht.tfloat64, f), to_expr(x), to_expr(mu), to_expr(sigma))
 
 
@@ -2010,14 +2019,21 @@ def rand_bool(p, seed=None):
     return rand_unif(seed=seed) < to_expr(p)
 
 
-def rand_norm(mean=0.0, sd=1.0, seed=None):
-    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RngUidTuple()], _rand_uniform_impl(seed)))
-    def impl(col):
-        import scipy.special as sp
-        z = sp.ndtri(np.clip(col.values, 1e-15, 1 - 1e-15))
-        return PrimitiveColumn(ht.tfloat64, z, col.missing)
-    z = _apply('qnorm_fast', ht.tfloat64, impl, u)
-    return z * to_expr(sd) + to_expr(mean)
+def rand_norm(mean=0.0, sd=1.0, seed=None, size=None):
+    """Normal sample (engine rnorm = mean + sd*nextGaussian, the polar
+    method — Random.scala:441,520; bit-exact)."""
+    sid = _static_rng_uid(seed)
+    def impl(uid_col, mcol, scol):
+        from ..ir.random import rand_norm_exact
+        words, shape = _uid_words(uid_col)
+        mv = np.broadcast_to(np.asarray(mcol.values, np.float64), shape).ravel()
+        sv = np.broadcast_to(np.asarray(scol.values, np.float64), shape).ravel()
+        vals = rand_norm_exact(_rng_nonce(), sid, words, mv, sv,
+                               n=_uid_n(words, shape)).reshape(shape)
+        return PrimitiveColumn(ht.tfloat64, vals, None)
+    return _apply('rand_norm', ht.tfloat64, impl,
+                  construct_expr(RngUidTuple(), Indices()),
+                  to_expr(mean, ht.tfloat64), to_expr(sd, ht.tfloat64))
 
 
 def _rand_int32_expr(bound, seed):
@@ -2073,95 +2089,102 @@ def rand_int64(a=None, b=None, *, seed=None):
 
 
 def rand_pois(lamb, seed=None):
-    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RngUidTuple()], _rand_uniform_impl(seed)))
-    l = to_expr(lamb)
-    def impl(ucol, lcol):
-        import scipy.stats as st
-        shape = np.broadcast_shapes(ucol.shape, lcol.shape)
-        uv = np.broadcast_to(ucol.values, shape)
-        lv = np.broadcast_to(np.asarray(lcol.values, dtype=np.float64), shape)
-        vals = st.poisson.ppf(uv, lv)
-        return PrimitiveColumn(ht.tfloat64, vals, _bcast_mask(lcol.missing, shape))
-    return _apply('rand_pois', ht.tfloat64, impl, u, l)
+    """Poisson sample (engine rpois = jdistlib Poisson.random = R rpois.c;
+    bit-exact port in ir/random.py)."""
+    sid = _static_rng_uid(seed)
+    def impl(uid_col, lcol):
+        from ..ir.random import rand_pois_exact
+        words, shape = _uid_words(uid_col)
+        lv = np.broadcast_to(np.asarray(lcol.values, np.float64), shape).ravel()
+        vals = rand_pois_exact(_rng_nonce(), sid, words, lv,
+                               n=_uid_n(words, shape)).reshape(shape)
+        return PrimitiveColumn(ht.tfloat64, vals,
+                               _bcast_mask(lcol.missing, shape))
+    return _apply('rand_pois', ht.tfloat64, impl,
+                  construct_expr(RngUidTuple(), Indices()),
+                  to_expr(lamb, ht.tfloat64))
 
 
 def rand_beta(a, b, lower=None, upper=None, seed=None):
-    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RngUidTuple()], _rand_uniform_impl(seed)))
-    lo_v = 0.0 if lower is None else lower
-    hi_v = 1.0 if upper is None else upper
-    truncated = lower is not None or upper is not None
-    def impl(ucol, acol, bcol, locol, hicol):
-        import scipy.stats as st
-        shape = np.broadcast_shapes(ucol.shape, acol.shape, bcol.shape)
-        uv = np.broadcast_to(ucol.values, shape)
-        av = np.broadcast_to(np.asarray(acol.values, np.float64), shape)
-        bv = np.broadcast_to(np.asarray(bcol.values, np.float64), shape)
-        if truncated:
-            # truncated beta: map the uniform into (cdf(lo), cdf(hi)) then
-            # invert — values land strictly inside the bounds (the reference
-            # rejection-samples to the same law, RandomSeededFunctions rbeta)
-            lov = np.broadcast_to(np.asarray(locol.values, np.float64), shape)
-            hiv = np.broadcast_to(np.asarray(hicol.values, np.float64), shape)
-            c_lo = st.beta.cdf(lov, av, bv)
-            c_hi = st.beta.cdf(hiv, av, bv)
-            uv = c_lo + uv * (c_hi - c_lo)
-        vals = st.beta.ppf(uv, av, bv)
-        miss = C._merge_missing(_bcast_mask(acol.missing, shape), _bcast_mask(bcol.missing, shape))
+    """Beta sample (engine rbeta = Cheng BB/BC; bounds rejection-resample —
+    RandomSeededFunctions rand_beta; bit-exact port in ir/random.py)."""
+    sid = _static_rng_uid(seed)
+    lo_v = lower
+    hi_v = upper
+    def impl(uid_col, acol, bcol):
+        from ..ir.random import rand_beta_exact
+        words, shape = _uid_words(uid_col)
+        av = np.broadcast_to(np.asarray(acol.values, np.float64), shape).ravel()
+        bv = np.broadcast_to(np.asarray(bcol.values, np.float64), shape).ravel()
+        vals = rand_beta_exact(_rng_nonce(), sid, words, av, bv,
+                               lo=lo_v, hi=hi_v,
+                               n=_uid_n(words, shape)).reshape(shape)
+        miss = C._merge_missing(_bcast_mask(acol.missing, shape),
+                                _bcast_mask(bcol.missing, shape))
         return PrimitiveColumn(ht.tfloat64, vals, miss)
-    return _apply('rand_beta', ht.tfloat64, impl, u, to_expr(a), to_expr(b),
-                  to_expr(lo_v, ht.tfloat64), to_expr(hi_v, ht.tfloat64))
+    return _apply('rand_beta', ht.tfloat64, impl,
+                  construct_expr(RngUidTuple(), Indices()),
+                  to_expr(a, ht.tfloat64), to_expr(b, ht.tfloat64))
 
 
 def rand_gamma(shape, scale, seed=None):
-    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RngUidTuple()], _rand_uniform_impl(seed)))
-    def impl(ucol, kcol, scol):
-        import scipy.stats as st
-        shp = np.broadcast_shapes(ucol.shape, kcol.shape, scol.shape)
-        uv = np.broadcast_to(ucol.values, shp)
-        kv = np.broadcast_to(np.asarray(kcol.values, np.float64), shp)
-        sv = np.broadcast_to(np.asarray(scol.values, np.float64), shp)
-        vals = st.gamma.ppf(uv, kv, scale=sv)
+    """Gamma sample (engine rgamma = jdistlib Gamma.random = R rgamma.c
+    GS/GD; bit-exact port in ir/random.py)."""
+    sid = _static_rng_uid(seed)
+    def impl(uid_col, kcol, scol):
+        from ..ir.random import rand_gamma_exact
+        words, shp = _uid_words(uid_col)
+        kv = np.broadcast_to(np.asarray(kcol.values, np.float64), shp).ravel()
+        sv = np.broadcast_to(np.asarray(scol.values, np.float64), shp).ravel()
+        vals = rand_gamma_exact(_rng_nonce(), sid, words, kv, sv,
+                                n=_uid_n(words, shp)).reshape(shp)
         return PrimitiveColumn(ht.tfloat64, vals, None)
-    return _apply('rand_gamma', ht.tfloat64, impl, u, to_expr(shape), to_expr(scale))
+    return _apply('rand_gamma', ht.tfloat64, impl,
+                  construct_expr(RngUidTuple(), Indices()),
+                  to_expr(shape, ht.tfloat64), to_expr(scale, ht.tfloat64))
 
 
 def rand_cat(prob_array, seed=None):
-    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RngUidTuple()], _rand_uniform_impl(seed)))
+    """Categorical sample (RandomSeededFunctions rand_cat: u*sum(w) with a
+    subtraction scan; bit-exact port in ir/random.py)."""
+    sid = _static_rng_uid(seed)
     p = array(prob_array)
-    def impl(ucol, pcol):
+    def impl(uid_col, pcol):
+        from ..ir.random import rand_cat_exact
         pobj = C.to_object(pcol)
-        shape = np.broadcast_shapes(ucol.shape, pobj.shape)
-        uv = np.broadcast_to(ucol.values, shape).ravel()
+        words, shape = _uid_words(uid_col)
+        n = _uid_n(words, shape)
         pv = np.broadcast_to(pobj.values, shape).ravel()
-        out = np.zeros(_bi.len(uv), dtype=np.int32)
-        for i in _bi.range(_bi.len(uv)):
-            probs = np.asarray(pv[i], dtype=np.float64)
-            cum = np.cumsum(probs / probs.sum())
-            out[i] = _bi.int(np.searchsorted(cum, uv[i]))
-        return PrimitiveColumn(ht.tint32, out.reshape(shape), None)
-    return _apply('rand_cat', ht.tint32, impl, u, p)
+        w = np.stack([np.asarray(x, dtype=np.float64) for x in pv])
+        vals = rand_cat_exact(_rng_nonce(), sid, words, w, n=n).reshape(shape)
+        return PrimitiveColumn(ht.tint32, vals, None)
+    return _apply('rand_cat', ht.tint32, impl,
+                  construct_expr(RngUidTuple(), Indices()), p)
 
 
 def rand_dirichlet(a, seed=None):
+    """Dirichlet sample: normalized per-component gammas (reference
+    functions.py rand_dirichlet — same gamma draws; normalization happens
+    AFTER a single evaluation of the gamma array, matching the reference's
+    bind semantics where the array is bound once)."""
     ae = array(a)
-    k_t = ht.tarray(ht.tfloat64)
-    # one gamma per element via per-element sub-streams of the row uniform
-    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RngUidTuple()], _rand_uniform_impl(seed)))
-    def impl2(ucol, acol):
-        import scipy.stats as st
-        aobj = C.to_object(acol)
-        shape = np.broadcast_shapes(ucol.shape, aobj.shape)
-        uv = np.broadcast_to(ucol.values, shape).ravel()
-        av = np.broadcast_to(aobj.values, shape).ravel()
-        out = np.empty(_bi.len(uv), dtype=object)
-        for i in _bi.range(_bi.len(uv)):
-            alpha = np.asarray(av[i], dtype=np.float64)
-            sub = _splitmix64((np.arange(_bi.len(alpha)) + 1).astype(np.uint64) * np.uint64(_bi.int(uv[i] * (1 << 53)) | 1))
-            us = (sub >> np.uint64(11)).astype(np.float64) / _bi.float(1 << 53)
-            gs = st.gamma.ppf(np.clip(us, 1e-15, 1 - 1e-15), alpha)
-            out[i] = list(gs / gs.sum())
-        return C.from_pylist(k_t, list(out)).reshape(shape)
-    return _apply('rand_dirichlet', k_t, impl2, u, ae)
+    g = ae.map(lambda p: if_else(p == 0.0, 0.0, rand_gamma(p, 1, seed=seed)))
+    t = ht.tarray(ht.tfloat64)
+    def impl(col):
+        obj = C.to_object(col)
+        out = np.empty(obj.shape, dtype=object)
+        fo = out.ravel()
+        for i, v in _bi.enumerate(obj.values.ravel()):
+            if v is None:
+                fo[i] = None
+                continue
+            vals = np.asarray(v, dtype=np.float64)
+            tot = 0.0
+            for x in vals:      # left-to-right, like the engine's sum fold
+                tot += _bi.float(x)
+            fo[i] = [_bi.float(x / tot) for x in vals]
+        return C.from_pylist(t, _bi.list(fo)).reshape(obj.shape)
+    return _apply('rand_dirichlet', t, impl, g)
 
 
 # ---------------------------------------------------------------------------
@@ -2968,98 +2991,74 @@ def cochran_mantel_haenszel_test(a, b, c, d):
 
 
 def rand_hyper(popsize, ngood, nsample, seed=None):
-    u = construct_expr(Apply('rand_unif', ht.tfloat64, [RngUidTuple()], _rand_uniform_impl(seed)))
-
-    def impl(ucol, pcol, gcol, ncol):
-        import scipy.stats as st
-        shape = np.broadcast_shapes(ucol.shape, pcol.shape, gcol.shape, ncol.shape)
-        uv = np.broadcast_to(ucol.values, shape)
-        pv = np.broadcast_to(np.asarray(pcol.values, np.int64), shape)
-        gv = np.broadcast_to(np.asarray(gcol.values, np.int64), shape)
-        nv = np.broadcast_to(np.asarray(ncol.values, np.int64), shape)
-        vals = st.hypergeom.ppf(uv, pv, gv, nv)
-        return PrimitiveColumn(ht.tfloat64, vals, None)
-    return _apply('rand_hyper', ht.tfloat64, impl, u,
-                  to_expr(popsize), to_expr(ngood), to_expr(nsample))
+    """Hypergeometric sample (engine rhyper = jdistlib HyperGeometric.random
+    = R rhyper.c HIN/H2PE; bit-exact port in ir/random.py —
+    RandomSeededFunctions.scala:334)."""
+    sid = _static_rng_uid(seed)
+    def impl(uid_col, pcol, gcol, ncol):
+        from ..ir.random import rand_hyper_exact
+        words, shape = _uid_words(uid_col)
+        pv = np.broadcast_to(np.asarray(pcol.values, np.int64), shape).ravel()
+        gv = np.broadcast_to(np.asarray(gcol.values, np.int64), shape).ravel()
+        nv = np.broadcast_to(np.asarray(ncol.values, np.int64), shape).ravel()
+        vals = rand_hyper_exact(_rng_nonce(), sid, words, pv, gv, nv,
+                                n=_uid_n(words, shape)).reshape(shape)
+        return PrimitiveColumn(ht.tint32, vals, None)
+    return _apply('rand_hyper', ht.tint32, impl,
+                  construct_expr(RngUidTuple(), Indices()),
+                  to_expr(popsize, ht.tint32), to_expr(ngood, ht.tint32),
+                  to_expr(nsample, ht.tint32))
 
 
 def rand_multi_hyper(colors, nsample, seed=None):
-    """Multivariate hypergeometric sample: sequentially condition each color
-    on the remaining pool (reference `rand_multi_hyper`)."""
+    """Multivariate hypergeometric sample: sequential conditional rhyper
+    draws off one engine stream (RandomSeededFunctions.scala:366-402;
+    bit-exact port in ir/random.py)."""
     ce = array(colors)
-    ne = to_expr(nsample)
+    ne = to_expr(nsample, ht.tint32)
     t = ht.tarray(ht.tint32)
-    _rand_counter[0] += 1
-    if seed is not None and not isinstance(seed, Expression):
-        base = _bi.int(seed) * 1_000_003 + _rand_counter[0]
-    else:
-        base = _rand_counter[0]
+    sid = _static_rng_uid(seed)
 
-    def impl(ccol, ncol, idx_col):
-        import scipy.stats as st
-        n_rows = idx_col.shape[0] if idx_col.shape else 1
-        cobj = C.to_object(ccol).broadcast_to(idx_col.shape)
-        nvals = np.broadcast_to(np.asarray(ncol.values), idx_col.shape)
-        idxs = np.broadcast_to(np.asarray(idx_col.values, dtype=np.int64),
-                               idx_col.shape)
-        out = np.empty(idx_col.shape, dtype=object)
-        for i in range(out.size):
-            cols = cobj.values.ravel()[i]
-            remaining_total = _bi.sum(cols)
-            remaining_draw = _bi.int(nvals.ravel()[i])
-            rng = np.random.default_rng(
-                _bi.int(_splitmix64(np.uint64(
-                    (base * 1_000_003 + _bi.int(idxs.ravel()[i])) & 0xFFFFFFFFFFFFFFFF))))
-            draws = []
-            for j, cnt in enumerate(cols):
-                if remaining_total <= 0 or remaining_draw <= 0:
-                    draws.append(0)
-                    continue
-                dj = _bi.int(rng.hypergeometric(cnt, remaining_total - cnt, remaining_draw)) \
-                    if remaining_draw > 0 else 0
-                draws.append(dj)
-                remaining_total -= cnt
-                remaining_draw -= dj
-            out.ravel()[i] = draws
-        return C.from_pylist(t, list(out.ravel())).reshape(idx_col.shape)
-    # per-row uid stream via the exact engine (works in every context,
-    # including hl.eval's empty dynamic message)
-    idx = _rand_int64_expr(None, None)
-    return _apply('rand_multi_hyper', t, impl, ce, ne, idx)
+    def impl(uid_col, ccol, ncol):
+        from ..ir.random import rand_multi_hyper_exact
+        words, shape = _uid_words(uid_col)
+        n = _uid_n(words, shape)
+        cobj = C.to_object(ccol)
+        cv = np.broadcast_to(cobj.values, shape).ravel()
+        w = np.stack([np.asarray(x, dtype=np.int64) for x in cv])
+        nv = np.broadcast_to(np.asarray(ncol.values, np.int64), shape).ravel()
+        draws = rand_multi_hyper_exact(_rng_nonce(), sid, words, w, nv, n=n)
+        out = [[_bi.int(x) for x in row] for row in draws]
+        return C.from_pylist(t, out).reshape(shape)
+    return _apply('rand_multi_hyper', t, impl,
+                  construct_expr(RngUidTuple(), Indices()), ce, ne)
 
 
 def rand_norm2d(mean=None, cov=None, seed=None):
-    """Bivariate normal sample as length-2 array (reference
-    `rand_norm2d`)."""
-    m = [0.0, 0.0] if mean is None else mean
-    cv = [[1.0, 0.0], [0.0, 1.0]] if cov is None else cov
-    me = array(m)
-    cve = to_expr(cv)
-    u1 = rand_norm(seed=seed)
-    u2 = rand_norm(seed=None if seed is None else seed + 1)
-    t = ht.tarray(ht.tfloat64)
+    """Bivariate normal sample (reference functions.py:3093 — the same
+    Cholesky-style construction over two per-element rand_norm draws)."""
+    if mean is None:
+        mean = [0, 0]
+    if cov is None:
+        cov = [1, 0, 1]
 
-    def impl(mcol, ccol, z1col, z2col):
-        shape = np.broadcast_shapes(z1col.shape, z2col.shape)
-        mobj = C.to_object(mcol).broadcast_to(shape)
-        cobj = C.to_object(ccol).broadcast_to(shape)
-        z1 = np.broadcast_to(z1col.values, shape)
-        z2 = np.broadcast_to(z2col.values, shape)
-        out = np.empty(shape, dtype=object)
-        fo = out.ravel()
-        fm = mobj.values.ravel()
-        fc = cobj.values.ravel()
-        fz1 = z1.ravel()
-        fz2 = z2.ravel()
-        for i in range(fo.size):
-            mu = fm[i]
-            S = np.asarray(fc[i], dtype=np.float64)
-            L = np.linalg.cholesky(S)
-            z = np.asarray([fz1[i], fz2[i]])
-            v = np.asarray(mu, dtype=np.float64) + L @ z
-            fo[i] = [_bi.float(v[0]), _bi.float(v[1])]
-        return C.from_pylist(t, list(fo)).reshape(shape)
-    return _apply('rand_norm2d', t, impl, me, cve, u1, u2)
+    def f(mean, cov):
+        m1 = mean[0]
+        m2 = mean[1]
+        s11 = cov[0]
+        s12 = cov[1]
+        s22 = cov[2]
+        x = range_(0, 2).map(lambda i: rand_norm(seed=seed))
+        return rbind(
+            sqrt(s11),
+            lambda root_s11: array([
+                m1 + root_s11 * x[0],
+                m2 + (s12 / root_s11) * x[0]
+                + sqrt(s22 - s12 * s12 / s11) * x[1],
+            ]))
+
+    return rbind(to_expr(mean, ht.tarray(ht.tfloat64)),
+                 to_expr(cov, ht.tarray(ht.tfloat64)), f)
 
 
 # ---------------------------------------------------------------------------

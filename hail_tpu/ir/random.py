@@ -455,7 +455,11 @@ def rbeta_engine(eng: 'ScalarEngine', aa: float, bb: float) -> float:
             v, w = v_w(a, beta, u1)
             if alpha * (math.log(alpha / (b + w)) + v) - 1.3862944 >= math.log(z):
                 break
-        return b / (b + w) if aa != a else w / (b + w)
+        # tie (aa == bb): the engine reports the complement orientation
+        # (pinned by rand_beta(0.5, 0.5) -> 0.30607924177641355)
+        if aa != a or aa == bb:
+            return b / (b + w)
+        return w / (b + w)
 
     # Algorithm BB
     beta = math.sqrt((alpha - 2.0) / (2.0 * a * b - alpha))
@@ -522,3 +526,468 @@ def rand_cat_exact(nonce, static_id, words, weights, n=None):
         r = np.where(cond, r - w_i, r)
         idx = np.where(cond, idx + 1, idx)
     return idx.astype(np.int32)
+
+
+def _scalar_next_gaussian(eng: 'ScalarEngine') -> float:
+    """Engine nextGaussian: polar method with one buffered deviate
+    (Random.scala:520-538)."""
+    import math
+    if getattr(eng, '_buffered_gaussian', None) is not None:
+        g = eng._buffered_gaussian
+        eng._buffered_gaussian = None
+        return g
+    while True:
+        v1 = 2 * eng.next_double() - 1
+        v2 = 2 * eng.next_double() - 1
+        s = v1 * v1 + v2 * v2
+        if not (s >= 1 or s == 0):
+            break
+    multiplier = math.sqrt(-2 * math.log(s) / s)
+    eng._buffered_gaussian = v2 * multiplier
+    return v1 * multiplier
+
+
+ScalarEngine.next_gaussian = _scalar_next_gaussian
+
+# R sexp.c q table: q[k] = sum_{i=1..k+1} (ln 2)^i / i!
+import math as _math
+_SEXP_Q = []
+_acc = 0.0
+_term = 1.0
+for _i in range(1, 17):
+    _term *= _math.log(2.0) / _i
+    _acc += _term
+    _SEXP_Q.append(_acc)
+del _acc, _term, _i
+
+
+def _scalar_next_exp(eng: 'ScalarEngine') -> float:
+    """R exp_rand (sexp.c): the Ahrens-Dieter exponential sampler the
+    engine's rgamma consumes."""
+    a = 0.0
+    u = eng.next_double()
+    while u <= 0.0 or u >= 1.0:
+        u = eng.next_double()
+    while True:
+        u += u
+        if u > 1.0:
+            break
+        a += _SEXP_Q[0]
+    u -= 1.0
+    if u <= _SEXP_Q[0]:
+        return a + u
+    i = 0
+    ustar = eng.next_double()
+    umin = ustar
+    while True:
+        ustar = eng.next_double()
+        if umin > ustar:
+            umin = ustar
+        i += 1
+        if not (u > _SEXP_Q[i]):
+            break
+    return a + umin * _SEXP_Q[0]
+
+
+ScalarEngine.next_exp = _scalar_next_exp
+
+
+def rgamma_engine(eng: 'ScalarEngine', a: float, scale: float) -> float:
+    """Gamma variate via R rgamma.c (GS for a<1, GD for a>=1; jdistlib
+    Gamma.random) consuming the engine's draw stream."""
+    import math
+    sqrt32 = 5.656854
+    exp_m1 = 0.36787944117144232
+    q1, q2, q3, q4 = 0.04166669, 0.02083148, 0.00801191, 0.00144121
+    q5, q6, q7 = -7.388e-5, 2.4511e-4, 2.424e-4
+    a1_, a2_, a3_, a4_ = 0.3333333, -0.250003, 0.2000062, -0.1662921
+    a5_, a6_, a7_ = 0.1423657, -0.1367177, 0.1233795
+
+    if math.isnan(a) or math.isnan(scale):
+        return float('nan')
+    if a <= 0.0 or scale <= 0.0:
+        if scale == 0.0 or a == 0.0:
+            return 0.0
+        return float('nan')
+    if not (math.isfinite(a) and math.isfinite(scale)):
+        return float('inf')
+
+    if a < 1.0:  # GS
+        e = 1.0 + exp_m1 * a
+        while True:
+            p = e * eng.next_double()
+            if p >= 1.0:
+                x = -math.log((e - p) / a)
+                if eng.next_exp() >= (1.0 - a) * math.log(x):
+                    break
+            else:
+                x = math.exp(math.log(p) / a)
+                if eng.next_exp() >= x:
+                    break
+        return scale * x
+
+    # GD
+    s2 = a - 0.5
+    s = math.sqrt(s2)
+    d = sqrt32 - s * 12
+    t = eng.norm_rand()
+    x = s + 0.5 * t
+    ret_val = x * x
+    if t >= 0:
+        return scale * ret_val
+    u = eng.next_double()
+    if d * u <= t * t * t:
+        return scale * ret_val
+    r = 1.0 / a
+    q0 = ((((((q7 * r + q6) * r + q5) * r + q4) * r + q3) * r + q2) * r + q1) * r
+    if a <= 3.686:
+        b = 0.463 + s + 0.178 * s2
+        si = 1.235
+        c = 0.195 / s - 0.079 + 0.16 * s
+    elif a <= 13.022:
+        b = 1.654 + 0.0076 * s2
+        si = 1.68 / s + 0.275
+        c = 0.062 / s + 0.024
+    else:
+        b = 1.77
+        si = 0.75
+        c = 0.1515 / s
+    if x > 0:
+        v = t / (s + s)
+        if abs(v) <= 0.25:
+            q = q0 + 0.5 * t * t * ((((((a7_ * v + a6_) * v + a5_) * v + a4_)
+                                      * v + a3_) * v + a2_) * v + a1_) * v
+        else:
+            q = q0 - s * t + 0.25 * t * t + (s2 + s2) * math.log(1.0 + v)
+        if math.log(1.0 - u) <= q:
+            return scale * ret_val
+    while True:
+        e = eng.next_exp()
+        u = eng.next_double()
+        u = u + u - 1
+        t = (b - si * e) if u < 0 else (b + si * e)
+        if t >= -0.71874483771719:
+            v = t / (s + s)
+            if abs(v) <= 0.25:
+                q = q0 + 0.5 * t * t * ((((((a7_ * v + a6_) * v + a5_) * v
+                                           + a4_) * v + a3_) * v + a2_) * v
+                                        + a1_) * v
+            else:
+                q = q0 - s * t + 0.25 * t * t + (s2 + s2) * math.log(1.0 + v)
+            if q > 0:
+                w = math.expm1(q) if q <= 0.5 else math.exp(q) - 1
+                if c * abs(u) <= w * math.exp(e - 0.5 * t * t):
+                    break
+    x = s + 0.5 * t
+    return scale * x * x
+
+
+def rand_norm_exact(nonce, static_id, words, mean, sd, n=None) -> np.ndarray:
+    s, ft = pmac_hash(nonce, static_id, words, n)
+    nrows = s.shape[0]
+    m = np.broadcast_to(np.asarray(mean, dtype=np.float64), (nrows,))
+    sdv = np.broadcast_to(np.asarray(sd, dtype=np.float64), (nrows,))
+    out = np.empty(nrows)
+    for i in range(nrows):
+        out[i] = m[i] + sdv[i] * ScalarEngine(s[i], ft).next_gaussian()
+    return out
+
+
+def rand_gamma_exact(nonce, static_id, words, shape, scale, n=None) -> np.ndarray:
+    s, ft = pmac_hash(nonce, static_id, words, n)
+    nrows = s.shape[0]
+    av = np.broadcast_to(np.asarray(shape, dtype=np.float64), (nrows,))
+    sc = np.broadcast_to(np.asarray(scale, dtype=np.float64), (nrows,))
+    out = np.empty(nrows)
+    for i in range(nrows):
+        out[i] = rgamma_engine(ScalarEngine(s[i], ft), float(av[i]), float(sc[i]))
+    return out
+
+
+def _scalar_norm_rand(eng: 'ScalarEngine') -> float:
+    """R norm_rand (snorm.c INVERSION): two uniforms fused to 2^27-grid
+    precision, then the AS 241 quantile — what jdistlib's distribution
+    samplers (rgamma et al.) consume internally."""
+    from ..stats.rmath import qnorm
+    BIG = 134217728  # 2^27
+    u1 = eng.next_double()
+    u1 = int(BIG * u1) + eng.next_double()
+    return qnorm(u1 / BIG, 0.0, 1.0, True, False)
+
+
+ScalarEngine.norm_rand = _scalar_norm_rand
+
+
+_POIS_FACT = [1., 1., 2., 6., 24., 120., 720., 5040., 40320., 362880.]
+_POIS_A = (-0.5, 0.3333333, -0.2500068, 0.2000118, -0.1661269, 0.1421878,
+           -0.1384794, 0.1250060)
+
+
+def rpois_engine(eng: 'ScalarEngine', mu: float) -> float:
+    """Poisson variate via R rpois.c (Ahrens-Dieter PD for mu>=10, inversion
+    table for mu<10; jdistlib Poisson.random) on the engine stream."""
+    import math
+    if not math.isfinite(mu) or mu < 0:
+        return float('nan')
+    if mu <= 0.0:
+        return 0.0
+
+    if mu < 10:  # Case B: inversion with on-the-fly cumulative table
+        p0 = math.exp(-mu)
+        while True:
+            u = eng.next_double()
+            if u <= p0:
+                return 0.0
+            p = p0
+            q = p0
+            for k in range(1, 36):
+                p *= mu / k
+                q += p
+                if u <= q:
+                    return float(k)
+            # u beyond pp[35]: redraw (R continues the repeat loop)
+
+    # Case A: mu >= 10
+    s = math.sqrt(mu)
+    d = 6.0 * mu * mu
+    big_l = math.floor(mu - 1.1484)
+    omega = (1.0 / math.sqrt(2 * math.pi)) / s
+    b1 = (1.0 / 24.0) / mu
+    b2 = 0.3 * b1 * b1
+    c3 = (1.0 / 7.0) * b1 * b2
+    c2 = b2 - 15.0 * c3
+    c1 = b1 - 6.0 * b2 + 45.0 * c3
+    c0 = 1.0 - b1 + 3.0 * b2 - 15.0 * c3
+    c = 0.1069 / mu
+
+    a0, a1, a2, a3, a4, a5, a6, a7 = _POIS_A
+
+    def step_f(pois, fk, difmuk):
+        if pois < 10:
+            px = -mu
+            py = mu ** pois / _POIS_FACT[int(pois)]
+        else:
+            delta = (1.0 / 12.0) / fk
+            delta = delta * (1.0 - 4.8 * delta * delta)
+            v = difmuk / fk
+            if abs(v) <= 0.25:
+                px = fk * v * v * (((((((a7 * v + a6) * v + a5) * v + a4)
+                                     * v + a3) * v + a2) * v + a1) * v + a0) \
+                    - delta
+            else:
+                px = fk * math.log(1.0 + v) - difmuk - delta
+            py = (1.0 / math.sqrt(2 * math.pi)) / math.sqrt(fk)
+        x = (0.5 - difmuk) / fk
+        xx = x * x
+        fx = -0.5 * xx
+        fy = omega * (((c3 * xx + c2) * xx + c1) * xx + c0)
+        return px, py, fx, fy
+
+    g = mu + s * eng.norm_rand()
+    if g >= 0.0:
+        pois = math.floor(g)
+        if pois >= big_l:            # Step I: immediate acceptance
+            return pois
+        fk = pois
+        difmuk = mu - fk
+        u = eng.next_double()
+        if d * u >= difmuk * difmuk * difmuk:   # Step S: squeeze
+            return pois
+        px, py, fx, fy = step_f(pois, fk, difmuk)
+        # Step Q: quotient acceptance
+        if fy - u * fy <= py * math.exp(px - fx):
+            return pois
+
+    while True:  # Step E: double-exponential sample
+        E = eng.next_exp()
+        u = 2.0 * eng.next_double() - 1.0
+        t = 1.8 + math.copysign(E, u)
+        if t > -0.6744:
+            pois = math.floor(mu + s * t)
+            fk = pois
+            difmuk = mu - fk
+            px, py, fx, fy = step_f(pois, fk, difmuk)
+            # Step H: hat acceptance
+            if c * abs(u) <= py * math.exp(px + E) - fy * math.exp(fx + E):
+                continue
+            return pois
+
+
+def rand_pois_exact(nonce, static_id, words, lamb, n=None) -> np.ndarray:
+    s, ft = pmac_hash(nonce, static_id, words, n)
+    nrows = s.shape[0]
+    lv = np.broadcast_to(np.asarray(lamb, dtype=np.float64), (nrows,))
+    out = np.empty(nrows)
+    for i in range(nrows):
+        out[i] = rpois_engine(ScalarEngine(s[i], ft), float(lv[i]))
+    return out
+
+
+# ln(i!) for i = 0..7 (R nmath rhyper.c afc table)
+_AFC_TABLE = (
+    0.0, 0.0,
+    0.69314718055994530941723212145817,
+    1.79175946922805500081247735838070,
+    3.17805383034794561964694160129705,
+    4.78749174278204599424770093452324,
+    6.57925121201010099506017829290394,
+    8.52516136106541430016553103634712,
+)
+_M_LN_SQRT_2PI = 0.918938533204672741780329736406
+
+
+def _afc(i: int) -> float:
+    """ln(i!): table for i<=7, Stirling otherwise (rhyper.c afc)."""
+    import math
+    if i <= 7:
+        return _AFC_TABLE[i]
+    di = float(i)
+    di2 = di * di
+    return ((di + 0.5) * math.log(di) - di + _M_LN_SQRT_2PI
+            + (0.0833333333333333 - 0.00277777777777778 / di2) / di)
+
+
+def rhyper_engine(eng: 'ScalarEngine', nn1in: float, nn2in: float,
+                  kkin: float) -> float:
+    """Hypergeometric variate: R nmath rhyper.c (HIN inverse transformation
+    for narrow distributions, Kachitvichyanukul-Schmeiser H2PE otherwise),
+    consuming the engine's nextDouble stream -- the algorithm jdistlib
+    HyperGeometric.random runs for the reference's rand_hyper
+    (RandomSeededFunctions.scala:334, Random.scala:449)."""
+    import math
+    nn1 = int(round(nn1in))
+    nn2 = int(round(nn2in))
+    kk = int(round(kkin))
+    if nn1 < 0 or nn2 < 0 or kk < 0 or kk > nn1 + nn2:
+        return float('nan')
+
+    tn = float(nn1 + nn2)
+    if nn1 <= nn2:
+        n1, n2 = nn1, nn2
+    else:
+        n1, n2 = nn2, nn1
+    k = int(tn) - kk if kk + kk >= tn else kk
+    m = int((k + 1.0) * (n1 + 1.0) / (tn + 2.0))
+    minjx = max(0, k - n2)
+    maxjx = min(n1, k)
+
+    if minjx == maxjx:
+        ix = maxjx
+    elif m - minjx < 10:
+        # II: (scaled) inverse transformation, restart on overrun
+        scale = 1e25
+        con = 57.5646273248511421  # 25 * ln(10)
+        if k - n2 >= 0:
+            lw = _afc(n1) + _afc(k) - _afc(k - n2) - _afc(n1 + n2)
+        else:
+            lw = _afc(n2) + _afc(n1 + n2 - k) - _afc(n2 - k) - _afc(n1 + n2)
+        w = math.exp(lw + con)
+        while True:
+            p = w
+            ix = minjx
+            u = eng.next_double() * scale
+            restart = False
+            while u > p:
+                u -= p
+                p *= float(n1 - ix) * (k - ix)
+                ix += 1
+                p = p / ix / (n2 - k + ix)
+                if ix > maxjx:
+                    restart = True
+                    break
+            if not restart:
+                break
+    else:
+        # III: H2PE rectangle + exponential tails
+        s = math.sqrt((tn - k) * k * n1 * n2 / (tn - 1) / tn / tn)
+        d = float(int(1.5 * s)) + 0.5
+        xl = m - d + 0.5
+        xr = m + d + 0.5
+        a = _afc(m) + _afc(n1 - m) + _afc(k - m) + _afc(n2 - k + m)
+        kl = math.exp(a - _afc(int(xl)) - _afc(int(n1 - xl))
+                      - _afc(int(k - xl)) - _afc(int(n2 - k + xl)))
+        kr = math.exp(a - _afc(int(xr - 1)) - _afc(int(n1 - xr + 1))
+                      - _afc(int(k - xr + 1)) - _afc(int(n2 - k + xr - 1)))
+        lamdl = -math.log(xl * (n2 - k + xl) / (n1 - xl + 1) / (k - xl + 1))
+        lamdr = -math.log((n1 - xr + 1) * (k - xr + 1) / xr / (n2 - k + xr))
+        p1 = d + d
+        p2 = p1 + kl / lamdl
+        p3 = p2 + kr / lamdr
+        while True:
+            u = eng.next_double() * p3
+            v = eng.next_double()
+            if u < p1:                      # rectangular region
+                ix = int(xl + u)
+            elif u <= p2:                   # left tail
+                ix = int(xl + math.log(v) / lamdl)
+                if ix < minjx:
+                    continue
+                v = v * (u - p1) * lamdl
+            else:                           # right tail
+                ix = int(xr - math.log(v) / lamdr)
+                if ix > maxjx:
+                    continue
+                v = v * (u - p2) * lamdr
+            # acceptance test: explicit f evaluation (the m>=100 && ix>50
+            # squeeze in rhyper.c is an evaluation shortcut for the same
+            # v <= f comparison; the explicit recurrence is its exact form)
+            f = 1.0
+            if m < ix:
+                for i in range(m + 1, ix + 1):
+                    f = f * (n1 - i + 1) * (k - i + 1) / (n2 - k + i) / i
+            elif m > ix:
+                for i in range(ix + 1, m + 1):
+                    f = f * i * (n2 - k + i) / (n1 - i + 1) / (k - i + 1)
+            if v <= f:
+                break
+
+    # map back to the caller's (nn1, kk) orientation
+    if kk + kk >= tn:
+        ix = kk - nn2 + ix if nn1 > nn2 else nn1 - ix
+    elif nn1 > nn2:
+        ix = kk - ix
+    return float(ix)
+
+
+def rand_hyper_exact(nonce, static_id, words, popsize, ngood, nsample,
+                     n=None) -> np.ndarray:
+    """hl.rand_hyper parity: rhyper(ngood, popsize-ngood, nsample) per row
+    (RandomSeededFunctions.scala rand_hyper)."""
+    s, ft = pmac_hash(nonce, static_id, words, n)
+    nrows = s.shape[0]
+    pv = np.broadcast_to(np.asarray(popsize, dtype=np.int64), (nrows,))
+    gv = np.broadcast_to(np.asarray(ngood, dtype=np.int64), (nrows,))
+    kv = np.broadcast_to(np.asarray(nsample, dtype=np.int64), (nrows,))
+    out = np.empty(nrows, dtype=np.int32)
+    for i in range(nrows):
+        eng = ScalarEngine(s[i], ft)
+        out[i] = int(rhyper_engine(eng, float(gv[i]),
+                                   float(pv[i] - gv[i]), float(kv[i])))
+    return out
+
+
+def rand_multi_hyper_exact(nonce, static_id, words, colors, nsample,
+                           n=None) -> np.ndarray:
+    """hl.rand_multi_hyper parity: sequential conditional rhyper draws off
+    one engine stream (RandomSeededFunctions.scala rand_multi_hyper:366-402).
+    `colors` is (n, k) or (k,); returns (n, k) int32."""
+    s, ft = pmac_hash(nonce, static_id, words, n)
+    nrows = s.shape[0]
+    cols = np.asarray(colors, dtype=np.int64)
+    if cols.ndim == 1:
+        cols = np.broadcast_to(cols, (nrows,) + cols.shape)
+    kcol = cols.shape[1]
+    nv = np.broadcast_to(np.asarray(nsample, dtype=np.int64), (nrows,))
+    out = np.empty((nrows, kcol), dtype=np.int32)
+    for i in range(nrows):
+        eng = ScalarEngine(s[i], ft)
+        remaining = int(cols[i].sum())
+        to_sample = int(nv[i])
+        for j in range(kcol):
+            nj = int(cols[i, j])
+            remaining -= nj
+            drawn = int(rhyper_engine(eng, float(nj), float(remaining),
+                                      float(to_sample)))
+            to_sample -= drawn
+            out[i, j] = drawn
+    return out

