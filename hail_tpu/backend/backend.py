@@ -18,10 +18,32 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, List, Optional, Sequence
 
 
+# Deterministic failures re-raise immediately: retrying them wastes compute
+# and buries the real stack under attempt noise. The reference draws the same
+# line with `is_transient_error` (hailtop/utils/utils.py:790-870): transient =
+# network/IO/service flakes; everything else is permanent.
+_DETERMINISTIC_ERRORS = (TypeError, ValueError, KeyError, AttributeError,
+                         IndexError, NotImplementedError, AssertionError,
+                         ZeroDivisionError, ArithmeticError, LookupError,
+                         RecursionError, SyntaxError, NameError)
+
+
+def _is_transient_error(e: BaseException) -> bool:
+    """Whether a partition failure is plausibly transient (worth retrying).
+    Reference `hailtop/utils/utils.py is_transient_error`."""
+    if isinstance(e, _DETERMINISTIC_ERRORS):
+        return False
+    from ..utils.misc import FatalError, HailUserError
+    if isinstance(e, (FatalError, HailUserError)):
+        return False
+    return True
+
+
 def _retrying(fn: Callable[[Any], Any], stage_id: int) -> Callable[[Any], Any]:
     """Per-partition retry (Spark's task-retry analogue, reference
     ServiceBackend.scala:290-300 partition re-runs): each partition gets up to
-    `max_partition_attempts` tries; retries are logged to the session log."""
+    `max_partition_attempts` tries at transient errors; deterministic errors
+    (TypeError, user errors, ...) fail fast. Retries are logged."""
     from ..context import Env
     attempts = 3
     if Env.is_initialized():
@@ -37,7 +59,7 @@ def _retrying(fn: Callable[[Any], Any], stage_id: int) -> Callable[[Any], Any]:
             try:
                 return fn(ctx)
             except Exception as e:
-                if attempt == attempts:
+                if attempt == attempts or not _is_transient_error(e):
                     raise
                 from ..utils.hail_logging import logger
                 logger().warning(

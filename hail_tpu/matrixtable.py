@@ -27,6 +27,7 @@ from .expr.expression import (Expression, Indices, StructExpression,
                               construct_expr, to_expr)
 from .table import Table, TableStage, _expr_field_name, _sort_indices
 from .utils.structs import Struct
+from .utils.structs import freeze as _structs_freeze
 
 
 class MatrixBatch:
@@ -2163,8 +2164,11 @@ class GroupedMatrixTable:
                 mb = st.partition_fn(ctx)
                 renv = mt._row_env(mb, pi)
                 key_cols = {kn: renv.bindings['va'].fields[kn] for kn in key_names}
-                keys = list(zip(*[C.obj_array(
-                    C._flatten(kc.to_pylist(), 1)) for kc in key_cols.values()])) \
+                # freeze container-typed key values (array/set/dict keys are
+                # legal group keys — reference doc examples group by alleles)
+                keys = [tuple(_structs_freeze(v) for v in kt) for kt in zip(
+                    *[C.obj_array(C._flatten(kc.to_pylist(), 1))
+                      for kc in key_cols.values()])] \
                     if key_names else [() for _ in range(mb.n_rows)]
                 env = mt._entry_env(mb, pi)
                 groups = {}
@@ -2242,7 +2246,8 @@ class GroupedMatrixTable:
         key_names = list(self._col_keys)
         cenv = mt._col_env()
         key_cols = {kn: cenv.bindings['sa'].fields[kn] for kn in key_names}
-        keys = list(zip(*[C._flatten(kc.to_pylist(), 1) for kc in key_cols.values()]))
+        keys = [tuple(_structs_freeze(v) for v in kt) for kt in
+                zip(*[C._flatten(kc.to_pylist(), 1) for kc in key_cols.values()])]
         groups: Dict = {}
         for j, kt in enumerate(keys):
             groups.setdefault(kt, []).append(j)

@@ -402,7 +402,11 @@ class Table:
         def f(batch, i):
             cols = {k: self._eval_rows(e, batch, i) for k, e in exprs.items()}
             return batch.annotate(**cols)
-        return Table(self._stage.map_partitions(f, new_t))
+        from .ir.semhash import semhash
+        shs = [semhash(e._ir) for e in exprs.values()]
+        tag = None if any(x is None for x in shs) else \
+            f'annotate:{sorted(exprs)}:{shs}'
+        return Table(self._stage.map_partitions(f, new_t, lineage_tag=tag))
 
     def _annotate_with_scans(self, exprs, new_t) -> 'Table':
         """Two-phase streaming prefix (reference
@@ -678,6 +682,13 @@ class Table:
 
     # -- consumers ---------------------------------------------------------
     def count(self) -> int:
+        # when fast restarts are active and this pipeline has semantic
+        # lineage, go through collect_batches so the action both consults
+        # and populates the on-disk execution cache (reference: every
+        # executed IR lands in ExecutionCache keyed by SemanticHash)
+        from .ir.semhash import execution_cache
+        if execution_cache() is not None and self._stage.lineage is not None:
+            return int(sum(b.length for b in self._stage.collect_batches()))
         lengths = Env.backend().map_collect(self._stage.contexts,
                                             lambda c: self._stage.partition_fn(c).length)
         return int(sum(lengths))
@@ -2329,7 +2340,11 @@ def range_table(n: int, n_partitions: Optional[int] = None) -> Table:
         s, e = ctx
         return Batch({'idx': PrimitiveColumn(ht.tint32, np.arange(s, e, dtype=np.int32))}, e - s)
     g = Batch({}, 1)
+    # deterministic source: a stable lineage root lets downstream pure ops
+    # participate in the fast-restarts execution cache (reference
+    # SemanticHash.scala gives TableRange a structural hash)
     return Table(TableStage(g, ['idx'], row_t, contexts, pf,
+                            lineage=f'range_table:{n}:{n_partitions}',
                             uid_bases=[s for s, _ in contexts]))
 
 

@@ -1,5 +1,6 @@
 """Per-partition retry in the execution path (Spark task-retry analogue;
-reference ServiceBackend.scala partition re-runs)."""
+reference ServiceBackend.scala partition re-runs + hailtop/utils
+is_transient_error: only transient failures are retried)."""
 
 import collections
 
@@ -22,17 +23,34 @@ def test_transient_partition_failure_is_retried():
     assert all(v == 2 for v in calls.values())
 
 
-def test_persistent_failure_raises_after_max_attempts():
+def test_persistent_transient_failure_raises_after_max_attempts():
     backend = hl.current_backend()
     calls = collections.Counter()
 
     def broken(c):
         calls[c] += 1
-        raise ValueError('permanent')
+        raise OSError('io flake that never heals')
 
-    with pytest.raises(ValueError, match='permanent'):
+    with pytest.raises(OSError):
         backend.map_collect([7], broken)
     assert calls[7] == 3  # default max_partition_attempts
+
+
+@pytest.mark.parametrize('exc', [TypeError, ValueError, KeyError,
+                                 AttributeError, NotImplementedError])
+def test_deterministic_failure_fails_fast(exc):
+    """Deterministic bugs re-raise immediately — no wasted re-execution, no
+    'attempt 2/3' noise burying the real stack."""
+    backend = hl.current_backend()
+    calls = collections.Counter()
+
+    def broken(c):
+        calls[c] += 1
+        raise exc('permanent')
+
+    with pytest.raises(exc):
+        backend.map_collect([7], broken)
+    assert calls[7] == 1
 
 
 def test_retry_disabled_by_flag():
@@ -41,9 +59,9 @@ def test_retry_disabled_by_flag():
 
     def broken(c):
         calls[c] += 1
-        raise ValueError('permanent')
+        raise OSError('flake')
 
     with hl._with_flags(max_partition_attempts='1'):
-        with pytest.raises(ValueError):
+        with pytest.raises(OSError):
             backend.map_collect([1], broken)
     assert calls[1] == 1
