@@ -593,6 +593,20 @@ def mt_to_table_of_ndarray(entry_expr, block_size: int = 16,
     t_row = ht.tstruct(idx=ht.tint64, ndarray=ht.tndarray(ht.tfloat64, 2))
     t = Table(TableStage.from_batches(Batch({}, 1), ['idx'], t_row,
                                       [Batch.from_pylist(t_row, rows)]))
+    if window_size is not None:
+        # reference returns (blocks, trailing_blocks_ht, checkpointed) in the
+        # whitening path (table_ndarray_utils.py:85-110): each block row also
+        # carries the `window_size` rows immediately preceding the block
+        trows = []
+        for start in range(0, n, block_size):
+            lo = max(0, start - window_size)
+            prev = np.zeros((0, G.shape[1])) if start == 0 else G[lo:start]
+            trows.append(Struct(idx=start // block_size, prev_window=prev))
+        tt_row = ht.tstruct(idx=ht.tint64,
+                            prev_window=ht.tndarray(ht.tfloat64, 2))
+        tt = Table(TableStage.from_batches(Batch({}, 1), ['idx'], tt_row,
+                                           [Batch.from_pylist(tt_row, trows)]))
+        return t, tt, t
     if return_checkpointed_table_also:
         return t, t
     return t
