@@ -18,22 +18,54 @@ from ..utils.structs import Struct
 
 
 def full_outer_join_mt(left: MatrixTable, right: MatrixTable) -> MatrixTable:
-    """Full outer join on both axes: rows = union of row keys, cols = union
-    of col keys, entries {left_entry, right_entry} (reference
-    experimental/full_outer_join_mt.py)."""
-    from ..ir import columns as C
+    """Full outer join on both axes (reference
+    experimental/full_outer_join_mt.py): rows/cols are joined by key with a
+    CROSS PRODUCT on duplicate keys (the reference's key_indices flatmap);
+    output schema is key fields + {left_row,right_row} / {left_col,right_col}
+    structs and {left_entry,right_entry} entries."""
     from ..ir.columns import Batch, StructColumn
     from ..matrixtable import MatrixBatch, MatrixStage, _concat_matrix_batches
     from ..table import _hashable_key, _key_tuples
+    from ..utils.structs import thaw
     lst, rst = left._stage, right._stage
+    if [lst.row_type[f] for f in lst.row_key] != [rst.row_type[f] for f in rst.row_key]:
+        raise ValueError(
+            f'row key types do not match:\n'
+            f'  left:  {[str(lst.row_type[f]) for f in lst.row_key]}\n'
+            f'  right: {[str(rst.row_type[f]) for f in rst.row_key]}')
+    if [lst.col_type[f] for f in lst.col_key] != [rst.col_type[f] for f in rst.col_key]:
+        raise ValueError(
+            f'column key types do not match:\n'
+            f'  left:  {[str(lst.col_type[f]) for f in lst.col_key]}\n'
+            f'  right: {[str(rst.col_type[f]) for f in rst.col_key]}')
     lmb = _concat_matrix_batches(lst.collect_batches(), lst)
     rmb = _concat_matrix_batches(rst.collect_batches(), rst)
-    # row union
-    lkeys = [_hashable_key(k) for k in _key_tuples(lmb.rows, lst.row_key)]
-    rkeys = [_hashable_key(k) for k in _key_tuples(rmb.rows, rst.row_key)]
-    rmap = {k: i for i, k in enumerate(rkeys)}
-    lmap = {k: i for i, k in enumerate(lkeys)}
-    def skey(kt):
+
+    def _axis_pairs(lkeys, rkeys, sort_key=None):
+        """(key, left_index|None, right_index|None) triples: cross product
+        where both sides have the key (possibly duplicated), one-sided
+        otherwise (reference key_indices flatmap semantics)."""
+        lgroups, rgroups = {}, {}
+        for i, k in enumerate(lkeys):
+            lgroups.setdefault(k, []).append(i)
+        for j, k in enumerate(rkeys):
+            rgroups.setdefault(k, []).append(j)
+        union = list(dict.fromkeys(list(lgroups) + [k for k in rgroups
+                                                    if k not in lgroups]))
+        if sort_key is not None:
+            union = sorted(union, key=sort_key)
+        pairs = []
+        for k in union:
+            li, ri = lgroups.get(k), rgroups.get(k)
+            if li is not None and ri is not None:
+                pairs.extend((k, i, j) for i in li for j in ri)
+            elif li is not None:
+                pairs.extend((k, i, None) for i in li)
+            else:
+                pairs.extend((k, None, j) for j in ri)
+        return pairs
+
+    def _skey(kt):
         out = []
         for v in kt:
             if hasattr(v, 'global_position'):
@@ -43,62 +75,65 @@ def full_outer_join_mt(left: MatrixTable, right: MatrixTable) -> MatrixTable:
             else:
                 out.append((2, str(v)))
         return tuple(out)
-    union_rows = sorted(set(lkeys) | set(rkeys), key=skey)
-    # col union
+
+    lkeys = [_hashable_key(k) for k in _key_tuples(lmb.rows, lst.row_key)]
+    rkeys = [_hashable_key(k) for k in _key_tuples(rmb.rows, rst.row_key)]
+    row_pairs = _axis_pairs(lkeys, rkeys, sort_key=_skey)
     lckeys = [_hashable_key(k) for k in _key_tuples(lst.cols, lst.col_key)]
     rckeys = [_hashable_key(k) for k in _key_tuples(rst.cols, rst.col_key)]
-    lcmap = {k: i for i, k in enumerate(lckeys)}
-    rcmap = {k: i for i, k in enumerate(rckeys)}
-    union_cols = list(dict.fromkeys(lckeys + rckeys))
-    R, Cn = len(union_rows), len(union_cols)
+    col_pairs = _axis_pairs(lckeys, rckeys)
+    R, Cn = len(row_pairs), len(col_pairs)
 
-    def gather_entries(mb, st, rowmap, colmap):
-        ridx = np.asarray([rowmap.get(k2, 0) for k2 in union_rows], dtype=np.int64)
-        rmiss = np.asarray([k2 not in rowmap for k2 in union_rows])
-        cidx = np.asarray([colmap.get(k2, 0) for k2 in union_cols], dtype=np.int64)
-        cmiss = np.asarray([k2 not in colmap for k2 in union_cols])
+    lrows = lmb.rows.to_pylist()
+    rrows = rmb.rows.to_pylist()
+    lcols_l = lst.cols.to_pylist()
+    rcols_l = rst.cols.to_pylist()
+
+    row_t = ht.tstruct(**{f: lst.row_type[f] for f in lst.row_key},
+                       left_row=lst.row_type, right_row=rst.row_type)
+    col_t = ht.tstruct(**{f: lst.col_type[f] for f in lst.col_key},
+                       left_col=lst.col_type, right_col=rst.col_type)
+    entry_t = ht.tstruct(left_entry=lst.entry_type, right_entry=rst.entry_type)
+
+    row_vals = [Struct(**{f: thaw(kt[i]) for i, f in enumerate(lst.row_key)},
+                       left_row=lrows[li] if li is not None else None,
+                       right_row=rrows[ri] if ri is not None else None)
+                for kt, li, ri in row_pairs]
+    rows = Batch.from_pylist(row_t, row_vals)
+    col_vals = [Struct(**{f: thaw(kt[i]) for i, f in enumerate(lst.col_key)},
+                       left_col=lcols_l[li] if li is not None else None,
+                       right_col=rcols_l[ri] if ri is not None else None)
+                for kt, li, ri in col_pairs]
+    cols = Batch.from_pylist(col_t, col_vals)
+
+    def _side_entries(mb, st, li_list, ci_list):
+        ridx = np.asarray([0 if i is None else i for i in li_list], np.int64)
+        rmiss = np.asarray([i is None for i in li_list])
+        cidx = np.asarray([0 if j is None else j for j in ci_list], np.int64)
+        cmiss = np.asarray([j is None for j in ci_list])
+        miss = rmiss[:, None] | cmiss[None, :]
         ents = {}
         for k2, c2 in mb.entries.items():
+            if mb.rows.length == 0 or c2.shape[1] == 0:
+                from ..ir import columns as C
+                ents[k2] = C.null_column(st.entry_type[k2], (R, Cn))
+                continue
             g = c2.gather(ridx, axis=0).gather(cidx, axis=1)
-            miss = rmiss[:, None] | cmiss[None, :]
-            ents[k2] = g.with_missing(miss.copy()) if miss.any() else g
-        return StructColumn(st.entry_type, ents, None, (R, Cn)) if ents else \
-            StructColumn(st.entry_type, {}, None, (R, Cn))
-    left_entry = gather_entries(lmb, lst, lmap, lcmap)
-    right_entry = gather_entries(rmb, rst, rmap, rcmap)
-    # row fields from whichever side has the key
-    row_vals = []
-    for kt in union_rows:
-        if kt in lmap:
-            i = lmap[kt]
-            row_vals.append(Struct(**{f: lmb.rows.columns[f].to_pylist()[i]
-                                      for f in lst.row_type.fields}))
-        else:
-            i = rmap[kt]
-            base = {f: None for f in lst.row_type.fields}
-            for f in lst.row_key:
-                if f in rst.row_type.fields:
-                    base[f] = rmb.rows.columns[f].to_pylist()[i]
-            row_vals.append(Struct(**base))
-    rows = Batch.from_pylist(lst.row_type, row_vals)
-    col_vals = []
-    for kt in union_cols:
-        if kt in lcmap:
-            i = lcmap[kt]
-            col_vals.append(Struct(**{f: lst.cols.columns[f].to_pylist()[i]
-                                      for f in lst.col_type.fields}))
-        else:
-            i = rcmap[kt]
-            base = {f: None for f in lst.col_type.fields}
-            for f in lst.col_key:
-                base[f] = rst.cols.columns[f].to_pylist()[i]
-            col_vals.append(Struct(**base))
-    cols = Batch.from_pylist(lst.col_type, col_vals)
-    entry_t = ht.tstruct(left_entry=lst.entry_type, right_entry=rst.entry_type)
-    mb = MatrixBatch(rows, {'left_entry': left_entry, 'right_entry': right_entry})
+            ents[k2] = g.with_missing(
+                (miss | g.missing_mask()).copy()) if miss.any() else g
+        return StructColumn(st.entry_type, ents,
+                            miss if miss.any() else None, (R, Cn))
+
+    left_entry = _side_entries(lmb, lst, [li for _, li, _ in row_pairs],
+                               [li for _, li, _ in col_pairs])
+    right_entry = _side_entries(rmb, rst, [ri for _, _, ri in row_pairs],
+                                [ri for _, _, ri in col_pairs])
+    mb = MatrixBatch(rows, {'left_entry': left_entry,
+                            'right_entry': right_entry})
     return MatrixTable(MatrixStage.from_batches(
-        lst.globals, cols, lst.row_key, lst.col_key, lst.row_type,
-        lst.col_type, entry_t, [mb]))
+        lst.globals, cols, list(lst.row_key), list(lst.col_key), row_t,
+        col_t, entry_t, [mb]))
+
 
 
 def pc_project(call_expr, loadings_expr, af_expr):

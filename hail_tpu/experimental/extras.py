@@ -212,10 +212,25 @@ class _RecurSentinel:
         self.args = args
 
 
-class _RecurIR:
-    """Marker IR for a tail-recursive continuation inside `loop` bodies."""
+class _NonLocalRecur(Exception):
+    """A nested loop's body tail-called an ENCLOSING loop's recur: unwind out
+    of the inner loop up to the frame whose name matches (reference: Recur
+    may reference any enclosing TailLoop name; JVM codegen jumps frames)."""
 
-    def __init__(self, arg_irs, typ):
+    def __init__(self, loop_name, vals):
+        super().__init__(loop_name)
+        self.loop_name = loop_name
+        self.vals = vals
+
+
+class _RecurIR:
+    """Marker IR for a tail-recursive continuation inside `loop` bodies
+    (reference ir.Recur)."""
+
+    _is_recur = True
+
+    def __init__(self, loop_name, arg_irs, typ):
+        self.loop_name = loop_name
         self.arg_irs = arg_irs
         self.typ = typ
 
@@ -224,84 +239,159 @@ class _RecurIR:
         return tuple(self.arg_irs)
 
     def map_children(self, f):
-        return _RecurIR([f(a) for a in self.arg_irs], self.typ)
+        return _RecurIR(self.loop_name, [f(a) for a in self.arg_irs], self.typ)
 
     def evaluate(self, env):
         raise RuntimeError('recur escaped tail position in hl.experimental.loop')
 
 
+_loop_uid = [0]
+
+
+class _TailLoopIR:
+    """Tail-recursive loop node (reference ir.TailLoop): evaluates its body
+    per element with the loop parameters rebound each iteration. Branches are
+    interpreted lazily so `recur` fires only on the taken path; a foreign
+    loop's recur unwinds via _NonLocalRecur to its owning frame."""
+
+    def __init__(self, loop_name, names, arg_irs, arg_types, body, typ):
+        self.loop_name = loop_name
+        self.names = names
+        self.arg_irs = arg_irs
+        self.arg_types = arg_types
+        self.body = body
+        self.typ = typ
+
+    @property
+    def children(self):
+        return (self.body, *self.arg_irs)
+
+    def map_children(self, f):
+        return _TailLoopIR(self.loop_name, self.names,
+                           [f(a) for a in self.arg_irs], self.arg_types,
+                           f(self.body), self.typ)
+
+    def evaluate(self, env):
+        from ..ir.nodes import If, Coalesce
+        from ..ir.arrays import _eval_scalar_body
+        arg_cols = [a.evaluate(env) for a in self.arg_irs]
+        shapes = [tuple(c.shape) for c in arg_cols]
+        shape = np.broadcast_shapes(env.shape, *shapes) if shapes else tuple(env.shape)
+        objs = [C.to_object(c).broadcast_to(shape) for c in arg_cols]
+        total = int(np.prod(shape)) if shape else 1
+        flats = [o.values.ravel() for o in objs]
+
+        def interp(ir, bind, i):
+            if isinstance(ir, _RecurIR):
+                vals = [_eval_scalar_body(a, env, bind, flat_index=i,
+                                          full_shape=shape)
+                        for a in ir.arg_irs]
+                if ir.loop_name != self.loop_name:
+                    raise _NonLocalRecur(ir.loop_name, vals)
+                return _RecurSentinel(vals)
+            if isinstance(ir, If):
+                c = _eval_scalar_body(ir.cond, env, bind, flat_index=i,
+                                      full_shape=shape)
+                return interp(ir.cnsq if c is True else ir.altr, bind, i)
+            if isinstance(ir, Coalesce):
+                for child in ir.children:
+                    v = interp(child, bind, i)
+                    if isinstance(v, _RecurSentinel) or v is not None:
+                        return v
+                return None
+            return _eval_scalar_body(ir, env, bind, flat_index=i,
+                                     full_shape=shape)
+
+        def run_one(i):
+            cur = [fl[i] for fl in flats]
+            remaining = 100_000_000
+            while remaining:
+                remaining -= 1
+                bind = {n: (t, v) for n, t, v in
+                        zip(self.names, self.arg_types, cur)}
+                try:
+                    res = interp(self.body, bind, i)
+                except _NonLocalRecur as nlr:
+                    if nlr.loop_name != self.loop_name:
+                        raise
+                    cur = nlr.vals
+                    continue
+                if isinstance(res, _RecurSentinel):
+                    cur = res.args
+                    continue
+                return res
+            raise RuntimeError('loop: exceeded max iterations')
+
+        out = [run_one(i) for i in range(total)]
+        res = C.from_pylist(self.typ, out)
+        return res.reshape(shape) if shape else res.reshape(())
+
+
 def loop(f, typ, *args):
     """Tail-recursive loop (reference loop.py:11): `f(recur, *args)` where a
-    call to `recur` in tail position continues the loop. The body is traced
-    once; evaluation interprets If/Coalesce branches lazily so `recur` only
-    fires on the taken path."""
+    call to `recur` in tail position continues the loop. Trace-time checks
+    mirror the reference exactly: recur arity/argument types, declared vs
+    inferred result type, and tail-position analysis."""
     from ..ir.nodes import If, Coalesce, Ref
-    from ..ir.arrays import _eval_scalar_body
     typ = ht.dtype(typ) if isinstance(typ, str) else typ
+    _loop_uid[0] += 1
+    loop_name = f'__loop_{_loop_uid[0]}'
     arg_exprs = [to_expr(a) for a in args]
-    names = [f'__loop_arg{i}' for i in range(len(arg_exprs))]
+    names = [f'{loop_name}_arg{i}' for i in range(len(arg_exprs))]
     refs = [construct_expr(Ref(n, e.dtype), e._indices)
             for n, e in zip(names, arg_exprs)]
 
-    class _RecurExpr(Expression):
-        pass
-
     def recur(*new_args):
-        irs = [to_expr(a)._ir for a in new_args]
+        nexprs = [to_expr(a) for a in new_args]
+        if len(nexprs) != len(arg_exprs):
+            raise TypeError('Recursive call in loop has wrong number of arguments')
+        err = None
+        for i, (rexpr, expr) in enumerate(zip(nexprs, arg_exprs)):
+            if rexpr.dtype != expr.dtype:
+                if err is None:
+                    err = 'Type error in recursive call,'
+                err += (f'\n  at argument index {i}, loop arg type: '
+                        f'{expr.dtype}, recur arg type: {rexpr.dtype}')
+        if err is not None:
+            raise TypeError(err)
         e = Expression.__new__(Expression)
-        e._ir = _RecurIR(irs, typ)
+        e._ir = _RecurIR(loop_name, [x._ir for x in nexprs], typ)
         e._indices = arg_exprs[0]._indices if arg_exprs else refs[0]._indices
         e._dtype = typ
         return e
 
-    body = to_expr(f(recur, *refs))._ir
+    body_expr = to_expr(f(recur, *refs))
+    if body_expr.dtype != typ:
+        raise TypeError(f'requested type {typ} does not match inferred type '
+                        f'{body_expr.dtype}')
 
-    def run_one(env, cur_vals):
-        arg_ts = [e.dtype for e in arg_exprs]
-        max_iter = 10_000_000
+    def contains_recursive_call(ir_):
+        if isinstance(ir_, _RecurIR) and ir_.loop_name == loop_name:
+            return True
+        return any(contains_recursive_call(c) for c in ir_.children)
 
-        def interp(ir, bind):
-            if isinstance(ir, _RecurIR):
-                new_vals = [_eval_scalar_body(a, env, bind) for a in ir.arg_irs]
-                return _RecurSentinel(new_vals)
-            if isinstance(ir, If):
-                c = _eval_scalar_body(ir.cond, env, bind)
-                if c is True:
-                    return interp(ir.cnsq, bind)
-                return interp(ir.altr, bind)
-            if isinstance(ir, Coalesce):
-                for child in ir.children:
-                    v = interp(child, bind)
-                    if isinstance(v, _RecurSentinel) or v is not None:
-                        return v
-                return None
-            return _eval_scalar_body(ir, env, bind)
+    def check_tail_recursive(ir_):
+        if isinstance(ir_, If):
+            if contains_recursive_call(ir_.cond):
+                raise TypeError("branch condition can't contain recursive call!")
+            check_tail_recursive(ir_.cnsq)
+            check_tail_recursive(ir_.altr)
+        elif isinstance(ir_, Coalesce):
+            for c in ir_.children:
+                check_tail_recursive(c)
+        elif isinstance(ir_, _TailLoopIR):
+            if any(contains_recursive_call(a) for a in ir_.arg_irs):
+                raise TypeError("parameters passed to inner loop can't "
+                                "contain recursive call!")
+        elif not isinstance(ir_, _RecurIR) and contains_recursive_call(ir_):
+            raise TypeError('found recursive expression outside of tail position!')
 
-        while max_iter:
-            max_iter -= 1
-            bind = {n: (t, v) for n, t, v in zip(names, arg_ts, cur_vals)}
-            res = interp(body, bind)
-            if isinstance(res, _RecurSentinel):
-                cur_vals = res.args
-                continue
-            return res
-        raise RuntimeError('loop: exceeded max iterations')
-
-    def impl(*cols):
-        from ..ir.nodes import EvalEnv
-        objs = [C.to_object(c) for c in cols]
-        shape = np.broadcast_shapes(*[o.shape for o in objs]) if objs else ()
-        objs = [o.broadcast_to(shape) for o in objs]
-        env = EvalEnv({}, shape if shape else (1,))
-        out = np.empty(shape if shape else (1,), dtype=object)
-        flat = [o.values.ravel() for o in objs]
-        fo = out.ravel()
-        for i in range(fo.size):
-            cur = [fl[i] for fl in flat]
-            fo[i] = run_one(env, cur)
-        res = C.from_pylist(typ, list(fo))
-        return res.reshape(shape) if shape else res.reshape(())
-    return F._apply('loop', typ, impl, *arg_exprs)
+    check_tail_recursive(body_expr._ir)
+    from ..expr.expression import unify_all
+    ind = unify_all(*arg_exprs, body_expr) if arg_exprs else body_expr._indices
+    node = _TailLoopIR(loop_name, names, [e._ir for e in arg_exprs],
+                       [e.dtype for e in arg_exprs], body_expr._ir, typ)
+    return construct_expr(node, ind)
 
 
 # ---------------------------------------------------------------------------

@@ -399,6 +399,12 @@ def bind(f, *exprs, _ctx=None):
     from ..ir.nodes import AggOp, Ref, walk_ir
     from .typefuncs import ExpressionException
     exprs_ = [to_expr(e) for e in exprs]
+    # a tail-loop recur result may not be bound as a value (reference
+    # loop.py check_tail_recursive on ir.Let)
+    if _bi.any(getattr(n, '_is_recur', False)
+               for e in exprs_ for n in walk_ir(e._ir)):
+        raise TypeError("bound value used in other expression can't contain "
+                        "recursive call!")
     _bind_counter[0] += 1
     names = [f'__bind_{_bind_counter[0]}_{i}' for i in range(_bi.len(exprs_))]
     vars_ = [construct_expr(Ref(n, e.dtype), e._indices)

@@ -494,6 +494,10 @@ def unify_types(*ts: HailType) -> Optional[HailType]:
     if all(isinstance(t, tarray) for t in ts):
         elem = unify_types(*[t.element_type for t in ts])
         return tarray(elem) if elem is not None else None
+    if all(isinstance(t, tndarray) for t in ts) and \
+            all(t.ndim == ts[0].ndim for t in ts):
+        elem = unify_types(*[t.element_type for t in ts])
+        return tndarray(elem, ts[0].ndim) if elem is not None else None
     if all(isinstance(t, tstruct) for t in ts) and \
             all(list(t.fields) == list(ts[0].fields) for t in ts):
         out = []
