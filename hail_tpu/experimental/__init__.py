@@ -279,68 +279,170 @@ def ld_score(entry_expr, locus_expr, radius, coord_expr=None,
                                          [Batch(cols, rows_b.length)]))
 
 
+def _ldsc_one_pheno(y, n, x, w_init, M_, n_blocks, two_step_threshold):
+    """The LDSC two-step IRWLS + block-jackknife estimator for one phenotype
+    (reference experimental/ld_score_regression.py:320-520), as closed-form
+    numpy over per-variant vectors. `y`/`n` use NaN for missing; rows are in
+    row-key order (block boundaries follow the reference's scan)."""
+    nb = n_blocks
+    in2 = ~np.isnan(y)
+    in1 = in2 & (y < two_step_threshold)
+    m1 = int(in1.sum())
+    # block assignment: separators at floor(j*m1/nb); a variant's step1 block
+    # counts how many separators its exclusive in-step1 prefix count passes
+    idx1 = np.concatenate([[0], np.cumsum(in1)[:-1]]).astype(np.int64)
+    seps = np.floor(np.arange(nb + 1) * (m1 / nb)).astype(np.int64)
+    block1 = np.searchsorted(seps, idx1, side='right') - 1
+    is_sep = np.isin(idx1, seps)
+    block2 = np.where(~in1 & is_sep, block1 - 1, block1)
+
+    wif = np.maximum(w_init, 1.0)
+    xf = np.maximum(x, 1.0)
+    mean_n = float(np.nanmean(np.where(in2, n, np.nan)))
+    mean_y = float(np.nanmean(np.where(in2, y, np.nan)))
+    initial = np.array([1.0, (mean_y - 1.0) / float(x.mean())])
+
+    def irwls_weight(b, mask):
+        return np.where(mask, 1.0 / (wif * 2.0 * (b[0] + b[1] * xf) ** 2), 0.0)
+
+    def wls2(wgt, mask, yv):
+        wm = np.where(mask, wgt, 0.0)
+        sww, swx = wm.sum(), (wm * x).sum()
+        swxx = (wm * x * x).sum()
+        ym = np.where(mask, yv, 0.0)
+        swy, swxy = (wm * ym).sum(), (wm * x * ym).sum()
+        return np.linalg.solve(np.array([[sww, swx], [swx, swxx]]),
+                               np.array([swy, swxy]))
+
+    y0 = np.where(in2, y, 0.0)
+    # --- step 1: 3 rounds of IRWLS with h2 clipping between rounds
+    b1 = initial.copy()
+    wgt1 = None
+    for _ in range(3):
+        wgt1 = irwls_weight(b1, in1)
+        raw = wls2(wgt1, in1, y0)
+        h2 = min(max(raw[1] * M_ / mean_n, 0.0), 1.0)
+        b1 = np.array([raw[0], h2 * mean_n / M_])
+    # step 1 block jackknife (leave-one-block-out, weights from the last round)
+    wm = np.where(in1, wgt1, 0.0)
+    bl = np.where(in1, block1, 0)
+    def blocksums(v):
+        tot = v.sum()
+        per = np.bincount(bl[in1], weights=v[in1], minlength=nb)
+        return tot, per
+    s_w = blocksums(wm); s_wx = blocksums(wm * x); s_wxx = blocksums(wm * x * x)
+    s_wy = blocksums(wm * y0); s_wxy = blocksums(wm * x * y0)
+    block_betas1 = np.empty((nb, 2))
+    for i in range(nb):
+        A = np.array([[s_w[0] - s_w[1][i], s_wx[0] - s_wx[1][i]],
+                      [s_wx[0] - s_wx[1][i], s_wxx[0] - s_wxx[1][i]]])
+        rhs = np.array([s_wy[0] - s_wy[1][i], s_wxy[0] - s_wxy[1][i]])
+        block_betas1[i] = np.linalg.solve(A, rhs)
+    bc1 = nb * b1[None, :] - (nb - 1) * block_betas1
+    var1 = (np.sum(bc1 ** 2, axis=0) - np.sum(bc1, axis=0) ** 2 / nb) / (nb - 1) / nb
+
+    # --- step 2: slope-only IRWLS on y - step1 intercept
+    b2 = initial.copy()
+    wgt2 = None
+    for _ in range(3):
+        wgt2 = irwls_weight(b2, in2)
+        yc = np.where(in2, y0 - b1[0], 0.0)
+        slope = float((wgt2 * x * yc).sum() / (wgt2 * x * x).sum())
+        h2 = min(max(slope * M_ / mean_n, 0.0), 1.0)
+        b2 = np.array([b1[0], h2 * mean_n / M_])
+    wm2 = np.where(in2, wgt2, 0.0)
+    yc = np.where(in2, y0 - b1[0], 0.0)
+    valid2 = in2 & (block2 >= 0)
+    def blocksums2(v):
+        tot = v[in2].sum()
+        per = np.bincount(block2[valid2], weights=v[valid2], minlength=nb)
+        return tot, per
+    s2_num = blocksums2(wm2 * x * yc)
+    s2_den = blocksums2(wm2 * x * x)
+    block_betas2 = np.array([(s2_num[0] - s2_num[1][i]) / (s2_den[0] - s2_den[1][i])
+                             for i in range(nb)])
+
+    # --- combine the jackknives (reference's __c correction)
+    w2i = 1.0 / (wif * 2.0 * (initial[0] + initial[1] * xf) ** 2)
+    c = float((w2i * x).sum() / (w2i * x * x).sum())
+    final = np.array([b1[0], b2[1]])
+    fbb = block_betas2 - c * (block_betas1[:, 0] - final[0])
+    fbb_bc = nb * final[1] - (nb - 1) * fbb
+    varf = (np.sum(fbb_bc ** 2) - np.sum(fbb_bc) ** 2 / nb) / (nb - 1) / nb
+    scale = M_ / mean_n
+    return Struct(
+        mean_chi_sq=mean_y,
+        intercept=Struct(estimate=float(final[0]),
+                         standard_error=float(np.sqrt(var1[0]))),
+        snp_heritability=Struct(estimate=float(scale * final[1]),
+                                standard_error=float(np.sqrt(scale ** 2 * varf))))
+
+
 def ld_score_regression(weight_expr, ld_score_expr, chi_sq_exprs,
                         n_samples_exprs, n_blocks: int = 200,
                         two_step_threshold: int = 30,
                         n_reference_panel_variants=None) -> Table:
-    """LD score regression: h² and intercept from chi² ~ N·l/M (reference
-    experimental/ldscore_regression.py), with block-jackknife SEs."""
+    """LD score regression (reference experimental/ld_score_regression.py):
+    SNP-heritability and confounding intercept from GWAS summary statistics
+    via the Bulik-Sullivan two-step IRWLS estimator with leave-one-block-out
+    jackknife standard errors."""
     from ..expr.expression import to_expr
     from ..ir.columns import Batch
     from ..table import TableStage
-    we = to_expr(weight_expr)
-    src = we._indices.source
-    def collect_f(expr):
+    chis = list(chi_sq_exprs) if isinstance(chi_sq_exprs, (list, tuple)) else [chi_sq_exprs]
+    nss = list(n_samples_exprs) if isinstance(n_samples_exprs, (list, tuple)) else [n_samples_exprs]
+    assert len(chis) == len(nss) or len(nss) == 1
+    if len(nss) == 1 and len(chis) > 1:
+        nss = nss * len(chis)
+    src = to_expr(chis[0])._indices.source
+    is_mt = isinstance(src, MatrixTable)
+
+    def collect_row(expr):
         e2 = to_expr(expr)
-        vals = (src.rows()._collect_expr(src.rows()._rebind(e2))
-                if hasattr(src, 'rows') and not hasattr(src, '_collect_expr')
-                else src._collect_expr(e2))
+        vals = src._collect_expr(e2)
         return np.asarray([np.nan if v is None else float(v) for v in vals])
-    chis = chi_sq_exprs if isinstance(chi_sq_exprs, (list, tuple)) else [chi_sq_exprs]
-    ns = n_samples_exprs if isinstance(n_samples_exprs, (list, tuple)) else [n_samples_exprs]
-    w = collect_f(weight_expr)
-    l = collect_f(ld_score_expr)
+
+    w = collect_row(weight_expr)
+    x = collect_row(ld_score_expr)
+    if is_mt:
+        if len(chis) != 1:
+            raise ValueError('Only one chi_sq_expr allowed if originating '
+                             'from a matrix table.')
+        from ..methods.statgen import _entry_expr_to_blocks
+        Y, Ym = _entry_expr_to_blocks(to_expr(chis[0]))
+        N, Nm = _entry_expr_to_blocks(to_expr(nss[0]))
+        Y = np.where(Ym, np.nan, Y)
+        N = np.where(Nm, np.nan, N)
+        ckey = src._stage.col_key
+        if len(ckey) != 1:
+            raise ValueError('Matrix table must be keyed by a single '
+                             'phenotype field.')
+        labels = [c[ckey[0]] for c in src._stage.cols.to_pylist()]
+        phen_t = src._stage.col_type[ckey[0]]
+        ys = [Y[:, j] for j in range(Y.shape[1])]
+        ns_v = [N[:, j] for j in range(N.shape[1])]
+    else:
+        ys = [collect_row(c) for c in chis]
+        ns_v = [collect_row(n) for n in nss]
+        labels = list(range(len(ys)))
+        phen_t = ht.tint32
+
+    ok = np.isfinite(w) & np.isfinite(x)
+    w, x = w[ok], x[ok]
+    ys = [y[ok] for y in ys]
+    ns_v = [n[ok] for n in ns_v]
+    M_ = n_reference_panel_variants if n_reference_panel_variants else len(x)
+
     out_rows = []
-    for pi, (ce, ne) in enumerate(zip(chis, ns)):
-        chi2 = collect_f(ce)
-        n_s = collect_f(ne)
-        ok = np.isfinite(chi2) & np.isfinite(l) & np.isfinite(w) & np.isfinite(n_s) & (w > 0)
-        chi2, lk, wk, nk = chi2[ok], l[ok], w[ok], n_s[ok]
-        M = len(lk)
-        if M < 3:
-            out_rows.append(Struct(phenotype=pi, mean_chi_sq=None,
-                                   intercept=Struct(estimate=None, standard_error=None),
-                                   snp_heritability=Struct(estimate=None, standard_error=None)))
-            continue
-        x = nk * lk / M
-        X = np.stack([np.ones(M), x], axis=1)
-        weights = 1.0 / np.maximum(wk, 1e-12)
-        XtWX = (X * weights[:, None]).T @ X
-        XtWy = (X * weights[:, None]).T @ chi2
-        beta = np.linalg.solve(XtWX, XtWy)
-        # block jackknife
-        nb = min(n_blocks, M)
-        idx_blocks = np.array_split(np.arange(M), nb)
-        est = []
-        for b in idx_blocks:
-            m2 = np.ones(M, dtype=bool)
-            m2[b] = False
-            Xb, yb, wb = X[m2], chi2[m2], weights[m2]
-            bb = np.linalg.solve((Xb * wb[:, None]).T @ Xb, (Xb * wb[:, None]).T @ yb)
-            est.append(bb)
-        est = np.asarray(est)
-        se = np.sqrt((nb - 1) / nb * ((est - est.mean(0)) ** 2).sum(0))
-        out_rows.append(Struct(
-            phenotype=pi, mean_chi_sq=float(chi2.mean()),
-            intercept=Struct(estimate=float(beta[0]), standard_error=float(se[0])),
-            snp_heritability=Struct(estimate=float(beta[1]), standard_error=float(se[1]))))
+    for label, y, n in zip(labels, ys, ns_v):
+        res = _ldsc_one_pheno(y, n, x, w, M_, n_blocks, two_step_threshold)
+        out_rows.append(Struct(phenotype=label, **dict(res.items())))
     row_t = ht.tstruct(
-        phenotype=ht.tint32, mean_chi_sq=ht.tfloat64,
+        phenotype=phen_t, mean_chi_sq=ht.tfloat64,
         intercept=ht.tstruct(estimate=ht.tfloat64, standard_error=ht.tfloat64),
         snp_heritability=ht.tstruct(estimate=ht.tfloat64, standard_error=ht.tfloat64))
-    from ..ir.columns import Batch as B2
-    return Table(__import__('hail_tpu.table', fromlist=['TableStage']).TableStage.from_batches(
-        B2({}, 1), ['phenotype'], row_t, [B2.from_pylist(row_t, out_rows)]))
+    return Table(TableStage.from_batches(
+        Batch({}, 1), ['phenotype'], row_t, [Batch.from_pylist(row_t, out_rows)]))
 
 
 def phase_by_transmission(locus, alleles, c, tm=None):

@@ -613,17 +613,217 @@ def densify(sparse_mt: MatrixTable) -> MatrixTable:
                                    contexts, pf))
 
 
+def _tri(n: int) -> int:
+    return n * (n + 1) // 2
+
+
+def _udgic(j: int):
+    """Unphased diploid genotype index -> (a, b) allele pair, a <= b
+    (reference Genotype.gtPair)."""
+    b = int((math.sqrt(8 * j + 1) - 1) / 2)
+    while _tri(b + 1) <= j:
+        b += 1
+    while _tri(b) > j:
+        b -= 1
+    return (j - _tri(b), b)
+
+
+def _gq_from_pl_py(pl):
+    m, m2 = 99, 99
+    for x in pl:
+        if x is None:
+            continue
+        if x < m:
+            m2 = m
+            m = x
+        elif x < m2:
+            m2 = x
+    return m2 - m
+
+
 def sparse_split_multi(sparse_mt: MatrixTable, *, filter_changed_loci: bool = False) -> MatrixTable:
-    """Split sparse (gVCF-style) multiallelics: local LGT/LA fields are
-    globalized to GT then split (reference sparse_mt/sparse_split_multi.py).
-    """
-    from ..vds.functions import lgt_to_gt
-    from ..methods.statgen import split_multi_hts
-    mt = sparse_mt
-    if 'LGT' in mt._stage.entry_type.fields and 'LA' in mt._stage.entry_type.fields:
-        mt = mt.annotate_entries(GT=lgt_to_gt(mt.LGT, mt.LA))
-        mt = mt.drop('LGT', 'LA')
-    return split_multi_hts(mt, keep_star=True)
+    """Split sparse (gVCF-style) multiallelic variants (reference
+    sparse_mt/sparse_split_multi.py): one output row per alt allele,
+    min-repped; local entry fields LGT/LPGT/LAD/LPL are re-expressed against
+    the split global alleles via the local-allele index (LA) and LA is
+    dropped. Reference blocks (single-allele rows) pass through with the L-
+    prefix stripped; hom-ref calls keep their LGT/LPGT unchanged; PL elements
+    are minima over the local genotypes that downcode to each split genotype.
+
+    The reference builds this as one large traced expression over localized
+    entries; here it is a per-partition columnar transform (same semantics,
+    host-side)."""
+    from ..genetics.call import Call
+    from ..expr.functions import _min_rep_py
+    from ..utils.misc import FatalError
+
+    st = sparse_mt._stage
+    ent_t = st.entry_type
+    fset = set(ent_t.fields)
+    if 'LA' not in fset:
+        raise ValueError("sparse_split_multi: entry field 'LA' is required")
+    lfields = ('LGT', 'LPGT', 'LAD', 'LPL')
+    kept = [(f, ent_t[f]) for f in ent_t.fields
+            if f != 'LA' and f not in lfields]
+    appended = []
+    for lf, nf in (('LGT', 'GT'), ('LPGT', 'PGT'), ('LAD', 'AD'), ('LPL', 'PL')):
+        if lf in fset:
+            appended.append((nf, ent_t[lf]))
+    new_ent_t = ht.tstruct(**dict(kept + appended))
+    new_field_order = [f for f, _ in kept + appended]
+    row_t = st.row_type._insert_field('a_index', ht.tint32)._insert_field(
+        'was_split', ht.tbool)
+
+    def transform(e, n_alleles, a_index):
+        if e is None:
+            return None
+        d = {f: e[f] for f in ent_t.fields}
+        if n_alleles == 1:
+            # reference-block row: strip the L prefix, drop LA
+            out = {f: d[f] for f in ent_t.fields
+                   if f != 'LA' and f not in lfields}
+            for lf, nf in (('LGT', 'GT'), ('LPGT', 'PGT'),
+                           ('LAD', 'AD'), ('LPL', 'PL')):
+                if lf in fset:
+                    out[nf] = d[lf]
+            return out
+        la = d.get('LA')
+        lgt = d.get('LGT')
+        lai = None
+        if la is not None:
+            for j, v in enumerate(la):
+                if v == a_index:
+                    lai = j
+        # PL: minimum LPL over local genotypes downcoding to each split one
+        pl = None
+        if 'LPL' in fset:
+            lpl = d.get('LPL')
+            if lpl is not None and lai is not None and lgt is not None:
+                if lgt.ploidy == 2:
+                    pl = []
+                    for i in range(3):
+                        target = _udgic(i)
+                        best = None
+                        for j in range(_tri(len(la))):
+                            a, b = _udgic(j)
+                            dc = tuple(sorted((1 if a == lai else 0,
+                                               1 if b == lai else 0)))
+                            if dc == target:
+                                v = lpl[j] if j < len(lpl) else None
+                                if v is not None and (best is None or v < best):
+                                    best = v
+                        pl.append(best)
+                else:
+                    pl = []
+                    for i in range(2):
+                        best = None
+                        for j in range(len(la)):
+                            if int(j == lai) == i:
+                                v = lpl[j] if j < len(lpl) else None
+                                if v is not None and (best is None or v < best):
+                                    best = v
+                        pl.append(best)
+
+        def dc_call(c):
+            if c is None:
+                return None
+            if not any(a != 0 for a in c.alleles):   # not non-ref
+                return c
+            idx = lai if lai is not None else (len(la) if la is not None else None)
+            if idx is None:
+                return None
+            dc = [1 if a == idx else 0 for a in c.alleles]
+            if not c.phased:
+                dc.sort()   # unphased calls are normalized j <= k
+            return Call(dc, phased=c.phased)
+
+        new_exprs = {}
+        if 'LGT' in fset:
+            new_exprs['GT'] = dc_call(lgt)
+        if 'LPGT' in fset:
+            new_exprs['PGT'] = dc_call(d.get('LPGT'))
+        if 'LAD' in fset:
+            lad = d.get('LAD')
+            if lad is None:
+                new_exprs['AD'] = None
+            else:
+                nra = lad[lai] if (lai is not None and lai < len(lad)) else None
+                nra = 0 if nra is None else nra
+                s = sum(x for x in lad if x is not None)
+                new_exprs['AD'] = [s - nra, nra]
+        if 'LPL' in fset:
+            new_exprs['PL'] = pl
+            if 'GQ' in fset:
+                gq = _gq_from_pl_py(pl) if pl is not None else None
+                new_exprs['GQ'] = gq if gq is not None else d.get('GQ')
+
+        out = {f: d[f] for f in ent_t.fields
+               if f != 'LA' and f not in lfields}
+        hom_ref = (lgt is not None and len(lgt.alleles) > 0
+                   and all(a == 0 for a in lgt.alleles))
+        if hom_ref:
+            # hom-ref calls keep LGT/LPGT verbatim
+            if 'LGT' in fset:
+                out['GT'] = lgt
+            if 'LPGT' in fset:
+                out['PGT'] = d.get('LPGT')
+            for f, v in new_exprs.items():
+                if f not in ('GT', 'PGT'):
+                    out[f] = v
+        else:
+            out.update(new_exprs)
+        return out
+
+    batches = []
+    for pi, ctx in enumerate(st.contexts):
+        mb = st.partition_fn(ctx)
+        rows_py = mb.rows.to_pylist()
+        grid = StructColumn(ent_t, dict(mb.entries), None,
+                            (mb.n_rows, mb.n_cols)).to_pylist() \
+            if mb.n_rows else []
+        new_rows = []
+        new_ents = []
+        for r, row in enumerate(rows_py):
+            locus, alleles = row['locus'], row['alleles']
+            n_all = len(alleles)
+            if n_all < 3:
+                splits = [(locus, list(alleles), 1, False)]
+            else:
+                splits = []
+                for i in range(1, n_all):
+                    mr = _min_rep_py(locus, [alleles[0], alleles[i]])
+                    if mr.locus != locus:
+                        if filter_changed_loci:
+                            continue
+                        raise FatalError(
+                            'Found non-left-aligned variant in '
+                            'sparse_split_multi\n'
+                            f'old locus: {locus}\nold ref  : {alleles[0]}\n'
+                            f'old alt  : {alleles[i]}\nmr locus : {mr.locus}\n'
+                            f'mr ref   : {mr.alleles[0]}\nmr alt   : {mr.alleles[1]}')
+                    splits.append((mr.locus, list(mr.alleles), i, True))
+                splits.sort(key=lambda s: tuple(s[1]))
+            ents_row = grid[r] if grid else [None] * mb.n_cols
+            for (nl, na, ai, ws) in splits:
+                nr = dict(row)
+                nr['locus'] = nl
+                nr['alleles'] = na
+                nr['a_index'] = ai
+                nr['was_split'] = ws
+                new_rows.append(Struct(**nr))
+                new_ents.append([transform(e, n_all, ai) for e in ents_row])
+        rows_b = Batch.from_pylist(row_t, new_rows)
+        Rp = len(new_rows)
+        ents_cols = {}
+        for f in new_field_order:
+            flat = [None if e is None else e.get(f)
+                    for rw in new_ents for e in rw]
+            ents_cols[f] = C.from_pylist(new_ent_t[f], flat).reshape(
+                (Rp, mb.n_cols))
+        batches.append(MatrixBatch(rows_b, ents_cols))
+    return MatrixTable(MatrixStage.from_batches(
+        st.globals, st.cols, list(st.row_key), list(st.col_key), row_t,
+        st.col_type, new_ent_t, batches))
 
 
 # ---------------------------------------------------------------------------

@@ -1674,6 +1674,40 @@ def is_strand_ambiguous(ref, alt):
                   to_expr(ref), to_expr(alt))
 
 
+def _min_rep_py(lo, al):
+    """Scalar minimal representation (reference
+    `is/hail/variant/VariantMethods.minRep`); shared by the min_rep
+    expression and host-side splitters."""
+    from ..utils.misc import FatalError
+    if lo is None or al is None:
+        return None
+    if not al:
+        raise FatalError('min_rep: expect at least one allele')
+    if _bi.any(a is None for a in al):
+        raise FatalError('min_rep: found null allele')
+    ref = al[0]
+    # '*' (spanning deletion) alleles are excluded from trimming
+    # (reference VariantMethods.minRep)
+    alts = [a for a in al[1:] if a != '*']
+    nonstar = [ref] + alts
+    # trim right
+    min_len = _bi.min([_bi.len(a) for a in nonstar])
+    r = 0
+    while r < min_len - 1 and _bi.all(
+            a[_bi.len(a) - 1 - r] == ref[_bi.len(ref) - 1 - r] for a in alts):
+        r += 1
+    trimmed = [a if a == '*' else a[:_bi.len(a) - r] for a in al]
+    # trim left
+    ns_trimmed = [a for a in trimmed if a != '*']
+    min_len = _bi.min([_bi.len(a) for a in ns_trimmed])
+    l = 0
+    while l < min_len - 1 and _bi.all(
+            a[l] == ns_trimmed[0][l] for a in ns_trimmed[1:]):
+        l += 1
+    out = [a if a == '*' else a[l:] for a in trimmed]
+    return Struct(locus=Locus(lo.contig, lo.position + l, lo.reference_genome), alleles=out)
+
+
 def min_rep(locus_expr, alleles_expr):
     """Minimal representation of (locus, alleles) (reference
     `is/hail/variant/VariantMethods.minRep`)."""
@@ -1684,36 +1718,7 @@ def min_rep(locus_expr, alleles_expr):
         shape = np.broadcast_shapes(lobj.shape, aobj.shape)
         lv = np.broadcast_to(lobj.values, shape)
         av = np.broadcast_to(aobj.values, shape)
-        def f(lo, al):
-            from ..utils.misc import FatalError
-            if lo is None or al is None:
-                return None
-            if not al:
-                raise FatalError('min_rep: expect at least one allele')
-            if _bi.any(a is None for a in al):
-                raise FatalError('min_rep: found null allele')
-            ref = al[0]
-            # '*' (spanning deletion) alleles are excluded from trimming
-            # (reference VariantMethods.minRep)
-            alts = [a for a in al[1:] if a != '*']
-            nonstar = [ref] + alts
-            # trim right
-            min_len = _bi.min([_bi.len(a) for a in nonstar])
-            r = 0
-            while r < min_len - 1 and _bi.all(
-                    a[_bi.len(a) - 1 - r] == ref[_bi.len(ref) - 1 - r] for a in alts):
-                r += 1
-            trimmed = [a if a == '*' else a[:_bi.len(a) - r] for a in al]
-            # trim left
-            ns_trimmed = [a for a in trimmed if a != '*']
-            min_len = _bi.min([_bi.len(a) for a in ns_trimmed])
-            l = 0
-            while l < min_len - 1 and _bi.all(
-                    a[l] == ns_trimmed[0][l] for a in ns_trimmed[1:]):
-                l += 1
-            out = [a if a == '*' else a[l:] for a in trimmed]
-            return Struct(locus=Locus(lo.contig, lo.position + l, lo.reference_genome), alleles=out)
-        vals = np.frompyfunc(f, 2, 1)(lv, av)
+        vals = np.frompyfunc(_min_rep_py, 2, 1)(lv, av)
         return C.from_pylist(t, list(vals.ravel())).reshape(shape)
     return _apply('min_rep', t, impl, locus_expr, alleles_expr)
 
