@@ -111,6 +111,7 @@ class Backend:
         "jit_threshold_rows": ("HAIL_TPU_JIT_THRESHOLD_ROWS", "4096"),
         "max_partition_attempts": ("HAIL_TPU_MAX_PARTITION_ATTEMPTS", "3"),
         "partition_cache_bytes": ("HAIL_TPU_PARTITION_CACHE_BYTES", str(512 * 1024 * 1024)),
+        "device_cache_bytes": ("HAIL_TPU_DEVICE_CACHE_BYTES", str(8 * 1024 * 1024 * 1024)),
     }
 
     _stage_counter = 0

@@ -39,7 +39,7 @@ class MatrixBatch:
     entry may have individually missing fields. When None, an entry is
     treated as filtered iff every field is missing."""
 
-    __slots__ = ('rows', 'entries', 'entry_missing', 'uids')
+    __slots__ = ('rows', 'entries', 'entry_missing', 'uids', '__weakref__')
 
     def __init__(self, rows: Batch, entries: Dict[str, Column],
                  entry_missing: 'Optional[np.ndarray]' = None,

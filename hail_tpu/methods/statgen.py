@@ -95,6 +95,32 @@ def _eval_entry_i8(mt: MatrixTable, expr: Expression, mb: MatrixBatch,
     return np.where(M, -1, vals).astype(np.int8)
 
 
+def _eval_entry_i8_checked(mt: MatrixTable, expr: Expression, mb: MatrixBatch,
+                           part_idx: int, n_kept: int) -> Optional[np.ndarray]:
+    """Like _eval_entry_i8, but returns None when the values don't fit the
+    exact-integer kernel's range (must be in [0, 127] with
+    n·max(g)·127 < 2³¹ so the int8→int32 MXU accumulation cannot overflow;
+    ops/linreg_i8.py exact path)."""
+    env = mt._entry_env(mb, part_idx)
+    col = expr._ir.evaluate(env)
+    if col.shape != env.shape:
+        col = col.broadcast_to(env.shape)
+    M = col.missing_mask()
+    vals = np.asarray(col.values)
+    if vals.size:
+        present = vals[~M] if M is not None and M.any() else vals.ravel()
+        if present.size:
+            gmin, gmax = int(present.min()), int(present.max())
+            if gmin < 0 or gmax > 127:
+                return None
+            if n_kept * max(gmax, 1) * 127 >= 2 ** 31 \
+                    or n_kept * max(gmax, 1) ** 2 >= 2 ** 31:
+                return None
+    if M is not None and M.any():
+        return np.where(M, -1, vals).astype(np.int8)
+    return vals.astype(np.int8)
+
+
 def _entry_expr_to_blocks(entry_expr) -> Tuple[np.ndarray, np.ndarray]:
     e = to_expr(entry_expr)
     mt = e._indices.source
@@ -267,10 +293,12 @@ def _result_table_from_rows(mt: MatrixTable, per_part_fn, out_fields: List[Tuple
         + out_fields
         + [(n, pt_type(v)) for n, v in row_fields.items()])
 
-    pf = st.partition_fn
     def part(ctx):
         i, inner = ctx
-        mb = pf(inner)
+        # through the partition memo: repeated method calls over the same MT
+        # reuse the materialized host batch (stable identity — the anchor for
+        # the device-buffer cache, ops/devcache.py)
+        mb = st.materialize_partition(i)
         computed = per_part_fn(mb, i)
         cols = {k: mb.rows.columns[k] for k in key_fields}
         cols.update(computed)
@@ -387,14 +415,21 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
                       ('standard_error', ht.tfloat64), ('t_stat', ht.tfloat64),
                       ('p_value', ht.tfloat64)]
 
-    # int8-storage fast path (opt-in via _precision='float32'): integer-typed
-    # x, single group, no weights → 1 byte/entry hot loop (ops/linreg_i8.py);
+    # Integer-x fast paths (single group, no weights):
+    # - DEFAULT (f64): exact int8 digit-plane MXU kernel — f64-parity betas
+    #   at int8-matmul speed (ops/linreg_i8.py exact path, round-3 verdict 1b)
+    # - _precision='float32' opt-in: legacy f32 one-pass kernel
     # x == GT.n_alt_alleles() additionally decodes packed calls ON DEVICE
     grp0 = groups[0]
-    use_i8 = (_precision == 'float32' and not is_chained
-              and weight_list is None and xe.dtype in (ht.tint32, ht.tint64))
-    gt_field = _match_gt_nalt(xe) if use_i8 else None
+    int_x = (not is_chained and weight_list is None
+             and xe.dtype in (ht.tint32, ht.tint64))
+    use_i8 = _precision == 'float32' and int_x
+    use_exact = _precision == 'float64' and int_x
+    gt_field = _match_gt_nalt(xe) if (use_i8 or use_exact) else None
     all_keep = bool(grp0['n'] == Cov.shape[0])
+    from ..ir.semhash import semhash
+    x_sh = semhash(xe._ir)
+    idx_fp = hash(grp0['idx'].tobytes()) if not all_keep else 0
 
     def _pack_group(res, R, grp):
         """res: dict of (R, P) arrays (+ sum_x (R,)) → output columns."""
@@ -426,17 +461,45 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
                             _precision)
 
     def per_part(mb, i):
+        import jax.numpy as jnp
+        from ..ops import devcache
         if gt_field is not None:
             col = mb.entries.get(gt_field)
             if isinstance(col, C.PrimitiveColumn) and col.typ == ht.tcall:
-                from ..ops.linreg_i8 import linreg_stats_call
-                packed = col.values if all_keep else col.values[:, grp0['idx']]
-                miss = col.missing
-                if miss is not None and not all_keep:
-                    miss = miss[:, grp0['idx']]
-                res = linreg_stats_call(packed, miss, grp0['Q'], grp0['Ys'],
-                                        grp0['Qty'], grp0['yyp'], grp0['d'])
-                return _pack_group(res, packed.shape[0], grp0)
+                def ship_packed():
+                    packed = col.values if all_keep else col.values[:, grp0['idx']]
+                    miss = col.missing
+                    if miss is not None and not all_keep:
+                        miss = miss[:, grp0['idx']]
+                    if miss is None:
+                        miss = np.zeros(packed.shape, dtype=bool)
+                    return (jnp.asarray(np.ascontiguousarray(packed, np.int32)),
+                            jnp.asarray(miss))
+                pd, md = devcache.get(
+                    mb, ('linreg_packed', gt_field, idx_fp), ship_packed)
+                if use_exact:
+                    from ..ops.linreg_i8 import linreg_stats_call_exact
+                    res = linreg_stats_call_exact(
+                        None, None, grp0['Q'], grp0['Ys'], grp0['Qty'],
+                        grp0['yyp'], grp0['d'], packed_dev=pd, missing_dev=md)
+                else:
+                    from ..ops.linreg_i8 import linreg_stats_call
+                    res = linreg_stats_call(pd, md, grp0['Q'], grp0['Ys'],
+                                            grp0['Qty'], grp0['yyp'], grp0['d'])
+                return _pack_group(res, pd.shape[0], grp0)
+        if use_exact and x_sh is not None:
+            from ..ops.linreg_i8 import linreg_stats_i8_exact
+            def ship_g8():
+                G8 = _eval_entry_i8_checked(mt, xe, mb, i, grp0['n'])
+                if G8 is None:
+                    return (None,)
+                return (jnp.asarray(G8 if all_keep else
+                                    np.ascontiguousarray(G8[:, grp0['idx']])),)
+            (g8d,) = devcache.get(mb, ('linreg_i8x', x_sh, idx_fp), ship_g8)
+            if g8d is not None:
+                res = linreg_stats_i8_exact(g8d, grp0['Q'], grp0['Ys'],
+                                            grp0['Qty'], grp0['yyp'], grp0['d'])
+                return _pack_group(res, g8d.shape[0], grp0)
         if use_i8:
             from ..ops.linreg_i8 import linreg_stats_i8
             G8 = _eval_entry_i8(mt, xe, mb, i)

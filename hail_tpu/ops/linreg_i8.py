@@ -204,6 +204,141 @@ def linreg_block_call(packed: jnp.ndarray, missing: jnp.ndarray,
     return _ols_epilogue(GW, MW, ST, 0, packed.shape[1], k, Qty, yyp, d)
 
 
+# ---------------------------------------------------------------------------
+# exact f64-parity path at int8-matmul speed (round-3 verdict item 1b)
+#
+# Genotypes are small integers, so every sum the OLS needs from G — Gᵀ[Q|Ys],
+# Mᵀ[Q|Ys], ΣG, ΣG², missing counts — is computable EXACTLY from int8 MXU
+# matmuls: decompose the float64 operand W into `planes` signed 7-bit digit
+# planes with per-column power-of-two scales (W = Σ_d digit_d · s_d, s_d =
+# 2^{e_col-7(d+1)}), stack the planes along W's column axis so G is read ONCE,
+# run one int8×int8→int32 GEMM (exact: |g|≤2, |digit|≤127, N·254 < 2³¹ for
+# N ≤ 8.4M samples), and recombine the int32 partials in f64. With 7 planes
+# the reconstruction carries 49 bits — at or below f64 GEMM rounding — so the
+# result matches the host f64 path to ~1e-13 relative while the hot loop
+# stays 1 byte/entry. The k×k-free epilogue (reference nd formula,
+# statgen.py:631) runs in f64 on device.
+# ---------------------------------------------------------------------------
+
+_EXACT_PLANES = 7
+_DIGIT_BITS = 7
+
+
+def _digit_planes(W: np.ndarray, planes: int = _EXACT_PLANES,
+                  bits: int = _DIGIT_BITS):
+    """Decompose f64 W (N, KP) into int8 digit planes stacked plane-major
+    along axis 1 → (N, planes·KP), plus (planes, KP) f64 scales."""
+    W = np.asarray(W, np.float64)
+    amax = np.max(np.abs(W), axis=0)
+    amax = np.where(amax == 0, 1.0, amax)
+    base = np.exp2(np.ceil(np.log2(amax)))         # per-column block exponent
+    resid = W / base
+    mult = float(1 << bits)
+    digs, scales = [], []
+    for d_ in range(planes):
+        q = np.clip(np.rint(resid * mult), -127, 127)
+        digs.append(q.astype(np.int8))
+        resid = resid * mult - q
+        scales.append(base / (mult ** (d_ + 1)))
+    return np.concatenate(digs, axis=1), np.stack(scales, axis=0)
+
+
+def _exact_core(gz8, m8, Wdig, scales, Qty, yyp, d, k, planes):
+    """Shared exact core: gz8 (R,N) int8 zero-at-missing genotypes, m8 (R,N)
+    int8 missing indicators."""
+    R, N = gz8.shape
+    KP = Wdig.shape[1] // planes
+    dn = (((1,), (0,)), ((), ()))
+    GWd = jax.lax.dot_general(gz8, Wdig, dn,
+                              preferred_element_type=jnp.int32)
+    MWd = jax.lax.dot_general(m8, Wdig, dn,
+                              preferred_element_type=jnp.int32)
+    # recombine digit partials in f64: (R, planes, KP) · (planes, KP) → (R, KP)
+    GW = jnp.sum(GWd.reshape(R, planes, KP).astype(jnp.float64)
+                 * scales[None], axis=1)
+    MW = jnp.sum(MWd.reshape(R, planes, KP).astype(jnp.float64)
+                 * scales[None], axis=1)
+    gz32 = gz8.astype(jnp.int32)
+    nmiss = jnp.sum(m8.astype(jnp.int32), axis=1).astype(jnp.float64)
+    s = jnp.sum(gz32, axis=1).astype(jnp.float64)
+    ss = jnp.sum(gz32 * gz32, axis=1).astype(jnp.float64)
+    # f64 epilogue — the reference nd formula with algebraic mean imputation
+    cnt = jnp.float64(N) - nmiss
+    mean = s / cnt                                 # 0/0 → nan, as reference
+    GiW = GW + mean[:, None] * MW
+    GQ = GiW[:, :k]
+    ytx = GiW[:, k:]
+    sum_x = s + mean * nmiss
+    xyp = ytx - GQ @ Qty
+    xxp = ss + mean * mean * nmiss - jnp.sum(GQ * GQ, axis=1)
+    rec = 1.0 / xxp
+    beta = xyp * rec[:, None]
+    se = jnp.sqrt((1.0 / d) * (yyp[None, :] * rec[:, None] - beta * beta))
+    t = beta / se
+    return sum_x, ytx, beta, se, t
+
+
+@partial(jax.jit, static_argnames=('k', 'planes'))
+def linreg_block_i8_exact(G8, Wdig, scales, Qty, yyp, d, k,
+                          planes=_EXACT_PLANES):
+    miss = G8 < jnp.int8(0)
+    gz8 = jnp.where(miss, jnp.int8(0), G8)
+    m8 = miss.astype(jnp.int8)
+    return _exact_core(gz8, m8, Wdig, scales, Qty, yyp, d, k, planes)
+
+
+@partial(jax.jit, static_argnames=('k', 'planes'))
+def linreg_block_call_exact(packed, missing, Wdig, scales, Qty, yyp, d, k,
+                            planes=_EXACT_PLANES):
+    """Exact path straight from PACKED calls: the 3-bit-op n_alt decode runs
+    on device and feeds the int8 GEMM — zero host per-entry work."""
+    ploidy = packed & 3
+    aj = (packed >> 3) & ((1 << 14) - 1)
+    ak = (packed >> 17) & ((1 << 15) - 1)
+    nalt = (((aj != 0) & (ploidy >= 1)).astype(jnp.int8)
+            + ((ak != 0) & (ploidy == 2)).astype(jnp.int8))
+    m8 = missing.astype(jnp.int8)
+    gz8 = nalt * (jnp.int8(1) - m8)
+    return _exact_core(gz8, m8, Wdig, scales, Qty, yyp, d, k, planes)
+
+
+_MAX_EXACT_N = 8_000_000   # int32 GEMM accumulator: N·2·127 < 2³¹
+
+
+def linreg_stats_i8_exact(G8: np.ndarray, Q: np.ndarray, Ys: np.ndarray,
+                          Qty: np.ndarray, yyp: np.ndarray, dof: int):
+    """Host wrapper: f64-parity results from int8 storage (default path)."""
+    k = Q.shape[1]
+    W = np.concatenate([Q, Ys], axis=1)
+    Wdig, scales = _digit_planes(W)
+    out = linreg_block_i8_exact(
+        jnp.asarray(G8), jnp.asarray(Wdig), jnp.asarray(scales),
+        jnp.asarray(Qty, dtype=jnp.float64),
+        jnp.asarray(yyp, dtype=jnp.float64), jnp.asarray(float(dof)), k)
+    return _finish_stats(out, dof)
+
+
+def linreg_stats_call_exact(packed: np.ndarray, missing, Q: np.ndarray,
+                            Ys: np.ndarray, Qty: np.ndarray, yyp: np.ndarray,
+                            dof: int, packed_dev=None, missing_dev=None):
+    """Host wrapper of the packed-call exact path. `packed_dev`/`missing_dev`
+    allow callers to pass already-device-resident buffers (device cache)."""
+    k = Q.shape[1]
+    W = np.concatenate([Q, Ys], axis=1)
+    Wdig, scales = _digit_planes(W)
+    if packed_dev is None:
+        packed_dev = jnp.asarray(np.ascontiguousarray(packed, dtype=np.int32))
+    if missing_dev is None:
+        missing_dev = jnp.asarray(
+            missing if missing is not None
+            else np.zeros(packed.shape, dtype=bool))
+    out = linreg_block_call_exact(
+        packed_dev, missing_dev, jnp.asarray(Wdig), jnp.asarray(scales),
+        jnp.asarray(Qty, dtype=jnp.float64),
+        jnp.asarray(yyp, dtype=jnp.float64), jnp.asarray(float(dof)), k)
+    return _finish_stats(out, dof)
+
+
 def _finish_stats(out, dof):
     import scipy.stats as st
     sum_x, ytx, beta, se, t = (np.asarray(v, dtype=np.float64) for v in out)
@@ -219,11 +354,12 @@ def linreg_stats_call(packed: np.ndarray, missing, Q: np.ndarray,
     """Host wrapper of the packed-call device-decode path."""
     k = Q.shape[1]
     W = np.concatenate([Q, Ys], axis=1).astype(np.float32)
+    if not isinstance(packed, jnp.ndarray):
+        packed = jnp.asarray(np.ascontiguousarray(packed, dtype=np.int32))
     if missing is None:
         missing = np.zeros(packed.shape, dtype=bool)
     out = linreg_block_call(
-        jnp.asarray(np.ascontiguousarray(packed, dtype=np.int32)),
-        jnp.asarray(missing), jnp.asarray(W), jnp.asarray(Qty),
+        packed, jnp.asarray(missing), jnp.asarray(W), jnp.asarray(Qty),
         jnp.asarray(yyp), jnp.asarray(float(dof)), k)
     return _finish_stats(out, dof)
 
