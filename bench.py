@@ -181,7 +181,8 @@ def main():
 
     import hail_tpu as hl
     hl.init(global_seed=0)
-    from hail_tpu.ops.linreg_i8 import linreg_block_i8, linreg_block_call
+    from hail_tpu.ops.linreg_i8 import (linreg_block_i8, linreg_block_call,
+                                        linreg_block_call_exact, _digit_planes)
     from hail_tpu.ops.regression import linreg_block
 
     dev = jax.devices()[0]
@@ -227,13 +228,23 @@ def main():
                   for p, m in staged))
     log(f'staged in {time.time() - t0:.1f}s')
 
+    # exact f64-parity path (the DEFAULT method path since r4): int8 digit
+    # planes of W, one int8 MXU GEMM, f64 recombine
+    Wf64 = np.concatenate([Q, y], axis=1)
+    Wdig_h, scales_h = _digit_planes(Wf64)
+    Wdig = jnp.asarray(Wdig_h)
+    scales = jnp.asarray(scales_h)
+    Qty64 = jnp.asarray(Qty, dtype=jnp.float64)
+    yyp64 = jnp.asarray(yyp, dtype=jnp.float64)
+
     def e2e_once(salt):
-        acc = jnp.float32(0.0)
-        Wi = Wd + jnp.float32(salt * 1e-12)
+        acc = jnp.float64(0.0)
+        sc = scales * (1.0 + salt * 1e-15)
         for packed, miss in staged:
-            out = linreg_block_call(packed, miss, Wi, Qtyd, yypd, dd, K)
+            out = linreg_block_call_exact(packed, miss, Wdig, sc, Qty64,
+                                          yyp64, dd, K)
             acc = acc + out[2].sum()
-        return acc
+        return acc.astype(jnp.float32)
 
     log('e2e warmup (compile)...')
     t0 = time.time()

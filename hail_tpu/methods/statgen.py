@@ -421,11 +421,11 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
     # - _precision='float32' opt-in: legacy f32 one-pass kernel
     # x == GT.n_alt_alleles() additionally decodes packed calls ON DEVICE
     grp0 = groups[0]
-    int_x = (not is_chained and weight_list is None
-             and xe.dtype in (ht.tint32, ht.tint64))
-    use_i8 = _precision == 'float32' and int_x
+    int_x = weight_list is None and xe.dtype in (ht.tint32, ht.tint64)
+    use_i8 = _precision == 'float32' and int_x and not is_chained
     use_exact = _precision == 'float64' and int_x
-    gt_field = _match_gt_nalt(xe) if (use_i8 or use_exact) else None
+    gt_field = _match_gt_nalt(xe) if ((use_i8 or use_exact)
+                                      and not is_chained) else None
     all_keep = bool(grp0['n'] == Cov.shape[0])
     from ..ir.semhash import semhash
     x_sh = semhash(xe._ir)
@@ -487,7 +487,7 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
                     res = linreg_stats_call(pd, md, grp0['Q'], grp0['Ys'],
                                             grp0['Qty'], grp0['yyp'], grp0['d'])
                 return _pack_group(res, pd.shape[0], grp0)
-        if use_exact and x_sh is not None:
+        if use_exact and not is_chained and x_sh is not None:
             from ..ops.linreg_i8 import linreg_stats_i8_exact
             def ship_g8():
                 G8 = _eval_entry_i8_checked(mt, xe, mb, i, grp0['n'])
@@ -506,12 +506,31 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
             res = linreg_stats_i8(G8[:, grp0['idx']], grp0['Q'], grp0['Ys'],
                                   grp0['Qty'], grp0['yyp'], grp0['d'])
             return _pack_group(res, G8.shape[0], grp0)
-        G, M = _eval_entry_f64(mt, xe, mb, i)
-        R = G.shape[0]
-        if not is_chained:
-            return _pack_group(_group_result(G, M, grp0), R, grp0)
-        # chained: nested-array output (reference build_row, statgen.py:685)
-        per_group = [_group_result(G, M, grp) for grp in groups]
+        per_group = None
+        R = None
+        if is_chained and use_exact and x_sh is not None:
+            # chained groups share one device-resident G8; each group slices
+            # its sample set on device and runs the same exact kernel as the
+            # single-group path (bitwise-identical per-group results)
+            from ..ops.linreg_i8 import linreg_stats_i8_exact
+            def ship_full():
+                G8 = _eval_entry_i8_checked(mt, xe, mb, i, Cov.shape[0])
+                return (None,) if G8 is None else (jnp.asarray(G8),)
+            (g8full,) = devcache.get(mb, ('linreg_i8x_full', x_sh), ship_full)
+            if g8full is not None:
+                R = int(g8full.shape[0])
+                per_group = [
+                    linreg_stats_i8_exact(
+                        jnp.take(g8full, jnp.asarray(grp['idx']), axis=1),
+                        grp['Q'], grp['Ys'], grp['Qty'], grp['yyp'], grp['d'])
+                    for grp in groups]
+        if per_group is None:
+            G, M = _eval_entry_f64(mt, xe, mb, i)
+            R = G.shape[0]
+            if not is_chained:
+                return _pack_group(_group_result(G, M, grp0), R, grp0)
+            # chained: nested-array output (reference build_row, statgen.py:685)
+            per_group = [_group_result(G, M, grp) for grp in groups]
         ncol = C.from_pylist(ht.tarray(ht.tint32),
                              [[grp['n'] for grp in groups]] * R)
         sx = np.stack([res['sum_x'] for res in per_group], axis=1)
