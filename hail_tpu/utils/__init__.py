@@ -9,6 +9,12 @@ from .misc import (HailUserError, FatalError, error, warning, info,
                    JSONEncoder, _dumps_partitions, get_1kg, get_hgdp,
                    get_movie_lens, async_to_blocking, secret_alnum_string,
                    sync_check_exec, escape_str, escape_id)
+from .utils import (partition, grouped, digits_needed, filter_none, flatten,
+                    unzip, url_basename, url_join, url_scheme, url_and_params,
+                    parse_docker_image_reference, ParsedDockerImageReference)
+from .time import (time_msecs, time_ns, time_msecs_str, parse_timestamp_msecs,
+                   humanize_timedelta_msecs)
+from .filesize import filesize
 from .hadoop import (hadoop_open, hadoop_copy, hadoop_exists, hadoop_is_file,
                      hadoop_is_dir, hadoop_stat, hadoop_ls,
                      hadoop_scheme_supported, TemporaryDirectory,

@@ -18,9 +18,14 @@ SUITES=(
   "utils       $REF/utils"
   "typecheck   $REF/typecheck"
   "ggplot      $REF/ggplot"
+  "plot        $REF/plot"
   "fs          $REF/fs"
+  "experimental $REF/experimental"
+  "extract-intervals $REF/extract_intervals"
+  "call-caching $REF/test_call_caching.py"
   "ir          $REF/test_ir.py"
   "batch-dsl   /root/reference/hail/python/test/hailtop/batch/test_batch_local_backend.py"
+  "hailtop-misc /root/reference/hail/python/test/hailtop/test_dictfix.py /root/reference/hail/python/test/hailtop/test_humanizex.py /root/reference/hail/python/test/hailtop/test_timex.py /root/reference/hail/python/test/hailtop/test_yamlx.py /root/reference/hail/python/test/hailtop/utils/test_filesize.py /root/reference/hail/python/test/hailtop/utils/test_utils.py /root/reference/hail/python/test/hailtop/utils/test_time.py"
   "misc        $REF/test_randomness.py $REF/test_indices_aggregations.py $REF/test_context.py"
 )
 
