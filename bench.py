@@ -258,6 +258,14 @@ def main():
         return time.time() - t0
 
     timed(e2e_once, 1, 50)
+    if os.environ.get('HAIL_PROFILE'):
+        # jax profiler trace of the hot loop (reference attaches
+        # async-profiler flamegraphs to jobs, ServiceBackend.scala:38-40)
+        import jax.profiler as _prof
+        trace_dir = os.environ.get('HAIL_PROFILE_DIR', '/tmp/hail_tpu_trace')
+        log(f'profiling e2e loop to {trace_dir} ...')
+        with _prof.trace(trace_dir):
+            _ = float(e2e_once(999))
     t1 = timed(e2e_once, 2, 100)
     t2 = timed(e2e_once, 6, 200)
     tot_variants = BLOCK_R * N_PARTS

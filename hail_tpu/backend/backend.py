@@ -126,16 +126,29 @@ class Backend:
         contexts = list(contexts)
         Backend._stage_counter += 1
         stage_id = Backend._stage_counter
+        rfn = _retrying(fn, stage_id)
+        part_s: List[float] = []
+
+        def timed_fn(ctx):
+            p0 = time.perf_counter()
+            try:
+                return rfn(ctx)
+            finally:
+                part_s.append(time.perf_counter() - p0)
+
         t0 = time.perf_counter()
         try:
-            results = self._map_collect_impl(contexts, _retrying(fn, stage_id))
+            results = self._map_collect_impl(contexts, timed_fn)
             return results
         finally:
+            wall = time.perf_counter() - t0
             from ..utils.hail_logging import logger
+            from ..utils.timer import record_stage
+            record_stage(f'stage {stage_id} ({type(self).__name__})', wall,
+                         len(contexts), part_s)
             logger().info(
                 'stage %d (%s): %d partition(s) in %.3fs',
-                stage_id, type(self).__name__, len(contexts),
-                time.perf_counter() - t0)
+                stage_id, type(self).__name__, len(contexts), wall)
 
     def _map_collect_impl(self, contexts: Sequence[Any], fn: Callable[[Any], Any]) -> List[Any]:
         raise NotImplementedError

@@ -2293,12 +2293,14 @@ def eval_typed(expression):
 
 
 def eval_timed(expression):
-    """Evaluate and return (value, timings) (reference eval_timed)."""
-    import time as _time
+    """Evaluate and return (value, timings) — a nested stage tree, the
+    analogue of the reference's X-Hail-Timings response header
+    (`utils/ExecutionTimer.scala:12`, `py4j_backend.py:309`)."""
+    from ..utils.timer import timed as _timed_ctx
     e = to_expr(expression)
-    t0 = _time.time()
-    v = eval_scalar(e)
-    return v, {'duration_ms': (_time.time() - t0) * 1000.0}
+    with _timed_ctx('eval', log=False) as t:
+        v = eval_scalar(e)
+    return v, t.finish().to_dict()
 
 
 def _cmp_values(a, b):

@@ -695,6 +695,14 @@ class Table:
 
     def collect(self, _localize: bool = True, *, _timed: bool = False):
         from .utils.structs import thaw
+        if _timed:
+            # (value, timings) like the reference's execute(..., timed=True)
+            # X-Hail-Timings surface (py4j_backend.py:309)
+            from .utils.timer import timed as _timed_ctx
+            with _timed_ctx('collect', log=False) as t:
+                out = [thaw(r) for r in
+                       self._stage.collect_single().to_pylist()]
+            return out, t.finish().to_dict()
         out = [thaw(r) for r in self._stage.collect_single().to_pylist()]
         if not _localize:
             from .expr.functions import literal

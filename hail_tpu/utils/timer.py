@@ -14,13 +14,22 @@ class TimerNode:
         self.name = name
         self.total_s = 0.0
         self.children: List['TimerNode'] = []
+        self.meta: Dict = {}
 
     def to_dict(self) -> dict:
-        return {'name': self.name, 'total_s': round(self.total_s, 6),
-                'children': [c.to_dict() for c in self.children]}
+        out = {'name': self.name, 'total_s': round(self.total_s, 6),
+               'children': [c.to_dict() for c in self.children]}
+        if self.meta:
+            out.update(self.meta)
+        return out
 
     def render(self, indent: int = 0) -> str:
-        lines = [f'{"  " * indent}{self.name}: {self.total_s * 1000:.1f}ms']
+        extra = ''
+        if self.meta:
+            extra = '  [' + ', '.join(f'{k}={v}' for k, v in
+                                      self.meta.items()) + ']'
+        lines = [f'{"  " * indent}{self.name}: '
+                 f'{self.total_s * 1000:.1f}ms{extra}']
         for c in self.children:
             lines.append(c.render(indent + 1))
         return '\n'.join(lines)
@@ -54,10 +63,38 @@ class ExecutionTimer:
 
 
 _current: Optional[ExecutionTimer] = None
+_last_action: Optional[TimerNode] = None
 
 
 def current_timer() -> Optional[ExecutionTimer]:
     return _current
+
+
+def last_timings() -> Optional[dict]:
+    """The timing tree of the most recent action's stages (the analogue of
+    the reference's per-request X-Hail-Timings header,
+    `utils/ExecutionTimer.scala:12` via `py4j_backend.py:309`)."""
+    return _last_action.to_dict() if _last_action is not None else None
+
+
+def record_stage(name: str, wall_s: float, n_partitions: int,
+                 partition_s: List[float]) -> None:
+    """Attach a stage's timing to the active timer (or the last-action
+    buffer): wall time plus per-partition aggregate stats."""
+    global _last_action
+    node = TimerNode(name)
+    node.total_s = wall_s
+    node.meta['n_partitions'] = n_partitions
+    if partition_s:
+        node.meta['partition_ms'] = {
+            'min': round(min(partition_s) * 1000, 3),
+            'mean': round(sum(partition_s) / len(partition_s) * 1000, 3),
+            'max': round(max(partition_s) * 1000, 3),
+        }
+    if _current is not None:
+        _current._stack[-1].children.append(node)
+    else:
+        _last_action = node
 
 
 @contextmanager

@@ -44,3 +44,26 @@ def test_unwritable_log_does_not_crash():
         assert hl.utils.range_table(5).count() == 5
     finally:
         hl.stop()
+
+
+def test_timing_surface():
+    """Every action records a stage tree (X-Hail-Timings analogue); _timed
+    surfaces return (value, timings) (round-3 verdict item 8)."""
+    import hail_tpu as hl
+    from hail_tpu.utils.timer import last_timings
+
+    t = hl.utils.range_table(50, 4)
+    rows, tm = t.annotate(sq=t.idx * t.idx).collect(_timed=True)
+    assert len(rows) == 50
+    assert tm['name'] == 'collect'
+    stages = tm['children']
+    assert stages and stages[0]['n_partitions'] == 4
+    assert 'partition_ms' in stages[0]
+
+    v, tm2 = hl.eval_timed(hl.range(3).map(lambda x: x + 1))
+    assert v == [1, 2, 3]
+    assert tm2['name'] == 'eval'
+
+    t.count()
+    lt = last_timings()
+    assert lt is not None and lt['name'].startswith('stage ')
