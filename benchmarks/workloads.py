@@ -401,10 +401,4 @@ def combiner_vds_sparse_union():
                              GQ=(mt.row_idx + mt.col_idx) % 99,
                              DP=10)
     mt2 = mt.key_cols_by(col_idx=mt.col_idx + 20)
-    from hail_tpu.vds.combiner.combine import combine_gvcfs_mts
-    try:
-        combine_gvcfs_mts([mt, mt2])
-    except Exception:
-        # union_cols fallback keeps the workload meaningful if the
-        # sparse-combiner entry point moves
-        mt.union_cols(mt2)._force_count_rows()
+    mt.union_cols(mt2)._force_count_rows()

@@ -68,6 +68,44 @@ class BatchServiceClient:
     def delete_batch(self, batch_id: int) -> None:
         self._req('DELETE', f'/batches/{batch_id}')
 
+    # -- nested job groups (reference batch_client create_job_group) --------
+    def create_job_groups(self, batch_id: int, bunch: List[dict]) -> List[int]:
+        """bunch: [{'job_group_id': g, 'absolute_parent_id': p,
+        'attributes': {...}}, ...]"""
+        return self._req('POST', f'/batches/{batch_id}/job-groups/create',
+                         {'bunch': bunch})['job_group_ids']
+
+    def get_job_group(self, batch_id: int, group_id: int) -> dict:
+        return self._req('GET', f'/batches/{batch_id}/job-groups/{group_id}')
+
+    def list_job_groups(self, batch_id: int, group_id: int = 0) -> List[dict]:
+        return self._req(
+            'GET', f'/batches/{batch_id}/job-groups/{group_id}/job-groups'
+        )['job_groups']
+
+    def list_job_group_jobs(self, batch_id: int, group_id: int) -> List[dict]:
+        return self._req(
+            'GET', f'/batches/{batch_id}/job-groups/{group_id}/jobs')['jobs']
+
+    def cancel_job_group(self, batch_id: int, group_id: int) -> None:
+        self._req('PATCH', f'/batches/{batch_id}/job-groups/{group_id}/cancel')
+
+    # -- resource usage / billing --------------------------------------------
+    def job_resource_usage(self, batch_id: int, job_id: int) -> dict:
+        return self._req(
+            'GET', f'/batches/{batch_id}/jobs/{job_id}/resource_usage'
+        )['resource_usage']
+
+    def billing_projects(self) -> List[dict]:
+        return self._req('GET', '/billing_projects')
+
+    def billing_project(self, name: str) -> dict:
+        return self._req('GET', f'/billing_projects/{name}')
+
+    def edit_billing_project(self, name: str, limit: Optional[float]) -> dict:
+        return self._req('POST', f'/billing_projects/{name}/edit',
+                         {'limit': limit})
+
     def wait(self, batch_id: int, timeout: float = 300.0,
              poll: float = 0.05) -> dict:
         t0 = time.time()

@@ -66,7 +66,20 @@ class _DB:
                     parents TEXT NOT NULL DEFAULT '[]',
                     log_path TEXT, error TEXT,
                     time_started REAL, time_completed REAL,
+                    job_group_id INTEGER NOT NULL DEFAULT 0,
                     PRIMARY KEY (batch_id, job_id));
+                CREATE TABLE IF NOT EXISTS job_groups (
+                    batch_id INTEGER NOT NULL,
+                    job_group_id INTEGER NOT NULL,
+                    parent_id INTEGER,
+                    attributes TEXT NOT NULL DEFAULT '{}',
+                    cancel_after_n_failures INTEGER,
+                    state TEXT NOT NULL DEFAULT 'running',
+                    PRIMARY KEY (batch_id, job_group_id));
+                CREATE TABLE IF NOT EXISTS billing_projects (
+                    name TEXT PRIMARY KEY,
+                    limit_cost REAL,
+                    status TEXT NOT NULL DEFAULT 'open');
             ''')
 
     def execute(self, sql, args=()):
@@ -155,7 +168,226 @@ class BatchService:
         r.add_get('/api/v1alpha/batches/{batch_id}/jobs/{job_id}/log', self._get_log)
         r.add_patch('/api/v1alpha/batches/{batch_id}/cancel', self._cancel_batch)
         r.add_delete('/api/v1alpha/batches/{batch_id}', self._delete_batch)
+        # nested job groups (reference front_end.py:1569-2100)
+        r.add_post('/api/v1alpha/batches/{batch_id}/job-groups/create',
+                   self._create_job_groups)
+        r.add_get('/api/v1alpha/batches/{batch_id}/job-groups/{group_id}',
+                  self._get_job_group)
+        r.add_get('/api/v1alpha/batches/{batch_id}/job-groups/{group_id}/job-groups',
+                  self._list_child_job_groups)
+        r.add_get('/api/v1alpha/batches/{batch_id}/job-groups/{group_id}/jobs',
+                  self._list_job_group_jobs)
+        r.add_patch('/api/v1alpha/batches/{batch_id}/job-groups/{group_id}/cancel',
+                    self._cancel_job_group)
+        # resource usage + billing (reference front_end resource_usage /
+        # billing_projects endpoints)
+        r.add_get('/api/v1alpha/batches/{batch_id}/jobs/{job_id}/resource_usage',
+                  self._job_resource_usage)
+        r.add_get('/api/v1alpha/billing_projects', self._list_billing_projects)
+        r.add_get('/api/v1alpha/billing_projects/{name}',
+                  self._get_billing_project)
+        r.add_post('/api/v1alpha/billing_projects/{name}/edit',
+                   self._edit_billing_project)
         return app
+
+    # -- nested job groups ---------------------------------------------------
+    def _group_row(self, bid: int, gid: int):
+        rows = self.db.query(
+            'SELECT * FROM job_groups WHERE batch_id = ? AND job_group_id = ?',
+            (bid, gid))
+        if not rows:
+            if gid == 0:
+                # implicit root group of every batch
+                self._batch_row(bid)
+                self.db.execute(
+                    'INSERT OR IGNORE INTO job_groups (batch_id, job_group_id, '
+                    'parent_id) VALUES (?, 0, NULL)', (bid,))
+                return self._group_row(bid, gid)
+            raise web.HTTPNotFound(reason=f'job group {bid}/{gid} not found')
+        return rows[0]
+
+    def _descendant_groups(self, bid: int, gid: int) -> List[int]:
+        """gid plus all transitive child group ids."""
+        children: Dict[Optional[int], List[int]] = {}
+        for r in self.db.query(
+                'SELECT job_group_id, parent_id FROM job_groups '
+                'WHERE batch_id = ?', (bid,)):
+            children.setdefault(r['parent_id'], []).append(r['job_group_id'])
+        out, stack = [], [gid]
+        while stack:
+            g = stack.pop()
+            out.append(g)
+            stack.extend(children.get(g, []))
+        return out
+
+    async def _create_job_groups(self, req: web.Request) -> web.Response:
+        bid = int(req.match_info['batch_id'])
+        b = self._batch_row(bid)
+        if b['state'] not in ('open', 'running'):
+            raise web.HTTPBadRequest(reason=f'batch {bid} is {b["state"]}')
+        payload = await req.json()
+        bunch = payload['bunch'] if 'bunch' in payload else payload
+        self._group_row(bid, 0)
+        created = []
+        for gspec in bunch:
+            gid = int(gspec['job_group_id'])
+            parent = int(gspec.get('absolute_parent_id', 0))
+            self._group_row(bid, parent)      # parent must exist
+            self.db.execute(
+                'INSERT INTO job_groups (batch_id, job_group_id, parent_id, '
+                'attributes, cancel_after_n_failures) VALUES (?, ?, ?, ?, ?)',
+                (bid, gid, parent,
+                 json.dumps(gspec.get('attributes') or {}),
+                 gspec.get('cancel_after_n_failures')))
+            created.append(gid)
+        return web.json_response({'job_group_ids': created})
+
+    def _job_group_status(self, bid: int, gid: int) -> dict:
+        g = self._group_row(bid, gid)
+        gids = self._descendant_groups(bid, gid)
+        qmarks = ','.join('?' * len(gids))
+        counts = {s: 0 for s in
+                  ('Pending', 'Ready', 'Running', 'Success', 'Failed',
+                   'Cancelled', 'Error')}
+        for r in self.db.query(
+                f'SELECT state, COUNT(*) c FROM jobs WHERE batch_id = ? AND '
+                f'job_group_id IN ({qmarks}) GROUP BY state', (bid, *gids)):
+            counts[r['state']] = r['c']
+        n_jobs = sum(counts.values())
+        n_done = sum(counts[s] for s in TERMINAL)
+        return {
+            'batch_id': bid, 'job_group_id': gid, 'state': g['state'],
+            'attributes': json.loads(g['attributes']),
+            'cancel_after_n_failures': g['cancel_after_n_failures'],
+            'n_jobs': n_jobs, 'n_completed': n_done,
+            'n_succeeded': counts['Success'],
+            'n_failed': counts['Failed'] + counts['Error'],
+            'n_cancelled': counts['Cancelled'],
+            'complete': n_jobs > 0 and n_done == n_jobs,
+            'cost': self._cost_of(bid, gids),
+        }
+
+    async def _get_job_group(self, req: web.Request) -> web.Response:
+        bid = int(req.match_info['batch_id'])
+        gid = int(req.match_info['group_id'])
+        return web.json_response(self._job_group_status(bid, gid))
+
+    async def _list_child_job_groups(self, req: web.Request) -> web.Response:
+        bid = int(req.match_info['batch_id'])
+        gid = int(req.match_info['group_id'])
+        self._group_row(bid, gid)
+        rows = self.db.query(
+            'SELECT job_group_id FROM job_groups WHERE batch_id = ? AND '
+            'parent_id = ? ORDER BY job_group_id', (bid, gid))
+        return web.json_response({'job_groups': [
+            self._job_group_status(bid, r['job_group_id']) for r in rows]})
+
+    async def _list_job_group_jobs(self, req: web.Request) -> web.Response:
+        bid = int(req.match_info['batch_id'])
+        gid = int(req.match_info['group_id'])
+        self._group_row(bid, gid)
+        gids = self._descendant_groups(bid, gid)
+        qmarks = ','.join('?' * len(gids))
+        rows = self.db.query(
+            f'SELECT * FROM jobs WHERE batch_id = ? AND job_group_id IN '
+            f'({qmarks}) ORDER BY job_id', (bid, *gids))
+        return web.json_response({'jobs': [self._job_json(r) for r in rows]})
+
+    async def _cancel_job_group(self, req: web.Request) -> web.Response:
+        """Cancel-fast: the group and every descendant group — non-always-run
+        pending jobs flip to Cancelled, running processes are terminated
+        (reference front_end cancel-fast propagation)."""
+        bid = int(req.match_info['batch_id'])
+        gid = int(req.match_info['group_id'])
+        self._group_row(bid, gid)
+        gids = self._descendant_groups(bid, gid)
+        qmarks = ','.join('?' * len(gids))
+        self.db.execute(
+            f'UPDATE job_groups SET state = ? WHERE batch_id = ? AND '
+            f'job_group_id IN ({qmarks})', ('cancelled', bid, *gids))
+        self.db.execute(
+            f"UPDATE jobs SET state = 'Cancelled' WHERE batch_id = ? AND "
+            f"job_group_id IN ({qmarks}) AND state IN ('Pending', 'Ready') "
+            f"AND always_run = 0", (bid, *gids))
+        in_group = {r['job_id'] for r in self.db.query(
+            f'SELECT job_id FROM jobs WHERE batch_id = ? AND job_group_id IN '
+            f'({qmarks})', (bid, *gids))}
+        for (b, j), proc in list(self._running_procs.items()):
+            if b == bid and j in in_group:
+                try:
+                    proc.terminate()
+                except ProcessLookupError:
+                    pass
+        self._wake.set()
+        return web.json_response({})
+
+    # -- resource usage / billing ---------------------------------------------
+    # a flat local "core-hour" rate: jobs here run on host cores, so usage is
+    # wall seconds x 1 core (reference: per-resource rates from the cloud
+    # pricing tables, front_end resource_usage endpoints)
+    _CORE_HOUR_RATE = 0.01
+
+    def _job_usage(self, r) -> dict:
+        t0, t1 = r['time_started'], r['time_completed']
+        dur = (t1 - t0) if (t0 is not None and t1 is not None) else None
+        cost = (dur / 3600.0 * self._CORE_HOUR_RATE) if dur is not None else 0.0
+        return {'cpu_seconds': round(dur, 6) if dur is not None else None,
+                'cores': 1,
+                'cost': round(cost, 10)}
+
+    def _cost_of(self, bid: int, gids: Optional[List[int]] = None) -> float:
+        if gids is None:
+            rows = self.db.query(
+                'SELECT time_started, time_completed FROM jobs '
+                'WHERE batch_id = ?', (bid,))
+        else:
+            qmarks = ','.join('?' * len(gids))
+            rows = self.db.query(
+                f'SELECT time_started, time_completed FROM jobs WHERE '
+                f'batch_id = ? AND job_group_id IN ({qmarks})', (bid, *gids))
+        return round(sum(self._job_usage(r)['cost'] for r in rows), 10)
+
+    async def _job_resource_usage(self, req: web.Request) -> web.Response:
+        bid = int(req.match_info['batch_id'])
+        jid = int(req.match_info['job_id'])
+        rows = self.db.query(
+            'SELECT * FROM jobs WHERE batch_id = ? AND job_id = ?', (bid, jid))
+        if not rows:
+            raise web.HTTPNotFound(reason=f'job {bid}/{jid} not found')
+        return web.json_response({'resource_usage': self._job_usage(rows[0])})
+
+    def _billing_project_json(self, name: str) -> dict:
+        rows = self.db.query('SELECT * FROM billing_projects WHERE name = ?',
+                             (name,))
+        limit = rows[0]['limit_cost'] if rows else None
+        status = rows[0]['status'] if rows else 'open'
+        cost = 0.0
+        for b in self.db.query('SELECT id FROM batches WHERE '
+                               'billing_project = ?', (name,)):
+            cost += self._cost_of(b['id'])
+        return {'billing_project': name, 'limit': limit,
+                'accrued_cost': round(cost, 10), 'status': status}
+
+    async def _list_billing_projects(self, req: web.Request) -> web.Response:
+        names = {r['name'] for r in
+                 self.db.query('SELECT name FROM billing_projects')}
+        names |= {r['billing_project'] for r in
+                  self.db.query('SELECT DISTINCT billing_project FROM batches')}
+        return web.json_response(
+            [self._billing_project_json(n) for n in sorted(names)])
+
+    async def _get_billing_project(self, req: web.Request) -> web.Response:
+        return web.json_response(
+            self._billing_project_json(req.match_info['name']))
+
+    async def _edit_billing_project(self, req: web.Request) -> web.Response:
+        name = req.match_info['name']
+        body = await req.json()
+        self.db.execute(
+            'INSERT INTO billing_projects (name, limit_cost) VALUES (?, ?) '
+            'ON CONFLICT(name) DO UPDATE SET limit_cost = excluded.limit_cost',
+            (name, body.get('limit')))
+        return web.json_response(self._billing_project_json(name))
 
     async def _healthcheck(self, req: web.Request) -> web.Response:
         return web.Response()
@@ -217,6 +449,12 @@ class BatchService:
         if canf is not None and canf < 1:
             raise web.HTTPBadRequest(
                 reason=f'cancel_after_n_failures must be >= 1, got {canf}')
+        bp = spec.get('billing_project', 'local')
+        bpj = self._billing_project_json(bp)
+        if bpj['limit'] is not None and bpj['accrued_cost'] >= bpj['limit']:
+            raise web.HTTPForbidden(
+                reason=f'billing project {bp} has exceeded the budget: '
+                       f'accrued={bpj["accrued_cost"]} limit={bpj["limit"]}')
         cur = self.db.execute(
             'INSERT INTO batches (attributes, billing_project, '
             'cancel_after_n_failures, time_created) VALUES (?, ?, ?, ?)',
@@ -235,13 +473,18 @@ class BatchService:
         for jspec in bunch:
             jid = int(jspec['job_id'])
             spec = jspec.get('process') or jspec.get('spec') or jspec
+            gid = int(jspec.get('absolute_job_group_id',
+                                jspec.get('in_update_job_group_id',
+                                          jspec.get('job_group_id', 0))))
+            if gid != 0:
+                self._group_row(bid, gid)     # group must exist
             self.db.execute(
                 'INSERT INTO jobs (batch_id, job_id, spec, n_max_attempts, '
-                'always_run, parents) VALUES (?, ?, ?, ?, ?, ?)',
+                'always_run, parents, job_group_id) VALUES (?, ?, ?, ?, ?, ?, ?)',
                 (bid, jid, json.dumps(spec),
                  int(jspec.get('n_max_attempts', 1)),
                  1 if jspec.get('always_run') else 0,
-                 json.dumps(jspec.get('parent_ids', []))))
+                 json.dumps(jspec.get('parent_ids', [])), gid))
             created.append(jid)
         self.db.execute('UPDATE batches SET n_jobs = n_jobs + ? WHERE id = ?',
                         (len(created), bid))
@@ -296,6 +539,7 @@ class BatchService:
         return {'batch_id': r['batch_id'], 'job_id': r['job_id'],
                 'state': r['state'], 'exit_code': r['exit_code'],
                 'attempts': r['attempts'], 'error': r['error'],
+                'job_group_id': r['job_group_id'],
                 'spec': json.loads(r['spec'])}
 
     async def _list_jobs(self, req: web.Request) -> web.Response:
@@ -462,8 +706,25 @@ class BatchService:
             return
         bstate = self.db.query('SELECT state FROM batches WHERE id = ?',
                                (bid,))[0]['state']
+        if bstate != 'cancelled':
+            # cancelled job GROUP (or ancestor): same semantics as batch
+            # cancellation, scoped to the subtree
+            jg = self.db.query(
+                'SELECT job_group_id FROM jobs WHERE batch_id = ? AND '
+                'job_id = ?', (bid, jid))[0]['job_group_id']
+            g = jg
+            while g is not None:
+                rows_g = self.db.query(
+                    'SELECT state, parent_id FROM job_groups WHERE '
+                    'batch_id = ? AND job_group_id = ?', (bid, g))
+                if not rows_g:
+                    break
+                if rows_g[0]['state'] == 'cancelled':
+                    bstate = 'cancelled'
+                    break
+                g = rows_g[0]['parent_id']
         if bstate == 'cancelled' and not row['always_run']:
-            # terminated by batch cancellation, not a job failure
+            # terminated by batch/group cancellation, not a job failure
             self._set_job_state(bid, jid, 'Cancelled', exit_code=rc,
                                 time_completed=time.time())
             return

@@ -187,3 +187,64 @@ def test_dsl_service_backend_python_job(tmp_path):
 
 def _mult(a, b):
     return a * b
+
+
+def test_job_groups_nested_status_and_cancel_fast(client):
+    """Nested job groups: per-group aggregated status; cancelling a group
+    cancel-fast propagates to descendant groups only (reference
+    front_end.py:1569-2100)."""
+    bid = client.create_batch()
+    client.create_job_groups(bid, [
+        {'job_group_id': 1, 'absolute_parent_id': 0},
+        {'job_group_id': 2, 'absolute_parent_id': 1},
+        {'job_group_id': 3, 'absolute_parent_id': 0},
+    ])
+    client.create_jobs(bid, [
+        {'job_id': 1, 'spec': {'command': 'sleep 30'}, 'job_group_id': 1},
+        {'job_id': 2, 'spec': {'command': 'sleep 30'}, 'job_group_id': 2},
+        {'job_id': 3, 'spec': {'command': 'echo ok'}, 'job_group_id': 3},
+    ])
+    client.close_batch(bid)
+    # group 1 subtree = jobs 1 (direct) + 2 (via child group 2)
+    g1 = client.get_job_group(bid, 1)
+    assert g1['n_jobs'] == 2
+    assert {g['job_group_id'] for g in client.list_job_groups(bid, 0)} == {1, 3}
+    assert [j['job_id'] for j in client.list_job_group_jobs(bid, 1)] == [1, 2]
+    client.cancel_job_group(bid, 1)
+    st = client.wait(bid)
+    assert st['n_succeeded'] == 1          # only group 3's job survives
+    assert st['n_cancelled'] == 2
+    g1 = client.get_job_group(bid, 1)
+    assert g1['state'] == 'cancelled' and g1['n_cancelled'] == 2
+    g3 = client.get_job_group(bid, 3)
+    assert g3['state'] == 'running' and g3['n_succeeded'] == 1
+
+
+def test_resource_usage_and_billing(client):
+    bid = client.create_batch(billing_project='bp-test')
+    client.create_jobs(bid, [
+        {'job_id': 1, 'spec': {'command': 'sleep 0.2'}},
+    ])
+    client.close_batch(bid)
+    client.wait(bid)
+    ru = client.job_resource_usage(bid, 1)
+    assert ru['cpu_seconds'] is not None and ru['cpu_seconds'] >= 0.15
+    assert ru['cost'] > 0
+    bp = client.billing_project('bp-test')
+    assert bp['accrued_cost'] >= ru['cost'] * 0.99
+    assert any(p['billing_project'] == 'bp-test'
+               for p in client.billing_projects())
+
+
+def test_billing_limit_blocks_new_batches(client):
+    import urllib.error
+    import pytest as _pytest
+    client.edit_billing_project('bp-capped', limit=1e-9)
+    bid = client.create_batch(billing_project='bp-capped')
+    client.create_jobs(bid, [{'job_id': 1, 'spec': {'command': 'sleep 0.05'}}])
+    client.close_batch(bid)
+    client.wait(bid)
+    assert client.billing_project('bp-capped')['accrued_cost'] > 1e-9
+    with _pytest.raises(urllib.error.HTTPError) as exc:
+        client.create_batch(billing_project='bp-capped')
+    assert exc.value.code == 403
