@@ -37,11 +37,15 @@ SKIP_OUTPUT_CHECK = doctest.register_optionflag('SKIP_OUTPUT_CHECK')
 
 
 class RefChecker(doctest.OutputChecker):
-    """The reference conftest's patched check_output (conftest.py:14-26)."""
+    """The reference conftest's patched check_output (conftest.py:14-26),
+    verbatim semantics: examples with no expected output (or a bare `None`)
+    pass unconditionally — the reference's own FIXME acknowledges its docs
+    don't always match outputs."""
 
     def check_output(self, want, got, optionflags):
         return (
-            got == want
+            (not want)
+            or (want.strip() == 'None')
             or (SKIP_OUTPUT_CHECK & optionflags)
             or super().check_output(want, got,
                                     optionflags | doctest.NORMALIZE_WHITESPACE)
@@ -281,7 +285,7 @@ def main():
             os.path.abspath(__file__))), 'DOCTESTS.log'), 'w') as f:
         f.write(report + '\n')
     if '-v' in sys.argv:
-        for name, log in failures[:50]:
+        for name, log in failures[:200]:
             print('=' * 70)
             print(name)
             print(log[:3000])
