@@ -173,6 +173,14 @@ class Expression:
                 t = src.cols()
             else:
                 t = src.entries()
+        if not axes:
+            # globals-indexed: a one-row keyless table of just the value
+            # (reference shows globals without any key column)
+            from ..table import range_table
+            from . import functions as F
+            val = eval_scalar(self)
+            t0 = range_table(1).key_by()
+            return t0.select(**{'<expr>': F.literal(val, self.dtype)}), '<expr>'
         # a bare reference to an existing field keeps its own name
         ir_ = self._ir
         name = getattr(ir_, 'name', None)
@@ -223,9 +231,21 @@ class Expression:
         if handler is None:
             handler = print
         if self._indices.source is None:
-            # source-free expression: show its single evaluated value
-            return handler(eval_scalar(self))
-        t, _ = self._to_relational()
+            # source-free expression: a one-row keyless table of the value
+            # (reference: hl.literal(123).show() renders an <expr> table)
+            from ..table import range_table
+            from . import functions as F
+            t0 = range_table(1).key_by().select(
+                **{'<expr>': F.literal(eval_scalar(self), self.dtype)})
+            return handler(t0._show(n, width, truncate, types))
+        # full row/col/entry struct expressions show as their source table
+        # (reference _show via _to_relational_preserving_rows_and_cols)
+        _name, t = self._to_relational_preserving_rows_and_cols()
+        from ..table import Table as _Table
+        if not isinstance(t, _Table):
+            # an entry struct maps back to its (pruned) MatrixTable
+            return t.show(n_rows=n, width=width, truncate=truncate,
+                          types=types, handler=handler)
         return handler(t._show(n, width, truncate, types))
 
     def _persist(self):
@@ -274,6 +294,10 @@ class Expression:
                                    separators=(',', ':'))
             if isinstance(v, (_Struct, dict)):
                 return _json.dumps(_json_safe(v), separators=(',', ':'))
+            import numpy as _np
+            if isinstance(v, (float, _np.floating)):
+                # the engine's TSV export writes doubles as %.4e
+                return f'{float(v):.4e}'
             return str(v)
 
         def _json_safe(v):
@@ -1344,8 +1368,15 @@ class CallExpression(Expression):
     def unphased_diploid_gt_index(self):
         return self._call_method('unphased_diploid_gt_index', ht.tint32)
 
-    def one_hot_alleles(self, n_alleles):
-        return self._call_method('one_hot_alleles', ht.tarray(ht.tint32), to_expr(n_alleles))
+    def one_hot_alleles(self, alleles):
+        """`alleles` may be the allele COUNT or the alleles array itself
+        (reference one_hot_alleles deprecated-overload: an array argument
+        counts its elements)."""
+        e = to_expr(alleles)
+        if isinstance(e.dtype, ht.tarray):
+            from . import functions as F
+            e = F.len_(e)
+        return self._call_method('one_hot_alleles', ht.tarray(ht.tint32), e)
 
 
     def unphase(self):

@@ -506,8 +506,12 @@ def dict_(collection) -> Expression:
                 return None
             # dict KEYS must be hashable; values keep their python form
             # (reference freezes values only when the dict itself lands in a
-            # set — handled by freeze() at that point)
-            return frozendict({freeze(p[0]): p[1] for p in v})
+            # set — handled by freeze() at that point). Materialized dicts
+            # iterate in key order (the engine's ordered-map semantics).
+            from functools import cmp_to_key
+            d = {freeze(p[0]): p[1] for p in v}
+            return frozendict(sorted(
+                d.items(), key=cmp_to_key(lambda x, y: _cmp_values(x[0], y[0]))))
         return ObjectColumn(ht.tdict(kt, vt), np.frompyfunc(f, 1, 1)(obj.values))
     return _apply('dict', ht.tdict(kt, vt), impl, a)
 
@@ -1558,10 +1562,20 @@ def call(*alleles, phased=False) -> CallExpression:
             base = _bi.len(cols) | (PHASED_BIT if phased else 0)
         packed = np.broadcast_to(np.asarray(base, dtype=np.int32), shape).copy() if ph is not None \
             else np.full(shape, base, dtype=np.int32)
-        if _bi.len(cols) >= 1:
-            packed = packed | (np.broadcast_to(cols[0].values, shape).astype(np.int32) << J_SHIFT)
         if _bi.len(cols) == 2:
-            packed = packed | (np.broadcast_to(cols[1].values, shape).astype(np.int32) << K_SHIFT)
+            # unphased diploid calls are normalized j <= k (reference
+            # Call.apply sorts unless phased)
+            a0 = np.broadcast_to(cols[0].values, shape).astype(np.int32)
+            a1 = np.broadcast_to(cols[1].values, shape).astype(np.int32)
+            if ph is not None:
+                unph = ~np.broadcast_to(np.asarray(ph_col.values, bool), shape)
+            else:
+                unph = not phased
+            j = np.where(unph, np.minimum(a0, a1), a0)
+            k = np.where(unph, np.maximum(a0, a1), a1)
+            packed = packed | (j << J_SHIFT) | (k << K_SHIFT)
+        elif _bi.len(cols) == 1:
+            packed = packed | (np.broadcast_to(cols[0].values, shape).astype(np.int32) << J_SHIFT)
         miss = None
         for c in cols:
             miss = C._merge_missing(miss, _bcast_mask(c.missing, shape))
@@ -2821,6 +2835,11 @@ def gq_from_pl(pl):
                 m2 = x
         return m2 - m
     return _apply('gq_from_pl', ht.tint32, _obj_impl(ht.tint32, impl), array(pl))
+
+
+# module-level for doctest/namespace parity with the reference's
+# `from hail.genetics.allele_type import AlleleType` in functions.py
+from ..genetics.allele_type import AlleleType  # noqa: E402
 
 
 def numeric_allele_type(ref, alt):

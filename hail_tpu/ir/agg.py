@@ -598,7 +598,13 @@ class CollectAgg(Aggregator):
             for v in lst:
                 k = freeze(v)
                 d[k] = d.get(k, 0) + 1
-            return frozendict(d)
+            # key-sorted like the reference's counter result (dict built
+            # from the engine's ordered map)
+            from functools import cmp_to_key
+            from ..expr.functions import _cmp_values
+            return frozendict(sorted(d.items(),
+                                     key=cmp_to_key(
+                                         lambda x, y: _cmp_values(x[0], y[0]))))
         rt = getattr(self, '_result_t', None) or self.result_type([ht.tfloat64], init_args)
         if isinstance(state, _PerPosState):
             return C.from_pylist(rt, [fin(s) for s in state])
@@ -1564,6 +1570,10 @@ class GroupedAgg(EnvCombinator):
                                      EvalEnv(dict(post_env.bindings), (1,)))
             vals = col.to_pylist()
             d[k] = vals[0] if vals else None
+        from functools import cmp_to_key
+        from ..expr.functions import _cmp_values
+        d = dict(sorted(d.items(),
+                        key=cmp_to_key(lambda x, y: _cmp_values(x[0], y[0]))))
         return C.from_pylist(ht.tdict(self.key_t, self.value_t), [frozendict(d)])
 
 

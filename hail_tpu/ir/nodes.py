@@ -453,6 +453,11 @@ def eval_binop(op: str, lc: Column, rc: Column, out_typ: ht.HailType) -> Column:
                     lv = lv.astype(np.int32)
                 if getattr(rv, 'dtype', None) == np.bool_:
                     rv = rv.astype(np.int32)
+            if op == '**':
+                # x ** y is float64 regardless of inputs (numpy raises on
+                # int ** negative-int; the engine never does integer pow)
+                lv = np.asarray(lv, dtype=np.float64)
+                rv = np.asarray(rv, dtype=np.float64)
             vals = _NP_BINOP[op](lv, rv)
         missing = C._merge_missing(lc.missing, rc.missing)
         if out_typ.numpy_dtype is not None and vals.dtype != out_typ.numpy_dtype:
@@ -461,7 +466,11 @@ def eval_binop(op: str, lc: Column, rc: Column, out_typ: ht.HailType) -> Column:
     # dense array elementwise with scalar / array
     if isinstance(lc, DenseArrayColumn) and isinstance(rc, PrimitiveColumn):
         with np.errstate(all='ignore'):
-            vals = _NP_BINOP[op](lc.values, rc.values[..., None])
+            if op == '**':
+                vals = _NP_BINOP[op](np.asarray(lc.values, np.float64),
+                                     np.asarray(rc.values, np.float64)[..., None])
+            else:
+                vals = _NP_BINOP[op](lc.values, rc.values[..., None])
         et = out_typ.element_type if isinstance(out_typ, ht.tarray) else out_typ
         missing = C._merge_missing(lc.missing, rc.missing)
         return DenseArrayColumn(ht.tarray(et), vals.astype(et.numpy_dtype), lc.lengths, lc.elem_missing, missing)

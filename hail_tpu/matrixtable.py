@@ -319,22 +319,30 @@ class MatrixTable:
         from .expr.expression import construct_expr, Indices
         return construct_expr(expr._ir, Indices(self, expr._indices.axes))
 
-    def describe(self):
+    def describe(self, handler=print, *, widget=False):
+        """Print information about the fields in the matrix table (reference
+        matrixtable.py describe — same layout, separators, pretty types)."""
         st = self._stage
-        print('Global fields:')
-        for k, t in st.globals_type.items():
-            print(f"    '{k}': {t}")
-        print('Column fields:')
-        for k, t in st.col_type.items():
-            print(f"    '{k}': {t}")
-        print('Row fields:')
-        for k, t in st.row_type.items():
-            print(f"    '{k}': {t}")
-        print('Entry fields:')
-        for k, t in st.entry_type.items():
-            print(f"    '{k}': {t}")
-        print(f'Column key: {st.col_key}')
-        print(f'Row key: {st.row_key}')
+
+        def fmt(fields):
+            if not fields:
+                return '\n    None'
+            return ''.join(f"\n    '{f}': {t.pretty(indent=4).lstrip()} "
+                           for f, t in fields.items())
+        ck = '[' + ', '.join(f"'{f}'" for f in st.col_key) + ']'
+        rk = '[' + ', '.join(f"'{f}'" for f in st.row_key) + ']'
+        handler('----------------------------------------\n'
+                f'Global fields:{fmt(st.globals_type.fields)}\n'
+                '----------------------------------------\n'
+                f'Column fields:{fmt(st.col_type.fields)}\n'
+                '----------------------------------------\n'
+                f'Row fields:{fmt(st.row_type.fields)}\n'
+                '----------------------------------------\n'
+                f'Entry fields:{fmt(st.entry_type.fields)}\n'
+                '----------------------------------------\n'
+                f'Column key: {ck}\n'
+                f'Row key: {rk}\n'
+                '----------------------------------------')
 
     def n_partitions(self) -> int:
         return len(self._stage.contexts)
@@ -622,9 +630,43 @@ class MatrixTable:
                                        st.contexts, st.partition_fn))
 
     # -- select / drop -----------------------------------------------------
+    @staticmethod
+    def _positional_select(fields, roots, what):
+        """Positional select args may be names, top-level field expressions,
+        or nested field expressions which select under the leaf name
+        (reference expr/matrix_type get_select_exprs). Returns
+        (ordered names, {name: nested Expression})."""
+        from .ir.nodes import GetField, Ref
+        from .expr.typefuncs import ExpressionException
+        pos_names, extra = [], {}
+        for f in fields:
+            if isinstance(f, str):
+                pos_names.append(f)
+                continue
+            ir = f._ir
+            name = ir.name if isinstance(ir, GetField) else None
+            base = ir
+            while isinstance(base, GetField):
+                base = base.struct
+            if name is None or not (isinstance(base, Ref)
+                                    and base.name in roots):
+                raise ExpressionException(
+                    f'{what}: arguments must be fields or nested fields, '
+                    f'not complex expressions')
+            if isinstance(ir.struct, Ref):
+                pos_names.append(name)     # top-level field: keep as-is
+            else:
+                extra.setdefault(name, f)
+                pos_names.append(name)
+        return pos_names, extra
+
     def select_rows(self, *fields, **named_exprs) -> 'MatrixTable':
         exprs = {k: to_expr(v) for k, v in named_exprs.items()}
-        names = list(dict.fromkeys(self._stage.row_key + [f for f in fields] + list(exprs)))
+        pos_names, extra = self._positional_select(fields, ('va', 'row'),
+                                                   'select_rows')
+        for n, e in extra.items():
+            exprs.setdefault(n, e)
+        names = list(dict.fromkeys(self._stage.row_key + pos_names + list(exprs)))
         new_t = ht.tstruct.from_fields(
             [(n, exprs[n].dtype if n in exprs else self._stage.row_type[n]) for n in names])
         def f(mb, i):
@@ -637,7 +679,11 @@ class MatrixTable:
 
     def select_cols(self, *fields, **named_exprs) -> 'MatrixTable':
         exprs = {k: to_expr(v) for k, v in named_exprs.items()}
-        names = list(dict.fromkeys(self._stage.col_key + [f for f in fields] + list(exprs)))
+        pos_names, extra = self._positional_select(fields, ('sa', 'col'),
+                                                   'select_cols')
+        for n, e in extra.items():
+            exprs.setdefault(n, e)
+        names = list(dict.fromkeys(self._stage.col_key + pos_names + list(exprs)))
         new_cols = {}
         for n in names:
             new_cols[n] = self._eval_col_expr(exprs[n]) if n in exprs else self._stage.cols.columns[n]
@@ -691,8 +737,13 @@ class MatrixTable:
 
     def select_globals(self, *fields, **named_exprs) -> 'MatrixTable':
         env = self._globals_env()
+        pos_names, extra = self._positional_select(fields, ('global',),
+                                                   'select_globals')
+        named_exprs = {**extra, **named_exprs}
         g = {}
-        for f_ in fields:
+        for f_ in pos_names:
+            if f_ in extra:
+                continue
             g[f_] = self._stage.globals.columns[f_]
         for k, v in named_exprs.items():
             col = to_expr(v)._ir.evaluate(env)

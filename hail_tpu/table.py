@@ -343,14 +343,22 @@ class Table:
     def _force_count(self) -> int:
         return self.count()
 
-    def describe(self):
-        print('Global fields:')
-        for k, t in self._stage.globals_type.items():
-            print(f"    '{k}': {t}")
-        print('Row fields:')
-        for k, t in self._stage.row_type.items():
-            print(f"    '{k}': {t}")
-        print(f"Key: {self._stage.key}")
+    def describe(self, handler=print, *, widget=False):
+        """Print information about the fields in the table (reference
+        table.py:2822 — same layout, separators, and pretty types)."""
+        def fmt(fields):
+            if not fields:
+                return '\n    None'
+            return ''.join(f"\n    '{f}': {t.pretty(indent=4).lstrip()} "
+                           for f, t in fields.items())
+        key = '[' + ', '.join(f"'{f}'" for f in self._stage.key) + ']'
+        handler('----------------------------------------\n'
+                f'Global fields:{fmt(self._stage.globals_type.fields)}\n'
+                '----------------------------------------\n'
+                f'Row fields:{fmt(self._stage.row_type.fields)}\n'
+                '----------------------------------------\n'
+                f'Key: {key}\n'
+                '----------------------------------------')
 
     # -- internal evaluation ----------------------------------------------
     def _globals_env(self) -> EvalEnv:
@@ -660,11 +668,16 @@ class Table:
         return Table(self._stage.with_globals(Batch(g, 1)))
 
     def select_globals(self, *fields, **named_exprs) -> 'Table':
+        from .matrixtable import MatrixTable
         env = self._globals_env()
+        pos_names, extra = MatrixTable._positional_select(
+            fields, ('global',), 'select_globals')
+        named_exprs = {**extra, **named_exprs}
         g = {}
-        for f_ in fields:
-            name = f_ if isinstance(f_, str) else _expr_field_name(f_)
-            g[name] = self._stage.globals.columns[name]
+        for f_ in pos_names:
+            if f_ in extra:
+                continue
+            g[f_] = self._stage.globals.columns[f_]
         for k, e in named_exprs.items():
             col = to_expr(e)._ir.evaluate(env)
             g[k] = col.reshape((1,)) if col.shape != (1,) else col
@@ -1099,13 +1112,29 @@ class Table:
     def group_by(self, *key, **named_exprs) -> 'GroupedTable':
         # computed keys are staged under temp names so the aggregation body
         # still sees the original fields (reference group_by field lifetimes)
+        from .ir.nodes import GetField, Ref
         t = self
-        pairs = [(k if isinstance(k, str) else _expr_field_name(k),) * 2
-                 for k in key]
+        pairs = []
+        staged = {}
+        for k in key:
+            if isinstance(k, str):
+                pairs.append((k, k))
+                continue
+            name = _expr_field_name(k)
+            ir_ = k._ir
+            if isinstance(ir_, GetField) and isinstance(ir_.struct, Ref):
+                pairs.append((name, name))    # top-level field reference
+            else:
+                # nested field / computed positional key: stage under the
+                # leaf name (reference group_by accepts t.s.x as key 'x')
+                staged[f'__gb_{name}'] = to_expr(k)
+                pairs.append((name, f'__gb_{name}'))
         if named_exprs:
-            tmp = {f'__gb_{k}': to_expr(v) for k, v in named_exprs.items()}
-            t = t.annotate(**tmp)
+            staged.update({f'__gb_{k}': to_expr(v)
+                           for k, v in named_exprs.items()})
             pairs += [(k, f'__gb_{k}') for k in named_exprs]
+        if staged:
+            t = t.annotate(**staged)
         return GroupedTable(t, pairs)
 
     # -- ordering / distribution ------------------------------------------
@@ -1692,9 +1721,12 @@ class Table:
     def write_many(self, output: str, fields, *, overwrite: bool = False,
                    stage_locally: bool = False, _codec_spec=None) -> None:
         """Write one table per field under `output` (reference table.py
-        write_many): each table has that field plus the key."""
+        write_many / TableNativeFanoutWriter): each table has that field
+        followed by the key fields (the fanout writer's row layout)."""
+        key = list(self._stage.key)
         for f in fields:
-            self.select(f).write(os.path.join(output, f), overwrite=overwrite)
+            t = self.key_by().select(f, *key).key_by(*key)
+            t.write(os.path.join(output, f), overwrite=overwrite)
 
     # -- conversions -------------------------------------------------------
     def to_pandas(self, flatten: bool = True, types=None):

@@ -46,6 +46,17 @@ class HailTypeContext:
 class HailType:
     """Base class for hail types."""
 
+    def pretty(self, indent=0, increment=4) -> str:
+        """Prettily formatted type string (reference expr/types.py:178):
+        container element types print inline; structs and tuples expand one
+        field per line at `increment` extra spaces."""
+        b = [' ' * indent]
+        self._pretty(b, indent, increment)
+        return ''.join(b)
+
+    def _pretty(self, b, indent, increment):
+        b.append(str(self))
+
     def _convert_to_json(self, v):
         """Value → the reference's JSON wire form (expr/types.py
         _convert_to_json): loci/intervals/structs as dicts, calls as
@@ -69,12 +80,6 @@ class HailType:
 
     def __hash__(self) -> int:
         return hash(str(self))
-
-    def pretty(self, indent: int = 0, increment: int = 4) -> str:
-        """A parseable pretty string of the type (reference HailType.pretty;
-        the canonical str form is already parseable, so indentation only
-        prefixes it)."""
-        return ' ' * indent + str(self)
 
     def get_context(self) -> 'HailTypeContext':
         ctx = getattr(self, '_context', None)
@@ -288,6 +293,11 @@ class tarray(HailType):
     def __str__(self):
         return f'array<{self.element_type}>'
 
+    def _pretty(self, b, indent, increment):
+        b.append('array<')
+        self.element_type._pretty(b, indent, increment)
+        b.append('>')
+
     def _typecheck(self, v):
         return isinstance(v, (list, tuple, np.ndarray))
 
@@ -306,6 +316,11 @@ class tset(HailType):
 
     def __str__(self):
         return f'set<{self.element_type}>'
+
+    def _pretty(self, b, indent, increment):
+        b.append('set<')
+        self.element_type._pretty(b, indent, increment)
+        b.append('>')
 
     def _typecheck(self, v):
         return isinstance(v, (set, frozenset))
@@ -326,6 +341,13 @@ class tdict(HailType):
 
     def __str__(self):
         return f'dict<{self.key_type}, {self.value_type}>'
+
+    def _pretty(self, b, indent, increment):
+        b.append('dict<')
+        self.key_type._pretty(b, indent, increment)
+        b.append(', ')
+        self.value_type._pretty(b, indent, increment)
+        b.append('>')
 
     def _typecheck(self, v):
         return isinstance(v, (dict, frozendict))
@@ -352,6 +374,24 @@ class tstruct(HailType):
     def __str__(self):
         inner = ', '.join(f'{_escape_field(k)}: {v}' for k, v in self.fields.items())
         return f'struct{{{inner}}}'
+
+    def _pretty(self, b, indent, increment):
+        if not self.fields:
+            b.append('struct {}')
+            return
+        pre_indent = indent
+        indent += increment
+        b.append('struct {')
+        for i, (f, t) in enumerate(self.fields.items()):
+            if i > 0:
+                b.append(', ')
+            b.append('\n')
+            b.append(' ' * indent)
+            b.append(f'{_escape_field(f)}: ')
+            t._pretty(b, indent, increment)
+        b.append('\n')
+        b.append(' ' * pre_indent)
+        b.append('}')
 
     def __getitem__(self, name) -> 'HailType':
         # like the reference's tbaseStruct: accepts a field name, a positional
@@ -427,6 +467,20 @@ class ttuple(HailType):
     def __str__(self):
         return f'tuple({", ".join(str(t) for t in self.types)})'
 
+    def _pretty(self, b, indent, increment):
+        pre_indent = indent
+        indent += increment
+        b.append('tuple (')
+        for i, t in enumerate(self.types):
+            if i > 0:
+                b.append(', ')
+            b.append('\n')
+            b.append(' ' * indent)
+            t._pretty(b, indent, increment)
+        b.append('\n')
+        b.append(' ' * pre_indent)
+        b.append(')')
+
     def __getitem__(self, i: int) -> HailType:
         return self.types[i]
 
@@ -447,6 +501,11 @@ class tinterval(HailType):
     def __str__(self):
         return f'interval<{self.point_type}>'
 
+    def _pretty(self, b, indent, increment):
+        b.append('interval<')
+        self.point_type._pretty(b, indent, increment)
+        b.append('>')
+
     def _typecheck(self, v):
         return isinstance(v, Interval)
 
@@ -461,6 +520,11 @@ class tndarray(HailType):
 
     def __str__(self):
         return f'ndarray<{self.element_type}, {self.ndim}>'
+
+    def _pretty(self, b, indent, increment):
+        b.append('ndarray<')
+        self.element_type._pretty(b, indent, increment)
+        b.append(f', {self.ndim}>')
 
     def _typecheck(self, v):
         return isinstance(v, np.ndarray) or hasattr(v, '__array__')

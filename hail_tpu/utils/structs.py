@@ -278,10 +278,23 @@ class Interval:
             return NotImplemented
         return other.__le__(self)
 
-    def __repr__(self) -> str:
+    def __str__(self) -> str:
+        # reference utils/interval.py:59: same-contig locus intervals
+        # abbreviate the end to its position
+        if hasattr(self.start, 'contig') and hasattr(self.end, 'contig') \
+                and self.start.contig == self.end.contig:
+            bounds = f'{self.start}-{self.end.position}'
+        else:
+            bounds = f'{self.start}-{self.end}'
         lb = '[' if self.includes_start else '('
         rb = ']' if self.includes_end else ')'
-        return f'Interval({lb}{self.start!r}-{self.end!r}{rb})'
+        return f'{lb}{bounds}{rb}'
+
+    def __repr__(self) -> str:
+        return ('Interval(start={}, end={}, includes_start={}, '
+                'includes_end={})'.format(repr(self.start), repr(self.end),
+                                          repr(self.includes_start),
+                                          repr(self.includes_end)))
 
     def contains(self, point, cmp=None) -> bool:
         """Whether `point` lies in the interval under ordering `cmp` (default: python <)."""

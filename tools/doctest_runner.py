@@ -232,9 +232,12 @@ def main():
             examples = parser.get_examples(ds_text)
             if not examples:
                 continue
-            globs = dict(base_ns)
-            globs.update(mod_ns)
-            globs['hl'] = base_ns['hl']
+            # module globals under the conftest namespace: the fixture's
+            # names win (pytest injects doctest_namespace over the module's
+            # globals; our aliased modules also carry `ht`-style imports
+            # that must not shadow the fixture's tables)
+            globs = dict(mod_ns)
+            globs.update(base_ns)
             test = parser.get_doctest(ds_text, globs,
                                       f'{mod}::{qual}', path, lineno)
             hl.reset_global_randomness()
