@@ -346,7 +346,11 @@ class Expression:
         # row/col-indexed (or table rows): key fields + the value
         from ..ir.nodes import GetField
         name = self._ir.name if isinstance(self._ir, GetField) else 'value'
-        if isinstance(src, _MT) and axes == frozenset({'column'}):
+        if src is not None and not axes:
+            # globals-indexed: single row, no key columns
+            key_names, kvals = [], []
+            vals = [eval_scalar(self)]
+        elif isinstance(src, _MT) and axes == frozenset({'column'}):
             st = src._stage
             key_names = list(st.col_key)
             kvals = [st.cols.columns[k].to_pylist() for k in key_names]

@@ -1450,6 +1450,10 @@ def parse_locus_interval(s, reference_genome='default', invalid_missing=False):
             c = v
             return Interval(Locus(c, 1, rg), Locus(c, rg.contig_length(c), rg), True, True)
         a, b = v.rsplit('-', 1)
+        if ':' not in a and ':' not in b and a in rg.contigs and b in rg.contigs:
+            # whole-contig span 'c1-c2' (reference grammar): [c1:1, c2:END]
+            return Interval(Locus(a, 1, rg),
+                            Locus(b, rg.contig_length(b), rg), True, True)
         ca, pa = a.rsplit(':', 1)
         if ':' in b:
             cb, pb = b.rsplit(':', 1)

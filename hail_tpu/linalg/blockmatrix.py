@@ -550,14 +550,42 @@ class BlockMatrix:
         return self @ BlockMatrix.from_numpy(ws), s, w.T
 
     # -- export ------------------------------------------------------------
-    def export(self, path: str, delimiter: str = '\t', header: Optional[str] = None,
-               add_index: bool = False, parallel: Optional[str] = None,
-               partition_size: Optional[int] = None, entries: str = 'full') -> None:
+    class _HybridExport:
+        """`BlockMatrix.export(path_in, path_out, ...)` is STATIC in the
+        reference (linalg/blockmatrix.py:1868, reads a stored matrix);
+        called on an instance, it exports the instance."""
+
+        def __get__(self, obj, objtype=None):
+            import functools
+            return functools.partial(BlockMatrix._export_impl, obj)
+
+    export = _HybridExport()
+
+    def _export_impl(self, *args, path_in: str = None, path_out: str = None,
+                     delimiter: str = '\t', header: Optional[str] = None,
+                     add_index: bool = False, parallel: Optional[str] = None,
+                     partition_size: Optional[int] = None,
+                     entries: str = 'full') -> None:
         from ..fs import local_path
-        path = local_path(path)
+        args = list(args)
+        if self is None and path_in is None:
+            path_in = args.pop(0)
+        if args:
+            path_out = args.pop(0)
+        if args:
+            raise TypeError('export: too many positional arguments')
+        if path_in is not None:
+            bm = BlockMatrix.read(path_in)
+            return bm.export(path_out=path_out, delimiter=delimiter,
+                             header=header, add_index=add_index,
+                             parallel=parallel,
+                             partition_size=partition_size, entries=entries)
+        path = local_path(path_out)
         arr = np.asarray(self._data)
         n, m = arr.shape
-        with open(path, 'w') as f:
+        import gzip
+        op = gzip.open if path.endswith(('.bgz', '.gz')) else open
+        with op(path, 'wt') as f:
             if header:
                 f.write(header + '\n')
             for i in range(n):

@@ -128,10 +128,10 @@ def mendel_errors(call, pedigree: Pedigree) -> Tuple[Table, Table, Table, Table]
     s_idx = {s: i for i, s in enumerate(samples)}
     trios = [t for t in pedigree.complete_trios()
              if t.s in s_idx and t.pat_id in s_idx and t.mat_id in s_idx]
-    kid_idx = np.asarray([s_idx[t.s] for t in trios])
-    dad_idx = np.asarray([s_idx[t.pat_id] for t in trios])
-    mom_idx = np.asarray([s_idx[t.mat_id] for t in trios])
-    kid_female = np.asarray([bool(t.is_female) for t in trios])
+    kid_idx = np.asarray([s_idx[t.s] for t in trios], dtype=np.int64)
+    dad_idx = np.asarray([s_idx[t.pat_id] for t in trios], dtype=np.int64)
+    mom_idx = np.asarray([s_idx[t.mat_id] for t in trios], dtype=np.int64)
+    kid_female = np.asarray([bool(t.is_female) for t in trios], dtype=bool)
 
     all_rows: List[Struct] = []
     per_variant_rows: List[Struct] = []

@@ -1030,14 +1030,19 @@ def balding_nichols_model(n_populations: int, n_samples: int, n_variants: int,
         pop_col = PrimitiveColumn(ht.tint32, pops.astype(np.int32))
     cols = Batch({'sample_idx': PrimitiveColumn(ht.tint32, np.arange(n_samples, dtype=np.int32)),
                   'pop': pop_col}, n_samples)
+    # pop_dist/fst keep the caller's literal types (reference annotates the
+    # python lists verbatim: default [1,1,...] lands as array<int32>)
+    pd_int = all(isinstance(x, (int, np.integer)) and not isinstance(x, bool)
+                 for x in pop_dist_raw)
     bn_t = ht.tstruct(n_populations=ht.tint32, n_samples=ht.tint32,
                       n_variants=ht.tint32, n_partitions=ht.tint32,
-                      pop_dist=ht.tarray(ht.tfloat64),
+                      pop_dist=ht.tarray(ht.tint32 if pd_int else ht.tfloat64),
                       fst=ht.tarray(ht.tfloat64), mixture=ht.tbool)
     g = Batch.from_pylist(ht.tstruct(bn=bn_t), [Struct(bn=Struct(
         n_populations=n_populations, n_samples=n_samples, n_variants=n_variants,
-        n_partitions=n_partitions, pop_dist=[float(x) for x in pop_dist_raw],
-        fst=list(fst), mixture=mixture))])
+        n_partitions=n_partitions,
+        pop_dist=[int(x) if pd_int else float(x) for x in pop_dist_raw],
+        fst=[float(x) for x in fst], mixture=mixture))])
     contexts = [(int(bounds[i]), int(bounds[i + 1])) for i in range(n_partitions)]
     part_bounds = None
     if n_variants <= max_pos:

@@ -216,12 +216,19 @@ def main():
         # come from the aliased package (hail.x.y -> hail_tpu impl)
         name = 'hail.' + mod_rel[:-3].replace('/', '.')
         name = name.removesuffix('.__init__')
-        try:
-            m = importlib.import_module(name)
-            return {k: v for k, v in vars(m).items()
-                    if not k.startswith('__')}
-        except Exception:
-            return {}
+        candidates = [name]
+        # single-function reference modules often fold into our package
+        # __init__: fall back to the parent package's globals
+        if '.' in name:
+            candidates.append(name.rsplit('.', 1)[0])
+        for cand in candidates:
+            try:
+                m = importlib.import_module(cand)
+                return {k: v for k, v in vars(m).items()
+                        if not k.startswith('__')}
+            except Exception:
+                continue
+        return {}
 
     for path in sorted(files):
         mod = os.path.relpath(path, REF_PY)
