@@ -186,7 +186,8 @@ def main():
     import hail_tpu as hl
     hl.init(global_seed=0)
     from hail_tpu.ops.linreg_i8 import (linreg_block_i8, linreg_block_call,
-                                        linreg_block_call_exact, _digit_planes)
+                                        linreg_block_gz_exact,
+                                        decode_packed_gt, _digit_planes)
     from hail_tpu.ops.regression import linreg_block
 
     dev = jax.devices()[0]
@@ -227,7 +228,9 @@ def main():
         packed = jnp.asarray(np.ascontiguousarray(col.values, np.int32))
         miss = jnp.asarray(col.missing if col.missing is not None
                            else np.zeros(col.values.shape, bool))
-        staged.append((packed, miss))
+        # device-cache resident form: decoded int8 pair (2 bytes/entry)
+        gz8, m8 = decode_packed_gt(packed, miss)
+        staged.append((gz8, m8))
     _ = float(sum((p[0, 0] + m[0, 0]).astype(jnp.float32)
                   for p, m in staged))
     log(f'staged in {time.time() - t0:.1f}s')
@@ -244,9 +247,9 @@ def main():
     def e2e_once(salt):
         acc = jnp.float64(0.0)
         sc = scales * (1.0 + salt * 1e-15)
-        for packed, miss in staged:
-            out = linreg_block_call_exact(packed, miss, Wdig, sc, Qty64,
-                                          yyp64, dd, K)
+        for gz8, m8 in staged:
+            out = linreg_block_gz_exact(gz8, m8, Wdig, sc, Qty64,
+                                        yyp64, dd, K)
             acc = acc + out[2].sum()
         return acc.astype(jnp.float32)
 

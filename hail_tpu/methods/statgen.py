@@ -466,7 +466,7 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
         if gt_field is not None:
             col = mb.entries.get(gt_field)
             if isinstance(col, C.PrimitiveColumn) and col.typ == ht.tcall:
-                def ship_packed():
+                def ship_host():
                     packed = col.values if all_keep else col.values[:, grp0['idx']]
                     miss = col.missing
                     if miss is not None and not all_keep:
@@ -475,17 +475,34 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
                         miss = np.zeros(packed.shape, dtype=bool)
                     return (jnp.asarray(np.ascontiguousarray(packed, np.int32)),
                             jnp.asarray(miss))
-                pd, md = devcache.get(
-                    mb, ('linreg_packed', gt_field, idx_fp), ship_packed)
                 if use_exact:
-                    from ..ops.linreg_i8 import linreg_stats_call_exact
-                    res = linreg_stats_call_exact(
-                        None, None, grp0['Q'], grp0['Ys'], grp0['Qty'],
-                        grp0['yyp'], grp0['d'], packed_dev=pd, missing_dev=md)
-                else:
-                    from ..ops.linreg_i8 import linreg_stats_call
-                    res = linreg_stats_call(pd, md, grp0['Q'], grp0['Ys'],
-                                            grp0['Qty'], grp0['yyp'], grp0['d'])
+                    from ..ops.linreg_i8 import (decode_packed_gt,
+                                                 linreg_block_gz_exact,
+                                                 _digit_planes, _finish_stats)
+                    def ship_decoded():
+                        # cache the DECODED int8 pair: 2 bytes/entry resident
+                        # instead of the packed int32+bool's 5
+                        pd, md = ship_host()
+                        gz8, m8 = decode_packed_gt(pd, md)
+                        import jax
+                        jax.block_until_ready(gz8)
+                        return (gz8, m8)
+                    gz8, m8 = devcache.get(
+                        mb, ('linreg_gz8', gt_field, idx_fp), ship_decoded)
+                    W = np.concatenate([grp0['Q'], grp0['Ys']], axis=1)
+                    Wdig, scales = _digit_planes(W)
+                    out = linreg_block_gz_exact(
+                        gz8, m8, jnp.asarray(Wdig), jnp.asarray(scales),
+                        jnp.asarray(grp0['Qty'], dtype=jnp.float64),
+                        jnp.asarray(grp0['yyp'], dtype=jnp.float64),
+                        jnp.asarray(float(grp0['d'])), grp0['Q'].shape[1])
+                    res = _finish_stats(out, grp0['d'])
+                    return _pack_group(res, gz8.shape[0], grp0)
+                pd, md = devcache.get(
+                    mb, ('linreg_packed', gt_field, idx_fp), ship_host)
+                from ..ops.linreg_i8 import linreg_stats_call
+                res = linreg_stats_call(pd, md, grp0['Q'], grp0['Ys'],
+                                        grp0['Qty'], grp0['yyp'], grp0['d'])
                 return _pack_group(res, pd.shape[0], grp0)
         if use_exact and not is_chained and x_sh is not None:
             from ..ops.linreg_i8 import linreg_stats_i8_exact

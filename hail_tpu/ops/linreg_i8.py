@@ -287,18 +287,33 @@ def linreg_block_i8_exact(G8, Wdig, scales, Qty, yyp, d, k,
     return _exact_core(gz8, m8, Wdig, scales, Qty, yyp, d, k, planes)
 
 
-@partial(jax.jit, static_argnames=('k', 'planes'))
-def linreg_block_call_exact(packed, missing, Wdig, scales, Qty, yyp, d, k,
-                            planes=_EXACT_PLANES):
-    """Exact path straight from PACKED calls: the 3-bit-op n_alt decode runs
-    on device and feeds the int8 GEMM — zero host per-entry work."""
+@jax.jit
+def decode_packed_gt(packed, missing):
+    """Packed calls → (gz8, m8) int8 pair on device (3 bit-ops): the cached
+    form of an entry block — 2 bytes/entry in HBM instead of the packed
+    int32+bool's 5, so every downstream kernel reads 2.5× less."""
     ploidy = packed & 3
     aj = (packed >> 3) & ((1 << 14) - 1)
     ak = (packed >> 17) & ((1 << 15) - 1)
     nalt = (((aj != 0) & (ploidy >= 1)).astype(jnp.int8)
             + ((ak != 0) & (ploidy == 2)).astype(jnp.int8))
     m8 = missing.astype(jnp.int8)
-    gz8 = nalt * (jnp.int8(1) - m8)
+    return nalt * (jnp.int8(1) - m8), m8
+
+
+@partial(jax.jit, static_argnames=('k', 'planes'))
+def linreg_block_gz_exact(gz8, m8, Wdig, scales, Qty, yyp, d, k,
+                          planes=_EXACT_PLANES):
+    """Exact path from an already-decoded (gz8, m8) int8 pair."""
+    return _exact_core(gz8, m8, Wdig, scales, Qty, yyp, d, k, planes)
+
+
+@partial(jax.jit, static_argnames=('k', 'planes'))
+def linreg_block_call_exact(packed, missing, Wdig, scales, Qty, yyp, d, k,
+                            planes=_EXACT_PLANES):
+    """Exact path straight from PACKED calls: the 3-bit-op n_alt decode runs
+    on device and feeds the int8 GEMM — zero host per-entry work."""
+    gz8, m8 = decode_packed_gt(packed, missing)
     return _exact_core(gz8, m8, Wdig, scales, Qty, yyp, d, k, planes)
 
 
