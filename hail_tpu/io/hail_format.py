@@ -722,8 +722,10 @@ def read_hail_table(path: str):
     batches = [Batch.from_pylist(r_vt, rows) for rows in r_parts]
     if not batches:
         batches = [Batch.empty(r_vt)]
-    return Table(TableStage.from_batches(globals_b, list(key), r_vt, batches,
-                                         partition_bounds=_gp_bounds(jrb, r_vt, key)))
+    st = TableStage.from_batches(globals_b, list(key), r_vt, batches,
+                                 partition_bounds=_gp_bounds(jrb, r_vt, key))
+    st.uid_tuple = True   # (partIdx, rowIdx) read uids, reference parity
+    return Table(st)
 
 
 def read_hail_matrix_table(path: str):

@@ -212,6 +212,7 @@ def read_table(path: str):
         st = TableStage(g, meta['key'], sel_t, list(range(len(parts))), pf,
                         bounds, lineage=lineage,
                         uid_bases=list(np.cumsum([0] + lens[:-1]).astype(int)))
+        st.uid_tuple = True    # (partIdx, rowIdx) read uids, reference parity
         # remember provenance: writing back to the same path is an error
         st.source_path = os.path.abspath(path)
 

@@ -203,6 +203,19 @@ def import_vcf(path, force_bgz: bool = False, force: bool = False,
             f'found {entry_float_type}')
     paths = [path] if isinstance(path, str) else list(path)
     paths = [os.path.expanduser(p) for p in paths]
+    # glob patterns expand to their sorted matches (reference: hadoop glob
+    # semantics on input paths, LoadVCF globAllVCFs)
+    expanded = []
+    for p in paths:
+        if any(ch in p for ch in '*?[') and '://' not in p:
+            import glob as _glob
+            hits = sorted(_glob.glob(p))
+            if not hits:
+                raise FatalError(f'arguments refer to no files: {p!r}')
+            expanded.extend(hits)
+        else:
+            expanded.append(p)
+    paths = expanded
     rg = default_reference() if reference_genome == 'default' else (
         ReferenceGenome.get(reference_genome) if isinstance(reference_genome, str) else reference_genome)
 

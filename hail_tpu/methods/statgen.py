@@ -1964,7 +1964,9 @@ def _linear_skat_eager(key_expr, weight_expr, y, x, covariates, max_size: int = 
     rows = []
     for key, idxs in groups.items():
         if len(idxs) > max_size:
-            rows.append(Struct(group=key, size=len(idxs), q_stat=None, p_value=None, fault=1))
+            # oversize group: every stat is missing, fault included
+            # (reference _linear_skat doc: max_size row shows NA/NA/NA)
+            rows.append(Struct(group=key, size=len(idxs), q_stat=None, p_value=None, fault=None))
             continue
         Gi = G[idxs]                       # (m, n)
         w = weights[idxs]
@@ -2040,7 +2042,9 @@ def _logistic_skat_eager(key_expr, weight_expr, y, x, covariates,
     rows = []
     for key, idxs in groups.items():
         if len(idxs) > max_size:
-            rows.append(Struct(group=key, size=len(idxs), q_stat=None, p_value=None, fault=1))
+            # oversize group: every stat is missing, fault included
+            # (reference _linear_skat doc: max_size row shows NA/NA/NA)
+            rows.append(Struct(group=key, size=len(idxs), q_stat=None, p_value=None, fault=None))
             continue
         Gi = G[idxs]
         w = weights[idxs]

@@ -57,6 +57,10 @@ class TableStage:
         # Powers the per-partition fast-restarts cache (reference
         # ExecutionCache.scala:15-103 keyed on SemanticHash + partition).
         self.lineage = lineage
+        # native reads carry TUPLE row uids (partIdx, rowIdx) — the
+        # reference's PartitionNativeReader makeUID (TableIR.scala:778) — so
+        # seeded randomness over read tables hashes a 2-word message
+        self.uid_tuple = False
 
     @property
     def n_partitions(self) -> int:
@@ -89,15 +93,19 @@ class TableStage:
             i, _inner = ctx
             return f(parent.materialize_partition(i), i)
         ctxs = [(i, c) for i, c in enumerate(self.contexts)]
-        return TableStage(self.globals, self.key, new_row_type, ctxs, new_fn,
-                          self.partition_bounds if preserves_bounds else None,
-                          self._child_lineage(lineage_tag),
-                          uid_bases=self.uid_bases)
+        out = TableStage(self.globals, self.key, new_row_type, ctxs, new_fn,
+                         self.partition_bounds if preserves_bounds else None,
+                         self._child_lineage(lineage_tag),
+                         uid_bases=self.uid_bases)
+        out.uid_tuple = self.uid_tuple
+        return out
 
     def with_globals(self, new_globals: Batch) -> 'TableStage':
-        return TableStage(new_globals, self.key, self.row_type, self.contexts,
-                          self.partition_fn, self.partition_bounds,
-                          uid_bases=self.uid_bases)
+        out = TableStage(new_globals, self.key, self.row_type, self.contexts,
+                         self.partition_fn, self.partition_bounds,
+                         uid_bases=self.uid_bases)
+        out.uid_tuple = self.uid_tuple
+        return out
 
     def uid_for(self, part_idx: int, n: int) -> np.ndarray:
         """Stable per-row UIDs for partition `part_idx` of length n."""
@@ -373,10 +381,18 @@ class Table:
         gt = self._stage.globals_type
         g = StructColumn(gt, dict(self._stage.globals.columns), None, (1,))
         idx = self._stage.uid_for(part_idx, n)
-        return EvalEnv({
+        bindings = {
             'row': row, 'global': g,
             '__row_idx__': PrimitiveColumn(ht.tint64, idx),
-        }, (n,))
+        }
+        if self._stage.uid_tuple:
+            # native-read rows: 2-word uid message (partIdx, rowIdx)
+            # (reference PartitionNativeReader makeUID)
+            bindings['__uid_w0__'] = PrimitiveColumn(
+                ht.tint64, np.full(n, part_idx, dtype=np.int64))
+            bindings['__uid_w1__'] = PrimitiveColumn(
+                ht.tint64, np.arange(n, dtype=np.int64))
+        return EvalEnv(bindings, (n,))
 
     def _check_source(self, *exprs: Expression, axes={'row'}):
         for e in exprs:

