@@ -85,7 +85,12 @@ class Call:
         if len(alleles) > 2:
             raise NotImplementedError(
                 'Calls with greater than 2 alleles are not supported.')
-        self._alleles: List[int] = list(alleles)
+        alleles = list(alleles)
+        if not phased and len(alleles) == 2 and alleles[1] < alleles[0]:
+            # unphased diploid calls are normalized j <= k (reference
+            # python Call.__init__ / Scala Genotype.diploidGtIndexWithSwap)
+            alleles = [alleles[1], alleles[0]]
+        self._alleles: List[int] = alleles
         self._phased = phased
 
     @classmethod

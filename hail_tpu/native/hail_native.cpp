@@ -199,8 +199,14 @@ long long vcf_parse_gt(const char* text, size_t len, long n_samples,
                         } else {
                             long a2 = 0;
                             int n2 = parse_int_field(text + q, text + len, &a2);
-                            if (n2 > 0)
+                            if (n2 > 0) {
+                                if (!phased && a2 < a1) {
+                                    // unphased diploid normalized j <= k
+                                    // (Genotype.diploidGtIndexWithSwap)
+                                    long t = a1; a1 = a2; a2 = t;
+                                }
                                 packed = (int32_t)(2 | (phased ? 4 : 0) | (a1 << 3) | (a2 << 17));
+                            }
                         }
                     } else {
                         // haploid
