@@ -569,7 +569,9 @@ def _unary_math(name, npf, result=ht.tfloat64):
 exp = _unary_math('exp', np.exp)
 log10 = _unary_math('log10', np.log10)
 sqrt = _unary_math('sqrt', np.sqrt)
-expit = _unary_math('expit', lambda v: 1.0 / (1.0 + np.exp(-v)))
+# scalar libm exp: numpy's SIMD exp differs from the JVM in the last ulp
+expit = _unary_math('expit', lambda v: 1.0 / (1.0 + np.frompyfunc(
+    math.exp, 1, 1)(-np.asarray(v, np.float64)).astype(np.float64)))
 logit = _unary_math('logit', lambda v: np.log(v / (1.0 - v)))
 floor = _unary_math('floor', np.floor)
 ceil = _unary_math('ceil', np.ceil)
@@ -1150,7 +1152,12 @@ def entropy(s):
         for ch in v:
             counts[ch] = counts.get(ch, 0) + 1
         n = _bi.len(v)
-        return -_bi.sum((c / n) * math.log2(c / n) for c in counts.values())
+        # the engine's exact evaluation order (is/hail/stats/package.scala
+        # entropy): (ln(n) - Σ c·ln(c) / n) / ln(2)
+        acc = 0.0
+        for c in counts.values():
+            acc += c * math.log(c)
+        return (math.log(n) - acc / n) / math.log(2)
     return _apply('entropy', ht.tfloat64, _obj_impl(ht.tfloat64, f), to_expr(s))
 
 
@@ -2640,9 +2647,18 @@ def corr(x, y):
         pairs = [(p, q) for p, q in _bi.zip(a, b) if p is not None and q is not None]
         if _bi.len(pairs) < 2:
             return None
-        av = _np.asarray([p for p, _ in pairs], dtype=_np.float64)
-        bv = _np.asarray([q for _, q in pairs], dtype=_np.float64)
-        return _bi.float(_np.corrcoef(av, bv)[0, 1])
+        # the engine's moment formula (CorrAggregator: n*sxy - sx*sy over
+        # sqrt terms) — np.corrcoef's centered form differs in the last ulp
+        n = _bi.len(pairs)
+        sx = math.fsum(p for p, _ in pairs) if False else _bi.sum(p for p, _ in pairs)
+        sy = _bi.sum(q for _, q in pairs)
+        sxx = _bi.sum(p * p for p, _ in pairs)
+        syy = _bi.sum(q * q for _, q in pairs)
+        sxy = _bi.sum(p * q for p, q in pairs)
+        den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        if den == 0:
+            return None
+        return (n * sxy - sx * sy) / den
     return _apply('corr', ht.tfloat64, _obj_impl(ht.tfloat64, f), xe, ye)
 
 
