@@ -570,8 +570,15 @@ exp = _unary_math('exp', np.exp)
 log10 = _unary_math('log10', np.log10)
 sqrt = _unary_math('sqrt', np.sqrt)
 # scalar libm exp: numpy's SIMD exp differs from the JVM in the last ulp
+def _scalar_exp(x):
+    try:
+        return math.exp(x)
+    except OverflowError:
+        return math.inf
+
+
 expit = _unary_math('expit', lambda v: 1.0 / (1.0 + np.frompyfunc(
-    math.exp, 1, 1)(-np.asarray(v, np.float64)).astype(np.float64)))
+    _scalar_exp, 1, 1)(-np.asarray(v, np.float64)).astype(np.float64)))
 logit = _unary_math('logit', lambda v: np.log(v / (1.0 - v)))
 floor = _unary_math('floor', np.floor)
 ceil = _unary_math('ceil', np.ceil)
