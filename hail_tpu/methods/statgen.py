@@ -430,6 +430,19 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
     from ..ir.semhash import semhash
     x_sh = semhash(xe._ir)
     idx_fp = hash(grp0['idx'].tobytes()) if not all_keep else 0
+    exact_consts = None
+    if use_exact and not is_chained:
+        # ship the per-call device constants ONCE (all partitions share W's
+        # digit planes / Qty / yyp; re-shipping per partition costs an h2d
+        # round trip each through the relay)
+        import jax.numpy as _jnp
+        from ..ops.linreg_i8 import _digit_planes
+        Wdig_h, scales_h = _digit_planes(
+            np.concatenate([grp0['Q'], grp0['Ys']], axis=1))
+        exact_consts = (_jnp.asarray(Wdig_h), _jnp.asarray(scales_h),
+                        _jnp.asarray(grp0['Qty'], dtype=_jnp.float64),
+                        _jnp.asarray(grp0['yyp'], dtype=_jnp.float64),
+                        _jnp.asarray(float(grp0['d'])))
 
     def _pack_group(res, R, grp):
         """res: dict of (R, P) arrays (+ sum_x (R,)) → output columns."""
@@ -477,8 +490,8 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
                             jnp.asarray(miss))
                 if use_exact:
                     from ..ops.linreg_i8 import (decode_packed_gt,
-                                                 linreg_block_gz_exact,
-                                                 _digit_planes, _finish_stats)
+                                                 linreg_block_gz_exact_packed,
+                                                 _finish_stats_packed)
                     def ship_decoded():
                         # cache the DECODED int8 pair: 2 bytes/entry resident
                         # instead of the packed int32+bool's 5
@@ -489,14 +502,10 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
                         return (gz8, m8)
                     gz8, m8 = devcache.get(
                         mb, ('linreg_gz8', gt_field, idx_fp), ship_decoded)
-                    W = np.concatenate([grp0['Q'], grp0['Ys']], axis=1)
-                    Wdig, scales = _digit_planes(W)
-                    out = linreg_block_gz_exact(
-                        gz8, m8, jnp.asarray(Wdig), jnp.asarray(scales),
-                        jnp.asarray(grp0['Qty'], dtype=jnp.float64),
-                        jnp.asarray(grp0['yyp'], dtype=jnp.float64),
-                        jnp.asarray(float(grp0['d'])), grp0['Q'].shape[1])
-                    res = _finish_stats(out, grp0['d'])
+                    Wd, scd, Qtyd, yypd, dd = exact_consts
+                    out = linreg_block_gz_exact_packed(
+                        gz8, m8, Wd, scd, Qtyd, yypd, dd, grp0['Q'].shape[1])
+                    res = _finish_stats_packed(out, grp0['P'], grp0['d'])
                     return _pack_group(res, gz8.shape[0], grp0)
                 pd, md = devcache.get(
                     mb, ('linreg_packed', gt_field, idx_fp), ship_host)

@@ -309,6 +309,32 @@ def linreg_block_gz_exact(gz8, m8, Wdig, scales, Qty, yyp, d, k,
 
 
 @partial(jax.jit, static_argnames=('k', 'planes'))
+def linreg_block_gz_exact_packed(gz8, m8, Wdig, scales, Qty, yyp, d, k,
+                                 planes=_EXACT_PLANES):
+    """Like linreg_block_gz_exact but returns ONE stacked (R, 1+4P) array so
+    the host fetches a single buffer — on the relay each d2h round trip costs
+    tens of ms, so 5 fetches per partition dominated the warm method call."""
+    sum_x, ytx, beta, se, t = _exact_core(gz8, m8, Wdig, scales, Qty, yyp,
+                                          d, k, planes)
+    return jnp.concatenate([sum_x[:, None], ytx, beta, se, t], axis=1)
+
+
+def _finish_stats_packed(packed_out, P, dof):
+    """Split the stacked device result and finish p-values on host."""
+    import scipy.stats as st
+    arr = np.asarray(packed_out, dtype=np.float64)
+    sum_x = arr[:, 0]
+    ytx = arr[:, 1:1 + P]
+    beta = arr[:, 1 + P:1 + 2 * P]
+    se = arr[:, 1 + 2 * P:1 + 3 * P]
+    t = arr[:, 1 + 3 * P:1 + 4 * P]
+    with np.errstate(all='ignore'):
+        p = 2 * st.t.sf(np.abs(t), dof) if dof > 0 else np.full_like(t, np.nan)
+    return dict(sum_x=sum_x, y_transpose_x=ytx, beta=beta,
+                standard_error=se, t_stat=t, p_value=p)
+
+
+@partial(jax.jit, static_argnames=('k', 'planes'))
 def linreg_block_call_exact(packed, missing, Wdig, scales, Qty, yyp, d, k,
                             planes=_EXACT_PLANES):
     """Exact path straight from PACKED calls: the 3-bit-op n_alt decode runs
@@ -320,17 +346,28 @@ def linreg_block_call_exact(packed, missing, Wdig, scales, Qty, yyp, d, k,
 _MAX_EXACT_N = 8_000_000   # int32 GEMM accumulator: N·2·127 < 2³¹
 
 
+@partial(jax.jit, static_argnames=('k', 'planes'))
+def _linreg_block_i8_exact_packed(G8, Wdig, scales, Qty, yyp, d, k,
+                                  planes=_EXACT_PLANES):
+    miss = G8 < jnp.int8(0)
+    gz8 = jnp.where(miss, jnp.int8(0), G8)
+    sum_x, ytx, beta, se, t = _exact_core(gz8, miss.astype(jnp.int8), Wdig,
+                                          scales, Qty, yyp, d, k, planes)
+    return jnp.concatenate([sum_x[:, None], ytx, beta, se, t], axis=1)
+
+
 def linreg_stats_i8_exact(G8: np.ndarray, Q: np.ndarray, Ys: np.ndarray,
                           Qty: np.ndarray, yyp: np.ndarray, dof: int):
-    """Host wrapper: f64-parity results from int8 storage (default path)."""
+    """Host wrapper: f64-parity results from int8 storage (default path).
+    Single stacked d2h fetch (relay round trips dominate otherwise)."""
     k = Q.shape[1]
     W = np.concatenate([Q, Ys], axis=1)
     Wdig, scales = _digit_planes(W)
-    out = linreg_block_i8_exact(
+    out = _linreg_block_i8_exact_packed(
         jnp.asarray(G8), jnp.asarray(Wdig), jnp.asarray(scales),
         jnp.asarray(Qty, dtype=jnp.float64),
         jnp.asarray(yyp, dtype=jnp.float64), jnp.asarray(float(dof)), k)
-    return _finish_stats(out, dof)
+    return _finish_stats_packed(out, Ys.shape[1], dof)
 
 
 def linreg_stats_call_exact(packed: np.ndarray, missing, Q: np.ndarray,
