@@ -507,11 +507,20 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
                         gz8, m8, Wd, scd, Qtyd, yypd, dd, grp0['Q'].shape[1])
                     res = _finish_stats_packed(out, grp0['P'], grp0['d'])
                     return _pack_group(res, gz8.shape[0], grp0)
-                pd, md = devcache.get(
-                    mb, ('linreg_packed', gt_field, idx_fp), ship_host)
-                from ..ops.linreg_i8 import linreg_stats_call
-                res = linreg_stats_call(pd, md, grp0['Q'], grp0['Ys'],
-                                        grp0['Qty'], grp0['yyp'], grp0['d'])
+                # f32 legacy path: share the exact path's decoded int8 cache
+                # (G8 = gz8 - m8 restores the -1-missing storage on device)
+                from ..ops.linreg_i8 import (decode_packed_gt,
+                                             linreg_stats_i8)
+                def ship_decoded_f32():
+                    pd, md = ship_host()
+                    gz8, m8 = decode_packed_gt(pd, md)
+                    import jax
+                    jax.block_until_ready(gz8)
+                    return (gz8, m8)
+                gz8, m8 = devcache.get(
+                    mb, ('linreg_gz8', gt_field, idx_fp), ship_decoded_f32)
+                res = linreg_stats_i8(gz8 - m8, grp0['Q'], grp0['Ys'],
+                                      grp0['Qty'], grp0['yyp'], grp0['d'])
                 return _pack_group(res, pd.shape[0], grp0)
         if use_exact and not is_chained and x_sh is not None:
             from ..ops.linreg_i8 import linreg_stats_i8_exact
