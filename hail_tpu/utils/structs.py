@@ -392,6 +392,8 @@ def thaw(v):
     surfaces at output boundaries (its `_convert_from_json` freezes only
     where hashability demands: dict keys and set elements stay frozen;
     top-level and array/struct-nested sets/dicts are plain set/dict)."""
+    if isinstance(v, frozenlist):
+        return [thaw(x) for x in v]
     if isinstance(v, frozendict):
         return {k: thaw(x) for k, x in v.items()}
     if isinstance(v, dict):
