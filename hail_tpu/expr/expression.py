@@ -325,7 +325,13 @@ class Expression:
             if len(st.col_key) == 1:
                 col_hdrs = [render(k[st.col_key[0]]) for k in col_keys]
             else:
-                col_hdrs = [render(tuple(k[f] for f in st.col_key))
+                # compound col keys render as JSON OBJECTS in the header
+                # (reference export notes: "each compound column key is
+                # converted to JSON")
+                import json as _json2
+                col_hdrs = [_json2.dumps({f: _json_safe(k[f])
+                                          for f in st.col_key},
+                                         separators=(',', ':'))
                             for k in col_keys]
             with _w(path) as f:
                 if header:
