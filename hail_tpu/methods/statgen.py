@@ -521,9 +521,10 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
                     mb, ('linreg_gz8', gt_field, idx_fp), ship_decoded_f32)
                 res = linreg_stats_i8(gz8 - m8, grp0['Q'], grp0['Ys'],
                                       grp0['Qty'], grp0['yyp'], grp0['d'])
-                return _pack_group(res, pd.shape[0], grp0)
+                return _pack_group(res, int(gz8.shape[0]), grp0)
         if use_exact and not is_chained and x_sh is not None:
-            from ..ops.linreg_i8 import linreg_stats_i8_exact
+            from ..ops.linreg_i8 import (_linreg_block_i8_exact_packed,
+                                         _finish_stats_packed)
             def ship_g8():
                 G8 = _eval_entry_i8_checked(mt, xe, mb, i, grp0['n'])
                 if G8 is None:
@@ -532,9 +533,11 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
                                     np.ascontiguousarray(G8[:, grp0['idx']])),)
             (g8d,) = devcache.get(mb, ('linreg_i8x', x_sh, idx_fp), ship_g8)
             if g8d is not None:
-                res = linreg_stats_i8_exact(g8d, grp0['Q'], grp0['Ys'],
-                                            grp0['Qty'], grp0['yyp'], grp0['d'])
-                return _pack_group(res, g8d.shape[0], grp0)
+                Wd, scd, Qtyd, yypd, dd = exact_consts
+                out = _linreg_block_i8_exact_packed(
+                    g8d, Wd, scd, Qtyd, yypd, dd, grp0['Q'].shape[1])
+                res = _finish_stats_packed(out, grp0['P'], grp0['d'])
+                return _pack_group(res, int(g8d.shape[0]), grp0)
         if use_i8:
             from ..ops.linreg_i8 import linreg_stats_i8
             G8 = _eval_entry_i8(mt, xe, mb, i)
