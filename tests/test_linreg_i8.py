@@ -147,3 +147,24 @@ def test_default_linreg_uses_exact_device_path():
         X[:, 1] = row
         beta = np.linalg.lstsq(X, pheno, rcond=None)[0]
         np.testing.assert_allclose(b1[j], beta[1], rtol=1e-8)
+
+
+def test_f32_optin_on_packed_calls_matches_default():
+    """The legacy f32 opt-in shares the exact path's decoded device cache
+    and agrees with the default f64 path to f32 precision."""
+    import numpy as np
+    import hail_tpu as hl
+    rng = np.random.default_rng(11)
+    n, m = 50, 30
+    mt = hl.utils.range_matrix_table(m, n, n_partitions=2)
+    g = rng.integers(0, 3, (m, n))
+    mt = mt.annotate_globals(g=g.tolist(), ph=rng.normal(size=n).tolist())
+    mt = mt.annotate_entries(
+        GT=hl.unphased_diploid_gt_index_call(mt.g[mt.row_idx][mt.col_idx]))
+    mt = mt.annotate_cols(y=mt.ph[mt.col_idx])
+    b64 = np.asarray([r.beta for r in hl.linear_regression_rows(
+        y=mt.y, x=mt.GT.n_alt_alleles(), covariates=[1.0]).collect()])
+    b32 = np.asarray([r.beta for r in hl.linear_regression_rows(
+        y=mt.y, x=mt.GT.n_alt_alleles(), covariates=[1.0],
+        _precision='float32').collect()])
+    np.testing.assert_allclose(b32, b64, rtol=2e-4)
