@@ -682,8 +682,25 @@ class BatchService:
         env = dict(os.environ)
         env.update(spec.get('env') or {})
         logf = open(log_path, 'wb')
+        # scoped worker isolation (reference worker: docker + cgroup limits;
+        # here per-job rlimits — address space, cpu seconds, file size)
+        resources = spec.get('resources') or {}
+
+        def _limits():
+            import resource as _res
+            mem = resources.get('memory_bytes')
+            if mem:
+                _res.setrlimit(_res.RLIMIT_AS, (int(mem), int(mem)))
+            cpu_s = resources.get('cpu_seconds')
+            if cpu_s:
+                _res.setrlimit(_res.RLIMIT_CPU, (int(cpu_s), int(cpu_s)))
+            fsz = resources.get('max_file_bytes')
+            if fsz:
+                _res.setrlimit(_res.RLIMIT_FSIZE, (int(fsz), int(fsz)))
+
         proc = subprocess.Popen(argv, stdout=logf, stderr=subprocess.STDOUT,
-                                env=env, start_new_session=True)
+                                env=env, start_new_session=True,
+                                preexec_fn=_limits if resources else None)
         self._running_procs[(bid, jid)] = proc
         self._set_job_state(bid, jid, 'Running', attempts=attempt,
                             log_path=log_path, time_started=time.time())

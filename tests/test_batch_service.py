@@ -248,3 +248,22 @@ def test_billing_limit_blocks_new_batches(client):
     with _pytest.raises(urllib.error.HTTPError) as exc:
         client.create_batch(billing_project='bp-capped')
     assert exc.value.code == 403
+
+
+def test_job_resource_limits(client):
+    """Per-job rlimits (the scoped analogue of the reference worker's
+    container resource limits): a job exceeding its cpu-seconds budget is
+    killed and marked Failed."""
+    bid = client.create_batch()
+    client.create_jobs(bid, [
+        {'job_id': 1,
+         'spec': {'command': 'python3 -c "while True: pass"',
+                  'resources': {'cpu_seconds': 1}}},
+        {'job_id': 2, 'spec': {'command': 'echo fine',
+                               'resources': {'memory_bytes': 1 << 30}}},
+    ])
+    client.close_batch(bid)
+    st = client.wait(bid, timeout=60)
+    jobs = {j['job_id']: j for j in client.list_jobs(bid)}
+    assert jobs[1]['state'] == 'Failed'
+    assert jobs[2]['state'] == 'Success'
