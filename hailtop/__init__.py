@@ -102,7 +102,13 @@ def _get_remote_tmpdir(caller_name, *, bucket=None, remote_tmpdir=None,
 
 
 _cfgmod.get_remote_tmpdir = _get_remote_tmpdir
+import hail_tpu.services.deploy_config as _dcmod
+_cfgmod.DeployConfig = _dcmod.DeployConfig
+_cfgmod.get_deploy_config = _dcmod.get_deploy_config
 _sys.modules['hailtop.config'] = _cfgmod
+_sys.modules['hailtop.config.deploy_config'] = _dcmod
+import hail_tpu.config as _ucmod
+_sys.modules['hailtop.config.user_config'] = _ucmod
 
 _proc = _types.ModuleType('hailtop.utils.process')
 from hail_tpu.utils.misc import sync_check_exec as _sync_check_exec  # noqa: E402

@@ -25,7 +25,7 @@ SUITES=(
   "call-caching $REF/test_call_caching.py"
   "ir          $REF/test_ir.py"
   "batch-dsl   /root/reference/hail/python/test/hailtop/batch/test_batch_local_backend.py"
-  "hailtop-misc /root/reference/hail/python/test/hailtop/test_dictfix.py /root/reference/hail/python/test/hailtop/test_humanizex.py /root/reference/hail/python/test/hailtop/test_timex.py /root/reference/hail/python/test/hailtop/test_yamlx.py /root/reference/hail/python/test/hailtop/utils/test_filesize.py /root/reference/hail/python/test/hailtop/utils/test_utils.py /root/reference/hail/python/test/hailtop/utils/test_time.py"
+  "hailtop-misc /root/reference/hail/python/test/hailtop/test_dictfix.py /root/reference/hail/python/test/hailtop/test_humanizex.py /root/reference/hail/python/test/hailtop/test_timex.py /root/reference/hail/python/test/hailtop/test_yamlx.py /root/reference/hail/python/test/hailtop/utils/test_filesize.py /root/reference/hail/python/test/hailtop/utils/test_utils.py /root/reference/hail/python/test/hailtop/utils/test_time.py /root/reference/hail/python/test/hailtop/config/test_deploy_config.py"
   "misc        $REF/test_randomness.py $REF/test_indices_aggregations.py $REF/test_context.py"
 )
 
