@@ -69,37 +69,10 @@ def list_config() -> dict:
     return {s: dict(cfg.items(s)) for s in cfg.sections()}
 
 
-class DeployConfig:
-    """Service URL resolution (reference `hailtop/config/deploy_config.py`).
-    In this build all services are local/gated; the API is preserved."""
-
-    def __init__(self, location: str = 'external', default_namespace: str = 'default',
-                 domain: str = 'localhost'):
-        self._location = location
-        self._default_namespace = default_namespace
-        self._domain = domain
-
-    @staticmethod
-    def from_config() -> 'DeployConfig':
-        return DeployConfig(
-            get_config_option('deploy/location', 'external'),
-            get_config_option('deploy/default_namespace', 'default'),
-            get_config_option('deploy/domain', 'localhost'))
-
-    def location(self) -> str:
-        return self._location
-
-    def default_namespace(self) -> str:
-        return self._default_namespace
-
-    def domain(self) -> str:
-        return self._domain
-
-    def base_url(self, service: str) -> str:
-        return f'http://{service}.{self._domain}'
-
-    def url(self, service: str, path: str) -> str:
-        return self.base_url(service) + path
+# the full service-routing DeployConfig lives in
+# services/deploy_config.py; re-exported here for the
+# hailtop.config surface
+from .services.deploy_config import DeployConfig, get_deploy_config  # noqa: E402,F401
 
 
 class ConfigVariable(str, __import__('enum').Enum):
