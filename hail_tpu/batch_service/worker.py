@@ -1,0 +1,266 @@
+"""Batch worker: executes one job attempt as an isolated subprocess.
+
+The reference worker (`/root/reference/batch/batch/worker/worker.py`) runs
+each job as docker containers (input-copy / main / output-copy) with a
+per-job /io volume, netns isolation, and cgroup limits. The single-host
+analogue here:
+
+  * three "containers" per job: `input` (localize input_files), `main`
+    (the command under rlimits + optional timeout), `output` (publish
+    output_files) — each with its own log and container status, so the
+    client's `_get_exit_code(status, 'main')` contract holds.
+  * per-job /io isolation via a private mount namespace when running as
+    root (`unshare -m` + bind-mount of the job scratch dir onto /io,
+    mirroring the reference's volume mount); otherwise commands see the
+    scratch dir through the HAIL_IO_DIR env var.
+  * rlimits for memory/cpu/file-size (reference cgroup limits) and
+    SIGKILL on timeout (reference JobTimeoutError).
+
+File transfer supports local paths (optionally file://) with trailing
+wildcards, like the reference Copier limited to the local scheme (cloud
+schemes are gated in this zero-egress build).
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+import shutil
+import subprocess
+import time
+from typing import Dict, List, Optional, Tuple
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def _strip_scheme(path: str) -> Optional[str]:
+    if path.startswith('file://'):
+        return path[len('file://'):]
+    if '://' in path:
+        return None          # cloud scheme: gated
+    return path
+
+
+def _copy_files(pairs: List[Tuple[str, str]], io_dir: str,
+                direction: str) -> Tuple[int, str]:
+    """Run one transfer list; returns (exit_code, log). `/io/...` paths map
+    into io_dir."""
+    logs = []
+
+    def map_io(p: str) -> str:
+        if p == '/io' or p.startswith('/io/'):
+            return io_dir + p[len('/io'):]
+        return p
+
+    for src, dst in pairs:
+        s = _strip_scheme(src)
+        d = _strip_scheme(dst)
+        if s is None or d is None:
+            logs.append(f'cannot copy {src} -> {dst}: '
+                        'cloud schemes are gated in this build')
+            return 1, '\n'.join(logs)
+        s, d = map_io(s), map_io(d)
+        srcs = globmod.glob(s) if any(c in s for c in '*?[') else [s]
+        if not srcs:
+            logs.append(f'no files found at {src}')
+            return 1, '\n'.join(logs)
+        for one in srcs:
+            try:
+                if os.path.isdir(one):
+                    target = os.path.join(d, os.path.basename(one.rstrip('/')))
+                    shutil.copytree(one, target, dirs_exist_ok=True)
+                    logs.append(f'copied tree {one} -> {target}')
+                else:
+                    if d.endswith('/') or len(srcs) > 1 or os.path.isdir(d):
+                        os.makedirs(d, exist_ok=True)
+                        target = os.path.join(d, os.path.basename(one))
+                    else:
+                        os.makedirs(os.path.dirname(d) or '.', exist_ok=True)
+                        target = d
+                    shutil.copyfile(one, target)
+                    logs.append(f'copied {one} -> {target}')
+            except OSError as e:
+                logs.append(f'copy {one} -> {d} failed: {e}')
+                return 1, '\n'.join(logs)
+    return 0, '\n'.join(logs)
+
+
+_CAN_UNSHARE: Optional[bool] = None
+
+
+def _can_unshare() -> bool:
+    """Private mount namespaces need root (or CAP_SYS_ADMIN) and a working
+    `unshare`; probed once."""
+    global _CAN_UNSHARE
+    if _CAN_UNSHARE is None:
+        try:
+            rc = subprocess.run(
+                ['unshare', '-m', 'true'], stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL, timeout=10).returncode
+            _CAN_UNSHARE = (rc == 0)
+        except (OSError, subprocess.TimeoutExpired):
+            _CAN_UNSHARE = False
+    return _CAN_UNSHARE
+
+
+class JobResult:
+    def __init__(self):
+        self.container_statuses: Dict[str, Optional[dict]] = {
+            'input': None, 'main': None, 'output': None}
+        self.logs: Dict[str, str] = {}
+        self.exit_code: Optional[int] = None    # of the first failing step
+        self.error: Optional[str] = None
+        self.timed_out = False
+        self.duration_ms = 0
+
+    @property
+    def ok(self) -> bool:
+        return self.error is None and self.exit_code == 0 and not self.timed_out
+
+
+def _container_status(state: str, exit_code: Optional[int], t0: int, t1: int,
+                      error: Optional[str] = None) -> dict:
+    # the client contract (aioclient.Job._get_exit_code): exit codes live at
+    # container_statuses[task]['container_status']['exit_code'], durations at
+    # ['timing']['runtime']['duration'], and a non-None ['error'] hides them
+    return {
+        'name': state, 'state': 'succeeded' if exit_code == 0 else 'failed',
+        'error': error,
+        'container_status': {'exit_code': exit_code, 'out_of_memory': False},
+        'timing': {'runtime': {'start_time': t0, 'finish_time': t1,
+                               'duration': t1 - t0}},
+    }
+
+
+def run_job_attempt(spec: dict, io_dir: str, log_dir: str,
+                    cancel_check=None) -> JobResult:
+    """Execute one attempt of `spec` (the client job spec: process{command},
+    env[], resources{}, timeout, input_files, output_files). Blocking — the
+    driver calls this on an executor thread."""
+    res = JobResult()
+    os.makedirs(io_dir, exist_ok=True)
+    os.makedirs(log_dir, exist_ok=True)
+    t_start = _now_ms()
+
+    inputs = [(f['from'], f['to']) for f in spec.get('input_files') or []]
+    if inputs:
+        t0 = _now_ms()
+        rc, log = _copy_files(inputs, io_dir, 'input')
+        t1 = _now_ms()
+        res.logs['input'] = log
+        res.container_statuses['input'] = _container_status('input', rc, t0, t1)
+        if rc != 0:
+            res.exit_code = rc
+            res.duration_ms = t1 - t_start
+            return res
+
+    process = spec.get('process') or {}
+    command = process.get('command') or spec.get('command') or ['true']
+    if not isinstance(command, list):
+        command = ['/bin/bash', '-c', str(command)]
+    env = dict(os.environ)
+    spec_env = spec.get('env')
+    if isinstance(spec_env, dict):        # legacy internal shape
+        env.update({k: str(v) for k, v in spec_env.items()})
+    else:
+        for e in spec_env or []:
+            if isinstance(e, dict):
+                env[e['name']] = str(e['value'])
+    env['HAIL_IO_DIR'] = io_dir
+    env['HAIL_BATCH_ID'] = str(spec.get('batch_id', 0))
+    env['HAIL_JOB_ID'] = str(spec.get('job_id', 0))
+    port = spec.get('port')
+    if port is not None:
+        env['HAIL_BATCH_WORKER_PORT'] = str(port)
+        env['HAIL_BATCH_WORKER_IP'] = '127.0.0.1'
+
+    if _can_unshare():
+        # reference /io volume: private mount ns + bind of the scratch dir
+        argv = (['unshare', '-m', '/bin/sh', '-c',
+                 'mkdir -p /io && mount --bind "$HAIL_IO_DIR" /io && exec "$@"',
+                 'hail-job'] + command)
+    else:
+        argv = command
+
+    resources = spec.get('resources') or {}
+
+    def _limits():
+        import resource as _res
+        mem = resources.get('memory_bytes')
+        if mem:
+            _res.setrlimit(_res.RLIMIT_AS, (int(mem), int(mem)))
+        cpu_s = resources.get('cpu_seconds')
+        if cpu_s:
+            _res.setrlimit(_res.RLIMIT_CPU, (int(cpu_s), int(cpu_s)))
+        fsz = resources.get('max_file_bytes')
+        if fsz:
+            _res.setrlimit(_res.RLIMIT_FSIZE, (int(fsz), int(fsz)))
+
+    main_log = os.path.join(log_dir, 'main.log')
+    t0 = _now_ms()
+    timed_out = False
+    try:
+        with open(main_log, 'wb') as lf:
+            proc = subprocess.Popen(
+                argv, stdout=lf, stderr=subprocess.STDOUT, env=env,
+                start_new_session=True,
+                preexec_fn=_limits if resources else None)
+            timeout = spec.get('timeout')
+            deadline = (time.time() + float(timeout)) if timeout else None
+            while True:
+                try:
+                    rc = proc.wait(timeout=0.2)
+                    break
+                except subprocess.TimeoutExpired:
+                    if deadline is not None and time.time() > deadline:
+                        timed_out = True
+                        _kill_group(proc)
+                        rc = proc.wait()
+                        break
+                    if cancel_check is not None and cancel_check():
+                        _kill_group(proc)
+                        rc = proc.wait()
+                        break
+    except OSError as e:
+        res.error = f'error starting job process: {e}'
+        res.container_statuses['main'] = _container_status(
+            'main', None, t0, _now_ms(), error=res.error)
+        res.duration_ms = _now_ms() - t_start
+        return res
+    t1 = _now_ms()
+    res.timed_out = timed_out
+    with open(main_log, 'rb') as f:
+        res.logs['main'] = f.read().decode('utf-8', 'replace')
+    err = ('JobTimeoutError: job timed out after '
+           f'{spec.get("timeout")}s') if timed_out else None
+    res.container_statuses['main'] = _container_status('main', rc, t0, t1,
+                                                       error=err)
+    res.exit_code = rc
+    if timed_out:
+        res.error = err
+    if rc == 0 and not timed_out:
+        outputs = [(f['from'], f['to']) for f in spec.get('output_files') or []]
+        if outputs:
+            t0o = _now_ms()
+            rco, logo = _copy_files(outputs, io_dir, 'output')
+            t1o = _now_ms()
+            res.logs['output'] = logo
+            res.container_statuses['output'] = _container_status(
+                'output', rco, t0o, t1o)
+            if rco != 0:
+                res.exit_code = rco
+    res.duration_ms = _now_ms() - t_start
+    return res
+
+
+def _kill_group(proc: subprocess.Popen) -> None:
+    import signal
+    try:
+        os.killpg(proc.pid, signal.SIGKILL)
+    except (ProcessLookupError, PermissionError):
+        try:
+            proc.kill()
+        except ProcessLookupError:
+            pass

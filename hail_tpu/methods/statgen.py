@@ -641,16 +641,142 @@ def _glm_column_setup(mt, ys, covariates):
     return idx, covmat, yvecs
 
 
-def _glm_xvecs(mt, xe, mb, i, idx):
-    """Per-partition x over kept samples, mean-imputed (reference
-    `transmute(x=hl.nd.array(mean_impute(...)))`)."""
-    G, M = _eval_entry_f64(mt, xe, mb, i)
-    Gk = G[:, idx]
-    Mk = M[:, idx]
+def _impute_host(Gk, Mk):
     with np.errstate(invalid='ignore', divide='ignore'):
         cnt = (~Mk).sum(axis=1)
         mean = np.where(Mk, 0.0, Gk).sum(axis=1) / cnt
     return np.where(Mk, mean[:, None], Gk)
+
+
+def _glm_raw_xvecs(mt, xe, mb, i, idx):
+    """Per-partition raw (x, missing) over kept samples (the device GLM tier
+    imputes on device; ops/glm_device.py)."""
+    G, M = _eval_entry_f64(mt, xe, mb, i)
+    return np.ascontiguousarray(G[:, idx]), np.ascontiguousarray(M[:, idx])
+
+
+def _glm_xvecs(mt, xe, mb, i, idx):
+    """Per-partition x over kept samples, mean-imputed (reference
+    `transmute(x=hl.nd.array(mean_impute(...)))`)."""
+    Gk, Mk = _glm_raw_xvecs(mt, xe, mb, i, idx)
+    return _impute_host(Gk, Mk)
+
+
+def _glm_use_device() -> bool:
+    """Device GLM tier is the default; HAIL_TPU_GLM_DEVICE=0 (or flag
+    glm_device_tier=0) falls back to the host-faithful per-variant loop."""
+    import os
+    env = os.environ.get('HAIL_TPU_GLM_DEVICE')
+    if env is not None:
+        return env not in ('0', 'false', 'False')
+    from ..context import Env
+    if Env.is_initialized():
+        v = Env.hc().flags.get('glm_device_tier')
+        if v is not None:
+            return str(v) not in ('0', 'false', 'False')
+    return True
+
+
+def _pnorm_vec(z):
+    import scipy.special
+    return 0.5 * scipy.special.erfc(-z / np.sqrt(2.0))
+
+
+def _pchisqtail_vec(x, df):
+    import scipy.special
+    with np.errstate(invalid='ignore'):
+        return scipy.special.gammaincc(df / 2.0, np.asarray(x) / 2.0)
+
+
+def _logistic_device_row_structs(test, dev, covmat, Gi, null_fit,
+                                 n_iter_cap=None):
+    """Device GLM arrays → per-row result dicts shaped exactly like
+    stats/glmfit's wald/lrt/score/firth test builders (None for the
+    reference's missing fields)."""
+    R = (dev['chi_sq_stat'] if test == 'score' else
+         dev['full_b'] if test == 'firth' else dev['b']).shape[0]
+    rows = []
+    if test == 'score':
+        p = _pchisqtail_vec(dev['chi_sq_stat'], 1.0)
+        for r in range(R):
+            if dev['nan_input'][r]:
+                rows.append(dict(chi_sq_stat=float('nan'),
+                                 p_value=float('nan')))
+            elif not dev['valid'][r]:
+                rows.append(dict(chi_sq_stat=None, p_value=None))
+            else:
+                rows.append(dict(chi_sq_stat=float(dev['chi_sq_stat'][r]),
+                                 p_value=float(p[r])))
+        return rows
+    if test == 'firth':
+        k = covmat.shape[1]
+        for r in range(R):
+            n_conv = dev['null_status'][r] == 1
+            null_view = dict(
+                b=(dev['null_b'][r].copy() if n_conv else None),
+                mu=(_np_sigmoid(covmat @ dev['null_b'][r]) if n_conv else None),
+                n_iterations=int(dev['null_n_iter'][r]),
+                log_lkhd=float(dev['null_ll'][r]),
+                converged=bool(n_conv),
+                exploded=bool(dev['null_status'][r] == 2))
+            if not n_conv:
+                rows.append(dict(beta=None, chi_sq_stat=None, p_value=None,
+                                 fit=None, firth_null_fit=null_view))
+                continue
+            f_conv = dev['full_status'][r] == 1
+            bf = dev['full_b'][r]
+            full_view = dict(
+                b=(bf.copy() if f_conv else None),
+                mu=(_np_sigmoid(covmat @ bf[:k] + Gi[r] * bf[k])
+                    if f_conv else None),
+                n_iterations=int(dev['full_n_iter'][r]),
+                log_lkhd=float(dev['full_ll'][r]),
+                converged=bool(f_conv),
+                exploded=bool(dev['full_status'][r] == 2))
+            if not f_conv:
+                rows.append(dict(beta=None, chi_sq_stat=None, p_value=None,
+                                 fit=full_view, firth_null_fit=null_view))
+                continue
+            chi = 2.0 * (float(dev['full_ll'][r]) - float(dev['null_ll'][r]))
+            rows.append(dict(beta=float(bf[k]), chi_sq_stat=chi,
+                             p_value=float(_pchisqtail_vec(chi, 1.0)),
+                             fit=full_view, firth_null_fit=null_view))
+        return rows
+    # wald / lrt
+    m = dev['b'].shape[1]
+    conv = dev['status'] == 1
+    fitv = [dict(n_iterations=int(dev['n_iter'][r]), converged=bool(conv[r]),
+                 exploded=bool(dev['status'][r] == 2)) for r in range(R)]
+    if test == 'wald':
+        with np.errstate(invalid='ignore'):
+            p = 2.0 * _pnorm_vec(-np.abs(dev['z']))
+        for r in range(R):
+            if conv[r]:
+                rows.append(dict(beta=float(dev['b'][r, m - 1]),
+                                 standard_error=float(dev['se'][r]),
+                                 z_stat=float(dev['z'][r]),
+                                 p_value=float(p[r]), fit=fitv[r]))
+            else:
+                rows.append(dict(beta=None, standard_error=None, z_stat=None,
+                                 p_value=None, fit=fitv[r]))
+        return rows
+    # lrt
+    chi = 2.0 * (dev['ll'] - float(null_fit['log_lkhd']))
+    p = _pchisqtail_vec(chi, 1.0)
+    for r in range(R):
+        if conv[r]:
+            rows.append(dict(beta=float(dev['b'][r, m - 1]),
+                             chi_sq_stat=float(chi[r]),
+                             p_value=float(p[r]), fit=fitv[r]))
+        else:
+            rows.append(dict(beta=None, chi_sq_stat=None, p_value=None,
+                             fit=fitv[r]))
+    return rows
+
+
+def _np_sigmoid(v):
+    with np.errstate(over='ignore'):
+        return 1.0 / (1.0 + np.exp(-v))
 
 
 def logistic_regression_rows(test: str, y, x, covariates, pass_through=(),
@@ -745,15 +871,47 @@ def logistic_regression_rows(test: str, y, x, covariates, pass_through=(),
                       log_lkhd=f.get('log_lkhd'), converged=f['converged'],
                       exploded=f['exploded'])
 
+    use_device = _glm_use_device() and max_iterations > 0
+
+    def _to_struct(d):
+        d = dict(d)
+        if 'firth_null_fit' in d:
+            d['firth_null_fit'] = _firth_struct(d['firth_null_fit'])
+            d['fit'] = _firth_struct(d['fit'])
+        elif 'fit' in d and isinstance(d['fit'], dict):
+            d['fit'] = _fit_view_struct(d['fit'])
+        return Struct(**d)
+
     def per_part(mb, i):
-        Xv = _glm_xvecs(mt, xe, mb, i, idx)            # (R, n) imputed
-        R = Xv.shape[0]
-        rows = []
-        for r in range(R):
-            Xr = np.hstack([covmat, Xv[r][:, None]])
-            results = [Struct(**run_test(Xr, yvec, nf))
-                       for yvec, nf in zip(yvecs, null_fits)]
-            rows.append(results)
+        if use_device:
+            # default: batched per-variant-frozen Newton/Firth on the MXU
+            # (ops/glm_device.py; parity with the host port is pinned by
+            # tests/test_glm_device.py)
+            from ..ops import glm_device
+            Gk, Mk = _glm_raw_xvecs(mt, xe, mb, i, idx)
+            R = Gk.shape[0]
+            if R == 0:
+                rows = []
+            else:
+                Gi = _impute_host(Gk, Mk) if test == 'firth' else None
+                per_y = []
+                for yvec, nf in zip(yvecs, null_fits):
+                    dev = glm_device.logistic_rows_device(
+                        Gk, Mk, covmat, yvec, nf, test, max_iterations,
+                        tolerance)
+                    per_y.append(_logistic_device_row_structs(
+                        test, dev, covmat, Gi, nf))
+                rows = [[_to_struct(per_y[j][r]) for j in range(len(yvecs))]
+                        for r in range(R)]
+        else:
+            Xv = _glm_xvecs(mt, xe, mb, i, idx)        # (R, n) imputed
+            R = Xv.shape[0]
+            rows = []
+            for r in range(R):
+                Xr = np.hstack([covmat, Xv[r][:, None]])
+                results = [Struct(**run_test(Xr, yvec, nf))
+                           for yvec, nf in zip(yvecs, null_fits)]
+                rows.append(results)
         if y_is_list:
             vals = np.empty(R, dtype=object)
             for r in range(R):

@@ -106,7 +106,7 @@ class CIRunner:
             'complete': b['complete'],
             'state': b.get('state'),
             'steps': [{'job_id': j['job_id'],
-                       'name': (j.get('spec', {}) or {}).get(
+                       'name': j.get('name') or (j.get('spec', {}) or {}).get(
                            'attributes', {}).get('name'),
                        'state': j['state']} for j in jobs],
         }

@@ -32,7 +32,7 @@ def test_simple_batch(client):
     ])
     client.close_batch(bid)
     st = client.wait(bid)
-    assert st['n_succeeded'] == 1 and st['state'] == 'complete'
+    assert st['n_succeeded'] == 1 and st['state'] == 'success'
     assert 'hello' in client.get_job_log(bid, 1)
 
 
@@ -217,7 +217,7 @@ def test_job_groups_nested_status_and_cancel_fast(client):
     g1 = client.get_job_group(bid, 1)
     assert g1['state'] == 'cancelled' and g1['n_cancelled'] == 2
     g3 = client.get_job_group(bid, 3)
-    assert g3['state'] == 'running' and g3['n_succeeded'] == 1
+    assert g3['state'] == 'success' and g3['n_succeeded'] == 1
 
 
 def test_resource_usage_and_billing(client):
