@@ -24,6 +24,16 @@ from .job import BashJob, Job, PythonJob
 from .resource import (InputResourceFile, JobResourceFile, PythonResult,
                        Resource, ResourceFile, ResourceGroup)
 
+# reference hailtop/batch/backend.py:38-39 — default images used for
+# localization helper jobs; env-overridable.
+_PIP_VERSION = '0.2.135'
+HAIL_GENETICS_IMAGES = [
+    'hailgenetics/hail', 'hailgenetics/hailtop', 'hailgenetics/genetics']
+HAIL_GENETICS_HAIL_IMAGE = os.environ.get(
+    'HAIL_GENETICS_HAIL_IMAGE', f'hailgenetics/hail:{_PIP_VERSION}')
+HAIL_GENETICS_HAILTOP_IMAGE = os.environ.get(
+    'HAIL_GENETICS_HAILTOP_IMAGE', f'hailgenetics/hailtop:{_PIP_VERSION}')
+
 
 class BatchRun:
     """Result handle (the reference returns a bc.Batch handle; this mirrors

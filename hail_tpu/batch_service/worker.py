@@ -66,10 +66,16 @@ def _copy_files(pairs: List[Tuple[str, str]], io_dir: str,
         if not srcs:
             logs.append(f'no files found at {src}')
             return 1, '\n'.join(logs)
+        single = len(srcs) == 1 and srcs == [s]
         for one in srcs:
             try:
                 if os.path.isdir(one):
-                    target = os.path.join(d, os.path.basename(one.rstrip('/')))
+                    if single and not d.endswith('/'):
+                        # `cp -r src dst` with dst absent: dst IS the copy
+                        target = d
+                    else:
+                        target = os.path.join(
+                            d, os.path.basename(one.rstrip('/')))
                     shutil.copytree(one, target, dirs_exist_ok=True)
                     logs.append(f'copied tree {one} -> {target}')
                 else:
@@ -88,6 +94,37 @@ def _copy_files(pairs: List[Tuple[str, str]], io_dir: str,
 
 
 _CAN_UNSHARE: Optional[bool] = None
+_CAN_OVERLAY: Optional[bool] = None
+
+# storage quota defaults: the reference gives every job a quota'd XFS rootfs
+# (worker.py:460 cloudfuse/XFS quota disks); default request mirrors the
+# reference's ~5Gi-per-quarter-core, capped so a tmpfs quota can't exhaust RAM
+_DEFAULT_STORAGE_BYTES = 5 * 1024**3
+_MAX_STORAGE_BYTES = 32 * 1024**3
+
+_SIZE_SUFFIXES = {
+    'K': 1000, 'M': 1000**2, 'G': 1000**3, 'T': 1000**4, 'P': 1000**5,
+    'Ki': 1024, 'Mi': 1024**2, 'Gi': 1024**3, 'Ti': 1024**4, 'Pi': 1024**5,
+}
+
+
+def parse_storage_bytes(s) -> Optional[int]:
+    """'10Gi' / '500M' / bare bytes -> int, or None if unparseable."""
+    if s is None:
+        return None
+    if isinstance(s, (int, float)):
+        return int(s)
+    s = str(s).strip()
+    for suf in sorted(_SIZE_SUFFIXES, key=len, reverse=True):
+        if s.endswith(suf):
+            try:
+                return int(float(s[:-len(suf)]) * _SIZE_SUFFIXES[suf])
+            except ValueError:
+                return None
+    try:
+        return int(s)
+    except ValueError:
+        return None
 
 
 def _can_unshare() -> bool:
@@ -103,6 +140,35 @@ def _can_unshare() -> bool:
         except (OSError, subprocess.TimeoutExpired):
             _CAN_UNSHARE = False
     return _CAN_UNSHARE
+
+
+def _can_overlay() -> bool:
+    """Quota'd-rootfs isolation needs root: tmpfs + overlayfs(lowerdir=/) +
+    chroot inside a private mount ns; probed once."""
+    global _CAN_OVERLAY
+    if _CAN_OVERLAY is None:
+        if not _can_unshare():
+            _CAN_OVERLAY = False
+            return False
+        import tempfile
+        probe = tempfile.mkdtemp(prefix='hail-ov-probe-')
+        script = (
+            'set -e; mount -t tmpfs -o size=1M tmpfs "$1"; '
+            'mkdir -p "$1/u" "$1/w" "$1/m"; '
+            'mount -t overlay overlay -o '
+            'lowerdir=/,upperdir="$1/u",workdir="$1/w" "$1/m"; '
+            'chroot "$1/m" /bin/true')
+        try:
+            rc = subprocess.run(
+                ['unshare', '-m', '/bin/sh', '-c', script, 'probe', probe],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                timeout=20).returncode
+            _CAN_OVERLAY = (rc == 0)
+        except (OSError, subprocess.TimeoutExpired):
+            _CAN_OVERLAY = False
+        finally:
+            shutil.rmtree(probe, ignore_errors=True)
+    return _CAN_OVERLAY
 
 
 class JobResult:
@@ -140,10 +206,48 @@ def run_job_attempt(spec: dict, io_dir: str, log_dir: str,
     env[], resources{}, timeout, input_files, output_files). Blocking — the
     driver calls this on an executor thread."""
     res = JobResult()
-    os.makedirs(io_dir, exist_ok=True)
     os.makedirs(log_dir, exist_ok=True)
     t_start = _now_ms()
 
+    resources = spec.get('resources') or {}
+    storage_bytes = parse_storage_bytes(resources.get('storage'))
+    if storage_bytes is None or storage_bytes <= 0:
+        storage_bytes = _DEFAULT_STORAGE_BYTES
+    storage_bytes = min(storage_bytes, _MAX_STORAGE_BYTES)
+
+    # Quota'd rootfs (reference XFS-quota'd container rootfs + /io volume,
+    # worker.py:460): a tmpfs of the storage request holds the overlay upper
+    # AND /io, so rootfs and /io writes share one quota with real ENOSPC
+    # semantics. The tmpfs is mounted in the HOST namespace so /io survives
+    # the job process for the output-copy step; the overlay+chroot happen in
+    # the job's private mount ns and vanish with it.
+    ov_dir = None
+    if _can_overlay():
+        ov_dir = io_dir.rstrip('/') + '.ov'
+        os.makedirs(ov_dir, exist_ok=True)
+        rc = subprocess.run(
+            ['mount', '-t', 'tmpfs', '-o', f'size={storage_bytes}',
+             'tmpfs', ov_dir], capture_output=True, text=True).returncode
+        if rc != 0:
+            ov_dir = None
+    if ov_dir is not None:
+        io_dir = os.path.join(ov_dir, 'u', 'io')
+        os.makedirs(os.path.join(ov_dir, 'w'), exist_ok=True)
+        os.makedirs(os.path.join(ov_dir, 'm'), exist_ok=True)
+    os.makedirs(io_dir, exist_ok=True)
+    try:
+        return _run_job_attempt_inner(spec, io_dir, log_dir, cancel_check,
+                                      res, t_start, ov_dir, resources)
+    finally:
+        if ov_dir is not None:
+            subprocess.run(['umount', '-l', ov_dir], capture_output=True)
+            shutil.rmtree(ov_dir, ignore_errors=True)
+
+
+def _run_job_attempt_inner(spec: dict, io_dir: str, log_dir: str,
+                           cancel_check, res: JobResult, t_start: int,
+                           ov_dir: Optional[str],
+                           resources: dict) -> JobResult:
     inputs = [(f['from'], f['to']) for f in spec.get('input_files') or []]
     if inputs:
         t0 = _now_ms()
@@ -168,7 +272,7 @@ def run_job_attempt(spec: dict, io_dir: str, log_dir: str,
         for e in spec_env or []:
             if isinstance(e, dict):
                 env[e['name']] = str(e['value'])
-    env['HAIL_IO_DIR'] = io_dir
+    env['HAIL_IO_DIR'] = '/io' if ov_dir is not None else io_dir
     env['HAIL_BATCH_ID'] = str(spec.get('batch_id', 0))
     env['HAIL_JOB_ID'] = str(spec.get('job_id', 0))
     port = spec.get('port')
@@ -176,15 +280,30 @@ def run_job_attempt(spec: dict, io_dir: str, log_dir: str,
         env['HAIL_BATCH_WORKER_PORT'] = str(port)
         env['HAIL_BATCH_WORKER_IP'] = '127.0.0.1'
 
-    if _can_unshare():
-        # reference /io volume: private mount ns + bind of the scratch dir
+    if ov_dir is not None:
+        # overlay(lowerdir=/) over the quota tmpfs upper, /proc /dev /sys
+        # rebound, then chroot: the job sees a private, size-limited rootfs
+        # whose /io is the upper's io dir (already holding localized inputs)
+        setup = (
+            'set -e; '
+            'mount -t overlay overlay -o '
+            'lowerdir=/,upperdir="$HAIL_OV/u",workdir="$HAIL_OV/w" '
+            '"$HAIL_OV/m"; '
+            'for d in proc dev sys; do '
+            'mount --rbind "/$d" "$HAIL_OV/m/$d" 2>/dev/null || true; done; '
+            'cd "$HAIL_OV/m"; exec chroot . "$@"')
+        env['HAIL_OV'] = ov_dir
+        argv = ['unshare', '-m', '/bin/sh', '-c', setup, 'hail-job'] + command
+    elif _can_unshare():
+        # no quota available: private mount ns + bind of the scratch dir
+        env['HAIL_IO_HOST_DIR'] = io_dir
         argv = (['unshare', '-m', '/bin/sh', '-c',
-                 'mkdir -p /io && mount --bind "$HAIL_IO_DIR" /io && exec "$@"',
+                 'mkdir -p /io && mount --bind "$HAIL_IO_HOST_DIR" /io '
+                 '&& exec "$@"',
                  'hail-job'] + command)
+        env['HAIL_IO_DIR'] = '/io'
     else:
         argv = command
-
-    resources = spec.get('resources') or {}
 
     def _limits():
         import resource as _res

@@ -479,27 +479,26 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
         if gt_field is not None:
             col = mb.entries.get(gt_field)
             if isinstance(col, C.PrimitiveColumn) and col.typ == ht.tcall:
-                def ship_host():
-                    packed = col.values if all_keep else col.values[:, grp0['idx']]
+                def ship_decoded():
+                    # wire form: 2-bit codes, 0.25 B/entry over the link
+                    # (20× less h2d than packed int32+bool); cached form:
+                    # the decoded int8 pair, 2 B/entry resident in HBM
+                    from ..ops.linreg_i8 import pack_gt_2bit, unpack_gt_2bit
+                    packed = (col.values if all_keep
+                              else col.values[:, grp0['idx']])
                     miss = col.missing
                     if miss is not None and not all_keep:
                         miss = miss[:, grp0['idx']]
-                    if miss is None:
-                        miss = np.zeros(packed.shape, dtype=bool)
-                    return (jnp.asarray(np.ascontiguousarray(packed, np.int32)),
-                            jnp.asarray(miss))
+                    u8 = pack_gt_2bit(np.ascontiguousarray(packed, np.int32),
+                                      miss)
+                    gz8, m8 = unpack_gt_2bit(jnp.asarray(u8),
+                                             packed.shape[1])
+                    import jax
+                    jax.block_until_ready(gz8)
+                    return (gz8, m8)
                 if use_exact:
-                    from ..ops.linreg_i8 import (decode_packed_gt,
-                                                 linreg_block_gz_exact_packed,
+                    from ..ops.linreg_i8 import (linreg_block_gz_exact_packed,
                                                  _finish_stats_packed)
-                    def ship_decoded():
-                        # cache the DECODED int8 pair: 2 bytes/entry resident
-                        # instead of the packed int32+bool's 5
-                        pd, md = ship_host()
-                        gz8, m8 = decode_packed_gt(pd, md)
-                        import jax
-                        jax.block_until_ready(gz8)
-                        return (gz8, m8)
                     gz8, m8 = devcache.get(
                         mb, ('linreg_gz8', gt_field, idx_fp), ship_decoded)
                     Wd, scd, Qtyd, yypd, dd = exact_consts
@@ -509,16 +508,9 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
                     return _pack_group(res, gz8.shape[0], grp0)
                 # f32 legacy path: share the exact path's decoded int8 cache
                 # (G8 = gz8 - m8 restores the -1-missing storage on device)
-                from ..ops.linreg_i8 import (decode_packed_gt,
-                                             linreg_stats_i8)
-                def ship_decoded_f32():
-                    pd, md = ship_host()
-                    gz8, m8 = decode_packed_gt(pd, md)
-                    import jax
-                    jax.block_until_ready(gz8)
-                    return (gz8, m8)
+                from ..ops.linreg_i8 import linreg_stats_i8
                 gz8, m8 = devcache.get(
-                    mb, ('linreg_gz8', gt_field, idx_fp), ship_decoded_f32)
+                    mb, ('linreg_gz8', gt_field, idx_fp), ship_decoded)
                 res = linreg_stats_i8(gz8 - m8, grp0['Q'], grp0['Ys'],
                                       grp0['Qty'], grp0['yyp'], grp0['d'])
                 return _pack_group(res, int(gz8.shape[0]), grp0)

@@ -287,6 +287,40 @@ def linreg_block_i8_exact(G8, Wdig, scales, Qty, yyp, d, k,
     return _exact_core(gz8, m8, Wdig, scales, Qty, yyp, d, k, planes)
 
 
+def pack_gt_2bit(packed: 'np.ndarray', missing) -> 'np.ndarray':
+    """Host: packed-call int32 (R, N) [+ missing bool] → 2-bit codes packed
+    4-per-byte, uint8 (R, ceil(N/4)). Code ∈ {0,1,2} = n_alt_alleles, 3 =
+    missing. This is the wire form for the h2d staging of a linreg/GRM call:
+    0.25 B/entry instead of the packed int32+bool's 5 — the cold path through
+    the axon relay (~20 MB/s) is pure transfer, so 20× fewer bytes is 20×
+    faster cold (round-4 verdict next-1). Mirrors the bit layout of
+    `decode_packed_gt` (reference Call encoding, variant/Call.scala:14-77)."""
+    ploidy = packed & 3
+    aj = (packed >> 3) & ((1 << 14) - 1)
+    ak = (packed >> 17) & ((1 << 15) - 1)
+    nalt = (((aj != 0) & (ploidy >= 1)).astype(np.uint8)
+            + ((ak != 0) & (ploidy == 2)).astype(np.uint8))
+    if missing is not None:
+        nalt = np.where(missing, np.uint8(3), nalt)
+    R, N = nalt.shape
+    N4 = -(-N // 4)
+    if N4 * 4 != N:
+        nalt = np.concatenate(
+            [nalt, np.zeros((R, N4 * 4 - N), np.uint8)], axis=1)
+    v = nalt.reshape(R, N4, 4)
+    return (v[:, :, 0] | (v[:, :, 1] << 2) | (v[:, :, 2] << 4)
+            | (v[:, :, 3] << 6)).astype(np.uint8)
+
+
+@partial(jax.jit, static_argnames=('n',))
+def unpack_gt_2bit(u8, n):
+    """Device: 2-bit-packed codes → the cached (gz8, m8) int8 pair."""
+    codes = jnp.stack([(u8 >> (2 * k)) & 3 for k in range(4)], axis=-1)
+    codes = codes.reshape(u8.shape[0], -1)[:, :n].astype(jnp.int8)
+    m8 = (codes == 3).astype(jnp.int8)
+    return codes * (jnp.int8(1) - m8), m8
+
+
 @jax.jit
 def decode_packed_gt(packed, missing):
     """Packed calls → (gz8, m8) int8 pair on device (3 bit-ops): the cached

@@ -470,17 +470,35 @@ def escape_id(s: str) -> str:
     return f'`{escape_str(s, backticked=True)}`'
 
 
+import threading as _threading
+
+_thread_loops = _threading.local()
+
+
+def hail_event_loop():
+    """This thread's persistent event loop, created on first use (reference
+    `hailtop.hail_event_loop`). Loop-bound resources (aiohttp sessions) stay
+    valid across successive async_to_blocking calls."""
+    import asyncio
+    loop = getattr(_thread_loops, 'loop', None)
+    if loop is None or loop.is_closed():
+        loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(loop)
+        _thread_loops.loop = loop
+    return loop
+
+
 def async_to_blocking(coro):
-    """Run a coroutine to completion on this thread's loop (reference
-    `hailtop/utils/utils.py` async_to_blocking)."""
+    """Run a coroutine to completion on this thread's persistent loop
+    (reference `hailtop/utils/utils.py` async_to_blocking)."""
     import asyncio
     try:
-        loop = asyncio.get_running_loop()
+        running = asyncio.get_running_loop()
     except RuntimeError:
-        loop = None
-    if loop is not None:
+        running = None
+    if running is not None:
         raise RuntimeError('async_to_blocking called from a running event loop')
-    return asyncio.run(coro)
+    return hail_event_loop().run_until_complete(coro)
 
 
 def secret_alnum_string(n: int = 22, *, case: str = 'mixed') -> str:

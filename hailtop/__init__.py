@@ -165,16 +165,61 @@ _aiocloud.aioazure = _aioazure
 _sys.modules['hailtop.aiocloud'] = _aiocloud
 _sys.modules['hailtop.aiocloud.aioazure'] = _aioazure
 
-import hail_tpu.batch_service.client as _bsc  # noqa: E402
-_bcmod = _types.ModuleType('hailtop.batch_client')
-_bcclient = _types.ModuleType('hailtop.batch_client.client')
-_bcclient.BatchClient = _bsc.BatchServiceClient
-_bcclient.Batch = batch.Batch
-_bcclient.Job = batch.Job
-_bcclient.JobGroup = getattr(batch, 'JobGroup', None)
-_bcmod.client = _bcclient
-_sys.modules['hailtop.batch_client'] = _bcmod
-_sys.modules['hailtop.batch_client.client'] = _bcclient
+# hailtop.batch_client / hailtop.httpx are REAL subpackages of this alias
+# package (hailtop/batch_client/*.py) re-exporting
+# hail_tpu/batch_service/{aioclient,sync_client}.py — no synthesis needed.
+
+# extra hailtop.utils surface the reference batch tests import
+from hail_tpu.utils.retries import (  # noqa: E402,F401
+    delay_ms_for_try, external_requests_client_session,
+    retry_response_returning_functions, retry_transient_errors,
+    sleep_before_try, sync_sleep_before_try)
+utils.delay_ms_for_try = delay_ms_for_try
+utils.sleep_before_try = sleep_before_try
+utils.sync_sleep_before_try = sync_sleep_before_try
+utils.external_requests_client_session = external_requests_client_session
+utils.retry_response_returning_functions = retry_response_returning_functions
+utils.retry_transient_errors = retry_transient_errors
+import hail_tpu.utils.rich_progress_bar as _rpb  # noqa: E402
+utils.rich_progress_bar = _rpb
+_sys.modules['hailtop.utils.rich_progress_bar'] = _rpb
+
+
+class _HailCredentials:
+    """reference hailtop.auth.hail_credentials: async context manager
+    yielding a credentials object with auth_headers()."""
+
+    def __init__(self, token=None):
+        from hail_tpu.services.tokens import get_token
+        self._token = token if token is not None else get_token()
+
+    async def auth_headers(self):
+        if self._token:
+            return {'Authorization': f'Bearer {self._token}'}
+        return {}
+
+    async def auth_headers_with_expiration(self):
+        return await self.auth_headers(), None
+
+    async def access_token(self):
+        return self._token
+
+    async def close(self):
+        pass
+
+    async def __aenter__(self):
+        return self
+
+    async def __aexit__(self, *exc):
+        await self.close()
+
+
+def hail_credentials(*, tokens_file=None, cloud_credentials_file=None,
+                     namespace=None, authorize_target=True):
+    return _HailCredentials()
+
+
+auth.hail_credentials = hail_credentials
 
 __pip_version__ = '0.2.135'
 __version__ = __pip_version__
