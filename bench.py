@@ -417,17 +417,23 @@ def main():
                 f'({sp / best_n:.0%} linear)')
 
     out = {
-        'metric': 'linreg_gwas_e2e_variants_per_sec_per_chip_10k_samples_exact_f64parity',
-        'value': round(e2e_rate, 1),
+        # HEADLINE (round-4 verdict next-1): the REAL
+        # hl.linear_regression_rows call, method entry → result-table
+        # materialization, warm (device-cache-resident entries — the
+        # steady-state rate of a QC→linreg→PCA pipeline)
+        'metric': 'linreg_gwas_method_variants_per_sec_per_chip_10k_samples_exact_f64parity',
+        'value': round(method_f64, 1),
         'unit': 'variants/sec/chip',
-        'vs_baseline': round(e2e_rate / numpy_rate, 3),
+        'vs_baseline': round(method_f64 / numpy_rate, 3),
         'e2e_method_vps_default_f64': round(method_f64, 1),
         'e2e_method_vps_default_f64_cold': round(method_f64_cold, 1),
         'e2e_method_vps_f32_optin': round(method_f32, 1),
         'e2e_method_note': 'default f64 path runs the exact int8 digit-plane '
-                           'MXU kernel; warm = device-cache-resident entries '
-                           '(cold includes the one-time h2d through the axon '
-                           'tunnel, ~20 MB/s, 2-4 orders below PCIe)',
+                           'MXU kernel; warm = device-cache-resident entries; '
+                           'cold includes the one-time 2-bit-packed h2d '
+                           'through the axon tunnel (~20 MB/s, 2-4 orders '
+                           'below PCIe)',
+        'kernel_ceiling_vps': round(e2e_rate, 1),
         'kernel_i8_vps': round(kernel_i8, 1),
         'kernel_f64_parity_vps': round(kernel_f64, 1),
         'bm_matmul_f64_gflops_per_chip': round(bm_gflops, 1),

@@ -109,6 +109,7 @@ class Backend:
         "write_ir_files": ("HAIL_WRITE_IR_FILES", None),
         # hail_tpu-specific runtime knobs (same flag machinery)
         "jit_threshold_rows": ("HAIL_TPU_JIT_THRESHOLD_ROWS", "4096"),
+        "use_device_sort": ("HAIL_TPU_USE_DEVICE_SORT", "1"),
         "max_partition_attempts": ("HAIL_TPU_MAX_PARTITION_ATTEMPTS", "3"),
         "partition_cache_bytes": ("HAIL_TPU_PARTITION_CACHE_BYTES", str(512 * 1024 * 1024)),
         "device_cache_bytes": ("HAIL_TPU_DEVICE_CACHE_BYTES", str(8 * 1024 * 1024 * 1024)),
@@ -139,6 +140,10 @@ class Backend:
         t0 = time.perf_counter()
         try:
             results = self._map_collect_impl(contexts, timed_fn)
+            # one batched d2h for every device output the partitions
+            # deferred (ops/fetchgroup.py) — inside the stage timing
+            from ..ops import fetchgroup
+            fetchgroup.flush()
             return results
         finally:
             wall = time.perf_counter() - t0

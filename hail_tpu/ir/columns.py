@@ -191,6 +191,40 @@ class PrimitiveColumn(Column):
         return _nest(out, self.shape)
 
 
+class DeferredPrimitiveColumn(PrimitiveColumn):
+    """A PrimitiveColumn whose data is a pending device→host fetch
+    (ops/fetchgroup.py): `xform(slot_host_array)` → (values, missing) runs on
+    first data access, after the stage's single batched d2h. Construction and
+    shape queries stay lazy — partition functions return Batches whose
+    columns are fetched once per stage, not once per partition. The `values`/
+    `missing` properties shadow the parent's slots, so every inherited
+    method resolves transparently and isinstance(PrimitiveColumn) holds."""
+
+    __slots__ = ('_slot', '_xform', '_resolved')
+
+    def __init__(self, typ: ht.HailType, n: int, slot, xform):
+        self.typ = typ
+        self.shape = (n,)
+        self._slot = slot
+        self._xform = xform
+        self._resolved = None
+
+    def _col(self) -> PrimitiveColumn:
+        if self._resolved is None:
+            values, missing = self._xform(self._slot.get())
+            self._resolved = PrimitiveColumn(self.typ, values, missing)
+            self._slot = self._xform = None
+        return self._resolved
+
+    @property
+    def values(self):
+        return self._col().values
+
+    @property
+    def missing(self):
+        return self._col().missing
+
+
 class StructColumn(Column):
     __slots__ = ('typ', 'fields', 'missing', 'shape')
 

@@ -473,6 +473,35 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
                             grp['Ys'], grp['Qty'], grp['yyp'], grp['d'],
                             _precision)
 
+    def _deferred_scalar_stats(slot, R, grp):
+        """Single-phenotype result columns deferring the d2h: each column
+        slices the stage's one batched fetch (ops/fetchgroup.py) — per-
+        partition fetch round trips collapse to one per method call."""
+        P, dof = grp['P'], grp['d']
+
+        def col(j):
+            return C.DeferredPrimitiveColumn(
+                ht.tfloat64, R, slot,
+                lambda a, j=j: (a[:, j].astype(np.float64), None))
+
+        def p_xf(a):
+            import scipy.stats as st
+            t = a[:, 1 + 3 * P]
+            with np.errstate(all='ignore'):
+                p = (2 * st.t.sf(np.abs(t), dof) if dof > 0
+                     else np.full_like(t, np.nan))
+            return p.astype(np.float64), None
+
+        return {
+            'n': PrimitiveColumn(ht.tint32, np.full(R, grp['n'], np.int32)),
+            'sum_x': col(0),
+            'y_transpose_x': col(1),
+            'beta': col(1 + P),
+            'standard_error': col(1 + 2 * P),
+            't_stat': col(1 + 3 * P),
+            'p_value': C.DeferredPrimitiveColumn(ht.tfloat64, R, slot, p_xf),
+        }
+
     def per_part(mb, i):
         import jax.numpy as jnp
         from ..ops import devcache
@@ -504,6 +533,10 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
                     Wd, scd, Qtyd, yypd, dd = exact_consts
                     out = linreg_block_gz_exact_packed(
                         gz8, m8, Wd, scd, Qtyd, yypd, dd, grp0['Q'].shape[1])
+                    if not y_is_list:
+                        from ..ops import fetchgroup
+                        return _deferred_scalar_stats(
+                            fetchgroup.defer(out), int(gz8.shape[0]), grp0)
                     res = _finish_stats_packed(out, grp0['P'], grp0['d'])
                     return _pack_group(res, gz8.shape[0], grp0)
                 # f32 legacy path: share the exact path's decoded int8 cache
@@ -528,6 +561,10 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
                 Wd, scd, Qtyd, yypd, dd = exact_consts
                 out = _linreg_block_i8_exact_packed(
                     g8d, Wd, scd, Qtyd, yypd, dd, grp0['Q'].shape[1])
+                if not y_is_list:
+                    from ..ops import fetchgroup
+                    return _deferred_scalar_stats(
+                        fetchgroup.defer(out), int(g8d.shape[0]), grp0)
                 res = _finish_stats_packed(out, grp0['P'], grp0['d'])
                 return _pack_group(res, int(g8d.shape[0]), grp0)
         if use_i8:
