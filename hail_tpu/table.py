@@ -2185,6 +2185,9 @@ def _sample_sort(stage: 'TableStage', specs: List[Tuple[str, bool]],
     batches = [b for b in batches if b.length]
     if not batches:
         return TableStage.from_batches(stage.globals, [], stage.row_type, [])
+    device_stage = _device_sample_sort(stage, batches, specs)
+    if device_stage is not None:
+        return device_stage
     P = len(batches)
     keyed = []
     rng = np.random.default_rng(0)
@@ -2222,6 +2225,38 @@ def _sample_sort(stage: 'TableStage', specs: List[Tuple[str, bool]],
     sorted_parts = [b for b in sorted_parts if b.length]
     return TableStage.from_batches(stage.globals, [], stage.row_type,
                                    sorted_parts or [Batch.empty(stage.row_type)])
+
+
+def _device_sample_sort(stage: 'TableStage', batches: List['Batch'],
+                        specs: List[Tuple[str, bool]]) -> Optional['TableStage']:
+    """Device tier of the distributed sort (ops/device_sort.py): when the
+    default mesh has >1 device and the sort key is a single primitive
+    numeric column, the sorted permutation comes from a shard_map +
+    lax.all_to_all range exchange (reference
+    LowerDistributedSort.scala:161,320-464); the host then gathers row
+    payloads in that order, one output partition per device. Total order is
+    identical to the host tier (stable, input order on ties). Returns None
+    when not applicable. Flag `use_device_sort` (default on) gates it."""
+    flag = (Env.hc().flags.get('use_device_sort')
+            if Env.is_initialized() else '1')
+    if str(flag) in ('0', 'false'):
+        return None
+    from .ops.device_sort import device_range_sort, sortable_single_key
+    sk = sortable_single_key(batches, specs)
+    if sk is None:
+        return None
+    keys, asc = sk
+    order = device_range_sort(keys, asc)
+    if order is None:
+        return None
+    merged = Batch.concat(batches) if len(batches) > 1 else batches[0]
+    import jax
+    nd = len(jax.devices())
+    bounds = [(i * len(order)) // nd for i in range(nd + 1)]
+    parts = [merged.gather(order[lo:hi])
+             for lo, hi in zip(bounds, bounds[1:]) if hi > lo]
+    return TableStage.from_batches(stage.globals, [], stage.row_type,
+                                   parts or [Batch.empty(stage.row_type)])
 
 
 def _multihost_sample_sort(stage: 'TableStage', specs: List[Tuple[str, bool]],
