@@ -651,7 +651,7 @@ class Batch:
                     parents: Optional[List[Job]] = None,
                     input_files=None, output_files=None,
                     always_run: bool = False,
-                    n_max_attempts: int = 20,
+                    n_max_attempts: Optional[int] = None,
                     always_copy_output: bool = False,
                     timeout=None, cloudfuse=None,
                     requester_pays_project=None, mount_tokens: bool = False,
@@ -695,13 +695,14 @@ class Batch:
 
         job_spec: Dict[str, Any] = {
             'always_run': always_run,
-            'n_max_attempts': n_max_attempts,
             'always_copy_output': always_copy_output,
             'job_id': self._in_update_job_id,
             'absolute_parent_ids': absolute_parent_ids,
             'in_update_parent_ids': in_update_parent_ids,
             'process': process,
         }
+        if n_max_attempts is not None:
+            job_spec['n_max_attempts'] = n_max_attempts
         if job_group.is_submitted:
             job_spec['absolute_job_group_id'] = job_group._job_group_id
         else:
@@ -784,29 +785,118 @@ class Batch:
             spec['cancel_after_n_failures'] = self._cancel_after_n_failures
         return spec
 
-    async def _open_batch(self) -> Tuple[Optional[int], int, int]:
+    async def _open_batch(self) -> Optional[int]:
         resp = await self._client._post('/api/v1alpha/batches/create',
                                         json=self._batch_spec())
         body = await resp.json()
         self._id = body['id']
         self._submission_info = BatchSubmissionInfo(used_fast_path=False)
-        return (body.get('update_id'), body.get('start_job_id') or 1,
-                body.get('start_job_group_id') or 1)
+        return body.get('update_id')
 
-    async def _create_update(self) -> Tuple[int, int, int]:
+    async def _create_update(self) -> int:
         spec = {'token': secrets.token_urlsafe(16),
                 'n_jobs': len(self._job_specs),
                 'n_job_groups': len(self._job_group_specs)}
         resp = await self._client._post(
             f'/api/v1alpha/batches/{self.id}/updates/create', json=spec)
         body = await resp.json()
-        return (body['update_id'], body['start_job_id'],
-                body['start_job_group_id'])
+        return int(body['update_id'])
+
+    MAX_BUNCH_BYTESIZE = 1024 * 1024
+    MAX_BUNCH_SIZE = 1024
+
+    def _create_bunches(self, job_group_specs: List[dict],
+                        job_specs: List[dict], max_bunch_bytesize: int,
+                        max_bunch_size: int) -> List[List[SpecBytes]]:
+        """Pack serialized specs into size-bounded bunches (reference
+        aioclient._create_bunches: job groups first, then jobs)."""
+        assert max_bunch_bytesize > 0 and max_bunch_size > 0
+        byte_specs = (
+            [SpecBytes(json.dumps(s).encode(), SpecType.JOB_GROUP)
+             for s in job_group_specs]
+            + [SpecBytes(json.dumps(s).encode(), SpecType.JOB)
+               for s in job_specs])
+        bunches: List[List[SpecBytes]] = []
+        bunch: List[SpecBytes] = []
+        n_bytes = 0
+        for spec in byte_specs:
+            assert spec.n_bytes < max_bunch_bytesize, (
+                'every spec must be less than max_bunch_bytesize, '
+                f'{max_bunch_bytesize}B, but '
+                f'{spec.spec_bytes.decode()} is larger')
+            if (n_bytes + spec.n_bytes < max_bunch_bytesize
+                    and len(bunch) < max_bunch_size):
+                bunch.append(spec)
+                n_bytes += spec.n_bytes
+            else:
+                bunches.append(bunch)
+                bunch = [spec]
+                n_bytes = spec.n_bytes
+        if bunch:
+            bunches.append(bunch)
+        return bunches
+
+    @staticmethod
+    def _bunch_json(bunch: List[SpecBytes], typ: 'SpecType') -> list:
+        return [json.loads(s.spec_bytes) for s in bunch if s.typ == typ]
+
+    async def _submit_jobs(self, update_id: int, bunch: List[SpecBytes],
+                           progress_task=None):
+        specs = self._bunch_json(bunch, SpecType.JOB)
+        if specs:
+            await self._client._post(
+                f'/api/v1alpha/batches/{self.id}/updates/{update_id}'
+                '/jobs/create', json={'bunch': specs})
+        if progress_task is not None:
+            progress_task.update(len(specs))
+
+    async def _submit_job_groups(self, update_id: int,
+                                 bunch: List[SpecBytes], progress_task=None):
+        specs = self._bunch_json(bunch, SpecType.JOB_GROUP)
+        if specs:
+            await self._client._post(
+                f'/api/v1alpha/batches/{self.id}/updates/{update_id}'
+                '/job-groups/create', json={'bunch': specs})
+        if progress_task is not None:
+            progress_task.update(len(specs))
+
+    async def _submit_job_group_bunches(self, update_id: int,
+                                        byte_specs_bunches, progress_task=None):
+        for bunch in byte_specs_bunches:
+            await self._submit_job_groups(update_id, bunch, progress_task)
+
+    async def _submit_job_bunches(self, update_id: int, byte_specs_bunches,
+                                  progress_task=None):
+        for bunch in byte_specs_bunches:
+            await self._submit_jobs(update_id, bunch, progress_task)
+
+    async def _create_fast(self, bunch: List[SpecBytes]) -> Tuple[int, int]:
+        body = {'bunch': self._bunch_json(bunch, SpecType.JOB),
+                'job_groups': self._bunch_json(bunch, SpecType.JOB_GROUP),
+                'batch': self._batch_spec()}
+        resp = await self._client._post('/api/v1alpha/batches/create-fast',
+                                        json=body)
+        out = await resp.json()
+        self._id = out['id']
+        self._submission_info = BatchSubmissionInfo(used_fast_path=True)
+        return out.get('start_job_id') or 1, out.get('start_job_group_id') or 1
+
+    async def _update_fast(self, bunch: List[SpecBytes]) -> Tuple[int, int]:
+        body = {'bunch': self._bunch_json(bunch, SpecType.JOB),
+                'job_groups': self._bunch_json(bunch, SpecType.JOB_GROUP),
+                'update': {'token': secrets.token_urlsafe(16),
+                           'n_jobs': len(self._job_specs),
+                           'n_job_groups': len(self._job_group_specs)}}
+        resp = await self._client._post(
+            f'/api/v1alpha/batches/{self.id}/update-fast', json=body)
+        out = await resp.json()
+        self._submission_info = BatchSubmissionInfo(used_fast_path=True)
+        return out['start_job_id'], out.get('start_job_group_id') or 1
 
     async def _submit_bunches(self, update_id: int,
                               max_bunch_size: Optional[int]):
         if max_bunch_size is None:
-            max_bunch_size = 1024
+            max_bunch_size = self.MAX_BUNCH_SIZE
         url_g = (f'/api/v1alpha/batches/{self.id}/updates/{update_id}'
                  '/job-groups/create')
         url_j = (f'/api/v1alpha/batches/{self.id}/updates/{update_id}'
@@ -828,23 +918,43 @@ class Batch:
                      max_bunch_size: Optional[int] = None,
                      disable_progress_bar: bool = True,
                      progress=None) -> None:
+        if max_bunch_bytesize is None:
+            max_bunch_bytesize = self.MAX_BUNCH_BYTESIZE
+        if max_bunch_size is None:
+            max_bunch_size = self.MAX_BUNCH_SIZE
+        bunches = self._create_bunches(self._job_group_specs,
+                                       self._job_specs, max_bunch_bytesize,
+                                       max_bunch_size)
         if self.is_created:
             # update of an existing batch
-            if not self._job_specs and not self._job_group_specs:
+            if not bunches:
                 return
-            update_id, start_job_id, start_jg_id = await self._create_update()
-            await self._submit_bunches(update_id, max_bunch_size)
-            start_job_id, start_jg_id = await self._commit_update(update_id)
-        else:
-            update_id, start_job_id, start_jg_id = await self._open_batch()
-            if update_id is not None:
+            if len(bunches) == 1:
+                start_job_id, start_jg_id = await self._update_fast(
+                    bunches[0])
+            else:
+                update_id = await self._create_update()
                 await self._submit_bunches(update_id, max_bunch_size)
                 start_job_id, start_jg_id = await self._commit_update(
                     update_id)
+                self._submission_info = BatchSubmissionInfo(
+                    used_fast_path=False)
+        else:
+            start_job_id = start_jg_id = 1
+            if len(bunches) == 1:
+                # one bunch: create + submit + commit in a single request
+                start_job_id, start_jg_id = await self._create_fast(
+                    bunches[0])
             else:
-                # empty batch: just close it
-                await self._client._patch(
-                    f'/api/v1alpha/batches/{self.id}/close')
+                update_id = await self._open_batch()
+                if update_id is not None:
+                    await self._submit_bunches(update_id, max_bunch_size)
+                    start_job_id, start_jg_id = await self._commit_update(
+                        update_id)
+                else:
+                    # empty batch: just close it
+                    await self._client._patch(
+                        f'/api/v1alpha/batches/{self.id}/close')
             self._root_job_group._submit(None)
         for jg in self._job_groups:
             jg._submit(start_jg_id)
@@ -890,9 +1000,8 @@ class BatchClient:
             headers['Authorization'] = f'Bearer {_token}'
         else:
             from ..services.tokens import get_token
-            tok = get_token()
-            if tok:
-                headers.setdefault('Authorization', f'Bearer {tok}')
+            tok = get_token() or 'local-dev'
+            headers.setdefault('Authorization', f'Bearer {tok}')
         if session is None:
             session = httpx.client_session()
         return BatchClient(billing_project=billing_project, url=url,

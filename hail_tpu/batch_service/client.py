@@ -19,7 +19,7 @@ class BatchServiceClient:
         self.url = url.rstrip('/')
         if token is None:
             from ..services.tokens import get_token
-            token = get_token()
+            token = get_token() or 'local-dev'
         self.token = token
 
     def _req(self, method: str, path: str, body: Optional[dict] = None) -> dict:
@@ -37,10 +37,13 @@ class BatchServiceClient:
     def create_batch(self, attributes: Optional[dict] = None,
                      billing_project: str = 'local',
                      cancel_after_n_failures: Optional[int] = None) -> int:
+        import secrets as _secrets
         return self._req('POST', '/batches/create', {
             'attributes': attributes or {},
             'billing_project': billing_project,
             'cancel_after_n_failures': cancel_after_n_failures,
+            'token': _secrets.token_urlsafe(16),
+            'n_jobs': 0,
         })['id']
 
     def create_jobs(self, batch_id: int, bunch: List[dict]) -> List[int]:

@@ -29,6 +29,7 @@ from __future__ import annotations
 import asyncio
 import json
 import os
+import re
 import secrets
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -74,6 +75,53 @@ class Autoscaler:
         else:
             self._idle_since = None
         return self.n_slots
+
+
+# -- image resolution --------------------------------------------------------
+# The single-node worker executes host binaries; an image is a claim that
+# the job's tools exist. Known images run; unknown ones fail like the
+# reference worker's docker-pull failure (short_error 'image not found'),
+# and syntactically invalid references fail like a bad `docker pull`.
+
+_IMAGE_RE = re.compile(
+    r'^(?:[a-zA-Z0-9.-]+(?::[0-9]+)?/)?'
+    r'[a-z0-9]+(?:[._-]+[a-z0-9]+)*'
+    r'(?:/[a-z0-9]+(?:[._-]+[a-z0-9]+)*)*'
+    r'(?::[A-Za-z0-9_][A-Za-z0-9._-]{0,127})?'
+    r'(?:@sha256:[A-Fa-f0-9]{64})?$')
+
+_KNOWN_REPOS = {'ubuntu', 'python', 'debian', 'alpine', 'busybox', 'bash',
+                'curlimages/curl', 'google/cloud-sdk'}
+
+
+def _image_error(spec: dict):
+    """None when the image can run here; else (short_error, message)."""
+    process = spec.get('process') or {}
+    if process.get('type') != 'docker':
+        return None
+    image = process.get('image')
+    if not isinstance(image, str) or not image:
+        return ('image cannot be parsed', 'no image specified')
+    if not _IMAGE_RE.match(image):
+        return ('image cannot be parsed',
+                f'Invalid reference format: {image!r}')
+    for k, v in os.environ.items():
+        if k.endswith('_IMAGE') and v == image:
+            return None
+    name = image
+    parts = name.split('/', 1)
+    if len(parts) == 2 and ('.' in parts[0] or ':' in parts[0]):
+        host, rest = parts
+        if host in ('docker.io', 'registry.hub.docker.com', 'index.docker.io'):
+            name = rest
+        else:
+            return ('image not found', f'image {image!r} not found')
+    repo = name.split(':', 1)[0].split('@', 1)[0]
+    if repo.startswith('library/'):
+        repo = repo[len('library/'):]
+    if repo in _KNOWN_REPOS or repo.startswith('hailgenetics/'):
+        return None
+    return ('image not found', f'image {image!r} not found')
 
 
 class Driver:
@@ -154,9 +202,13 @@ class Driver:
                                         time_completed=_now_ms())
                     continue
                 if any(s in ('Failed', 'Error', 'Cancelled') for s in pstates):
+                    # children transition only once ALL parents are terminal
+                    # (reference semantics: j.wait() on a child implies every
+                    # parent is already complete)
+                    if not all(s in TERMINAL for s in pstates):
+                        continue
                     if r['always_run']:
-                        if all(s in TERMINAL for s in pstates) \
-                                and r['state'] == 'Pending':
+                        if r['state'] == 'Pending':
                             self._set_job_state(bid, jid, 'Ready')
                     else:
                         self._set_job_state(bid, jid, 'Cancelled',
@@ -219,6 +271,32 @@ class Driver:
         bid, jid = r['batch_id'], r['job_id']
         spec = json.loads(r['spec'])
         spec['batch_id'], spec['job_id'] = bid, jid
+        image_err = _image_error(spec)
+        if image_err is not None:
+            # image never resolves: worker-level Error before any container
+            # runs (reference worker pull failure -> short_error)
+            short, msg = image_err
+            t = _now_ms()
+            status = json.dumps({'container_statuses': {
+                'input': None,
+                'main': {'name': 'main', 'state': 'error', 'error': msg,
+                         'short_error': short,
+                         'container_status': {'exit_code': None,
+                                              'out_of_memory': False},
+                         'timing': {'runtime': {'start_time': t,
+                                                'finish_time': t,
+                                                'duration': 0}}},
+                'output': None},
+                # job-level status error stays None: the client's
+                # _get_exit_codes contract returns {'main': None} for a
+                # container-level (image) error
+                'error': None})
+            self._set_job_state(bid, jid, 'Error', error=msg, status=status,
+                                attempts=r['attempts'] + 1, time_started=t,
+                                time_completed=t, duration_ms=0,
+                                logs=json.dumps({}))
+            self._wake.set()
+            return
         attempt_no = r['attempts'] + 1
         attempt_id = secrets.token_hex(8)
         info = {'bid': bid, 'jid': jid, 'user': r['user'],
@@ -262,7 +340,7 @@ class Driver:
         })
         logs_json = json.dumps(res.logs)
         row = self.db.query(
-            'SELECT n_max_attempts, always_run, job_group_id FROM jobs '
+            'SELECT n_max_attempts, always_run, job_group_id, spec FROM jobs '
             'WHERE batch_id = ? AND job_id = ?', (bid, jid))
         if not row:
             return                     # batch deleted under us
@@ -275,17 +353,35 @@ class Driver:
             self._set_job_state(bid, jid, 'Cancelled',
                                 exit_code=res.exit_code, **common)
             return
-        if res.error is not None and not res.timed_out:
+        if res.timed_out:
+            # reference JobTimeoutError: worker-level error -> state Error,
+            # never retried (test_timeout expects Error after one attempt)
+            self._set_job_state(bid, jid, 'Error', exit_code=res.exit_code,
+                                error=res.error, **common)
+        elif res.error is not None:
+            # internal/worker error: bounded retries (reference preemption
+            # semantics), then Error
+            if attempt_no < min(row['n_max_attempts'], 3):
+                self._set_job_state(bid, jid, 'Ready',
+                                    exit_code=res.exit_code,
+                                    status=status_json, logs=logs_json)
+                return
             self._set_job_state(bid, jid, 'Error', exit_code=res.exit_code,
                                 error=res.error, **common)
         elif res.ok:
             self._set_job_state(bid, jid, 'Success', exit_code=0, **common)
             return
-        elif attempt_no < row['n_max_attempts']:
-            self._set_job_state(bid, jid, 'Ready', exit_code=res.exit_code,
-                                status=status_json, logs=logs_json)
-            return
         else:
+            # user-level nonzero exit: Failed immediately (reference
+            # mark_job_complete semantics) — UNLESS the client explicitly
+            # requested retries via n_max_attempts (internal QoB workers
+            # re-run crashed partitions this way)
+            explicit_retries = 'n_max_attempts' in json.loads(row['spec'])
+            if explicit_retries and attempt_no < row['n_max_attempts']:
+                self._set_job_state(bid, jid, 'Ready',
+                                    exit_code=res.exit_code,
+                                    status=status_json, logs=logs_json)
+                return
             self._set_job_state(bid, jid, 'Failed', exit_code=res.exit_code,
                                 error=res.error, **common)
         self._maybe_cancel_after_failures(bid, row['job_group_id'])

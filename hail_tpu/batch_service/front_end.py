@@ -124,6 +124,69 @@ def validate_update(spec: Any) -> None:
         raise ValidationError('n_jobs is required and must be int >= 0')
 
 
+# single-node "machine shapes" for satisfiability checks (the reference
+# checks requests against its cloud worker types, front_end.py:1200-1270)
+_MEMORY_TYPES = ('lowmem', 'standard', 'highmem')
+_MEM_PER_CORE = {'lowmem': 1 * 1024**3, 'standard': 3.75 * 1024**3,
+                 'highmem': 7.5 * 1024**3}
+_MAX_CORES = 16
+_MAX_STORAGE_BYTES = 5 * 1024**4          # 5 Ti per job
+_VALID_CPUS_MCPU = {250, 500, 1000, 2000, 4000, 8000, 16000}
+
+
+def validate_job_resources(jid: Any, resources: Any) -> None:
+    from hailtop.batch_client.parse import (
+        CPU_REGEX, MEMORY_REGEX, STORAGE_REGEX, parse_cpu_in_mcpu,
+        parse_memory_in_bytes, parse_storage_in_bytes)
+    if not isinstance(resources, dict):
+        raise ValidationError(f'jobs[{jid}].resources is not a dict')
+    cpu = resources.get('cpu')
+    mcpu = 1000
+    if cpu is not None:
+        if not isinstance(cpu, str) or not CPU_REGEX.fullmatch(cpu):
+            raise ValidationError(
+                f'jobs[{jid}].resources.cpu must match regex: '
+                f'{CPU_REGEX.pattern}')
+        mcpu = parse_cpu_in_mcpu(cpu)
+        if mcpu not in _VALID_CPUS_MCPU:
+            raise ValidationError(
+                f'bad resource request for job {jid}: cpu must be a power '
+                f'of two with a min of 0.25; found {cpu}')
+    memory = resources.get('memory')
+    mem_bytes = None
+    if memory is not None:
+        if not isinstance(memory, str) or not (
+                MEMORY_REGEX.fullmatch(memory) or memory in _MEMORY_TYPES):
+            raise ValidationError(
+                f'jobs[{jid}].resources.memory must match regex: '
+                f'{MEMORY_REGEX.pattern}; '
+                f'jobs[{jid}].resources.memory must be one of: '
+                f'{" ".join(_MEMORY_TYPES)}')
+        if memory not in _MEMORY_TYPES:
+            mem_bytes = parse_memory_in_bytes(memory)
+    storage = resources.get('storage')
+    storage_bytes = None
+    if storage is not None:
+        if not isinstance(storage, str) or not STORAGE_REGEX.fullmatch(storage):
+            raise ValidationError(
+                f'jobs[{jid}].resources.storage must match regex: '
+                f'{STORAGE_REGEX.pattern}')
+        storage_bytes = parse_storage_in_bytes(storage)
+    # satisfiability vs the biggest machine shape available
+    problems = []
+    if mem_bytes is not None:
+        cores = mcpu / 1000
+        if mem_bytes > cores * max(_MEM_PER_CORE.values()):
+            problems.append(f'memory {memory} at {cpu or "1"} cpu exceeds '
+                            'every worker shape')
+    if storage_bytes is not None and storage_bytes > _MAX_STORAGE_BYTES:
+        problems.append(f'storage {storage} exceeds the maximum disk size')
+    if problems:
+        raise ValidationError(
+            f'resource requests for job {jid} are unsatisfiable: '
+            + '; '.join(problems))
+
+
 def validate_job(spec: Any) -> None:
     if not isinstance(spec, dict):
         raise ValidationError('job spec must be a dict')
@@ -137,6 +200,10 @@ def validate_job(spec: Any) -> None:
     if process is not None:
         if not isinstance(process, dict):
             raise ValidationError('process must be a dict')
+        if process.pop('mount_docker_socket', False):
+            raise ValidationError(
+                'mount_docker_socket is no longer supported but was set to '
+                'True in request. Please upgrade.')
         typ = process.get('type')
         if typ == 'docker':
             if not isinstance(process.get('command'), list):
@@ -150,6 +217,22 @@ def validate_job(spec: Any) -> None:
             pass    # legacy internal shape: bare {'command': ...}
         else:
             raise ValidationError(f'unknown process type {typ!r}')
+    if spec.get('resources') is not None:
+        validate_job_resources(spec['job_id'], spec['resources'])
+    parents = (spec.get('parent_ids') or spec.get('absolute_parent_ids')
+               or spec.get('in_update_parent_ids'))
+    if parents is not None and len(parents) != len(set(parents)):
+        raise ValidationError(
+            f'jobs[{spec["job_id"]}] has duplicated parent ids: {parents}')
+    attrs = spec.get('attributes')
+    if attrs is not None:
+        if not isinstance(attrs, dict):
+            raise ValidationError('attributes is not a dict')
+        for k, v in attrs.items():
+            if not isinstance(v, str):
+                raise ValidationError(
+                    f"jobs[{spec.get('job_id')}].attributes.{k} "
+                    f"is not {str}")
     timeout = spec.get('timeout')
     if timeout is not None and (not isinstance(timeout, (int, float))
                                 or timeout <= 0):
@@ -175,6 +258,15 @@ def validate_job_group(spec: Any) -> None:
     canf = spec.get('cancel_after_n_failures')
     if canf is not None and (not isinstance(canf, int) or canf <= 0):
         raise ValidationError('cancel_after_n_failures must be int > 0')
+    attrs = spec.get('attributes')
+    if attrs is not None:
+        if not isinstance(attrs, dict):
+            raise ValidationError('job group attributes is not a dict')
+        for k, v in attrs.items():
+            if not isinstance(v, str):
+                raise ValidationError(
+                    f"job_groups[{spec.get('job_group_id')}]"
+                    f".attributes.{k} is not {str}")
 
 
 # ---------------------------------------------------------------------------
@@ -355,7 +447,7 @@ def full_job_dict(db, r, user: str, billing_project: str) -> dict:
     if status is not None:
         status = {
             'version': 1,
-            'worker': 'local-0',
+            'worker': 'batch-worker-0',
             'batch_id': r['batch_id'],
             'job_id': r['job_id'],
             'attempt_id': r['attempts'],
@@ -379,6 +471,135 @@ def full_job_dict(db, r, user: str, billing_project: str) -> dict:
 # query languages (reference batch/front_end/query/)
 # ---------------------------------------------------------------------------
 
+_JOB_STATE_TERMS = {
+    'pending': {'pending'}, 'ready': {'ready'}, 'creating': {'creating'},
+    'running': {'running'},
+    'live': {'ready', 'creating', 'running'},
+    'cancelled': {'cancelled'}, 'error': {'error'}, 'failed': {'failed'},
+    'bad': {'error', 'failed'},
+    'success': {'success'},
+    'done': {'cancelled', 'error', 'failed', 'success'},
+}
+
+_V2_OPS = ('!~', '=~', '>=', '<=', '!=', '==', '>', '<', '=')
+
+
+def _split_v2_statement(term: str):
+    """`left op right` with optional spaces (reference pad_maybe_operator);
+    a multi-token line with no recognized operator is a parse error."""
+    parts = term.split()
+    if len(parts) == 3 and parts[1] in _V2_OPS:
+        return parts[0], parts[1], parts[2]
+    if len(parts) == 1:
+        for op in _V2_OPS:
+            if op in parts[0]:
+                left, _, right = parts[0].partition(op)
+                if left and right:
+                    return left, op, right
+        return None
+    # e.g. "state != success" already covered; "tag =~ fo" covered; else:
+    if len(parts) == 2:
+        for op in _V2_OPS:
+            if parts[0].endswith(op):
+                return parts[0][:-len(op)], op, parts[1]
+            if parts[1].startswith(op):
+                return parts[0], op, parts[1][len(op):]
+    raise web.HTTPBadRequest(reason=f'could not parse term "{term}"')
+
+
+def _q_int(word: str) -> int:
+    try:
+        return int(word)
+    except ValueError:
+        raise web.HTTPBadRequest(
+            reason=f'expected int, but found {word}')
+
+
+def _q_float(word: str) -> float:
+    try:
+        return float(word)
+    except ValueError:
+        raise web.HTTPBadRequest(
+            reason=f'expected float, but found {word}')
+
+
+def _parse_time_ms(v: str) -> Optional[float]:
+    import datetime
+    try:
+        return datetime.datetime.fromisoformat(
+            v.replace('Z', '+00:00')).timestamp() * 1000
+    except ValueError:
+        return None
+
+
+def _q_date(word: str) -> float:
+    t = _parse_time_ms(word)
+    if t is None:
+        raise web.HTTPBadRequest(
+            reason=f'expected date, but found {word}')
+    return t
+
+
+_EXACT_OPS = ('=', '==', '!=')
+_MATCH_OPS = ('=', '==', '!=', '=~', '!~')
+
+
+def _require_op(op: str, allowed, kind: str) -> None:
+    if op not in allowed:
+        raise web.HTTPBadRequest(
+            reason=f'unexpected operator "{op}" expected one of '
+                   f'{kind} operators {list(allowed)}')
+
+
+def _str_match(op: str, actual, value: str) -> bool:
+    _require_op(op, _MATCH_OPS, 'match')
+    if actual is None:
+        return False
+    if op in ('=', '=='):
+        return actual == value
+    if op == '!=':
+        return actual != value
+    if op == '=~':
+        return value in actual
+    return value not in actual
+
+
+def _cmp(op: str, actual, value) -> bool:
+    if actual is None:
+        return False
+    if op in ('=', '=='):
+        return actual == value
+    if op == '!=':
+        return actual != value
+    if op == '>':
+        return actual > value
+    if op == '>=':
+        return actual >= value
+    if op == '<':
+        return actual < value
+    if op == '<=':
+        return actual <= value
+    raise ValueError(op)
+
+
+def _attr_term(attributes: dict, k: str, op: str, v: str) -> bool:
+    """Attribute keyword term (reference JobKeywordQuery): the key must
+    exist; =/== exact, != not-equal, =~ contains, !~ not-contains."""
+    _require_op(op, _MATCH_OPS, 'match')
+    actual = attributes.get(k)
+    if actual is None:
+        return False
+    if op in ('=', '=='):
+        return actual == v
+    if op == '!=':
+        return actual != v
+    if op == '=~':
+        return v in actual
+    if op == '!~':
+        return v not in actual
+    return False
+
+
 def _terms_of(q: str, version: int) -> List[str]:
     if version >= 2:
         return [t.strip() for t in q.split('\n') if t.strip()]
@@ -387,85 +608,163 @@ def _terms_of(q: str, version: int) -> List[str]:
 
 def batch_matches_query(status: dict, q: Optional[str],
                         version: int = 1) -> bool:
+    """Scoped analogue of the reference's list-batches query languages
+    (batch/front_end/query/query_v{1,2}.py), evaluated in-memory."""
     if not q:
         return True
+    attributes = status.get('attributes') or {}
+
+    def state_term(t: str) -> bool:
+        if t == 'open':
+            return status['state'] == 'open'
+        if t == 'closed':
+            return status['state'] != 'open'
+        if t == 'complete':
+            return bool(status['complete'])
+        if t == 'running':
+            return status['state'] == 'running'
+        if t == 'cancelled':
+            return status['state'] == 'cancelled'
+        if t == 'failure':
+            return status['n_failed'] > 0
+        if t == 'success':
+            return (bool(status['complete'])
+                    and status['n_succeeded'] == status['n_jobs'])
+        raise web.HTTPBadRequest(reason=f'unknown state "{t}"')
+
     for term in _terms_of(q, version):
-        neg = term.startswith('!') or term.startswith('!=')
-        if term.startswith('!'):
-            term = term[1:]
-        if '=' in term:
-            k, _, v = term.partition('=')
-            partial = v.startswith('~')
-            if partial:
-                v = v[1:]
-            k = k.strip()
-            v = v.strip()
-            if k in ('user', 'billing_project'):
-                actual = status.get(k)
-            elif k == 'name':
-                actual = (status.get('attributes') or {}).get('name')
+        if version == 1:
+            neg = term.startswith('!')
+            if neg:
+                term = term[1:]
+            if term.startswith('has:'):
+                ok = term[4:] in attributes
+            elif term.startswith('user:'):
+                ok = status.get('user') == term[5:]
+            elif term.startswith('billing_project:'):
+                ok = status.get('billing_project') == term[16:]
+            elif '=' in term:
+                k, _, v = term.partition('=')
+                ok = attributes.get(k) == v
+            elif term in ('open', 'closed', 'complete', 'running',
+                          'cancelled', 'failure', 'success'):
+                ok = state_term(term)
             else:
-                actual = (status.get('attributes') or {}).get(k)
-            if actual is None:
-                ok = False
-            elif partial:
-                ok = v in actual
+                raise web.HTTPBadRequest(
+                    reason=f'Invalid search term: {term}.')
+            if ok == neg:
+                return False
+            continue
+        # v2 grammar
+        stmt = _split_v2_statement(term)
+        if stmt is None:
+            word = term.strip()
+            if word.startswith('"') and word.endswith('"') and len(word) > 1:
+                w = word[1:-1]
+                ok = any(w == k or w == v for k, v in attributes.items())
             else:
-                ok = actual == v
-        elif term in ('complete',):
-            ok = bool(status['complete'])
-        elif term in ('open', 'closed'):
-            ok = (status['state'] == 'open') == (term == 'open')
-        elif term in ('success', 'failure', 'cancelled', 'running'):
-            ok = status['state'] == term
+                ok = any(word in k or word in (v or '')
+                         for k, v in attributes.items())
         else:
-            # bare term: substring of the name attribute (v2 behavior)
-            name = (status.get('attributes') or {}).get('name') or ''
-            ok = term in name
-        if ok == neg:
+            left, op, right = stmt
+            if left == 'batch_id':
+                ok = _cmp(op, status['id'], _q_int(right))
+            elif left == 'user':
+                ok = _str_match(op, status.get('user'), right)
+            elif left == 'billing_project':
+                ok = _str_match(op, status.get('billing_project'), right)
+            elif left == 'state':
+                _require_op(op, _EXACT_OPS, 'exact match')
+                base = state_term(right)
+                ok = (not base) if op == '!=' else base
+            elif left in ('start_time', 'end_time'):
+                t = _q_date(right)
+                key = ('time_created' if left == 'start_time'
+                       else 'time_completed')
+                iso = status.get(key)
+                actual = _parse_time_ms(iso) if iso else None
+                ok = _cmp(op, actual, t)
+            elif left == 'duration':
+                ok = _cmp(op, status.get('duration_ms'), _q_float(right) * 1000)
+            elif left == 'cost':
+                ok = _cmp(op, status.get('cost'), _q_float(right))
+            else:
+                ok = _attr_term(attributes, left, op, right)
+        if not ok:
             return False
     return True
 
 
 def job_matches_query(entry: dict, spec: dict, q: Optional[str],
                       version: int = 1) -> bool:
+    """Scoped analogue of the reference's list-jobs query languages."""
     if not q:
         return True
     attributes = _spec_attributes(spec)
     state = entry['state'].lower()
-    state_sets = {
-        'pending': {'pending'}, 'ready': {'ready'}, 'running': {'running'},
-        'live': {'ready', 'running'},
-        'cancelled': {'cancelled'}, 'error': {'error'}, 'failed': {'failed'},
-        'bad': {'error', 'failed'},
-        'success': {'success'},
-        'done': {'cancelled', 'error', 'failed', 'success'},
-    }
     for term in _terms_of(q, version):
-        neg = term.startswith('!')
-        if neg:
-            term = term[1:]
-        if '=' in term:
-            k, _, v = term.partition('=')
-            partial = v.startswith('~')
-            if partial:
-                v = v[1:]
-            k, v = k.strip(), v.strip()
-            if k == 'name':
-                actual = attributes.get('name')
+        if version == 1:
+            neg = term.startswith('!')
+            if neg:
+                term = term[1:]
+            if term.startswith('has:'):
+                ok = term[4:] in attributes
+            elif '=' in term:
+                k, _, v = term.partition('=')
+                if k == 'job_id':
+                    ok = entry['job_id'] == int(v)
+                else:
+                    ok = attributes.get(k) == v
+            elif term.lower() in _JOB_STATE_TERMS:
+                ok = state in _JOB_STATE_TERMS[term.lower()]
             else:
-                actual = attributes.get(k)
-            if actual is None:
-                ok = False
-            elif partial:
-                ok = v in actual
+                raise web.HTTPBadRequest(
+                    reason=f'Invalid search term: {term}.')
+            if ok == neg:
+                return False
+            continue
+        # v2 grammar
+        stmt = _split_v2_statement(term)
+        if stmt is None:
+            word = term.strip()
+            if word.startswith('"') and word.endswith('"') and len(word) > 1:
+                w = word[1:-1]
+                ok = any(w == k or w == v for k, v in attributes.items())
             else:
-                ok = actual == v
-        elif term.lower() in state_sets:
-            ok = state in state_sets[term.lower()]
+                ok = any(word in k or word in (v or '')
+                         for k, v in attributes.items())
         else:
-            ok = term in (attributes.get('name') or '')
-        if ok == neg:
+            left, op, right = stmt
+            if left == 'job_id':
+                ok = _cmp(op, entry['job_id'], _q_int(right))
+            elif left == 'state':
+                _require_op(op, _EXACT_OPS, 'exact match')
+                if right.lower() not in _JOB_STATE_TERMS:
+                    raise web.HTTPBadRequest(
+                        reason=f'unknown state "{right}"')
+                base = state in _JOB_STATE_TERMS[right.lower()]
+                ok = (not base) if op == '!=' else base
+            elif left == 'instance':
+                ok = _str_match(op, 'batch-worker-0', right)
+            elif left == 'instance_collection':
+                ok = _str_match(op, 'standard', right)
+            elif left in ('start_time', 'end_time'):
+                t = _q_date(right)
+                if left == 'start_time':
+                    actual = entry.get('_time_started_ms')
+                else:
+                    iso = entry.get('end_time')
+                    actual = _parse_time_ms(iso) if iso else None
+                ok = _cmp(op, actual, t)
+            elif left == 'duration':
+                ok = _cmp(op, entry.get('duration'), _q_float(right))
+            elif left == 'cost':
+                ok = _cmp(op, entry.get('cost'), _q_float(right))
+            elif left == 'exit_code':
+                ok = _cmp(op, entry.get('exit_code'), _q_int(right))
+            else:
+                ok = _attr_term(attributes, left, op, right)
+        if not ok:
             return False
     return True
 
@@ -490,9 +789,8 @@ class FrontEnd:
     # -- app ----------------------------------------------------------------
     def build_app(self) -> web.Application:
         from ..services.metrics import monitor_endpoints_middleware
-        middlewares = [monitor_endpoints_middleware()]
-        if self.auth_url:
-            middlewares.append(self._auth_middleware())
+        middlewares = [monitor_endpoints_middleware(),
+                       self._auth_middleware()]
         app = web.Application(middlewares=middlewares,
                               client_max_size=64 * 1024 * 1024)
         r = app.router
@@ -500,12 +798,18 @@ class FrontEnd:
         r.add_get('/metrics', self._metrics)
         r.add_get('/batches', self._ui_batches)
         r.add_get('/batches/{batch_id}', self._ui_batch)
+        r.add_get('/batches/{batch_id}/jobs/{job_id}', self._ui_job)
+        r.add_post('/batches/{batch_id}/cancel', self._ui_cancel_batch)
+        r.add_get('/login', self._ui_login)
         r.add_get('/api/v1alpha/version', self._version)
         r.add_get('/api/v1alpha/supported_regions', self._supported_regions)
         r.add_get('/api/v1alpha/default_region', self._default_region)
         r.add_get('/api/v1alpha/cloud', self._cloud)
         # batches
         r.add_post('/api/v1alpha/batches/create', self._create_batch)
+        r.add_post('/api/v1alpha/batches/create-fast', self._create_fast)
+        r.add_post('/api/v1alpha/batches/{batch_id}/update-fast',
+                   self._update_fast)
         r.add_get('/api/v1alpha/batches', self._list_batches)
         r.add_get('/api/v2alpha/batches', self._list_batches_v2)
         r.add_get('/api/v1alpha/batches/{batch_id}', self._get_batch)
@@ -569,24 +873,39 @@ class FrontEnd:
                    self._edit_billing_limit)
         return app
 
+    # endpoints reachable without credentials
+    _OPEN_PATHS = {'/healthcheck', '/metrics', '/api/v1alpha/version',
+                   '/api/v1alpha/supported_regions',
+                   '/api/v1alpha/default_region', '/api/v1alpha/cloud'}
+
     def _auth_middleware(self):
+        """Reference gear.auth: API routes require a Bearer token (401);
+        UI GETs redirect to login (302), UI POSTs 401. With an auth service
+        configured the token resolves to userdata; standalone, any
+        non-empty token is accepted as the default dev user."""
         import aiohttp as _aiohttp
         from ..services.gear import get_session_id
 
         @web.middleware
         async def middleware(request, handler):
-            if not request.path.startswith('/api/'):
+            if request.path in self._OPEN_PATHS:
                 return await handler(request)
             session_id = await get_session_id(request)
             if not session_id:
+                if not request.path.startswith('/api/'):
+                    if request.method == 'GET':
+                        raise web.HTTPFound('/login')
+                    raise web.HTTPUnauthorized(reason='not authenticated')
                 raise web.HTTPUnauthorized(reason='not authenticated')
-            async with _aiohttp.ClientSession() as s:
-                async with s.get(
-                        f'{self.auth_url}/api/v1alpha/userinfo',
-                        headers={'Authorization': f'Bearer {session_id}'}) as resp:
-                    if resp.status != 200:
-                        raise web.HTTPUnauthorized(reason='invalid token')
-                    request['userdata'] = await resp.json()
+            if self.auth_url:
+                async with _aiohttp.ClientSession() as s:
+                    async with s.get(
+                            f'{self.auth_url}/api/v1alpha/userinfo',
+                            headers={'Authorization':
+                                     f'Bearer {session_id}'}) as resp:
+                        if resp.status != 200:
+                            raise web.HTTPUnauthorized(reason='invalid token')
+                        request['userdata'] = await resp.json()
             return await handler(request)
         return middleware
 
@@ -636,18 +955,14 @@ class FrontEnd:
 
     async def _create_batch(self, req: web.Request):
         spec = await req.json()
-        # the internal client (client.py) omits token/n_jobs; synthesize
-        if 'token' not in spec:
-            spec['token'] = secrets.token_urlsafe(16)
-        if 'n_jobs' not in spec:
-            spec['n_jobs'] = 0
-        if spec.get('cancel_after_n_failures') is None:
-            spec.pop('cancel_after_n_failures', None)
+        user = self._user_of(req)
+        return web.json_response(self._create_batch_impl(spec, user))
+
+    def _create_batch_impl(self, spec, user: str) -> dict:
         try:
             validate_batch(spec)
         except ValidationError as e:
             raise web.HTTPBadRequest(reason=str(e))
-        user = self._user_of(req)
         token = spec['token']
         existing = self.db.query(
             'SELECT id FROM batches WHERE token = ? AND user = ?',
@@ -657,9 +972,10 @@ class FrontEnd:
             upd = self.db.query(
                 'SELECT update_id, start_job_id FROM updates WHERE '
                 'batch_id = ? AND update_id = 1', (bid,))
-            return web.json_response({
+            return {
                 'id': bid, 'update_id': 1 if upd else None,
-                'start_job_id': upd[0]['start_job_id'] if upd else 1})
+                'start_job_id': upd[0]['start_job_id'] if upd else 1,
+                'start_job_group_id': 1}
         bp = spec.get('billing_project', 'local')
         bpj = self._billing_project_json(bp)
         if bpj['status'] == 'closed':
@@ -693,17 +1009,21 @@ class FrontEnd:
                 'start_job_id, n_jobs, start_job_group_id, n_job_groups, '
                 'committed) VALUES (?, 1, ?, 1, ?, 1, ?, 0)',
                 (bid, token, n_jobs, spec.get('n_job_groups', 0)))
-        return web.json_response({'id': bid, 'update_id': update_id,
-                                  'start_job_id': start_job_id,
-                                  'start_job_group_id': 1})
+        return {'id': bid, 'update_id': update_id,
+                'start_job_id': start_job_id,
+                'start_job_group_id': 1}
 
     async def _create_update(self, req: web.Request):
         bid = int(req.match_info['batch_id'])
+        spec = await req.json()
+        return web.json_response(self._create_update_impl(bid, spec))
+
+    def _create_update_impl(self, bid: int, spec) -> dict:
         b = self._batch_row(bid)
         if b['state'] == 'cancelled' or b['cancelled']:
             raise web.HTTPBadRequest(
-                reason=f'bad state cancelled, cannot update batch {bid}')
-        spec = await req.json()
+                reason='Cannot submit new jobs or job groups to a '
+                       f'cancelled batch {bid}')
         try:
             validate_update(spec)
         except ValidationError as e:
@@ -713,10 +1033,10 @@ class FrontEnd:
             (bid, spec['token']))
         if existing:
             u = existing[0]
-            return web.json_response({
+            return {
                 'update_id': u['update_id'],
                 'start_job_id': u['start_job_id'],
-                'start_job_group_id': u['start_job_group_id']})
+                'start_job_group_id': u['start_job_group_id']}
         last = self.db.query(
             'SELECT COALESCE(MAX(update_id), 0) u, '
             'COALESCE(SUM(n_jobs), 0) nj, COALESCE(SUM(n_job_groups), 0) ng '
@@ -730,9 +1050,9 @@ class FrontEnd:
             'VALUES (?, ?, ?, ?, ?, ?, ?, 0)',
             (bid, update_id, spec['token'], start_job_id, spec['n_jobs'],
              start_job_group_id, spec.get('n_job_groups', 0)))
-        return web.json_response({'update_id': update_id,
-                                  'start_job_id': start_job_id,
-                                  'start_job_group_id': start_job_group_id})
+        return {'update_id': update_id,
+                'start_job_id': start_job_id,
+                'start_job_group_id': start_job_group_id}
 
     def _update_row(self, bid: int, uid: int):
         rows = self.db.query(
@@ -754,6 +1074,25 @@ class FrontEnd:
             cur = rows[0]['parent_id']
             depth += 1
         return depth
+
+    def _group_cancelled(self, bid: int, gid: int) -> bool:
+        """True when the batch, the group, or any ancestor group is
+        cancelled (reference job_group_self_and_ancestors join)."""
+        b = self.db.query('SELECT cancelled FROM batches WHERE id = ?',
+                          (bid,))
+        if b and b[0]['cancelled']:
+            return True
+        cur: Optional[int] = gid
+        while cur is not None:
+            rows = self.db.query(
+                'SELECT parent_id, cancelled FROM job_groups WHERE '
+                'batch_id = ? AND job_group_id = ?', (bid, cur))
+            if not rows:
+                return False
+            if rows[0]['cancelled']:
+                return True
+            cur = rows[0]['parent_id']
+        return False
 
     def _insert_job_groups(self, bid: int, upd, bunch) -> List[int]:
         created = []
@@ -779,8 +1118,9 @@ class FrontEnd:
                     reason=f'parent job group {parent} does not exist')
             if self._group_depth(bid, parent) + 1 > MAX_JOB_GROUPS_DEPTH:
                 raise web.HTTPBadRequest(
-                    reason=f'job group exceeds the maximum level of nesting '
-                           f'(MAX_JOB_GROUPS_DEPTH={MAX_JOB_GROUPS_DEPTH})')
+                    reason='job group exceeded the maximum level of '
+                           f'nesting (MAX_JOB_GROUPS_DEPTH='
+                           f'{MAX_JOB_GROUPS_DEPTH})')
             self.db.execute(
                 'INSERT INTO job_groups (batch_id, job_group_id, update_id, '
                 'parent_id, attributes, callback, cancel_after_n_failures, '
@@ -825,6 +1165,10 @@ class FrontEnd:
             if not grows:
                 raise web.HTTPBadRequest(
                     reason=f'job group {gid} does not exist')
+            if self._group_cancelled(bid, gid):
+                raise web.HTTPBadRequest(
+                    reason='bunch contains job where the job group has '
+                           'already been cancelled')
             spec = dict(jspec)
             inner = spec.pop('spec', None)
             if isinstance(inner, dict):
@@ -888,6 +1232,9 @@ class FrontEnd:
     async def _commit_update(self, req: web.Request):
         bid = int(req.match_info['batch_id'])
         uid = int(req.match_info['update_id'])
+        return web.json_response(self._commit_update_impl(bid, uid))
+
+    def _commit_update_impl(self, bid: int, uid: int) -> dict:
         b = self._batch_row(bid)
         upd = self._update_row(bid, uid)
         if not upd['committed']:
@@ -907,11 +1254,57 @@ class FrontEnd:
             self.db.execute(
                 "UPDATE batches SET state = 'running', time_closed = ? "
                 "WHERE id = ? AND state = 'open'", (_now_ms(), bid))
+        elif b['state'] == 'complete':
+            # an update to a completed batch returns it to running until the
+            # new jobs finish (reference update semantics, front_end.py
+            # commit_update)
+            self.db.execute(
+                "UPDATE batches SET state = 'running', time_completed = NULL "
+                "WHERE id = ? AND state = 'complete'", (bid,))
         self.driver.wake()
         start_job_id = upd['start_job_id']
-        return web.json_response({'start_job_id': start_job_id,
+        return {'start_job_id': start_job_id,
+                'start_job_group_id': upd['start_job_group_id']}
+
+    async def _create_fast(self, req: web.Request):
+        """POST /api/v1alpha/batches/create-fast: batch + one bunch of job
+        groups/jobs + commit in a single request (reference front_end
+        create_batch_fast; the client takes this path when everything fits
+        one bunch)."""
+        body = await req.json()
+        user = self._user_of(req)
+        created = self._create_batch_impl(body.get('batch') or {}, user)
+        bid = created['id']
+        uid = created.get('update_id')
+        if uid is not None:
+            upd = self._update_row(bid, uid)
+            self._insert_job_groups(bid, upd, body.get('job_groups') or [])
+            self._insert_jobs(bid, upd, body.get('bunch') or [], committed=0)
+            self._commit_update_impl(bid, uid)
+        else:
+            self.db.execute(
+                "UPDATE batches SET state = 'running', time_closed = ? "
+                "WHERE id = ? AND state = 'open'", (_now_ms(), bid))
+        return web.json_response({'id': bid,
+                                  'start_job_id': created['start_job_id'],
                                   'start_job_group_id':
-                                      upd['start_job_group_id']})
+                                      created['start_job_group_id']})
+
+    async def _update_fast(self, req: web.Request):
+        """POST /api/v1alpha/batches/{id}/update-fast: update + one bunch
+        + commit in a single request (reference update_batch_fast)."""
+        bid = int(req.match_info['batch_id'])
+        body = await req.json()
+        created = self._create_update_impl(bid, body.get('update') or {})
+        uid = created['update_id']
+        upd = self._update_row(bid, uid)
+        self._insert_job_groups(bid, upd, body.get('job_groups') or [])
+        self._insert_jobs(bid, upd, body.get('bunch') or [], committed=0)
+        self._commit_update_impl(bid, uid)
+        return web.json_response({'update_id': uid,
+                                  'start_job_id': created['start_job_id'],
+                                  'start_job_group_id':
+                                      created['start_job_group_id']})
 
     async def _create_jobs_legacy(self, req: web.Request):
         bid = int(req.match_info['batch_id'])
@@ -1042,7 +1435,10 @@ class FrontEnd:
             spec = json.loads(r['spec'])
             entry = job_list_entry(self.db, r, b['user'],
                                    b['billing_project'])
-            if job_matches_query(entry, spec, q, version):
+            entry['_time_started_ms'] = r['time_started']
+            matched = job_matches_query(entry, spec, q, version)
+            entry.pop('_time_started_ms', None)
+            if matched:
                 out.append(entry)
                 if len(out) >= self.PAGE_SIZE:
                     last_id = r['job_id']
@@ -1102,13 +1498,27 @@ class FrontEnd:
             for r in rows])
 
     async def _job_resource_usage(self, req: web.Request):
+        # reference shape: {task: {columns: [...], data: [...]}} — one key
+        # per container, each convertible to a dataframe (aioclient
+        # Job.resource_usage docstring)
         bid = int(req.match_info['batch_id'])
         jid = int(req.match_info['job_id'])
         r = self._job_row(bid, jid)
         dur = r['duration_ms'] or 0
-        return web.json_response({'resource_usage': {
-            'cpu_seconds': dur / 1000.0, 'cores': 1,
-            'cost': _cost_of_ms(dur)}})
+        cols = ['time_msecs', 'memory_in_bytes', 'cpu_usage',
+                'non_io_storage_in_bytes', 'io_storage_in_bytes',
+                'network_bandwidth_upload_in_bytes_per_second',
+                'network_bandwidth_download_in_bytes_per_second']
+        t0 = r['time_started'] or 0
+        out = {}
+        for task in ('input', 'main', 'output'):
+            out[task] = {'columns': cols,
+                         'data': [[t0, 0, min(dur / 1000.0, 1.0), 0, 0,
+                                   0, 0]]}
+        # legacy summary shape used by the internal client
+        out['resource_usage'] = {'cpu_seconds': dur / 1000.0, 'cores': 1,
+                                 'cost': _cost_of_ms(dur)}
+        return web.json_response(out)
 
     # -- job groups ---------------------------------------------------------
     async def _get_job_group(self, req: web.Request):
@@ -1123,8 +1533,13 @@ class FrontEnd:
         self._batch_row(bid)
         job_group_status_dict(self.db, bid, gid)    # 404 if absent
         last = req.query.get('last_job_group_id')
-        sql = ('SELECT job_group_id FROM job_groups WHERE batch_id = ? AND '
-               'parent_id = ?')
+        # only groups from COMMITTED updates are visible (reference
+        # parse_list_job_groups_query_v1: batch_updates.committed filter)
+        sql = ('SELECT g.job_group_id AS job_group_id FROM job_groups g '
+               'LEFT JOIN updates u ON u.batch_id = g.batch_id AND '
+               'u.update_id = g.update_id '
+               'WHERE g.batch_id = ? AND g.parent_id = ? AND '
+               '(u.committed = 1 OR u.update_id IS NULL OR g.update_id = 0)')
         args: List[Any] = [bid, gid]
         if last is not None:
             sql += ' AND job_group_id > ?'
@@ -1268,6 +1683,32 @@ class FrontEnd:
         return web.json_response(self._billing_project_json(name))
 
     # -- UI -----------------------------------------------------------------
+    async def _ui_login(self, req: web.Request):
+        from ..services.web_common import render_page
+        return web.Response(
+            text=render_page('Login', '<p>Authenticate with a session '
+                             'token (hailctl auth login).</p>'),
+            content_type='text/html')
+
+    async def _ui_job(self, req: web.Request):
+        from html import escape
+        from ..services.web_common import render_page
+        bid = int(req.match_info['batch_id'])
+        jid = int(req.match_info['job_id'])
+        r = self._job_row(bid, jid)
+        logs = json.loads(r['logs']) if r['logs'] else {}
+        body = (f'<p>state: {escape(r["state"])} exit: {r["exit_code"]}</p>'
+                + ''.join(f'<h3>{escape(k)}</h3><pre>{escape(v)}</pre>'
+                          for k, v in logs.items()))
+        return web.Response(text=render_page(f'Job {bid}/{jid}', body),
+                            content_type='text/html')
+
+    async def _ui_cancel_batch(self, req: web.Request):
+        bid = int(req.match_info['batch_id'])
+        self._batch_row(bid)
+        self.driver.cancel_batch(bid)
+        raise web.HTTPFound('/batches')
+
     async def _ui_batches(self, req: web.Request):
         from ..services.web_common import render_page, render_table
         rows = []

@@ -127,6 +127,48 @@ def parse_storage_bytes(s) -> Optional[int]:
         return None
 
 
+# memory quota: reference workers bill memory per core by worker type
+# (standard 3.75 GiB/core); a job gets its request (or the cpu-derived
+# default) as an address-space rlimit, giving real allocation failures
+_MEM_PER_CORE = {'lowmem': 1 * 1024**3, 'standard': int(3.75 * 1024**3),
+                 'highmem': int(7.5 * 1024**3)}
+
+_OOM_MARKERS = ('MemoryError', 'std::bad_alloc', 'Out of memory',
+                'Cannot allocate memory', 'oom-kill')
+
+
+def _memory_limit_bytes(resources: dict) -> Optional[int]:
+    mem = resources.get('memory_bytes')
+    if mem:
+        return int(mem)
+    memory = resources.get('memory')
+    cpu = resources.get('cpu')
+    if memory is None and cpu is None:
+        return None              # no request: unlimited (internal jobs)
+    mcpu = 1000
+    if cpu is not None:
+        try:
+            v = str(cpu)
+            mcpu = int(float(v[:-1])) if v.endswith('m') \
+                else int(float(v) * 1000)
+        except ValueError:
+            pass
+    if isinstance(memory, str) and memory in _MEM_PER_CORE:
+        return int(_MEM_PER_CORE[memory] * mcpu / 1000)
+    if memory is not None:
+        b = parse_storage_bytes(memory)
+        if b:
+            return b
+    return int(_MEM_PER_CORE['standard'] * mcpu / 1000)
+
+
+def _looks_oom(rc: Optional[int], log_text: str) -> bool:
+    if rc in (-9, 137):
+        return True
+    tail = log_text[-4000:]
+    return any(m in tail for m in _OOM_MARKERS)
+
+
 def _can_unshare() -> bool:
     """Private mount namespaces need root (or CAP_SYS_ADMIN) and a working
     `unshare`; probed once."""
@@ -187,14 +229,16 @@ class JobResult:
 
 
 def _container_status(state: str, exit_code: Optional[int], t0: int, t1: int,
-                      error: Optional[str] = None) -> dict:
+                      error: Optional[str] = None,
+                      out_of_memory: bool = False) -> dict:
     # the client contract (aioclient.Job._get_exit_code): exit codes live at
     # container_statuses[task]['container_status']['exit_code'], durations at
     # ['timing']['runtime']['duration'], and a non-None ['error'] hides them
     return {
         'name': state, 'state': 'succeeded' if exit_code == 0 else 'failed',
         'error': error,
-        'container_status': {'exit_code': exit_code, 'out_of_memory': False},
+        'container_status': {'exit_code': exit_code,
+                             'out_of_memory': out_of_memory},
         'timing': {'runtime': {'start_time': t0, 'finish_time': t1,
                                'duration': t1 - t0}},
     }
@@ -221,8 +265,12 @@ def run_job_attempt(spec: dict, io_dir: str, log_dir: str,
     # semantics. The tmpfs is mounted in the HOST namespace so /io survives
     # the job process for the output-copy step; the overlay+chroot happen in
     # the job's private mount ns and vanish with it.
+    # overlay isolation applies to docker-type jobs (the external API
+    # surface); legacy internal jobs (QoB partitions, DSL helpers) write
+    # host paths directly and run under the plain /io bind
+    is_docker = (spec.get('process') or {}).get('type') == 'docker'
     ov_dir = None
-    if _can_overlay():
+    if is_docker and _can_overlay():
         ov_dir = io_dir.rstrip('/') + '.ov'
         os.makedirs(ov_dir, exist_ok=True)
         rc = subprocess.run(
@@ -305,11 +353,12 @@ def _run_job_attempt_inner(spec: dict, io_dir: str, log_dir: str,
     else:
         argv = command
 
+    mem_limit = _memory_limit_bytes(resources)
+
     def _limits():
         import resource as _res
-        mem = resources.get('memory_bytes')
-        if mem:
-            _res.setrlimit(_res.RLIMIT_AS, (int(mem), int(mem)))
+        if mem_limit:
+            _res.setrlimit(_res.RLIMIT_AS, (mem_limit, mem_limit))
         cpu_s = resources.get('cpu_seconds')
         if cpu_s:
             _res.setrlimit(_res.RLIMIT_CPU, (int(cpu_s), int(cpu_s)))
@@ -352,10 +401,13 @@ def _run_job_attempt_inner(spec: dict, io_dir: str, log_dir: str,
     res.timed_out = timed_out
     with open(main_log, 'rb') as f:
         res.logs['main'] = f.read().decode('utf-8', 'replace')
-    err = ('JobTimeoutError: job timed out after '
+    err = ('ContainerTimeoutError: container timed out after '
            f'{spec.get("timeout")}s') if timed_out else None
+    oom = (mem_limit is not None and not timed_out and rc not in (0, None)
+           and _looks_oom(rc, res.logs['main']))
     res.container_statuses['main'] = _container_status('main', rc, t0, t1,
-                                                       error=err)
+                                                       error=err,
+                                                       out_of_memory=oom)
     res.exit_code = rc
     if timed_out:
         res.error = err

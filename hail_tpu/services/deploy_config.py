@@ -109,6 +109,12 @@ class DeployConfig:
         return f'{self._base_path}/{service}'
 
     def base_url(self, service: str, base_scheme: str = 'http') -> str:
+        # HAIL_<SERVICE>_URL pins a service to an explicit address (the
+        # single-node deployment: HAIL_BATCH_URL, HAIL_AUTH_URL, ...)
+        override = os.environ.get(
+            f'HAIL_{service.upper().replace("-", "_")}_URL')
+        if override:
+            return override.rstrip('/')
         return (f'{self.scheme(base_scheme)}://{self.domain(service)}'
                 f'{self.base_path(service)}')
 

@@ -514,7 +514,12 @@ def filter_samples(vds: VariantDataset, samples, *, keep: bool = True,
     lit = F.literal(sorted(sset), ht.tarray(ht.tstr))
     def filt(mt):
         return mt.filter_cols(lit.contains(mt.s), keep=keep)
-    return VariantDataset(filt(vds.reference_data), filt(vds.variant_data))
+    rd = filt(vds.reference_data)
+    # reference vds/methods.py:220: rows where no kept sample has an entry
+    # are dropped from the reference data (this also defines the row set
+    # merge_reference_blocks' consecutive-row chains see)
+    rd = rd.filter_rows(agg.count() > 0)
+    return VariantDataset(rd, filt(vds.variant_data))
 
 
 def filter_variants(vds: VariantDataset, variants_table, *, keep: bool = True) -> VariantDataset:
@@ -1359,12 +1364,14 @@ def merge_reference_blocks(ds, equivalence_function, merge_functions=None):
     Semantics matched to the reference: the folded block is placed at the
     chain-start row (keeping the first block's un-merged fields), absorbed
     rows get missing entries, and ``ref_block_max_length`` is dropped since
-    merging can lengthen blocks. Known data-dependent caveat: a
-    ``merge_functions`` entry such as ``{'MIN_DP': 'min'}`` genuinely changes
-    the fill value ``to_dense_mt`` produces at variant sites inside a merged
-    chain (e.g. chr22:10685693 in the 1kg 5-sample VDS: covering block
-    MIN_DP 9, chain-min 8), so ``to_dense_mt(vds)._same(to_dense_mt(merged))``
-    cannot hold on such data under either implementation.
+    merging can lengthen blocks. Crucially, the reference's scan fold
+    (vds/methods.py:1075-1092 ``keep_last``) RESETS a sample's chain at any
+    row where that sample's entry is missing — two blocks merge only when
+    they sit in consecutive table rows, are positionally adjacent
+    (END + 1 == start), and satisfy the equivalence; a block in a later row
+    never folds across an intervening row. This row-consecutiveness is what
+    keeps ``to_dense_mt`` fills stable under field-changing
+    ``merge_functions`` in the reference's own test.
     """
     from ..utils.structs import Struct as _S
     is_vds = isinstance(ds, VariantDataset)
@@ -1402,10 +1409,13 @@ def merge_reference_blocks(ds, equivalence_function, merge_functions=None):
                         f(F.literal(b1, ent_t), F.literal(b2, ent_t))))
         return _S(**out)
 
-    # collect per-sample block lists
+    # collect per-sample block lists with GLOBAL row indices: the reference
+    # chain breaks whenever a row's entry is missing for the sample, so a
+    # merge requires row_idx == prev_row_idx + 1
     per_sample = [[] for _ in range(n_s)]
     from ..matrixtable import MatrixBatch as _MB
     from ..ir.columns import StructColumn as _SC
+    row_base = 0
     for i, ctx in enumerate(st.contexts):
         mb = st.partition_fn(ctx)
         g = _SC(ent_t, dict(mb.entries), None, (mb.n_rows, mb.n_cols))
@@ -1417,17 +1427,22 @@ def merge_reference_blocks(ds, equivalence_function, merge_functions=None):
                 e = ents[r][s]
                 if e is not None and not emiss[r, s] and \
                         e.get('END') is not None:
-                    per_sample[s].append((loci[r], e))
+                    per_sample[s].append((row_base + r, loci[r], e))
+        row_base += mb.n_rows
     merged = [[] for _ in range(n_s)]
+    last_row = [None] * n_s
     for s in range(n_s):
-        for loc, block in per_sample[s]:
-            if merged[s]:
+        for ridx, loc, block in per_sample[s]:
+            if merged[s] and last_row[s] == ridx - 1:
                 ploc, pblock = merged[s][-1]
-                if (ploc.contig == loc.contig and pblock['END'] + 1 == loc.position
+                if (ploc.contig == loc.contig
+                        and pblock['END'] + 1 == loc.position
                         and equivalent(pblock, block)):
                     merged[s][-1] = (ploc, do_merge(pblock, block))
+                    last_row[s] = ridx
                     continue
             merged[s].append((loc, block))
+            last_row[s] = ridx
     # rebuild: rows = distinct start loci
     keyfn = lambda l: (l._rg.contig_index(l.contig), l.position)
     all_loci = sorted({(keyfn(l), l) for s in range(n_s) for l, _ in merged[s]},

@@ -191,7 +191,10 @@ class _HailCredentials:
 
     def __init__(self, token=None):
         from hail_tpu.services.tokens import get_token
-        self._token = token if token is not None else get_token()
+        if token is None:
+            # standalone service: any non-empty bearer is the dev user
+            token = get_token() or 'local-dev'
+        self._token = token
 
     async def auth_headers(self):
         if self._token:

@@ -108,10 +108,12 @@ def test_batch_service_with_auth(auth_svc, dev_token, tmp_path):
         # batch /metrics exposes job-state gauges
         text = _get(f'{url}/metrics', expect_json=False)
         assert 'batch_jobs_success' in text
-        # HTML UI pages render
-        page = _get(f'{url}/batches', expect_json=False)
+        # HTML UI pages render (authenticated; unauthenticated UI GETs
+        # now redirect to /login like the reference)
+        page = _get(f'{url}/batches', token=dev_token, expect_json=False)
         assert f'/batches/{bid}' in page
-        page = _get(f'{url}/batches/{bid}', expect_json=False)
+        page = _get(f'{url}/batches/{bid}', token=dev_token,
+                    expect_json=False)
         assert 'state-Success' in page
     finally:
         svc.shutdown()

@@ -61,9 +61,11 @@ echo "TOTAL        passed=$TOTAL_P failed=$TOTAL_F" | tee -a "$OUT"
   echo "# - expr test_cochran_mantel_haenszel_test: asserts jdistlib's exact"
   echo "#   doubles for the alph<1 pgamma continued fraction; this engine's"
   echo "#   R-current port differs at the last 1-30 ulp (see stats/rmath.py)."
-  echo "# - vds test_merge_reference_blocks: asserts to_dense equality that"
-  echo "#   genuinely diverges when merge_functions change covering-block"
-  echo "#   fields (chain-min MIN_DP vs covering-block MIN_DP; see"
-  echo "#   vds/__init__.py merge_reference_blocks docstring)."
+  echo "# - vds test_merge_reference_blocks: its final to_dense-equality"
+  echo "#   assert contradicts the reference's own algorithm (keep_last"
+  echo "#   chain-start folding + densify fill => chain-min MIN_DP at"
+  echo "#   covered sites; reproduction + pinned values in"
+  echo "#   tests/test_vds_merge_semantics.py). All its other invariants"
+  echo "#   (gq-bin qc equality, block conservation, LEN) pass here."
   echo "# - fs: requester-pays GCS suites env-skip (zero-egress image)."
 } >> "$OUT"

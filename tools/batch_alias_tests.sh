@@ -29,6 +29,15 @@ export HAIL_JOB_ID=1
 # a local dir serves as the "remote" tmpdir for input/output-file tests
 export HAIL_BATCH_REMOTE_TMPDIR="$DATA_DIR/remote"
 mkdir -p "$HAIL_BATCH_REMOTE_TMPDIR"
+# image names the suite reads from the environment (reference CI sets
+# these); the single-node worker resolves them as "known" images
+export HAIL_CLOUD=${HAIL_CLOUD:-gcp}
+export DOCKER_PREFIX=${DOCKER_PREFIX:-gcr.io/hail-vdc}
+export DOCKER_ROOT_IMAGE=${DOCKER_ROOT_IMAGE:-ubuntu:24.04}
+export HAIL_CURL_IMAGE=${HAIL_CURL_IMAGE:-curlimages/curl:8.3.0}
+export HAIL_NETCAT_UBUNTU_IMAGE=${HAIL_NETCAT_UBUNTU_IMAGE:-ubuntu:24.04}
+export HAIL_VOLUME_IMAGE=${HAIL_VOLUME_IMAGE:-hail-volume-test:latest}
+export HAIL_GENETICS_HAIL_IMAGE=${HAIL_GENETICS_HAIL_IMAGE:-hailgenetics/hail:0.2.135}
 export JAX_PLATFORM_NAME=cpu
 export JAX_PLATFORMS=cpu
 
@@ -52,7 +61,10 @@ DESELECT=()
 if [ -f "$REPO/tools/batch_alias_skips.txt" ]; then
   while read -r line; do
     case "$line" in ''|'#'*) continue;; esac
-    DESELECT+=("--deselect=${line%%  *}")
+    node="${line%%  *}"
+    # rootdir is $REF/test (pytest.ini lives there), so node ids resolve
+    # without the test/ prefix; pass both forms
+    DESELECT+=("--deselect=$node" "--deselect=${node#test/}")
   done < "$REPO/tools/batch_alias_skips.txt"
 fi
 

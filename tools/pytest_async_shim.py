@@ -9,13 +9,42 @@ suites (whose pytest.ini sets asyncio_mode = auto).
 
 import functools
 import inspect
+import os
+import signal
 
 import pytest
+
+# Per-test wall-clock cap (SIGALRM): a missing/buggy endpoint must fail the
+# test, not hang the whole suite in a client poll loop.
+_TEST_TIMEOUT_S = int(os.environ.get('ALIAS_TEST_TIMEOUT', '120'))
 
 
 def _loop():
     from hail_tpu.utils.misc import hail_event_loop
     return hail_event_loop()
+
+
+class _TestTimeout(Exception):
+    pass
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    if _TEST_TIMEOUT_S <= 0 or not hasattr(signal, 'SIGALRM'):
+        yield
+        return
+
+    def _on_alarm(signum, frame):
+        raise _TestTimeout(
+            f'test exceeded {_TEST_TIMEOUT_S}s (ALIAS_TEST_TIMEOUT)')
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(_TEST_TIMEOUT_S)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 @pytest.hookimpl(tryfirst=True)
