@@ -19,6 +19,11 @@ from typing import Any, Callable, List, Optional, Sequence
 
 from .backend import Backend
 
+#: Sliding-window cap on concurrent partition-result reads (reference
+#: `ServiceBackend.scala:44` MaxConcurrentPartitionReads = 50: bounds peak
+#: memory while results stream back).
+MAX_CONCURRENT_PARTITION_READS = 50
+
 
 class ServiceBackend(Backend):
     """Runs `map_collect` partitions as Batch jobs.
@@ -92,8 +97,78 @@ class ServiceBackend(Backend):
             billing_project=self.billing_project)
         self.client.create_jobs(bid, bunch)
         self.client.close_batch(bid)
-        status = self.client.wait(bid, timeout=600.0)
-        if status['n_succeeded'] != len(contexts):
+        return self._collect(bid, out_paths)
+
+    def _collect(self, bid: int, out_paths: List[str],
+                 timeout: float = 600.0) -> List[Any]:
+        """Stream partition results back while the stage runs.
+
+        The reference driver's `collect`/`drain` loop
+        (`ServiceBackend.scala:214-300`): while the job group is Running,
+        poll for newly-succeeded jobs and read their results through a
+        sliding window of at most MAX_CONCURRENT_PARTITION_READS concurrent
+        reads; once the group reports Success, re-drain any partitions the
+        listings missed (batch does not order completion listings by
+        end_time, so a terminal listing can race a just-finished job —
+        the "straggler" pass) and assert every partition was read.
+        """
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor
+
+        import cloudpickle
+
+        n = len(out_paths)
+        results: List[Any] = [None] * n
+        read = [False] * n
+        submitted = set()
+        self._drain_stats = {'reads_while_running': 0, 'stragglers': 0,
+                             'max_inflight': 0}
+
+        def read_result(i):
+            with open(out_paths[i], 'rb') as f:
+                results[i] = cloudpickle.load(f)
+            read[i] = True
+
+        deadline = _time.time() + timeout
+        window = min(MAX_CONCURRENT_PARTITION_READS, max(n, 1))
+        with ThreadPoolExecutor(max_workers=window,
+                                thread_name_prefix='qob-result-read') as pool:
+            inflight = {}
+
+            def drain_inflight():
+                for i, fut in list(inflight.items()):
+                    if fut.done():
+                        fut.result()   # re-raise read errors
+                        del inflight[i]
+
+            def submit(i):
+                # bounded window: wait for a slot before submitting
+                while len(inflight) >= window:
+                    next(iter(inflight.values())).result()
+                    drain_inflight()
+                inflight[i] = pool.submit(read_result, i)
+                submitted.add(i)
+                self._drain_stats['max_inflight'] = max(
+                    self._drain_stats['max_inflight'], len(inflight))
+
+            while True:
+                status = self.client.get_batch(bid)
+                for j in self._list_completed_jobs(bid):
+                    i = j['job_id'] - 1
+                    if j['state'] == 'Success' and i not in submitted:
+                        submit(i)
+                        if not status['complete']:
+                            self._drain_stats['reads_while_running'] += 1
+                drain_inflight()
+                if status['complete']:
+                    break
+                if _time.time() > deadline:
+                    raise TimeoutError(f'QoB stage {bid} not complete: {status}')
+                _time.sleep(0.05)
+            for fut in inflight.values():
+                fut.result()
+
+        if status['n_succeeded'] != n:
             # surface the first failed partition's log as the error message
             # (reference: HailBatchFailure with the worker's stack trace)
             for j in self.client.list_jobs(bid):
@@ -104,11 +179,22 @@ class ServiceBackend(Backend):
                         f'{j["state"]} after {j["attempts"]} attempt(s):\n{log[-4000:]}')
             raise RuntimeError(f'QoB stage failed: {status}')
 
-        results = []
-        for p in out_paths:
-            with open(p, 'rb') as f:
-                results.append(cloudpickle.load(f))
+        # straggler re-drain: the terminal listing can miss jobs that
+        # completed during the final poll interval
+        stragglers = [i for i in range(n) if not read[i]]
+        for i in stragglers:
+            with open(out_paths[i], 'rb') as f:
+                results[i] = cloudpickle.load(f)
+            read[i] = True
+        self._drain_stats['stragglers'] = len(stragglers)
+        assert all(read), f'read {sum(read)} of {n} partition results'
         return results
+
+    def _list_completed_jobs(self, bid: int) -> List[dict]:
+        """Jobs in a terminal state (override point; tests inject listing
+        races here to exercise the straggler pass)."""
+        return [j for j in self.client.list_jobs(bid)
+                if j['state'] in ('Success', 'Failed', 'Error', 'Cancelled')]
 
     def stop(self) -> None:
         if self._own_service is not None:

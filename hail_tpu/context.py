@@ -160,6 +160,48 @@ class Env:
         return cls._hc is not None
 
 
+_warmup_thread = None
+
+
+def _start_device_warmup() -> None:
+    """Prepay the accelerator session's first-fetch cost in the background.
+
+    On the tunneled TPU the FIRST device->host fetch in a process carries a
+    one-time session-establishment cost (measured 40-240s) that has nothing
+    to do with the bytes moved; every later fetch of the same buffer takes
+    ~0.25s. A cold `hl.linear_regression_rows` call was paying that entire
+    cost inside the method timing. Doing one tiny h2d+d2h round trip on a
+    daemon thread at `hl.init` overlaps the warmup with the user's import/
+    QC/host work, so the first method call finds a warm session (the
+    reference pre-warms its JVM/Spark context at init the same way,
+    `hail/python/hail/context.py` init -> backend construction).
+
+    Set HAIL_TPU_NO_WARMUP=1 to disable (e.g. for transfer benchmarking).
+    """
+    global _warmup_thread
+    if _warmup_thread is not None or os.environ.get('HAIL_TPU_NO_WARMUP'):
+        return
+    plats = os.environ.get('JAX_PLATFORMS', '').lower()
+    if plats and 'tpu' not in plats and 'axon' not in plats:
+        return   # CPU-only runs (tests) have no session cost to prepay
+
+    def _warm():
+        try:
+            import jax
+            if jax.default_backend() not in ('tpu', 'axon'):
+                return
+            import numpy as _np
+            x = jax.device_put(_np.ones((8, 128), _np.float32))
+            _np.asarray(jax.block_until_ready(x))   # first d2h pays the cost
+        except Exception:
+            pass
+
+    import threading
+    _warmup_thread = threading.Thread(
+        target=_warm, name='hail-tpu-device-warmup', daemon=True)
+    _warmup_thread.start()
+
+
 def init(backend: str = 'local',
          sc=None,
          app_name: Optional[str] = None,
@@ -218,6 +260,7 @@ def init(backend: str = 'local',
     Env._hc = HailContext(
         b, log, quiet, append, tmp, local_tmpdir or tmp,
         default_reference, global_seed, branching_factor)
+    _start_device_warmup()
 
 
 def stop() -> None:

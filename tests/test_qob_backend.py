@@ -68,3 +68,47 @@ def test_query_pipeline_on_qob():
     finally:
         hl.stop()
         hl.init()   # restore default local backend for subsequent tests
+
+
+def test_streaming_drain_bounded_window(backend):
+    """Results are read while the stage runs, through a sliding window of at
+    most MAX_CONCURRENT_PARTITION_READS concurrent reads (reference
+    ServiceBackend.scala:255-268 drain loop)."""
+    from hail_tpu.backend.service_backend import MAX_CONCURRENT_PARTITION_READS
+
+    out = backend.map_collect(list(range(12)), lambda c: c * c)
+    assert out == [c * c for c in range(12)]
+    stats = backend._drain_stats
+    assert stats['max_inflight'] <= MAX_CONCURRENT_PARTITION_READS
+    # with 12 jobs on 4 workers, some results must stream back before the
+    # batch is terminal
+    assert stats['reads_while_running'] > 0
+
+
+def test_straggler_redrain(backend):
+    """A completion listing that races job completion (reference comment at
+    ServiceBackend.scala:225-233: end_time ordering is not enforced) must not
+    lose partitions: the post-Success straggler pass reads whatever the
+    listings missed."""
+    real = backend._list_completed_jobs
+    dropped = set()
+
+    def racy_listing(bid):
+        jobs = real(bid)
+        # simulate the race: never report jobs 2 and 5 as complete
+        out = []
+        for j in jobs:
+            if j['job_id'] in (2, 5):
+                dropped.add(j['job_id'])
+                continue
+            out.append(j)
+        return out
+
+    backend._list_completed_jobs = racy_listing
+    try:
+        out = backend.map_collect(list(range(8)), lambda c: c + 7)
+    finally:
+        backend._list_completed_jobs = real
+    assert out == [c + 7 for c in range(8)]
+    assert dropped == {2, 5}
+    assert backend._drain_stats['stragglers'] == 2
