@@ -133,6 +133,31 @@ def main():
         assert all(np.isfinite(p) for p in phis), phis
     s6()
 
+    @stage('ibs_pallas')
+    def s6b():
+        # the fused Pallas IBS kernel is the TPU default (ops/ibs.py);
+        # prove on-chip parity with the int8-matmul path + a device rate
+        import jax.numpy as jnp
+        from hail_tpu.ops.ibs import ibs_counts, ibs_counts_pallas
+        rng = np.random.default_rng(3)
+        m, n = 8192, 256
+        codes = rng.integers(0, 4, (m, n))
+        het, hr, hv, cl = (codes == 1), (codes == 0), (codes == 2), (codes != 3)
+        p0, p1, p2 = ibs_counts_pallas(het, hr, hv, cl)
+        d0, d1, d2 = ibs_counts(het, hr, hv, cl, use_pallas=False)
+        assert (np.array_equal(p0, d0) and np.array_equal(p1, d1)
+                and np.array_equal(p2, d2))
+        t0 = time.time()
+        q0, q1, q2 = ibs_counts_pallas(het, hr, hv, cl)
+        _ = int(q0[0, 0]) + int(q1[1, 1]) + int(q2[2, 2])
+        rate = m * n * n / (time.time() - t0) / 1e9
+        print(f'  pallas==matmul bit-equal; {rate:.1f} Gpairvar/s', flush=True)
+        # the public method rides the Pallas kernel by default on TPU
+        ibd = hl.identity_by_descent(mt)
+        r = ibd.take(2)
+        assert all(np.isfinite(x.ibs0) for x in r), r
+    s6b()
+
     @stage('sample_qc')
     def s7():
         sq = hl.sample_qc(mt)
