@@ -61,6 +61,11 @@ class TableStage:
         # reference's PartitionNativeReader makeUID (TableIR.scala:778) — so
         # seeded randomness over read tables hashes a 2-word message
         self.uid_tuple = False
+        # per-partition row counts when statically known (Simplify layer,
+        # ir/simplify.py): set by counted sources (range_table, materialized
+        # batches), propagated through length-preserving operators, and
+        # consumed by Table.count without executing any partition
+        self.known_counts: Optional[List[int]] = None
 
     @property
     def n_partitions(self) -> int:
@@ -87,7 +92,8 @@ class TableStage:
     # -- combinators -------------------------------------------------------
     def map_partitions(self, f: Callable[[Batch, int], Batch], new_row_type: ht.tstruct,
                        preserves_bounds: bool = True,
-                       lineage_tag: Optional[str] = None) -> 'TableStage':
+                       lineage_tag: Optional[str] = None,
+                       preserves_length: bool = False) -> 'TableStage':
         parent = self
         def new_fn(ctx):
             i, _inner = ctx
@@ -98,6 +104,8 @@ class TableStage:
                          self._child_lineage(lineage_tag),
                          uid_bases=self.uid_bases)
         out.uid_tuple = self.uid_tuple
+        if preserves_length:
+            out.known_counts = self.known_counts
         return out
 
     def with_globals(self, new_globals: Batch) -> 'TableStage':
@@ -163,9 +171,11 @@ class TableStage:
                      batches: List[Batch],
                      partition_bounds=None) -> 'TableStage':
         bases = list(np.cumsum([0] + [b.length for b in batches[:-1]]).astype(int))
-        return TableStage(globals, key, row_type, list(range(len(batches))),
-                          lambda i: batches[i], partition_bounds,
-                          uid_bases=bases)
+        st = TableStage(globals, key, row_type, list(range(len(batches))),
+                        lambda i: batches[i], partition_bounds,
+                        uid_bases=bases)
+        st.known_counts = [b.length for b in batches]
+        return st
 
 
 def _tree_combine(agg_nodes, partials):
@@ -349,7 +359,13 @@ class Table:
         return self._stage.n_partitions
 
     def _force_count(self) -> int:
-        return self.count()
+        # unlike count(), this must EXECUTE every partition (reference
+        # TableToValueApply(ForceCountTable) — used to materialize effects),
+        # so the Simplify known-counts shortcut does not apply
+        lengths = Env.backend().map_collect(
+            self._stage.contexts,
+            lambda c, pf=self._stage.partition_fn: pf(c).length)
+        return int(sum(lengths))
 
     def describe(self, handler=print, *, widget=False):
         """Print information about the fields in the table (reference
@@ -430,7 +446,8 @@ class Table:
         shs = [semhash(e._ir) for e in exprs.values()]
         tag = None if any(x is None for x in shs) else \
             f'annotate:{sorted(exprs)}:{shs}'
-        return Table(self._stage.map_partitions(f, new_t, lineage_tag=tag))
+        return Table(self._stage.map_partitions(f, new_t, lineage_tag=tag,
+                                                preserves_length=True))
 
     def _annotate_with_scans(self, exprs, new_t) -> 'Table':
         """Two-phase streaming prefix (reference
@@ -540,7 +557,8 @@ class Table:
         shs = [semhash(e._ir) for e in exprs.values()]
         tag = None if any(x is None for x in shs) else \
             f'select:{names}:{shs}'
-        return Table(stage.map_partitions(f, new_t, lineage_tag=tag))
+        return Table(stage.map_partitions(f, new_t, lineage_tag=tag,
+                                          preserves_length=True))
 
     def drop(self, *fields) -> 'Table':
         names = set()
@@ -551,7 +569,7 @@ class Table:
         new_t = self._stage.row_type._drop_fields(row_drops)
         def f(batch, i):
             return batch.drop(*row_drops)
-        st = self._stage.map_partitions(f, new_t)
+        st = self._stage.map_partitions(f, new_t, preserves_length=True)
         if glob_drops:
             g = Batch({k: v for k, v in self._stage.globals.columns.items() if k not in glob_drops}, 1)
             st = st.with_globals(g)
@@ -571,21 +589,63 @@ class Table:
     def filter(self, expr, keep: bool = True) -> 'Table':
         e = to_expr(expr)
         self._check_source(e)
+        from .ir.simplify import fused_filter_tag, literal_bool_predicate
+        # Simplify: literal predicate short-circuits (TableFilter(t, True) →
+        # t; TableFilter(t, False) → empty)
+        lit = literal_bool_predicate(e._ir)
+        if lit == keep:
+            return self
+        if lit is not None:
+            st = self._stage
+            empty = TableStage(st.globals, st.key, st.row_type, [],
+                               lambda c: None)
+            empty.known_counts = []
+            return Table(empty)
         self = self._prune_by_predicate(e._ir, keep)
+        # Simplify: filter-of-filter fuses into one pass over the parent
+        # (TableFilter(TableFilter(t, a), b) → TableFilter(t, a && b)) —
+        # only for predicates free of position-dependent state (scans,
+        # row indices, seeded randomness), whose meaning would change when
+        # evaluated before the inner filter compresses the batch
+        parent, preds = self, []
+        chain = getattr(self, '_fused_filter', None)
+        if chain is not None and self._fusable_predicate(e._ir):
+            parent, preds = chain
+        preds = preds + [(e, keep)]
+
         def f(batch, i):
-            col = self._eval_rows(e, batch, i)
-            vals = np.asarray(col.values, dtype=bool) if isinstance(col, PrimitiveColumn) else \
-                np.asarray([v is True for v in C.to_object(col).values.ravel()]).reshape(col.shape)
-            m = col.missing_mask()
-            mask = vals & ~m
-            if not keep:
-                mask = ~mask & ~m
+            mask = np.ones(batch.length, dtype=bool)
+            for pe, pkeep in preds:
+                col = parent._eval_rows(pe, batch, i)
+                vals = np.asarray(col.values, dtype=bool) if isinstance(col, PrimitiveColumn) else \
+                    np.asarray([v is True for v in C.to_object(col).values.ravel()]).reshape(col.shape)
+                m = col.missing_mask()
+                pm = vals & ~m
+                if not pkeep:
+                    pm = ~pm & ~m
+                mask &= pm
             return batch.compress(mask)
-        from .ir.semhash import semhash
-        sh = semhash(e._ir)
-        return Table(self._stage.map_partitions(
-            f, self._stage.row_type,
-            lineage_tag=None if sh is None else f'filter:{keep}:{sh}'))
+
+        out = Table(parent._stage.map_partitions(
+            f, parent._stage.row_type,
+            lineage_tag=fused_filter_tag(None, preds)))
+        if self._fusable_predicate(e._ir):
+            out._fused_filter = (parent, preds)
+        return out
+
+    @staticmethod
+    def _fusable_predicate(ir) -> bool:
+        """True when the predicate's value cannot depend on the row's
+        position in the batch — safe to evaluate before an earlier filter
+        compresses it."""
+        from .ir import nodes as N
+        from .ir import agg as aggmod
+        for n_ in N.walk_ir(ir):
+            if isinstance(n_, (N.RowIndex, N.RngUidTuple, aggmod.AggOp)):
+                return False
+            if isinstance(n_, N.Apply) and getattr(n_, 'seeded', False):
+                return False
+        return True
 
     def _prune_by_predicate(self, pred_ir, keep: bool) -> 'Table':
         """Partition pruning from key comparisons in a filter predicate — the
@@ -668,7 +728,7 @@ class Table:
             [(mapping.get(k, k), v) for k, v in self._stage.row_type.items()])
         def f(batch, i):
             return Batch({mapping.get(k, k): c for k, c in batch.columns.items()}, batch.length)
-        st = self._stage.map_partitions(f, new_t)
+        st = self._stage.map_partitions(f, new_t, preserves_length=True)
         st.key = [mapping.get(k, k) for k in self._stage.key]
         st.globals = gb
         return Table(st)
@@ -711,6 +771,11 @@ class Table:
 
     # -- consumers ---------------------------------------------------------
     def count(self) -> int:
+        # Simplify: when every operator since a counted source preserves row
+        # counts, answer from the plan (reference Simplify.scala
+        # TableCount(TableRange/TableMapRows) rules) — zero partitions run
+        if self._stage.known_counts is not None:
+            return int(sum(self._stage.known_counts))
         # when fast restarts are active and this pipeline has semantic
         # lineage, go through collect_batches so the action both consults
         # and populates the on-disk execution cache (reference: every
@@ -2434,9 +2499,11 @@ def range_table(n: int, n_partitions: Optional[int] = None) -> Table:
     # deterministic source: a stable lineage root lets downstream pure ops
     # participate in the fast-restarts execution cache (reference
     # SemanticHash.scala gives TableRange a structural hash)
-    return Table(TableStage(g, ['idx'], row_t, contexts, pf,
-                            lineage=f'range_table:{n}:{n_partitions}',
-                            uid_bases=[s for s, _ in contexts]))
+    st = TableStage(g, ['idx'], row_t, contexts, pf,
+                    lineage=f'range_table:{n}:{n_partitions}',
+                    uid_bases=[s for s, _ in contexts])
+    st.known_counts = sizes    # TableCount(TableRange(n)) → n (Simplify)
+    return Table(st)
 
 
 def parallelize(rows, schema: Optional[ht.tstruct] = None, key=None,
