@@ -552,6 +552,32 @@ class ObjectColumn(Column):
         return _nest(list(self.values.ravel()), self.shape)
 
 
+class DeferredObjectColumn(ObjectColumn):
+    """An ObjectColumn whose values materialize on first access: `build()`
+    → np object array (None = missing). Lets heavy per-row payloads (e.g.
+    the firth fit structs with their n-length mu vectors) exist in a result
+    table's schema at zero cost until something actually reads them — the
+    reference gets the same effect from relational field pruning before
+    lowering."""
+
+    __slots__ = ('_build', '_vals')
+
+    def __init__(self, typ: ht.HailType, n: int, build):
+        self.typ = typ
+        self.shape = (n,)
+        self._build = build
+        self._vals = None
+
+    @property
+    def values(self):
+        if self._vals is None:
+            v = np.asarray(self._build(), dtype=object)
+            assert v.shape == self.shape, (v.shape, self.shape)
+            self._vals = v
+            self._build = None
+        return self._vals
+
+
 def _nest(flat: list, shape: Tuple[int, ...]) -> list:
     """Reshape a flat python list into nested lists matching `shape`."""
     if len(shape) <= 1:

@@ -224,25 +224,43 @@ def firth_fit_batch(Gi, Cov, y, b0, m0: int, max_iterations: int,
         b, status, n_iter, ll, it = state
         active = status == _ACTIVE
         mu = _sigmoid(eta_of(b))                          # (R, N)
-        sqrtw = jnp.sqrt(mu * (1.0 - mu))
-        A = jnp.concatenate(
-            [jnp.broadcast_to(Cov[None], (R, N, k)) * sqrtw[:, :, None],
-             (Gi * sqrtw)[:, :, None]], axis=2)           # (R, N, M)
-        q, r = jnp.linalg.qr(A)                           # (R,N,M), (R,M,M)
-        h = jnp.sum(q * q, axis=2)                        # (R, N)
+        w = mu * (1.0 - mu)
+        # Normal equations instead of the reference's per-variant QR of
+        # √W·X (statgen.py:1222): TPUs have no fast f64 QR, and with M ≤ a
+        # handful the Cholesky route is exact enough (F = XᵀWX = RᵀR, so
+        # Σ log diag L = Σ log|diag R|, h_n = w_n‖L⁻¹xₙ‖², and the leading
+        # m0×m0 block of L is the Cholesky of F₁₁). Explosion = non-SPD
+        # F → NaNs in L, the same singularities QR reported via diag R.
+        wg = w * Gi                                       # (R, N)
+        F_cc = jnp.einsum('ni,rn,nj->rij', Cov, w, Cov)
+        F_cg = jnp.einsum('ni,rn->ri', Cov, wg)
+        F_gg = jnp.sum(wg * Gi, axis=1)
+        F = jnp.concatenate([
+            jnp.concatenate([F_cc, F_cg[:, :, None]], axis=2),
+            jnp.concatenate([F_cg[:, None, :], F_gg[:, None, None]],
+                            axis=2)], axis=1)             # (R, M, M)
+        L = jnp.linalg.cholesky(F)
+        Xt = jnp.concatenate(
+            [jnp.broadcast_to(Cov.T[None], (R, k, N)), Gi[:, None, :]],
+            axis=1)                                       # (R, M, N)
+        V = jax.lax.linalg.triangular_solve(
+            L, Xt, left_side=True, lower=True)
+        h = w * jnp.sum(V * V, axis=1)                    # (R, N)
         resid = y[None, :] - mu
-        dep = jnp.einsum('rnm,rn->rm', q[:, :, :m0],
-                         (resid + h * (0.5 - mu)) / sqrtw)
-        coef = r[:, :m0, :m0]
-        diag_r0 = jnp.diagonal(coef, axis1=1, axis2=2)
-        bad_coef = (~jnp.all(jnp.isfinite(diag_r0), axis=1)
-                    | jnp.any(diag_r0 == 0.0, axis=1))
+        rho = resid + h * (0.5 - mu)
+        dep = jnp.einsum('rmn,rn->rm', Xt[:, :m0], rho)
+        L11 = L[:, :m0, :m0]
+        diag_l0 = jnp.diagonal(L11, axis1=1, axis2=2)
+        bad_coef = (~jnp.all(jnp.isfinite(diag_l0), axis=1)
+                    | jnp.any(diag_l0 == 0.0, axis=1))
+        t1 = jax.lax.linalg.triangular_solve(
+            L11, dep[..., None], left_side=True, lower=True)
         delta = jax.lax.linalg.triangular_solve(
-            coef, dep[..., None], left_side=True, lower=False)[..., 0]
+            L11, t1, left_side=True, lower=True, transpose_a=True)[..., 0]
         bad = bad_coef | ~jnp.all(jnp.isfinite(delta), axis=1)
         maxd = jnp.where(jnp.all(jnp.isfinite(delta), axis=1),
                          jnp.max(jnp.abs(delta), axis=1), jnp.inf)
-        diag_full = jnp.diagonal(r, axis1=1, axis2=2)
+        diag_full = jnp.diagonal(L, axis1=1, axis2=2)
         ll_now = (_bernoulli_ll(y, mu)
                   + jnp.sum(jnp.log(jnp.abs(diag_full)), axis=1))
         now_expl = active & bad
@@ -295,34 +313,88 @@ def _pad_block(G, Mmask, s: int, e: int, block: int):
     return jnp.asarray(Gb), jnp.asarray(Mb), n
 
 
-def _score_device(G, Mmask, Covd, yd, null_fit, link: str, block_rows: int):
+@partial(jax.jit, static_argnames=('block',))
+def _slice_cached_block(gz8, m8, s, block):
+    """Device-resident block slice from the cached int8 entry pair
+    (ops/devcache.py form): no h2d at all — the GLM reads the same device
+    buffers the linreg path staged. Pad rows are all-missing."""
+    R = gz8.shape[0]
+    pad = (-R) % block
+    gzp = jnp.pad(gz8, ((0, pad), (0, 0)))
+    m8p = jnp.pad(m8, ((0, pad), (0, 0)), constant_values=1)
+    g = jax.lax.dynamic_slice_in_dim(gzp, s, block, 0).astype(jnp.float64)
+    m = jax.lax.dynamic_slice_in_dim(m8p, s, block, 0) > 0
+    return g, m
+
+
+def _block_source(G, Mmask, cached: bool, block: int):
+    """Yield (Gb, Mb, n) blocks; `cached` means (G, Mmask) are the device
+    (gz8, m8) int8 pair and slicing happens on device."""
+    R = int(G.shape[0])
+    for s in range(0, R, block):
+        n = min(block, R - s)
+        if cached:
+            Gb, Mb = _slice_cached_block(G, Mmask, s, block)
+            yield Gb, Mb, n
+        else:
+            yield _pad_block(G, Mmask, s, s + n, block)
+
+
+def _stacked_fetch(parts):
+    """One d2h round trip for a whole partition's results: device blocks are
+    concatenated per output and flattened into a single f64 buffer (the
+    relay charges per round trip, not per byte — see bench.py notes)."""
+    cats = [jnp.concatenate(p, axis=0) if len(p) > 1 else p[0]
+            for p in parts]
+    flat = jnp.concatenate([c.reshape(c.shape[0], -1).astype(jnp.float64)
+                            for c in cats], axis=1)
+    host = np.asarray(flat)
+    out, o = [], 0
+    for c in cats:
+        w = int(np.prod(c.shape[1:])) if c.ndim > 1 else 1
+        v = host[:, o:o + w]
+        out.append(v.reshape((host.shape[0],) + tuple(c.shape[1:])))
+        o += w
+    return out
+
+
+def _score_device(G, Mmask, Covd, yd, null_fit, link: str, block_rows: int,
+                  cached: bool = False):
     """Score-test driver. Distinguishes the reference's two "no number"
     shapes: NaN inputs (all-missing / NaN dosage rows) flow through the
     reference's dgesv as NaN FLOATS (`nan_input`), while a singular finite
     fisher raises there and yields None (`valid`=False, `nan_input`=False)."""
-    R = G.shape[0]
+    R = int(G.shape[0])
     chis = []
-    for s, e in _row_blocks(R, block_rows):
-        Gb, Mb, n = _pad_block(G, Mmask, s, e, block_rows)
+    for Gb, Mb, n in _block_source(G, Mmask, cached, block_rows):
         chi2 = glm_score_batch(Gb, Mb,
                                Covd, yd, jnp.asarray(null_fit['b']),
                                jnp.asarray(null_fit['score']),
                                jnp.asarray(null_fit['fisher']), link)
-        chis.append(np.asarray(chi2)[:n])
-    chi2 = np.concatenate(chis) if chis else np.zeros(0)
-    nan_in = (Mmask.all(axis=1)
-              | (~np.isfinite(np.where(Mmask, 0.0, G))).any(axis=1))
+        chis.append(chi2[:n])
+    (chi2,) = _stacked_fetch([chis]) if chis else (np.zeros(0),)
+    if cached:
+        # int8 entries are always finite; only all-missing rows are NaN-input
+        nan_in = np.asarray(jnp.all(Mmask > 0, axis=1))
+    else:
+        nan_in = (Mmask.all(axis=1)
+                  | (~np.isfinite(np.where(Mmask, 0.0, G))).any(axis=1))
     return dict(chi_sq_stat=chi2, valid=np.isfinite(chi2) | nan_in,
                 nan_input=nan_in)
 
 
 def logistic_rows_device(G, Mmask, Cov, y, null_fit, test: str,
                          max_iterations: int, tolerance: float,
-                         block_rows: int = 1024):
+                         block_rows: int = 1024, cached: bool = False):
     """Run one logistic test over a (R, N) block; returns a dict of numpy
     per-variant arrays shaped like stats/glmfit's outputs (None-able fields
-    as (value_array, valid_mask))."""
-    R, N = G.shape
+    as (value_array, valid_mask)).
+
+    `cached=True` means (G, Mmask) are the device-resident int8 (gz8, m8)
+    pair from ops/devcache.py — the same buffers linear_regression_rows
+    stages — so a warm logistic call moves nothing h2d and does one stacked
+    d2h fetch per partition."""
+    R, N = int(G.shape[0]), int(G.shape[1])
     k = Cov.shape[1]
     Covd = jnp.asarray(Cov)
     yd = jnp.asarray(y)
@@ -331,14 +403,12 @@ def logistic_rows_device(G, Mmask, Cov, y, null_fit, test: str,
 
     if test == 'score':
         return _score_device(G, Mmask, Covd, yd, null_fit, 'logistic',
-                             block_rows)
+                             block_rows, cached)
 
     if test == 'firth':
-        nulls_b, nulls_it, nulls_ll, nulls_st = [], [], [], []
-        fulls_b, fulls_it, fulls_ll, fulls_st = [], [], [], []
         fb = _firth_row_block(N, k + 1)
-        for s, e in _row_blocks(R, fb):
-            Gb, Mb, n = _pad_block(G, Mmask, s, e, fb)
+        parts = [[] for _ in range(8)]
+        for Gb, Mb, n in _block_source(G, Mmask, cached, fb):
             Gid = _impute_mean_nan(Gb, Mb)
             b0 = jnp.broadcast_to(nb, (fb, k))
             b_n, it_n, ll_n, st_n = firth_fit_batch(
@@ -349,38 +419,32 @@ def logistic_rows_device(G, Mmask, Cov, y, null_fit, test: str,
             b_f0 = jnp.concatenate([b_n, jnp.zeros((fb, 1))], axis=1)
             b_f, it_f, ll_f, st_f = firth_fit_batch(
                 Gid, Covd, yd, b_f0, k + 1, max_iterations, tolerance)
-            nulls_b.append(np.asarray(b_n)[:n]); nulls_it.append(np.asarray(it_n)[:n])
-            nulls_ll.append(np.asarray(ll_n)[:n]); nulls_st.append(np.asarray(st_n)[:n])
-            fulls_b.append(np.asarray(b_f)[:n]); fulls_it.append(np.asarray(it_f)[:n])
-            fulls_ll.append(np.asarray(ll_f)[:n]); fulls_st.append(np.asarray(st_f)[:n])
-        cat = np.concatenate
-        out['null_b'] = cat(nulls_b); out['null_n_iter'] = cat(nulls_it)
-        out['null_ll'] = cat(nulls_ll); out['null_status'] = cat(nulls_st)
-        out['full_b'] = cat(fulls_b); out['full_n_iter'] = cat(fulls_it)
-        out['full_ll'] = cat(fulls_ll); out['full_status'] = cat(fulls_st)
+            for lst, arr in zip(parts, (b_n, it_n, ll_n, st_n,
+                                        b_f, it_f, ll_f, st_f)):
+                lst.append(arr[:n])
+        (out['null_b'], out['null_n_iter'], out['null_ll'],
+         out['null_status'], out['full_b'], out['full_n_iter'],
+         out['full_ll'], out['full_status']) = _stacked_fetch(parts)
         return out
 
     # wald / lrt: full Newton fit per variant
-    bs, scs, fis, its, lls, sts = [], [], [], [], [], []
-    for s, e in _row_blocks(R, block_rows):
-        Gb, Mb, n = _pad_block(G, Mmask, s, e, block_rows)
+    n_out = 6 if test == 'wald' else 4
+    parts = [[] for _ in range(n_out)]
+    for Gb, Mb, n in _block_source(G, Mmask, cached, block_rows):
         b, sc, fi, it, ll, st = glm_newton_batch(
             Gb, Mb, Covd, yd,
             nb, jnp.asarray(null_fit['score']), jnp.asarray(null_fit['fisher']),
             max_iterations, tolerance, 'logistic')
+        arrs = [b, it, ll, st]
         if test == 'wald':
             se, z = wald_stats_batch(b, fi)
-            scs.append((np.asarray(se)[:n], np.asarray(z)[:n]))
-        bs.append(np.asarray(b)[:n]); its.append(np.asarray(it)[:n])
-        lls.append(np.asarray(ll)[:n]); sts.append(np.asarray(st)[:n])
-        fis.append(None)
-    out['b'] = np.concatenate(bs)
-    out['n_iter'] = np.concatenate(its)
-    out['ll'] = np.concatenate(lls)
-    out['status'] = np.concatenate(sts)
+            arrs += [se, z]
+        for lst, arr in zip(parts, arrs):
+            lst.append(arr[:n])
+    fetched = _stacked_fetch(parts)
+    out['b'], out['n_iter'], out['ll'], out['status'] = fetched[:4]
     if test == 'wald':
-        out['se'] = np.concatenate([p[0] for p in scs])
-        out['z'] = np.concatenate([p[1] for p in scs])
+        out['se'], out['z'] = fetched[4], fetched[5]
     return out
 
 
