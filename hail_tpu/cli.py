@@ -137,6 +137,19 @@ def _cmd_devices(args) -> int:
     return 0
 
 
+def _cmd_docs(args) -> int:
+    if args.action == 'build':
+        import runpy
+        import os as _os
+        tool = _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), 'tools', 'gen_api_docs.py')
+        runpy.run_path(tool, run_name='__main__')
+        return 0
+    from .services.docs_site import serve
+    serve(port=args.port)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog='hailctl-tpu', description=__doc__)
     sub = p.add_subparsers(dest='cmd', required=True)
@@ -175,6 +188,12 @@ def main(argv=None) -> int:
 
     pdev = sub.add_parser('devices')
     pdev.set_defaults(fn=_cmd_devices)
+
+    pdoc = sub.add_parser('docs', help='build or serve the documentation '
+                                       'site (user guide + API reference)')
+    pdoc.add_argument('action', choices=['build', 'serve'])
+    pdoc.add_argument('--port', type=int, default=8080)
+    pdoc.set_defaults(fn=_cmd_docs)
 
     args = p.parse_args(argv)
     return args.fn(args)

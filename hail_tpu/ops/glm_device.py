@@ -393,8 +393,12 @@ def logistic_rows_device(G, Mmask, Cov, y, null_fit, test: str,
     `cached=True` means (G, Mmask) are the device-resident int8 (gz8, m8)
     pair from ops/devcache.py — the same buffers linear_regression_rows
     stages — so a warm logistic call moves nothing h2d and does one stacked
-    d2h fetch per partition."""
+    d2h fetch per partition. Blocks grow to 2048 rows there: each block is
+    one device dispatch, and dispatch latency through the tunnel dominates
+    at 1024."""
     R, N = int(G.shape[0]), int(G.shape[1])
+    if cached and block_rows == 1024:
+        block_rows = 2048
     k = Cov.shape[1]
     Covd = jnp.asarray(Cov)
     yd = jnp.asarray(y)
