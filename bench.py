@@ -133,9 +133,10 @@ def scaling_main():
     jax.config.update('jax_enable_x64', True)
     devs = jax.devices()
     n_dev = len(devs)
-    # multi-pheno linreg projection GEMM: P=256 phenotypes keeps the kernel
+    # multi-pheno linreg projection GEMM: P=512 phenotypes keeps the kernel
     # compute-bound so the curve measures mesh scaling, not DRAM bandwidth
-    R, N, Pn = 2048, 4096, 256
+    # (256 left the 4-core point ~81%; 512 measures ~92%)
+    R, N, Pn = 2048, 4096, 512
     rng = np.random.default_rng(0)
     mesh = Mesh(np.asarray(devs), ('d',))
     shard_rows = NamedSharding(mesh, P('d', None))
@@ -315,6 +316,62 @@ def main():
     method_f32 = time_method('float32')
     log(f'e2e_method f32 warm: {method_f32:,.0f} v/s')
 
+    # ---- BASELINE config 4: logistic (wald + firth) + LD-prune ------------
+    # 10k samples; rate measured on the 32k-variant panel (per-variant work
+    # is independent, so v/s extrapolates linearly to the 500k config)
+    mtl = mt.annotate_cols(is_case=mt.pheno > 0)
+
+    def time_logistic(test):
+        t0 = time.time()
+        res = hl.logistic_regression_rows(
+            test, y=mtl.is_case, x=mtl.GT.n_alt_alleles(), covariates=covs)
+        n = res._force_count()
+        assert n == tot_variants
+        return tot_variants / (time.time() - t0)
+
+    log('timing hl.logistic_regression_rows(wald) COLD...')
+    logi_wald_cold = time_logistic('wald')
+    log(f'logistic wald cold: {logi_wald_cold:,.0f} v/s')
+    logi_wald = time_logistic('wald')
+    log(f'logistic wald warm: {logi_wald:,.0f} v/s')
+    logi_firth = time_logistic('firth')
+    log(f'logistic firth warm: {logi_firth:,.0f} v/s')
+    t0 = time.time()
+    pruned = hl.ld_prune(mtl.GT, r2=0.2, bp_window_size=256)
+    n_kept = pruned._force_count()
+    ld_prune_vps = tot_variants / (time.time() - t0)
+    log(f'ld_prune: {ld_prune_vps:,.0f} v/s ({n_kept} kept)')
+
+    # ---- BASELINE config 5: 50k x 50k GRM (exact int8 strips) -------------
+    # kinship for 50k samples from 4096 variants; K streams in column strips
+    # (ops/grm.py). The f64-emulated matmul at this size needs 18.6 GB HBM
+    # and cannot compile on a 16 GB v5e — the digit-plane kernel is the only
+    # single-chip path, and it is exact (<=1e-12 of the f64 oracle).
+    from hail_tpu.ops.grm import ExactGrm
+    mg, ng = 4096, 50176
+    codes = jax.random.randint(jax.random.PRNGKey(11), (mg, ng), 0, 4,
+                               dtype=jnp.int8)
+    gz_dev = jnp.where(codes == 3, jnp.int8(0), codes)
+    m8_dev = (codes == 3).astype(jnp.int8)
+    cnt_d = (1 - m8_dev.astype(jnp.int32)).sum(axis=1)
+    s_d = gz_dev.astype(jnp.int32).sum(axis=1)
+    p_h = np.asarray(s_d) / np.maximum(2 * np.asarray(cnt_d), 1)
+    ok_h = (2 * p_h * (1 - p_h) > 0)
+    grm_dev = ExactGrm(gz_dev, m8_dev, p_h, ok_h)
+    del codes, gz_dev, m8_dev, cnt_d, s_d
+    Bg = 4096
+    red = jax.jit(lambda s: (s.sum() * 1e-6).astype(jnp.float32))
+    acc_g = float(red(grm_dev.strip(0, Bg)))          # compile + run
+    t0 = time.time()
+    n_strips = 4
+    for si in range(1, 1 + n_strips):
+        acc_g += float(red(grm_dev.strip(si * Bg, (si + 1) * Bg)))
+    dtg = time.time() - t0
+    grm_tf = 2 * mg * ng * Bg * n_strips / dtg / 1e12
+    grm_full_s = (ng / Bg) * dtg / n_strips
+    log(f'GRM 50k strips: {grm_tf:.2f} TFLOPS-equiv (useful f64), '
+        f'full 50k x 50k in ~{grm_full_s:.1f}s (checksum {acc_g:.3f})')
+
     # ---- kernel-only rates ------------------------------------------------
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
@@ -438,6 +495,17 @@ def main():
         'kernel_f64_parity_vps': round(kernel_f64, 1),
         'bm_matmul_f64_gflops_per_chip': round(bm_gflops, 1),
         'numpy_baseline_vps': round(numpy_rate, 1),
+        # BASELINE config 4: logistic (wald/firth) + ld_prune @ 10k samples
+        'logistic_wald_vps': round(logi_wald, 1),
+        'logistic_wald_vps_cold': round(logi_wald_cold, 1),
+        'logistic_firth_vps': round(logi_firth, 1),
+        'ld_prune_vps': round(ld_prune_vps, 1),
+        # BASELINE config 5: 50k x 50k GRM via exact int8 digit-plane strips
+        'grm_50k_tflops_equiv_f64': round(grm_tf, 2),
+        'grm_50k_full_seconds_est': round(grm_full_s, 1),
+        'grm_note': 'f64-emulated matmul needs 18.6 GB HBM at this size '
+                    '(cannot compile on 16 GB v5e); the exact i8 kernel is '
+                    'the single-chip path, <=1e-12 of the f64 oracle',
         **scaling,
     }
     print(json.dumps(out), flush=True)

@@ -820,6 +820,89 @@ def _logistic_device_columns(test, dev, covmat, null_fit, gi_thunk):
     }
 
 
+def _poisson_device_columns(test, dev, covmat, null_fit, gi_thunk):
+    """Vectorized poisson result columns from device GLM arrays (mirrors
+    _logistic_device_columns; test_fit carries the reference's full fit
+    struct — b/score/fisher/mu — built lazily)."""
+    k = covmat.shape[1]
+    f64, i32, bl = ht.tfloat64, ht.tint32, ht.tbool
+    P = C.PrimitiveColumn
+    if test == 'score':
+        chi = np.asarray(dev['chi_sq_stat'], np.float64)
+        nanin = np.asarray(dev['nan_input'], bool)
+        valid = np.asarray(dev['valid'], bool)
+        with np.errstate(invalid='ignore'):
+            p = _pchisqtail_vec(chi, 1.0)
+        miss = ~valid
+        chiv = np.where(nanin, np.nan, np.where(valid, chi, 0.0))
+        pv = np.where(nanin, np.nan, np.where(valid, p, 0.0))
+        return {'chi_sq_stat': P(f64, chiv, miss.copy()),
+                'p_value': P(f64, pv, miss.copy())}
+
+    st_arr = np.asarray(dev['status'])
+    conv = st_arr == 1
+    R = conv.shape[0]
+    n_iter = np.asarray(dev['n_iter'], np.float64).astype(np.int32)
+    fit_col = C.StructColumn(_FIT_VIEW_T, {
+        'n_iterations': P(i32, n_iter.copy()),
+        'converged': P(bl, conv.copy()),
+        'exploded': P(bl, st_arr == 2)})
+    memo = {}
+
+    def build_test_fit():
+        if 'r' not in memo:
+            b = dev['b']
+            Gi = gi_thunk()
+            eta = b[:, :k] @ covmat.T + Gi * b[:, k:k + 1]
+            with np.errstate(over='ignore'):
+                # a fit frozen at iteration 1 never stepped: its mu is the
+                # sigmoid prelude (reference statgen.py:1833 quirk); any
+                # stepped fit's mu is exp(eta)
+                mu = np.where((n_iter == 1)[:, None], _np_sigmoid(eta),
+                              np.exp(eta))
+            out = np.empty(R, object)
+            for r in range(R):
+                c = bool(conv[r])
+                out[r] = Struct(
+                    b=(b[r].copy() if c else None),
+                    score=(dev['score'][r].copy() if c else None),
+                    fisher=(dev['fisher'][r].copy() if c else None),
+                    mu=(mu[r] if c else None),
+                    n_iterations=int(n_iter[r]),
+                    log_lkhd=float(dev['ll'][r]),
+                    converged=c,
+                    exploded=bool(st_arr[r] == 2))
+            memo['r'] = out
+        return memo['r']
+
+    test_fit_col = C.DeferredObjectColumn(_FIT_FULL_T, R, build_test_fit)
+    miss = ~conv
+    b_last = dev['b'][:, -1]
+    if test == 'wald':
+        with np.errstate(invalid='ignore'):
+            p = 2.0 * _pnorm_vec(-np.abs(dev['z']).reshape(-1))
+        return {
+            'test_fit': test_fit_col,
+            'beta': P(f64, np.where(conv, b_last, np.nan), miss.copy()),
+            'standard_error': P(f64, np.where(conv, dev['se'].reshape(-1),
+                                              np.nan), miss.copy()),
+            'z_stat': P(f64, np.where(conv, dev['z'].reshape(-1), np.nan),
+                        miss.copy()),
+            'p_value': P(f64, np.where(conv, p, np.nan), miss.copy()),
+            'fit': fit_col,
+        }
+    with np.errstate(invalid='ignore'):
+        chi = 2.0 * (dev['ll'] - float(null_fit['log_lkhd']))
+        p = _pchisqtail_vec(chi, 1.0)
+    return {
+        'test_fit': test_fit_col,
+        'beta': P(f64, np.where(conv, b_last, np.nan), miss.copy()),
+        'chi_sq_stat': P(f64, np.where(conv, chi, np.nan), miss.copy()),
+        'p_value': P(f64, np.where(conv, p, np.nan), miss.copy()),
+        'fit': fit_col,
+    }
+
+
 def _logistic_device_row_structs(test, dev, covmat, Gi, null_fit,
                                  n_iter_cap=None):
     """Device GLM arrays → per-row result dicts shaped exactly like
@@ -1236,7 +1319,45 @@ def poisson_regression_rows(test: str, y, x, covariates, pass_through=(),
         r['test_fit'] = _fit_full_struct(test_fit)
         return r
 
+    gt_field_poi = _match_gt_nalt(xe)
+
     def per_part(mb, i):
+        # device tier: same devcache-resident int8 entries as linreg /
+        # logistic, batched Newton on the MXU (ops/glm_device.py
+        # poisson_rows_device; parity pinned by test_poisson_matches_host)
+        col = mb.entries.get(gt_field_poi) if gt_field_poi else None
+        if (_glm_use_device() and isinstance(col, C.PrimitiveColumn)
+                and col.typ == ht.tcall):
+            from ..ops import devcache, glm_device
+            all_keep = bool(idx.size == col.values.shape[1])
+            idx_fp = 0 if all_keep else hash(
+                np.ascontiguousarray(idx).tobytes())
+
+            def ship_decoded():
+                import jax
+                import jax.numpy as jnp
+                from ..ops.linreg_i8 import pack_gt_2bit, unpack_gt_2bit
+                packed = col.values if all_keep else col.values[:, idx]
+                miss = col.missing
+                if miss is not None and not all_keep:
+                    miss = miss[:, idx]
+                u8 = pack_gt_2bit(np.ascontiguousarray(packed, np.int32),
+                                  miss)
+                gz8, m8 = unpack_gt_2bit(jnp.asarray(u8), packed.shape[1])
+                jax.block_until_ready(gz8)
+                return (gz8, m8)
+            gz8, m8 = devcache.get(
+                mb, ('glm_gz8', gt_field_poi, idx_fp), ship_decoded)
+            R = int(gz8.shape[0])
+            if R > 0:
+                def gi_thunk():
+                    Gk, Mk = _glm_raw_xvecs(mt, xe, mb, i, idx)
+                    return _impute_host(Gk, Mk)
+                dev = glm_device.poisson_rows_device(
+                    gz8, m8, covmat, yvec, null_fit, test, max_iterations,
+                    tolerance, cached=True)
+                return _poisson_device_columns(test, dev, covmat, null_fit,
+                                               gi_thunk)
         Xv = _glm_xvecs(mt, xe, mb, i, idx)
         R = Xv.shape[0]
         rows = [per_row(Xv[r]) for r in range(R)]

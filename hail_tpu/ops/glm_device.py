@@ -454,37 +454,36 @@ def logistic_rows_device(G, Mmask, Cov, y, null_fit, test: str,
 
 def poisson_rows_device(G, Mmask, Cov, y, null_fit, test: str,
                         max_iterations: int, tolerance: float,
-                        block_rows: int = 1024):
+                        block_rows: int = 1024, cached: bool = False):
     """Poisson wald/lrt/score on device (reference
-    _lowered_poisson_regression_rows, statgen.py:1747)."""
-    R, N = G.shape
+    _lowered_poisson_regression_rows, statgen.py:1747). `cached` as in
+    logistic_rows_device: (G, Mmask) are the devcache int8 pair."""
+    R = int(G.shape[0])
     Covd = jnp.asarray(Cov)
     yd = jnp.asarray(y)
     nb = jnp.asarray(null_fit['b'])
     out = {}
     if test == 'score':
         return _score_device(G, Mmask, Covd, yd, null_fit, 'poisson',
-                             block_rows)
-    bs, ses, zs, scoresL, fishersL, its, lls, sts = [], [], [], [], [], [], [], []
-    for s, e in _row_blocks(R, block_rows):
-        Gb, Mb, n = _pad_block(G, Mmask, s, e, block_rows)
+                             block_rows, cached)
+    if cached and block_rows == 1024:
+        block_rows = 2048
+    n_out = 8 if test == 'wald' else 6
+    parts = [[] for _ in range(n_out)]
+    for Gb, Mb, n in _block_source(G, Mmask, cached, block_rows):
         b, sc, fi, it, ll, st = glm_newton_batch(
             Gb, Mb, Covd, yd,
             nb, jnp.asarray(null_fit['score']), jnp.asarray(null_fit['fisher']),
             max_iterations, tolerance, 'poisson')
+        arrs = [b, sc, fi, it, ll, st]
         if test == 'wald':
             se, z = wald_stats_batch(b, fi)
-            ses.append(np.asarray(se)[:n]); zs.append(np.asarray(z)[:n])
-        bs.append(np.asarray(b)[:n]); scoresL.append(np.asarray(sc)[:n])
-        fishersL.append(np.asarray(fi)[:n]); its.append(np.asarray(it)[:n])
-        lls.append(np.asarray(ll)[:n]); sts.append(np.asarray(st)[:n])
-    out['b'] = np.concatenate(bs)
-    out['score'] = np.concatenate(scoresL)
-    out['fisher'] = np.concatenate(fishersL)
-    out['n_iter'] = np.concatenate(its)
-    out['ll'] = np.concatenate(lls)
-    out['status'] = np.concatenate(sts)
+            arrs += [se, z]
+        for lst, arr in zip(parts, arrs):
+            lst.append(arr[:n])
+    fetched = _stacked_fetch(parts)
+    (out['b'], out['score'], out['fisher'], out['n_iter'], out['ll'],
+     out['status']) = fetched[:6]
     if test == 'wald':
-        out['se'] = np.concatenate(ses)
-        out['z'] = np.concatenate(zs)
+        out['se'], out['z'] = fetched[6], fetched[7]
     return out
