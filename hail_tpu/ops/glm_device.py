@@ -411,6 +411,9 @@ def logistic_rows_device(G, Mmask, Cov, y, null_fit, test: str,
 
     if test == 'firth':
         fb = _firth_row_block(N, k + 1)
+        if cached:
+            fb *= 2   # device-resident input: the larger (R,M,N) workspace
+                      # is affordable and halves dispatch round trips
         parts = [[] for _ in range(8)]
         for Gb, Mb, n in _block_source(G, Mmask, cached, fb):
             Gid = _impute_mean_nan(Gb, Mb)
