@@ -203,6 +203,12 @@ class RouterFS(FS):
             return self._local
         scheme = path.split('://', 1)[0]
         if scheme not in self._cache:
+            if scheme == 's3' and os.environ.get('HAIL_TPU_S3_ENDPOINT'):
+                # native S3-compatible driver (fs/s3_fs.py) — works against
+                # AWS/minio/the in-repo mock, no SDK or fsspec needed
+                from .s3_fs import S3FS
+                self._cache[scheme] = S3FS()
+                return self._cache[scheme]
             if not os.environ.get('HAIL_TPU_ENABLE_CLOUD_FS'):
                 raise ValueError(
                     f'scheme {scheme!r} is not available in this build: cloud '
