@@ -410,10 +410,10 @@ def logistic_rows_device(G, Mmask, Cov, y, null_fit, test: str,
                              block_rows, cached)
 
     if test == 'firth':
+        # fb stays at the workspace-bounded size even when cached: the
+        # (R, M, N) triangular-solve workspace at 2× blew past HBM next to
+        # the resident entry cache (measured OOM at compile, r5)
         fb = _firth_row_block(N, k + 1)
-        if cached:
-            fb *= 2   # device-resident input: the larger (R,M,N) workspace
-                      # is affordable and halves dispatch round trips
         parts = [[] for _ in range(8)]
         for Gb, Mb, n in _block_source(G, Mmask, cached, fb):
             Gid = _impute_mean_nan(Gb, Mb)
