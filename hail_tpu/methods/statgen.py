@@ -526,7 +526,7 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
                     from ..ops.linreg_i8 import (linreg_block_gz_exact_packed,
                                                  _finish_stats_packed)
                     gz8, m8 = devcache.get(
-                        mb, ('linreg_gz8', gt_field, idx_fp), ship_decoded)
+                        mb, ('gz8', gt_field, idx_fp), ship_decoded)
                     Wd, scd, Qtyd, yypd, dd = exact_consts
                     out = linreg_block_gz_exact_packed(
                         gz8, m8, Wd, scd, Qtyd, yypd, dd, grp0['Q'].shape[1])
@@ -1115,7 +1115,7 @@ def logistic_regression_rows(test: str, y, x, covariates, pass_through=(),
                     jax.block_until_ready(gz8)
                     return (gz8, m8)
                 dev_pair = devcache.get(
-                    mb, ('glm_gz8', gt_field_glm, idx_fp), ship_decoded)
+                    mb, ('gz8', gt_field_glm, idx_fp), ship_decoded)
             if dev_pair is not None:
                 gz8, m8 = dev_pair
                 R = int(gz8.shape[0])
@@ -1330,7 +1330,7 @@ def poisson_regression_rows(test: str, y, x, covariates, pass_through=(),
                 jax.block_until_ready(gz8)
                 return (gz8, m8)
             gz8, m8 = devcache.get(
-                mb, ('glm_gz8', gt_field_poi, idx_fp), ship_decoded)
+                mb, ('gz8', gt_field_poi, idx_fp), ship_decoded)
             R = int(gz8.shape[0])
             if R > 0:
                 def gi_thunk():
@@ -2147,7 +2147,7 @@ def ld_prune(call_expr, r2: float = 0.2, bp_window_size: int = 1000000,
                                          col.values.shape[1])
                 jax.block_until_ready(gz8)
                 return (gz8, m8)
-            gz8, m8 = devcache.get(mb, ('linreg_gz8', gt_field, 0),
+            gz8, m8 = devcache.get(mb, ('gz8', gt_field, 0),
                                    ship_decoded)
             z, mean_p, ok_p = standardize_rows_device(gz8, m8)
             R = int(gz8.shape[0])
