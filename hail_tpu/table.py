@@ -359,9 +359,14 @@ class Table:
         return self._stage.n_partitions
 
     def _force_count(self) -> int:
-        # unlike count(), this must EXECUTE every partition (reference
+        # unlike count(), this must EXECUTE the pipeline (reference
         # TableToValueApply(ForceCountTable) — used to materialize effects),
-        # so the Simplify known-counts shortcut does not apply
+        # so the Simplify known-counts shortcut does not apply; it still
+        # rides the fast-restarts execution cache like any action
+        # (reference semantics: a cached partition IS materialized)
+        from .ir.semhash import execution_cache
+        if execution_cache() is not None and self._stage.lineage is not None:
+            return int(sum(b.length for b in self._stage.collect_batches()))
         lengths = Env.backend().map_collect(
             self._stage.contexts,
             lambda c, pf=self._stage.partition_fn: pf(c).length)
