@@ -795,6 +795,7 @@ class FrontEnd:
                               client_max_size=64 * 1024 * 1024)
         r = app.router
         r.add_get('/healthcheck', self._healthcheck)
+        r.add_get('/check_invariants', self._check_invariants)
         r.add_get('/metrics', self._metrics)
         r.add_get('/batches', self._ui_batches)
         r.add_get('/batches/{batch_id}', self._ui_batch)
@@ -918,6 +919,73 @@ class FrontEnd:
     # -- misc ---------------------------------------------------------------
     async def _healthcheck(self, req):
         return web.Response()
+
+    async def _check_invariants(self, req):
+        """DB-invariant sweep (reference batch-driver `/check_invariants`,
+        validated by `batch/test/test_invariants.py`): recompute ground
+        truth from the jobs/attempts tables and compare against the cached
+        batch-level counters and the billing aggregation."""
+        db = self.db
+        inc_err = None
+        agg_err = None
+        try:
+            for b in db.query('SELECT * FROM batches'):
+                bid = b['id']
+                jobs = db.query(
+                    'SELECT * FROM jobs WHERE batch_id = ? AND committed = 1',
+                    (bid,))
+                if b['state'] != 'open' and b['n_jobs'] != len(jobs):
+                    inc_err = (f'batch {bid}: n_jobs={b["n_jobs"]} but '
+                               f'{len(jobs)} committed jobs')
+                    break
+                terminal = ('Success', 'Failed', 'Cancelled', 'Error')
+                n_done = sum(1 for j in jobs if j['state'] in terminal)
+                if b['state'] == 'complete' and n_done != len(jobs):
+                    inc_err = (f'batch {bid}: complete with {n_done}/'
+                               f'{len(jobs)} terminal jobs')
+                    break
+                for j in jobs:
+                    if j['state'] == 'Success' and j['exit_code'] not in (0,):
+                        inc_err = (f'job {bid}/{j["job_id"]}: Success with '
+                                   f'exit_code {j["exit_code"]}')
+                        break
+                    if j['state'] in ('Success', 'Failed') \
+                            and j['time_completed'] is None:
+                        inc_err = (f'job {bid}/{j["job_id"]}: terminal '
+                                   f'without time_completed')
+                        break
+                    n_att = db.query(
+                        'SELECT COUNT(*) c FROM attempts WHERE batch_id = ? '
+                        'AND job_id = ?', (bid, j['job_id']))[0]['c']
+                    if n_att > j['attempts']:
+                        inc_err = (f'job {bid}/{j["job_id"]}: {n_att} '
+                                   f'attempt rows > attempts={j["attempts"]}')
+                        break
+                if inc_err:
+                    break
+            # resource aggregation: the batch-level cost/duration aggregate
+            # must equal the recomputed per-job sum
+            if inc_err is None:
+                for b in db.query('SELECT id FROM batches'):
+                    bid = b['id']
+                    st = batch_status_dict(db, bid)
+                    job_rows = db.query(
+                        'SELECT duration_ms FROM jobs WHERE '
+                        'batch_id = ? AND committed = 1', (bid,))
+                    per_job = sum(_cost_of_ms(j['duration_ms'] or 0)
+                                  for j in job_rows)
+                    # _cost_of_ms rounds to 10 places: the batch-level
+                    # aggregate (rounded once) may differ from the per-job
+                    # sum (rounded n times) by up to n half-ulps
+                    tol = 0.5e-10 * (len(job_rows) + 1) + 1e-12
+                    if abs(st['cost'] - per_job) > tol:
+                        agg_err = (f'batch {bid}: cost {st["cost"]} != '
+                                   f'sum of job costs {per_job}')
+                        break
+        except Exception as e:   # noqa: BLE001 — surface as the error field
+            inc_err = inc_err or repr(e)
+        return web.json_response({'check_incremental_error': inc_err,
+                                  'check_resource_aggregation_error': agg_err})
 
     async def _version(self, req):
         return web.Response(text='hail_tpu-batch')
