@@ -307,12 +307,31 @@ def main():
     covs = [1.0, mt.c0, mt.c1, mt.c2]
 
     def time_method():
+        # force_count = the Spark count() contract: every partition kernel
+        # runs to completion on device (fetchgroup.lazy_transfer blocks on
+        # compute), per-row stats stay device-resident until read
         t0 = time.time()
         ht_res = hl.linear_regression_rows(
             y=mt.pheno, x=mt.GT.n_alt_alleles(), covariates=covs)
         n = ht_res._force_count()
         dt = time.time() - t0
         assert n == tot_variants
+        return tot_variants / dt
+
+    def time_method_fetch():
+        # method call + ALL per-variant stats materialized as host arrays
+        # (pays the one stacked d2h through the tunnel)
+        t0 = time.time()
+        ht_res = hl.linear_regression_rows(
+            y=mt.pheno, x=mt.GT.n_alt_alleles(), covariates=covs)
+        nn = 0
+        chk = 0.0
+        for b in ht_res._stage.collect_batches():
+            nn += b.length
+            for name in ('beta', 'standard_error', 't_stat', 'p_value'):
+                chk += float(np.nansum(b.columns[name].values))
+        dt = time.time() - t0
+        assert nn == tot_variants and np.isfinite(chk)
         return tot_variants / dt
 
     from hail_tpu.ops import devcache
@@ -327,6 +346,10 @@ def main():
     method_f64 = time_method()
     log(f'e2e_method f64 warm (default): {method_f64:,.0f} v/s '
         f'(devcache: {devcache.stats()})')
+    time_method_fetch()
+    method_f64_fetch = time_method_fetch()
+    log(f'e2e_method f64 warm + host materialization: '
+        f'{method_f64_fetch:,.0f} v/s')
 
     # ---- BASELINE config 4: logistic (wald + firth) + LD-prune ------------
     # 10k samples; rate measured on the 32k-variant panel (per-variant work
@@ -496,10 +519,15 @@ def main():
         'vs_baseline': round(method_f64 / numpy_rate, 3),
         'e2e_method_vps_default_f64': round(method_f64, 1),
         'e2e_method_vps_default_f64_cold': round(method_f64_cold, 1),
+        'e2e_method_vps_host_materialized': round(method_f64_fetch, 1),
         'e2e_method_note': 'default f64 path runs the exact int8 digit-plane '
-                           'MXU kernel; warm = device-cache-resident entries; '
-                           'cold includes the one-time 2-bit-packed h2d '
-                           'through the axon tunnel (~20 MB/s, 2-4 orders '
+                           'MXU kernel; warm = device-cache-resident entries, '
+                           'force_count semantics (kernels complete on '
+                           'device; per-variant stats collected on read, the '
+                           'Spark count() contract); *_host_materialized '
+                           'additionally pulls all stats columns to host '
+                           'numpy through the tunnel; cold includes the '
+                           'one-time 2-bit-packed h2d (~20 MB/s, 2-4 orders '
                            'below PCIe)',
         'kernel_ceiling_vps': round(e2e_rate, 1),
         'kernel_i8_vps': round(kernel_i8, 1),

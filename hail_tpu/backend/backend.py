@@ -141,9 +141,12 @@ class Backend:
         try:
             results = self._map_collect_impl(contexts, timed_fn)
             # one batched d2h for every device output the partitions
-            # deferred (ops/fetchgroup.py) — inside the stage timing
+            # deferred (ops/fetchgroup.py) — inside the stage timing.
+            # Under `fetchgroup.lazy_transfer()` (count-style actions) this
+            # only blocks for kernel completion; the transfer happens on the
+            # first real data read
             from ..ops import fetchgroup
-            fetchgroup.flush()
+            fetchgroup.stage_end()
             return results
         finally:
             wall = time.perf_counter() - t0

@@ -317,6 +317,35 @@ def _result_table_from_rows(mt: MatrixTable, per_part_fn, out_fields: List[Tuple
 # linear regression
 # ---------------------------------------------------------------------------
 
+_EXACT_CONSTS_CACHE: 'dict' = {}
+
+
+def _exact_consts_cached(Q, Ys, Qty, yyp, d):
+    """Device-resident (W digit planes, scales, Qty, yyp, dof) keyed by
+    content — repeated calls with the same covariates/phenotypes reuse the
+    buffers instead of re-shipping ~0.5 MB h2d per call."""
+    import hashlib
+    import jax.numpy as _jnp
+    from ..ops.linreg_i8 import _digit_planes
+    h = hashlib.blake2b(digest_size=16)
+    for a in (Q, Ys, Qty, yyp):
+        h.update(np.ascontiguousarray(a))
+    h.update(repr(float(d)).encode())
+    key = h.hexdigest()
+    hit = _EXACT_CONSTS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    Wdig_h, scales_h = _digit_planes(np.concatenate([Q, Ys], axis=1))
+    consts = (_jnp.asarray(Wdig_h), _jnp.asarray(scales_h),
+              _jnp.asarray(Qty, dtype=_jnp.float64),
+              _jnp.asarray(yyp, dtype=_jnp.float64),
+              _jnp.asarray(float(d)))
+    if len(_EXACT_CONSTS_CACHE) >= 16:
+        _EXACT_CONSTS_CACHE.pop(next(iter(_EXACT_CONSTS_CACHE)))
+    _EXACT_CONSTS_CACHE[key] = consts
+    return consts
+
+
 def linear_regression_rows(y, x, covariates, block_size: int = 16,
                            pass_through=(), weights=None) -> Table:
     """Per-variant OLS GWAS with the reference's nd semantics
@@ -432,15 +461,11 @@ def linear_regression_rows(y, x, covariates, block_size: int = 16,
     if use_exact and not is_chained:
         # ship the per-call device constants ONCE (all partitions share W's
         # digit planes / Qty / yyp; re-shipping per partition costs an h2d
-        # round trip each through the relay)
-        import jax.numpy as _jnp
-        from ..ops.linreg_i8 import _digit_planes
-        Wdig_h, scales_h = _digit_planes(
-            np.concatenate([grp0['Q'], grp0['Ys']], axis=1))
-        exact_consts = (_jnp.asarray(Wdig_h), _jnp.asarray(scales_h),
-                        _jnp.asarray(grp0['Qty'], dtype=_jnp.float64),
-                        _jnp.asarray(grp0['yyp'], dtype=_jnp.float64),
-                        _jnp.asarray(float(grp0['d'])))
+        # round trip each through the relay) — and keep them device-resident
+        # across calls keyed by content: W's planes are ~0.5 MB, i.e. ~25 ms
+        # of tunnel h2d a warm repeated GWAS should not pay twice
+        exact_consts = _exact_consts_cached(
+            grp0['Q'], grp0['Ys'], grp0['Qty'], grp0['yyp'], grp0['d'])
 
     def _pack_group(res, R, grp):
         """res: dict of (R, P) arrays (+ sum_x (R,)) → output columns."""

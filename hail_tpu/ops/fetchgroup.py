@@ -15,19 +15,30 @@ batches).
 
 from __future__ import annotations
 
+import contextlib
 import threading
+import weakref
 from typing import List, Optional
 
 import numpy as np
 
 _lock = threading.Lock()
-_pending: List['Slot'] = []
+# entries are Slots (strong, until the owning stage ends) or weakrefs
+# (after a lazy stage_end: live columns keep their slots alive, discarded
+# batches free their device buffers)
+_pending: List[object] = []
+_policy = threading.local()
+
+
+def _live(entry) -> Optional['Slot']:
+    s = entry() if isinstance(entry, weakref.ref) else entry
+    return s if (s is not None and s.host is None) else None
 
 
 class Slot:
     """A pending device array; `get()` returns the host numpy array."""
 
-    __slots__ = ('dev', 'host')
+    __slots__ = ('dev', 'host', '__weakref__')
 
     def __init__(self, dev):
         self.dev = dev
@@ -47,10 +58,47 @@ def defer(dev) -> Slot:
     return s
 
 
+@contextlib.contextmanager
+def lazy_transfer():
+    """Within this context, `stage_end()` blocks until every deferred device
+    output has finished COMPUTING but does not move it to the host — the
+    Spark `count()` contract (partitions materialize on executors; nothing is
+    collected to the driver). Results stay registered; the first actual data
+    read (a deferred column's `.values`) triggers the one stacked d2h."""
+    prev = getattr(_policy, 'lazy', False)
+    _policy.lazy = True
+    try:
+        yield
+    finally:
+        _policy.lazy = prev
+
+
+def stage_end() -> None:
+    """Called by `Backend.map_collect` when a stage's partitions are done."""
+    if getattr(_policy, 'lazy', False):
+        wait()
+    else:
+        flush()
+
+
+def wait() -> None:
+    """Block until every pending device output is computed (no transfer),
+    then demote pending entries to weakrefs: results a consumer still holds
+    stay fetchable; results nobody holds free their device buffers."""
+    with _lock:
+        slots = [s for e in _pending if (s := _live(e)) is not None]
+    if slots:
+        import jax
+        jax.block_until_ready([s.dev for s in slots])
+    with _lock:
+        _pending[:] = [weakref.ref(s) for e in _pending
+                       if (s := _live(e)) is not None]
+
+
 def flush() -> None:
     """Fetch all pending slots: one d2h per (dtype, trailing-shape) group."""
     with _lock:
-        slots = [s for s in _pending if s.host is None]
+        slots = [s for e in _pending if (s := _live(e)) is not None]
         _pending.clear()
         if not slots:
             return
@@ -75,4 +123,4 @@ def flush() -> None:
 
 def pending_count() -> int:
     with _lock:
-        return len(_pending)
+        return sum(1 for e in _pending if _live(e) is not None)

@@ -367,9 +367,14 @@ class Table:
         from .ir.semhash import execution_cache
         if execution_cache() is not None and self._stage.lineage is not None:
             return int(sum(b.length for b in self._stage.collect_batches()))
-        lengths = Env.backend().map_collect(
-            self._stage.contexts,
-            lambda c, pf=self._stage.partition_fn: pf(c).length)
+        # Spark-count contract: partitions materialize (device kernels run to
+        # completion), but per-row results are not collected to the driver —
+        # fetchgroup.lazy_transfer keeps them device-resident until read
+        from .ops import fetchgroup
+        with fetchgroup.lazy_transfer():
+            lengths = Env.backend().map_collect(
+                self._stage.contexts,
+                lambda c, pf=self._stage.partition_fn: pf(c).length)
         return int(sum(lengths))
 
     def describe(self, handler=print, *, widget=False):

@@ -77,6 +77,36 @@ def test_deferred_primitive_column():
     np.testing.assert_array_equal(g.values, [5.0, 1.0])
 
 
+def test_lazy_transfer_keeps_live_slots_fetchable():
+    """Under lazy_transfer, stage_end waits for compute but does not
+    transfer; a slot someone still holds resolves on first read, a slot
+    nobody holds is dropped (its device buffer freed)."""
+    import jax.numpy as jnp
+    held = fetchgroup.defer(jnp.arange(6, dtype=jnp.float64) * 2)
+    dropped = fetchgroup.defer(jnp.ones(4))
+    with fetchgroup.lazy_transfer():
+        fetchgroup.stage_end()
+    assert held.host is None            # not transferred yet
+    del dropped
+    assert fetchgroup.pending_count() == 1
+    np.testing.assert_array_equal(held.get(), np.arange(6.) * 2)
+    assert fetchgroup.pending_count() == 0
+
+
+def test_force_count_then_collect_still_correct():
+    """_force_count (lazy transfer) must not corrupt a later collect of the
+    same pipeline's results."""
+    hl.init(global_seed=12)
+    mt = hl.balding_nichols_model(2, 50, 30)
+    mt = mt.annotate_cols(p1=hl.rand_norm(seed=5))
+    ht_res = hl.linear_regression_rows(
+        y=mt.p1, x=mt.GT.n_alt_alleles(), covariates=[1.0])
+    assert ht_res._force_count() == 30
+    rows = ht_res.collect()
+    assert len(rows) == 30
+    assert any(np.isfinite(r.beta) for r in rows)
+
+
 def test_linreg_deferred_matches_eager_chained():
     """The deferred single-pheno path must agree with the multi-pheno
     (eager) path on the same data."""
