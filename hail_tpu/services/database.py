@@ -86,3 +86,68 @@ class Database:
         if self._conn is not None:
             conn, self._conn = self._conn, None
             await self._run(conn.close)
+
+    def transaction(self) -> 'Transaction':
+        """Async context manager running statements atomically (reference
+        Database.start(): MySQL transaction with commit/rollback)."""
+        return Transaction(self)
+
+
+class Transaction:
+    def __init__(self, db: Database):
+        self._db = db
+
+    async def __aenter__(self):
+        def go():
+            self._db._lock.acquire()
+            self._db._conn.execute('BEGIN')
+        await self._db._run(go)
+        return self
+
+    async def __aexit__(self, exc_type, exc, tb):
+        def go():
+            try:
+                if exc_type is None:
+                    self._db._conn.commit()
+                else:
+                    self._db._conn.rollback()
+            finally:
+                self._db._lock.release()
+        await self._db._run(go)
+        return False
+
+    async def just_execute(self, sql: str, args: Sequence[Any] = ()) -> None:
+        await self._db._run(lambda: self._db._conn.execute(sql, args))
+
+    async def execute_and_fetchone(self, sql: str,
+                                   args: Sequence[Any] = ()) -> Optional[dict]:
+        def go():
+            r = self._db._conn.execute(sql, args).fetchone()
+            return None if r is None else dict(r)
+        return await self._db._run(go)
+
+    async def execute_insertone(self, sql: str, args: Sequence[Any] = ()) -> int:
+        def go():
+            return self._db._conn.execute(sql, args).lastrowid
+        return await self._db._run(go)
+
+
+def retry_transient_db_errors(f, max_attempts: int = 5,
+                              base_delay_s: float = 0.05):
+    """Reference gear.database.retry_transient_mysql_errors: retry the
+    retryable error class with exponential backoff — here sqlite's
+    'database is locked' / 'database table is locked' OperationalErrors."""
+    import functools
+
+    @functools.wraps(f)
+    async def wrapped(*args, **kwargs):
+        delay = base_delay_s
+        for attempt in range(max_attempts):
+            try:
+                return await f(*args, **kwargs)
+            except sqlite3.OperationalError as e:
+                if 'locked' not in str(e) or attempt == max_attempts - 1:
+                    raise
+                await asyncio.sleep(delay)
+                delay *= 2
+    return wrapped

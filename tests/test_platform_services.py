@@ -135,3 +135,120 @@ def test_metrics_primitives():
     assert 'test_widget_total{kind="b"} 1.0' in text
     assert 'test_depth 4.0' in text
     assert 'test_latency_count 1.0' in text
+
+
+# ---------------------------------------------------------------------------
+# gear middleware primitives (reference gear/gear/{csrf,session,
+# time_limited_max_size_cache,database}.py)
+# ---------------------------------------------------------------------------
+
+def test_csrf_token_and_cookie_sessions():
+    import asyncio
+    from hail_tpu.services import gear
+
+    t = gear.new_csrf_token()
+    assert len(t) > 60 and t != gear.new_csrf_token()
+
+    cs = gear.CookieSessions(b'secret-key')
+    cookie = cs.encode({'user': 'dev', 'is_developer': True})
+    assert cs.decode(cookie) == {'user': 'dev', 'is_developer': True}
+    # tampering invalidates
+    assert cs.decode(cookie[:-4] + 'AAAA') is None
+    assert cs.decode('garbage') is None
+    assert gear.CookieSessions(b'other-key').decode(cookie) is None
+
+
+def test_csrf_middleware_rejects_mismatched_tokens():
+    import asyncio
+    from aiohttp import web
+    from aiohttp.test_utils import TestClient, TestServer
+    from hail_tpu.services import gear
+
+    async def run():
+        app = web.Application(middlewares=[gear.csrf_middleware])
+
+        async def post(request):
+            return web.json_response({'ok': True})
+        app.router.add_post('/mutate', post)
+        async with TestClient(TestServer(app)) as client:
+            # no cookies at all: csrf check does not apply (token auth path)
+            r = await client.post('/mutate')
+            assert r.status == 200
+            tok = gear.new_csrf_token()
+            client.session.cookie_jar.update_cookies({'_csrf': tok})
+            r = await client.post('/mutate')          # cookie but no header
+            assert r.status == 401
+            r = await client.post('/mutate', headers={'X-CSRF-Token': 'wrong'})
+            assert r.status == 401
+            r = await client.post('/mutate', headers={'X-CSRF-Token': tok})
+            assert r.status == 200
+    asyncio.run(run())
+
+
+def test_time_limited_max_size_cache():
+    import asyncio
+    from hail_tpu.services.gear import TimeLimitedMaxSizeCache
+
+    async def run():
+        loads = []
+
+        async def load(k):
+            loads.append(k)
+            await asyncio.sleep(0.01)
+            return k * 2
+
+        c = TimeLimitedMaxSizeCache(load, lifetime_ns=50_000_000_000,
+                                    num_slots=2, cache_name='t')
+        # coalescing: two concurrent lookups -> one load
+        a, b = await asyncio.gather(c.lookup(1), c.lookup(1))
+        assert a == b == 2 and loads == [1]
+        assert await c.lookup(1) == 2 and c.hits == 1
+        # eviction at capacity
+        await c.lookup(2)
+        await c.lookup(3)
+        assert c.evictions == 1 and len(c._cache) == 2
+        await c.shutdown()
+        with pytest.raises(ValueError):
+            await c.lookup(9)
+    asyncio.run(run())
+
+
+def test_database_transaction_and_retry():
+    import asyncio
+    import sqlite3
+    from hail_tpu.services.database import Database, retry_transient_db_errors
+
+    async def run():
+        db = await Database().async_init()
+        await db.just_execute('CREATE TABLE t (k TEXT PRIMARY KEY, v INT)')
+        async with db.transaction() as tx:
+            await tx.execute_insertone('INSERT INTO t VALUES (?, ?)', ('a', 1))
+            await tx.just_execute('UPDATE t SET v = v + 1 WHERE k = ?', ('a',))
+        row = await db.execute_and_fetchone('SELECT v FROM t WHERE k = ?', ('a',))
+        assert row['v'] == 2
+        # rollback on error
+        try:
+            async with db.transaction() as tx:
+                await tx.just_execute('UPDATE t SET v = 99 WHERE k = ?', ('a',))
+                raise RuntimeError('boom')
+        except RuntimeError:
+            pass
+        row = await db.execute_and_fetchone('SELECT v FROM t WHERE k = ?', ('a',))
+        assert row['v'] == 2
+
+        calls = []
+
+        async def flaky():
+            calls.append(1)
+            if len(calls) < 3:
+                raise sqlite3.OperationalError('database is locked')
+            return 'ok'
+        assert await retry_transient_db_errors(flaky)() == 'ok'
+        assert len(calls) == 3
+
+        async def fatal():
+            raise sqlite3.OperationalError('syntax error')
+        with pytest.raises(sqlite3.OperationalError):
+            await retry_transient_db_errors(fatal)()
+        await db.async_close()
+    asyncio.run(run())
