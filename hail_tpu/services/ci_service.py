@@ -68,7 +68,8 @@ class CIRunner:
     def __init__(self, batch_url: str, token: Optional[str] = None):
         self.client = BatchServiceClient(batch_url, token=token)
 
-    def submit(self, steps: List[dict], attributes: Optional[dict] = None) -> int:
+    def submit(self, steps: List[dict], attributes: Optional[dict] = None,
+               workdir: Optional[str] = None) -> int:
         bid = self.client.create_batch(
             attributes={'name': 'ci-build', **(attributes or {})})
         name_to_jid: Dict[str, int] = {}
@@ -78,6 +79,11 @@ class CIRunner:
             name_to_jid[s['name']] = jid
             if s['kind'] in _RUNNABLE:
                 command = s.get('script') or 'true'
+                if workdir is not None:
+                    # the reference runs each step in a container with the
+                    # repo checked out; here the step cds into the build's
+                    # persistent merge checkout
+                    command = f'cd {workdir} && ({command})'
             else:
                 # non-runnable kinds are recorded no-ops (see module doc)
                 command = f'echo "[ci] {s["kind"]} {s["name"]}"'
@@ -117,6 +123,127 @@ class CIRunner:
         bid = self.submit(steps, attributes)
         self.client.wait(bid, timeout=timeout)
         return self.status(bid)
+
+
+class PRWatcher:
+    """PR watcher + merge queue over a LOCAL git repo (scoped analogue of
+    the reference's in-cluster CI, `ci/ci/github.py`: per-PR merge-commit
+    builds, then the approved+green candidate merges into the watched
+    branch).
+
+    "PRs" are branches matching `pr_prefix` (default `pr/`). For each new
+    head, the watcher builds the PR *merged into the target branch* (the
+    reference tests the merge commit, not the head), runs the repo's
+    build.yaml through CIRunner, and records the result. `merge_ready()`
+    merges, oldest-first, every PR whose build is green AND whose tip
+    commit message carries an `Approved-by:` trailer (the scoped stand-in
+    for GitHub review approval)."""
+
+    def __init__(self, repo_path: str, runner: 'CIRunner',
+                 target: str = 'main', pr_prefix: str = 'pr/',
+                 build_file: str = 'build.yaml'):
+        import tempfile
+        self.repo = repo_path
+        self.runner = runner
+        self.target = target
+        self.pr_prefix = pr_prefix
+        self.build_file = build_file
+        # merge checkouts live until the watcher closes: batch jobs run
+        # asynchronously in them
+        self._build_root = tempfile.mkdtemp(prefix='hail-ci-builds-')
+        # branch -> {'sha', 'state' (pending|success|failure|merge_conflict),
+        #            'batch_id', 'approved', 'merged', 'workdir'}
+        self.prs: Dict[str, dict] = {}
+
+    def close(self) -> None:
+        import shutil
+        for rec in self.prs.values():
+            wd = rec.get('workdir')
+            if wd:
+                self._git('worktree', 'remove', '--force', wd, check=False)
+        shutil.rmtree(self._build_root, ignore_errors=True)
+
+    def _git(self, *args, check=True):
+        import subprocess
+        r = subprocess.run(['git', '-C', self.repo, *args],
+                           capture_output=True, text=True)
+        if check and r.returncode != 0:
+            raise RuntimeError(f'git {args}: {r.stderr.strip()}')
+        return r.stdout.strip()
+
+    def _pr_branches(self) -> Dict[str, str]:
+        out = self._git('for-each-ref', '--format=%(refname:short) %(objectname)',
+                        f'refs/heads/{self.pr_prefix}*')
+        return dict(line.split() for line in out.splitlines() if line)
+
+    def _is_approved(self, sha: str) -> bool:
+        msg = self._git('log', '-1', '--format=%B', sha)
+        return 'Approved-by:' in msg
+
+    def poll(self) -> Dict[str, dict]:
+        """One watch loop: build every new/updated PR head (merge commit of
+        head into target), refresh running build states."""
+        import os
+        import subprocess
+        for branch, sha in self._pr_branches().items():
+            rec = self.prs.get(branch)
+            if rec is not None and rec['sha'] == sha:
+                if rec['state'] == 'pending':     # refresh a running build
+                    st = self.runner.status(rec['batch_id'])
+                    if st['complete']:
+                        rec['state'] = ('success' if st['state'] == 'success'
+                                        else 'failure')
+                continue
+            if rec is not None and rec.get('workdir'):   # superseded head
+                self._git('worktree', 'remove', '--force', rec['workdir'],
+                          check=False)
+            rec = {'sha': sha, 'state': 'pending', 'batch_id': None,
+                   'approved': self._is_approved(sha), 'merged': False,
+                   'workdir': None}
+            self.prs[branch] = rec
+            wt_dir = os.path.join(
+                self._build_root,
+                f"{branch.replace('/', '_')}-{sha[:10]}")
+            self._git('worktree', 'add', '--detach', wt_dir, self.target)
+            rec['workdir'] = wt_dir
+            r = subprocess.run(
+                ['git', '-C', wt_dir, 'merge', '--no-edit', sha],
+                capture_output=True, text=True)
+            if r.returncode != 0:
+                rec['state'] = 'merge_conflict'
+                continue
+            build_path = os.path.join(wt_dir, self.build_file)
+            if not os.path.exists(build_path):
+                rec['state'] = 'failure'
+                continue
+            with open(build_path) as f:
+                steps = parse_build_yaml(f.read())
+            rec['batch_id'] = self.runner.submit(
+                steps, attributes={'pr': branch, 'sha': sha},
+                workdir=wt_dir)
+        return self.prs
+
+    def wait_builds(self, timeout: float = 300.0) -> None:
+        for rec in self.prs.values():
+            if rec['state'] == 'pending' and rec['batch_id'] is not None:
+                self.runner.client.wait(rec['batch_id'], timeout=timeout)
+                st = self.runner.status(rec['batch_id'])
+                rec['state'] = ('success' if st['state'] == 'success'
+                                else 'failure')
+
+    def merge_ready(self) -> List[str]:
+        """Merge every approved+green PR into the target, oldest-first
+        (reference: the top merge candidate lands, others retest)."""
+        merged = []
+        for branch in sorted(self.prs):
+            rec = self.prs[branch]
+            if rec['merged'] or rec['state'] != 'success' or not rec['approved']:
+                continue
+            self._git('checkout', self.target)
+            self._git('merge', '--no-edit', rec['sha'])
+            rec['merged'] = True
+            merged.append(branch)
+        return merged
 
 
 class CIService:

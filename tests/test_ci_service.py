@@ -105,3 +105,76 @@ def test_ci_rest_surface(svc):
         assert st['complete'] and len(st['steps']) == 4
     finally:
         ci.stop()
+
+
+def test_pr_watcher_merge_queue(svc, tmp_path):
+    """PR watcher over a local git repo: merge-commit builds, approval
+    gating, merge queue (reference ci/ci/github.py at single-node scale)."""
+    import subprocess
+
+    from hail_tpu.services.ci_service import PRWatcher
+
+    repo = tmp_path / 'repo'
+    repo.mkdir()
+
+    def git(*args, env_extra=None):
+        env = {'GIT_AUTHOR_NAME': 'ci', 'GIT_AUTHOR_EMAIL': 'ci@x',
+               'GIT_COMMITTER_NAME': 'ci', 'GIT_COMMITTER_EMAIL': 'ci@x',
+               'HOME': str(tmp_path), 'PATH': '/usr/bin:/bin:/usr/local/bin'}
+        subprocess.run(['git', '-C', str(repo), *args], check=True,
+                       capture_output=True, env=env)
+
+    git('init', '-b', 'main')
+    (repo / 'build.yaml').write_text(textwrap.dedent('''
+        steps:
+          - kind: runImage
+            name: test
+            script: test -f ok.txt
+    '''))
+    (repo / 'ok.txt').write_text('base\n')
+    git('add', '-A')
+    git('commit', '-m', 'base')
+
+    # approved PR that passes the build
+    git('checkout', '-b', 'pr/1-good')
+    (repo / 'feature.txt').write_text('x\n')
+    git('add', '-A')
+    git('commit', '-m', 'feature\n\nApproved-by: dev')
+    git('checkout', 'main')
+
+    # PR that breaks the build (deletes ok.txt), also "approved"
+    git('checkout', '-b', 'pr/2-bad')
+    git('rm', '-q', 'ok.txt')
+    git('commit', '-m', 'break it\n\nApproved-by: dev')
+    git('checkout', 'main')
+
+    # green but unapproved PR
+    git('checkout', '-b', 'pr/3-unapproved')
+    (repo / 'other.txt').write_text('y\n')
+    git('add', '-A')
+    git('commit', '-m', 'no review yet')
+    git('checkout', 'main')
+
+    runner = CIRunner(f'http://127.0.0.1:{svc.port}')
+    w = PRWatcher(str(repo), runner)
+    import atexit; atexit.register(w.close)
+    w.poll()
+    w.wait_builds(timeout=120)
+    assert w.prs['pr/1-good']['state'] == 'success'
+    assert w.prs['pr/1-good']['approved']
+    assert w.prs['pr/2-bad']['state'] == 'failure'
+    assert w.prs['pr/3-unapproved']['state'] == 'success'
+    assert not w.prs['pr/3-unapproved']['approved']
+
+    merged = w.merge_ready()
+    assert merged == ['pr/1-good']
+    # the merge landed on main
+    out = subprocess.run(['git', '-C', str(repo), 'log', '--oneline', 'main'],
+                         capture_output=True, text=True, check=True).stdout
+    assert 'feature' in out
+    # idempotent: nothing left to merge
+    assert w.merge_ready() == []
+    # unchanged heads are not rebuilt
+    before = {b: r['batch_id'] for b, r in w.prs.items()}
+    w.poll()
+    assert {b: r['batch_id'] for b, r in w.prs.items()} == before
