@@ -28,7 +28,10 @@ jax.config.update('jax_enable_x64', True)
 
 @partial(jax.jit, static_argnames=('w', 'block'))
 def _band_block(zpad, s, w, block, thresh):
-    """One (block, w) boolean band tile.
+    """One boolean band tile, BIT-PACKED on device to (block, ceil(w/8))
+    uint8 — the band leaves the chip at 1 bit/pair instead of 1 byte/pair
+    (the reference's LocalLDPrune keeps genotypes 2-bit-packed for the same
+    bandwidth reason, `BitPackedVector`).
 
     zpad is Z with w zero rows prepended, so source row i sits at zpad[i+w].
     For output rows i ∈ [s, s+block): C = Z[s:s+block] · Z[s-w : s+block]ᵀ,
@@ -39,12 +42,22 @@ def _band_block(zpad, s, w, block, thresh):
     r = jnp.arange(block)[:, None]
     k = jnp.arange(w)[None, :]
     band = jnp.take_along_axis(c, r + k, axis=1)    # C[r, r + k]
-    return (band * band) >= thresh
+    hits = (band * band) >= thresh
+    w8 = (w + 7) // 8
+    h = jnp.pad(hits, ((0, 0), (0, w8 * 8 - w)))
+    # big-endian within the byte: bit 128 is k = 8j (np.unpackbits order)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return (h.reshape(block, w8, 8).astype(jnp.uint8)
+            * weights[None, None, :]).sum(axis=-1, dtype=jnp.uint8)
 
 
 def banded_r2_hits(zd, w: int, r2: float, block: int = 2048
                    ) -> Iterator[Tuple[int, int, np.ndarray]]:
-    """Yield (s, e, hits) per row block; hits is host bool (e-s, w)."""
+    """Yield (s, e, hits) per row block; hits is host bool (e-s, w).
+
+    All block kernels are dispatched up front and the packed bands come
+    back in ONE d2h transfer (the hits do not depend on the greedy scan's
+    kept-set, so the whole band can be materialized before scanning)."""
     m = int(zd.shape[0])
     if m == 0 or w <= 0:
         return
@@ -54,10 +67,13 @@ def banded_r2_hits(zd, w: int, r2: float, block: int = 2048
     zpad = jnp.concatenate(
         [jnp.zeros((w, zd.shape[1]), zd.dtype), zd,
          jnp.zeros((pad_end, zd.shape[1]), zd.dtype)], axis=0)
+    outs = [_band_block(zpad, s, w, block, jnp.float64(r2))
+            for s in range(0, m, block)]
+    packed = np.asarray(jnp.concatenate(outs, axis=0))   # one d2h
+    bits = np.unpackbits(packed, axis=1)[:, :w].astype(bool)
     for s in range(0, m, block):
         e = min(s + block, m)
-        hits = _band_block(zpad, s, w, block, jnp.float64(r2))
-        yield s, e, np.asarray(hits[:e - s])
+        yield s, e, bits[s:e]
 
 
 def standardize_rows_device(gz8, m8):
@@ -75,4 +91,6 @@ def standardize_rows_device(gz8, m8):
     ok = ss > 0
     z = jnp.where(ok[:, None], centered / jnp.where(ok, ss, 1.0)[:, None],
                   0.0)
-    return z, np.asarray(mean), np.asarray(ok)
+    # one stacked d2h for both stats (each fetch is a relay round trip)
+    stats = np.asarray(jnp.stack([mean, ok.astype(jnp.float64)]))
+    return z, stats[0], stats[1] > 0.5
