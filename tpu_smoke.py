@@ -216,6 +216,14 @@ def main():
         assert v == vh, (v, vh)
     s12()
 
+    @stage('ld_prune')
+    def s12b():
+        # device-banded bit-packed r2 (ops/ldprune.py) on the chip
+        kept = hl.ld_prune(mt.GT, r2=0.2, bp_window_size=100000)
+        n = kept._force_count()
+        assert 0 < n <= 346, n
+    s12b()
+
     @stage('write_read_roundtrip')
     def s13():
         import tempfile
